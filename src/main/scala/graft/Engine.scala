@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * Design notes (100 TB posture): the engine is a library over a caller's
+  * `SparkSession`; nothing here assumes local mode. Local defaults mirror
+  * what a cluster deployment would set per-job:
+  *   - `spark.sql.shuffle.partitions` sized to the parallelism at hand
+  *     (32 threads locally; thousands on a real cluster — AQE coalesces),
+  *   - AQE on (runtime re-plan: partition coalescing, skew-join splitting),
+  *   - UTC session time zone for deterministic timestamp semantics,
+  *   - parquet TIMESTAMP_MICROS (no INT96) so outputs round-trip through
+  *     any reader identically.
+  *
+  * Capability parity target: damballa/parkour's conf layer
+  * (reference `src/clojure/parkour/conf.clj`) — obviated here by Spark's
+  * own `SparkSession.builder` configuration surface.
+  */
+object Engine {
+
+  /** Default parallelism for local sessions; a real cluster overrides. */
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+
+  def session(appName: String = "graft", cpus: Int = defaultCpus): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // parquet TIMESTAMP(NANOS) (events.ts) is otherwise rejected by the
+      // vectorized reader; read as long and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    b.getOrCreate()
+  }
+
+  /** Apply graft's deterministic settings to an existing session (used by
+    * Verify/Bench whose sessions are built by the driver contract). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}
+
+/** Loaders for the driver-provided star schema (TESTDATA.md). One parquet
+  * file per table under `$dir/`. Filters/projections compose on top and are
+  * pushed into the parquet scan by Catalyst (verify via `PushedFilters` in
+  * `.explain("formatted")`). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark's reader has no nanos
+    * timestamp type, so it arrives as a long (nanosAsLong) which we floor
+    * to microseconds — the same truncation DuckDB applies casting
+    * TIMESTAMP_NS to TIMESTAMP. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

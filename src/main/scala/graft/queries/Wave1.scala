@@ -1,0 +1,444 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 1 — relational operator surface, every query DuckDB-oracle-verified.
+  *
+  * Capability map (SURVEY.md §2): A1/A2 group-agg+partial agg (q01, q20),
+  * A3 distinct (q02), P1–P4 project/filter/flatMap (q03, q04), §2.7 scalar
+  * functions (q03, q19), J1 equi-join (q05), J3 broadcast join (q06),
+  * semi/anti (q07, q08), J4 cogroup (q09), O2 secondary sort (q10),
+  * O1/O5 sort+limit (q11), U1/U2 set ops (q12–q14), P6 running agg (q15),
+  * A8 enumeration (q16), rollup extension (q17), events windowing (q18).
+  *
+  * Determinism contract with the DuckDB oracle: any aggregate over doubles
+  * is computed as floor-quantize(expr, s) -> DECIMAL -> exact sum -> DOUBLE,
+  * so the result is independent of accumulation order (Spark partial
+  * aggregation and DuckDB's parallel sum would otherwise differ in final
+  * ulps). Computed integers are cast to BIGINT on both sides.
+  */
+object Wave1 {
+
+  /** Quantize a double to `scale` decimals with floor — unlike round(), the
+    * result is bit-identical across engines (x*10^s and floor are exact IEEE
+    * ops on identical inputs; round() differs between Spark's
+    * string-repr-HALF_UP and DuckDB's binary rounding at .5 boundaries). */
+  private def quant(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p) / p
+  }
+
+  /** Order-insensitive exact sum of a double expression: per-row quantize
+    * (identical in both engines), exact decimal sum, back to double. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(quant(c, scale).cast(DecimalType(38, scale))).cast("double")
+
+  private def dsumWindow(c: Column, scale: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(quant(c, scale).cast(DecimalType(38, scale))).over(w).cast("double")
+
+  /** SQL-side twin of [[dsum]]. */
+  private def sqlDsum(expr: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2: the canonical shuffle aggregation (TPC-H Q1 shape). Partial
+    // (map-side) aggregation is automatic in Catalyst's HashAggregate; at
+    // 100 TB the 6-group output makes the shuffle negligible.
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1995-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // A3: distinct via hash aggregate (map-side partial distinct first).
+    "q02_distinct_flags" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // P1/P3 + §2.7: projection, predicate (pushed to parquet scan), scalar
+    // string/date/math functions.
+    "q03_scalar_project" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_totalprice" > 150000.0)
+        .select(
+          $"o_orderkey",
+          upper($"o_orderstatus").as("status_u"),
+          year($"o_orderdate").cast("long").as("o_year"),
+          month($"o_orderdate").cast("long").as("o_month"),
+          quant($"o_totalprice" * 1.1, 2).as("gross"),
+          substring($"o_orderpriority", 1, 1).as("prio_code"),
+          concat_ws("-", $"o_orderstatus", $"o_orderpriority").as("tag"))
+        .orderBy($"o_orderkey")
+    },
+
+    // P2/F5: flatMap/explode — word count over documents (the reference's
+    // hello-world, word_count.clj, re-expressed columnar: split+explode stay
+    // inside whole-stage codegen; the only shuffle is the final group-by).
+    "q04_word_count" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(split(lower($"text"), "[^a-z]+")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word").limit(100)
+    },
+
+    // J1: reduce-side equi-join parity (join_test.clj) — Catalyst picks
+    // broadcast-hash here (customer is the small side); on 100 TB a
+    // sort-merge with co-partitioning would engage automatically.
+    "q05_join_cust_orders" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter($"o_totalprice" > 100000.0)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select($"o_orderkey", $"c_custkey", $"c_name", $"c_mktsegment",
+          $"o_totalprice".as("total"))
+        .orderBy($"o_orderkey")
+    },
+
+    // J3: explicit map-side broadcast join (dval/distcache parity,
+    // matrixify.clj:84-91) — `broadcast(part)` ships the dim to every task;
+    // zero shuffle on the fact side at any scale.
+    "q06_bcast_join_revenue" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val p  = broadcast(Tables.part(s, d))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy($"p_brand")
+        .agg(
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+
+    // left-semi: EXISTS pattern.
+    "q07_semi_join" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter($"o_totalprice" > 250000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+
+    // left-anti: NOT EXISTS pattern.
+    "q08_anti_join" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+
+    // J4: cogroup (keykeyvalgroups shape, mapreduce/source.clj:370-373) —
+    // expressed as two partial aggregates + full outer join so each side is
+    // map-side-combined before the shuffle (cheaper than raw cogroup at
+    // scale: only (key,count) crosses the wire).
+    "q09_cogroup_counts" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d).groupBy($"o_orderkey".as("okey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = Tables.lineitem(s, d).groupBy($"l_orderkey".as("okey"))
+        .agg(count(lit(1)).as("n_items"))
+      o.join(l, Seq("okey"), "full_outer")
+        .select($"okey",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"n_items", lit(0L)).as("n_items"))
+        .orderBy($"okey")
+    },
+
+    // O2: secondary sort — per-key ordered iteration
+    // (AvroKeyGroupingComparator parity) via ranking window: partition by
+    // user, order by (ts, event_id); first 3 events per user.
+    "q10_secondary_sort" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"event_id", $"rn", $"event_type")
+        .orderBy($"user_id", $"rn")
+    },
+
+    // O1/O5: total order + early-exit limit (TakeOrderedAndProject — no
+    // global sort materialization; each partition keeps a top-k heap).
+    "q11_topk_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice".as("total"))
+        .limit(10)
+    },
+
+    // U1: union (mux dseq parity, io/mux.clj) + distinct.
+    "q12_union_nations" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      val sup = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+      c.union(sup).distinct().orderBy($"nationkey")
+    },
+
+    // U2: intersect.
+    "q13_intersect_nations" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      val sup = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+      c.intersect(sup).orderBy($"nationkey")
+    },
+
+    // U2: except.
+    "q14_except_nations" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      val sup = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+      c.except(sup).orderBy($"nationkey")
+    },
+
+    // P6: reductions/prefix-scan parity (reducers.clj:22-33) — running
+    // per-customer order total, exact decimal accumulation in the window.
+    "q15_running_total" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          dsumWindow($"o_totalprice", 2, w).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // A8: parallel enumeration (matrixify dim-count-r parity) — dense ids
+    // for a small dimension. The distinct shrinks the data before the
+    // single-partition rank; at 100 TB the distinct output (#brands) is
+    // tiny so the final window is not a bottleneck.
+    "q16_enumerate_brands" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d).select($"p_brand").distinct()
+        .withColumn("brand_id",
+          (dense_rank().over(Window.orderBy($"p_brand")) - 1).cast("long"))
+        .orderBy($"brand_id")
+    },
+
+    // Extension (SURVEY §2.4 note): rollup with grouping-id to discriminate
+    // subtotal rows.
+    "q17_rollup_qty" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+    },
+
+    // Events: tumbling-window aggregation (batch twin of the streaming
+    // path; date_trunc keeps the group key oracle-comparable).
+    "q18_hourly_events" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"hour", $"event_type")
+    },
+
+    // §2.7 wider scalar surface: regexp, datediff, length/replace/lpad,
+    // coalesce/case, JSON extraction (events.props).
+    "q19_scalar_funcs" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          regexp_extract($"event_type", "([a-z]+)", 1).as("etype_alpha"),
+          datediff(lit("2024-02-01").cast("date"), $"ts".cast("date"))
+            .cast("long").as("days_to_feb"),
+          length($"props").cast("long").as("props_len"),
+          get_json_object($"props", "$.k").cast("long").as("k_val"),
+          when($"value" > 50.0, lit("hi")).otherwise(lit("lo")).as("bucket"),
+          lpad($"event_type", 12, "_").as("padded"))
+        .orderBy($"event_id")
+    },
+
+    // Conditional aggregation (pivot shape) — one pass, no joins.
+    "q20_conditional_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when($"o_orderstatus" === "P", 1L).otherwise(0L)).as("n_p"),
+          dsum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(lit(0.0)), 2)
+            .as("f_total"))
+        .orderBy($"o_orderpriority")
+    }
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private def dq(expr: String): String = sqlDsum(expr, 4)
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dq("l_quantity")} AS sum_qty,
+         |  ${dq("l_extendedprice")} AS sum_base_price,
+         |  ${dq("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dq("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_scalar_project" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderstatus) AS status_u,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  floor(o_totalprice * 1.1 * 1e2) / 1e2 AS gross,
+        |  substr(o_orderpriority, 1, 1) AS prio_code,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders WHERE o_totalprice > 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_word_count" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        |  FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    "q05_join_cust_orders" ->
+      """SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
+        |  o_totalprice AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q06_bcast_join_revenue" ->
+      s"""SELECT p_brand,
+         |  ${dq("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_cogroup_counts" ->
+      """SELECT COALESCE(o.okey, l.okey) AS okey,
+        |  COALESCE(o.n_orders, 0) AS n_orders,
+        |  COALESCE(l.n_items, 0) AS n_items
+        |FROM (SELECT o_orderkey AS okey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN
+        |  (SELECT l_orderkey AS okey, count(*) AS n_items FROM lineitem GROUP BY 1) l
+        |ON o.okey = l.okey
+        |ORDER BY okey""".stripMargin,
+
+    "q10_secondary_sort" ->
+      """SELECT user_id, event_id, rn, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q11_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS total
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q12_union_nations" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q13_intersect_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q14_except_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q15_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2) / 1e2 AS DECIMAL(38,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q16_enumerate_brands" ->
+      """SELECT p_brand, CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS BIGINT)
+        |  AS brand_id
+        |FROM (SELECT DISTINCT p_brand FROM part) t
+        |ORDER BY brand_id""".stripMargin,
+
+    "q17_rollup_qty" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dq("l_quantity")} AS sum_qty, count(*) AS n,
+         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q18_hourly_events" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, count(*) AS n, ${dq("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q19_scalar_funcs" ->
+      """SELECT event_id,
+        |  regexp_extract(event_type, '([a-z]+)', 1) AS etype_alpha,
+        |  CAST(datediff('day', CAST(ts AS DATE), DATE '2024-02-01') AS BIGINT)
+        |    AS days_to_feb,
+        |  CAST(length(props) AS BIGINT) AS props_len,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |  CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS bucket,
+        |  lpad(event_type, 12, '_') AS padded
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q20_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  CAST(sum(CAST(floor((CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+        |    ELSE 0.0 END) * 1e2) / 1e2 AS DECIMAL(38,2))) AS DOUBLE) AS f_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

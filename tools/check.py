@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <outDir> <sfDir>
+  <outDir>: where graft.Verify wrote <name>.parquet dirs + oracle_sql.json
+  <sfDir>:  testdata dir with the parquet tables
+
+For each query: load Spark's parquet result, run the oracle SQL in DuckDB
+(tables registered as views over the sf parquet files), sort columns by
+name, sort rows, compare values. Prints a per-query PASS/FAIL report.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_path = out_dir / name
+        if not res_path.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = pd.read_parquet(res_path)
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i in range(len(g)):
+            for c in g.columns:
+                a, b = g.iloc[i][c], w.iloc[i][c]
+                # normalize numpy/pandas scalars and timestamps to python
+                if hasattr(a, "item"):
+                    a = a.item()
+                if hasattr(b, "item"):
+                    b = b.item()
+                if isinstance(a, pd.Timestamp):
+                    a = a.to_pydatetime()
+                if isinstance(b, pd.Timestamp):
+                    b = b.to_pydatetime()
+                if not values_equal(a, b):
+                    bad = (i, c, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            # also report dtype-level mismatches (hash-relevant) as warnings
+            dt_diff = [(c, str(got[c].dtype), str(want[c].dtype))
+                       for c in g.columns
+                       if str(g[c].dtype) != str(w[c].dtype)]
+            note = f"  [dtype diff: {dt_diff}]" if dt_diff else ""
+            print(f"PASS {name} ({len(g)} rows){note}")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
