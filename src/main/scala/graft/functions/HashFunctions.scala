@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash-sketch primitives: MinHash signatures and SimHash, as pure Column
+  * expressions (no UDFs — everything codegen-friendly and distributed).
+  *
+  * These power the scale path of near-dedup (SURVEY.md §2.10): exact
+  * all-pairs similarity is O(n²); MinHash/SimHash banding reduces it to
+  * a hash-partitioned candidate join, which is the only formulation that
+  * survives 100 TB.
+  */
+object HashFunctions {
+
+  /** Large Mersenne prime for the universal-hash family. */
+  val Prime: Long = (1L << 61) - 1
+
+  /** Deterministic (a, b) parameter pairs for `k` min-hash permutations. */
+  def permutations(k: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)((math.abs(rnd.nextLong()) % (Prime - 1)) + 1 ->
+      math.abs(rnd.nextLong()) % Prime)
+  }
+
+  /** Non-negative base hash of a string token (xxhash64 folded positive). */
+  def tokenHash(t: Column): Column = pmod(xxhash64(t), lit(Prime))
+
+  /** MinHash signature (array<long>, length k) over a string-array column.
+    * Empty input arrays yield a signature of Prime (sentinel max). */
+  def minhashSignature(tokens: Column, perms: Array[(Long, Long)]): Column = {
+    val hashes = transform(tokens, t => tokenHash(t))
+    array(perms.map { case (a, b) =>
+      coalesce(
+        array_min(transform(hashes, h => pmod(h * a + b, lit(Prime)))),
+        lit(Prime))
+    }: _*)
+  }
+
+  /** Band key for LSH bucketing: xxhash64 of one contiguous signature
+    * slice (1-indexed band, `rows` entries per band). */
+  def bandKey(signature: Column, band: Int, rows: Int): Column =
+    xxhash64(lit(band), array_join(slice(signature, band * rows + 1, rows), ","))
+
+  /** SimHash bit votes over a string-array column: array<long> of 64
+    * vote sums (per-token xxhash64, each bit votes +1/-1). Materialize
+    * this as its own projected column before calling
+    * [[simhashFromVotes]] — the assembly references it 64 times and must
+    * see an attribute, not a copied aggregate expression. */
+  def simhashVotes(tokens: Column): Column =
+    aggregate(
+      transform(tokens, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))): _*),
+        (a, b) => a + b))
+
+  /** Assemble the 64-bit SimHash from a materialized votes column. */
+  def simhashFromVotes(votes: Column): Column =
+    (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(
+        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** 16-bit band of a simhash long (band 0..3) for candidate bucketing:
+    * near-dups within Hamming distance 3 collide on >=1 of 4 bands. */
+  def simhashBand(sim: Column, band: Int): Column =
+    shiftright(sim, band * 16).bitwiseAND(lit(0xFFFFL))
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Columnar text primitives for the training-data pipeline operators
+  * (SURVEY.md §2.10). Everything here is a pure `Column` expression —
+  * stays inside whole-stage codegen, no UDFs, scales linearly with rows
+  * and shuffles nothing by itself.
+  *
+  * Capability parity: parkour's "arbitrary host language in every task"
+  * (reference `examples/parkour/example/word_count.clj:9-13`) re-expressed
+  * as a declared, optimizable function surface.
+  */
+object TextFunctions {
+
+  /** Lowercased alphabetic tokens; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  /** Distinct token set (order from first occurrence is NOT guaranteed
+    * relevant — treat as a set). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def uniqueTokenCount(text: Column): Column =
+    size(tokenSet(text)).cast("long")
+
+  /** Total characters across tokens (exact int arithmetic). */
+  def tokenChars(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** Word n-gram shingles as space-joined strings. Documents shorter than
+    * `n` tokens yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** How many tokens of `text` appear in `words` (multiset count — counts
+    * repeats, matching the SQL twin `list_filter ... list_contains`). */
+  def tokenHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
+      .cast("long")
+
+  /** Normalized form used for near-exact dedup: lowercase, collapse all
+    * non-alphanumeric runs to single spaces, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Stable 128-bit content fingerprint of the normalized text. */
+  def contentFingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Minimum md5 over word 3-gram shingles — an order-invariant document
+    * sketch (1-permutation MinHash); null for docs with <3 tokens. */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

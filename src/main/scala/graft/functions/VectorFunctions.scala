@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns.
+  *
+  * Two arithmetic modes:
+  *  - `dot`/`cosine`: plain double accumulation — fastest, used on the
+  *    bench path.
+  *  - `dotQ`/`cosineQ`: order-invariant exact arithmetic (per-element
+  *    products quantized to 1e-12 and summed as longs) — bit-reproducible
+  *    across engines/partitionings, used on oracle-verified paths.
+  *    Safe ranges: |x*y| < 9e6 per element, <= ~9e5 elements per vector.
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Plain double dot product (sequential fold — deterministic within
+    * Spark, not across engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact quantized dot: sum of floor(x*y*1e12) as long. Order-invariant
+    * and engine-invariant (integer addition commutes). */
+  def dotQLong(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => floor(d(x) * d(y) * lit(1e12))),
+      lit(0L), (acc, v) => acc + v)
+
+  def dotQ(a: Column, b: Column): Column = dotQLong(a, b).cast("double") / lit(1e12)
+
+  def normQ(a: Column): Column = sqrt(dotQ(a, a))
+
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b) / (normQ(a) * normQ(b))
+
+  /** Floor-quantize a double column to `scale` decimals (cross-engine
+    * deterministic; see Wave1.quant). */
+  def quantize(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p) / p
+  }
+
+  /** Sign-bit LSH bucket: pack the signs of `planes.length` random
+    * hyperplane projections into a long. `planes` is driver-side seeded
+    * data (broadcast as a literal), so the bucketing is deterministic. */
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
+      val proj = aggregate(
+        zip_with(vec, lit(plane), (x, p) => d(x) * p),
+        lit(0.0), (s, v) => s + v)
+      acc + when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora (SURVEY.md §2.10).
+  *
+  * Scale posture: exact dedup and LSH variants are all single-shuffle
+  * hash-partitioned plans (group/join on a hash key). The only O(n²)
+  * surface is `jaccardPairs`, which exists as the *oracle baseline* for
+  * the LSH paths — at 100 TB you run `minhashNearDupPairs` /
+  * `simhashNearDupPairs`, whose candidate sets are bounded by bucket
+  * collisions rather than the pair count.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized text: one row per distinct
+    * normalized form with the survivor id (min) and multiplicity.
+    * 100 TB note: group key is the md5 fingerprint (16 bytes), not the
+    * document body, so the shuffle carries hashes + ids only. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), T.contentFingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Documents to drop under exact dedup (everything but the survivor). */
+  def exactDropIds(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = T.contentFingerprint(col(textCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
+    docs.select(col(idCol), fp.as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col(idCol))
+  }
+
+  /** Exact token-set Jaccard similarity for ALL pairs above `threshold`.
+    * O(sum over tokens of df²) — the correctness baseline for LSH paths;
+    * do not run raw at 100 TB (see minhashNearDupPairs). Output:
+    * (doc_a, doc_b, jac) with doc_a < doc_b. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc"), explode(T.tokenSet(col(textCol))).as("tok"))
+    val sizes = toks.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    val common = a
+      .join(b, col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash signatures: (id, sig array<long> of length k). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, seed: Long = 42L): DataFrame =
+    docs.select(col(idCol),
+      H.minhashSignature(T.tokenSet(col(textCol)), H.permutations(k, seed)).as("sig"))
+
+  /** LSH near-dup candidate pairs via banding (bands × rows = k), verified
+    * against the exact Jaccard of the candidate pair only — the scalable
+    * near-dedup: one explode (bands) + one hash join on band key, then
+    * exact verification on the (small) candidate set. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, k: Int = 32, bands: Int = 8,
+                          seed: Long = 42L): DataFrame = {
+    val rows = k / bands
+    val perms = H.permutations(k, seed)
+    val withSig = docs.select(
+      col(idCol).as("doc"),
+      T.tokenSet(col(textCol)).as("toks"),
+      H.minhashSignature(T.tokenSet(col(textCol)), perms).as("sig"))
+    val banded = withSig.select(
+      col("doc"), col("toks"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), H.bandKey(col("sig"), b, rows).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc"), col("toks"), col("bk.band"), col("bk.key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("jac",
+        col("c") / (size(col("toks_a")) + size(col("toks_b")) - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, 4×16-bit band bucketing, exact
+    * Hamming verification on candidates (distance <= maxHamming). */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val withSim = docs
+      .select(col(idCol).as("doc"), H.simhashVotes(T.tokens(col(textCol))).as("votes"))
+      .select(col("doc"), H.simhashFromVotes(col("votes")).as("sim"))
+    val banded = withSim.select(col("doc"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), H.simhashBand(col("sim"), b).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc"), col("sim"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", H.hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

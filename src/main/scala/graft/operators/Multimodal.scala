@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.10): image/audio/video travel
+  * as opaque `binary` columns with typed metadata; decode/feature steps
+  * run distributed via `mapPartitions` over Arrow-friendly batches (the
+  * Scala analogue of Python's `mapInPandas`).
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * container): `decodeStub` derives deterministic fake metadata and
+  * features from the raw bytes. The Spark-side contract — schema,
+  * partitioning, batch iteration, feature shape — is real and tested;
+  * swap `decodeStub` for a JNI/codec call in production.
+  */
+object Multimodal {
+
+  /** Typed row for a multimodal asset. */
+  case class Asset(asset_id: Long, modality: String, data: Array[Byte])
+
+  /** Decoded/feature-extracted result: fixed metadata + a fixed-width
+    * float feature vector (here: 16-bin byte histogram, L1-normalized —
+    * a deterministic stand-in for a real embedding). */
+  case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
+                           width: Int, height: Int, features: Array[Float])
+
+  /** STUB decode: a real implementation would call an image/audio codec
+    * here. This fake is deterministic in the bytes so tests are stable. */
+  def decodeStub(a: Asset): AssetFeatures = {
+    val bytes = a.data
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+    val total = math.max(1f, bytes.length.toFloat)
+    var j = 0
+    while (j < 16) { hist(j) /= total; j += 1 }
+    // fake dimensions derived from content length — real codec would parse
+    val w = 16 + (bytes.length % 64)
+    AssetFeatures(a.asset_id, a.modality, bytes.length.toLong, w, w / 2, hist)
+  }
+
+  /** Distributed feature extraction: batch-at-a-time over partitions.
+    * Partition count is preserved — upstream `repartition(n)` controls
+    * task granularity exactly like `mapInPandas` batches. */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Frame sampling stub for video-like payloads: take every `stride`-th
+    * chunk of `frameBytes` bytes. Real plumbing (explode to one row per
+    * frame), fake frame boundaries. */
+  def sampleFrames(assets: DataFrame, dataCol: String, frameBytes: Int,
+                   stride: Int): DataFrame = {
+    val nFrames = floor(length(col(dataCol)) / frameBytes).cast("int")
+    assets
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+      .withColumn("frame",
+        col(dataCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+  }
+
+  /** Build an Asset dataset from any table with an id + string column —
+    * test/demo harness for the binary pipeline (text bytes stand in for
+    * encoded media). */
+  def assetsFromText(spark: SparkSession, df: DataFrame, idCol: String,
+                     textCol: String, modality: String = "text"): Dataset[Asset] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"), lit(modality).as("modality"),
+      encode(col(textCol), "UTF-8").as("data")).as[Asset]
+  }
+}

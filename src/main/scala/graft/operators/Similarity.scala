@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.10).
+  *
+  * `bruteForceTopK` is the exact baseline (O(|Q|·|C|) — fine when the
+  * query set is small and broadcast). `lshTopK` is the scale path:
+  * sign-bit LSH buckets both sides so each query only scans its bucket's
+  * candidates; recall is tunable via number of hyperplanes / probes.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` is
+    * expected to be small — it is broadcast, so the big candidate side
+    * streams map-side with no shuffle before the per-query top-k. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     exact: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cos =
+      if (exact) V.cosineQ(col("qv"), col("cv")) else V.cosine(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        V.quantize(col("sim"), 6).as("sim"))
+  }
+
+  /** All pairs with cosine >= threshold within a (pre-filtered) vector
+    * set. Exact-arithmetic variant for oracle verification. */
+  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, exact: Boolean = false): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cos =
+      if (exact) V.cosineQ(col("a.v"), col("b.v")) else V.cosine(col("a.v"), col("b.v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", cos)
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        V.quantize(col("sim"), 6).as("sim"))
+  }
+
+  /** Approximate top-k via sign-bit LSH: bucket candidates and queries by
+    * hyperplane sign pattern; scan only same-bucket candidates. Multi-probe
+    * (`probes` > 1) additionally checks buckets at Hamming distance 1 in
+    * bucket-bit space to recover near-boundary misses.
+    * Scale: the candidate join is hash-partitioned on the bucket key — no
+    * broadcast of the big side, no all-pairs blowup. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 12, dim: Int = 64,
+              probes: Int = 1, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      V.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val cb = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      V.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    // multi-probe: expand each query into its own bucket + hamming-1 flips
+    val probed =
+      if (probes <= 1) qb
+      else qb.withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until math.min(probes - 1, nPlanes)).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i))): _*)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", V.cosine(col("qv"), col("cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        V.quantize(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of `centroids`
+    * (a driver-provided small array — broadcast), then search only within
+    * the query's cell (+ optionally neighboring cells via nProbe).
+    * Centroids would come from a sampled k-means at scale; any fixed
+    * seeded set works for the plumbing. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: Array[Array[Double]]): DataFrame = {
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      centroids.indices.foldLeft((lit(-1), lit(Double.MinValue))) {
+        case ((bestI, bestS), i) =>
+          val s = V.dot(vec, lit(centroids(i)))
+          (when(s > bestS, lit(i)).otherwise(bestI), greatest(s, bestS))
+      }._1
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      cellOf(col(vecCol)).as("cell"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellOf(col(vecCol)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", V.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        V.quantize(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines (SURVEY.md §2.10):
+  * language ID, quality scoring, token statistics, fingerprinting.
+  * All pure column expressions — per-row, no shuffle, codegen-friendly;
+  * a 100 TB corpus maps straight through these in one scan.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-hit
+    * language heuristic. Deterministic and SQL-expressible (the DuckDB
+    * oracle mirrors the same lists); a production profile would be larger
+    * but identical in shape. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "de", "y", "es"))
+
+  /** Language guess: argmax of stopword hit counts, first-listed language
+    * wins ties, "und" (undetermined) when all scores are zero. */
+  def langId(text: Column): Column = {
+    val scores = StopwordProfiles.map { case (lang, words) =>
+      lang -> T.tokenHits(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Per-document token statistics: count, distinct count, char count,
+    * mean token length. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      T.tokenCount(t).as("n_tokens"),
+      T.uniqueTokenCount(t).as("n_uniq"),
+      T.tokenChars(t).as("n_token_chars"),
+      when(T.tokenCount(t) > 0,
+        T.tokenChars(t).cast("double") / T.tokenCount(t))
+        .otherwise(lit(0.0)).as("avg_token_len"))
+  }
+
+  /** Heuristic quality signals: alphabetic ratio, whitespace ratio,
+    * stopword ratio, type-token ratio, and a linear composite score.
+    * All ratios are exact-int divisions — cross-engine deterministic. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val spaces = length(t) - length(regexp_replace(t, " ", ""))
+    val nTok = T.tokenCount(t)
+    val stop = T.tokenHits(t, StopwordProfiles.flatMap(_._2))
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      when(len > 0, alpha / len).otherwise(lit(0.0)).as("alpha_ratio"),
+      when(len > 0, spaces.cast("double") / len).otherwise(lit(0.0)).as("space_ratio"),
+      when(nTok > 0, stop.cast("double") / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
+      when(nTok > 0, T.uniqueTokenCount(t).cast("double") / nTok)
+        .otherwise(lit(0.0)).as("type_token_ratio"))
+      .withColumn("quality",
+        col("alpha_ratio") * 0.4 + col("type_token_ratio") * 0.4 +
+          col("stopword_ratio") * 0.2)
+  }
+
+  /** Content fingerprints: exact (md5 of normalized text) and shingle
+    * sketch (min md5 over word 3-grams). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      T.contentFingerprint(col(textCol)).as("fp_exact"),
+      T.minShingleFingerprint(col(textCol)).as("fp_shingle"))
+}

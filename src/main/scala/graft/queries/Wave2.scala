@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 2 — training-data pipeline operators over `documents` and
+  * `embeddings` (SURVEY.md §2.10): dedup (exact / Jaccard / MinHash /
+  * SimHash), similarity search (brute force / LSH / IVF), text analysis
+  * (token stats, quality, language ID, fingerprints), multimodal plumbing.
+  *
+  * Oracle-verified where SQL-expressible; sketch-based operators
+  * (MinHash/SimHash/LSH — Spark-hash-dependent) get rows-only driver
+  * checks plus ScalaTest recall assertions against their exact twins.
+  */
+object Wave2 {
+
+  /** DuckDB token pipeline identical to TextFunctions.tokens. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val SqlTokSet = s"list_distinct($SqlToks)"
+
+  /** DuckDB twin of VectorFunctions.dotQLong (exact quantized dot). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup groups (hash-groupBy on md5 of normalized text).
+    "q21_dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .select(col("fp"), col("keep_id"), col("dup_count"))
+        .orderBy(col("fp"))
+    },
+
+    // Token statistics per document (exact int arithmetic).
+    "q22_token_stats" -> { (s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring (ratio arithmetic on exact ints).
+    "q23_quality" -> { (s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic (stopword-profile argmax).
+    "q24_lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact token-set Jaccard near-dup pairs (oracle baseline for LSH).
+    "q25_jaccard_pairs" -> { (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // MinHash-LSH near-dup (scale path; rows-only driver check, recall
+    // asserted vs q25 in ScalaTest).
+    "q26_minhash_neardup" -> { (s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash near-dup (rows-only driver check).
+    "q27_simhash_neardup" -> { (s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Brute-force cosine top-5 for query vectors (exact arithmetic).
+    "q28_ann_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5, exact = true)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Document fingerprints (md5 exact + min-shingle sketch).
+    "q29_fingerprints" -> { (s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Embedding near-dup pairs over a pruned id set (exact arithmetic).
+    "q30_embedding_neardup" -> { (s, d) =>
+      Similarity.cosinePairs(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", 0.30, exact = true)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // LSH-bucketed ANN (scale path; rows-only, recall vs q28 in tests).
+    "q31_lsh_ann" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", 5, nPlanes = 8, probes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Multimodal plumbing: binary column -> distributed feature extraction
+    // (byte-histogram stub standing in for a codec; rows-only check).
+    "q32_multimodal_features" -> { (s, d) =>
+      val assets = Multimodal.assetsFromText(
+        s, Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractFeatures(assets).toDF()
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy(col("asset_id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q22_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |  CAST(len($SqlTokSet) AS BIGINT) AS n_uniq,
+         |  CAST(coalesce(list_sum(list_transform($SqlToks, x -> length(x))), 0) AS BIGINT)
+         |    AS n_token_chars,
+         |  CASE WHEN len($SqlToks) > 0 THEN
+         |    CAST(list_sum(list_transform($SqlToks, x -> length(x))) AS DOUBLE)
+         |      / len($SqlToks)
+         |  ELSE 0.0 END AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN length(text) > 0 THEN
+         |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |        / length(text) ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN length(text) > 0 THEN
+         |      CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+         |        / length(text) ELSE 0.0 END AS space_ratio,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_filter($SqlToks, x -> list_contains(
+         |        ['the','a','of','and','is','der','die','das','und','ist',
+         |         'le','la','les','et','est','el','los','de','y','es'], x)))
+         |        AS DOUBLE) / len($SqlToks) ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len($SqlTokSet) AS DOUBLE) / len($SqlToks)
+         |    ELSE 0.0 END AS type_token_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, alpha_ratio, space_ratio, stopword_ratio,
+         |  type_token_ratio,
+         |  alpha_ratio * 0.4 + type_token_ratio * 0.4 + stopword_ratio * 0.2
+         |    AS quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q24_lang_id" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter($SqlToks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+         |    len(list_filter($SqlToks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+         |    len(list_filter($SqlToks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+         |    len(list_filter($SqlToks, x -> list_contains(['el','los','de','y','es'], x))) AS s_es
+         |  FROM documents)
+         |SELECT doc_id, CASE
+         |  WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |  WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |  WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         |  WHEN s_es > 0 THEN 'es'
+         |  ELSE 'und' END AS lang_pred
+         |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "q25_jaccard_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($SqlTokSet) AS tok FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q28_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    (${sqlDotQ("qv", "cv")})
+         |      / (sqrt(${sqlDotQ("qv", "qv")}) * sqrt(${sqlDotQ("cv", "cv")})) AS sim
+         |  FROM q JOIN c ON query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, rank, floor(sim * 1e6) / 1e6 AS sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q29_fingerprints" ->
+      s"""SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_exact,
+         |  CASE WHEN len($SqlToks) >= 3 THEN
+         |    list_min(list_transform(
+         |      list_transform(range(1, len($SqlToks) - 1),
+         |        i -> array_to_string(($SqlToks)[i:i+2], ' ')),
+         |      s -> md5(s)))
+         |  ELSE NULL END AS fp_shingle
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 10 = 0),
+         |sims AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    (${sqlDotQ("a.v", "b.v")})
+         |      / (sqrt(${sqlDotQ("a.v", "a.v")}) * sqrt(${sqlDotQ("b.v", "b.v")})) AS sim
+         |  FROM v a JOIN v b ON a.id < b.id)
+         |SELECT id_a, id_b, floor(sim * 1e6) / 1e6 AS sim
+         |FROM sims WHERE sim >= 0.30 ORDER BY id_a, id_b""".stripMargin
+  )
+}
