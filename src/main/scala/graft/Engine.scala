@@ -74,13 +74,18 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark's reader has no nanos
     * timestamp type, so it arrives as a long (nanosAsLong) which we floor
     * to microseconds — the same truncation DuckDB applies casting
-    * TIMESTAMP_NS to TIMESTAMP. */
+    * TIMESTAMP_NS to TIMESTAMP. The ns→us division is exact integer
+    * arithmetic (decimal floor-div): `/` on longs is IEEE double division,
+    * whose ~256 ns ULP at 2024-era nanosecond magnitudes could round the
+    * microsecond value off by ±1. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(
+          floor(col("ts").cast(DecimalType(38, 0)) / lit(1000)).cast("long")))
       case _ => raw
     }
   }

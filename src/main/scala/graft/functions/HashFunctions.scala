@@ -13,21 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** Large Mersenne prime for the universal-hash family. */
-  val Prime: Long = (1L << 61) - 1
+  /** Mersenne prime 2^31-1 for the universal-hash family. Kept at 31 bits
+    * so that `h * a + b` with `h, a, b < Prime` stays below 2^63 — Spark 4
+    * runs ANSI mode by default and a 61-bit prime would make the product
+    * throw ARITHMETIC_OVERFLOW at runtime. */
+  val Prime: Long = (1L << 31) - 1
 
-  /** Deterministic (a, b) parameter pairs for `k` min-hash permutations. */
+  /** Deterministic (a, b) parameter pairs for `k` min-hash permutations,
+    * drawn below [[Prime]] (a != 0). */
   def permutations(k: Int, seed: Long = 42L): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(k)((math.abs(rnd.nextLong()) % (Prime - 1)) + 1 ->
-      math.abs(rnd.nextLong()) % Prime)
+    Array.fill(k)(((rnd.nextLong() & Long.MaxValue) % (Prime - 1)) + 1 ->
+      (rnd.nextLong() & Long.MaxValue) % Prime)
   }
 
-  /** Non-negative base hash of a string token (xxhash64 folded positive). */
+  /** Non-negative base hash of a string token (xxhash64 folded into the
+    * 31-bit prime field). */
   def tokenHash(t: Column): Column = pmod(xxhash64(t), lit(Prime))
 
   /** MinHash signature (array<long>, length k) over a string-array column.
-    * Empty input arrays yield a signature of Prime (sentinel max). */
+    * Empty input arrays yield a signature of Prime (sentinel max).
+    * All intermediate products are < 2^62 (31-bit operands), ANSI-safe. */
   def minhashSignature(tokens: Column, perms: Array[(Long, Long)]): Column = {
     val hashes = transform(tokens, t => tokenHash(t))
     array(perms.map { case (a, b) =>
@@ -42,33 +48,6 @@ object HashFunctions {
   def bandKey(signature: Column, band: Int, rows: Int): Column =
     xxhash64(lit(band), array_join(slice(signature, band * rows + 1, rows), ","))
 
-  /** SimHash bit votes over a string-array column: array<long> of 64
-    * vote sums (per-token xxhash64, each bit votes +1/-1). Materialize
-    * this as its own projected column before calling
-    * [[simhashFromVotes]] — the assembly references it 64 times and must
-    * see an attribute, not a copied aggregate expression. */
-  def simhashVotes(tokens: Column): Column =
-    aggregate(
-      transform(tokens, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))): _*),
-        (a, b) => a + b))
-
-  /** Assemble the 64-bit SimHash from a materialized votes column. */
-  def simhashFromVotes(votes: Column): Column =
-    (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(
-        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-    }
-
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
-
-  /** 16-bit band of a simhash long (band 0..3) for candidate bucketing:
-    * near-dups within Hamming distance 3 collide on >=1 of 4 bands. */
-  def simhashBand(sim: Column, band: Int): Column =
-    shiftright(sim, band * 16).bitwiseAND(lit(0xFFFFL))
 }

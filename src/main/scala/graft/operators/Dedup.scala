@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora (SURVEY.md §2.10).
   *
-  * Scale posture: exact dedup and LSH variants are all single-shuffle
-  * hash-partitioned plans (group/join on a hash key). The only O(n²)
-  * surface is `jaccardPairs`, which exists as the *oracle baseline* for
-  * the LSH paths — at 100 TB you run `minhashNearDupPairs` /
-  * `simhashNearDupPairs`, whose candidate sets are bounded by bucket
-  * collisions rather than the pair count.
+  * Scale posture: every path here is hash-partitioned — group/join on a
+  * fingerprint or band key. The exact near-dup paths additionally collapse
+  * the corpus to its *distinct token sets* before any pairwise work: at
+  * 100 TB most duplication is literal, so the pairwise stage runs on the
+  * (much smaller) distinct-content relation and results are expanded back
+  * to document pairs with two hash joins. The only quadratic surface left
+  * is `jaccardPairs`' distinct-set cross join — the exact baseline; the
+  * scale path is `minhashNearDupPairs`, whose candidate set is bounded by
+  * LSH band collisions instead.
   */
 object Dedup {
 
@@ -36,85 +39,170 @@ object Dedup {
       .select(col(idCol))
   }
 
-  /** Exact token-set Jaccard similarity for ALL pairs above `threshold`.
-    * O(sum over tokens of df²) — the correctness baseline for LSH paths;
-    * do not run raw at 100 TB (see minhashNearDupPairs). Output:
-    * (doc_a, doc_b, jac) with doc_a < doc_b. */
+  /** (doc, sk, ts): each document with its sorted distinct-token array and
+    * a 128-bit set key. Empty token sets are excluded (an empty doc has no
+    * content to near-dup match; Jaccard is undefined on empty sets). */
+  private def docSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), sort_array(T.tokenSet(col(textCol))).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .withColumn("sk", md5(array_join(col("ts"), "")))
+
+  /** One row per distinct token set: (sk, ts, n members). */
+  private def setGroups(sets: DataFrame): DataFrame =
+    sets.groupBy(col("sk")).agg(first(col("ts")).as("ts"), count(lit(1)).as("n"))
+
+  /** Doc pairs within the same token set (Jaccard exactly 1). */
+  private def sameSetPairs(sets: DataFrame): DataFrame =
+    sets.select(col("sk"), col("doc")).as("x")
+      .join(sets.select(col("sk"), col("doc")).as("y"),
+        col("x.sk") === col("y.sk") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        lit(1.0).as("jac"))
+
+  /** Expand qualifying distinct-set pairs (sk_a, sk_b, jac) to doc pairs. */
+  private def expandSetPairs(setPairs: DataFrame, sets: DataFrame): DataFrame =
+    setPairs
+      .join(sets.select(col("sk").as("sk_a"), col("doc").as("da")), "sk_a")
+      .join(sets.select(col("sk").as("sk_b"), col("doc").as("db")), "sk_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+
+  /** Jaccard between two sorted distinct-token arrays, exactly as the
+    * oracle computes it: |a∩b| / (|a|+|b|-|a∩b|) on small ints (exact in
+    * double). */
+  private def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val c = size(array_intersect(a, b)).cast("double")
+    c / (size(a) + size(b) - c)
+  }
+
+  /** Exact token-set Jaccard similarity for ALL pairs above `threshold`
+    * (threshold in (0, 1]). Output: (doc_a, doc_b, jac) with doc_a < doc_b.
+    *
+    * Formulation: collapse to distinct token sets, cross-compare the
+    * distinct sets, expand survivors back to doc pairs and add the
+    * same-set (jac = 1) pairs. Identical result to the naive token
+    * self-join, but pairwise work is quadratic in *distinct content*, not
+    * corpus size. Still the exact baseline — run `minhashNearDupPairs`
+    * instead of this at 100 TB. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc"), explode(T.tokenSet(col(textCol))).as("tok"))
-    val sizes = toks.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val a = toks.as("a")
-    val b = toks.as("b")
-    val common = a
-      .join(b, col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
+    val sets = docSets(docs, idCol, textCol)
+    val groups = setGroups(sets).cache()
+    val a = groups.select(col("sk").as("sk_a"), col("ts").as("ts_a"))
+    val b = groups.select(col("sk").as("sk_b"), col("ts").as("ts_b"))
+    val setPairs = a.crossJoin(b)
+      .filter(col("sk_a") < col("sk_b"))
+      .withColumn("jac", jac(col("ts_a"), col("ts_b")))
       .filter(col("jac") >= threshold)
+      .select(col("sk_a"), col("sk_b"), col("jac"))
+    sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
   /** MinHash signatures: (id, sig array<long> of length k). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, seed: Long = 42L): DataFrame =
+                        k: Int = 64, seed: Long = 42L): DataFrame =
     docs.select(col(idCol),
       H.minhashSignature(T.tokenSet(col(textCol)), H.permutations(k, seed)).as("sig"))
 
-  /** LSH near-dup candidate pairs via banding (bands × rows = k), verified
-    * against the exact Jaccard of the candidate pair only — the scalable
-    * near-dedup: one explode (bands) + one hash join on band key, then
-    * exact verification on the (small) candidate set. */
+  /** MinHash-LSH near-dup pairs — the 100 TB dedup path. Same output
+    * contract as [[jaccardPairs]] up to LSH recall.
+    *
+    * Pipeline: distinct token sets → MinHash signature per distinct set →
+    * band keys (bands × rows = k) → hash self-join on (band, key) →
+    * exact-Jaccard verification of the candidate set pairs → expand to doc
+    * pairs (+ same-set pairs, which are recalled exactly by construction).
+    * With k=64, bands=16 (rows=4), a pair at Jaccard 0.9 is missed with
+    * probability (1 - 0.9⁴)¹⁶ ≈ 4e-8 — negligible at any corpus size.
+    * Every join is hash-partitioned on a key; nothing is quadratic in the
+    * corpus. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          threshold: Double, k: Int = 32, bands: Int = 8,
+                          threshold: Double, k: Int = 64, bands: Int = 16,
                           seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val perms = H.permutations(k, seed)
-    val withSig = docs.select(
-      col(idCol).as("doc"),
-      T.tokenSet(col(textCol)).as("toks"),
-      H.minhashSignature(T.tokenSet(col(textCol)), perms).as("sig"))
-    val banded = withSig.select(
-      col("doc"), col("toks"),
+    val sets = docSets(docs, idCol, textCol)
+    val groups = setGroups(sets)
+      .withColumn("sig", H.minhashSignature(col("ts"), perms))
+      .cache()
+    // Candidate generation is deliberately SKINNY: the band self-join
+    // carries only a 64-bit hash of the set key per side (16 bytes/row),
+    // and duplicates (pairs colliding in several bands) are removed BEFORE
+    // any payload is attached. The token sets needed for exact-Jaccard
+    // verification join back afterwards from the (small) distinct-set
+    // relation — broadcast when it fits.
+    val banded = groups.select(
+      xxhash64(col("sk")).as("h"),
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), H.bandKey(col("sig"), b, rows).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc"), col("toks"), col("bk.band"), col("bk.key"))
-    val cands = banded.as("a")
+        H.bandKey(col("sig"), b, rows)): _*)).as("key"))
+    val candPairs = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cands
-      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      .withColumn("jac",
-        col("c") / (size(col("toks_a")) + size(col("toks_b")) - col("c")))
+        col("a.key") === col("b.key") && col("a.h") < col("b.h"))
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .dropDuplicates("h_a", "h_b")
+    val byHash = groups.select(xxhash64(col("sk")).as("h"),
+      col("sk"), col("ts"))
+    val setPairs = candPairs
+      .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
+        col("ts").as("ts_a")), "h_a")
+      .join(byHash.select(col("h").as("h_b"), col("sk").as("sk_b"),
+        col("ts").as("ts_b")), "h_b")
+      .withColumn("jac", jac(col("ts_a"), col("ts_b")))
       .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .select(col("sk_a"), col("sk_b"), col("jac"))
+    sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
-  /** SimHash near-dup pairs: 64-bit sketch, 4×16-bit band bucketing, exact
-    * Hamming verification on candidates (distance <= maxHamming). */
+  /** 64-bit SimHash sketch per document: (doc, sim).
+    *
+    * Formulation: explode tokens, hash once, and aggregate 64 per-bit vote
+    * sums in one codegen'd hash aggregate — O(64·tokens) scalar work with
+    * no per-token array allocation (an `aggregate`/`zip_with` formulation
+    * interprets, allocating a 64-array per token). Docs with no tokens get
+    * sketch 0 (they are exact dups of each other anyway). */
+  def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc"))
+    val tokHash = docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    val agg = tokHash.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+    val sketches = agg.select(col("doc"), sim.as("sim"))
+    ids.join(sketches, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("sim"), lit(0L)).as("sim"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, band bucketing, exact Hamming
+    * verification on candidates.
+    *
+    * Recall contract (pigeonhole): with `bands` bands, every pair at
+    * Hamming distance <= bands-1 shares at least one band and is found;
+    * pairs beyond that are found only on coincidental band collision. The
+    * band count is derived from `maxHamming` to keep the guarantee. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val withSim = docs
-      .select(col(idCol).as("doc"), H.simhashVotes(T.tokens(col(textCol))).as("votes"))
-      .select(col("doc"), H.simhashFromVotes(col("votes")).as("sim"))
+    val bands = maxHamming + 1
+    require(64 % bands == 0,
+      s"maxHamming+1 ($bands) must divide 64; use 1, 3, 7, 15 or 31")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val withSim = simhashSketches(docs, idCol, textCol)
     val banded = withSim.select(col("doc"), col("sim"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), H.simhashBand(col("sim"), b).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc"), col("sim"), col("bk.band"), col("bk.key"))
+      explode(array((0 until bands).map(b =>
+        // tag the band index into the key so distinct bands never collide
+        lit(b.toLong << 58).bitwiseOR(
+          shiftrightunsigned(col("sim"), b * bits).bitwiseAND(lit(mask)))): _*))
+        .as("key"))
     banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
+        col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .dropDuplicates("doc_a", "doc_b")

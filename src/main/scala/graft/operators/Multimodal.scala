@@ -55,8 +55,12 @@ object Multimodal {
                    stride: Int): DataFrame = {
     val nFrames = floor(length(col(dataCol)) / frameBytes).cast("int")
     assets
+      // payloads shorter than one frame produce no rows (empty sequence),
+      // rather than a bogus truncated frame_idx=0 row
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+        explode(when(nFrames > 0,
+          sequence(lit(0), nFrames - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame",
         col(dataCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
   }

@@ -21,6 +21,24 @@ object Wave2 {
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
   private val SqlTokSet = s"list_distinct($SqlToks)"
 
+  /** Exact token-set Jaccard pairs at threshold 0.9 — the shared oracle
+    * for q25 (exact engine path) and q26 (MinHash-LSH engine path). */
+  private val SqlJaccardPairs =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($SqlTokSet) AS tok FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+       |FROM common
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB twin of VectorFunctions.dotQLong (exact quantized dot). */
   private def sqlDotQ(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(range(1, len($a)+1),
@@ -59,16 +77,19 @@ object Wave2 {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // MinHash-LSH near-dup (scale path; rows-only driver check, recall
-    // asserted vs q25 in ScalaTest).
+    // MinHash-LSH near-dup (the 100 TB dedup path). With k=64/bands=16 the
+    // per-pair miss probability at jac 0.9 is ~4e-8, so the output equals
+    // the exact q25 result and shares its oracle SQL; recall is also
+    // asserted vs the exact pairs in ScalaTest.
     "q26_minhash_neardup" -> { (s, d) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 0.9)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // SimHash near-dup (rows-only driver check).
+    // SimHash near-dup: maxHamming=3 matches the 4-band pigeonhole
+    // guarantee (pairs within distance bands-1 always share a band).
     "q27_simhash_neardup" -> { (s, d) =>
-      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 16)
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -174,21 +195,11 @@ object Wave2 {
          |  ELSE 'und' END AS lang_pred
          |FROM scores ORDER BY doc_id""".stripMargin,
 
-    "q25_jaccard_pairs" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($SqlTokSet) AS tok FROM documents),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
-         |FROM common
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_jaccard_pairs" -> SqlJaccardPairs,
+
+    // q26's LSH parameters make misses vanishingly improbable (~4e-8 per
+    // pair), so its output contract is the same exact-Jaccard pair set.
+    "q26_minhash_neardup" -> SqlJaccardPairs,
 
     "q28_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
