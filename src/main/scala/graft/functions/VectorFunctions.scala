@@ -47,15 +47,4 @@ object VectorFunctions {
     floor(c * p) / p
   }
 
-  /** Sign-bit LSH bucket: pack the signs of `planes.length` random
-    * hyperplane projections into a long. `planes` is driver-side seeded
-    * data (broadcast as a literal), so the bucketing is deterministic. */
-  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
-      val proj = aggregate(
-        zip_with(vec, lit(plane), (x, p) => d(x) * p),
-        lit(0.0), (s, v) => s + v)
-      acc + when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-  }
 }

@@ -48,61 +48,114 @@ object Similarity {
         V.quantize(col("sim"), 6).as("sim"))
   }
 
-  /** Approximate top-k via sign-bit LSH: bucket candidates and queries by
-    * hyperplane sign pattern; scan only same-bucket candidates. Multi-probe
-    * (`probes` > 1) additionally checks buckets at Hamming distance 1 in
-    * bucket-bit space to recover near-boundary misses.
-    * Scale: the candidate join is hash-partitioned on the bucket key — no
-    * broadcast of the big side, no all-pairs blowup. */
+  /** (id, table, bucket) sign-bit LSH buckets for `nTables` independent
+    * hash tables of `bitsPerTable` hyperplanes each. Computed with a typed
+    * flatMap — tight JVM loops over primitive arrays, whole rows stay in
+    * codegen'd stages (a Column-expression formulation of L×m dot products
+    * falls back to interpreted higher-order functions). */
+  private def tableBuckets(df: DataFrame, idCol: String, vecCol: String,
+                           planes: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        planes.iterator.zipWithIndex.map { case (table, t) =>
+          var bucket = 0L
+          var i = 0
+          while (i < table.length) {
+            val plane = table(i)
+            var s = 0.0
+            var j = 0
+            while (j < v.length && j < plane.length) { s += v(j) * plane(j); j += 1 }
+            if (s >= 0) bucket |= (1L << i)
+            i += 1
+          }
+          (id, t, bucket)
+        }
+      }.toDF("id", "table", "bucket")
+  }
+
+  /** Approximate top-k via multi-table sign-bit LSH (OR-amplification):
+    * `nTables` independent tables of `bitsPerTable` hyperplanes; a
+    * candidate is scanned if it shares a bucket with the query in ANY
+    * table. Recall for a neighbor at angle θ is 1-(1-(1-θ/π)^m)^L —
+    * tune (m, L) to the corpus geometry (defaults hit ≥0.95 for θ/π≈0.4,
+    * the hard unstructured case).
+    *
+    * Scale: candidate generation joins SKINNY (table, bucket) relations —
+    * ids only, hash-partitioned, duplicates removed before vectors are
+    * attached; query vectors re-attach via broadcast, candidate vectors
+    * via one hash join proportional to the candidate pair count. Nothing
+    * is quadratic in the corpus and nothing big is broadcast. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 12, dim: Int = 64,
-              probes: Int = 1, seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, nTables: Int = 24, bitsPerTable: Int = 4,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      V.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val cb = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      V.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    // multi-probe: expand each query into its own bucket + hamming-1 flips
-    val probed =
-      if (probes <= 1) qb
-      else qb.withColumn("bucket",
-        explode(array(col("bucket") +:
-          (0 until math.min(probes - 1, nPlanes)).map(i =>
-            col("bucket").bitwiseXOR(lit(1L << i))): _*)))
+    val planes = Array.fill(nTables)(
+      Array.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+    val qb = tableBuckets(queries, idCol, vecCol, planes)
+      .withColumnRenamed("id", "query_id")
+    val cb = tableBuckets(candidates, idCol, vecCol, planes)
+      .withColumnRenamed("id", "neighbor_id")
+    val pairs = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    probed.join(cb, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    pairs.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("sim", V.cosine(col("qv"), col("cv")))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         V.quantize(col("sim"), 6).as("sim"))
   }
 
-  /** IVF-style ANN: assign every vector to its nearest of `centroids`
-    * (a driver-provided small array — broadcast), then search only within
-    * the query's cell (+ optionally neighboring cells via nProbe).
+  /** IVF-style ANN: every candidate is assigned to its nearest centroid
+    * cell (centroids are a small driver-provided array, shipped in the
+    * task closure — the broadcast-value pattern); each query probes its
+    * `nProbe` nearest cells and scans only those cells' candidates.
+    * `nProbe = centroids.length` degrades gracefully to exact search.
     * Centroids would come from a sampled k-means at scale; any fixed
-    * seeded set works for the plumbing. */
+    * seeded set works for the plumbing. Cell assignment runs as a typed
+    * map (tight JVM loops), the cell join is hash-partitioned. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, k: Int, centroids: Array[Array[Double]]): DataFrame = {
-    def cellOf(vec: org.apache.spark.sql.Column) =
-      centroids.indices.foldLeft((lit(-1), lit(Double.MinValue))) {
-        case ((bestI, bestS), i) =>
-          val s = V.dot(vec, lit(centroids(i)))
-          (when(s > bestS, lit(i)).otherwise(bestI), greatest(s, bestS))
-      }._1
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      cellOf(col(vecCol)).as("cell"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cellOf(col(vecCol)).as("cell"))
+              vecCol: String, k: Int, centroids: Array[Array[Double]],
+              nProbe: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    def cells(df: DataFrame, n: Int): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          val scored = centroids.indices.map { i =>
+            val c = centroids(i)
+            var s = 0.0
+            var j = 0
+            while (j < v.length && j < c.length) { s += v(j) * c(j); j += 1 }
+            (i, s)
+          }
+          scored.sortBy(-_._2).take(n).map { case (cell, _) => (id, cell) }
+        }.toDF("id", "cell")
+    val q = cells(queries, math.max(1, math.min(nProbe, centroids.length)))
+      .withColumnRenamed("id", "query_id")
+    val c = cells(candidates, 1).withColumnRenamed("id", "neighbor_id")
+    val pairs = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    pairs.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("sim", V.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

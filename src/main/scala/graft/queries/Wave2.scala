@@ -115,11 +115,23 @@ object Wave2 {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // LSH-bucketed ANN (scale path; rows-only, recall vs q28 in tests).
+    // Multi-table LSH ANN (scale path; rows-only, recall >=0.9 vs the
+    // exact q28 asserted in SimilaritySpec).
     "q31_lsh_ann" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id",
-        "embedding", 5, nPlanes = 8, probes = 4)
+        "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF ANN: nearest-centroid cells, query probes its 3 nearest cells
+    // (rows-only; exactness at nProbe=|centroids| asserted in tests).
+    "q33_ivf_ann" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val rnd = new scala.util.Random(7)
+      val centroids = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", 5, centroids, nProbe = 3)
         .orderBy(col("query_id"), col("rank"))
     },
 

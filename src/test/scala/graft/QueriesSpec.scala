@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** End-to-end smoke + goldens over the declared query surface (parkour
+  * parity: reference `test/parkour/graph_test.clj` golden jobs). The
+  * DuckDB hash-compare runs driver-side; here we assert every declared
+  * query executes at sf0.001 and spot-check invariants. */
+class QueriesSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("every declared query runs at sf0.001 and yields a non-negative row count") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).limit(5).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    failures shouldBe empty
+  }
+
+  test("entry (flagship) returns rows") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    missing shouldBe empty
+  }
+
+  test("word count golden (reference word_count.clj hello-world parity)") {
+    import spark.implicits._
+    val df = Seq("apple banana apple", "carrot apple banana").toDF("text")
+    val counts = df
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    counts shouldBe Map("apple" -> 3L, "banana" -> 2L, "carrot" -> 1L)
+  }
+
+  test("langId golden: obvious per-language sentences") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat is a friend of the dog and the bird"),
+      ("de", "der hund und die katze ist das tier"),
+      ("fr", "le chien et la fleur est les amis"),
+      ("es", "el perro y los gatos es de madrid")
+    ).toDF("expected", "text")
+    val wrong = df.select(col("expected"), TextAnalysis.langId(col("text")).as("got"))
+      .filter(col("expected") =!= col("got")).count()
+    wrong shouldBe 0
+  }
+
+  test("quality score bounds: ratios within [0,1]") {
+    val q = TextAnalysis.qualityScore(Tables.documents(spark, sfDir), "doc_id", "text")
+    q.filter(col("alpha_ratio") < 0 || col("alpha_ratio") > 1 ||
+      col("type_token_ratio") < 0 || col("type_token_ratio") > 1 ||
+      col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() shouldBe 0
+  }
+
+  test("multimodal: extractFeatures preserves rows, emits 16-bin normalized histogram") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val assets = Multimodal.assetsFromText(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(assets).cache()
+    feats.count() shouldBe 50
+    val f = feats.head()
+    f.features.length shouldBe 16
+    f.features.sum shouldBe 1.0f +- 1e-3f
+  }
+
+  test("multimodal: sampleFrames emits no rows for short payloads") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.fill[Byte](25)(7)))
+      .toDF("asset_id", "data")
+    val frames = Multimodal.sampleFrames(df, "data", frameBytes = 10, stride = 1)
+    frames.filter(col("asset_id") === 1L).count() shouldBe 0
+    frames.filter(col("asset_id") === 2L).count() shouldBe 2
+  }
+}

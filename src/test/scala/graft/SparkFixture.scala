@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local SparkSession for the test suite (parkour parity:
+  * reference `test/parkour/test_helpers.clj:5-24` runs everything in
+  * Hadoop local mode behind one fixture). One JVM-wide session — suites
+  * must not stop it. */
+object SparkFixture {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-test")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Smallest driver-provided scale factor — test input for operator
+    * specs that want realistic tables. */
+  val Sf0001 = "/root/testdata/sf0.001"
+}
+
+trait SparkFixture extends BeforeAndAfterAll { this: Suite =>
+  lazy val spark: SparkSession = SparkFixture.spark
+  def sfDir: String = SparkFixture.Sf0001
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Unit tests for the columnar text/hash/vector primitives (parkour
+  * parity: reference `test/parkour/reducers_test.clj` tests the in-task
+  * helper library against expected literal vectors). */
+class FunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).getAs[T]("r")
+  }
+
+  /** Array columns come back as mutable.ArraySeq — normalize to Seq. */
+  private def oneSeq[T](c: org.apache.spark.sql.Column): Seq[T] = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).getSeq[T](0).toList
+  }
+
+  test("tokens: lowercases, splits on non-letters, drops empties") {
+    val r = oneSeq[String](TextFunctions.tokens(lit("Hello, WORLD! 42 foo-bar")))
+    r shouldBe Seq("hello", "world", "foo", "bar")
+  }
+
+  test("tokens: empty and non-alpha strings give empty arrays") {
+    oneSeq[String](TextFunctions.tokens(lit(""))) shouldBe Seq.empty
+    oneSeq[String](TextFunctions.tokens(lit("123 !!!"))) shouldBe Seq.empty
+  }
+
+  test("tokenSet: distinct tokens") {
+    val r = oneSeq[String](TextFunctions.tokenSet(lit("a b a c b")))
+    r.sorted shouldBe Seq("a", "b", "c")
+  }
+
+  test("tokenChars and counts") {
+    one[Long](TextFunctions.tokenCount(lit("a bb ccc"))) shouldBe 3L
+    one[Long](TextFunctions.uniqueTokenCount(lit("a bb a"))) shouldBe 2L
+    one[Long](TextFunctions.tokenChars(lit("a bb ccc"))) shouldBe 6L
+  }
+
+  test("shingles: word n-grams; short docs yield empty array") {
+    oneSeq[String](TextFunctions.shingles(lit("a b c d"), 3)) shouldBe
+      Seq("a b c", "b c d")
+    oneSeq[String](TextFunctions.shingles(lit("a b"), 3)) shouldBe Seq.empty
+  }
+
+  test("tokenHits counts multiset hits") {
+    one[Long](TextFunctions.tokenHits(lit("the cat the dog"), Seq("the", "a"))) shouldBe 2L
+  }
+
+  test("normalized collapses punctuation/case") {
+    one[String](TextFunctions.normalized(lit("  Hello,   WORLD!! 7 "))) shouldBe
+      "hello world 7"
+  }
+
+  test("minhash signature: deterministic, bounded by Prime, ANSI-safe") {
+    val perms = HashFunctions.permutations(64)
+    perms.foreach { case (a, b) =>
+      a should be > 0L
+      a should be < HashFunctions.Prime
+      b should be < HashFunctions.Prime
+    }
+    val sig = oneSeq[Long](HashFunctions.minhashSignature(
+      TextFunctions.tokenSet(lit("alpha beta gamma delta")), perms))
+    sig.length shouldBe 64
+    all(sig) should be >= 0L
+    all(sig) should be < HashFunctions.Prime
+    // deterministic across evaluations
+    val sig2 = oneSeq[Long](HashFunctions.minhashSignature(
+      TextFunctions.tokenSet(lit("alpha beta gamma delta")), perms))
+    sig2 shouldBe sig
+  }
+
+  test("minhash: identical token sets give identical signatures; empty set gives sentinel") {
+    val perms = HashFunctions.permutations(16)
+    val s1 = oneSeq[Long](HashFunctions.minhashSignature(
+      TextFunctions.tokenSet(lit("x y z")), perms))
+    val s2 = oneSeq[Long](HashFunctions.minhashSignature(
+      TextFunctions.tokenSet(lit("z z y x")), perms))
+    s1 shouldBe s2
+    val se = oneSeq[Long](HashFunctions.minhashSignature(
+      TextFunctions.tokenSet(lit("")), perms))
+    se shouldBe Seq.fill(16)(HashFunctions.Prime)
+  }
+
+  test("minhash similarity estimate tracks Jaccard") {
+    val perms = HashFunctions.permutations(256)
+    // two sets with Jaccard 0.5 (4 shared of 8 union)
+    val sa = oneSeq[Long](HashFunctions.minhashSignature(
+      TextFunctions.tokenSet(lit("a b c d e f")), perms))
+    val sb = oneSeq[Long](HashFunctions.minhashSignature(
+      TextFunctions.tokenSet(lit("c d e f g h")), perms))
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    est shouldBe 0.5 +- 0.15
+  }
+
+  test("hamming distance") {
+    one[Long](HashFunctions.hamming(lit(0L), lit(-1L))) shouldBe 64L
+    one[Long](HashFunctions.hamming(lit(5L), lit(4L))) shouldBe 1L
+  }
+
+  test("vector dot/cosine exact-quantized variants") {
+    val a = lit(Array(1.0f, 2.0f, 3.0f))
+    val b = lit(Array(4.0f, 5.0f, 6.0f))
+    one[Double](VectorFunctions.dot(a, b)) shouldBe 32.0 +- 1e-9
+    one[Double](VectorFunctions.dotQ(a, b)) shouldBe 32.0 +- 1e-6
+    one[Double](VectorFunctions.cosine(a, a)) shouldBe 1.0 +- 1e-9
+    one[Double](VectorFunctions.cosineQ(a, a)) shouldBe 1.0 +- 1e-6
+  }
+}

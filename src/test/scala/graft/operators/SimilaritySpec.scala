@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Recall/golden tests for the similarity-search family — including the
+  * LSH-vs-brute-force recall assertion promised by the Wave2 scaladoc. */
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("bruteForceTopK: k neighbors per query, self excluded, ranks 1..k") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 5)
+    val r = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5).cache()
+    r.groupBy("query_id").count().select(max("count")).head().getLong(0) shouldBe 5
+    r.filter(col("query_id") === col("neighbor_id")).count() shouldBe 0
+    r.select("rank").distinct().as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("bruteForceTopK golden: nearest neighbor of a vector is itself shifted") {
+    import spark.implicits._
+    // construct vectors where 101's nearest is 100 by a wide margin
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.99f, 0.1f, 0.0f)),
+      (102L, Array(0.0f, 1.0f, 0.0f)),
+      (103L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 101L), vecs, "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect()
+    r shouldBe Array(100L)
+  }
+
+  test("lshTopK recall >= 0.9 vs brute force on sf0.001 embeddings") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = topkSet(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val lsh = topkSet(Similarity.lshTopK(q, emb, "vec_id", "embedding", 5))
+    exact should not be empty
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
+  test("cosinePairs: symmetric-free output (id_a < id_b), threshold respected") {
+    import spark.implicits._
+    val r = Similarity.cosinePairs(
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 0.3, exact = true)
+    r.filter(col("id_a") >= col("id_b")).count() shouldBe 0
+    r.filter(col("sim") < 0.3).count() shouldBe 0
+  }
+
+  test("ivfTopK: same neighbors as brute force when all vectors share a cell") {
+    // one centroid -> every vector lands in cell 0 -> exact equivalence
+    val q = emb.filter(col("vec_id") < 5)
+    val dim = 64
+    val centroids = Array(Array.fill(dim)(1.0))
+    val ivf = topkSet(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, centroids))
+    val exact = topkSet(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    ivf shouldBe exact
+  }
+
+  test("ivfTopK: probing ALL cells is exact; recall grows with nProbe") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val centroids = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = topkSet(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    def recallAt(p: Int): Double = {
+      val ivf = topkSet(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+        centroids, nProbe = p))
+      (exact intersect ivf).size.toDouble / exact.size
+    }
+    recallAt(8) shouldBe 1.0 // all cells probed == exact search
+    recallAt(4) should be >= recallAt(1)
+  }
+}
