@@ -1,0 +1,155 @@
+package graft.io
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro container-file I/O over avro-mapred's input/output formats — the
+  * same format family the reference configures per job
+  * (`io/avro.clj:59-171`); there is no spark-avro datasource on the
+  * classpath, so records convert explicitly at the task boundary (the
+  * analogue of parkour's wrapper un/wrap layer, `wrapper.clj:65-95`).
+  *
+  * Scope: flat records of primitive / nullable-primitive fields — the
+  * shape the reference's own tests exercise
+  * (`test/parkour/io/avro_test.clj`). Nested records/arrays/maps would
+  * extend `toSpark`/`toAvro` recursively.
+  */
+object AvroIO {
+
+  // ------------------------------------------------------------- schemas
+
+  private[io] def unwrapUnion(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(branches.size == 1, s"only [null, T] unions supported: $s")
+      (branches.head, true)
+    } else (s, false)
+
+  private[io] def toSparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES   => BinaryType
+    case t => throw new IllegalArgumentException(s"unsupported avro type $t")
+  }
+
+  private[io] def toStructType(record: Schema): StructType =
+    StructType(record.getFields.asScala.map { f =>
+      val (inner, nullable) = unwrapUnion(f.schema())
+      StructField(f.name(), toSparkType(inner), nullable)
+    }.toSeq)
+
+  private[io] def toAvroSchema(st: StructType, name: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case t => throw new IllegalArgumentException(s"unsupported spark type $t")
+      }
+      val s = if (f.nullable)
+        Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+      else base
+      new Schema.Field(f.name, s, null, null)
+    }
+    Schema.createRecord(name, null, "graft.io", false, fields.toList.asJava)
+  }
+
+  /** Read the writer schema from the header of the first .avro part. */
+  private def readHeaderSchema(spark: SparkSession, path: String): Schema = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, hconf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".avro")).minBy(_.getName)
+      else p
+    val in = fs.open(file)
+    try {
+      val stream = new DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try stream.getSchema finally stream.close()
+    } finally in.close()
+  }
+
+  // ----------------------------------------------------------------- read
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val schema = readHeaderSchema(spark, path)
+    val structType = toStructType(schema)
+    val n = structType.fields.length
+    val nullables = structType.fields.map(_.nullable)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable])
+      .map { case (k, _) =>
+        val rec = k.datum()
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          vals(i) = rec.get(i) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case v => v
+          }
+          i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    spark.createDataFrame(rdd, structType)
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Write a flat DataFrame as Avro container files and return the
+    * readback DataFrame (the dsink contract: `io/dsink.clj:14-44` — every
+    * sink yields the dseq of what it wrote). */
+  def write(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val structType = df.schema
+    val avroSchema = toAvroSchema(structType, "GraftRecord")
+    val schemaJson = avroSchema.toString
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, avroSchema)
+    PathsUtil.delete(spark, path)
+    df.rdd
+      .mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        it.map { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < row.length) {
+            rec.put(i, row.get(i) match {
+              case bytes: Array[Byte] => java.nio.ByteBuffer.wrap(bytes)
+              case v => v
+            })
+            i += 1
+          }
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+    read(spark, path)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/** S13 — demultiplex output: write N named outputs from ONE computed
+  * input (capability parity: `io/dux.clj:54-131`, golden-tested in the
+  * reference at `test/parkour/io/dux_test.clj:32-102`).
+  *
+  * Spark formulation: persist the parent once, run one write action per
+  * named output (each a projection/filter of the cached parent — the
+  * analogue of parkour's per-name sinks), unpersist, and return the
+  * readback DataFrame per name (dsink contract). The parent is computed
+  * once; each output action only re-reads the cached partitions.
+  *
+  * The reference's tuple-driven file-name prefixes (`dux/write` with a
+  * per-tuple prefix) map to `partitionBy` directory partitioning — the
+  * declared contract for prefix outputs at any scale (a per-tuple
+  * file-name choice does not survive distributed writers).
+  */
+object Dux {
+
+  /** Write each named transform of `parent` to `<basePath>/<name>` as
+    * parquet; returns name → readback DataFrame. */
+  def write(parent: DataFrame, basePath: String,
+            outputs: Map[String, DataFrame => DataFrame]): Map[String, DataFrame] = {
+    val cached = parent.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      outputs.map { case (name, f) =>
+        name -> Sinks.parquet(f(cached), s"$basePath/$name")
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Prefix-partitioned single output: rows land under
+    * `<path>/<col>=<value>/` directories (the reference's per-tuple
+    * file-prefix feature as directory partitioning). Returns readback. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Map-side dux parity: split one input into named outputs by
+    * predicate (each output an independent filtered write). */
+  def splitBy(parent: DataFrame, basePath: String,
+              predicates: Map[String, Column]): Map[String, DataFrame] =
+    write(parent, basePath,
+      predicates.map { case (n, p) => n -> ((df: DataFrame) => df.filter(p)) })
+}

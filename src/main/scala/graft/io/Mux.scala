@@ -1,0 +1,30 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** S12 — multiplex input: treat N heterogeneous inputs as ONE logical
+  * input, each with its own per-source mapper (capability parity:
+  * `io/mux.clj:33-67` + the per-source-mapper variant exercised in
+  * `test/parkour/multiplex_test.clj:137-156` and the vector-of-map-nodes
+  * co-group of `graph.clj:219-229`).
+  *
+  * Spark formulation: apply each source's mapper, then `unionByName` with
+  * missing-column fill — a metadata-only plan op; at execution the
+  * sources stay independent scans feeding the same downstream stage, so
+  * there is no extra shuffle for the multiplexing itself.
+  */
+object Mux {
+
+  /** Union heterogeneous inputs after per-source mapping. */
+  def apply(sources: (DataFrame, DataFrame => DataFrame)*): DataFrame = {
+    require(sources.nonEmpty, "mux of zero sources")
+    sources.map { case (df, f) => f(df) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Homogeneous-schema union (the plain concat case). */
+  def union(dfs: DataFrame*): DataFrame = {
+    require(dfs.nonEmpty, "mux of zero sources")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Path plumbing — S14 (transient paths), S17 (introspection), S18
+  * (move): capability parity with `io/transient.clj:22-37`,
+  * `io/dseq.clj:78-124`, `io/dsink.clj:85-99`. */
+object PathsUtil {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** S17 — the concrete files backing a DataFrame's scan. */
+  def inputFiles(df: DataFrame): Seq[String] = df.inputFiles.toSeq
+
+  /** S18 — rename a dataset directory; returns the readback at the new
+    * location (parity: `io/dseq.clj:110-124` returns the moved dseq). */
+  def move(spark: SparkSession, from: String, to: String): String = {
+    val f = fs(spark, from)
+    require(f.rename(new Path(from), new Path(to)), s"rename $from -> $to failed")
+    to
+  }
+
+  def delete(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** S14 — auto-deleted temp output location (JVM-exit cleanup; Spark's
+    * in-DAG shuffles obviate most intermediate paths, this is for
+    * explicit multi-job chains). */
+  def transientPath(prefix: String = "graft"): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+}

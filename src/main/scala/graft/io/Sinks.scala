@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output sinks — the engine's "dsink" surface (SURVEY.md §2.1).
+  *
+  * Contract (parkour parity, `io/dsink.clj:14-44`): every sink WRITES and
+  * returns the READBACK DataFrame of what it wrote, so written output
+  * chains straight into the next stage exactly like the reference's
+  * dsink→dseq flow (`graph.clj:276-287`).
+  */
+object Sinks {
+
+  /** S2 — one separator-joined `toString` line per row. Capability
+    * parity: `io/text.clj:22-35` (TAB-separated TextOutputFormat). */
+  def text(df: DataFrame, path: String, sep: String = "\t"): DataFrame = {
+    val joined = df.select(
+      concat_ws(sep, df.columns.map(c => col(c).cast("string")): _*).as("value"))
+    joined.write.mode("overwrite").text(path)
+    Sources.text(df.sparkSession, path)
+  }
+
+  /** Parquet sink with readback — the engine-internal format (stands in
+    * for the reference's SequenceFile default, `io/seqf.clj:20-33`). */
+  def parquet(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** CSV sink with header + readback (schema re-inferred from header). */
+  def csv(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.sparkSession.read.option("header", "true")
+      .schema(df.schema).csv(path)
+  }
+
+  /** JSON-lines sink with readback. */
+  def json(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
+  /** S6 — Avro sink (flat records) with readback. Capability parity:
+    * `io/avro.clj:117-135,160-171`. */
+  def avro(df: DataFrame, path: String): DataFrame = AvroIO.write(df, path)
+
+  /** S4 — SequenceFile sink for a 2-column (key, value) frame, written
+    * as (Text, Text). Capability parity: `io/seqf.clj:20-33`. */
+  def seqf(df: DataFrame, path: String): DataFrame = {
+    require(df.columns.length == 2,
+      s"seqf sink expects (key, value) columns, got ${df.columns.mkString(",")}")
+    val spark = df.sparkSession
+    PathsUtil.delete(spark, path)
+    df.select(col(df.columns(0)).cast("string"), col(df.columns(1)).cast("string"))
+      .rdd
+      .map(r => (new Text(r.getString(0)), new Text(r.getString(1))))
+      .saveAsNewAPIHadoopFile(path, classOf[Text], classOf[Text],
+        classOf[SequenceFileOutputFormat[Text, Text]])
+    Sources.seqf(spark, path)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.io
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.{NLineInputFormat, TextInputFormat}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input sources — the engine's "dseq" surface (SURVEY.md §2.1).
+  *
+  * Capability parity with parkour's unified input layer, re-expressed on
+  * Spark readers (reference files cited per method). Every source returns
+  * a DataFrame/Dataset so the whole operator algebra composes on top, and
+  * every source is a distributed scan (no driver materialization) except
+  * the explicitly-local `mem`/`dval` constructors, whose inputs already
+  * live on the driver by definition.
+  */
+object Sources {
+
+  /** S1 — line-oriented text scan; one `value: string` column per line
+    * (the reference's default `:vals` shape). Capability parity:
+    * `io/text.clj:11-20`. */
+  def text(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.text(paths: _*)
+
+  /** S1 (full tuple shape) — (offset, value) pairs with the exact byte
+    * offset keys the reference's TextInputFormat emits. */
+  def textWithOffsets(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text])
+      .map { case (k, v) => (k.get(), v.toString) }
+    spark.createDataFrame(rdd).toDF("offset", "value")
+  }
+
+  /** S3 — text scan with at most `n` lines per input split (mapper-count
+    * control). Capability parity: `io/nline.clj:8-19`; Spark partitions
+    * map 1:1 onto the NLineInputFormat splits. */
+  def nline(spark: SparkSession, n: Int, path: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setInt(NLineInputFormat.LINES_PER_MAP, n)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[NLineInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (k, v) => (k.get(), v.toString) }
+    spark.createDataFrame(rdd).toDF("offset", "value")
+  }
+
+  /** S4 — Hadoop SequenceFile of (Text, Text) as a 2-column DataFrame.
+    * Capability parity: `io/seqf.clj:12-18`. */
+  def seqf(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext
+      .sequenceFile(path, classOf[Text], classOf[Text])
+      .map { case (k, v) => (k.toString, v.toString) }
+    spark.createDataFrame(rdd).toDF("key", "value")
+  }
+
+  /** S4 (long-keyed variant) — SequenceFile of (LongWritable, Text). */
+  def seqfLong(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext
+      .sequenceFile(path, classOf[LongWritable], classOf[Text])
+      .map { case (k, v) => (k.get(), v.toString) }
+    spark.createDataFrame(rdd).toDF("key", "value")
+  }
+
+  /** S5 — Avro container files (flat records of primitive fields) as a
+    * DataFrame; schema is read from the file header. Capability parity:
+    * `io/avro.clj:59-77,137-144` (the `:default` reader-schema mode).
+    * Routed through avro-mapred's AvroKeyInputFormat — the same input
+    * format family the reference configures. */
+  def avro(spark: SparkSession, path: String): DataFrame =
+    AvroIO.read(spark, path)
+
+  /** S8 — in-memory collection as input (testing). Capability parity:
+    * `io/mem.clj:39-53` (whose process-local registry + custom
+    * InputFormat is obviated by `createDataset`). */
+  def mem[T: Encoder](spark: SparkSession, data: Seq[T]): Dataset[T] =
+    spark.createDataset(data)
+
+  /** S9 — synthetic integer range, `nper` values per partition (split).
+    * Capability parity: `io/range.clj:28-42`. */
+  def range(spark: SparkSession, start: Long, end: Long, step: Long = 1L,
+            nper: Long = 1000L): Dataset[java.lang.Long] = {
+    val n = math.max(1L, math.ceil((end - start).toDouble / step / nper).toLong)
+    spark.range(start, end, step, n.toInt)
+  }
+
+  /** S10 — cheap seeded peek at a big dataset. The reference samples
+    * whole input splits (`io/sample.clj:14-32`); the Spark analogue is a
+    * seeded Bernoulli sample capped at `maxRows`. Deterministic given
+    * (seed, input). */
+  def sample(df: DataFrame, fraction: Double, seed: Long,
+             maxRows: Int = Int.MaxValue): DataFrame =
+    df.sample(withReplacement = false, fraction, seed).limit(maxRows)
+
+  /** S11 — distribute a driver-side value's elements as job input.
+    * Capability parity: `io/dval.clj:173-210` (dseq-of-dval); the value
+    * is already local, so this is `createDataset` + repartition to `nper`
+    * elements per task. */
+  def dval[T: Encoder](spark: SparkSession, value: Seq[T], nper: Int): Dataset[T] = {
+    val parts = math.max(1, math.ceil(value.size.toDouble / nper).toInt)
+    spark.createDataset(value).repartition(parts)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.{Dux, Mux, Sinks, Sources}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 3 — the io layer exercised end-to-end under oracle verification
+  * (SURVEY.md §2.1): text/Avro/SequenceFile round-trips feeding real
+  * queries, mux heterogeneous input, dux multi-output, range source and
+  * deterministic sampling. Each query WRITES through a graft sink into a
+  * scratch dir, reads back through the matching source, computes, and
+  * must hash-match DuckDB computing the same result from the original
+  * parquet — proving the round-trip is lossless, not just non-crashing.
+  */
+object Wave3 {
+
+  /** Per-(query, sf) scratch dir so verify/bench runs don't collide. */
+  private def scratch(name: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft_scratch/$tag/$name"
+  }
+
+  private def dsum2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum((floor(c * 100) / 100).cast(DecimalType(38, 2))).cast("double")
+
+  private val SqlDsum2 =
+    (e: String) => s"CAST(sum(CAST(floor(($e) * 1e2) / 1e2 AS DECIMAL(38,2))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2: text sink -> text source -> parse -> aggregate. The TSV line
+    // format is the reference's text dsink contract (io/text.clj:22-35).
+    "q34_text_roundtrip" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val back = Sinks.text(li, scratch("q34", d))
+      back
+        .select(split(col("value"), "\t").as("f"))
+        .select(
+          element_at(col("f"), 1).cast("long").as("okey"),
+          element_at(col("f"), 2).as("flag"),
+          element_at(col("f"), 3).cast("double").as("qty"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), dsum2(col("qty")).as("sum_qty"),
+          min(col("okey")).as("min_okey"))
+        .orderBy(col("flag"))
+    },
+
+    // S5/S6: Avro sink -> Avro source (avro-mapred container files) ->
+    // aggregate; lossless round-trip is what the oracle certifies.
+    "q35_avro_roundtrip" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val back = Sinks.avro(o, scratch("q35", d))
+      back.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // S4: SequenceFile (Text,Text) round-trip feeding a join: nation
+    // dimension through seqf, joined to customer counts.
+    "q36_seqf_join" -> { (s, d) =>
+      val nation = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("string"), col("n_name"))
+      val back = Sinks.seqf(nation, scratch("q36", d))
+      val c = Tables.customer(s, d)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      back.select(col("key").cast("long").as("nationkey"), col("value").as("n_name"))
+        .join(c, col("nationkey") === col("c_nationkey"))
+        .select(col("nationkey"), col("n_name"), col("n_cust"))
+        .orderBy(col("nationkey"))
+    },
+
+    // S12/J2: heterogeneous mux with per-source mappers (multiplex_test
+    // parity), aggregated per (nation, source-tag).
+    "q37_mux_tagged" -> { (s, d) =>
+      val muxed = Mux(
+        Tables.customer(s, d) -> (df => df.select(
+          col("c_nationkey").cast("long").as("nationkey"), lit("cust").as("src"))),
+        Tables.supplier(s, d) -> (df => df.select(
+          col("s_nationkey").cast("long").as("nationkey"), lit("supp").as("src"))))
+      muxed.groupBy(col("nationkey"), col("src"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"), col("src"))
+    },
+
+    // S13: dux — one cached parent, two named outputs; the query result
+    // is one output's readback aggregate (the other output's existence is
+    // asserted in IoSpec / used by pipelines).
+    "q38_dux_outputs" -> { (s, d) =>
+      val outs = Dux.write(Tables.orders(s, d), scratch("q38", d), Map(
+        "big" -> (df => df.filter(col("o_totalprice") > 200000.0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+        "all_keys" -> (df => df.select(col("o_orderkey")))))
+      outs("big")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"), dsum2(col("o_totalprice")).as("sum_big"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // S9: synthetic range source (io/range.clj parity) — pure compute,
+    // no table input; oracle uses DuckDB's range() table function.
+    "q39_range_mod" -> { (s, d) =>
+      Sources.range(s, 0, 100000, 1, nper = 8192).toDF("x")
+        .groupBy((col("x") % 7).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"))
+        .orderBy(col("m"))
+    },
+
+    // S10/A9: deterministic content-keyed k-sample — order by md5 of the
+    // key (a seeded uniform permutation both engines compute identically)
+    // and keep the first 200; the reference's reservoir sample has the
+    // same contract (uniform k-of-n, deterministic under a fixed seed).
+    "q40_det_sample" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("h", md5(col("o_orderkey").cast("string")))
+        .orderBy(col("h")).limit(200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_text_roundtrip" ->
+      s"""SELECT l_returnflag AS flag, count(*) AS n,
+         |  ${SqlDsum2("l_quantity")} AS sum_qty,
+         |  min(l_orderkey) AS min_okey
+         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q35_avro_roundtrip" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${SqlDsum2("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q36_seqf_join" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name, count(*) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin,
+
+    "q37_mux_tagged" ->
+      """SELECT CAST(nationkey AS BIGINT) AS nationkey, src, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supp' AS src FROM supplier) t
+        |GROUP BY 1, 2 ORDER BY nationkey, src""".stripMargin,
+
+    "q38_dux_outputs" ->
+      s"""SELECT o_custkey, count(*) AS n_big,
+         |  ${SqlDsum2("o_totalprice")} AS sum_big
+         |FROM orders WHERE o_totalprice > 200000.0
+         |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "q39_range_mod" ->
+      """SELECT CAST(range % 7 AS BIGINT) AS m, count(*) AS n,
+        |  CAST(sum(range) AS BIGINT) AS sum_x
+        |FROM range(0, 100000) GROUP BY 1 ORDER BY m""".stripMargin,
+
+    "q40_det_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders ORDER BY h LIMIT 200) t
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft.io
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Per-format round-trip tests (parkour parity: one test file per io
+  * format, reference `test/parkour/io/{text,seqf,avro,mem,nline,range,
+  * sample,dval,dux}_test.clj`). */
+class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def tmp(name: String): String =
+    s"${PathsUtil.transientPath("graft-iospec")}/$name"
+
+  test("text sink/source round-trip with TAB join") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val path = tmp("text")
+    val back = Sinks.text(df, path)
+    back.as[String].collect().sorted shouldBe Array("1\talpha", "2\tbeta")
+  }
+
+  test("textWithOffsets: byte offsets are exact") {
+    import spark.implicits._
+    val path = tmp("offsets")
+    Seq("aa", "bbb", "c").toDF("value").coalesce(1).write.text(path)
+    val rows = Sources.textWithOffsets(spark, path)
+      .as[(Long, String)].collect().sortBy(_._1)
+    rows shouldBe Array((0L, "aa"), (3L, "bbb"), (7L, "c"))
+  }
+
+  test("nline: caps lines per split (partition count grows)") {
+    import spark.implicits._
+    val path = tmp("nline")
+    (1 to 100).map(_.toString).toDF("value").coalesce(1).write.text(path)
+    val parts = Sources.nline(spark, 10, path).rdd.getNumPartitions
+    parts shouldBe 10
+    Sources.nline(spark, 10, path).count() shouldBe 100
+  }
+
+  test("sequence file round-trip (Text,Text)") {
+    import spark.implicits._
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    val back = Sinks.seqf(df, tmp("seqf"))
+    back.as[(String, String)].collect().sorted shouldBe Array("k1" -> "v1", "k2" -> "v2")
+  }
+
+  test("avro round-trip: flat record of primitives incl. nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x", 1.5, true, Some(10)),
+      (2L, "y", -2.0, false, None)
+    ).toDF("id", "s", "d", "b", "opt")
+    val back = AvroIO.write(df, tmp("avro"))
+    back.schema.fieldNames shouldBe df.schema.fieldNames
+    val rows = back.orderBy("id")
+      .as[(Long, String, Double, Boolean, Option[Int])].collect()
+    rows shouldBe Array(
+      (1L, "x", 1.5, true, Some(10)),
+      (2L, "y", -2.0, false, None))
+  }
+
+  test("avro: reads real table content back identically") {
+    val nation = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("nationkey"), col("n_name").as("name"))
+    val back = Sinks.avro(nation, tmp("avro_nation"))
+    back.count() shouldBe nation.count()
+    back.except(nation).count() shouldBe 0
+    nation.except(back).count() shouldBe 0
+  }
+
+  test("mem + range + dval sources") {
+    import spark.implicits._
+    Sources.mem(spark, Seq(1, 2, 3)).collect().sorted shouldBe Array(1, 2, 3)
+    val r = Sources.range(spark, 0, 100, 1, nper = 25)
+    r.count() shouldBe 100
+    r.rdd.getNumPartitions shouldBe 4
+    val dv = Sources.dval(spark, (1 to 10).toList, nper = 3)
+    dv.count() shouldBe 10
+    dv.rdd.getNumPartitions shouldBe 4
+  }
+
+  test("sample: seeded and deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sources.sample(docs, 0.2, seed = 7).count()
+    val b = Sources.sample(docs, 0.2, seed = 7).count()
+    a shouldBe b
+    a should be > 0L
+    a should be < docs.count()
+  }
+
+  test("mux: heterogeneous union with per-source mappers") {
+    import spark.implicits._
+    val customers = Tables.customer(spark, sfDir)
+    val suppliers = Tables.supplier(spark, sfDir)
+    val muxed = Mux(
+      customers -> (df => df.select(col("c_nationkey").as("nationkey"),
+        lit("cust").as("src"))),
+      suppliers -> (df => df.select(col("s_nationkey").as("nationkey"),
+        lit("supp").as("src"))))
+    muxed.count() shouldBe customers.count() + suppliers.count()
+    muxed.select("src").distinct().as[String].collect().sorted shouldBe
+      Array("cust", "supp")
+  }
+
+  test("mux: missing columns fill with null") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 9.9)).toDF("id", "only_b")
+    val m = Mux.union(a, b)
+    m.columns.toSet shouldBe Set("id", "only_a", "only_b")
+    m.filter(col("only_a").isNull).count() shouldBe 1
+  }
+
+  test("dux: multi-output from one cached parent, with readback") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val base = tmp("dux")
+    val outs = Dux.write(orders, base, Map(
+      "big" -> (df => df.filter(col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_totalprice")),
+      "keys" -> (df => df.select("o_orderkey"))))
+    outs.keySet shouldBe Set("big", "keys")
+    outs("keys").count() shouldBe orders.count()
+    outs("big").count() shouldBe
+      orders.filter(col("o_totalprice") > 150000.0).count()
+    // outputs landed under distinct named paths
+    PathsUtil.exists(spark, s"$base/big") shouldBe true
+    PathsUtil.exists(spark, s"$base/keys") shouldBe true
+  }
+
+  test("dux: partitionBy prefix parity") {
+    val nation = Tables.nation(spark, sfDir)
+    val path = tmp("dux_part")
+    val back = Dux.writePartitioned(nation, path, "n_regionkey")
+    back.count() shouldBe nation.count()
+    // directory-per-value layout
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("n_regionkey="))
+    dirs.length should be > 1
+  }
+
+  test("paths: move + exists + inputFiles") {
+    import spark.implicits._
+    val p1 = tmp("mv_src")
+    Seq(1, 2, 3).toDF("x").write.parquet(p1)
+    val p2 = tmp("mv_dst")
+    PathsUtil.move(spark, p1, p2)
+    PathsUtil.exists(spark, p1) shouldBe false
+    val back = spark.read.parquet(p2)
+    back.count() shouldBe 3
+    PathsUtil.inputFiles(back).forall(_.contains("mv_dst")) shouldBe true
+  }
+}
