@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregation (SURVEY.md F4 — capability parity with the
+  * reference's reducer-as-UDAF pattern, `toolbox.clj:41-46` /
+  * `graph.clj:239-258`): an `Aggregator[IN, BUF, OUT]` gets partial
+  * (map-side) aggregation + merge for free from Catalyst, exactly like a
+  * Hadoop combiner+reducer pair.
+  */
+object Agg {
+
+  /** Bounded top-k heap over (score, id) pairs: keeps the k largest
+    * scores (ties broken by smaller id). The 100 TB shape for per-group
+    * top-k: each map-side partial holds <= k entries, the shuffle carries
+    * k entries per (group, partition) instead of the whole group, and no
+    * window funnels a full partition through one task. */
+  class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0)
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Nil
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size >= k && {
+        val (ws, wi) = b.last; a._1 < ws || (a._1 == ws && a._2 > wi)
+      }) b
+      else trim(b :+ a)
+    override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Untyped top-k UDAF column: `topK(3)(col("score"), col("id"))` yields
+    * `array<struct<_1: double, _2: bigint>>` sorted best-first. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopK(k))
+    (score, id) => fn(score, id)
+  }
+}

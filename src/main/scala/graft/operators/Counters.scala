@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Observation}
+import org.apache.spark.util.LongAccumulator
+
+/** Side metrics (SURVEY.md A10 — capability parity with Hadoop counters:
+  * reference `mapreduce.clj:341-349` harvests counters per job,
+  * `graph.clj:384-389` attaches them to the result dseq).
+  *
+  * Two surfaces, matching the two counter idioms:
+  *  - [[observed]] — declarative aggregate metrics riding an existing
+  *    action (`df.observe`): zero extra passes, available after the first
+  *    action completes. The analogue of framework counters.
+  *  - [[countingRows]] — a LongAccumulator incremented per row seen, for
+  *    arbitrary in-task increments (user counters). Spark accumulators
+  *    share Hadoop counters' caveat: task retries can overcount.
+  */
+object Counters {
+
+  /** Attach named aggregate metrics to a DataFrame; returns the
+    * pass-through frame + the Observation handle. Call `obs.get` after
+    * an action to harvest (blocks until the action finishes). */
+  def observed(df: DataFrame, name: String,
+               metric: Column, metrics: Column*): (Observation, DataFrame) = {
+    val obs = Observation(name)
+    (obs, df.observe(obs, metric, metrics: _*))
+  }
+
+  /** Pass-through that increments `acc` once per row flowing through —
+    * the arbitrary-increment counter idiom. */
+  def countingRows[T](ds: Dataset[T], acc: LongAccumulator): Dataset[T] = {
+    implicit val enc = ds.encoder
+    ds.map { t => acc.add(1); t }
+  }
+
+  /** Fresh named accumulator on the session's context. */
+  def longAccumulator(df: DataFrame, name: String): LongAccumulator =
+    df.sparkSession.sparkContext.longAccumulator(name)
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Parallel enumeration (SURVEY.md A8/P5 — capability parity with the
+  * reference's `dim-count-r` + `offsets` pattern,
+  * `examples/parkour/example/matrixify.clj:57-78`, and `map-indexed`,
+  * `reducers.clj:15-20`).
+  *
+  * Scale formulation: `RDD.zipWithIndex` — each partition is counted in
+  * one pass (the "parallel count"), counts are prefix-summed on the
+  * driver (L values for L partitions — the same tiny driver fold the
+  * reference does in `offsets`), and indices are assigned per-partition
+  * with the offset added. No single-partition window, no global sort
+  * materialization beyond the requested ordering.
+  */
+object Enumerate {
+
+  /** Append a dense 0-based `idxCol` following `sortCols` order. */
+  def mapIndexed(df: DataFrame, sortCols: Seq[String],
+                 idxCol: String = "idx"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Dense ids for the distinct values of `labelCol`, in sorted order —
+    * the matrixify dimension-enumeration step. Output: (labelCol, idCol). */
+  def denseIds(df: DataFrame, labelCol: String,
+               idCol: String = "id"): DataFrame =
+    mapIndexed(df.select(labelCol).distinct(), Seq(labelCol), idCol)
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** Custom shuffle partitioning (SURVEY.md O3/F6 — capability parity with
+  * the reference's partitioner-as-function surface: `graph.clj:206-237`,
+  * `toolbox.clj:17-30`, `src/java/parkour/hadoop/Partitioner.java:10-41`).
+  *
+  * DataFrame-level routing is `df.repartition(n, expr)` (hash of an
+  * arbitrary expression — covers `by-p`/`nth0-p` style helpers). The RDD
+  * layer below gives EXACT route-by-function parity: any (key, nParts) →
+  * partition function, as in Hadoop's Partitioner contract.
+  */
+object Partitioners {
+
+  /** Route a long key to partition `key mod n` (non-negative). */
+  class ModPartitioner(n: Int) extends Partitioner {
+    require(n > 0)
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[Long]
+      val m = (k % n).toInt
+      if (m < 0) m + n else m
+    }
+  }
+
+  /** Arbitrary partitioner from a function (the `partitioner!` UDF shape,
+    * F6). The function must be deterministic and serializable. */
+  class FnPartitioner(n: Int, f: (Any, Int) => Int) extends Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = f(key, n)
+  }
+
+  /** Partition `df` by `p` applied to `keyCol` (cast to long) and return
+    * (partition_id, n_rows) for every non-empty partition — the
+    * observable contract of a custom partitioner, verifiable against a
+    * plain group-by of the same routing function. */
+  def partitionCounts(df: DataFrame, keyCol: String, p: Partitioner): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long")).rdd
+      .map(r => (r.getLong(0), null: Any))
+      .partitionBy(p)
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        if (n > 0) Iterator((pid.toLong, n)) else Iterator.empty
+      }
+      .toDF("pid", "n")
+  }
+
+  /** Repartition rows by a custom partitioner keyed on `keyCol`, keeping
+    * all columns (rows stay whole; the key is only consumed for routing).
+    * Downstream `mapPartitions` sees exactly the reducer-input grouping a
+    * Hadoop job with this partitioner would. */
+  def partitionRows(df: DataFrame, keyCol: String, p: Partitioner): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val rdd = df.rdd
+      .map(r => (r.get(keyIdx), r))
+      .partitionBy(p)
+      .map(_._2)
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-stream reducer helpers (SURVEY.md A4/A5/A7 — capability parity
+  * with the reference's reducers operator library, `reducers.clj:15-174`),
+  * re-expressed as deterministic relational forms: where the reference
+  * relies on pre-sorted streams, the Spark formulation carries the
+  * ordering explicitly so results are reproducible under any
+  * partitioning. */
+object Reducers {
+
+  /** A4 `distinct-by` — one surviving row per key, the FIRST under
+    * `order`: deterministic (unlike `dropDuplicates`, which keeps an
+    * arbitrary row). Single shuffle on the key. */
+  def distinctBy(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A5 `reduce-by` — segmented fold over key runs. The reference folds
+    * pre-sorted streams; the general formulation is group-and-fold with
+    * order carried via min_by/max_by-style positional aggregates
+    * supplied by the caller. This helper provides the common
+    * first/last/count fold. */
+  def reduceByFirstLast(df: DataFrame, key: Column, ord: Column,
+                        value: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"),
+        min_by(value, ord).as("first_val"),
+        max_by(value, ord).as("last_val"))
+
+  /** A7 `ffilter`/`first` — first row matching `pred` under `order`. */
+  def firstWhere(df: DataFrame, pred: Column, order: Seq[Column]): DataFrame =
+    df.filter(pred).orderBy(order: _*).limit(1)
+}

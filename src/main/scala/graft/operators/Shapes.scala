@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tuple re-shaping (SURVEY.md P8/P9 — capability parity with the
+  * reference's source/sink shape algebra, `mapreduce/source.clj:318-397`
+  * and `mapreduce/sink.clj:112-142`): project the key side, the value
+  * side, or grouped views of a (key, value) frame.
+  *
+  * Grouped shapes return SORTED value arrays: Hadoop's reduce iterator
+  * has a defined (shuffle-sort) order, Spark's `collect_list` does not —
+  * `sort_array` restores a deterministic contract that also matches the
+  * DuckDB oracle's `list_sort`.
+  */
+object Shapes {
+
+  private def kv(df: DataFrame): (String, String) = {
+    require(df.columns.length >= 2,
+      s"shape ops expect (key, value, ...) columns, got ${df.columns.mkString(",")}")
+    (df.columns(0), df.columns(1))
+  }
+
+  /** `:keys` — key column only. */
+  def keys(df: DataFrame): DataFrame = df.select(col(kv(df)._1))
+
+  /** `:vals` — value column only. */
+  def vals(df: DataFrame): DataFrame = df.select(col(kv(df)._2))
+
+  /** `:keyvals` — both (identity reshape). */
+  def keyvals(df: DataFrame): DataFrame = {
+    val (k, v) = kv(df)
+    df.select(col(k), col(v))
+  }
+
+  /** `:keygroups` — distinct keys. */
+  def keygroups(df: DataFrame): DataFrame = df.select(col(kv(df)._1)).distinct()
+
+  /** `:valgroups` — per-key sorted value array, values only. */
+  def valgroups(df: DataFrame): DataFrame = keyvalgroups(df).select(col("vals"))
+
+  /** `:keyvalgroups` — (key, sorted value array). */
+  def keyvalgroups(df: DataFrame): DataFrame = {
+    val (k, v) = kv(df)
+    df.groupBy(col(k)).agg(sort_array(collect_list(col(v))).as("vals"))
+  }
+}

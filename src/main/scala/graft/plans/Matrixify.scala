@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.io.Dux
+import graft.operators.Enumerate
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship multi-job pipeline, re-expressed as ONE Spark
+  * DAG (capability parity: `examples/parkour/example/matrixify.clj:48-111`,
+  * golden output `test/parkour/example/matrixify_test.clj:127-134`).
+  *
+  * Translates whitespace-separated text edges `src dst weight` with
+  * arbitrary string labels into an absolute-indexed sparse matrix:
+  * row ids enumerate the distinct `src` labels, column ids the distinct
+  * `dst` labels, both densely in sorted-label order — the order the
+  * reference's shuffle-sorted single-reducer enumeration produces for
+  * its golden test.
+  *
+  * Where the reference needs 4 chained MapReduce jobs (2 × enumerate
+  * with dual data/counts outputs, a driver offsets fold, a final
+  * re-index map with broadcast offsets), the Spark plan is: 2 ×
+  * `Enumerate.denseIds` (parallel zipWithIndex enumeration — the same
+  * per-partition count + driver prefix-sum, see Enumerate), then 2
+  * broadcast hash joins of the (small) dimension maps onto the edges —
+  * nothing wide except the distinct inside denseIds.
+  */
+object Matrixify {
+
+  /** Parse text lines (`value: string`) into (src, dst, weight) edges. */
+  def parseEdges(lines: DataFrame): DataFrame =
+    lines
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .select(
+        element_at(col("f"), 1).as("src"),
+        element_at(col("f"), 2).as("dst"),
+        element_at(col("f"), 3).cast("double").as("weight"))
+
+  /** Edges → (row, col, val) matrix entries with dense sorted-label ids. */
+  def matrixify(edges: DataFrame): DataFrame = {
+    val rows = broadcast(Enumerate.denseIds(edges, "src", "row"))
+    val cols = broadcast(Enumerate.denseIds(edges, "dst", "col"))
+    edges
+      .join(rows, "src")
+      .join(cols, "dst")
+      .select(col("row"), col("col"), col("weight").as("val"))
+  }
+
+  /** Full pipeline with the reference's dual-output shape: writes the
+    * matrix entries AND both dimension maps via dux, returns the entries
+    * readback. */
+  def run(lines: DataFrame, outPath: String): DataFrame = {
+    val edges = parseEdges(lines)
+    val rows = Enumerate.denseIds(edges, "src", "row")
+    val cols = Enumerate.denseIds(edges, "dst", "col")
+    val entries = edges
+      .join(broadcast(rows), "src")
+      .join(broadcast(cols), "dst")
+      .select(col("row"), col("col"), col("weight").as("val"))
+    val outs = Dux.write(entries, outPath, Map(
+      "entries" -> identity[DataFrame] _))
+    graft.io.Sinks.parquet(rows, s"$outPath/rowdims")
+    graft.io.Sinks.parquet(cols, s"$outPath/coldims")
+    outs("entries")
+  }
+}

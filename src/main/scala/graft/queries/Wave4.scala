@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Agg, Counters, Enumerate, Partitioners, Reducers, Shapes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 4 — shuffle-control + reducer-helper parity, oracle-verified
+  * (SURVEY.md O3/F6 custom partitioner, F4 typed Aggregator, A10
+  * counters, A4 distinct-by, A5 reduce-by, P5 map-indexed, P8 grouped
+  * shapes). */
+object Wave4 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3/F6: RDD custom partitioner — per-partition counts under a
+    // key%8 router must equal a relational group-by of the same function
+    // (the observable contract of Hadoop partitioner parity).
+    "q41_custom_partition" -> { (s, d) =>
+      Partitioners.partitionCounts(
+        Tables.orders(s, d), "o_custkey",
+        new Partitioners.ModPartitioner(8))
+        .orderBy(col("pid"))
+    },
+
+    // F4: typed bounded top-k Aggregator (map-side partials of size k,
+    // merge, no window funnel) — top-3 orders by price per priority.
+    "q42_topk_agg" -> { (s, d) =>
+      val topk = Agg.topK(3)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("o_orderkey"), col("col._1").as("total"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    },
+
+    // A10: observe metrics riding the query's own action (framework
+    // counters); the result itself stays oracle-verified.
+    "q43_observed_agg" -> { (s, d) =>
+      val base = Tables.events(s, d).filter(col("value") > 10.0)
+      val (obs, observed) = Counters.observed(base, s"q43_${System.nanoTime}",
+        count(lit(1)).as("n_seen"), sum(col("value")).as("sum_value"))
+      val _ = obs // harvested in tests; Verify's write is the action
+      observed
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // A4: deterministic distinct-by — first order per customer under
+    // (date, key) order.
+    "q44_distinct_by" -> { (s, d) =>
+      Reducers.distinctBy(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate")),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // A5: segmented first/last fold per key (reduce-by parity).
+    "q45_reduce_by" -> { (s, d) =>
+      Reducers.reduceByFirstLast(
+        Tables.orders(s, d),
+        key = col("o_custkey"), ord = col("o_orderkey"),
+        value = col("o_totalprice"))
+        .select(col("key").as("o_custkey"), col("n"),
+          col("first_val").as("first_price"), col("last_val").as("last_price"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // P5/A8: map-indexed via parallel zipWithIndex enumeration (no
+    // single-partition window) — dense index over nation by name.
+    "q46_map_indexed" -> { (s, d) =>
+      Enumerate.mapIndexed(
+        Tables.nation(s, d).select(col("n_name")), Seq("n_name"), "idx")
+        .select(col("idx"), col("n_name"))
+        .orderBy(col("idx"))
+    },
+
+    // P8: grouped-shape view — per-nation sorted supplier names
+    // (keyvalgroups), string-joined for cross-engine comparison.
+    "q47_keyvalgroups" -> { (s, d) =>
+      Shapes.keyvalgroups(
+        Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("key"),
+          col("s_name").as("value")))
+        .select(col("key"), array_join(col("vals"), ",").as("names"))
+        .orderBy(col("key"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_custom_partition" ->
+      """SELECT CAST(o_custkey % 8 AS BIGINT) AS pid, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY pid""".stripMargin,
+
+    "q42_topk_agg" ->
+      """SELECT o_orderpriority, rank, o_orderkey, total FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice AS total,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q43_observed_agg" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE value > 10.0 GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q44_distinct_by" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q45_reduce_by" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  arg_min(o_totalprice, o_orderkey) AS first_price,
+        |  arg_max(o_totalprice, o_orderkey) AS last_price
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "q46_map_indexed" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_name) - 1 AS BIGINT) AS idx,
+        |  n_name
+        |FROM nation ORDER BY idx""".stripMargin,
+
+    "q47_keyvalgroups" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS key,
+        |  array_to_string(list_sort(list(s_name)), ',') AS names
+        |FROM supplier GROUP BY 1 ORDER BY key""".stripMargin
+  )
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import graft.plans.Matrixify
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Golden tests for the Wave-4 operator family: custom partitioners,
+  * typed top-k Aggregator, counters, enumeration, shapes, reducer
+  * helpers, and the matrixify pipeline against the reference's expected
+  * output (`test/parkour/example/matrixify_test.clj:127-134`). */
+class OperatorsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("ModPartitioner: routes key k to partition k mod n, negatives wrapped") {
+    val p = new Partitioners.ModPartitioner(8)
+    p.getPartition(17L) shouldBe 1
+    p.getPartition(-3L) shouldBe 5
+    p.numPartitions shouldBe 8
+  }
+
+  test("partitionCounts equals relational group-by of the routing function") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val byPartitioner = Partitioners.partitionCounts(
+      orders, "o_custkey", new Partitioners.ModPartitioner(8))
+      .as[(Long, Long)].collect().toMap
+    val byGroupBy = orders
+      .groupBy((col("o_custkey") % 8).cast("long").as("pid")).count()
+      .as[(Long, Long)].collect().toMap
+    byPartitioner shouldBe byGroupBy
+  }
+
+  test("partitionRows: every row lands on the partition its key routes to") {
+    import spark.implicits._
+    val df = Seq((0L, "a"), (1L, "b"), (9L, "c"), (16L, "d")).toDF("k", "v")
+    val parted = Partitioners.partitionRows(df, "k", new Partitioners.ModPartitioner(4))
+    val placed = parted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      it.map(r => (r.getLong(0), pid))
+    }.collect().toMap
+    placed shouldBe Map(0L -> 0, 1L -> 1, 9L -> 1, 16L -> 0)
+  }
+
+  test("TopK aggregator: merge/reduce keep k best with id tie-break") {
+    val a = new Agg.TopK(2)
+    val r = a.merge(
+      a.reduce(a.reduce(a.zero, (1.0, 10L)), (5.0, 20L)),
+      a.reduce(a.zero, (5.0, 5L)))
+    r shouldBe Seq((5.0, 5L), (5.0, 20L))
+  }
+
+  test("TopK via udaf equals window top-k on real data") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val topk = Agg.topK(3)
+    val agg = orders.groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), col("col._2").as("okey"))
+      .as[(String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .as[(String, Long)].collect().toSet
+    agg shouldBe win
+  }
+
+  test("Counters.observed harvests metrics from the riding action") {
+    val events = Tables.events(spark, sfDir).filter(col("value") > 10.0)
+    val (obs, df) = Counters.observed(events, s"obs_${System.nanoTime}",
+      count(lit(1)).as("n_seen"))
+    val n = df.count()
+    obs.get("n_seen").asInstanceOf[Long] shouldBe n
+  }
+
+  test("Counters.countingRows increments the accumulator once per row") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 100)
+    val acc = spark.sparkContext.longAccumulator("rows")
+    Counters.countingRows(ds, acc).count() shouldBe 100
+    acc.value shouldBe 100L
+  }
+
+  test("Enumerate.mapIndexed: dense 0-based ids in sort order") {
+    import spark.implicits._
+    val df = Seq("c", "a", "b").toDF("x")
+    Enumerate.mapIndexed(df, Seq("x"), "i")
+      .as[(String, Long)].collect().sortBy(_._2) shouldBe
+      Array(("a", 0L), ("b", 1L), ("c", 2L))
+  }
+
+  test("Shapes: key/val/group views of a (key, value) frame") {
+    import spark.implicits._
+    val df = Seq((1, "b"), (1, "a"), (2, "z")).toDF("key", "value")
+    Shapes.keys(df).as[Int].collect().sorted shouldBe Array(1, 1, 2)
+    Shapes.vals(df).as[String].collect().sorted shouldBe Array("a", "b", "z")
+    Shapes.keygroups(df).as[Int].collect().sorted shouldBe Array(1, 2)
+    Shapes.keyvalgroups(df).as[(Int, Seq[String])].collect()
+      .map { case (k, v) => (k, v.toList) }.sortBy(_._1) shouldBe
+      Array((1, List("a", "b")), (2, List("z")))
+  }
+
+  test("Reducers.distinctBy is deterministic (first under order)") {
+    import spark.implicits._
+    val df = Seq((1, 5, "x"), (1, 3, "y"), (2, 9, "z")).toDF("k", "o", "v")
+    Reducers.distinctBy(df, Seq(col("k")), Seq(col("o")))
+      .as[(Int, Int, String)].collect().sortBy(_._1) shouldBe
+      Array((1, 3, "y"), (2, 9, "z"))
+  }
+
+  test("Reducers.firstWhere returns the single first match") {
+    import spark.implicits._
+    val df = Seq(4, 1, 3, 2).toDF("x")
+    Reducers.firstWhere(df, col("x") > 1, Seq(col("x")))
+      .as[Int].collect() shouldBe Array(2)
+  }
+
+  test("matrixify golden: reference expected output (matrixify_test.clj)") {
+    import spark.implicits._
+    // the reference fixture's six edges (dev-resources/matrixify-input.txt)
+    val lines = Seq(
+      "foo  blue  1.0", "foo  green 2.0", "foo  red   3.0",
+      "bar  blue  4.0", "baz  red   5.0", "quux red   6.0"
+    ).toDF("value")
+    val out = Matrixify.matrixify(Matrixify.parseEdges(lines))
+      .as[(Long, Long, Double)].collect()
+      .map { case (r, c, v) => s"$r $c $v" }.sorted
+    out shouldBe Array("0 0 4.0", "1 2 5.0", "2 0 1.0", "2 1 2.0", "2 2 3.0", "3 2 6.0")
+  }
+
+  test("matrixify full pipeline: dual outputs + readback") {
+    import spark.implicits._
+    val lines = Seq("a b 1.0", "c b 2.0").toDF("value")
+    val path = graft.io.PathsUtil.transientPath("graft-matrixify")
+    val entries = Matrixify.run(lines, s"$path/out")
+    entries.count() shouldBe 2
+    graft.io.PathsUtil.exists(spark, s"$path/out/rowdims") shouldBe true
+    graft.io.PathsUtil.exists(spark, s"$path/out/coldims") shouldBe true
+    spark.read.parquet(s"$path/out/rowdims").count() shouldBe 2
+    spark.read.parquet(s"$path/out/coldims").count() shouldBe 1
+  }
+}
