@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming equivalents (SURVEY.md §2.8 — the reference is
+  * batch-only; these are the declared streaming extension over the same
+  * `events` data shape: ts timestamp, user_id, event_type, value).
+  *
+  * All transforms are readStream→writeStream-agnostic: they take the
+  * (possibly streaming) DataFrame and return the transformed one, so the
+  * same code path serves batch backfill and live streams — watermarks
+  * bound state at any scale, and every aggregation is a standard
+  * hash-partitioned stateful agg. */
+object Streams {
+
+  /** Tumbling-window counts + sums per event type, watermarked so state
+    * for closed windows is dropped (bounded memory on unbounded input). */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingCounts(events: DataFrame, window: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup by key within the watermark horizon — the
+    * streaming twin of Dedup.exactGroups. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  // ----------------------------------------------------- custom state
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserStats(user_id: Long, n: Long, max_value: Double)
+
+  /** Arbitrary per-key state via mapGroupsWithState: running per-user
+    * count + max. The F1/F2 (whole-partition UDF with context) parity
+    * point for streams: user code folds each key's new events into typed
+    * state that Spark checkpoints and shards. */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, Double.MinValue))
+          val next = it.foldLeft(prev) { (s, e) =>
+            UserStats(uid, s.n + 1, math.max(s.max_value, e.value))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+/** Top-level event row for encoder derivation (inner classes cannot get
+  * encoders without their outer scope). */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming transforms driven end-to-end with MemoryStream sources and
+  * memory sinks (batch parity asserted where the transform is
+  * mode-agnostic). */
+class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumblingCounts over a memory stream emits closed windows (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = s"tumbling_${System.nanoTime}"
+    val q = Streams.tumblingCounts(input.toDF(), window = "15 minutes",
+      watermark = "1 hour").writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Ev(ts(5), 1, "click", 1.0), Ev(ts(10), 2, "click", 2.0),
+        Ev(ts(20), 1, "view", 3.0))
+      q.processAllAvailable()
+      // push the watermark past the windows so append emits them
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 13:00:00"), 9, "late", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).select("window_start", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    rows should contain((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L))
+    rows should contain((Timestamp.valueOf("2024-01-01 10:15:00"), "view", 1L))
+  }
+
+  test("tumblingCounts is mode-agnostic: identical results on a batch frame") {
+    import spark.implicits._
+    val batch = Seq(
+      Ev(ts(5), 1, "click", 1.0), Ev(ts(10), 2, "click", 2.0),
+      Ev(ts(20), 1, "view", 3.0)).toDF()
+    val rows = Streams.tumblingCounts(batch, "15 minutes", "1 hour")
+      .select("window_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    rows shouldBe Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (Timestamp.valueOf("2024-01-01 10:15:00"), "view", 1L, 3.0))
+  }
+
+  test("slidingCounts: overlapping windows each count the event") {
+    import spark.implicits._
+    val batch = Seq(Ev(ts(20), 1, "click", 1.0)).toDF()
+    val n = Streams.slidingCounts(batch, window = "30 minutes",
+      slide = "15 minutes").count()
+    n shouldBe 2 // the event falls into two overlapping 30m windows
+  }
+
+  test("sessionize merges events within the gap into one session") {
+    import spark.implicits._
+    val batch = Seq(
+      Ev(ts(0), 1, "a", 1.0), Ev(ts(10), 1, "a", 1.0),  // one session
+      Ev(ts(55), 1, "a", 1.0),                           // new session (>30m gap)
+      Ev(ts(5), 2, "b", 2.0)).toDF()
+    val rows = Streams.sessionize(batch, gap = "30 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList.sorted).toMap
+    rows shouldBe Map(1L -> List(1L, 2L), 2L -> List(1L))
+  }
+
+  test("dedupWithinWatermark drops repeated keys on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(ts(1), 1, "x", 1.0), Ev(ts(2), 1, "x", 1.0), Ev(ts(3), 2, "y", 2.0))
+    val name = s"dedup_${System.nanoTime}"
+    val q = Streams.dedupWithinWatermark(input.toDF(), Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select("user_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L)
+  }
+
+  test("runningUserStats folds typed state per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.UserEvent]
+    input.addData(
+      Streams.UserEvent(1, ts(1), 5.0), Streams.UserEvent(1, ts(2), 7.0),
+      Streams.UserEvent(2, ts(3), 1.0))
+    val name = s"stats_${System.nanoTime}"
+    val q = Streams.runningUserStats(input.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Streams.UserEvent(1, ts(9), 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table(name)
+      .groupBy("user_id").agg(max("n").as("n"), max("max_value").as("mx"))
+      .as[(Long, Long, Double)].collect().toSet
+    last shouldBe Set((1L, 3L, 7.0), (2L, 1L, 1.0))
+  }
+}
