@@ -24,6 +24,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Warm up executor threads, codegen, and parquet footers once so the
+    // first timed query doesn't absorb session-init costs.
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      Tables.all.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

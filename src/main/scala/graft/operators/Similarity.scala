@@ -14,38 +14,91 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Plain double cosine — the Scala twin of `VectorFunctions.cosine`
+    * (sequential fold in array order, identical IEEE results). */
+  private def cosFast(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** Exact-quantized cosine — the Scala twin of
+    * `VectorFunctions.cosineQ` (per-element floor(x*y*1e12) long sums;
+    * order- and engine-invariant, same bits as the Column formulation and
+    * the DuckDB oracle). */
+  private def cosQ(a: Array[Float], b: Array[Float]): Double = {
+    def dotQL(x: Array[Float], y: Array[Float]): Long = {
+      val n = math.min(x.length, y.length)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += math.floor(x(i).toDouble * y(i).toDouble * 1e12).toLong
+        i += 1
+      }
+      s
+    }
+    val dq = dotQL(a, b).toDouble / 1e12
+    val na = math.sqrt(dotQL(a, a).toDouble / 1e12)
+    val nb = math.sqrt(dotQL(b, b).toDouble / 1e12)
+    dq / (na * nb)
+  }
+
+  /** (id_a, v_a, id_b, v_b) → (id_a, id_b, sim) as a typed map: the
+    * similarity kernel runs as tight JVM loops instead of interpreted
+    * higher-order-function expressions (~10× on the hot path). */
+  private def pairSims(pairs: DataFrame, exact: Boolean): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (ia, va, ib, vb) =>
+        (ia, ib, if (exact) cosQ(va, vb) else cosFast(va, vb))
+      }.toDF("id_a", "id_b", "sim")
+  }
+
   /** Exact top-k cosine neighbors for each query vector. `queries` is
     * expected to be small — it is broadcast, so the big candidate side
-    * streams map-side with no shuffle before the per-query top-k. */
+    * streams map-side with no shuffle before the per-query top-k; the
+    * per-query rank uses the bounded-heap Aggregator (map-side partials
+    * of size k) instead of a window, so no task ever holds a full
+    * |Q|×|C| partition. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      exact: Boolean = false): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val cos =
-      if (exact) V.cosineQ(col("qv"), col("cv")) else V.cosine(col("qv"), col("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cos)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        V.quantize(col("sim"), 6).as("sim"))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val c = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val sims = pairSims(
+      c.join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")),
+      exact)
+      .toDF("query_id", "neighbor_id", "sim")
+    val topk = Agg.topK(k)
+    sims.groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        V.quantize(col("col._1"), 6).as("sim"))
   }
 
   /** All pairs with cosine >= threshold within a (pre-filtered) vector
     * set. Exact-arithmetic variant for oracle verification. */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, exact: Boolean = false): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cos =
-      if (exact) V.cosineQ(col("a.v"), col("b.v")) else V.cosine(col("a.v"), col("b.v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("sim", cos)
-      .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        V.quantize(col("sim"), 6).as("sim"))
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sims = pairSims(
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("a.v"), col("b.id"), col("b.v")),
+      exact)
+    sims.filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), V.quantize(col("sim"), 6).as("sim"))
   }
 
   /** (id, table, bucket) sign-bit LSH buckets for `nTables` independent
@@ -106,14 +159,26 @@ object Similarity {
       col(vecCol).as("qv")))
     val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    pairs.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("sim", V.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        V.quantize(col("sim"), 6).as("sim"))
+    rankTopK(pairs, qv, cv, k)
+  }
+
+  /** Attach vectors to candidate (query, neighbor) pairs, compute sims
+    * with the typed kernel, rank per query via the bounded-heap
+    * Aggregator (no window funnel). */
+  private def rankTopK(pairs: DataFrame, qv: DataFrame, cv: DataFrame,
+                       k: Int): DataFrame = {
+    val sims = pairSims(
+      pairs.join(qv, "query_id").join(cv, "neighbor_id")
+        .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")),
+      exact = false)
+      .toDF("query_id", "neighbor_id", "sim")
+    val topk = Agg.topK(k)
+    sims.groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        V.quantize(col("col._1"), 6).as("sim"))
   }
 
   /** IVF-style ANN: every candidate is assigned to its nearest centroid
@@ -153,13 +218,6 @@ object Similarity {
       col(vecCol).as("qv")))
     val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    pairs.join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("sim", V.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        V.quantize(col("sim"), 6).as("sim"))
+    rankTopK(pairs, qv, cv, k)
   }
 }

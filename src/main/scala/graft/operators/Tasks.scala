@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+
+/** Arbitrary-code task surface (SURVEY.md F1/F2/F3, P4/P7 — capability
+  * parity with the reference's task-function adapters:
+  * `mapreduce.clj:107-135` collfn/contextfn, `remote/basic.clj:79-109`
+  * raw adapter, `reducers.clj:142-144` keep, `toolbox.clj:32-39`
+  * identity-t). Spark's closure serialization replaces the whole
+  * var/EDN bootstrap; these helpers pin down the declared API names. */
+object Tasks {
+
+  /** F1 — whole-partition UDF: an iterator→iterator function over each
+    * partition (the reference's collfn over a reducible collection). */
+  def mapPartitionsFn[T, U: Encoder](ds: Dataset[T])(
+      f: Iterator[T] => Iterator[U]): Dataset[U] =
+    ds.mapPartitions(f)
+
+  /** F2 — task function with task-context access (partition id, attempt,
+    * metrics): the contextfn adapter. */
+  def withTaskContext[T, U: Encoder](ds: Dataset[T])(
+      f: (TaskContext, Iterator[T]) => Iterator[U]): Dataset[U] =
+    ds.mapPartitions(it => f(TaskContext.get(), it))
+
+  /** F3 — raw adapter: full-control per-partition function with the
+    * partition index, on the RDD layer. */
+  def rawPartitions[T, U: Encoder: scala.reflect.ClassTag](ds: Dataset[T])(
+      f: (Int, Iterator[T]) => Iterator[U]): Dataset[U] = {
+    val spark = ds.sparkSession
+    spark.createDataset(ds.rdd.mapPartitionsWithIndex(f))
+  }
+
+  /** P4 — keep: map + drop nils (None). */
+  def keep[T, U: Encoder](ds: Dataset[T])(f: T => Option[U]): Dataset[U] =
+    ds.flatMap(t => f(t).iterator)
+
+  /** P7 — identity task (pass-through; re-key = select in DataFrame land). */
+  def identityTask[T](ds: Dataset[T]): Dataset[T] = ds
+
+  /** S15 — local reduction of any distributed frame without a cluster
+    * job's worth of ceremony: stream partitions to the driver. */
+  def foldLocal[T, B](ds: Dataset[T])(zero: B)(f: (B, T) => B): B =
+    ds.toLocalIterator().asScala.foldLeft(zero)(f)
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}

@@ -71,10 +71,28 @@ object TextAnalysis {
   }
 
   /** Content fingerprints: exact (md5 of normalized text) and shingle
-    * sketch (min md5 over word 3-grams). */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
+    * sketch (min md5 over word 3-grams; null for docs with <3 tokens).
+    *
+    * The shingle sketch is computed via posexplode + window `lead` +
+    * hash-aggregate `min` — all codegen'd scalar work — instead of the
+    * equivalent per-row higher-order-function expression
+    * (`TextFunctions.minShingleFingerprint`), which Spark evaluates
+    * interpreted and ~10× slower. Same result, verified by the oracle. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val base = docs.select(col(idCol),
       T.contentFingerprint(col(textCol)).as("fp_exact"),
-      T.minShingleFingerprint(col(textCol)).as("fp_shingle"))
+      T.tokens(col(textCol)).as("toks"))
+    val shingleMin = base
+      .select(col(idCol), posexplode(col("toks")))
+      .withColumn("t1", lead(col("col"), 1).over(w))
+      .withColumn("t2", lead(col("col"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col(idCol),
+        md5(concat_ws(" ", col("col"), col("t1"), col("t2"))).as("m"))
+      .groupBy(col(idCol)).agg(min(col("m")).as("fp_shingle"))
+    base.select(col(idCol), col("fp_exact"))
+      .join(shingleMin, Seq(idCol), "left")
+  }
 }

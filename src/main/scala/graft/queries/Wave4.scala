@@ -88,6 +88,26 @@ object Wave4 {
           col("s_name").as("value")))
         .select(col("key"), array_join(col("vals"), ",").as("names"))
         .orderBy(col("key"))
+    },
+
+    // J2: mux-join — the reference's multiplex-input reduce-side join
+    // (tagged union through ONE shuffle, then a per-key cogroup fold).
+    // One side carries the dimension value, the other the facts; the
+    // group fold recombines them — equivalent to an inner join + agg but
+    // expressed through the mux surface (graph_test.clj:98-143 parity).
+    "q48_mux_join" -> { (s, d) =>
+      val muxed = graft.io.Mux(
+        Tables.customer(s, d) -> (df => df.select(
+          col("c_custkey").cast("long").as("custkey"),
+          col("c_name").as("name"), lit(null).cast("double").as("total"))),
+        Tables.orders(s, d) -> (df => df.select(
+          col("o_custkey").cast("long").as("custkey"),
+          lit(null).cast("string").as("name"), col("o_totalprice").as("total"))))
+      muxed.groupBy(col("custkey"))
+        .agg(max(col("name")).as("c_name"),
+          count(col("total")).as("n_orders"))
+        .filter(col("c_name").isNotNull && col("n_orders") > 0)
+        .orderBy(col("custkey"))
     }
   )
 
@@ -130,6 +150,12 @@ object Wave4 {
     "q47_keyvalgroups" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS key,
         |  array_to_string(list_sort(list(s_name)), ',') AS names
-        |FROM supplier GROUP BY 1 ORDER BY key""".stripMargin
+        |FROM supplier GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q48_mux_join" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,
+        |  count(*) AS n_orders
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin
   )
 }

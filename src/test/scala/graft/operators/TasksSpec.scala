@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Units for the arbitrary-code task surface (F1/F2/F3/P4/P7/S15). */
+class TasksSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("mapPartitionsFn: whole-partition UDF") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 10).repartition(2)
+    val sums = Tasks.mapPartitionsFn(ds)(it => Iterator(it.sum)).collect()
+    sums.sum shouldBe 55
+    sums.length shouldBe 2
+  }
+
+  test("withTaskContext exposes real partition ids") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 8).repartition(4)
+    val pids = Tasks.withTaskContext(ds)((ctx, it) =>
+      it.map(_ => ctx.partitionId())).collect().toSet
+    pids shouldBe Set(0, 1, 2, 3)
+  }
+
+  test("rawPartitions: partition index matches data placement") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(0, 1, 2, 3))
+    val tagged = Tasks.rawPartitions(ds)((i, it) => it.map(x => (i, x))).collect()
+    tagged.length shouldBe 4
+    tagged.map(_._2).sorted shouldBe Array(0, 1, 2, 3)
+  }
+
+  test("keep: map + drop nils") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 10)
+    Tasks.keep(ds)(x => if (x % 2 == 0) Some(x * 10) else None)
+      .collect().sorted shouldBe Array(20, 40, 60, 80, 100)
+  }
+
+  test("foldLocal streams the frame through a driver fold") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 100)
+    Tasks.foldLocal(ds)(0L)(_ + _) shouldBe 5050L
+  }
+}
