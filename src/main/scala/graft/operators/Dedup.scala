@@ -125,7 +125,8 @@ object Dedup {
     * exact baseline; run `minhashNearDupPairs` instead of this at 100 TB. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val sets = docSets(docs, idCol, textCol)
+    // sets feeds same-set pairing + two expansion joins — cache one scan
+    val sets = docSets(docs, idCol, textCol).cache()
     val groups = setGroups(sets).cache()
     val setPairs = smallVocab(groups) match {
       case Some(vocab) =>
@@ -169,7 +170,7 @@ object Dedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val perms = H.permutations(k, seed)
-    val sets = docSets(docs, idCol, textCol)
+    val sets = docSets(docs, idCol, textCol).cache()
     val groups = setGroups(sets)
       .withColumn("sig", H.minhashSignature(col("ts"), perms))
       .cache()
