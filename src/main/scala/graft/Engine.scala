@@ -41,6 +41,13 @@ object Engine {
     b.getOrCreate()
   }
 
+  /** O4 — reducer-count clamp (capability parity: reference
+    * `toolbox.clj:8-15` bounds reducers by input splits). AQE coalescing
+    * handles this automatically per-shuffle; the explicit clamp is for
+    * hand-tuned outputs (e.g. bounding output file counts). */
+  def clampPartitions(df: DataFrame, n: Int): DataFrame =
+    if (df.rdd.getNumPartitions > n) df.coalesce(n) else df
+
   /** Apply graft's deterministic settings to an existing session (used by
     * Verify/Bench whose sessions are built by the driver contract). */
   def tune(spark: SparkSession): SparkSession = {

@@ -71,6 +71,15 @@ object Sources {
   def avro(spark: SparkSession, path: String): DataFrame =
     AvroIO.read(spark, path)
 
+  /** Multimodal ingest — whole files as rows of (path, modificationTime,
+    * length, content: binary) via Spark's binaryFile source; the entry
+    * point for image/audio/video payload pipelines
+    * (operators.Multimodal). `pathGlobFilter` narrows by extension. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+
   /** S8 — in-memory collection as input (testing). Capability parity:
     * `io/mem.clj:39-53` (whose process-local registry + custom
     * InputFormat is obviated by `createDataset`). */

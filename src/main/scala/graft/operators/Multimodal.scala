@@ -74,4 +74,19 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("asset_id"), lit(modality).as("modality"),
       encode(col(textCol), "UTF-8").as("data")).as[Asset]
   }
+
+  /** Build an Asset dataset from real files on disk via the binaryFile
+    * source: asset_id is the 64-bit hash of the path (stable), modality
+    * the lowercased file extension. The real multimodal ingest path. */
+  def assetsFromBinaryFiles(spark: SparkSession, path: String,
+                            glob: String = "*"): Dataset[Asset] = {
+    import spark.implicits._
+    graft.io.Sources.binaryFiles(spark, path, glob)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        lower(coalesce(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1),
+          lit("bin"))).as("modality"),
+        col("content").as("data"))
+      .as[Asset]
+  }
 }

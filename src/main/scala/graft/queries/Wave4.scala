@@ -108,6 +108,21 @@ object Wave4 {
           count(col("total")).as("n_orders"))
         .filter(col("c_name").isNotNull && col("n_orders") > 0)
         .orderBy(col("custkey"))
+    },
+
+    // §2.7 remainder: from_json → MapType, map_keys/element_at, to_json
+    // of a rebuilt struct — the JSON/map scalar surface.
+    "q49_json_map_ops" -> { (s, d) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,long>"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          array_join(map_keys(m), ",").as("prop_keys"),
+          element_at(m, "k").as("k_val"),
+          to_json(struct(col("event_id").as("id"),
+            col("event_type").as("t"))).as("packed"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -156,6 +171,13 @@ object Wave4 {
       """SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,
         |  count(*) AS n_orders
         |FROM customer JOIN orders ON o_custkey = c_custkey
-        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin
+        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin,
+
+    "q49_json_map_ops" ->
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS prop_keys,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |  to_json(struct_pack(id := event_id, t := event_type)) AS packed
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

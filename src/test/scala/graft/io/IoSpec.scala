@@ -141,6 +141,29 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
     dirs.length should be > 1
   }
 
+  test("binaryFiles source + assetsFromBinaryFiles pipeline") {
+    val dir = PathsUtil.transientPath("graft-bin")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.jpg"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.wav"),
+      Array[Byte](9, 8, 7))
+    val files = Sources.binaryFiles(spark, dir)
+    files.count() shouldBe 2
+    files.columns should contain allOf ("path", "content", "length")
+    val assets = graft.operators.Multimodal.assetsFromBinaryFiles(spark, dir)
+    val byMod = assets.collect().map(a => a.modality -> a.data.length).toMap
+    byMod shouldBe Map("jpg" -> 4, "wav" -> 3)
+    val feats = graft.operators.Multimodal.extractFeatures(assets)
+    feats.count() shouldBe 2
+  }
+
+  test("clampPartitions bounds partition count (O4)") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x").repartition(8)
+    graft.Engine.clampPartitions(df, 2).rdd.getNumPartitions shouldBe 2
+    graft.Engine.clampPartitions(df.coalesce(1), 4).rdd.getNumPartitions shouldBe 1
+  }
+
   test("paths: move + exists + inputFiles") {
     import spark.implicits._
     val p1 = tmp("mv_src")
