@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join patterns beyond plain equi-joins (SURVEY.md §2.3 note: declared
+  * in the engine since Spark expresses them natively and the oracle can
+  * verify them).
+  *
+  * The as-of join uses the union-and-scan formulation: tag both sides,
+  * sort within each key partition by (time, side) and carry the last
+  * non-null right payload forward — ONE shuffle on the key, no per-row
+  * subquery, no broadcast of either side. This is the scalable shape for
+  * "latest value at or before t" joins at any size (a correlated-subquery
+  * or nested-loop formulation is quadratic per key). */
+object Joins {
+
+  /** As-of join: for every left row, attach the right row's `payload`
+    * with the largest `tsCol` <= the left row's `tsCol`, matching on
+    * `keyCol` (null when no prior right row exists). Ties on equal ts
+    * take the right row (inclusive >=). Right rows should be unique per
+    * (key, ts) — pre-aggregate if not. */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           payload: String, outCol: String = "asof_val"): DataFrame = {
+    val l = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(payload).dataType).as("__pay"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val rowType = l.schema("__row").dataType
+    val r = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"),
+      lit(0).as("__side"),
+      col(payload).as("__pay"),
+      lit(null).cast(rowType).as("__row"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*"), col("__asof").as(outCol))
+  }
+
+  /** Equi + range join: pairs matching `keys` equality and `lo <= hi`
+    * bounds — Catalyst plans the equi part as a hash/sort-merge join and
+    * applies the range predicate inside it (no cartesian). */
+  def equiRange(left: DataFrame, right: DataFrame, keys: Column,
+                range: Column): DataFrame =
+    left.join(right, keys && range)
+}

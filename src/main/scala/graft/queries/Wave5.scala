@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 5 — extended join/agg surface: cube grouping sets, equi+range
+  * join, as-of join (verified against DuckDB's native ASOF JOIN). */
+object Wave5 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUBE grouping sets with grouping_id (extension of q17's rollup).
+    "q50_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Equi + range join: lineitems shipped within 30 days of their
+    // order's date — the equi key keeps it a hash/sort-merge join, the
+    // range bound filters inside it (no cartesian anywhere).
+    "q51_range_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      Joins.equiRange(l, o,
+        keys = col("l_orderkey") === col("o_orderkey"),
+        range = col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_shipped_30d"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // As-of join: each purchase event picks up the same user's most
+    // recent click value at-or-before the purchase ts. One shuffle on
+    // user_id (union-and-scan), verified against DuckDB's native ASOF.
+    "q52_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // unique (user, ts) on the right side: keep the max value
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      Joins.asOf(purchases, clicks, "user_id", "ts", "click_value",
+        outCol = "last_click_value")
+        .select(col("event_id"), col("user_id"), col("last_click_value"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q51_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_shipped_30d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q52_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_value AS last_click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin
+  )
+}

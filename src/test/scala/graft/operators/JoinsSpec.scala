@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asOf: latest right payload at-or-before each left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, t(10), "p1"), (1L, t(30), "p2"), (2L, t(5), "p3"))
+      .toDF("user", "ts", "tag")
+    val right = Seq(
+      (1L, t(0), 100.0), (1L, t(10), 110.0), (1L, t(20), 120.0),
+      (2L, t(50), 999.0))
+      .toDF("user", "ts", "v")
+    val out = Joins.asOf(left, right, "user", "ts", "v")
+      .select("tag", "asof_val").as[(String, Option[Double])]
+      .collect().toMap
+    out shouldBe Map(
+      "p1" -> Some(110.0), // inclusive: right at equal ts wins
+      "p2" -> Some(120.0),
+      "p3" -> None)        // no prior right row
+  }
+
+  test("asOf result columns preserve the left schema") {
+    import spark.implicits._
+    val left = Seq((1L, t(1), "x")).toDF("user", "ts", "tag")
+    val right = Seq((1L, t(0), 7.0)).toDF("user", "ts", "v")
+    val out = Joins.asOf(left, right, "user", "ts", "v", outCol = "price")
+    out.columns shouldBe Array("user", "ts", "tag", "price")
+  }
+
+  test("equiRange keeps only in-range matches of the equi key") {
+    import spark.implicits._
+    val l = Seq((1L, 5), (1L, 50), (2L, 10)).toDF("k", "x")
+    val r = Seq((1L, 0, 10), (2L, 20, 30)).toDF("k", "lo", "hi")
+    val out = Joins.equiRange(l, r,
+      keys = l("k") === r("k"),
+      range = l("x") >= r("lo") && l("x") <= r("hi"))
+      .select("x").as[Int].collect()
+    out shouldBe Array(5)
+  }
+}
