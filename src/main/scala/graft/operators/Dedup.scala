@@ -182,29 +182,41 @@ object Dedup {
       .join(banded.as("b"),
         col("a.key") === col("b.key") && col("a.h") < col("b.h"))
       .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
-      .dropDuplicates("h_a", "h_b")
-    val verified = smallVocab(groups) match {
+    // Bitmask path: verification is a broadcast lookup + codegen'd bit
+    // arithmetic, so it's CHEAPER to verify band-duplicate candidates
+    // redundantly and dedup only the (small) surviving pair set than to
+    // shuffle-dedup the full candidate stream first. The interpreted
+    // array path keeps dedup-first (its per-pair verification dominates).
+    // The broadcast hint assumes the ≤64-word-vocab distinct-set relation
+    // fits an executor (it is bounded by distinct CONTENT, not corpus —
+    // if a small-vocab corpus somehow had ~10^8 distinct sets, drop the
+    // hint and AQE falls back to a shuffle join).
+    val setPairs = smallVocab(groups) match {
       case Some(vocab) =>
-        val byHash = maskGroups(groups, vocab)
-          .select(xxhash64(col("sk")).as("h"), col("sk"), col("mask"))
+        val byHash = broadcast(maskGroups(groups, vocab)
+          .select(xxhash64(col("sk")).as("h"), col("sk"), col("mask")))
         candPairs
           .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
             col("mask").as("m_a")), "h_a")
           .join(byHash.select(col("h").as("h_b"), col("sk").as("sk_b"),
             col("mask").as("m_b")), "h_b")
           .withColumn("jac", jacMask(col("m_a"), col("m_b")))
+          .filter(col("jac") >= threshold)
+          .select(col("sk_a"), col("sk_b"), col("jac"))
+          .dropDuplicates("sk_a", "sk_b")
       case None =>
-        val byHash = groups.select(xxhash64(col("sk")).as("h"),
-          col("sk"), col("ts"))
+        val byHash = broadcast(groups.select(xxhash64(col("sk")).as("h"),
+          col("sk"), col("ts")))
         candPairs
+          .dropDuplicates("h_a", "h_b")
           .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
             col("ts").as("ts_a")), "h_a")
           .join(byHash.select(col("h").as("h_b"), col("sk").as("sk_b"),
             col("ts").as("ts_b")), "h_b")
           .withColumn("jac", jac(col("ts_a"), col("ts_b")))
+          .filter(col("jac") >= threshold)
+          .select(col("sk_a"), col("sk_b"), col("jac"))
     }
-    val setPairs = verified.filter(col("jac") >= threshold)
-      .select(col("sk_a"), col("sk_b"), col("jac"))
     sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
