@@ -48,6 +48,38 @@ object Wave5 {
         outCol = "last_click_value")
         .select(col("event_id"), col("user_id"), col("last_click_value"))
         .orderBy(col("event_id"))
+    },
+
+    // Analytic window functions: rank / lag / ntile per customer.
+    "q53_analytics" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_total"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // F8/dval: map-side broadcast-value lookup — the reference's
+    // distcache idiom (io/dval.clj + matrixify absind-m): a driver-side
+    // map shipped to every task, applied in a typed map with NO join in
+    // the plan. Oracle-verified against the equivalent relational join.
+    "q54_bcast_lookup" -> { (s, d) =>
+      import s.implicits._
+      val nmap = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .collect()
+        .map(r => r.get(0).asInstanceOf[Number].longValue ->
+          r.getString(1)).toMap
+      val b = s.sparkContext.broadcast(nmap)
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long")).as[Long]
+        .map(nk => b.value.getOrElse(nk, "?"))
+        .toDF("n_name")
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"))
     }
   )
 
@@ -76,6 +108,20 @@ object Wave5 {
         |SELECT p.event_id, p.user_id, c.click_value AS last_click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q53_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  lag(o_totalprice, 1) OVER w AS prev_total,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q54_bcast_lookup" ->
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin
   )
 }
