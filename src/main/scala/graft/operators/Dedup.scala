@@ -220,6 +220,58 @@ object Dedup {
     sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
+  /** Connected components over an undirected pair list (a, b) by
+    * iterative min-label propagation: every node's label becomes the
+    * minimum label in its neighborhood until fixpoint. Output:
+    * (node, rep) for every node appearing in `pairs`, rep = min node id
+    * of its component.
+    *
+    * Scale: each iteration is one hash join + one hash aggregate;
+    * convergence takes O(component diameter) rounds — near-dup clusters
+    * are dense (quasi-cliques), so 2–3 rounds in practice.
+    * `localCheckpoint` truncates lineage per round so plans stay flat. */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+                 bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = und
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.unionByName(propagated)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("rep"))
+  }
+
+  /** End-to-end near-dedup clustering: every document mapped to its
+    * near-dup cluster representative (min doc id of the connected
+    * component under MinHash-LSH pairs at `threshold`); docs with no
+    * near-dup partner are their own rep. THE operation a training-data
+    * pipeline runs: `filter(doc_id == rep)` keeps one doc per cluster. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, threshold)
+    val comp = components(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+  }
+
   /** 64-bit SimHash sketch per document: (doc, sim).
     *
     * Formulation: explode tokens, hash once, and aggregate 64 per-bit vote

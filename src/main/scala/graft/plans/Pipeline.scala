@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.io.Sinks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+import java.util.concurrent.Executors
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Multi-sink pipeline facade — capability parity with the reference's
+  * job-graph runner (`graph.clj:450-465` `pg/execute`): name the stages,
+  * declare N output sinks, execute all leaf writes CONCURRENTLY, and get
+  * each sink's readback DataFrame (the dseq the reference returns per
+  * leaf).
+  *
+  * The heavy lifting parkour's graph layer did (flattening, job configs,
+  * var serialization) is Catalyst's job here: chained transformations ARE
+  * the logical DAG, shared upstream stages are shared plan subtrees (mark
+  * explicitly shared ones with [[Pipeline#shared]] to compute them once),
+  * and concurrent leaf jobs are plain parallel actions on one session —
+  * Spark's scheduler interleaves their stages across the cluster. A
+  * failing sink cancels the pipeline's job group (the reference's
+  * failure-cancels-upstream-futures semantics, `graph.clj:21-31`). */
+final class Pipeline(val name: String) {
+
+  private val stages = mutable.LinkedHashMap[String, DataFrame]()
+  private val sinks = mutable.LinkedHashMap[String, (DataFrame, String)]()
+  private val sharedFrames = mutable.ArrayBuffer[DataFrame]()
+
+  /** Name an intermediate stage (introspectable via [[stageNames]]). */
+  def stage(stageName: String, df: DataFrame): DataFrame = {
+    stages(stageName) = df
+    df
+  }
+
+  /** Mark a frame consumed by several sinks: persisted before execution,
+    * unpersisted after, so the shared prefix computes once. */
+  def shared(stageName: String, df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    sharedFrames += p
+    stage(stageName, p)
+  }
+
+  /** Declare a named parquet sink (leaf). */
+  def sink(sinkName: String, df: DataFrame, path: String): this.type = {
+    sinks(sinkName) = (df, path)
+    this
+  }
+
+  def stageNames: Seq[String] = stages.keys.toSeq
+  def sinkNames: Seq[String] = sinks.keys.toSeq
+
+  /** Run every sink write concurrently; returns sink name → readback.
+    * First failure cancels the pipeline's whole job group and rethrows. */
+  def execute(): Map[String, DataFrame] = {
+    require(sinks.nonEmpty, s"pipeline $name has no sinks")
+    val spark = sinks.head._2._1.sparkSession
+    val sc = spark.sparkContext
+    val group = s"graft-pipeline-$name"
+    val pool = Executors.newFixedThreadPool(math.min(sinks.size, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = sinks.toSeq.map { case (n, (df, path)) =>
+        Future {
+          sc.setJobGroup(group, s"$name/$n", interruptOnCancel = true)
+          try n -> Sinks.parquet(df, path)
+          catch {
+            case e: Throwable =>
+              sc.cancelJobGroup(group)
+              throw e
+          } finally sc.clearJobGroup()
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally {
+      pool.shutdown()
+      sharedFrames.foreach(_.unpersist())
+      sharedFrames.clear()
+    }
+  }
+}

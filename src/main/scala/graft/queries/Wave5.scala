@@ -80,6 +80,16 @@ object Wave5 {
         .toDF("n_name")
         .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
         .orderBy(col("n_name"))
+    },
+
+    // End-to-end near-dedup: every doc → its near-dup cluster rep
+    // (connected components over the MinHash-LSH pair graph). Oracle:
+    // DuckDB recursive CTE computing the same components over the exact
+    // Jaccard pairs (identical pair set at these LSH parameters).
+    "q55_neardup_clusters" -> { (s, d) =>
+      graft.operators.Dedup.nearDupClusters(
+        Tables.documents(s, d), "doc_id", "text", 0.9)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -122,6 +132,34 @@ object Wave5 {
     "q54_bcast_lookup" ->
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY n_name""".stripMargin
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q55_neardup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |reps AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+        |FROM documents d LEFT JOIN reps r ON d.doc_id = r.node
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -86,6 +86,31 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", 4)
   }
 
+  test("components: min-label propagation over a known graph") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    comp shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L)
+  }
+
+  test("nearDupClusters: reps are cluster minima, singletons self-rep") {
+    import spark.implicits._
+    val tiny = Seq(
+      (10L, "aa bb cc dd"), (11L, "aa bb cc dd"), (12L, "aa bb cc dd ee"),
+      (20L, "zz yy xx ww"), (30L, "qq rr ss tt uu vv kk ll mm nn oo pp"))
+      .toDF("doc_id", "text")
+    // jac(10,11)=1; jac(10/11,12)=4/5=0.8 < 0.9 -> separate; 20,30 singletons
+    val clusters = Dedup.nearDupClusters(tiny, "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().toMap
+    clusters shouldBe Map(10L -> 10L, 11L -> 10L, 12L -> 12L,
+      20L -> 20L, 30L -> 30L)
+    // survivors = one per cluster
+    clusters.filter { case (d, r) => d == r }.keySet shouldBe
+      Set(10L, 12L, 20L, 30L)
+  }
+
   test("minhash signatures per doc: length k, deterministic seed") {
     import spark.implicits._
     val s1 = Dedup.minhashSignatures(docs, "doc_id", "text", k = 16)

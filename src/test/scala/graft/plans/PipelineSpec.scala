@@ -1,0 +1,36 @@
+package graft.plans
+
+import graft.{SparkFixture, Tables}
+import graft.io.PathsUtil
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class PipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("execute runs all sinks concurrently from one shared parent, returns readbacks") {
+    val base = PathsUtil.transientPath("graft-pipeline")
+    val p = new Pipeline("orders-split")
+    val orders = p.shared("orders", Tables.orders(spark, sfDir))
+    p.sink("big", orders.filter(col("o_totalprice") > 150000.0), s"$base/big")
+      .sink("keys", orders.select("o_orderkey"), s"$base/keys")
+      .sink("by_prio", orders.groupBy("o_orderpriority").count(), s"$base/prio")
+    val outs = p.execute()
+    outs.keySet shouldBe Set("big", "keys", "by_prio")
+    outs("keys").count() shouldBe Tables.orders(spark, sfDir).count()
+    outs("big").count() shouldBe
+      Tables.orders(spark, sfDir).filter(col("o_totalprice") > 150000.0).count()
+    outs("by_prio").count() shouldBe 5
+    p.stageNames shouldBe Seq("orders")
+    p.sinkNames shouldBe Seq("big", "keys", "by_prio")
+  }
+
+  test("a failing sink fails the pipeline") {
+    import spark.implicits._
+    val p = new Pipeline("failing")
+    val df = Seq(1, 2, 3).toDF("x")
+    // a column that throws at runtime under ANSI (division by zero int)
+    p.sink("bad", df.select(expr("1/0").as("boom")), PathsUtil.transientPath("x"))
+    an[Exception] should be thrownBy p.execute()
+  }
+}
