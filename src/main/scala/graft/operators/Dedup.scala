@@ -167,6 +167,18 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double, k: Int = 64, bands: Int = 16,
                           seed: Long = 42L): DataFrame = {
+    val (sets, setPairs) =
+      minhashSetStage(docs, idCol, textCol, threshold, k, bands, seed)
+    sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
+  }
+
+  /** The distinct-set core of the MinHash pipeline: returns (sets =
+    * (doc, sk, ts) cached, setPairs = verified distinct-set pairs
+    * (sk_a, sk_b, jac) at `threshold`). Shared by pair expansion and
+    * component clustering. */
+  private def minhashSetStage(docs: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, k: Int, bands: Int,
+                              seed: Long): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val perms = H.permutations(k, seed)
@@ -217,7 +229,7 @@ object Dedup {
           .filter(col("jac") >= threshold)
           .select(col("sk_a"), col("sk_b"), col("jac"))
     }
-    sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
+    (sets, setPairs)
   }
 
   /** Connected components over an undirected pair list (a, b) by
@@ -262,14 +274,32 @@ object Dedup {
     * near-dup cluster representative (min doc id of the connected
     * component under MinHash-LSH pairs at `threshold`); docs with no
     * near-dup partner are their own rep. THE operation a training-data
-    * pipeline runs: `filter(doc_id == rep)` keeps one doc per cluster. */
+    * pipeline runs: `filter(doc_id == cluster_rep)` keeps one doc per
+    * cluster.
+    *
+    * Components run on the DISTINCT-SET graph, not the document graph:
+    * same-set docs are trivially connected, so set-level components give
+    * the identical clustering over a graph that is orders of magnitude
+    * smaller (no quasi-clique blowup from duplicate groups); documents
+    * re-attach with two hash joins afterwards. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, idCol, textCol, threshold)
-    val comp = components(pairs)
+    val (sets, setPairs) =
+      minhashSetStage(docs, idCol, textCol, threshold, 64, 16, 42L)
+    val comp = components(setPairs, "sk_a", "sk_b")
+    val docComp = sets.select(col("doc"), col("sk"))
+      .join(comp.withColumnRenamed("node", "sk"), Seq("sk"), "left")
+      // a set with no cross-set pair is its own (possibly multi-doc) component
+      .withColumn("crep", coalesce(col("rep"), col("sk")))
+    val repDoc = docComp.groupBy(col("crep"))
+      .agg(min(col("doc")).as("cluster_rep"))
+    val clustered = docComp.join(repDoc, "crep")
+      .select(col("doc").as("doc_id"), col("cluster_rep"))
+    // docs excluded from docSets (empty token sets) are their own rep
     docs.select(col(idCol).as("doc_id"))
-      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
   }
 
   /** 64-bit SimHash sketch per document: (doc, sim).
