@@ -82,6 +82,20 @@ object Wave5 {
         .orderBy(col("n_name"))
     },
 
+    // Streaming-module batch twin: session_window sessionization,
+    // verified against DuckDB's gaps-and-islands formulation (new
+    // session when the gap to the previous event is >= 30 min). This
+    // pins the streaming transform's semantics to an independent engine.
+    "q56_sessionize" -> { (s, d) =>
+      graft.streaming.Streams.sessionize(
+        Tables.events(s, d), gap = "30 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // End-to-end near-dedup: every doc → its near-dup cluster rep
     // (connected components over the MinHash-LSH pair graph). Oracle:
     // DuckDB recursive CTE computing the same components over the exact
@@ -133,6 +147,26 @@ object Wave5 {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q56_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q55_neardup_clusters" ->
       """WITH RECURSIVE
