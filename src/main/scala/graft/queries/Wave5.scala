@@ -96,6 +96,30 @@ object Wave5 {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // SQL entry point: the same engine driven through spark.sql over
+    // registered views (TPC-H Q3 shape) — order-insensitive exact
+    // decimal revenue, deterministic tie-break.
+    "q57_sql_q3" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4) / 1e4
+          |    AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+          |  o_orderpriority
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1995-03-15'
+          |  AND l_shipdate > TIMESTAMP '1995-03-15'
+          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, o_orderkey
+          |LIMIT 10""".stripMargin)
+    },
+
     // End-to-end near-dedup: every doc → its near-dup cluster rep
     // (connected components over the MinHash-LSH pair graph). Oracle:
     // DuckDB recursive CTE computing the same components over the exact
@@ -147,6 +171,22 @@ object Wave5 {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q57_sql_q3" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4) / 1e4
+        |    AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q56_sessionize" ->
       """WITH e AS (
