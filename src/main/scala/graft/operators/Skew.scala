@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (100 TB posture): when a join key's distribution is
+  * heavy-tailed, hash-partitioning sends the hot key's entire volume to
+  * one task. Salting splits each hot key across `salts` sub-keys on the
+  * large side and replicates the small side across all sub-keys —
+  * identical join result, `salts`-way parallelism on the hot keys.
+  * (AQE's skewedJoin handles sort-merge skew automatically; explicit
+  * salting is for hash joins and for skew the planner can't see.) */
+object Skew {
+
+  /** Inner equi-join of `large` (salted) with `small` (replicated).
+    * Result equals `large.join(small, keyCol)` exactly. */
+  def saltedJoin(large: DataFrame, small: DataFrame, keyCol: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Joins
+import graft.operators.{Joins, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,36 @@ object Wave5 {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // §2.7 array-function surface: construct/slice/sort/contains/zip.
+    "q58_array_ops" -> { (s, d) =>
+      val toks = split(lower(col("n_name")), "")
+      Tables.nation(s, d)
+        .select(
+          col("n_nationkey").cast("long").as("nationkey"),
+          array_join(slice(sort_array(array_distinct(filter(toks,
+            t => t =!= ""))), 1, 3), "").as("first3_chars"),
+          array_contains(toks, "a").as("has_a"),
+          size(filter(toks, t => t === "a")).cast("long").as("n_a"))
+        .orderBy(col("nationkey"))
+    },
+
+    // Skew-mitigation salted join: large side salted, small side
+    // replicated across salts — result must equal the plain join
+    // (oracle), parallelism on hot keys multiplied by `salts`.
+    "q59_salted_join" -> { (s, d) =>
+      Skew.saltedJoin(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum((floor(col("o_totalprice") * 100) / 100)
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 2)))
+            .cast("double").as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // SQL entry point: the same engine driven through spark.sql over
     // registered views (TPC-H Q3 shape) — order-insensitive exact
     // decimal revenue, deterministic tie-break.
@@ -171,6 +201,24 @@ object Wave5 {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q58_array_ops" ->
+      """WITH t AS (SELECT n_nationkey, lower(n_name) AS s FROM nation),
+        |c AS (SELECT n_nationkey,
+        |  list_filter(list_transform(range(1, length(s) + 1),
+        |    i -> s[i:i]), x -> x <> '') AS chars FROM t)
+        |SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+        |  array_to_string(list_sort(list_distinct(chars))[1:3], '') AS first3_chars,
+        |  list_contains(chars, 'a') AS has_a,
+        |  CAST(len(list_filter(chars, x -> x = 'a')) AS BIGINT) AS n_a
+        |FROM c ORDER BY nationkey""".stripMargin,
+
+    "q59_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2) / 1e2 AS DECIMAL(38,2)))
+        |    AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "q57_sql_q3" ->
       """SELECT o_orderkey,

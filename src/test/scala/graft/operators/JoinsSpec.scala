@@ -37,6 +37,19 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.columns shouldBe Array("user", "ts", "tag", "price")
   }
 
+  test("saltedJoin equals the plain join exactly") {
+    import spark.implicits._
+    val large = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val small = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val salted = Skew.saltedJoin(large, small, "o_custkey", salts = 8)
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+    val plain = large.join(small, "o_custkey")
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+    salted shouldBe plain
+  }
+
   test("equiRange keeps only in-range matches of the equi key") {
     import spark.implicits._
     val l = Seq((1L, 5), (1L, 50), (2L, 10)).toDF("k", "x")
