@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-shape regression tests: the physical plans we rely on for scale
+  * must not silently regress (filter pushdown into the parquet scan,
+  * broadcast joins for small dims, top-k without a global sort). */
+class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed into the parquet scan; schema pruned") {
+    val p = plan("q01_pricing_summary")
+    p should include("PushedFilters")
+    p should include("LessThanOrEqual(l_shipdate")
+    // pruned scan: the unused comment-ish columns never appear
+    p should not include "l_partkey"
+  }
+
+  test("q06: explicit broadcast join materializes as BroadcastHashJoin") {
+    plan("q06_bcast_join_revenue") should include("BroadcastHashJoin")
+  }
+
+  test("q11: top-k is TakeOrderedAndProject (no global sort materialization)") {
+    plan("q11_topk_orders") should include("TakeOrderedAndProject")
+  }
+
+  test("q05: equi-join resolves to a hash join, not nested loop") {
+    val p = plan("q05_join_cust_orders")
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q51: equi+range join keeps the equi key (no cartesian)") {
+    val p = plan("q51_range_join")
+    p should not include "CartesianProduct"
+  }
+}
