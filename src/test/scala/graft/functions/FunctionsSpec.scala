@@ -104,6 +104,42 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     one[Long](HashFunctions.hamming(lit(5L), lit(4L))) shouldBe 1L
   }
 
+  test("minShingleFingerprint (Column HOF) equals the codegen window formulation") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val hof = docs.select(col("doc_id"),
+      TextFunctions.minShingleFingerprint(col("text")).as("fp")).as[(Long, Option[String])]
+      .collect().toMap
+    val win = graft.operators.TextAnalysis
+      .fingerprints(docs, "doc_id", "text")
+      .select(col("doc_id"), col("fp_shingle")).as[(Long, Option[String])]
+      .collect().toMap
+    win shouldBe hof
+  }
+
+  test("cosineQ Column matches a plain-Scala reference on real embeddings") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 6)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def dotQL(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12).toLong }.sum
+    def ref(a: Array[Float], b: Array[Float]): Double =
+      (dotQL(a, b).toDouble / 1e12) /
+        (math.sqrt(dotQL(a, a).toDouble / 1e12) * math.sqrt(dotQL(b, b).toDouble / 1e12))
+    val pairs = for { a <- vecs.keys; b <- vecs.keys if a < b } yield (a, b)
+    val df = pairs.toSeq.map { case (a, b) => (a, b, vecs(a), vecs(b)) }
+      .toDF("a", "b", "va", "vb")
+      .select(col("a"), col("b"),
+        VectorFunctions.cosineQ(col("va"), col("vb")).as("sim"))
+      .as[(Long, Long, Double)].collect()
+    df.foreach { case (a, b, sim) =>
+      sim shouldBe ref(vecs(a), vecs(b)) // exact equality - same quantized ints
+    }
+  }
+
   test("vector dot/cosine exact-quantized variants") {
     val a = lit(Array(1.0f, 2.0f, 3.0f))
     val b = lit(Array(4.0f, 5.0f, 6.0f))
