@@ -254,17 +254,20 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // one pass per round: carry each node's own (old) label through the
+      // same aggregate that computes the new min, so convergence is a
+      // cheap scan of the checkpointed result instead of a re-join
       val propagated = und
         .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("lbl"))
-      val next = labels.unionByName(propagated)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"), lit(null).cast(
+          labels.schema("lbl").dataType).as("own"))
+      val merged = labels.select(col("node"), col("lbl"), col("lbl").as("own"))
+        .unionByName(propagated)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"), min(col("own")).as("own"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
-      converged = changed == 0
+      converged = merged.filter(col("lbl") =!= col("own")).limit(1).count() == 0
+      labels = merged.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.select(col("node"), col("lbl").as("rep"))

@@ -92,6 +92,24 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
       Array(1L, 2L)
   }
 
+  test("stream-static join: stream enriched against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    input.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0),
+      Ev(ts(3), 3, "click", 3.0))
+    val name = s"enrich_${System.nanoTime}"
+    val q = input.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table(name).select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toSet
+    rows shouldBe Set((1L, Some("gold")), (2L, Some("silver")), (3L, None))
+  }
+
   test("runningUserStats folds typed state per key across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
