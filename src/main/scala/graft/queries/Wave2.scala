@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * SimHash), similarity search (brute force / LSH / IVF), text analysis
   * (token stats, quality, language ID, fingerprints), multimodal plumbing.
   *
-  * Oracle-verified where SQL-expressible; sketch-based operators
-  * (MinHash/SimHash/LSH — Spark-hash-dependent) get rows-only driver
-  * checks plus ScalaTest recall assertions against their exact twins.
+  * Oracle-verified where SQL-expressible — including MinHash-LSH (q26),
+  * whose parameters make its output equal the exact Jaccard pair set.
+  * Spark-hash-dependent sketches with no SQL twin (SimHash q27, LSH ANN
+  * q31) get rows-only driver checks plus ScalaTest equality/recall
+  * assertions against their exact counterparts.
   */
 object Wave2 {
 

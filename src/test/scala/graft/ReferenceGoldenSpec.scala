@@ -1,0 +1,77 @@
+package graft
+
+import graft.io.{Dux, PathsUtil}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The reference's own golden fixtures, end-to-end (FIXTURES.md §A):
+  * word-count-input, join-left/right, and the dux split goldens, each
+  * asserting the exact expected output the reference's tests assert. */
+class ReferenceGoldenSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // dev-resources/word-count-input.txt: one word per line
+  private val wordLines =
+    Seq("apple", "banana", "apple", "carrot", "banana", "apple")
+
+  test("word count golden from the reference fixture (graph_test.clj:54-55)") {
+    import spark.implicits._
+    val counts = wordLines.toDF("value")
+      .groupBy(col("value").as("word")).count()
+      .as[(String, Long)].collect().toMap
+    counts shouldBe Map("apple" -> 3L, "banana" -> 2L, "carrot" -> 1L)
+  }
+
+  test("word distinct golden (word_count_test.clj:191-193)") {
+    import spark.implicits._
+    wordLines.toDF("value").distinct().as[String].collect().sorted shouldBe
+      Array("apple", "banana", "carrot")
+  }
+
+  test("counter golden: 6 input records observed (graph_test.clj:51-53)") {
+    import spark.implicits._
+    val (obs, df) = graft.operators.Counters.observed(
+      wordLines.toDF("value"), s"wc_${System.nanoTime}",
+      count(lit(1)).as("records"))
+    df.count()
+    obs.get("records").asInstanceOf[Long] shouldBe 6L
+  }
+
+  test("reduce-side join golden (join_test.clj:85-92)") {
+    import spark.implicits._
+    val left = Seq((0L, "foo"), (1L, "bar"), (2L, "baz")).toDF("id", "lword")
+    val right = Seq((0L, "blue"), (0L, "red"), (0L, "green"),
+      (1L, "blue"), (2L, "red"), (2L, "green")).toDF("id", "rword")
+    val joined = left.join(right, "id")
+      .select("id", "lword", "rword").as[(Long, String, String)]
+      .collect().sortBy(r => (r._1, r._3))
+    joined shouldBe Array(
+      (0L, "foo", "blue"), (0L, "foo", "green"), (0L, "foo", "red"),
+      (1L, "bar", "blue"), (2L, "baz", "green"), (2L, "baz", "red"))
+  }
+
+  test("dux first-letter prefix golden (io/dux_test.clj:38-41)") {
+    import spark.implicits._
+    val path = PathsUtil.transientPath("graft-dux-prefix")
+    val df = wordLines.toDF("word")
+      .withColumn("prefix", substring(col("word"), 1, 1))
+    Dux.writePartitioned(df, path, "prefix")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    dirs shouldBe Array("prefix=a", "prefix=b", "prefix=c")
+  }
+
+  test("even/odd multi-output split golden (graph_test.clj:181-182)") {
+    import spark.implicits._
+    val path = PathsUtil.transientPath("graft-dux-evenodd")
+    val counts = wordLines.toDF("value")
+      .groupBy(col("value").as("word")).count()
+    val outs = Dux.splitBy(counts, path, Map(
+      "even" -> (col("count") % 2 === 0),
+      "odd" -> (col("count") % 2 === 1)))
+    outs("even").select("word", "count").as[(String, Long)]
+      .collect().toMap shouldBe Map("banana" -> 2L)
+    outs("odd").select("word", "count").as[(String, Long)]
+      .collect().toMap shouldBe Map("apple" -> 3L, "carrot" -> 1L)
+  }
+}
