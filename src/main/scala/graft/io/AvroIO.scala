@@ -19,10 +19,9 @@ import scala.jdk.CollectionConverters._
   * classpath, so records convert explicitly at the task boundary (the
   * analogue of parkour's wrapper un/wrap layer, `wrapper.clj:65-95`).
   *
-  * Scope: flat records of primitive / nullable-primitive fields — the
-  * shape the reference's own tests exercise
-  * (`test/parkour/io/avro_test.clj`). Nested records/arrays/maps would
-  * extend `toSpark`/`toAvro` recursively.
+  * Scope: the Avro schema language the reference's data model declares
+  * (SURVEY §1.2) — records (nested), arrays, string-keyed maps, enums
+  * (as strings on read), primitives, and [null, T] unions.
   */
 object AvroIO {
 
@@ -37,12 +36,21 @@ object AvroIO {
 
   private[io] def toSparkType(s: Schema): DataType = s.getType match {
     case Schema.Type.STRING  => StringType
+    case Schema.Type.ENUM    => StringType
     case Schema.Type.LONG    => LongType
     case Schema.Type.INT     => IntegerType
     case Schema.Type.FLOAT   => FloatType
     case Schema.Type.DOUBLE  => DoubleType
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.FIXED   => BinaryType
+    case Schema.Type.RECORD  => toStructType(s)
+    case Schema.Type.ARRAY =>
+      val (inner, nullable) = unwrapUnion(s.getElementType)
+      ArrayType(toSparkType(inner), containsNull = nullable)
+    case Schema.Type.MAP =>
+      val (inner, nullable) = unwrapUnion(s.getValueType)
+      MapType(StringType, toSparkType(inner), valueContainsNull = nullable)
     case t => throw new IllegalArgumentException(s"unsupported avro type $t")
   }
 
@@ -52,24 +60,86 @@ object AvroIO {
       StructField(f.name(), toSparkType(inner), nullable)
     }.toSeq)
 
+  private[io] def toAvroType(dt: DataType, path: String): Schema = dt match {
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case st: StructType => toAvroSchema(st, path)
+    case ArrayType(et, containsNull) =>
+      val e = toAvroType(et, s"${path}_item")
+      Schema.createArray(if (containsNull) nullable(e) else e)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = toAvroType(vt, s"${path}_value")
+      Schema.createMap(if (valueContainsNull) nullable(v) else v)
+    case t => throw new IllegalArgumentException(s"unsupported spark type $t")
+  }
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), s))
+
   private[io] def toAvroSchema(st: StructType, name: String): Schema = {
     val fields = st.fields.map { f =>
-      val base = f.dataType match {
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        case t => throw new IllegalArgumentException(s"unsupported spark type $t")
-      }
-      val s = if (f.nullable)
-        Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
-      else base
+      val base = toAvroType(f.dataType, s"${name}_${f.name}")
+      val s = if (f.nullable) nullable(base) else base
       new Schema.Field(f.name, s, null, null)
     }
-    Schema.createRecord(name, null, "graft.io", false, fields.toList.asJava)
+    Schema.createRecord(name.replaceAll("[^A-Za-z0-9_]", "_"), null,
+      "graft.io", false, fields.toList.asJava)
+  }
+
+  // -------------------------------------------------- value conversion
+
+  /** Avro runtime value → Spark external row value (recursive). */
+  private def avroToSpark(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+    case rec: GenericRecord =>
+      Row.fromSeq((0 until rec.getSchema.getFields.size)
+        .map(i => avroToSpark(rec.get(i))))
+    case arr: java.util.Collection[_] =>
+      arr.asScala.map(avroToSpark).toSeq
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) =>
+        String.valueOf(k) -> avroToSpark(vv)
+      }.toMap
+    case other => other
+  }
+
+  /** Spark external row value → Avro runtime value (recursive; needs the
+    * target schema to build nested records). */
+  private def sparkToAvro(v: Any, schema: Schema): Any = {
+    val (s, _) = unwrapUnion(schema)
+    v match {
+      case null => null
+      case bytes: Array[Byte] => java.nio.ByteBuffer.wrap(bytes)
+      case row: Row =>
+        val rec = new GenericData.Record(s)
+        var i = 0
+        while (i < row.length) {
+          rec.put(i, sparkToAvro(row.get(i), s.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+      case seq: scala.collection.Seq[_] =>
+        val out = new java.util.ArrayList[Any](seq.length)
+        seq.foreach(e => out.add(sparkToAvro(e, s.getElementType)))
+        out
+      case m: scala.collection.Map[_, _] =>
+        val out = new java.util.HashMap[String, Any](m.size)
+        m.foreach { case (k, vv) =>
+          out.put(String.valueOf(k), sparkToAvro(vv, s.getValueType))
+        }
+        out
+      case other => other
+    }
   }
 
   /** Read the writer schema from the header of the first .avro part. */
@@ -105,12 +175,7 @@ object AvroIO {
         val vals = new Array[Any](n)
         var i = 0
         while (i < n) {
-          vals(i) = rec.get(i) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case b: java.nio.ByteBuffer =>
-              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-            case v => v
-          }
+          vals(i) = avroToSpark(rec.get(i))
           i += 1
         }
         Row.fromSeq(vals.toIndexedSeq)
@@ -135,16 +200,9 @@ object AvroIO {
       .mapPartitions { it =>
         val schema = new Schema.Parser().parse(schemaJson)
         it.map { row =>
-          val rec = new GenericData.Record(schema)
-          var i = 0
-          while (i < row.length) {
-            rec.put(i, row.get(i) match {
-              case bytes: Array[Byte] => java.nio.ByteBuffer.wrap(bytes)
-              case v => v
-            })
-            i += 1
-          }
-          (new AvroKey[GenericRecord](rec), NullWritable.get())
+          (new AvroKey[GenericRecord](
+            sparkToAvro(row, schema).asInstanceOf[GenericRecord]),
+            NullWritable.get())
         }
       }
       .saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],

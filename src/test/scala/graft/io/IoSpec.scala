@@ -61,6 +61,21 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
       (2L, "y", -2.0, false, None))
   }
 
+  test("avro round-trip: nested record, array, map") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.5, 2.5), Map("a" -> 1L, "b" -> 2L), ("inner", 9)),
+      (2L, Seq.empty[Double], Map.empty[String, Long], ("x", -1))
+    ).toDF("id", "xs", "kv", "nested")
+    val back = AvroIO.write(df, tmp("avro_nested"))
+    back.schema shouldBe df.schema
+    val rows = back.orderBy("id")
+      .as[(Long, Seq[Double], Map[String, Long], (String, Int))].collect()
+    rows shouldBe Array(
+      (1L, Seq(1.5, 2.5), Map("a" -> 1L, "b" -> 2L), ("inner", 9)),
+      (2L, Seq.empty[Double], Map.empty[String, Long], ("x", -1)))
+  }
+
   test("avro: reads real table content back identically") {
     val nation = Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("long").as("nationkey"), col("n_name").as("name"))
