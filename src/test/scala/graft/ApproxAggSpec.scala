@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Approximate-aggregate surface (SURVEY §2.4 note: declared via Spark
+  * built-ins). No oracle — HLL/KLL sketches are engine-specific — so the
+  * gate is tolerance against the exact answer on real data. */
+class ApproxAggSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("approx_count_distinct within 5% of exact on orders keys") {
+    val orders = Tables.orders(spark, sfDir)
+    val exact = orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val approx = orders.select(approx_count_distinct(col("o_custkey")))
+      .head().getLong(0)
+    math.abs(approx - exact).toDouble / exact should be < 0.05
+  }
+
+  test("percentile_approx brackets the exact median") {
+    val orders = Tables.orders(spark, sfDir)
+    val exactMedian = orders.select(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(Int.MaxValue)))
+      .head().getDouble(0)
+    val approx = orders.select(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(100)))
+      .head().getDouble(0)
+    // sketch median within 5% of the exact median on this distribution
+    math.abs(approx - exactMedian) / exactMedian should be < 0.05
+  }
+}
