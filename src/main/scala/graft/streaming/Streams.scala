@@ -57,6 +57,23 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming dux (S13's streaming twin): split one stream into named
+    * outputs by predicate via foreachBatch — each micro-batch appends its
+    * matching rows under `<basePath>/<name>`. Returns the started query. */
+  def duxSink(stream: DataFrame, basePath: String,
+              predicates: Map[String, org.apache.spark.sql.Column],
+              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cached = batch.persist()
+        try predicates.foreach { case (name, p) =>
+          cached.filter(p).write.mode("append").parquet(s"$basePath/$name")
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+
   // ----------------------------------------------------- custom state
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -110,6 +110,25 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     rows shouldBe Set((1L, Some("gold")), (2L, Some("silver")), (3L, None))
   }
 
+  test("duxSink splits a stream into named parquet outputs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.io.PathsUtil.transientPath("graft-stream-dux")
+    val input = MemoryStream[Ev]
+    val q = Streams.duxSink(input.toDF(), s"$base/out",
+      Map("hi" -> (org.apache.spark.sql.functions.col("value") >= 2.0),
+        "lo" -> (org.apache.spark.sql.functions.col("value") < 2.0)),
+      checkpoint = s"$base/ckpt")
+    try {
+      input.addData(Ev(ts(1), 1, "a", 1.0), Ev(ts(2), 2, "b", 3.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(3), 3, "c", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$base/out/hi").count() shouldBe 2
+    spark.read.parquet(s"$base/out/lo").count() shouldBe 1
+  }
+
   test("runningUserStats folds typed state per key across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
