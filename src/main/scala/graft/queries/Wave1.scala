@@ -226,14 +226,14 @@ object Wave1 {
     },
 
     // A8: parallel enumeration (matrixify dim-count-r parity) — dense ids
-    // for a small dimension. The distinct shrinks the data before the
-    // single-partition rank; at 100 TB the distinct output (#brands) is
-    // tiny so the final window is not a bottleneck.
+    // for a dimension via zipWithIndex prefix-sum enumeration (per-
+    // partition counts + driver offset fold; no single-partition window
+    // at any dimension size).
     "q16_enumerate_brands" -> { (s, d) =>
       import s.implicits._
-      Tables.part(s, d).select($"p_brand").distinct()
-        .withColumn("brand_id",
-          (dense_rank().over(Window.orderBy($"p_brand")) - 1).cast("long"))
+      graft.operators.Enumerate
+        .denseIds(Tables.part(s, d).select($"p_brand"), "p_brand", "brand_id")
+        .select($"p_brand", $"brand_id")
         .orderBy($"brand_id")
     },
 
