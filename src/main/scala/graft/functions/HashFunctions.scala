@@ -31,17 +31,21 @@ object HashFunctions {
     * 31-bit prime field). */
   def tokenHash(t: Column): Column = pmod(xxhash64(t), lit(Prime))
 
-  /** MinHash signature (array<long>, length k) over a string-array column.
-    * Empty input arrays yield a signature of Prime (sentinel max).
+  /** MinHash signature from a PRE-HASHED array<long> column (use when the
+    * hash array is materialized as its own attribute, so the k affine
+    * transforms share one hashing pass instead of re-hashing per
+    * permutation). Empty input arrays yield Prime (sentinel max).
     * All intermediate products are < 2^62 (31-bit operands), ANSI-safe. */
-  def minhashSignature(tokens: Column, perms: Array[(Long, Long)]): Column = {
-    val hashes = transform(tokens, t => tokenHash(t))
+  def minhashFromHashes(hashes: Column, perms: Array[(Long, Long)]): Column =
     array(perms.map { case (a, b) =>
       coalesce(
         array_min(transform(hashes, h => pmod(h * a + b, lit(Prime)))),
         lit(Prime))
     }: _*)
-  }
+
+  /** MinHash signature (array<long>, length k) over a string-array column. */
+  def minhashSignature(tokens: Column, perms: Array[(Long, Long)]): Column =
+    minhashFromHashes(transform(tokens, t => tokenHash(t)), perms)
 
   /** Band key for LSH bucketing: xxhash64 of one contiguous signature
     * slice (1-indexed band, `rows` entries per band). */

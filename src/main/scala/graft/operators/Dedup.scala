@@ -45,14 +45,55 @@ object Dedup {
 
   // ------------------------------------------------- distinct-set helpers
 
-  /** (doc, sk, ts): each document with its sorted distinct-token array and
-    * a 128-bit set key. Empty token sets are excluded (an empty doc has no
-    * content to near-dup match; Jaccard is undefined on empty sets). */
-  private def docSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (doc, sk, ts): each document with its sorted distinct element array
+    * and a 128-bit set key. Empty sets are excluded (an empty doc has no
+    * content to near-dup match; Jaccard is undefined on empty sets).
+    * The set key joins with U+0001 — a character that cannot occur in
+    * tokens or shingles — so distinct sets can never collide on sk
+    * (an empty-separator join would conflate {"ab","c"} with {"a","bc"}). */
+  private def docSetsBy(docs: DataFrame, id: Column, set: Column): DataFrame =
     docs
-      .select(col(idCol).as("doc"), sort_array(T.tokenSet(col(textCol))).as("ts"))
+      .select(id.as("doc"), sort_array(set).as("ts"))
       .filter(size(col("ts")) > 0)
-      .withColumn("sk", md5(array_join(col("ts"), "")))
+      .withColumn("sk", md5(array_join(col("ts"), "\u0001")))
+
+  private def docSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docSetsBy(docs, col(idCol), T.tokenSet(col(textCol)))
+
+  /** Shingle-set variant of [[docSetsBy]], built in a typed map: the
+    * n-gram construction (slice + join per position) evaluates
+    * interpreted as a Column higher-order function (~8s per pass at
+    * sf0.1) but is a trivial JVM loop. Tokens still come from the
+    * codegen'd split; sk is an MD5 over the sorted shingles with a
+    * separator byte (internal key, never oracle-compared). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc"),
+      T.tokens(col(textCol)).as("toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (docId, toksSeq) =>
+        val toks = toksSeq.toArray
+        if (toks.length < n) Iterator.empty
+        else {
+          val set = scala.collection.mutable.SortedSet[String]()
+          var i = 0
+          while (i + n <= toks.length) {
+            val sb = new StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            set += sb.toString
+            i += 1
+          }
+          val ts = set.toSeq
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ts.foreach { s => md.update(s.getBytes("UTF-8")); md.update(1.toByte) }
+          val sk = md.digest().map(b => f"$b%02x").mkString
+          Iterator((docId, ts, sk))
+        }
+      }.toDF("doc", "ts", "sk")
+  }
 
   /** One row per distinct token set: (sk, ts, n members). */
   private def setGroups(sets: DataFrame): DataFrame =
@@ -111,6 +152,13 @@ object Dedup {
         (sk, m)
       }.toDF("sk", "mask")
   }
+
+  /** 64-bit numeric key for a set key string, deterministic and JVM-pure
+    * (two independent 32-bit murmur hashes) — the skinny join key used by
+    * candidate generation. */
+  private def skHash(sk: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(sk, 0x9747b28c).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(sk, 0x85ebca6b).toLong & 0xffffffffL)
 
   // ------------------------------------------------------------ operators
 
@@ -172,24 +220,88 @@ object Dedup {
     sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
+  /** n-gram (word-shingle) Jaccard near-dup pairs via the same
+    * MinHash-LSH machinery, over the document's distinct `n`-shingle set
+    * instead of its token set. Shingle similarity is the sharper near-dup
+    * signal (word order matters; unrelated docs share far fewer shingles
+    * than tokens). Docs with fewer than `n` tokens have no shingles and
+    * never pair. Same recall contract as [[minhashNearDupPairs]]. */
+  def ngramNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, n: Int = 3, k: Int = 64,
+                        bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    val setPairs = minhashFromSets(sets, threshold, k, bands, seed)
+    sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
+  }
+
   /** The distinct-set core of the MinHash pipeline: returns (sets =
     * (doc, sk, ts) cached, setPairs = verified distinct-set pairs
     * (sk_a, sk_b, jac) at `threshold`). Shared by pair expansion and
     * component clustering. */
   private def minhashSetStage(docs: DataFrame, idCol: String, textCol: String,
                               threshold: Double, k: Int, bands: Int,
-                              seed: Long): (DataFrame, DataFrame) = {
+                              seed: Long): (DataFrame, DataFrame) =
+    minhashSetStageBy(docs, col(idCol), T.tokenSet(col(textCol)),
+      threshold, k, bands, seed)
+
+  private def minhashSetStageBy(docs: DataFrame, id: Column, set: Column,
+                                threshold: Double, k: Int, bands: Int,
+                                seed: Long): (DataFrame, DataFrame) = {
+    val sets = docSetsBy(docs, id, set).cache()
+    (sets, minhashFromSets(sets, threshold, k, bands, seed))
+  }
+
+  /** LSH band + verify over a prepared (doc, ts, sk) sets frame; returns
+    * the verified distinct-set pairs (sk_a, sk_b, jac). */
+  private def minhashFromSets(sets: DataFrame, threshold: Double, k: Int,
+                              bands: Int, seed: Long): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val perms = H.permutations(k, seed)
-    val sets = docSets(docs, idCol, textCol).cache()
-    val groups = setGroups(sets)
-      .withColumn("sig", H.minhashSignature(col("ts"), perms))
-      .cache()
-    val banded = groups.select(
-      xxhash64(col("sk")).as("h"),
-      explode(array((0 until bands).map(b =>
-        H.bandKey(col("sig"), b, rows)): _*)).as("key"))
+    val groups = setGroups(sets).cache()
+    val spark = sets.sparkSession
+    import spark.implicits._
+    // Signatures + band keys in ONE typed flatMap — tight JVM loops (a
+    // Column higher-order-function formulation evaluates interpreted, k
+    // passes per element array). Hash values are internal — verification
+    // is exact — so only determinism matters, not the hash family.
+    val P = H.Prime
+    val banded = groups.select(col("sk"), col("ts")).as[(String, Seq[String])]
+      .flatMap { case (sk, ts) =>
+        val h = skHash(sk)
+        val n = ts.length
+        val hashes = new Array[Long](n)
+        var i = 0
+        ts.foreach { t =>
+          hashes(i) =
+            (scala.util.hashing.MurmurHash3.stringHash(t, 0xe17a1465).toLong &
+              Long.MaxValue) % P
+          i += 1
+        }
+        val sig = new Array[Long](perms.length)
+        var j = 0
+        while (j < perms.length) {
+          val (a, b) = perms(j)
+          var mn = P
+          var x = 0
+          while (x < n) {
+            val v = (hashes(x) * a + b) % P
+            if (v < mn) mn = v
+            x += 1
+          }
+          sig(j) = mn
+          j += 1
+        }
+        (0 until bands).iterator.map { bnd =>
+          var key = bnd.toLong * 0x9E3779B97F4A7C15L
+          var r = bnd * rows
+          while (r < (bnd + 1) * rows) {
+            key = key * 0x100000001B3L + sig(r)
+            r += 1
+          }
+          (h, key)
+        }
+      }.toDF("h", "key")
     val candPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.key") === col("b.key") && col("a.h") < col("b.h"))
@@ -203,10 +315,11 @@ object Dedup {
     // fits an executor (it is bounded by distinct CONTENT, not corpus —
     // if a small-vocab corpus somehow had ~10^8 distinct sets, drop the
     // hint and AQE falls back to a shuffle join).
+    val skHashUdf = udf((sk: String) => skHash(sk))
     val setPairs = smallVocab(groups) match {
       case Some(vocab) =>
         val byHash = broadcast(maskGroups(groups, vocab)
-          .select(xxhash64(col("sk")).as("h"), col("sk"), col("mask")))
+          .select(skHashUdf(col("sk")).as("h"), col("sk"), col("mask")))
         candPairs
           .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
             col("mask").as("m_a")), "h_a")
@@ -217,7 +330,7 @@ object Dedup {
           .select(col("sk_a"), col("sk_b"), col("jac"))
           .dropDuplicates("sk_a", "sk_b")
       case None =>
-        val byHash = broadcast(groups.select(xxhash64(col("sk")).as("h"),
+        val byHash = broadcast(groups.select(skHashUdf(col("sk")).as("h"),
           col("sk"), col("ts")))
         candPairs
           .dropDuplicates("h_a", "h_b")
@@ -229,7 +342,7 @@ object Dedup {
           .filter(col("jac") >= threshold)
           .select(col("sk_a"), col("sk_b"), col("jac"))
     }
-    (sets, setPairs)
+    setPairs
   }
 
   /** Connected components over an undirected pair list (a, b) by

@@ -82,6 +82,15 @@ object Wave5 {
         .orderBy(col("n_name"))
     },
 
+    // n-gram (3-shingle) Jaccard near-dup via MinHash-LSH — word order
+    // matters, so this is the sharper near-dup signal; oracle is the
+    // exact shingle-set Jaccard (LSH miss probability ~4e-8/pair).
+    "q60_ngram_neardup" -> { (s, d) =>
+      graft.operators.Dedup.ngramNearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Streaming-module batch twin: session_window sessionization,
     // verified against DuckDB's gaps-and-islands formulation (new
     // session when the gap to the previous event is >= 30 min). This
@@ -235,6 +244,29 @@ object Wave5 {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q60_ngram_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |FROM common
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q56_sessionize" ->
       """WITH e AS (
