@@ -37,7 +37,7 @@ object HashFunctions {
     * permutation). Empty input arrays yield Prime (sentinel max).
     * All intermediate products are < 2^62 (31-bit operands), ANSI-safe. */
   def minhashFromHashes(hashes: Column, perms: Array[(Long, Long)]): Column =
-    array(perms.map { case (a, b) =>
+    array(perms.toIndexedSeq.map { case (a, b) =>
       coalesce(
         array_min(transform(hashes, h => pmod(h * a + b, lit(Prime)))),
         lit(Prime))

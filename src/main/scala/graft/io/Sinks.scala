@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.io.Text
 import org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Output sinks — the engine's "dsink" surface (SURVEY.md §2.1).
@@ -18,7 +18,7 @@ object Sinks {
     * parity: `io/text.clj:22-35` (TAB-separated TextOutputFormat). */
   def text(df: DataFrame, path: String, sep: String = "\t"): DataFrame = {
     val joined = df.select(
-      concat_ws(sep, df.columns.map(c => col(c).cast("string")): _*).as("value"))
+      concat_ws(sep, df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*).as("value"))
     joined.write.mode("overwrite").text(path)
     Sources.text(df.sparkSession, path)
   }

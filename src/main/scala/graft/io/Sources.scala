@@ -3,7 +3,6 @@ package graft.io
 import org.apache.hadoop.io.{LongWritable, Text}
 import org.apache.hadoop.mapreduce.lib.input.{NLineInputFormat, TextInputFormat}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Input sources — the engine's "dseq" surface (SURVEY.md §2.1).
   *

@@ -27,7 +27,7 @@ object Joins {
       col(keyCol).as("__k"), col(tsCol).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(right.schema(payload).dataType).as("__pay"),
-      struct(left.columns.map(col): _*).as("__row"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
     val rowType = l.schema("__row").dataType
     val r = right.select(
       col(keyCol).as("__k"), col(tsCol).as("__t"),

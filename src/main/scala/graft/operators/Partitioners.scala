@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.Partitioner
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 /** Custom shuffle partitioning (SURVEY.md O3/F6 — capability parity with

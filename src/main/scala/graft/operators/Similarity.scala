@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{VectorFunctions => V}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2.10).

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Dataset, Encoder}
 
 /** Arbitrary-code task surface (SURVEY.md F1/F2/F3, P4/P7 — capability
   * parity with the reference's task-function adapters:
