@@ -70,6 +70,21 @@ object TextAnalysis {
           col("stopword_ratio") * 0.2)
   }
 
+  /** BPE-ish segment pattern: word / number / punctuation-run segments
+    * with an optional leading space — the GPT-2-style pre-tokenizer shape,
+    * kept lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree. */
+  val BpeishPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** Token-count estimates per document: whitespace tokens and BPE-ish
+    * regex segments (the standard cheap proxy for LLM token budgeting). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_ws_tokens"),
+      regexp_count(col(textCol), lit(BpeishPattern)).cast("long")
+        .as("n_bpeish_tokens"))
+
   /** Content fingerprints: exact (md5 of normalized text) and shingle
     * sketch (min md5 over word 3-grams; null for docs with <3 tokens).
     *

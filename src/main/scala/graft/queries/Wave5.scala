@@ -82,6 +82,15 @@ object Wave5 {
         .orderBy(col("n_name"))
     },
 
+    // LLM token budgeting: whitespace + BPE-ish regex segment counts
+    // (lookahead-free pattern so Spark's Java regex and DuckDB's RE2
+    // count identically).
+    "q61_token_budget" -> { (s, d) =>
+      graft.operators.TextAnalysis.tokenCounts(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // n-gram (3-shingle) Jaccard near-dup via MinHash-LSH — word order
     // matters, so this is the sharper near-dup signal; oracle is the
     // exact shingle-set Jaccard (LSH miss probability ~4e-8/pair).
@@ -244,6 +253,15 @@ object Wave5 {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q61_token_budget" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS BIGINT)
+        |    AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q60_ngram_neardup" ->
       """WITH toks AS (
