@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based tests (SURVEY §5's declared ScalaCheck upgrade): the
+  * distributed dedup/clustering operators must agree with brute-force
+  * in-memory references on arbitrary random corpora — this exercises the
+  * whole distinct-set + bitmask + LSH machinery, not just fixed goldens.
+  * Sample counts are small (each sample runs Spark jobs). */
+object DedupProperties extends Properties("Dedup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkFixture.spark
+
+  private val vocab =
+    Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+
+  private val genDoc: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  private val genCorpus: Gen[List[String]] =
+    Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, genDoc))
+
+  private def refJaccardPairs(docs: List[(Long, String)], t: Double)
+      : Set[(Long, Long, Double)] = {
+    val sets = docs.map { case (id, s) =>
+      id -> s.split("[^a-z]+").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = (sa intersect sb).size.toDouble
+      jac = c / (sa.size + sb.size - c)
+      if jac >= t
+    } yield (a, b, jac)).toSet
+  }
+
+  property("jaccardPairs == brute-force reference on random corpora") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      got == refJaccardPairs(docs, 0.5)
+    }
+
+  property("minhashNearDupPairs == exact pairs at high threshold") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.minhashNearDupPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      got == refJaccardPairs(docs, 0.9)
+    }
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n,
+      for { a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L) if a != b }
+        yield (math.min(a, b), math.max(a, b))))
+
+  private def refComponents(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  property("components == union-find reference on random graphs") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = Dedup.components(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        got == refComponents(edges)
+      }
+    }
+}
