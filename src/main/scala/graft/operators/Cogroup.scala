@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** J4 — general typed cogroup (capability parity with the reference's
+  * n-way reduce-side merge: `src/clojure/parkour/mapreduce/source.clj:370-397`
+  * keykeyvalgroups iteration and the mux join reducer
+  * `test/parkour/join_test.clj:30-39`, which tags each input, groups by
+  * the shared key, and runs arbitrary per-key merge logic over both
+  * sides' value groups).
+  *
+  * Spark-first formulation: `Dataset.groupByKey(...).cogroup` — ONE
+  * shuffle per side on the grouping key, then the user function sees the
+  * key and both sides' row iterators exactly like a Hadoop reduce over a
+  * mux of tagged inputs. Nothing is collected to the driver; per-key
+  * groups stream from the shuffle (Spark materializes a group's rows at
+  * the consumer only if the function does — same memory contract as a
+  * Hadoop reducer that buffers).
+  */
+object Cogroup {
+
+  /** Two-sided typed cogroup: arbitrary per-key merge logic over both
+    * sides' row groups. The reference's join reducer is the special case
+    * `(k, as, bs) => for (a <- as; b <- bs) yield (k, a, b)` (buffer one
+    * side, stream the other). */
+  def cogroup[K: Encoder, A, B, R: Encoder](
+      left: Dataset[A], right: Dataset[B])(
+      keyL: A => K, keyR: B => K)(
+      f: (K, Iterator[A], Iterator[B]) => IterableOnce[R]): Dataset[R] =
+    left.groupByKey(keyL).cogroup(right.groupByKey(keyR)) {
+      (k, as, bs) => f(k, as, bs).iterator
+    }
+
+  /** n-way TAGGED cogroup — the literal mux-join shape: `sides` are the
+    * tagged inputs; the merge function receives, per key, one value
+    * sequence per side (empty where the side has no rows for the key).
+    * One union + ONE shuffle total, like the reference's single mux job.
+    * Per-key data is materialized per side (`mapGroups` contract — same
+    * as the reference's `group-by+` over the key's tuples); for streaming
+    * single-sequence iteration use [[Ordered.groupSorted]]. */
+  def cogroupN[K, V, R](sides: Seq[Dataset[(K, V)]])(
+      f: (K, IndexedSeq[Seq[V]]) => IterableOnce[R])(
+      implicit tagEnc: Encoder[(K, Int, V)], kEnc: Encoder[K],
+      rEnc: Encoder[R]): Dataset[R] = {
+    require(sides.nonEmpty, "cogroupN needs at least one side")
+    val n = sides.length
+    val tagged = sides.zipWithIndex
+      .map { case (ds, i) => ds.map { case (k, v) => (k, i, v) } }
+      .reduce(_ union _)
+    tagged.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val bufs = IndexedSeq.fill(n)(Seq.newBuilder[V])
+      it.foreach { case (_, tag, v) => bufs(tag) += v }
+      f(k, bufs.map(_.result())).iterator
+    }
+  }
+}

@@ -418,23 +418,35 @@ object Dedup {
         coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
   }
 
-  /** 64-bit SimHash sketch per document: (doc, sim).
+  /** Number of sketch bits in [[simhashSketches]]. 60 rather than 64: the
+    * per-token hash is the first 15 hex chars of md5 (engine-portable —
+    * any system with md5 reproduces the sketch bit-for-bit, which is what
+    * makes q27 DuckDB-oracle-comparable), and 15 nibbles = 60 bits is the
+    * largest md5 prefix whose value stays positive in a signed 64-bit
+    * long on every engine (no sign-extension disagreements). 60 also has
+    * richer divisors for banding than 64. */
+  val SimhashBits = 60
+
+  /** SimHash sketch per document: (doc, sim) with [[SimhashBits]]
+    * significant bits.
     *
-    * Formulation: explode tokens, hash once, and aggregate 64 per-bit vote
-    * sums in one codegen'd hash aggregate — O(64·tokens) scalar work with
-    * no per-token array allocation (an `aggregate`/`zip_with` formulation
-    * interprets, allocating a 64-array per token). Docs with no tokens get
+    * Formulation: explode tokens, hash once (md5-derived 60-bit value —
+    * see [[SimhashBits]]), and aggregate the per-bit vote sums in one
+    * codegen'd hash aggregate — O(bits·tokens) scalar work with no
+    * per-token array allocation (an `aggregate`/`zip_with` formulation
+    * interprets, allocating an array per token). Docs with no tokens get
     * sketch 0 (they are exact dups of each other anyway). */
   def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ids = docs.select(col(idCol).as("doc"))
     val tokHash = docs
       .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(i =>
+      .select(col("doc"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$i"))
     val agg = tokHash.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+    val sim = (0 until SimhashBits).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     }
@@ -443,20 +455,23 @@ object Dedup {
       .select(col("doc"), coalesce(col("sim"), lit(0L)).as("sim"))
   }
 
-  /** SimHash near-dup pairs: 64-bit sketch, band bucketing, exact Hamming
-    * verification on candidates.
+  /** SimHash near-dup pairs: [[SimhashBits]]-bit sketch, band bucketing,
+    * exact Hamming verification on candidates.
     *
     * Recall contract (pigeonhole): with `bands` bands, every pair at
     * Hamming distance <= bands-1 shares at least one band and is found;
-    * pairs beyond that are found only on coincidental band collision. The
-    * band count is derived from `maxHamming` to keep the guarantee. */
+    * the final `hamming <= maxHamming` filter then makes the output
+    * EXACTLY the set of pairs within `maxHamming` — which is why q27 can
+    * be oracle-verified by an all-pairs Hamming query. The band count is
+    * derived from `maxHamming` to keep the guarantee. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    require(64 % bands == 0,
-      s"maxHamming+1 ($bands) must divide 64; use 0, 1, 3, 7, 15 or 31")
-    val bits = 64 / bands
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    require(SimhashBits % bands == 0,
+      s"maxHamming+1 ($bands) must divide $SimhashBits; " +
+        "use e.g. 0, 1, 2, 3, 4, 5, 9, 11, 14, 19, 29 or 59")
+    val bits = SimhashBits / bands
+    val mask = (1L << bits) - 1
     val withSim = simhashSketches(docs, idCol, textCol)
     val banded = withSim.select(col("doc"), col("sim"),
       explode(array((0 until bands).map(b =>

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Dataset, Encoder}
+import org.apache.spark.sql.functions.col
+
+/** O2 — exact ordered-group iteration: Hadoop's sort-then-group reduce
+  * contract (capability parity with the reference's grouping-comparator
+  * reduce, `src/java/parkour/hadoop/AvroKeyGroupingComparator.java:25-47`,
+  * which matrixify's `dim-count-r` relies on:
+  * `examples/parkour/example/matrixify.clj:57-69`).
+  *
+  * The contract user code can rely on: every group's rows arrive in ONE
+  * task, CONSECUTIVELY, in ASCENDING `orderCols` order, and the group
+  * streams — `f` sees an iterator, nothing is materialized per group
+  * unless `f` buffers. This is exactly `repartition(keyCols) +
+  * sortWithinPartitions(keyCols ++ orderCols) + mapPartitions(run
+  * detection)`: one shuffle, sort inside the shuffle machinery
+  * (spill-safe at any group size), no hash-aggregate buffering.
+  *
+  * Use this over `groupByKey.flatMapGroups` whenever per-group logic
+  * needs values IN ORDER (sessionization, first/last, positional folds) —
+  * `flatMapGroups` guarantees grouping but not intra-group order.
+  */
+object Ordered {
+
+  /** Streaming (key, run iterator) view over a pre-sorted iterator — the
+    * Hadoop reduce-iterator twin. If a consumer abandons a run early, the
+    * next call skips the remainder (same as Hadoop's `nextKey()`). */
+  final class GroupRuns[T, K](it: Iterator[T], keyOf: T => K)
+      extends Iterator[(K, Iterator[T])] {
+    private val buf = it.buffered
+    private var cur: Iterator[T] = Iterator.empty
+    private def drain(): Unit = while (cur.hasNext) cur.next()
+    override def hasNext: Boolean = { drain(); buf.hasNext }
+    override def next(): (K, Iterator[T]) = {
+      drain()
+      val k = keyOf(buf.head)
+      val run = new Iterator[T] {
+        override def hasNext: Boolean = buf.hasNext && keyOf(buf.head) == k
+        override def next(): T =
+          if (hasNext) buf.next()
+          else throw new NoSuchElementException("run exhausted")
+      }
+      cur = run
+      (k, run)
+    }
+  }
+
+  /** Ordered-group apply: `f(key, sortedRunIterator)` per distinct key.
+    * `keyCols`/`orderCols` drive the physical shuffle + sort; `keyOf`
+    * must agree with `keyCols` (it detects run boundaries on the sorted
+    * stream). Rows within a run arrive ascending by `orderCols`. */
+  def groupSorted[T, K, R: Encoder](ds: Dataset[T], keyCols: Seq[String],
+                                    orderCols: Seq[String])(keyOf: T => K)(
+      f: (K, Iterator[T]) => IterableOnce[R]): Dataset[R] = {
+    require(keyCols.nonEmpty, "groupSorted needs at least one key column")
+    val sortCols: Seq[Column] = (keyCols ++ orderCols).map(col)
+    ds.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { it =>
+        new GroupRuns(it, keyOf).flatMap { case (k, run) => f(k, run).iterator }
+      }
+  }
+}

@@ -44,4 +44,37 @@ object Shapes {
     val (k, v) = kv(df)
     df.groupBy(col(k)).agg(sort_array(collect_list(col(v))).as("vals"))
   }
+
+  /** (grouping key, specific key, value) columns for the keykey* shapes.
+    * A 3+-column frame is the grouping-comparator case (column 0 groups,
+    * column 1 is the full/specific key); a 2-column frame is the default
+    * case where the specific key IS the grouping key
+    * (`mapreduce/source.clj:370-397` — the grouping comparator decides
+    * which specific keys collapse into one reduce group). */
+  private def gkv(df: DataFrame): (String, String, String) = {
+    require(df.columns.length >= 2,
+      s"keykey shapes expect (key, value) or (groupkey, key, value) columns, " +
+        s"got ${df.columns.mkString(",")}")
+    if (df.columns.length >= 3) (df.columns(0), df.columns(1), df.columns(2))
+    else (df.columns(0), df.columns(0), df.columns(1))
+  }
+
+  /** `:keykeyvalgroups` — (grouping key, sorted array of (key, value)
+    * structs): each reduce group retains its members' specific keys. */
+  def keykeyvalgroups(df: DataFrame): DataFrame = {
+    val (g, k, v) = gkv(df)
+    df.groupBy(col(g)).agg(
+      sort_array(collect_list(struct(col(k).as("key"), col(v).as("value"))))
+        .as("kvs"))
+  }
+
+  /** `:keykeygroups` — (grouping key, sorted array of specific keys). */
+  def keykeygroups(df: DataFrame): DataFrame = {
+    val (g, k, _) = gkv(df)
+    df.groupBy(col(g)).agg(sort_array(collect_list(col(k))).as("ks"))
+  }
+
+  /** `:keysgroups` — per-group sorted specific-key arrays, keys only. */
+  def keysgroups(df: DataFrame): DataFrame =
+    keykeygroups(df).select(col("ks"))
 }

@@ -142,7 +142,8 @@ object Similarity {
     * is quadratic in the corpus and nothing big is broadcast. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, nTables: Int = 24, bitsPerTable: Int = 4,
-              dim: Int = 64, seed: Long = 42L): DataFrame = {
+              dim: Int = 64, seed: Long = 42L,
+              exact: Boolean = false): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nTables)(
       Array.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
@@ -158,18 +159,20 @@ object Similarity {
       col(vecCol).as("qv")))
     val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("cv"))
-    rankTopK(pairs, qv, cv, k)
+    rankTopK(pairs, qv, cv, k, exact)
   }
 
   /** Attach vectors to candidate (query, neighbor) pairs, compute sims
     * with the typed kernel, rank per query via the bounded-heap
-    * Aggregator (no window funnel). */
+    * Aggregator (no window funnel). `exact` selects the quantized
+    * order-invariant kernel (oracle-comparable); default is the fast
+    * IEEE-double kernel. */
   private def rankTopK(pairs: DataFrame, qv: DataFrame, cv: DataFrame,
-                       k: Int): DataFrame = {
+                       k: Int, exact: Boolean = false): DataFrame = {
     val sims = pairSims(
       pairs.join(qv, "query_id").join(cv, "neighbor_id")
         .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")),
-      exact = false)
+      exact)
       .toDF("query_id", "neighbor_id", "sim")
     val topk = Agg.topK(k)
     sims.groupBy(col("query_id"))
@@ -184,13 +187,16 @@ object Similarity {
     * cell (centroids are a small driver-provided array, shipped in the
     * task closure — the broadcast-value pattern); each query probes its
     * `nProbe` nearest cells and scans only those cells' candidates.
-    * `nProbe = centroids.length` degrades gracefully to exact search.
+    * `nProbe = centroids.length` degrades gracefully to exact search
+    * (every query probes every cell, so the candidate set is the full
+    * corpus — with `exact = true` the result is bit-identical to
+    * [[bruteForceTopK]] and oracle-comparable).
     * Centroids would come from a sampled k-means at scale; any fixed
     * seeded set works for the plumbing. Cell assignment runs as a typed
     * map (tight JVM loops), the cell join is hash-partitioned. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: Array[Array[Double]],
-              nProbe: Int = 1): DataFrame = {
+              nProbe: Int = 1, exact: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     def cells(df: DataFrame, n: Int): DataFrame =
@@ -217,6 +223,6 @@ object Similarity {
       col(vecCol).as("qv")))
     val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("cv"))
-    rankTopK(pairs, qv, cv, k)
+    rankTopK(pairs, qv, cv, k, exact)
   }
 }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * (token stats, quality, language ID, fingerprints), multimodal plumbing.
   *
   * Oracle-verified where SQL-expressible — including MinHash-LSH (q26),
-  * whose parameters make its output equal the exact Jaccard pair set.
-  * Spark-hash-dependent sketches with no SQL twin (SimHash q27, LSH ANN
-  * q31) get rows-only driver checks plus ScalaTest equality/recall
-  * assertions against their exact counterparts.
+  * whose parameters make its output equal the exact Jaccard pair set;
+  * SimHash (q27), whose md5-derived hashes DuckDB reproduces bit-for-bit;
+  * and IVF ANN (q33) driven in its nProbe=all exactness mode. The one
+  * approximate-by-design query (LSH ANN q31, recall < 1 by nature) gets a
+  * rows-only driver check plus SimilaritySpec's sf0.01 recall gate.
   */
 object Wave2 {
 
@@ -40,6 +41,25 @@ object Wave2 {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact quantized brute-force cosine top-5 — the shared oracle for q28
+    * (brute-force engine path) and q33 (IVF engine path at nProbe=all,
+    * whose candidate set is the full corpus by construction). */
+  private lazy val SqlBruteTopK =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${sqlDotQ("qv", "cv")})
+       |      / (sqrt(${sqlDotQ("qv", "qv")}) * sqrt(${sqlDotQ("cv", "cv")})) AS sim
+       |  FROM q JOIN c ON query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, rank, floor(sim * 1e6) / 1e6 AS sim
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB twin of VectorFunctions.dotQLong (exact quantized dot). */
   private def sqlDotQ(a: String, b: String): String =
@@ -89,7 +109,10 @@ object Wave2 {
     },
 
     // SimHash near-dup: maxHamming=3 matches the 4-band pigeonhole
-    // guarantee (pairs within distance bands-1 always share a band).
+    // guarantee (pairs within distance bands-1 always share a band), so
+    // the output is EXACTLY the pairs within Hamming 3 — and because the
+    // token hash is md5-derived (engine-portable), DuckDB reproduces the
+    // sketches bit-for-bit and verifies with an all-pairs Hamming query.
     "q27_simhash_neardup" -> { (s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -117,8 +140,10 @@ object Wave2 {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Multi-table LSH ANN (scale path; rows-only, recall >=0.9 vs the
-    // exact q28 asserted in SimilaritySpec).
+    // Multi-table LSH ANN (scale path). No DuckDB oracle is possible by
+    // nature — recall < 1 by design — so the correctness gate is
+    // SimilaritySpec's "q31 gate" test: recall >= 0.9 vs exact brute
+    // force on sf0.01 at these exact parameters.
     "q31_lsh_ann" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id",
@@ -126,14 +151,17 @@ object Wave2 {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // IVF ANN: nearest-centroid cells, query probes its 3 nearest cells
-    // (rows-only; exactness at nProbe=|centroids| asserted in tests).
+    // IVF ANN driven in its exactness mode: nProbe = |centroids| probes
+    // every cell, so the candidate set is the full corpus and (with the
+    // exact quantized kernel) the result equals brute-force search —
+    // DuckDB-oracle-comparable. The approximate setting (nProbe=3, fast
+    // kernel) is covered by SimilaritySpec's recall-vs-nProbe assertions.
     "q33_ivf_ann" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val rnd = new scala.util.Random(7)
       val centroids = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id",
-        "embedding", 5, centroids, nProbe = 3)
+        "embedding", 5, centroids, nProbe = centroids.length, exact = true)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -211,25 +239,49 @@ object Wave2 {
 
     "q25_jaccard_pairs" -> SqlJaccardPairs,
 
+    // Bit-exact SimHash twin: same md5-derived 60-bit token hash, same
+    // majority-vote sketch, then all-pairs Hamming <= 3 (complete by the
+    // banding pigeonhole, so equal to the engine's banded+verified set).
+    "q27_simhash_neardup" -> {
+      val tokH =
+        """CAST(list_sum(list_transform(range(1, 16), i ->
+          |    (CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INTEGER), 1)) AS BIGINT) - 1)
+          |    * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INTEGER)))) AS BIGINT)""".stripMargin
+      val votes = (0 until Dedup.SimhashBits).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(",\n    ")
+      val sketch = (0 until Dedup.SimhashBits).map(i =>
+        s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+         |th AS (
+         |  SELECT doc_id, $tokH AS h FROM tk),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM th GROUP BY doc_id),
+         |sk AS (
+         |  SELECT doc_id, $sketch AS sim FROM votes),
+         |alls AS (
+         |  SELECT d.doc_id, coalesce(s.sim, CAST(0 AS BIGINT)) AS sim
+         |  FROM documents d LEFT JOIN sk s ON d.doc_id = s.doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM alls a JOIN alls b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // q26's LSH parameters make misses vanishingly improbable (~4e-8 per
     // pair), so its output contract is the same exact-Jaccard pair set.
     "q26_minhash_neardup" -> SqlJaccardPairs,
 
-    "q28_ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |sims AS (
-         |  SELECT query_id, neighbor_id,
-         |    (${sqlDotQ("qv", "cv")})
-         |      / (sqrt(${sqlDotQ("qv", "qv")}) * sqrt(${sqlDotQ("cv", "cv")})) AS sim
-         |  FROM q JOIN c ON query_id <> neighbor_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, sim,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM sims)
-         |SELECT query_id, neighbor_id, rank, floor(sim * 1e6) / 1e6 AS sim
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q28_ann_topk" -> SqlBruteTopK,
+
+    // q33's nProbe=all candidate set is the full corpus, so its output
+    // contract is the same exact brute-force top-k.
+    "q33_ivf_ann" -> SqlBruteTopK,
 
     "q29_fingerprints" ->
       s"""SELECT doc_id,

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Cogroup, Ordered, Shapes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 6 — the round-3 operator surface: general typed cogroup (J4 full
+  * parity), the grouping-comparator P8 shapes (keykeyvalgroups family),
+  * and exact ordered-group iteration (O2's Hadoop reduce-iterator
+  * contract). Each query's RESULT depends on the operator's defining
+  * behavior (per-key merge over both groups / retained specific keys /
+  * in-group iteration order), so the DuckDB oracle pins the semantics,
+  * not just row counts.
+  */
+object Wave6 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J4: general typed cogroup — per-nation merge over BOTH sides' row
+    // groups (customers and suppliers), emitting interleaved tagged rows.
+    // The supplier sequence numbers continue after the customer count, so
+    // the output is only computable by a function that sees both groups
+    // at once (the reference join reducer's n-way merge shape,
+    // test/parkour/join_test.clj:30-39).
+    "q62_cogroup_merge" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long"), col("c_name"))
+        .as[(Long, String)]
+      val supp = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("long"), col("s_name"))
+        .as[(Long, String)]
+      Cogroup.cogroup(cust, supp)(_._1, _._1) { (nk, cs, ss) =>
+        val cNames = cs.map(_._2).toArray.sorted
+        val sNames = ss.map(_._2).toArray.sorted
+        val cRows = cNames.iterator.zipWithIndex
+          .map { case (n, i) => (nk, "C", (i + 1).toLong, n) }
+        val sRows = sNames.iterator.zipWithIndex
+          .map { case (n, i) => (nk, "S", (cNames.length + i + 1).toLong, n) }
+        cRows ++ sRows
+      }.toDF("nationkey", "tag", "seq", "name")
+        .orderBy(col("nationkey"), col("seq"))
+    },
+
+    // P8 keykeyvalgroups: group by the grouping key (order priority),
+    // retain each member's specific key (custkey) alongside its value —
+    // flattened back out with positions so the grouped-array order is
+    // oracle-checkable.
+    "q63_keykey_shapes" -> { (s, d) =>
+      val kv3 = Tables.orders(s, d).select(
+        col("o_orderpriority").as("gk"),
+        col("o_custkey").cast("long").as("k"),
+        col("o_orderkey").cast("long").as("v"))
+      Shapes.keykeyvalgroups(kv3)
+        .select(col("gk"), posexplode(col("kvs")))
+        .select(col("gk"), (col("pos") + 1).cast("long").as("seq"),
+          col("col.key").as("custkey"), col("col.value").as("orderkey"))
+        .orderBy(col("gk"), col("seq"))
+    },
+
+    // O2 exact iteration contract: per-customer orders stream through the
+    // group function in (orderdate, orderkey) order; first/last and the
+    // position-weighted sum are only correct if the in-group order is.
+    "q64_ordered_groups" -> { (s, d) =>
+      import s.implicits._
+      val ds = Tables.orders(s, d).select(
+        col("o_custkey").cast("long").as("ck"),
+        // o_orderdate is TIMESTAMP_NTZ; cast through session-UTC timestamp
+        // for unix_micros (order-preserving — only used as a sort key)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate"),
+        col("o_orderkey").cast("long").as("okey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long, Long)]
+      Ordered.groupSorted(ds, Seq("ck"), Seq("odate", "okey"))(_._1) {
+        (ck, it) =>
+          var first = -1L; var last = -1L; var n = 0L; var wsum = 0L
+          it.foreach { case (_, _, okey, cents) =>
+            if (n == 0) first = okey
+            last = okey; n += 1; wsum += n * cents
+          }
+          Iterator((ck, first, last, n, wsum))
+      }.toDF("custkey", "first_order", "last_order", "n_orders",
+        "weighted_cents")
+        .orderBy(col("custkey"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q62_cogroup_merge" ->
+      """WITH cc AS (SELECT c_nationkey AS nk, count(*) AS nc
+        |  FROM customer GROUP BY 1)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'C' AS tag,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name)
+        |    AS BIGINT) AS seq,
+        |  c_name AS name
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(s.s_nationkey AS BIGINT), 'S',
+        |  CAST(row_number() OVER (PARTITION BY s.s_nationkey ORDER BY s.s_name)
+        |    + coalesce(cc.nc, 0) AS BIGINT),
+        |  s.s_name
+        |FROM supplier s LEFT JOIN cc ON s.s_nationkey = cc.nk
+        |ORDER BY nationkey, seq""".stripMargin,
+
+    "q63_keykey_shapes" ->
+      """SELECT o_orderpriority AS gk,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_custkey, o_orderkey) AS BIGINT) AS seq,
+        |  CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(o_orderkey AS BIGINT) AS orderkey
+        |FROM orders ORDER BY gk, seq""".stripMargin,
+
+    "q64_ordered_groups" ->
+      """WITH o AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |    CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders)
+        |SELECT ck AS custkey,
+        |  max(CASE WHEN rn = 1 THEN okey END) AS first_order,
+        |  max(CASE WHEN rn = n THEN okey END) AS last_order,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(rn * cents) AS BIGINT) AS weighted_cents
+        |FROM o GROUP BY 1 ORDER BY custkey""".stripMargin
+  )
+}

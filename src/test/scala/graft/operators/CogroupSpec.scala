@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Goldens for the round-3 operator surface: general typed cogroup (J4),
+  * the grouping-comparator P8 shapes (reference goldens mirror
+  * `test/parkour/mapreduce/source_test.clj:41-98` over its base-data
+  * fixture), and the O2 ordered-group iteration contract. */
+class CogroupSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import SparkFixture.spark.implicits._
+
+  /** The reference suite's base-data fixture (source_test.clj:13-14). */
+  private lazy val baseData =
+    Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L), ("c", 5L), ("c", 6L),
+      ("d", 7L)).toDF("key", "value")
+
+  test("cogroup: join reducer shape — cartesian per key, absent sides empty") {
+    val left = Seq((1L, "l1"), (1L, "l2"), (2L, "lx"), (4L, "lo"))
+      .toDF("k", "v").as[(Long, String)]
+    val right = Seq((1L, "r1"), (2L, "r1"), (2L, "r2"), (3L, "ro"))
+      .toDF("k", "v").as[(Long, String)]
+    // the reference join reducer: per key, (id, left, right) cartesian
+    val joined = Cogroup.cogroup(left, right)(_._1, _._1) { (k, as, bs) =>
+      val rs = bs.map(_._2).toSeq
+      as.flatMap(a => rs.map(r => (k, a._2, r)))
+    }.collect().toSet
+    joined shouldBe Set(
+      (1L, "l1", "r1"), (1L, "l2", "r1"),
+      (2L, "lx", "r1"), (2L, "lx", "r2"))
+    // keys on one side only still reach the function (outer semantics)
+    val keys = Cogroup.cogroup(left, right)(_._1, _._1) { (k, as, bs) =>
+      Iterator((k, as.size, bs.size))
+    }.collect().toSet
+    keys shouldBe Set((1L, 2, 1), (2L, 1, 2), (3L, 0, 1), (4L, 1, 0))
+  }
+
+  test("cogroupN: tagged n-way merge over one shuffle") {
+    val a = Seq((1L, "a1"), (2L, "a2")).toDS()
+    val b = Seq((1L, "b1"), (3L, "b3")).toDS()
+    val c = Seq((1L, "c1"), (1L, "c2")).toDS()
+    val merged = Cogroup.cogroupN(Seq(a, b, c)) { (k, sides) =>
+      Iterator((k, sides.map(_.sorted.mkString("+")).mkString("|")))
+    }.collect().toSet
+    merged shouldBe Set(
+      (1L, "a1|b1|c1+c2"), (2L, "a2||"), (3L, "|b3|"))
+  }
+
+  test("shapes: keykeyvalgroups golden (source_test.clj:78-86)") {
+    val r = Shapes.keykeyvalgroups(baseData)
+      .select(col("key"), to_json(col("kvs")).as("kvs"))
+      .as[(String, String)].collect().sortBy(_._1)
+    r shouldBe Array(
+      ("a", """[{"key":"a","value":1},{"key":"a","value":2}]"""),
+      ("b", """[{"key":"b","value":3}]"""),
+      ("c", """[{"key":"c","value":4},{"key":"c","value":5},{"key":"c","value":6}]"""),
+      ("d", """[{"key":"d","value":7}]"""))
+  }
+
+  test("shapes: keykeygroups + keysgroups goldens (source_test.clj:88-98)") {
+    val kk = Shapes.keykeygroups(baseData)
+      .as[(String, Seq[String])].collect().sortBy(_._1)
+    kk shouldBe Array(
+      ("a", Seq("a", "a")), ("b", Seq("b")), ("c", Seq("c", "c", "c")),
+      ("d", Seq("d")))
+    val ks = Shapes.keysgroups(baseData)
+      .as[Seq[String]].collect().sortBy(_.head)
+    ks shouldBe Array(Seq("a", "a"), Seq("b"), Seq("c", "c", "c"), Seq("d"))
+  }
+
+  test("shapes: 3-column frame groups by grouping key, retains specific keys") {
+    val gkv = Seq(("g1", "x", 1L), ("g1", "y", 2L), ("g2", "z", 3L))
+      .toDF("gk", "k", "v")
+    val r = Shapes.keykeyvalgroups(gkv)
+      .select(col("gk"), to_json(col("kvs")).as("kvs"))
+      .as[(String, String)].collect().sortBy(_._1)
+    r shouldBe Array(
+      ("g1", """[{"key":"x","value":1},{"key":"y","value":2}]"""),
+      ("g2", """[{"key":"z","value":3}]"""))
+  }
+
+  test("groupSorted: iteration contract — one task per group, ascending order") {
+    // shuffled input; f VERIFIES sortedness in-stream and would throw
+    val rows = scala.util.Random.shuffle(
+      for (k <- 1L to 20L; i <- 1L to 13L) yield (k, i * 7 % 13, k * 100 + i))
+    val ds = rows.toDF("k", "ord", "payload").as[(Long, Long, Long)]
+    val out = Ordered.groupSorted(ds, Seq("k"), Seq("ord", "payload"))(_._1) {
+      (k, it) =>
+        var prev = Long.MinValue
+        var n = 0
+        val pid = TaskContext.getPartitionId().toLong
+        it.foreach { case (_, ord, _) =>
+          require(ord >= prev, s"out of order within group $k: $ord < $prev")
+          prev = ord; n += 1
+        }
+        Iterator((k, n.toLong, pid))
+    }.collect()
+    // every group seen exactly once, fully (13 rows), in one task each
+    out.length shouldBe 20
+    out.map(_._2).toSet shouldBe Set(13L)
+  }
+
+  test("groupSorted: abandoned runs are skipped, not leaked into next group") {
+    val ds = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)).toDS()
+    val out = Ordered.groupSorted(ds, Seq("_1"), Seq("_2"))(_._1) {
+      (k, it) => Iterator((k, it.next()._2)) // consume only the first row
+    }.collect().toSet
+    out shouldBe Set((1L, 1L), (2L, 3L))
+  }
+}

@@ -82,8 +82,9 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("simhash: derives band count from maxHamming; rejects non-divisors") {
+    // maxHamming=6 -> 7 bands, and 7 does not divide SimhashBits (60)
     an[IllegalArgumentException] should be thrownBy
-      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 4)
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 6)
   }
 
   test("components: min-label propagation over a known graph") {

@@ -50,6 +50,20 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.9
   }
 
+  test("q31 gate: lshTopK recall >= 0.9 at q31's exact parameters on sf0.01") {
+    // q31 has no DuckDB oracle by nature (recall < 1 by design) — THIS
+    // assertion is its correctness gate, at the driver's verification
+    // scale and q31's exact parameters (queries vec_id<10, k=5, defaults).
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val q = emb01.filter(col("vec_id") < 10)
+    val exact = topkSet(Similarity.bruteForceTopK(q, emb01, "vec_id", "embedding", 5))
+    val lsh = topkSet(Similarity.lshTopK(q, emb01, "vec_id", "embedding", 5))
+    exact should not be empty
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    recall should be >= 0.9
+    emb01.unpersist()
+  }
+
   test("cosinePairs: symmetric-free output (id_a < id_b), threshold respected") {
     import spark.implicits._
     val r = Similarity.cosinePairs(
