@@ -31,7 +31,12 @@ object Bench {
       Tables.all.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = bench only the named queries (local iteration aid;
+    // the driver passes none and gets the full set)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -162,14 +162,26 @@ object AvroIO {
 
   // ----------------------------------------------------------------- read
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val schema = readHeaderSchema(spark, path)
+  /** Read Avro container files. `readerSchema = None` is the reference's
+    * `:default` mode (each file's writer schema, discovered from the
+    * header); passing an explicit reader schema engages standard Avro
+    * schema resolution — projection (reader omits fields → the input
+    * format skips them at decode time, the columnar-pruning analogue) and
+    * evolution (reader adds defaulted fields → filled per record) — the
+    * reference's explicit-schema mode (`io/avro.clj:59-66`,
+    * `AvroJob.setInputKeySchema`). The reader record's name must match
+    * the writer's (Avro resolution rule; [[write]] uses `GraftRecord`). */
+  def read(spark: SparkSession, path: String,
+           readerSchema: Option[Schema] = None): DataFrame = {
+    val schema = readerSchema.getOrElse(readHeaderSchema(spark, path))
     val structType = toStructType(schema)
     val n = structType.fields.length
-    val nullables = structType.fields.map(_.nullable)
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    readerSchema.foreach(rs => AvroJob.setInputKeySchema(job, rs))
     val rdd = spark.sparkContext
       .newAPIHadoopFile(path, classOf[AvroKeyInputFormat[GenericRecord]],
-        classOf[AvroKey[GenericRecord]], classOf[NullWritable])
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        job.getConfiguration)
       .map { case (k, _) =>
         val rec = k.datum()
         val vals = new Array[Any](n)
@@ -182,6 +194,11 @@ object AvroIO {
       }
     spark.createDataFrame(rdd, structType)
   }
+
+  /** [[read]] with the reader schema as JSON text (ergonomic twin of the
+    * reference's string-schema arguments). */
+  def read(spark: SparkSession, path: String, readerSchemaJson: String): DataFrame =
+    read(spark, path, Some(new Schema.Parser().parse(readerSchemaJson)))
 
   // ---------------------------------------------------------------- write
 

@@ -51,7 +51,7 @@ object Dedup {
     * The set key joins with U+0001 — a character that cannot occur in
     * tokens or shingles — so distinct sets can never collide on sk
     * (an empty-separator join would conflate {"ab","c"} with {"a","bc"}). */
-  private def docSetsBy(docs: DataFrame, id: Column, set: Column): DataFrame =
+  private[operators] def docSetsBy(docs: DataFrame, id: Column, set: Column): DataFrame =
     docs
       .select(id.as("doc"), sort_array(set).as("ts"))
       .filter(size(col("ts")) > 0)
@@ -96,7 +96,7 @@ object Dedup {
   }
 
   /** One row per distinct token set: (sk, ts, n members). */
-  private def setGroups(sets: DataFrame): DataFrame =
+  private[operators] def setGroups(sets: DataFrame): DataFrame =
     sets.groupBy(col("sk")).agg(first(col("ts")).as("ts"), count(lit(1)).as("n"))
 
   /** Doc pairs within the same token set (Jaccard exactly 1). */
@@ -170,12 +170,27 @@ object Dedup {
     * expand survivors back to doc pairs and add the same-set (jac = 1)
     * pairs. Identical result to the naive token self-join, but pairwise
     * work is quadratic in *distinct content*, not corpus size — still the
-    * exact baseline; run `minhashNearDupPairs` instead of this at 100 TB. */
+    * exact baseline; run `minhashNearDupPairs` instead of this at 100 TB.
+    *
+    * GUARDED: the distinct-set cross join is the one quadratic surface in
+    * the library, so this refuses corpora with more than
+    * `maxDistinctSets` distinct sets rather than melt a cluster — raise
+    * the bound explicitly if you really mean it; the scale path is
+    * [[minhashNearDupPairs]], whose candidates are bounded by LSH band
+    * collisions instead. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double,
+                   maxDistinctSets: Long = 100000L): DataFrame = {
     // sets feeds same-set pairing + two expansion joins — cache one scan
     val sets = docSets(docs, idCol, textCol).cache()
     val groups = setGroups(sets).cache()
+    val nDistinct = groups.count() // groups is cached and reused below
+    require(nDistinct <= maxDistinctSets,
+      s"jaccardPairs is the exact all-pairs baseline (quadratic in " +
+        s"distinct content): $nDistinct distinct token sets exceed the " +
+        s"maxDistinctSets guard ($maxDistinctSets). Use " +
+        s"minhashNearDupPairs for corpora at this scale, or raise " +
+        s"maxDistinctSets explicitly.")
     val setPairs = smallVocab(groups) match {
       case Some(vocab) =>
         val mg = maskGroups(groups, vocab)
@@ -244,7 +259,7 @@ object Dedup {
     minhashSetStageBy(docs, col(idCol), T.tokenSet(col(textCol)),
       threshold, k, bands, seed)
 
-  private def minhashSetStageBy(docs: DataFrame, id: Column, set: Column,
+  private[operators] def minhashSetStageBy(docs: DataFrame, id: Column, set: Column,
                                 threshold: Double, k: Int, bands: Int,
                                 seed: Long): (DataFrame, DataFrame) = {
     val sets = docSetsBy(docs, id, set).cache()
@@ -253,7 +268,7 @@ object Dedup {
 
   /** LSH band + verify over a prepared (doc, ts, sk) sets frame; returns
     * the verified distinct-set pairs (sk_a, sk_b, jac). */
-  private def minhashFromSets(sets: DataFrame, threshold: Double, k: Int,
+  private[operators] def minhashFromSets(sets: DataFrame, threshold: Double, k: Int,
                               bands: Int, seed: Long): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
@@ -351,39 +366,119 @@ object Dedup {
     * (node, rep) for every node appearing in `pairs`, rep = min node id
     * of its component.
     *
-    * Scale: each iteration is one hash join + one hash aggregate;
-    * convergence takes O(component diameter) rounds — near-dup clusters
-    * are dense (quasi-cliques), so 2–3 rounds in practice.
-    * `localCheckpoint` truncates lineage per round so plans stay flat. */
+    * Scale: each iteration is ONE Spark job — the propagate join + merge
+    * aggregate materializes through a checkpoint whose action also
+    * carries the convergence metric (`observe` + changed-label count), so
+    * there is no separate convergence job per round. Convergence takes
+    * O(component diameter) rounds — near-dup clusters are dense
+    * (quasi-cliques), so 2–3 rounds in practice.
+    *
+    * Small-graph finish: iterating a distributed loop over a graph that
+    * fits on the driver is all fixed job overhead, so when the
+    * symmetrized DISTINCT edge set is at most `localSolveMaxEdges` the
+    * component labels are computed with a driver-side union-find instead
+    * (bounded collect — the dval idiom; 1M edges ≈ tens of MB) and the
+    * result is identical. This is the standard scalable-CC shape:
+    * distributed rounds for unbounded graphs, local finish once the
+    * problem has shrunk — and near-dup thresholding shrinks hard (the
+    * distinct-set pair graph is orders of magnitude smaller than the
+    * corpus). Set `localSolveMaxEdges = 0` to force the loop.
+    *
+    * Fault tolerance: by default rounds truncate lineage with
+    * `localCheckpoint` (blocks on executors — fast, but an executor loss
+    * mid-job kills the run). For long 100 TB runs pass `checkpointDir`
+    * to write round state to reliable storage (HDFS/S3) instead. */
   def components(pairs: DataFrame, aCol: String = "doc_a",
-                 bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
-    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+                 bCol: String = "doc_b", maxIter: Int = 25,
+                 checkpointDir: Option[String] = None,
+                 localSolveMaxEdges: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def persist(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // symmetrize with ONE scan of `pairs` (explode, not self-union): the
+    // upstream plan is typically expensive (the LSH verify pipeline) and
+    // uncached — a two-branch union would evaluate it twice
+    val und = persist(
+      pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct())
+    val nEdges = und.count() // cheap: counts the checkpointed blocks
+    if (nEdges <= localSolveMaxEdges) return componentsLocal(und)
+    var labels = persist(
+      und.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // one pass per round: carry each node's own (old) label through the
-      // same aggregate that computes the new min, so convergence is a
-      // cheap scan of the checkpointed result instead of a re-join
+      // each node's own (old) label rides through the same aggregate that
+      // computes the new min, and the changed-label count rides the
+      // checkpoint action as an observed metric — one job per round
       val propagated = und
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("lbl"), lit(null).cast(
           labels.schema("lbl").dataType).as("own"))
-      val merged = labels.select(col("node"), col("lbl"), col("lbl").as("own"))
-        .unionByName(propagated)
-        .groupBy(col("node"))
-        .agg(min(col("lbl")).as("lbl"), min(col("own")).as("own"))
-        .localCheckpoint()
-      converged = merged.filter(col("lbl") =!= col("own")).limit(1).count() == 0
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      val merged = persist(
+        labels.select(col("node"), col("lbl"), col("lbl").as("own"))
+          .unionByName(propagated)
+          .groupBy(col("node"))
+          .agg(min(col("lbl")).as("lbl"), min(col("own")).as("own"))
+          .observe(obs, sum(when(col("lbl") =!= col("own"), 1L)
+            .otherwise(0L)).as("changed")))
+      val changed = obs.get.get("changed") match {
+        case Some(n: Number) => n.longValue // null sum = empty frame = 0
+        case _ => 0L
+      }
+      converged = changed == 0L
       labels = merged.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.select(col("node"), col("lbl").as("rep"))
+  }
+
+  /** Driver-side union-find finish for [[components]]: exact same
+    * (node, rep = min component member) result as the distributed loop,
+    * on a bounded, already-symmetrized+distinct edge frame. Node ordering
+    * matches Spark's `min` aggregate for the supported key types (numeric
+    * order for numbers, lexicographic for strings). */
+  private def componentsLocal(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    val lt: (Any, Any) => Boolean = {
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+      case (x: String, y: String) => x < y
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.doubleValue < y.doubleValue
+      case (x, y) => String.valueOf(x) < String.valueOf(y)
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    und.toLocalIterator().forEachRemaining { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are unioned toward the min member, so find(x) IS the min label
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList(parent.size)
+    parent.keys.foreach { n =>
+      rows.add(org.apache.spark.sql.Row(n, find(n)))
+    }
+    val nodeType = und.schema.fields(0).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rep", nodeType)))
+    spark.createDataFrame(rows, schema)
   }
 
   /** End-to-end near-dedup clustering: every document mapped to its

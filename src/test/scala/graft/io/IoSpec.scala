@@ -61,6 +61,27 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
       (2L, "y", -2.0, false, None))
   }
 
+  test("avro explicit reader schema: projection + defaulted-field evolution") {
+    import spark.implicits._
+    // write wide (id, s, d)
+    val df = Seq((1L, "x", 1.5), (2L, "y", -2.0)).toDF("id", "s", "d")
+    val path = tmp("avro_evolve")
+    AvroIO.write(df, path)
+    // narrow reader schema: project (id) only — decode-time pruning
+    val narrow =
+      """{"type":"record","name":"GraftRecord","namespace":"graft.io",
+        |"fields":[{"name":"id","type":["null","long"]}]}""".stripMargin
+    AvroIO.read(spark, path, narrow).as[Long].collect().sorted shouldBe
+      Array(1L, 2L)
+    // evolved reader schema: new defaulted field fills per record
+    val evolved =
+      """{"type":"record","name":"GraftRecord","namespace":"graft.io",
+        |"fields":[{"name":"id","type":["null","long"]},
+        |  {"name":"v", "type":"int", "default": 7}]}""".stripMargin
+    AvroIO.read(spark, path, evolved).as[(Long, Int)].collect()
+      .sortBy(_._1) shouldBe Array((1L, 7), (2L, 7))
+  }
+
   test("avro round-trip: nested record, array, map") {
     import spark.implicits._
     val df = Seq(

@@ -54,6 +54,59 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     Dedup.jaccardPairs(tiny, "doc_id", "text", 0.1).count() shouldBe 0
   }
 
+  test("jaccardPairs: maxDistinctSets guard refuses oversized corpora") {
+    import spark.implicits._
+    val tiny = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+    val ex = the[IllegalArgumentException] thrownBy
+      Dedup.jaccardPairs(tiny, "doc_id", "text", 0.5, maxDistinctSets = 2)
+    ex.getMessage should include("minhashNearDupPairs")
+    // raising the bound (or the default) runs fine
+    Dedup.jaccardPairs(tiny, "doc_id", "text", 0.5, maxDistinctSets = 3)
+      .count() should be >= 0L
+  }
+
+  test("components: reliable checkpoint path gives identical results") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+      .toString
+    // localSolveMaxEdges = 0 forces the distributed loop so the reliable
+    // checkpoint machinery is actually exercised
+    val reliable = Dedup.components(pairs, checkpointDir = Some(dir),
+      localSolveMaxEdges = 0L).as[(Long, Long)].collect().toMap
+    reliable shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L)
+    // checkpoint state actually went to reliable storage
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .count(_.toFile.isFile) should be > 0
+  }
+
+  test("components: local union-find finish == distributed loop (long + string keys)") {
+    import spark.implicits._
+    // random-ish graph with chains (diameter > 2) and singleton pairs
+    val rnd = new scala.util.Random(11)
+    val longPairs = (1 to 300)
+      .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.components(longPairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.components(longPairs, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    dist shouldBe local
+    // string node ids (the q55 set-key case): lexicographic min must agree
+    val strPairs = Seq(("bb", "aa"), ("bb", "cc"), ("zz", "yy"))
+      .toDF("doc_a", "doc_b")
+    val localS = Dedup.components(strPairs).as[(String, String)].collect().toMap
+    val distS = Dedup.components(strPairs, localSolveMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    distS shouldBe localS
+    localS shouldBe Map("aa" -> "aa", "bb" -> "aa", "cc" -> "aa",
+      "yy" -> "yy", "zz" -> "yy")
+  }
+
   test("minhash-LSH recall: reproduces the exact pair set on sf0.001 documents") {
     import spark.implicits._
     def pairs(df: org.apache.spark.sql.DataFrame) =
