@@ -39,4 +39,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     val p = plan("q51_range_join")
     p should not include "CartesianProduct"
   }
+
+  test("q62: typed cogroup plans as CoGroup (one shuffle per side, no join blowup)") {
+    val p = plan("q62_cogroup_merge")
+    p should include("CoGroup")
+    p should not include "CartesianProduct"
+  }
+
+  test("q64: groupSorted is shuffle-by-key + in-partition sort (no global sort before the fold)") {
+    val p = plan("q64_ordered_groups")
+    p should include("hashpartitioning(ck")
+    p should not include "CartesianProduct"
+    // the group fold streams over mapPartitions — no hash aggregate over
+    // the full rows, no window
+    p should not include "Window"
+  }
 }
