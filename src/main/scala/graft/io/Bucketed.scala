@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout: pre-shuffle data ONCE at write time so that
+  * every later equi-join or aggregation on the bucket key reads
+  * co-located buckets and skips the shuffle entirely — the on-disk
+  * analogue of the reference's stable custom-partitioner contract
+  * (`src/clojure/parkour/graph.clj` partition step + O3), and the main
+  * lever for repeated 100 TB joins on the same key: a fact table joined
+  * nightly against N dimensions pays its shuffle once, not N times.
+  *
+  * Uses Spark's native bucketing (`bucketBy` + `saveAsTable`; bucket
+  * metadata lives in the session catalog — plain path-based parquet
+  * cannot carry it). Two tables bucketed on the same key with the same
+  * bucket count join with zero Exchange (pinned by IoSpec's plan
+  * assertion).
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) managed parquet
+    * table. `nBuckets` should target the per-bucket size you want a task
+    * to read (~128–512 MB at scale). */
+  def write(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+            sortCols: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+    df.sparkSession.table(table) // dsink contract: readback of what was written
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Equi-join two tables bucketed on `key` with equal bucket counts:
+    * plans as a sort-merge join over co-located bucket files, no
+    * Exchange on either side. */
+  def join(spark: SparkSession, left: String, right: String,
+           key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -533,6 +533,11 @@ object Dedup {
     * sketch 0 (they are exact dups of each other anyway). */
   def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ids = docs.select(col(idCol).as("doc"))
+    // per-occurrence hash + vote: the md5 is codegen'd linear map-side
+    // work and the 60 vote sums partial-aggregate before the shuffle, so
+    // the only shuffled bytes are ~61 longs per (doc × partition) — a
+    // distinct-(doc,tok) pre-collapse would hash less but shuffle the
+    // token strings themselves, which loses at scale
     val tokHash = docs
       .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
       .select(col("doc"),

@@ -42,20 +42,21 @@ object Wave6 {
         .orderBy(col("nationkey"), col("seq"))
     },
 
-    // P8 keykeyvalgroups: group by the grouping key (order priority),
-    // retain each member's specific key (custkey) alongside its value —
-    // flattened back out with positions so the grouped-array order is
-    // oracle-checkable.
+    // P8 keykeyvalgroups: group by the grouping key (custkey — groups are
+    // naturally bounded, ~tens of orders per customer, so the grouped
+    // array is safe at any corpus size), retain each member's specific
+    // key (order priority) alongside its value — flattened back out with
+    // positions so the grouped-array order is oracle-checkable.
     "q63_keykey_shapes" -> { (s, d) =>
       val kv3 = Tables.orders(s, d).select(
-        col("o_orderpriority").as("gk"),
-        col("o_custkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("gk"),
+        col("o_orderpriority").as("k"),
         col("o_orderkey").cast("long").as("v"))
       Shapes.keykeyvalgroups(kv3)
         .select(col("gk"), posexplode(col("kvs")))
-        .select(col("gk"), (col("pos") + 1).cast("long").as("seq"),
-          col("col.key").as("custkey"), col("col.value").as("orderkey"))
-        .orderBy(col("gk"), col("seq"))
+        .select(col("gk").as("custkey"), (col("pos") + 1).cast("long").as("seq"),
+          col("col.key").as("priority"), col("col.value").as("orderkey"))
+        .orderBy(col("custkey"), col("seq"))
     },
 
     // O2 exact iteration contract: per-customer orders stream through the
@@ -103,12 +104,12 @@ object Wave6 {
         |ORDER BY nationkey, seq""".stripMargin,
 
     "q63_keykey_shapes" ->
-      """SELECT o_orderpriority AS gk,
-        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_custkey, o_orderkey) AS BIGINT) AS seq,
-        |  CAST(o_custkey AS BIGINT) AS custkey,
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority, o_orderkey) AS BIGINT) AS seq,
+        |  o_orderpriority AS priority,
         |  CAST(o_orderkey AS BIGINT) AS orderkey
-        |FROM orders ORDER BY gk, seq""".stripMargin,
+        |FROM orders ORDER BY custkey, seq""".stripMargin,
 
     "q64_ordered_groups" ->
       """WITH o AS (

@@ -50,6 +50,22 @@ class ReferenceGoldenSpec extends AnyFunSuite with Matchers with SparkFixture {
       (1L, "bar", "blue"), (2L, "baz", "green"), (2L, "baz", "red"))
   }
 
+  test("mux-join reducer golden via tagged n-way cogroup (join_test.clj:30-39,85-92)") {
+    import spark.implicits._
+    // the reference's join reducer verbatim: tag inputs 0/1, group by id,
+    // emit the per-key cartesian of the tag groups
+    val left = Seq((0L, "foo"), (1L, "bar"), (2L, "baz")).toDS()
+    val right = Seq((0L, "blue"), (0L, "red"), (0L, "green"),
+      (1L, "blue"), (2L, "red"), (2L, "green")).toDS()
+    val joined = graft.operators.Cogroup.cogroupN(Seq(left, right)) {
+      (id, sides) =>
+        for (l <- sides(0); r <- sides(1)) yield (id, l, r)
+    }.collect().sortBy(r => (r._1, r._3))
+    joined shouldBe Array(
+      (0L, "foo", "blue"), (0L, "foo", "green"), (0L, "foo", "red"),
+      (1L, "bar", "blue"), (2L, "baz", "green"), (2L, "baz", "red"))
+  }
+
   test("dux first-letter prefix golden (io/dux_test.clj:38-41)") {
     import spark.implicits._
     val path = PathsUtil.transientPath("graft-dux-prefix")

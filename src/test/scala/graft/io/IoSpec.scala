@@ -193,6 +193,29 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
     feats.count() shouldBe 2
   }
 
+  test("bucketed tables: co-located equi-join plans with NO shuffle") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick a shuffle-or-bucket plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Bucketed.write(o, "graft_bkt_orders", "o_custkey", 4)
+      Bucketed.write(c, "graft_bkt_cust", "o_custkey", 4)
+      val joined = Bucketed.join(spark, "graft_bkt_orders", "graft_bkt_cust",
+        "o_custkey")
+      joined.queryExecution.executedPlan.toString should not include "Exchange"
+      // and the result equals the plain (shuffled) join
+      joined.count() shouldBe o.join(c, "o_custkey").count()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_cust")
+    }
+  }
+
   test("clampPartitions bounds partition count (O4)") {
     import spark.implicits._
     val df = (1 to 100).toDF("x").repartition(8)
