@@ -88,13 +88,47 @@ object Similarity {
   }
 
   /** All pairs with cosine >= threshold within a (pre-filtered) vector
-    * set. Exact-arithmetic variant for oracle verification. */
+    * set. Exact-arithmetic variant for oracle verification. All-pairs —
+    * the exact baseline; the scale path is [[lshCosinePairs]]. */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, exact: Boolean = false): DataFrame = {
     val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val sims = pairSims(
       v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
         .select(col("a.id"), col("a.v"), col("b.id"), col("b.v")),
+      exact)
+    sims.filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), V.quantize(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding near-dup PAIRS at scale — the bucketed counterpart of
+    * [[cosinePairs]], completing the family pattern (exact baseline +
+    * LSH scale path) the text dedup operators follow: multi-table
+    * sign-bit LSH buckets the corpus, candidate pairs come from skinny
+    * same-bucket self-joins (ids only, deduped before vectors attach),
+    * and every candidate is VERIFIED with the real cosine — precision is
+    * exact, recall is the OR-amplified 1-(1-(1-θ/π)^m)^L. Nothing is
+    * quadratic in the corpus. */
+  def lshCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nTables: Int = 24,
+                     bitsPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
+                     exact: Boolean = false): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nTables)(
+      Array.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+    val b = tableBuckets(vectors, idCol, vecCol, planes)
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sims = pairSims(
+      pairs
+        .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+        .select(col("id_a"), col("v_a"), col("id_b"), col("v_b")),
       exact)
     sims.filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), V.quantize(col("sim"), 6).as("sim"))

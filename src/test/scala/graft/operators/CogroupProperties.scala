@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based tests: the cogroup family and ordered-group iteration
+  * must agree with brute-force local references on arbitrary random
+  * inputs (same posture as [[DedupProperties]]; sample counts are small —
+  * each sample runs Spark jobs). */
+object CogroupProperties extends Properties("Cogroup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkFixture.spark
+
+  private val kvGen: Gen[List[(Long, Int)]] = Gen.listOfN(60,
+    Gen.zip(Gen.choose(0L, 12L), Gen.choose(-50, 50)))
+
+  property("cogroup == local groupBy merge") = forAll(kvGen, kvGen) { (l, r) =>
+    import spark.implicits._
+    val got = Cogroup.cogroup(l.toDS(), r.toDS())(_._1, _._1) { (k, as, bs) =>
+      Iterator((k, as.map(_._2).sum, bs.map(_._2).sum))
+    }.collect().toSet
+    val lm = l.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rm = r.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = (lm.keySet ++ rm.keySet)
+      .map(k => (k, lm.getOrElse(k, 0), rm.getOrElse(k, 0)))
+    got == want
+  }
+
+  property("cogroupN(3) == local tag-partitioned groups") =
+    forAll(kvGen, kvGen, kvGen) { (a, b, c) =>
+      import spark.implicits._
+      val sides = Seq(a, b, c)
+      val got = Cogroup.cogroupN(sides.map(_.toDS())) { (k, gs) =>
+        Iterator((k, gs.map(_.sorted.mkString(",")).mkString("|")))
+      }.collect().toSet
+      val keys = sides.flatMap(_.map(_._1)).toSet
+      val want = keys.map { k =>
+        (k, sides.map(_.filter(_._1 == k).map(_._2).sorted.mkString(","))
+          .mkString("|"))
+      }
+      got == want
+    }
+
+  property("groupSorted == local sorted positional fold") = forAll(kvGen) {
+    data =>
+      import spark.implicits._
+      // positional checksum: only correct if in-group iteration order is
+      val got = Ordered.groupSorted(data.toDS(), Seq("_1"), Seq("_2"))(_._1) {
+        (k, it) =>
+          var i = 0L; var acc = 0L
+          it.foreach { case (_, v) => i += 1; acc += i * v }
+          Iterator((k, acc))
+      }.collect().toSet
+      val want = data.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.map(_._2).sorted.zipWithIndex
+          .map { case (v, i) => (i + 1).toLong * v }.sum)
+      }.toSet
+      got == want
+  }
+}

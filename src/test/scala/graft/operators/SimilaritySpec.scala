@@ -72,6 +72,22 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     r.filter(col("sim") < 0.3).count() shouldBe 0
   }
 
+  test("lshCosinePairs: exact precision, recall >= 0.9 vs all-pairs baseline") {
+    import spark.implicits._
+    val v = emb.filter(col("vec_id") % 10 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.cosinePairs(v, "vec_id", "embedding", 0.30,
+      exact = true))
+    val lsh = pairs(Similarity.lshCosinePairs(v, "vec_id", "embedding", 0.30,
+      exact = true))
+    exact should not be empty
+    // precision exact by construction: every LSH pair passes the same verify
+    (lsh -- exact) shouldBe empty
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
   test("ivfTopK: same neighbors as brute force when all vectors share a cell") {
     // one centroid -> every vector lands in cell 0 -> exact equivalence
     val q = emb.filter(col("vec_id") < 5)
