@@ -555,6 +555,40 @@ object Dedup {
       .select(col("doc"), coalesce(col("sim"), lit(0L)).as("sim"))
   }
 
+  /** Per-row JVM twin of [[simhashSketches]] — identical sketch value for
+    * a single document's text (same tokenization, same md5-derived 60-bit
+    * token hash, same majority vote; empty/no-token text → 0). For
+    * contexts where the batch explode+aggregate shape is unavailable —
+    * notably per-row streaming transforms ([[graft.streaming.Streams]]). */
+  def simhashOf(text: String): Long = {
+    val votes = new Array[Long](SimhashBits)
+    val toks = String.valueOf(text)
+      .toLowerCase(java.util.Locale.ROOT).split("[^a-z]+")
+    toks.foreach { tok =>
+      if (tok.nonEmpty) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        // first 15 hex chars = first 7 bytes + high nibble of byte 8
+        var h = 0L
+        var i = 0
+        while (i < 7) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+        h = (h << 4) | ((md(7) & 0xf0L) >> 4)
+        var bit = 0
+        while (bit < SimhashBits) {
+          votes(bit) += (if (((h >> bit) & 1L) == 1L) 1L else -1L)
+          bit += 1
+        }
+      }
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < SimhashBits) {
+      if (votes(bit) > 0) sim |= (1L << bit)
+      bit += 1
+    }
+    sim
+  }
+
   /** SimHash near-dup pairs: [[SimhashBits]]-bit sketch, band bucketing,
     * exact Hamming verification on candidates.
     *

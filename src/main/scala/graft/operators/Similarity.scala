@@ -217,9 +217,98 @@ object Similarity {
         V.quantize(col("col._1"), 6).as("sim"))
   }
 
+  /** Spherical k-means centroid training for [[ivfTopK]] — the "sampled
+    * k-means at scale" the IVF scaladoc calls for, as a real distributed
+    * op: per-iteration, vectors are assigned to their max-dot-product
+    * centroid (the SAME metric IVF cell assignment uses) in one
+    * `mapPartitions` pass with per-partition (sum, count) combining, so
+    * the shuffle is k×dim doubles per partition regardless of corpus
+    * size; centroids are mean-updated and re-normalized (spherical —
+    * right for cosine ANN). `sampleFraction` trains on a uniform sample
+    * (at 100 TB you train on ~1e6 rows, not the corpus). Deterministic
+    * under a fixed seed. Returns k×dim centroids for `ivfTopK`. */
+  def trainCentroids(vectors: DataFrame, vecCol: String, k: Int,
+                     iters: Int = 5, sampleFraction: Double = 1.0,
+                     seed: Long = 42L): Array[Array[Double]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val data = (if (sampleFraction < 1.0)
+      vectors.sample(withReplacement = false, sampleFraction, seed)
+    else vectors).select(col(vecCol)).as[Array[Float]].cache()
+    def normalize(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+      var best = 0; var bestDot = Double.MinValue
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i); var s = 0.0; var j = 0
+        while (j < v.length && j < c.length) { s += v(j) * c(j); j += 1 }
+        if (s > bestDot) { bestDot = s; best = i }
+        i += 1
+      }
+      best
+    }
+    var centroids = data.rdd.takeSample(withReplacement = false, k, seed)
+      .map(v => normalize(v.map(_.toDouble)))
+    require(centroids.length == k,
+      s"need at least $k vectors to train $k centroids")
+    val dim = centroids.head.length
+    for (_ <- 1 to iters) {
+      val b = spark.sparkContext.broadcast(centroids)
+      val (sums, counts) = data.rdd.mapPartitions { it =>
+        val acc = Array.fill(k)(new Array[Double](dim))
+        val cnt = new Array[Long](k)
+        it.foreach { v =>
+          val c = nearest(b.value, v)
+          var j = 0
+          while (j < v.length && j < dim) { acc(c)(j) += v(j); j += 1 }
+          cnt(c) += 1
+        }
+        Iterator((acc, cnt))
+      }.reduce { case ((a1, c1), (a2, c2)) =>
+        var i = 0
+        while (i < k) {
+          var j = 0
+          while (j < dim) { a1(i)(j) += a2(i)(j); j += 1 }
+          c1(i) += c2(i); i += 1
+        }
+        (a1, c1)
+      }
+      centroids = Array.tabulate(k) { i =>
+        if (counts(i) == 0) centroids(i) // empty cell keeps its centroid
+        else normalize(sums(i).map(_ / counts(i)))
+      }
+      b.destroy()
+    }
+    data.unpersist()
+    centroids
+  }
+
+  /** Mean max-dot objective of a centroid set over `vectors` (what
+    * [[trainCentroids]] ascends) — exposed for evaluation/tests. */
+  def centroidObjective(vectors: DataFrame, vecCol: String,
+                        centroids: Array[Array[Double]]): Double = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(centroids)
+    vectors.select(col(vecCol)).as[Array[Float]]
+      .map { v =>
+        var best = Double.MinValue
+        b.value.foreach { c =>
+          var s = 0.0; var j = 0
+          while (j < v.length && j < c.length) { s += v(j) * c(j); j += 1 }
+          if (s > best) best = s
+        }
+        best
+      }.agg(avg("value")).head().getDouble(0)
+  }
+
   /** IVF-style ANN: every candidate is assigned to its nearest centroid
     * cell (centroids are a small driver-provided array, shipped in the
-    * task closure — the broadcast-value pattern); each query probes its
+    * task closure — the broadcast-value pattern; train them with
+    * [[trainCentroids]]); each query probes its
     * `nProbe` nearest cells and scans only those cells' candidates.
     * `nProbe = centroids.length` degrades gracefully to exact search
     * (every query probes every cell, so the candidate set is the full

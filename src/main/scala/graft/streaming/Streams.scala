@@ -57,6 +57,24 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup dedup by SimHash sketch within the watermark
+    * horizon — the streaming twin of the Dedup sketch family: each
+    * document's 60-bit sketch is computed per row in the JVM
+    * (`Dedup.simhashOf`, bit-identical to the batch sketches; the batch
+    * explode+aggregate shape is unavailable pre-watermark in a stream)
+    * and duplicates at sketch granularity are dropped with bounded state.
+    * Near-identical documents share a sketch; verify-grade Hamming
+    * matching stays a batch concern (`Dedup.simhashNearDupPairs`). */
+  def dedupBySketchWithinWatermark(docs: DataFrame, textCol: String,
+                                   tsCol: String = "ts",
+                                   watermark: String = "2 hours"): DataFrame = {
+    val sketch = udf((s: String) => graft.operators.Dedup.simhashOf(s))
+    docs
+      .withColumn("sketch", sketch(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("sketch")
+  }
+
   /** Streaming dux (S13's streaming twin): split one stream into named
     * outputs by predicate via foreachBatch — each micro-batch appends its
     * matching rows under `<basePath>/<name>`. Returns the started query. */

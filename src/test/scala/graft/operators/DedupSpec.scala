@@ -134,6 +134,19 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     banded shouldBe brute
   }
 
+  test("simhashOf: per-row JVM sketch is bit-identical to the batch sketches") {
+    import spark.implicits._
+    val batch = Dedup.simhashSketches(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val texts = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      Dedup.simhashOf(text) shouldBe batch(id)
+    }
+    Dedup.simhashOf("") shouldBe 0L
+    Dedup.simhashOf("!!! 123") shouldBe 0L
+  }
+
   test("simhash: derives band count from maxHamming; rejects non-divisors") {
     // maxHamming=6 -> 7 bands, and 7 does not divide SimhashBits (60)
     an[IllegalArgumentException] should be thrownBy

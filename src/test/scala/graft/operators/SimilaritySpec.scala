@@ -98,6 +98,24 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     ivf shouldBe exact
   }
 
+  test("trainCentroids: deterministic, ascends the objective, exact at nProbe=all") {
+    val init = Similarity.trainCentroids(emb, "embedding", 8, iters = 0)
+    val trained = Similarity.trainCentroids(emb, "embedding", 8, iters = 5)
+    val trained2 = Similarity.trainCentroids(emb, "embedding", 8, iters = 5)
+    // deterministic under the same seed
+    trained.map(_.toSeq).toSeq shouldBe trained2.map(_.toSeq).toSeq
+    // Lloyd iterations do not worsen the mean max-dot objective
+    val objInit = Similarity.centroidObjective(emb, "embedding", init)
+    val objTrained = Similarity.centroidObjective(emb, "embedding", trained)
+    objTrained should be >= objInit - 1e-9
+    // trained centroids keep nProbe=all exactness (cells are a partition)
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = topkSet(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      trained, nProbe = 8))
+    val exact = topkSet(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    ivf shouldBe exact
+  }
+
   test("ivfTopK: probing ALL cells is exact; recall grows with nProbe") {
     val rnd = new scala.util.Random(7)
     val dim = 64

@@ -13,6 +13,9 @@ import java.sql.Timestamp
   * encoders without their outer scope). */
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Doc row for the streaming sketch-dedup test. */
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
 /** Streaming transforms driven end-to-end with MemoryStream sources and
   * memory sinks (batch parity asserted where the transform is
   * mode-agnostic). */
@@ -90,6 +93,23 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     try q.processAllAvailable() finally q.stop()
     spark.table(name).select("user_id").as[Long].collect().sorted shouldBe
       Array(1L, 2L)
+  }
+
+  test("dedupBySketchWithinWatermark: near-identical docs collapse on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(ts(1), 1, "the quick brown fox jumps"),
+      Doc(ts(2), 2, "THE QUICK  brown fox jumps!!"), // same tokens -> same sketch
+      Doc(ts(3), 3, "a completely different document body"))
+    val name = s"skdedup_${System.nanoTime}"
+    val q = Streams.dedupBySketchWithinWatermark(input.toDF(), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table(name).select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L)
   }
 
   test("stream-static join: stream enriched against a broadcast dimension") {
