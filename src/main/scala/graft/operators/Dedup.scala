@@ -209,6 +209,74 @@ object Dedup {
     sameSetPairs(sets).unionByName(expandSetPairs(qualified, sets))
   }
 
+  /** Exact token-set Jaccard pairs WITHOUT the cross join — the
+    * prefix-filtering (AllPairs/PPJoin-style) formulation: tokens are
+    * globally ordered rarest-first (ascending document frequency over the
+    * distinct-set relation), and a pair with Jaccard >= `threshold` must
+    * share at least one token inside each side's PREFIX of length
+    * n - ceil(t·n) + 1 under that order (if the prefixes were disjoint,
+    * the overlap is at most the suffix length ceil(t·n) - 1 < t·n <=
+    * required overlap). Candidates therefore come from a hash self-join
+    * on exploded prefix tokens — rare tokens make small buckets — then
+    * exact verification, same-set pairs, and doc expansion. Identical
+    * output contract to [[jaccardPairs]] with nothing quadratic in the
+    * corpus: this is the exact-result scale path; [[minhashNearDupPairs]]
+    * trades a ~4e-8 miss probability for an even smaller candidate set.
+    * (On adversarial corpora where every token is frequent — e.g. a
+    * 31-word vocabulary — prefix buckets degenerate like LSH bands do;
+    * real vocabularies are Zipfian and prefix tokens are rare.) */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = docSets(docs, idCol, textCol).cache()
+    val groups = setGroups(sets).cache()
+    // global document frequency over DISTINCT sets (the relation the
+    // pairwise stage runs on), then each set's tokens rarest-first
+    val df = groups.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = groups.select(col("sk"), explode(col("ts")).as("tok"))
+      .join(df, "tok")
+      .groupBy(col("sk"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dts"))
+      .select(col("sk"), col("dts.tok").as("ts_o"))
+    // prefix explode: token -> set, for the first n - ceil(t*n) + 1
+    // tokens. t*n multiplies as EXACT decimal: double arithmetic can
+    // round 0.9*20 up to 18.000..004, whose ceil would shorten the
+    // prefix below the completeness bound (a silent recall hole).
+    val tDec = lit(new java.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val prefix = ordered.select(col("sk"),
+      explode(slice(col("ts_o"), lit(1),
+        greatest(lit(1),
+          (size(col("ts_o")) - ceil(size(col("ts_o")) * tDec) + 1)
+            .cast("int"))))
+        .as("tok"))
+    val candPairs = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .dropDuplicates("sk_a", "sk_b")
+    // exact verification (bitmask fast path when the vocabulary allows)
+    val verified = smallVocab(groups) match {
+      case Some(vocab) =>
+        val mg = maskGroups(groups, vocab)
+        candPairs
+          .join(mg.select(col("sk").as("sk_a"), col("mask").as("m_a")), "sk_a")
+          .join(mg.select(col("sk").as("sk_b"), col("mask").as("m_b")), "sk_b")
+          .withColumn("jac", jacMask(col("m_a"), col("m_b")))
+      case None =>
+        candPairs
+          .join(groups.select(col("sk").as("sk_a"), col("ts").as("ts_a")), "sk_a")
+          .join(groups.select(col("sk").as("sk_b"), col("ts").as("ts_b")), "sk_b")
+          .withColumn("jac", jac(col("ts_a"), col("ts_b")))
+    }
+    val qualified = verified.filter(col("jac") >= threshold)
+      .select(col("sk_a"), col("sk_b"), col("jac"))
+    sameSetPairs(sets).unionByName(expandSetPairs(qualified, sets))
+  }
+
   /** MinHash signatures: (id, sig array<long> of length k). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, seed: Long = 42L): DataFrame =

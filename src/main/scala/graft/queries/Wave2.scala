@@ -99,6 +99,15 @@ object Wave2 {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Exact Jaccard pairs WITHOUT the cross join: prefix-filtering
+    // (AllPairs/PPJoin) — rarest-first token prefixes bucket the
+    // candidate join, exact verification keeps the output identical to
+    // q25 (shared oracle). The exact-result scale path.
+    "q65_jaccard_prefix" -> { (s, d) =>
+      Dedup.jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // MinHash-LSH near-dup (the 100 TB dedup path). With k=64/bands=16 the
     // per-pair miss probability at jac 0.9 is ~4e-8, so the output equals
     // the exact q25 result and shares its oracle SQL; recall is also
@@ -238,6 +247,9 @@ object Wave2 {
          |FROM scores ORDER BY doc_id""".stripMargin,
 
     "q25_jaccard_pairs" -> SqlJaccardPairs,
+
+    // q65 computes the same exact pair set through prefix filtering.
+    "q65_jaccard_prefix" -> SqlJaccardPairs,
 
     // Bit-exact SimHash twin: same md5-derived 60-bit token hash, same
     // majority-vote sketch, then all-pairs Hamming <= 3 (complete by the

@@ -49,6 +49,16 @@ object DedupProperties extends Properties("Dedup") {
       got == refJaccardPairs(docs, 0.5)
     }
 
+  property("jaccardPairsPrefix == brute-force reference on random corpora") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.jaccardPairsPrefix(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      got == refJaccardPairs(docs, 0.5)
+    }
+
   property("minhashNearDupPairs == exact pairs at high threshold") =
     forAll(genCorpus) { texts =>
       import spark.implicits._

@@ -54,6 +54,30 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     Dedup.jaccardPairs(tiny, "doc_id", "text", 0.1).count() shouldBe 0
   }
 
+  test("jaccardPairsPrefix == jaccardPairs on real docs and crafted corpora") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jac").as[(Long, Long, Double)]
+        .collect().toSet
+    for (t <- Seq(0.5, 0.9)) {
+      pairs(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", t)) shouldBe
+        pairs(Dedup.jaccardPairs(docs, "doc_id", "text", t))
+    }
+    // prefix-boundary shapes: sizes where ceil(t*n) is exact-integer
+    // (the fp-ceil hazard) and near-identical long sets
+    val crafted = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),          // n=20, t=0.9
+      (2L, (1 to 18).map(i => s"w$i").mkString(" ") + " x y"), // overlap 18
+      (3L, (1 to 20).map(i => s"w$i").mkString(" ")),          // dup of 1
+      (4L, "a b c d e f g h i j"),
+      (5L, "a b c d e f g h i k")                              // jac 9/11
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 0.9, 1.0)) {
+      pairs(Dedup.jaccardPairsPrefix(crafted, "doc_id", "text", t)) shouldBe
+        pairs(Dedup.jaccardPairs(crafted, "doc_id", "text", t))
+    }
+  }
+
   test("jaccardPairs: maxDistinctSets guard refuses oversized corpora") {
     import spark.implicits._
     val tiny = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc dd"))
