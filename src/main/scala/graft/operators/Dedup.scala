@@ -242,12 +242,14 @@ object Dedup {
       .groupBy(col("sk"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dts"))
       .select(col("sk"), col("dts.tok").as("ts_o"))
-    // prefix explode: token -> set, for the first n - ceil(t*n) + 1
-    // tokens. t*n multiplies as EXACT decimal: double arithmetic can
+    // prefix explode: (8-byte set-key hash, token) for the first
+    // n - ceil(t*n) + 1 tokens — skinny, like the LSH band join.
+    // t*n multiplies as EXACT decimal: double arithmetic can
     // round 0.9*20 up to 18.000..004, whose ceil would shorten the
     // prefix below the completeness bound (a silent recall hole).
     val tDec = lit(new java.math.BigDecimal(java.lang.Double.toString(threshold)))
-    val prefix = ordered.select(col("sk"),
+    val skHashUdf = udf((sk: String) => skHash(sk))
+    val prefix = ordered.select(skHashUdf(col("sk")).as("h"),
       explode(slice(col("ts_o"), lit(1),
         greatest(lit(1),
           (size(col("ts_o")) - ceil(size(col("ts_o")) * tDec) + 1)
@@ -255,25 +257,9 @@ object Dedup {
         .as("tok"))
     val candPairs = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
-      .dropDuplicates("sk_a", "sk_b")
-    // exact verification (bitmask fast path when the vocabulary allows)
-    val verified = smallVocab(groups) match {
-      case Some(vocab) =>
-        val mg = maskGroups(groups, vocab)
-        candPairs
-          .join(mg.select(col("sk").as("sk_a"), col("mask").as("m_a")), "sk_a")
-          .join(mg.select(col("sk").as("sk_b"), col("mask").as("m_b")), "sk_b")
-          .withColumn("jac", jacMask(col("m_a"), col("m_b")))
-      case None =>
-        candPairs
-          .join(groups.select(col("sk").as("sk_a"), col("ts").as("ts_a")), "sk_a")
-          .join(groups.select(col("sk").as("sk_b"), col("ts").as("ts_b")), "sk_b")
-          .withColumn("jac", jac(col("ts_a"), col("ts_b")))
-    }
-    val qualified = verified.filter(col("jac") >= threshold)
-      .select(col("sk_a"), col("sk_b"), col("jac"))
+        col("a.tok") === col("b.tok") && col("a.h") < col("b.h"))
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+    val qualified = verifySetPairs(candPairs, groups, threshold)
     sameSetPairs(sets).unionByName(expandSetPairs(qualified, sets))
   }
 
@@ -398,8 +384,19 @@ object Dedup {
     // fits an executor (it is bounded by distinct CONTENT, not corpus —
     // if a small-vocab corpus somehow had ~10^8 distinct sets, drop the
     // hint and AQE falls back to a shuffle join).
+    verifySetPairs(candPairs, groups, threshold)
+  }
+
+  /** Exact verification of skinny candidate set pairs (h_a, h_b) =
+    * [[skHash]] values, possibly with duplicates: attach the distinct-set
+    * payloads via broadcast lookup, compute exact Jaccard (bitmask fast
+    * path when the vocabulary allows), filter to `threshold`. Shared by
+    * the LSH band join and the prefix-filter join — both generate
+    * candidates skinny and verify here. */
+  private def verifySetPairs(candPairs: DataFrame, groups: DataFrame,
+                             threshold: Double): DataFrame = {
     val skHashUdf = udf((sk: String) => skHash(sk))
-    val setPairs = smallVocab(groups) match {
+    smallVocab(groups) match {
       case Some(vocab) =>
         val byHash = broadcast(maskGroups(groups, vocab)
           .select(skHashUdf(col("sk")).as("h"), col("sk"), col("mask")))
@@ -425,7 +422,6 @@ object Dedup {
           .filter(col("jac") >= threshold)
           .select(col("sk_a"), col("sk_b"), col("jac"))
     }
-    setPairs
   }
 
   /** Connected components over an undirected pair list (a, b) by

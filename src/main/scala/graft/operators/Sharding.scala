@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data sharding and mixing operators (SURVEY §2.10 extension):
+  * the steps between "deduped corpus" and "tokenizer-ready shards" in a
+  * pretraining pipeline.
+  *
+  * Both sharders are BUCKET-parallel: a global sequential pack would
+  * serialize the corpus through one task (a global-window cumsum is a
+  * single-partition plan — the exact shape this library bans), so docs
+  * hash into `buckets` independent streams, each packed sequentially.
+  * At 100 TB, buckets ≈ executor-parallelism × a few, and each bucket's
+  * pack is one task's streaming pass.
+  */
+object Sharding {
+
+  /** Contiguous token sharding: within each bucket (doc hash-stream,
+    * ordered by id), docs are laid end-to-end and a shard boundary falls
+    * every `budget` tokens — shard = floor(start_offset / budget). Pure
+    * windowed cumsum per bucket (codegen, spill-safe). A doc can start a
+    * new shard mid-stream; use [[packGreedy]] when shards must never
+    * exceed the budget. Output: (id, bucket, shard, n_tokens). */
+  def contiguousShards(docs: DataFrame, idCol: String, textCol: String,
+                       budget: Long, buckets: Int = 32): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      pmod(col(idCol).cast("long"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("csum", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("csum") - col("n_tokens")) / budget).cast("long"))
+      .select(col("id"), col("bucket"), col("shard"), col("n_tokens"))
+  }
+
+  /** Greedy budget packing: within each bucket, stream docs in id order
+    * and open a new shard whenever adding the next doc would exceed
+    * `budget` (a doc larger than the budget gets a shard of its own).
+    * Shards never exceed the budget (single-oversized-doc shards aside) —
+    * the bin-packing contract sequence-packing pipelines want. Built on
+    * [[Ordered.groupSorted]]: one shuffle, per-bucket streaming pass,
+    * nothing materialized per group. Output: (id, bucket, shard,
+    * n_tokens). */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+                 budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      pmod(col(idCol).cast("long"), lit(buckets)).as("bucket"))
+      .as[(Long, Long, Long)]
+    Ordered.groupSorted(toks, Seq("bucket"), Seq("id"))(_._3) { (bucket, it) =>
+      var shard = -1L
+      var used = budget + 1 // forces the first doc (even a 0-token one) to open shard 0
+      it.map { case (id, n, _) =>
+        if (used + n > budget) { shard += 1; used = 0L }
+        used += n
+        (id, bucket, shard, n)
+      }
+    }.toDF("id", "bucket", "shard", "n_tokens")
+  }
+
+  /** Stratified quota sampling for data mixing: keep at most `quota`
+    * documents per stratum (language, source, ...), chosen by a
+    * deterministic md5 ranking — the distributed, rerun-stable version
+    * of "sample k per class". One shuffle on the stratum key; the rank is
+    * a bounded per-stratum top-k in the engine's window form (strata
+    * counts are the only cardinality that matters, not corpus size).
+    * Output: the stratum column + (id, rk). */
+  def stratifiedQuota(docs: DataFrame, idCol: String, stratumCol: String,
+                      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    docs.select(col(idCol).as("id"), col(stratumCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cogroup, Ordered, Shapes}
+import graft.operators.{Cogroup, Ordered, Shapes, Sharding, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,23 @@ object Wave6 {
         .orderBy(col("custkey"), col("seq"))
     },
 
+    // Training-data sharding: contiguous token-budget shards per hash
+    // bucket (windowed cumsum — bucket-parallel, no global window).
+    "q66_token_shards" -> { (s, d) =>
+      Sharding.contiguousShards(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, buckets = 32)
+        .orderBy(col("id"))
+    },
+
+    // Data mixing: deterministic stratified quota sample — at most 50
+    // docs per predicted language, ranked by md5 (rerun-stable).
+    "q67_stratified_sample" -> { (s, d) =>
+      val withLang = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      Sharding.stratifiedQuota(withLang, "doc_id", "lang_pred", 50)
+        .orderBy(col("lang_pred"), col("rk"))
+    },
+
     // O2 exact iteration contract: per-customer orders stream through the
     // group function in (orderdate, orderkey) order; first/last and the
     // position-weighted sum are only correct if the in-group order is.
@@ -110,6 +127,51 @@ object Wave6 {
         |  o_orderpriority AS priority,
         |  CAST(o_orderkey AS BIGINT) AS orderkey
         |FROM orders ORDER BY custkey, seq""".stripMargin,
+
+    "q66_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS csum
+        |  FROM t)
+        |SELECT doc_id AS id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(floor(CAST(csum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS shard,
+        |  n_tokens
+        |FROM c ORDER BY id""".stripMargin,
+
+    "q67_stratified_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+        |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+        |    len(list_filter(t, x -> list_contains(['el','los','de','y','es'], x))) AS s_es
+        |  FROM toks),
+        |lang AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        |    WHEN s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |  FROM scores),
+        |ranked AS (
+        |  SELECT doc_id AS id, lang_pred,
+        |    CAST(row_number() OVER (PARTITION BY lang_pred
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM lang)
+        |SELECT id, lang_pred, rk FROM ranked WHERE rk <= 50
+        |ORDER BY lang_pred, rk""".stripMargin,
 
     "q64_ordered_groups" ->
       """WITH o AS (

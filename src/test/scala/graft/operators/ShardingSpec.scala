@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Contract tests for the training-data sharding/mixing operators. */
+class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("packGreedy: shards respect the budget, cover every doc, in order") {
+    import spark.implicits._
+    val budget = 200L
+    val packed = Sharding.packGreedy(docs, "doc_id", "text", budget,
+      buckets = 8).cache()
+    packed.count() shouldBe docs.count()
+    // per-(bucket, shard) totals never exceed the budget unless the shard
+    // is a single oversized doc
+    val over = packed.groupBy("bucket", "shard")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("n"))
+      .filter(col("total") > budget && col("n") > 1)
+    over.count() shouldBe 0
+    // within a bucket, shard ids are non-decreasing in id order and dense
+    val byBucket = packed.select("bucket", "id", "shard")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    byBucket.values.foreach { rows =>
+      val shards = rows.sortBy(_._2).map(_._3)
+      shards.zip(shards.tail).foreach { case (a, b) =>
+        (b - a) should (be(0L) or be(1L))
+      }
+      shards.head shouldBe 0L
+    }
+  }
+
+  test("packGreedy: oversized doc gets its own shard; empty docs pack together") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Seq.fill(50)("w").mkString(" ")), // 50 tokens > budget 10
+      (8L, "a b c"), (16L, "d e f"), (24L, "g h i j k l m")
+    ).toDF("doc_id", "text") // all in bucket 0 (ids % 8 == 0)
+    val packed = Sharding.packGreedy(tiny, "doc_id", "text", 10L, buckets = 8)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    packed(0L) shouldBe 0L  // oversized alone in shard 0
+    packed(8L) shouldBe 1L  // 3 tokens
+    packed(16L) shouldBe 1L // 3 + 3 <= 10
+    packed(24L) shouldBe 2L // 6 + 7 > 10 -> new shard
+  }
+
+  test("contiguousShards: per-bucket cumsum boundaries, deterministic") {
+    val a = Sharding.contiguousShards(docs, "doc_id", "text", 512, 32)
+    val b = Sharding.contiguousShards(docs, "doc_id", "text", 512, 32)
+    a.exceptAll(b).count() shouldBe 0
+    a.count() shouldBe docs.count()
+  }
+
+  test("stratifiedQuota: at most quota per stratum, deterministic, subset") {
+    import spark.implicits._
+    val withLang = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val s1 = Sharding.stratifiedQuota(withLang, "doc_id", "lang_pred", 7)
+    s1.groupBy("lang_pred").count()
+      .agg(max("count")).head().getLong(0) should be <= 7L
+    val s2 = Sharding.stratifiedQuota(withLang, "doc_id", "lang_pred", 7)
+    s1.exceptAll(s2).count() shouldBe 0
+    // sampled ids are real ids
+    s1.join(withLang, s1("id") === withLang("doc_id")).count() shouldBe s1.count()
+  }
+}
