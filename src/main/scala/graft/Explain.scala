@@ -9,7 +9,9 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_pricing_summary", "q05_join_cust_orders", "q06_bcast_join_revenue",
-      "q11_topk_orders", "q26_minhash_neardup", "q28_ann_topk")
+      "q11_topk_orders", "q26_minhash_neardup", "q28_ann_topk",
+      "q62_cogroup_merge", "q64_ordered_groups", "q65_jaccard_prefix",
+      "q66_token_shards")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

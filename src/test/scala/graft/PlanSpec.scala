@@ -46,6 +46,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
   }
 
+  test("q65: prefix-filter exact Jaccard has NO cartesian anywhere") {
+    plan("q65_jaccard_prefix") should not include "CartesianProduct"
+  }
+
+  test("q66: token sharding windows are bucket-partitioned, never single-partition") {
+    val p = plan("q66_token_shards")
+    p should include("Window")
+    p should not include "Exchange SinglePartition"
+  }
+
   test("q64: groupSorted is shuffle-by-key + in-partition sort (no global sort before the fold)") {
     val p = plan("q64_ordered_groups")
     p should include("hashpartitioning(ck")
