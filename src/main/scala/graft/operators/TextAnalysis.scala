@@ -33,6 +33,43 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style repetition statistics per document — the standard
+    * pretraining-data repetition filters: a document dominated by
+    * repeated lines or one repeated phrase is boilerplate/spam.
+    *   - n_lines: non-empty lines,
+    *   - dup_line_frac: (line occurrences - distinct lines) / lines —
+    *     per-row codegen array arithmetic, no shuffle,
+    *   - top_bigram_frac: occurrences of the most frequent word 2-gram
+    *     over total 2-gram occurrences — explode + per-(doc,gram) count +
+    *     per-doc max/sum, the word-count shuffle shape (map-side partial
+    *     aggregation; scales like q04 at any corpus size).
+    * Docs with no lines / fewer than 2 tokens report zero fractions. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val perRow = docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      when(size(lines) > 0,
+        (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+        .otherwise(0.0).as("dup_line_frac"))
+    val grams = docs
+      .select(col(idCol), T.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(col("toks")))
+      .withColumn("nxt", lead(col("col"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("col"), col("nxt")).as("gram"))
+    val top = grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_grams"))
+      .select(col(idCol),
+        (col("top_cnt").cast("double") / col("n_grams")).as("top_bigram_frac"))
+    perRow.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Per-document token statistics: count, distinct count, char count,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

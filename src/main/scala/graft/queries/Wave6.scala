@@ -76,6 +76,13 @@ object Wave6 {
         .orderBy(col("lang_pred"), col("rk"))
     },
 
+    // Gopher-style repetition filters: duplicate-line fraction (per-row
+    // codegen) + top-bigram fraction (word-count-shaped shuffle).
+    "q68_repetition_stats" -> { (s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // O2 exact iteration contract: per-customer orders stream through the
     // group function in (orderdate, orderkey) order; first/last and the
     // position-weighted sum are only correct if the in-group order is.
@@ -127,6 +134,34 @@ object Wave6 {
         |  o_orderpriority AS priority,
         |  CAST(o_orderkey AS BIGINT) AS orderkey
         |FROM orders ORDER BY custkey, seq""".stripMargin,
+
+    "q68_repetition_stats" ->
+      """WITH lines AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\n'),
+        |    x -> trim(x) <> '') AS ls
+        |  FROM documents),
+        |perrow AS (
+        |  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+        |    ELSE 0.0 END AS dup_line_frac
+        |  FROM lines),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks WHERE len(t) >= 2),
+        |top AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT p.doc_id AS doc_id, p.n_lines, p.dup_line_frac,
+        |  coalesce(CAST(t.top_cnt AS DOUBLE) / t.n_grams, 0.0) AS top_bigram_frac
+        |FROM perrow p LEFT JOIN top t ON p.doc_id = t.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "q66_token_shards" ->
       """WITH t AS (

@@ -55,6 +55,22 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
     a.count() shouldBe docs.count()
   }
 
+  test("repetitionStats: hand-computed fractions on a crafted corpus") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "aa bb\naa bb\ncc dd"),      // 3 lines, 1 dup; bigrams: "aa bb"x2, "bb aa", "bb cc", "cc dd" -> top 2/5
+      (2L, "xx yy zz"),                  // 1 line, 0 dup; bigrams "xx yy","yy zz" -> 1/2
+      (3L, ""),                          // no lines, no tokens
+      (4L, "solo")                       // 1 line, <2 tokens -> 0.0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(crafted, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, 3L, 1.0 / 3, 2.0 / 5))
+    r(1) shouldBe ((2L, 1L, 0.0, 0.5))
+    r(2) shouldBe ((3L, 0L, 0.0, 0.0))
+    r(3) shouldBe ((4L, 1L, 0.0, 0.0))
+  }
+
   test("stratifiedQuota: at most quota per stratum, deterministic, subset") {
     import spark.implicits._
     val withLang = docs.select(col("doc_id"),
