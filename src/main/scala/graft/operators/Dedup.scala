@@ -480,14 +480,25 @@ object Dedup {
       // each node's own (old) label rides through the same aggregate that
       // computes the new min, and the changed-label count rides the
       // checkpoint action as an observed metric — one job per round
+      val lblType = labels.schema("lbl").dataType
       val propagated = und
         .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("lbl"), lit(null).cast(
-          labels.schema("lbl").dataType).as("own"))
+        .select(col("dst").as("node"), col("lbl"),
+          lit(null).cast(lblType).as("own"))
+      // pointer doubling: node -> label(label(node)) — both references
+      // read the checkpointed labels, so this is one cheap extra join
+      // that collapses chain-shaped components in O(log diameter)
+      // rounds instead of O(diameter)
+      val shortcut = labels
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("lbl2")),
+          "lbl")
+        .select(col("node"), col("lbl2").as("lbl"),
+          lit(null).cast(lblType).as("own"))
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val merged = persist(
         labels.select(col("node"), col("lbl"), col("lbl").as("own"))
           .unionByName(propagated)
+          .unionByName(shortcut)
           .groupBy(col("node"))
           .agg(min(col("lbl")).as("lbl"), min(col("own")).as("own"))
           .observe(obs, sum(when(col("lbl") =!= col("own"), 1L)
