@@ -70,6 +70,40 @@ object TextAnalysis {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Benchmark decontamination: find corpus documents sharing at least
+    * one word `n`-gram with any probe document (the eval/benchmark set) —
+    * the contamination check every pretraining pipeline runs before
+    * training. Both sides collapse to DISTINCT n-gram fingerprints
+    * (16-byte md5, not gram text), the probe side is typically tiny and
+    * broadcasts, and the output counts distinct shared grams per corpus
+    * doc. Nothing is quadratic: the join is keyed on gram fingerprints.
+    * Output: (id, n_shared_grams) for contaminated docs only. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeIdCol: String,
+                    probeTextCol: String, n: Int = 8): DataFrame = {
+    def gramFps(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id")).orderBy(col("pos"))
+      val leads = (1 until n).map(i => lead(col("col"), i).over(w))
+      df.select(id.as("__id"), T.tokens(text).as("toks"))
+        .select(col("__id"), posexplode(col("toks")))
+        .withColumn("gram",
+          when(leads.last.isNotNull,
+            md5(concat_ws(" ", (col("col") +: leads): _*))))
+        .filter(col("gram").isNotNull)
+        .select(col("__id"), col("gram"))
+        .distinct()
+    }
+    val corpusGrams = gramFps(docs, col(idCol), col(textCol))
+    val probeGrams = broadcast(
+      gramFps(probes, col(probeIdCol), col(probeTextCol))
+        .select(col("gram")).distinct())
+    corpusGrams.join(probeGrams, "gram")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("__id").as("id"), col("n_shared_grams"))
+  }
+
   /** Per-document token statistics: count, distinct count, char count,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

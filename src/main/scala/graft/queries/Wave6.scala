@@ -83,6 +83,17 @@ object Wave6 {
         .orderBy(col("doc_id"))
     },
 
+    // Benchmark decontamination: corpus docs sharing any word 8-gram with
+    // the probe set (docs 0-9 standing in for an eval benchmark) — the
+    // skinny md5-fingerprint join, probe side broadcast.
+    "q69_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contamination(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text", n = 8)
+        .orderBy(col("id"))
+    },
+
     // O2 exact iteration contract: per-customer orders stream through the
     // group function in (orderdate, orderkey) order; first/last and the
     // position-weighted sum are only correct if the in-group order is.
@@ -134,6 +145,25 @@ object Wave6 {
         |  o_orderpriority AS priority,
         |  CAST(o_orderkey AS BIGINT) AS orderkey
         |FROM orders ORDER BY custkey, seq""".stripMargin,
+
+    "q69_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> md5(array_to_string(t[i:i+7], ' '))))) AS gram
+        |  FROM toks WHERE len(t) >= 8 AND doc_id >= 10),
+        |pg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> md5(array_to_string(t[i:i+7], ' '))))) AS gram
+        |  FROM toks WHERE len(t) >= 8 AND doc_id < 10)
+        |SELECT doc_id AS id, count(*) AS n_shared_grams FROM (
+        |  SELECT DISTINCT cg.doc_id, cg.gram FROM cg JOIN pg ON cg.gram = pg.gram)
+        |GROUP BY 1 ORDER BY id""".stripMargin,
 
     "q68_repetition_stats" ->
       """WITH lines AS (

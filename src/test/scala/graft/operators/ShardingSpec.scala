@@ -71,6 +71,20 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
     r(3) shouldBe ((4L, 1L, 0.0, 0.0))
   }
 
+  test("contamination: golden overlap counts; no self-inclusion of clean docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "a b c d e f g h tail words here"),  // shares the probe 8-gram
+      (11L, "completely disjoint text with other tokens only"),
+      (12L, "x a b c d e f g h y")               // same 8-gram shifted
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, "zz a b c d e f g h qq")).toDF("doc_id", "text")
+    val r = TextAnalysis.contamination(corpus, "doc_id", "text",
+      probes, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(10L -> 1L, 12L -> 1L)
+  }
+
   test("stratifiedQuota: at most quota per stratum, deterministic, subset") {
     import spark.implicits._
     val withLang = docs.select(col("doc_id"),
