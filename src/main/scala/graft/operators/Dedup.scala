@@ -521,13 +521,28 @@ object Dedup {
     * order for numbers, lexicographic for strings). */
   private def componentsLocal(und: DataFrame): DataFrame = {
     val spark = und.sparkSession
+    // Strings compare as unsigned UTF-8 bytes to match Spark's min
+    // aggregate (UTF8String binary order = code-POINT order), not
+    // Scala's UTF-16 code-UNIT '<' which diverges on supplementary chars
+    def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
     val lt: (Any, Any) => Boolean = {
       case (x: java.lang.Long, y: java.lang.Long) => x < y
       case (x: java.lang.Integer, y: java.lang.Integer) => x < y
-      case (x: String, y: String) => x < y
+      case (x: String, y: String) => utf8Lt(x, y)
       case (x: java.lang.Number, y: java.lang.Number) =>
         x.doubleValue < y.doubleValue
-      case (x, y) => String.valueOf(x) < String.valueOf(y)
+      case (x, y) => utf8Lt(String.valueOf(x), String.valueOf(y))
     }
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
@@ -636,8 +651,11 @@ object Dedup {
     * contexts where the batch explode+aggregate shape is unavailable —
     * notably per-row streaming transforms ([[graft.streaming.Streams]]). */
   def simhashOf(text: String): Long = {
+    // null text sketches to 0 like the batch path's coalesce(sim, 0) —
+    // NOT the sketch of the literal token "null"
+    if (text == null) return 0L
     val votes = new Array[Long](SimhashBits)
-    val toks = String.valueOf(text)
+    val toks = text
       .toLowerCase(java.util.Locale.ROOT).split("[^a-z]+")
     toks.foreach { tok =>
       if (tok.nonEmpty) {

@@ -257,7 +257,12 @@ object Similarity {
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val b = spark.sparkContext.broadcast(centroids)
-      val (sums, counts) = data.rdd.mapPartitions { it =>
+      // Partition partials are folded on the driver in PARTITION-INDEX
+      // order: double addition is non-associative, so rdd.reduce (merge
+      // in task-completion order) would make the low-order bits — and
+      // thus "deterministic under a fixed seed" — racy. Driver memory is
+      // O(numPartitions × k × dim), fine for the sampled training set.
+      val partials = data.rdd.mapPartitionsWithIndex { (idx, it) =>
         val acc = Array.fill(k)(new Array[Double](dim))
         val cnt = new Array[Long](k)
         it.foreach { v =>
@@ -266,8 +271,10 @@ object Similarity {
           while (j < v.length && j < dim) { acc(c)(j) += v(j); j += 1 }
           cnt(c) += 1
         }
-        Iterator((acc, cnt))
-      }.reduce { case ((a1, c1), (a2, c2)) =>
+        Iterator((idx, (acc, cnt)))
+      }.collect().sortBy(_._1).map(_._2)
+      val (sums, counts) = partials.reduceLeft[
+          (Array[Array[Double]], Array[Long])] { case ((a1, c1), (a2, c2)) =>
         var i = 0
         while (i < k) {
           var j = 0

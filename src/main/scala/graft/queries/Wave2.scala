@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * Oracle-verified where SQL-expressible — including MinHash-LSH (q26),
   * whose parameters make its output equal the exact Jaccard pair set;
   * SimHash (q27), whose md5-derived hashes DuckDB reproduces bit-for-bit;
-  * and IVF ANN (q33) driven in its nProbe=all exactness mode. The one
-  * approximate-by-design query (LSH ANN q31, recall < 1 by nature) gets a
-  * rows-only driver check plus SimilaritySpec's sf0.01 recall gate.
+  * IVF ANN (q33) driven in its nProbe=all exactness mode; and the
+  * multimodal stub (q32), whose deterministic byte histogram DuckDB
+  * recomputes exactly from the same text. The one approximate-by-design
+  * query (LSH ANN q31, recall < 1 by nature) gets a rows-only driver
+  * check plus SimilaritySpec's sf0.01 recall gate.
   */
 object Wave2 {
 
@@ -175,14 +177,26 @@ object Wave2 {
     },
 
     // Multimodal plumbing: binary column -> distributed feature extraction
-    // (byte-histogram stub standing in for a codec; rows-only check).
+    // (byte-histogram stub standing in for a codec). Oracle-comparable:
+    // the stub is deterministic in the bytes, and the histogram COUNTS
+    // are recovered exactly from the L1-normalized float features
+    // (c = round(f * total) is exact for c < 2^24 because float c/t has
+    // relative error <= 2^-24), so every output column is an exact
+    // integer DuckDB can reproduce from the same text bytes.
     "q32_multimodal_features" -> { (s, d) =>
       val assets = Multimodal.assetsFromText(
         s, Tables.documents(s, d), "doc_id", "text")
+      val total = greatest(col("n_bytes"), lit(1L))
+      def histCount(bin: Int) = // features is 1-indexed via element_at
+        round(element_at(col("features"), bin + 1).cast("double") * total)
+          .cast("long")
       Multimodal.extractFeatures(assets).toDF()
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          col("width"), col("height"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          histCount(2).as("hist2"), // 0x20-0x2f: space/punct
+          histCount(6).as("hist6"), // 0x60-0x6f: a-o
+          histCount(7).as("hist7")) // 0x70-0x7f: p-y
         .orderBy(col("asset_id"))
     }
   )
@@ -294,6 +308,20 @@ object Wave2 {
     // q33's nProbe=all candidate set is the full corpus, so its output
     // contract is the same exact brute-force top-k.
     "q33_ivf_ann" -> SqlBruteTopK,
+
+    // q32's stub decode is deterministic in the text bytes (pure-ASCII
+    // corpus: bytes = chars), and the Spark side reconstructs the exact
+    // integer histogram counts from the normalized float features — so
+    // DuckDB reproduces every column from the same text.
+    "q32_multimodal_features" ->
+      """SELECT doc_id AS asset_id, 'text' AS modality,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(16 + strlen(text) % 64 AS BIGINT) AS width,
+        |  CAST((16 + strlen(text) % 64) // 2 AS BIGINT) AS height,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x20-\x2f]', '', 'g')) AS BIGINT) AS hist2,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS BIGINT) AS hist6,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x70-\x7f]', '', 'g')) AS BIGINT) AS hist7
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q29_fingerprints" ->
       s"""SELECT doc_id,

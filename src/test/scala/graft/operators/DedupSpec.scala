@@ -169,6 +169,26 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
     Dedup.simhashOf("") shouldBe 0L
     Dedup.simhashOf("!!! 123") shouldBe 0L
+    // null sketches to 0 like the batch coalesce(sim, 0) path — not the
+    // sketch of the literal token "null"
+    Dedup.simhashOf(null) shouldBe 0L
+  }
+
+  test("components: local finish matches Spark's UTF8 binary string order") {
+    import spark.implicits._
+    // U+FFFF vs U+10000: UTF-16 code-unit order puts the surrogate pair
+    // (U+10000, 𐀀) FIRST; Spark's min (UTF8String binary =
+    // code-point order) picks U+FFFF. The local finish must agree with
+    // the distributed loop, not with Scala's String '<'.
+    val hi = "𐀀" // U+10000
+    val lo = "￿"       // U+FFFF < U+10000 in code-point order
+    val pairs = Seq((hi, lo)).toDF("doc_a", "doc_b")
+    val local = Dedup.components(pairs)
+      .as[(String, String)].collect().toMap
+    val dist = Dedup.components(pairs, localSolveMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    dist shouldBe local
+    local shouldBe Map(hi -> lo, lo -> lo)
   }
 
   test("simhash: derives band count from maxHamming; rejects non-divisors") {
