@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Wave1.queries ++ graft.queries.Wave2.queries ++
       graft.queries.Wave3.queries ++ graft.queries.Wave4.queries ++
-      graft.queries.Wave5.queries ++ graft.queries.Wave6.queries
+      graft.queries.Wave5.queries ++ graft.queries.Wave6.queries ++
+      graft.queries.Wave7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Wave1.oracleSql ++ graft.queries.Wave2.oracleSql ++
       graft.queries.Wave3.oracleSql ++ graft.queries.Wave4.oracleSql ++
-      graft.queries.Wave5.oracleSql ++ graft.queries.Wave6.oracleSql
+      graft.queries.Wave5.oracleSql ++ graft.queries.Wave6.oracleSql ++
+      graft.queries.Wave7.oracleSql
 }

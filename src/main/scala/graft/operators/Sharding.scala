@@ -80,4 +80,66 @@ object Sharding {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= quota)
   }
+
+  /** Temperature-based mixture sampling: re-weight domains by
+    * n_d^alpha (alpha < 1 UP-samples small domains relative to their
+    * natural share — the standard multilingual/multi-source mixing move)
+    * and keep each row with its domain's rate, deterministically (an
+    * md5-derived 32-bit uniform per id — rerun-stable, no RNG state).
+    * Expected kept rows ≈ `targetFraction` × corpus (less when a hot
+    * domain's rate clamps at 1).
+    *
+    * Cross-engine exactness: alpha is restricted to {0.5, 1, 2} (sqrt
+    * and integer powers are IEEE-correctly-rounded everywhere; pow(x,y)
+    * is not), weights are floor-quantized to 1e-6 and summed as exact
+    * integers (so the domain fold order can't perturb the rates), and
+    * the keep test compares exact doubles: u = hex32/2^32 (both exact)
+    * against a rate built from one fixed sequence of double ops.
+    *
+    * Scale: domain counts are ONE hash aggregate; the per-domain rate
+    * table is bounded by domain cardinality (collected driver-side — the
+    * dval idiom — and broadcast-joined back); the keep test is a
+    * codegen'd per-row filter. No shuffle touches row payloads.
+    * Output: kept (id, domain, rate). */
+  def temperatureMix(docs: DataFrame, idCol: String, domainCol: String,
+                     alpha: Double = 0.5,
+                     targetFraction: Double = 0.25): DataFrame = {
+    require(Set(0.5, 1.0, 2.0)(alpha),
+      s"alpha must be one of 0.5, 1.0, 2.0 (IEEE-exact powers), got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val spark = docs.sparkSession
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per domain
+    def wq(n: Long): Long = {
+      val w = alpha match {
+        case 0.5 => math.sqrt(n.toDouble)
+        case 1.0 => n.toDouble
+        case 2.0 => n.toDouble * n.toDouble
+      }
+      math.floor(w * 1e6).toLong
+    }
+    val nTotal = counts.map(_.getLong(1)).sum.toDouble
+    val sumWq = counts.map(r => wq(r.getLong(1))).sum.toDouble
+    val rateRows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList(counts.length)
+    counts.foreach { r =>
+      val n = r.getLong(1)
+      val rate = math.min(1.0,
+        targetFraction * nTotal * wq(n).toDouble / sumWq / n.toDouble)
+      rateRows.add(org.apache.spark.sql.Row(r.get(0), rate))
+    }
+    val domainType = docs.schema(domainCol).dataType
+    val ratesSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("domain", domainType),
+      org.apache.spark.sql.types.StructField("rate",
+        org.apache.spark.sql.types.DoubleType)))
+    val rates = spark.createDataFrame(rateRows, ratesSchema)
+    val u = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / lit(4294967296.0)
+    docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), "domain")
+      .filter(u < col("rate"))
+      .select(col("id"), col("domain"), col("rate"))
+  }
 }

@@ -355,4 +355,71 @@ object Similarity {
       col(vecCol).as("cv"))
     rankTopK(pairs, qv, cv, k, exact)
   }
+
+  /** Deterministic centroid assignment: each vector to the centroid with
+    * the max QUANTIZED dot product (the [[graft.functions.VectorFunctions]]
+    * floor(x·y·1e12)-long kernel — order- and engine-invariant, so DuckDB
+    * reproduces the argmax bit-for-bit); ties take the lowest centroid
+    * index. Pass NORMALIZED centroids for cosine semantics (argmax of
+    * dot = argmax of cosine only when ‖c‖ is constant; ‖v‖ cancels per
+    * row regardless). Centroids ride the task closure (the dval idiom,
+    * k×dim doubles). One codegen'd map pass, no shuffle. Output:
+    * (id, cluster, v). */
+  def assignClusters(vectors: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var best = 0
+        var bestDot = Long.MinValue
+        var ci = 0
+        while (ci < centroids.length) {
+          val c = centroids(ci)
+          val n = math.min(v.length, c.length)
+          var s = 0L
+          var i = 0
+          while (i < n) {
+            s += math.floor(v(i).toDouble * c(i) * 1e12).toLong
+            i += 1
+          }
+          if (s > bestDot) { bestDot = s; best = ci } // strict: first max wins
+          ci += 1
+        }
+        (id, best.toLong, v)
+      }.toDF("id", "cluster", "v")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings by nearest centroid, compare
+    * pairs ONLY within a cluster, and drop every vector that has a
+    * same-cluster neighbor with cosine >= `threshold` and a smaller id
+    * (so exactly the min-id member of each near-dup relation survives —
+    * the deterministic version of the paper's "keep one per ε-ball").
+    *
+    * Scale: pairwise work is quadratic in the largest CLUSTER, never the
+    * corpus — at 100 TB pick k ≈ √n clusters (the paper runs 50k clusters
+    * over 5B embeddings) and train them with [[trainCentroids]] on a
+    * sample. The cluster self-join shuffles on the cluster key (AQE
+    * skew-split covers hot clusters); `exact = true` switches the cosine
+    * kernel to the quantized engine-invariant arithmetic for oracle
+    * verification. Output: (id, cluster, keep 0/1) for every input row. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], threshold: Double,
+                    exact: Boolean = false): DataFrame = {
+    val asg = assignClusters(vectors, idCol, vecCol, centroids).cache()
+    val pairs = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("a.v"), col("b.id"), col("b.v"))
+    val dups = pairSims(pairs, exact)
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    asg.select(col("id"), col("cluster"))
+      .join(dups.withColumn("dup", lit(1L)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("keep"))
+  }
 }

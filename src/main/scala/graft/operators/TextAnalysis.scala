@@ -81,27 +81,115 @@ object TextAnalysis {
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     probes: DataFrame, probeIdCol: String,
                     probeTextCol: String, n: Int = 8): DataFrame = {
-    def gramFps(df: DataFrame, id: Column, text: Column): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__id")).orderBy(col("pos"))
-      val leads = (1 until n).map(i => lead(col("col"), i).over(w))
-      df.select(id.as("__id"), T.tokens(text).as("toks"))
-        .select(col("__id"), posexplode(col("toks")))
-        .withColumn("gram",
-          when(leads.last.isNotNull,
-            md5(concat_ws(" ", (col("col") +: leads): _*))))
-        .filter(col("gram").isNotNull)
-        .select(col("__id"), col("gram"))
-        .distinct()
-    }
-    val corpusGrams = gramFps(docs, col(idCol), col(textCol))
+    val corpusGrams = gramFps(docs, col(idCol), col(textCol), n)
     val probeGrams = broadcast(
-      gramFps(probes, col(probeIdCol), col(probeTextCol))
+      gramFps(probes, col(probeIdCol), col(probeTextCol), n)
         .select(col("gram")).distinct())
     corpusGrams.join(probeGrams, "gram")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .select(col("__id").as("id"), col("n_shared_grams"))
+  }
+
+  /** (id, gram) — each document's DISTINCT word n-gram fingerprints
+    * (16-byte md5 of the space-joined gram, not the gram text). Shared by
+    * [[contamination]] and [[dupGramFraction]]. */
+  private def gramFps(df: DataFrame, id: Column, text: Column,
+                      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("col"), i).over(w))
+    df.select(id.as("__id"), T.tokens(text).as("toks"))
+      .select(col("__id"), posexplode(col("toks")))
+      .withColumn("gram",
+        when(leads.last.isNotNull,
+          md5(concat_ws(" ", (col("col") +: leads): _*))))
+      .filter(col("gram").isNotNull)
+      .select(col("__id"), col("gram"))
+      .distinct()
+  }
+
+  /** Inter-document duplication profile (the "dedup residue" metric run
+    * after near-dup removal, and the doc-level cousin of exact substring
+    * dedup à la Lee et al. 2022, arXiv:2107.06499): for each document,
+    * the fraction of its DISTINCT word `n`-grams that also occur in at
+    * least one OTHER document. 1.0 means every passage of the doc exists
+    * elsewhere in the corpus; 0.0 means fully original text.
+    *
+    * Scale: one gram-fingerprint explode (16-byte md5 keys), one hash
+    * aggregate for per-gram distinct-doc counts, one join back keyed on
+    * the fingerprint, one per-doc aggregate — all shuffles are keyed,
+    * nothing quadratic, map-side partial aggregation throughout. Docs
+    * with fewer than `n` tokens have no grams and report 0 over 0 grams.
+    * Output: (id, n_grams, n_dup_grams, dup_gram_frac). */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 10): DataFrame = {
+    val grams = gramFps(docs, col(idCol), col(textCol), n).cache()
+    val df = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_docs")) // grams are distinct per doc
+    val perDoc = grams.join(df, "gram")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc.withColumnRenamed("__id", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_dup_grams").cast("double") / col("n_grams"))
+          .otherwise(0.0).as("dup_gram_frac"))
+  }
+
+  /** BM25 relevance of every document against a bag of query terms, as
+    * one corpus-parallel pass: per-doc score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)). Uses the RATIONAL idf variant
+    * idf = (N − df + 0.5)/(df + 0.5) — same monotone-in-df ordering as
+    * the classic ln() form, but free of libm (ln is not correctly
+    * rounded, so its low bits differ across engines; every operation
+    * here is IEEE-exact-deterministic: +,·,/ on identical operands).
+    * Per-term scores are floor-quantized to 1e-9 and summed as exact
+    * decimals (term order must not matter), then the total re-quantized.
+    *
+    * Scale: df and avgdl are two tiny aggregates (|terms| rows / one
+    * row — both driver-collected, the dval idiom); scoring is one
+    * codegen'd projection over the corpus, no shuffle, then a bounded
+    * top-k. Output: (id, score, rank) for the `k` highest-scoring docs,
+    * ties broken by id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val base = docs.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("toks"),
+      T.tokenCount(col(textCol)).as("dl")).cache()
+    // corpus stats in ONE aggregate job: N, Σdl, df per term (the dval
+    // idiom — a handful of numbers collected driver-side)
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+        .as(s"df$i")
+    }
+    val statsRow = base
+      .agg(count(lit(1)).as("n"), (sum(col("dl")).as("dlsum") +: dfCols): _*)
+      .collect()(0)
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val dfs = terms.indices.map(i => statsRow.getLong(i + 2).toDouble)
+    // per-term quantized partial scores, summed as exact decimals so the
+    // term fold order can't perturb low-order double bits
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = (nDocs - dfs(i) + 0.5) / (dfs(i) + 0.5)
+      val s = lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+      floor(s * lit(1e9)).cast("decimal(38,0)")
+    }
+    val total = termScores.reduce(_ + _).cast("double") / lit(1e9)
+    val scored = base.select(col("id"), total.as("score"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))).cast("long"))
   }
 
   /** Per-document token statistics: count, distinct count, char count,

@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Sharding, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 7 — round-4 training-data-pipeline operators, each with a full
+  * DuckDB oracle:
+  *
+  *  - q70 semantic dedup (SemDeDup): centroid clustering + within-cluster
+  *    cosine dedup, with the quantized engine-invariant kernel so the
+  *    cluster argmax AND the similarity test reproduce bit-for-bit in SQL.
+  *  - q71 BM25 scoring: corpus-parallel relevance against a term bag,
+  *    rational-idf variant (libm-free — ln is not correctly rounded
+  *    across engines), per-term scores floor-quantized and summed as
+  *    exact decimals.
+  *  - q72 duplicate-n-gram profile: per-doc fraction of distinct
+  *    10-grams shared with any other document (doc-level cousin of exact
+  *    substring dedup, Lee et al. 2022).
+  *  - q73 temperature mixing: n_d^0.5 domain re-weighting with
+  *    deterministic md5-uniform sampling; weights floor-quantized and
+  *    summed as integers so the domain fold order can't perturb rates.
+  *
+  * Cross-engine double discipline (see Wave1.dsum, Wave2.sqlDotQ): every
+  * double either comes from one fixed sequence of IEEE ops on identical
+  * operands (+, ·, /, sqrt — all correctly rounded) or is floor-quantized
+  * and summed in exact integer arithmetic.
+  */
+object Wave7 {
+
+  /** DuckDB token pipeline identical to TextFunctions.tokens. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  // ---------------------------------------------------------------- q70
+
+  /** q70's fixed centroids: 8 seeded, L2-normalized gaussians. Generated
+    * ONCE here and inlined as literals into BOTH the Spark query and the
+    * oracle SQL (Double.toString round-trips, so both engines parse the
+    * identical doubles). Normalization matters: argmax-dot equals
+    * argmax-cosine only when centroid norms are constant. */
+  private[graft] lazy val SemCentroids: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(8) {
+      val c = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+  }
+  private val SemThreshold = 0.35
+
+  private def sqlLit(c: Array[Double]): String =
+    c.mkString("[", ", ", "]")
+
+  /** Quantized long dot of a vector column against a centroid literal —
+    * the SQL twin of Similarity.assignClusters' kernel. */
+  private def sqlDotQLit(v: String, c: Array[Double]): String =
+    s"""CAST(list_sum(list_transform(range(1, len($v)+1),
+       |    i -> CAST(floor(CAST($v[i] AS DOUBLE) * (${sqlLit(c)})[i] * 1e12) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** Quantized dot of two vector columns (same kernel as Wave2.sqlDotQ). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  private def sqlCosQ(a: String, b: String): String =
+    s"(${sqlDotQ(a, b)}) / (sqrt(${sqlDotQ(a, a)}) * sqrt(${sqlDotQ(b, b)}))"
+
+  // ---------------------------------------------------------------- q71
+
+  private val Bm25Terms = Seq("dup", "join", "sort")
+  private val Bm25K = 20
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  // ---------------------------------------------------------------- map
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SemDeDup semantic dedup: quantized-argmax centroid assignment,
+    // within-cluster exact-quantized cosine, min-id survivor per
+    // near-dup relation. exact=true → DuckDB reproduces every bit.
+    "q70_semantic_dedup" -> { (s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", SemCentroids, SemThreshold, exact = true)
+        .orderBy(col("id"))
+    },
+
+    // BM25 top-k against a mixed-df term bag ("dup" is rare → high idf;
+    // "join"/"sort" are corpus-common). Rational idf + quantized term
+    // sums keep the scores engine-identical.
+    "q71_bm25_topk" -> { (s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Bm25Terms, Bm25K, Bm25K1, Bm25B)
+        .orderBy(col("rank"))
+    },
+
+    // Duplicate-10-gram profile: per-doc fraction of distinct 10-grams
+    // occurring in >= 2 documents.
+    "q72_dupgram_fraction" -> { (s, d) =>
+      TextAnalysis.dupGramFraction(Tables.documents(s, d), "doc_id",
+        "text", n = 10)
+        .orderBy(col("id"))
+    },
+
+    // Temperature mixing over the language domain: alpha=0.5 up-samples
+    // the non-English tail, targetFraction=0.25 of the corpus kept.
+    "q73_temperature_mix" -> { (s, d) =>
+      Sharding.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+        alpha = 0.5, targetFraction = 0.25)
+        .orderBy(col("id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_semantic_dedup" -> {
+      val dots = SemCentroids.map(c => sqlDotQLit("embedding", c))
+        .mkString("[\n    ", ",\n    ", "]")
+      s"""WITH a AS (
+         |  SELECT vec_id, embedding, $dots AS dots
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_indexof(dots, list_aggregate(dots, 'max')) - 1 AS BIGINT) AS cluster
+         |  FROM a),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id AS id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE (${sqlCosQ("a.embedding", "b.embedding")}) >= $SemThreshold)
+         |SELECT v.vec_id AS id, v.cluster,
+         |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM asg v LEFT JOIN dup d ON v.vec_id = d.id
+         |ORDER BY id""".stripMargin
+    },
+
+    "q71_bm25_topk" -> {
+      val k1p1 = Bm25K1 + 1.0
+      val oneMb = 1.0 - Bm25B
+      def dfCol(i: Int) = s"df$i"
+      val dfExprs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS ${dfCol(i)}"
+      }.mkString(",\n    ")
+      val termSum = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        val idf = s"(n_docs - ${dfCol(i)} + 0.5) / (${dfCol(i)} + 0.5)"
+        s"""CAST(floor($idf * ($tf * $k1p1) /
+           |      ($tf + $Bm25K1 * ($oneMb + $Bm25B * CAST(dl AS DOUBLE) / avgdl)) * 1e9) AS HUGEINT)""".stripMargin
+      }.mkString("\n    + ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, $SqlToks AS toks,
+         |    CAST(len($SqlToks) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfExprs
+         |  FROM base),
+         |scored AS (
+         |  SELECT id, CAST($termSum AS DOUBLE) / 1e9 AS score
+         |  FROM base, stats)
+         |SELECT id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+         |FROM scored ORDER BY score DESC, id LIMIT $Bm25K""".stripMargin
+    },
+
+    "q72_dupgram_fraction" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(t[CAST(i AS INT):CAST(i+9 AS INT)], ' ')) AS gram
+         |  FROM toks, unnest(range(1, len(t) - 8)) AS u(i)),
+         |dfc AS (SELECT gram, count(*) AS gram_docs FROM grams GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+         |  FROM grams JOIN dfc USING (gram) GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(per.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |  CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+         |    CAST(per.n_dup_grams AS DOUBLE) / per.n_grams
+         |  ELSE 0.0 END AS dup_gram_frac
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "q73_temperature_mix" ->
+      """WITH counts AS (SELECT lang AS domain, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+        |    CAST(sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) AS DOUBLE) AS sum_wq
+        |  FROM counts),
+        |rates AS (
+        |  SELECT domain,
+        |    least(1.0, 0.25 * n_total
+        |      * CAST(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+        |      / sum_wq / CAST(n AS DOUBLE)) AS rate
+        |  FROM counts, tot)
+        |SELECT d.doc_id AS id, d.lang AS domain, r.rate
+        |FROM documents d JOIN rates r ON d.lang = r.domain
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 < r.rate
+        |ORDER BY id""".stripMargin
+  )
+}

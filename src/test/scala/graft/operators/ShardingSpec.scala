@@ -85,6 +85,36 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
     r shouldBe Map(10L -> 1L, 12L -> 1L)
   }
 
+  test("temperatureMix: alpha=1 is natural sampling — every rate equals targetFraction") {
+    val r = Sharding.temperatureMix(docs, "doc_id", "lang",
+      alpha = 1.0, targetFraction = 0.25).cache()
+    // alpha=1 leaves the mixture untouched: rate = tF * N * n / (Σn) / n = tF
+    r.select("rate").distinct().collect().foreach { row =>
+      row.getDouble(0) shouldBe 0.25 +- 1e-12
+    }
+    r.count() should be > 0L
+  }
+
+  test("temperatureMix: alpha=0.5 up-samples small domains, deterministic subset") {
+    import spark.implicits._
+    val r1 = Sharding.temperatureMix(docs, "doc_id", "lang",
+      alpha = 0.5, targetFraction = 0.25).cache()
+    val r2 = Sharding.temperatureMix(docs, "doc_id", "lang",
+      alpha = 0.5, targetFraction = 0.25)
+    r1.exceptAll(r2).count() shouldBe 0 // md5-uniform: rerun-stable
+    // kept ids are real doc ids
+    r1.join(docs, r1("id") === docs("doc_id")).count() shouldBe r1.count()
+    // smaller domains get strictly higher keep rates (sqrt re-weighting)
+    val counts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val rates = r1.select("domain", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    for {
+      (d1, n1) <- counts; (d2, n2) <- counts
+      if n1 < n2 && rates.contains(d1) && rates.contains(d2)
+    } rates(d1) should be >= rates(d2)
+  }
+
   test("stratifiedQuota: at most quota per stratum, deterministic, subset") {
     import spark.implicits._
     val withLang = docs.select(col("doc_id"),

@@ -116,6 +116,49 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     ivf shouldBe exact
   }
 
+  test("assignClusters: matches a local quantized argmax, ties to lowest index") {
+    import spark.implicits._
+    val centroids = graft.queries.Wave7.SemCentroids
+    val got = Similarity.assignClusters(emb, "vec_id", "embedding", centroids)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    val local = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map { case (id, v) =>
+        val dots = centroids.map { c =>
+          v.zip(c).map { case (x, y) =>
+            math.floor(x.toDouble * y * 1e12).toLong }.sum
+        }
+        id -> dots.indexOf(dots.max).toLong
+      }.toMap
+    got shouldBe local
+  }
+
+  test("semanticDedup: exactly the min-id member of each near-dup relation survives") {
+    import spark.implicits._
+    val centroids = graft.queries.Wave7.SemCentroids
+    val t = 0.35
+    val r = Similarity.semanticDedup(emb, "vec_id", "embedding", centroids,
+      t, exact = true)
+      .select("id", "keep").as[(Long, Long)].collect().toMap
+    r.keys.toSet shouldBe emb.select("vec_id").as[Long].collect().toSet
+    // local brute force: drop id iff a smaller-id same-cluster neighbor
+    // has quantized cosine >= t
+    val vecs = Similarity.assignClusters(emb, "vec_id", "embedding", centroids)
+      .as[(Long, Long, Array[Float])].collect()
+    def qdot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12).toLong }.sum / 1e12
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      qdot(a, b) / (math.sqrt(qdot(a, a)) * math.sqrt(qdot(b, b)))
+    vecs.foreach { case (id, cl, v) =>
+      val hasSmallerNeighbor = vecs.exists { case (id2, cl2, v2) =>
+        id2 < id && cl2 == cl && cos(v2, v) >= t
+      }
+      withClue(s"id=$id") { r(id) shouldBe (if (hasSmallerNeighbor) 0L else 1L) }
+    }
+    // something actually deduped at this threshold, and something kept
+    r.values.toSet shouldBe Set(0L, 1L)
+  }
+
   test("ivfTopK: probing ALL cells is exact; recall grows with nProbe") {
     val rnd = new scala.util.Random(7)
     val dim = 64

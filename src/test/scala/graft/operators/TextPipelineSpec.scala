@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Contract tests for the round-4 text-pipeline operators: BM25 scoring
+  * against a local brute-force twin, and the duplicate-n-gram profile on
+  * a hand-computed corpus. */
+class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  /** The operator's tokenizer, reproduced locally (lowercase, [^a-z]+
+    * separators, empties dropped). */
+  private def toks(s: String): Array[String] =
+    s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+
+  test("bm25TopK matches a local brute-force BM25 with identical arithmetic") {
+    import spark.implicits._
+    val terms = Seq("dup", "join", "sort")
+    val (k1, b) = (1.2, 0.75)
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10, k1, b)
+      .select("id", "score", "rank").as[(Long, Double, Long)].collect()
+      .sortBy(_._3)
+
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, t) => id -> toks(t) }
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / n
+    val dfs = terms.map(t => t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    val scored = corpus.map { case (id, tk) =>
+      val dl = tk.length.toDouble
+      val total = terms.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = (n - dfs(t) + 0.5) / (dfs(t) + 0.5)
+        val s = idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        math.floor(s * 1e9).toLong
+      }.sum
+      (id, total.toDouble / 1e9)
+    }
+    val want = scored.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }
+    got shouldBe want
+  }
+
+  test("dupGramFraction: hand-computed fractions on a crafted corpus") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b c d"),       // 3-grams {abc, bcd}; abc shared with doc 2
+      (2L, "a b c x"),       // {abc, bcx}
+      (3L, "z z z z z"),     // {zzz} distinct-once -> never a cross-doc dup
+      (4L, "p q")            // < n tokens -> no grams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dupGramFraction(crafted, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, 2L, 1L, 0.5))
+    r(1) shouldBe ((2L, 2L, 1L, 0.5))
+    r(2) shouldBe ((3L, 1L, 0L, 0.0))
+    r(3) shouldBe ((4L, 0L, 0L, 0.0))
+  }
+
+  test("dupGramFraction: exact duplicate docs report fraction 1.0 both ways") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different sentence with unique phrasing here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dupGramFraction(crafted, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    r(0)._4 shouldBe 1.0
+    r(1)._4 shouldBe 1.0
+    r(2)._4 shouldBe 0.0
+  }
+}
