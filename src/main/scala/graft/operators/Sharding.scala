@@ -81,6 +81,35 @@ object Sharding {
       .filter(col("rk") <= quota)
   }
 
+  /** Deterministic train/validation/test splitting by content-free id
+    * hash: row → the first split whose cumulative weight exceeds the
+    * row's md5-derived 32-bit uniform. Rerun-stable (no RNG state), and
+    * adding MORE splits later never moves a row between existing ones
+    * as long as the prefix of `weights` is unchanged — the property that
+    * makes hash splits the standard over `randomSplit` for corpus
+    * freezes. Cumulative thresholds are folded driver-side in one fixed
+    * double sequence, so every engine sees identical literals.
+    *
+    * Scale: one codegen'd per-row projection, no shuffle, no state.
+    * Output: (id, split). */
+  def splitByHash(docs: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"weights must sum to 1, got $total")
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail // driver-side fold
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / lit(4294967296.0)
+    // last split is the unconditional tail: immune to Σw rounding
+    val split = weights.init.zip(cum.init).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), c)) =>
+        when(u < lit(c), lit(name)).otherwise(acc)
+      }
+    docs.select(col(idCol).as("id"), split.as("split"))
+  }
+
   /** Temperature-based mixture sampling: re-weight domains by
     * n_d^alpha (alpha < 1 UP-samples small domains relative to their
     * natural share — the standard multilingual/multi-source mixing move)

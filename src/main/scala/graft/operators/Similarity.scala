@@ -392,6 +392,72 @@ object Similarity {
       }.toDF("id", "cluster", "v")
   }
 
+  /** Per-dimension [min, max] over an embedding column — ONE hash
+    * aggregate over (dim, value) pairs, dim-count rows collected
+    * driver-side (the dval idiom). */
+  def dimStats(vectors: DataFrame, vecCol: String): Array[(Double, Double)] = {
+    val rows = vectors
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    rows.map(r => (r.getDouble(1), r.getDouble(2)))
+  }
+
+  /** Int8 scalar quantization of an embedding column — the standard 4×
+    * storage/bandwidth cut before ANN indexing at corpus scale: each
+    * dimension is affinely mapped to [0, 255] against its global
+    * [min, max] (code = floor((x − mn)·255/(mx − mn)), clamped;
+    * constant dimensions code to 0). Codes are EXACT given the stats:
+    * one fixed sequence of IEEE double ops, so any engine reproduces
+    * them bit-for-bit. Pass `stats` from [[dimStats]] (or a training
+    * sample — the usual production move); the stats table rides the
+    * closure, the quantization itself is one typed map pass, no
+    * shuffle. Output: (id, dim, code) exploded rows. */
+  def quantizeEmbeddings(vectors: DataFrame, idCol: String, vecCol: String,
+                         stats: Array[(Double, Double)]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val n = math.min(v.length, stats.length)
+        (0 until n).map { i =>
+          val (mn, mx) = stats(i)
+          val code =
+            if (mx == mn) 0L
+            else {
+              val c = math.floor((v(i).toDouble - mn) * 255.0 / (mx - mn)).toLong
+              math.min(255L, math.max(0L, c))
+            }
+          (id, i.toLong, code)
+        }
+      }.toDF("id", "dim", "code")
+  }
+
+  /** Reconstruct approximate vectors from [[quantizeEmbeddings]] codes:
+    * x̂_i = mn_i + (code_i + 0.5)·(mx_i − mn_i)/255 — the midpoint of the
+    * encoder's floor bucket (width (mx−mn)/255), so |x̂ − x| ≤ half a
+    * bucket. For the ANN-over-codes path: dequantize, then any search
+    * operator applies unchanged. */
+  def dequantize(codes: DataFrame, stats: Array[(Double, Double)]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.select(col("id"), col("dim"), col("code"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val dims = it.toArray.sortBy(_._2)
+        val v = dims.map { case (_, d, c) =>
+          val (mn, mx) = stats(d.toInt)
+          (mn + (c + 0.5) * (mx - mn) / 255.0).toFloat
+        }
+        (id, v)
+      }.toDF("id", "embedding")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings by nearest centroid, compare
     * pairs ONLY within a cluster, and drop every vector that has a

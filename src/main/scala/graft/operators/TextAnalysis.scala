@@ -192,6 +192,84 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("id"))).cast("long"))
   }
 
+  /** Passage-level exact substring dedup (the span-output flavor of Lee
+    * et al. 2022, arXiv:2107.06499): for each document, the merged token
+    * spans covered by at least one word `n`-gram that also occurs in
+    * ANOTHER document — i.e. the passages a dedup pass would cut.
+    * Overlapping and adjacent duplicated windows merge into maximal
+    * spans (gaps-and-islands: a window starting at `pos` extends the
+    * current span iff pos <= prev_pos + n).
+    *
+    * Scale: positioned gram fingerprints (16-byte md5) → one hash
+    * aggregate for cross-doc gram counts → semi-join back on the
+    * fingerprint → per-doc window to merge islands. Every shuffle is
+    * keyed (gram, then doc id); nothing quadratic; the per-doc window
+    * is bounded by document length. Output: (id, span_start, span_end,
+    * span_tokens) with 0-based inclusive token positions; docs with no
+    * duplicated passage emit no rows. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 20): DataFrame = {
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("col"), i).over(wPos))
+    val positioned = docs
+      .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("toks"))
+      .select(col("__id"), posexplode(col("toks")))
+      .withColumn("gram",
+        when(leads.last.isNotNull,
+          md5(concat_ws(" ", (col("col") +: leads): _*))))
+      .filter(col("gram").isNotNull)
+      .select(col("__id"), col("pos"), col("gram"))
+    val crossDoc = positioned.select(col("__id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))
+      .filter(col("gram_docs") >= 2)
+      .select(col("gram"))
+    val dupPos = positioned.join(crossDoc, "gram")
+      .select(col("__id"), col("pos"))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(wPos) + n, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wPos))
+      .groupBy(col("__id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col("__id").as("id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"))
+  }
+
+  /** PII pattern for email addresses — kept to the RE2 ∩ java.util.regex
+    * common dialect so Spark and any RE2-based engine (DuckDB, Go, ...)
+    * match identically. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  /** International-format phone: +C[-C]-NNN-NNN-NNNN. */
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  /** Dotted-quad IPv4 (no boundary assertions — applied after email
+    * redaction so host-part octets can't double-match). */
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction — the scrubbing pass every published-corpus pipeline
+    * runs before training: replaces emails, then phone numbers, then
+    * IPv4 addresses with typed placeholder tags, counting matches at
+    * each stage (each count is taken on the INPUT to that stage, so the
+    * stages compose deterministically and an email's host can never be
+    * re-counted as an IP). Pure per-row codegen regex — no shuffle, maps
+    * straight over 100 TB. Output: (id, clean_text, n_emails, n_phones,
+    * n_ips). */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, PhoneRe, "<PHONE>")
+    val t3 = regexp_replace(t2, IpRe, "<IP>")
+    docs.select(col(idCol).as("id"), t3.as("clean_text"),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t2, lit(IpRe)).cast("long").as("n_ips"))
+  }
+
   /** Per-document token statistics: count, distinct count, char count,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

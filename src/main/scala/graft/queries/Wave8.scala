@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Sharding, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 8 — round-4 training-data-pipeline operators, continued. Each
+  * with a full DuckDB oracle:
+  *
+  *  - q74 duplicate passage spans: the span-output flavor of exact
+  *    substring dedup (Lee et al. 2022) — merged token intervals covered
+  *    by a cross-document 8-gram.
+  *  - q75 PII redaction: email/phone/IPv4 scrub with staged counts. The
+  *    31-token corpus has no natural PII, so the query deterministically
+  *    plants some (same concat expression on both engines) before
+  *    scrubbing — the oracle checks the redaction itself, not the
+  *    planting.
+  *  - q76 hash split: deterministic 80/10/10 train/val/test assignment.
+  *  - q77 int8 quantization: per-dimension affine codes against global
+  *    [min, max] stats; floor arithmetic reproduces bit-for-bit in SQL.
+  */
+object Wave8 {
+
+  /** DuckDB token pipeline identical to TextFunctions.tokens. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  // ---------------------------------------------------------------- q74
+
+  private val SpanN = 8
+
+  // ---------------------------------------------------------------- q75
+
+  /** Deterministic PII planting: every 2nd doc gains an email, every 3rd
+    * a phone, every 5th an IP — Spark Column and DuckDB SQL twins of the
+    * same string algebra. */
+  private def plantPii(text: Column, id: Column): Column = concat(
+    text,
+    when(pmod(id, lit(2)) === 0,
+      concat(lit(" reach doc"), id.cast("string"), lit("@corp-mail.io")))
+      .otherwise(lit("")),
+    when(pmod(id, lit(3)) === 0,
+      concat(lit(" call +1-555-"), lpad(pmod(id, lit(1000)).cast("string"), 3, "0"),
+        lit("-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(pmod(id, lit(5)) === 0,
+      concat(lit(" from 10."), pmod(id, lit(256)).cast("string"),
+        lit("."), pmod(id * 7, lit(256)).cast("string"), lit(".42")))
+      .otherwise(lit("")))
+
+  private val SqlPlantPii = // no stripMargin: `||` is the SQL concat
+    "text " +
+      "|| CASE WHEN doc_id % 2 = 0 THEN ' reach doc' || CAST(doc_id AS VARCHAR) || '@corp-mail.io' ELSE '' END " +
+      "|| CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END " +
+      "|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.42' ELSE '' END"
+
+  // ---------------------------------------------------------------- q76
+
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  // ---------------------------------------------------------------- map
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Passage-level exact substring dedup output: merged spans of
+    // cross-document 8-grams, 0-based inclusive token positions.
+    "q74_duplicate_spans" -> { (s, d) =>
+      TextAnalysis.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        n = SpanN)
+        .orderBy(col("id"), col("span_start"))
+    },
+
+    // PII scrub over deterministically planted emails/phones/IPs.
+    "q75_pii_redact" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"),
+        plantPii(col("text"), col("doc_id")).as("text"))
+      TextAnalysis.piiRedact(planted, "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
+    // Deterministic 80/10/10 corpus split by id hash.
+    "q76_hash_split" -> { (s, d) =>
+      Sharding.splitByHash(Tables.documents(s, d), "doc_id", SplitWeights)
+        .orderBy(col("id"))
+    },
+
+    // Int8 scalar quantization against global per-dimension stats.
+    "q77_quantize_embeddings" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val stats = Similarity.dimStats(emb, "embedding")
+      Similarity.quantizeEmbeddings(emb, "vec_id", "embedding", stats)
+        .orderBy(col("id"), col("dim"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q74_duplicate_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(t[CAST(i+1 AS INT):CAST(i+$SpanN AS INT)], ' ')) AS gram
+         |  FROM toks, unnest(range(0, len(t) - ${SpanN - 1})) AS u(i)),
+         |crossdoc AS (
+         |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, pos FROM pos JOIN crossdoc USING (gram)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $SpanN
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM dup),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM brk)
+         |SELECT doc_id AS id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${SpanN - 1} AS BIGINT) AS span_end,
+         |  CAST(max(pos) + ${SpanN - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY id, span_start""".stripMargin,
+
+    "q75_pii_redact" -> {
+      val email = TextAnalysis.EmailRe
+      val phone = TextAnalysis.PhoneRe
+      val ip = TextAnalysis.IpRe
+      s"""WITH planted AS (
+         |  SELECT doc_id, $SqlPlantPii AS t FROM documents),
+         |st AS (
+         |  SELECT doc_id, t AS t0,
+         |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1
+         |  FROM planted),
+         |st2 AS (
+         |  SELECT doc_id, t0, t1,
+         |    regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2
+         |  FROM st)
+         |SELECT doc_id AS id,
+         |  regexp_replace(t2, '$ip', '<IP>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(t0, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ips
+         |FROM st2 ORDER BY id""".stripMargin
+    },
+
+    "q76_hash_split" -> {
+      val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
+      val cases = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
+        s"WHEN u < $c THEN '$name'"
+      }.mkString(" ")
+      s"""SELECT doc_id AS id,
+         |  CASE $cases ELSE '${SplitWeights.last._1}' END AS split
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM documents)
+         |ORDER BY id""".stripMargin
+    },
+
+    "q77_quantize_embeddings" ->
+      """WITH dims AS (
+        |  SELECT CAST(i AS BIGINT) AS dim,
+        |    min(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)) AS mx
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+        |  GROUP BY 1)
+        |SELECT e.vec_id AS id, d.dim,
+        |  CAST(CASE WHEN d.mx = d.mn THEN 0
+        |       ELSE least(255, greatest(0,
+        |         CAST(floor((CAST(e.embedding[CAST(d.dim+1 AS INT)] AS DOUBLE) - d.mn)
+        |           * 255.0 / (d.mx - d.mn)) AS BIGINT)))
+        |  END AS BIGINT) AS code
+        |FROM embeddings e CROSS JOIN dims d
+        |ORDER BY id, dim""".stripMargin
+  )
+}

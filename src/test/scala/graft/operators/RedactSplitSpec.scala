@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Contract tests for the round-4 corpus-hygiene operators: duplicate
+  * passage spans, PII redaction, hash splitting, int8 quantization. */
+class RedactSplitSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("duplicateSpans: hand-computed spans, overlapping windows merge") {
+    import spark.implicits._
+    // docs 1 and 2 share the passage "p q r s t" (5 tokens, n=3 ->
+    // windows at 1-2-3 positions merge into one span); doc 3 is clean.
+    val crafted = Seq(
+      (1L, "a b p q r s t c d"), // shared 3-grams at pos 2,3,4 -> span [2,6]
+      (2L, "p q r s t x y z"),   // at pos 0,1,2 -> span [0,4]
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicateSpans(crafted, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    r shouldBe Array((1L, 2L, 6L, 5L), (2L, 0L, 4L, 5L))
+  }
+
+  test("duplicateSpans: within-doc repetition alone is NOT a duplicate passage") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "loop loop loop loop loop loop"), // repeats only within itself
+      (2L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    TextAnalysis.duplicateSpans(crafted, "doc_id", "text", n = 3)
+      .count() shouldBe 0
+  }
+
+  test("duplicateSpans: disjoint shared passages yield separate spans") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "p q r GAPA GAPB GAPC x y z"),
+      (2L, "p q r other tokens here x y z")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicateSpans(crafted, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    // each doc: span [0,2] ("p q r") and span over "x y z"
+    r.count(_._4 == 3L) shouldBe 4
+    r.filter(x => x._1 == 1L).map(x => (x._2, x._3)).sorted shouldBe
+      Array((0L, 2L), (6L, 8L))
+  }
+
+  test("piiRedact: golden scrub with staged counts") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "write to jane.doe+x@corp-mail.io or call +1-555-010-2030"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 no contact"),
+      (3L, "plain text only")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(crafted, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, "write to <EMAIL> or call <PHONE>", 1L, 1L, 0L))
+    r(1) shouldBe ((2L, "server at <IP> and <IP> no contact", 0L, 0L, 2L))
+    r(2) shouldBe ((3L, "plain text only", 0L, 0L, 0L))
+  }
+
+  test("piiRedact: staged order — alphabetic email hosts never leak to the IP stage") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "x@1.2.3.4 mail"),        // numeric TLD: not an email -> IP stage catches the quad
+      (2L, "y@mail4.example.com up") // digit in host but alphabetic TLD: email, no IP
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(crafted, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, "x@<IP> mail", 0L, 0L, 1L))
+    r(1) shouldBe ((2L, "<EMAIL> up", 1L, 0L, 0L))
+  }
+
+  test("splitByHash: disjoint cover, deterministic, prefix-stable") {
+    import spark.implicits._
+    val s3 = Sharding.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    s3.count() shouldBe docs.count()
+    s3.select("id").distinct().count() shouldBe docs.count()
+    // deterministic
+    val again = Sharding.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    s3.exceptAll(again).count() shouldBe 0
+    // roughly proportional (500 docs, wide tolerance)
+    val frac = s3.filter(col("split") === "train").count().toDouble /
+      docs.count()
+    frac shouldBe 0.8 +- 0.1
+    // prefix stability: splitting 0.8/0.2 assigns the SAME train set
+    val s2 = Sharding.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "rest" -> 0.2))
+    val t3 = s3.filter(col("split") === "train").select("id")
+    val t2 = s2.filter(col("split") === "train").select("id")
+    t3.exceptAll(t2).count() shouldBe 0
+    t2.exceptAll(t3).count() shouldBe 0
+  }
+
+  test("quantizeEmbeddings: codes in [0,255], extremes hit, midpoint decode within a step") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val stats = Similarity.dimStats(emb, "embedding")
+    val codes = Similarity.quantizeEmbeddings(emb, "vec_id", "embedding",
+      stats).cache()
+    val dim = stats.length
+    codes.count() shouldBe emb.count() * dim
+    codes.agg(min("code"), max("code")).as[(Long, Long)].head() shouldBe
+      ((0L, 255L))
+    // midpoint decode: error <= half the encoder's bucket width per dim
+    val orig = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val deq = Similarity.dequantize(codes, stats)
+      .as[(Long, Array[Float])].collect()
+    deq.length shouldBe orig.size
+    deq.foreach { case (id, v) =>
+      v.indices.foreach { i =>
+        val (mn, mx) = stats(i)
+        val halfBucket = (mx - mn) / 255.0 / 2.0
+        math.abs(v(i).toDouble - orig(id)(i).toDouble) should be <= halfBucket + 1e-6
+      }
+    }
+  }
+}
