@@ -47,11 +47,21 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // The harness that consumes this line keeps only a bounded tail of the
+    // process output, so the summary MUST stay compact: short "qNN" keys
+    // (the long names live in SparkEntry/BASELINE.md) and 3-decimal
+    // seconds. A full-resolution long-name line goes first for humans;
+    // the compact line is printed LAST so a tail window always holds it.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qsFull = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"${jstr(shortKey(k))}:${r3(v)}" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(shortKey(k))}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }
