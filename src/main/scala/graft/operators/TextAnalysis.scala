@@ -40,9 +40,11 @@ object TextAnalysis {
     *   - dup_line_frac: (line occurrences - distinct lines) / lines —
     *     per-row codegen array arithmetic, no shuffle,
     *   - top_bigram_frac: occurrences of the most frequent word 2-gram
-    *     over total 2-gram occurrences — explode + per-(doc,gram) count +
-    *     per-doc max/sum, the word-count shuffle shape (map-side partial
-    *     aggregation; scales like q04 at any corpus size).
+    *     over total 2-gram occurrences — bigrams assembled in-row (zip
+    *     of the token array with its own shift, no token shuffle), then
+    *     per-(doc,gram) count + per-doc max/sum, the word-count shuffle
+    *     shape (map-side partial aggregation; scales like q04 at any
+    *     corpus size).
     * Docs with no lines / fewer than 2 tokens report zero fractions. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
@@ -53,12 +55,11 @@ object TextAnalysis {
         .otherwise(0.0).as("dup_line_frac"))
     val grams = docs
       .select(col(idCol), T.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), posexplode(col("toks")))
-      .withColumn("nxt", lead(col("col"), 1)
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("pos"))))
-      .filter(col("nxt").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("col"), col("nxt")).as("gram"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))))))
+      .select(col(idCol),
+        concat_ws(" ", col("col.`0`"), col("col.`1`")).as("gram"))
     val top = grams.groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
@@ -91,23 +92,33 @@ object TextAnalysis {
       .select(col("__id").as("id"), col("n_shared_grams"))
   }
 
+  /** Positioned word n-grams as one per-row codegen expression: zip the
+    * token array against its own n−1 shifts (`arrays_zip` of `slice`s)
+    * and posexplode — every gram of a document is assembled IN-ROW, so
+    * unlike a `lead()`-window formulation there is NO shuffle/sort of the
+    * exploded token stream (at corpus scale that shuffle is the dominant
+    * cost and carries ~every token). Emits (__id, pos, gram) with gram =
+    * md5 hex of the space-joined tokens, pos 0-based. */
+  private def positionedGramFps(df: DataFrame, id: Column, text: Column,
+                                n: Int): DataFrame = {
+    val L = size(col("toks"))
+    val zipped = arrays_zip((0 until n).map(i =>
+      slice(col("toks"), lit(i + 1), greatest(L - (n - 1), lit(0)))): _*)
+    df.select(id.as("__id"), T.tokens(text).as("toks"))
+      .select(col("__id"), posexplode(zipped))
+      .select(col("__id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", (0 until n).map(i => col(s"col.`$i`")): _*))
+          .as("gram"))
+  }
+
   /** (id, gram) — each document's DISTINCT word n-gram fingerprints
     * (16-byte md5 of the space-joined gram, not the gram text). Shared by
     * [[contamination]] and [[dupGramFraction]]. */
   private def gramFps(df: DataFrame, id: Column, text: Column,
-                      n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("col"), i).over(w))
-    df.select(id.as("__id"), T.tokens(text).as("toks"))
-      .select(col("__id"), posexplode(col("toks")))
-      .withColumn("gram",
-        when(leads.last.isNotNull,
-          md5(concat_ws(" ", (col("col") +: leads): _*))))
-      .filter(col("gram").isNotNull)
+                      n: Int): DataFrame =
+    positionedGramFps(df, id, text, n)
       .select(col("__id"), col("gram"))
       .distinct()
-  }
 
   /** Inter-document duplication profile (the "dedup residue" metric run
     * after near-dup removal, and the doc-level cousin of exact substring
@@ -200,26 +211,20 @@ object TextAnalysis {
     * spans (gaps-and-islands: a window starting at `pos` extends the
     * current span iff pos <= prev_pos + n).
     *
-    * Scale: positioned gram fingerprints (16-byte md5) → one hash
-    * aggregate for cross-doc gram counts → semi-join back on the
-    * fingerprint → per-doc window to merge islands. Every shuffle is
-    * keyed (gram, then doc id); nothing quadratic; the per-doc window
-    * is bounded by document length. Output: (id, span_start, span_end,
-    * span_tokens) with 0-based inclusive token positions; docs with no
-    * duplicated passage emit no rows. */
+    * Scale: positioned gram fingerprints (16-byte md5, assembled in-row
+    * — no token-stream shuffle) → one hash aggregate for cross-doc gram
+    * counts → semi-join back on the fingerprint → per-doc window to
+    * merge islands. Every shuffle is keyed (gram, then doc id); nothing
+    * quadratic; the per-doc window is bounded by document length.
+    * Output: (id, span_start, span_end, span_tokens) with 0-based
+    * inclusive token positions; docs with no duplicated passage emit no
+    * rows. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 20): DataFrame = {
     val wPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("col"), i).over(wPos))
-    val positioned = docs
-      .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("toks"))
-      .select(col("__id"), posexplode(col("toks")))
-      .withColumn("gram",
-        when(leads.last.isNotNull,
-          md5(concat_ws(" ", (col("col") +: leads): _*))))
-      .filter(col("gram").isNotNull)
-      .select(col("__id"), col("pos"), col("gram"))
+    val positioned =
+      positionedGramFps(docs, col(idCol), col(textCol), n)
     val crossDoc = positioned.select(col("__id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))
       .filter(col("gram_docs") >= 2)
