@@ -263,6 +263,73 @@ object Dedup {
     sameSetPairs(sets).unionByName(expandSetPairs(qualified, sets))
   }
 
+  /** Containment dedup signal — "is this document's token set a
+    * near-SUBSET of another document's?" (containment |A∩B|/|A|, the
+    * asymmetric cousin of Jaccard; CC-Net/Gopher-style pipelines drop
+    * subsumed docs that plain near-dup misses because a small doc inside
+    * a big one has low Jaccard but containment ~1). Output per doc:
+    * (id, n_supersets, subsumed) where n_supersets counts OTHER docs B
+    * with containment(A→B) >= threshold.
+    *
+    * Same prefix-filter scale shape as [[jaccardPairsPrefix]], adapted to
+    * the asymmetric bound: only the PROBE side (A) shrinks to its
+    * n − ceil(t·n) + 1 rarest tokens (if that prefix misses B entirely,
+    * the overlap is ≤ ceil(t·n) − 1 < t·n), while the indexed side (B)
+    * keeps all tokens. Candidates, verification, and counting all run on
+    * DISTINCT token sets; doc multiplicity re-attaches at the end, so
+    * nothing is quadratic in the corpus. Docs with empty token sets are
+    * omitted (containment over an empty probe is undefined; [[docSetsBy]]
+    * drops them before pairing — same relation the oracle ranges over). */
+  def subsumedBy(docs: DataFrame, idCol: String, textCol: String,
+                 threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = docSets(docs, idCol, textCol).cache()
+    val groups = setGroups(sets).cache()
+    val nonEmpty = groups.filter(size(col("ts")) > 0)
+    val dfreq = nonEmpty.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = nonEmpty.select(col("sk"), explode(col("ts")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy(col("sk"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dts"))
+      .select(col("sk"), col("dts.tok").as("ts_o"))
+    // exact decimal t*n (same silent-recall-hole guard as the Jaccard path)
+    val tDec = lit(new java.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val skHashUdf = udf((sk: String) => skHash(sk))
+    val prefixA = ordered.select(skHashUdf(col("sk")).as("h"),
+      explode(slice(col("ts_o"), lit(1),
+        greatest(lit(1),
+          (size(col("ts_o")) - ceil(size(col("ts_o")) * tDec) + 1)
+            .cast("int")))).as("tok"))
+    val allB = ordered.select(skHashUdf(col("sk")).as("h"),
+      explode(col("ts_o")).as("tok"))
+    val candPairs = prefixA.as("a")
+      .join(allB.as("b"),
+        col("a.tok") === col("b.tok") && col("a.h") =!= col("b.h"))
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .dropDuplicates("h_a", "h_b")
+    val byHash = broadcast(groups.select(skHashUdf(col("sk")).as("h"),
+      col("sk"), col("ts"), col("n")))
+    val qualified = candPairs
+      .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
+        col("ts").as("ts_a")), "h_a")
+      .join(byHash.select(col("h").as("h_b"), col("ts").as("ts_b"),
+        col("n").as("n_b")), "h_b")
+      .withColumn("cont",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
+          / size(col("ts_a")))
+      .filter(col("cont") >= threshold)
+      .select(col("sk_a"), col("n_b"))
+    val fromPairs = qualified.groupBy(col("sk_a")).agg(sum(col("n_b")).as("np"))
+    sets
+      .join(groups.select(col("sk"), col("n")), "sk")
+      .join(fromPairs.withColumnRenamed("sk_a", "sk"), Seq("sk"), "left")
+      .select(col("doc").as("id"),
+        (col("n") - 1 + coalesce(col("np"), lit(0L))).as("n_supersets"))
+      .withColumn("subsumed", col("n_supersets") > 0)
+  }
+
   /** MinHash signatures: (id, sig array<long> of length k). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, seed: Long = 42L): DataFrame =

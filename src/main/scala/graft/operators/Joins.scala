@@ -49,4 +49,42 @@ object Joins {
   def equiRange(left: DataFrame, right: DataFrame, keys: Column,
                 range: Column): DataFrame =
     left.join(right, keys && range)
+
+  /** CDC compaction — "current state" of a change stream: one row per
+    * key, the one with the largest `ord` tuple (lexicographic; make the
+    * last element a unique id for a total order). Formulated as a
+    * `max_by(struct(payload), struct(ord))` AGGREGATE rather than a
+    * row_number window: map-side partials carry one candidate row per
+    * (key, partition), so the shuffle moves one row per key per task
+    * instead of the whole history — the difference between compacting a
+    * 100 TB changelog and sorting it. */
+  def latestByKey(df: DataFrame, keys: Seq[String], ord: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toIndexedSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(ord.map(col): _*)).as("__r"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** Bloom-filtered semi-join — the runtime-filter idiom for "big fact ⋉
+    * selective dim" at scale: build a Bloom filter over the right side's
+    * keys (one driver-side aggregate, ~`-n·ln(fpp)/ln²2` bits), broadcast
+    * it, and pre-filter the LEFT side map-side BEFORE its shuffle, so the
+    * exact semi-join that follows shuffles only the ~fpp false-positive
+    * residue plus true matches instead of the full fact table. Output is
+    * EXACT (the semi-join removes Bloom false positives); the Bloom stage
+    * only cuts shuffle volume. Long keys. (Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` does this automatically
+    * inside one query; this operator makes the filter explicit and
+    * reusable across queries, like the reference's dval distcache.) */
+  def bloomSemiJoin(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
+    val bc = left.sparkSession.sparkContext.broadcast(bf)
+    val pre = left.filter(udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k)).apply(col(leftKey)))
+    pre.join(right.select(col(rightKey)).distinct(),
+      pre(leftKey) === col(rightKey), "left_semi")
+  }
 }

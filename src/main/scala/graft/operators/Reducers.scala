@@ -37,4 +37,48 @@ object Reducers {
   /** A7 `ffilter`/`first` — first row matching `pred` under `order`. */
   def firstWhere(df: DataFrame, pred: Column, order: Seq[Column]): DataFrame =
     df.filter(pred).orderBy(order: _*).limit(1)
+
+  /** Exact per-group quantiles with linear interpolation (the
+    * `quantile_cont` contract: position p·(n-1), interpolate between the
+    * floor and ceil order statistics). Quantiles are given as PER-MILLE
+    * integers (500 = median, 900 = p90) so every intermediate value is
+    * integer arithmetic — `q = (a·1000 + (b−a)·rem) / 1000.0` with one
+    * final IEEE division — bit-identical across engines, no float
+    * interpolation drift.
+    *
+    * Scale shape: one shuffle on the key; the order statistics come from
+    * a per-key `row_number` window + conditional aggregate, never a
+    * collect. For GLOBAL quantiles over 100 TB use
+    * `percentile_approx` — an exact global quantile funnels the corpus
+    * through one partition by definition; per-key quantiles parallelize
+    * over keys, which is the shape this operator serves. Integer-valued
+    * columns only (cast upstream). */
+  def quantilesBy(df: DataFrame, keyCol: String, valCol: String,
+                  ps: Seq[(String, Int)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, pm) => pm >= 0 && pm <= 1000 },
+      "quantiles are per-mille values in [0, 1000]")
+    val wR = Window.partitionBy(col("__k")).orderBy(col("__v"))
+    val wC = Window.partitionBy(col("__k"))
+    val base = df.select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(wR).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(wC))
+    val aggs = ps.flatMap { case (name, pm) =>
+      val pos = (col("__cnt") - 1) * pm // integer per-mille position
+      val rem = pmod(pos, lit(1000L))
+      val lo = ((pos - rem) / 1000).cast("long") // exact: divides evenly
+      Seq(
+        max(when(col("__rn") === lo + 1, col("__v"))).as(s"__a_$name"),
+        max(when(col("__rn") === least(lo + 2, col("__cnt")), col("__v")))
+          .as(s"__b_$name"),
+        max(rem).as(s"__r_$name"))
+    }
+    val out = ps.map { case (name, _) =>
+      ((col(s"__a_$name") * 1000 +
+        (col(s"__b_$name") - col(s"__a_$name")) * col(s"__r_$name"))
+        .cast("double") / 1000.0).as(name)
+    }
+    base.groupBy(col("__k").as(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: out: _*)
+  }
 }

@@ -37,6 +37,37 @@ object Sharding {
       .select(col("id"), col("bucket"), col("shard"), col("n_tokens"))
   }
 
+  /** Concat-and-chunk sequence packing — the "tokenize, concatenate,
+    * split into fixed windows" shape LLM pre-training uses: docs stream
+    * in id order within a bucket, each takes the next `chunkTokens`-sized
+    * window positions after its predecessor (carry-over across doc
+    * boundaries — a doc can straddle chunks). Output per doc: its token
+    * offset in the bucket stream, the first/last chunk it lands in, and
+    * the chunk count it spans. Bucketing bounds the window cumsum the
+    * same way [[contiguousShards]] does: each bucket's prefix sum is
+    * independent, so 32 buckets = 32-way parallel cumsum instead of one
+    * global single-task window. */
+  def chunkPack(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Long, buckets: Int = 32): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      pmod(col(idCol).cast("long"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_first",
+        floor(col("tok_offset") / chunkTokens).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
+          / chunkTokens).cast("long"))
+      .select(col("id"), col("bucket"), col("n_tokens"),
+        col("tok_offset").cast("long").as("tok_offset"),
+        col("chunk_first"), col("chunk_last"),
+        (col("chunk_last") - col("chunk_first") + 1).as("n_chunks"))
+  }
+
   /** Greedy budget packing: within each bucket, stream docs in id order
     * and open a new shard whenever adding the next doc would exceed
     * `budget` (a doc larger than the budget gets a shard of its own).

@@ -87,9 +87,31 @@ object Similarity {
         V.quantize(col("col._1"), 6).as("sim"))
   }
 
+  /** Mutual k-NN graph: undirected edges (id_a < id_b) where each vector
+    * is in the other's exact cosine top-k — the neighborhood graph
+    * semantic-clustering pipelines build before community detection.
+    * Built from ONE directed top-k pass (the quantized-exact kernel, so
+    * sim(a,b) == sim(b,a) bit-for-bit) self-joined on the reversed pair;
+    * the join is on (query, neighbor) id pairs only — k rows per vector,
+    * never the vectors. Callers bound the vector set (mutual k-NN is
+    * all-pairs by definition); at corpus scale swap the directed pass for
+    * [[lshTopK]] and accept approximate neighborhoods. */
+  def mutualKnn(vectors: DataFrame, idCol: String, vecCol: String,
+                k: Int, exact: Boolean = false): DataFrame = {
+    val top = bruteForceTopK(vectors, vectors, idCol, vecCol, k, exact)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    top.as("e")
+      .join(top.select(col("query_id").as("rq"), col("neighbor_id").as("rn"))
+        .as("r"),
+        col("e.query_id") === col("r.rn") && col("e.neighbor_id") === col("r.rq") &&
+          col("e.query_id") < col("e.neighbor_id"))
+      .select(col("e.query_id").as("id_a"), col("e.neighbor_id").as("id_b"),
+        col("e.sim").as("sim"))
+  }
+
   /** All pairs with cosine >= threshold within a (pre-filtered) vector
     * set. Exact-arithmetic variant for oracle verification. All-pairs —
-    * the exact baseline; the scale path is [[lshCosinePairs]]. */
+    * the scale path is [[lshCosinePairs]]. */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, exact: Boolean = false): DataFrame = {
     val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))

@@ -327,6 +327,52 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(BpeishPattern)).cast("long")
         .as("n_bpeish_tokens"))
 
+  /** Inverted index: one row per distinct term with its document
+    * frequency and the `maxPostings` SMALLEST doc ids as a sorted sample
+    * posting list. The posting sample uses the bounded top-k Aggregator
+    * (negated id = k smallest), NOT collect_list-then-slice: map-side
+    * partials and shuffle rows stay O(maxPostings) per term even when a
+    * stopword's true posting list is the whole corpus — the difference
+    * between an index build that scales and one that OOMs on "the". */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 20): DataFrame = {
+    val topk = Agg.topK(maxPostings)
+    docs.select(col(idCol).cast("long").as("id"),
+      explode(T.tokenSet(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        topk((-col("id")).cast("double"), col("id")).as("top"))
+      .select(col("term"), col("df"),
+        transform(col("top"), x => x("_2")).as("postings"))
+  }
+
+  /** Rare-token scoring — the "contains unusual vocabulary" quality
+    * signal: a token is rare when its total corpus count is below half
+    * the mean per-type count (total_tokens / (2·vocab)); each document
+    * reports its token count, rare-token count, and rare fraction. The
+    * corpus profile is ONE word-count aggregate collected to a
+    * broadcast-sized map (vocabulary-sized, not corpus-sized — the dval
+    * idiom), so the per-doc pass is a single map stage. */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs.select(explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val thr = total / (2L * math.max(counts.size, 1)) // integer floor, exact
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      counts.filter(_._2 < thr).keySet)
+    val nRare = udf((toks: Seq[String]) =>
+      if (toks == null) 0L else toks.count(bc.value.contains).toLong)
+    docs.select(col(idCol).cast("long").as("id"),
+      T.tokens(col(textCol)).as("__t"))
+      .select(col("id"), size(col("__t")).cast("long").as("n_tokens"),
+        nRare(col("__t")).as("n_rare"))
+      .withColumn("rare_frac",
+        when(col("n_tokens") > 0,
+          col("n_rare").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Content fingerprints: exact (md5 of normalized text) and shingle
     * sketch (min md5 over word 3-grams; null for docs with <3 tokens).
     *
