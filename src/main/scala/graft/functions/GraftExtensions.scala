@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration of the graft native expressions — the
+  * `SparkSessionExtensions` extension point from the charter: a user who
+  * adds `spark.sql.extensions=graft.functions.GraftExtensions` (or calls
+  * [[GraftFunctionRegistry.register]] on an existing session) can use the
+  * engine's vector/sketch kernels from plain `spark.sql(...)`:
+  *
+  *   SELECT graft_cosine_f32(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_minhash_sig(hashes, 64, 42) FROM ...
+  *
+  * This complements the Column API in [[NativeExpr]]; both build the same
+  * codegen'd expressions.
+  */
+object GraftFunctionRegistry {
+  import NativeExpr._
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[NativeExpr.type].getCanonicalName, null, name,
+      usage, "", "", "", "math_funcs", "4.0.0", "", "scala_udf")
+
+  private def binary(name: String, usage: String)
+                    (mk: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      mk(args(0), args(1))
+    })
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case v => throw new IllegalArgumentException(s"$what must be an integer literal, got $v")
+      }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
+  }
+
+  /** All graft SQL functions, as `injectFunction`-shaped descriptions. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    binary("graft_cosine_f32",
+      "graft_cosine_f32(a, b) - plain-double cosine of two float arrays")(CosineF32),
+    binary("graft_cosine_q",
+      "graft_cosine_q(a, b) - exact-quantized engine-invariant cosine")(CosineQF32),
+    binary("graft_dot_f32",
+      "graft_dot_f32(a, b) - plain-double dot product of two float arrays")(DotF32),
+    binary("graft_dotq_long",
+      "graft_dotq_long(a, b) - exact-quantized dot as sum of floor(x*y*1e12) longs")(DotQLongF32),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(hashes, k, seed) - k-permutation MinHash signature over a pre-hashed array<long>"),
+      { args =>
+        require(args.length == 3,
+          s"graft_minhash_sig expects (hashes, k, seed), got ${args.length} arguments")
+        val k = litInt(args(1), "k")
+        val seed = litInt(args(2), "seed").toLong
+        MinHashSigF(args(0),
+          HashFunctions.permutations(k, seed).toIndexedSeq, HashFunctions.Prime)
+      })
+  )
+
+  /** Register on a live session (for sessions not built with the
+    * extension, e.g. the driver-owned Verify/Bench sessions). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.descriptions.foreach(ext.injectFunction)
+}

@@ -31,17 +31,15 @@ object HashFunctions {
     * 31-bit prime field). */
   def tokenHash(t: Column): Column = pmod(xxhash64(t), lit(Prime))
 
-  /** MinHash signature from a PRE-HASHED array<long> column (use when the
-    * hash array is materialized as its own attribute, so the k affine
-    * transforms share one hashing pass instead of re-hashing per
-    * permutation). Empty input arrays yield Prime (sentinel max).
+  /** MinHash signature from a PRE-HASHED array<long> column, computed by
+    * the native codegen'd [[NativeExpr.MinHashSigF]] — all k permutation
+    * minima in ONE pass over the hash array (the equivalent
+    * `array(k × coalesce(array_min(transform(hashes, h =>
+    * pmod(h*a+b, Prime))), Prime))` formulation evaluates k interpreted
+    * passes). Contract: empty/null input arrays yield Prime sentinels.
     * All intermediate products are < 2^62 (31-bit operands), ANSI-safe. */
   def minhashFromHashes(hashes: Column, perms: Array[(Long, Long)]): Column =
-    array(perms.toIndexedSeq.map { case (a, b) =>
-      coalesce(
-        array_min(transform(hashes, h => pmod(h * a + b, lit(Prime)))),
-        lit(Prime))
-    }: _*)
+    NativeExpr.minhashSig(hashes, perms)
 
   /** MinHash signature (array<long>, length k) over a string-array column. */
   def minhashSignature(tokens: Column, perms: Array[(Long, Long)]): Column =

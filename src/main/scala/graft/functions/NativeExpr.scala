@@ -1,0 +1,354 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with `doGenCode`) for the engine's vector
+  * and sketch hot loops — the charter's tier-(b) extension point: a custom
+  * codegen'd `Expression` beats both interpreted higher-order functions
+  * (Spark evaluates `zip_with`/`aggregate`/`transform` per element with
+  * boxing) and typed `Dataset.map` kernels (which pay an encoder
+  * round-trip out of and back into Tungsten rows). These run inside
+  * whole-stage codegen directly over `UnsafeArrayData`, so the similarity
+  * kernels stay in the same generated loop as the surrounding projection.
+  *
+  * Arithmetic contracts are bit-identical to the documented kernels in
+  * [[VectorFunctions]] / `Similarity` (same op order, same IEEE ops), so
+  * swapping them into oracle-verified queries cannot change results.
+  *
+  * Capability parity: the reference's closest analogue is its raw-object
+  * task path (`/root/reference/doc/reducers-vs-seqs.md:13-17` argues for
+  * allocation-free tight loops inside tasks); here the same concern is
+  * expressed as Catalyst codegen instead of hand-written reducers.
+  */
+object NativeExpr {
+
+  /** One-pass plain-double cosine over two `array<float>` columns:
+    * ab/(√aa·√bb) accumulated to the min length — bit-identical to
+    * `Similarity.cosFast` (long-add/IEEE-double op order preserved).
+    * Zero-norm input yields NaN (as the kernel does). */
+  case class CosineF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpr.checkFloatArrays(prettyName, left, right)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine_f32"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y
+        i += 1
+      }
+      ab / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (av, bv) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+        val bb = ctx.freshName("bb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+         |int $n = java.lang.Math.min($av.numElements(), $bv.numElements());
+         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $av.getFloat($i);
+         |  double $y = (double) $bv.getFloat($i);
+         |  $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |}
+         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Exact-quantized cosine — bit-identical to the `cosQ` kernel /
+    * `VectorFunctions.cosineQ`: `Σ floor(x·y·1e12)` long accumulators
+    * (order-invariant integer adds, so any evaluation order and any
+    * engine reproduce the same bits), then
+    * (ab/1e12)/(√(aa/1e12)·√(bb/1e12)) in doubles. The dot runs to the
+    * min length; each norm runs over its OWN array's full length
+    * (`cosQ = dotQ(a,b)/(√dotQ(a,a)·√dotQ(b,b))`). */
+  case class CosineQF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpr.checkFloatArrays(prettyName, left, right)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine_q"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      val n = math.min(na, nb)
+      var ab = 0L; var aa = 0L; var bb = 0L
+      var i = 0
+      while (i < n) {
+        ab += java.lang.Math
+          .floor(a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e12).toLong
+        i += 1
+      }
+      // norms run over each array's FULL length (kernel contract:
+      // cosQ = dotQ(a,b) / (√dotQ(a,a) · √dotQ(b,b)))
+      i = 0
+      while (i < na) {
+        val x = a.getFloat(i).toDouble
+        aa += java.lang.Math.floor(x * x * 1e12).toLong; i += 1
+      }
+      i = 0
+      while (i < nb) {
+        val y = b.getFloat(i).toDouble
+        bb += java.lang.Math.floor(y * y * 1e12).toLong; i += 1
+      }
+      val dq = ab.toDouble / 1e12
+      val sa = java.lang.Math.sqrt(aa.toDouble / 1e12)
+      val sb = java.lang.Math.sqrt(bb.toDouble / 1e12)
+      dq / (sa * sb)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (av, bv) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+        val bb = ctx.freshName("bb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+         |int $na = $av.numElements();
+         |int $nb = $bv.numElements();
+         |int $n = java.lang.Math.min($na, $nb);
+         |long $ab = 0L; long $aa = 0L; long $bb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $ab += (long) java.lang.Math.floor(
+         |    ((double) $av.getFloat($i)) * ((double) $bv.getFloat($i)) * 1.0E12);
+         |}
+         |for (int $i = 0; $i < $na; $i++) {
+         |  double $x = (double) $av.getFloat($i);
+         |  $aa += (long) java.lang.Math.floor($x * $x * 1.0E12);
+         |}
+         |for (int $i = 0; $i < $nb; $i++) {
+         |  double $y = (double) $bv.getFloat($i);
+         |  $bb += (long) java.lang.Math.floor($y * $y * 1.0E12);
+         |}
+         |${ev.value} = (((double) $ab) / 1.0E12)
+         |  / (java.lang.Math.sqrt(((double) $aa) / 1.0E12)
+         |     * java.lang.Math.sqrt(((double) $bb) / 1.0E12));
+         |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Plain-double dot product (sequential fold to the min length). */
+  case class DotF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpr.checkFloatArrays(prettyName, left, right)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot_f32"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (av, bv) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+         |int $n = java.lang.Math.min($av.numElements(), $bv.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $av.getFloat($i)) * ((double) $bv.getFloat($i));
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Exact-quantized dot as a long: `Σ floor(x·y·1e12)` to the min
+    * length — the native twin of `VectorFunctions.dotQLong`'s
+    * zip_with/aggregate formulation (for equal-length, null-free arrays
+    * the two agree bit-for-bit; the HOF nulls out on length mismatch
+    * where this, like the typed kernels, folds to the min length). */
+  case class DotQLongF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpr.checkFloatArrays(prettyName, left, right)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dotq_long"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += java.lang.Math
+          .floor(a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e12).toLong
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (av, bv) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+         |int $n = java.lang.Math.min($av.numElements(), $bv.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) java.lang.Math.floor(
+         |    ((double) $av.getFloat($i)) * ((double) $bv.getFloat($i)) * 1.0E12);
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature over a PRE-HASHED `array<long>` column: all `k`
+    * permutation minima in ONE pass over the hash array (the
+    * `transform`+`array_min` formulation in [[HashFunctions]] evaluates
+    * k interpreted passes). Contract matches the HOF chain exactly:
+    * per permutation j, `min over h of pmod(h·a_j + b_j, prime)`; null
+    * or empty input and null elements behave as the HOF chain does
+    * (null/empty → all-`prime` sentinel signature; null elements are
+    * skipped, as `array_min` skips nulls). Output is non-nullable. */
+  case class MinHashSigF(child: Expression, perms: IndexedSeq[(Long, Long)],
+                         prime: Long)
+      extends UnaryExpression {
+    require(perms.nonEmpty, "need at least one permutation")
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<bigint>, got ${other.catalogString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_minhash_sig"
+
+    @transient private lazy val pa: Array[Long] = perms.map(_._1).toArray
+    @transient private lazy val pb: Array[Long] = perms.map(_._2).toArray
+
+    override def eval(input: InternalRow): Any = {
+      val k = pa.length
+      val out = new Array[Long](k)
+      java.util.Arrays.fill(out, prime)
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) {
+            val h = arr.getLong(i)
+            var j = 0
+            while (j < k) {
+              val m = java.lang.Math.floorMod(h * pa(j) + pb(j), prime)
+              if (m < out(j)) out(j) = m
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val aRef = ctx.addReferenceObj("minhashA", pa, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", pb, "long[]")
+      val out = ctx.freshName("out")
+      val arr = ctx.freshName("arr")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      val kLen = pa.length.toString
+      val primeL = s"${prime}L"
+      ev.copy(isNull = FalseLiteral, code =
+        code"""
+          |${childGen.code}
+          |long[] $out = new long[$kLen];
+          |java.util.Arrays.fill($out, $primeL);
+          |if (!${childGen.isNull}) {
+          |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
+          |  int $n = $arr.numElements();
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    if (!$arr.isNullAt($i)) {
+          |      long $h = $arr.getLong($i);
+          |      for (int $j = 0; $j < $kLen; $j++) {
+          |        long $m = java.lang.Math.floorMod($h * $aRef[$j] + $bRef[$j], $primeL);
+          |        if ($m < $out[$j]) $out[$j] = $m;
+          |      }
+          |    }
+          |  }
+          |}
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+          |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  private def c(e: Expression): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(e)
+  private def x(col: Column): Expression =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(col)
+
+  /** Shared input-type check: both sides must be array<float>. */
+  private[functions] def checkFloatArrays(name: String, left: Expression,
+                                          right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects (array<float>, array<float>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  def cosineF32(a: Column, b: Column): Column = c(CosineF32(x(a), x(b)))
+  def cosineQF32(a: Column, b: Column): Column = c(CosineQF32(x(a), x(b)))
+  def dotF32(a: Column, b: Column): Column = c(DotF32(x(a), x(b)))
+  def dotQLongF32(a: Column, b: Column): Column = c(DotQLongF32(x(a), x(b)))
+  def minhashSig(hashes: Column, perms: Array[(Long, Long)]): Column =
+    c(MinHashSigF(x(hashes), perms.toIndexedSeq, HashFunctions.Prime))
+}

@@ -13,51 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Plain double cosine — the Scala twin of `VectorFunctions.cosine`
-    * (sequential fold in array order, identical IEEE results). */
-  private def cosFast(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var ab = 0.0; var aa = 0.0; var bb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      ab += x * y; aa += x * x; bb += y * y
-      i += 1
-    }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
-  }
-
-  /** Exact-quantized cosine — the Scala twin of
-    * `VectorFunctions.cosineQ` (per-element floor(x*y*1e12) long sums;
-    * order- and engine-invariant, same bits as the Column formulation and
-    * the DuckDB oracle). */
-  private def cosQ(a: Array[Float], b: Array[Float]): Double = {
-    def dotQL(x: Array[Float], y: Array[Float]): Long = {
-      val n = math.min(x.length, y.length)
-      var s = 0L
-      var i = 0
-      while (i < n) {
-        s += math.floor(x(i).toDouble * y(i).toDouble * 1e12).toLong
-        i += 1
-      }
-      s
-    }
-    val dq = dotQL(a, b).toDouble / 1e12
-    val na = math.sqrt(dotQL(a, a).toDouble / 1e12)
-    val nb = math.sqrt(dotQL(b, b).toDouble / 1e12)
-    dq / (na * nb)
-  }
-
-  /** (id_a, v_a, id_b, v_b) → (id_a, id_b, sim) as a typed map: the
-    * similarity kernel runs as tight JVM loops instead of interpreted
-    * higher-order-function expressions (~10× on the hot path). */
+  /** (id_a, v_a, id_b, v_b) → (id_a, id_b, sim) via the native codegen'd
+    * cosine expressions ([[graft.functions.NativeExpr]]): the kernel runs
+    * inside whole-stage codegen directly over `UnsafeArrayData` — no
+    * encoder round-trip (the previous typed-`map` kernels deserialized
+    * both vectors per pair), no interpreted higher-order functions.
+    * `exact = true` selects the quantized order-/engine-invariant
+    * arithmetic (`CosineQF32`, the DuckDB-reproducible kernel); default
+    * is the plain IEEE-double one-pass cosine (`CosineF32`). Both are
+    * bit-identical to the Scala kernels they replaced (same op order). */
   private def pairSims(pairs: DataFrame, exact: Boolean): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs.as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (ia, va, ib, vb) =>
-        (ia, ib, if (exact) cosQ(va, vb) else cosFast(va, vb))
-      }.toDF("id_a", "id_b", "sim")
+    val p = pairs.toDF("id_a", "v_a", "id_b", "v_b")
+    val sim =
+      if (exact) graft.functions.NativeExpr.cosineQF32(col("v_a"), col("v_b"))
+      else graft.functions.NativeExpr.cosineF32(col("v_a"), col("v_b"))
+    p.select(col("id_a"), col("id_b"), sim.as("sim"))
   }
 
   /** Exact top-k cosine neighbors for each query vector. `queries` is

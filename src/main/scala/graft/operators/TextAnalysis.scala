@@ -107,7 +107,10 @@ object TextAnalysis {
     df.select(id.as("__id"), T.tokens(text).as("toks"))
       .select(col("__id"), posexplode(zipped))
       .select(col("__id"), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ", (0 until n).map(i => col(s"col.`$i`")): _*))
+        // 16-byte binary fingerprint (unhex of the md5 hex): the gram key
+        // is internal-only, and binary keys halve every downstream
+        // shuffle/aggregate row vs the 32-char hex string.
+        unhex(md5(concat_ws(" ", (0 until n).map(i => col(s"col.`$i`")): _*)))
           .as("gram"))
   }
 
@@ -223,8 +226,11 @@ object TextAnalysis {
                      n: Int = 20): DataFrame = {
     val wPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("pos"))
+    // Both the cross-doc-gram aggregate and the position join consume the
+    // positioned fingerprints; cache so the md5-per-position projection
+    // (the CPU-dominant stage) runs once, not twice.
     val positioned =
-      positionedGramFps(docs, col(idCol), col(textCol), n)
+      positionedGramFps(docs, col(idCol), col(textCol), n).cache()
     val crossDoc = positioned.select(col("__id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))
       .filter(col("gram_docs") >= 2)

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+package graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for the graft native expressions.
+  *
+  * Spark 4 decoupled `Column` from catalyst `Expression`
+  * (`Column` now wraps a `ColumnNode`); the conversion helpers live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. Extension libraries conventionally expose them
+  * through a shim in an `org.apache.spark.sql` subpackage — this object
+  * is that shim, and the only thing in the repo that lives outside the
+  * `graft` namespace.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,156 @@
+package graft.functions
+
+import graft.SparkFixture
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The native codegen expressions must be bit-identical to the reference
+  * formulations they replace: the Scala tight-loop kernels (previously in
+  * `Similarity`) and the Column HOF chains in [[VectorFunctions]] /
+  * [[HashFunctions]]. Every comparison here is exact (`==` on doubles/
+  * longs), not tolerance-based. A CODEGEN_ONLY block pins that the
+  * generated Java actually compiles — Spark otherwise falls back to
+  * interpreted eval silently. */
+class NativeExprSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private val rnd = new scala.util.Random(7)
+  private def vec(n: Int): Array[Float] =
+    Array.fill(n)((rnd.nextDouble() * 2 - 1).toFloat)
+
+  /** Reference kernels — the exact loops the expressions replaced. */
+  private def cosFastRef(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+  private def dotQLRef(x: Array[Float], y: Array[Float]): Long = {
+    val n = math.min(x.length, y.length)
+    var s = 0L; var i = 0
+    while (i < n) {
+      s += math.floor(x(i).toDouble * y(i).toDouble * 1e12).toLong; i += 1
+    }
+    s
+  }
+  private def cosQRef(a: Array[Float], b: Array[Float]): Double = {
+    val dq = dotQLRef(a, b).toDouble / 1e12
+    val na = math.sqrt(dotQLRef(a, a).toDouble / 1e12)
+    val nb = math.sqrt(dotQLRef(b, b).toDouble / 1e12)
+    dq / (na * nb)
+  }
+
+  private def pairsDf(ps: Seq[(Array[Float], Array[Float])]) = {
+    import spark.implicits._
+    ps.toDF("a", "b")
+  }
+
+  private def evalPairs(ps: Seq[(Array[Float], Array[Float])],
+                        expr: (Column, Column) => Column): Seq[Any] =
+    pairsDf(ps).select(expr(col("a"), col("b")).as("r"))
+      .collect().toSeq.map(_.get(0))
+
+  test("CosineF32 / CosineQF32 / DotQLongF32 match the reference kernels exactly") {
+    val ps = Seq.fill(50)((vec(64), vec(64))) ++ Seq((vec(8), vec(64)))
+    evalPairs(ps, NativeExpr.cosineF32) shouldBe ps.map { case (a, b) => cosFastRef(a, b) }
+    evalPairs(ps, NativeExpr.cosineQF32) shouldBe ps.map { case (a, b) => cosQRef(a, b) }
+    evalPairs(ps, NativeExpr.dotQLongF32) shouldBe ps.map { case (a, b) => dotQLRef(a, b) }
+  }
+
+  test("DotQLongF32 and DotF32 match the HOF VectorFunctions on equal-length arrays") {
+    val ps = Seq.fill(30)((vec(48), vec(48)))
+    evalPairs(ps, NativeExpr.dotQLongF32) shouldBe
+      evalPairs(ps, VectorFunctions.dotQLong)
+    evalPairs(ps, NativeExpr.dotF32) shouldBe
+      evalPairs(ps, (a, b) => VectorFunctions.dot(a, b))
+    evalPairs(ps, NativeExpr.cosineQF32) shouldBe
+      evalPairs(ps, VectorFunctions.cosineQ)
+  }
+
+  test("null array inputs yield null sims") {
+    import spark.implicits._
+    val df = Seq((Some(vec(4)), None: Option[Array[Float]])).toDF("a", "b")
+    val r = df.select(NativeExpr.cosineF32(col("a"), col("b"))).collect()(0)
+    r.isNullAt(0) shouldBe true
+  }
+
+  test("MinHashSigF matches the k-pass HOF formulation, incl. empty and null input") {
+    import spark.implicits._
+    val perms = HashFunctions.permutations(16)
+    val P = HashFunctions.Prime
+    // the formulation minhashFromHashes used before going native
+    def hofSig(hashes: Column): Column =
+      array(perms.toIndexedSeq.map { case (a, b) =>
+        coalesce(array_min(transform(hashes, h => pmod(h * a + b, lit(P)))), lit(P))
+      }: _*)
+    val rows: Seq[Option[Seq[Long]]] = Seq(
+      Some(Seq.fill(40)((rnd.nextLong() & Long.MaxValue) % P)),
+      Some(Seq(0L, P - 1)),
+      Some(Seq.empty[Long]),
+      None)
+    val df = rows.toDF("h")
+    val native = df.select(NativeExpr.minhashSig(col("h"), perms).as("s")).collect()
+    val hof = df.select(hofSig(col("h")).as("s")).collect()
+    native.map(_.getSeq[Long](0)) shouldBe hof.map(_.getSeq[Long](0))
+    // null input → all-Prime sentinel, non-null output
+    native.last.isNullAt(0) shouldBe false
+    native.last.getSeq[Long](0).forall(_ == P) shouldBe true
+  }
+
+  test("expressions compile under CODEGEN_ONLY (no silent interpreted fallback)") {
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val ps = Seq.fill(4)((vec(16), vec(16)))
+      evalPairs(ps, NativeExpr.cosineF32) shouldBe ps.map { case (a, b) => cosFastRef(a, b) }
+      evalPairs(ps, NativeExpr.cosineQF32) shouldBe ps.map { case (a, b) => cosQRef(a, b) }
+      import spark.implicits._
+      val perms = HashFunctions.permutations(8)
+      val df = Seq(Seq(1L, 2L, 3L)).toDF("h")
+      df.select(NativeExpr.minhashSig(col("h"), perms)).collect()(0)
+        .getSeq[Long](0).length shouldBe 8
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("SQL registration: graft_* callable from spark.sql after register()") {
+    import spark.implicits._
+    GraftFunctionRegistry.register(spark)
+    Seq((vec(32), vec(32))).toDF("a", "b").createOrReplaceTempView("nat_vecs")
+    val r = spark.sql(
+      """SELECT graft_cosine_f32(a, b) AS c, graft_cosine_q(a, b) AS cq,
+        |       graft_dot_f32(a, b) AS d, graft_dotq_long(a, b) AS dq
+        |FROM nat_vecs""".stripMargin).collect()(0)
+    r.getDouble(0).isNaN shouldBe false
+    r.getDouble(1).isNaN shouldBe false
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array(1L, 2L, 3L), 12, 42) AS s")
+      .collect()(0).getSeq[Long](0)
+    sig.length shouldBe 12
+    sig shouldBe Seq(1L, 2L, 3L).toDF("x").agg(collect_list("x"))
+      .select(NativeExpr.minhashSig(col("collect_list(x)"),
+        HashFunctions.permutations(12, 42L)))
+      .collect()(0).getSeq[Long](0)
+  }
+
+  test("GraftExtensions injects cleanly into a fresh SparkSessionExtensions") {
+    noException should be thrownBy new GraftExtensions()(new SparkSessionExtensions)
+  }
+
+  test("type check rejects non-float arrays with a clear message") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq((Seq(1L), Seq(2L))).toDF("a", "b")
+        .select(NativeExpr.cosineF32(col("a"), col("b"))).collect()
+    }
+    err.getMessage should include("graft_cosine_f32")
+  }
+}
