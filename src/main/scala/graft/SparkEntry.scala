@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Wave1.queries ++ graft.queries.Wave2.queries ++
       graft.queries.Wave3.queries ++ graft.queries.Wave4.queries ++
       graft.queries.Wave5.queries ++ graft.queries.Wave6.queries ++
-      graft.queries.Wave7.queries ++ graft.queries.Wave8.queries
+      graft.queries.Wave7.queries ++ graft.queries.Wave8.queries ++
+      graft.queries.Wave9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Wave1.oracleSql ++ graft.queries.Wave2.oracleSql ++
       graft.queries.Wave3.oracleSql ++ graft.queries.Wave4.oracleSql ++
       graft.queries.Wave5.oracleSql ++ graft.queries.Wave6.oracleSql ++
-      graft.queries.Wave7.oracleSql ++ graft.queries.Wave8.oracleSql
+      graft.queries.Wave7.oracleSql ++ graft.queries.Wave8.oracleSql ++
+      graft.queries.Wave9.oracleSql
 }

@@ -252,6 +252,122 @@ object TextAnalysis {
           .as("span_tokens"))
   }
 
+  /** Bigram language-model scoring — the distributed shape of KenLM-style
+    * model-based quality filtering (CCNet et al.), self-trained on the
+    * corpus: one pass builds the MLE bigram model C(w1,w2)/C(w1·) from
+    * ALL documents, a second scores each document by its mean bigram
+    * probability. High score = the document's word transitions are
+    * corpus-typical; low score = unusual/garbled text. (Real pipelines
+    * score log-perplexity against a pretrained LM; `ln` is not correctly
+    * rounded across engines, so the cross-engine-exact surrogate is the
+    * mean raw probability — same ordering intuition, every op IEEE-exact:
+    * per-bigram p is ONE double division, floor-quantized to 1e-9 and
+    * summed as exact decimals so bigram order can't perturb bits.)
+    *
+    * Scale: bigrams are assembled in-row (zip of the token array with its
+    * own shift — no token-stream shuffle); the model is two keyed hash
+    * aggregates (bigram, then head word); scoring is one hash join of
+    * doc-bigrams against the model plus a per-doc aggregate. Nothing
+    * quadratic, map-side partial aggregation throughout; the model table
+    * scales with vocabulary², not corpus size.
+    * Output: (id, n_bigrams, lm_score); docs with < 2 tokens score 0. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))))
+        .as("g"))
+      .select(col("id"), col("g.`0`").as("w1"), col("g.`1`").as("w2"))
+    val bigramCnt = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val headCnt = bigramCnt.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = bigramCnt.join(headCnt, "w1")
+      .select(col("w1"), col("w2"),
+        floor(col("c2").cast("double") / col("c1").cast("double") * 1e9)
+          .cast("decimal(38,0)").as("pq"))
+    val perDoc = bi.join(model, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("sumq"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("sumq").cast("double") / 1e9 / col("n_bigrams"))
+          .otherwise(0.0).as("lm_score"))
+  }
+
+  /** Gopher-style composite quality filter (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1, re-expressed over this corpus's
+    * features): every rule is evaluated per document, and the output
+    * carries keep/fail plus WHICH rules failed — the auditable form
+    * production filters ship (a filter that only says "dropped" can't be
+    * tuned). Rules:
+    *   - tokens: n_tokens in [minTokens, maxTokens]
+    *   - meanlen: mean token length in [minMeanLen, maxMeanLen]
+    *   - stopfrac: stopword fraction >= minStopFrac
+    *   - uniqfrac: distinct-token fraction >= minUniqFrac
+    * Every metric is a per-row codegen expression (one corpus scan, no
+    * shuffle — maps straight over 100 TB); fractions are single IEEE
+    * divisions, so any engine reproduces the comparisons bit-for-bit.
+    * Output: (id, n_tokens, mean_tok_len, stop_frac, uniq_frac, keep,
+    * reasons) — reasons is the comma-joined failed-rule list, "" when
+    * kept. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
+                   minTokens: Long = 10, maxTokens: Long = 5000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                   minStopFrac: Double = 0.01,
+                   minUniqFrac: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val nTok = T.tokenCount(t)
+    val meanLen = when(nTok > 0,
+      T.tokenChars(t).cast("double") / nTok).otherwise(0.0)
+    val stopFrac = when(nTok > 0,
+      T.tokenHits(t, stopwords).cast("double") / nTok).otherwise(0.0)
+    val uniqFrac = when(nTok > 0,
+      T.uniqueTokenCount(t).cast("double") / nTok).otherwise(0.0)
+    val fails = Seq(
+      "tokens" -> (nTok < minTokens || nTok > maxTokens),
+      "meanlen" -> (meanLen < minMeanLen || meanLen > maxMeanLen),
+      "stopfrac" -> (stopFrac < minStopFrac),
+      "uniqfrac" -> (uniqFrac < minUniqFrac))
+    val reasons = concat_ws(",",
+      fails.map { case (name, cond) =>
+        when(cond, lit(name)).otherwise(lit(null: String))
+      }: _*)
+    docs.select(col(idCol).as("id"),
+      nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
+      stopFrac.as("stop_frac"), uniqFrac.as("uniq_frac"),
+      when(reasons === "", 1L).otherwise(0L).as("keep"),
+      reasons.as("reasons"))
+  }
+
+  /** Cross-source n-gram overlap matrix — the leakage/diagnostics pass
+    * run before freezing train/eval splits drawn from different sources:
+    * for every source pair, the number of distinct word `n`-grams both
+    * sources contain. A hot cell means two "independent" slices share
+    * boilerplate or mirrored content (and must not straddle a split
+    * boundary).
+    *
+    * Scale: distinct (source, gram-fingerprint) pairs (16-byte keys,
+    * corpus-sized scan, keyed shuffle), then a gram-keyed self-join whose
+    * per-gram fanout is bounded by |sources|² — source cardinality is
+    * assumed modest (sources, domains, splits), NOT corpus-sized; the
+    * final aggregate is |sources|² rows. Output: (source_a, source_b,
+    * shared_grams) for pairs with at least one shared gram,
+    * source_a < source_b. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    val g = gramFps(docs, col(sourceCol), col(textCol), n)
+    g.as("a")
+      .join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("source_a"), col("b.__id").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** PII pattern for email addresses — kept to the RE2 ∩ java.util.regex
     * common dialect so Spark and any RE2-based engine (DuckDB, Go, ...)
     * match identically. */

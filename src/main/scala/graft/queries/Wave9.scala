@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 9 — round-5 training-data-pipeline operators, each with a full
+  * DuckDB oracle:
+  *
+  *  - q78 bigram-LM scoring: corpus-self-trained MLE bigram model, mean
+  *    per-doc bigram probability as the cross-engine-exact surrogate for
+  *    LM-perplexity quality filtering (CCNet-style).
+  *  - q79 Gopher-style composite quality filter: per-doc rule evaluation
+  *    with auditable failed-rule reasons.
+  *  - q80 cross-source n-gram overlap matrix: the leakage diagnostic run
+  *    before freezing train/eval splits.
+  *
+  * Double discipline as everywhere (Wave1.dsum et al.): every double is
+  * one fixed sequence of IEEE-exact ops or floor-quantized and summed in
+  * exact integer arithmetic.
+  */
+object Wave9 {
+
+  /** DuckDB token pipeline identical to TextFunctions.tokens. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val SqlTokSet = s"list_distinct($SqlToks)"
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is")
+  private val OverlapN = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Self-trained bigram LM score per document.
+    "q78_bigram_lm" -> { (s, d) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
+    // Composite quality filter with failed-rule reasons.
+    "q79_gopher_filter" -> { (s, d) =>
+      TextAnalysis.gopherFilter(Tables.documents(s, d), "doc_id", "text",
+        stopwords = Stopwords)
+        .orderBy(col("id"))
+    },
+
+    // Distinct shared 8-grams for every source pair.
+    "q80_source_overlap" -> { (s, d) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, d), "source", "text",
+        n = OverlapN)
+        .orderBy(col("source_a"), col("source_b"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q78_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |bi AS (
+         |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i+1 AS INT)] AS w2
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)),
+         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1t AS (SELECT w1, sum(c2) AS c1 FROM c2t GROUP BY 1),
+         |model AS (
+         |  SELECT w1, w2,
+         |    CAST(floor(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) * 1e9) AS HUGEINT) AS pq
+         |  FROM c2t JOIN c1t USING (w1)),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(pq) AS sumq
+         |  FROM bi JOIN model USING (w1, w2) GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN coalesce(per.n_bigrams, 0) > 0
+         |       THEN CAST(per.sumq AS DOUBLE) / 1e9 / per.n_bigrams
+         |       ELSE 0.0 END AS lm_score
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "q79_gopher_filter" -> {
+      val stopLit = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(list_sum(list_transform($SqlToks, x -> length(x))) AS DOUBLE)
+         |        / len($SqlToks) ELSE 0.0 END AS mean_tok_len,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_filter($SqlToks, x -> list_contains($stopLit, x)))
+         |        AS DOUBLE) / len($SqlToks) ELSE 0.0 END AS stop_frac,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len($SqlTokSet) AS DOUBLE) / len($SqlToks)
+         |      ELSE 0.0 END AS uniq_frac
+         |  FROM documents),
+         |r AS (
+         |  SELECT *,
+         |    concat_ws(',',
+         |      CASE WHEN n_tokens < 10 OR n_tokens > 5000 THEN 'tokens' END,
+         |      CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'meanlen' END,
+         |      CASE WHEN stop_frac < 0.01 THEN 'stopfrac' END,
+         |      CASE WHEN uniq_frac < 0.2 THEN 'uniqfrac' END) AS reasons
+         |  FROM m)
+         |SELECT doc_id AS id, n_tokens, mean_tok_len, stop_frac, uniq_frac,
+         |  CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  reasons
+         |FROM r ORDER BY id""".stripMargin
+    },
+
+    "q80_source_overlap" ->
+      s"""WITH toks AS (SELECT source, $SqlToks AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |    md5(array_to_string(t[CAST(i+1 AS INT):CAST(i+$OverlapN AS INT)], ' ')) AS gram
+         |  FROM toks, unnest(range(0, len(t) - ${OverlapN - 1})) AS u(i))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS shared_grams
+         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

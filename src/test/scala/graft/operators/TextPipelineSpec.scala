@@ -75,4 +75,55 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     r(1)._4 shouldBe 1.0
     r(2)._4 shouldBe 0.0
   }
+
+  test("bigramLmScore: MLE bigram model on a crafted corpus, hand-computed") {
+    import spark.implicits._
+    // bigrams: (a b)×2 from doc1, (b a)×1 from doc1, (a b)×1 from doc2,
+    //          (b c)×1 from doc2 → C(a,b)=3 C(b,a)=1 C(b,c)=1
+    // heads: C(a·)=3, C(b·)=2 → P(b|a)=1.0, P(a|b)=0.5, P(c|b)=0.5
+    val crafted = Seq(
+      (1L, "a b a b"),   // bigrams ab, ba, ab → mean p = (1 + 0.5 + 1)/3
+      (2L, "a b c"),     // ab, bc → (1 + 0.5)/2
+      (3L, "solo")       // 1 token → 0 bigrams, score 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(crafted, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, 3L, (math.floor(1.0 * 1e9) * 2 + math.floor(0.5 * 1e9)) / 1e9 / 3))
+    r(1) shouldBe ((2L, 2L, (math.floor(1.0 * 1e9) + math.floor(0.5 * 1e9)) / 1e9 / 2))
+    r(2) shouldBe ((3L, 0L, 0.0))
+  }
+
+  test("gopherFilter: each rule fires with its named reason") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "the cat sat of the mat and a dog is here too now ok"), // clean
+      (2L, "short text"),                                   // < 10 tokens
+      (3L, Seq.fill(30)("the").mkString(" ")),              // uniqfrac fails
+      (4L, Seq.fill(12)("xylophonic marvellous").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(crafted, "doc_id", "text")
+      .select("id", "keep", "reasons")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, 1L, ""))
+    r(1)._2 shouldBe 0L
+    r(1)._3 should include("tokens")
+    r(2)._2 shouldBe 0L
+    r(2)._3 should include("uniqfrac")
+    r(3)._2 shouldBe 0L
+    r(3)._3 should include("stopfrac")
+  }
+
+  test("sourceOverlap: counts distinct shared n-grams per source pair") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"   // exactly one 8-gram
+    val crafted = Seq(
+      (1L, s"$shared alpha", "srcA"),
+      (2L, s"$shared beta", "srcB"),     // shares the 8-gram with srcA
+      (3L, "totally different words in this doc here yes", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceOverlap(crafted, "source", "text", n = 8)
+      .as[(String, String, Long)].collect().sortBy(p => (p._1, p._2))
+    r.length shouldBe 1
+    r(0) shouldBe (("srcA", "srcB", 1L))
+  }
 }
