@@ -11,7 +11,8 @@ object Explain {
       "q01_pricing_summary", "q05_join_cust_orders", "q06_bcast_join_revenue",
       "q11_topk_orders", "q26_minhash_neardup", "q28_ann_topk",
       "q62_cogroup_merge", "q64_ordered_groups", "q65_jaccard_prefix",
-      "q66_token_shards")
+      "q66_token_shards", "q70_semantic_dedup", "q74_duplicate_spans",
+      "q78_bigram_lm", "q80_source_overlap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

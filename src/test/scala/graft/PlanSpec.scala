@@ -64,4 +64,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     // the full rows, no window
     p should not include "Window"
   }
+
+  test("q28: similarity kernel is the native codegen expression, no encoder round-trip") {
+    val p = plan("q28_ann_topk")
+    p should include("graft_cosine_q")
+    // the old typed-map kernel serialized in and out of objects
+    p should not include "DeserializeToObject"
+    p should not include "SerializeFromObject"
+  }
+
+  test("q78: bigram LM is keyed aggregates + hash joins, nothing quadratic") {
+    val p = plan("q78_bigram_lm")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "Exchange SinglePartition"
+  }
+
+  test("q80: source overlap joins on the gram key, not a source cross") {
+    val p = plan("q80_source_overlap")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
