@@ -49,6 +49,21 @@ object Wave9 {
       TextAnalysis.sourceOverlap(Tables.documents(s, d), "source", "text",
         n = OverlapN)
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Batch twin of the stream-static corpus dedup: odd-id docs are the
+    // "incoming crawl", even-id docs the frozen corpus; survivors are the
+    // incoming docs whose normalized content fingerprint is unseen.
+    "q81_corpus_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fps = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(graft.functions.TextFunctions
+          .contentFingerprint(col("text")).as("fp"))
+        .distinct()
+      graft.streaming.Streams.dedupAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", fps)
+        .select(col("doc_id").as("id"), col("lang"))
+        .orderBy(col("id"))
     }
   )
 
@@ -113,6 +128,18 @@ object Wave9 {
          |SELECT a.source AS source_a, b.source AS source_b,
          |  CAST(count(*) AS BIGINT) AS shared_grams
          |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q81_corpus_dedup" ->
+      """WITH fps AS (
+        |  SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT d.doc_id AS id, d.lang
+        |FROM documents d
+        |WHERE d.doc_id % 2 = 1
+        |  AND md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')))
+        |      NOT IN (SELECT fp FROM fps)
+        |ORDER BY id""".stripMargin
   )
 }

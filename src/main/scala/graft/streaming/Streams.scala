@@ -75,6 +75,25 @@ object Streams {
       .dropDuplicatesWithinWatermark("sketch")
   }
 
+  /** Streaming dedup against a FROZEN reference corpus — the incremental
+    * ingestion shape: new documents stream in, and any whose normalized
+    * content fingerprint already exists in the static corpus is dropped
+    * (stream-static left-anti join, which Structured Streaming executes
+    * per micro-batch with the static side as an ordinary batch relation —
+    * broadcast when small, shuffle-hash at scale). Complements
+    * [[dedupWithinWatermark]] (dedup WITHIN the stream): this is dedup
+    * of the stream AGAINST history, the thing a daily-crawl pipeline runs
+    * before appending to the corpus. The static side should be the
+    * fingerprint column only (16-byte md5), not the corpus text. */
+  def dedupAgainstCorpus(docs: DataFrame, textCol: String,
+                         corpusFingerprints: DataFrame): DataFrame = {
+    val fp = graft.functions.TextFunctions.contentFingerprint(col(textCol))
+    docs.withColumn("__fp", fp)
+      .join(corpusFingerprints.select(col("fp").as("__fp")), Seq("__fp"),
+        "left_anti")
+      .drop("__fp")
+  }
+
   /** Streaming dux (S13's streaming twin): split one stream into named
     * outputs by predicate via foreachBatch — each micro-batch appends its
     * matching rows under `<basePath>/<name>`. Returns the started query. */

@@ -112,6 +112,27 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     kept shouldBe Array(1L, 3L)
   }
 
+  test("dedupAgainstCorpus: stream docs already in the frozen corpus are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("the quick brown fox", "another known document")
+      .toDF("text")
+      .select(graft.functions.TextFunctions
+        .contentFingerprint(org.apache.spark.sql.functions.col("text")).as("fp"))
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(ts(1), 1, "THE quick,, brown FOX"), // normalizes to a known doc
+      Doc(ts(2), 2, "a genuinely new document"),
+      Doc(ts(3), 3, "another known document"))
+    val name = s"corpdedup_${System.nanoTime}"
+    val q = Streams.dedupAgainstCorpus(input.toDF(), "text", corpus)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select("doc_id").as[Long].collect().sorted shouldBe
+      Array(2L)
+  }
+
   test("stream-static join: stream enriched against a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
