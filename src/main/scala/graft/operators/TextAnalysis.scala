@@ -368,6 +368,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Exact substring dedup, REMOVAL flavor (the actual cut Lee et al.
+    * 2022 perform after finding spans): every token covered by a
+    * cross-document duplicated `n`-gram window is dropped, and the
+    * surviving token stream is re-joined with single spaces. The dedup
+    * unit is the token (the span arithmetic is token-positional), so the
+    * output is normalized token text, not original-whitespace text.
+    *
+    * Scale: spans come from [[duplicateSpans]] (keyed shuffles only);
+    * they are collected per document (bounded — spans are maximal merged
+    * islands, at most len/n per doc, disjoint and merge-sorted) and the
+    * cut is a typed two-pointer sweep over (tokens, spans) — O(len +
+    * spans) tight JVM loops per doc (an HOF formulation
+    * `filter(toks, (t,i) => !exists(spans, ...))` evaluates interpreted
+    * per token×span and measured ~4× slower end-to-end).
+    * Output: (id, clean_text, n_kept, n_removed). */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = duplicateSpans(docs, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start").as("_1"),
+        col("span_end").as("_2"))).as("spans"))
+    docs.select(col(idCol).cast("long").as("id"),
+        T.tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("id"), "left")
+      .as[(Long, Seq[String], Option[Seq[(Long, Long)]])]
+      .map { case (id, toks, spansOpt) =>
+        // spans arrive disjoint and ordered by construction; sort anyway
+        // so the sweep never depends on collect_list ordering
+        val sp = spansOpt.getOrElse(Seq.empty).sortBy(_._1).toArray
+        val out = new StringBuilder
+        var kept = 0L
+        var si = 0
+        var i = 0
+        val it = toks.iterator
+        while (it.hasNext) {
+          val t = it.next()
+          while (si < sp.length && i > sp(si)._2) si += 1
+          val covered = si < sp.length && i >= sp(si)._1 && i <= sp(si)._2
+          if (!covered) {
+            if (kept > 0) out.append(' ')
+            out.append(t)
+            kept += 1
+          }
+          i += 1
+        }
+        (id, out.toString, kept, toks.length - kept)
+      }.toDF("id", "clean_text", "n_kept", "n_removed")
+  }
+
   /** PII pattern for email addresses — kept to the RE2 ∩ java.util.regex
     * common dialect so Spark and any RE2-based engine (DuckDB, Go, ...)
     * match identically. */

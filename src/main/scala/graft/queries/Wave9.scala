@@ -51,6 +51,14 @@ object Wave9 {
         .orderBy(col("source_a"), col("source_b"))
     },
 
+    // Exact substring dedup, removal flavor: cut every token covered by a
+    // cross-document 8-gram, emit the surviving token stream.
+    "q82_span_removal" -> { (s, d) =>
+      TextAnalysis.removeDuplicateSpans(Tables.documents(s, d), "doc_id",
+        "text", n = OverlapN)
+        .orderBy(col("id"))
+    },
+
     // Batch twin of the stream-static corpus dedup: odd-id docs are the
     // "incoming crawl", even-id docs the frozen corpus; survivors are the
     // incoming docs whose normalized content fingerprint is unseen.
@@ -129,6 +137,45 @@ object Wave9 {
          |  CAST(count(*) AS BIGINT) AS shared_grams
          |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q82_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(t[CAST(i+1 AS INT):CAST(i+$OverlapN AS INT)], ' ')) AS gram
+         |  FROM toks, unnest(range(0, len(t) - ${OverlapN - 1})) AS u(i)),
+         |crossdoc AS (
+         |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, pos FROM pos JOIN crossdoc USING (gram)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $OverlapN
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM dup),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM brk),
+         |sp AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + ${OverlapN - 1} AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+         |        FROM sp GROUP BY 1),
+         |cut AS (
+         |  SELECT t.doc_id, t.t,
+         |    list_filter(range(0, len(t.t)), i ->
+         |      spl.spans IS NULL OR
+         |      len(list_filter(spl.spans, x -> i >= x.s AND i <= x.e)) = 0)
+         |      AS keep_pos
+         |  FROM toks t LEFT JOIN spl ON t.doc_id = spl.doc_id)
+         |SELECT doc_id AS id,
+         |  coalesce(
+         |    array_to_string(list_transform(keep_pos, i -> t[CAST(i+1 AS INT)]), ' '),
+         |    '') AS clean_text,
+         |  CAST(len(keep_pos) AS BIGINT) AS n_kept,
+         |  CAST(len(t) - len(keep_pos) AS BIGINT) AS n_removed
+         |FROM cut ORDER BY id""".stripMargin,
 
     "q81_corpus_dedup" ->
       """WITH fps AS (

@@ -113,6 +113,20 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     r(3)._3 should include("stopfrac")
   }
 
+  test("removeDuplicateSpans cuts exactly the cross-doc windows, keeps the rest") {
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, "a b c d e f g h i j"),   // shares 8-gram a..h with doc 1
+      (1L, "a b c d e f g h x y"),
+      (2L, "totally original content")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.removeDuplicateSpans(crafted, "doc_id", "text", n = 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    r(0) shouldBe ((0L, "i j", 2L, 8L))
+    r(1) shouldBe ((1L, "x y", 2L, 8L))
+    r(2) shouldBe ((2L, "totally original content", 3L, 0L))
+  }
+
   test("sourceOverlap: counts distinct shared n-grams per source pair") {
     import spark.implicits._
     val shared = "one two three four five six seven eight"   // exactly one 8-gram
