@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft_* SQL functions available in the driver session (the
+    // register() route of GraftExtensions)
+    graft.functions.GraftFunctionRegistry.register(spark)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"

@@ -59,6 +59,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft_* SQL functions available in the driver session (the
+    // register() route of GraftExtensions)
+    graft.functions.GraftFunctionRegistry.register(spark)
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }

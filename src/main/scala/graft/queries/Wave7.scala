@@ -50,12 +50,12 @@ object Wave7 {
   }
   private val SemThreshold = 0.35
 
-  private def sqlLit(c: Array[Double]): String =
+  private[queries] def sqlLit(c: Array[Double]): String =
     c.mkString("[", ", ", "]")
 
   /** Quantized long dot of a vector column against a centroid literal —
     * the SQL twin of Similarity.assignClusters' kernel. */
-  private def sqlDotQLit(v: String, c: Array[Double]): String =
+  private[queries] def sqlDotQLit(v: String, c: Array[Double]): String =
     s"""CAST(list_sum(list_transform(range(1, len($v)+1),
        |    i -> CAST(floor(CAST($v[i] AS DOUBLE) * (${sqlLit(c)})[i] * 1e12) AS BIGINT))) AS BIGINT)""".stripMargin
 

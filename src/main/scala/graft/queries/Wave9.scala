@@ -51,6 +51,39 @@ object Wave9 {
         .orderBy(col("source_a"), col("source_b"))
     },
 
+    // Per-source corpus length profile: doc counts + exact p25/p50/p75 of
+    // per-doc token counts. Dyadic percentiles over integer data are
+    // IEEE-exact (every interpolation product is exactly representable),
+    // so Spark's percentile and DuckDB's quantile_cont agree bit-for-bit
+    // — no quantization needed. One hash aggregate, |sources| output rows.
+    "q83_length_profile" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("nt"), lit(0.25)).as("p25"),
+          percentile(col("nt"), lit(0.5)).as("p50"),
+          percentile(col("nt"), lit(0.75)).as("p75"))
+        .orderBy(col("source"))
+    },
+
+    // Per-cluster mean embedding (the centroid-summary table a clustering
+    // pass publishes): quantized-argmax cluster assignment (q70's kernel),
+    // then an element-wise exact-quantized mean per (cluster, dim).
+    "q84_cluster_profile" -> { (s, d) =>
+      import graft.operators.Similarity
+      val asg = Similarity.assignClusters(Tables.embeddings(s, d), "vec_id",
+        "embedding", Wave7.SemCentroids)
+      asg.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * 1e12)).as("sq"))
+        .select(col("cluster"), col("dim"), col("n"),
+          (col("sq").cast("double") / 1e12 / col("n")).as("mean"))
+        .orderBy(col("cluster"), col("dim"))
+    },
+
     // Exact substring dedup, removal flavor: cut every token covered by a
     // cross-document 8-gram, emit the surviving token stream.
     "q82_span_removal" -> { (s, d) =>
@@ -137,6 +170,33 @@ object Wave9 {
          |  CAST(count(*) AS BIGINT) AS shared_grams
          |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q83_length_profile" ->
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  quantile_cont(CAST(len($SqlToks) AS BIGINT), 0.25) AS p25,
+         |  quantile_cont(CAST(len($SqlToks) AS BIGINT), 0.5) AS p50,
+         |  quantile_cont(CAST(len($SqlToks) AS BIGINT), 0.75) AS p75
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q84_cluster_profile" -> {
+      val dots = Wave7.SemCentroids.map(c => Wave7.sqlDotQLit("embedding", c))
+        .mkString("[\n    ", ",\n    ", "]")
+      s"""WITH a AS (
+         |  SELECT vec_id, embedding, $dots AS dots FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_indexof(dots, list_aggregate(dots, 'max')) - 1 AS BIGINT) AS cluster
+         |  FROM a),
+         |ex AS (
+         |  SELECT cluster, CAST(i AS BIGINT) AS dim,
+         |    CAST(floor(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * 1e12) AS BIGINT) AS xq
+         |  FROM asg, unnest(range(0, len(embedding))) AS u(i))
+         |SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(xq) AS DOUBLE) / 1e12 / count(*) AS mean
+         |FROM ex GROUP BY cluster, dim
+         |ORDER BY cluster, dim""".stripMargin
+    },
 
     "q82_span_removal" ->
       s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the native expressions' interpreted eval path
+  * (the codegen path is pinned separately by NativeExprSpec's
+  * CODEGEN_ONLY test): for arbitrary float arrays — including empty,
+  * mismatched-length, and denormal-ish values — the expressions must
+  * equal the straight-line Scala reference kernels bit-for-bit. Runs
+  * driver-side against `Literal`s; no Spark jobs. */
+object NativeExprProperties extends Properties("NativeExpr") {
+
+  private val floatGen: Gen[Float] =
+    Gen.chooseNum(-4.0, 4.0).map(_.toFloat)
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(0, 96).flatMap(n => Gen.listOfN(n, floatGen).map(_.toArray))
+
+  private def litF(a: Array[Float]) =
+    Literal.create(a, ArrayType(FloatType, containsNull = false))
+
+  private def cosFastRef(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+  private def dotQLRef(x: Array[Float], y: Array[Float]): Long = {
+    val n = math.min(x.length, y.length)
+    var s = 0L; var i = 0
+    while (i < n) {
+      s += math.floor(x(i).toDouble * y(i).toDouble * 1e12).toLong; i += 1
+    }
+    s
+  }
+  private def cosQRef(a: Array[Float], b: Array[Float]): Double = {
+    val dq = dotQLRef(a, b).toDouble / 1e12
+    val na = math.sqrt(dotQLRef(a, a).toDouble / 1e12)
+    val nb = math.sqrt(dotQLRef(b, b).toDouble / 1e12)
+    dq / (na * nb)
+  }
+
+  private def sameDouble(a: Double, b: Double): Boolean =
+    java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+
+  property("CosineF32.eval ≡ one-pass kernel for arbitrary (incl. unequal) arrays") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val got = NativeExpr.CosineF32(litF(a), litF(b)).eval(null)
+        .asInstanceOf[Double]
+      sameDouble(got, cosFastRef(a, b))
+    }
+
+  property("CosineQF32.eval ≡ quantized kernel (full-length norms)") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val got = NativeExpr.CosineQF32(litF(a), litF(b)).eval(null)
+        .asInstanceOf[Double]
+      sameDouble(got, cosQRef(a, b))
+    }
+
+  property("DotQLongF32.eval ≡ quantized dot kernel") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      NativeExpr.DotQLongF32(litF(a), litF(b)).eval(null) == dotQLRef(a, b)
+    }
+
+  private val P = HashFunctions.Prime
+  private val mhPerms = HashFunctions.permutations(12)
+  private val hashesGen: Gen[List[Long]] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, P - 1)))
+
+  property("MinHashSigF.eval ≡ per-permutation min of pmod(h*a+b, P); empty → Prime sentinels") =
+    forAll(hashesGen) { hs =>
+      val lit = Literal.create(hs, ArrayType(LongType, containsNull = false))
+      val got = NativeExpr.MinHashSigF(lit, mhPerms.toIndexedSeq, P).eval(null)
+        .asInstanceOf[ArrayData].toLongArray()
+      val want = mhPerms.map { case (a, b) =>
+        if (hs.isEmpty) P
+        else hs.map(h => java.lang.Math.floorMod(h * a + b, P)).min
+      }
+      got.toSeq == want.toSeq
+    }
+}
