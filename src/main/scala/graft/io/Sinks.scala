@@ -30,6 +30,21 @@ object Sinks {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Hive-style PARTITIONED parquet sink with readback — the layout that
+    * makes partition PRUNING work at corpus scale: a reader filtering on
+    * a partition column touches only that column's directories (the scan
+    * shows the predicate under `PartitionFilters`, not `PushedFilters`,
+    * and skips whole files rather than row groups). At 100 TB, partition
+    * by the coarse always-filtered dimensions (date, language, source) —
+    * low-cardinality columns only; a high-cardinality partition column
+    * explodes the file count. IoSpec pins the pruned-plan shape. */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** CSV sink with header + readback (schema re-inferred from header). */
   def csv(df: DataFrame, path: String): DataFrame = {
     df.write.mode("overwrite").option("header", "true").csv(path)

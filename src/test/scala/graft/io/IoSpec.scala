@@ -223,6 +223,25 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
     graft.Engine.clampPartitions(df.coalesce(1), 4).rdd.getNumPartitions shouldBe 1
   }
 
+  test("partitionedParquet: readback parity + partition PRUNING in the scan") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val p = tmp("part_docs")
+    val back = Sinks.partitionedParquet(docs, p, Seq("lang"))
+    back.count() shouldBe docs.count()
+    val filtered = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    // pruning: the lang predicate lands in PartitionFilters (directory
+    // skip), and row parity holds vs filtering the unpartitioned table
+    val plan = filtered.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("lang")
+    filtered.count() shouldBe
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    // hive layout on disk: every data file sits under a lang=<v> dir
+    // (inputFiles is relation-level, so check layout, not pruning, here —
+    // pruning itself is pinned by the PartitionFilters assertion above)
+    back.inputFiles.forall(_.contains("lang=")) shouldBe true
+  }
+
   test("paths: move + exists + inputFiles") {
     import spark.implicits._
     val p1 = tmp("mv_src")
