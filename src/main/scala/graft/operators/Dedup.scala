@@ -670,6 +670,38 @@ object Dedup {
         coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
   }
 
+  /** Canonical-representative selection — the step after clustering that
+    * decides WHICH document of each near-dup cluster survives. Production
+    * dedup keeps the best-quality member, not an arbitrary one (dropping
+    * the longer/cleaner copy of a pair throws away training signal), so:
+    * canonical = the cluster member with the MOST tokens, ties broken by
+    * smallest doc id. Output maps every document to its cluster's
+    * survivor: (id, canonical_id, n_tokens, keep) with keep = 1 iff the
+    * doc IS the survivor; `filter(keep === 1)` is the dedup pass.
+    *
+    * Scale: [[nearDupClusters]]'s component machinery (distinct-set
+    * graph, O(log diameter) rounds), a per-row token-count projection,
+    * one `max_by` hash aggregate per cluster (map-side partials carry one
+    * candidate each — no window funnel, no group materialization), and a
+    * hash join keyed on the cluster rep. The struct ordering
+    * (n_tokens, −id) makes the argmax total, so the survivor is
+    * deterministic on any partitioning. */
+  def canonicalDocs(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, threshold)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      T.tokenCount(col(textCol)).as("n_tokens"))
+    val members = clusters.join(toks, "doc_id")
+    val canon = members.groupBy(col("cluster_rep"))
+      .agg(max_by(col("doc_id"),
+        struct(col("n_tokens"), -col("doc_id"))).as("canonical_id"))
+    members.join(canon, "cluster_rep")
+      .select(col("doc_id").as("id"), col("canonical_id"),
+        col("n_tokens"),
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
+          .as("keep"))
+  }
+
   /** Number of sketch bits in [[simhashSketches]]. 60 rather than 64: the
     * per-token hash is the first 15 hex chars of md5 (engine-portable —
     * any system with md5 reproduces the sketch bit-for-bit, which is what

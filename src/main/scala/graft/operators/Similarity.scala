@@ -480,4 +480,66 @@ object Similarity {
       .select(col("id"), col("cluster"),
         when(col("dup").isNull, 1L).otherwise(0L).as("keep"))
   }
+
+  /** Embedding-level eval-set decontamination: for every corpus vector,
+    * its maximum cosine similarity against the probe (eval/benchmark)
+    * set, and a contamination flag at `threshold`. The semantic cousin of
+    * the n-gram [[TextAnalysis.contamination]] pass — catches paraphrased
+    * leakage that exact n-grams miss.
+    *
+    * The probe set is an EVAL set — inherently small (thousands, not
+    * corpus-scale) — so it rides the closure (the dval idiom): probe
+    * vectors and their quantized self-dots are fixed driver-side, and the
+    * corpus pass is ONE typed map over the vectors — no join, no shuffle,
+    * no state; maps straight over 100 TB of embeddings.
+    *
+    * Arithmetic is the quantized engine-invariant cosine (Wave2/Wave7
+    * kernel): Σ⌊v_i·p_i·1e12⌋ dots, then /1e12 → sqrt → multiply →
+    * divide in one fixed IEEE sequence, so any engine reproduces every
+    * similarity bit-for-bit. Zero-norm corpus vectors report 0.0.
+    * Output: (id, max_sim, contaminated 0/1). */
+  def probeMaxSim(vectors: DataFrame, idCol: String, vecCol: String,
+                  probes: DataFrame, probeVecCol: String,
+                  threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pv: Array[Array[Float]] = probes.select(col(probeVecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(pv.nonEmpty, "probe set is empty")
+    val pself: Array[Long] = pv.map { p =>
+      var s = 0L; var i = 0
+      while (i < p.length) {
+        s += math.floor(p(i).toDouble * p(i).toDouble * 1e12).toLong; i += 1
+      }
+      s
+    }
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var dvv = 0L
+        var i = 0
+        while (i < v.length) {
+          dvv += math.floor(v(i).toDouble * v(i).toDouble * 1e12).toLong; i += 1
+        }
+        var best = 0.0
+        if (dvv > 0L) {
+          best = Double.NegativeInfinity
+          var j = 0
+          while (j < pv.length) {
+            val p = pv(j)
+            val n = math.min(v.length, p.length)
+            var s = 0L
+            i = 0
+            while (i < n) {
+              s += math.floor(v(i).toDouble * p(i).toDouble * 1e12).toLong; i += 1
+            }
+            val cos = (s.toDouble / 1e12) /
+              (math.sqrt(dvv.toDouble / 1e12) * math.sqrt(pself(j).toDouble / 1e12))
+            if (cos > best) best = cos
+            j += 1
+          }
+        }
+        (id, best, if (best >= threshold) 1L else 0L)
+      }.toDF("id", "max_sim", "contaminated")
+  }
 }

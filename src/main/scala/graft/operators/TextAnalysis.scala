@@ -554,6 +554,100 @@ object TextAnalysis {
     * equivalent per-row higher-order-function expression
     * (`TextFunctions.minShingleFingerprint`), which Spark evaluates
     * interpreted and ~10× slower. Same result, verified by the oracle. */
+  /** DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169,
+    * rank-equivalent variant): score each document by how target-like its
+    * hashed-bigram profile is. Bigrams hash into `buckets` features
+    * (md5-derived 32-bit value mod `buckets` — engine-portable); per
+    * bucket the smoothed count ratio s(b) = ⌊1e6·(c_target(b)+1)/
+    * (c_raw(b)+1)⌋ is the importance of that feature, and a document's
+    * score is the mean s over its bigrams (0 for <2-token docs). The
+    * constant normalization (n_raw+B)/(n_target+B) of the full DSIR
+    * likelihood ratio is omitted — it scales every document identically,
+    * so ranking/resampling by the score is unchanged, and dropping it
+    * keeps every value inside exact integer + single-IEEE-op arithmetic.
+    *
+    * Scale: ONE skinny aggregate over in-row-assembled bucket ids (the
+    * bigram text never shuffles), `buckets` rows collected driver-side
+    * (the dval idiom — the score table is a literal array riding the
+    * closure), then one shuffle-free codegen pass scoring every row.
+    * Nothing is corpus-quadratic; the score pass maps straight over
+    * 100 TB. `isTarget` marks the target-distribution rows (e.g.
+    * `col("source") === "wiki"`). Output: (id, n_bigrams, dsir_score). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val L = size(col("toks"))
+    val bucketArr = zip_with(
+      slice(col("toks"), lit(1), greatest(L - 1, lit(0))),
+      slice(col("toks"), lit(2), greatest(L - 1, lit(0))),
+      (a, b) => pmod(
+        conv(substring(md5(concat_ws(" ", a, b)), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+    val base = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+      T.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("tgt"), bucketArr.as("bs"))
+    val counts = base.select(col("tgt"), explode(col("bs")).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      .collect() // bounded: one row per bucket
+    val scores = Array.fill(buckets)(1000000L) // (0+1)/(0+1) for empty buckets
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      scores(b) = math.floor(
+        (r.getLong(1) + 1).toDouble / (r.getLong(2) + 1).toDouble * 1e6).toLong
+    }
+    val scoreLit = typedLit(scores.toSeq)
+    base.select(col("id"),
+      size(col("bs")).cast("long").as("n_bigrams"),
+      aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + element_at(scoreLit, (b + 1).cast("int"))).as("sumq"))
+      .select(col("id"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          col("sumq").cast("double") / 1e6 / col("n_bigrams"))
+          .otherwise(0.0).as("dsir_score"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * bounded-state way to answer "how many distinct tokens does each
+    * source contribute?" at corpus scale, where an exact distinct is a
+    * corpus-wide shuffle of every token. Each token hashes to an
+    * md5-derived 32-bit uniform u ∈ [0,1); a group's k smallest DISTINCT
+    * u values summarize it, and the estimator is (k−1)/u_(k)
+    * (Bar-Yossef et al. 2002; exact count when a group has fewer than k
+    * distinct hashes). Deterministic given the hash — any engine
+    * reproduces the estimate bit-for-bit ((k−1)/u_k, ×1e6, floor, /1e6:
+    * a fixed IEEE sequence on exact inputs).
+    *
+    * Scale: per-doc in-row distinct first (array_distinct cuts the
+    * explode), then a distinct on skinny (group, u) pairs, then a
+    * bounded TopK heap per group — map-side partials carry ≤ k entries.
+    * The exact `n_distinct` column is the VALIDATION column (it performs
+    * the full distinct the sketch exists to avoid) — production
+    * pipelines drop it and keep only the estimate.
+    * Output: (group, n_distinct, kmv_est). */
+  def kmvDistinctTokens(docs: DataFrame, groupCol: String, textCol: String,
+                        k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(T.tokenSet(col(textCol))).as("tok"))
+    val hu = toks.select(col("g"),
+      (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("bigint").cast("double") / lit(4294967296.0)).as("u"))
+      .distinct()
+    val mins = hu.groupBy(col("g"))
+      .agg(graft.operators.Agg.topK(k)(negate(col("u")), lit(0L)).as("tk"),
+        count(lit(1)).as("n_u"))
+    val nd = toks.distinct().groupBy(col("g"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val uk = -element_at(col("tk"), k).getField("_1")
+    mins.join(nd, "g")
+      .select(col("g").as(groupCol), col("n_distinct"),
+        when(col("n_u") >= k,
+          floor(lit((k - 1).toDouble) / uk * 1e6) / 1e6)
+          .otherwise(col("n_u").cast("double")).as("kmv_est"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

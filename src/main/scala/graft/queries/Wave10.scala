@@ -1,0 +1,354 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Sharding, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 10 — round-5 training-data-pipeline operators, each with a full
+  * DuckDB oracle:
+  *
+  *  - q85/q86 sequence packing: concat-and-chunk (`Sharding.chunkPack`)
+  *    and greedy budget packing (`Sharding.packGreedy`) — the two shapes
+  *    of "docs → fixed-token training sequences".
+  *  - q87 canonical-representative dedup: near-dup clusters keep their
+  *    best-quality member, not an arbitrary one.
+  *  - q88 DSIR-style importance scores: hashed-bigram target-vs-raw
+  *    count ratios (rank-equivalent, arXiv:2302.03169).
+  *  - q89 embedding-level decontamination: max cosine vs a probe set
+  *    with the quantized engine-invariant kernel.
+  *  - q90 KMV distinct-count sketch: per-source distinct-token estimate
+  *    from the k smallest md5 uniforms — bounded state at any scale.
+  *  - q91 corpus build (flagship composition): gopher filter → exact
+  *    dedup → n-gram decontamination → hash split → per-(split, source)
+  *    accounting, all one declarative plan.
+  *
+  * Double discipline as everywhere (Wave1.dsum et al.): every double is
+  * one fixed sequence of IEEE-exact ops or floor-quantized and summed in
+  * exact integer arithmetic.
+  */
+object Wave10 {
+
+  /** DuckDB token pipeline identical to TextFunctions.tokens. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private val ChunkTokens = 128L
+  private val PackBudget = 200L
+  private val PackBuckets = 8
+  private val ClusterThreshold = 0.9
+  private val DsirBuckets = 64
+  private val DsirTarget = "src0"
+  private val ProbeMod = 50
+  private val DecontamThreshold = 0.35
+  private val KmvK = 64
+  private val SplitWeights =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Concat-and-chunk packing: 128-token windows over 8 parallel bucket
+    // streams; a doc can straddle chunks.
+    "q85_pack_chunks" -> { (s, d) =>
+      Sharding.chunkPack(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = ChunkTokens, buckets = PackBuckets)
+        .orderBy(col("id"))
+    },
+
+    // Greedy budget packing: shards never exceed 200 tokens (oversized
+    // singletons aside).
+    "q86_pack_greedy" -> { (s, d) =>
+      Sharding.packGreedy(Tables.documents(s, d), "doc_id", "text",
+        budget = PackBudget, buckets = PackBuckets)
+        .orderBy(col("id"))
+    },
+
+    // Canonical per near-dup cluster: most tokens wins, ties to the
+    // smallest id.
+    "q87_canonical_docs" -> { (s, d) =>
+      Dedup.canonicalDocs(Tables.documents(s, d), "doc_id", "text",
+        ClusterThreshold)
+        .orderBy(col("id"))
+    },
+
+    // DSIR importance vs the src0 slice as the target distribution.
+    "q88_dsir_weights" -> { (s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("source") === DsirTarget, buckets = DsirBuckets)
+        .orderBy(col("id"))
+    },
+
+    // Embedding decontamination: every 50th vector is the "eval set".
+    "q89_probe_decontam" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.probeMaxSim(
+        e.filter(pmod(col("vec_id"), lit(ProbeMod)) =!= 0), "vec_id",
+        "embedding",
+        e.filter(pmod(col("vec_id"), lit(ProbeMod)) === 0), "embedding",
+        DecontamThreshold)
+        .orderBy(col("id"))
+    },
+
+    // KMV distinct-token sketch per source (k = 64).
+    "q90_kmv_distinct" -> { (s, d) =>
+      TextAnalysis.kmvDistinctTokens(Tables.documents(s, d), "source",
+        "text", k = KmvK)
+        .orderBy(col("source"))
+    },
+
+    // Flagship corpus build: docs 0-9 are the frozen eval probes; the
+    // rest flow through quality filter -> exact dedup -> 8-gram
+    // decontamination -> 90/5/5 hash split, accounted per (split,
+    // source). One declarative plan, one action.
+    "q91_corpus_build" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      val probes = docs.filter(col("doc_id") < 10)
+      val keep = TextAnalysis.gopherFilter(corpus, "doc_id", "text")
+        .filter(col("keep") === 1).select(col("id").as("doc_id"))
+      val dropIds = Dedup.exactDropIds(corpus, "doc_id", "text")
+      val contamIds = TextAnalysis.contamination(
+        corpus, "doc_id", "text", probes, "doc_id", "text", n = 8)
+        .select(col("id").as("doc_id"))
+      val clean = corpus
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .join(contamIds, Seq("doc_id"), "left_anti")
+      val splits = Sharding.splitByHash(clean, "doc_id", SplitWeights)
+        .withColumnRenamed("id", "doc_id")
+      clean
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+        .join(splits, "doc_id")
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy(col("split"), col("source"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** q76's md5 → [0,1) uniform, shared by the split oracle. */
+  private val SqlU =
+    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+
+  private def sqlSplitCase: String = {
+    val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
+    val cases = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
+      s"WHEN u < $c THEN '$name'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${SplitWeights.last._1}' END"
+  }
+
+  /** DuckDB quantized long dot of two FLOAT[] columns (Wave7 kernel). */
+  private def sqlDotQL(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q85_pack_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |    doc_id % $PackBuckets AS bucket
+         |  FROM documents),
+         |o AS (
+         |  SELECT *,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+         |  FROM t)
+         |SELECT id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(floor(CAST(tok_offset AS DOUBLE) / $ChunkTokens) AS BIGINT)
+         |    AS chunk_first,
+         |  CAST(floor(CAST(tok_offset + greatest(n_tokens, 1) - 1 AS DOUBLE)
+         |    / $ChunkTokens) AS BIGINT) AS chunk_last,
+         |  CAST(floor(CAST(tok_offset + greatest(n_tokens, 1) - 1 AS DOUBLE)
+         |    / $ChunkTokens)
+         |    - floor(CAST(tok_offset AS DOUBLE) / $ChunkTokens) + 1 AS BIGINT)
+         |    AS n_chunks
+         |FROM o ORDER BY id""".stripMargin,
+
+    "q86_pack_greedy" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len($SqlToks) AS BIGINT) AS n,
+         |    doc_id % $PackBuckets AS bucket,
+         |    row_number() OVER (PARTITION BY doc_id % $PackBuckets
+         |      ORDER BY doc_id) AS r
+         |  FROM documents),
+         |g(bucket, r, id, n, shard, used) AS (
+         |  SELECT bucket, r, id, n, CAST(0 AS BIGINT), n FROM t WHERE r = 1
+         |  UNION ALL
+         |  SELECT t.bucket, t.r, t.id, t.n,
+         |    CASE WHEN g.used + t.n > $PackBudget THEN g.shard + 1
+         |         ELSE g.shard END,
+         |    CASE WHEN g.used + t.n > $PackBudget THEN t.n
+         |         ELSE g.used + t.n END
+         |  FROM g JOIN t ON t.bucket = g.bucket AND t.r = g.r + 1)
+         |SELECT id, CAST(bucket AS BIGINT) AS bucket, shard, n AS n_tokens
+         |FROM g ORDER BY id""".stripMargin,
+
+    "q87_canonical_docs" ->
+      s"""WITH RECURSIVE
+         |dtoks AS (
+         |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dtoks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $ClusterThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |reps AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY 1),
+         |clu AS (
+         |  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep,
+         |    CAST(len($SqlToks) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN reps r ON d.doc_id = r.node),
+         |canon AS (
+         |  SELECT cluster_rep, doc_id AS canonical_id FROM (
+         |    SELECT cluster_rep, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_rep
+         |        ORDER BY n_tokens DESC, doc_id) AS rk
+         |    FROM clu) WHERE rk = 1)
+         |SELECT c.doc_id AS id, canon.canonical_id, c.n_tokens,
+         |  CAST(CASE WHEN c.doc_id = canon.canonical_id THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM clu c JOIN canon USING (cluster_rep)
+         |ORDER BY id""".stripMargin,
+
+    "q88_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source, $SqlToks AS t FROM documents),
+         |bi AS (
+         |  SELECT doc_id, source,
+         |    CAST('0x' || substr(md5(t[CAST(i AS INT)] || ' ' ||
+         |      t[CAST(i+1 AS INT)]), 1, 8) AS BIGINT) % $DsirBuckets AS b
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)),
+         |cnt AS (
+         |  SELECT b,
+         |    sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS cr
+         |  FROM bi GROUP BY 1),
+         |sc AS (
+         |  SELECT b, CAST(floor(CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE)
+         |    * 1e6) AS BIGINT) AS s
+         |  FROM cnt),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n, sum(s) AS sumq
+         |  FROM bi JOIN sc USING (b) GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(per.n, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN coalesce(per.n, 0) > 0
+         |       THEN CAST(per.sumq AS DOUBLE) / 1e6 / per.n
+         |       ELSE 0.0 END AS dsir_score
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY id""".stripMargin,
+
+    "q89_probe_decontam" ->
+      s"""WITH pr AS (
+         |  SELECT embedding AS pe, ${sqlDotQL("embedding", "embedding")} AS dpp
+         |  FROM embeddings WHERE vec_id % $ProbeMod = 0),
+         |co AS (
+         |  SELECT vec_id, embedding,
+         |    ${sqlDotQL("embedding", "embedding")} AS dvv
+         |  FROM embeddings WHERE vec_id % $ProbeMod <> 0),
+         |sims AS (
+         |  SELECT co.vec_id,
+         |    CASE WHEN co.dvv = 0 THEN 0.0 ELSE max(
+         |      (CAST(${sqlDotQL("co.embedding", "pr.pe")} AS DOUBLE) / 1e12)
+         |      / (sqrt(CAST(co.dvv AS DOUBLE) / 1e12)
+         |         * sqrt(CAST(pr.dpp AS DOUBLE) / 1e12))) END AS ms
+         |  FROM co CROSS JOIN pr GROUP BY co.vec_id, co.dvv)
+         |SELECT vec_id AS id, ms AS max_sim,
+         |  CAST(CASE WHEN ms >= $DecontamThreshold THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contaminated
+         |FROM sims ORDER BY id""".stripMargin,
+
+    "q90_kmv_distinct" ->
+      s"""WITH tk AS (
+         |  SELECT DISTINCT source, unnest(list_distinct($SqlToks)) AS tok
+         |  FROM documents),
+         |hu AS (
+         |  SELECT DISTINCT source,
+         |    CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM tk),
+         |rk AS (
+         |  SELECT source, u,
+         |    row_number() OVER (PARTITION BY source ORDER BY u) AS r
+         |  FROM hu),
+         |agg AS (
+         |  SELECT source, count(*) AS n_u,
+         |    max(CASE WHEN r = $KmvK THEN u END) AS uk
+         |  FROM rk GROUP BY 1),
+         |nd AS (SELECT source, count(*) AS n_distinct FROM tk GROUP BY 1)
+         |SELECT a.source, CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+         |  CASE WHEN a.n_u >= $KmvK
+         |       THEN floor((${(KmvK - 1).toDouble} / a.uk) * 1e6) / 1e6
+         |       ELSE CAST(a.n_u AS DOUBLE) END AS kmv_est
+         |FROM agg a JOIN nd USING (source)
+         |ORDER BY source""".stripMargin,
+
+    "q91_corpus_build" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(list_sum(list_transform($SqlToks, x -> length(x))) AS DOUBLE)
+         |        / len($SqlToks) ELSE 0.0 END AS mean_tok_len,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_filter($SqlToks,
+         |        x -> list_contains(['the', 'a', 'of', 'and', 'is'], x)))
+         |        AS DOUBLE) / len($SqlToks) ELSE 0.0 END AS stop_frac,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_distinct($SqlToks)) AS DOUBLE) / len($SqlToks)
+         |      ELSE 0.0 END AS uniq_frac
+         |  FROM corpus),
+         |keepers AS (
+         |  SELECT doc_id FROM m
+         |  WHERE n_tokens >= 10 AND n_tokens <= 5000
+         |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+         |    AND stop_frac >= 0.01 AND uniq_frac >= 0.2),
+         |fp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+         |  FROM corpus),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ctoks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |cg AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(t) - 6),
+         |      i -> md5(array_to_string(t[i:i+7], ' '))))) AS gram
+         |  FROM ctoks WHERE len(t) >= 8 AND doc_id >= 10),
+         |pg AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    list_transform(range(1, len(t) - 6),
+         |      i -> md5(array_to_string(t[i:i+7], ' '))))) AS gram
+         |  FROM ctoks WHERE len(t) >= 8 AND doc_id < 10),
+         |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN pg USING (gram)),
+         |clean AS (
+         |  SELECT c.doc_id, c.source,
+         |    CAST(len($SqlToks) AS BIGINT) AS nt,
+         |    $SqlU AS u
+         |  FROM corpus c
+         |  WHERE c.doc_id IN (SELECT doc_id FROM keepers)
+         |    AND c.doc_id IN (SELECT doc_id FROM surv)
+         |    AND c.doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT $sqlSplitCase AS split, source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM clean
+         |GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+  )
+}

@@ -222,6 +222,26 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       Set(10L, 12L, 20L, 30L)
   }
 
+  test("canonicalDocs: longest member survives, ties to smallest id") {
+    import spark.implicits._
+    val tiny = Seq(
+      (10L, "aa bb cc dd"), (11L, "aa bb cc dd aa"), // same set, 11 longer
+      (20L, "zz yy xx ww"), (21L, "zz yy xx ww"),    // same set, same length
+      (30L, "qq rr ss tt uu vv"))                    // singleton
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalDocs(tiny, "doc_id", "text", 0.9)
+      .select("id", "canonical_id", "keep")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out(10L) shouldBe ((11L, 0L)) // 11 has 5 tokens > 4
+    out(11L) shouldBe ((11L, 1L))
+    out(20L) shouldBe ((20L, 1L)) // tie -> smaller id
+    out(21L) shouldBe ((20L, 0L))
+    out(30L) shouldBe ((30L, 1L))
+    // exactly one survivor per cluster
+    out.values.count(_._2 == 1L) shouldBe 3
+  }
+
   test("minhash signatures per doc: length k, deterministic seed") {
     import spark.implicits._
     val s1 = Dedup.minhashSignatures(docs, "doc_id", "text", k = 16)

@@ -48,6 +48,70 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
     packed(24L) shouldBe 2L // 6 + 7 > 10 -> new shard
   }
 
+  test("chunkPack: offsets are per-bucket cumsums; straddling spans add up") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Seq.fill(5)("w").mkString(" ")),  // 5 tokens, offset 0
+      (8L, Seq.fill(9)("w").mkString(" ")),  // offset 5, crosses chunk 0->1
+      (16L, ""),                             // 0 tokens, offset 14: chunk 1
+      (24L, Seq.fill(7)("w").mkString(" "))  // offset 14, inside chunk 1
+    ).toDF("doc_id", "text") // all bucket 0
+    val out = Sharding.chunkPack(tiny, "doc_id", "text", chunkTokens = 10L,
+      buckets = 8)
+      .select("id", "tok_offset", "chunk_first", "chunk_last", "n_chunks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    out(0L) shouldBe ((0L, 0L, 0L, 1L))
+    out(8L) shouldBe ((5L, 0L, 1L, 2L))   // tokens 5..13 straddle the boundary
+    out(16L) shouldBe ((14L, 1L, 1L, 1L)) // empty doc pinned to one chunk
+    out(24L) shouldBe ((14L, 1L, 2L, 2L)) // tokens 14..20
+  }
+
+  test("kmvDistinctTokens: exact below k, estimate within 2x above k") {
+    import spark.implicits._
+    // group "small": 5 distinct tokens (< k) -> exact count
+    // group "big": 400 distinct tokens (> k) -> KMV estimate
+    // (tokens must be purely alphabetic: digits split tokens)
+    def word(i: Int): String =
+      ('a' + i % 26).toChar.toString + ('a' + (i / 26) % 26).toChar +
+        ('a' + i / 676).toChar
+    val small = (0 until 5).map(i => ("small", "s" + word(i)))
+    val big = (0 until 400).map(i => ("big", "b" + word(i)))
+    val docs = (small ++ big).map { case (g, t) => (g, t) }
+      .toDF("source", "text")
+    val out = TextAnalysis.kmvDistinctTokens(docs, "source", "text", k = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    out("small")._1 shouldBe 5L
+    out("small")._2 shouldBe 5.0
+    out("big")._1 shouldBe 400L
+    out("big")._2 should be > 200.0
+    out("big")._2 should be < 800.0
+  }
+
+  test("dsirWeights: target-like docs outscore raw-like docs") {
+    import spark.implicits._
+    // target slice repeats one phrase; raw slice repeats another; the two
+    // probe docs are pure target-text and pure raw-text.
+    val target = (0 until 20).map(i =>
+      (i.toLong, "alpha beta gamma delta alpha beta", "tgt"))
+    val raw = (20 until 40).map(i =>
+      (i.toLong, "omega psi chi phi omega psi", "raw"))
+    val probeT = Seq((100L, "alpha beta gamma delta", "probe"))
+    val probeR = Seq((101L, "omega psi chi phi", "probe"))
+    val docs = (target ++ raw ++ probeT ++ probeR)
+      .toDF("doc_id", "text", "source")
+    val scores = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("source") === "tgt", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    scores(100L) should be > scores(101L)
+    // deterministic across runs
+    val again = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("source") === "tgt", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    again shouldBe scores
+  }
+
   test("contiguousShards: per-bucket cumsum boundaries, deterministic") {
     val a = Sharding.contiguousShards(docs, "doc_id", "text", 512, 32)
     val b = Sharding.contiguousShards(docs, "doc_id", "text", 512, 32)

@@ -173,4 +173,38 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     recallAt(8) shouldBe 1.0 // all cells probed == exact search
     recallAt(4) should be >= recallAt(1)
   }
+
+  test("probeMaxSim: matches a local quantized-cosine max; flags respect the threshold") {
+    import spark.implicits._
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 100)
+    val out = Similarity.probeMaxSim(corpus, "vec_id", "embedding",
+      probes, "embedding", 0.35)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // local reference with the identical quantized arithmetic
+    val pv = probes.select(col("embedding")).as[Array[Float]].collect()
+    def dotq(a: Array[Float], b: Array[Float]): Long = {
+      var s = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += math.floor(a(i).toDouble * b(i).toDouble * 1e12).toLong; i += 1 }
+      s
+    }
+    val local = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map { case (id, v) =>
+        val dvv = dotq(v, v)
+        val best = pv.map { p =>
+          (dotq(v, p).toDouble / 1e12) /
+            (math.sqrt(dvv.toDouble / 1e12) * math.sqrt(dotq(p, p).toDouble / 1e12))
+        }.max
+        id -> best
+      }.toMap
+    out.keySet shouldBe local.keySet
+    local.foreach { case (id, best) =>
+      withClue(s"id=$id") {
+        out(id)._1 shouldBe best
+        out(id)._2 shouldBe (if (best >= 0.35) 1L else 0L)
+      }
+    }
+  }
 }
