@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Wave3.queries ++ graft.queries.Wave4.queries ++
       graft.queries.Wave5.queries ++ graft.queries.Wave6.queries ++
       graft.queries.Wave7.queries ++ graft.queries.Wave8.queries ++
-      graft.queries.Wave9.queries ++ graft.queries.Wave10.queries
+      graft.queries.Wave9.queries ++ graft.queries.Wave10.queries ++
+      graft.queries.Wave11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Wave3.oracleSql ++ graft.queries.Wave4.oracleSql ++
       graft.queries.Wave5.oracleSql ++ graft.queries.Wave6.oracleSql ++
       graft.queries.Wave7.oracleSql ++ graft.queries.Wave8.oracleSql ++
-      graft.queries.Wave9.oracleSql ++ graft.queries.Wave10.oracleSql
+      graft.queries.Wave9.oracleSql ++ graft.queries.Wave10.oracleSql ++
+      graft.queries.Wave11.oracleSql
 }

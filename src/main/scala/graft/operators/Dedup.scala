@@ -279,13 +279,52 @@ object Dedup {
     * DISTINCT token sets; doc multiplicity re-attaches at the end, so
     * nothing is quadratic in the corpus. Docs with empty token sets are
     * omitted (containment over an empty probe is undefined; [[docSetsBy]]
-    * drops them before pairing — same relation the oracle ranges over). */
+    * drops them before pairing — same relation the oracle ranges over).
+    *
+    * Small-vocabulary fast path (same detection as [[jaccardPairs]]):
+    * when the corpus vocabulary fits in 64 words, prefix buckets
+    * degenerate (every token is frequent), so containment is computed as
+    * codegen'd bitmask arithmetic over the distinct-set cross join
+    * instead — guarded by `maxDistinctSets` like every quadratic-in-
+    * distinct-content surface. */
   def subsumedBy(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double): DataFrame = {
+                 threshold: Double,
+                 maxDistinctSets: Long = 100000L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val sets = docSets(docs, idCol, textCol).cache()
     val groups = setGroups(sets).cache()
+    smallVocab(groups) match {
+      case Some(vocab) =>
+        val nDistinct = groups.count()
+        require(nDistinct <= maxDistinctSets,
+          s"subsumedBy small-vocab path cross-compares distinct sets: " +
+            s"$nDistinct distinct token sets exceed the maxDistinctSets " +
+            s"guard ($maxDistinctSets). Raise it explicitly if you mean it.")
+        val mg = maskGroups(groups, vocab)
+          .join(groups.select(col("sk"), col("n")), "sk")
+        val a = mg.select(col("sk").as("sk_a"), col("mask").as("m_a"))
+        val b = mg.select(col("sk").as("sk_b"), col("mask").as("m_b"),
+          col("n").as("n_b"))
+        // ordered pairs (containment is asymmetric): cont(A→B) =
+        // |A∩B| / |A| as pure bit arithmetic, value-identical to the
+        // array formulation (small-int division is exact in double)
+        val qualified = a.crossJoin(b)
+          .filter(col("sk_a") =!= col("sk_b"))
+          .filter(bit_count(col("m_a").bitwiseAND(col("m_b"))).cast("double")
+            / bit_count(col("m_a")) >= threshold)
+          .select(col("sk_a"), col("n_b"))
+        subsumedFinish(sets, groups, qualified)
+      case None =>
+        subsumedFinish(sets, groups, subsumedPrefixQualified(groups, threshold))
+    }
+  }
+
+  /** Prefix-filter candidate generation + exact verification for
+    * [[subsumedBy]] — returns qualifying ordered set pairs as
+    * (sk_a, n_b). */
+  private def subsumedPrefixQualified(groups: DataFrame,
+                                      threshold: Double): DataFrame = {
     val nonEmpty = groups.filter(size(col("ts")) > 0)
     val dfreq = nonEmpty.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -311,7 +350,7 @@ object Dedup {
       .dropDuplicates("h_a", "h_b")
     val byHash = broadcast(groups.select(skHashUdf(col("sk")).as("h"),
       col("sk"), col("ts"), col("n")))
-    val qualified = candPairs
+    candPairs
       .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
         col("ts").as("ts_a")), "h_a")
       .join(byHash.select(col("h").as("h_b"), col("ts").as("ts_b"),
@@ -321,6 +360,13 @@ object Dedup {
           / size(col("ts_a")))
       .filter(col("cont") >= threshold)
       .select(col("sk_a"), col("n_b"))
+  }
+
+  /** Count supersets per set (same-set docs contribute n−1, containment
+    * exactly 1) and expand back to docs — shared tail of both
+    * [[subsumedBy]] paths. */
+  private def subsumedFinish(sets: DataFrame, groups: DataFrame,
+                             qualified: DataFrame): DataFrame = {
     val fromPairs = qualified.groupBy(col("sk_a")).agg(sum(col("n_b")).as("np"))
     sets
       .join(groups.select(col("sk"), col("n")), "sk")

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-sketch operators for the training-data pipeline
+  * (SURVEY.md §2.10 extensions): a portable Bloom filter for
+  * membership-style decontamination and a Count-Min sketch for token
+  * frequency estimation. Together with the KMV distinct sketch
+  * ([[TextAnalysis.kmvDistinctTokens]]) these cover the three classic
+  * bounded-state summaries (membership / frequency / cardinality).
+  *
+  * Portability discipline (house rule, same as the MinHash/SimHash
+  * family): every hash is derived from md5 hex slices, so DuckDB — or
+  * any engine with md5 — reproduces the sketches BIT-FOR-BIT, false
+  * positives included. Nothing here depends on JVM hashing.
+  *
+  * Capability parity: the reference's counter/side-data machinery
+  * (`/root/reference/src/clojure/parkour/mapreduce.clj` counters,
+  * `doc/dvals.md` distributed values) carries small summaries between
+  * jobs; these sketches are the modern bounded-state equivalents, built
+  * as one-pass aggregations and shipped as dvals (driver-collected,
+  * broadcast-sized).
+  */
+object Sketches {
+
+  /** One-pass distributed bitset-OR aggregator — the Bloom filter build.
+    * Input rows are bit positions in [0, mBits); the buffer is the packed
+    * bit array (mBits/64 longs, bounded state no matter the corpus size);
+    * merge is word-wise OR. Map-side partials + merge come free from
+    * Catalyst (SURVEY.md F4/A2 combiner shape), so the shuffle carries
+    * one mBits/64-long array per partition, never the position stream. */
+  class BitsetOr(mBits: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+    override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      require(pos >= 0 && pos < mBits, s"bit position out of range: $pos")
+      b((pos >> 6).toInt) |= (1L << (pos & 63)); b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
+
+  /** The `k` Bloom bit positions of a gram given as md5 HEX (32 chars):
+    * position j = uint32(hex[8j..8j+8)) mod mBits — four independent
+    * 32-bit slices, so k <= 4. Identical arithmetic is expressible in
+    * any engine with md5 + substring. */
+  private[operators] def bloomPositions(gramHex: Column, k: Int, mBits: Int): Seq[Column] = {
+    require(k >= 1 && k <= 4, s"k must be in [1, 4] (md5 has 4 u32 slices): $k")
+    (0 until k).map(j =>
+      conv(substring(gramHex, 1 + 8 * j, 8), 16, 10).cast("long") % mBits)
+  }
+
+  /** Membership test against a packed bit array shipped as a literal
+    * (the dval idiom — mBits/64 longs ride the plan, no join). */
+  private def bloomHit(gramHex: Column, bits: Array[Long], k: Int,
+                       mBits: Int): Column = {
+    val bitsLit = typedLit(bits.toSeq)
+    val pow2 = typedLit((0 until 64).map(i => 1L << i))
+    bloomPositions(gramHex, k, mBits).map { p =>
+      element_at(bitsLit, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= 0
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-filter benchmark decontamination — the bounded-state cousin of
+    * [[TextAnalysis.contamination]]: instead of joining corpus grams
+    * against the probe-gram SET (state grows with the eval suite), the
+    * probe side collapses to an `mBits`-bit Bloom filter built in one
+    * distributed pass ([[BitsetOr]]), collected driver-side (mBits/64
+    * longs — dval-sized at any probe count) and tested per corpus gram as
+    * pure codegen bit arithmetic. One corpus scan, ZERO joins, no shuffle
+    * beyond the per-doc count aggregate: the shape that maps straight
+    * over 100 TB while the exact join variant pays a probe-side shuffle.
+    *
+    * The price is one-sided error: a gram can hit the filter without
+    * being a probe gram (never the reverse), at rate ~(setBits/mBits)^k.
+    * Every hash is md5-derived ([[bloomPositions]]), so the false
+    * positives themselves are deterministic and engine-portable — the
+    * DuckDB oracle reproduces them exactly.
+    *
+    * Output: one row per corpus doc — (id, n_grams, n_hits, flagged)
+    * where n_grams counts the doc's distinct word `n`-grams, n_hits the
+    * grams hitting the filter, flagged = 1 iff any hit. */
+  def bloomContamination(docs: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeTextCol: String,
+                         n: Int = 8, mBits: Int = 4096, k: Int = 3): DataFrame = {
+    def grams(df: DataFrame, id: Column, text: Column): DataFrame =
+      df.select(id.as("__id"),
+        explode(array_distinct(T.shingles(text, n))).as("g"))
+        .select(col("__id"), md5(col("g")).as("gram"))
+    val probeGrams = grams(probes, lit(0L), col(probeTextCol))
+      .select(col("gram")).distinct()
+    val bloomAgg = udaf(new BitsetOr(mBits))
+    val bits = probeGrams
+      .select(explode(array(bloomPositions(col("gram"), k, mBits): _*)).as("pos"))
+      .agg(bloomAgg(col("pos")).as("bits"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("bits").toArray
+    val perDoc = grams(docs, col(idCol), col(textCol))
+      .withColumn("hit", bloomHit(col("gram"), bits, k, mBits))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc.withColumnRenamed("__id", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("flagged"))
+  }
+
+  /** Count-Min sketch of corpus token frequencies: a `depth` × `width`
+    * counter grid where row j buckets token t at uint32(md5(t)[8j..])
+    * mod width, and est(t) = min_j grid[j][h_j(t)] — always >= the true
+    * count, inflated only by bucket collisions. `depth` <= 4 (md5's four
+    * u32 slices).
+    *
+    * Build shape: token counts first (the word-count aggregate — map-side
+    * combine collapses the token stream per partition), then each
+    * distinct token deposits its count into `depth` buckets — by
+    * linearity this equals per-occurrence insertion, but the exploded
+    * stage is linear in VOCABULARY, not corpus. The grid (depth·width
+    * longs) is collected driver-side — the dval idiom — and the estimate
+    * is a pure codegen lookup per token. At 100 TB the only corpus-sized
+    * stage is the initial word count.
+    *
+    * Output: the `topK` tokens by exact count (ties by token), each with
+    * (token, exact_cnt, cms_est) — est == exact exactly when no heavier
+    * colliding token shares all `depth` buckets, so the pair exposes the
+    * sketch's collision behavior deterministically. */
+  def cmsTokenCounts(docs: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 64,
+                     topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be in [1, 4]: $depth")
+    require(width > 0, s"width must be positive: $width")
+    val exact = docs
+      .select(explode(T.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .cache()
+    def bucket(tokenHex: Column, j: Int): Column =
+      conv(substring(tokenHex, 1 + 8 * j, 8), 16, 10).cast("long") % width
+    val grid = Array.fill(depth * width)(0L)
+    (0 until depth).map { j =>
+      exact.select(lit(j).as("j"), bucket(md5(col("token")), j).as("b"),
+        col("exact_cnt"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("j"), col("b")).agg(sum(col("exact_cnt")).as("c"))
+      .collect()
+      .foreach(r => grid(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    val gridLit = typedLit(grid.toSeq)
+    val est = least((0 until depth).map(j =>
+      element_at(gridLit,
+        (lit(j * width) + bucket(md5(col("token")), j)).cast("int") + 1)): _*)
+    exact.select(col("token"), col("exact_cnt"), est.as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(topK)
+  }
+}

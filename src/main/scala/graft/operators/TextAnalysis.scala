@@ -648,6 +648,69 @@ object TextAnalysis {
           .otherwise(col("n_u").cast("double")).as("kmv_est"))
   }
 
+  /** Sparse TF-IDF cosine similarity pairs over word `n`-gram terms —
+    * the inverted-index formulation of document similarity that
+    * complements the dense-embedding paths ([[Similarity]]): weight
+    * w(d,t) = tf(d,t) · idf(t) with the RATIONAL idf (N+1)/(df+1)
+    * (same monotone-in-df ordering as ln((N+1)/(df+1)), but libm-free —
+    * ln's low bits differ across engines), cos(a,b) =
+    * Σ_t w_a·w_b / (‖a‖·‖b‖), pairs with cos >= `threshold` emitted.
+    *
+    * Scale: this is the classic sparse-similarity shape — candidate
+    * pairs come from a self-join on TERM (inverted index), so the work
+    * is Σ_t df(t)², driven entirely by frequent terms. Rare terms (the
+    * high-idf signal carriers) are cheap; `maxDf` prunes terms seen in
+    * more than that many docs — they carry near-zero idf weight anyway
+    * and their df² join fanout dominates the cost. The pruning is part
+    * of the operator contract (the oracle applies the same cutoff).
+    * Word n-grams (default n = 4) keep df naturally small on real text.
+    *
+    * Exactness: weights are floor-quantized to 1e3 and all dot/norm
+    * sums run in integer arithmetic; the final cosine is one fixed IEEE
+    * sequence (CAST, sqrt, ·, /) — any engine reproduces it bit-for-bit.
+    * (Quantized weights must stay < 2^31 for the wq² sums to fit a
+    * long: tf·idf < 2.1e6, comfortably true for any corpus where a
+    * gram's tf is bounded and idf <= N+1 with df >= minDf 1.)
+    *
+    * Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >=
+    * `threshold`. Docs with no terms (or only pruned terms) pair with
+    * nothing. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 4, threshold: Double = 0.2,
+                       maxDf: Long = 1000L): DataFrame = {
+    val nDocs = docs.count() // dval: one count, rides the closure
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(T.shingles(col(textCol), n)).as("g"))
+      // 16-byte binary term key (not the gram text): halves the shuffle
+      // rows for the tf aggregate, the df aggregate, and the pair join.
+      .select(col("id"), unhex(md5(col("g"))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // one division, one multiply, one floor — fixed IEEE sequence
+    val wq = floor(col("tf").cast("double")
+      * (lit(nDocs + 1.0) / (col("df") + 1).cast("double"))
+      * lit(1000.0)).cast("long")
+    val weights = tf.join(df, "t").select(col("id"), col("t"), wq.as("wq"))
+      .cache()
+    val norms = weights.groupBy(col("id"))
+      .agg(sum(col("wq") * col("wq")).as("n2"))
+    val dots = weights.as("a")
+      .join(weights.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Sketches, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 11 — round-5 sketch + sparse-similarity operators, each with a
+  * full DuckDB oracle:
+  *
+  *  - q92 containment ("subsumed-by") dedup signal: per-doc count of
+  *    near-supersets — the asymmetric cousin of Jaccard that catches a
+  *    small doc quoted inside a big one (`Dedup.subsumedBy`).
+  *  - q93 Bloom-filter decontamination: the bounded-state membership
+  *    sketch, false positives reproduced exactly by the oracle
+  *    (`Sketches.bloomContamination`).
+  *  - q94 Count-Min sketch token frequencies: est >= exact, collisions
+  *    deterministic (`Sketches.cmsTokenCounts`).
+  *  - q95 sparse TF-IDF cosine pairs over word 4-grams: the
+  *    inverted-index similarity path complementing dense ANN
+  *    (`TextAnalysis.tfidfCosinePairs`).
+  *
+  * Hash portability as everywhere: every sketch hash is an md5-hex-slice
+  * uint32, so DuckDB rebuilds the identical sketches.
+  */
+object Wave11 {
+
+  /** DuckDB token pipeline identical to TextFunctions.tokens. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private val SubsumeTau = 0.9
+  private val BloomN = 8
+  private val BloomBits = 4096
+  private val BloomK = 3
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+  private val CmsTopK = 20
+  private val TfidfN = 4
+  private val TfidfTau = 0.2
+  private val TfidfMaxDf = 1000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Containment >= 0.9: how many OTHER docs nearly contain this one?
+    "q92_subsumed_docs" -> { (s, d) =>
+      Dedup.subsumedBy(Tables.documents(s, d), "doc_id", "text", SubsumeTau)
+        .select(col("id"), col("n_supersets"),
+          col("subsumed").cast("long").as("subsumed"))
+        .orderBy(col("id"))
+    },
+
+    // Bloom decontamination: probes = docs 0-9 (as q91), corpus = rest.
+    "q93_bloom_decontam" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Sketches.bloomContamination(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "text",
+        n = BloomN, mBits = BloomBits, k = BloomK)
+        .orderBy(col("id"))
+    },
+
+    // Count-Min sketch: top 20 tokens, exact vs estimated count.
+    "q94_cms_tokens" -> { (s, d) =>
+      Sketches.cmsTokenCounts(Tables.documents(s, d), "text",
+        depth = CmsDepth, width = CmsWidth, topK = CmsTopK)
+    },
+
+    // Sparse TF-IDF 4-gram cosine pairs above 0.2.
+    "q95_tfidf_pairs" -> { (s, d) =>
+      TextAnalysis.tfidfCosinePairs(Tables.documents(s, d), "doc_id",
+        "text", n = TfidfN, threshold = TfidfTau, maxDf = TfidfMaxDf)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** Distinct word `n`-gram md5 fingerprints per doc over filter `cond`. */
+  private def sqlGrams(n: Int, cond: String): String =
+    s"""SELECT DISTINCT doc_id, unnest(list_distinct(
+       |  list_transform(range(1, len(t) - ${n - 2}),
+       |    i -> md5(array_to_string(t[i:i+${n - 1}], ' '))))) AS g
+       |FROM ctoks WHERE len(t) >= $n AND $cond""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q92_subsumed_docs" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+         |  FROM documents WHERE len($SqlToks) > 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sup AS (
+         |  SELECT da, count(*) AS ns FROM common
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  WHERE CAST(c AS DOUBLE) / sa.n >= $SubsumeTau
+         |  GROUP BY 1)
+         |SELECT s.doc_id AS id,
+         |  CAST(coalesce(ns, 0) AS BIGINT) AS n_supersets,
+         |  CAST(CASE WHEN coalesce(ns, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS subsumed
+         |FROM sizes s LEFT JOIN sup ON s.doc_id = sup.da
+         |ORDER BY id""".stripMargin,
+
+    "q93_bloom_decontam" -> {
+      // positions slice the PRE-COMPUTED md5 hex in column g
+      val posOf = (0 until BloomK).map(j =>
+        s"CAST('0x' || substr(g, ${1 + 8 * j}, 8) AS BIGINT) % $BloomBits")
+      val hitCond = posOf.map(p => s"$p IN (SELECT p FROM pb)").mkString("\n    AND ")
+      s"""WITH ctoks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |pg AS (${sqlGrams(BloomN, "doc_id < 10")}),
+         |pb AS (SELECT DISTINCT unnest([
+         |  ${posOf.mkString(",\n  ")}]) AS p FROM pg),
+         |cg AS (${sqlGrams(BloomN, "doc_id >= 10")}),
+         |ng AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hits FROM cg
+         |  WHERE $hitCond
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN coalesce(hits.n_hits, 0) > 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS flagged
+         |FROM documents d
+         |LEFT JOIN ng USING (doc_id) LEFT JOIN hits USING (doc_id)
+         |WHERE d.doc_id >= 10
+         |ORDER BY id""".stripMargin
+    },
+
+    "q94_cms_tokens" -> {
+      s"""WITH tok AS (SELECT unnest($SqlToks) AS tok FROM documents),
+         |exact AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         |cells AS (
+         |  SELECT j, CAST('0x' || substr(md5(tok), CAST(1 + 8*j AS INT), 8)
+         |      AS BIGINT) % $CmsWidth AS b, sum(c) AS s
+         |  FROM exact, range(0, $CmsDepth) r(j)
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT e.tok, e.c, min(cl.s) AS est
+         |  FROM exact e, range(0, $CmsDepth) r(j)
+         |  JOIN cells cl ON cl.j = r.j
+         |    AND cl.b = CAST('0x' || substr(md5(e.tok), CAST(1 + 8*r.j AS INT), 8)
+         |      AS BIGINT) % $CmsWidth
+         |  GROUP BY 1, 2)
+         |SELECT tok AS token, CAST(c AS BIGINT) AS exact_cnt,
+         |  CAST(est AS BIGINT) AS cms_est
+         |FROM est ORDER BY exact_cnt DESC, token LIMIT $CmsTopK""".stripMargin
+    },
+
+    "q95_tfidf_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, g, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${TfidfN - 2}),
+         |      i -> array_to_string(t[i:i+${TfidfN - 1}], ' '))) AS g
+         |    FROM toks WHERE len(t) >= $TfidfN)
+         |  GROUP BY 1, 2),
+         |dfq AS (
+         |  SELECT g, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= $TfidfMaxDf),
+         |nn AS (SELECT count(*) AS nd FROM documents),
+         |w AS (
+         |  SELECT doc_id, tf.g,
+         |    CAST(floor(CAST(tf AS DOUBLE)
+         |      * ((SELECT nd FROM nn) + 1.0) / CAST(df + 1 AS DOUBLE)
+         |      * 1000.0) AS BIGINT) AS wq
+         |  FROM tf JOIN dfq ON tf.g = dfq.g),
+         |nrm AS (SELECT doc_id, sum(wq * wq) AS n2 FROM w GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wq * b.wq) AS d
+         |  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    AS cos_sim
+         |FROM dots
+         |JOIN nrm na ON id_a = na.doc_id
+         |JOIN nrm nb ON id_b = nb.doc_id
+         |WHERE CAST(d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |  >= $TfidfTau
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Contract tests for the round-5 sketch + sparse-similarity operators:
+  * Bloom decontamination (no false negatives, exact bitset semantics),
+  * Count-Min estimates (est >= exact, exact when collision-free,
+  * width=1 degenerates to the grand total), TF-IDF cosine pairs vs a
+  * local brute-force twin, and subsumedBy path parity (bitmask fast
+  * path == prefix-filter path). */
+class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import Sketches._
+
+  private def toks(s: String): Array[String] =
+    s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+
+  // ------------------------------------------------------------ bloom
+
+  test("BitsetOr: distributed build sets exactly the inserted bits") {
+    import spark.implicits._
+    val positions = Seq(0L, 1L, 63L, 64L, 127L, 500L, 0L)
+    val agg = udaf(new BitsetOr(512))
+    val bits = positions.toDF("pos").repartition(3)
+      .agg(agg(col("pos")).as("bits"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("bits").toArray
+    bits.length shouldBe 8
+    val set = (0 until 512).filter(i => (bits(i >> 6) & (1L << (i & 63))) != 0)
+    set.map(_.toLong) shouldBe positions.distinct.sorted
+  }
+
+  test("bloomContamination: never a false negative vs the exact join") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).cache()
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val probes = docs.filter(col("doc_id") < 10)
+    val bloom = bloomContamination(corpus, "doc_id", "text", probes, "text",
+      n = 8, mBits = 4096, k = 3)
+      .select("id", "flagged").as[(Long, Long)].collect().toMap
+    val exactIds = TextAnalysis.contamination(
+      corpus, "doc_id", "text", probes, "doc_id", "text", n = 8)
+      .select("id").as[Long].collect().toSet
+    // every truly contaminated doc must be flagged (one-sided error)
+    exactIds.foreach(id => bloom(id) shouldBe 1L)
+    // and the sketch is a filter, not a constant: some docs pass clean
+    bloom.values.count(_ == 0L) should be > 0
+  }
+
+  // ------------------------------------------------------------ CMS
+
+  test("cmsTokenCounts: est >= exact always; width=1 gives the grand total") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).cache()
+    val rows = cmsTokenCounts(docs, "text", depth = 4, width = 64, topK = 50)
+      .as[(String, Long, Long)].collect()
+    rows.nonEmpty shouldBe true
+    rows.foreach { case (_, exact, est) => est should be >= exact }
+    // width=1: every token lands in the single bucket of every row, so
+    // the estimate is the total token count of the corpus
+    val total = docs.select(
+      sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+      .collect()(0).getLong(0)
+    val degenerate = cmsTokenCounts(docs, "text", depth = 2, width = 1,
+      topK = 5).as[(String, Long, Long)].collect()
+    degenerate.foreach { case (_, _, est) => est shouldBe total }
+  }
+
+  test("cmsTokenCounts: exact when the vocabulary is collision-free") {
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha beta alpha"), (2L, "beta gamma alpha"))
+      .toDF("doc_id", "text")
+    // 3 tokens into width 4096 — no collisions, est == exact
+    val rows = cmsTokenCounts(tiny, "text", depth = 4, width = 4096,
+      topK = 10).as[(String, Long, Long)].collect().sortBy(_._1)
+    rows shouldBe Array(("alpha", 3L, 3L), ("beta", 2L, 2L),
+      ("gamma", 1L, 1L))
+  }
+
+  // ------------------------------------------------------------ tf-idf
+
+  test("tfidfCosinePairs matches a local brute-force twin with identical arithmetic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).cache()
+    val n = 4
+    val got = TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+      n = n, threshold = 0.2, maxDf = 1000L)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, t) =>
+        id -> toks(t).sliding(n).filter(_.length == n).map(_.mkString(" "))
+          .toArray
+      }
+    val nDocs = corpus.length
+    val tf = corpus.map { case (id, gs) =>
+      id -> gs.groupBy(identity).map { case (g, o) => g -> o.length }
+    }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (g, o) => g -> o.size }
+    val wq = tf.map { case (id, m) =>
+      id -> m.collect { case (g, t) if dfm(g) <= 1000 =>
+        g -> math.floor(t.toDouble * ((nDocs + 1.0) / (dfm(g) + 1).toDouble)
+          * 1000.0).toLong
+      }
+    }
+    val n2 = wq.map { case (id, m) => id -> m.values.map(w => w * w).sum }
+    val ids = corpus.map(_._1).sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      shared = wq(a).keySet intersect wq(b).keySet
+      if shared.nonEmpty
+      dot = shared.toSeq.map(g => wq(a)(g) * wq(b)(g)).sum
+      cos = dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+      if cos >= 0.2
+    } yield (a, b, cos)).sortBy(p => (p._1, p._2))
+    got shouldBe want
+    got.nonEmpty shouldBe true
+  }
+
+  test("tfidfCosinePairs: maxDf prunes ubiquitous terms from pairing") {
+    import spark.implicits._
+    // "x y z w" appears in all 3 docs (df=3); with maxDf=2 it is pruned,
+    // so docs 1/2 share nothing and only the identical pair (2,3) -> no,
+    // doc2 and doc3 share their OTHER gram too.
+    val tiny = Seq(
+      (1L, "x y z w p q r s"),
+      (2L, "x y z w a b c d"),
+      (3L, "x y z w a b c d")).toDF("doc_id", "text")
+    val all = TextAnalysis.tfidfCosinePairs(tiny, "doc_id", "text",
+      n = 4, threshold = 0.0001, maxDf = 3L)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    all should contain((1L, 2L)) // via the shared df=3 gram "x y z w"
+    val pruned = TextAnalysis.tfidfCosinePairs(tiny, "doc_id", "text",
+      n = 4, threshold = 0.0001, maxDf = 2L)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    pruned should not contain ((1L, 2L))
+    pruned should contain((2L, 3L)) // identical docs still pair
+  }
+
+  // ------------------------------------------------------------ subsumedBy
+
+  test("subsumedBy: hand-checked containment on a crafted corpus") {
+    import spark.implicits._
+    // A = {a,b}; B = {a,b,c,d}; C = {x,y,z}. cont(A→B)=1, cont(B→A)=0.5,
+    // nothing else crosses 0.9.
+    val tiny = Seq(
+      (1L, "a b a"), (2L, "a b c d"), (3L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.subsumedBy(tiny, "doc_id", "text", 0.9)
+      .select("id", "n_supersets").as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 0L, 3L -> 0L)
+  }
+
+  /** Local brute-force containment counts (same tokenizer, same
+    * double division). */
+  private def bruteSubsumed(rows: Seq[(Long, String)],
+                            t: Double): Seq[(Long, Long)] = {
+    val corpus = rows.map { case (id, s) => id -> toks(s).toSet }
+      .filter(_._2.nonEmpty)
+    corpus.map { case (id, s) =>
+      id -> corpus.count { case (oid, os) =>
+        oid != id && (s intersect os).size.toDouble / s.size >= t
+      }.toLong
+    }.sorted
+  }
+
+  test("subsumedBy small-vocab bitmask path matches a local brute-force twin") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(60).cache()
+    val got = Dedup.subsumedBy(docs, "doc_id", "text", 0.8)
+      .select("id", "n_supersets").as[(Long, Long)].collect().sorted
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    got.toSeq shouldBe bruteSubsumed(rows, 0.8)
+  }
+
+  test("subsumedBy prefix-filter path (vocab > 64) matches brute force") {
+    import spark.implicits._
+    // 80-word ALPHABETIC vocabulary (the tokenizer drops digits)
+    // defeats smallVocab → prefix-filter path runs.
+    val letters = "abcdefghij"
+    val vocab = (0 until 80).map(i =>
+      s"w${letters(i / 10)}${letters(i % 10)}")
+    def doc(idx: Seq[Int]): String = idx.map(vocab).mkString(" ")
+    val rows = Seq(
+      1L -> doc(0 until 10),          // ⊂ doc 2 exactly
+      2L -> doc(0 until 40),
+      3L -> doc(5 until 15),          // cont(3→2) = 10/10 = 1.0
+      4L -> doc(Seq(70, 71, 72)),     // disjoint island
+      5L -> doc((0 until 9) :+ 79))   // cont(5→2) = 9/10 = 0.9
+    val got = Dedup.subsumedBy(rows.toDF("doc_id", "text"),
+      "doc_id", "text", 0.9)
+      .select("id", "n_supersets").as[(Long, Long)].collect().sorted
+    // doc1 ⊂ doc2 and cont(1→5) = 9/10; cont(3→2) = 1; cont(5→1) =
+    // cont(5→2) = 9/10; doc4 is a disjoint island
+    got.toSeq shouldBe bruteSubsumed(rows, 0.9)
+    got.toMap shouldBe Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 2L)
+  }
+}
