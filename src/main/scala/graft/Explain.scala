@@ -13,7 +13,8 @@ object Explain {
       "q62_cogroup_merge", "q64_ordered_groups", "q65_jaccard_prefix",
       "q66_token_shards", "q70_semantic_dedup", "q74_duplicate_spans",
       "q78_bigram_lm", "q80_source_overlap", "q88_dsir_weights",
-      "q89_probe_decontam", "q90_kmv_distinct", "q91_corpus_build")
+      "q89_probe_decontam", "q90_kmv_distinct", "q91_corpus_build",
+      "q93_bloom_decontam", "q95_tfidf_pairs")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -686,14 +686,17 @@ object TextAnalysis {
       // rows for the tf aggregate, the df aggregate, and the pair join.
       .select(col("id"), unhex(md5(col("g"))).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+      // feeds BOTH the df aggregate and the weight join — cache so the
+      // gram explode + md5 (the CPU-dominant stage) runs once
+      .cache()
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // one division, one multiply, one floor — fixed IEEE sequence
     val wq = floor(col("tf").cast("double")
       * (lit(nDocs + 1.0) / (col("df") + 1).cast("double"))
       * lit(1000.0)).cast("long")
+    // cheap projection of the cached tf + broadcast df — no second cache
     val weights = tf.join(df, "t").select(col("id"), col("t"), wq.as("wq"))
-      .cache()
     val norms = weights.groupBy(col("id"))
       .agg(sum(col("wq") * col("wq")).as("n2"))
     val dots = weights.as("a")

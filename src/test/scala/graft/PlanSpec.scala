@@ -85,4 +85,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q93: bloom membership is a pure scan — the only join re-attaches per-doc counts") {
+    val p = plan("q93_bloom_decontam")
+    // corpus filter pushed into the parquet scan
+    p should include("GreaterThanOrEqual(doc_id,10)")
+    // the bit-test is literal array arithmetic, not a probe-set join:
+    // exactly one join (the LeftOuter count re-attach), zero sort-merge
+    p should not include "SortMergeJoin"
+    "BroadcastHashJoin".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q95: tf-idf pair generation joins on the term key, nothing quadratic") {
+    val p = plan("q95_tfidf_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
