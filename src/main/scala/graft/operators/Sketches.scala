@@ -72,6 +72,31 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** Build the probe-side Bloom filter in one distributed pass and
+    * collect it driver-side (mBits/64 longs — dval-sized regardless of
+    * probe count). */
+  def buildBloom(probes: DataFrame, textCol: String,
+                 n: Int = 8, mBits: Int = 4096, k: Int = 3): Array[Long] = {
+    val bloomAgg = udaf(new BitsetOr(mBits))
+    probes
+      .select(explode(array_distinct(T.shingles(col(textCol), n))).as("g"))
+      .select(md5(col("g")).as("gram")).distinct()
+      .select(explode(array(bloomPositions(col("gram"), k, mBits): _*)).as("pos"))
+      .agg(bloomAgg(col("pos")).as("bits"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("bits").toArray
+  }
+
+  /** Per-row count of the text's distinct word `n`-grams that hit the
+    * filter — a single stateless column expression (no explode, no
+    * shuffle, no join), the shape a streaming micro-batch filter needs.
+    * NOTE: higher-order array functions evaluate interpreted (no
+    * doGenCode), so for BATCH scoring prefer [[bloomContamination]]'s
+    * explode formulation — same values, stays in whole-stage codegen. */
+  def bloomHits(text: Column, bits: Array[Long],
+                n: Int = 8, mBits: Int = 4096, k: Int = 3): Column =
+    size(filter(array_distinct(T.shingles(text, n)),
+      g => bloomHit(md5(g), bits, k, mBits))).cast("long")
+
   /** Bloom-filter benchmark decontamination — the bounded-state cousin of
     * [[TextAnalysis.contamination]]: instead of joining corpus grams
     * against the probe-gram SET (state grows with the eval suite), the
@@ -90,28 +115,27 @@ object Sketches {
     *
     * Output: one row per corpus doc — (id, n_grams, n_hits, flagged)
     * where n_grams counts the doc's distinct word `n`-grams, n_hits the
-    * grams hitting the filter, flagged = 1 iff any hit. */
+    * grams hitting the filter, flagged = 1 iff any hit. The corpus side
+    * is explode → codegen'd bit test → per-doc count aggregate: the only
+    * shuffle carries pre-aggregated (id, counts) partials (map-side
+    * combine), and the bit test itself joins nothing. (A fully per-row
+    * [[bloomHits]] formulation exists for streaming, but higher-order
+    * array lambdas evaluate interpreted — measurably slower than this
+    * exploded codegen path on a batch corpus.) */
   def bloomContamination(docs: DataFrame, idCol: String, textCol: String,
                          probes: DataFrame, probeTextCol: String,
                          n: Int = 8, mBits: Int = 4096, k: Int = 3): DataFrame = {
-    def grams(df: DataFrame, id: Column, text: Column): DataFrame =
-      df.select(id.as("__id"),
-        explode(array_distinct(T.shingles(text, n))).as("g"))
-        .select(col("__id"), md5(col("g")).as("gram"))
-    val probeGrams = grams(probes, lit(0L), col(probeTextCol))
-      .select(col("gram")).distinct()
-    val bloomAgg = udaf(new BitsetOr(mBits))
-    val bits = probeGrams
-      .select(explode(array(bloomPositions(col("gram"), k, mBits): _*)).as("pos"))
-      .agg(bloomAgg(col("pos")).as("bits"))
-      .collect()(0).getAs[scala.collection.Seq[Long]]("bits").toArray
-    val perDoc = grams(docs, col(idCol), col(textCol))
+    val bits = buildBloom(probes, probeTextCol, n, mBits, k)
+    val perDoc = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(T.shingles(col(textCol), n))).as("g"))
+      .select(col("id"), md5(col("g")).as("gram"))
       .withColumn("hit", bloomHit(col("gram"), bits, k, mBits))
-      .groupBy(col("__id"))
+      .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
     docs.select(col(idCol).as("id"))
-      .join(perDoc.withColumnRenamed("__id", "id"), Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

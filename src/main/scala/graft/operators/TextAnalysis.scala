@@ -714,6 +714,25 @@ object TextAnalysis {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Corpus duplication spectrum — the count-of-counts profile of word
+    * `n`-gram occurrences, log2-binned: bin b holds grams occurring
+    * [2^(b−1), 2^b) times corpus-wide. The standard "how much duplication
+    * is left" diagnostic run before/after a dedup pass (a heavy tail =
+    * rerun dedup; all-singletons = clean), and the Zipf summary that
+    * sizes dedup join keys. Binning is exact integer arithmetic (bit
+    * length of the count — no log2/libm), so any engine reproduces it.
+    *
+    * Scale: gram fingerprints (16-byte md5) → one keyed count aggregate
+    * (word-count shape, map-side combine) → a second tiny aggregate over
+    * at most 64 bins. Nothing quadratic; output is ≤ 64 rows.
+    * Output: (bin, n_grams, occurrences). */
+  def gramSpectrum(docs: DataFrame, textCol: String, n: Int = 8): DataFrame =
+    docs.select(explode(T.shingles(col(textCol), n)).as("g"))
+      .select(unhex(md5(col("g"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(length(bin(col("c"))).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("c")).as("occurrences"))
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

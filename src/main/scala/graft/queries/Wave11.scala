@@ -39,6 +39,7 @@ object Wave11 {
   private val TfidfN = 4
   private val TfidfTau = 0.2
   private val TfidfMaxDf = 1000L
+  private val SpectrumN = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Containment >= 0.9: how many OTHER docs nearly contain this one?
@@ -70,6 +71,12 @@ object Wave11 {
       TextAnalysis.tfidfCosinePairs(Tables.documents(s, d), "doc_id",
         "text", n = TfidfN, threshold = TfidfTau, maxDf = TfidfMaxDf)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // 8-gram duplication spectrum (log2-binned count-of-counts).
+    "q96_gram_spectrum" -> { (s, d) =>
+      TextAnalysis.gramSpectrum(Tables.documents(s, d), "text", n = SpectrumN)
+        .orderBy(col("bin"))
     }
   )
 
@@ -183,6 +190,18 @@ object Wave11 {
          |WHERE CAST(d AS DOUBLE)
          |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
          |  >= $TfidfTau
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q96_gram_spectrum" ->
+      s"""WITH ctoks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |g AS (
+         |  SELECT unnest(list_transform(range(1, len(t) - ${SpectrumN - 2}),
+         |    i -> md5(array_to_string(t[i:i+${SpectrumN - 1}], ' ')))) AS gram
+         |  FROM ctoks WHERE len(t) >= $SpectrumN),
+         |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+         |SELECT CAST(length(printf('%b', c)) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(c) AS BIGINT) AS occurrences
+         |FROM cnt GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

@@ -94,6 +94,22 @@ object Streams {
       .drop("__fp")
   }
 
+  /** Streaming benchmark decontamination against a FROZEN probe set via
+    * a Bloom filter — the stateless cousin of [[dedupAgainstCorpus]]:
+    * the probe side is pre-built into an mBits-bit Bloom
+    * ([[graft.operators.Sketches.buildBloom]], a one-off batch pass) and
+    * the stream test is a pure per-row column expression — no
+    * stream-static join, no state store, nothing for the micro-batch
+    * planner to re-read. Drops any document sharing (up to Bloom false
+    * positives) a word `n`-gram with the probes; exact semantics are
+    * [[graft.operators.Sketches.bloomContamination]]'s. */
+  def decontaminateByBloom(docs: DataFrame, textCol: String,
+                           bloomBits: Array[Long], n: Int = 8,
+                           mBits: Int = 4096, k: Int = 3): DataFrame =
+    docs.filter(
+      graft.operators.Sketches.bloomHits(col(textCol), bloomBits, n, mBits, k)
+        === 0)
+
   /** Streaming dux (S13's streaming twin): split one stream into named
     * outputs by predicate via foreachBatch — each micro-batch appends its
     * matching rows under `<basePath>/<name>`. Returns the started query. */

@@ -87,6 +87,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("q93: bloom membership is a pure scan — the only join re-attaches per-doc counts") {
+    // other suites may have cached `documents`; a cached input would hide
+    // the parquet PushedFilters this pin asserts on
+    spark.catalog.clearCache()
     val p = plan("q93_bloom_decontam")
     // corpus filter pushed into the parquet scan
     p should include("GreaterThanOrEqual(doc_id,10)")

@@ -79,6 +79,18 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
       ("gamma", 1L, 1L))
   }
 
+  // ------------------------------------------------------------ spectrum
+
+  test("gramSpectrum: hand-computed log2 bins on a crafted corpus") {
+    import spark.implicits._
+    // 2-gram counts: "a b" x3 (bin 2 = counts in [2,4)), "b a" x1 and
+    // "b c" x1 (bin 1 = singletons)
+    val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.gramSpectrum(tiny, "text", n = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    got shouldBe Array((1L, 2L, 2L), (2L, 1L, 3L))
+  }
+
   // ------------------------------------------------------------ tf-idf
 
   test("tfidfCosinePairs matches a local brute-force twin with identical arithmetic") {

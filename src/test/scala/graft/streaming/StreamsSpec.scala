@@ -133,6 +133,30 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
       Array(2L)
   }
 
+  test("decontaminateByBloom: stream docs sharing probe n-grams are dropped statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probeText = "alpha beta gamma delta epsilon zeta eta theta"
+    val probes = Seq(probeText).toDF("text")
+    val bits = graft.operators.Sketches.buildBloom(probes, "text",
+      n = 8, mBits = 4096, k = 3)
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(ts(1), 1, s"prefix words $probeText suffix words"), // contaminated
+      Doc(ts(2), 2, "a clean document with plenty of fresh tokens to pass"),
+      Doc(ts(3), 3, "short"))                                 // no 8-grams
+    val name = s"bloomdecon_${System.nanoTime}"
+    val q = Streams.decontaminateByBloom(input.toDF(), "text", bits,
+      n = 8, mBits = 4096, k = 3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    // doc 1 carries the probe 8-gram (never a false negative) -> dropped;
+    // docs 2 and 3 survive (bloom FP odds at 8 set grams are ~0)
+    spark.table(name).select("doc_id").as[Long].collect().sorted shouldBe
+      Array(2L, 3L)
+  }
+
   test("stream-static join: stream enriched against a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
