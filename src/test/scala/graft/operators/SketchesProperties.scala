@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based tests for the sketch family: the Bloom filter must
+  * never produce a false negative on ANY corpus/probe split, Count-Min
+  * estimates must dominate exact counts (and equal them when the grid is
+  * wide enough to be collision-free for the sample vocab), and
+  * subsumedBy must agree with a brute-force containment reference on
+  * random corpora (exercising the small-vocab bitmask path end-to-end).
+  * Sample counts are small (each sample runs Spark jobs). */
+object SketchesProperties extends Properties("Sketches") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkFixture.spark
+
+  private val vocab =
+    Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+
+  private def genDoc(minLen: Int, maxLen: Int): Gen[String] =
+    Gen.chooseNum(minLen, maxLen).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  private val genCorpus: Gen[List[String]] =
+    Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, genDoc(0, 12)))
+
+  private def toks(s: String): Array[String] =
+    s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+
+  property("bloomContamination: no false negative vs exact gram sharing, any corpus") =
+    forAll(genCorpus, genCorpus) { (corpusTexts, probeTexts) =>
+      import spark.implicits._
+      val n = 3
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val probeGrams = probeTexts
+        .flatMap(t => toks(t).sliding(n).filter(_.length == n)
+          .map(_.mkString(" "))).toSet
+      val flagged = Sketches.bloomContamination(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        probeTexts.toDF("text"), "text", n = n, mBits = 256, k = 3)
+        .select("id", "flagged").as[(Long, Long)].collect().toMap
+      corpus.forall { case (id, t) =>
+        val shares = toks(t).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).exists(probeGrams)
+        !shares || flagged(id) == 1L // shared gram => MUST be flagged
+      }
+    }
+
+  property("cmsTokenCounts: est dominates exact on any corpus; wide grid is exact") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val narrow = Sketches.cmsTokenCounts(docs, "text", depth = 2,
+        width = 4, topK = 50).as[(String, Long, Long)].collect()
+      val wide = Sketches.cmsTokenCounts(docs, "text", depth = 4,
+        width = 4096, topK = 50).as[(String, Long, Long)].collect()
+      narrow.forall { case (_, exact, est) => est >= exact } &&
+        // 8-word vocab into 4096 buckets x 4 rows: a full collision in
+        // every row is impossible for md5-distinct tokens at this size
+        wide.forall { case (_, exact, est) => est == exact }
+    }
+
+  property("subsumedBy == brute-force containment reference on random corpora") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.subsumedBy(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 0.75)
+        .select("id", "n_supersets").as[(Long, Long)].collect().toMap
+      val sets = docs.map { case (id, s) => id -> toks(s).toSet }
+        .filter(_._2.nonEmpty)
+      val want = sets.map { case (id, s) =>
+        id -> sets.count { case (oid, os) =>
+          oid != id && (s intersect os).size.toDouble / s.size >= 0.75
+        }.toLong
+      }.toMap
+      got == want
+    }
+}
