@@ -402,6 +402,70 @@ object Dedup {
     sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
+  /** Near-dup pairs of NEW documents against a FROZEN corpus — the
+    * incremental-ingestion dedup shape (daily crawl vs. history): emits
+    * (id_new, id_corpus, jac) for every cross-side pair with token-set
+    * Jaccard >= `threshold`. Within-side pairs are never computed: each
+    * side gets its own distinct-set collapse and banded MinHash
+    * signatures ([[bandedKeys]] — the frozen side's bands are the
+    * natural artifact to persist between batches), candidates come from
+    * a band-key join of NEW × CORPUS only, and verification attaches
+    * payloads per side (bitmask fast path over the union vocabulary
+    * when it fits 64 words). Identical sets across sides collide on
+    * every band and verify at jac = 1, so exact cross-duplicates are
+    * recalled by construction; other pairs carry the usual LSH recall
+    * (miss probability (1−t^rows)^bands ≈ 4e-8 at t = 0.9, k = 64,
+    * bands = 16). Nothing is quadratic in either side. */
+  def nearDupAgainstCorpus(newDocs: DataFrame, corpusDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           threshold: Double, k: Int = 64, bands: Int = 16,
+                           seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val perms = H.permutations(k, seed)
+    val newSets = docSets(newDocs, idCol, textCol).cache()
+    val corpSets = docSets(corpusDocs, idCol, textCol).cache()
+    val newGroups = setGroups(newSets).cache()
+    val corpGroups = setGroups(corpSets).cache()
+    val cand = bandedKeys(newGroups, perms, bands, rows).as("a")
+      .join(bandedKeys(corpGroups, perms, bands, rows).as("b"),
+        col("a.key") === col("b.key"))
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+    val skHashUdf = udf((sk: String) => skHash(sk))
+    val qualified = smallVocab(newGroups.unionByName(corpGroups)) match {
+      case Some(vocab) =>
+        val an = broadcast(maskGroups(newGroups, vocab)
+          .select(skHashUdf(col("sk")).as("h_a"), col("sk").as("sk_a"),
+            col("mask").as("m_a")))
+        val bc = broadcast(maskGroups(corpGroups, vocab)
+          .select(skHashUdf(col("sk")).as("h_b"), col("sk").as("sk_b"),
+            col("mask").as("m_b")))
+        cand.join(an, "h_a").join(bc, "h_b")
+          .withColumn("jac", jacMask(col("m_a"), col("m_b")))
+          .filter(col("jac") >= threshold)
+          .select(col("sk_a"), col("sk_b"), col("jac"))
+          .dropDuplicates("sk_a", "sk_b")
+      case None =>
+        val an = broadcast(newGroups
+          .select(skHashUdf(col("sk")).as("h_a"), col("sk").as("sk_a"),
+            col("ts").as("ts_a")))
+        val bc = broadcast(corpGroups
+          .select(skHashUdf(col("sk")).as("h_b"), col("sk").as("sk_b"),
+            col("ts").as("ts_b")))
+        cand.dropDuplicates("h_a", "h_b")
+          .join(an, "h_a").join(bc, "h_b")
+          .withColumn("jac", jac(col("ts_a"), col("ts_b")))
+          .filter(col("jac") >= threshold)
+          .select(col("sk_a"), col("sk_b"), col("jac"))
+    }
+    qualified
+      .join(newSets.select(col("sk").as("sk_a"), col("doc").as("id_new")),
+        "sk_a")
+      .join(corpSets.select(col("sk").as("sk_b"), col("doc").as("id_corpus")),
+        "sk_b")
+      .select(col("id_new"), col("id_corpus"), col("jac"))
+  }
+
   /** n-gram (word-shingle) Jaccard near-dup pairs via the same
     * MinHash-LSH machinery, over the document's distinct `n`-shingle set
     * instead of its token set. Shingle similarity is the sharper near-dup
@@ -433,22 +497,20 @@ object Dedup {
     (sets, minhashFromSets(sets, threshold, k, bands, seed))
   }
 
-  /** LSH band + verify over a prepared (doc, ts, sk) sets frame; returns
-    * the verified distinct-set pairs (sk_a, sk_b, jac). */
-  private[operators] def minhashFromSets(sets: DataFrame, threshold: Double, k: Int,
-                              bands: Int, seed: Long): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val rows = k / bands
-    val perms = H.permutations(k, seed)
-    val groups = setGroups(sets).cache()
-    val spark = sets.sparkSession
+  /** MinHash signatures + band keys per distinct set, as (h = skHash,
+    * key = band hash) rows — ONE typed flatMap of tight JVM loops (a
+    * Column higher-order-function formulation evaluates interpreted, k
+    * passes per element array). Hash values are internal — verification
+    * is exact — so only determinism matters, not the hash family.
+    * Shared by the self-join near-dup path and the cross-corpus path
+    * (where the frozen side's band keys are the natural thing to
+    * persist between ingestion batches). */
+  private def bandedKeys(groups: DataFrame, perms: Array[(Long, Long)],
+                         bands: Int, rows: Int): DataFrame = {
+    val spark = groups.sparkSession
     import spark.implicits._
-    // Signatures + band keys in ONE typed flatMap — tight JVM loops (a
-    // Column higher-order-function formulation evaluates interpreted, k
-    // passes per element array). Hash values are internal — verification
-    // is exact — so only determinism matters, not the hash family.
     val P = H.Prime
-    val banded = groups.select(col("sk"), col("ts")).as[(String, Seq[String])]
+    groups.select(col("sk"), col("ts")).as[(String, Seq[String])]
       .flatMap { case (sk, ts) =>
         val h = skHash(sk)
         val n = ts.length
@@ -484,6 +546,17 @@ object Dedup {
           (h, key)
         }
       }.toDF("h", "key")
+  }
+
+  /** LSH band + verify over a prepared (doc, ts, sk) sets frame; returns
+    * the verified distinct-set pairs (sk_a, sk_b, jac). */
+  private[operators] def minhashFromSets(sets: DataFrame, threshold: Double, k: Int,
+                              bands: Int, seed: Long): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val perms = H.permutations(k, seed)
+    val groups = setGroups(sets).cache()
+    val banded = bandedKeys(groups, perms, bands, rows)
     val candPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.key") === col("b.key") && col("a.h") < col("b.h"))

@@ -40,6 +40,7 @@ object Wave11 {
   private val TfidfTau = 0.2
   private val TfidfMaxDf = 1000L
   private val SpectrumN = 8
+  private val CrossDupTau = 0.9
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Containment >= 0.9: how many OTHER docs nearly contain this one?
@@ -77,6 +78,17 @@ object Wave11 {
     "q96_gram_spectrum" -> { (s, d) =>
       TextAnalysis.gramSpectrum(Tables.documents(s, d), "text", n = SpectrumN)
         .orderBy(col("bin"))
+    },
+
+    // Incremental ingestion dedup: every 10th doc is the "new batch",
+    // the rest are the frozen corpus; cross-side pairs at Jaccard 0.9.
+    "q97_corpus_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupAgainstCorpus(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", CrossDupTau)
+        .orderBy(col("id_new"), col("id_corpus"))
     }
   )
 
@@ -202,6 +214,24 @@ object Wave11 {
          |SELECT CAST(length(printf('%b', c)) AS BIGINT) AS bin,
          |  CAST(count(*) AS BIGINT) AS n_grams,
          |  CAST(sum(c) AS BIGINT) AS occurrences
-         |FROM cnt GROUP BY 1 ORDER BY bin""".stripMargin
+         |FROM cnt GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q97_corpus_neardup" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+         |  FROM documents WHERE len($SqlToks) > 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_corpus, count(*) AS c
+         |  FROM dt a JOIN dt b ON a.tok = b.tok
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT id_new, id_corpus,
+         |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |FROM common
+         |JOIN sizes sa ON id_new = sa.doc_id
+         |JOIN sizes sb ON id_corpus = sb.doc_id
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $CrossDupTau
+         |ORDER BY id_new, id_corpus""".stripMargin
   )
 }

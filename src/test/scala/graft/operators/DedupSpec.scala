@@ -251,4 +251,44 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     s1 shouldBe s2
     s1._2.length shouldBe 16
   }
+
+  test("nearDupAgainstCorpus: exact cross-side Jaccard pairs, no within-side pairs") {
+    import spark.implicits._
+    val sample = docs.limit(120).cache()
+    val newSide = sample.filter(col("doc_id") % 10 === 0)
+    val corpSide = sample.filter(col("doc_id") % 10 =!= 0)
+    val got = Dedup.nearDupAgainstCorpus(newSide, corpSide, "doc_id",
+      "text", 0.8).as[(Long, Long, Double)].collect().toSet
+    val sets = sample.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSet
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets if a % 10 == 0
+      (b, sb) <- sets if b % 10 != 0
+      c = (sa intersect sb).size.toDouble
+      jac = c / (sa.size + sb.size - c)
+      if jac >= 0.8
+    } yield (a, b, jac)).toSet
+    got shouldBe want
+    got.foreach { case (a, b, _) => a % 10 shouldBe 0; b % 10 should not be 0 }
+    got.nonEmpty shouldBe true
+  }
+
+  test("nearDupAgainstCorpus: identical cross-side docs pair at jac = 1 (>64-word vocab path)") {
+    import spark.implicits._
+    val letters = "abcdefghij"
+    val vocab = (0 until 80).map(i => s"w${letters(i / 10)}${letters(i % 10)}")
+    def doc(idx: Seq[Int]): String = idx.map(vocab).mkString(" ")
+    val newSide = Seq(1L -> doc(0 until 20), 2L -> doc(40 until 60))
+      .toDF("doc_id", "text")
+    val corpSide = Seq(
+      10L -> doc(0 until 20),          // identical to new doc 1
+      11L -> doc((0 until 19) :+ 70),  // jac 19/21 with new doc 1
+      12L -> doc(60 until 80)).toDF("doc_id", "text")
+    val got = Dedup.nearDupAgainstCorpus(newSide, corpSide, "doc_id",
+      "text", 0.9).as[(Long, Long, Double)].collect().toSet
+    got shouldBe Set((1L, 10L, 1.0), (1L, 11L, 19.0 / 21.0))
+  }
 }
