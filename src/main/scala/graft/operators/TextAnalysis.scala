@@ -714,6 +714,85 @@ object TextAnalysis {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Quote detection — asymmetric gram-set containment pairs: for docs
+    * A ≠ B, cont(A→B) = |G_A ∩ G_B| / |G_A| over DISTINCT word `n`-gram
+    * fingerprints, emitted when >= `threshold`. The gram-level cousin of
+    * [[Dedup.subsumedBy]]: token containment says "A's vocabulary lives
+    * in B", gram containment says "A's PASSAGES appear in B" — the
+    * signal for quotes, excerpts, and doc-in-doc duplication that
+    * symmetric Jaccard misses (a paragraph quoted inside a book has
+    * containment ~1 and Jaccard ~0).
+    *
+    * Scale: candidates come from the inverted self-join on 16-byte gram
+    * fingerprints — work is Σ_g df(g)², and long-gram dfs are tiny on
+    * real text (most grams are unique; see [[gramSpectrum]]). Both
+    * directions of each pair emit from one join (a ≠ b), sizes attach by
+    * a keyed join, nothing is quadratic in the corpus.
+    * Output: (id_a, id_b, n_common, cont) — "a is quoted in b". */
+  def gramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val grams = gramFps(docs, col(idCol), col(textCol), n).cache()
+    val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_a"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.__id") =!= col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("__id", "id_a"), "id_a")
+      .withColumn("cont", col("n_common").cast("double") / col("n_a"))
+      .filter(col("cont") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("cont"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * algorithm): over the positioned word `n`-gram fingerprints, select
+    * each complete `w`-window's minimum — guaranteeing any match of
+    * length >= w + n − 1 tokens is caught while storing only ~2/(w+1) of
+    * all fingerprints. The standard way to shrink a fingerprint index
+    * ~w/2× before cross-doc matching.
+    *
+    * Determinism: window minima are lexicographic minima of md5 HEX
+    * strings (ASCII — Spark UTF8 binary order ≡ any engine's string
+    * order), and the per-doc DISTINCT selected set sidesteps positional
+    * tie-breaking entirely.
+    *
+    * Scale: gram assembly is in-row (no token shuffle); the sliding min
+    * is a window partitioned BY DOCUMENT (never single-partition) and
+    * bounded by doc length; the result is one distinct + count per doc.
+    * Docs with fewer than `n` tokens have no positions and are omitted;
+    * docs with fewer than `w` complete windows select nothing (n_sel 0).
+    * Output: (id, n_pos, n_sel, sel_frac). */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    val L = size(col("toks"))
+    val zipped = arrays_zip((0 until n).map(i =>
+      slice(col("toks"), lit(i + 1), greatest(L - (n - 1), lit(0)))): _*)
+    val positioned = docs
+      .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("toks"))
+      .select(col("__id"), posexplode(zipped))
+      .select(col("__id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", (0 until n).map(i => col(s"col.`$i`")): _*))
+          .as("gram"))
+      .cache()
+    val sel = positioned
+      .withColumn("sel", min(col("gram")).over(win))
+      .filter(col("pos") >= w - 1) // complete windows only
+      .select(col("__id"), col("sel")).distinct()
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_sel"))
+    positioned.groupBy(col("__id")).agg(count(lit(1)).as("n_pos"))
+      .join(sel, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("n_pos"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        (coalesce(col("n_sel"), lit(0L)).cast("double") / col("n_pos"))
+          .as("sel_frac"))
+  }
+
   /** Corpus duplication spectrum — the count-of-counts profile of word
     * `n`-gram occurrences, log2-binned: bin b holds grams occurring
     * [2^(b−1), 2^b) times corpus-wide. The standard "how much duplication

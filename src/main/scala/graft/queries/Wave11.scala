@@ -41,6 +41,10 @@ object Wave11 {
   private val TfidfMaxDf = 1000L
   private val SpectrumN = 8
   private val CrossDupTau = 0.9
+  private val QuoteN = 8
+  private val QuoteTau = 0.5
+  private val WinnowN = 5
+  private val WinnowW = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Containment >= 0.9: how many OTHER docs nearly contain this one?
@@ -89,6 +93,20 @@ object Wave11 {
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         "doc_id", "text", CrossDupTau)
         .orderBy(col("id_new"), col("id_corpus"))
+    },
+
+    // Quote detection: 8-gram containment >= 0.5, both directions.
+    "q98_quote_pairs" -> { (s, d) =>
+      TextAnalysis.gramContainmentPairs(Tables.documents(s, d), "doc_id",
+        "text", n = QuoteN, threshold = QuoteTau)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Winnowing (MOSS) fingerprint selection: 5-grams, window 4.
+    "q99_winnowing" -> { (s, d) =>
+      TextAnalysis.winnowedFingerprints(Tables.documents(s, d), "doc_id",
+        "text", n = WinnowN, w = WinnowW)
+        .orderBy(col("id"))
     }
   )
 
@@ -232,6 +250,43 @@ object Wave11 {
          |JOIN sizes sa ON id_new = sa.doc_id
          |JOIN sizes sb ON id_corpus = sb.doc_id
          |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $CrossDupTau
-         |ORDER BY id_new, id_corpus""".stripMargin
+         |ORDER BY id_new, id_corpus""".stripMargin,
+
+    "q98_quote_pairs" ->
+      s"""WITH ctoks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |cg AS (${sqlGrams(QuoteN, "TRUE")}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM cg a JOIN cg b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(c AS BIGINT) AS n_common,
+         |  CAST(c AS DOUBLE) / sa.n AS cont
+         |FROM common JOIN sizes sa ON id_a = sa.doc_id
+         |WHERE CAST(c AS DOUBLE) / sa.n >= $QuoteTau
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q99_winnowing" ->
+      s"""WITH ctoks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |pg AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(t[i:i+${WinnowN - 1}], ' ')) AS g
+         |  FROM ctoks, unnest(range(1, len(t) - ${WinnowN - 2})) u(i)
+         |  WHERE len(t) >= $WinnowN),
+         |win AS (
+         |  SELECT doc_id, pos,
+         |    min(g) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel
+         |  FROM pg),
+         |sel AS (
+         |  SELECT doc_id, count(*) AS n_sel FROM (
+         |    SELECT DISTINCT doc_id, sel FROM win WHERE pos >= $WinnowW)
+         |  GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_pos FROM pg GROUP BY 1)
+         |SELECT t.doc_id AS id, CAST(t.n_pos AS BIGINT) AS n_pos,
+         |  CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_sel,
+         |  CAST(coalesce(s.n_sel, 0) AS DOUBLE) / t.n_pos AS sel_frac
+         |FROM tot t LEFT JOIN sel s ON t.doc_id = s.doc_id
+         |ORDER BY id""".stripMargin
   )
 }

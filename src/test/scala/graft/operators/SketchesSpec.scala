@@ -32,6 +32,19 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     set.map(_.toLong) shouldBe positions.distinct.sorted
   }
 
+  test("buildBloom: empty probe set yields the all-zero filter (nothing flagged)") {
+    import spark.implicits._
+    val noProbes = Seq.empty[String].toDF("text")
+    val bits = buildBloom(noProbes, "text", n = 8, mBits = 512, k = 3)
+    bits.length shouldBe 8
+    bits.forall(_ == 0L) shouldBe true
+    val tiny = Seq((1L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    bloomContamination(tiny, "doc_id", "text", noProbes, "text",
+      n = 8, mBits = 512, k = 3)
+      .select("flagged").as[Long].collect() shouldBe Array(0L)
+  }
+
   test("bloomContamination: never a false negative vs the exact join") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).cache()

@@ -140,4 +140,55 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     r.length shouldBe 1
     r(0) shouldBe (("srcA", "srcB", 1L))
   }
+
+  test("gramContainmentPairs: a quoted passage is caught asymmetrically") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val crafted = Seq(
+      (1L, passage),                                // pure passage
+      (2L, s"intro words before $passage and trailing content after it"),
+      (3L, "entirely unrelated text with distinct tokens throughout here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gramContainmentPairs(crafted, "doc_id", "text",
+      n = 8, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    // doc1 has 3 distinct 8-grams, ALL inside doc2 -> cont(1→2) = 1;
+    // doc2 has many grams, only 3 shared -> cont(2→1) < 0.5; doc3 none
+    got.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    got(0)._3 shouldBe 3L
+    got(0)._4 shouldBe 1.0
+  }
+
+  test("winnowedFingerprints matches a local winnowing twin on real docs") {
+    import spark.implicits._
+    val sample = docs.limit(40).cache()
+    val (n, w) = (5, 4)
+    val got = TextAnalysis.winnowedFingerprints(sample, "doc_id", "text",
+      n = n, w = w)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = sample.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val grams = toks(t).sliding(n).filter(_.length == n)
+          .map(g => md5hex(g.mkString(" "))).toArray
+        if (grams.isEmpty) None
+        else {
+          val nSel = grams.sliding(w).filter(_.length == w)
+            .map(_.min).toSet.size.toLong
+          Some((id, grams.length.toLong, nSel,
+            nSel.toDouble / grams.length))
+        }
+      }.sortBy(_._1)
+    got shouldBe want
+    // winnowing density: every selected min covers <= w windows
+    got.foreach { case (_, nPos, nSel, _) =>
+      val nWin = math.max(0L, nPos - w + 1)
+      nSel should be <= nWin
+      if (nWin > 0) nSel should be >= (nWin + w - 1) / w
+    }
+  }
 }
