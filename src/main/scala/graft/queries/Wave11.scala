@@ -107,6 +107,39 @@ object Wave11 {
       TextAnalysis.winnowedFingerprints(Tables.documents(s, d), "doc_id",
         "text", n = WinnowN, w = WinnowW)
         .orderBy(col("id"))
+    },
+
+    // Per-source corpus report: the curation dashboard every pipeline
+    // runs — volume, exact-dup load, quality pass rate, language-tag
+    // agreement — as ONE declarative plan (per-row signals + one
+    // fingerprint aggregate + one grouped rollup; every shuffle keyed).
+    "q100_corpus_report" -> { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d)
+      val gopher = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("keep"))
+      val fps = docs.select(col("doc_id"),
+        T.contentFingerprint(col("text")).as("fp"))
+      val dupIds = fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
+          .filter(col("nfp") >= 2).select(col("fp")),
+        "fp").select(col("doc_id"), lit(1L).as("is_dup"))
+      docs.select(col("doc_id"), col("source"), col("lang"),
+        T.tokenCount(col("text")).as("nt"),
+        TextAnalysis.langId(col("text")).as("guess"))
+        .join(gopher, "doc_id")
+        .join(dupIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_exact_dups"),
+          sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_gopher_fail"),
+          sum(when(col("guess") =!= col("lang"), 1L).otherwise(0L))
+            .as("n_lang_mismatch"))
+        .withColumn("quality_rate",
+          (col("n_docs") - col("n_gopher_fail")).cast("double")
+            / col("n_docs"))
+        .orderBy(col("source"))
     }
   )
 
@@ -287,6 +320,69 @@ object Wave11 {
          |  CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_sel,
          |  CAST(coalesce(s.n_sel, 0) AS DOUBLE) / t.n_pos AS sel_frac
          |FROM tot t LEFT JOIN sel s ON t.doc_id = s.doc_id
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+
+    "q100_corpus_report" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(list_sum(list_transform($SqlToks, x -> length(x))) AS DOUBLE)
+         |        / len($SqlToks) ELSE 0.0 END AS mean_tok_len,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_filter($SqlToks,
+         |        x -> list_contains(['the', 'a', 'of', 'and', 'is'], x)))
+         |        AS DOUBLE) / len($SqlToks) ELSE 0.0 END AS stop_frac,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_distinct($SqlToks)) AS DOUBLE) / len($SqlToks)
+         |      ELSE 0.0 END AS uniq_frac
+         |  FROM documents),
+         |keepers AS (
+         |  SELECT doc_id FROM m
+         |  WHERE n_tokens >= 10 AND n_tokens <= 5000
+         |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+         |    AND stop_frac >= 0.01 AND uniq_frac >= 0.2),
+         |fp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+         |  FROM documents),
+         |dups AS (
+         |  SELECT doc_id FROM fp
+         |  WHERE f IN (SELECT f FROM fp GROUP BY f HAVING count(*) >= 2)),
+         |scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter($SqlToks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+         |    len(list_filter($SqlToks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+         |    len(list_filter($SqlToks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+         |    len(list_filter($SqlToks, x -> list_contains(['el','los','de','y','es'], x))) AS s_es
+         |  FROM documents),
+         |guesses AS (
+         |  SELECT doc_id, CASE
+         |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS guess
+         |  FROM scores),
+         |agg AS (
+         |  SELECT d.source,
+         |    count(*) AS n_docs,
+         |    sum(m.n_tokens) AS n_tokens,
+         |    sum(CASE WHEN d.doc_id IN (SELECT doc_id FROM dups)
+         |        THEN 1 ELSE 0 END) AS n_exact_dups,
+         |    sum(CASE WHEN d.doc_id IN (SELECT doc_id FROM keepers)
+         |        THEN 0 ELSE 1 END) AS n_gopher_fail,
+         |    sum(CASE WHEN g.guess <> d.lang THEN 1 ELSE 0 END)
+         |      AS n_lang_mismatch
+         |  FROM documents d
+         |  JOIN m USING (doc_id) JOIN guesses g USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_exact_dups AS BIGINT) AS n_exact_dups,
+         |  CAST(n_gopher_fail AS BIGINT) AS n_gopher_fail,
+         |  CAST(n_lang_mismatch AS BIGINT) AS n_lang_mismatch,
+         |  CAST(n_docs - n_gopher_fail AS DOUBLE) / n_docs AS quality_rate
+         |FROM agg ORDER BY source""".stripMargin
   )
 }

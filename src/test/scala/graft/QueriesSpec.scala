@@ -23,6 +23,21 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkFixture {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  test("q100 corpus report: per-source counts partition the corpus") {
+    val rep = SparkEntry.queries("q100_corpus_report")(spark, sfDir)
+      .collect()
+    val docs = Tables.documents(spark, sfDir)
+    rep.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    rep.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      r.getAs[Long]("n_gopher_fail") should be <= n
+      r.getAs[Long]("n_exact_dups") should be <= n
+      r.getAs[Long]("n_lang_mismatch") should be <= n
+      val q = r.getAs[Double]("quality_rate")
+      q should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     missing shouldBe empty
