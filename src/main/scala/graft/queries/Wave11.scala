@@ -5,8 +5,8 @@ import graft.operators.{Dedup, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Wave 11 — round-5 sketch + sparse-similarity operators, each with a
-  * full DuckDB oracle:
+/** Wave 11 — round-5 sketch, sparse-similarity, and corpus-curation
+  * operators, each with a full DuckDB oracle:
   *
   *  - q92 containment ("subsumed-by") dedup signal: per-doc count of
   *    near-supersets — the asymmetric cousin of Jaccard that catches a
@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   *  - q95 sparse TF-IDF cosine pairs over word 4-grams: the
   *    inverted-index similarity path complementing dense ANN
   *    (`TextAnalysis.tfidfCosinePairs`).
+  *  - q96 corpus duplication spectrum: log2-binned gram count-of-counts
+  *    (`TextAnalysis.gramSpectrum`).
+  *  - q97 incremental near-dup vs a frozen corpus: NEW × CORPUS MinHash
+  *    band join only (`Dedup.nearDupAgainstCorpus`).
+  *  - q98 quote detection: asymmetric gram-set containment pairs
+  *    (`TextAnalysis.gramContainmentPairs`).
+  *  - q99 winnowing fingerprint selection, Schleimer et al. 2003
+  *    (`TextAnalysis.winnowedFingerprints`).
+  *  - q100 per-source corpus curation report: volume / dup load /
+  *    quality rate / language agreement in one rollup.
   *
   * Hash portability as everywhere: every sketch hash is an md5-hex-slice
   * uint32, so DuckDB rebuilds the identical sketches.
