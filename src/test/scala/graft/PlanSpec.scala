@@ -104,4 +104,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q97: cross-corpus near-dup candidates come from the band-key join, nothing quadratic") {
+    val p = plan("q97_corpus_neardup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
