@@ -78,9 +78,9 @@ object Sketches {
   def buildBloom(probes: DataFrame, textCol: String,
                  n: Int = 8, mBits: Int = 4096, k: Int = 3): Array[Long] = {
     val bloomAgg = udaf(new BitsetOr(mBits))
-    probes
-      .select(explode(array_distinct(T.shingles(col(textCol), n))).as("g"))
-      .select(md5(col("g")).as("gram")).distinct()
+    TextAnalysis.explodedGrams(probes, lit(0L), col(textCol), n,
+      distinctPerDoc = true)
+      .select(md5(col("gram")).as("gram")).distinct()
       .select(explode(array(bloomPositions(col("gram"), k, mBits): _*)).as("pos"))
       .agg(bloomAgg(col("pos")).as("bits"))
       .collect()(0).getAs[scala.collection.Seq[Long]]("bits").toArray
@@ -126,10 +126,10 @@ object Sketches {
                          probes: DataFrame, probeTextCol: String,
                          n: Int = 8, mBits: Int = 4096, k: Int = 3): DataFrame = {
     val bits = buildBloom(probes, probeTextCol, n, mBits, k)
-    val perDoc = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(T.shingles(col(textCol), n))).as("g"))
-      .select(col("id"), md5(col("g")).as("gram"))
+    val perDoc = TextAnalysis
+      .explodedGrams(docs, col(idCol), col(textCol), n,
+        distinctPerDoc = true)
+      .select(col("__id").as("id"), md5(col("gram")).as("gram"))
       .withColumn("hit", bloomHit(col("gram"), bits, k, mBits))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),

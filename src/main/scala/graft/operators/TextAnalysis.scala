@@ -114,6 +114,28 @@ object TextAnalysis {
           .as("gram"))
   }
 
+  /** One row per word `n`-gram occurrence, assembled IN-ROW (zip of the
+    * token array with its own n−1 shifts) and exploded — the
+    * whole-stage-codegen path for gram streams. `TextFunctions.shingles`
+    * expresses the same grams as a Column higher-order function, which
+    * evaluates INTERPRETED (HOFs have no doGenCode) — measurably slower
+    * on corpus-sized scans — so every corpus-scale gram pipeline goes
+    * through here. Emits (__id, gram) with gram = space-joined tokens. */
+  private[operators] def explodedGrams(df: DataFrame, id: Column,
+                                       text: Column, n: Int,
+                                       distinctPerDoc: Boolean = false): DataFrame = {
+    val L = size(col("toks"))
+    val zipped = arrays_zip((0 until n).map(i =>
+      slice(col("toks"), lit(i + 1), greatest(L - (n - 1), lit(0)))): _*)
+    // per-doc dedup happens IN-ROW (array_distinct on the struct array,
+    // codegen'd) — no shuffle, unlike a post-explode distinct
+    val arr = if (distinctPerDoc) array_distinct(zipped) else zipped
+    df.select(id.as("__id"), T.tokens(text).as("toks"))
+      .select(col("__id"), explode(arr).as("g"))
+      .select(col("__id"),
+        concat_ws(" ", (0 until n).map(i => col(s"g.`$i`")): _*).as("gram"))
+  }
+
   /** (id, gram) — each document's DISTINCT word n-gram fingerprints
     * (16-byte md5 of the space-joined gram, not the gram text). Shared by
     * [[contamination]] and [[dupGramFraction]]. */
@@ -679,12 +701,10 @@ object TextAnalysis {
                        n: Int = 4, threshold: Double = 0.2,
                        maxDf: Long = 1000L): DataFrame = {
     val nDocs = docs.count() // dval: one count, rides the closure
-    val tf = docs
-      .select(col(idCol).as("id"),
-        explode(T.shingles(col(textCol), n)).as("g"))
+    val tf = explodedGrams(docs, col(idCol), col(textCol), n)
       // 16-byte binary term key (not the gram text): halves the shuffle
       // rows for the tf aggregate, the df aggregate, and the pair join.
-      .select(col("id"), unhex(md5(col("g"))).as("t"))
+      .select(col("__id").as("id"), unhex(md5(col("gram"))).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
       // feeds BOTH the df aggregate and the weight join — cache so the
       // gram explode + md5 (the CPU-dominant stage) runs once
@@ -699,9 +719,15 @@ object TextAnalysis {
     val weights = tf.join(df, "t").select(col("id"), col("t"), wq.as("wq"))
     val norms = weights.groupBy(col("id"))
       .agg(sum(col("wq") * col("wq")).as("n2"))
-    val dots = weights.as("a")
-      .join(weights.as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+    // group-and-expand instead of a term self-join: ONE shuffle (the
+    // groupBy t) + in-row ordered-pair generation via a double explode —
+    // sound because maxDf bounds every term group, so the per-row
+    // expansion is at most maxDf² and hub terms were already pruned.
+    val dots = weights.groupBy(col("t"))
+      .agg(collect_list(struct(col("id"), col("wq"))).as("ws"))
+      .select(explode(col("ws")).as("a"), col("ws"))
+      .select(col("a"), explode(col("ws")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
     dots
@@ -806,8 +832,8 @@ object TextAnalysis {
     * at most 64 bins. Nothing quadratic; output is ≤ 64 rows.
     * Output: (bin, n_grams, occurrences). */
   def gramSpectrum(docs: DataFrame, textCol: String, n: Int = 8): DataFrame =
-    docs.select(explode(T.shingles(col(textCol), n)).as("g"))
-      .select(unhex(md5(col("g"))).as("gram"))
+    explodedGrams(docs, lit(0L), col(textCol), n)
+      .select(unhex(md5(col("gram"))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(length(bin(col("c"))).cast("long").as("bin"))
       .agg(count(lit(1)).as("n_grams"), sum(col("c")).as("occurrences"))
