@@ -27,9 +27,13 @@ object TextFunctions {
   def uniqueTokenCount(text: Column): Column =
     size(tokenSet(text)).cast("long")
 
-  /** Total characters across tokens (exact int arithmetic). */
+  /** Total characters across tokens (exact int arithmetic). Computed as
+    * the length of the separator-free join — value-identical to a
+    * per-element length sum, but `concat_ws`/`length` stay in
+    * whole-stage codegen where an `aggregate` higher-order function
+    * would evaluate interpreted. */
   def tokenChars(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t).cast("long"))
+    length(array_join(tokens(text), "")).cast("long")
 
   /** Word n-gram shingles as space-joined strings. Documents shorter than
     * `n` tokens yield an empty array. */
