@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased alphabetic tokens; empty strings removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+  /** Lowercased alphabetic tokens; empty strings removed. Splitting on
+    * `[^a-z]+` can only produce empties at the string BOUNDARIES (the
+    * separator is maximal), so stripping leading/trailing separators
+    * first and splitting the remainder is value-identical to the
+    * `filter(split(...), _ =!= "")` formulation — but regexp_replace +
+    * split stay in whole-stage codegen where the filter higher-order
+    * function evaluates interpreted on every row of a corpus scan. */
+  def tokens(text: Column): Column = {
+    val cleaned = regexp_replace(lower(text), "^[^a-z]+|[^a-z]+$", "")
+    when(cleaned === "", array().cast("array<string>"))
+      .otherwise(split(cleaned, "[^a-z]+"))
+  }
 
   /** Distinct token set (order from first occurrence is NOT guaranteed
     * relevant — treat as a set). */

@@ -214,7 +214,10 @@ object TextAnalysis {
     // per-term quantized partial scores, summed as exact decimals so the
     // term fold order can't perturb low-order double bits
     val termScores = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      // codegen multiset count: |toks| − |toks without t| (array_remove
+      // drops ALL occurrences; an equality-filter HOF runs interpreted)
+      val tf = (size(col("toks")) - size(array_remove(col("toks"), t)))
+        .cast("double")
       val idf = (nDocs - dfs(i) + 0.5) / (dfs(i) + 0.5)
       val s = lit(idf) * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
