@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property guard for the codegen tokenizer rewrite: `tokens` as
+  * trim-then-split must equal the original filter-HOF formulation on
+  * ARBITRARY strings (unicode, digits, separator runs, empties), and
+  * `tokenChars` (length of the separator-free join) must equal the
+  * per-token length sum. These pin the whole-stage-codegen rewrites to
+  * their interpreted-HOF reference semantics. */
+object TextFunctionsProperties extends Properties("TextFunctions") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkFixture.spark
+
+  // strings mixing alphabetic runs, digits, punctuation, unicode,
+  // and boundary separators
+  private val genText: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaLowerChar,
+    2 -> Gen.alphaUpperChar,
+    2 -> Gen.numChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', ',', '.', '-', '_', '!'),
+    1 -> Gen.oneOf('é', 'ß', '中', '©'))).map(_.mkString)
+
+  /** The pre-rewrite reference: split then drop empties (filter HOF). */
+  private def refTokens(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  property("tokens == filter-HOF reference on arbitrary strings") =
+    forAll(Gen.listOfN(8, genText)) { texts =>
+      import spark.implicits._
+      val df = texts.toDF("text")
+      df.select(
+        TextFunctions.tokens(col("text")).as("got"),
+        refTokens(col("text")).as("want"))
+        .as[(Seq[String], Seq[String])].collect()
+        .forall { case (got, want) => got == want }
+    }
+
+  property("tokenChars == per-token length sum on arbitrary strings") =
+    forAll(Gen.listOfN(8, genText)) { texts =>
+      import spark.implicits._
+      val df = texts.toDF("text")
+      df.select(
+        TextFunctions.tokenChars(col("text")).as("got"),
+        aggregate(refTokens(col("text")), lit(0L),
+          (acc, t) => acc + length(t).cast("long")).as("want"))
+        .as[(Long, Long)].collect()
+        .forall { case (got, want) => got == want }
+    }
+}
