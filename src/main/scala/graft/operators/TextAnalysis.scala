@@ -822,6 +822,57 @@ object TextAnalysis {
           .as("sel_frac"))
   }
 
+  /** Pairwise SOURCE DIVERGENCE — L1 (total-variation×2) distance
+    * between per-source hashed-bigram distributions: the data-mixing
+    * diagnostic that tells a pipeline which sources are near-duplicates
+    * of each other distribution-wise (fold them) and which are outliers
+    * (weight them deliberately). Same hashed-bigram feature space as
+    * [[dsirWeights]] (md5-slice uint32 mod `buckets`).
+    *
+    * Exactness: per-source bucket frequencies are quantized as
+    * floor(double(c) · 1e9 / double(n)) — the product is exact below
+    * 2^53 and the single division + floor is one fixed IEEE sequence —
+    * so the per-bucket |q_a − q_b| sums are order-free INTEGER
+    * arithmetic and the final /1e9 is one IEEE division; any engine
+    * reproduces the matrix bit-for-bit (a double Σ|p_a−p_b| would
+    * depend on summation order).
+    *
+    * Scale: one corpus pass builds the (source × buckets) histogram
+    * (keyed aggregate, map-side combine); everything after operates on
+    * |sources|·buckets rows — driver-trivial at any corpus size.
+    * Output: (source_a, source_b, l1) with source_a < source_b;
+    * l1 ∈ [0, 2]. */
+  def sourceDivergence(docs: DataFrame, sourceCol: String, textCol: String,
+                       buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val bi = docs
+      .select(col(sourceCol).as("src"), T.tokens(col(textCol)).as("toks"))
+      .select(col("src"), explode(arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))))
+        .as("g"))
+      .select(col("src"),
+        (conv(substring(md5(concat_ws(" ", col("g.`0`"), col("g.`1`"))),
+          1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val hist = bi.groupBy(col("src"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    // dense quantized distribution vector per source (missing buckets
+    // are exact zeros); the `buckets` conditional sums stay in codegen
+    val distQ = hist.join(tot, "src")
+      .groupBy(col("src"), col("n"))
+      .agg(array((0 until buckets).map(i =>
+        floor(coalesce(sum(when(col("b") === i, col("c"))), lit(0L))
+          .cast("double") * lit(1e9) / col("n").cast("double"))
+          .cast("long")): _*).as("q"))
+      .select(col("src"), col("q"))
+    distQ.as("x").join(distQ.as("y"), col("x.src") < col("y.src"))
+      .select(col("x.src").as("source_a"), col("y.src").as("source_b"),
+        (aggregate(zip_with(col("x.q"), col("y.q"),
+          (a, b) => abs(a - b)), lit(0L), (acc, v) => acc + v)
+          .cast("double") / 1e9).as("l1"))
+  }
+
   /** Corpus duplication spectrum — the count-of-counts profile of word
     * `n`-gram occurrences, log2-binned: bin b holds grams occurring
     * [2^(b−1), 2^b) times corpus-wide. The standard "how much duplication

@@ -55,6 +55,7 @@ object Wave11 {
   private val QuoteTau = 0.5
   private val WinnowN = 5
   private val WinnowW = 4
+  private val DivBuckets = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Containment >= 0.9: how many OTHER docs nearly contain this one?
@@ -117,6 +118,14 @@ object Wave11 {
       TextAnalysis.winnowedFingerprints(Tables.documents(s, d), "doc_id",
         "text", n = WinnowN, w = WinnowW)
         .orderBy(col("id"))
+    },
+
+    // Pairwise source divergence: L1 between hashed-bigram
+    // distributions (64 buckets) — the data-mixing diagnostic.
+    "q101_source_divergence" -> { (s, d) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, d), "source",
+        "text", buckets = DivBuckets)
+        .orderBy(col("source_a"), col("source_b"))
     },
 
     // Per-source corpus report: the curation dashboard every pipeline
@@ -331,6 +340,30 @@ object Wave11 {
          |  CAST(coalesce(s.n_sel, 0) AS DOUBLE) / t.n_pos AS sel_frac
          |FROM tot t LEFT JOIN sel s ON t.doc_id = s.doc_id
          |ORDER BY id""".stripMargin,
+
+    "q101_source_divergence" ->
+      s"""WITH toks AS (SELECT source, $SqlToks AS t FROM documents),
+         |bi AS (
+         |  SELECT source,
+         |    CAST('0x' || substr(md5(t[CAST(i AS INT)] || ' ' ||
+         |      t[CAST(i+1 AS INT)]), 1, 8) AS BIGINT) % $DivBuckets AS b
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)),
+         |hist AS (SELECT source, b, count(*) AS c FROM bi GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(c) AS n FROM hist GROUP BY 1),
+         |dense AS (
+         |  SELECT t.source, r.j AS b,
+         |    CAST(floor(CAST(coalesce(h.c, 0) AS DOUBLE) * 1e9
+         |      / CAST(t.n AS DOUBLE)) AS BIGINT) AS q
+         |  FROM tot t
+         |  CROSS JOIN range(0, $DivBuckets) r(j)
+         |  LEFT JOIN hist h ON h.source = t.source AND h.b = r.j),
+         |l1 AS (
+         |  SELECT a.source AS sa, b.source AS sb, sum(abs(a.q - b.q)) AS s
+         |  FROM dense a JOIN dense b ON a.b = b.b AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa AS source_a, sb AS source_b,
+         |  CAST(s AS DOUBLE) / 1e9 AS l1
+         |FROM l1 ORDER BY source_a, source_b""".stripMargin,
 
     "q100_corpus_report" ->
       s"""WITH m AS (

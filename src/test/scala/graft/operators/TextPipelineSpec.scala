@@ -141,6 +141,23 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     r(0) shouldBe (("srcA", "srcB", 1L))
   }
 
+  test("sourceDivergence: identical sources at 0, disjoint sources near 2, bounds hold") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    val z = "omega psi chi phi omega psi chi phi omega psi"
+    val crafted = Seq(
+      (1L, a, "s1"), (2L, a, "s2"),   // identical bigram distributions
+      (3L, z, "s3")                   // disjoint bigrams
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDivergence(crafted, "source", "text")
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    got(("s1", "s2")) shouldBe 0.0
+    got(("s1", "s3")) should be > 1.99
+    got(("s1", "s3")) should be <= 2.0
+    got.size shouldBe 3
+  }
+
   test("gramContainmentPairs: a quoted passage is caught asymmetrically") {
     import spark.implicits._
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
