@@ -94,8 +94,13 @@ object Sketches {
     * explode formulation — same values, stays in whole-stage codegen. */
   def bloomHits(text: Column, bits: Array[Long],
                 n: Int = 8, mBits: Int = 4096, k: Int = 3): Column =
-    size(filter(array_distinct(T.shingles(text, n)),
-      g => bloomHit(md5(g), bits, k, mBits))).cast("long")
+    // null text counts as zero hits (matching bloomContamination's
+    // left-join contract), not null — a streaming filter on `=== 0`
+    // would otherwise silently drop null-text rows
+    coalesce(
+      size(filter(array_distinct(T.shingles(text, n)),
+        g => bloomHit(md5(g), bits, k, mBits))).cast("long"),
+      lit(0L))
 
   /** Bloom-filter benchmark decontamination — the bounded-state cousin of
     * [[TextAnalysis.contamination]]: instead of joining corpus grams

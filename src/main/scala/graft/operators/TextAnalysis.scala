@@ -845,15 +845,10 @@ object TextAnalysis {
   def sourceDivergence(docs: DataFrame, sourceCol: String, textCol: String,
                        buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val bi = docs
-      .select(col(sourceCol).as("src"), T.tokens(col(textCol)).as("toks"))
-      .select(col("src"), explode(arrays_zip(
-        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))))
-        .as("g"))
-      .select(col("src"),
-        (conv(substring(md5(concat_ws(" ", col("g.`0`"), col("g.`1`"))),
-          1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val bi = explodedGrams(docs, col(sourceCol), col(textCol), 2)
+      .select(col("__id").as("src"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
     val hist = bi.groupBy(col("src"), col("b"))
       .agg(count(lit(1)).as("c"))
     val tot = hist.groupBy(col("src")).agg(sum(col("c")).as("n"))

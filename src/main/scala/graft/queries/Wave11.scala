@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   *    (`TextAnalysis.winnowedFingerprints`).
   *  - q100 per-source corpus curation report: volume / dup load /
   *    quality rate / language agreement in one rollup.
+  *  - q101 pairwise source divergence: order-free quantized L1 between
+  *    hashed-bigram distributions (`TextAnalysis.sourceDivergence`).
   *
   * Hash portability as everywhere: every sketch hash is an md5-hex-slice
   * uint32, so DuckDB rebuilds the identical sketches.
@@ -254,7 +256,7 @@ object Wave11 {
          |w AS (
          |  SELECT doc_id, tf.g,
          |    CAST(floor(CAST(tf AS DOUBLE)
-         |      * ((SELECT nd FROM nn) + 1.0) / CAST(df + 1 AS DOUBLE)
+         |      * (((SELECT nd FROM nn) + 1.0) / CAST(df + 1 AS DOUBLE))
          |      * 1000.0) AS BIGINT) AS wq
          |  FROM tf JOIN dfq ON tf.g = dfq.g),
          |nrm AS (SELECT doc_id, sum(wq * wq) AS n2 FROM w GROUP BY 1),

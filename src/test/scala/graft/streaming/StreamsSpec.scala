@@ -144,7 +144,8 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     input.addData(
       Doc(ts(1), 1, s"prefix words $probeText suffix words"), // contaminated
       Doc(ts(2), 2, "a clean document with plenty of fresh tokens to pass"),
-      Doc(ts(3), 3, "short"))                                 // no 8-grams
+      Doc(ts(3), 3, "short"),                                 // no 8-grams
+      Doc(ts(4), 4, null))                                    // null text
     val name = s"bloomdecon_${System.nanoTime}"
     val q = Streams.decontaminateByBloom(input.toDF(), "text", bits,
       n = 8, mBits = 4096, k = 3)
@@ -152,9 +153,10 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
     // doc 1 carries the probe 8-gram (never a false negative) -> dropped;
-    // docs 2 and 3 survive (bloom FP odds at 8 set grams are ~0)
+    // docs 2 and 3 survive (bloom FP odds at 8 set grams are ~0);
+    // doc 4's null text counts as zero hits, not a silent drop
     spark.table(name).select("doc_id").as[Long].collect().sorted shouldBe
-      Array(2L, 3L)
+      Array(2L, 3L, 4L)
   }
 
   test("stream-static join: stream enriched against a broadcast dimension") {
