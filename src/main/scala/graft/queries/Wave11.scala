@@ -122,6 +122,32 @@ object Wave11 {
         .orderBy(col("id"))
     },
 
+    // JSONL round-trip: documents through the JSON-lines sink (THE
+    // corpus interchange format) and back; the per-source aggregate
+    // incl. min(md5(text)) certifies lossless text fidelity.
+    "q102_jsonl_roundtrip" -> { (s, d) =>
+      val back = graft.io.Sinks.json(Tables.documents(s, d),
+        scratch("q102", d))
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")))
+            .as("n_tokens"),
+          min(md5(col("text"))).as("fp_min"))
+        .orderBy(col("source"))
+    },
+
+    // CSV round-trip (header + enforced schema), certified per lang.
+    "q103_csv_roundtrip" -> { (s, d) =>
+      val back = graft.io.Sinks.csv(Tables.documents(s, d),
+        scratch("q103", d))
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(md5(col("text"))).as("fp_min"))
+        .orderBy(col("lang"))
+    },
+
     // Pairwise source divergence: L1 between hashed-bigram
     // distributions (64 buckets) — the data-mixing diagnostic.
     "q101_source_divergence" -> { (s, d) =>
@@ -165,6 +191,13 @@ object Wave11 {
   )
 
   // ------------------------------------------------------------ oracles
+
+  /** Per-(query, sf) scratch dir so verify/bench runs don't collide
+    * (same convention as Wave3). */
+  private def scratch(name: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft_scratch/$tag/$name"
+  }
 
   /** Distinct word `n`-gram md5 fingerprints per doc over filter `cond`. */
   private def sqlGrams(n: Int, cond: String): String =
@@ -342,6 +375,19 @@ object Wave11 {
          |  CAST(coalesce(s.n_sel, 0) AS DOUBLE) / t.n_pos AS sel_frac
          |FROM tot t LEFT JOIN sel s ON t.doc_id = s.doc_id
          |ORDER BY id""".stripMargin,
+
+    "q102_jsonl_roundtrip" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(len($SqlToks)) AS BIGINT) AS n_tokens,
+         |  min(md5(text)) AS fp_min
+         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q103_csv_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(md5(text)) AS fp_min
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q101_source_divergence" ->
       s"""WITH toks AS (SELECT source, $SqlToks AS t FROM documents),

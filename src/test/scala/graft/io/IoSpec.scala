@@ -253,4 +253,23 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
     back.count() shouldBe 3
     PathsUtil.inputFiles(back).forall(_.contains("mv_dst")) shouldBe true
   }
+
+  test("json + csv sinks: lossless readback (rows, schema, values)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma", "en", 16L),
+      (2L, "delta epsilon", "de", 13L),
+      (3L, "zeta", "fr", 4L)).toDF("id", "text", "lang", "n")
+    for ((name, back) <- Seq(
+      "json" -> Sinks.json(df, s"/tmp/graft_io_test/json_rt"),
+      "csv" -> Sinks.csv(df, s"/tmp/graft_io_test/csv_rt"))) {
+      withClue(name) {
+        // file readback is always nullable — compare names + types
+        back.schema.fields.map(f => (f.name, f.dataType)) shouldBe
+          df.schema.fields.map(f => (f.name, f.dataType))
+        back.orderBy("id").as[(Long, String, String, Long)].collect() shouldBe
+          df.orderBy("id").as[(Long, String, String, Long)].collect()
+      }
+    }
+  }
 }
