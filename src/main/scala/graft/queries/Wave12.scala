@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Joins, Reducers, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 12 — previously-built operators promoted to driver-visible
+  * oracle rows (each existed in the library without a query):
+  *
+  *  - q104 latest-record-per-key compaction (`Joins.latestByKey`) — the
+  *    CDC/upsert-log shape: one max_by aggregate, no window funnel.
+  *  - q105 Bloom-filtered semi-join (`Joins.bloomSemiJoin`) — the
+  *    runtime-filter idiom; output is EXACT (the residual semi-join
+  *    removes false positives), so the oracle is the plain semi-join.
+  *  - q106 exact per-group per-mille quantiles (`Reducers.quantilesBy`)
+  *    — integer interpolation arithmetic, engine-exact.
+  *  - q107 rare-token quality stats (`TextAnalysis.rareTokenStats`) —
+  *    corpus vocabulary profile as a dval, one scoring pass.
+  *  - q108 bounded inverted index (`TextAnalysis.invertedIndex`) — per
+  *    term df + k-smallest posting sample via the TopK Aggregator.
+  */
+object Wave12 {
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private val Quants = Seq("p25" -> 250, "p50" -> 500, "p75" -> 750,
+    "p95" -> 950)
+  private val MaxPostings = 20
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Latest event per user (ties on ts broken by event_id).
+    "q104_latest_events" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      Joins.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // Bloom-prefiltered semi-join: lineitem of URGENT orders.
+    "q105_bloom_semijoin" -> { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val n = urgent.count() // sizing dval for the filter build
+      Joins.bloomSemiJoin(Tables.lineitem(s, d), "l_orderkey",
+        urgent, "o_orderkey", expectedItems = math.max(n, 1L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Exact per-group quantiles of l_quantity (integral-valued).
+    "q106_group_quantiles" -> { (s, d) =>
+      Reducers.quantilesBy(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", Quants)
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Rare-token quality stats over the documents corpus.
+    "q107_rare_tokens" -> { (s, d) =>
+      TextAnalysis.rareTokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
+    // Bounded inverted index: df + 20 smallest doc ids per term
+    // (postings joined to a string — the q58 array-output convention).
+    "q108_inverted_index" -> { (s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+        maxPostings = MaxPostings)
+        .select(col("term"), col("df"),
+          array_join(col("postings"), ",").as("postings"))
+        .orderBy(col("term"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    "q104_latest_events" ->
+      """SELECT user_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+        |  event_id, event_type, value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q105_bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q106_group_quantiles" -> {
+      val cols = Quants.map { case (name, pm) =>
+        s"""  CAST(max(CASE WHEN rn = ((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 1
+           |      THEN v END) * 1000
+           |    + (max(CASE WHEN rn = least(((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 2, cnt)
+           |        THEN v END)
+           |      - max(CASE WHEN rn = ((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 1
+           |          THEN v END)) * (((cnt-1)*$pm) % 1000)
+           |    AS DOUBLE) / 1000.0 AS $name""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS v,
+         |    CAST(row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS cnt
+         |  FROM lineitem)
+         |SELECT k AS l_returnflag,
+         |$cols
+         |FROM base GROUP BY k, cnt ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q107_rare_tokens" ->
+      s"""WITH cnts AS (
+         |  SELECT tok, count(*) AS c FROM (
+         |    SELECT unnest($SqlToks) AS tok FROM documents)
+         |  GROUP BY 1),
+         |prof AS (
+         |  SELECT CAST(sum(c) AS BIGINT) // (2 * count(*)) AS thr FROM cnts),
+         |rare AS (SELECT tok FROM cnts WHERE c < (SELECT thr FROM prof)),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_rare FROM (
+         |    SELECT doc_id, unnest($SqlToks) AS tok FROM documents)
+         |  WHERE tok IN (SELECT tok FROM rare)
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(per.n_rare, 0) AS BIGINT) AS n_rare,
+         |  CASE WHEN len($SqlToks) > 0
+         |       THEN CAST(coalesce(per.n_rare, 0) AS DOUBLE) / len($SqlToks)
+         |       ELSE 0.0 END AS rare_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY id""".stripMargin,
+
+    "q108_inverted_index" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct($SqlToks)) AS term
+         |  FROM documents),
+         |agg AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    array_to_string((list(doc_id ORDER BY doc_id))[1:$MaxPostings], ',')
+         |      AS postings
+         |  FROM dt GROUP BY 1)
+         |SELECT term, df, postings FROM agg ORDER BY term""".stripMargin
+  )
+}
