@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Joins, Reducers, TextAnalysis}
+import graft.operators.{Joins, Reducers, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,13 @@ object Wave12 {
   private val Quants = Seq("p25" -> 250, "p50" -> 500, "p75" -> 750,
     "p95" -> 950)
   private val MaxPostings = 20
+  private val KnnBound = 300
+  private val KnnK = 5
+
+  /** DuckDB twin of VectorFunctions.dotQLong (Wave2's q28 kernel). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Latest event per user (ties on ts broken by event_id).
@@ -78,6 +85,15 @@ object Wave12 {
         .select(col("term"), col("df"),
           array_join(col("postings"), ",").as("postings"))
         .orderBy(col("term"))
+    },
+
+    // Mutual k-NN graph over a bounded vector set (all-pairs by
+    // definition; the quantized-exact kernel makes sim symmetric).
+    "q109_mutual_knn" -> { (s, d) =>
+      Similarity.mutualKnn(
+        Tables.embeddings(s, d).filter(col("vec_id") < KnnBound),
+        "vec_id", "embedding", k = KnnK, exact = true)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -154,6 +170,27 @@ object Wave12 {
          |    array_to_string((list(doc_id ORDER BY doc_id))[1:$MaxPostings], ',')
          |      AS postings
          |  FROM dt GROUP BY 1)
-         |SELECT term, df, postings FROM agg ORDER BY term""".stripMargin
+         |SELECT term, df, postings FROM agg ORDER BY term""".stripMargin,
+
+    "q109_mutual_knn" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding AS e FROM embeddings
+         |  WHERE vec_id < $KnnBound),
+         |sims AS (
+         |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         |    (${sqlDotQ("a.e", "b.e")})
+         |      / (sqrt(${sqlDotQ("a.e", "a.e")}) * sqrt(${sqlDotQ("b.e", "b.e")}))
+         |      AS sim
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT qa, qb, sim, row_number() OVER (PARTITION BY qa
+         |    ORDER BY sim DESC, qb) AS rk
+         |  FROM sims),
+         |top AS (SELECT qa, qb, sim FROM ranked WHERE rk <= $KnnK)
+         |SELECT t.qa AS id_a, t.qb AS id_b,
+         |  floor(t.sim * 1e6) / 1e6 AS sim
+         |FROM top t JOIN top r ON t.qa = r.qb AND t.qb = r.qa
+         |WHERE t.qa < t.qb
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

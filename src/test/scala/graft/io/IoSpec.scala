@@ -254,6 +254,19 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
     PathsUtil.inputFiles(back).forall(_.contains("mv_dst")) shouldBe true
   }
 
+  test("seqfLong source reads (LongWritable, Text) sequence files") {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import spark.implicits._
+    val path = "/tmp/graft_io_test/seqf_long"
+    PathsUtil.delete(spark, path) // saveAsSequenceFile refuses existing dirs
+    val data = Seq(1L -> "one", 2L -> "two", 42L -> "answer")
+    spark.sparkContext.parallelize(data, 2)
+      .map { case (k, v) => (new LongWritable(k), new Text(v)) }
+      .saveAsSequenceFile(path)
+    Sources.seqfLong(spark, path).as[(Long, String)].collect()
+      .sortBy(_._1) shouldBe data.sortBy(_._1).toArray
+  }
+
   test("json + csv sinks: lossless readback (rows, schema, values)") {
     import spark.implicits._
     val df = Seq(

@@ -101,6 +101,11 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkFixture {
     Shapes.keyvalgroups(df).as[(Int, Seq[String])].collect()
       .map { case (k, v) => (k, v.toList) }.sortBy(_._1) shouldBe
       Array((1, List("a", "b")), (2, List("z")))
+    Shapes.keyvals(df).as[(Int, String)].collect().sorted shouldBe
+      Array((1, "a"), (1, "b"), (2, "z"))
+    Shapes.valgroups(df).as[Seq[String]].collect()
+      .map(_.toList).sortBy(_.mkString) shouldBe
+      Array(List("a", "b"), List("z"))
   }
 
   test("Reducers.distinctBy is deterministic (first under order)") {

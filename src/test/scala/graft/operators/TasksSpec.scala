@@ -43,4 +43,10 @@ class TasksSpec extends AnyFunSuite with Matchers with SparkFixture {
     val ds = spark.createDataset(1 to 100)
     Tasks.foldLocal(ds)(0L)(_ + _) shouldBe 5050L
   }
+
+  test("identityTask (P7) is a pass-through") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq("a", "b", "c"))
+    Tasks.identityTask(ds).collect() shouldBe ds.collect()
+  }
 }
