@@ -148,4 +148,15 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     one[Double](VectorFunctions.cosine(a, a)) shouldBe 1.0 +- 1e-9
     one[Double](VectorFunctions.cosineQ(a, a)) shouldBe 1.0 +- 1e-6
   }
+
+  test("bandKey: same signature slice collides; band index separates slices") {
+    val sig = lit(Array(7L, 7L, 9L, 10L))
+    // identical signatures -> identical band keys
+    one[Long](HashFunctions.bandKey(sig, 0, 2)) shouldBe
+      one[Long](HashFunctions.bandKey(sig, 0, 2))
+    // band 0 slices (7,7), band 1 slices (9,10): distinct keys even if a
+    // slice repeated, because the band index salts the hash
+    one[Long](HashFunctions.bandKey(sig, 0, 2)) should not be
+      one[Long](HashFunctions.bandKey(sig, 1, 2))
+  }
 }
