@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming equivalents (SURVEY.md §2.8 — the reference is
   * batch-only; these are the declared streaming extension over the same
@@ -148,6 +148,34 @@ object Streams {
           }
           state.update(next)
           next
+      }
+  }
+
+  case class ValueAlert(user_id: Long, prev_max: Double, value: Double)
+
+  /** Per-key THRESHOLD ALERTS via flatMapGroupsWithState — the 0-or-N-
+    * outputs-per-input state shape (mapGroupsWithState must emit exactly
+    * one row per group per batch; flatMap may emit none): a row is
+    * emitted only when a user's event EXCEEDS their running maximum by
+    * more than `factor`×. State per key is one double — bounded no
+    * matter the stream length. */
+  def valueSpikes(events: Dataset[UserEvent], factor: Double = 2.0):
+      Dataset[ValueAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, ValueAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Double]) =>
+          var mx = state.getOption.getOrElse(Double.MinValue)
+          val alerts = scala.collection.mutable.ArrayBuffer[ValueAlert]()
+          it.foreach { e =>
+            if (mx != Double.MinValue && e.value > mx * factor)
+              alerts += ValueAlert(uid, mx, e.value)
+            mx = math.max(mx, e.value)
+          }
+          state.update(mx)
+          alerts.iterator
       }
   }
 }

@@ -159,6 +159,33 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
       Array(2L, 3L, 4L)
   }
 
+  test("valueSpikes (flatMapGroupsWithState): 0-or-N alerts per batch, state survives batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.UserEvent]
+    val name = s"spikes_${System.nanoTime}"
+    val q = Streams.valueSpikes(input.toDS(), factor = 2.0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one event per user per batch: first observation can never alert
+      input.addData(Streams.UserEvent(1, ts(1), 10.0),
+        Streams.UserEvent(2, ts(1), 5.0))
+      q.processAllAvailable()
+      // state survives: 25 > 10*2 alerts; user 2's 9 < 5*2 does not
+      input.addData(Streams.UserEvent(1, ts(2), 25.0),
+        Streams.UserEvent(2, ts(2), 9.0))
+      q.processAllAvailable()
+      // 61 > 25*2 alerts with the carried prev_max
+      input.addData(Streams.UserEvent(1, ts(3), 61.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("user_id", "prev_max", "value")
+      .as[(Long, Double, Double)].collect().toSet
+    rows shouldBe Set((1L, 10.0, 25.0), (1L, 25.0, 61.0))
+  }
+
   test("stream-static join: stream enriched against a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
