@@ -94,6 +94,13 @@ object Wave12 {
         Tables.embeddings(s, d).filter(col("vec_id") < KnnBound),
         "vec_id", "embedding", k = KnnK, exact = true)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Batch twin of the flatMapGroupsWithState spike alerts: value >
+    // 2x the running per-user maximum of strictly earlier events.
+    "q110_value_spikes" -> { (s, d) =>
+      graft.streaming.Streams.valueSpikesBatch(Tables.events(s, d), 2.0)
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
 
@@ -191,6 +198,15 @@ object Wave12 {
          |  floor(t.sim * 1e6) / 1e6 AS sim
          |FROM top t JOIN top r ON t.qa = r.qb AND t.qb = r.qa
          |WHERE t.qa < t.qb
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q110_value_spikes" ->
+      """SELECT user_id, event_id, prev_max, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM events)
+        |WHERE prev_max IS NOT NULL AND value > prev_max * 2.0
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

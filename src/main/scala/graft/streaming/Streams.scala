@@ -178,4 +178,22 @@ object Streams {
           alerts.iterator
       }
   }
+
+  /** Batch twin of [[valueSpikes]] (the q56/q81 convention: every
+    * streaming op gets an oracle-verifiable batch formulation): an event
+    * alerts when its value exceeds `factor` × the maximum over all
+    * STRICTLY EARLIER events of the same user (order: ts, then event_id
+    * for deterministic ties). Equivalent to replaying the stream one
+    * event per micro-batch. The window is user-partitioned — never a
+    * global sort. */
+  def valueSpikesBatch(events: DataFrame, factor: Double = 2.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .withColumn("prev_max", max(col("value")).over(w))
+      .filter(col("prev_max").isNotNull &&
+        col("value") > col("prev_max") * factor)
+      .select(col("user_id"), col("event_id"), col("prev_max"), col("value"))
+  }
 }
