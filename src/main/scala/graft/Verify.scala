@@ -27,6 +27,12 @@ object Verify {
         println(s"[verify] FAILED $name: $msg")
         Files.writeString(Paths.get(s"$outDir/$name.ERROR"), msg)
       }
+      // several operators .cache() intermediates internally and hand the
+      // result back lazily — across a 110-query session those blocks
+      // would accumulate executor memory. Each query's result is fully
+      // materialized by the write above, so dropping the SQL cache here
+      // is safe and bounds the session's footprint to one query's caches.
+      finally spark.catalog.clearCache()
     }
     errors.toMap
   }

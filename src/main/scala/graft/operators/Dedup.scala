@@ -415,7 +415,13 @@ object Dedup {
     * every band and verify at jac = 1, so exact cross-duplicates are
     * recalled by construction; other pairs carry the usual LSH recall
     * (miss probability (1−t^rows)^bands ≈ 4e-8 at t = 0.9, k = 64,
-    * bands = 16). Nothing is quadratic in either side. */
+    * bands = 16). Nothing is quadratic in either side.
+    *
+    * Cache lifetime: the four internal `.cache()`s (both sides' sets +
+    * groups) back the returned lazy DataFrame, so the CALLER owns their
+    * lifetime — drop them after materializing the result
+    * (`spark.catalog.clearCache()` or unpersist), as the library's own
+    * harnesses do ([[graft.Verify.runAll]], Bench's per-rep clear). */
   def nearDupAgainstCorpus(newDocs: DataFrame, corpusDocs: DataFrame,
                            idCol: String, textCol: String,
                            threshold: Double, k: Int = 64, bands: Int = 16,

@@ -715,9 +715,20 @@ object TextAnalysis {
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // one division, one multiply, one floor — fixed IEEE sequence
-    val wq = floor(col("tf").cast("double")
+    val wqRaw = floor(col("tf").cast("double")
       * (lit(nDocs + 1.0) / (col("df") + 1).cast("double"))
       * lit(1000.0)).cast("long")
+    // ENFORCED precondition (not comment-only): quantized weights must
+    // stay < 2^31 or the long wq² sums below overflow — Spark wraps
+    // silently while DuckDB promotes to HUGEINT, so an overflowing
+    // corpus would diverge from the oracle instead of failing loudly.
+    // One codegen'd comparison per (id, term) row; raise_error's
+    // NullType branch coerces to long so the checked value IS the plan.
+    val wq = when(wqRaw < lit(1L << 31), wqRaw)
+      .otherwise(raise_error(concat(
+        lit("tfidfCosinePairs: quantized weight >= 2^31 (tf * idf too " +
+          "large for exact long arithmetic); raise minDf/maxDf or " +
+          "lower the quantization scale. wq="), wqRaw.cast("string"))))
     // cheap projection of the cached tf + broadcast df — no second cache
     val weights = tf.join(df, "t").select(col("id"), col("t"), wq.as("wq"))
     val norms = weights.groupBy(col("id"))

@@ -158,7 +158,17 @@ object Streams {
     * one row per group per batch; flatMap may emit none): a row is
     * emitted only when a user's event EXCEEDS their running maximum by
     * more than `factor`×. State per key is one double — bounded no
-    * matter the stream length. */
+    * matter the stream length.
+    *
+    * Ordering: Spark does NOT guarantee event-time order within a
+    * micro-batch's group iterator, so the group's events are buffered
+    * and sorted by (ts, value) before folding — with multiple events
+    * per user per batch the fold then matches [[valueSpikesBatch]]'s
+    * event-time replay whenever a user's timestamps are distinct (two
+    * events of one user on the SAME timestamp fold in value order;
+    * the batch twin breaks that tie by event_id, which the stream rows
+    * don't carry). The per-batch buffer is one user's slice of one
+    * micro-batch — bounded by batch sizing, not stream length. */
   def valueSpikes(events: Dataset[UserEvent], factor: Double = 2.0):
       Dataset[ValueAlert] = {
     import events.sparkSession.implicits._
@@ -169,7 +179,7 @@ object Streams {
         case (uid, it, state: GroupState[Double]) =>
           var mx = state.getOption.getOrElse(Double.MinValue)
           val alerts = scala.collection.mutable.ArrayBuffer[ValueAlert]()
-          it.foreach { e =>
+          it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
             if (mx != Double.MinValue && e.value > mx * factor)
               alerts += ValueAlert(uid, mx, e.value)
             mx = math.max(mx, e.value)

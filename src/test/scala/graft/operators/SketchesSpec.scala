@@ -165,6 +165,24 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     pruned should contain((2L, 3L)) // identical docs still pair
   }
 
+  test("tfidfCosinePairs: quantized-weight overflow fails LOUDLY, not silently") {
+    import spark.implicits._
+    // one doc repeats a unique gram 440 times in a 10k-doc corpus:
+    // wq = 440 * (10001/2) * 1000 ~ 2.2e9 >= 2^31 — past the exact-long
+    // bound, where Spark would wrap while DuckDB promotes to HUGEINT.
+    // The runtime guard must raise instead of silently diverging.
+    val filler = (1L to 9999L).map(i => (i, "p q r s t"))
+    val hot = Seq((10000L, Array.fill(443)("z").mkString(" ")))
+    val big = (filler ++ hot).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.tfidfCosinePairs(big, "doc_id", "text",
+        n = 4, threshold = 0.2, maxDf = 20000L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    chain should include("tfidfCosinePairs")
+  }
+
   // ------------------------------------------------------------ subsumedBy
 
   test("subsumedBy: hand-checked containment on a crafted corpus") {

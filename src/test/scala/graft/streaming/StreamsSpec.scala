@@ -218,6 +218,40 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     batch shouldBe Set((1L, 10.0, 25.0), (1L, 25.0, 80.0), (2L, 7.0, 15.0))
   }
 
+  test("valueSpikes: multiple events per user per batch fold in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // all seven events in ONE micro-batch, deliberately added out of ts
+    // order: without the in-group (ts, value) sort the arrival-order fold
+    // would see 80 before 25 and miss the (10 -> 25) alert while
+    // inventing others. Distinct ts per user, so the sorted fold must
+    // equal the batch twin's event-time replay exactly.
+    val evs = Seq(
+      (1L, ts(4), 80.0), (1L, ts(1), 10.0), (2L, ts(3), 15.0),
+      (1L, ts(2), 25.0), (2L, ts(1), 4.0), (1L, ts(3), 12.0),
+      (2L, ts(2), 7.0))
+    val input = MemoryStream[Streams.UserEvent]
+    val name = s"spikemulti_${System.nanoTime}"
+    val q = Streams.valueSpikes(input.toDS(), factor = 2.0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.map { case (u, t, v) => Streams.UserEvent(u, t, v) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .select("user_id", "prev_max", "value")
+      .as[(Long, Double, Double)].collect().toSet
+    val batchDf = evs.zipWithIndex
+      .map { case ((u, t, v), i) => (i.toLong, t, u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val batch = Streams.valueSpikesBatch(batchDf, 2.0)
+      .select("user_id", "prev_max", "value")
+      .as[(Long, Double, Double)].collect().toSet
+    streamed shouldBe batch
+    batch shouldBe Set((1L, 10.0, 25.0), (1L, 25.0, 80.0), (2L, 7.0, 15.0))
+  }
+
   test("stream-static join: stream enriched against a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
