@@ -547,28 +547,68 @@ object TextAnalysis {
   /** Rare-token scoring — the "contains unusual vocabulary" quality
     * signal: a token is rare when its total corpus count is below half
     * the mean per-type count (total_tokens / (2·vocab)); each document
-    * reports its token count, rare-token count, and rare fraction. The
-    * corpus profile is ONE word-count aggregate collected to a
-    * broadcast-sized map (vocabulary-sized, not corpus-sized — the dval
-    * idiom), so the per-doc pass is a single map stage. */
-  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * reports its token count, rare-token count, and rare fraction.
+    *
+    * Scale: the corpus word-count aggregate stays DISTRIBUTED — it is
+    * never collected, because at 100 TB the vocabulary IS corpus-sized
+    * (billions of Zipf-tail types would OOM the driver). The rarity
+    * threshold comes from one 2-value profile aggregate; membership is
+    * then INVERTED: since every doc token is either common or rare,
+    * n_rare = n_tokens − common_hits, and the COMMON set (count >= thr
+    * — the Zipf HEAD: each member carries >= thr occurrences, so the
+    * head holds the corpus mass in few types) is the side small enough
+    * to broadcast. The scoring pass stays a single shuffle-free map
+    * stage. Guards, in order: thr <= 1 means nothing can be rare
+    * (every type has count >= 1) — short-circuit to n_rare = 0 with no
+    * second job; a head wider than `maxBroadcastTypes` falls back to a
+    * token-keyed left-semi join against the rare types — one linear
+    * shuffle, still no driver state of corpus cardinality. The interim
+    * token-count aggregate is cached for its three consumers (profile,
+    * head count, membership side); lifetime is caller-owned per the
+    * library cache contract. */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                     maxBroadcastTypes: Long = 1000000L): DataFrame = {
+    import docs.sparkSession.implicits._
     val counts = docs.select(explode(T.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    val thr = total / (2L * math.max(counts.size, 1)) // integer floor, exact
-    val bc = docs.sparkSession.sparkContext.broadcast(
-      counts.filter(_._2 < thr).keySet)
-    val nRare = udf((toks: Seq[String]) =>
-      if (toks == null) 0L else toks.count(bc.value.contains).toLong)
-    docs.select(col(idCol).cast("long").as("id"),
+      .cache() // skinny (one row per type); three consumers below
+    val prof = counts
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab")).head()
+    val total = if (prof.isNullAt(0)) 0L else prof.getLong(0)
+    val vocab = prof.getLong(1)
+    val thr = total / (2L * math.max(vocab, 1L)) // integer floor, exact
+    val base = docs.select(col(idCol).cast("long").as("id"),
       T.tokens(col(textCol)).as("__t"))
-      .select(col("id"), size(col("__t")).cast("long").as("n_tokens"),
-        nRare(col("__t")).as("n_rare"))
-      .withColumn("rare_frac",
-        when(col("n_tokens") > 0,
-          col("n_rare").cast("double") / col("n_tokens"))
-          .otherwise(lit(0.0)))
+    val scored =
+      if (thr <= 1L) {
+        // count >= 1 always, so count < thr is impossible: nothing rare
+        base.select(col("id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          lit(0L).as("n_rare"))
+      } else if (counts.filter(col("cnt") >= thr).count() <= maxBroadcastTypes) {
+        val bc = docs.sparkSession.sparkContext.broadcast(
+          counts.filter(col("cnt") >= thr).select(col("tok"))
+            .as[String].collect().toSet)
+        val nCommon = udf((toks: Seq[String]) =>
+          if (toks == null) 0L else toks.count(bc.value.contains).toLong)
+        base.select(col("id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          (size(col("__t")).cast("long") - nCommon(col("__t"))).as("n_rare"))
+      } else {
+        // degenerate head (no Zipf concentration): linear join fallback
+        val rare = counts.filter(col("cnt") < thr).select(col("tok"))
+        val hits = base.select(col("id"), explode(col("__t")).as("tok"))
+          .join(rare, Seq("tok"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("n_rare"))
+        base.select(col("id"), size(col("__t")).cast("long").as("n_tokens"))
+          .join(hits, Seq("id"), "left")
+          .select(col("id"), col("n_tokens"),
+            coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      }
+    scored.withColumn("rare_frac",
+      when(col("n_tokens") > 0,
+        col("n_rare").cast("double") / col("n_tokens"))
+        .otherwise(lit(0.0)))
   }
 
   /** Content fingerprints: exact (md5 of normalized text) and shingle
@@ -693,9 +733,11 @@ object TextAnalysis {
     * Exactness: weights are floor-quantized to 1e3 and all dot/norm
     * sums run in integer arithmetic; the final cosine is one fixed IEEE
     * sequence (CAST, sqrt, ·, /) — any engine reproduces it bit-for-bit.
-    * (Quantized weights must stay < 2^31 for the wq² sums to fit a
-    * long: tf·idf < 2.1e6, comfortably true for any corpus where a
-    * gram's tf is bounded and idf <= N+1 with df >= minDf 1.)
+    * (Two enforced guards: quantized weights must stay < 2^31 so each
+    * wq² PRODUCT fits a long, and the n2/dot SUMS — which aggregate
+    * many such products — run in exact decimal(38,0) with a
+    * raise_error if the total exceeds 2^63-1 before the cast back to
+    * long, matching DuckDB's HUGEINT promotion bit-for-bit.)
     *
     * Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >=
     * `threshold`. Docs with no terms (or only pruned terms) pair with
@@ -729,10 +771,23 @@ object TextAnalysis {
         lit("tfidfCosinePairs: quantized weight >= 2^31 (tf * idf too " +
           "large for exact long arithmetic); raise minDf/maxDf or " +
           "lower the quantization scale. wq="), wqRaw.cast("string"))))
+    // The wq guard bounds each PRODUCT at < 2^62, but the n2/dot SUMS
+    // aggregate many products — long sums could still wrap silently.
+    // Sum in decimal(38,0) (exact: 10^12 terms x 2^62 ~ 5e30 << 1e38),
+    // assert the exact total fits a long, then cast back so the final
+    // CAST(long AS double) is the same fixed IEEE step the oracle runs.
+    def checkedLongSum(prod: Column, what: String): Column = {
+      val s = sum(prod.cast("decimal(38,0)"))
+      when(s <= lit(Long.MaxValue).cast("decimal(38,0)"), s.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"tfidfCosinePairs: $what sum overflows long (exceeds " +
+            "2^63-1); raise minDf/maxDf or lower the quantization " +
+            s"scale. $what="), s.cast("string"))))
+    }
     // cheap projection of the cached tf + broadcast df — no second cache
     val weights = tf.join(df, "t").select(col("id"), col("t"), wq.as("wq"))
     val norms = weights.groupBy(col("id"))
-      .agg(sum(col("wq") * col("wq")).as("n2"))
+      .agg(checkedLongSum(col("wq") * col("wq"), "n2").as("n2"))
     // group-and-expand instead of a term self-join: ONE shuffle (the
     // groupBy t) + in-row ordered-pair generation via a double explode —
     // sound because maxDf bounds every term group, so the per-row
@@ -743,7 +798,7 @@ object TextAnalysis {
       .select(col("a"), explode(col("ws")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+      .agg(checkedLongSum(col("a.wq") * col("b.wq"), "dot").as("dot"))
     dots
       .join(norms.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
       .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")

@@ -162,13 +162,17 @@ object Streams {
     *
     * Ordering: Spark does NOT guarantee event-time order within a
     * micro-batch's group iterator, so the group's events are buffered
-    * and sorted by (ts, value) before folding — with multiple events
-    * per user per batch the fold then matches [[valueSpikesBatch]]'s
-    * event-time replay whenever a user's timestamps are distinct (two
-    * events of one user on the SAME timestamp fold in value order;
-    * the batch twin breaks that tie by event_id, which the stream rows
-    * don't carry). The per-batch buffer is one user's slice of one
-    * micro-batch — bounded by batch sizing, not stream length. */
+    * and sorted by (ts, value) before folding — at FULL timestamp
+    * precision ((getTime, getNanos), the Timestamp.compareTo order,
+    * not millisecond getTime alone, so sub-millisecond event times
+    * order exactly as the batch twin's ts column does) — with multiple
+    * events per user per batch the fold then matches
+    * [[valueSpikesBatch]]'s event-time replay whenever a user's
+    * timestamps are distinct (two events of one user on the SAME
+    * timestamp fold in value order; the batch twin breaks that tie by
+    * event_id, which the stream rows don't carry). The per-batch
+    * buffer is one user's slice of one micro-batch — bounded by batch
+    * sizing, not stream length. */
   def valueSpikes(events: Dataset[UserEvent], factor: Double = 2.0):
       Dataset[ValueAlert] = {
     import events.sparkSession.implicits._
@@ -179,7 +183,8 @@ object Streams {
         case (uid, it, state: GroupState[Double]) =>
           var mx = state.getOption.getOrElse(Double.MinValue)
           val alerts = scala.collection.mutable.ArrayBuffer[ValueAlert]()
-          it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value))
+            .foreach { e =>
             if (mx != Double.MinValue && e.value > mx * factor)
               alerts += ValueAlert(uid, mx, e.value)
             mx = math.max(mx, e.value)
