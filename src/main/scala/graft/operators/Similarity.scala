@@ -105,9 +105,7 @@ object Similarity {
                      threshold: Double, nTables: Int = 24,
                      bitsPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
                      exact: Boolean = false): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nTables)(
-      Array.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+    val planes = md5Planes(seed, nTables, bitsPerTable, dim)
     val b = tableBuckets(vectors, idCol, vecCol, planes)
     val pairs = b.as("a")
       .join(b.as("b"),
@@ -126,26 +124,57 @@ object Similarity {
       .select(col("id_a"), col("id_b"), V.quantize(col("sim"), 6).as("sim"))
   }
 
+  /** Hyperplane weights for sign-bit LSH, derived from md5 — the house
+    * hash rule (every sketch input is an md5-hex-slice integer) that
+    * makes bucket assignment ENGINE-REPRODUCIBLE: weight(t,i,j) is the
+    * sum of the first four big-endian 16-bit slices of
+    * md5("lsh:seed:t:i:j") minus 2·65536 — an Irwin–Hall(4) variate in
+    * [-131072, 131071], approximately Gaussian (what random-hyperplane
+    * LSH wants) yet exactly reproducible in any engine with md5 +
+    * integer arithmetic (DuckDB: CAST('0x'||substr(md5(k),1+4s,4) AS
+    * BIGINT)). nTables×bits×dim entries computed driver-side and riding
+    * the closure — the dval idiom, a few thousand longs. */
+  private[graft] def md5Planes(seed: Long, nTables: Int, bitsPerTable: Int,
+                               dim: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(nTables)(t => Array.tabulate(bitsPerTable)(i =>
+      Array.tabulate(dim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lsh:$seed:$t:$i:$j".getBytes("UTF-8"))
+        def u16(o: Int): Long = ((md(o) & 0xffL) << 8) | (md(o + 1) & 0xffL)
+        u16(0) + u16(2) + u16(4) + u16(6) - 131072L
+      }))
+
   /** (id, table, bucket) sign-bit LSH buckets for `nTables` independent
-    * hash tables of `bitsPerTable` hyperplanes each. Computed with a typed
-    * flatMap — tight JVM loops over primitive arrays, whole rows stay in
-    * codegen'd stages (a Column-expression formulation of L×m dot products
-    * falls back to interpreted higher-order functions). */
+    * hash tables of `bitsPerTable` integer hyperplanes each. Vector
+    * components are fixed-point-quantized (floor(v·2^20) — exact: a
+    * float times a power of two is an exact double, floor is exact) and
+    * every dot product runs in LONG arithmetic (|vq| < 2^21, |w| < 2^18,
+    * 64 terms → |dot| < 2^45: no rounding anywhere), so the sign bit —
+    * hence the bucket — is bit-for-bit reproducible by the DuckDB
+    * oracle. Computed with a typed flatMap — tight JVM loops over
+    * primitive arrays (a Column-expression formulation of L×m dot
+    * products falls back to interpreted higher-order functions). */
   private def tableBuckets(df: DataFrame, idCol: String, vecCol: String,
-                           planes: Array[Array[Array[Double]]]): DataFrame = {
+                           planes: Array[Array[Array[Long]]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
+        val vq = new Array[Long](v.length)
+        var q = 0
+        while (q < v.length) {
+          vq(q) = java.lang.Math.floor(v(q).toDouble * 1048576.0).toLong
+          q += 1
+        }
         planes.iterator.zipWithIndex.map { case (table, t) =>
           var bucket = 0L
           var i = 0
           while (i < table.length) {
             val plane = table(i)
-            var s = 0.0
+            var s = 0L
             var j = 0
-            while (j < v.length && j < plane.length) { s += v(j) * plane(j); j += 1 }
+            while (j < vq.length && j < plane.length) { s += vq(j) * plane(j); j += 1 }
             if (s >= 0) bucket |= (1L << i)
             i += 1
           }
@@ -170,9 +199,7 @@ object Similarity {
               vecCol: String, k: Int, nTables: Int = 24, bitsPerTable: Int = 4,
               dim: Int = 64, seed: Long = 42L,
               exact: Boolean = false): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nTables)(
-      Array.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+    val planes = md5Planes(seed, nTables, bitsPerTable, dim)
     val qb = tableBuckets(queries, idCol, vecCol, planes)
       .withColumnRenamed("id", "query_id")
     val cb = tableBuckets(candidates, idCol, vecCol, planes)

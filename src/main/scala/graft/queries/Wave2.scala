@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * Oracle-verified where SQL-expressible — including MinHash-LSH (q26),
   * whose parameters make its output equal the exact Jaccard pair set;
   * SimHash (q27), whose md5-derived hashes DuckDB reproduces bit-for-bit;
-  * IVF ANN (q33) driven in its nProbe=all exactness mode; and the
+  * IVF ANN (q33) driven in its nProbe=all exactness mode; the
   * multimodal stub (q32), whose deterministic byte histogram DuckDB
-  * recomputes exactly from the same text. The one approximate-by-design
-  * query (LSH ANN q31, recall < 1 by nature) gets a rows-only driver
-  * check plus SimilaritySpec's sf0.01 recall gate.
+  * recomputes exactly from the same text; and LSH ANN (q31), whose
+  * md5-derived integer hyperplanes + fixed-point vector quantization
+  * let the oracle replay the SAME approximate search bit-for-bit
+  * (approximate vs brute force, exact vs its own contract —
+  * SimilaritySpec's sf0.01 recall gate covers the former).
   */
 object Wave2 {
 
@@ -151,14 +153,18 @@ object Wave2 {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Multi-table LSH ANN (scale path). No DuckDB oracle is possible by
-    // nature — recall < 1 by design — so the correctness gate is
-    // SimilaritySpec's "q31 gate" test: recall >= 0.9 vs exact brute
-    // force on sf0.01 at these exact parameters.
+    // Multi-table LSH ANN (scale path). Fully oracle-verified: the
+    // md5-derived integer hyperplanes + fixed-point vector quantization
+    // make bucket assignment bit-for-bit reproducible in DuckDB, and the
+    // exact quantized cosine kernel makes the verified ranking stage
+    // engine-invariant — so the oracle replays the SAME approximate
+    // search (same candidates, same ranks), not a brute-force stand-in.
+    // SimilaritySpec's "q31 gate" additionally asserts recall >= 0.9 vs
+    // exact brute force at these parameters.
     "q31_lsh_ann" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id",
-        "embedding", 5)
+        "embedding", 5, exact = true)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -304,6 +310,54 @@ object Wave2 {
     "q26_minhash_neardup" -> SqlJaccardPairs,
 
     "q28_ann_topk" -> SqlBruteTopK,
+
+    // q31 replays the SAME approximate search the engine runs: buckets
+    // from the md5-derived integer hyperplanes over fixed-point-quantized
+    // vectors (all-long arithmetic — bit-for-bit), candidates from the
+    // (table, bucket) join, ranking by the exact quantized cosine.
+    "q31_lsh_ann" ->
+      s"""WITH planes AS (
+         |  SELECT t, i, j,
+         |    CAST('0x' || substr(h, 1, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 5, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 9, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 13, 4) AS BIGINT) - 131072 AS w
+         |  FROM (
+         |    SELECT t, i, j, md5('lsh:42:' || t || ':' || i || ':' || j) AS h
+         |    FROM range(0, 24) r1(t), range(0, 4) r2(i), range(0, 64) r3(j))),
+         |vq AS (
+         |  SELECT vec_id, j,
+         |    CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+         |      * 1048576.0) AS BIGINT) AS q
+         |  FROM embeddings, range(0, 64) rj(j)),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+         |             ELSE CAST(0 AS BIGINT) END) AS bucket
+         |  FROM (
+         |    SELECT vq.vec_id, p.t, p.i, sum(vq.q * p.w) AS d
+         |    FROM vq JOIN planes p ON p.j = vq.j
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buckets qb JOIN buckets cb
+         |    ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    (${sqlDotQ("q.embedding", "c.embedding")})
+         |      / (sqrt(${sqlDotQ("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDotQ("c.embedding", "c.embedding")})) AS sim
+         |  FROM cand JOIN embeddings q ON query_id = q.vec_id
+         |            JOIN embeddings c ON neighbor_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, rank, floor(sim * 1e6) / 1e6 AS sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // q33's nProbe=all candidate set is the full corpus, so its output
     // contract is the same exact brute-force top-k.
