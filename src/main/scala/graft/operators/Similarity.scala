@@ -63,13 +63,61 @@ object Similarity {
     * Built from ONE directed top-k pass (the quantized-exact kernel, so
     * sim(a,b) == sim(b,a) bit-for-bit) self-joined on the reversed pair;
     * the join is on (query, neighbor) id pairs only — k rows per vector,
-    * never the vectors. Callers bound the vector set (mutual k-NN is
-    * all-pairs by definition); at corpus scale swap the directed pass for
-    * [[lshTopK]] and accept approximate neighborhoods. */
+    * never the vectors.
+    *
+    * This is the EXACT baseline: the directed pass is brute-force
+    * all-pairs (O(n²) similarity work, the vector set broadcast), which
+    * exact mutual k-NN requires by definition — so the vector count is
+    * ENFORCED <= `maxVectors` (the [[graft.operators.Dedup.jaccardPairs]]
+    * guard convention: refuse to melt a cluster rather than schedule a
+    * quadratic job). At corpus scale use [[mutualKnnLsh]]. */
   def mutualKnn(vectors: DataFrame, idCol: String, vecCol: String,
-                k: Int, exact: Boolean = false): DataFrame = {
+                k: Int, exact: Boolean = false,
+                maxVectors: Long = 100000L): DataFrame = {
+    val n = vectors.count()
+    require(n <= maxVectors,
+      s"mutualKnn: exact mutual k-NN is all-pairs (O(n^2) similarity " +
+        s"work and a broadcast of the full vector set); |vectors| = $n " +
+        s"exceeds maxVectors = $maxVectors. Use mutualKnnLsh at scale.")
     val top = bruteForceTopK(vectors, vectors, idCol, vecCol, k, exact)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
+    mutualEdges(top)
+  }
+
+  /** Mutual k-NN at scale — the bucketed counterpart of [[mutualKnn]],
+    * completing the exact-baseline + LSH-scale-path family pattern
+    * ([[cosinePairs]]/[[lshCosinePairs]], [[bruteForceTopK]]/[[lshTopK]]):
+    * the directed top-k pass draws candidates from multi-table sign-bit
+    * LSH buckets (skinny id-only (table, bucket) self-join — keyed,
+    * linear, nothing quadratic in the corpus) and verifies each with the
+    * real cosine; the mutual stage is the same reversed-pair id join.
+    * Unlike [[lshTopK]] (small query set, broadcast), BOTH sides here
+    * are the corpus, so query vectors re-attach via a hash join too —
+    * nothing corpus-sized is ever broadcast. Neighborhoods are
+    * approximate (per-direction recall is the OR-amplified
+    * 1-(1-(1-θ/π)^m)^L); an edge survives iff both directions find it. */
+  def mutualKnnLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nTables: Int = 24, bitsPerTable: Int = 4,
+                   dim: Int = 64, seed: Long = 42L,
+                   exact: Boolean = false): DataFrame = {
+    val planes = md5Planes(seed, nTables, bitsPerTable, dim)
+    val b = tableBuckets(vectors, idCol, vecCol, planes)
+    val pairs = b.withColumnRenamed("id", "query_id")
+      .join(b.withColumnRenamed("id", "neighbor_id"), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val top = rankTopK(pairs,
+      v.toDF("query_id", "qv"), v.toDF("neighbor_id", "cv"), k, exact)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    mutualEdges(top)
+  }
+
+  /** Keep (a, b) iff b is in a's top-k AND a is in b's top-k — a self
+    * join on the REVERSED id pair over the k-rows-per-vector directed
+    * top-k relation (ids + sim only, never vectors). */
+  private def mutualEdges(top: DataFrame): DataFrame =
     top.as("e")
       .join(top.select(col("query_id").as("rq"), col("neighbor_id").as("rn"))
         .as("r"),
@@ -77,7 +125,6 @@ object Similarity {
           col("e.query_id") < col("e.neighbor_id"))
       .select(col("e.query_id").as("id_a"), col("e.neighbor_id").as("id_b"),
         col("e.sim").as("sim"))
-  }
 
   /** All pairs with cosine >= threshold within a (pre-filtered) vector
     * set. Exact-arithmetic variant for oracle verification. All-pairs —

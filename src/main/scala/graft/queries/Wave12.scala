@@ -28,7 +28,6 @@ object Wave12 {
   private val Quants = Seq("p25" -> 250, "p50" -> 500, "p75" -> 750,
     "p95" -> 950)
   private val MaxPostings = 20
-  private val KnnBound = 300
   private val KnnK = 5
 
   /** DuckDB twin of VectorFunctions.dotQLong (Wave2's q28 kernel). */
@@ -87,12 +86,16 @@ object Wave12 {
         .orderBy(col("term"))
     },
 
-    // Mutual k-NN graph over a bounded vector set (all-pairs by
-    // definition; the quantized-exact kernel makes sim symmetric).
+    // Mutual k-NN graph via the LSH scale path over the FULL embedding
+    // table — directed top-k from bucketed candidates (nothing quadratic,
+    // nothing corpus-broadcast), mutual edges from the reversed-pair id
+    // join. Fully oracle-verified: md5-derived buckets + the exact
+    // quantized (symmetric) cosine kernel replay bit-for-bit in DuckDB.
+    // The exact brute baseline (Similarity.mutualKnn, maxVectors-guarded)
+    // is spec-covered by SimilaritySpec's brute-vs-LSH recall gate.
     "q109_mutual_knn" -> { (s, d) =>
-      Similarity.mutualKnn(
-        Tables.embeddings(s, d).filter(col("vec_id") < KnnBound),
-        "vec_id", "embedding", k = KnnK, exact = true)
+      Similarity.mutualKnnLsh(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = KnnK, exact = true)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -179,16 +182,47 @@ object Wave12 {
          |  FROM dt GROUP BY 1)
          |SELECT term, df, postings FROM agg ORDER BY term""".stripMargin,
 
+    // Replays the engine's LSH search: md5-derived integer hyperplanes
+    // over fixed-point vectors give bit-identical buckets, candidates
+    // come from the (table, bucket) self-join, the directed top-k ranks
+    // candidates by the exact quantized cosine, and mutual edges keep
+    // pairs present in both directions.
     "q109_mutual_knn" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding AS e FROM embeddings
-         |  WHERE vec_id < $KnnBound),
+      s"""WITH planes AS (
+         |  SELECT t, i, j,
+         |    CAST('0x' || substr(h, 1, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 5, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 9, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 13, 4) AS BIGINT) - 131072 AS w
+         |  FROM (
+         |    SELECT t, i, j, md5('lsh:42:' || t || ':' || i || ':' || j) AS h
+         |    FROM range(0, 24) r1(t), range(0, 4) r2(i), range(0, 64) r3(j))),
+         |vq AS (
+         |  SELECT vec_id, j,
+         |    CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+         |      * 1048576.0) AS BIGINT) AS q
+         |  FROM embeddings, range(0, 64) rj(j)),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+         |             ELSE CAST(0 AS BIGINT) END) AS bucket
+         |  FROM (
+         |    SELECT vq.vec_id, p.t, p.i, sum(vq.q * p.w) AS d
+         |    FROM vq JOIN planes p ON p.j = vq.j
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS qa, cb.vec_id AS qb
+         |  FROM buckets qb JOIN buckets cb
+         |    ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |  WHERE qb.vec_id <> cb.vec_id),
          |sims AS (
-         |  SELECT a.vec_id AS qa, b.vec_id AS qb,
-         |    (${sqlDotQ("a.e", "b.e")})
-         |      / (sqrt(${sqlDotQ("a.e", "a.e")}) * sqrt(${sqlDotQ("b.e", "b.e")}))
-         |      AS sim
-         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |  SELECT qa, qb,
+         |    (${sqlDotQ("a.embedding", "b.embedding")})
+         |      / (sqrt(${sqlDotQ("a.embedding", "a.embedding")})
+         |         * sqrt(${sqlDotQ("b.embedding", "b.embedding")})) AS sim
+         |  FROM cand JOIN embeddings a ON qa = a.vec_id
+         |            JOIN embeddings b ON qb = b.vec_id),
          |ranked AS (
          |  SELECT qa, qb, sim, row_number() OVER (PARTITION BY qa
          |    ORDER BY sim DESC, qb) AS rk

@@ -110,4 +110,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q109: mutual k-NN runs the LSH path — keyed joins only, no corpus broadcast") {
+    // the brute baseline's signature is a BroadcastNestedLoopJoin over
+    // the broadcast vector set; the scale path must show neither that
+    // nor any cartesian — every join is keyed ((table, bucket), id pair)
+    val p = plan("q109_mutual_knn")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -51,9 +51,11 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("q31 gate: lshTopK recall >= 0.9 at q31's exact parameters on sf0.01") {
-    // q31 has no DuckDB oracle by nature (recall < 1 by design) — THIS
-    // assertion is its correctness gate, at the driver's verification
-    // scale and q31's exact parameters (queries vec_id<10, k=5, defaults).
+    // q31's DuckDB oracle replays the SAME approximate search (exact vs
+    // its own contract); THIS assertion covers the other axis — that the
+    // approximate search stays close to brute-force truth — at the
+    // driver's verification scale and q31's exact parameters (queries
+    // vec_id<10, k=5, defaults).
     val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
     val q = emb01.filter(col("vec_id") < 10)
     val exact = topkSet(Similarity.bruteForceTopK(q, emb01, "vec_id", "embedding", 5))
@@ -62,6 +64,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     val recall = (exact intersect lsh).size.toDouble / exact.size
     recall should be >= 0.9
     emb01.unpersist()
+  }
+
+  test("mutualKnnLsh: exact precision vs brute mutual graph, edge recall >= 0.9") {
+    import spark.implicits._
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exact = edges(Similarity.mutualKnn(emb, "vec_id", "embedding",
+      k = 5, exact = true))
+    val lsh = edges(Similarity.mutualKnnLsh(emb, "vec_id", "embedding",
+      k = 5, exact = true))
+    exact should not be empty
+    // a missed candidate can promote a lower neighbor into a direction's
+    // top-k, so spurious edges are possible in principle — but both
+    // directions must agree AND survive the verified-cosine ranking, so
+    // precision stays high alongside recall
+    val precision = (exact intersect lsh).size.toDouble / lsh.size
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    precision should be >= 0.9
+    recall should be >= 0.9
+  }
+
+  test("mutualKnn: maxVectors guard refuses the quadratic job") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mutualKnn(emb, "vec_id", "embedding", k = 3,
+        maxVectors = 10L)
+    }
+    ex.getMessage should include("mutualKnnLsh")
   }
 
   test("cosinePairs: symmetric-free output (id_a < id_b), threshold respected") {
