@@ -104,6 +104,18 @@ object Wave12 {
     "q110_value_spikes" -> { (s, d) =>
       graft.streaming.Streams.valueSpikesBatch(Tables.events(s, d), 2.0)
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Stream-stream interval join, batch-replayed: purchases within 60
+    // minutes after a click by the same user. The SAME transform serves
+    // live streams (watermarked state expiry, late-data drop — e2e in
+    // StreamsSpec); gap arithmetic is integer epoch-μs, engine-exact.
+    "q111_interval_join" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      graft.streaming.Streams.intervalJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
     }
   )
 
@@ -233,6 +245,15 @@ object Wave12 {
          |FROM top t JOIN top r ON t.qa = r.qb AND t.qb = r.qa
          |WHERE t.qa < t.qb
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q111_interval_join" ->
+      """SELECT c.user_id, c.event_id AS l_event_id,
+        |  p.event_id AS r_event_id,
+        |  date_diff('microsecond', c.ts, p.ts) AS gap_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+        |ORDER BY c.user_id, l_event_id, r_event_id""".stripMargin,
 
     "q110_value_spikes" ->
       """SELECT user_id, event_id, prev_max, value FROM (

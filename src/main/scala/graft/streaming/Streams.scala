@@ -110,6 +110,37 @@ object Streams {
       graft.operators.Sketches.bloomHits(col(textCol), bloomBits, n, mBits, k)
         === 0)
 
+  /** Stream-stream INTERVAL JOIN with watermarks — the join shape §2.8
+    * declares for correlating two live streams: each left event pairs
+    * with right events of the same user whose timestamp falls in
+    * (l_ts, l_ts + `within`]. Both sides carry a watermark and the join
+    * condition bounds event time in both directions, which is exactly
+    * what Structured Streaming needs to EXPIRE join state: a buffered
+    * left row can stop waiting once the right watermark passes
+    * l_ts + within, so state is bounded by rate × horizon, not stream
+    * length. Late rows beyond the watermark are dropped (e2e-tested in
+    * StreamsSpec with a MemoryStream late-data row).
+    *
+    * Exactness: the output carries ids plus the event-time gap in
+    * MICROSECONDS (integer arithmetic on the epoch-μs values — no
+    * engine-divergent interval math), so the batch twin (the same
+    * transform over the batch table; `withWatermark` is a no-op in
+    * batch) is DuckDB-oracle-comparable bit-for-bit. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   within: String = "60 minutes",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+    l.join(r, expr(
+      s"user_id = r_user_id AND r_ts > l_ts AND r_ts <= l_ts + interval $within"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
   /** Streaming dux (S13's streaming twin): split one stream into named
     * outputs by predicate via foreachBatch — each micro-batch appends its
     * matching rows under `<basePath>/<name>`. Returns the started query. */

@@ -16,6 +16,10 @@ case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 /** Doc row for the streaming sketch-dedup test. */
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
+/** Event row with id for the stream-stream interval-join test. */
+case class EvId(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
 /** Streaming transforms driven end-to-end with MemoryStream sources and
   * memory sinks (batch parity asserted where the transform is
   * mode-agnostic). */
@@ -308,5 +312,58 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .groupBy("user_id").agg(max("n").as("n"), max("max_value").as("mx"))
       .as[(Long, Long, Double)].collect().toSet
     last shouldBe Set((1L, 3L, 7.0), (2L, 1L, 1.0))
+  }
+
+  test("intervalJoin: stream-stream pairs within the horizon; late row dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EvId]
+    val purchases = MemoryStream[EvId]
+    val name = s"ijoin_${System.nanoTime}"
+    val q = Streams.intervalJoin(clicks.toDF(), purchases.toDF(),
+      within = "60 minutes", watermark = "1 hour").writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(EvId(100, ts(0), 1, "click", 0.0))
+      purchases.addData(EvId(200, ts(30), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks well past the join horizon
+      clicks.addData(
+        EvId(101, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 0.0))
+      purchases.addData(
+        EvId(201, Timestamp.valueOf("2024-01-01 14:10:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      // LATE: 10:45 is behind the global watermark (~13:00) — dropped,
+      // even though it would pair with click 100 in a batch replay
+      purchases.addData(
+        EvId(202, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "purchase", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("user_id", "l_event_id", "r_event_id", "gap_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    rows shouldBe Set(
+      (1L, 100L, 200L, 30L * 60 * 1000000L),
+      (9L, 101L, 201L, 10L * 60 * 1000000L))
+  }
+
+  test("intervalJoin batch replay: same transform, late row included") {
+    import spark.implicits._
+    val clicks = Seq(
+      EvId(100, ts(0), 1, "click", 0.0),
+      EvId(101, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 0.0))
+    val purchases = Seq(
+      EvId(200, ts(30), 1, "purchase", 5.0),
+      EvId(201, Timestamp.valueOf("2024-01-01 14:10:00"), 9, "purchase", 1.0),
+      EvId(202, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "purchase", 2.0))
+    val rows = Streams.intervalJoin(clicks.toDF(), purchases.toDF(),
+      within = "60 minutes", watermark = "1 hour")
+      .select("user_id", "l_event_id", "r_event_id", "gap_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch sees everything: the stream-late purchase 202 pairs too
+    rows shouldBe Set(
+      (1L, 100L, 200L, 30L * 60 * 1000000L),
+      (9L, 101L, 201L, 10L * 60 * 1000000L),
+      (1L, 100L, 202L, 45L * 60 * 1000000L))
   }
 }
