@@ -856,10 +856,21 @@ object Dedup {
       .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
       .select(col("doc"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    majoritySketch(ids, tokHash)
+  }
+
+  /** Majority-vote sketch from per-occurrence feature hashes (doc, h):
+    * the shared SimHash aggregation kernel — [[SimhashBits]] per-bit vote
+    * sums in one codegen'd hash aggregate, docs with no features
+    * sketching to 0. Callers supply the feature hashing (word tokens in
+    * [[simhashSketches]], raw byte grams in
+    * [[Multimodal.assetFingerprints]]). */
+  private[operators] def majoritySketch(ids: DataFrame,
+                                        hashes: DataFrame): DataFrame = {
     val votes = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$i"))
-    val agg = tokHash.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val agg = hashes.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
     val sim = (0 until SimhashBits).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
@@ -916,14 +927,24 @@ object Dedup {
     * be oracle-verified by an all-pairs Hamming query. The band count is
     * derived from `maxHamming` to keep the guarantee. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(simhashSketches(docs, idCol, textCol), maxHamming)
+
+  /** Banded near-dup join over ANY (doc, sim) [[SimhashBits]]-bit sketch
+    * relation — the candidate-generation + exact-verify stage of
+    * [[simhashNearDupPairs]], shared with the multimodal payload
+    * fingerprints ([[Multimodal.nearDupAssets]]). Same pigeonhole recall
+    * contract: bands = maxHamming+1 guarantees every pair within
+    * maxHamming shares a band, so output is EXACTLY the set of pairs at
+    * Hamming distance <= maxHamming — all-pairs-oracle-verifiable while
+    * the executed plan is a keyed band join, nothing quadratic. */
+  def hammingNearDupPairs(withSim: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     require(SimhashBits % bands == 0,
       s"maxHamming+1 ($bands) must divide $SimhashBits; " +
         "use e.g. 0, 1, 2, 3, 4, 5, 9, 11, 14, 19, 29 or 59")
     val bits = SimhashBits / bands
     val mask = (1L << bits) - 1
-    val withSim = simhashSketches(docs, idCol, textCol)
     val banded = withSim.select(col("doc"), col("sim"),
       explode(array((0 until bands).map(b =>
         // tag the band index into the key so distinct bands never collide

@@ -75,6 +75,47 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("data")).as[Asset]
   }
 
+  /** Perceptual-hash-style fingerprint over RAW asset payloads: a
+    * [[Dedup.SimhashBits]]-bit majority-vote sketch of the payload's
+    * overlapping byte `gramBytes`-grams (each gram hashed to the house
+    * md5-hex-slice 60-bit value). The binary analogue of SimHash —
+    * modality-agnostic (no codec needed), robust to small payload edits
+    * (a local byte change flips only the grams covering it, which the
+    * majority vote absorbs), and engine-reproducible bit-for-bit, which
+    * is what lets q112 carry a full DuckDB oracle. Payloads shorter than
+    * one gram sketch to 0. Output: (doc, sim) — [[Dedup.hammingNearDupPairs]]'
+    * input shape.
+    *
+    * Scale: explode is linear in payload bytes, the md5 is codegen'd
+    * map-side work, and the 60 vote sums partial-aggregate before the
+    * shuffle — ~61 longs per (asset × partition) shuffled, never grams. */
+  def assetFingerprints(assets: DataFrame, idCol: String, dataCol: String,
+                        gramBytes: Int = 8): DataFrame = {
+    val ids = assets.select(col(idCol).as("doc"))
+    val gramHash = assets
+      .select(col(idCol).as("doc"), col(dataCol).as("d"))
+      .select(col("doc"), col("d"),
+        explode(when(length(col("d")) >= gramBytes,
+          sequence(lit(1), length(col("d")) - (gramBytes - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc"),
+        conv(substring(md5(col("d").substr(col("i"), lit(gramBytes))), 1, 15),
+          16, 10).cast("long").as("h"))
+    Dedup.majoritySketch(ids, gramHash)
+  }
+
+  /** Near-duplicate asset pairs by payload fingerprint: banded candidate
+    * join + exact Hamming verify over [[assetFingerprints]] — the
+    * multimodal near-dup completing §2.10's story beyond feature
+    * extraction. Exactly the pairs within `maxHamming` (pigeonhole
+    * recall contract, see [[Dedup.hammingNearDupPairs]]). */
+  def nearDupAssets(assets: DataFrame, idCol: String, dataCol: String,
+                    maxHamming: Int = 3, gramBytes: Int = 8): DataFrame =
+    Dedup.hammingNearDupPairs(
+      assetFingerprints(assets, idCol, dataCol, gramBytes), maxHamming)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
   /** Build an Asset dataset from real files on disk via the binaryFile
     * source: asset_id is the 64-bit hash of the path (stable), modality
     * the lowercased file extension. The real multimodal ingest path. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Joins, Reducers, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Reducers, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,17 @@ object Wave12 {
         e.filter(col("event_type") === "click"),
         e.filter(col("event_type") === "purchase"))
         .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+    },
+
+    // Multimodal near-dup: byte-gram majority-vote fingerprints over the
+    // RAW asset payloads (text bytes stand in for encoded media — the
+    // q32 convention) + banded Hamming join. Exactly the pairs within
+    // Hamming 3 (pigeonhole), so the all-pairs oracle is exact.
+    "q112_asset_neardup" -> { (s, d) =>
+      val assets = Multimodal.assetsFromText(
+        s, Tables.documents(s, d), "doc_id", "text")
+      Multimodal.nearDupAssets(assets.toDF(), "asset_id", "data")
+        .orderBy(col("asset_a"), col("asset_b"))
     }
   )
 
@@ -254,6 +265,41 @@ object Wave12 {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
         |ORDER BY c.user_id, l_event_id, r_event_id""".stripMargin,
+
+    // All-pairs Hamming over the byte-gram fingerprints — exact because
+    // banding's pigeonhole contract makes the engine output exactly the
+    // within-maxHamming pair set; the fingerprint replays bit-for-bit
+    // (md5-hex-slice gram hashes, pure-ASCII corpus: bytes = chars).
+    "q112_asset_neardup" -> {
+      val gramH =
+        """CAST(list_sum(list_transform(range(1, 16), i ->
+          |    (CAST(strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) AS BIGINT) - 1)
+          |    * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INTEGER)))) AS BIGINT)""".stripMargin
+      val votes = (0 until Dedup.SimhashBits).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(",\n    ")
+      val sketch = (0 until Dedup.SimhashBits).map(i =>
+        s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH gr AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, strlen(text) - 6),
+         |    i -> substr(text, CAST(i AS INT), 8))) AS g
+         |  FROM documents WHERE strlen(text) >= 8),
+         |th AS (SELECT doc_id, $gramH AS h FROM gr),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM th GROUP BY doc_id),
+         |sk AS (SELECT doc_id, $sketch AS fp FROM votes),
+         |alls AS (
+         |  SELECT d.doc_id, coalesce(s.fp, CAST(0 AS BIGINT)) AS fp
+         |  FROM documents d LEFT JOIN sk s ON d.doc_id = s.doc_id)
+         |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM alls a JOIN alls b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY asset_a, asset_b""".stripMargin
+    },
 
     "q110_value_spikes" ->
       """SELECT user_id, event_id, prev_max, value FROM (

@@ -93,4 +93,26 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkFixture {
     frames.filter(col("asset_id") === 1L).count() shouldBe 0
     frames.filter(col("asset_id") === 2L).count() shouldBe 2
   }
+
+  test("multimodal: payload fingerprints pair near-identical binaries, not unrelated ones") {
+    import spark.implicits._
+    // non-ASCII bytes on purpose: the fingerprint reads RAW payloads
+    val base = Array.tabulate[Byte](400)(i => ((i * 37 + 11) % 251).toByte)
+    val nearDup = base.clone(); nearDup(200) = (nearDup(200) ^ 0x5a).toByte
+    val unrelated = Array.tabulate[Byte](400)(i => ((i * 101 + 7) % 241).toByte)
+    val tiny = Array[Byte](1, 2, 3) // shorter than one gram -> sketch 0
+    val assets = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, tiny))
+      .toDF("asset_id", "data")
+    val pairs = Multimodal.nearDupAssets(assets, "asset_id", "data")
+      .select(col("asset_a"), col("asset_b")).as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L)) // one flipped byte -> tiny Hamming gap
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+    // determinism: identical payloads sketch identically (hamming 0)
+    val fp = Multimodal.assetFingerprints(
+      Seq((10L, base), (11L, base.clone())).toDF("asset_id", "data"),
+      "asset_id", "data")
+      .select(col("sim")).as[Long].collect()
+    fp(0) shouldBe fp(1)
+  }
 }
