@@ -111,6 +111,45 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q98: quote-containment candidates come from the gram-key join, nothing quadratic") {
+    val p = plan("q98_quote_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q101: corpus work is keyed aggregation; only per-source profiles self-join") {
+    // the src_a < src_b pair join is a BroadcastNestedLoopJoin over the
+    // per-source PROFILE relation (one row per source — quadratic in
+    // source count, never in the corpus), which is the intended plan;
+    // pin that the corpus side reaches it only through hash aggregates
+    // and that no cartesian appears
+    val p = plan("q101_source_divergence")
+    p should not include "CartesianProduct"
+    p should include("HashAggregate")
+    // profile join inputs are aggregates, not scans: every scan feeds an
+    // aggregate before any nested-loop join in the plan string
+    p.indexOf("BroadcastNestedLoopJoin") should be >= 0
+    p.indexOf("HashAggregate", p.indexOf("BroadcastNestedLoopJoin")) should be >= 0
+  }
+
+  test("q92 large-vocab path: prefix-filter containment plans with no cartesian") {
+    import spark.implicits._
+    // sf0.1's 40-word vocabulary always takes the bitmask fast path, so
+    // CI would never see the plan subsumedBy runs at real corpus scale;
+    // force the prefix-filter path with a >64-type vocabulary fixture
+    // (alphabetic-only words: digits are token separators).
+    val words = (for { a <- 'a' to 'j'; b <- 'a' to 'j' } yield s"$a$b").toVector
+    val docs = (1 to 80).map { i =>
+      val toks = (0 until 12).map(k => words((i * 7 + k * 13) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val df = graft.operators.Dedup.subsumedBy(docs, "doc_id", "text", 0.8)
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    df.count() should be >= 1L // path executes end-to-end (self rows at least)
+  }
+
   test("q109: mutual k-NN runs the LSH path — keyed joins only, no corpus broadcast") {
     // the brute baseline's signature is a BroadcastNestedLoopJoin over
     // the broadcast vector set; the scale path must show neither that

@@ -21,4 +21,15 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
     new java.io.File(s"$out/boom.ERROR").exists() shouldBe true
     spark.read.parquet(s"$out/good").count() shouldBe 25
   }
+
+  test("runAll leaves no cached blocks behind (cache-lifetime contract)") {
+    val out = PathsUtil.transientPath("graft-verifyspec-cache")
+    // q95 caches its tf intermediate internally — the exact shape the
+    // per-query clearCache in runAll exists to clean up
+    Verify.runAll(spark, sfDir, out, Map(
+      "q95_tfidf_pairs" -> SparkEntry.queries("q95_tfidf_pairs")))
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+    // and nothing stays pinned at the block level either
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
 }
