@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the rank/centrality
+  * complement of [[Dedup.components]]'s connectivity pass. A near-dup
+  * graph is the canonical input: PageRank over it surfaces the "hub"
+  * documents that near-duplicate everything (template/boilerplate
+  * sources a curation pass should inspect first), where plain dedup
+  * only says who touches whom.
+  *
+  * All rank arithmetic is fixed-point integer (micro-units): rank/degree
+  * shares use integer division and the damping factor is the exact
+  * rational 17/20, so every engine that can divide integers reproduces
+  * the ranks bit-for-bit — no float accumulation order to disagree on.
+  */
+object Graphs {
+
+  /** Damped PageRank, `iters` synchronous rounds, integer micro-units.
+    *
+    *   r₀(v)    = 1,000,000
+    *   rₜ₊₁(v) = 150,000 + (Σ_{u∈N(v)} (rₜ(u) div deg(u))) · 17 div 20
+    *
+    * (the integer form of 0.15 + 0.85·Σ r/deg with total mass n·1e6).
+    * Nodes absent from `edges` hold the teleport floor. `edges` is one
+    * undirected edge per row (a,b) — both directions are derived here.
+    *
+    * Scale: each round is one shuffle join (ranks × adjacency on the
+    * source key) + one keyed sum — the standard distributed PageRank
+    * shape. The adjacency (edge list + out-degree) is computed once and
+    * cached across rounds; rounds are a fixed small count, not
+    * convergence-driven, so the lineage stays bounded. Cache lifetime is
+    * caller-owned (the house contract): the cached adjacency lives until
+    * the caller's `spark.catalog.clearCache()` — unpersisting here would
+    * drop it before the returned (lazy) plan ever ran. Rank sums are
+    * bounded by in-degree · 1e6 per node — overflow needs a single node
+    * with ~9·10¹² in-neighbors. Output: (id, rank) for every node. */
+  def pageRankInt(edges: DataFrame, aCol: String, bCol: String,
+                  nodes: DataFrame, idCol: String,
+                  iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // adjacency with out-degree attached — the loop-invariant side of
+    // every round's join; cache so the edge shuffle happens once
+    val adj = und.join(deg, "src").cache()
+    val ids = nodes.select(col(idCol).as("id"))
+    var r = ids.select(col("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      // explicit aliases: after round 1, r's plan CONTAINS adj — without
+      // them the equi-join condition is ambiguous self-join references
+      val contrib = adj.as("a").join(r.as("p"), col("a.src") === col("p.id"))
+        .select(col("a.dst").as("dst"),
+          expr("p.rank DIV a.deg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+      r = ids.as("n").join(contrib.as("c"), col("n.id") === col("c.dst"), "left")
+        .select(col("n.id").as("id"),
+          (lit(150000L) + expr("(coalesce(c.s, 0L) * 17) DIV 20")).as("rank"))
+    }
+    r
+  }
+}

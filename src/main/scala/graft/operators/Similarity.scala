@@ -101,16 +101,36 @@ object Similarity {
                    dim: Int = 64, seed: Long = 42L,
                    exact: Boolean = false): DataFrame = {
     val planes = md5Planes(seed, nTables, bitsPerTable, dim)
-    val b = tableBuckets(vectors, idCol, vecCol, planes)
-    val pairs = b.withColumnRenamed("id", "query_id")
-      .join(b.withColumnRenamed("id", "neighbor_id"), Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
     val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val top = rankTopK(pairs,
-      v.toDF("query_id", "qv"), v.toDF("neighbor_id", "cv"), k, exact)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    // buckets WITH vectors: sims are computed inside the bucket
+    // self-join where both vectors are already co-located, so no pair
+    // relation ever shuffles vectors on pair keys (the dedup-then-attach
+    // alternative moves 2 vectors per CANDIDATE PAIR through two hash
+    // joins — pair rows vastly outnumber the n·L bucket rows this
+    // shuffles). The kernel is the codegen'd native expression, so
+    // evaluating it per candidate OCCURRENCE (pre-dedup) is cheaper
+    // than the joins it saves; cross-table duplicates collapse in the
+    // same aggregate that feeds the top-k (sims are deterministic per
+    // pair, so max == the one value).
+    val bv = tableBuckets(vectors, idCol, vecCol, planes).join(v, "id")
+    val sims = bv.select(col("table"), col("bucket"),
+        col("id").as("query_id"), col("v").as("qv"))
+      .join(bv.select(col("table"), col("bucket"),
+        col("id").as("neighbor_id"), col("v").as("cv")),
+        Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (if (exact) graft.functions.NativeExpr.cosineQF32(col("qv"), col("cv"))
+         else graft.functions.NativeExpr.cosineF32(col("qv"), col("cv")))
+          .as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
+    val topk = Agg.topK(k)
+    val top = sims.groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        V.quantize(col("col._1"), 6).as("sim"))
     mutualEdges(top)
   }
 
@@ -615,5 +635,60 @@ object Similarity {
         }
         (id, best, if (best >= threshold) 1L else 0L)
       }.toDF("id", "max_sim", "contaminated")
+  }
+
+  /** Label-conditioned embedding quality check: cosine of every vector
+    * to ITS label's centroid, plus an outlier flag — the standard
+    * mislabel/noise probe run before embeddings are trusted for
+    * curation (a vector far from its own class centroid is a labeling
+    * error or an off-distribution sample).
+    *
+    * Arithmetic is fully fixed-point so any engine reproduces every
+    * score bit-for-bit: vectors quantize per-dimension to ⌊x·1e6⌋
+    * longs; per-label dimension sums are exact integer aggregates;
+    * centroids are the integer-division shares sᵢ div n (still ≤ 1e6 in
+    * magnitude); dots and norms are exact long sums (≤ dim·1e12 — safe
+    * to 9·10⁵ dims); the only floating step is the final
+    * ⌊1e6·dot/√(n2v·n2c)⌋ — sqrt and division are IEEE
+    * correctly-rounded, so it is reproducible too.
+    *
+    * Scale: one (label, dim) hash aggregate (output rows =
+    * labels × dims, tiny) broadcast-joined back — the corpus is
+    * touched exactly twice, nothing quadratic, no driver collect.
+    * Zero-norm vectors (or all-zero centroids) report null cosine and
+    * flag 0. Output: (id, label, cos_q, outlier) — cos_q in
+    * micro-units, outlier = cos_q < ⌊threshold·1e6⌋. */
+  def labelCentroidCosine(vectors: DataFrame, idCol: String,
+                          vecCol: String, labelCol: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val q = vectors.select(col(idCol).as("id"), col(labelCol).as("label"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+    val cent = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s DIV n").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val dot = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val n2v = aggregate(transform(col("qv"), a => a * a),
+      lit(0L), (acc, v) => acc + v)
+    val n2c = aggregate(transform(col("cv"), a => a * a),
+      lit(0L), (acc, v) => acc + v)
+    val thrQ = math.floor(threshold * 1e6).toLong
+    q.join(broadcast(cent), "label")
+      .select(col("id"), col("label"),
+        dot.as("dot"), n2v.as("n2v"), n2c.as("n2c"))
+      .select(col("id"), col("label"),
+        when(col("n2v") > 0 && col("n2c") > 0,
+          floor(lit(1e6) * col("dot").cast("double")
+            / sqrt(col("n2v").cast("double") * col("n2c").cast("double")))
+            .cast("long")).as("cos_q"))
+      .withColumn("outlier",
+        when(col("cos_q").isNotNull && col("cos_q") < thrQ, 1L)
+          .otherwise(0L))
   }
 }

@@ -953,6 +953,92 @@ object TextAnalysis {
       .groupBy(length(bin(col("c"))).cast("long").as("bin"))
       .agg(count(lit(1)).as("n_grams"), sum(col("c")).as("occurrences"))
 
+  /** Per-document novelty — the fraction of a document's DISTINCT word
+    * `n`-grams that occur in NO other document. The standard "how much
+    * new content does this doc add" curation signal (high novelty =
+    * keep; near-zero = the corpus already says this), the per-document
+    * complement of [[gramSpectrum]]'s corpus-level profile.
+    *
+    * Plan: two aggregates over one gram stream, NO corpus-sized join:
+    *  - per-doc distinct grams assembled in-row (codegen), exploded once;
+    *  - agg 1 (key = doc): n_grams per doc;
+    *  - agg 2 (key = gram): occurrence count + min doc — a gram with
+    *    count 1 is novel and belongs to exactly that min doc, so novel
+    *    counts fall out of a second tiny (doc-keyed) aggregate over the
+    *    singleton grams.
+    * Both shuffles are word-count-shaped (map-side combine); nothing is
+    * quadratic and nothing joins two corpus-sized relations.
+    *
+    * `novelty_permille` = floor(1000·novel/grams) — exact integer
+    * arithmetic, engine-portable; null for docs shorter than `n` tokens.
+    * Output: (id, n_grams, n_novel, novelty_permille). */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5): DataFrame = {
+    val grams = explodedGrams(docs, col(idCol), col(textCol), n,
+      distinctPerDoc = true)
+      .select(col("__id").as("id"), unhex(md5(col("gram"))).as("g"))
+    val perDoc = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), min(col("id")).as("id"))
+      .filter(col("nd") === 1)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .join(novel, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNotNull,
+          floor(lit(1000) * coalesce(col("n_novel"), lit(0L))
+            / col("n_grams")).cast("long")).as("novelty_permille"))
+  }
+
+  /** Collocation mining — token bigrams whose corpus frequency exceeds
+    * what their unigram frequencies predict, ranked by lift
+    * p(ab)/(p(a)·p(b)). Lift orders identically to PMI (log is
+    * monotone) without evaluating a transcendental: `log`/`ln` are NOT
+    * required to be correctly rounded by IEEE 754, so Java and any
+    * other engine may disagree in the last ulp — multiplication and
+    * division ARE exact-rounded, so a fixed (·,/) sequence over exact
+    * integer counts is bit-reproducible everywhere.
+    *
+    * Plan: two word-count aggregates (unigrams, bigrams — map-side
+    * combine, corpus-linear) feeding VOCABULARY-sized joins (bigram
+    * table × unigram counts on each side); corpus totals ride in as a
+    * broadcast single row. Final top-k is TakeOrdered, never a global
+    * sort. `lift_q` = floor(lift·1000) with the documented operation
+    * order ((cab·n1)/ca)·(n1/cb)/n2.
+    * Output: k rows of (tok_a, tok_b, c_ab, lift_q), lift desc. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+                   k: Int = 50): DataFrame = {
+    val uni = docs.select(explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = explodedGrams(docs, lit(0L), col(textCol), 2)
+      .select(split(col("gram"), " ").as("ab"))
+      .select(col("ab").getItem(0).as("tok_a"),
+        col("ab").getItem(1).as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    // corpus totals BEFORE the min-count prune (probabilities are over
+    // the whole corpus, not the surviving bigrams) — cheap scan-level
+    // sums, no second pass over the bigram table
+    val totals = docs.select(
+      sum(size(T.tokens(col(textCol)))).cast("long").as("n1"),
+      sum(greatest(size(T.tokens(col(textCol))) - 1, lit(0)))
+        .cast("long").as("n2"))
+    val lift = ((col("cab").cast("double") * col("n1").cast("double"))
+      / col("ca").cast("double"))
+      .*(col("n1").cast("double") / col("cb").cast("double"))
+      ./(col("n2").cast("double"))
+    bi.join(uni.select(col("tok").as("tok_a"), col("c1").as("ca")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c1").as("cb")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("cab").as("c_ab"),
+        floor(lift * lit(1000)).cast("long").as("lift_q"))
+      .orderBy(col("lift_q").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

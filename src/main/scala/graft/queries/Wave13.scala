@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Graphs, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 13 — round-7 corpus-analytics operators, each with a full
+  * DuckDB oracle:
+  *
+  *  - q113 per-document gram novelty: fraction of a doc's distinct
+  *    5-grams occurring in no other document — the "does this doc add
+  *    anything" curation signal (`TextAnalysis.gramNovelty`).
+  *  - q114 collocation mining: token bigrams ranked by lift
+  *    p(ab)/(p(a)p(b)) — PMI ordering without the non-portable `ln`
+  *    (`TextAnalysis.collocations`).
+  *  - q115 PageRank over the near-dup graph: integer fixed-point damped
+  *    rank, 3 rounds — surfaces template/boilerplate hub documents
+  *    (`Graphs.pageRankInt` over `Dedup.minhashNearDupPairs`).
+  *  - q116 label-centroid cosine outliers: every embedding scored
+  *    against its own label's fixed-point centroid — the mislabel probe
+  *    (`Similarity.labelCentroidCosine`).
+  *
+  * Portability rules as everywhere: integer/fixed-point arithmetic or
+  * fixed IEEE (·,/,sqrt) sequences only — no `ln`, no float
+  * accumulation-order dependence.
+  */
+object Wave13 {
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private val NoveltyN = 5
+  private val CollocMin = 5L
+  private val CollocK = 50
+  private val PrIters = 3
+  private val PrTau = 0.9
+  // cos-to-centroid on the synthetic embeddings spans [-0.30, 0.47]
+  // (median 0.15): zero splits the corpus ~10/90 — a discriminative flag
+  private val OutlierThr = 0.0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-doc 5-gram novelty profile.
+    "q113_gram_novelty" -> { (s, d) =>
+      TextAnalysis.gramNovelty(Tables.documents(s, d), "doc_id", "text",
+        n = NoveltyN)
+        .orderBy(col("id"))
+    },
+
+    // Top-50 token-bigram collocations by lift (min count 5).
+    "q114_collocations" -> { (s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = CollocMin, k = CollocK)
+    },
+
+    // 3-round integer PageRank over the jaccard>=0.9 near-dup graph.
+    "q115_neardup_pagerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text", PrTau)
+      Graphs.pageRankInt(edges, "doc_a", "doc_b", docs, "doc_id",
+        iters = PrIters)
+        .orderBy(col("id"))
+    },
+
+    // Cosine-to-own-label-centroid outlier probe.
+    "q116_centroid_outliers" -> { (s, d) =>
+      Similarity.labelCentroidCosine(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", threshold = OutlierThr)
+        .orderBy(col("id"))
+    })
+
+  /** Shared edge CTE for q115: exact token-set Jaccard pairs >= 0.9
+    * (what the verified MinHash path outputs — same oracle family as
+    * q25/q26/q65). */
+  private val SqlNearDupEdges =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $PrTau)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q113_gram_novelty" ->
+      s"""WITH ctoks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(t) - ${NoveltyN - 2}),
+         |      i -> md5(array_to_string(t[i:i+${NoveltyN - 1}], ' '))))) AS g
+         |  FROM ctoks WHERE len(t) >= $NoveltyN),
+         |pg AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         |nov AS (
+         |  SELECT doc_id, count(*) AS n_novel FROM (
+         |    SELECT min(doc_id) AS doc_id FROM g GROUP BY g HAVING count(*) = 1)
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(pg.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN pg.n_grams IS NOT NULL THEN
+         |    CAST(floor(1000 * coalesce(nov.n_novel, 0) / pg.n_grams) AS BIGINT)
+         |  END AS novelty_permille
+         |FROM documents d
+         |LEFT JOIN pg USING (doc_id) LEFT JOIN nov USING (doc_id)
+         |ORDER BY id""".stripMargin,
+
+    "q114_collocations" ->
+      s"""WITH ctoks AS (SELECT $SqlToks AS t FROM documents),
+         |uni AS (SELECT tok, count(*) AS c1
+         |        FROM (SELECT unnest(t) AS tok FROM ctoks) GROUP BY 1),
+         |bi AS (
+         |  SELECT t[i] AS tok_a, t[i+1] AS tok_b, count(*) AS cab
+         |  FROM ctoks, unnest(range(1, len(t))) AS u(i)
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $CollocMin),
+         |tot AS (
+         |  SELECT sum(len(t)) AS n1,
+         |         sum(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END) AS n2
+         |  FROM ctoks)
+         |SELECT tok_a, tok_b, CAST(cab AS BIGINT) AS c_ab,
+         |  CAST(floor(
+         |    ((CAST(cab AS DOUBLE) * CAST(n1 AS DOUBLE)) / CAST(ua.c1 AS DOUBLE))
+         |    * (CAST(n1 AS DOUBLE) / CAST(ub.c1 AS DOUBLE))
+         |    / CAST(n2 AS DOUBLE) * 1000) AS BIGINT) AS lift_q
+         |FROM bi
+         |JOIN uni ua ON bi.tok_a = ua.tok
+         |JOIN uni ub ON bi.tok_b = ub.tok
+         |CROSS JOIN tot
+         |ORDER BY lift_q DESC, tok_a, tok_b
+         |LIMIT $CollocK""".stripMargin,
+
+    "q115_neardup_pagerank" -> {
+      // unrolled synchronous rounds: rK from r(K-1)
+      val rounds = (1 to PrIters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.doc_id,
+           |    150000 + (coalesce(s.s, 0) * 17) // 20 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT u.dst, sum(p.r // u.deg) AS s
+           |    FROM adj u JOIN r${k - 1} p ON u.src = p.doc_id
+           |    GROUP BY 1) s ON n.doc_id = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SqlNearDupEdges,
+         |und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+         |adj AS (SELECT und.src, und.dst, deg.deg FROM und JOIN deg USING (src)),
+         |nodes AS (SELECT doc_id FROM documents),
+         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |SELECT doc_id AS id, CAST(r AS BIGINT) AS rank
+         |FROM r$PrIters ORDER BY id""".stripMargin
+    },
+
+    "q116_centroid_outliers" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, i AS dim, sum(qv[CAST(i+1 AS INT)]) AS s,
+         |    count(*) AS n
+         |  FROM q, unnest(range(0, len(qv))) AS u(i)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label, list(s // n ORDER BY dim) AS cv
+         |  FROM ex GROUP BY 1),
+         |sc AS (
+         |  SELECT vec_id, q.label,
+         |    list_sum(list_transform(range(1, len(qv)+1),
+         |      i -> qv[i] * cv[i])) AS dot,
+         |    list_sum(list_transform(qv, a -> a * a)) AS n2v,
+         |    list_sum(list_transform(cv, a -> a * a)) AS n2c
+         |  FROM q JOIN cent ON q.label = cent.label)
+         |SELECT vec_id AS id, CAST(label AS INT) AS label,
+         |  CASE WHEN n2v > 0 AND n2c > 0 THEN
+         |    CAST(floor(1e6 * CAST(dot AS DOUBLE)
+         |      / sqrt(CAST(n2v AS DOUBLE) * CAST(n2c AS DOUBLE))) AS BIGINT)
+         |  END AS cos_q,
+         |  CAST(CASE WHEN n2v > 0 AND n2c > 0
+         |    AND floor(1e6 * CAST(dot AS DOUBLE)
+         |      / sqrt(CAST(n2v AS DOUBLE) * CAST(n2c AS DOUBLE)))
+         |      < ${math.floor(OutlierThr * 1e6).toLong}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS outlier
+         |FROM sc ORDER BY id""".stripMargin)
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-computed integer-PageRank goldens: the fixed-point arithmetic
+  * (rank div deg shares, ·17 div 20 damping) is exact, so every rank is
+  * a checkable integer — no tolerance anywhere. */
+class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("pageRankInt: path graph 1-2-3 plus isolated 4, 3 rounds, exact ranks") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = Graphs.pageRankInt(edges, "a", "b", nodes, "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1: ends get (1e6 div 2)*17 div 20 = 425000 + 150000;
+    //          middle gets (1e6 + 1e6)*17 div 20 = 1700000 + 150000
+    // round 2: ends 150000 + (1850000 div 2)*17 div 20 = 936250;
+    //          middle 150000 + (575000*2)*17 div 20 = 1127500
+    // round 3: ends 150000 + (1127500 div 2)*17 div 20 = 629187;
+    //          middle 150000 + (936250*2)*17 div 20 = 1741625
+    got shouldBe Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L,
+      4L -> 150000L)
+  }
+
+  test("pageRankInt: total mass is conserved up to teleport (sanity on real near-dup graph)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9)
+    val r = Graphs.pageRankInt(edges, "doc_a", "doc_b", docs, "doc_id")
+    val n = docs.count()
+    r.count() shouldBe n
+    // every node holds at least the teleport floor, and no rank can
+    // exceed the whole graph's mass
+    val stats = r.agg(min(col("rank")), max(col("rank"))).collect()(0)
+    stats.getLong(0) should be >= 150000L
+    stats.getLong(1) should be <= n * 1000000L
+  }
+}

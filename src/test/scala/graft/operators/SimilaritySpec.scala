@@ -236,4 +236,24 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
       }
     }
   }
+
+  test("labelCentroidCosine: hand-computed fixed-point centroids and scores") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),  // label 0 centroid = [500000, 500000]
+      (2L, 0, Array(0.0f, 1.0f)),
+      (3L, 1, Array(3.0f, 4.0f)),  // singleton label: cos to own centroid = 1
+      (4L, 2, Array(0.0f, 0.0f))   // zero vector: null cosine, flag 0
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.labelCentroidCosine(vs, "vec_id", "embedding",
+      "label", threshold = 0.5)
+      .as[(Long, Int, Option[Long], Long)].collect().sortBy(_._1)
+    // labels 0: dot = 1e6*5e5 = 5e11, n2v = 1e12, n2c = 5e11
+    //   cos_q = floor(1e6 * 5e11 / sqrt(1e12 * 5e11)) = 707106
+    r shouldBe Array(
+      (1L, 0, Some(707106L), 0L),
+      (2L, 0, Some(707106L), 0L),
+      (3L, 1, Some(1000000L), 0L),
+      (4L, 2, None, 0L))
+  }
 }

@@ -208,4 +208,41 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
       if (nWin > 0) nSel should be >= (nWin + w - 1) / w
     }
   }
+
+  test("gramNovelty: crafted corpus with exact novelty accounting") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b c d e"),      // 1 gram, duplicated by doc 2 -> 0 novel
+      (2L, "a b c d e"),
+      (3L, "x y z w v u"),    // 2 grams, both unique -> fully novel
+      (4L, "p q")             // < n tokens -> no grams, null permille
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gramNovelty(crafted, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 1L, 0L, Some(0L)),
+      (2L, 1L, 0L, Some(0L)),
+      (3L, 2L, 2L, Some(1000L)),
+      (4L, 0L, 0L, None))
+  }
+
+  test("collocations matches a local brute-force lift computation") {
+    import spark.implicits._
+    val sample = docs.limit(300).cache()
+    val got = TextAnalysis.collocations(sample, "text", minCount = 3L, k = 20)
+      .as[(String, String, Long, Long)].collect()
+
+    val corpus = sample.select(col("text")).as[String].collect().map(toks)
+    val uni = corpus.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bi = corpus.flatMap(t => t.sliding(2).filter(_.length == 2))
+      .groupBy(g => (g(0), g(1))).view.mapValues(_.length.toLong).toMap
+    val n1 = corpus.map(_.length.toLong).sum.toDouble
+    val n2 = corpus.map(t => math.max(0, t.length - 1).toLong).sum.toDouble
+    val want = bi.toSeq.filter(_._2 >= 3L).map { case ((a, b), cab) =>
+      // the documented operation order: ((cab*n1)/ca)*(n1/cb)/n2
+      val lift = ((cab.toDouble * n1) / uni(a)) * (n1 / uni(b)) / n2
+      (a, b, cab, math.floor(lift * 1000).toLong)
+    }.sortBy { case (a, b, _, lq) => (-lq, a, b) }.take(20)
+    got.toSeq shouldBe want
+  }
 }
