@@ -40,19 +40,31 @@ object Graphs {
                   nodes: DataFrame, idCol: String,
                   iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // cache the INPUT edge list before fanning out: `und` references it
+    // twice (both directions) and `deg` a third time — without this the
+    // upstream edge pipeline (e.g. a whole MinHash near-dup run) would
+    // replay once per reference while the adjacency cache materializes
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // adjacency with out-degree attached — the loop-invariant side of
-    // every round's join; cache so the edge shuffle happens once
-    val adj = und.join(deg, "src").cache()
+    // Pregel-style grouped adjacency: one row per node with its neighbor
+    // list + degree. Each round then joins NODE-cardinality relations
+    // (ranks × adjacency) and the edge-cardinality contribution stream
+    // is exploded IN-STREAM from the arrays — edges are shuffled once
+    // here, never again per round (the per-round aggregate still
+    // map-side-combines, so shuffle bytes stay node-bounded). Memory is
+    // bounded by the hottest node's degree, the standard adjacency-list
+    // trade — for degree-pathological graphs split hubs into salted
+    // sub-rows before calling (ranks add linearly over the split).
+    val adj = und.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
+      .cache()
     val ids = nodes.select(col(idCol).as("id"))
     var r = ids.select(col("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       // explicit aliases: after round 1, r's plan CONTAINS adj — without
       // them the equi-join condition is ambiguous self-join references
       val contrib = adj.as("a").join(r.as("p"), col("a.src") === col("p.id"))
-        .select(col("a.dst").as("dst"),
+        .select(explode(col("a.nbrs")).as("dst"),
           expr("p.rank DIV a.deg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("s"))
       r = ids.as("n").join(contrib.as("c"), col("n.id") === col("c.dst"), "left")
