@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sanity harness: replicate the sf tables `mult`× with CONSTANT
+  * near-duplicate density, then time the heavy dedup/similarity
+  * operators on the result — the "would this still work at 1000
+  * executors" evidence BASELINE.md's scale tables record.
+  *
+  * Corpus construction (derived deterministically from the driver
+  * tables — no RNG):
+  *  - every document spawns `mult` replicas in groups of 10. Replicas in
+  *    a group share 4 base tokens plus a GROUP-specific 48-token salt
+  *    block and differ by one replica token (token-set Jaccard ≈ 0.98
+  *    within a group); any two docs from different groups share AT MOST
+  *    the 4 base tokens (Jaccard ≤ 0.04). So each doc has ~9 genuine
+  *    near-dups REGARDLESS of `mult`: the workload grows linearly,
+  *    unlike the r5 10× table where the dup density itself grew with
+  *    the multiplier. The base-token cap matters: the sf corpora are
+  *    40-word-vocabulary and already near-dup-saturated (sf0.1 holds
+  *    965k jaccard>=0.9 pairs over 5,000 docs), so carrying full base
+  *    texts would keep cross-group Jaccard ≈ 0.33, whose 4-row-band
+  *    collision rate (~17%) turns the quadratic cross-pair count into
+  *    quadratic VERIFY work — a property of that corpus, not of the
+  *    operators. At J ≈ 0.04 the band-collision rate is ~4e-5, so false
+  *    candidates stay a bounded fraction of true ones. Salt tokens are
+  *    letter-only (base-26) because the house tokenizer drops digits.
+  *  - every embedding spawns `mult` replicas in groups of 10: a group
+  *    shares one deterministic md5-seeded unit-noise mix
+  *    (0.5·v + 0.9·|v|·noise(group)), so within-group cosine = 1 and
+  *    cross-group cosine ≈ 0.24 < the 0.35 SemDeDup threshold — again
+  *    ~9 true semantic dups per vector at any `mult`.
+  *
+  * Queries run exactly as SparkEntry declares them, except semantic
+  * dedup, which follows its own scaladoc's corpus-scale recipe
+  * (k ≈ √n centroids trained on a sample, not the fixed sf-sized
+  * centroid literals — with fixed centroids a 100× corpus would do
+  * 100× quadratic within-cluster work by construction, which is a
+  * mis-use the scaladoc warns against, not a property of the operator).
+  *
+  * Usage: runMain graft.ScaleSanity [sfDir] [mult] [workDir] [queries...]
+  */
+object ScaleSanity {
+
+  /** Letter-only base-26 rendering (the tokenizer strips digits). */
+  private def letters(x: Long): String = {
+    var v = x
+    val sb = new StringBuilder
+    if (v == 0) sb += 'a'
+    while (v > 0) { sb += ('a' + (v % 26).toInt).toChar; v /= 26 }
+    sb.result()
+  }
+
+  def scaleDocuments(spark: SparkSession, sfDir: String, mult: Int): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+    docs.flatMap { case (id, text, lang, source) =>
+      val base = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .distinct.take(4).mkString(" ")
+      (0 until mult).iterator.map { r =>
+        val grp = r / 10
+        val salt = (0 until 48)
+          .map(i => s"s${letters(id)}g${letters(grp)}w${letters(i)}")
+          .mkString(" ")
+        val t = s"$base $salt r${letters(r)}"
+        (id * mult + r, t, lang, source, t.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  def scaleEmbeddings(spark: SparkSession, sfDir: String, mult: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+    vecs.flatMap { case (id, v, label) =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (0 until mult).iterator.map { r =>
+        val grp = r / 10
+        // md5-seeded unit noise per (vec, group): deterministic, and
+        // near-orthogonal across groups in 64 dims
+        val noise = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"scale:$id:$grp:$i".getBytes("UTF-8"))
+          val b = ((h(0) & 0xffL) << 8) | (h(1) & 0xffL)
+          noise(i) = b.toDouble / 32768.0 - 1.0
+          i += 1
+        }
+        val nn = math.sqrt(noise.map(x => x * x).sum).max(1e-12)
+        val out = new Array[Float](v.length)
+        i = 0
+        while (i < v.length) {
+          out(i) = (0.5 * v(i) + 0.9 * norm * noise(i) / nn).toFloat
+          i += 1
+        }
+        (id * mult + r, out, label)
+      }
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 100
+    val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val defaults = Seq("q26_minhash_neardup", "q55_neardup_clusters",
+      "q92_subsumed_docs", "q95_tfidf_pairs", "semantic_dedup_sqrtk")
+    val queries = if (args.length > 3) args.drop(3).toSeq else defaults
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctionRegistry.register(spark)
+
+    scaleDocuments(spark, sfDir, mult).repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    scaleEmbeddings(spark, sfDir, mult).repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+    val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
+    val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()
+    println(s"""{"scaled":{"documents":$nd,"embeddings":$ne,"mult":$mult}}""")
+
+    queries.foreach { name =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows =
+        if (name == "semantic_dedup_sqrtk") {
+          val emb = Tables.embeddings(spark, workDir)
+          val k = math.ceil(math.sqrt(ne.toDouble)).toInt
+          val cents = graft.operators.Similarity.trainCentroids(
+            emb, "embedding", k, iters = 3,
+            sampleFraction = math.min(1.0, 20000.0 / ne), seed = 42L)
+          graft.operators.Similarity.semanticDedup(emb, "vec_id",
+            "embedding", cents, 0.35).count()
+        } else SparkEntry.queries(name)(spark, workDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"query":"$name","mult":$mult,"sec":$sec%.1f,"rows":$rows}""")
+    }
+    spark.stop()
+  }
+}

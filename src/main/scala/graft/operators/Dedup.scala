@@ -348,8 +348,10 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.h") =!= col("b.h"))
       .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
       .dropDuplicates("h_a", "h_b")
-    val byHash = broadcast(groups.select(skHashUdf(col("sk")).as("h"),
-      col("sk"), col("ts"), col("n")))
+    // no broadcast hint: carries full token arrays at distinct-content
+    // cardinality (corpus-sized at scale) — AQE picks the join side
+    val byHash = groups.select(skHashUdf(col("sk")).as("h"),
+      col("sk"), col("ts"), col("n"))
     candPairs
       .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
         col("ts").as("ts_a")), "h_a")
@@ -452,12 +454,15 @@ object Dedup {
           .select(col("sk_a"), col("sk_b"), col("jac"))
           .dropDuplicates("sk_a", "sk_b")
       case None =>
-        val an = broadcast(newGroups
+        // no broadcast hints: the corpus side is corpus-sized by
+        // definition and the new side is only USUALLY small — both carry
+        // full token arrays, so let AQE broadcast only what measures small
+        val an = newGroups
           .select(skHashUdf(col("sk")).as("h_a"), col("sk").as("sk_a"),
-            col("ts").as("ts_a")))
-        val bc = broadcast(corpGroups
+            col("ts").as("ts_a"))
+        val bc = corpGroups
           .select(skHashUdf(col("sk")).as("h_b"), col("sk").as("sk_b"),
-            col("ts").as("ts_b")))
+            col("ts").as("ts_b"))
         cand.dropDuplicates("h_a", "h_b")
           .join(an, "h_a").join(bc, "h_b")
           .withColumn("jac", jac(col("ts_a"), col("ts_b")))
@@ -602,8 +607,15 @@ object Dedup {
           .select(col("sk_a"), col("sk_b"), col("jac"))
           .dropDuplicates("sk_a", "sk_b")
       case None =>
-        val byHash = broadcast(groups.select(skHashUdf(col("sk")).as("h"),
-          col("sk"), col("ts")))
+        // NO broadcast hint here: this relation carries the full token
+        // arrays and its cardinality is the distinct-CONTENT count,
+        // which at corpus scale is corpus-sized — a forced broadcast is
+        // a driver OOM (observed at the 100× scale run). The join keys
+        // are the skinny set hashes, so the shuffle hash join AQE picks
+        // for a big side is the scale-correct shape; AQE still
+        // broadcasts small corpora on its own.
+        val byHash = groups.select(skHashUdf(col("sk")).as("h"),
+          col("sk"), col("ts"))
         candPairs
           .dropDuplicates("h_a", "h_b")
           .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
