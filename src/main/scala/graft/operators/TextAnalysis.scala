@@ -1039,6 +1039,61 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: cumulative token count vs
+    * cumulative distinct-type count over a deterministic md5-ordered
+    * `buckets`-way partition of the corpus — the curve that answers
+    * "is the vocabulary saturating or still growing" (sizes dedup join
+    * keys, tokenizer vocabularies, rare-token thresholds). A type is
+    * charged to the FIRST bucket (min bucket) that contains it, so the
+    * cumulative counts are exactly what a sequential scan in bucket
+    * order would see, computed with no sequential scan.
+    *
+    * Scale: one token explode feeding two word-count-shaped aggregates
+    * (per-type min bucket, per-bucket token count), then a cumulative
+    * window over <= `buckets` rows (bounded — the single-partition
+    * window holds `buckets` rows, not data). Output: (b, tokens_cum,
+    * types_cum), one row per non-empty bucket. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val b = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % buckets).as("b")
+    val toks = docs.select(b, explode(T.tokens(col(textCol))).as("tok"))
+    val nv = toks.groupBy(col("tok")).agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("nv"))
+    val nt = toks.groupBy(col("b")).agg(count(lit(1)).as("nt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    nt.join(nv, Seq("b"), "left")
+      .select(col("b"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+      .select(col("b"), sum(col("nt")).over(w).as("tokens_cum"),
+        sum(col("nv")).over(w).as("types_cum"))
+  }
+
+  /** Per-document gram diversity as Gini impurity 1 − Σp² over word
+    * `n`-gram frequencies — the smooth complement of
+    * [[repetitionStats]]'s top-bigram fraction (a doc that cycles a few
+    * phrases scores low even when no single phrase dominates). Pure
+    * rational arithmetic: permille = ⌊1000·(t² − Σc²)/t²⌋ over exact
+    * integer counts — no log/entropy, so any engine reproduces it.
+    *
+    * Scale: one (doc, gram) count aggregate + one per-doc rollup, both
+    * word-count-shaped. Docs with fewer than `n` tokens report null.
+    * Output: (id, n_grams, gini_permille). */
+  def gramGini(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 2): DataFrame = {
+    val per = explodedGrams(docs, col(idCol), col(textCol), n)
+      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("__id").as("id"))
+      .agg(sum(col("c")).as("t"), sum(col("c") * col("c")).as("s2"))
+    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("t"), lit(0L)).as("n_grams"),
+        when(col("t").isNotNull,
+          floor(lit(1000) * (col("t") * col("t") - col("s2"))
+            / (col("t") * col("t"))).cast("long")).as("gini_permille"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

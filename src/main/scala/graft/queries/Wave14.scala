@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Reducers, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 14 — round-7 corpus-statistics and robust-anomaly operators,
+  * each with a full DuckDB oracle:
+  *
+  *  - q117 vocabulary-growth (Heaps-law) curve: cumulative tokens vs
+  *    cumulative distinct types over an md5-ordered bucket partition —
+  *    "is the vocabulary saturating" (`TextAnalysis.vocabGrowth`).
+  *  - q118 per-document gram diversity as Gini impurity 1 − Σp² —
+  *    rational arithmetic, no entropy/log (`TextAnalysis.gramGini`).
+  *  - q119 per-user robust outlier profile via median absolute
+  *    deviation over quantized values — two exact integer-interpolation
+  *    quantile passes (`Reducers.madOutliers` on `quantilesBy`).
+  */
+object Wave14 {
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private val GrowthBuckets = 10
+  private val GiniN = 2
+  private val MadK = 3.0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_vocab_growth" -> { (s, d) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, d), "doc_id", "text",
+        buckets = GrowthBuckets)
+        .orderBy(col("b"))
+    },
+
+    "q118_gram_gini" -> { (s, d) =>
+      TextAnalysis.gramGini(Tables.documents(s, d), "doc_id", "text",
+        n = GiniN)
+        .orderBy(col("id"))
+    },
+
+    "q119_mad_outliers" -> { (s, d) =>
+      Reducers.madOutliers(Tables.events(s, d), "user_id", "value",
+        k = MadK)
+        .orderBy(col("user_id"))
+    })
+
+  /** q106's integer-interpolation quantile twin, parameterized. */
+  private def sqlInterp(c: String, pm: Int): String =
+    s"""CAST(max(CASE WHEN rn = ((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 1
+       |      THEN $c END) * 1000
+       |    + (max(CASE WHEN rn = least(((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 2, cnt)
+       |        THEN $c END)
+       |      - max(CASE WHEN rn = ((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 1
+       |          THEN $c END)) * (((cnt-1)*$pm) % 1000)
+       |    AS DOUBLE) / 1000.0""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q117_vocab_growth" ->
+      s"""WITH toks AS (
+         |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |           % $GrowthBuckets AS b,
+         |         unnest($SqlToks) AS tok
+         |  FROM documents),
+         |nv AS (SELECT fb AS b, count(*) AS nv FROM (
+         |         SELECT tok, min(b) AS fb FROM toks GROUP BY 1) GROUP BY 1),
+         |nt AS (SELECT b, count(*) AS nt FROM toks GROUP BY 1)
+         |SELECT nt.b AS b,
+         |  CAST(sum(nt.nt) OVER (ORDER BY nt.b) AS BIGINT) AS tokens_cum,
+         |  CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY nt.b) AS BIGINT) AS types_cum
+         |FROM nt LEFT JOIN nv USING (b)
+         |ORDER BY b""".stripMargin,
+
+    "q118_gram_gini" ->
+      s"""WITH ctoks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g, count(*) AS c
+         |  FROM ctoks, unnest(range(1, len(t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |per AS (SELECT doc_id, sum(c) AS t, sum(c*c) AS s2 FROM cnt GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(per.t, 0) AS BIGINT) AS n_grams,
+         |  CASE WHEN per.t IS NOT NULL THEN
+         |    CAST(floor(1000 * (per.t*per.t - per.s2) / (per.t*per.t)) AS BIGINT)
+         |  END AS gini_permille
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY id""".stripMargin,
+
+    "q119_mad_outliers" ->
+      s"""WITH base AS (
+         |  SELECT user_id AS k, CAST(floor(value * 1e6) AS BIGINT) AS v,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(floor(value*1e6) AS BIGINT)) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cnt
+         |  FROM events),
+         |med AS (SELECT k, ${sqlInterp("v", 500)} AS med_q
+         |        FROM base GROUP BY k, cnt),
+         |dev AS (
+         |  SELECT b.k, m.med_q,
+         |    CAST(floor(abs(CAST(b.v AS DOUBLE)*1000.0 - m.med_q*1000.0)) AS BIGINT) AS dq
+         |  FROM base b JOIN med m USING (k)),
+         |base2 AS (
+         |  SELECT k, med_q, dq,
+         |    CAST(row_number() OVER (PARTITION BY k ORDER BY dq) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS cnt
+         |  FROM dev),
+         |mad AS (SELECT k, ${sqlInterp("dq", 500)} AS mad_q
+         |        FROM base2 GROUP BY k, cnt)
+         |SELECT d.k AS user_id, max(d.med_q) AS med_q, max(ma.mad_q) AS mad_q,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN CAST(d.dq AS DOUBLE) > $MadK * ma.mad_q
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad ma USING (k) GROUP BY d.k ORDER BY user_id""".stripMargin)
+}

@@ -158,4 +158,29 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q113: gram novelty is aggregates + keyed joins — nothing nested-loop") {
+    val p = plan("q113_gram_novelty")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q114: collocation top-k is TakeOrdered; corpus totals ride a 1-row broadcast") {
+    val p = plan("q114_collocations")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
+
+  test("q115: PageRank rounds reuse the cached adjacency, no cartesian anywhere") {
+    val p = plan("q115_neardup_pagerank")
+    p should not include "CartesianProduct"
+    p should include("InMemoryTableScan") // the round-invariant adjacency
+  }
+
+  test("q116: centroid re-attach is a broadcast hash join on the label key") {
+    val p = plan("q116_centroid_outliers")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -123,6 +123,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .as[Int].collect() shouldBe Array(2)
   }
 
+  test("Reducers.madOutliers: hand-computed medians, MADs, and flags") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: median 1.0, MAD degenerates to 0 -> every off-median
+      // value flags (the documented degenerate case)
+      (1L, 1.0), (1L, 1.0), (1L, 1.0), (1L, 1.0), (1L, 100.0),
+      // user 2: even count -> interpolated median 15.0; devs (x1000,
+      // micro-units) sort to [1,1,3,3,5,985]e9 -> MAD 3e9; only the
+      // 1000.0 exceeds 3*MAD
+      (2L, 10.0), (2L, 12.0), (2L, 14.0), (2L, 16.0), (2L, 18.0),
+      (2L, 1000.0)
+    ).toDF("user_id", "value")
+    val r = Reducers.madOutliers(ev, "user_id", "value", k = 3.0)
+      .as[(Long, Double, Double, Long, Long)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 1e6, 0.0, 5L, 1L),
+      (2L, 15e6, 3e9, 6L, 1L))
+  }
+
   test("matrixify golden: reference expected output (matrixify_test.clj)") {
     import spark.implicits._
     // the reference fixture's six edges (dev-resources/matrixify-input.txt)

@@ -226,6 +226,49 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
       (4L, 0L, 0L, None))
   }
 
+  test("gramGini: hand-computed impurity on crafted docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b a b a b"),  // bigrams ab:3, ba:2 -> t=5, s2=13 -> 480
+      (2L, "x y"),          // one bigram -> gini 0
+      (3L, "z")             // < 2 tokens -> null
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gramGini(crafted, "doc_id", "text", n = 2)
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 5L, Some(480L)),
+      (2L, 1L, Some(0L)),
+      (3L, 0L, None))
+  }
+
+  test("vocabGrowth matches a local md5-bucketed twin on real docs") {
+    import spark.implicits._
+    val sample = docs.limit(200).cache()
+    val got = TextAnalysis.vocabGrowth(sample, "doc_id", "text", buckets = 10)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 10
+    }
+    val byB = sample.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => bucket(id) -> toks(t) }
+    val buckets = byB.map(_._1).distinct.sorted
+    val want = buckets.map { b =>
+      val upTo = byB.filter(_._1 <= b)
+      (b, upTo.map(_._2.length.toLong).sum,
+        upTo.flatMap(_._2).distinct.length.toLong)
+    }
+    got shouldBe want
+    // cumulative counts never decrease
+    got.sliding(2).foreach {
+      case Array((_, t1, v1), (_, t2, v2)) =>
+        t2 should be >= t1; v2 should be >= v1
+      case _ => ()
+    }
+  }
+
   test("collocations matches a local brute-force lift computation") {
     import spark.implicits._
     val sample = docs.limit(300).cache()
