@@ -183,4 +183,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q118/q119: word-count aggregates and key-partitioned windows only") {
+    val g = plan("q118_gram_gini")
+    g should not include "CartesianProduct"
+    g should not include "BroadcastNestedLoopJoin"
+    // the quantile windows must be key-partitioned — a single-partition
+    // window over events would be the classic scale regression
+    val m = plan("q119_mad_outliers")
+    m should include("Window")
+    m should not include "Exchange SinglePartition"
+    m should not include "CartesianProduct"
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based contracts for the round-7 operators: integer PageRank
+  * conserves bounded mass and ranks symmetric nodes identically; gram
+  * novelty and Gini stay inside their per-mille ranges and respect
+  * duplication; MAD outliers never flags when all values are equal.
+  * Sample counts are small (each sample runs Spark jobs). */
+object Wave1314Properties extends Properties("Wave1314") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkFixture.spark
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 12).flatMap(m =>
+      Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, 7L); b <- Gen.chooseNum(0L, 7L) if a != b
+      } yield (math.min(a, b), math.max(a, b))))
+
+  property("pageRankInt: every node >= teleport floor, total <= initial mass, all nodes present") =
+    forAll(genEdges) { edges =>
+      import spark.implicits._
+      val nodes = (0L to 7L).toDF("id")
+      val e = edges.toDF("a", "b")
+      val r = Graphs.pageRankInt(e, "a", "b", nodes, "id", iters = 2)
+        .as[(Long, Long)].collect()
+      val n = 8L
+      r.length == 8 &&
+        r.forall(_._2 >= 150000L) &&
+        // damping leaks mass (floor division only loses more), so the
+        // total can never exceed the initial n * 1e6
+        r.map(_._2).sum <= n * 1000000L
+    }
+
+  private val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox")
+  private def genDoc: Gen[String] =
+    Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+  private val genCorpus: Gen[List[String]] =
+    Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, genDoc))
+
+  property("gramNovelty: permille in [0,1000]; duplicating the corpus zeroes novelty") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val r1 = TextAnalysis.gramNovelty(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2)
+        .as[(Long, Long, Long, Option[Long])].collect()
+      // every doc duplicated under a fresh id -> no gram is unique
+      val doubled = docs ++ docs.map { case (id, t) => (id + 1000L, t) }
+      val r2 = TextAnalysis.gramNovelty(doubled.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2)
+        .as[(Long, Long, Long, Option[Long])].collect()
+      r1.forall { case (_, g, nv, pm) =>
+        nv <= g && pm.forall(p => p >= 0 && p <= 1000)
+      } &&
+        r2.forall { case (_, _, nv, pm) => nv == 0L && pm.forall(_ == 0L) }
+    }
+
+  property("gramGini: permille in [0,1000); 0 iff a single distinct gram") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val r = TextAnalysis.gramGini(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2)
+        .as[(Long, Long, Option[Long])].collect()
+      r.forall { case (id, t, pm) =>
+        val grams = docs.find(_._1 == id).get._2
+          .split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq
+        pm match {
+          case None => t == 0L
+          case Some(p) =>
+            p >= 0 && p < 1000 &&
+              ((grams.distinct.length == 1) == (p == 0L))
+        }
+      }
+    }
+
+  property("madOutliers: constant values per key -> mad 0, zero outliers") =
+    forAll(Gen.chooseNum(1, 5), Gen.chooseNum(-100, 100)) { (nKeys, v) =>
+      import spark.implicits._
+      val ev = (1 to nKeys).flatMap(k =>
+        (1 to 4).map(_ => (k.toLong, v.toDouble)))
+      val r = Reducers.madOutliers(ev.toDF("user_id", "value"),
+        "user_id", "value")
+        .as[(Long, Double, Double, Long, Long)].collect()
+      r.length == nKeys &&
+        r.forall { case (_, med, mad, n, out) =>
+          med == math.floor(v * 1e6) && mad == 0.0 && n == 4L && out == 0L
+        }
+    }
+}
