@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Reducers, TextAnalysis}
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, Reducers, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +17,9 @@ import org.apache.spark.sql.functions._
   *  - q119 per-user robust outlier profile via median absolute
   *    deviation over quantized values — two exact integer-interpolation
   *    quantile passes (`Reducers.madOutliers` on `quantilesBy`).
+  *  - q120 corpus snapshot diff: unchanged / modified / added / removed
+  *    triage for incremental crawls — fingerprint semi/anti joins plus
+  *    the q97 NEW×CORPUS banded near-dup probe on the added remainder.
   */
 object Wave14 {
 
@@ -25,6 +29,7 @@ object Wave14 {
   private val GrowthBuckets = 10
   private val GiniN = 2
   private val MadK = 3.0
+  private val DiffTau = 0.9
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_vocab_growth" -> { (s, d) =>
@@ -43,6 +48,44 @@ object Wave14 {
       Reducers.madOutliers(Tables.events(s, d), "user_id", "value",
         k = MadK)
         .orderBy(col("user_id"))
+    },
+
+    // Corpus snapshot diff — the incremental-crawl triage: every doc in
+    // either snapshot classified unchanged / modified (new content that
+    // near-duplicates the old corpus) / added / removed. Exact classes
+    // come from content-fingerprint semi/anti joins (keyed, linear);
+    // "modified" reuses the q97 NEW×CORPUS banded near-dup machinery on
+    // the (small) added remainder only — nothing quadratic, nothing
+    // corpus-broadcast. Snapshots are simulated by id residue: old =
+    // ids % 4 != 0, new = ids % 4 != 1 (50% overlap, 25% each side).
+    "q120_corpus_diff" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldD = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val newD = docs.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+      val ofp = oldD.select(col("doc_id"),
+        T.contentFingerprint(col("text")).as("fp"))
+      val nfp = newD.select(col("doc_id"),
+        T.contentFingerprint(col("text")).as("fp"))
+      val ofps = ofp.select(col("fp")).distinct()
+      val nfps = nfp.select(col("fp")).distinct()
+      val unchanged = nfp.join(ofps, Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit("unchanged").as("status"))
+      // feeds both the near-dup probe and the final anti-join; cache so
+      // the fingerprint anti-join runs once (caller-owned lifetime)
+      val addedIds = nfp.join(ofps, Seq("fp"), "left_anti")
+        .select(col("doc_id")).cache()
+      val modIds = Dedup.nearDupAgainstCorpus(
+        newD.join(addedIds, "doc_id"), oldD, "doc_id", "text", DiffTau)
+        .select(col("id_new").as("doc_id")).distinct()
+      val modified = modIds.select(col("doc_id"), lit("modified").as("status"))
+      val addedOnly = addedIds.join(modIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("added").as("status"))
+      val removed = ofp.join(nfps, Seq("fp"), "left_anti")
+        .select(col("doc_id"), lit("removed").as("status"))
+      unchanged.unionByName(modified).unionByName(addedOnly)
+        .unionByName(removed)
+        .select(col("doc_id").as("id"), col("status"))
+        .orderBy(col("id"))
     })
 
   /** q106's integer-interpolation quantile twin, parameterized. */
@@ -109,5 +152,44 @@ object Wave14 {
          |  CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN CAST(d.dq AS DOUBLE) > $MadK * ma.mad_q
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-         |FROM dev d JOIN mad ma USING (k) GROUP BY d.k ORDER BY user_id""".stripMargin)
+         |FROM dev d JOIN mad ma USING (k) GROUP BY d.k ORDER BY user_id""".stripMargin,
+
+    "q120_corpus_diff" ->
+      s"""WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1),
+         |ofp AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM oldd),
+         |nfp AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM newd),
+         |unchanged AS (SELECT doc_id FROM nfp WHERE fp IN (SELECT fp FROM ofp)),
+         |addedall AS (SELECT doc_id FROM nfp WHERE fp NOT IN (SELECT fp FROM ofp)),
+         |dt AS (
+         |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+         |  FROM documents WHERE len($SqlToks) > 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+         |xjac AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+         |    count(*) AS c, max(sa.n) AS na
+         |  FROM dt a JOIN dt b ON a.tok = b.tok
+         |  JOIN sizes sa ON a.doc_id = sa.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM addedall)
+         |    AND b.doc_id IN (SELECT doc_id FROM oldd)
+         |  GROUP BY a.doc_id, b.doc_id),
+         |modified AS (
+         |  SELECT DISTINCT id_new AS doc_id FROM xjac
+         |  JOIN sizes sb ON id_old = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (na + sb.n - c) >= $DiffTau),
+         |removed AS (SELECT doc_id FROM ofp WHERE fp NOT IN (SELECT fp FROM nfp))
+         |SELECT doc_id AS id, status FROM (
+         |  SELECT doc_id, 'unchanged' AS status FROM unchanged
+         |  UNION ALL
+         |  SELECT doc_id, 'modified' FROM modified
+         |  UNION ALL
+         |  SELECT doc_id, 'added' FROM addedall
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM modified)
+         |  UNION ALL
+         |  SELECT doc_id, 'removed' FROM removed)
+         |ORDER BY id""".stripMargin)
 }

@@ -115,4 +115,23 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select(col("sim")).as[Long].collect()
     fp(0) shouldBe fp(1)
   }
+
+  test("q120 corpus diff: statuses partition ids, classes respect the snapshot split") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q120_corpus_diff")(spark, sfDir)
+      .as[(Long, String)].collect()
+    // one status per id
+    r.map(_._1).distinct.length shouldBe r.length
+    r.map(_._2).toSet.subsetOf(
+      Set("unchanged", "modified", "added", "removed")) shouldBe true
+    // removed means the content vanished — ids present in BOTH
+    // snapshots (%4 in {2,3}) keep their content by identity, so only
+    // the old-only residue (%4 == 1) can be removed; every other status
+    // belongs to a new-side id (%4 != 1)
+    r.foreach {
+      case (id, "removed") => (id % 4) shouldBe 1L
+      case (id, _) => (id % 4) should not be 1L
+    }
+    r should not be empty
+  }
 }
