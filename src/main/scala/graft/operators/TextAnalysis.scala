@@ -959,15 +959,17 @@ object TextAnalysis {
     * keep; near-zero = the corpus already says this), the per-document
     * complement of [[gramSpectrum]]'s corpus-level profile.
     *
-    * Plan: two aggregates over one gram stream, NO corpus-sized join:
+    * Plan: two aggregates over one gram stream — the GRAM-cardinality
+    * relation (the big one) is never joined, only aggregated:
     *  - per-doc distinct grams assembled in-row (codegen), exploded once;
     *  - agg 1 (key = doc): n_grams per doc;
     *  - agg 2 (key = gram): occurrence count + min doc — a gram with
     *    count 1 is novel and belongs to exactly that min doc, so novel
     *    counts fall out of a second tiny (doc-keyed) aggregate over the
     *    singleton grams.
-    * Both shuffles are word-count-shaped (map-side combine); nothing is
-    * quadratic and nothing joins two corpus-sized relations.
+    * Both shuffles are word-count-shaped (map-side combine); the final
+    * assembly joins doc-cardinality aggregates back to ids — keyed
+    * equi-joins, linear. Nothing is quadratic.
     *
     * `novelty_permille` = floor(1000·novel/grams) — exact integer
     * arithmetic, engine-portable; null for docs shorter than `n` tokens.
