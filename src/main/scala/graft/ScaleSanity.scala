@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * tables — no RNG):
   *  - every document spawns `mult` replicas in groups of 10. Replicas in
   *    a group share 4 base tokens plus a GROUP-specific 48-token salt
-  *    block and differ by one replica token (token-set Jaccard ≈ 0.98
-  *    within a group); any two docs from different groups share AT MOST
-  *    the 4 base tokens (Jaccard ≤ 0.04). So each doc has ~9 genuine
+  *    block and differ by one replica token (token-set Jaccard
+  *    ≈ 52/54 ≈ 0.96 within a group); two docs from different groups
+  *    share about the 4 base tokens plus possibly a same-index replica
+  *    token (Jaccard ≲ 0.06 — incidental salt-token collisions from
+  *    the base-26 concatenation only lower it further below every
+  *    near-dup threshold in the suite). So each doc has ~9 genuine
   *    near-dups REGARDLESS of `mult`: the workload grows linearly,
   *    unlike the r5 10× table where the dup density itself grew with
   *    the multiplier. The base-token cap matters: the sf corpora are
@@ -23,7 +26,7 @@ import org.apache.spark.sql.functions._
   *    texts would keep cross-group Jaccard ≈ 0.33, whose 4-row-band
   *    collision rate (~17%) turns the quadratic cross-pair count into
   *    quadratic VERIFY work — a property of that corpus, not of the
-  *    operators. At J ≈ 0.04 the band-collision rate is ~4e-5, so false
+  *    operators. At J ≲ 0.06 the band-collision rate is ~2e-4, so false
   *    candidates stay a bounded fraction of true ones. Salt tokens are
   *    letter-only (base-26) because the house tokenizer drops digits.
   *  - every embedding spawns `mult` replicas in groups of 10: a group
@@ -78,15 +81,15 @@ object ScaleSanity {
       .as[(Long, Array[Float], Int)]
     vecs.flatMap { case (id, v, label) =>
       val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-      (0 until mult).iterator.map { r =>
-        val grp = r / 10
-        // md5-seeded unit noise per (vec, group): deterministic, and
-        // near-orthogonal across groups in 64 dims
+      // md5-seeded unit noise per (vec, GROUP): deterministic and
+      // near-orthogonal across groups in 64 dims — computed once per
+      // group, not once per replica (all 10 replicas share it)
+      def groupMix(grp: Int): Array[Float] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
         val noise = new Array[Double](v.length)
         var i = 0
         while (i < v.length) {
-          val h = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"scale:$id:$grp:$i".getBytes("UTF-8"))
+          val h = md.digest(s"scale:$id:$grp:$i".getBytes("UTF-8"))
           val b = ((h(0) & 0xffL) << 8) | (h(1) & 0xffL)
           noise(i) = b.toDouble / 32768.0 - 1.0
           i += 1
@@ -98,7 +101,11 @@ object ScaleSanity {
           out(i) = (0.5 * v(i) + 0.9 * norm * noise(i) / nn).toFloat
           i += 1
         }
-        (id * mult + r, out, label)
+        out
+      }
+      val mixes = (0 until (mult + 9) / 10).map(groupMix)
+      (0 until mult).iterator.map { r =>
+        (id * mult + r, mixes(r / 10), label)
       }
     }.toDF("vec_id", "embedding", "label")
   }
