@@ -334,6 +334,57 @@ object NativeExpr {
   private def x(col: Column): Expression =
     org.apache.spark.sql.graftshim.ColumnBridge.expression(col)
 
+  /** Exact integer dot product over two `array<bigint>` columns — the
+    * fixed-point kernel for pre-quantized vectors (Wave13's
+    * label-centroid cosine): Σ aᵢ·bᵢ as long adds to the min length.
+    * Order-invariant integer arithmetic, so any engine and any
+    * partitioning reproduce the same bits; callers own the no-overflow
+    * precondition (|aᵢ·bᵢ| · dims < 2⁶³, e.g. 1e6-quantized unit-scale
+    * vectors are safe to ~9·10⁵ dims). Replaces the interpreted
+    * `aggregate(zip_with(...))` pair, which evaluates per element with
+    * boxing outside whole-stage codegen. */
+  case class DotLongArr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<bigint>, array<bigint>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dot_long"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (av, bv) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+         |int $n = java.lang.Math.min($av.numElements(), $bv.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $av.getLong($i) * $bv.getLong($i);
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Shared input-type check: both sides must be array<float>. */
   private[functions] def checkFloatArrays(name: String, left: Expression,
                                           right: Expression): TypeCheckResult =
@@ -349,6 +400,7 @@ object NativeExpr {
   def cosineQF32(a: Column, b: Column): Column = c(CosineQF32(x(a), x(b)))
   def dotF32(a: Column, b: Column): Column = c(DotF32(x(a), x(b)))
   def dotQLongF32(a: Column, b: Column): Column = c(DotQLongF32(x(a), x(b)))
+  def dotLong(a: Column, b: Column): Column = c(DotLongArr(x(a), x(b)))
   def minhashSig(hashes: Column, perms: Array[(Long, Long)]): Column =
     c(MinHashSigF(x(hashes), perms.toIndexedSeq, HashFunctions.Prime))
 }

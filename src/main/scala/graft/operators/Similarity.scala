@@ -672,12 +672,11 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c")).as("cv"))
-    val dot = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
-    val n2v = aggregate(transform(col("qv"), a => a * a),
-      lit(0L), (acc, v) => acc + v)
-    val n2c = aggregate(transform(col("cv"), a => a * a),
-      lit(0L), (acc, v) => acc + v)
+    // native codegen kernel (house rule: no interpreted HOFs in per-row
+    // hot paths) — same exact integer arithmetic as the HOF formulation
+    val dot = graft.functions.NativeExpr.dotLong(col("qv"), col("cv"))
+    val n2v = graft.functions.NativeExpr.dotLong(col("qv"), col("qv"))
+    val n2c = graft.functions.NativeExpr.dotLong(col("cv"), col("cv"))
     val thrQ = math.floor(threshold * 1e6).toLong
     q.join(broadcast(cent), "label")
       .select(col("id"), col("label"),

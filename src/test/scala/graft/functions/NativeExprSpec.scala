@@ -102,6 +102,25 @@ class NativeExprSpec extends AnyFunSuite with Matchers with SparkFixture {
     native.last.getSeq[Long](0).forall(_ == P) shouldBe true
   }
 
+  test("DotLongArr matches the interpreted HOF on long arrays, incl. min-length and nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, -6L)),
+      (Array(1000000L, 999999L), Array(1000000L, -999999L)),
+      (Array(7L), Array(8L, 9L)), // min-length contract
+      (Array.empty[Long], Array.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val got = df.select(NativeExpr.dotLong(col("a"), col("b"))).as[Long].collect()
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x * y }.sum
+    }
+    got.toSeq shouldBe want
+    // null propagates
+    val nulls = df.select(NativeExpr.dotLong(lit(null).cast("array<bigint>"),
+      col("b"))).collect()
+    nulls.forall(_.isNullAt(0)) shouldBe true
+  }
+
   test("expressions compile under CODEGEN_ONLY (no silent interpreted fallback)") {
     val key = "spark.sql.codegen.factoryMode"
     val old = spark.conf.getOption(key)
@@ -115,6 +134,9 @@ class NativeExprSpec extends AnyFunSuite with Matchers with SparkFixture {
       val df = Seq(Seq(1L, 2L, 3L)).toDF("h")
       df.select(NativeExpr.minhashSig(col("h"), perms)).collect()(0)
         .getSeq[Long](0).length shouldBe 8
+      Seq((Array(2L, 3L), Array(5L, 7L))).toDF("a", "b")
+        .select(NativeExpr.dotLong(col("a"), col("b")))
+        .as[Long].collect() shouldBe Array(31L)
     } finally old match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
