@@ -137,6 +137,18 @@ object ScaleSanity {
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"scaled":{"documents":$nd,"embeddings":$ne,"mult":$mult}}""")
 
+    // force FULL materialization: hash every output column into one
+    // checksum aggregate — a bare count() lets Catalyst eliminate
+    // unique-key outer joins and prune unreferenced aggregates, timing
+    // a fraction of the plan (observed: q113 "ran" in constant time at
+    // any scale until this)
+    def runFully(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.functions.{struct, xxhash64}
+      df.select(xxhash64(struct(df.columns.map(
+          org.apache.spark.sql.functions.col): _*)).as("__h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)"))
+        .collect()(0).getLong(0)
+    }
     queries.foreach { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -147,9 +159,9 @@ object ScaleSanity {
           val cents = graft.operators.Similarity.trainCentroids(
             emb, "embedding", k, iters = 3,
             sampleFraction = math.min(1.0, 20000.0 / ne), seed = 42L)
-          graft.operators.Similarity.semanticDedup(emb, "vec_id",
-            "embedding", cents, 0.35).count()
-        } else SparkEntry.queries(name)(spark, workDir).count()
+          runFully(graft.operators.Similarity.semanticDedup(emb, "vec_id",
+            "embedding", cents, 0.35))
+        } else runFully(SparkEntry.queries(name)(spark, workDir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$name","mult":$mult,"sec":$sec%.1f,"rows":$rows}""")
     }
