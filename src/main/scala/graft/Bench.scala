@@ -7,6 +7,30 @@ import org.apache.spark.sql.SparkSession
   * functions) instead of letting Catalyst prune to a row count.
   * Failures are loud: a failed query reports -1 and lands in `"errors"`. */
 object Bench {
+  /** Fixed CPU-bound calibration probe: 800M LCG+xorshift steps on one
+    * thread, a deterministic amount of work whose wall-clock moves with
+    * the machine's effective CPU speed, not with this repo's code. This
+    * VM has documented throttle windows where identical code measures
+    * 1.6x slower (BASELINE.md); timing the probe in the same run lets a
+    * reader separate machine load from regression mechanically:
+    * normalized query time = raw / (calibration_sec / CAL_REF_SEC).
+    * CAL_REF_SEC is the quiet-window probe time frozen in BASELINE.md
+    * alongside the per-query rows. */
+  final val CalRefSec = 1.50 // frozen quiet-window probe time (BASELINE.md)
+  def calibrate(): Double = {
+    var s = 1L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 800000000L) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      s ^= (s >>> 33)
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (s == 42L) System.err.println("") // keep the loop observable (no DCE)
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,6 +57,9 @@ object Bench {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       Tables.all.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => () }
+    // machine-load probe bracketing the sweep (throttle can kick in
+    // mid-run; two samples bound when). See calibrate()'s scaladoc.
+    val calStart = calibrate()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional args = bench only the named queries (local iteration aid;
     // the driver passes none and gets the full set)
@@ -74,13 +101,19 @@ object Bench {
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val calEnd = calibrate()
+    // load factor vs the frozen quiet-window reference; >1 = this run
+    // was CPU-starved by that much. Use the mean of the two brackets.
+    val calFactor = ((calStart + calEnd) / 2.0) / CalRefSec
     val qsFull = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qsNorm = results.map { case (k, v) =>
+      s"${jstr(k)}:${if (v < 0) "-1" else r3(v / calFactor)}" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"${jstr(shortKey(k))}:${r3(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(shortKey(k))}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"queries_normalized":$qsNorm,"sf":${jstr(sfDir)}}""")
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"calibration_sec":${r3(calStart)},"cal_end_sec":${r3(calEnd)},"cal_ref_sec":$CalRefSec,"cal_factor":${r3(calFactor)},"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

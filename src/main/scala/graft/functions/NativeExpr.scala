@@ -342,7 +342,12 @@ object NativeExpr {
     * precondition (|aᵢ·bᵢ| · dims < 2⁶³, e.g. 1e6-quantized unit-scale
     * vectors are safe to ~9·10⁵ dims). Replaces the interpreted
     * `aggregate(zip_with(...))` pair, which evaluates per element with
-    * boxing outside whole-stage codegen. */
+    * boxing outside whole-stage codegen — and matches its null
+    * semantics exactly: a null element in either array (within the
+    * zipped prefix) makes the whole dot null (null×x = null,
+    * null + s = null), as in DuckDB list arithmetic. The element null
+    * check is only generated when the input array type admits nulls, so
+    * containsNull=false inputs keep the tight branch-free loop. */
   case class DotLongArr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -356,13 +361,24 @@ object NativeExpr {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_dot_long"
 
+    private def elemsNullable: Boolean = (left.dataType, right.dataType) match {
+      case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+      case _ => true
+    }
+    override def nullable: Boolean =
+      left.nullable || right.nullable || elemsNullable
+
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       val n = math.min(a.numElements(), b.numElements())
       var s = 0L
       var i = 0
-      while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getLong(i) * b.getLong(i)
+        i += 1
+      }
       s
     }
 
@@ -370,11 +386,15 @@ object NativeExpr {
       nullSafeCodeGen(ctx, ev, (av, bv) => {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val s = ctx.freshName("s")
+        val nullCheck = if (elemsNullable)
+          s"""if ($av.isNullAt($i) || $bv.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |""".stripMargin
+        else ""
         s"""
          |int $n = java.lang.Math.min($av.numElements(), $bv.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $av.getLong($i) * $bv.getLong($i);
+         |  $nullCheck$s += $av.getLong($i) * $bv.getLong($i);
          |}
          |${ev.value} = $s;
          |""".stripMargin

@@ -25,6 +25,10 @@ object Graphs {
     * (the integer form of 0.15 + 0.85·Σ r/deg with total mass n·1e6).
     * Nodes absent from `edges` hold the teleport floor. `edges` is one
     * undirected edge per row (a,b) — both directions are derived here.
+    * Orientation and duplicates are normalized defensively (least/
+    * greatest + dropDuplicates), so feeding both (a,b) and (b,a), or the
+    * same pair twice, cannot silently double degrees; self-loops remain
+    * the caller's contract (a (v,v) row contributes degree 2 to v).
     *
     * Scale: each round is one shuffle join (ranks × adjacency on the
     * source key) + one keyed sum — the standard distributed PageRank
@@ -43,8 +47,14 @@ object Graphs {
     // cache the INPUT edge list before fanning out: `und` references it
     // twice (both directions) and `deg` a third time — without this the
     // upstream edge pipeline (e.g. a whole MinHash near-dup run) would
-    // replay once per reference while the adjacency cache materializes
-    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    // replay once per reference while the adjacency cache materializes.
+    // least/greatest + dropDuplicates normalizes orientation and collapses
+    // duplicate rows — one cheap keyed shuffle against the silent-wrong-
+    // answer class of double-counted degrees from ad-hoc pair lists.
+    val fwd = edges
+      .select(least(col(aCol), col(bCol)).as("src"),
+        greatest(col(aCol), col(bCol)).as("dst"))
+      .dropDuplicates("src", "dst").cache()
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     // Pregel-style grouped adjacency: one row per node with its neighbor
     // list + degree. Each round then joins NODE-cardinality relations

@@ -97,7 +97,13 @@ object Reducers {
     *
     * Scale: quantilesBy is one rank window + conditional aggregate per
     * pass (key-partitioned), the dev join is keyed on the same key —
-    * three key-shuffles total, nothing quadratic, no driver state.
+    * three key-shuffles total, nothing quadratic, no driver state. The
+    * `dev` relation (quantize + median window join) feeds both the mad
+    * pass and the final counting join, so it is cached here — without
+    * that the first rank-window pass would execute twice per run. Cache
+    * lifetime is caller-owned (the house contract, as in
+    * [[Graphs.pageRankInt]]): it lives until the caller's
+    * `spark.catalog.clearCache()`.
     * Output: (key, med_q, mad_q, n, n_outliers) — med_q in micro-units,
     * mad_q in milli-micro-units. */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
@@ -109,6 +115,7 @@ object Reducers {
       .select(col("__k"), col("med_q"),
         floor(abs(col("vq").cast("double") * lit(1000.0)
           - col("med_q") * lit(1000.0))).cast("long").as("dq"))
+      .cache()
     val mad = quantilesBy(dev, "__k", "dq", Seq("mad_q" -> 500))
     dev.join(mad, "__k")
       .groupBy(col("__k"))

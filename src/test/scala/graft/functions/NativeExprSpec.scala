@@ -121,6 +121,29 @@ class NativeExprSpec extends AnyFunSuite with Matchers with SparkFixture {
     nulls.forall(_.isNullAt(0)) shouldBe true
   }
 
+  test("DotLongArr: null ELEMENT nulls the dot, matching aggregate(zip_with(...))") {
+    import spark.implicits._
+    // containsNull=true arrays via transform (null when x == 2)
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(1L, 9L, 3L), Seq(4L, 5L, 6L))).toDF("a0", "b")
+      .select(transform(col("a0"),
+        x => when(x === 2L, lit(null)).otherwise(x)).as("a"), col("b"))
+    val native = df.select(NativeExpr.dotLong(col("a"), col("b"))).collect()
+    val hof = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .collect()
+    native(0).isNullAt(0) shouldBe true
+    hof(0).isNullAt(0) shouldBe true
+    native(1).getLong(0) shouldBe hof(1).getLong(0)
+    native(1).getLong(0) shouldBe (4L + 45L + 18L)
+    // null past the zipped prefix of the SHORTER side is unreachable
+    val short = Seq((Seq(7L), Seq(8L, 9L))).toDF("a", "b0")
+      .select(col("a"), transform(col("b0"),
+        x => when(x === 9L, lit(null)).otherwise(x)).as("b"))
+    short.select(NativeExpr.dotLong(col("a"), col("b")))
+      .as[Long].collect() shouldBe Array(56L)
+  }
+
   test("expressions compile under CODEGEN_ONLY (no silent interpreted fallback)") {
     val key = "spark.sql.codegen.factoryMode"
     val old = spark.conf.getOption(key)

@@ -26,6 +26,20 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
       4L -> 150000L)
   }
 
+  test("pageRankInt: duplicate rows and both orientations are normalized away") {
+    import spark.implicits._
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // same graph fed as an ad-hoc pair list: dup rows + both orientations
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val want = Graphs.pageRankInt(clean, "a", "b", nodes, "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val got = Graphs.pageRankInt(dirty, "a", "b", nodes, "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe want
+  }
+
   test("pageRankInt: total mass is conserved up to teleport (sanity on real near-dup graph)") {
     val docs = graft.Tables.documents(spark, sfDir)
     val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9)

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE.md's **total** row from its per-query rows.
+
+The total drifted twice (r6, r7) when per-query rows were edited without
+re-summing the headline. This script makes drift impossible to miss:
+
+    python3 tools/baseline_total.py          # check: exit 1 + diff if stale
+    python3 tools/baseline_total.py --fix    # rewrite the total line in place
+
+It parses every `| qNNN_name | <sec> | ... |` row of the per-query table and
+replaces the `| **total** | **<sum>** | <max date> | N queries, ... |` line,
+keeping the parenthetical provenance note verbatim.
+"""
+import re
+import sys
+
+PATH = "BASELINE.md"
+ROW = re.compile(r"^\| (q\d+_\w+) \| ([0-9.]+) \| (\d{4}-\d{2}-\d{2}) \|")
+TOTAL = re.compile(r"^\| \*\*total\*\* \| \*\*([0-9.]+)\*\* \| (\d{4}-\d{2}-\d{2}) \| (\d+) queries, (.*) \|$")
+
+
+def main() -> int:
+    fix = "--fix" in sys.argv
+    lines = open(PATH).read().splitlines(keepends=True)
+    rows = []
+    total_idx = None
+    for i, ln in enumerate(lines):
+        m = ROW.match(ln)
+        if m:
+            rows.append((m.group(1), float(m.group(2)), m.group(3)))
+        elif TOTAL.match(ln):
+            total_idx = i
+    if total_idx is None:
+        print("no **total** row found", file=sys.stderr)
+        return 2
+    if not rows:
+        print("no per-query rows found", file=sys.stderr)
+        return 2
+    m = TOTAL.match(lines[total_idx])
+    want_sum = round(sum(s for _, s, _ in rows), 1)
+    want_date = max(d for _, _, d in rows)
+    want = f"| **total** | **{want_sum}** | {want_date} | {len(rows)} queries, {m.group(4)} |\n"
+    have = lines[total_idx]
+    if have == want:
+        print(f"total OK: {want_sum} s over {len(rows)} rows")
+        return 0
+    if fix:
+        lines[total_idx] = want
+        open(PATH, "w").write("".join(lines))
+        print(f"total fixed: {m.group(1)} -> {want_sum} s over {len(rows)} rows")
+        return 0
+    print("total STALE:", file=sys.stderr)
+    print(f"  have: {have.rstrip()}", file=sys.stderr)
+    print(f"  want: {want.rstrip()}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
