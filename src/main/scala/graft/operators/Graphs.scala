@@ -39,11 +39,27 @@ object Graphs {
     * the caller's `spark.catalog.clearCache()` — unpersisting here would
     * drop it before the returned (lazy) plan ever ran. Rank sums are
     * bounded by in-degree · 1e6 per node — overflow needs a single node
-    * with ~9·10¹² in-neighbors. Output: (id, rank) for every node. */
+    * with ~9·10¹² in-neighbors. Output: (id, rank) for every node.
+    *
+    * Deep iteration: each round nests the previous round's plan, so
+    * iters=20 without truncation builds a 20-deep join tree — slow to
+    * optimize and fragile to recover. `checkpointInterval = k` truncates
+    * lineage every k rounds (same contract as [[Dedup.components]]):
+    * `localCheckpoint` by default (executor blocks — fast, but an
+    * executor loss mid-job kills the run), or reliable storage when
+    * `checkpointDir` is set (HDFS/S3 — what a real 100 TB run wants).
+    * Ranks are bit-identical with or without checkpointing; 0 keeps the
+    * round-7 behavior (no truncation, right for the default iters=3). */
   def pageRankInt(edges: DataFrame, aCol: String, bCol: String,
                   nodes: DataFrame, idCol: String,
-                  iters: Int = 3): DataFrame = {
+                  iters: Int = 3,
+                  checkpointInterval: Int = 0,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def persist(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // cache the INPUT edge list before fanning out: `und` references it
     // twice (both directions) and `deg` a third time — without this the
     // upstream edge pipeline (e.g. a whole MinHash near-dup run) would
@@ -70,7 +86,7 @@ object Graphs {
       .cache()
     val ids = nodes.select(col(idCol).as("id"))
     var r = ids.select(col("id"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       // explicit aliases: after round 1, r's plan CONTAINS adj — without
       // them the equi-join condition is ambiguous self-join references
       val contrib = adj.as("a").join(r.as("p"), col("a.src") === col("p.id"))
@@ -80,6 +96,10 @@ object Graphs {
       r = ids.as("n").join(contrib.as("c"), col("n.id") === col("c.dst"), "left")
         .select(col("n.id").as("id"),
           (lit(150000L) + expr("(coalesce(c.s, 0L) * 17) DIV 20")).as("rank"))
+      // truncate lineage mid-run only — the final round's plan stays lazy
+      // so the caller composes/writes it like any other frame
+      if (checkpointInterval > 0 && k % checkpointInterval == 0 && k < iters)
+        r = persist(r)
     }
     r
   }

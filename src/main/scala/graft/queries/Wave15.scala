@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 15 — round-8 deep-iteration graph analytics:
+  *
+  *  - q121 deep PageRank (10 synchronous rounds, lineage checkpointed
+  *    every 4) over the order–supplier fulfilment graph: nodes are
+  *    orders and suppliers (prefix-tagged ids so the integer key spaces
+  *    can't collide), one undirected edge per distinct (order, supplier)
+  *    lineitem pair. Rank concentration separates broad-base suppliers
+  *    from single-source ones. The point of the query is the ITERATION
+  *    DEPTH: it certifies [[Graphs.pageRankInt]]'s checkpointInterval
+  *    path (bit-identical ranks with a bounded plan) against a 10-round
+  *    unrolled-CTE DuckDB oracle, and its raw lineitem edge feed
+  *    (duplicate (order, supplier) pairs are routine) exercises the
+  *    defensive orientation/duplicate normalization end-to-end.
+  */
+object Wave15 {
+
+  private val PrIters = 10
+  private val PrCkptEvery = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 10-round integer PageRank over the order-supplier bipartite graph.
+    "q121_deep_pagerank" -> { (s, d) =>
+      val edges = Tables.lineitem(s, d).select(
+        concat(lit("o"), col("l_orderkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      val nodes = Tables.orders(s, d)
+        .select(concat(lit("o"), col("o_orderkey").cast("string")).as("id"))
+        .union(Tables.supplier(s, d)
+          .select(concat(lit("s"), col("s_suppkey").cast("string")).as("id")))
+      Graphs.pageRankInt(edges, "a", "b", nodes, "id", iters = PrIters,
+        checkpointInterval = PrCkptEvery)
+        .orderBy(col("id"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q121_deep_pagerank" -> {
+      // unrolled synchronous rounds, same generator family as q115
+      val rounds = (1 to PrIters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    150000 + (coalesce(s.s, 0) * 17) // 20 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT u.dst, sum(p.r // u.deg) AS s
+           |    FROM adj u JOIN r${k - 1} p ON u.src = p.id
+           |    GROUP BY 1) s ON n.id = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT
+         |    least('o' || CAST(l_orderkey AS VARCHAR),
+         |          's' || CAST(l_suppkey AS VARCHAR)) AS src,
+         |    greatest('o' || CAST(l_orderkey AS VARCHAR),
+         |             's' || CAST(l_suppkey AS VARCHAR)) AS dst
+         |  FROM lineitem),
+         |und AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+         |adj AS (SELECT und.src, und.dst, deg.deg FROM und JOIN deg USING (src)),
+         |nodes AS (SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS id FROM orders
+         |          UNION ALL
+         |          SELECT 's' || CAST(s_suppkey AS VARCHAR) AS id FROM supplier),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |SELECT id, CAST(r AS BIGINT) AS rank FROM r$PrIters ORDER BY id""".stripMargin
+    })
+}

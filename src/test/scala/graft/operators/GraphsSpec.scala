@@ -40,6 +40,23 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe want
   }
 
+  test("pageRankInt: checkpointInterval truncates lineage without changing a single rank") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val plain = Graphs.pageRankInt(edges, "a", "b", nodes, "id", iters = 10)
+    val ckpt = Graphs.pageRankInt(edges, "a", "b", nodes, "id", iters = 10,
+      checkpointInterval = 3)
+    ckpt.as[(Long, Long)].collect().toMap shouldBe
+      plain.as[(Long, Long)].collect().toMap
+    // the checkpointed plan must NOT carry all 10 rounds of joins: after
+    // the last truncation (round 9) at most one round's joins remain
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "(?i)join".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    joins(ckpt) should be < joins(plain) / 2
+  }
+
   test("pageRankInt: total mass is conserved up to teleport (sanity on real near-dup graph)") {
     val docs = graft.Tables.documents(spark, sfDir)
     val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9)
