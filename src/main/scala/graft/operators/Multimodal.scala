@@ -42,10 +42,20 @@ object Multimodal {
 
   /** Distributed feature extraction: batch-at-a-time over partitions.
     * Partition count is preserved — upstream `repartition(n)` controls
-    * task granularity exactly like `mapInPandas` batches. */
-  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    * task granularity exactly like `mapInPandas` batches.
+    *
+    * `decode` is THE codec plug-point: production swaps [[decodeStub]]
+    * for a JNI/codec call (it must be a serializable pure function —
+    * Spark ships it to executors; per-partition iteration amortizes any
+    * native-lib init across a task's rows). Nothing else changes —
+    * schema, partitioning, and batch shape are fixed by this plumbing,
+    * not by the codec (MultimodalSpec proves it by injecting a fake
+    * header-parsing codec through this seam). */
+  def extractFeatures(assets: Dataset[Asset],
+                      decode: Asset => AssetFeatures = decodeStub):
+      Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(decodeStub))
+    assets.mapPartitions(_.map(decode))
   }
 
   /** Frame sampling stub for video-like payloads: take every `stride`-th

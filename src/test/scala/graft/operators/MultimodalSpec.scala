@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkFixture
+import graft.operators.Multimodal.{Asset, AssetFeatures}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** A stand-in "real" codec for the plug-point test: parses a fake 8-byte
+  * header (big-endian width, height) and emits a constant-signature
+  * feature vector — shaped like a JNI decode, unlike the stub's byte
+  * histogram. Top-level object so the closure Spark ships to executors
+  * captures no test-class state (the same serializability contract a
+  * production codec wrapper must meet). */
+object FakeHeaderCodec {
+  def decode(a: Asset): AssetFeatures = {
+    val b = a.data
+    def be32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    val w = be32(0)
+    val h = be32(4)
+    val feats = Array.tabulate(16)(i => (i * w + h).toFloat)
+    AssetFeatures(a.asset_id, a.modality, b.length.toLong, w, h, feats)
+  }
+}
+
+/** The §2.10 multimodal contract: the codec is a SEAM — swapping the
+  * decode fn must not touch schema, partitioning, or row cardinality
+  * (the round-7 verdict's plug-point requirement). */
+class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def header(w: Int, h: Int, pad: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + pad)
+    buf.putInt(w).putInt(h)
+    buf.array()
+  }
+
+  test("codec seam: a non-stub decode fn swaps in without touching the plumbing") {
+    import spark.implicits._
+    val assets = Seq(
+      Asset(1L, "img", header(640, 480, 5)),
+      Asset(2L, "img", header(1920, 1080, 0)),
+      Asset(3L, "aud", header(7, 9, 21))).toDS().repartition(7)
+
+    val viaStub = Multimodal.extractFeatures(assets)
+    val viaCodec = Multimodal.extractFeatures(assets, FakeHeaderCodec.decode)
+
+    // identical schema: the contract is fixed by the plumbing, not the codec
+    viaCodec.schema shouldBe viaStub.schema
+    // partitioning preserved through the seam (mapPartitions, no shuffle)
+    viaCodec.rdd.getNumPartitions shouldBe 7
+    viaCodec.rdd.getNumPartitions shouldBe viaStub.rdd.getNumPartitions
+    // 1:1 rows, ids intact
+    val rows = viaCodec.collect().sortBy(_.asset_id)
+    rows.map(_.asset_id).toSeq shouldBe Seq(1L, 2L, 3L)
+    rows.map(_.n_bytes).toSeq shouldBe Seq(13L, 8L, 29L)
+    // and the injected codec actually decoded: header dims, not the
+    // stub's content-length-derived fakes
+    rows.map(r => (r.width, r.height)).toSeq shouldBe
+      Seq((640, 480), (1920, 1080), (7, 9))
+    rows.foreach(_.features.length shouldBe 16)
+    rows.head.features(1) shouldBe 1120f // 1*640 + 480: codec's signature
+    // the stub path on the same input disagrees on dims — proof the seam
+    // selected the implementation, not a codepath fork in the plumbing
+    viaStub.collect().sortBy(_.asset_id).map(_.width).toSeq should not be
+      Seq(640, 1920, 7)
+  }
+
+  test("codec seam composes downstream: features from an injected codec feed the same pipeline") {
+    import spark.implicits._
+    val assets = Seq(
+      Asset(10L, "img", header(100, 50, 3)),
+      Asset(11L, "img", header(100, 50, 3))).toDS()
+    // same bytes -> same features under ANY deterministic codec; the
+    // downstream grouping is codec-agnostic
+    val feats = Multimodal.extractFeatures(assets, FakeHeaderCodec.decode)
+    val byDims = feats.groupByKey(f => (f.width, f.height)).count().collect()
+    byDims.toSeq shouldBe Seq(((100, 50), 2L))
+  }
+}

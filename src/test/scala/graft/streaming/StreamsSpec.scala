@@ -366,4 +366,67 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (9L, 101L, 201L, 10L * 60 * 1000000L),
       (1L, 100L, 202L, 45L * 60 * 1000000L))
   }
+
+  /** Latest reported state-store row count across the query's recent
+    * progress (no-data micro-batches also report — and evict — state). */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverseIterator
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      .toSeq.headOption.getOrElse(-1L)
+
+  test("dedupWithinWatermark state is BOUNDED: watermark evicts expired keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = s"dedupbound_${System.nanoTime}"
+    val q = Streams.dedupWithinWatermark(input.toDF(), Seq("user_id"),
+      watermark = "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val perBatch = 10
+    val batches = 6
+    val observed = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      for (b <- 0 until batches) {
+        // every batch: fresh keys, event time one HOUR later — all prior
+        // batches' keys fall past the 30m horizon and must be evicted
+        val t0 = Timestamp.valueOf(f"2024-01-01 ${10 + b}%02d:00:00")
+        input.addData((0 until perBatch).map(i =>
+          Ev(t0, (b * perBatch + i).toLong, "x", 1.0)): _*)
+        q.processAllAvailable()
+        observed += stateRows(q)
+      }
+    } finally q.stop()
+    // all 60 keys distinct -> all pass dedup...
+    spark.table(name).count() shouldBe (perBatch * batches).toLong
+    // ...but state never holds anywhere near all of them: eviction lags
+    // one watermark update, so the bound is ~2 batches of keys, not 6
+    observed.max should be <= (2L * perBatch + 1)
+    // and it is STABLE: the last batch holds no more than the second
+    // (growth with stream length = unbounded state = the failure mode)
+    observed.last should be <= observed(1)
+  }
+
+  test("valueSpikes state is BOUNDED: one row per user regardless of event count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.UserEvent]
+    val name = s"spikebound_${System.nanoTime}"
+    val q = Streams.valueSpikes(input.toDS(), factor = 2.0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val users = 8
+    val observed = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      for (b <- 1 to 5) {
+        input.addData((0 until users).map(u =>
+          Streams.UserEvent(u.toLong, ts(b), b.toDouble)): _*)
+        q.processAllAvailable()
+        observed += stateRows(q)
+      }
+    } finally q.stop()
+    // 40 events total; state is exactly one row per distinct user on
+    // every batch after the first — flat, not event-proportional
+    observed.drop(1).foreach(_ shouldBe users.toLong)
+  }
 }
