@@ -60,4 +60,76 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("x").as[Int].collect()
     out shouldBe Array(5)
   }
+
+  // ---------------------------------------------------------------- skew
+
+  /** Skewed fixture: one hot key holds 30% of the large side (the r7
+    * verdict's "exercise skew for real" shape — q59's oracle fixture is
+    * uniform, where salting == plain join). */
+  private def skewedLarge = {
+    import spark.implicits._
+    spark.range(30000).select(lit(0L).as("k"), col("id").as("payload"))
+      .union(spark.range(20000).select((col("id") % 1000 + 1).as("k"),
+        col("id").as("payload")))
+  }
+  private def smallDim = {
+    import spark.implicits._
+    spark.range(1001).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+  }
+
+  private def partitionSizes(df: org.apache.spark.sql.DataFrame): Array[Long] =
+    df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("saltedJoin kills the straggler: max partition drops ~salts-fold on a 30%-hot key") {
+    // AQE and broadcast off: the hash-join / planner-can't-see scenario
+    // salting exists for — the shuffle partitioning is then exactly the
+    // join key's, and partition row counts ARE the straggler evidence
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32") {
+      val unsalted = skewedLarge.join(smallDim, "k")
+      val salted = Skew.saltedJoin(skewedLarge, smallDim, "k", salts = 16)
+      val maxU = partitionSizes(unsalted).max
+      val maxS = partitionSizes(salted).max
+      maxU should be >= 30000L // the hot key's whole volume on one task
+      maxS should be <= maxU / 4 // spread across the 16 sub-keys
+      // plan pin: the salted shuffle partitions on (k, __salt), and no
+      // broadcast snuck in to void the demonstration
+      val plan = salted.queryExecution.executedPlan.toString
+      plan should include("__salt")
+      plan should not include "BroadcastHashJoin"
+      salted.count() shouldBe unsalted.count()
+    }
+  }
+
+  test("AQE skew-join splits the same straggler when thresholds see it (plan pin)") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // test-sized thresholds: the defaults (256 MB) are cluster-scale
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384") {
+      val joined = skewedLarge.join(smallDim, "k")
+      // execute THIS frame (count() would plan a separate query and leave
+      // joined's adaptive plan unfinalized)
+      joined.collect().length shouldBe 50000
+      val plan = joined.queryExecution.executedPlan.toString
+      plan.toLowerCase should include("skew=true")
+    }
+  }
 }
