@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Adaptive band width for the sign-bit LSH family: enough hyperplanes
+    * per table that EXPECTED bucket occupancy for unrelated
+    * (near-orthogonal, collision probability 2^-bits per table) vectors
+    * stays near `targetBucket` rows — bits = ceil(log2(n/targetBucket)),
+    * clamped to [4, 20]. This is the 100 TB contract: a FIXED band width
+    * m gives 2^m buckets per table, so once the corpus outgrows
+    * 2^m·targetBucket the bucket self-join degenerates toward all-pairs
+    * regardless of geometry (observed: the 10× ScaleSanity corpus, 20k
+    * vectors over 4-bit/16-bucket tables, spent 160 s scanning ~1/16 of
+    * all pairs per table). Growing bits with log2(n) halves the
+    * unrelated-pair collision rate per corpus doubling while pairs grow
+    * 4× — candidate work stays ~linear in n. Recall for a true neighbor
+    * at angle θ is the OR-amplified 1-(1-(1-θ/π)^m)^L and does fall as m
+    * grows — exact duplicates (θ=0) always collide, and the default
+    * L=24 tables keep e.g. θ/π≈0.15 neighbors above 0.99 recall through
+    * m=11 — pass bitsPerTable explicitly when the corpus geometry needs
+    * a different point on that curve. The floor of 4 keeps every corpus
+    * ≤ 2048 vectors — both driver oracle scales — on exactly the
+    * pre-ladder band width, so the hard-coded 4-bit DuckDB twins (q31,
+    * q109) replay bit-for-bit. */
+  private[graft] def autoBits(n: Long, targetBucket: Long = 128L): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1L, n).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(20, math.max(4, raw))
+  }
+
   /** (id_a, v_a, id_b, v_b) → (id_a, id_b, sim) via the native codegen'd
     * cosine expressions ([[graft.functions.NativeExpr]]): the kernel runs
     * inside whole-stage codegen directly over `UnsafeArrayData` — no
@@ -95,12 +121,18 @@ object Similarity {
     * are the corpus, so query vectors re-attach via a hash join too —
     * nothing corpus-sized is ever broadcast. Neighborhoods are
     * approximate (per-direction recall is the OR-amplified
-    * 1-(1-(1-θ/π)^m)^L); an edge survives iff both directions find it. */
+    * 1-(1-(1-θ/π)^m)^L); an edge survives iff both directions find it.
+    *
+    * `bitsPerTable = 0` (the default) sizes the band width from the
+    * corpus via [[autoBits]] — one metadata-cheap count() up front buys
+    * bucket occupancy that stays bounded as the corpus grows (a fixed
+    * width is a scale-killer; see [[autoBits]]). */
   def mutualKnnLsh(vectors: DataFrame, idCol: String, vecCol: String,
-                   k: Int, nTables: Int = 24, bitsPerTable: Int = 4,
+                   k: Int, nTables: Int = 24, bitsPerTable: Int = 0,
                    dim: Int = 64, seed: Long = 42L,
                    exact: Boolean = false): DataFrame = {
-    val planes = md5Planes(seed, nTables, bitsPerTable, dim)
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(vectors.count())
+    val planes = md5Planes(seed, nTables, m, dim)
     val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // buckets WITH vectors: sims are computed inside the bucket
     // self-join where both vectors are already co-located, so no pair
@@ -167,12 +199,14 @@ object Similarity {
     * same-bucket self-joins (ids only, deduped before vectors attach),
     * and every candidate is VERIFIED with the real cosine — precision is
     * exact, recall is the OR-amplified 1-(1-(1-θ/π)^m)^L. Nothing is
-    * quadratic in the corpus. */
+    * quadratic in the corpus — PROVIDED the band width grows with it:
+    * `bitsPerTable = 0` (the default) sizes it via [[autoBits]]. */
   def lshCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nTables: Int = 24,
-                     bitsPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
+                     bitsPerTable: Int = 0, dim: Int = 64, seed: Long = 42L,
                      exact: Boolean = false): DataFrame = {
-    val planes = md5Planes(seed, nTables, bitsPerTable, dim)
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(vectors.count())
+    val planes = md5Planes(seed, nTables, m, dim)
     val b = tableBuckets(vectors, idCol, vecCol, planes)
     val pairs = b.as("a")
       .join(b.as("b"),
@@ -261,12 +295,16 @@ object Similarity {
     * ids only, hash-partitioned, duplicates removed before vectors are
     * attached; query vectors re-attach via broadcast, candidate vectors
     * via one hash join proportional to the candidate pair count. Nothing
-    * is quadratic in the corpus and nothing big is broadcast. */
+    * is quadratic in the corpus and nothing big is broadcast.
+    * `bitsPerTable = 0` (the default) sizes the band width from the
+    * CANDIDATE corpus via [[autoBits]] — bucket occupancy is driven by
+    * the big side, not the small query set. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, k: Int, nTables: Int = 24, bitsPerTable: Int = 4,
+              vecCol: String, k: Int, nTables: Int = 24, bitsPerTable: Int = 0,
               dim: Int = 64, seed: Long = 42L,
               exact: Boolean = false): DataFrame = {
-    val planes = md5Planes(seed, nTables, bitsPerTable, dim)
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(candidates.count())
+    val planes = md5Planes(seed, nTables, m, dim)
     val qb = tableBuckets(queries, idCol, vecCol, planes)
       .withColumnRenamed("id", "query_id")
     val cb = tableBuckets(candidates, idCol, vecCol, planes)

@@ -85,6 +85,35 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.9
   }
 
+  test("autoBits ladder: floor 4 through 2048 vectors, +1 bit per doubling, cap 20") {
+    // the floor boundary is load-bearing: every driver oracle corpus
+    // (sf0.01 = 500, sf0.1 = 2000 embeddings) must land on exactly the
+    // pre-ladder 4-bit band width so the hard-coded DuckDB twins replay
+    Similarity.autoBits(1L) shouldBe 4
+    Similarity.autoBits(500L) shouldBe 4
+    Similarity.autoBits(2000L) shouldBe 4
+    Similarity.autoBits(2048L) shouldBe 4
+    Similarity.autoBits(2049L) shouldBe 5
+    Similarity.autoBits(20000L) shouldBe 8   // the 10x ScaleSanity corpus
+    Similarity.autoBits(200000L) shouldBe 11 // the 100x ScaleSanity corpus
+    Similarity.autoBits(1000000000000L) shouldBe 20
+  }
+
+  test("bitsPerTable auto == explicit 4 below the ladder (oracle-scale parity)") {
+    import spark.implicits._
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("sim")).as[(Long, Long, Double)]
+        .collect().toSet
+    edges(Similarity.mutualKnnLsh(emb, "vec_id", "embedding", k = 5,
+      exact = true)) shouldBe
+      edges(Similarity.mutualKnnLsh(emb, "vec_id", "embedding", k = 5,
+        bitsPerTable = 4, exact = true))
+    topkSet(Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", 5)) shouldBe
+      topkSet(Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", 5, bitsPerTable = 4))
+  }
+
   test("mutualKnn: maxVectors guard refuses the quadratic job") {
     val ex = intercept[IllegalArgumentException] {
       Similarity.mutualKnn(emb, "vec_id", "embedding", k = 3,
