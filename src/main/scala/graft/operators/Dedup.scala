@@ -807,6 +807,59 @@ object Dedup {
         coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
   }
 
+  /** Leakage-safe train/heldout split: every document assigned a side by
+    * the md5 bucket of its NEAR-DUP CLUSTER representative, so a
+    * document and all its near-duplicates land on the SAME side — the
+    * split a training pipeline needs before carving out eval data
+    * (splitting by document hash leaks: a heldout doc's near-twin stays
+    * in train and the eval measures memorization, not generalization).
+    * Bucket = md5("`salt`:rep") first-15-hex-chars mod 100 — the house
+    * md5-hex-slice integer rule, engine-reproducible — `< trainPct` →
+    * "train", else "heldout"; deterministic, re-runnable, and stable
+    * under corpus growth for unchanged clusters (the rep only moves if
+    * the cluster itself gains a smaller-id member).
+    *
+    * Scale: one [[nearDupClusters]] pass (banded MinHash + O(log d)
+    * components) plus a per-row hash — nothing beyond the clustering
+    * itself, no extra shuffle. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, trainPct: Int = 90,
+                       salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"leakageSafeSplit: trainPct must be in (0, 100), got $trainPct")
+    nearDupClusters(docs, idCol, textCol, threshold)
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit(s"$salt:"),
+            col("cluster_rep").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 100 < trainPct, "train")
+          .otherwise("heldout"))
+  }
+
+  /** Per-cluster quota dedup — the generalization of canonical-doc
+    * selection from "keep 1" to "keep at most `quota`": documents ranked
+    * within their near-dup cluster by ascending id, ranks above the
+    * quota dropped. Training pipelines use this to cap duplicate
+    * over-representation without discarding all redundancy (moderate
+    * duplication can be signal; unbounded duplication skews the
+    * distribution).
+    *
+    * Scale: the rank is a per-cluster window — partition size is
+    * CLUSTER size, which banded near-dup clustering keeps small by
+    * construction. A pathological mega-cluster (everything near-dup of
+    * everything) concentrates its rows in one task; that corpus needs
+    * [[canonicalDocs]]' keep-1 first, not a quota. The id rank is exact
+    * for the full 64-bit id domain (no double round-trip — ids beyond
+    * 2^53 would silently collide in a float-scored heap). */
+  def clusterQuota(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, quota: Int): DataFrame = {
+    require(quota >= 1, s"clusterQuota: quota must be >= 1, got $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep")).orderBy(col("doc_id"))
+    nearDupClusters(docs, idCol, textCol, threshold)
+      .withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= quota)
+  }
+
   /** Canonical-representative selection — the step after clustering that
     * decides WHICH document of each near-dup cluster survives. Production
     * dedup keeps the best-quality member, not an arbitrary one (dropping

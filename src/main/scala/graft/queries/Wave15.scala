@@ -1,11 +1,12 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Graphs
+import graft.operators.{Dedup, Graphs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Wave 15 — round-8 deep-iteration graph analytics:
+/** Wave 15 — round-8 deep-iteration graph analytics and the two
+  * cluster-aware corpus-curation operators:
   *
   *  - q121 deep PageRank (10 synchronous rounds, lineage checkpointed
   *    every 4) over the order–supplier fulfilment graph: nodes are
@@ -18,8 +19,46 @@ import org.apache.spark.sql.functions._
   *    unrolled-CTE DuckDB oracle, and its raw lineitem edge feed
   *    (duplicate (order, supplier) pairs are routine) exercises the
   *    defensive orientation/duplicate normalization end-to-end.
+  *  - q122 leakage-safe split ([[Dedup.leakageSafeSplit]]): train/heldout
+  *    assignment hashed from the near-dup CLUSTER rep so near-twins never
+  *    straddle the eval boundary.
+  *  - q123 cluster quota ([[Dedup.clusterQuota]]): keep at most 2 docs
+  *    per near-dup cluster — canonical-doc selection generalized from
+  *    keep-1 to keep-k.
+  *  Both share q55's oracle generator (exact-Jaccard pair graph +
+  *  recursive-CTE components) with one extra SELECT on top.
   */
 object Wave15 {
+
+  /** q55's cluster oracle as a reusable prefix: exact Jaccard >= `thr`
+    * pairs, recursive-CTE connected components, min-id rep per doc. */
+  private def clusterCte(thr: Double): String =
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS tok
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $thr),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |reps AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY 1),
+       |clusters AS (
+       |  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+       |  FROM documents d LEFT JOIN reps r ON d.doc_id = r.node)""".stripMargin
 
   private val PrIters = 10
   private val PrCkptEvery = 4
@@ -37,6 +76,21 @@ object Wave15 {
       Graphs.pageRankInt(edges, "a", "b", nodes, "id", iters = PrIters,
         checkpointInterval = PrCkptEvery)
         .orderBy(col("id"))
+    },
+
+    // Near-dup-cluster-keyed train/heldout split: no near-twin pair
+    // straddles the eval boundary.
+    "q122_leakage_split" -> { (s, d) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.9, trainPct = 90)
+        .orderBy(col("doc_id"))
+    },
+
+    // Keep at most 2 docs per near-dup cluster (quota dedup).
+    "q123_cluster_quota" -> { (s, d) =>
+      Dedup.clusterQuota(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.9, quota = 2)
+        .orderBy(col("doc_id"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -68,5 +122,22 @@ object Wave15 {
          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
          |$rounds
          |SELECT id, CAST(r AS BIGINT) AS rank FROM r$PrIters ORDER BY id""".stripMargin
-    })
+    },
+
+    "q122_leakage_split" ->
+      s"""${clusterCte(0.9)}
+         |SELECT doc_id, cluster_rep,
+         |  CASE WHEN CAST('0x' || substr(md5('split:' ||
+         |      CAST(cluster_rep AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+         |    THEN 'train' ELSE 'heldout' END AS split
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    "q123_cluster_quota" ->
+      s"""${clusterCte(0.9)}
+         |SELECT doc_id, cluster_rep, keep_rank FROM (
+         |  SELECT doc_id, cluster_rep,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY cluster_rep ORDER BY doc_id) AS BIGINT) AS keep_rank
+         |  FROM clusters)
+         |WHERE keep_rank <= 2 ORDER BY doc_id""".stripMargin)
 }

@@ -222,6 +222,46 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       Set(10L, 12L, 20L, 30L)
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the train/heldout boundary") {
+    import spark.implicits._
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", "text", 0.9).cache()
+    split.count() shouldBe docs.count()
+    split.select("split").distinct().as[String].collect().toSet should
+      contain only ("train", "heldout")
+    // THE invariant: both ends of every near-dup pair share a side
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9)
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    straddling shouldBe 0
+    // deterministic: re-running assigns identical sides
+    val again = Dedup.leakageSafeSplit(docs, "doc_id", "text", 0.9)
+    split.as("a").join(again.as("b"), "doc_id")
+      .filter(col("a.split") =!= col("b.split")).count() shouldBe 0
+    split.unpersist()
+  }
+
+  test("clusterQuota: quota respected, min-id member always kept, keep-1 == cluster reps") {
+    import spark.implicits._
+    val q2 = Dedup.clusterQuota(docs, "doc_id", "text", 0.9, quota = 2).cache()
+    q2.groupBy("cluster_rep").count()
+      .agg(max("count")).head().getLong(0) should be <= 2L
+    q2.filter(col("keep_rank") < 1 || col("keep_rank") > 2).count() shouldBe 0
+    // rank 1 is the cluster rep itself (min id), so the rep always survives
+    q2.filter(col("keep_rank") === 1)
+      .filter(col("doc_id") =!= col("cluster_rep")).count() shouldBe 0
+    // quota = 1 degenerates to exactly the keep-one-per-cluster doc set
+    val q1 = Dedup.clusterQuota(docs, "doc_id", "text", 0.9, quota = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val reps = Dedup.nearDupClusters(docs, "doc_id", "text", 0.9)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select("doc_id").as[Long].collect().toSet
+    q1 shouldBe reps
+    q2.unpersist()
+  }
+
   test("canonicalDocs: longest member survives, ties to smallest id") {
     import spark.implicits._
     val tiny = Seq(
