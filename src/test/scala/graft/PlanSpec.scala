@@ -195,4 +195,30 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     m should not include "Exchange SinglePartition"
     m should not include "CartesianProduct"
   }
+
+  test("q121: deep PageRank reuses cached adjacency; checkpoint bounds plan depth") {
+    val p = plan("q121_deep_pagerank")
+    p should not include "CartesianProduct"
+    p should include("InMemoryTableScan") // round-invariant adjacency
+    // lineage is cut at the last checkpoint (round 8 of 10): the final
+    // plan reads the checkpointed RDD and inlines only the two rounds
+    // since — ten inlined rounds (>= 20 joins) is the unbounded-plan-
+    // growth failure the checkpoint option exists to prevent
+    p should include("ExistingRDD")
+    "(?i)join".r.findAllIn(p).size should be < 12
+  }
+
+  test("q122/q123: cluster-keyed split and quota add no shuffle beyond clustering") {
+    val s = plan("q122_leakage_split")
+    // the split column is a pure per-row projection over the clustered
+    // frame — no window, no extra join for the side assignment
+    s should not include "CartesianProduct"
+    s should not include "BroadcastNestedLoopJoin"
+    val q = plan("q123_cluster_quota")
+    // the quota rank is a cluster-partitioned window — a SinglePartition
+    // window here would serialize the corpus through one task
+    q should include("Window")
+    q should not include "Exchange SinglePartition"
+    q should not include "CartesianProduct"
+  }
 }

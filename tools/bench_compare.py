@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Compare a bench JSON line (total_fullnames) against BASELINE.md rows.
+
+Usage: python3 tools/bench_compare.py <bench.json> [ratio_threshold]
+
+Reads the first JSON object with "queries" full-name keys from the file,
+parses BASELINE.md per-query rows, prints each query whose raw/frozen
+ratio exceeds the threshold (default 2.0), and the overall ratio.
+Normalized times (queries_normalized) are shown when present so machine
+load and regression separate mechanically (see the calibration probe
+section in BASELINE.md).
+"""
+import json, re, sys
+
+ROW = re.compile(r"^\| (q\d+\w*) \| ([0-9.]+) \| ")
+
+def baseline_rows(path="BASELINE.md"):
+    rows = {}
+    for line in open(path):
+        m = ROW.match(line)
+        if m:
+            rows[m.group(1)] = float(m.group(2))
+    return rows
+
+def main():
+    path = sys.argv[1]
+    thr = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    obj = None
+    for line in open(path):
+        # sbt prefixes program stdout with "[info] "
+        line = line.strip().removeprefix("[info]").strip()
+        if line.startswith("{") and '"queries"' in line:
+            cand = json.loads(line)
+            if any(k.count("_") for k in cand.get("queries", {})):
+                obj = cand
+                break
+    if obj is None:
+        sys.exit("no full-names bench line found in " + path)
+    frozen = baseline_rows()
+    qs = obj["queries"]
+    norm = obj.get("queries_normalized", {})
+    tot_raw = sum(v for v in qs.values() if v >= 0)
+    tot_frozen = sum(frozen[k] for k in qs if k in frozen)
+    over = []
+    for k, v in sorted(qs.items()):
+        if k not in frozen or v < 0:
+            continue
+        r = v / frozen[k]
+        if r > thr:
+            over.append((k, v, norm.get(k), frozen[k], r))
+    print(f"queries: {len(qs)}  with-baseline: {sum(1 for k in qs if k in frozen)}")
+    print(f"raw total {tot_raw:.1f}s vs frozen {tot_frozen:.1f}s -> {tot_raw/tot_frozen:.2f}x")
+    if over:
+        print(f"\n> {thr}x frozen:")
+        for k, v, n, f, r in over:
+            ns = f" norm={n:.2f}" if n is not None else ""
+            print(f"  {k}: {v:.2f}s{ns} vs {f:.2f}s = {r:.1f}x")
+    else:
+        print(f"no query above {thr}x its frozen row")
+    missing = [k for k in qs if k not in frozen]
+    if missing:
+        print("\nno baseline row yet: " + ", ".join(sorted(missing)))
+
+if __name__ == "__main__":
+    main()
