@@ -225,6 +225,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), V.quantize(col("sim"), 6).as("sim"))
   }
 
+  /** Incremental embedding near-dup — a NEW batch of vectors against a
+    * FROZEN corpus, the embedding analog of [[Dedup.nearDupAgainstCorpus]]
+    * (the ingestion shape: "which incoming documents are semantic
+    * near-copies of something we already hold?"). Both sides bucket with
+    * the SAME md5-derived hyperplanes, candidates come from the
+    * NEW × CORPUS band join ONLY — no within-side pairs are generated,
+    * so ingest cost scales with the batch, not the corpus — and every
+    * candidate is verified with the real cosine (precision exact, recall
+    * the OR-amplified table union, same contract as [[lshCosinePairs]]).
+    *
+    * Scale: the corpus side's buckets are a pure function of (vectors,
+    * seed, nTables, bits) — a production pipeline computes them ONCE per
+    * corpus snapshot and persists them, so each ingest batch pays only
+    * its own bucketing plus a skinny band join keyed (table, bucket).
+    * Band width sizes from the CORPUS cardinality via [[autoBits]]
+    * (fixed width is quadratic at scale — BASELINE.md r8); pass
+    * `bitsPerTable` explicitly to pin it. Output: (id_new, id_corpus,
+    * sim) at sim ≥ threshold, quantized to 1e-6. */
+  def lshCosineAgainstCorpus(newVecs: DataFrame, corpusVecs: DataFrame,
+                             idCol: String, vecCol: String, threshold: Double,
+                             nTables: Int = 24, bitsPerTable: Int = 0,
+                             dim: Int = 64, seed: Long = 42L,
+                             exact: Boolean = false): DataFrame = {
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(corpusVecs.count())
+    val planes = md5Planes(seed, nTables, m, dim)
+    val nb = tableBuckets(newVecs, idCol, vecCol, planes)
+    val cb = tableBuckets(corpusVecs, idCol, vecCol, planes)
+    val pairs = nb.as("n")
+      .join(cb.as("c"),
+        col("n.table") === col("c.table") && col("n.bucket") === col("c.bucket"))
+      .select(col("n.id").as("id_a"), col("c.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val nv = newVecs.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"))
+    val cv = corpusVecs.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"))
+    val sims = pairSims(
+      pairs.join(nv, "id_a").join(cv, "id_b")
+        .select(col("id_a"), col("v_a"), col("id_b"), col("v_b")),
+      exact)
+    sims.filter(col("sim") >= threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_corpus"),
+        V.quantize(col("sim"), 6).as("sim"))
+  }
+
   /** Hyperplane weights for sign-bit LSH, derived from md5 — the house
     * hash rule (every sketch input is an md5-hex-slice integer) that
     * makes bucket assignment ENGINE-REPRODUCIBLE: weight(t,i,j) is the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Graphs}
+import graft.operators.{Dedup, Graphs, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   *    keep-1 to keep-k.
   *  Both share q55's oracle generator (exact-Jaccard pair graph +
   *  recursive-CTE components) with one extra SELECT on top.
+  *  - q124 embedding ingest ([[Similarity.lshCosineAgainstCorpus]]): a
+  *    NEW vector batch near-dup-checked against the FROZEN corpus via
+  *    the cross-side-only LSH band join — the embedding analog of q97's
+  *    incremental text ingest. The oracle replays the md5-hyperplane
+  *    bucketing bit-for-bit (q109's generator family) and verifies the
+  *    cross-side candidates with the exact quantized cosine.
   */
 object Wave15 {
 
@@ -91,6 +97,17 @@ object Wave15 {
       Dedup.clusterQuota(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.9, quota = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // Incremental embedding ingest: the vec_id % 10 == 0 batch arrives
+    // against the frozen % 10 != 0 corpus; cross-side pairs only.
+    "q124_embedding_ingest" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshCosineAgainstCorpus(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", threshold = 0.30, exact = true)
+        .orderBy(col("id_new"), col("id_corpus"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -139,5 +156,56 @@ object Wave15 {
          |    CAST(row_number() OVER (
          |      PARTITION BY cluster_rep ORDER BY doc_id) AS BIGINT) AS keep_rank
          |  FROM clusters)
-         |WHERE keep_rank <= 2 ORDER BY doc_id""".stripMargin)
+         |WHERE keep_rank <= 2 ORDER BY doc_id""".stripMargin,
+
+    // Bit-for-bit replay of the sign-bit LSH bucketing (q109's generator
+    // family: md5 Irwin-Hall hyperplanes, fixed-point long dot products)
+    // restricted to NEW x CORPUS candidates, verified with the exact
+    // quantized cosine. bitsPerTable is 4 here because autoBits sits on
+    // its floor for every <= 2048-vector oracle corpus.
+    "q124_embedding_ingest" ->
+      s"""WITH planes AS (
+         |  SELECT t, i, j,
+         |    CAST('0x' || substr(h, 1, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 5, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 9, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 13, 4) AS BIGINT) - 131072 AS w
+         |  FROM (
+         |    SELECT t, i, j, md5('lsh:42:' || t || ':' || i || ':' || j) AS h
+         |    FROM range(0, 24) r1(t), range(0, 4) r2(i), range(0, 64) r3(j))),
+         |vq AS (
+         |  SELECT vec_id, j,
+         |    CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+         |      * 1048576.0) AS BIGINT) AS q
+         |  FROM embeddings, range(0, 64) rj(j)),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+         |             ELSE CAST(0 AS BIGINT) END) AS bucket
+         |  FROM (
+         |    SELECT vq.vec_id, p.t, p.i, sum(vq.q * p.w) AS d
+         |    FROM vq JOIN planes p ON p.j = vq.j
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT nb.vec_id AS id_new, cb.vec_id AS id_corpus
+         |  FROM buckets nb JOIN buckets cb
+         |    ON nb.t = cb.t AND nb.bucket = cb.bucket
+         |  WHERE nb.vec_id % 10 = 0 AND cb.vec_id % 10 <> 0),
+         |sims AS (
+         |  SELECT id_new, id_corpus,
+         |    (${sqlDotQ("a.embedding", "b.embedding")})
+         |      / (sqrt(${sqlDotQ("a.embedding", "a.embedding")})
+         |         * sqrt(${sqlDotQ("b.embedding", "b.embedding")})) AS sim
+         |  FROM cand JOIN embeddings a ON id_new = a.vec_id
+         |            JOIN embeddings b ON id_corpus = b.vec_id)
+         |SELECT id_new, id_corpus, floor(sim * 1e6) / 1e6 AS sim
+         |FROM sims WHERE sim >= 0.30
+         |ORDER BY id_new, id_corpus""".stripMargin)
+
+  /** DuckDB twin of VectorFunctions.dotQLong (q28's kernel — same helper
+    * as Wave12's). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
 }

@@ -146,6 +146,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.9
   }
 
+  test("lshCosineAgainstCorpus: cross-side only, exact precision, recall >= 0.9") {
+    import spark.implicits._
+    val nw = emb.filter(col("vec_id") % 10 === 0)
+    val cp = emb.filter(col("vec_id") % 10 =!= 0)
+    val r = Similarity.lshCosineAgainstCorpus(nw, cp, "vec_id", "embedding",
+      0.30, exact = true).cache()
+    // sides respected: new ids only on the left, corpus ids only on the right
+    r.filter(col("id_new") % 10 =!= 0).count() shouldBe 0
+    r.filter(col("id_corpus") % 10 === 0).count() shouldBe 0
+    // brute cross-side baseline from the already-proven all-pairs operator
+    val cross = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.30,
+      exact = true)
+      .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+    val brute = cross.select(
+      when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("n"),
+      when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("c"))
+      .as[(Long, Long)].collect().toSet
+    val lsh = r.select(col("id_new"), col("id_corpus"))
+      .as[(Long, Long)].collect().toSet
+    brute should not be empty
+    // precision exact by construction: every candidate passes the same verify
+    (lsh -- brute) shouldBe empty
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    recall should be >= 0.9
+    r.unpersist()
+  }
+
   test("ivfTopK: same neighbors as brute force when all vectors share a cell") {
     // one centroid -> every vector lands in cell 0 -> exact equivalence
     val q = emb.filter(col("vec_id") < 5)
