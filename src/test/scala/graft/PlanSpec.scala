@@ -221,4 +221,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     q should not include "Exchange SinglePartition"
     q should not include "CartesianProduct"
   }
+
+  test("q124: cross-side band join is an equi-join on (table, bucket) — no cartesian") {
+    val p = plan("q124_embedding_ingest")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
 }
