@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Graphs, Similarity}
+import graft.operators.{Dedup, Graphs, Sharding, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   *    incremental text ingest. The oracle replays the md5-hyperplane
   *    bucketing bit-for-bit (q109's generator family) and verifies the
   *    cross-side candidates with the exact quantized cosine.
+  *  - q125 semantic quota: cluster-balanced corpus sampling — at most k
+  *    vectors per SEMANTIC cluster ([[Similarity.assignClusters]] →
+  *    [[Sharding.stratifiedQuota]]), the embedding-space analog of
+  *    q123's text-cluster quota and the standard guard against one
+  *    over-crawled topic dominating a training mix. Pure composition of
+  *    two oracle-proven operators; the oracle composes q70's argmax CTE
+  *    with q67's md5-rank quota.
   */
 object Wave15 {
 
@@ -108,6 +115,15 @@ object Wave15 {
         emb.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", threshold = 0.30, exact = true)
         .orderBy(col("id_new"), col("id_corpus"))
+    },
+
+    // Cluster-balanced sampling: at most 25 vectors per semantic cluster,
+    // md5-deterministic ranking (q70's fixed centroids).
+    "q125_semantic_quota" -> { (s, d) =>
+      val asg = Similarity.assignClusters(Tables.embeddings(s, d), "vec_id",
+        "embedding", Wave7.SemCentroids)
+      Sharding.stratifiedQuota(asg, "id", "cluster", quota = 25)
+        .orderBy(col("cluster"), col("rk"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -201,7 +217,27 @@ object Wave15 {
          |            JOIN embeddings b ON id_corpus = b.vec_id)
          |SELECT id_new, id_corpus, floor(sim * 1e6) / 1e6 AS sim
          |FROM sims WHERE sim >= 0.30
-         |ORDER BY id_new, id_corpus""".stripMargin)
+         |ORDER BY id_new, id_corpus""".stripMargin,
+
+    // q70's quantized-argmax assignment CTE composed with q67's
+    // md5-rank quota — both already oracle-proven on their own rows.
+    "q125_semantic_quota" -> {
+      val dots = Wave7.SemCentroids.map(c => Wave7.sqlDotQLit("embedding", c))
+        .mkString("[\n    ", ",\n    ", "]")
+      s"""WITH a AS (
+         |  SELECT vec_id, $dots AS dots FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id,
+         |    CAST(list_indexof(dots, list_aggregate(dots, 'max')) - 1 AS BIGINT) AS cluster
+         |  FROM a),
+         |ranked AS (
+         |  SELECT vec_id AS id, cluster,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+         |  FROM asg)
+         |SELECT id, cluster, rk FROM ranked WHERE rk <= 25
+         |ORDER BY cluster, rk""".stripMargin
+    })
 
   /** DuckDB twin of VectorFunctions.dotQLong (q28's kernel — same helper
     * as Wave12's). */
