@@ -99,10 +99,17 @@ object Sharding {
   /** Stratified quota sampling for data mixing: keep at most `quota`
     * documents per stratum (language, source, ...), chosen by a
     * deterministic md5 ranking — the distributed, rerun-stable version
-    * of "sample k per class". One shuffle on the stratum key; the rank is
-    * a bounded per-stratum top-k in the engine's window form (strata
-    * counts are the only cardinality that matters, not corpus size).
-    * Output: the stratum column + (id, rk). */
+    * of "sample k per class". One shuffle on the stratum key; the rank
+    * runs in the engine's window form, so each stratum sorts in one
+    * task. Right when strata are numerous (language × source grids:
+    * parallelism ≈ strata count, partitions stay small). For FEW huge
+    * strata — e.g. a handful of semantic clusters over a full corpus
+    * (q125) — the per-stratum sort still spills safely but serializes
+    * each stratum through one task; at that shape the scale path is a
+    * bounded-heap per-stratum top-k (the `Agg.TopK` partial-aggregate
+    * pattern: map-side partials carry ≤ quota entries), which keeps the
+    * identical quota rows. Measured at 10×/100× in BASELINE.md's
+    * constant-density table. Output: the stratum column + (id, rk). */
   def stratifiedQuota(docs: DataFrame, idCol: String, stratumCol: String,
                       quota: Int): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
