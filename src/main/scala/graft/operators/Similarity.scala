@@ -241,8 +241,11 @@ object Similarity {
     * its own bucketing plus a skinny band join keyed (table, bucket).
     * Band width sizes from the CORPUS cardinality via [[autoBits]]
     * (fixed width is quadratic at scale — BASELINE.md r8); pass
-    * `bitsPerTable` explicitly to pin it. Output: (id_new, id_corpus,
-    * sim) at sim ≥ threshold, quantized to 1e-6. */
+    * `bitsPerTable` explicitly to pin it. Contract: the two sides are
+    * id-disjoint (an ingest batch vs the frozen snapshot always is); an
+    * id present on both sides would emit its self-pair at sim 1.
+    * Output: (id_new, id_corpus, sim) at sim ≥ threshold, quantized to
+    * 1e-6. */
   def lshCosineAgainstCorpus(newVecs: DataFrame, corpusVecs: DataFrame,
                              idCol: String, vecCol: String, threshold: Double,
                              nTables: Int = 24, bitsPerTable: Int = 0,
