@@ -41,4 +41,36 @@ object Agg {
     val fn = udaf(new TopK(k))
     (score, id) => fn(score, id)
   }
+
+  /** Bounded bottom-k heap over (key, id) pairs: keeps the k
+    * lexicographically SMALLEST (key, id) entries — the ascending twin
+    * of [[TopK]], for deterministic md5-rank selection ("the quota
+    * smallest hashes per stratum", [[Sharding.stratifiedQuotaTopK]]).
+    * Same 100 TB shape: each map-side partial holds <= k entries, the
+    * shuffle carries k entries per (group, partition), and no window
+    * funnels a full stratum through one task's sort. */
+  class BottomK(k: Int) extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+    require(k > 0)
+    private val ord = Ordering.Tuple2[String, Long]
+    private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
+      s.sorted(ord).take(k)
+    override def zero: Seq[(String, Long)] = Nil
+    override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
+      if (b.size >= k && ord.lteq(b.last, a)) b
+      else trim(b :+ a)
+    override def merge(b1: Seq[(String, Long)], b2: Seq[(String, Long)]): Seq[(String, Long)] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] = bufferEncoder
+  }
+
+  /** Untyped bottom-k UDAF column: `bottomK(3)(col("key"), col("id"))`
+    * yields `array<struct<_1: string, _2: bigint>>` sorted ascending —
+    * position in the array IS the (0-based) rank. */
+  def bottomK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new BottomK(k))
+    (key, id) => fn(key, id)
+  }
 }

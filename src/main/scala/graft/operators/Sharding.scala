@@ -102,14 +102,11 @@ object Sharding {
     * of "sample k per class". One shuffle on the stratum key; the rank
     * runs in the engine's window form, so each stratum sorts in one
     * task. Right when strata are numerous (language × source grids:
-    * parallelism ≈ strata count, partitions stay small). For FEW huge
-    * strata — e.g. a handful of semantic clusters over a full corpus
-    * (q125) — the per-stratum sort still spills safely but serializes
-    * each stratum through one task; at that shape the scale path is a
-    * bounded-heap per-stratum top-k (the `Agg.TopK` partial-aggregate
-    * pattern: map-side partials carry ≤ quota entries), which keeps the
-    * identical quota rows. Measured at 10×/100× in BASELINE.md's
-    * constant-density table. Output: the stratum column + (id, rk). */
+    * parallelism ≈ strata count, partitions stay small; this form also
+    * keeps the id column's original type). For FEW huge strata — a
+    * handful of semantic clusters over a full corpus (q125) — use
+    * [[stratifiedQuotaTopK]]: identical rows, bounded-heap aggregation
+    * instead of a per-stratum sort. Output: (id, stratum, rk). */
   def stratifiedQuota(docs: DataFrame, idCol: String, stratumCol: String,
                       quota: Int): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
@@ -117,6 +114,35 @@ object Sharding {
     docs.select(col(idCol).as("id"), col(stratumCol))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= quota)
+  }
+
+  /** [[stratifiedQuota]] for COARSE strata — the 100 TB shape when a
+    * stratum can be corpus-sized (q125's 8 semantic clusters over the
+    * full corpus): the window form serializes each stratum's ENTIRE
+    * membership through one task's sort for an output of `quota` rows;
+    * this form keeps the quota smallest (md5(id), id) pairs per stratum
+    * in a bounded heap ([[Agg.BottomK]] — the TopK partial-aggregate
+    * pattern), so each map-side partial carries ≤ quota entries and the
+    * shuffle moves ≤ quota · partials rows per stratum, REGARDLESS of
+    * stratum size. Max task input is bounded by quota · upstream
+    * partitions, never by the stratum.
+    *
+    * Rows are IDENTICAL to [[stratifiedQuota]] by construction: the
+    * same deterministic (md5(id), id) ascending ranking selects the
+    * same quota members, and the aggregator's sorted array makes
+    * rk = position + 1 the same rank (ShardingSpec pins equality;
+    * q125's oracle row certifies it against DuckDB). Requires a
+    * long-castable id (the house id contract). Output: (id, stratum,
+    * rk). */
+  def stratifiedQuotaTopK(docs: DataFrame, idCol: String, stratumCol: String,
+                          quota: Int): DataFrame = {
+    val bk = Agg.bottomK(quota)
+    docs.select(col(idCol).cast("long").as("id"), col(stratumCol))
+      .groupBy(col(stratumCol))
+      .agg(bk(md5(col("id").cast("string")), col("id")).as("kept"))
+      .select(col(stratumCol), posexplode(col("kept")))
+      .select(col("col._2").as("id"), col(stratumCol),
+        (col("pos") + 1).cast("long").as("rk"))
   }
 
   /** Deterministic train/validation/test splitting by content-free id

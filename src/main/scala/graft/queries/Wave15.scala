@@ -35,11 +35,13 @@ import org.apache.spark.sql.functions._
   *    cross-side candidates with the exact quantized cosine.
   *  - q125 semantic quota: cluster-balanced corpus sampling — at most k
   *    vectors per SEMANTIC cluster ([[Similarity.assignClusters]] →
-  *    [[Sharding.stratifiedQuota]]), the embedding-space analog of
+  *    [[Sharding.stratifiedQuotaTopK]], the bounded-heap quota: coarse
+  *    strata never sort through one task), the embedding-space analog of
   *    q123's text-cluster quota and the standard guard against one
   *    over-crawled topic dominating a training mix. Pure composition of
   *    two oracle-proven operators; the oracle composes q70's argmax CTE
-  *    with q67's md5-rank quota.
+  *    with q67's md5-rank quota (row_number ≡ the heap's sorted position
+  *    by the shared deterministic (md5(id), id) ordering).
   */
 object Wave15 {
 
@@ -118,11 +120,13 @@ object Wave15 {
     },
 
     // Cluster-balanced sampling: at most 25 vectors per semantic cluster,
-    // md5-deterministic ranking (q70's fixed centroids).
+    // md5-deterministic ranking (q70's fixed centroids). Coarse strata
+    // (8 clusters over the full corpus) take the bounded-heap quota —
+    // max task input quota·partials, never a stratum's full membership.
     "q125_semantic_quota" -> { (s, d) =>
       val asg = Similarity.assignClusters(Tables.embeddings(s, d), "vec_id",
         "embedding", Wave7.SemCentroids)
-      Sharding.stratifiedQuota(asg, "id", "cluster", quota = 25)
+      Sharding.stratifiedQuotaTopK(asg, "id", "cluster", quota = 25)
         .orderBy(col("cluster"), col("rk"))
     })
 

@@ -222,6 +222,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     q should not include "CartesianProduct"
   }
 
+  test("q125: semantic quota is a bounded-heap aggregate — no full-sort Window over the stratum") {
+    // the window form serializes each semantic stratum (8 clusters over
+    // the FULL corpus) through one task's sort; the executed plan must
+    // instead partial-aggregate (map-side heaps of <= quota entries).
+    // The trailing orderBy sorts the <= 8*25-row RESULT — that global
+    // Sort is fine; a Window over the stratum key is the scale-killer.
+    val p = plan("q125_semantic_quota")
+    p should not include "Window"
+    (p.contains("ObjectHashAggregate") || p.contains("SortAggregate")) shouldBe true
+    p should not include "CartesianProduct"
+  }
+
   test("q124: cross-side band join is an equi-join on (table, bucket) — no cartesian") {
     val p = plan("q124_embedding_ingest")
     p should not include "CartesianProduct"

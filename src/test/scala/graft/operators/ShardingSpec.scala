@@ -179,6 +179,35 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
     } rates(d1) should be >= rates(d2)
   }
 
+  test("stratifiedQuotaTopK: row-for-row identical to the window form") {
+    import spark.implicits._
+    // numerous-strata shape (the window form's home turf)
+    val withLang = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val win = Sharding.stratifiedQuota(withLang, "doc_id", "lang_pred", 7)
+      .as[(Long, String, Long)].collect().toSet
+    val heap = Sharding.stratifiedQuotaTopK(withLang, "doc_id", "lang_pred", 7)
+      .as[(Long, String, Long)].collect().toSet
+    heap shouldBe win
+    // coarse-strata shape (q125's: few strata, each corpus-sized) —
+    // exactly where the heap replaces the single-task stratum sort
+    val coarse = docs.select(col("doc_id"),
+      (col("doc_id") % 2).cast("long").as("half"))
+    val winC = Sharding.stratifiedQuota(coarse, "doc_id", "half", 25)
+      .as[(Long, Long, Long)].collect().toSet
+    val heapC = Sharding.stratifiedQuotaTopK(coarse, "doc_id", "half", 25)
+      .as[(Long, Long, Long)].collect().toSet
+    heapC shouldBe winC
+    winC.size shouldBe 50 // both strata filled their quota
+    // quota larger than a stratum: every member kept, ranks dense 1..n
+    val tiny = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("doc_id", "g")
+    val heapT = Sharding.stratifiedQuotaTopK(tiny, "doc_id", "g", 25)
+      .as[(Long, Long, Long)].collect()
+    heapT.length shouldBe 3
+    heapT.filter(_._2 == 0L).map(_._3).sorted shouldBe Array(1L, 2L)
+    heapT.filter(_._2 == 1L).map(_._3) shouldBe Array(1L)
+  }
+
   test("stratifiedQuota: at most quota per stratum, deterministic, subset") {
     import spark.implicits._
     val withLang = docs.select(col("doc_id"),
