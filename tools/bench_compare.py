@@ -1,18 +1,27 @@
 #!/usr/bin/env python3
-"""Compare a bench JSON line (total_fullnames) against BASELINE.md rows.
+"""Compare a bench JSON line against BASELINE.md rows.
 
 Usage: python3 tools/bench_compare.py <bench.json> [ratio_threshold]
 
-Reads the first JSON object with "queries" full-name keys from the file,
-parses BASELINE.md per-query rows, prints each query whose raw/frozen
-ratio exceeds the threshold (default 2.0), and the overall ratio.
-Normalized times (queries_normalized) are shown when present so machine
-load and regression separate mechanically (see the calibration probe
-section in BASELINE.md).
+Accepts either a raw sbt log (lines of program stdout) or a driver
+BENCH_r{N}.json artifact (a JSON object whose "tail" field holds the
+captured log — possibly truncated mid-line, as in BENCH_r08.json).
+
+Prefers the full-names line ({"metric":"total_fullnames", queries keyed
+q01_pricing_summary}); when that line is missing or truncated it falls
+back to the compact line ({"metric":"total", queries keyed q01), which
+the driver's tail-capture always keeps intact, and maps short -> full
+names via BASELINE.md's per-query rows. Prints each query whose
+raw/frozen ratio exceeds the threshold (default 2.0) and the overall
+ratio. Normalized times (queries_normalized) are shown when present so
+machine load and regression separate mechanically (see the calibration
+probe section in BASELINE.md).
 """
 import json, re, sys
 
-ROW = re.compile(r"^\| (q\d+\w*) \| ([0-9.]+) \| ")
+# the date column pins this to the frozen per-query table — BASELINE.md's
+# re-measure sections have `| qNNN | sec | sec | ratio |` rows too
+ROW = re.compile(r"^\| (q\d+\w*) \| ([0-9.]+) \| \d{4}-\d{2}-\d{2} \|")
 
 def baseline_rows(path="BASELINE.md"):
     rows = {}
@@ -22,23 +31,54 @@ def baseline_rows(path="BASELINE.md"):
             rows[m.group(1)] = float(m.group(2))
     return rows
 
+def bench_lines(path):
+    """Log lines to scan: the driver artifact's "tail" field, else the
+    raw file's own lines."""
+    text = open(path).read()
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict) and isinstance(obj.get("tail"), str):
+            return obj["tail"].splitlines()
+    except json.JSONDecodeError:
+        pass
+    return text.splitlines()
+
+def find_bench(lines):
+    """(queries, queries_normalized, used_fallback). Full-names line when
+    parseable; else the compact line (short keys, no normalized map)."""
+    compact = None
+    for line in lines:
+        # sbt prefixes program stdout with "[info] "
+        line = line.strip().removeprefix("[info]").strip()
+        if not (line.startswith("{") and '"queries"' in line):
+            continue
+        try:
+            cand = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # truncated capture (e.g. BENCH_r08.json's tail head)
+        qs = cand.get("queries", {})
+        if not qs:
+            continue
+        if any(k.count("_") for k in qs):
+            return qs, cand.get("queries_normalized", {}), False
+        compact = cand
+    if compact is not None:
+        return compact["queries"], {}, True
+    return None, None, False
+
 def main():
     path = sys.argv[1]
     thr = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
-    obj = None
-    for line in open(path):
-        # sbt prefixes program stdout with "[info] "
-        line = line.strip().removeprefix("[info]").strip()
-        if line.startswith("{") and '"queries"' in line:
-            cand = json.loads(line)
-            if any(k.count("_") for k in cand.get("queries", {})):
-                obj = cand
-                break
-    if obj is None:
-        sys.exit("no full-names bench line found in " + path)
     frozen = baseline_rows()
-    qs = obj["queries"]
-    norm = obj.get("queries_normalized", {})
+    qs, norm, short = find_bench(bench_lines(path))
+    if qs is None:
+        sys.exit("no bench line with queries found in " + path)
+    if short:
+        # map q01 -> q01_pricing_summary via the baseline table
+        full = {k.split("_")[0]: k for k in frozen}
+        qs = {full.get(k, k): v for k, v in qs.items()}
+        print("(full-names line missing/truncated; using compact line, "
+              "names mapped via BASELINE.md)")
     tot_raw = sum(v for v in qs.values() if v >= 0)
     tot_frozen = sum(frozen[k] for k in qs if k in frozen)
     over = []
