@@ -417,7 +417,12 @@ object Dedup {
     * every band and verify at jac = 1, so exact cross-duplicates are
     * recalled by construction; other pairs carry the usual LSH recall
     * (miss probability (1−t^rows)^bands ≈ 4e-8 at t = 0.9, k = 64,
-    * bands = 16). Nothing is quadratic in either side.
+    * bands = 16). Nothing is quadratic in either side. Semantics for
+    * overlapping sides: a doc id present on BOTH sides never emits its
+    * (id, id) self-pair — it is the same document, not an incoming
+    * near-copy (DedupSpec pins this on an overlapping fixture);
+    * distinct ids with identical text still pair at jac = 1 whatever
+    * side they're on.
     *
     * Cache lifetime: the four internal `.cache()`s (both sides' sets +
     * groups) back the returned lazy DataFrame, so the CALLER owns their
@@ -474,6 +479,8 @@ object Dedup {
         "sk_a")
       .join(corpSets.select(col("sk").as("sk_b"), col("doc").as("id_corpus")),
         "sk_b")
+      // an id on both sides is the same document, not a near-dup pair
+      .filter(col("id_new") =!= col("id_corpus"))
       .select(col("id_new"), col("id_corpus"), col("jac"))
   }
 

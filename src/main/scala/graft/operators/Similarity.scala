@@ -237,28 +237,91 @@ object Similarity {
     *
     * Scale: the corpus side's buckets are a pure function of (vectors,
     * seed, nTables, bits) — a production pipeline computes them ONCE per
-    * corpus snapshot and persists them, so each ingest batch pays only
-    * its own bucketing plus a skinny band join keyed (table, bucket).
-    * Band width sizes from the CORPUS cardinality via [[autoBits]]
-    * (fixed width is quadratic at scale — BASELINE.md r8); pass
-    * `bitsPerTable` explicitly to pin it. Contract: the two sides are
-    * id-disjoint (an ingest batch vs the frozen snapshot always is); an
-    * id present on both sides would emit its self-pair at sim 1.
-    * Output: (id_new, id_corpus, sim) at sim ≥ threshold, quantized to
-    * 1e-6. */
+    * corpus snapshot via [[corpusBuckets]], persists them (plain
+    * parquet), and runs each ingest batch through
+    * [[lshCosineAgainstCorpusPrebuilt]], paying only the batch's own
+    * bucketing plus a skinny band join keyed (table, bucket). THIS
+    * convenience form rebuilds the corpus buckets per call (and, at the
+    * default `bitsPerTable = 0`, runs one corpus count() to size the
+    * band width via [[autoBits]] — fixed width is quadratic at scale,
+    * BASELINE.md r8); right for one-shot jobs, wasteful for a snapshot
+    * ingested against repeatedly. Semantics: an id present on BOTH
+    * sides never emits its (id, id) self-pair — it is the same item,
+    * not a near-duplicate (SimilaritySpec pins this on an overlapping
+    * fixture); distinct ids still pair normally whatever side they're
+    * on. Output: (id_new, id_corpus, sim) at sim ≥ threshold, quantized
+    * to 1e-6. */
   def lshCosineAgainstCorpus(newVecs: DataFrame, corpusVecs: DataFrame,
                              idCol: String, vecCol: String, threshold: Double,
                              nTables: Int = 24, bitsPerTable: Int = 0,
                              dim: Int = 64, seed: Long = 42L,
                              exact: Boolean = false): DataFrame = {
     val m = if (bitsPerTable > 0) bitsPerTable else autoBits(corpusVecs.count())
-    val planes = md5Planes(seed, nTables, m, dim)
+    lshCosineAgainstCorpusPrebuilt(newVecs,
+      corpusBuckets(corpusVecs, idCol, vecCol, nTables, m, dim, seed),
+      corpusVecs, idCol, vecCol, threshold, m, nTables, dim, seed, exact)
+  }
+
+  /** The persistable corpus-side artifact for incremental embedding
+    * ingest: (id, table, bucket, bits) sign-bit LSH buckets, a PURE
+    * function of (vectors, seed, nTables, bits) — write it to parquet
+    * once per corpus snapshot and every later batch ingests against the
+    * stored frame via [[lshCosineAgainstCorpusPrebuilt]] without
+    * touching (or counting) the corpus vectors again until the verify
+    * join. The constant `bits` column makes the snapshot
+    * self-describing: the prebuilt ingest asserts it against its pinned
+    * width, so a snapshot/batch band-width mismatch fails loudly
+    * instead of silently joining disjoint bucket spaces. At the default
+    * `bitsPerTable = 0` the width sizes from ONE corpus count()
+    * ([[autoBits]]) — a snapshot-build-time cost, paid never at ingest
+    * time. */
+  def corpusBuckets(corpusVecs: DataFrame, idCol: String, vecCol: String,
+                    nTables: Int = 24, bitsPerTable: Int = 0,
+                    dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(corpusVecs.count())
+    tableBuckets(corpusVecs, idCol, vecCol, md5Planes(seed, nTables, m, dim))
+      .withColumn("bits", lit(m))
+  }
+
+  /** [[lshCosineAgainstCorpus]] against a PRE-BUILT corpus snapshot —
+    * the production ingest path: `corpusBkts` is [[corpusBuckets]]
+    * output (fresh or read back from parquet), `bitsPerTable` is the
+    * snapshot's pinned band width (required explicit: the batch must
+    * bucket with exactly the snapshot's hyperplanes), and the corpus is
+    * never counted or re-bucketed — each batch pays its own bucketing,
+    * the cross-side band join, and the exact-cosine verify only. If the
+    * snapshot carries its `bits` column (corpusBuckets output does), a
+    * width mismatch raises on the first bucket row rather than
+    * returning an empty/garbage join. Same output contract and
+    * self-pair semantics as [[lshCosineAgainstCorpus]] — bit-for-bit
+    * equal to the recompute path (SimilaritySpec proves it through a
+    * parquet round-trip on the q124 shape). */
+  def lshCosineAgainstCorpusPrebuilt(newVecs: DataFrame, corpusBkts: DataFrame,
+                                     corpusVecs: DataFrame, idCol: String,
+                                     vecCol: String, threshold: Double,
+                                     bitsPerTable: Int, nTables: Int = 24,
+                                     dim: Int = 64, seed: Long = 42L,
+                                     exact: Boolean = false): DataFrame = {
+    require(bitsPerTable > 0,
+      "lshCosineAgainstCorpusPrebuilt: pass the snapshot's pinned " +
+        "bitsPerTable (> 0) — the batch must bucket with exactly the " +
+        "hyperplanes the stored corpus buckets were built from")
+    val planes = md5Planes(seed, nTables, bitsPerTable, dim)
     val nb = tableBuckets(newVecs, idCol, vecCol, planes)
-    val cb = tableBuckets(corpusVecs, idCol, vecCol, planes)
+    val cb =
+      if (corpusBkts.columns.contains("bits"))
+        corpusBkts.filter(assert_true(col("bits") === lit(bitsPerTable),
+          concat(lit("corpus snapshot built with bits="), col("bits"),
+            lit(s" but ingest pinned bitsPerTable=$bitsPerTable — " +
+              "rebucket the corpus or pin the snapshot's width"))).isNull)
+          .select(col("id"), col("table"), col("bucket"))
+      else corpusBkts.select(col("id"), col("table"), col("bucket"))
     val pairs = nb.as("n")
       .join(cb.as("c"),
         col("n.table") === col("c.table") && col("n.bucket") === col("c.bucket"))
       .select(col("n.id").as("id_a"), col("c.id").as("id_b"))
+      // an id on both sides is the same item, not a near-dup pair
+      .filter(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val nv = newVecs.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"))
     val cv = corpusVecs.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"))

@@ -331,4 +331,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       "text", 0.9).as[(Long, Long, Double)].collect().toSet
     got shouldBe Set((1L, 10L, 1.0), (1L, 11L, 19.0 / 21.0))
   }
+
+  test("nearDupAgainstCorpus: overlapping ids never emit self-pairs; distinct ids still pair") {
+    import spark.implicits._
+    val letters = "abcdefghij"
+    val vocab = (0 until 80).map(i => s"w${letters(i / 10)}${letters(i % 10)}")
+    def doc(idx: Seq[Int]): String = idx.map(vocab).mkString(" ")
+    val newSide = Seq(1L -> doc(0 until 20), 2L -> doc(40 until 60))
+      .toDF("doc_id", "text")
+    val corpSide = Seq(
+      1L -> doc(0 until 20),           // SAME id, same text: the same item
+      3L -> doc(0 until 20),           // distinct id, same text: jac 1
+      4L -> doc((40 until 59) :+ 70)). // jac 19/21 with new doc 2
+      toDF("doc_id", "text")
+    val got = Dedup.nearDupAgainstCorpus(newSide, corpSide, "doc_id",
+      "text", 0.9).as[(Long, Long, Double)].collect().toSet
+    // the pinned contract: id equality across sides == identity, so the
+    // (1, 1) row is suppressed; everything else is unaffected
+    got shouldBe Set((1L, 3L, 1.0), (2L, 4L, 19.0 / 21.0))
+  }
 }

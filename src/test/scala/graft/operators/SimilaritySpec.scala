@@ -173,6 +173,64 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     r.unpersist()
   }
 
+  test("corpusBuckets parquet round-trip: prebuilt ingest == recompute bit-for-bit (q124 shape)") {
+    import spark.implicits._
+    val nw = emb.filter(col("vec_id") % 10 === 0)
+    val cp = emb.filter(col("vec_id") % 10 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_new"), col("id_corpus"), col("sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    val recompute = rows(Similarity.lshCosineAgainstCorpus(nw, cp, "vec_id",
+      "embedding", 0.30, exact = true))
+    // snapshot build: write the corpus buckets once, read them back —
+    // the production per-snapshot artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbkts_")
+      .toString
+    Similarity.corpusBuckets(cp, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val snap = spark.read.parquet(dir)
+    val bits = snap.select("bits").head().getInt(0)
+    bits shouldBe 4 // oracle-scale corpus sits on the autoBits floor
+    val prebuilt = rows(Similarity.lshCosineAgainstCorpusPrebuilt(nw, snap,
+      cp, "vec_id", "embedding", 0.30, bitsPerTable = bits, exact = true))
+    prebuilt shouldBe recompute
+    recompute should not be empty
+  }
+
+  test("prebuilt ingest: pinned-width mismatch against the snapshot fails loudly") {
+    val nw = emb.filter(col("vec_id") % 10 === 0)
+    val cp = emb.filter(col("vec_id") % 10 =!= 0)
+    val snap = Similarity.corpusBuckets(cp, "vec_id", "embedding",
+      bitsPerTable = 4)
+    val ex = intercept[Exception] {
+      Similarity.lshCosineAgainstCorpusPrebuilt(nw, snap, cp, "vec_id",
+        "embedding", 0.30, bitsPerTable = 5, exact = true).collect()
+    }
+    // the assert_true fires from an executor, so the message may ride a
+    // wrapped SparkException — search the causal chain
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    msgs should include("corpus snapshot built with bits=")
+  }
+
+  test("lshCosineAgainstCorpus: overlapping ids never emit self-pairs; cross pairs intact") {
+    import spark.implicits._
+    val nw = emb.filter(col("vec_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_new"), col("id_corpus")).as[(Long, Long)].collect().toSet
+    // corpus = EVERYTHING, so every new id is on both sides
+    val overlap = Similarity.lshCosineAgainstCorpus(nw, emb, "vec_id",
+      "embedding", 0.30, exact = true).cache()
+    overlap.filter(col("id_new") === col("id_corpus")).count() shouldBe 0
+    // every pair of the disjoint-sides run survives unchanged
+    val disjoint = rows(Similarity.lshCosineAgainstCorpus(nw,
+      emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", 0.30,
+      exact = true))
+    disjoint should not be empty
+    (disjoint -- rows(overlap)) shouldBe empty
+    overlap.unpersist()
+  }
+
   test("ivfTopK: same neighbors as brute force when all vectors share a cell") {
     // one centroid -> every vector lands in cell 0 -> exact equivalence
     val q = emb.filter(col("vec_id") < 5)
