@@ -66,6 +66,66 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
       Seq(640, 1920, 7)
   }
 
+  test("decodeBmp: real header parse — round-trips syntheticBmp, golden fields") {
+    val bytes = Multimodal.syntheticBmp(13, 7, seed = 99L)
+    // golden sizes: rowSize = ((13*3 + 3) / 4) * 4 = 40; 54 + 40*7 = 334
+    bytes.length shouldBe 334
+    val f = Multimodal.decodeBmp(Asset(42L, "bmp", bytes))
+    f.asset_id shouldBe 42L
+    f.width shouldBe 13
+    f.height shouldBe 7
+    f.n_bytes shouldBe 334L
+    // features = L1-normalized 16-bin histogram over the PIXEL region
+    // (280 bytes, values (99 + i) % 256 — 280 > 256 so bins 0x60..0x70ish
+    // get double mass; just pin the invariants + determinism)
+    f.features.length shouldBe 16
+    f.features.sum shouldBe 1f +- 1e-5f
+    f.features shouldBe Multimodal.decodeBmp(Asset(42L, "bmp", bytes)).features
+  }
+
+  test("decodeBmp: negative DIB height means top-down — magnitude reported") {
+    val bytes = Multimodal.syntheticBmp(4, 5, seed = 0L)
+    // flip the height field (LE int32 at offset 22) to -5
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -5)
+    val f = Multimodal.decodeBmp(Asset(1L, "bmp", bytes))
+    f.width shouldBe 4
+    f.height shouldBe 5
+  }
+
+  test("decodeBmp: malformed input fails loudly with the asset id") {
+    val short = intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(Asset(7L, "bmp", Array[Byte](1, 2, 3)))
+    }
+    short.getMessage should include("asset 7")
+    val magic = intercept[IllegalArgumentException] {
+      val b = Multimodal.syntheticBmp(2, 2, 0L); b(0) = 'X'.toByte
+      Multimodal.decodeBmp(Asset(8L, "bmp", b))
+    }
+    magic.getMessage should include("bad magic")
+    val offset = intercept[IllegalArgumentException] {
+      val b = Multimodal.syntheticBmp(2, 2, 0L)
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(10, b.length + 1) // pixel offset beyond the buffer
+      Multimodal.decodeBmp(Asset(9L, "bmp", b))
+    }
+    offset.getMessage should include("pixel offset")
+  }
+
+  test("decodeBmp rides the seam distributed: real parse through extractFeatures") {
+    import spark.implicits._
+    val assets = Seq(
+      Asset(1L, "bmp", Multimodal.syntheticBmp(640, 480, 1L)),
+      Asset(2L, "bmp", Multimodal.syntheticBmp(31, 17, 2L))).toDS()
+      .repartition(3)
+    val rows = Multimodal.extractFeatures(assets, Multimodal.decodeBmp)
+      .collect().sortBy(_.asset_id)
+    rows.map(r => (r.width, r.height)).toSeq shouldBe Seq((640, 480), (31, 17))
+    // n_bytes round-trips the 4-byte row alignment: 31*3=93 -> 96
+    rows(1).n_bytes shouldBe (54L + 96L * 17L)
+  }
+
   test("codec seam composes downstream: features from an injected codec feed the same pipeline") {
     import spark.implicits._
     val assets = Seq(
