@@ -110,6 +110,41 @@ object ScaleSanity {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** Disjoint-copy graph scaling for q121's fulfilment graph: replica r
+    * shifts every order key by r·(maxOrder+1) and supplier key by
+    * r·(maxSupp+1), so the scaled corpus is `mult` structurally identical,
+    * DISCONNECTED copies of the graph — the degree distribution is
+    * preserved exactly (the graph analogue of the constant-dup-density doc
+    * construction above). PageRank work must therefore grow ~linearly in
+    * `mult`; superlinear time is an operator/harness bug, not a density
+    * artifact. Only the columns q121 reads are written (l_orderkey,
+    * l_suppkey / o_orderkey / s_suppkey). */
+  def scaleGraph(spark: SparkSession, sfDir: String, mult: Int,
+                 workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val oShift = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderkey").cast("long"))).head.getLong(0) + 1L
+    val sShift = Tables.supplier(spark, sfDir)
+      .agg(max(col("s_suppkey").cast("long"))).head.getLong(0) + 1L
+    Tables.orders(spark, sfDir).select(col("o_orderkey").cast("long"))
+      .crossJoin(reps)
+      .select((col("o_orderkey") + col("rep") * oShift).as("o_orderkey"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+    Tables.supplier(spark, sfDir).select(col("s_suppkey").cast("long"))
+      .crossJoin(reps)
+      .select((col("s_suppkey") + col("rep") * sShift).as("s_suppkey"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/supplier.parquet")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"))
+      .crossJoin(reps)
+      .select((col("l_orderkey") + col("rep") * oShift).as("l_orderkey"),
+        (col("l_suppkey") + col("rep") * sShift).as("l_suppkey"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 100
@@ -133,6 +168,8 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
     scaleEmbeddings(spark, sfDir, mult).repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+    if (queries.contains("q121_deep_pagerank"))
+      scaleGraph(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"scaled":{"documents":$nd,"embeddings":$ne,"mult":$mult}}""")

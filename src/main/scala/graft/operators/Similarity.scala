@@ -283,6 +283,27 @@ object Similarity {
       .withColumn("bits", lit(m))
   }
 
+  /** Write the full on-disk corpus snapshot for incremental embedding
+    * ingest under `dir`: `$dir/buckets` ([[corpusBuckets]] output, its
+    * `bits` column pinning the band width) and `$dir/vectors` — the
+    * (id, vec) frame the verify join reads, so ingest never touches the
+    * original corpus table. One corpus pass at snapshot-build time
+    * (plus one count() when `bitsPerTable = 0` sizes [[autoBits]]);
+    * returns the pinned band width. The streaming consumer is
+    * [[graft.streaming.Streams.embeddingIngestSink]]; the batch
+    * consumer is [[lshCosineAgainstCorpusPrebuilt]] over
+    * `read.parquet($dir/buckets)` / `($dir/vectors)`. */
+  def writeCorpusSnapshot(corpusVecs: DataFrame, idCol: String, vecCol: String,
+                          dir: String, nTables: Int = 24, bitsPerTable: Int = 0,
+                          dim: Int = 64, seed: Long = 42L): Int = {
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(corpusVecs.count())
+    corpusBuckets(corpusVecs, idCol, vecCol, nTables, m, dim, seed)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    corpusVecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    m
+  }
+
   /** [[lshCosineAgainstCorpus]] against a PRE-BUILT corpus snapshot —
     * the production ingest path: `corpusBkts` is [[corpusBuckets]]
     * output (fresh or read back from parquet), `bitsPerTable` is the

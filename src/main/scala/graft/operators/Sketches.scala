@@ -193,4 +193,88 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("token"))
       .limit(topK)
   }
+
+  /** HyperLogLog distinct word-`n`-gram sketch per group — the MERGEABLE
+    * cardinality summary that completes the sketch tier (Bloom =
+    * membership, CMS = frequency, KMV/HLL = cardinality; HLL is what a
+    * 1000-executor job actually merges: 2^p one-byte registers per
+    * group, vs KMV's k-float heap). Flajolet et al., "HyperLogLog: the
+    * analysis of a near-optimal cardinality estimation algorithm"
+    * (AofA 2007). `n = 1` degenerates to distinct tokens; the default
+    * n = 3 counts shingles — the vocabulary-sized object whose
+    * cardinality a dedup/contamination pipeline actually tracks.
+    *
+    * Gram t hashes to the 32-bit md5 slice h = u32(md5(t)[0..8));
+    * bucket = top `p` bits, w = the remaining 32-p bits, and the rank
+    * rho(w) = (number of leading zero bits of w in 32-p bits) + 1 —
+    * computed WITHOUT floats as (32-p) - bitlength(w) + 1 via
+    * length(bin(w)) (bin() prints no leading zeros in Spark and DuckDB
+    * alike; w = 0 means all bits zero, rho = 32-p+1). Register j is
+    * max rho over the group's grams landing in bucket j — duplicate
+    * grams collapse under max BY CONSTRUCTION, no distinct() anywhere,
+    * and the two-level groupBy is the standard partial-aggregate shape:
+    * map-side state is <= 2^p registers per group, the shuffle carries
+    * registers, never tokens. Merging shards = element-wise register
+    * max, which is exactly what the second groupBy does (SketchesSpec
+    * pins union-sketch == max-merge of per-half sketches).
+    *
+    * The raw estimator alpha_m * m^2 / sum_j 2^-M_j runs in EXACT
+    * integer arithmetic: with K = 32-p+1 the denominator sum scales to
+    * S = sum_j 2^(K - M_j) (empty buckets contribute 2^K), and
+    * alpha_m * m^2 * 2^K = 7213 * m^3 * 2^K / (10000*m + 10790) —
+    * 0.7213/(1 + 1.079/m) is RATIONAL, so
+    * est = (7213 * m^3 * 2^K) DIV ((10000*m + 10790) * S)
+    * is one long integer division any engine reproduces bit-for-bit
+    * (p <= 8 keeps the constant numerator 7213 * 2^(33+2p) under
+    * Long.MaxValue; p >= 4 keeps the alpha_m rational valid-ish for the
+    * m >= 128 regime it was derived for — the floor() of a biased
+    * estimate is still deterministic, which is what the oracle checks;
+    * accuracy (~1.04/sqrt(2^p) relative error) is SketchesSpec's
+    * assertion). No small-range (linear-counting) or large-range
+    * correction is applied — those need ln(); the RAW estimator is the
+    * certified contract, valid once true cardinality clears ~2.5·2^p
+    * (below that the raw form is biased toward ~0.75·2^p — the classic
+    * small-range regime; pick a smaller `p` or read `nz` directly,
+    * which IS the linear-counting input). At the 32-bit hash width the
+    * sketch is sized for well under 2^30 distinct grams per group.
+    *
+    * Output: (group, n_distinct exact for comparison, nz = nonzero
+    * registers, reg_sum = sum of registers — a replayable register
+    * checksum, hll_est). Scale: the only corpus-sized stage is the
+    * gram explode; everything after is register-bounded. */
+  def hllDistinctGrams(docs: DataFrame, groupCol: String, textCol: String,
+                       n: Int = 3, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8]: $p")
+    require(n >= 1, s"n must be >= 1: $n")
+    val m = 1 << p
+    val wBits = 32 - p
+    val k = wBits + 1
+    val num = 7213L * m * m * m * (1L << k)
+    val denomC = 10000L * m + 10790L
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(T.shingles(col(textCol), n)).as("tok"))
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val rho = toks.select(col("g"),
+      shiftright(h, wBits).as("bucket"),
+      h.bitwiseAND(lit((1L << wBits) - 1L)).as("w"))
+      .select(col("g"), col("bucket"),
+        when(col("w") === 0, lit(k))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+    val regs = rho.groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val agg = regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("nz"), sum(col("reg")).as("reg_sum"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($k - reg AS INT))"))
+          .as("s_present"))
+      .select(col("g"), col("nz"), col("reg_sum"),
+        (col("s_present") + (lit(m.toLong) - col("nz")) * lit(1L << k))
+          .as("s"))
+    val nd = docs.select(col(groupCol).as("g"),
+        explode(T.shingles(col(textCol), n)).as("tok"))
+      .distinct().groupBy(col("g")).agg(count(lit(1)).as("n_distinct"))
+    agg.join(nd, "g")
+      .select(col("g").as(groupCol), col("n_distinct"), col("nz"),
+        col("reg_sum"),
+        expr(s"${num}L DIV (${denomC}L * s)").as("hll_est"))
+  }
 }

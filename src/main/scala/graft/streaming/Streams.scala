@@ -110,6 +110,80 @@ object Streams {
       graft.operators.Sketches.bloomHits(col(textCol), bloomBits, n, mBits, k)
         === 0)
 
+  /** Streaming incremental embedding ingest against a persisted corpus
+    * snapshot — the streaming twin of q124's batch path
+    * ([[graft.operators.Similarity.lshCosineAgainstCorpusPrebuilt]]):
+    * each micro-batch of new vectors (`idCol` long-castable, `vecCol`
+    * Array[Float]) is sign-bit-bucketed with the snapshot's pinned
+    * hyperplanes, band-joined against the stored buckets
+    * (`$snapshotDir/buckets`), cosine-verified against the stored
+    * vectors (`$snapshotDir/vectors` — both written by
+    * [[graft.operators.Similarity.writeCorpusSnapshot]]), and the
+    * (id_new, id_corpus, sim ≥ threshold) pairs appended under
+    * `outDir`. The snapshot's `bits` column is read once at start and
+    * re-asserted per batch inside the prebuilt join, so a stale or
+    * rebuilt-at-a-different-width snapshot fails loudly.
+    *
+    * `evolve = true` makes the index SELF-MAINTAINING: after a batch's
+    * pairs are emitted, its own buckets + vectors are appended to the
+    * snapshot, so every LATER batch near-dups against earlier batches
+    * as well as the original corpus — the shape a continuous-crawl
+    * pipeline wants. The micro-batch is the atomicity unit: two
+    * near-dup vectors arriving in the SAME batch pair with neither
+    * (each sees only the snapshot as of batch start), exactly like a
+    * sequential replay of per-batch snapshot ingests — StreamsSpec pins
+    * that equivalence. Ids must be unique across the stream and
+    * disjoint from the corpus (the [[graft.operators.Similarity
+    * .lshCosineAgainstCorpus]] contract; a same-id row never emits its
+    * self-pair).
+    *
+    * Scale: per batch the corpus contributes one skinny (id, table,
+    * bucket) scan and the verify join — no corpus count, no corpus
+    * re-bucketing, state lives in parquet (not the state store), so
+    * corpus growth costs the stream nothing but join fan-in. Plain
+    * parquet appends are at-least-once under failure/restart (the
+    * checkpoint replays an uncommitted batch; pairs may duplicate) —
+    * point `outDir` at a transactional table for exactly-once. */
+  def embeddingIngestSink(newVecs: DataFrame, snapshotDir: String,
+                          outDir: String, checkpoint: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          threshold: Double = 0.30, nTables: Int = 24,
+                          dim: Int = 64, seed: Long = 42L,
+                          exact: Boolean = false, evolve: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newVecs.sparkSession
+    val bits = spark.read.parquet(s"$snapshotDir/buckets")
+      .select(col("bits")).head.getInt(0)
+    newVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cached = batch.persist()
+        try {
+          val bkts = spark.read.parquet(s"$snapshotDir/buckets")
+          // the snapshot stores (id, vec); present it under the caller's
+          // column names for the shared-signature prebuilt join
+          val vecs = spark.read.parquet(s"$snapshotDir/vectors")
+            .select(col("id").as(idCol), col("vec").as(vecCol))
+          graft.operators.Similarity.lshCosineAgainstCorpusPrebuilt(
+              cached, bkts, vecs, idCol, vecCol, threshold,
+              bitsPerTable = bits, nTables = nTables, dim = dim,
+              seed = seed, exact = exact)
+            .write.mode("append").parquet(outDir)
+          if (evolve) {
+            graft.operators.Similarity.corpusBuckets(cached, idCol, vecCol,
+                nTables, bits, dim, seed)
+              .write.mode("append").parquet(s"$snapshotDir/buckets")
+            cached.select(col(idCol).cast("long").as("id"),
+                col(vecCol).as("vec"))
+              .write.mode("append").parquet(s"$snapshotDir/vectors")
+          }
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream INTERVAL JOIN with watermarks — the join shape §2.8
     * declares for correlating two live streams: each left event pairs
     * with right events of the same user whose timestamp falls in

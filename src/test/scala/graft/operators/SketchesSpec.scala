@@ -241,4 +241,59 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     got.toSeq shouldBe bruteSubsumed(rows, 0.9)
     got.toMap shouldBe Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 2L)
   }
+
+  // -------------------------------------------------------------- hll
+
+  test("hllDistinctGrams: estimate within 3 standard errors of exact on sf docs") {
+    import spark.implicits._
+    val r = hllDistinctGrams(Tables.documents(spark, sfDir), "source", "text")
+      .select(col("source"), col("n_distinct"), col("hll_est"))
+      .as[(String, Long, Long)].collect()
+    r should not be empty
+    // every source must be clear of the raw estimator's small-range
+    // regime (>= 2.5 * 256 true grams), else the assertion tests bias
+    r.foreach { case (_, exact, _) => exact should be >= 640L }
+    // raw estimator, p=8: sigma ~ 1.04/sqrt(256) = 6.5% relative error
+    r.foreach { case (src, exact, est) =>
+      withClue(s"source=$src exact=$exact est=$est: ") {
+        math.abs(est - exact).toDouble / exact should be <= 0.20
+      }
+    }
+  }
+
+  test("hllDistinctGrams: union sketch == register-max merge of disjoint halves") {
+    import spark.implicits._
+    // duplicates must not move the sketch: registers are max-folded
+    val docs = Tables.documents(spark, sfDir)
+    val whole = hllDistinctGrams(docs.withColumn("source", lit("all")),
+      "source", "text")
+      .select(col("nz"), col("reg_sum"), col("hll_est"))
+      .as[(Long, Long, Long)].head()
+    val doubled = hllDistinctGrams(
+      docs.union(docs).withColumn("source", lit("all")), "source", "text")
+      .select(col("nz"), col("reg_sum"), col("hll_est"))
+      .as[(Long, Long, Long)].head()
+    doubled shouldBe whole
+    // shard-and-merge: per-half registers max-merge to the union's
+    // registers — the property a 1000-executor tree aggregation relies on
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
+      val toks = df.select(explode(
+        graft.functions.TextFunctions.shingles(col("text"), 3)).as("tok"))
+      val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+      toks.select(shiftright(h, 24).as("bucket"),
+          h.bitwiseAND(lit((1L << 24) - 1L)).as("w"))
+        .select(col("bucket"),
+          when(col("w") === 0, lit(25))
+            // qualified: scalatest Matchers shadows functions.length
+            .otherwise(lit(25) - org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.bin(col("w")))).as("rho"))
+        .groupBy("bucket").agg(max("rho").as("reg"))
+        .as[(Long, Int)].collect().toMap
+    }
+    val lo = regs(docs.filter(col("doc_id") % 2 === 0))
+    val hi = regs(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (lo.keySet ++ hi.keySet).map(b =>
+      b -> math.max(lo.getOrElse(b, 0), hi.getOrElse(b, 0))).toMap
+    merged shouldBe regs(docs)
+  }
 }

@@ -20,6 +20,9 @@ case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class EvId(event_id: Long, ts: Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
+/** Vector row for the streaming embedding-ingest test. */
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 /** Streaming transforms driven end-to-end with MemoryStream sources and
   * memory sinks (batch parity asserted where the transform is
   * mode-agnostic). */
@@ -291,6 +294,60 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally q.stop()
     spark.read.parquet(s"$base/out/hi").count() shouldBe 2
     spark.read.parquet(s"$base/out/lo").count() shouldBe 1
+  }
+
+  test("embeddingIngestSink: streaming == per-batch snapshot replay; evolve catches cross-batch near-dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding")).as[Vec].collect()
+    // batch 2: the % 20 == 10 slice plus an exact copy of a batch-1
+    // vector under a fresh id — a near-dup of EARLIER STREAM data that
+    // the original corpus knows nothing about
+    val echoSrc = b1.minBy(_.vec_id)
+    val echo = Vec(1000001L, echoSrc.embedding)
+    val b2 = emb.filter(col("vec_id") % 20 === 10)
+      .select(col("vec_id"), col("embedding")).as[Vec].collect() :+ echo
+
+    def run(evolve: Boolean): Set[(Long, Long, Double)] = {
+      val base = graft.io.PathsUtil.transientPath("graft-stream-ingest")
+      Similarity.writeCorpusSnapshot(corpus, "vec_id", "embedding",
+        s"$base/snap") shouldBe 4 // oracle-scale corpus = autoBits floor
+      val input = MemoryStream[Vec]
+      val q = Streams.embeddingIngestSink(input.toDF(), s"$base/snap",
+        s"$base/out", s"$base/ckpt", exact = true, evolve = evolve)
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$base/out")
+        .select(col("id_new"), col("id_corpus"), col("sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val frozen = run(evolve = false)
+    val evolved = run(evolve = true)
+
+    // sequential-replay oracle from the already-proven batch operator:
+    // batch 1 vs the snapshot, batch 2 vs snapshot (+ batch 1 iff evolve)
+    def pairs(nw: org.apache.spark.sql.DataFrame,
+              cp: org.apache.spark.sql.DataFrame) =
+      Similarity.lshCosineAgainstCorpus(nw, cp, "vec_id", "embedding", 0.30,
+        bitsPerTable = 4, exact = true)
+        .select(col("id_new"), col("id_corpus"), col("sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    val d1 = spark.createDataset(b1.toIndexedSeq).toDF()
+    val d2 = spark.createDataset(b2.toIndexedSeq).toDF()
+    frozen shouldBe (pairs(d1, corpus) ++ pairs(d2, corpus))
+    evolved shouldBe (pairs(d1, corpus) ++ pairs(d2, corpus.union(d1)))
+    // the echo pair is exactly what evolution buys
+    (evolved -- frozen).map(p => (p._1, p._2)) should contain (
+      (1000001L, echoSrc.vec_id))
+    frozen.filter(p => p._1 == 1000001L && p._2 == echoSrc.vec_id) shouldBe empty
+    evolved.filter(p => p._1 == 1000001L && p._2 == echoSrc.vec_id).head._3 shouldBe 1.0
   }
 
   test("runningUserStats folds typed state per key across batches") {
