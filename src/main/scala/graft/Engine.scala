@@ -78,21 +78,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark's reader has no nanos
-    * timestamp type, so it arrives as a long (nanosAsLong) which we floor
-    * to microseconds — the same truncation DuckDB applies casting
-    * TIMESTAMP_NS to TIMESTAMP. The ns→us division is exact integer
-    * arithmetic (decimal floor-div): `/` on longs is IEEE double division,
-    * whose ~256 ns ULP at 2024-era nanosecond magnitudes could round the
-    * microsecond value off by ±1. */
+  /** Normalizes `events.ts` to session-tz TIMESTAMP whatever physical
+    * type the generator wrote:
+    *   - parquet TIMESTAMP(NANOS): Spark's reader has no nanos timestamp
+    *     type, so it arrives as a long (nanosAsLong) which we floor to
+    *     microseconds — the same truncation DuckDB applies casting
+    *     TIMESTAMP_NS to TIMESTAMP. The ns→us division is exact integer
+    *     arithmetic (decimal floor-div): `/` on longs is IEEE double
+    *     division, whose ~256 ns ULP at 2024-era nanosecond magnitudes
+    *     could round the microsecond value off by ±1.
+    *   - parquet TIMESTAMP_MICROS without isAdjustedToUTC: Spark 4 infers
+    *     TIMESTAMP_NTZ, which time-arithmetic functions (`unix_micros`)
+    *     reject. Under the engine's UTC session zone the NTZ→TZ cast
+    *     preserves the wall-clock value, so epoch-μs arithmetic and the
+    *     DuckDB oracle (which reads the naive value directly) agree
+    *     bit-for-bit. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{DecimalType, LongType}
+    import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType}
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(
           floor(col("ts").cast(DecimalType(38, 0)) / lit(1000)).cast("long")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
