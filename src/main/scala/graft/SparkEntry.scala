@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Wave9.queries ++ graft.queries.Wave10.queries ++
       graft.queries.Wave11.queries ++ graft.queries.Wave12.queries ++
       graft.queries.Wave13.queries ++ graft.queries.Wave14.queries ++
-      graft.queries.Wave15.queries ++ graft.queries.Wave16.queries
+      graft.queries.Wave15.queries ++ graft.queries.Wave16.queries ++
+      graft.queries.Wave17.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Wave9.oracleSql ++ graft.queries.Wave10.oracleSql ++
       graft.queries.Wave11.oracleSql ++ graft.queries.Wave12.oracleSql ++
       graft.queries.Wave13.oracleSql ++ graft.queries.Wave14.oracleSql ++
-      graft.queries.Wave15.oracleSql ++ graft.queries.Wave16.oracleSql
+      graft.queries.Wave15.oracleSql ++ graft.queries.Wave16.oracleSql ++
+      graft.queries.Wave17.oracleSql
 }

@@ -404,6 +404,41 @@ object Dedup {
     sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
+  /** Candidate-then-verify near-dup detection with an EDIT-DISTANCE
+    * verify stage — the precision filter a production dedup pipeline
+    * runs after LSH: token-set Jaccard treats documents as bags of
+    * words (reordering is invisible to it), so pairs that pass the
+    * MinHash candidate gate get re-checked on raw character edit
+    * similarity 1 - lev(a,b)/max(|a|,|b|), which reordering does
+    * perturb. Output: (doc_a, doc_b, jac, lev, edit_sim) for pairs with
+    * Jaccard >= `candThreshold` AND edit_sim >= `editSim`, doc_a < doc_b.
+    *
+    * Scale shape: candidates come from [[minhashNearDupPairs]] (banded,
+    * nothing quadratic); the O(|a|·|b|) Levenshtein kernel — Spark's
+    * codegen built-in — runs ONLY on candidate pairs, after a
+    * re-attach join of the two texts keyed by id. At 100 TB the
+    * verify-stage cost is candidates × doc-length², so keep
+    * `candThreshold` high (the default 0.9 keeps the candidate set =
+    * near-exact-dup pairs); for long documents bound the kernel with
+    * Spark's thresholded `levenshtein(l, r, max)` variant — not used
+    * here because the oracle replays the unbounded distance. */
+  def editVerifiedNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           candThreshold: Double = 0.9,
+                           editSim: Double = 0.8): DataFrame = {
+    val cands = minhashNearDupPairs(docs, idCol, textCol, candThreshold)
+    val texts = docs.select(col(idCol), col(textCol))
+    val ta = texts.select(col(idCol).as("doc_a"), col(textCol).as("t_a"))
+    val tb = texts.select(col(idCol).as("doc_b"), col(textCol).as("t_b"))
+    cands.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("lev", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev") / greatest(length(col("t_a")),
+          length(col("t_b"))).cast("double"))
+      .filter(col("edit_sim") >= editSim)
+      .select(col("doc_a"), col("doc_b"), col("jac"), col("lev"),
+        col("edit_sim"))
+  }
+
   /** Near-dup pairs of NEW documents against a FROZEN corpus — the
     * incremental-ingestion dedup shape (daily crawl vs. history): emits
     * (id_new, id_corpus, jac) for every cross-side pair with token-set

@@ -123,6 +123,106 @@ object Multimodal {
     b.array()
   }
 
+  /** Decoded audio metadata: the audio twin of [[AssetFeatures]].
+    * `duration_us` is exact integer floor arithmetic
+    * (n_frames * 1e6 DIV sample_rate) so oracles replay it bit-for-bit. */
+  case class AudioFeatures(asset_id: Long, modality: String, n_bytes: Long,
+                           sample_rate: Int, channels: Int, bits: Int,
+                           n_frames: Long, duration_us: Long)
+
+  /** REAL pure-JVM decode for one audio format — the second non-stub
+    * codec behind the seam (alongside [[decodeBmp]]): a RIFF/WAVE PCM
+    * header parse per the public format. Walks the RIFF chunk list
+    * (little-endian: 4-byte tag, 4-byte size, odd sizes padded to even)
+    * so files with extra chunks (LIST, fact, …) parse too; requires a
+    * PCM `fmt ` chunk (audioFormat == 1) and a `data` chunk.
+    * n_frames = dataBytes / (channels * bits/8); duration_us is floor
+    * integer micros. Malformed input fails loudly with the asset id. */
+  def decodeWav(a: Asset): AudioFeatures = {
+    val d = a.data
+    require(d.length >= 44,
+      s"WAV asset ${a.asset_id}: ${d.length} bytes < 44-byte minimum")
+    def tag(o: Int): String =
+      new String(d, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(o: Int): Int =
+      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+        ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    require(tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"WAV asset ${a.asset_id}: bad magic '${tag(0)}'/'${tag(8)}'")
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataBytes = -1L
+    while (off + 8 <= d.length && (sampleRate < 0 || dataBytes < 0)) {
+      val t = tag(off); val sz = le32(off + 4)
+      require(sz >= 0 && off + 8 + sz <= d.length,
+        s"WAV asset ${a.asset_id}: chunk '$t' size $sz overruns buffer")
+      t match {
+        case "fmt " =>
+          require(sz >= 16, s"WAV asset ${a.asset_id}: fmt chunk $sz < 16")
+          val fmt = le16(off + 8)
+          require(fmt == 1, s"WAV asset ${a.asset_id}: non-PCM format $fmt")
+          channels = le16(off + 10)
+          sampleRate = le32(off + 12)
+          bits = le16(off + 22)
+          require(channels > 0 && sampleRate > 0 && bits > 0,
+            s"WAV asset ${a.asset_id}: bad fmt $channels ch/$sampleRate Hz/$bits bit")
+        case "data" => dataBytes = sz.toLong
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1) // RIFF pads odd chunk bodies to even
+    }
+    require(sampleRate > 0, s"WAV asset ${a.asset_id}: no fmt chunk")
+    require(dataBytes >= 0, s"WAV asset ${a.asset_id}: no data chunk")
+    val frameBytes = channels * (bits / 8)
+    require(frameBytes > 0,
+      s"WAV asset ${a.asset_id}: zero frame size ($channels ch × $bits bit)")
+    val nFrames = dataBytes / frameBytes
+    AudioFeatures(a.asset_id, a.modality, d.length.toLong, sampleRate,
+      channels, bits, nFrames, nFrames * 1000000L / sampleRate)
+  }
+
+  /** Fixture encoder for [[decodeWav]]: a minimal VALID 16-bit PCM WAV
+    * (44-byte canonical header) whose sample bytes are the deterministic
+    * stream (seed + i) mod 256 — the planted-bytes side of q128's
+    * encode → parse → oracle round-trip. Every field is real (a stock
+    * audio player opens the output). */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int,
+                   seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+      s"bad WAV shape $sampleRate Hz × $channels ch × $nFrames frames")
+    val frameBytes = channels * 2
+    val dataBytes = nFrames * frameBytes
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)                      // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * frameBytes)  // byte rate
+    b.putShort(frameBytes.toShort)     // block align
+    b.putShort(16)                     // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < dataBytes) {
+      b.put((((seed + i) % 256 + 256) % 256).toByte)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Audio twin of [[extractFeatures]]: same seam contract (serializable
+    * pure decode fn, partition-preserving mapPartitions), audio-shaped
+    * output row. */
+  def extractAudio(assets: Dataset[Asset],
+                   decode: Asset => AudioFeatures = decodeWav):
+      Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decode))
+  }
+
   /** Distributed feature extraction: batch-at-a-time over partitions.
     * Partition count is preserved — upstream `repartition(n)` controls
     * task granularity exactly like `mapInPandas` batches.

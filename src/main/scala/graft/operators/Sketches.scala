@@ -277,4 +277,78 @@ object Sketches {
         col("reg_sum"),
         expr(s"${num}L DIV (${denomC}L * s)").as("hll_est"))
   }
+
+  /** Misra–Gries frequent-items summary (Misra & Gries, "Finding
+    * repeated elements", Sci. Comp. Prog. 1982): a k-counter bounded
+    * buffer whose survivors are a SUPERSET of every item with true
+    * frequency > n/(k+1). Mergeable (Agarwal et al., "Mergeable
+    * Summaries", PODS 2012): combine counters, then subtract the
+    * (k+1)-largest combined count and drop non-positives — so Catalyst
+    * runs it as map-side partials + shuffle of <= k entries per
+    * (group, partition), never a full token shuffle.
+    *
+    * The candidate SET depends on merge order (any MG summary does),
+    * which is why [[guaranteedHeavyHitters]] never emits it raw: the
+    * superset guarantee is order-independent, the counters are not. */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0, s"summary size must be positive: $k")
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-largest count; <= k survivors keep positive mass
+        val cut = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        m.collect { case (t, c) if c > cut => (t, c - cut) }
+      }
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1L)
+        case None if b.size < k => b.updated(tok, 1L)
+        case None => b.collect { case (t, c) if c > 1L => (t, c - 1L) }
+      }
+    override def merge(b1: Map[String, Long],
+                       b2: Map[String, Long]): Map[String, Long] =
+      if (b1.isEmpty) b2
+      else if (b2.isEmpty) b1
+      else shrink(b2.foldLeft(b1) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      })
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
+  }
+
+  /** EXACT per-group heavy hitters at 100 TB cost: the classic two-pass
+    * scheme. Pass 1 runs [[MisraGries]] per group — bounded state, no
+    * token-grain shuffle — to get a candidate set guaranteed to contain
+    * every token with count > n/k (since n/k >= n/(k+1), the MG
+    * retention bound). Pass 2 counts ONLY the candidates exactly (the
+    * per-group candidate list is <= k entries, broadcast back over the
+    * token stream) and keeps those with cnt * k > n — so the output is
+    * the EXACT deterministic answer ("tokens above frequency 1/k"),
+    * with the sketch confined to pruning, where its order-dependence
+    * cannot leak into results.
+    *
+    * Output: (group, token, cnt, n_tokens) for tokens with
+    * cnt * k > n_tokens, exact integers. Neither pass shuffles
+    * token-grain data: pass 1 shuffles <= k counters per (group,
+    * partition); pass 2's per-token work is a broadcast-hash probe. */
+  def guaranteedHeavyHitters(docs: DataFrame, groupCol: String,
+                             textCol: String, k: Int = 100): DataFrame = {
+    val mg = udaf(new MisraGries(k))
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(T.tokens(col(textCol))).as("tok"))
+    val cands = toks.groupBy(col("g"))
+      .agg(mg(col("tok")).as("cands"), count(lit(1)).as("n_tokens"))
+    val candToks = cands.select(col("g"),
+      explode(map_keys(col("cands"))).as("tok"))
+    val exact = toks.join(broadcast(candToks), Seq("g", "tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("cnt"))
+    exact.join(cands.select(col("g"), col("n_tokens")), "g")
+      .filter(col("cnt") * k > col("n_tokens"))
+      .select(col("g").as(groupCol), col("tok").as("token"), col("cnt"),
+        col("n_tokens"))
+  }
 }

@@ -1113,4 +1113,79 @@ object TextAnalysis {
     base.select(col(idCol), col("fp_exact"))
       .join(shingleMin, Seq(idCol), "left")
   }
+
+  /** Content-defined chunking (CDC) duplication profile — the
+    * storage-dedup idea (Muthitacharoen et al., "A Low-Bandwidth Network
+    * File System", SOSP 2001) applied to corpus curation: cut each
+    * document into variable-size chunks at CONTENT-DEFINED boundaries
+    * (positions where the hash of the trailing `w`-char window is
+    * ≡ 0 mod `m` — so an insertion early in a document shifts chunk
+    * boundaries only locally, unlike fixed-size blocks), fingerprint
+    * every chunk, and report per source how much of its content is
+    * chunk-level duplicated ANYWHERE in the corpus. This is the right
+    * lens for boilerplate detection: exact-dup and near-dup operators
+    * see documents, CDC sees the shared header/footer/template text
+    * INSIDE otherwise-distinct documents.
+    *
+    * Boundary hash is the house md5-hex-slice u32 (engine-portable;
+    * a production pipeline would swap a rolling Gear/Rabin hash into
+    * the same boundary predicate — md5-per-window is O(w) per position,
+    * the rolling version O(1), with identical downstream plumbing).
+    * Average chunk length ≈ `m` chars; the final residual chunk (after
+    * the last cut) is kept, so chunk chars partition each document
+    * exactly.
+    *
+    * Scale shape: boundary selection and span assembly are PER-ROW
+    * higher-order-function work on the position array — no token-grain
+    * explode, no shuffle, no window; the only chunk-grain stages are
+    * one groupBy(fp) count and one fp-keyed join (both linear,
+    * map-side-combinable). Chunk text never leaves the row: only
+    * (fp, chars) survive the explode.
+    *
+    * Output: (source, n_chunks, n_dup_chunks, dup_chars, total_chars,
+    * dup_frac) where a chunk instance is "dup" when its fingerprint
+    * occurs >1 time corpus-wide; dup_frac = floor(dup·1e9/total)/1e9
+    * (the house exact-quantized division). */
+  def cdcChunkStats(docs: DataFrame, sourceCol: String, textCol: String,
+                    w: Int = 16, m: Int = 64): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    require(m >= 2, s"modulus must be >= 2: $m")
+    val len = length(col("text"))
+    val positions = when(len >= w, sequence(lit(1), len - w + 1))
+      .otherwise(array().cast("array<int>"))
+    val isCut = (i: Column) =>
+      conv(substring(md5(col("text").substr(i, lit(w))), 1, 8), 16, 10)
+        .cast("long") % m === 0
+    // cut points end their window: cut = i + w - 1; spans run
+    // (prev_cut+1 .. cut), plus the residual (last_cut+1 .. len)
+    val chunks = docs
+      .select(col(sourceCol).as("src"), col(textCol).as("text"))
+      .withColumn("cuts",
+        transform(filter(positions, isCut), i => i + w - 1))
+      .withColumn("full", concat(array(lit(0)), col("cuts")))
+      .withColumn("span",
+        explode(filter(
+          transform(sequence(lit(0), size(col("cuts"))), j => struct(
+            (element_at(col("full"), j + 1) + 1).as("s"),
+            when(j < size(col("cuts")), element_at(col("cuts"), j + 1))
+              .otherwise(len).as("e"))),
+          sp => sp("s") <= sp("e"))))
+      .select(col("src"),
+        md5(col("text").substr(col("span.s"),
+          col("span.e") - col("span.s") + 1)).as("fp"),
+        (col("span.e") - col("span.s") + 1).cast("long").as("chars"))
+    val fpCounts = chunks.groupBy(col("fp"))
+      .agg(count(lit(1)).as("fp_cnt"))
+    chunks.join(fpCounts, "fp")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("fp_cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("fp_cnt") > 1, col("chars")).otherwise(0L))
+          .as("dup_chars"),
+        sum(col("chars")).as("total_chars"))
+      .select(col("src").as(sourceCol), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_chars"), col("total_chars"),
+        (floor(col("dup_chars").cast("double") * 1e9
+          / col("total_chars").cast("double")) / 1e9).as("dup_frac"))
+  }
 }

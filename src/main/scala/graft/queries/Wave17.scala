@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Sketches, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 17 — round-9 additions, the verify/bounded-state tier a
+  * production curation pipeline layers on top of the candidate
+  * generators:
+  *
+  *  - q128 WAV decode ([[Multimodal.decodeWav]] through
+  *    [[Multimodal.extractAudio]]): the AUDIO twin of q126's BMP proof —
+  *    each document plants a genuine RIFF/WAVE PCM file
+  *    ([[Multimodal.syntheticWav]]) whose sample-rate/channels/frames
+  *    derive arithmetically from (doc_id, n_chars); the query parses the
+  *    RAW BYTES back with the real chunk-walking header parser and
+  *    reports the audio metadata including exact integer-floor
+  *    duration_us. A hash match certifies the encode → parse round-trip
+  *    field-for-field.
+  *  - q129 guaranteed heavy hitters
+  *    ([[Sketches.guaranteedHeavyHitters]]): two-pass Misra–Gries —
+  *    bounded-state candidates, then exact counts over candidates only —
+  *    so the output is the EXACT "tokens above frequency 1/k per source"
+  *    answer at sketch cost. The oracle needs no sketch replay: exact
+  *    GROUP BY / HAVING is the same answer by the MG retention
+  *    guarantee.
+  *  - q130 edit-verified near-dups ([[Dedup.editVerifiedNearDups]]):
+  *    MinHash candidates re-checked on character-level Levenshtein
+  *    similarity — the precision stage after LSH. Candidate params match
+  *    q26 (k=64/bands=16 at t=0.9: miss probability ~4e-8), so the
+  *    oracle is the exact Jaccard pair set with the same edit gate.
+  *  - q131 CDC chunk duplication profile ([[TextAnalysis.cdcChunkStats]]):
+  *    content-defined chunking over characters, chunk fingerprints,
+  *    per-source corpus-wide duplication stats — boilerplate detection
+  *    below the document granularity.
+  */
+object Wave17 {
+
+  /** DuckDB token pipeline identical to TextFunctions.tokens. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val SqlTokSet = s"list_distinct($SqlToks)"
+
+  private val HhK = 100         // q129: report tokens above frequency 1/k
+  private val EditTau = 0.8     // q130: edit-similarity gate
+  private val CdcW = 16         // q131: boundary window (chars)
+  private val CdcM = 64         // q131: boundary modulus (~avg chunk chars)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Plant real WAVs with arithmetic audio shapes, decode them back
+    // with the real RIFF chunk walker, report the parsed metadata.
+    "q128_wav_decode" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "wav", Multimodal.syntheticWav(
+            8000 * (1 + (id % 5).toInt), 1 + (id % 2).toInt,
+            40 + (nChars % 101).toInt, id))
+        }
+      Multimodal.extractAudio(assets, Multimodal.decodeWav)
+        .toDF()
+        .select(col("asset_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("n_bytes"), col("duration_us"))
+        .orderBy(col("asset_id"))
+    },
+
+    // Exact per-source heavy hitters at bounded-state cost.
+    "q129_heavy_hitters" -> { (s, d) =>
+      Sketches.guaranteedHeavyHitters(Tables.documents(s, d), "source",
+        "text", HhK)
+        .orderBy(col("source"), col("token"))
+    },
+
+    // LSH candidates verified on character edit distance.
+    "q130_edit_neardup" -> { (s, d) =>
+      Dedup.editVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
+        candThreshold = 0.9, editSim = EditTau)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Chunk-level duplication profile per source.
+    "q131_cdc_chunks" -> { (s, d) =>
+      TextAnalysis.cdcChunkStats(Tables.documents(s, d), "source", "text",
+        CdcW, CdcM)
+        .orderBy(col("source"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    // the planted values, recomputed arithmetically: sr/channels/frames
+    // from the id/char mods, n_bytes = 44-byte canonical header +
+    // frames * channels * 2 (16-bit PCM), duration integer-floor micros
+    "q128_wav_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(40 + n_chars % 101 AS BIGINT) AS n_frames,
+        |  CAST(44 + (40 + n_chars % 101) * (1 + doc_id % 2) * 2
+        |    AS BIGINT) AS n_bytes,
+        |  CAST((40 + n_chars % 101) * 1000000
+        |    // (8000 * (1 + doc_id % 5)) AS BIGINT) AS duration_us
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // exact heavy hitters: the MG retention guarantee (every token with
+    // cnt*k > n survives pass 1) makes the sketchless exact answer THE
+    // oracle — no sketch replay needed.
+    "q129_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest($SqlToks) AS token FROM documents),
+         |tot AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY 1),
+         |cnt AS (SELECT source, token, count(*) AS cnt
+         |        FROM toks GROUP BY 1, 2)
+         |SELECT c.source, c.token, CAST(c.cnt AS BIGINT) AS cnt,
+         |  CAST(t.n_tokens AS BIGINT) AS n_tokens
+         |FROM cnt c JOIN tot t USING (source)
+         |WHERE c.cnt * $HhK > t.n_tokens
+         |ORDER BY c.source, c.token""".stripMargin,
+
+    // exact Jaccard pairs at the candidate threshold (q26's oracle
+    // equivalence: LSH miss probability ~4e-8 at t=0.9, k=64, bands=16)
+    // re-joined to texts and gated on edit similarity.
+    "q130_edit_neardup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($SqlTokSet) AS tok FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |  FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9),
+         |ev AS (
+         |  SELECT jp.doc_a, jp.doc_b, jp.jac,
+         |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+         |    1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+         |      / greatest(length(ta.text), length(tb.text)) AS edit_sim
+         |  FROM jp
+         |  JOIN documents ta ON jp.doc_a = ta.doc_id
+         |  JOIN documents tb ON jp.doc_b = tb.doc_id)
+         |SELECT doc_a, doc_b, jac, lev, edit_sim
+         |FROM ev WHERE edit_sim >= $EditTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // CDC replay: same md5-hex-slice boundary hash over w-char windows,
+    // cut = i + w - 1, spans between consecutive cuts + residual, chunk
+    // fingerprints, corpus-wide dup counts, per-source stats.
+    "q131_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text, length(text) AS len FROM documents),
+         |cutl AS (
+         |  SELECT doc_id, source, text, len,
+         |    list_transform(list_filter(
+         |      range(1, greatest(len - $CdcW + 2, 1)),
+         |      i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT),
+         |             $CdcW)), 1, 8) AS BIGINT) % $CdcM = 0),
+         |      i -> i + $CdcW - 1) AS cuts
+         |  FROM d),
+         |spans AS (
+         |  SELECT doc_id, source, text,
+         |    unnest(list_filter(
+         |      list_transform(range(0, len(cuts) + 1), j -> struct_pack(
+         |        s := list_prepend(0, cuts)[j + 1] + 1,
+         |        e := CASE WHEN j < len(cuts) THEN cuts[j + 1]
+         |             ELSE len END)),
+         |      sp -> sp.s <= sp.e)) AS sp
+         |  FROM cutl),
+         |chunks AS (
+         |  SELECT source,
+         |    md5(substr(text, CAST(sp.s AS INT),
+         |      CAST(sp.e - sp.s + 1 AS INT))) AS fp,
+         |    CAST(sp.e - sp.s + 1 AS BIGINT) AS chars
+         |  FROM spans),
+         |fpc AS (SELECT fp, count(*) AS fp_cnt FROM chunks GROUP BY 1),
+         |agg AS (
+         |  SELECT c.source, count(*) AS n_chunks,
+         |    sum(CASE WHEN f.fp_cnt > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+         |    sum(CASE WHEN f.fp_cnt > 1 THEN c.chars ELSE 0 END) AS dup_chars,
+         |    sum(c.chars) AS total_chars
+         |  FROM chunks c JOIN fpc f USING (fp) GROUP BY 1)
+         |SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+         |  CAST(dup_chars AS BIGINT) AS dup_chars,
+         |  CAST(total_chars AS BIGINT) AS total_chars,
+         |  floor(CAST(dup_chars AS DOUBLE) * 1e9
+         |    / CAST(total_chars AS DOUBLE)) / 1e9 AS dup_frac
+         |FROM agg ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.SparkFixture
+import graft.operators.Multimodal.Asset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-9 wave-17 operator contracts: the WAV codec round-trip, the
+  * Misra–Gries retention guarantee behind guaranteedHeavyHitters, the
+  * edit-distance verify stage, and CDC chunk partition invariants. */
+class Wave17Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ---------------------------------------------------------------- WAV
+
+  test("decodeWav: syntheticWav round-trips every header field") {
+    val bytes = Multimodal.syntheticWav(16000, 2, 123, seed = 7L)
+    val f = Multimodal.decodeWav(Asset(42L, "wav", bytes))
+    f.asset_id shouldBe 42L
+    f.sample_rate shouldBe 16000
+    f.channels shouldBe 2
+    f.bits shouldBe 16
+    f.n_frames shouldBe 123L
+    f.n_bytes shouldBe (44L + 123 * 2 * 2)
+    f.duration_us shouldBe (123L * 1000000L / 16000L) // floor micros
+  }
+
+  test("decodeWav: walks past extra RIFF chunks (LIST before data)") {
+    val base = Multimodal.syntheticWav(8000, 1, 10, seed = 1L)
+    // splice a 7-byte LIST chunk (odd size -> pad byte) between the fmt
+    // chunk (ends at offset 36) and the data chunk
+    val list = java.nio.ByteBuffer.allocate(8 + 7 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    list.put("LIST".getBytes("US-ASCII")).putInt(7)
+      .put(Array.fill(8)(0x61.toByte)) // 7 body bytes + 1 pad
+    val spliced = base.take(36) ++ list.array() ++ base.drop(36)
+    // RIFF size field must still cover the whole file
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val f = Multimodal.decodeWav(Asset(1L, "wav", bb.array()))
+    f.sample_rate shouldBe 8000
+    f.n_frames shouldBe 10L
+    f.n_bytes shouldBe spliced.length.toLong
+  }
+
+  test("decodeWav: malformed input fails loudly with the asset id") {
+    val bad = "RIFFxxxxWAVEjunkjunkjunkjunkjunkjunkjunkjunk".getBytes
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Asset(99L, "wav", bad))
+    }
+    e.getMessage should include("99")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Asset(7L, "wav", Array[Byte](1, 2, 3)))
+    }.getMessage should include("7")
+  }
+
+  test("extractAudio: partition-preserving seam, same contract as extractFeatures") {
+    import spark.implicits._
+    val assets = (1L to 20L).map(i =>
+      Asset(i, "wav", Multimodal.syntheticWav(8000, 1, i.toInt, i)))
+      .toDS().repartition(7)
+    val out = Multimodal.extractAudio(assets, Multimodal.decodeWav)
+    out.rdd.getNumPartitions shouldBe 7
+    val rows = out.collect().sortBy(_.asset_id)
+    rows.map(_.asset_id) shouldBe (1L to 20L).toArray
+    rows.map(_.n_frames) shouldBe (1L to 20L).toArray
+  }
+
+  // ------------------------------------------------- Misra–Gries / HH
+
+  test("MisraGries: survivors always contain every item above n/(k+1), any merge shape") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 20) {
+      val k = 1 + rnd.nextInt(8)
+      val n = 200 + rnd.nextInt(800)
+      // Zipf-ish stream over a small alphabet so heavy items exist
+      val stream = Seq.fill(n)(s"t${(math.pow(rnd.nextDouble(), 2.0) * 12).toInt}")
+      val mg = new Sketches.MisraGries(k)
+      // random merge tree: split stream into chunks, reduce each, merge
+      val chunks = stream.grouped(1 + rnd.nextInt(50)).toSeq
+      val partials = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(mg.zero)(mg.merge)
+      merged.size should be <= k
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustSurvive = exact.filter(_._2 * (k + 1) > n).keySet
+      withClue(s"(trial $trial: k=$k n=$n lost guaranteed heavy hitters)") {
+        (mustSurvive -- merged.keySet) shouldBe empty
+      }
+    }
+  }
+
+  test("guaranteedHeavyHitters: equals the exact groupBy/HAVING answer") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x x x x x y y z q r s t u v w"),
+      ("a", "x x y y p p p g h i j k l m n"),
+      ("b", "solo solo solo solo alpha beta gamma delta")
+    ).toDF("source", "text")
+    val k = 5 // report tokens above 1/5 of the source's token mass
+    val got = Sketches.guaranteedHeavyHitters(docs, "source", "text", k)
+      .orderBy("source", "token").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val toks = docs.select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val tot = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    val want = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .join(tot, "source").filter(col("c") * k > col("n"))
+      .orderBy("source", "tok").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got shouldBe want
+    // sanity: the fixture actually exercises the path
+    got.map(t => (t._1, t._2)) should contain allOf(("a", "x"), ("b", "solo"))
+  }
+
+  // ---------------------------------------------- edit-verified dedup
+
+  test("editVerifiedNearDups: reordering passes the Jaccard gate but fails the edit gate") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val reordered = (1 to 40).reverse.map(i => s"w$i").mkString(" ")
+    val nearCopy = base.replace("w40", "w41") // one token differs
+    val docs = Seq(
+      (1L, base), (2L, base),        // identical pair: jac 1, edit_sim 1
+      (3L, reordered),               // same token set, scrambled order
+      (4L, nearCopy),                // 39/41 tokens shared
+      (5L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.editVerifiedNearDups(docs, "doc_id", "text",
+      candThreshold = 0.9, editSim = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reordered doc 3 killed by the edit gate; the 1-char edit (doc 4)
+    // keeps edit_sim ~0.996 and survives alongside the identical pair
+    strict shouldBe Set((1L, 2L), (1L, 4L), (2L, 4L))
+    // with the edit gate off, the reordered doc pairs with both copies
+    val loose = Dedup.editVerifiedNearDups(docs, "doc_id", "text",
+      candThreshold = 0.9, editSim = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    loose should contain allOf((1L, 2L), (1L, 3L), (2L, 3L))
+    // edit_sim is exact: identical pair at 1.0, lev 0
+    val row = Dedup.editVerifiedNearDups(docs, "doc_id", "text", 0.9, 0.9)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2).collect().head
+    row.getAs[Long]("lev") shouldBe 0L
+    row.getAs[Double]("edit_sim") shouldBe 1.0
+  }
+
+  // --------------------------------------------------------- CDC chunks
+
+  test("cdcChunkStats: chunk chars partition each document exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 30).map { i =>
+      val words = Seq.fill(20 + rnd.nextInt(60))(
+        s"tok${rnd.nextInt(500)}").mkString(" ")
+      (if (i % 2 == 0) "even" else "odd", words)
+    }.toDF("source", "text")
+    val stats = TextAnalysis.cdcChunkStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4))).toMap
+    val want = docs.groupBy("source")
+      .agg(sum(org.apache.spark.sql.functions.length(col("text"))
+        .cast("long")).as("chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats.view.mapValues(_._2).toMap shouldBe want
+    stats.values.foreach { case (nChunks, _) => nChunks should be > 0L }
+  }
+
+  test("cdcChunkStats: a fully duplicated source reads dup_frac 1.0; short docs are one chunk") {
+    import spark.implicits._
+    val text = (1 to 80).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      ("dup", text), ("dup", text),  // identical twins: every chunk dup
+      ("tiny", "short")              // len < w: single residual chunk
+    ).toDF("source", "text")
+    val rows = TextAnalysis.cdcChunkStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows("dup").getAs[Double]("dup_frac") shouldBe 1.0
+    rows("dup").getAs[Long]("n_dup_chunks") shouldBe
+      rows("dup").getAs[Long]("n_chunks")
+    rows("tiny").getAs[Long]("n_chunks") shouldBe 1L
+    rows("tiny").getAs[Long]("total_chars") shouldBe 5L
+    rows("tiny").getAs[Long]("n_dup_chunks") shouldBe 0L
+  }
+
+  test("cdcChunkStats: boundaries are content-defined — a prefix edit relocalizes, not reshuffles") {
+    import spark.implicits._
+    val body = (1 to 120).map(i => s"stable$i").mkString(" ")
+    val a = s"PREFIX-ONE $body"
+    val b = s"A-DIFFERENT-LONGER-PREFIX-TWO $body"
+    val docs = Seq(("s", a), ("s", b)).toDF("source", "text")
+    val r = TextAnalysis.cdcChunkStats(docs, "source", "text")
+      .collect().head
+    // the shared tail re-synchronizes onto identical cut points, so most
+    // chunk mass is duplicated despite different prefixes — the defining
+    // CDC property (fixed-size blocks would share ~nothing)
+    r.getAs[Double]("dup_frac") should be > 0.8
+  }
+}
