@@ -144,6 +144,38 @@ class Wave17Spec extends AnyFunSuite with Matchers with SparkFixture {
     row.getAs[Double]("edit_sim") shouldBe 1.0
   }
 
+  test("boundedLevenshtein: parity with the unbounded DP; -1 iff distance > bound") {
+    def naive(a: String, b: String): Int = {
+      val x = a.codePoints().toArray; val y = b.codePoints().toArray
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abcde"
+    for (_ <- 0 until 300) {
+      val a = Seq.fill(rnd.nextInt(30))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val b = Seq.fill(rnd.nextInt(30))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val bound = rnd.nextInt(12)
+      val want = naive(a, b)
+      val got = Dedup.boundedLevenshtein(a, b, bound)
+      if (want <= bound) got shouldBe want
+      else got shouldBe -1
+    }
+    // spot checks incl. the classic
+    Dedup.boundedLevenshtein("kitten", "sitting", 10) shouldBe 3
+    Dedup.boundedLevenshtein("kitten", "sitting", 2) shouldBe -1
+    Dedup.boundedLevenshtein("", "abc", 3) shouldBe 3
+    Dedup.boundedLevenshtein("", "abc", 2) shouldBe -1
+    Dedup.boundedLevenshtein("same", "same", 0) shouldBe 0
+  }
+
   // --------------------------------------------------------- CDC chunks
 
   test("cdcChunkStats: chunk chars partition each document exactly") {
