@@ -138,7 +138,13 @@ object Multimodal {
     * PCM `fmt ` chunk (audioFormat == 1) and a `data` chunk.
     * n_frames = dataBytes / (channels * bits/8); duration_us is floor
     * integer micros. Malformed input fails loudly with the asset id. */
-  def decodeWav(a: Asset): AudioFeatures = {
+  /** Parsed RIFF/WAVE layout: fmt fields + data chunk location. */
+  private[operators] case class WavLayout(sampleRate: Int, channels: Int,
+                                          bits: Int, dataOff: Int,
+                                          dataBytes: Int)
+
+  /** The chunk walk shared by [[decodeWav]] and [[pcm16SampleStats]]. */
+  private[operators] def parseWav(a: Asset): WavLayout = {
     val d = a.data
     require(d.length >= 44,
       s"WAV asset ${a.asset_id}: ${d.length} bytes < 44-byte minimum")
@@ -152,7 +158,7 @@ object Multimodal {
       s"WAV asset ${a.asset_id}: bad magic '${tag(0)}'/'${tag(8)}'")
     var off = 12
     var sampleRate = -1; var channels = -1; var bits = -1
-    var dataBytes = -1L
+    var dataOff = -1; var dataBytes = -1
     while (off + 8 <= d.length && (sampleRate < 0 || dataBytes < 0)) {
       val t = tag(off); val sz = le32(off + 4)
       require(sz >= 0 && off + 8 + sz <= d.length,
@@ -167,19 +173,61 @@ object Multimodal {
           bits = le16(off + 22)
           require(channels > 0 && sampleRate > 0 && bits > 0,
             s"WAV asset ${a.asset_id}: bad fmt $channels ch/$sampleRate Hz/$bits bit")
-        case "data" => dataBytes = sz.toLong
+        case "data" => dataOff = off + 8; dataBytes = sz
         case _ => ()
       }
       off += 8 + sz + (sz & 1) // RIFF pads odd chunk bodies to even
     }
     require(sampleRate > 0, s"WAV asset ${a.asset_id}: no fmt chunk")
     require(dataBytes >= 0, s"WAV asset ${a.asset_id}: no data chunk")
-    val frameBytes = channels * (bits / 8)
+    WavLayout(sampleRate, channels, bits, dataOff, dataBytes)
+  }
+
+  def decodeWav(a: Asset): AudioFeatures = {
+    val w = parseWav(a)
+    val frameBytes = w.channels * (w.bits / 8)
     require(frameBytes > 0,
-      s"WAV asset ${a.asset_id}: zero frame size ($channels ch × $bits bit)")
-    val nFrames = dataBytes / frameBytes
-    AudioFeatures(a.asset_id, a.modality, d.length.toLong, sampleRate,
-      channels, bits, nFrames, nFrames * 1000000L / sampleRate)
+      s"WAV asset ${a.asset_id}: zero frame size (${w.channels} ch × ${w.bits} bit)")
+    val nFrames = w.dataBytes.toLong / frameBytes
+    AudioFeatures(a.asset_id, a.modality, a.data.length.toLong,
+      w.sampleRate, w.channels, w.bits, nFrames,
+      nFrames * 1000000L / w.sampleRate)
+  }
+
+  /** Exact integer statistics over DECODED 16-bit PCM samples. */
+  case class AudioStats(asset_id: Long, n_samples: Long, peak_abs: Long,
+                        energy: Long)
+
+  /** Decode the actual SAMPLE STREAM (not just headers) of 16-bit PCM
+    * WAVs and reduce it to exact integer stats: sample count, peak
+    * |amplitude|, total energy (Σ s²) — the proof that the codec seam
+    * carries decoded payload data end-to-end (q132 replays the planted
+    * byte stream arithmetically in the oracle). Energy fits a long for
+    * any real file (32768² per sample ⇒ overflow needs ~2^33 samples
+    * ≈ 50 hours at 48 kHz stereo). Same seam contract as
+    * [[extractAudio]]: partition-preserving mapPartitions, decode work
+    * distributed with the rows. */
+  def pcm16SampleStats(assets: Dataset[Asset]): Dataset[AudioStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val w = parseWav(a)
+      require(w.bits == 16,
+        s"WAV asset ${a.asset_id}: pcm16SampleStats needs 16-bit, got ${w.bits}")
+      val d = a.data
+      val n = w.dataBytes / 2
+      var peak = 0L
+      var energy = 0L
+      var i = 0
+      while (i < n) {
+        val o = w.dataOff + 2 * i
+        val s = ((d(o) & 0xff) | (d(o + 1) << 8)).toShort.toLong
+        val abs = math.abs(s)
+        if (abs > peak) peak = abs
+        energy += s * s
+        i += 1
+      }
+      AudioStats(a.asset_id, n.toLong, peak, energy)
+    })
   }
 
   /** Fixture encoder for [[decodeWav]]: a minimal VALID 16-bit PCM WAV

@@ -1146,8 +1146,13 @@ object TextAnalysis {
     * dup_frac) where a chunk instance is "dup" when its fingerprint
     * occurs >1 time corpus-wide; dup_frac = floor(dup·1e9/total)/1e9
     * (the house exact-quantized division). */
-  def cdcChunkStats(docs: DataFrame, sourceCol: String, textCol: String,
-                    w: Int = 16, m: Int = 64): DataFrame = {
+  /** Shared CDC chunker: one row per chunk as (__key, fp, chars).
+    * Boundary predicate, span assembly, and fingerprinting are all
+    * per-row HOFs over the position array (see [[cdcChunkStats]] doc);
+    * chunk text never leaves the row. */
+  private[operators] def cdcChunks(docs: DataFrame, keyCol: String,
+                                   textCol: String, w: Int,
+                                   m: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1: $w")
     require(m >= 2, s"modulus must be >= 2: $m")
     val len = length(col("text"))
@@ -1158,8 +1163,8 @@ object TextAnalysis {
         .cast("long") % m === 0
     // cut points end their window: cut = i + w - 1; spans run
     // (prev_cut+1 .. cut), plus the residual (last_cut+1 .. len)
-    val chunks = docs
-      .select(col(sourceCol).as("src"), col(textCol).as("text"))
+    docs
+      .select(col(keyCol).as("__key"), col(textCol).as("text"))
       .withColumn("cuts",
         transform(filter(positions, isCut), i => i + w - 1))
       .withColumn("full", concat(array(lit(0)), col("cuts")))
@@ -1170,10 +1175,16 @@ object TextAnalysis {
             when(j < size(col("cuts")), element_at(col("cuts"), j + 1))
               .otherwise(len).as("e"))),
           sp => sp("s") <= sp("e"))))
-      .select(col("src"),
+      .select(col("__key"),
         md5(col("text").substr(col("span.s"),
           col("span.e") - col("span.s") + 1)).as("fp"),
         (col("span.e") - col("span.s") + 1).cast("long").as("chars"))
+  }
+
+  def cdcChunkStats(docs: DataFrame, sourceCol: String, textCol: String,
+                    w: Int = 16, m: Int = 64): DataFrame = {
+    val chunks = cdcChunks(docs, sourceCol, textCol, w, m)
+      .withColumnRenamed("__key", "src")
     val fpCounts = chunks.groupBy(col("fp"))
       .agg(count(lit(1)).as("fp_cnt"))
     chunks.join(fpCounts, "fp")
@@ -1187,5 +1198,47 @@ object TextAnalysis {
         col("n_dup_chunks"), col("dup_chars"), col("total_chars"),
         (floor(col("dup_chars").cast("double") * 1e9
           / col("total_chars").cast("double")) / 1e9).as("dup_frac"))
+  }
+
+  /** Chunk-level NOVELTY of new documents against a frozen corpus — the
+    * incremental twin of [[cdcChunkStats]] (same seam as
+    * `Dedup.nearDupAgainstCorpus` / `Similarity.lshCosineAgainstCorpus`):
+    * chunk both sides with the same content-defined boundaries, then
+    * score each NEW document by how much of its chunk mass is absent
+    * from the corpus — the byte-granular "does this crawl add
+    * anything" signal that document-level dedup cannot give (a new doc
+    * that is 90% boilerplate scores 0.1, not 1.0).
+    *
+    * The corpus side reduces to its DISTINCT chunk-fingerprint set —
+    * the natural artifact to persist between ingest batches (a
+    * fingerprint parquet, or feed it to `Sketches.buildBloom` for an
+    * approximate zero-join variant). The join is NEW-chunks ×
+    * DISTINCT-corpus-fps only (left anti-ish via left join + null
+    * check): linear in both sides, nothing within-side, nothing
+    * quadratic.
+    *
+    * Output: one row per NEW doc — (id, n_chunks, novel_chunks,
+    * novel_chars, total_chars, novelty = floor(novel·1e9/total)/1e9).
+    * A chunk is novel iff its fingerprint appears nowhere in the
+    * corpus side (exact match; chars weight the fraction). */
+  def cdcNovelty(newDocs: DataFrame, corpusDocs: DataFrame,
+                 idCol: String, textCol: String,
+                 w: Int = 16, m: Int = 64): DataFrame = {
+    val newChunks = cdcChunks(newDocs, idCol, textCol, w, m)
+    val corpusFps = cdcChunks(corpusDocs, idCol, textCol, w, m)
+      .select(col("fp")).distinct()
+      .withColumn("__in_corpus", lit(1))
+    newChunks.join(corpusFps, Seq("fp"), "left")
+      .groupBy(col("__key"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__in_corpus").isNull, 1L).otherwise(0L))
+          .as("novel_chunks"),
+        sum(when(col("__in_corpus").isNull, col("chars")).otherwise(0L))
+          .as("novel_chars"),
+        sum(col("chars")).as("total_chars"))
+      .select(col("__key").as(idCol), col("n_chunks"),
+        col("novel_chunks"), col("novel_chars"), col("total_chars"),
+        (floor(col("novel_chars").cast("double") * 1e9
+          / col("total_chars").cast("double")) / 1e9).as("novelty"))
   }
 }

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   *    content-defined chunking over characters, chunk fingerprints,
   *    per-source corpus-wide duplication stats — boilerplate detection
   *    below the document granularity.
+  *  - q132 decoded-PCM sample stats ([[Multimodal.pcm16SampleStats]]):
+  *    exact integer peak/energy over the decoded 16-bit sample stream —
+  *    the proof the codec seam carries PAYLOAD data end-to-end, with
+  *    the planted byte stream replayed arithmetically by the oracle.
+  *  - q133 chunk-level novelty vs frozen corpus
+  *    ([[TextAnalysis.cdcNovelty]]): the incremental CDC shape — how
+  *    much of each new document's chunk mass is absent from the
+  *    corpus; the byte-granular "does this crawl add anything" signal.
   */
 object Wave17 {
 
@@ -88,6 +96,34 @@ object Wave17 {
       TextAnalysis.cdcChunkStats(Tables.documents(s, d), "source", "text",
         CdcW, CdcM)
         .orderBy(col("source"))
+    },
+
+    // Decoded-PCM sample statistics: the seam carries SAMPLE data, not
+    // just headers (same planted WAVs as q128).
+    "q132_wav_energy" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "wav", Multimodal.syntheticWav(
+            8000 * (1 + (id % 5).toInt), 1 + (id % 2).toInt,
+            40 + (nChars % 101).toInt, id))
+        }
+      Multimodal.pcm16SampleStats(assets)
+        .toDF()
+        .orderBy(col("asset_id"))
+    },
+
+    // Chunk-level novelty of the q97-convention "new" slice vs the
+    // frozen remainder.
+    "q133_chunk_novelty" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.cdcNovelty(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", CdcW, CdcM)
+        .orderBy(col("doc_id"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -192,5 +228,72 @@ object Wave17 {
          |  CAST(total_chars AS BIGINT) AS total_chars,
          |  floor(CAST(dup_chars AS DOUBLE) * 1e9
          |    / CAST(total_chars AS DOUBLE)) / 1e9 AS dup_frac
-         |FROM agg ORDER BY source""".stripMargin)
+         |FROM agg ORDER BY source""".stripMargin,
+
+    // the planted 16-bit PCM stream replayed arithmetically: data byte
+    // i is (doc_id + i) % 256, so sample j = signed16(b(2j) | b(2j+1)<<8)
+    "q132_wav_energy" ->
+      """WITH params AS (
+        |  SELECT doc_id,
+        |    (40 + n_chars % 101) * (1 + doc_id % 2) AS n_samples
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, n_samples,
+        |    ((doc_id + 2 * i) % 256) + 256 * ((doc_id + 2 * i + 1) % 256)
+        |      AS v
+        |  FROM params, unnest(range(0, n_samples)) u(i)),
+        |sg AS (
+        |  SELECT doc_id, n_samples,
+        |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+        |  FROM raw)
+        |SELECT doc_id AS asset_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(max(abs(sv)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(sv * sv) AS BIGINT) AS energy
+        |FROM sg GROUP BY 1, 2 ORDER BY asset_id""".stripMargin,
+
+    // same chunk CTE over all docs, then new-side chunks scored against
+    // the corpus side's distinct fingerprints
+    "q133_chunk_novelty" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents),
+         |cutl AS (
+         |  SELECT doc_id, text, len,
+         |    list_transform(list_filter(
+         |      range(1, greatest(len - $CdcW + 2, 1)),
+         |      i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT),
+         |             $CdcW)), 1, 8) AS BIGINT) % $CdcM = 0),
+         |      i -> i + $CdcW - 1) AS cuts
+         |  FROM d),
+         |spans AS (
+         |  SELECT doc_id, text,
+         |    unnest(list_filter(
+         |      list_transform(range(0, len(cuts) + 1), j -> struct_pack(
+         |        s := list_prepend(0, cuts)[j + 1] + 1,
+         |        e := CASE WHEN j < len(cuts) THEN cuts[j + 1]
+         |             ELSE len END)),
+         |      sp -> sp.s <= sp.e)) AS sp
+         |  FROM cutl),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, CAST(sp.s AS INT),
+         |      CAST(sp.e - sp.s + 1 AS INT))) AS fp,
+         |    CAST(sp.e - sp.s + 1 AS BIGINT) AS chars
+         |  FROM spans),
+         |corp AS (SELECT DISTINCT fp FROM chunks WHERE doc_id % 10 <> 0),
+         |agg AS (
+         |  SELECT c.doc_id, count(*) AS n_chunks,
+         |    sum(CASE WHEN corp.fp IS NULL THEN 1 ELSE 0 END)
+         |      AS novel_chunks,
+         |    sum(CASE WHEN corp.fp IS NULL THEN c.chars ELSE 0 END)
+         |      AS novel_chars,
+         |    sum(c.chars) AS total_chars
+         |  FROM chunks c LEFT JOIN corp ON c.fp = corp.fp
+         |  WHERE c.doc_id % 10 = 0 GROUP BY 1)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(novel_chunks AS BIGINT) AS novel_chunks,
+         |  CAST(novel_chars AS BIGINT) AS novel_chars,
+         |  CAST(total_chars AS BIGINT) AS total_chars,
+         |  floor(CAST(novel_chars AS DOUBLE) * 1e9
+         |    / CAST(total_chars AS DOUBLE)) / 1e9 AS novelty
+         |FROM agg ORDER BY doc_id""".stripMargin)
 }

@@ -67,6 +67,49 @@ class Wave17Spec extends AnyFunSuite with Matchers with SparkFixture {
     rows.map(_.n_frames) shouldBe (1L to 20L).toArray
   }
 
+  test("pcm16SampleStats: exact stats over a hand-built sample stream") {
+    import spark.implicits._
+    // hand-assemble a WAV whose samples we know: 4 frames mono 16-bit
+    val samples = Array[Short](100, -200, 32767, -32768)
+    val b = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000)
+    b.putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(8)
+    samples.foreach(b.putShort)
+    val out = Multimodal.pcm16SampleStats(
+      Seq(Asset(5L, "wav", b.array())).toDS()).collect().head
+    out.n_samples shouldBe 4L
+    out.peak_abs shouldBe 32768L
+    out.energy shouldBe samples.map(s => s.toLong * s).sum
+  }
+
+  test("cdcNovelty: exact-copy new doc scores 0, unseen doc scores 1, mixtures between") {
+    import spark.implicits._
+    val boiler = (1 to 100).map(i => s"shared$i").mkString(" ")
+    val corpus = Seq((10L, boiler), (11L, s"$boiler extra tail content"))
+      .toDF("doc_id", "text")
+    val fresh = (1 to 100).map(i => s"unseen$i").mkString(" ")
+    val newDocs = Seq(
+      (1L, boiler),                 // wholly known
+      (2L, fresh),                  // wholly novel
+      (3L, s"$boiler $fresh")       // half and half
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.cdcNovelty(newDocs, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows(1L).getAs[Double]("novelty") shouldBe 0.0
+    rows(2L).getAs[Double]("novelty") shouldBe 1.0
+    val mid = rows(3L).getAs[Double]("novelty")
+    mid should (be > 0.2 and be < 0.8)
+    // chunk chars still partition each new doc
+    rows.values.foreach { r =>
+      r.getAs[Long]("novel_chars") should be <= r.getAs[Long]("total_chars")
+    }
+  }
+
   // ------------------------------------------------- Misra–Gries / HH
 
   test("MisraGries: survivors always contain every item above n/(k+1), any merge shape") {
