@@ -73,4 +73,32 @@ object Agg {
     val fn = udaf(new BottomK(k))
     (key, id) => fn(key, id)
   }
+
+  /** [[BottomK]] over (long, long) keys — for integer rank keys
+    * (md5-derived priorities, quantized scores) where the string form
+    * would need zero-padding games. Same 100 TB shape: map-side
+    * partials <= k entries, k entries per (group, partition) shuffled,
+    * no full-group sort anywhere. */
+  class BottomKLong(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    require(k > 0)
+    private val ord = Ordering.Tuple2[Long, Long]
+    private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      s.sorted(ord).take(k)
+    override def zero: Seq[(Long, Long)] = Nil
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      if (b.size >= k && ord.lteq(b.last, a)) b
+      else trim(b :+ a)
+    override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+  }
+
+  /** Untyped long-key bottom-k UDAF column: array position = rank. */
+  def bottomKLong(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new BottomKLong(k))
+    (key, id) => fn(key, id)
+  }
 }

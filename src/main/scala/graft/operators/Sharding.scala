@@ -145,6 +145,50 @@ object Sharding {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Deterministic WEIGHTED priority sampling, k per stratum (the
+    * hash-uniform variant of priority sampling, Duffield/Lund/Thorup
+    * JACM 2007): row priority = floor(h·10^6 / w) where h is the row's
+    * md5-derived 32-bit uniform and w its positive integer weight; the
+    * k SMALLEST priorities per stratum win. Heavier rows divide their
+    * uniform by a larger weight, so inclusion probability rises ~
+    * proportionally with w — "sample 100 docs per source, longer docs
+    * proportionally more often" — while staying rerun-stable (no RNG
+    * state) and engine-portable: the priority is EXACT integer
+    * arithmetic (h ≤ 2^32 ⇒ h·10^6 < 2^52, no BIGINT overflow, no
+    * float pow/log — the usual exp(ln(u)/w) key needs libm, which the
+    * house bans for cross-engine determinism).
+    *
+    * Execution is the [[Agg.BottomKLong]] bounded heap — map-side
+    * partials ≤ k entries, k entries per (stratum, partition) shuffled,
+    * no full-stratum sort through one task (same shape as
+    * [[stratifiedQuotaTopK]], which this generalizes from uniform to
+    * weighted). Output: (stratum, id, w, priority, rk) with rk 1..k by
+    * (priority, id) — identical to the window-rank formulation row for
+    * row (ShardingSpec pins the parity). */
+  def weightedPrioritySample(docs: DataFrame, idCol: String,
+                             weightCol: String, stratumCol: String,
+                             k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val bk = Agg.bottomKLong(k)
+    val base = docs.select(col(stratumCol).as("stratum"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("__h", conv(substring(md5(concat_ws(":", lit(seed),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("priority", expr("__h * 1000000L DIV w"))
+    val kept = base.groupBy(col("stratum"))
+      .agg(bk(col("priority"), col("id")).as("kept"))
+      .select(col("stratum"), posexplode(col("kept")))
+      .select(col("stratum"), col("col._2").as("id"),
+        col("col._1").as("priority"),
+        (col("pos") + 1).cast("long").as("rk"))
+    kept.join(base.select(col("stratum"), col("id"), col("w")),
+        Seq("stratum", "id"))
+      .select(col("stratum").as(stratumCol), col("id"), col("w"),
+        col("priority"), col("rk"))
+  }
+
   /** Deterministic train/validation/test splitting by content-free id
     * hash: row → the first split whose cumulative weight exceeds the
     * row's md5-derived 32-bit uniform. Rerun-stable (no RNG state), and

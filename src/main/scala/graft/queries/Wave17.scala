@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sharding, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,11 @@ import org.apache.spark.sql.functions._
   *    ([[TextAnalysis.cdcNovelty]]): the incremental CDC shape — how
   *    much of each new document's chunk mass is absent from the
   *    corpus; the byte-granular "does this crawl add anything" signal.
+  *  - q134 weighted priority sampling
+  *    ([[Sharding.weightedPrioritySample]]): k-per-stratum sample with
+  *    inclusion ~ proportional to an integer weight, md5-uniform
+  *    priorities in exact BIGINT arithmetic (no libm), executed on the
+  *    [[graft.operators.Agg.BottomKLong]] bounded heap.
   */
 object Wave17 {
 
@@ -54,6 +59,7 @@ object Wave17 {
   private val EditTau = 0.8     // q130: edit-similarity gate
   private val CdcW = 16         // q131: boundary window (chars)
   private val CdcM = 64         // q131: boundary modulus (~avg chunk chars)
+  private val WpsK = 10         // q134: weighted sample size per source
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Plant real WAVs with arithmetic audio shapes, decode them back
@@ -124,6 +130,14 @@ object Wave17 {
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         "doc_id", "text", CdcW, CdcM)
         .orderBy(col("doc_id"))
+    },
+
+    // Length-weighted deterministic sample, 10 docs per source, via the
+    // bounded-heap priority path.
+    "q134_weighted_sample" -> { (s, d) =>
+      Sharding.weightedPrioritySample(Tables.documents(s, d), "doc_id",
+        "n_chars", "source", k = WpsK)
+        .orderBy(col("source"), col("rk"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -295,5 +309,22 @@ object Wave17 {
          |  CAST(total_chars AS BIGINT) AS total_chars,
          |  floor(CAST(novel_chars AS DOUBLE) * 1e9
          |    / CAST(total_chars AS DOUBLE)) / 1e9 AS novelty
-         |FROM agg ORDER BY doc_id""".stripMargin)
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // priority = floor(h * 1e6 / w) with h the md5 '42:id' 32-bit
+    // slice — exact BIGINT arithmetic, so the window-rank formulation
+    // replays the heap path row for row
+    "q134_weighted_sample" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id AS id, n_chars AS w,
+         |    (CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+         |       1, 8) AS BIGINT) * 1000000) // n_chars AS priority
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY priority, id) AS rk
+         |  FROM b)
+         |SELECT source, id, CAST(w AS BIGINT) AS w, priority,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= $WpsK ORDER BY source, rk""".stripMargin)
 }

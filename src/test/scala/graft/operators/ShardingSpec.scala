@@ -179,6 +179,44 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
     } rates(d1) should be >= rates(d2)
   }
 
+  test("weightedPrioritySample: heap path equals the window-rank twin; weights bias selection") {
+    import spark.implicits._
+    val got = Sharding.weightedPrioritySample(docs, "doc_id", "n_chars",
+      "source", k = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // window-rank twin over the identical priority expression
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("priority"), col("id"))
+    val want = docs
+      .select(col("source"), col("doc_id").as("id"),
+        col("n_chars").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("__h", conv(substring(md5(concat_ws(":", lit(42L),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("priority", expr("__h * 1000000L DIV w"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("id"), col("w"), col("priority"),
+        col("rk"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    got shouldBe want
+    got.groupBy(_._1).values.foreach(_.size should be <= 10)
+    // determinism: a second run is bit-identical
+    val again = Sharding.weightedPrioritySample(docs, "doc_id", "n_chars",
+      "source", k = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    again shouldBe got
+    // weighting: giving one doc an overwhelming weight forces it in
+    val boosted = docs.withColumn("wt",
+      when(col("doc_id") === 7L, lit(1000000L)).otherwise(lit(1L)))
+    val top = Sharding.weightedPrioritySample(boosted, "doc_id", "wt",
+      "source", k = 1)
+    val srcOf7 = docs.filter(col("doc_id") === 7L)
+      .select("source").as[String].head()
+    top.filter(col("source") === srcOf7).select("id").as[Long]
+      .head() shouldBe 7L
+  }
+
   test("stratifiedQuotaTopK: row-for-row identical to the window form") {
     import spark.implicits._
     // numerous-strata shape (the window form's home turf)
