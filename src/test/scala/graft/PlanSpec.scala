@@ -241,4 +241,48 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin")) shouldBe true
   }
+
+  test("q130: the Levenshtein kernel rides an explicit round-robin exchange behind an object boundary") {
+    // The r9 in-round fix pinned: candidate pairs are byte-tiny but
+    // compute-huge, so (a) AQE byte-coalescing and (b) Catalyst pushing
+    // the deterministic projection below a user repartition both funnel
+    // the kernel into ONE task (measured: 15+ min single-core at
+    // sf0.1). The kernel must stay a typed mapPartitions AFTER a
+    // ROUNDROBIN exchange — the DeserializeToObject boundary is what
+    // projection pushdown cannot cross.
+    val p = plan("q130_edit_neardup")
+    p should include("RoundRobinPartitioning")
+    p should include("DeserializeToObject")
+    p should include("MapPartitions")
+    p should not include "CartesianProduct"
+  }
+
+  test("q129: Misra-Gries pass is a partial-aggregate, candidate counts a broadcast probe") {
+    // pass 1 must partial-aggregate (map-side k-bounded heaps merged on
+    // the shuffle), never sort-the-world; pass 2's exact counting joins
+    // the <= k-per-group candidate list back by broadcast hash.
+    val p = plan("q129_heavy_hitters")
+    p should include("ObjectHashAggregate")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("q131/q133: CDC chunking is per-row HOF work — no window, nothing quadratic") {
+    // boundary selection + span assembly live in the row projection; the
+    // only multi-row stages are fp-keyed aggregates/joins.
+    Seq("q131_cdc_chunks", "q133_chunk_novelty").foreach { q =>
+      val p = plan(q)
+      p should not include "Window"
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  test("q134: weighted sample is the bounded-heap aggregate — no full-stratum sort Window") {
+    val p = plan("q134_weighted_sample")
+    p should not include "Window"
+    (p.contains("ObjectHashAggregate") || p.contains("SortAggregate")) shouldBe true
+    p should not include "CartesianProduct"
+  }
 }
