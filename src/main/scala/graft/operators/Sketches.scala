@@ -86,6 +86,26 @@ object Sketches {
       .collect()(0).getAs[scala.collection.Seq[Long]]("bits").toArray
   }
 
+  /** Build a Bloom filter over a column of md5-HEX FINGERPRINTS (chunk
+    * fps, content hashes — anything already md5-shaped): positions are
+    * the hex's own u32 slices, no re-hashing. One distributed pass,
+    * dval-sized result (mBits/64 longs) at any fingerprint count. */
+  def buildBloomFromHex(fps: DataFrame, hexCol: String,
+                        mBits: Int = 1 << 20, k: Int = 3): Array[Long] = {
+    val bloomAgg = udaf(new BitsetOr(mBits))
+    fps.select(col(hexCol).as("hex")).distinct()
+      .select(explode(array(bloomPositions(col("hex"), k, mBits): _*))
+        .as("pos"))
+      .agg(bloomAgg(col("pos")).as("bits"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("bits").toArray
+  }
+
+  /** Public membership test for an md5-hex column against a dval'd
+    * filter — pure bit arithmetic, engine-portable ([[bloomPositions]]),
+    * usable inside higher-order lambdas (streaming-safe: no join). */
+  def bloomContainsHex(hex: Column, bits: Array[Long], k: Int,
+                       mBits: Int): Column = bloomHit(hex, bits, k, mBits)
+
   /** Per-row count of the text's distinct word `n`-grams that hit the
     * filter — a single stateless column expression (no explode, no
     * shuffle, no join), the shape a streaming micro-batch filter needs.

@@ -47,6 +47,11 @@ import org.apache.spark.sql.functions._
   *    inclusion ~ proportional to an integer weight, md5-uniform
   *    priorities in exact BIGINT arithmetic (no libm), executed on the
   *    [[graft.operators.Agg.BottomKLong]] bounded heap.
+  *  - q135 Bloom chunk novelty ([[TextAnalysis.cdcNoveltyBloom]]):
+  *    q133 with the corpus collapsed to a chunk-fp Bloom filter — a
+  *    stateless per-row projection (the streaming shape; StreamsSpec
+  *    drives it through MemoryStream), deterministic FPs replayed by
+  *    the oracle via the q93 position-set trick.
   */
 object Wave17 {
 
@@ -60,6 +65,8 @@ object Wave17 {
   private val CdcW = 16         // q131: boundary window (chars)
   private val CdcM = 64         // q131: boundary modulus (~avg chunk chars)
   private val WpsK = 10         // q134: weighted sample size per source
+  private val NovBloomBits = 1 << 20 // q135: chunk-fp bloom size
+  private val NovBloomK = 3     // q135: bloom hash count
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Plant real WAVs with arithmetic audio shapes, decode them back
@@ -138,6 +145,21 @@ object Wave17 {
       Sharding.weightedPrioritySample(Tables.documents(s, d), "doc_id",
         "n_chars", "source", k = WpsK)
         .orderBy(col("source"), col("rk"))
+    },
+
+    // q133's novelty with the corpus side collapsed to a Bloom filter —
+    // the zero-join streaming shape; FPs deterministic and replayed.
+    "q135_bloom_novelty" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpusFps = TextAnalysis.cdcChunks(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", CdcW, CdcM)
+      val bits = Sketches.buildBloomFromHex(corpusFps, "fp",
+        mBits = NovBloomBits, k = NovBloomK)
+      TextAnalysis.cdcNoveltyBloomBatch(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", bits, NovBloomK, NovBloomBits, CdcW, CdcM)
+        .orderBy(col("doc_id"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -310,6 +332,63 @@ object Wave17 {
          |  floor(CAST(novel_chars AS DOUBLE) * 1e9
          |    / CAST(total_chars AS DOUBLE)) / 1e9 AS novelty
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // q133's chunk CTE + the q93 position-set trick: the set of
+    // positions seeded by corpus fps IS the bloom's set bits, so "all k
+    // positions present" replays membership — false positives included
+    "q135_bloom_novelty" -> {
+      val posOf = (j: Int) =>
+        s"CAST('0x' || substr(fp, ${1 + 8 * j}, 8) AS BIGINT) % $NovBloomBits"
+      val hitCond = (0 until NovBloomK)
+        .map(j => s"${posOf(j)} IN (SELECT p FROM pb)")
+        .mkString("\n    AND ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents),
+         |cutl AS (
+         |  SELECT doc_id, text, len,
+         |    list_transform(list_filter(
+         |      range(1, greatest(len - $CdcW + 2, 1)),
+         |      i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT),
+         |             $CdcW)), 1, 8) AS BIGINT) % $CdcM = 0),
+         |      i -> i + $CdcW - 1) AS cuts
+         |  FROM d),
+         |spans AS (
+         |  SELECT doc_id, text,
+         |    unnest(list_filter(
+         |      list_transform(range(0, len(cuts) + 1), j -> struct_pack(
+         |        s := list_prepend(0, cuts)[j + 1] + 1,
+         |        e := CASE WHEN j < len(cuts) THEN cuts[j + 1]
+         |             ELSE len END)),
+         |      sp -> sp.s <= sp.e)) AS sp
+         |  FROM cutl),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, CAST(sp.s AS INT),
+         |      CAST(sp.e - sp.s + 1 AS INT))) AS fp,
+         |    CAST(sp.e - sp.s + 1 AS BIGINT) AS chars
+         |  FROM spans),
+         |corpfp AS (SELECT DISTINCT fp FROM chunks WHERE doc_id % 10 <> 0),
+         |pb AS (SELECT DISTINCT unnest([
+         |  ${(0 until NovBloomK).map(posOf).mkString(",\n  ")}]) AS p
+         |  FROM corpfp),
+         |scored AS (
+         |  SELECT doc_id, chars,
+         |    CASE WHEN $hitCond THEN 0 ELSE 1 END AS novel
+         |  FROM chunks WHERE doc_id % 10 = 0),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_chunks,
+         |    sum(novel) AS novel_chunks,
+         |    sum(CASE WHEN novel = 1 THEN chars ELSE 0 END) AS novel_chars,
+         |    sum(chars) AS total_chars
+         |  FROM scored GROUP BY 1)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(novel_chunks AS BIGINT) AS novel_chunks,
+         |  CAST(novel_chars AS BIGINT) AS novel_chars,
+         |  CAST(total_chars AS BIGINT) AS total_chars,
+         |  floor(CAST(novel_chars AS DOUBLE) * 1e9
+         |    / CAST(total_chars AS DOUBLE)) / 1e9 AS novelty
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
 
     // priority = floor(h * 1e6 / w) with h the md5 '42:id' 32-bit
     // slice — exact BIGINT arithmetic, so the window-rank formulation

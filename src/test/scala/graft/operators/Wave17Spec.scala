@@ -257,6 +257,24 @@ class Wave17Spec extends AnyFunSuite with Matchers with SparkFixture {
     rows("tiny").getAs[Long]("n_dup_chunks") shouldBe 0L
   }
 
+  test("cdcNoveltyBloom: HOF (streaming) and exploded (batch) forms agree row-for-row") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val bits = Sketches.buildBloomFromHex(
+      TextAnalysis.cdcChunks(corpus, "doc_id", "text"), "fp",
+      mBits = 1 << 16, k = 3)
+    val hof = TextAnalysis.cdcNoveltyBloom(fresh, "doc_id", "text",
+      bits, k = 3, mBits = 1 << 16)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val exploded = TextAnalysis.cdcNoveltyBloomBatch(fresh, "doc_id",
+      "text", bits, k = 3, mBits = 1 << 16)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    exploded shouldBe hof
+    hof should not be empty
+  }
+
   test("cdcChunkStats: boundaries are content-defined — a prefix edit relocalizes, not reshuffles") {
     import spark.implicits._
     val body = (1 to 120).map(i => s"stable$i").mkString(" ")

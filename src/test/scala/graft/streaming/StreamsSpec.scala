@@ -166,6 +166,40 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
       Array(2L, 3L, 4L)
   }
 
+  test("cdcNoveltyBloom: streaming == batch row-for-row (stateless per-row scorer)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Sketches, TextAnalysis}
+    val boiler = (1 to 60).map(i => s"known$i").mkString(" ")
+    val corpus = Seq((100L, boiler)).toDF("doc_id", "text")
+    val bits = Sketches.buildBloomFromHex(
+      TextAnalysis.cdcChunks(corpus, "doc_id", "text"), "fp",
+      mBits = 1 << 16, k = 3)
+    val rows = Seq(
+      Doc(ts(1), 1, boiler),                                  // known
+      Doc(ts(2), 2, (1 to 60).map(i => s"new$i").mkString(" ")), // novel
+      Doc(ts(3), 3, s"$boiler ${(1 to 30).map(i => s"mix$i").mkString(" ")}"))
+    val input = MemoryStream[Doc]
+    input.addData(rows: _*)
+    val name = s"cdcnovelty_${System.nanoTime}"
+    val q = TextAnalysis.cdcNoveltyBloom(input.toDF(), "doc_id", "text",
+      bits, k = 3, mBits = 1 << 16)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = TextAnalysis.cdcNoveltyBloom(
+      rows.toDF().select(col("doc_id"), col("text")),
+      "doc_id", "text", bits, k = 3, mBits = 1 << 16)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    streamed shouldBe batch
+    val byId = streamed.map(r => r._1 -> r).toMap
+    byId(1L)._6 shouldBe 0.0 // wholly known
+    byId(2L)._6 shouldBe 1.0 // wholly novel (no FP at this load factor)
+    byId(3L)._6 should (be > 0.0 and be < 1.0)
+  }
+
   test("valueSpikes (flatMapGroupsWithState): 0-or-N alerts per batch, state survives batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
