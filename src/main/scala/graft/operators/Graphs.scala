@@ -103,4 +103,75 @@ object Graphs {
     }
     r
   }
+
+  /** Per-vertex triangle counts + local clustering coefficient over an
+    * undirected edge list — the "how clumpy is this neighborhood"
+    * signal (a mutual-kNN embedding graph's clustering coefficient
+    * measures how cohesive the corpus's semantic clusters are).
+    *
+    * Degree orientation (the classic MapReduce triangle-count bound,
+    * Suri–Vassilvitskii / Cohen): orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    * at each edge's SOURCE, and close them against the oriented edge
+    * list. Every triangle is emitted exactly once (its (deg,id)-minimal
+    * vertex owns it), and the wedge fan-out per vertex is bounded by its
+    * ORIENTED out-degree — O(sqrt(m)) on any graph — so a celebrity hub
+    * with 10^7 neighbors generates no 10^14-wedge explosion: its edges
+    * all point INTO it. Total work is O(m^{3/2}) worst case, the join
+    * is plain hash/sort-merge equi-join on vertex keys, and no vertex
+    * adjacency ever has to fit in one task's memory.
+    *
+    * Edge intake matches [[pageRankInt]]'s house contract: orientation
+    * and duplicate rows are normalized (least/greatest + dropDuplicates)
+    * and self-loops are DROPPED (a triangle is 3 distinct vertices).
+    *
+    * Output: (id, degree, n_tri, cc_permille) for every vertex incident
+    * to an edge; cc_permille = floor(1000 · 2·n_tri / (deg·(deg−1)))
+    * in exact integer arithmetic, null when deg < 2. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val fwd = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .dropDuplicates("u", "v")
+      .cache()
+    val deg = fwd.select(col("u").as("id"))
+      .union(fwd.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .cache()
+    // orient u→v iff (deg_u, u) < (deg_v, v): a total order, so the
+    // oriented list has exactly one row per undirected edge
+    val withDeg = fwd
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("src"), col("v").as("dst"),
+          col("dv").as("ddst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+          col("du").as("ddst"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      .cache()
+    // wedges at the (deg,id)-minimal vertex; the strict (ddst, dst)
+    // order on the two out-neighbors names the closing edge's
+    // orientation, so one equi-join closes it
+    val wedges = oriented.as("x").join(oriented.as("y"),
+      col("x.src") === col("y.src") &&
+        struct(col("x.ddst"), col("x.dst")) <
+          struct(col("y.ddst"), col("y.dst")))
+      .select(col("x.src").as("t_u"), col("x.dst").as("t_v"),
+        col("y.dst").as("t_w"))
+    val tris = wedges.join(oriented.as("c"),
+      col("t_v") === col("c.src") && col("t_w") === col("c.dst"))
+      .select(col("t_u"), col("t_v"), col("t_w"))
+    val perVertex = tris
+      .select(explode(array(col("t_u"), col("t_v"), col("t_w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.as("d").join(perVertex.as("t"), Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("(2000 * coalesce(n_tri, 0L)) DIV (deg * (deg - 1))"))
+          .as("cc_permille"))
+  }
 }

@@ -87,4 +87,46 @@ object Joins {
     pre.join(right.select(col(rightKey)).distinct(),
       pre(leftKey) === col(rightKey), "left_semi")
   }
+
+  /** Apply a CDC delta batch to a snapshot — the MERGE/upsert step of
+    * incremental corpus maintenance: `delta` is a change stream with a
+    * key, a total order (`ordCols` — make the last element unique), and
+    * an op column whose `deleteOp` value tombstones the key; every other
+    * op value upserts the row. The next snapshot is:
+    *
+    *   - snapshot rows whose key the delta never touches, plus
+    *   - each touched key's LAST delta row (by `ordCols`), unless that
+    *     last op is the tombstone.
+    *
+    * Prefix consistency (the invariant that makes incremental = batch):
+    * applying a changelog split at ANY cutoff — compact the prefix into
+    * a snapshot, then apply the suffix — yields exactly the compaction
+    * of the whole log, because only each key's globally-last op decides
+    * its fate. JoinsSpec pins this; the q140 oracle replays the
+    * one-shot compaction against the engine's two-phase run.
+    *
+    * Scale: the delta compacts FIRST via [[latestByKey]] (max_by
+    * aggregate — map-side partials, one survivor per key per task
+    * shuffled, never the full history), then one anti-join prunes the
+    * snapshot and one union appends the survivors. Both joins are plain
+    * keyed equi-joins: broadcast when the compacted delta is small (the
+    * common nightly-batch case — AQE picks this up from the compacted
+    * size, not the raw changelog size), sort-merge otherwise.
+    *
+    * Contract: snapshot columns = delta columns minus `opCol`; the
+    * result has snapshot columns. */
+  def applyCdcDelta(snapshot: DataFrame, delta: DataFrame, keyCol: String,
+                    ordCols: Seq[String], opCol: String,
+                    deleteOp: String): DataFrame = {
+    val snapCols = snapshot.columns.toIndexedSeq
+    require(snapCols.toSet == delta.columns.toSet - opCol,
+      s"snapshot columns ${snapCols.mkString(",")} must equal delta " +
+        s"columns minus $opCol (${delta.columns.mkString(",")})")
+    val last = latestByKey(delta, Seq(keyCol), ordCols)
+    val untouched = snapshot.join(last.select(col(keyCol)),
+      Seq(keyCol), "left_anti")
+    val applied = last.filter(col(opCol) =!= lit(deleteOp))
+      .select(snapCols.map(col): _*)
+    untouched.select(snapCols.map(col): _*).unionByName(applied)
+  }
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact GLOBAL order statistics without a global sort.
+  *
+  * The naive exact global quantile funnels the whole dataset through one
+  * sort (or one partition); `percentile_approx` avoids that but is
+  * approximate. This operator gets the EXACT k-th order statistics with a
+  * handful of fully-parallel counting passes — the distributed selection
+  * idea (Munro–Paterson / iterative histogram refinement):
+  *
+  *   1. one aggregate for (count, min, max);
+  *   2. per pass: bucket the values of each still-active bracket into
+  *      `bins` equal-width integer bins and count per bin (ONE job for
+  *      all brackets — a row contributes a (bracket, bin) pair per
+  *      bracket whose range contains it), then walk the ≤ bins counts
+  *      driver-side to find the bin holding the target rank and narrow
+  *      the bracket to it;
+  *   3. a bracket resolves when its width reaches 1 (bin width 1 ⇒ the
+  *      bin IS the value).
+  *
+  * Passes needed: ceil(log_bins(range)) — 3 passes at bins=4096 covers a
+  * 2^36 spread; ≤ 6 passes covers any 62-bit spread. Each pass scans only
+  * the projected value column with a BETWEEN filter over the narrowest
+  * covering bracket (parquet scans prune via min/max; the groupBy key
+  * space is brackets × bins, so the shuffle is KILOBYTES). At 100 TB
+  * that is ~4 cheap column scans against the impossible alternative of
+  * shuffling 100 TB through a total sort.
+  *
+  * All arithmetic is integer (quantize doubles to fixed-point BEFORE
+  * calling); ranks are 0-based over the ascending multiset, so the
+  * answer replays in any engine as `ORDER BY v LIMIT 1 OFFSET k`.
+  *
+  * Eager contract: runs its jobs at CALL time (like
+  * [[Similarity.trainCentroids]]) and returns the small resolved frame.
+  * The input is cached for the duration of the passes and unpersisted
+  * before returning.
+  *
+  * Capability parity: the reference's multi-pass aggregation jobs
+  * (`graph.clj` chained job graphs) — re-expressed as driver-coordinated
+  * Spark aggregates.
+  */
+object Quantiles {
+
+  /** Exact values at the given per-mille positions of `valCol`
+    * (a LONG column; quantize doubles first). Position p maps to
+    * 0-based rank `floor(p * (n-1) / 1000)` — the `quantile_disc`
+    * convention. Nulls are excluded. Output: (per_mille, rank, value),
+    * one row per requested position, ordered by per_mille.
+    *
+    * `bins` trades passes for per-pass driver state: counts collected
+    * per pass are ≤ active-brackets × bins rows. The value spread must
+    * stay below 2^62 (integer bin arithmetic; enforced). */
+  def globalOrderStatistics(df: DataFrame, valCol: String,
+                            perMille: Seq[Int],
+                            bins: Int = 4096): DataFrame = {
+    require(perMille.nonEmpty, "need at least one position")
+    require(perMille.forall(p => p >= 0 && p <= 1000),
+      s"per-mille positions must be in [0, 1000]: $perMille")
+    require(perMille.distinct.size == perMille.size,
+      s"duplicate positions: $perMille")
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = df.sparkSession
+
+    val v = df.select(col(valCol).cast("long").as("v"))
+      .where(col("v").isNotNull).cache()
+    try {
+      val head = v.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx")).head()
+      val n = head.getLong(0)
+      require(n > 0, s"no non-null values in $valCol")
+      val gmin = head.getLong(1)
+      val gmax = head.getLong(2)
+      require(gmax - gmin >= 0 && gmax - gmin < (1L << 62),
+        s"value spread must be < 2^62: [$gmin, $gmax]")
+
+      // bracket invariant: the target is the kRem-th smallest (0-based)
+      // among the values in [lo, hi]
+      final case class Bracket(pm: Int, rank: Long, kRem: Long,
+                               lo: Long, hi: Long)
+      var active = perMille.sorted.map { pm =>
+        val k = pm.toLong * (n - 1) / 1000L
+        Bracket(pm, k, k, gmin, gmax)
+      }
+      var resolved = List.empty[(Int, Long, Long)] // (pm, rank, value)
+
+      var pass = 0
+      while (active.nonEmpty) {
+        pass += 1
+        require(pass <= 64, "bracket refinement failed to converge " +
+          "(need < 64 passes by construction — arithmetic bug)")
+        // immediate resolutions (width 1 needs no counting)
+        val (done, open) = active.partition(b => b.lo == b.hi)
+        resolved = resolved ++ done.map(b => (b.pm, b.rank, b.lo))
+        active = open
+        if (active.nonEmpty) {
+          val widths = active.map { b =>
+            val span = b.hi - b.lo + 1
+            (span + bins - 1) / bins // ceil
+          }
+          // one counting job for every open bracket: each row emits a
+          // (bracket, bin) struct per bracket containing it
+          // integer DIV, not `/`: Column `/` on longs is IEEE double
+          // division whose ULP at 2^5x magnitudes can misplace a value
+          // one bin off (the Engine.events ns→us lesson)
+          val contribs = active.zipWithIndex.map { case (b, i) =>
+            when(col("v").between(b.lo, b.hi),
+              struct(lit(i).as("q"),
+                expr(s"(v - ${b.lo}L) DIV ${widths(i)}L").as("bin")))
+          }
+          val counts = v
+            .select(explode(array(contribs: _*)).as("c"))
+            .where(col("c").isNotNull)
+            .groupBy(col("c.q").as("q"), col("c.bin").as("bin"))
+            .agg(count(lit(1)).as("cnt"))
+            .collect()
+            .groupBy(_.getInt(0))
+            .map { case (q, rows) =>
+              q -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+            }
+          active = active.zipWithIndex.map { case (b, i) =>
+            val byBin = counts.getOrElse(i, Map.empty[Long, Long])
+            val w = widths(i)
+            // walk bins ascending to the one holding rank kRem
+            var k = b.kRem
+            var j = 0L
+            var cnt = byBin.getOrElse(0L, 0L)
+            while (k >= cnt) { // target not in bin j
+              k -= cnt
+              j += 1
+              require(j < bins, s"rank ${b.kRem} exceeds bracket " +
+                s"population for p=${b.pm} — count drift (bug)")
+              cnt = byBin.getOrElse(j, 0L)
+            }
+            b.copy(kRem = k, lo = b.lo + j * w,
+              hi = math.min(b.hi, b.lo + (j + 1) * w - 1))
+          }
+        }
+      }
+
+      val rows: java.util.List[Row] = new java.util.ArrayList(resolved.size)
+      resolved.sortBy(_._1).foreach { case (pm, rank, value) =>
+        rows.add(Row(pm.toLong, rank, value))
+      }
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("per_mille", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("value", LongType, nullable = false))))
+    } finally v.unpersist(blocking = false)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -278,5 +278,114 @@ object Sharding {
       .join(broadcast(rates), "domain")
       .filter(u < col("rate"))
       .select(col("id"), col("domain"), col("rate"))
+  }
+
+  /** Z-order (Morton) layout over two long dimensions — the
+    * data-skipping move for workloads that filter on EITHER of two
+    * columns: linear order on a single sort key clusters only that key,
+    * while interleaving the bits of both keys gives every file/bucket a
+    * tight min-max zone on BOTH dimensions, so a predicate on either
+    * one prunes ~sqrt-proportionally many buckets (the Delta/Iceberg
+    * OPTIMIZE ZORDER idea, computed here with plain codegen'd bit
+    * arithmetic — no UDF, no sampling, fully deterministic).
+    *
+    * Both dimensions are min-max scaled to `bits`-bit fixed-point in
+    * exact integer arithmetic (one tiny bounds aggregate at call time —
+    * eager like [[temperatureMix]]'s rate table), then bit-interleaved:
+    * z = Σ_j (((qa>>j)&1) + 2·((qb>>j)&1)) · 4^j. `zbucket` is the
+    * top `bucketBits` of z — the write-layout unit (repartition on it
+    * and each output file covers one small z-range ⇒ one small rectangle
+    * in (a, b) space, which is exactly what a min-max zone map prunes).
+    *
+    * Contract: (range × 2^bits) must stay below 2^62 per dimension
+    * (enforced); rows with a null in either dimension are dropped.
+    * Output: input columns + (zvalue, zbucket). */
+  def zorderLayout(df: DataFrame, aCol: String, bCol: String,
+                   bits: Int = 12, bucketBits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30]: $bits")
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"bucketBits must be in [1, ${2 * bits}]: $bucketBits")
+    val bounds = df.agg(
+      min(col(aCol).cast("long")).as("amin"),
+      max(col(aCol).cast("long")).as("amax"),
+      min(col(bCol).cast("long")).as("bmin"),
+      max(col(bCol).cast("long")).as("bmax")).head()
+    require(!bounds.anyNull, s"no non-null rows in ($aCol, $bCol)")
+    val (amin, amax) = (bounds.getLong(0), bounds.getLong(1))
+    val (bmin, bmax) = (bounds.getLong(2), bounds.getLong(3))
+    val levels = (1L << bits) - 1
+    require((amax - amin) <= (1L << 62) / math.max(levels, 1) &&
+      (bmax - bmin) <= (1L << 62) / math.max(levels, 1),
+      s"dimension range x 2^bits must stay below 2^62: " +
+        s"[$amin,$amax] x [$bmin,$bmax] at bits=$bits")
+    // exact integer min-max scaling to [0, 2^bits - 1]
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else expr(s"((CAST($c AS BIGINT) - ${lo}L) * ${levels}L) " +
+        s"DIV ${hi - lo}L")
+    val qa = scaled(aCol, amin, amax)
+    val qb = scaled(bCol, bmin, bmax)
+    // interleave: a's bit j lands at 2j, b's at 2j+1 — a codegen'd
+    // fold of shifts and ORs, no loop at execution time
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(qa, j).bitwiseAND(lit(1L)), 2 * j))
+        .bitwiseOR(shiftleft(shiftright(qb, j).bitwiseAND(lit(1L)),
+          2 * j + 1))
+    }
+    df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .withColumn("zvalue", z)
+      .withColumn("zbucket", shiftright(col("zvalue"), 2 * bits - bucketBits))
+  }
+
+  /** Per-bucket zone map over a [[zorderLayout]] frame: row count and
+    * min/max of both dimensions per zbucket — the statistics a scan
+    * planner prunes with. The PROOF of the layout is in the spans:
+    * under z-order every bucket's (amax − amin) and (bmax − bmin) are
+    * both ~range/2^(bucketBits/2), so single-dimension predicates skip
+    * most buckets; under a single-key sort the secondary dimension's
+    * spans cover the whole range (no skipping). One tiny aggregate —
+    * bucket cardinality is 2^bucketBits. */
+  def zoneMap(laid: DataFrame, aCol: String, bCol: String): DataFrame =
+    laid.groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(aCol).cast("long")).as("amin"),
+        max(col(aCol).cast("long")).as("amax"),
+        min(col(bCol).cast("long")).as("bmin"),
+        max(col(bCol).cast("long")).as("bmax"))
+
+  /** Deterministic multi-epoch shard assignment — "shuffle the corpus
+    * differently every epoch" without RNG state: epoch e sends id to
+    * shard md5(e:id) mod nShards at within-shard position = rank of the
+    * md5 hash (ties by id) — a fresh pseudorandom permutation per epoch,
+    * bit-reproducible from (id, epoch) alone, so any worker can recompute
+    * its plan slice and a resumed run sees the identical order.
+    *
+    * Scale: the payload never moves — output is the (id → epoch, shard,
+    * pos) PLAN, one row per id per epoch; rank is a window per
+    * (epoch, shard) partition, i.e. epochs × nShards independent sorts
+    * of ~n/nShards keys each (pick nShards so a shard's ids fit a task:
+    * 100 TB of 16-byte keys at nShards=10^4 is ~10^6 keys per sort), and
+    * writers join/repartition on (epoch, shard) to stream each shard in
+    * order. Output: (id, epoch, shard, pos). */
+  def epochShuffle(docs: DataFrame, idCol: String,
+                   epochs: Int, nShards: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val perEpoch = docs
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("id").cast("string"))))
+      .withColumn("shard", pmod(
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
+        lit(nShards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("id"))
+    perEpoch
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col("id"), col("epoch").cast("long").as("epoch"),
+        col("shard"), col("pos"))
   }
 }

@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Graphs, Joins, Quantiles, Sharding, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 18 — round-9 additions, the warehouse-layer tier: exact global
+  * statistics, physical layout, graph structure, and incremental
+  * maintenance primitives a 100 TB deployment runs AROUND the
+  * per-document curation operators:
+  *
+  *  - q136 exact global quantiles WITHOUT a global sort
+  *    ([[Quantiles.globalOrderStatistics]]): iterative histogram
+  *    refinement — ~4 cheap filtered column scans with kilobyte
+  *    shuffles instead of totally sorting the corpus; the oracle
+  *    confirms exactness by brute-force `row_number` selection.
+  *  - q137 Z-order layout + zone maps ([[Sharding.zorderLayout]] /
+  *    [[Sharding.zoneMap]]): Morton-interleave two dimensions in exact
+  *    integer arithmetic and report per-bucket min/max zones — every
+  *    bucket a tight rectangle in BOTH dimensions, which is what makes
+  *    single-dimension predicates skip ~sqrt-proportionally many files
+  *    (the OPTIMIZE ZORDER idea, verified bit-for-bit).
+  *  - q138 triangle counts over the mutual-kNN embedding graph
+  *    ([[Graphs.triangleCounts]]): degree-oriented enumeration (wedges
+  *    only at each edge's (deg,id)-minimal endpoint — O(m^{3/2}) total,
+  *    no hub explosion) composed on q109's verified LSH mutual-kNN
+  *    edges; local clustering coefficient = semantic-cluster cohesion.
+  *  - q139 one-pass multi-granularity rollup (Spark-native `rollup` +
+  *    `grouping_id`): region/nation/grand-total revenue in ONE scan and
+  *    shuffle where naive reporting runs three — partial aggregation
+  *    covers all grouping sets at once.
+  *  - q140 CDC snapshot merge ([[Joins.applyCdcDelta]]): compact the
+  *    delta (max_by aggregate, map-side partials), anti-join the
+  *    snapshot, union the survivors; the oracle replays the ONE-SHOT
+  *    compaction of the whole log against the engine's two-phase
+  *    snapshot+delta run — certifying prefix consistency, the invariant
+  *    that makes incremental maintenance equal batch recomputation.
+  *  - q141 deterministic multi-epoch shuffle ([[Sharding.epochShuffle]]):
+  *    a fresh md5 permutation per epoch, reproducible from (id, epoch)
+  *    alone — the training-data ordering plan with no RNG state and no
+  *    payload movement.
+  */
+object Wave18 {
+
+  private val QuantPm = Seq(10, 50, 250, 500, 750, 950, 990)
+  private val ZBits = 12        // q137: fixed-point bits per dimension
+  private val ZBucketBits = 6   // q137: 64 layout buckets
+  private val KnnK = 5          // q138: same k as q109's graph
+  private val Epochs = 3        // q141
+  private val NShards = 8       // q141
+  private val CdcCutoff = "2024-01-15 00:00:00" // q140 snapshot boundary
+
+  /** [[Wave1]]'s order-insensitive exact double sum (same contract). */
+  private def dsum(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale)
+    sum((floor(c * p) / p).cast(DecimalType(38, scale))).cast("double")
+  }
+  private def sqlDsum(expr: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact global price quantiles by counting, not sorting.
+    "q136_exact_quantiles" -> { (s, d) =>
+      Quantiles.globalOrderStatistics(
+        Tables.lineitem(s, d)
+          .select(floor(col("l_extendedprice") * 100).cast("long")
+            .as("cents")),
+        "cents", QuantPm)
+        .orderBy(col("per_mille"))
+    },
+
+    // Z-order layout of orders over (custkey, order day): per-bucket
+    // zone maps tight in BOTH dimensions.
+    "q137_zorder_layout" -> { (s, d) =>
+      val proj = Tables.orders(s, d).select(
+        col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("od"))
+      Sharding.zoneMap(
+        Sharding.zorderLayout(proj, "ck", "od", ZBits, ZBucketBits),
+        "ck", "od")
+        .orderBy(col("zbucket"))
+    },
+
+    // Local clustering structure of the mutual-kNN embedding graph.
+    "q138_knn_triangles" -> { (s, d) =>
+      val edges = Similarity.mutualKnnLsh(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = KnnK, exact = true)
+      Graphs.triangleCounts(edges, "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
+    // One-pass region/nation/grand-total revenue rollup.
+    "q139_rollup_revenue" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("long").as("lvl"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .select(col("lvl"),
+          coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("lvl"), col("region"), col("nation"))
+    },
+
+    // Snapshot + delta CDC merge; oracle = one-shot log compaction.
+    "q140_cdc_merge" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("ts"), col("value"), col("event_type"))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      val snap = Joins.latestByKey(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), Seq("ts", "event_id"))
+        .filter(col("event_type") =!= "error")
+        .drop("event_type")
+      val merged = Joins.applyCdcDelta(snap,
+        ev.filter(col("ts") >= cutoff), "user_id",
+        Seq("ts", "event_id"), "event_type", deleteOp = "error")
+      merged.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // Per-epoch deterministic shard/position plan for every document.
+    "q141_epoch_shuffle" -> { (s, d) =>
+      Sharding.epochShuffle(Tables.documents(s, d), "doc_id",
+        Epochs, NShards)
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  /** DuckDB twin of VectorFunctions.dotQLong (q109's kernel). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  /** q109's verified mutual-kNN edge CTE chain (4-bit buckets — guarded
+    * by Verify's autoBits preflight), reused as q138's graph input. */
+  private val SqlKnnEdges =
+    s"""planes AS (
+       |  SELECT t, i, j,
+       |    CAST('0x' || substr(h, 1, 4) AS BIGINT)
+       |    + CAST('0x' || substr(h, 5, 4) AS BIGINT)
+       |    + CAST('0x' || substr(h, 9, 4) AS BIGINT)
+       |    + CAST('0x' || substr(h, 13, 4) AS BIGINT) - 131072 AS w
+       |  FROM (
+       |    SELECT t, i, j, md5('lsh:42:' || t || ':' || i || ':' || j) AS h
+       |    FROM range(0, 24) r1(t), range(0, 4) r2(i), range(0, 64) r3(j))),
+       |vq AS (
+       |  SELECT vec_id, j,
+       |    CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+       |      * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings, range(0, 64) rj(j)),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+       |             ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM (
+       |    SELECT vq.vec_id, p.t, p.i, sum(vq.q * p.w) AS d
+       |    FROM vq JOIN planes p ON p.j = vq.j
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS qa, cb.vec_id AS qb
+       |  FROM buckets qb JOIN buckets cb
+       |    ON qb.t = cb.t AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id <> cb.vec_id),
+       |sims AS (
+       |  SELECT qa, qb,
+       |    (${sqlDotQ("a.embedding", "b.embedding")})
+       |      / (sqrt(${sqlDotQ("a.embedding", "a.embedding")})
+       |         * sqrt(${sqlDotQ("b.embedding", "b.embedding")})) AS sim
+       |  FROM cand JOIN embeddings a ON qa = a.vec_id
+       |            JOIN embeddings b ON qb = b.vec_id),
+       |ranked AS (
+       |  SELECT qa, qb, sim, row_number() OVER (PARTITION BY qa
+       |    ORDER BY sim DESC, qb) AS rk
+       |  FROM sims),
+       |top AS (SELECT qa, qb FROM ranked WHERE rk <= $KnnK),
+       |e AS (
+       |  SELECT t.qa AS u, t.qb AS v
+       |  FROM top t JOIN top r ON t.qa = r.qb AND t.qb = r.qa
+       |  WHERE t.qa < t.qb)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // brute-force selection: the value whose 0-based row_number rank
+    // equals floor(pm * (n-1) / 1000)
+    "q136_exact_quantiles" ->
+      s"""WITH v AS (
+         |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM v),
+         |n AS (SELECT count(*) AS n FROM v),
+         |p AS (SELECT unnest([${QuantPm.mkString(", ")}]) AS pm),
+         |k AS (SELECT pm, (pm * (n.n - 1)) // 1000 AS krank FROM p, n)
+         |SELECT CAST(k.pm AS BIGINT) AS per_mille,
+         |  CAST(k.krank AS BIGINT) AS rank, s.v AS value
+         |FROM k JOIN s ON s.rk = k.krank
+         |ORDER BY per_mille""".stripMargin,
+
+    // exact integer min-max scaling + 12-bit Morton interleave + top-6
+    // bucket, then per-bucket zone stats
+    "q137_zorder_layout" ->
+      s"""WITH proj AS (
+         |  SELECT o_custkey AS ck,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+         |  FROM orders),
+         |b AS (SELECT min(ck) amin, max(ck) amax,
+         |             min(od) bmin, max(od) bmax FROM proj),
+         |q AS (
+         |  SELECT ck, od,
+         |    ((ck - b.amin) * ${(1 << ZBits) - 1}) // (b.amax - b.amin) AS qa,
+         |    ((od - b.bmin) * ${(1 << ZBits) - 1}) // (b.bmax - b.bmin) AS qb
+         |  FROM proj, b),
+         |z AS (
+         |  SELECT ck, od,
+         |    CAST(list_sum(list_transform(range(0, $ZBits), j ->
+         |      ((qa >> j) & 1) * (CAST(1 AS BIGINT) << CAST(2*j AS INT)) +
+         |      ((qb >> j) & 1) * (CAST(1 AS BIGINT) << CAST(2*j+1 AS INT))))
+         |      AS BIGINT) AS zvalue
+         |  FROM q)
+         |SELECT zvalue >> ${2 * ZBits - ZBucketBits} AS zbucket,
+         |  count(*) AS cnt,
+         |  min(ck) AS amin, max(ck) AS amax,
+         |  min(od) AS bmin, max(od) AS bmax
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
+
+    // triangles by id-ordered 3-way self-join (orientation-free — the
+    // same triangle set the engine's degree-oriented join emits)
+    "q138_knn_triangles" ->
+      s"""WITH $SqlKnnEdges,
+         |deg AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.u, e1.v, e2.v AS w
+         |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |pv AS (
+         |  SELECT id, count(*) AS n_tri FROM (
+         |    SELECT unnest([u, v, w]) AS id FROM tri)
+         |  GROUP BY 1)
+         |SELECT d.id, d.deg, coalesce(pv.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.deg >= 2 THEN
+         |    (2000 * coalesce(pv.n_tri, 0)) // (d.deg * (d.deg - 1))
+         |  END AS cc_permille
+         |FROM deg d LEFT JOIN pv USING (id)
+         |ORDER BY d.id""".stripMargin,
+
+    "q139_rollup_revenue" ->
+      s"""SELECT CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS lvl,
+         |  coalesce(r.r_name, '(all)') AS region,
+         |  coalesce(n.n_name, '(all)') AS nation,
+         |  count(*) AS n_orders,
+         |  ${sqlDsum("o.o_totalprice")} AS revenue
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY ROLLUP (r.r_name, n.n_name)
+         |ORDER BY lvl, region, nation""".stripMargin,
+
+    // ONE-SHOT compaction of the whole log — equality with the engine's
+    // snapshot+delta two-phase run IS the prefix-consistency proof
+    "q140_cdc_merge" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |FROM ranked WHERE rk = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q141_epoch_shuffle" ->
+      s"""WITH pe AS (
+         |  SELECT doc_id AS id, e.epoch,
+         |    md5(CAST(e.epoch AS VARCHAR) || ':'
+         |      || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents, (SELECT unnest(range(0, $Epochs)) AS epoch) e),
+         |sh AS (
+         |  SELECT id, epoch, h,
+         |    CAST('0x' || substr(h, 1, 8) AS BIGINT) % $NShards AS shard
+         |  FROM pe)
+         |SELECT id, CAST(epoch AS BIGINT) AS epoch, shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard
+         |    ORDER BY h, id) - 1 AS BIGINT) AS pos
+         |FROM sh ORDER BY epoch, shard, pos""".stripMargin
+  )
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-18 operator contracts: exact selection vs brute sort, Morton
+  * layout pruning power, oriented triangle enumeration vs brute 3-join,
+  * CDC prefix consistency, epoch-shuffle permutation laws. */
+class Wave18Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ------------------------------------------------- Quantiles
+
+  test("globalOrderStatistics equals brute sort selection on lineitem") {
+    val cents = graft.Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+    val pms = Seq(0, 10, 250, 500, 750, 990, 1000)
+    val got = Quantiles.globalOrderStatistics(cents, "v", pms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sorted = cents.orderBy(col("v")).collect().map(_.getLong(0))
+    val n = sorted.length.toLong
+    got should have length pms.length.toLong
+    got.foreach { case (pm, rank, value) =>
+      rank shouldBe pm * (n - 1) / 1000
+      value shouldBe sorted(rank.toInt)
+    }
+  }
+
+  test("globalOrderStatistics survives tie-heavy data and tiny bins") {
+    import spark.implicits._
+    // 1000 rows over only 7 distinct values — every bin boundary lands
+    // inside a tie run; bins=2 forces the max pass count
+    val vals = (0 until 1000).map(i => (i * i * 2654435761L) % 7)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val got = Quantiles.globalOrderStatistics(df, "v", Seq(0, 500, 1000),
+      bins = 2).collect()
+    got.map(_.getLong(2)).toSeq shouldBe Seq(
+      sorted(0), sorted(500 * 999 / 1000), sorted(999))
+  }
+
+  test("globalOrderStatistics rejects bad positions and empty input") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.globalOrderStatistics(df, "v", Seq(1001))
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.globalOrderStatistics(df, "v", Seq(500, 500))
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.globalOrderStatistics(
+        df.where(lit(false)), "v", Seq(500))
+  }
+
+  // ------------------------------------------------- Z-order
+
+  test("zorderLayout interleaves bits exactly") {
+    import spark.implicits._
+    // bits=3, ranges [0,7]: scaling is identity; plant the corners and
+    // a known pattern: qa=0b011=3, qb=0b101=5 →
+    // z = b2 a2 b1 a1 b0 a0 = 1 0 0 1 1 1 = 0b100111 = 39
+    val df = Seq((0L, 0L), (7L, 7L), (3L, 5L)).toDF("a", "b")
+    val out = Sharding.zorderLayout(df, "a", "b", bits = 3, bucketBits = 2)
+      .select("a", "b", "zvalue").as[(Long, Long, Long)].collect()
+      .map { case (a, b, z) => ((a, b), z) }.toMap
+    out((0L, 0L)) shouldBe 0L
+    out((7L, 7L)) shouldBe 63L
+    out((3L, 5L)) shouldBe 39L
+  }
+
+  test("z-order zone maps prune BOTH dimensions; single-key sort only one") {
+    // orders laid out 64 z-buckets vs 64 equal-count ck-sort buckets;
+    // a predicate on the SECOND dimension (order day) must skip most
+    // z-buckets and nearly no ck-sort buckets
+    val proj = graft.Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("ck"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("od"))
+    val zzones = Sharding.zoneMap(
+      Sharding.zorderLayout(proj, "ck", "od", bits = 12, bucketBits = 6),
+      "ck", "od").collect()
+    val ckzones = Sharding.zoneMap(
+      proj.withColumn("zbucket", ntile(64).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ck")))),
+      "ck", "od").collect()
+    val Array(odLo, odHi) = proj.agg(min("od"), max("od")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    // predicate: a 10% slice in the middle of the od range
+    val span = odHi - odLo
+    val (plo, phi) = (odLo + span * 45 / 100, odLo + span * 55 / 100)
+    def skipFrac(zones: Array[org.apache.spark.sql.Row]): Double = {
+      val skipped = zones.count { r =>
+        val (bmin, bmax) = (r.getLong(4), r.getLong(5))
+        bmax < plo || bmin > phi
+      }
+      skipped.toDouble / zones.length
+    }
+    skipFrac(zzones) should be >= 0.5  // z-order: most buckets skip
+    skipFrac(ckzones) should be <= 0.1 // ck-sort: od spans cover everything
+  }
+
+  // ------------------------------------------------- triangles
+
+  test("triangleCounts: K4 and a path, with dirty edge intake") {
+    import spark.implicits._
+    // K4 on 1..4 (every vertex: deg 3, 3 triangles, cc = 1000) plus a
+    // pendant path 4-5-6 (5: deg 2 cc 0; 6: deg 1 cc null); intake gets
+    // duplicates, reversed rows, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), // reversed duplicates
+      (5L, 5L),           // self-loop: dropped
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val out = Graphs.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    out(1L) shouldBe ((3L, 3L, Some(1000L)))
+    out(2L) shouldBe ((3L, 3L, Some(1000L)))
+    out(3L) shouldBe ((3L, 3L, Some(1000L)))
+    out(4L) shouldBe ((4L, 3L, Some(500L))) // 6 pairs, 3 closed
+    out(5L) shouldBe ((2L, 0L, Some(0L)))
+    out(6L) shouldBe ((1L, 0L, None))
+  }
+
+  test("triangleCounts equals the brute orientation-free 3-join") {
+    import spark.implicits._
+    // deterministic pseudo-random graph on 60 vertices (~p=0.15)
+    val pairs = for {
+      u <- 0L until 60L; v <- (u + 1) until 60L
+      if math.abs((u * 2654435761L + v * 40503L).toInt) % 100 < 15
+    } yield (u, v)
+    val edges = pairs.toDF("a", "b")
+    val got = Graphs.triangleCounts(edges, "a", "b")
+      .select("id", "n_tri").as[(Long, Long)].collect().toMap
+    val e = pairs.toSet
+    def adj(x: Long, y: Long) = e((x min y, x max y))
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val brute = verts.map { x =>
+      x -> (for {
+        u <- verts; v <- verts
+        if u < v && adj(x, u) && adj(x, v) && adj(u, v) && u != x && v != x
+      } yield 1).size.toLong
+    }.toMap
+    got shouldBe brute
+  }
+
+  // ------------------------------------------------- CDC merge
+
+  test("applyCdcDelta: prefix consistency at every cutoff") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("event_type"))
+    // one-shot compaction of the whole log
+    val oneShot = Joins.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .filter(col("event_type") =!= "error").drop("event_type")
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    for (day <- Seq(5, 15, 25)) {
+      val cutoff = lit(f"2024-01-$day%02d 00:00:00").cast("timestamp")
+      val snap = Joins.latestByKey(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), Seq("ts", "event_id"))
+        .filter(col("event_type") =!= "error").drop("event_type")
+      val twoPhase = Joins.applyCdcDelta(snap, ev.filter(col("ts") >= cutoff),
+        "user_id", Seq("ts", "event_id"), "event_type", "error")
+        .select("user_id", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toSet
+      twoPhase shouldBe oneShot
+    }
+  }
+
+  test("applyCdcDelta: tombstone drops, later upsert resurrects") {
+    import spark.implicits._
+    val snap = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "pay")
+    val delta = Seq(
+      (1L, 20L, "x", "upsert"),   // overwrite k=1
+      (2L, 21L, "-", "delete"),   // tombstone k=2
+      (3L, 22L, "c", "upsert"),   // new key
+      (3L, 23L, "-", "delete"),   // ...then tombstoned
+      (4L, 24L, "-", "delete"),   // delete of absent key: no-op
+      (4L, 25L, "d", "upsert"))   // ...then resurrected
+      .toDF("k", "seq", "pay", "op")
+    val out = Joins.applyCdcDelta(snap, delta, "k", Seq("seq"), "op", "delete")
+      .as[(Long, Long, String)].collect().toSet
+    out shouldBe Set((1L, 20L, "x"), (4L, 25L, "d"))
+  }
+
+  test("applyCdcDelta rejects schema mismatch") {
+    import spark.implicits._
+    val snap = Seq((1L, "a")).toDF("k", "pay")
+    val delta = Seq((1L, "a", 1L, "upsert")).toDF("k", "pay", "seq", "op")
+    an[IllegalArgumentException] should be thrownBy
+      Joins.applyCdcDelta(snap, delta, "k", Seq("seq"), "op", "delete")
+  }
+
+  // ------------------------------------------------- epoch shuffle
+
+  test("epochShuffle: dense positions, full coverage, distinct epochs") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    val nDocs = docs.count()
+    val out = Sharding.epochShuffle(docs, "doc_id", epochs = 3, nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    out.length shouldBe 3 * nDocs
+    // every id exactly once per epoch
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._1).distinct.length shouldBe nDocs
+    }
+    // positions dense 0..cnt-1 within every (epoch, shard)
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      rows.map(_._4).sorted.toSeq shouldBe (0L until rows.length).toSeq
+    }
+    // epochs are genuinely different permutations: the id sequence in
+    // (shard asc, pos asc) order differs between epoch 0 and 1
+    def order(e: Long) = out.filter(_._2 == e)
+      .sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    order(0) should not be order(1)
+    // deterministic rerun
+    val again = Sharding.epochShuffle(docs, "doc_id", 3, 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    again shouldBe out.toSet
+  }
+}
