@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence (behavioral) analytics over a `(user, ts, type, value)`
+  * event log: funnel completion, cohort retention, daily gap-fill with
+  * forward fill, fixed-point EWMA, and first-order transition counts.
+  *
+  * All five are the classic "product analytics" operators a warehouse
+  * runs next to the curation tier; the reference's capability here is
+  * the generic grouped-reduce surface (`reducers.clj`, secondary sort in
+  * `io/avro.clj:95-99`) — each operator below re-expresses one of those
+  * reduce-side-iteration patterns as declarative Spark with BOUNDED
+  * per-task state:
+  *
+  *  - nothing ever windows over an unpartitioned frame: every window is
+  *    `PARTITION BY user` (per-task data = one user's events, which a
+  *    behavioral log bounds to ~thousands of rows however large the
+  *    corpus — scale adds USERS, not per-user depth);
+  *  - sequential recurrences (funnel stages, EWMA) are either unrolled
+  *    into k keyed min-aggregations (funnel — fully codegen, no
+  *    collect_list) or folded over one user's sorted events (EWMA);
+  *  - all arithmetic that reaches an oracle is integer fixed-point
+  *    (micros, cents, per-mille) — no float accumulation order issues.
+  */
+object Behavior {
+
+  private val DayUs = 86400000000L
+
+  /** Normalize an event frame to the canonical working columns. */
+  private def ev(events: DataFrame, userCol: String, tsCol: String): DataFrame =
+    events.withColumn("__u", col(userCol))
+      .withColumn("__t", unix_micros(col(tsCol)))
+
+  /** Greedy earliest-completion funnel over ordered `steps`.
+    *
+    * Semantics: per user, `t1` = earliest step-1 event; `t_i` (i>1) =
+    * earliest step-i event with `t > t_{i-1}` and `t <= t1 + windowMicros`
+    * (strict ordering, conversion window anchored at the step-1 time).
+    * Output: one row per user that reached step 1 —
+    * `(user_id, reached, t1_us .. tk_us)` with nulls past the drop-off
+    * stage; `reached` counts completed stages.
+    *
+    * Shape: the k-stage recurrence is UNROLLED into k-1 keyed
+    * min-aggregations over the step-filtered log — each stage is a
+    * hash join (user key) + partial-aggregated min, whole-stage codegen,
+    * no per-user buffers and no sequence materialization. Stage i scans
+    * only step-i events (predicate pushes to the scan), and each stage's
+    * frame is at most one row per surviving user, so the joins shrink
+    * monotonically. At 100 TB: k-1 shuffles of user-keyed singletons —
+    * the alternative single-pass collect_list sort holds whole users in
+    * memory for no fewer shuffles. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(windowMicros > 0, s"windowMicros must be > 0: $windowMicros")
+    val e = ev(events, userCol, tsCol)
+      .select(col("__u"), col("__t"), col(typeCol).as("__et"))
+
+    var stage = e.filter(col("__et") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__t")).as("t1"))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += stage
+    for (i <- 2 to steps.size) {
+      val carried = (1 until i).map(j => col(s"t$j"))
+      stage = e.filter(col("__et") === steps(i - 1))
+        .join(stage, "__u")
+        .where(col("__t") > col(s"t${i - 1}") &&
+          col("__t") <= col("t1") + windowMicros)
+        .groupBy(col("__u") +: carried: _*)
+        .agg(min(col("__t")).as(s"t$i"))
+      frames += stage
+    }
+    val all = frames.result()
+    // assemble: step-1 frame left-joined with each deeper stage
+    var out = all.head
+    for (i <- 2 to steps.size)
+      out = out.join(all(i - 1).select(col("__u"), col(s"t$i")),
+        Seq("__u"), "left")
+    val reachCols = (2 to steps.size)
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+    out.select(
+      col("__u").as("user_id") +:
+        reachCols.reduce(_ + _).+(1L).as("reached") +:
+        (1 to steps.size).map(i => col(s"t$i").as(s"t${i}_us")): _*)
+  }
+
+  /** Weekly cohort retention. Cohort = ISO-free absolute week index
+    * `floor(epoch_days / 7)` of the user's first `cohortType` event;
+    * a user is retained in offset `w` if ANY event at `t >= t0` falls
+    * in cohort-week + w. Output:
+    * `(cohort_week, week_offset, n_users, ret_pm)` with `ret_pm` the
+    * per-mille retention vs the cohort's own week-0 population.
+    *
+    * Shape: one min-aggregation (cohort anchor), one user-keyed join,
+    * one distinct on `(cohort, offset, user)` (the only full-log
+    * shuffle, map-side combined), one count aggregation, and a
+    * broadcast-sized self-join for the week-0 denominators. All integer
+    * arithmetic (epoch-day DIV 7). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, cohortType: String): DataFrame = {
+    val e = ev(events, userCol, tsCol)
+    def week(name: String): Column = expr(s"($name DIV $DayUs) DIV 7")
+    val first = e.filter(col(typeCol) === cohortType)
+      .groupBy(col("__u")).agg(min(col("__t")).as("t0"))
+    val active = e.select(col("__u"), col("__t"))
+      .join(first, Seq("__u"))
+      .where(col("__t") >= col("t0"))
+      .select(week("t0").as("cohort_week"),
+        (week("__t") - week("t0")).as("week_offset"),
+        col("__u"))
+      .distinct()
+    val counts = active.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = counts.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("n0"))
+    counts.join(broadcast(base), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        expr("n_users * 1000 DIV n0").as("ret_pm"))
+  }
+
+  /** Daily resample with forward fill: one row per user per day over the
+    * user's own `[first, last]` event-day span; `n_events` the day's
+    * event count (0 on gap days), `close_cents` the day's last value
+    * (by `(ts, ordCol)`, in exact cents), `filled_cents` the
+    * forward-filled close.
+    *
+    * Shape: per-day aggregation (map-side combined `max_by`), a tiny
+    * per-user span frame, `sequence`+`explode` grid generation (grid
+    * rows = user-days, never materialized on the driver), and ONE
+    * user-partitioned window for the forward fill — per-task state is
+    * one user's day span. No global window anywhere. */
+  def gapFillDaily(events: DataFrame, userCol: String, tsCol: String,
+                   ordCol: String, valCol: String): DataFrame = {
+    val e = ev(events, userCol, tsCol)
+      .withColumn("__day", expr(s"__t DIV $DayUs"))
+      .withColumn("__cents", floor(col(valCol) * 100).cast("long"))
+    val daily = e.groupBy(col("__u"), col("__day"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("__cents"),
+          struct(col("__t"), col(ordCol))).as("close_cents"))
+    val span = daily.groupBy(col("__u"))
+      .agg(min(col("__day")).as("d0"), max(col("__day")).as("d1"))
+    val grid = span.select(col("__u"),
+      explode(sequence(col("d0"), col("d1"))).as("__day"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__day"))
+    grid.join(daily, Seq("__u", "__day"), "left")
+      .select(col("__u").as("user_id"), col("__day").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("close_cents"),
+        last(col("close_cents"), ignoreNulls = true).over(w)
+          .as("filled_cents"))
+  }
+
+  /** Fixed-point EWMA with alpha = 1/8 over each user's events ordered
+    * by `(ts, ordCol)`:
+    * `s_0 = c_0 * 10^6`;  `s_i = floor((c_i * 10^6 + 7 * s_{i-1}) / 8)`
+    * — the division is a power of two, so every step is an exact
+    * arithmetic shift and the whole recurrence replays bit-for-bit in
+    * any engine. Output: `(user_id, n_events, ewma_micro)`.
+    *
+    * Shape: a genuinely sequential per-user recurrence — the one
+    * operator here that folds a user's sorted history (collect_list +
+    * sort_array + `aggregate`), the declarative form of the reference's
+    * reduce-side secondary-sorted iteration
+    * (`io/avro.clj:95-99` grouping comparator). Per-task state = one
+    * user's events; the fold is O(events-per-user) with zero shuffle
+    * beyond the single groupBy. */
+  def ewmaFixedPoint(events: DataFrame, userCol: String, tsCol: String,
+                     ordCol: String, valCol: String): DataFrame = {
+    val e = ev(events, userCol, tsCol)
+      .withColumn("__cents", floor(col(valCol) * 100).cast("long"))
+    e.groupBy(col("__u"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("__t"), col(ordCol).as("__o"),
+          col("__cents")))).as("__seq"))
+      .select(col("__u").as("user_id"), col("n_events"),
+        aggregate(
+          expr("slice(__seq, 2, size(__seq) - 1)"),
+          element_at(col("__seq"), 1).getField("__cents") * lit(1000000L),
+          (acc, x) => shiftright(
+            x.getField("__cents") * lit(1000000L) + acc * lit(7L), 3))
+          .as("ewma_micro"))
+  }
+
+  /** First-order transition counts of the event-type chain: for each
+    * user's events ordered by `(ts, ordCol)`, count `(from, to)`
+    * adjacencies across ALL users, with per-from totals and a
+    * per-mille transition probability (integer DIV — exact).
+    * Output: `(from_type, to_type, n, n_from, pm)`.
+    *
+    * Shape: one user-partitioned `lead` window (bounded per-task by a
+    * single user's history) + one (from,to)-keyed count whose key space
+    * is |types|^2 — kilobytes of shuffle at any corpus size; the
+    * per-from denominator is a broadcast self-aggregate. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       ordCol: String, typeCol: String): DataFrame = {
+    val e = ev(events, userCol, tsCol)
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t"), col(ordCol))
+    val pairs = e
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 1000 DIV n_from").as("pm"))
+  }
+}

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Dataset, Encoder}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, count, lit, row_number, when}
 
 /** O2 — exact ordered-group iteration: Hadoop's sort-then-group reduce
   * contract (capability parity with the reference's grouping-comparator
@@ -60,5 +61,64 @@ object Ordered {
       .mapPartitions { it =>
         new GroupRuns(it, keyOf).flatMap { case (k, run) => f(k, run).iterator }
       }
+  }
+
+  /** Exact GLOBAL 0-based rank of every row by a UNIQUE long `keyCol` —
+    * without the single-task window that `row_number() OVER (ORDER BY k)`
+    * implies (Spark moves the whole frame to one partition for an
+    * unpartitioned window).
+    *
+    * Construction (the parallel-global-order pattern):
+    *   1. `buckets - 1` exact equi-depth cut values via
+    *      [[Quantiles.valuesAtRanks]] (a handful of cheap counting
+    *      passes, kilobyte shuffles);
+    *   2. bucket id = how many cuts are `<= k` — a codegen `when`-chain
+    *      over the ≤ 63 broadcast cut literals, no join;
+    *   3. per-bucket row counts (one tiny aggregate) prefix-summed
+    *      driver-side into bucket rank offsets;
+    *   4. rank = bucket offset + (`row_number` over a window PARTITIONED
+    *      by bucket) − 1 — every window task sorts ≈ n/buckets rows.
+    *
+    * The output is EXACTLY the global `row_number`-1 whatever the cut
+    * values are (cuts only steer parallelism), so the result is
+    * deterministic and engine-independent. Equi-depth cuts on a unique
+    * key bound the max window task at ~n/buckets rows — at 100 TB pick
+    * `buckets` ≈ cluster cores; the single-task alternative is the
+    * scale-killer this operator exists to avoid.
+    *
+    * `keyCol` must be NON-NULL and unique (pack a tiebreaker into low
+    * bits — the rank of duplicate keys would otherwise be
+    * nondeterministic; null keys would silently collapse into bucket 0);
+    * the input is scanned once per refinement pass plus twice more
+    * (bucket counts + final plan) — cache upstream frames that are
+    * expensive to recompute. Eager contract: cut values and offsets
+    * materialize at CALL time. */
+  def globalRank(df: DataFrame, keyCol: String,
+                 buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val n = df.count()
+    if (n == 0) return df.withColumn("rank", lit(null).cast("long"))
+    val b = math.min(buckets.toLong, n).toInt
+    val cuts: Seq[Long] =
+      if (b == 1) Seq.empty
+      else Quantiles.valuesAtRanks(df, keyCol,
+        (1 until b).map(i => i.toLong * n / b)).map(_._2)
+    val bucketCol = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(keyCol) >= lit(c), 1).otherwise(0)
+    }
+    val withBucket = df.withColumn("__gr_bucket", bucketCol)
+    val counts = withBucket.groupBy(col("__gr_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until b).scanLeft(0L) { (acc, i) =>
+      acc + counts.getOrElse(i, 0L)
+    }
+    val offsetCol = (0 until b).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("__gr_bucket") === i, lit(offsets(i))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__gr_bucket")).orderBy(col(keyCol))
+    withBucket
+      .withColumn("rank", offsetCol + row_number().over(w).cast("long") - 1L)
+      .drop("__gr_bucket")
   }
 }

@@ -62,9 +62,42 @@ object Quantiles {
       s"per-mille positions must be in [0, 1000]: $perMille")
     require(perMille.distinct.size == perMille.size,
       s"duplicate positions: $perMille")
-    require(bins >= 2, s"bins must be >= 2: $bins")
     val spark = df.sparkSession
+    val resolved = refine(df, valCol, bins,
+      n => perMille.sorted.map(pm => (pm.toLong, pm.toLong * (n - 1) / 1000L)))
+    val rows: java.util.List[Row] = new java.util.ArrayList(resolved.size)
+    resolved.sortBy(_._1).foreach { case (pm, rank, value) =>
+      rows.add(Row(pm, rank, value))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("per_mille", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false),
+      StructField("value", LongType, nullable = false))))
+  }
 
+  /** Exact values at arbitrary 0-based ranks of `valCol` (same refinement
+    * machinery as [[globalOrderStatistics]], same eager contract).
+    * Returns `(rank, value)` sorted by rank, driver-side — intended for
+    * SMALL rank lists (partition cut points, rank probes), where the
+    * result parameterizes a later plan. Ranks must be in `[0, n)`. */
+  def valuesAtRanks(df: DataFrame, valCol: String, ranks: Seq[Long],
+                    bins: Int = 4096): Seq[(Long, Long)] = {
+    require(ranks.nonEmpty, "need at least one rank")
+    require(ranks.distinct.size == ranks.size, s"duplicate ranks: $ranks")
+    val resolved = refine(df, valCol, bins, { n =>
+      require(ranks.forall(k => k >= 0 && k < n),
+        s"ranks must be in [0, $n): $ranks")
+      ranks.sorted.map(k => (k, k))
+    })
+    resolved.map { case (_, rank, value) => (rank, value) }.sortBy(_._1)
+  }
+
+  /** Shared refinement core: `targets(n)` yields `(label, 0-based rank)`
+    * pairs; returns resolved `(label, rank, value)` triples. */
+  private def refine(df: DataFrame, valCol: String, bins: Int,
+                     targets: Long => Seq[(Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
     val v = df.select(col(valCol).cast("long").as("v"))
       .where(col("v").isNotNull).cache()
     try {
@@ -79,13 +112,12 @@ object Quantiles {
 
       // bracket invariant: the target is the kRem-th smallest (0-based)
       // among the values in [lo, hi]
-      final case class Bracket(pm: Int, rank: Long, kRem: Long,
+      final case class Bracket(pm: Long, rank: Long, kRem: Long,
                                lo: Long, hi: Long)
-      var active = perMille.sorted.map { pm =>
-        val k = pm.toLong * (n - 1) / 1000L
-        Bracket(pm, k, k, gmin, gmax)
+      var active = targets(n).map { case (label, k) =>
+        Bracket(label, k, k, gmin, gmax)
       }
-      var resolved = List.empty[(Int, Long, Long)] // (pm, rank, value)
+      var resolved = List.empty[(Long, Long, Long)] // (label, rank, value)
 
       var pass = 0
       while (active.nonEmpty) {
@@ -141,14 +173,7 @@ object Quantiles {
         }
       }
 
-      val rows: java.util.List[Row] = new java.util.ArrayList(resolved.size)
-      resolved.sortBy(_._1).foreach { case (pm, rank, value) =>
-        rows.add(Row(pm.toLong, rank, value))
-      }
-      spark.createDataFrame(rows, StructType(Seq(
-        StructField("per_mille", LongType, nullable = false),
-        StructField("rank", LongType, nullable = false),
-        StructField("value", LongType, nullable = false))))
+      resolved
     } finally v.unpersist(blocking = false)
   }
 }

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Behavior, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 19 — round-9 additions, the behavioral-analytics tier plus the
+  * parallel-global-order dedup path:
+  *
+  *  - q142 funnel completion ([[Behavior.funnel]]): greedy
+  *    earliest-completion view→click→purchase funnel with a 7-day
+  *    conversion window, unrolled into keyed min-aggregations (no
+  *    per-user sequence materialization).
+  *  - q143 weekly cohort retention ([[Behavior.cohortRetention]]):
+  *    signup-cohort × week-offset active-user matrix with per-mille
+  *    retention vs each cohort's week-0 population — all integer
+  *    epoch-week arithmetic.
+  *  - q144 daily gap-fill ([[Behavior.gapFillDaily]]): per-user daily
+  *    grid over each user's own span, day-close values in exact cents,
+  *    forward fill via a user-partitioned window.
+  *  - q145 sorted-neighborhood near-dup ([[Dedup.sortedNeighborPairs]]):
+  *    the Hernández–Stolfo SNM alternative to hash blocking — global
+  *    rank by a (n_chars, doc_id) blocking key WITHOUT a single-task
+  *    sort ([[graft.operators.Ordered.globalRank]]: exact equi-depth
+  *    cuts from [[graft.operators.Quantiles.valuesAtRanks]] +
+  *    per-bucket windows), neighbor candidates from a block equi-join,
+  *    exact token-set Jaccard verification.
+  *  - q146 fixed-point EWMA ([[Behavior.ewmaFixedPoint]]): alpha = 1/8
+  *    exponential average per user where every step is an exact
+  *    arithmetic shift — a sequential recurrence that still replays
+  *    bit-for-bit in any engine.
+  *  - q147 event-type transition matrix ([[Behavior.transitionCounts]]):
+  *    first-order Markov transition counts + per-mille probabilities
+  *    from user-partitioned `lead` windows.
+  */
+object Wave19 {
+
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWindowUs = 7L * 86400000000L // 7 days
+  private val SnmWindow = 10
+  private val SnmThreshold = 0.8
+
+  /** DuckDB token pipeline identical to TextFunctions.tokenSet. */
+  private val SqlTokSet =
+    "list_distinct(list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z]+'), x -> x <> ''))"
+
+  private val SqlEv =
+    """e AS (
+      |  SELECT user_id AS u, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    event_type AS et, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Greedy earliest-completion funnel, 7-day window anchored at step 1.
+    "q142_funnel" -> { (s, d) =>
+      Behavior.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        FunnelSteps, FunnelWindowUs)
+        .orderBy(col("user_id"))
+    },
+
+    // Weekly signup-cohort retention matrix with per-mille retention.
+    "q143_retention" -> { (s, d) =>
+      Behavior.cohortRetention(Tables.events(s, d), "user_id", "ts",
+        "event_type", "signup")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Per-user daily resample + forward fill, exact cents.
+    "q144_gapfill" -> { (s, d) =>
+      Behavior.gapFillDaily(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value")
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // Sorted-neighborhood near-dup over a (n_chars, doc_id) blocking key.
+    "q145_snm_neardup" -> { (s, d) =>
+      Dedup.sortedNeighborPairs(Tables.documents(s, d), "doc_id", "text",
+        col("n_chars") * lit(4294967296L) + col("doc_id"),
+        SnmWindow, SnmThreshold)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Fixed-point alpha=1/8 EWMA of event values per user.
+    "q146_ewma" -> { (s, d) =>
+      Behavior.ewmaFixedPoint(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value")
+        .orderBy(col("user_id"))
+    },
+
+    // First-order event-type transition counts + per-mille probabilities.
+    "q147_transitions" -> { (s, d) =>
+      Behavior.transitionCounts(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")
+        .orderBy(col("from_type"), col("to_type"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    // the same greedy recurrence as three correlated min-aggregations
+    "q142_funnel" ->
+      s"""WITH $SqlEv,
+         |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = '${FunnelSteps(0)}'
+         |       GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.u, s1.t1, min(e.t) AS t2
+         |  FROM e JOIN s1 ON e.u = s1.u
+         |  WHERE e.et = '${FunnelSteps(1)}' AND e.t > s1.t1
+         |    AND e.t <= s1.t1 + $FunnelWindowUs
+         |  GROUP BY 1, 2),
+         |s3 AS (
+         |  SELECT e.u, s2.t1, s2.t2, min(e.t) AS t3
+         |  FROM e JOIN s2 ON e.u = s2.u
+         |  WHERE e.et = '${FunnelSteps(2)}' AND e.t > s2.t2
+         |    AND e.t <= s2.t1 + $FunnelWindowUs
+         |  GROUP BY 1, 2, 3)
+         |SELECT s1.u AS user_id,
+         |  CAST(1 + CASE WHEN s2.u IS NOT NULL THEN 1 ELSE 0 END
+         |         + CASE WHEN s3.u IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS reached,
+         |  s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us
+         |FROM s1 LEFT JOIN s2 ON s1.u = s2.u
+         |        LEFT JOIN s3 ON s1.u = s3.u
+         |ORDER BY user_id""".stripMargin,
+
+    "q143_retention" ->
+      s"""WITH $SqlEv,
+         |f AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'signup'
+         |      GROUP BY 1),
+         |a AS (
+         |  SELECT DISTINCT (f.t0 // 86400000000) // 7 AS cohort_week,
+         |    (e.t // 86400000000) // 7 - (f.t0 // 86400000000) // 7
+         |      AS week_offset,
+         |    e.u
+         |  FROM e JOIN f ON e.u = f.u WHERE e.t >= f.t0),
+         |c AS (SELECT cohort_week, week_offset, count(*) AS n_users
+         |      FROM a GROUP BY 1, 2),
+         |b AS (SELECT cohort_week, n_users AS n0 FROM c
+         |      WHERE week_offset = 0)
+         |SELECT c.cohort_week, c.week_offset, c.n_users,
+         |  c.n_users * 1000 // b.n0 AS ret_pm
+         |FROM c JOIN b USING (cohort_week)
+         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q144_gapfill" ->
+      s"""WITH $SqlEv,
+         |r AS (
+         |  SELECT u, t // 86400000000 AS day, cents,
+         |    row_number() OVER (PARTITION BY u, t // 86400000000
+         |      ORDER BY t DESC, event_id DESC) AS rk
+         |  FROM e),
+         |cnt AS (SELECT u, day, count(*) AS n_events FROM r GROUP BY 1, 2),
+         |cl AS (SELECT u, day, cents AS close_cents FROM r WHERE rk = 1),
+         |d AS (SELECT cnt.u, cnt.day, cnt.n_events, cl.close_cents
+         |      FROM cnt JOIN cl USING (u, day)),
+         |span AS (SELECT u, min(day) AS d0, max(day) AS d1 FROM d
+         |         GROUP BY 1),
+         |g AS (SELECT u, unnest(generate_series(d0, d1)) AS day FROM span),
+         |j AS (
+         |  SELECT g.u, g.day, coalesce(d.n_events, 0) AS n_events,
+         |    d.close_cents
+         |  FROM g LEFT JOIN d USING (u, day))
+         |SELECT u AS user_id, day, n_events, close_cents,
+         |  last_value(close_cents IGNORE NULLS)
+         |    OVER (PARTITION BY u ORDER BY day) AS filled_cents
+         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // global row_number replay of the parallel-global-order rank, then
+    // the same neighbor band + list_intersect Jaccard
+    "q145_snm_neardup" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, $SqlTokSet AS ts,
+         |    n_chars * 4294967296 + doc_id AS k
+         |  FROM documents),
+         |r AS (SELECT doc_id, ts,
+         |        row_number() OVER (ORDER BY k) - 1 AS rank FROM keyed),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    b.rank - a.rank AS gap, a.ts AS ts_a, b.ts AS ts_b
+         |  FROM r a JOIN r b
+         |    ON b.rank - a.rank BETWEEN 1 AND ${SnmWindow - 1}),
+         |j AS (
+         |  SELECT doc_a, doc_b, gap,
+         |    CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
+         |      / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b)))
+         |      AS jac
+         |  FROM p WHERE len(ts_a) > 0 AND len(ts_b) > 0)
+         |SELECT doc_a, doc_b, CAST(gap AS BIGINT) AS gap, jac
+         |FROM j WHERE jac >= $SnmThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // list_reduce replay of the shift-exact recurrence
+    "q146_ewma" ->
+      s"""WITH $SqlEv,
+         |l AS (SELECT u, list(cents ORDER BY t, event_id) AS cs
+         |      FROM e GROUP BY 1)
+         |SELECT u AS user_id, CAST(len(cs) AS BIGINT) AS n_events,
+         |  list_reduce(list_transform(cs, x -> x * 1000000),
+         |    (a, b) -> (b + 7 * a) >> 3) AS ewma_micro
+         |FROM l ORDER BY user_id""".stripMargin,
+
+    "q147_transitions" ->
+      s"""WITH $SqlEv,
+         |p AS (
+         |  SELECT et AS from_type,
+         |    lead(et) OVER (PARTITION BY u ORDER BY t, event_id)
+         |      AS to_type
+         |  FROM e),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+         |        FROM c GROUP BY 1)
+         |SELECT c.from_type, c.to_type, c.n, tot.n_from,
+         |  c.n * 1000 // tot.n_from AS pm
+         |FROM c JOIN tot USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin
+  )
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-19 operator contracts: parallel global rank vs the single-task
+  * row_number, SNM pairs vs a brute neighbor scan, funnel ordering
+  * edges, cohort/gap-fill/EWMA/transition semantics. */
+class Wave19Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ------------------------------------------------- globalRank
+
+  test("globalRank equals row_number()-1 at every bucket count") {
+    import spark.implicits._
+    // deterministic scrambled keys incl. negatives and a huge spread
+    val keys = (0 until 500).map(i => (i * 2654435761L) % 1000003L - 500L)
+    val df = keys.map(k => (k, s"p$k")).toDF("k", "payload")
+    val want = keys.sorted.zipWithIndex.map { case (k, r) => k -> r.toLong }
+      .toMap
+    for (b <- Seq(1, 3, 64, 1000)) {
+      val got = Ordered.globalRank(df, "k", buckets = b)
+        .select("k", "rank").as[(Long, Long)].collect().toMap
+      got shouldBe want
+    }
+  }
+
+  test("globalRank plan has NO unpartitioned window") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i * 48271L % 10007L, i))
+      .toDF("k", "i")
+    val ranked = Ordered.globalRank(df, "k", buckets = 8)
+    val p = ranked.queryExecution.executedPlan.toString
+    p should include("Window")
+    // a single-task global window prints windowspecdefinition(k ASC …)
+    // with no partition expression; ours must partition on the bucket
+    p should include("windowspecdefinition(__gr_bucket")
+    // and the buckets genuinely spread: 8 buckets of 25 each
+    ranked.groupBy(expr("rank DIV 25")).count().collect()
+      .foreach(_.getLong(1) shouldBe 25L)
+  }
+
+  test("globalRank on an empty frame yields an empty ranked frame") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("k", "p")
+    Ordered.globalRank(df, "k").count() shouldBe 0L
+  }
+
+  // ------------------------------------------------- SNM pairs
+
+  test("sortedNeighborPairs equals the brute neighbor scan on sf docs") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val w = 8
+    val thr = 0.7
+    val got = Dedup.sortedNeighborPairs(docs, "doc_id", "text",
+      col("n_chars") * lit(1L << 32) + col("doc_id"), w, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // brute: driver-side sort + sliding window + set Jaccard
+    val rows = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split("[^a-z]+")
+          .filter(_.nonEmpty).toSet
+        (r.getLong(2) * (1L << 32) + r.getLong(0), r.getLong(0), toks)
+      }.sortBy(_._1)
+    val brute = (for {
+      i <- rows.indices; j <- (i + 1) until math.min(i + w, rows.length)
+      a = rows(i); b = rows(j)
+      if a._3.nonEmpty && b._3.nonEmpty
+      c = (a._3 & b._3).size
+      jac = c.toDouble / (a._3.size + b._3.size - c)
+      if jac >= thr
+    } yield (a._2, b._2, (j - i).toLong)).toSet
+    got shouldBe brute
+    got should not be empty
+  }
+
+  // ------------------------------------------------- funnel
+
+  private def evDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((u, ts, et), i) => (u, i.toLong, ts, et, 1.0) }
+      .toDF("user_id", "event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+  }
+
+  test("funnel: strict ordering, inclusive window edge, drop-offs") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = evDf(Seq(
+      // u1 completes: view 01, click 03, purchase 05
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-03 00:00:00", "click"),
+      (1L, "2024-01-05 00:00:00", "purchase"),
+      // u2: click at the SAME instant as view → strict '>' rejects it
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 00:00:00", "click"),
+      // u3: click exactly at t1 + 7d → inclusive '<=' accepts it
+      (3L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-08 00:00:00", "click"),
+      // u4: purchase BEFORE click → not a completion of step 3
+      (4L, "2024-01-01 00:00:00", "view"),
+      (4L, "2024-01-02 00:00:00", "purchase"),
+      (4L, "2024-01-03 00:00:00", "click"),
+      // u5: never views → absent from output
+      (5L, "2024-01-01 00:00:00", "click")))
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 7L * day)
+      .select("user_id", "reached")
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 2L)
+  }
+
+  test("funnel picks the EARLIEST qualifying step times") {
+    import spark.implicits._
+    val ev = evDf(Seq(
+      (1L, "2024-01-02 00:00:00", "view"),  // later view ignored for t1
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 12:00:00", "click"),
+      (1L, "2024-01-03 00:00:00", "click"))) // later click ignored for t2
+    val row = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click"), 30L * 86400000000L).collect().head
+    row.getAs[Long]("t1_us") shouldBe
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    row.getAs[Long]("t2_us") shouldBe
+      java.time.Instant.parse("2024-01-01T12:00:00Z").toEpochMilli * 1000L
+  }
+
+  // ------------------------------------------------- cohort retention
+
+  test("cohortRetention: offsets, per-mille, pre-signup activity excluded") {
+    import spark.implicits._
+    val ev = evDf(Seq(
+      // u1 signs up week W, active W and W+1
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-09 00:00:00", "click"),
+      // u2 signs up week W, active only W
+      (2L, "2024-01-02 00:00:00", "signup"),
+      // u3: activity BEFORE its signup is excluded
+      (3L, "2024-01-01 00:00:00", "click"),
+      (3L, "2024-01-02 00:00:00", "signup"),
+      // u4 never signs up: not in any cohort
+      (4L, "2024-01-01 00:00:00", "view")))
+    val out = Behavior.cohortRetention(ev, "user_id", "ts", "event_type",
+      "signup")
+      .select("week_offset", "n_users", "ret_pm")
+      .as[(Long, Long, Long)].collect().toSet
+    // 2024-01-01..02 all fall in the same epoch week; cohort size 3
+    out shouldBe Set((0L, 3L, 1000L), (1L, 1L, 333L))
+  }
+
+  // ------------------------------------------------- gap fill
+
+  test("gapFillDaily: zero-count gap days, forward fill, exact cents") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.23),
+      (1L, 2L, "2024-01-01 11:00:00", 2.34), // later same day wins close
+      (1L, 3L, "2024-01-04 00:00:00", 9.99)) // 2 gap days between
+      .toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Behavior.gapFillDaily(ev, "user_id", "ts", "event_id", "value")
+      .orderBy("day")
+      .select("n_events", "close_cents", "filled_cents")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)))
+    out shouldBe Array(
+      (2L, Some(234L), 234L),
+      (0L, None, 234L),
+      (0L, None, 234L),
+      (1L, Some(999L), 999L))
+  }
+
+  // ------------------------------------------------- EWMA
+
+  test("ewmaFixedPoint replays the shift recurrence on real events") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val got = Behavior.ewmaFixedPoint(ev, "user_id", "ts", "event_id",
+      "value")
+      .select("user_id", "ewma_micro").as[(Long, Long)].collect().toMap
+    // independent driver-side fold over the same ordering
+    val want = ev.select(col("user_id"), unix_micros(col("ts")),
+      col("event_id"), floor(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        val cs = rows.sortBy(r => (r._2, r._3)).map(_._4 * 1000000L)
+        u -> cs.tail.foldLeft(cs.head)((a, b) => (b + 7L * a) >> 3)
+      }
+    got shouldBe want
+    got should not be empty
+  }
+
+  // ------------------------------------------------- transitions
+
+  test("transitionCounts: lead pairs per user, per-mille denominators") {
+    import spark.implicits._
+    val ev = evDf(Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:01:00", "click"),
+      (1L, "2024-01-01 00:02:00", "view"),
+      (1L, "2024-01-01 00:03:00", "click"),
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 00:01:00", "purchase"),
+      // u3's single event produces no transition
+      (3L, "2024-01-01 00:00:00", "view")))
+    val out = Behavior.transitionCounts(ev, "user_id", "ts", "event_id",
+      "event_type")
+      .select("from_type", "to_type", "n", "n_from", "pm")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      ("view", "click", 2L, 3L, 666L),
+      ("view", "purchase", 1L, 3L, 333L),
+      ("click", "view", 1L, 1L, 1000L))
+  }
+}
