@@ -145,6 +145,65 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
   }
 
+  /** Disjoint-user-space event-log scaling for the behavioral tier
+    * (q140/q142-q144/q146-q147): replica r shifts user_id by
+    * r·(maxUser+1) and event_id by r·(maxEvent+1), keeping each user's
+    * OWN history (timestamps, types, values) bit-identical. This is the
+    * behavioral-log scale contract made literal: growth adds USERS, not
+    * per-user depth — so per-user windows/folds stay constant-size and
+    * total work must grow ~linearly. Only the columns the queries read
+    * are written (user_id, event_id, ts, value, event_type). */
+  def scaleEvents(spark: SparkSession, sfDir: String, mult: Int,
+                  workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("value"), col("event_type"))
+    val uShift = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val eShift = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    ev.crossJoin(reps)
+      .select((col("user_id") + col("rep") * uShift).as("user_id"),
+        (col("event_id") + col("rep") * eShift).as("event_id"),
+        col("ts"), col("value"), col("event_type"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+  }
+
+  /** Value-column scaling for q136's order statistics: replicate the
+    * one column the query reads. Values repeat exactly, so the value
+    * SPREAD (which drives refinement pass count) is constant while n
+    * grows — the counting scans must grow ~linearly and the pass count
+    * must not move. */
+  def scaleLineitemPrices(spark: SparkSession, sfDir: String, mult: Int,
+                          workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    Tables.lineitem(spark, sfDir).select(col("l_extendedprice"))
+      .crossJoin(reps).select(col("l_extendedprice"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+  }
+
+  /** Z-order input scaling for q137: replica r shifts o_custkey by
+    * r·(maxCust+1) (the first Morton dimension's RANGE grows with the
+    * corpus, as a real key space would) and keeps order dates — the
+    * fixed-point quantization re-scales to whatever the range is, so
+    * bucket geometry stays comparable while n grows. */
+  def scaleOrdersLayout(spark: SparkSession, sfDir: String, mult: Int,
+                        workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").cast("long"), col("o_orderdate"))
+    val cShift = ord.agg(max(col("o_custkey"))).head.getLong(0) + 1L
+    ord.crossJoin(reps)
+      .select((col("o_custkey") + col("rep") * cShift).as("o_custkey"),
+        col("o_orderdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+  }
+
+  private val EventQueries = Set("q140_cdc_merge", "q142_funnel",
+    "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 100
@@ -170,6 +229,12 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
     if (queries.contains("q121_deep_pagerank"))
       scaleGraph(spark, sfDir, mult, workDir)
+    if (queries.exists(EventQueries))
+      scaleEvents(spark, sfDir, mult, workDir)
+    if (queries.contains("q136_exact_quantiles"))
+      scaleLineitemPrices(spark, sfDir, mult, workDir)
+    if (queries.contains("q137_zorder_layout"))
+      scaleOrdersLayout(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"scaled":{"documents":$nd,"embeddings":$ne,"mult":$mult}}""")

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{col, udaf}
 
 /** Custom typed aggregation (SURVEY.md F4 — capability parity with the
   * reference's reducer-as-UDAF pattern, `toolbox.clj:41-46` /
@@ -100,5 +100,39 @@ object Agg {
   def bottomKLong(k: Int): (Column, Column) => Column = {
     val fn = udaf(new BottomKLong(k))
     (key, id) => fn(key, id)
+  }
+
+  /** Mergeable additive aggregate state over an exact long measure:
+    * `(keys..., n, sum_v, min_v, max_v)` — the materialized partial-agg
+    * checkpoint incremental rollup maintenance is built on. The merge
+    * law `state(A ∪ B) = mergeAdditiveStates(state(A), state(B))` holds
+    * EXACTLY (count/sum/min/max are commutative monoids over longs), so
+    * a warehouse can aggregate each ingest batch once, persist the
+    * state, and fold new batches in without ever touching history — the
+    * incremental-view-maintenance analogue of [[Joins.applyCdcDelta]]'s
+    * row-level prefix consistency. Quantize doubles to fixed-point
+    * BEFORE calling (the law does NOT hold for float sums, whose
+    * accumulation order differs between the one-shot and merged runs). */
+  def additiveState(df: DataFrame, keys: Seq[String],
+                    measure: Column): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+    require(keys.nonEmpty, "need at least one key column")
+    df.withColumn("__v", measure.cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("sum_v"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
+
+  /** Fold any number of [[additiveState]] frames into one: union + one
+    * keyed re-aggregation (map-side combined — states are already tiny
+    * per key, so the shuffle carries state rows, not data rows). */
+  def mergeAdditiveStates(keys: Seq[String],
+                          states: DataFrame*): DataFrame = {
+    import org.apache.spark.sql.functions.{max, min, sum}
+    require(states.nonEmpty, "need at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
   }
 }

@@ -214,4 +214,55 @@ object Behavior {
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         expr("n * 1000 DIV n_from").as("pm"))
   }
+
+  /** RFM segmentation over the buyers (users with >= 1 `purchaseType`
+    * event): recency in days from the LOG's last event day, frequency,
+    * monetary in exact cents, each scored into `buckets` exact
+    * equi-depth grades (1..buckets, higher = better — recency is
+    * inverted). Output:
+    * `(user_id, r_days, f, m_cents, r_score, f_score, m_score)`.
+    *
+    * Scores use the same parallel-exact-quantile machinery as
+    * [[graft.operators.Ordered.globalRank]]: cut values are the exact
+    * order statistics `i·n/buckets` over the buyers frame
+    * ([[graft.operators.Quantiles.valuesAtRanks]] — counting passes, no
+    * sort), and grade assignment is a codegen `when`-chain over the
+    * broadcast cut literals. Ties land deterministically (a grade is
+    * `#cuts <= v`), so heavily-tied metrics (small integer frequencies)
+    * replay identically in any engine — no `ntile` nondeterminism and
+    * no single-task global window at any corpus size.
+    *
+    * Eager contract: the anchor day, buyer count, and 3×(buckets-1) cut
+    * values materialize at CALL time; the buyers frame is cached for
+    * the lifetime of the returned plan (the q106 house lifetime
+    * contract) because the cuts AND the returned frame both read it. */
+  def rfmScores(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, valCol: String, purchaseType: String,
+                buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val e = ev(events, userCol, tsCol)
+      .withColumn("__day", expr(s"__t DIV $DayUs"))
+      .withColumn("__cents", floor(col(valCol) * 100).cast("long"))
+    val anchorDay = e.agg(max(col("__day"))).head.getLong(0)
+    val buyers = e.filter(col(typeCol) === purchaseType)
+      .groupBy(col("__u"))
+      .agg((lit(anchorDay) - max(col("__day"))).as("r_days"),
+        count(lit(1)).as("f"), sum(col("__cents")).as("m_cents"))
+      .cache()
+    val n = buyers.count()
+    require(n >= buckets,
+      s"need at least buckets=$buckets buyers: $n")
+    val ranks = (1 until buckets).map(i => i.toLong * n / buckets)
+    def grade(metric: String): Column = {
+      val cuts = Quantiles.valuesAtRanks(buyers, metric, ranks).map(_._2)
+      cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col(metric) >= lit(c), 1).otherwise(0)
+      }
+    }
+    buyers.select(col("__u").as("user_id"), col("r_days"), col("f"),
+      col("m_cents"),
+      (lit(buckets) - grade("r_days")).cast("long").as("r_score"),
+      (grade("f") + 1).cast("long").as("f_score"),
+      (grade("m_cents") + 1).cast("long").as("m_score"))
+  }
 }

@@ -174,4 +174,59 @@ object Graphs {
           expr("(2000 * coalesce(n_tri, 0L)) DIV (deg * (deg - 1))"))
           .as("cc_permille"))
   }
+
+  /** k-core peeling, `rounds` SYNCHRONOUS rounds: round r computes every
+    * vertex's degree in the subgraph induced by round r-1's survivors
+    * and keeps vertices with degree >= k. Output: the round-`rounds`
+    * survivors with the induced degree that qualified them —
+    * `(id, deg)`, deg >= k.
+    *
+    * The graph-structural quality gate (dense-core extraction): on a
+    * mutual-kNN embedding graph the k-core is the set of documents whose
+    * semantic neighborhoods are MUTUALLY dense — isolated points and
+    * thin chains peel away. Fixed `rounds` is the same bounded-sync
+    * contract as [[pageRankInt]]'s `iters` (and like it, replayable as
+    * an unrolled oracle); peeling converges in at most |V| rounds but
+    * real graphs settle in a handful — callers wanting the fixpoint run
+    * more rounds and compare survivor counts.
+    *
+    * Scale shape: each round is two semi-joins (edge list × shrinking
+    * survivor set) + one degree count — all vertex/edge-cardinality
+    * keyed operations, no per-vertex adjacency materialization, no
+    * window. The normalized edge list is built and cached ONCE
+    * ([[triangleCounts]]'s intake contract: least/greatest + dedup,
+    * self-loops dropped), and each round's degree frame is ALSO cached:
+    * round r references round r-1's survivors twice (one semi-join per
+    * endpoint), so uncached round frames would re-derive the whole
+    * chain 2^rounds times. Cached state is `rounds` vertex-cardinality
+    * frames — the same memory class as [[pageRankInt]]'s per-round
+    * ranks; caches release on context cleanup (`rounds` is small by
+    * contract). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .dropDuplicates("u", "v")
+      .cache()
+    var alive: Option[DataFrame] = None
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val e = alive match {
+        case None => und
+        case Some(a) =>
+          und.join(a.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(a.select(col("id").as("v")), Seq("v"), "left_semi")
+      }
+      deg = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .cache()
+      alive = Some(deg.filter(col("deg") >= k).select(col("id")))
+    }
+    deg.filter(col("deg") >= k)
+  }
 }

@@ -92,6 +92,40 @@ object Quantiles {
     resolved.map { case (_, rank, value) => (rank, value) }.sortBy(_._1)
   }
 
+  /** Exact equi-depth histogram: `nBuckets` buckets cut at the exact
+    * order statistics `i·n/nBuckets` (i = 1..nBuckets-1), each row
+    * assigned `bucket = #cuts <= v` (a codegen `when`-chain over the
+    * broadcast cut literals — no join, no sort), then one aggregate for
+    * per-bucket `(cnt, lo, hi)`. The optimizer-statistics / range-
+    * partition-planning primitive: boundaries are EXACT (unlike
+    * `percentile_approx`-derived histograms) yet nothing ever sorts —
+    * the cost is [[valuesAtRanks]]'s counting passes plus one scan.
+    *
+    * Tie-heavy columns collapse adjacent cuts onto one value; the
+    * assignment rule stays total (a run of equal cuts shifts their rows
+    * into the highest such bucket, leaving lower buckets empty — empty
+    * buckets are simply absent from the output). Output:
+    * `(bucket, lo, hi, cnt)` ordered by bucket. */
+  def equiDepthHistogram(df: DataFrame, valCol: String, nBuckets: Int,
+                         bins: Int = 4096): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val v = df.select(col(valCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val n = v.count()
+    require(n >= nBuckets, s"need at least nBuckets=$nBuckets rows: $n")
+    val cuts = valuesAtRanks(v, "v",
+      (1 until nBuckets).map(i => i.toLong * n / nBuckets), bins)
+      .map(_._2)
+    val bucketCol = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("v") >= lit(c), 1).otherwise(0)
+    }
+    v.withColumn("bucket", bucketCol.cast("long"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
   /** Shared refinement core: `targets(n)` yields `(label, 0-based rank)`
     * pairs; returns resolved `(label, rank, value)` triples. */
   private def refine(df: DataFrame, valCol: String, bins: Int,

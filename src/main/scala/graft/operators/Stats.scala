@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact-arithmetic descriptive statistics — the "analytics over the
+  * curation metadata" tier. Everything oracle-visible is integer or
+  * decimal: moments accumulate as DECIMAL(38,0) (exact, order-free,
+  * overflow-checked by Spark) and derived ratios are integer-scaled
+  * divisions, so results replay bit-for-bit in any engine.
+  */
+object Stats {
+
+  /** Per-group simple linear regression (OLS) of integer `y` on integer
+    * `x`, in exact sums: emits the closed-form slope in parts-per-
+    * million plus the exact first moments:
+    * `(group, n, mean_x_milli, mean_y_milli, slope_ppm)` with
+    *
+    *   slope_ppm = (10^6 · (n·Σxy − Σx·Σy)) DIV (n·Σx² − (Σx)²)
+    *
+    * All sums are DECIMAL(38,0): at 10^12 rows of 10^3-magnitude
+    * features, n·Σx² ≈ 10^21 — far inside 38 digits, and decimal
+    * addition is exact in any order (the float-sum nondeterminism the
+    * house dsum pattern exists to avoid). `DIV` truncates toward zero;
+    * it equals floor (and DuckDB's `//`) whenever the covariance is
+    * non-negative — callers fitting a possibly-negative slope should
+    * treat the last ppm digit as truncated, not floored.
+    *
+    * Degenerate groups (constant x, i.e. zero variance) emit a NULL
+    * slope rather than dividing by zero. One aggregation, map-side
+    * combined; the group key space is the operator's only state. */
+  def olsByGroup(df: DataFrame, groupCol: String, x: Column,
+                 y: Column): DataFrame = {
+    val d = (c: Column) => c.cast(DecimalType(38, 0))
+    df.select(col(groupCol).as("grp"), d(x).as("x"), d(y).as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("grp").as(groupCol),
+        col("n").cast("long").as("n"),
+        expr("CAST((1000 * sx) DIV n AS BIGINT)").as("mean_x_milli"),
+        expr("CAST((1000 * sy) DIV n AS BIGINT)").as("mean_y_milli"),
+        when(expr("n * sxx - sx * sx") =!= lit(0),
+          expr("CAST((1000000 * (n * sxy - sx * sy)) " +
+            "DIV (n * sxx - sx * sx) AS BIGINT)"))
+          .as("slope_ppm"))
+  }
+}

@@ -47,7 +47,7 @@ object Wave18 {
   private val QuantPm = Seq(10, 50, 250, 500, 750, 950, 990)
   private val ZBits = 12        // q137: fixed-point bits per dimension
   private val ZBucketBits = 6   // q137: 64 layout buckets
-  private val KnnK = 5          // q138: same k as q109's graph
+  private[queries] val KnnK = 5 // q138: same k as q109's graph
   private val Epochs = 3        // q141
   private val NShards = 8       // q141
   private val CdcCutoff = "2024-01-15 00:00:00" // q140 snapshot boundary
@@ -146,8 +146,9 @@ object Wave18 {
        |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
 
   /** q109's verified mutual-kNN edge CTE chain (4-bit buckets — guarded
-    * by Verify's autoBits preflight), reused as q138's graph input. */
-  private val SqlKnnEdges =
+    * by Verify's autoBits preflight), reused as q138's graph input (and
+    * q148's in [[Wave20]]). */
+  private[queries] val SqlKnnEdges =
     s"""planes AS (
        |  SELECT t, i, j,
        |    CAST('0x' || substr(h, 1, 4) AS BIGINT)

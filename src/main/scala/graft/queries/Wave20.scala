@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Agg, Behavior, Graphs, Quantiles, Similarity, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 20 — round-9 additions, the warehouse-maintenance + exact-stats
+  * tier:
+  *
+  *  - q148 k-core peeling ([[Graphs.kCore]]): synchronous dense-core
+  *    extraction over the q109 mutual-kNN embedding graph — the
+  *    graph-structural quality gate (thin chains and isolated points
+  *    peel away; survivors sit in mutually dense semantic
+  *    neighborhoods).
+  *  - q149 additive state merge ([[Agg.additiveState]] /
+  *    [[Agg.mergeAdditiveStates]]): aggregate each half of the event
+  *    log separately, fold the states, and match the one-shot
+  *    aggregate — the exact merge law incremental rollup maintenance
+  *    stands on (the aggregation analogue of q140's CDC prefix
+  *    consistency).
+  *  - q150 exact equi-depth histogram
+  *    ([[Quantiles.equiDepthHistogram]]): optimizer-statistics /
+  *    range-partition-planning boundaries, exact like a sort-based
+  *    histogram but built from counting passes only.
+  *  - q151 per-group OLS ([[Stats.olsByGroup]]): token-count-on-length
+  *    regression per source in exact DECIMAL(38,0) moments, slope in
+  *    integer ppm.
+  *  - q152 RFM segmentation ([[Behavior.rfmScores]]): recency/
+  *    frequency/monetary grades from exact equi-depth cuts — no ntile,
+  *    no single-task window, deterministic under ties.
+  */
+object Wave20 {
+
+  private val CoreK = 3
+  private val CoreRounds = 3
+  private val HistBuckets = 16
+  // 2024-01-15 00:00:00 UTC — the q140 snapshot boundary, reused as the
+  // state-A/state-B split so the two queries certify the same cut from
+  // the row-level and aggregate-level sides
+  private val CutUs = 1705276800000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dense-core survivors of the mutual-kNN graph after 3 peel rounds.
+    "q148_kcore" -> { (s, d) =>
+      val edges = Similarity.mutualKnnLsh(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = Wave18.KnnK, exact = true)
+      Graphs.kCore(edges, "id_a", "id_b", CoreK, CoreRounds)
+        .orderBy(col("id"))
+    },
+
+    // Additive state built per half-log, merged — vs one-shot oracle.
+    "q149_state_merge" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("day", expr("t DIV 86400000000"))
+      val a = Agg.additiveState(e.filter(col("t") < CutUs),
+        Seq("user_id", "day"), col("cents"))
+      val b = Agg.additiveState(e.filter(col("t") >= CutUs),
+        Seq("user_id", "day"), col("cents"))
+      Agg.mergeAdditiveStates(Seq("user_id", "day"), a, b)
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // Exact 16-bucket equi-depth histogram of lineitem prices.
+    "q150_equidepth_hist" -> { (s, d) =>
+      Quantiles.equiDepthHistogram(
+        Tables.lineitem(s, d).select(
+          floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents", HistBuckets)
+    },
+
+    // Per-source OLS of token count on character length, exact moments.
+    "q151_groupwise_ols" -> { (s, d) =>
+      Stats.olsByGroup(Tables.documents(s, d), "source",
+        col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text")))
+        .orderBy(col("source"))
+    },
+
+    // RFM grades for buyers, exact equi-depth quintiles.
+    "q152_rfm" -> { (s, d) =>
+      Behavior.rfmScores(Tables.events(s, d), "user_id", "ts",
+        "event_type", "value", "purchase", buckets = 5)
+        .orderBy(col("user_id"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  /** One synchronous peel round in SQL: degree over the subgraph
+    * induced by the previous survivors, keep deg >= k. */
+  private def sqlPeelRound(prevEdges: String, r: Int): String =
+    s"""d$r AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM $prevEdges
+       |    UNION ALL SELECT v FROM $prevEdges)
+       |  GROUP BY 1),
+       |a$r AS (SELECT id FROM d$r WHERE deg >= $CoreK),
+       |e${r + 1} AS (
+       |  SELECT u, v FROM e
+       |  WHERE u IN (SELECT id FROM a$r) AND v IN (SELECT id FROM a$r))"""
+      .stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q148_kcore" -> {
+      val rounds = (1 to CoreRounds)
+        .map(r => sqlPeelRound(if (r == 1) "e" else s"e$r", r))
+        .mkString(",\n")
+      s"""WITH ${Wave18.SqlKnnEdges},
+         |$rounds
+         |SELECT id, deg FROM d$CoreRounds WHERE deg >= $CoreK
+         |ORDER BY id""".stripMargin
+    },
+
+    // the ONE-SHOT aggregate: equality with the engine's two-state fold
+    // IS the merge-law proof
+    "q149_state_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, t // 86400000000 AS day,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_v,
+        |  min(cents) AS min_v, max(cents) AS max_v
+        |FROM e GROUP BY 1, 2
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q150_equidepth_hist" ->
+      s"""WITH v AS (
+         |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM v),
+         |n AS (SELECT count(*) AS n FROM v),
+         |k AS (SELECT (i * n.n) // $HistBuckets AS krank
+         |      FROM range(1, $HistBuckets) r(i), n),
+         |cuts AS (SELECT list(s.v ORDER BY s.rk) AS cs
+         |         FROM s JOIN k ON s.rk = k.krank),
+         |b AS (SELECT v, len(list_filter(cs, c -> c <= v)) AS bucket
+         |      FROM v, cuts)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, min(v) AS lo,
+         |  max(v) AS hi, count(*) AS cnt
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q151_groupwise_ols" ->
+      """WITH t AS (
+        |  SELECT source, CAST(n_chars AS HUGEINT) AS x,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z]+'), z -> z <> '')) AS HUGEINT) AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST((1000 * sx) // n AS BIGINT) AS mean_x_milli,
+        |  CAST((1000 * sy) // n AS BIGINT) AS mean_y_milli,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST((1000000 * (n * sxy - sx * sy))
+        |         // (n * sxx - sx * sx) AS BIGINT)
+        |  END AS slope_ppm
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q152_rfm" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    event_type AS et, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |anchor AS (SELECT max(t // 86400000000) AS aday FROM e),
+        |b AS (
+        |  SELECT u, (SELECT aday FROM anchor)
+        |      - max(t // 86400000000) AS r_days,
+        |    count(*) AS f, CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM e WHERE et = 'purchase' GROUP BY u),
+        |n AS (SELECT count(*) AS n FROM b),
+        |kr AS (SELECT (i * n.n) // 5 AS krank FROM range(1, 5) r(i), n),
+        |rc AS (SELECT list(s.v ORDER BY s.rk) AS cs FROM (
+        |         SELECT r_days AS v,
+        |           row_number() OVER (ORDER BY r_days) - 1 AS rk FROM b) s
+        |       JOIN kr ON s.rk = kr.krank),
+        |fc AS (SELECT list(s.v ORDER BY s.rk) AS cs FROM (
+        |         SELECT f AS v,
+        |           row_number() OVER (ORDER BY f) - 1 AS rk FROM b) s
+        |       JOIN kr ON s.rk = kr.krank),
+        |mc AS (SELECT list(s.v ORDER BY s.rk) AS cs FROM (
+        |         SELECT m_cents AS v,
+        |           row_number() OVER (ORDER BY m_cents) - 1 AS rk FROM b) s
+        |       JOIN kr ON s.rk = kr.krank)
+        |SELECT u AS user_id, r_days, f, m_cents,
+        |  CAST(5 - len(list_filter(rc.cs, c -> c <= r_days)) AS BIGINT)
+        |    AS r_score,
+        |  CAST(len(list_filter(fc.cs, c -> c <= f)) + 1 AS BIGINT)
+        |    AS f_score,
+        |  CAST(len(list_filter(mc.cs, c -> c <= m_cents)) + 1 AS BIGINT)
+        |    AS m_score
+        |FROM b, rc, fc, mc ORDER BY user_id""".stripMargin
+  )
+}

@@ -285,4 +285,57 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     (p.contains("ObjectHashAggregate") || p.contains("SortAggregate")) shouldBe true
     p should not include "CartesianProduct"
   }
+
+  test("q139: rollup covers all grouping sets with ONE Expand — no repeated scans") {
+    val p = plan("q139_rollup_revenue")
+    p.sliding("Expand".length).count(_ == "Expand") shouldBe 1
+    p should not include "CartesianProduct"
+    // the three dim joins broadcast (customer/nation/region are small)
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q142: funnel is keyed min-aggregations — NO window, no cartesian") {
+    // the per-user sequence recurrence must stay unrolled into joins +
+    // partial-aggregated mins; a Window (or collect_list sort) here
+    // would buffer whole users per task for no fewer shuffles
+    val p = plan("q142_funnel")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q144/q147: behavioral windows are USER-partitioned, never global") {
+    Seq("q144_gapfill", "q147_transitions").foreach { q =>
+      val p = plan(q)
+      p should include("Window")
+      // an unpartitioned window materializes as Exchange SinglePartition
+      p should not include "Exchange SinglePartition"
+      p should not include "CartesianProduct"
+    }
+  }
+
+  test("q145: SNM neighbor join is an equi-join on rank blocks — no range/cartesian join") {
+    val p = plan("q145_snm_neardup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    // the rank itself comes from bucket-partitioned windows
+    p should include("windowspecdefinition(__gr_bucket")
+    p should not include "Exchange SinglePartition"
+  }
+
+  test("q148: k-core rounds are semi-joins + counts — no window, no cartesian") {
+    val p = plan("q148_kcore")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should include("LeftSemi")
+  }
+
+  test("q152: RFM grades are codegen when-chains — no ntile, no global window") {
+    val p = plan("q152_rfm")
+    p should not include "Window"
+    p should not include "Exchange SinglePartition"
+    p should not include "CartesianProduct"
+  }
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-20 operator contracts: k-core peeling semantics, the additive
+  * state merge law, equi-depth histogram exactness, OLS closed-form
+  * parity, RFM grade laws. */
+class Wave20Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ------------------------------------------------- kCore
+
+  test("kCore peels a pendant path off a clique, round by round") {
+    import spark.implicits._
+    // K4 on 1..4 plus path 4-5-6-7: at k=2, round 1 drops only 7 (deg 1),
+    // round 2 drops 6 (its deg fell to 1), round 3 drops 5; the K4 is
+    // the 2-core (in fact 3-core) and survives any number of rounds
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L),
+      (2L, 1L), (1L, 1L)) // reversed dup + self-loop: normalized away
+      .toDF("a", "b")
+    def survivors(rounds: Int): Set[Long] =
+      Graphs.kCore(edges, "a", "b", k = 2, rounds = rounds)
+        .select("id").as[Long].collect().toSet
+    survivors(1) shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L)
+    survivors(2) shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    survivors(3) shouldBe Set(1L, 2L, 3L, 4L)
+    survivors(5) shouldBe Set(1L, 2L, 3L, 4L) // fixpoint reached
+    // the K4 core reports its induced degrees
+    val deg = Graphs.kCore(edges, "a", "b", 2, 5)
+      .as[(Long, Long)].collect().toMap
+    deg.values.toSet shouldBe Set(3L)
+  }
+
+  test("kCore at k above the max degree empties the graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    Graphs.kCore(edges, "a", "b", k = 3, rounds = 2).count() shouldBe 0L
+  }
+
+  // ------------------------------------------------- additive state
+
+  test("additiveState merge law: any split folds to the one-shot state") {
+    val e = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("t DIV 86400000000"))
+    val keys = Seq("user_id", "day")
+    val oneShot = Agg.additiveState(e, keys, col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // three-way split on pmod of the event's microsecond timestamp —
+    // arbitrary, overlapping every key
+    val parts = (0 until 3).map(i =>
+      Agg.additiveState(e.filter(pmod(col("t"), lit(3)) === i), keys,
+        col("cents")))
+    val merged = Agg.mergeAdditiveStates(keys, parts: _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    merged shouldBe oneShot
+    merged should not be empty
+  }
+
+  // ------------------------------------------------- equi-depth histogram
+
+  test("equiDepthHistogram equals the brute bucket build; counts sum to n") {
+    val cents = graft.Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+    val got = Quantiles.equiDepthHistogram(cents, "v", nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val vals = cents.collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    val cuts = (1 until 8).map(i => vals((i * n / 8).toInt))
+    val brute = vals.groupBy(v => cuts.count(_ <= v).toLong)
+      .map { case (b, vs) => (b, vs.min, vs.max, vs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    got.toSeq shouldBe brute
+    got.map(_._4).sum shouldBe n
+    // depth is equi: no bucket more than ~2x the ideal depth on this
+    // near-unique column
+    got.map(_._4).max should be <= 2 * (n / 8 + 1)
+  }
+
+  // ------------------------------------------------- OLS
+
+  test("olsByGroup matches the closed form; constant-x group is null") {
+    import spark.implicits._
+    // y = 3x + 7 exactly, plus a degenerate group
+    val df = ((1 to 10).map(i => ("lin", i.toLong, 3L * i + 7)) ++
+      (1 to 5).map(i => ("flat", 4L, i.toLong))).toDF("g", "x", "y")
+    val out = Stats.olsByGroup(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    out("lin") shouldBe ((10L, 5500L, 23500L, Some(3000000L)))
+    out("flat")._4 shouldBe None
+  }
+
+  test("olsByGroup slope is scale-exact on a known rational slope") {
+    import spark.implicits._
+    // y = x/3 rounded down: slope_ppm must land within one ppm-floor of
+    // the exact regression computed driver-side
+    val rows = (1 to 30).map(i => ("g", i.toLong, i.toLong / 3))
+    val got = Stats.olsByGroup(rows.toDF("g", "x", "y"), "g",
+      col("x"), col("y")).collect().head.getLong(4)
+    val n = rows.length.toLong
+    val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+    val sxx = rows.map(r => r._2 * r._2).sum
+    val sxy = rows.map(r => r._2 * r._3).sum
+    got shouldBe (1000000L * (n * sxy - sx * sy)) / (n * sxx - sx * sx)
+  }
+
+  // ------------------------------------------------- RFM
+
+  test("rfmScores: grade laws on the sf events") {
+    val out = Behavior.rfmScores(graft.Tables.events(spark, sfDir),
+      "user_id", "ts", "event_type", "value", "purchase").collect()
+    out.length should be > 4
+    out.foreach { r =>
+      val (rS, fS, mS) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      Seq(rS, fS, mS).foreach { s => s should (be >= 1L and be <= 5L) }
+    }
+    // monetary grades are monotone in m_cents: sort by m, scores ascend
+    val byM = out.sortBy(_.getLong(3)).map(_.getLong(6))
+    byM.zip(byM.tail).foreach { case (a, b) => a should be <= b }
+    // recency grades are ANTI-monotone in r_days
+    val byR = out.sortBy(_.getLong(1)).map(_.getLong(4))
+    byR.zip(byR.tail).foreach { case (a, b) => a should be >= b }
+  }
+}
