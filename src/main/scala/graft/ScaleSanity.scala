@@ -202,7 +202,9 @@ object ScaleSanity {
   }
 
   private val EventQueries = Set("q140_cdc_merge", "q142_funnel",
-    "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions")
+    "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions",
+    "q149_state_merge", "q152_rfm", "q153_pivot", "q154_unpivot",
+    "q155_rolling_metrics", "q157_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -231,7 +233,8 @@ object ScaleSanity {
       scaleGraph(spark, sfDir, mult, workDir)
     if (queries.exists(EventQueries))
       scaleEvents(spark, sfDir, mult, workDir)
-    if (queries.contains("q136_exact_quantiles"))
+    if (queries.contains("q136_exact_quantiles") ||
+        queries.contains("q150_equidepth_hist"))
       scaleLineitemPrices(spark, sfDir, mult, workDir)
     if (queries.contains("q137_zorder_layout"))
       scaleOrdersLayout(spark, sfDir, mult, workDir)

@@ -84,8 +84,63 @@ object Graphs {
     val adj = und.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
       .cache()
-    val ids = nodes.select(col(idCol).as("id"))
-    var r = ids.select(col("id"), lit(1000000L).as("rank"))
+    val base = nodes.select(col(idCol).as("id"),
+      lit(1000000L).as("init"), lit(150000L).as("floor"))
+    rankRounds(adj, base, iters, checkpointInterval, persist)
+  }
+
+  /** Personalized PageRank (seed-restarted), same integer micro-unit
+    * arithmetic as [[pageRankInt]] but teleport mass flows ONLY to the
+    * seed set:
+    *
+    *   r₀(v)    = 1,000,000 if v ∈ seeds else 0
+    *   rₜ₊₁(v) = (150,000 if v ∈ seeds else 0)
+    *             + (Σ_{u∈N(v)} (rₜ(u) div deg(u))) · 17 div 20
+    *
+    * — the seed-relevance expansion pass (graph-proximity scoring from
+    * a trusted/example set: "find documents structurally close to THESE"
+    * over a near-dup or kNN graph). Same edge-intake normalization,
+    * adjacency caching, round shape, and checkpoint contract as
+    * [[pageRankInt]]; non-seed nodes unreachable from any seed hold
+    * rank 0. Seeds not present in `nodes` are ignored (inner flag
+    * join). */
+  def personalizedPageRankInt(edges: DataFrame, aCol: String, bCol: String,
+                              nodes: DataFrame, idCol: String,
+                              seeds: DataFrame, seedCol: String,
+                              iters: Int = 3,
+                              checkpointInterval: Int = 0,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def persist(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val fwd = edges
+      .select(least(col(aCol), col(bCol)).as("src"),
+        greatest(col(aCol), col(bCol)).as("dst"))
+      .dropDuplicates("src", "dst").cache()
+    val und = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = und.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
+      .cache()
+    val seedIds = seeds.select(col(seedCol).as("id"), lit(true).as("__s"))
+      .dropDuplicates("id")
+    val base = nodes.select(col(idCol).as("id"))
+      .join(seedIds, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s"), lit(1000000L)).otherwise(0L).as("init"),
+        when(col("__s"), lit(150000L)).otherwise(0L).as("floor"))
+    rankRounds(adj, base, iters, checkpointInterval, persist)
+  }
+
+  /** Shared synchronous-round core: `base` supplies per-node `(id,
+    * init, floor)`; each round is the adjacency join + keyed share sum
+    * + floor re-add. Emits `(id, rank)`. */
+  private def rankRounds(adj: DataFrame, base: DataFrame, iters: Int,
+                         checkpointInterval: Int,
+                         persist: DataFrame => DataFrame): DataFrame = {
+    var r = base.select(col("id"), col("init").as("rank"))
     for (k <- 1 to iters) {
       // explicit aliases: after round 1, r's plan CONTAINS adj — without
       // them the equi-join condition is ambiguous self-join references
@@ -93,9 +148,9 @@ object Graphs {
         .select(explode(col("a.nbrs")).as("dst"),
           expr("p.rank DIV a.deg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("s"))
-      r = ids.as("n").join(contrib.as("c"), col("n.id") === col("c.dst"), "left")
+      r = base.as("n").join(contrib.as("c"), col("n.id") === col("c.dst"), "left")
         .select(col("n.id").as("id"),
-          (lit(150000L) + expr("(coalesce(c.s, 0L) * 17) DIV 20")).as("rank"))
+          (col("n.floor") + expr("(coalesce(c.s, 0L) * 17) DIV 20")).as("rank"))
       // truncate lineage mid-run only — the final round's plan stays lazy
       // so the caller composes/writes it like any other frame
       if (checkpointInterval > 0 && k % checkpointInterval == 0 && k < iters)

@@ -82,6 +82,53 @@ object Reducers {
       .select(col(keyCol) +: out: _*)
   }
 
+  /** Per-key winsorization (percentile clipping): clamp `valCol` into
+    * its own group's `[loPm, hiPm]` per-mille quantile band. Bounds use
+    * [[quantilesBy]]'s exact integer interpolation kept in MILLI-units
+    * (never divided into a double — `a·1000 + (b−a)·rem` is an exact
+    * integer, so the clamp `greatest(lo, least(hi, v·1000))` replays
+    * bit-for-bit in any engine). Output: the input columns plus
+    * `(lo_milli, hi_milli, clipped_milli)`.
+    *
+    * The feature-engineering partner of [[madOutliers]]: MAD *flags*
+    * outliers, winsorize *caps* them. One rank-window pass per key
+    * (partition = group, same bound as quantilesBy) + a keyed
+    * bounds-join back. */
+  def winsorizeBy(df: DataFrame, keyCol: String, valCol: String,
+                  loPm: Int, hiPm: Int): DataFrame = {
+    require(0 <= loPm && loPm < hiPm && hiPm <= 1000,
+      s"need 0 <= loPm < hiPm <= 1000: ($loPm, $hiPm)")
+    val wR = Window.partitionBy(col("__k")).orderBy(col("__v"))
+    val wC = Window.partitionBy(col("__k"))
+    val base = df
+      .select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(wR).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(wC))
+    def parts(tag: String, pm: Int) = {
+      val pos = (col("__cnt") - 1) * pm
+      val rem = pmod(pos, lit(1000L))
+      val lo = ((pos - rem) / 1000).cast("long")
+      Seq(
+        max(when(col("__rn") === lo + 1, col("__v"))).as(s"__a_$tag"),
+        max(when(col("__rn") === least(lo + 2, col("__cnt")), col("__v")))
+          .as(s"__b_$tag"),
+        max(rem).as(s"__r_$tag"))
+    }
+    def milli(tag: String): Column =
+      col(s"__a_$tag") * 1000 +
+        (col(s"__b_$tag") - col(s"__a_$tag")) * col(s"__r_$tag")
+    val aggs = parts("lo", loPm) ++ parts("hi", hiPm)
+    val bounds = base.groupBy(col("__k"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__k"), milli("lo").as("lo_milli"),
+        milli("hi").as("hi_milli"))
+    df.join(bounds, col(keyCol) === bounds("__k"))
+      .drop("__k")
+      .withColumn("clipped_milli",
+        greatest(col("lo_milli"),
+          least(col("hi_milli"), col(valCol).cast("long") * 1000)))
+  }
+
   /** Robust per-key outlier profile via median absolute deviation — the
     * anomaly statistic that survives the outliers it hunts (mean/stddev
     * z-scores get dragged by the very spikes they should flag). Two

@@ -858,4 +858,57 @@ object Similarity {
         when(col("cos_q").isNotNull && col("cos_q") < thrQ, 1L)
           .otherwise(0L))
   }
+
+  /** Johnson–Lindenstrauss SIGN random projection to `outDim`
+    * dimensions (Achlioptas ±1 variant): `y_j = Σ_i s_{j,i} · q_i` with
+    * `q_i = floor(x_i · 2^20)` (the house fixed-point quantization) and
+    * `s_{j,i} = 1 − 2·(md5("rp:<seed>:<j>:<i>") mod 2)` — exact integer
+    * arithmetic throughout, so the projection replays bit-for-bit in
+    * any engine (the md5-derivation idiom of the LSH hyperplanes,
+    * [[autoBits]] family). Output: LONG format `(idCol, j, y)` — one
+    * row per (vector, output dimension).
+    *
+    * The dimensionality-reduction front half of a cheaper ANN tier:
+    * distances are preserved within (1±ε) at outDim = O(log n / ε²),
+    * and a ±1 matrix needs no floats, no BLAS, and no stored model —
+    * the "model" IS (seed, outDim). Per-row cost O(inDim · outDim) in
+    * a tight typed loop (sign matrix tabulated once per partition);
+    * no shuffle — partitioning is the caller's. All vectors must share
+    * one length (the 64-dim house contract). */
+  def randomProjectSigns(vecs: DataFrame, idCol: String, vecCol: String,
+                         outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sgn(j: Int, i: Int): Long = {
+          val h = md.digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+          val w = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          1L - 2L * (w % 2)
+        }
+        var signs: Array[Array[Long]] = null
+        it.flatMap { case (id, vec) =>
+          if (signs == null)
+            signs = Array.tabulate(outDim, vec.length)(sgn)
+          val q = new Array[Long](vec.length)
+          var i = 0
+          while (i < vec.length) {
+            q(i) = math.floor(vec(i).toDouble * 1048576.0).toLong
+            i += 1
+          }
+          (0 until outDim).iterator.map { j =>
+            val row = signs(j)
+            var s = 0L
+            var k = 0
+            while (k < q.length) { s += row(k) * q(k); k += 1 }
+            (id, j.toLong, s)
+          }
+        }
+      }
+      .toDF(idCol, "j", "y")
+  }
 }

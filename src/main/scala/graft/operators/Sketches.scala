@@ -262,6 +262,68 @@ object Sketches {
     * registers, reg_sum = sum of registers — a replayable register
     * checksum, hll_est). Scale: the only corpus-sized stage is the
     * gram explode; everything after is register-bounded. */
+  /** Shared HLL front half: `(g, bucket, rho)` per DISTINCT word
+    * n-gram — md5 32-bit slice, bucket = top `p` bits, rho = leading-
+    * zero rank of the remaining `32-p` bits (bin()-length arithmetic,
+    * no floats). */
+  private def gramRho(docs: DataFrame, groupCol: String, textCol: String,
+                      n: Int, p: Int): DataFrame = {
+    val wBits = 32 - p
+    val k = wBits + 1
+    val toksDistinct = docs.select(col(groupCol).as("g"),
+        explode(T.shingles(col(textCol), n)).as("tok"))
+      .distinct()
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    toksDistinct.select(col("g"),
+      shiftright(h, wBits).as("bucket"),
+      h.bitwiseAND(lit((1L << wBits) - 1L)).as("w"))
+      .select(col("g"), col("bucket"),
+        when(col("w") === 0, lit(k))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+  }
+
+  /** Per-(group, bucket) HLL registers over word n-grams —
+    * `(groupCol, bucket, reg)`, the PERSISTABLE form of the sketch.
+    * Registers merge by plain max: `registers(A ∪ B) = per-bucket max
+    * of registers(A), registers(B)` (max is the sketch's monoid), so
+    * per-partition sketches can be stored and folded later —
+    * [[hllMergeEstimate]] turns any union of register frames into one
+    * estimate. Exactly [[hllDistinctGrams]]'s register construction,
+    * exposed at the bucket grain. */
+  def hllRegistersGrams(docs: DataFrame, groupCol: String, textCol: String,
+                        n: Int = 3, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8]: $p")
+    require(n >= 1, s"n must be >= 1: $n")
+    gramRho(docs, groupCol, textCol, n, p)
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .select(col("g").as(groupCol), col("bucket"), col("reg"))
+  }
+
+  /** Fold ANY set of [[hllRegistersGrams]] rows (across groups, ingest
+    * batches, or snapshots) into one union estimate: per-bucket max,
+    * then the same integer-rational raw estimator as
+    * [[hllDistinctGrams]]. Output: one row `(nz, reg_sum, hll_est)`.
+    * Register-bounded at every stage — the input is already
+    * ≤ groups × 2^p rows. */
+  def hllMergeEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8]: $p")
+    val m = 1 << p
+    val wBits = 32 - p
+    val k = wBits + 1
+    val num = 7213L * m * m * m * (1L << k)
+    val denomC = 10000L * m + 10790L
+    regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .agg(count(lit(1)).as("nz"), sum(col("reg")).as("reg_sum"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($k - reg AS INT))"))
+          .as("s_present"))
+      .select(col("nz"), col("reg_sum"),
+        (col("s_present") + (lit(m.toLong) - col("nz")) * lit(1L << k))
+          .as("s"))
+      .select(col("nz"), col("reg_sum"),
+        expr(s"${num}L DIV (${denomC}L * s)").as("hll_est"))
+  }
+
   def hllDistinctGrams(docs: DataFrame, groupCol: String, textCol: String,
                        n: Int = 3, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in [4, 8]: $p")
@@ -276,17 +338,8 @@ object Sketches {
     // sum of per-bucket distinct counts — the exact-comparison column
     // costs no second corpus pass (it previously re-exploded and
     // re-deduped the entire gram stream; 9.4 s -> ~half at sf0.1).
-    val toksDistinct = docs.select(col(groupCol).as("g"),
-        explode(T.shingles(col(textCol), n)).as("tok"))
-      .distinct()
-    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-    val rho = toksDistinct.select(col("g"),
-      shiftright(h, wBits).as("bucket"),
-      h.bitwiseAND(lit((1L << wBits) - 1L)).as("w"))
-      .select(col("g"), col("bucket"),
-        when(col("w") === 0, lit(k))
-          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
-    val regs = rho.groupBy(col("g"), col("bucket"))
+    val regs = gramRho(docs, groupCol, textCol, n, p)
+      .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("reg"), count(lit(1)).as("nd_b"))
     regs.groupBy(col("g"))
       .agg(count(lit(1)).as("nz"), sum(col("reg")).as("reg_sum"),

@@ -34,7 +34,7 @@ object Wave13 {
   private val CollocMin = 5L
   private val CollocK = 50
   private val PrIters = 3
-  private val PrTau = 0.9
+  private[queries] val PrTau = 0.9
   // cos-to-centroid on the synthetic embeddings spans [-0.30, 0.47]
   // (median 0.15): zero splits the corpus ~10/90 — a discriminative flag
   private val OutlierThr = 0.0
@@ -72,7 +72,7 @@ object Wave13 {
   /** Shared edge CTE for q115: exact token-set Jaccard pairs >= 0.9
     * (what the verified MinHash path outputs — same oracle family as
     * q25/q26/q65). */
-  private val SqlNearDupEdges =
+  private[queries] val SqlNearDupEdges =
     s"""toks AS (
        |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
        |  FROM documents),

@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Joins, Sketches}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave 21 — round-9 additions, the reshaping + reporting tier:
+  *
+  *  - q153 pivot (`groupBy().pivot()` with an explicit value list):
+  *    day × event-type count matrix — the wide-report shape; one scan,
+  *    one shuffle, deterministic columns.
+  *  - q154 unpivot (`Dataset.unpivot`): melts q153's wide frame back to
+  *    long form; the oracle rebuilds the full day × type grid
+  *    relationally, so the pair certifies the pivot↔unpivot round trip.
+  *  - q155 trailing 7-row daily metrics: DAU/events/revenue per day
+  *    with rolling sums — the window is over the DAILY series (≤ the
+  *    log's day span, domain-bounded state however large the corpus;
+  *    the rows-frame reading assumes the daily series is dense, which
+  *    the per-day aggregate guarantees for any day with events).
+  *  - q156 HLL union merge law ([[Sketches.hllRegistersGrams]] +
+  *    [[Sketches.hllMergeEstimate]]): per-source register sketches
+  *    folded by per-bucket max vs the oracle's one-shot global sketch —
+  *    `registers(A ∪ B) = max(registers(A), registers(B))`, the sketch
+  *    analogue of q149's additive merge law (this is what makes HLL
+  *    states persistable per ingest batch and unionable later for
+  *    free).
+  *  - q157 last-touch attribution ([[Joins.asOf]] composition): each
+  *    purchase attributed to the user's latest prior view/click within
+  *    a 3-day horizon, else "(none)" — the classic marketing-analytics
+  *    join, one user-partitioned merge pass, no per-purchase probe
+  *    (ties at equal timestamps attribute the same-instant touch; the
+  *    fixture has no duplicate (user, ts) pairs, and [[Joins.asOf]]'s
+  *    tie order is right-side-first so equal-time touches count).
+  */
+object Wave21 {
+
+  /** Pivot value list — pinned and sorted so columns are deterministic
+    * (a discovery pivot would re-scan AND order columns by data). */
+  private val Types = Seq("click", "error", "purchase", "signup", "view")
+  private val HorizonUs = 3L * 86400000000L // q157: 3-day horizon
+
+  private val SqlEv =
+    """e AS (
+      |  SELECT user_id AS u, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    event_type AS et, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events)""".stripMargin
+
+  private def dayEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("t"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("t DIV 86400000000"))
+
+  /** q153's wide frame (shared with q154's unpivot). */
+  private def pivoted(s: SparkSession, d: String): DataFrame =
+    dayEvents(s, d)
+      .groupBy(col("day")).pivot("event_type", Types)
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        Types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Wide day × event-type count matrix.
+    "q153_pivot" -> { (s, d) => pivoted(s, d).orderBy(col("day")) },
+
+    // Melt the wide matrix back to (day, event_type, n) long form.
+    "q154_unpivot" -> { (s, d) =>
+      pivoted(s, d)
+        .unpivot(Array(col("day")), Types.map(col).toArray,
+          "event_type", "n")
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // Daily DAU/events/revenue with trailing 7-row rolling sums.
+    "q155_rolling_metrics" -> { (s, d) =>
+      val daily = dayEvents(s, d)
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("rev_cents"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day"), col("dau"), col("n_events"),
+        col("rev_cents"),
+        sum(col("dau")).over(w).as("roll7_dau"),
+        count(lit(1)).over(w).as("roll7_days"))
+        // avg in milli over the ACTUAL frame size (edge days < 7 rows)
+        .withColumn("roll7_dau_avg_milli",
+          expr("(1000 * roll7_dau) DIV roll7_days"))
+        .orderBy(col("day"))
+    },
+
+    // Per-source HLL registers folded into ONE union estimate vs the
+    // exact global distinct-gram count.
+    "q156_hll_union" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val est = Sketches.hllMergeEstimate(
+        Sketches.hllRegistersGrams(docs, "source", "text"))
+      val exact = docs
+        .select(explode(T.shingles(col("text"), 3)).as("tok"))
+        .distinct().agg(count(lit(1)).as("n_distinct"))
+      exact.crossJoin(est)
+    },
+
+    // Last-touch attribution of purchases within a 3-day horizon.
+    "q157_attribution" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("t"), col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("t"),
+          struct(col("t").as("touch_t"),
+            col("event_type").as("touch_type")).as("pay"))
+      Joins.asOf(purchases, touches, "user_id", "t", "pay")
+        .withColumn("touch",
+          when(col("asof_val").isNotNull &&
+            col("t") - col("asof_val.touch_t") <= HorizonUs,
+            col("asof_val.touch_type")).otherwise("(none)"))
+        .groupBy(col("touch").as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("touch_type"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  private val SqlTypeList = Types.map(t => s"'$t'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q153_pivot" -> {
+      val cases = Types.map(t =>
+        s"CAST(sum(CASE WHEN et = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n  ")
+      s"""WITH $SqlEv
+         |SELECT t // 86400000000 AS day,
+         |  $cases
+         |FROM e GROUP BY 1 ORDER BY day""".stripMargin
+    },
+
+    // the relational long-form grid the unpivot must reproduce
+    "q154_unpivot" ->
+      s"""WITH $SqlEv,
+         |d AS (SELECT DISTINCT t // 86400000000 AS day FROM e),
+         |ty AS (SELECT unnest([$SqlTypeList]) AS event_type),
+         |c AS (SELECT t // 86400000000 AS day, et AS event_type,
+         |        count(*) AS n
+         |      FROM e GROUP BY 1, 2)
+         |SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n
+         |FROM d CROSS JOIN ty
+         |LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
+         |ORDER BY d.day, ty.event_type""".stripMargin,
+
+    "q155_rolling_metrics" ->
+      s"""WITH $SqlEv,
+         |daily AS (
+         |  SELECT t // 86400000000 AS day,
+         |    count(DISTINCT u) AS dau, count(*) AS n_events,
+         |    CAST(sum(cents) AS BIGINT) AS rev_cents
+         |  FROM e GROUP BY 1)
+         |SELECT day, dau, n_events, rev_cents,
+         |  CAST(sum(dau) OVER w AS BIGINT) AS roll7_dau,
+         |  CAST(count(*) OVER w AS BIGINT) AS roll7_days,
+         |  CAST((1000 * sum(dau) OVER w) // count(*) OVER w AS BIGINT)
+         |    AS roll7_dau_avg_milli
+         |FROM daily
+         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+         |             AND CURRENT ROW)
+         |ORDER BY day""".stripMargin,
+
+    // one-shot GLOBAL sketch replay — equality with the engine's
+    // per-source-then-merged path IS the union law proof
+    "q156_hll_union" ->
+      """WITH tk AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+2], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS tok
+        |  FROM tk),
+        |h AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+        |      FROM tok),
+        |br AS (SELECT h // 16777216 AS bucket, h % 16777216 AS w FROM h),
+        |rho AS (SELECT bucket,
+        |          CASE WHEN w = 0 THEN 25
+        |               ELSE 25 - length(bin(w)) END AS rho
+        |        FROM br),
+        |reg AS (SELECT bucket, max(rho) AS reg FROM rho GROUP BY 1),
+        |agg AS (SELECT count(*) AS nz, sum(reg) AS reg_sum,
+        |          sum(CAST(1 AS BIGINT) << (25 - reg)) AS s_present
+        |        FROM reg),
+        |s AS (SELECT nz, reg_sum,
+        |        s_present + (256 - nz) * (CAST(1 AS BIGINT) << 25) AS s
+        |      FROM agg),
+        |nd AS (SELECT count(*) AS n_distinct FROM tok)
+        |SELECT CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(s.nz AS BIGINT) AS nz,
+        |  CAST(s.reg_sum AS BIGINT) AS reg_sum,
+        |  CAST(4060558014027923456 // (2570790 * s.s) AS BIGINT)
+        |    AS hll_est
+        |FROM s, nd""".stripMargin,
+
+    "q157_attribution" ->
+      s"""WITH $SqlEv,
+         |p AS (SELECT u, t, event_id, cents FROM e
+         |      WHERE et = 'purchase'),
+         |tt AS (SELECT u, t, et FROM e WHERE et IN ('view', 'click')),
+         |cand AS (
+         |  SELECT p.event_id AS pe, p.cents, p.t AS pt, tt.t AS ttt,
+         |    tt.et,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |      ORDER BY tt.t DESC) AS rk
+         |  FROM p LEFT JOIN tt ON p.u = tt.u AND tt.t <= p.t),
+         |best AS (
+         |  SELECT pe, cents,
+         |    CASE WHEN ttt IS NOT NULL AND pt - ttt <= $HorizonUs
+         |         THEN et ELSE '(none)' END AS touch
+         |  FROM cand WHERE rk = 1)
+         |SELECT touch AS touch_type, count(*) AS n_purchases,
+         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+         |FROM best GROUP BY 1 ORDER BY touch_type""".stripMargin
+  )
+}

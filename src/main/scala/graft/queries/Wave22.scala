@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Graphs, Reducers, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 22 — round-9 additions, the relevance-expansion +
+  * feature-engineering tier:
+  *
+  *  - q158 personalized PageRank ([[Graphs.personalizedPageRankInt]]):
+  *    teleport mass restricted to a seed set — graph-proximity scoring
+  *    from trusted examples over the near-dup graph ("find documents
+  *    structurally close to THESE"), the seed-expansion pass of a
+  *    curation pipeline. Integer micro-units, 3 synchronous rounds,
+  *    unrolled-CTE oracle like q115/q121.
+  *  - q159 JL sign random projection
+  *    ([[Similarity.randomProjectSigns]]): 64 → 16 dims with an
+  *    md5-derived ±1 matrix in exact integer arithmetic — the
+  *    no-model dimensionality reduction in front of a cheaper ANN
+  *    tier.
+  *  - q160 per-source winsorization ([[Reducers.winsorizeBy]]):
+  *    document lengths clipped into their own source's [p05, p95]
+  *    band, bounds in exact milli-units (never a double).
+  *  - q161 Benford leading-digit profile: per-digit observed vs the
+  *    Benford expectation in per-mille (exact literals both sides) —
+  *    the data-quality screen for fabricated/synthetic numeric
+  *    columns.
+  */
+object Wave22 {
+
+  private val PprIters = 3
+  private val SeedMod = 50 // q158: seeds = doc_id % 50 == 0
+  private val ProjDim = 16
+  private val ProjSeed = 42L
+  private val WinsLo = 50
+  private val WinsHi = 950
+  /** floor(log10(1 + 1/d) · 1000) for d = 1..9 — exact per-mille
+    * Benford expectations, pinned as literals on BOTH sides. */
+  private val BenfordPm = Seq(301, 176, 124, 96, 79, 66, 57, 51, 45)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Seed-restarted PageRank over the near-dup graph.
+    "q158_ppr" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = graft.operators.Dedup.minhashNearDupPairs(
+        docs, "doc_id", "text", Wave13.PrTau)
+      Graphs.personalizedPageRankInt(edges, "doc_a", "doc_b",
+        docs, "doc_id",
+        docs.filter(col("doc_id") % SeedMod === 0), "doc_id",
+        iters = PprIters)
+        .orderBy(col("id"))
+    },
+
+    // 64 → 16 dim ±1 projection, exact integers, long format.
+    "q159_random_projection" -> { (s, d) =>
+      Similarity.randomProjectSigns(Tables.embeddings(s, d),
+        "vec_id", "embedding", ProjDim, ProjSeed)
+        .orderBy(col("vec_id"), col("j"))
+    },
+
+    // Document lengths clipped to their source's [p05, p95] band.
+    "q160_winsorize" -> { (s, d) =>
+      Reducers.winsorizeBy(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", WinsLo, WinsHi)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("lo_milli"), col("hi_milli"), col("clipped_milli"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Benford leading-digit screen over order totals (exact cents).
+    "q161_benford" -> { (s, d) =>
+      val expPm = BenfordPm.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (pm, i)) =>
+          when(col("digit") === i + 1, lit(pm.toLong)).otherwise(acc)
+      }
+      val cents = Tables.orders(s, d).select(
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val digits = cents
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).as("tot"))
+      digits.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("(1000 * n) DIV tot").as("obs_pm"),
+          expPm.as("exp_pm"))
+        .withColumn("dev_pm", abs(col("obs_pm") - col("exp_pm")))
+        .orderBy(col("digit"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    "q158_ppr" -> {
+      val rounds = (1 to PprIters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.doc_id,
+           |    (CASE WHEN n.doc_id % $SeedMod = 0 THEN 150000 ELSE 0 END)
+           |      + (coalesce(s.s, 0) * 17) // 20 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT u.dst, sum(p.r // u.deg) AS s
+           |    FROM adj u JOIN r${k - 1} p ON u.src = p.doc_id
+           |    GROUP BY 1) s ON n.doc_id = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Wave13.SqlNearDupEdges},
+         |und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+         |adj AS (SELECT und.src, und.dst, deg.deg
+         |        FROM und JOIN deg USING (src)),
+         |nodes AS (SELECT doc_id FROM documents),
+         |r0 AS (SELECT doc_id,
+         |         CAST(CASE WHEN doc_id % $SeedMod = 0 THEN 1000000
+         |              ELSE 0 END AS BIGINT) AS r
+         |       FROM nodes),
+         |$rounds
+         |SELECT doc_id AS id, CAST(r AS BIGINT) AS rank
+         |FROM r$PprIters ORDER BY id""".stripMargin
+    },
+
+    "q159_random_projection" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+         |    AS qv
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT j, i,
+         |    1 - 2 * (CAST('0x' || substr(
+         |      md5('rp:$ProjSeed:' || j || ':' || i), 1, 8) AS BIGINT)
+         |      % 2) AS sgn
+         |  FROM range(0, $ProjDim) rj(j), range(0, 64) ri(i)),
+         |p AS (
+         |  SELECT vec_id, j,
+         |    sum(sgn * qv[CAST(i + 1 AS INT)]) AS y
+         |  FROM q, s GROUP BY 1, 2)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(y AS BIGINT) AS y
+         |FROM p ORDER BY vec_id, j""".stripMargin,
+
+    "q160_winsorize" -> {
+      def part(tag: String, pm: Int) =
+        s"""max(CASE WHEN rn = ((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 1
+           |      THEN v END) * 1000
+           |  + (max(CASE WHEN rn = least(((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 2, cnt)
+           |        THEN v END)
+           |     - max(CASE WHEN rn = ((cnt-1)*$pm - ((cnt-1)*$pm) % 1000)/1000 + 1
+           |         THEN v END)) * (((cnt-1)*$pm) % 1000) AS ${tag}_milli"""
+          .stripMargin
+      s"""WITH base AS (
+         |  SELECT source AS k, CAST(n_chars AS BIGINT) AS v,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(n_chars AS BIGINT)) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+         |  FROM documents),
+         |b AS (
+         |  SELECT k,
+         |    ${part("lo", WinsLo)},
+         |    ${part("hi", WinsHi)}
+         |  FROM base GROUP BY k, cnt)
+         |SELECT d.doc_id, d.source, d.n_chars,
+         |  CAST(b.lo_milli AS BIGINT) AS lo_milli,
+         |  CAST(b.hi_milli AS BIGINT) AS hi_milli,
+         |  CAST(greatest(b.lo_milli,
+         |    least(b.hi_milli, CAST(d.n_chars AS BIGINT) * 1000))
+         |    AS BIGINT) AS clipped_milli
+         |FROM documents d JOIN b ON d.source = b.k
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q161_benford" -> {
+      val expCase = BenfordPm.zipWithIndex
+        .map { case (pm, i) => s"WHEN ${i + 1} THEN $pm" }
+        .mkString(" ")
+      s"""WITH c AS (
+         |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |d AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |    AS digit, count(*) AS n
+         |  FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+         |SELECT d.digit, d.n,
+         |  (1000 * d.n) // t.tot AS obs_pm,
+         |  CAST(CASE d.digit $expCase ELSE 0 END AS BIGINT) AS exp_pm,
+         |  abs((1000 * d.n) // t.tot
+         |      - CAST(CASE d.digit $expCase ELSE 0 END AS BIGINT))
+         |    AS dev_pm
+         |FROM d, t ORDER BY d.digit""".stripMargin
+    }
+  )
+}

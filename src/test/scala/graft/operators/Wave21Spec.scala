@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-21 contracts: the HLL register union law, pivot↔unpivot round
+  * trip, rolling-frame arithmetic, attribution horizon/tie semantics. */
+class Wave21Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ------------------------------------------------- HLL union law
+
+  test("HLL: merged per-source registers == one-shot global registers") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val perSource = Sketches.hllRegistersGrams(docs, "source", "text")
+    val global = Sketches.hllRegistersGrams(
+      docs.withColumn("g", lit("all")), "g", "text")
+    val merged = Sketches.hllMergeEstimate(perSource).collect().head
+    val oneShot = Sketches.hllMergeEstimate(global).collect().head
+    merged shouldBe oneShot
+    // and the union estimate is a real cardinality estimate: within
+    // ~3 standard errors (1.04/sqrt(256) ≈ 6.5%) of exact
+    val exact = docs
+      .select(explode(graft.functions.TextFunctions
+        .shingles(col("text"), 3)).as("tok"))
+      .distinct().count().toDouble
+    val est = merged.getLong(2).toDouble
+    math.abs(est - exact) / exact should be < 0.20
+  }
+
+  test("HLL registers are monotone under corpus growth (merge absorbs subsets)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("g", lit("all"))
+    val all = docs.withColumn("g", lit("all"))
+    val halfRegs = Sketches.hllRegistersGrams(half, "g", "text")
+    val allRegs = Sketches.hllRegistersGrams(all, "g", "text")
+    // merging the half-corpus sketch INTO the full sketch changes nothing
+    val merged = Sketches.hllMergeEstimate(allRegs.unionByName(halfRegs))
+      .collect().head
+    val oneShot = Sketches.hllMergeEstimate(allRegs).collect().head
+    merged shouldBe oneShot
+  }
+
+  // ------------------------------------------------- pivot round trip
+
+  test("pivot then unpivot reproduces the long-form counts exactly") {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val wide = e.groupBy(col("day")).pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    val melted = wide.unpivot(Array(col("day")),
+      types.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+      .as[(Long, String, Long)].collect().toSet
+    val direct = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    melted shouldBe direct
+  }
+
+  // ------------------------------------------------- rolling frame
+
+  test("trailing 7-row frame sums and milli-avg on a hand series") {
+    import spark.implicits._
+    val daily = (1L to 10L).map(d => (d, d * 10)).toDF("day", "dau")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rowsBetween(-6, 0)
+    val out = daily.select(col("day"),
+      sum(col("dau")).over(w).as("s"),
+      count(lit(1)).over(w).as("c"))
+      .withColumn("avg_milli", expr("(1000 * s) DIV c"))
+      .orderBy(col("day"))
+      .as[(Long, Long, Long, Long)].collect()
+    // day 3: frame = days 1..3 → sum 60, avg 20
+    out(2) shouldBe ((3L, 60L, 3L, 20000L))
+    // day 10: frame = days 4..10 → sum 40+..+100 = 490, avg 70
+    out(9) shouldBe ((10L, 490L, 7L, 70000L))
+  }
+
+  // ------------------------------------------------- attribution
+
+  test("last-touch attribution: horizon, ties, none, latest-wins") {
+    import spark.implicits._
+    val day = 86400000000L
+    val rows = Seq(
+      // u1: click then view then purchase → latest touch (view) wins
+      (1L, 1L, 0L * day, "click", 0.0),
+      (1L, 2L, 1L * day, "view", 0.0),
+      (1L, 3L, 2L * day, "purchase", 10.0),
+      // u2: touch exactly at the horizon boundary → attributed
+      (2L, 4L, 0L * day, "click", 0.0),
+      (2L, 5L, 3L * day, "purchase", 20.0),
+      // u3: touch beyond the 3-day horizon → (none)
+      (3L, 6L, 0L * day, "view", 0.0),
+      (3L, 7L, 4L * day, "purchase", 30.0),
+      // u4: touch at the SAME instant as the purchase → attributed
+      (4L, 8L, 5L * day, "click", 0.0),
+      (4L, 9L, 5L * day, "purchase", 40.0),
+      // u5: no touches at all → (none)
+      (5L, 10L, 1L * day, "purchase", 50.0))
+    val ev = rows.toDF("user_id", "event_id", "t_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    // queries read parquet dirs, so compose the operator directly the
+    // way q157 does:
+    val e = ev.select(col("user_id"), unix_micros(col("ts")).as("t"),
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .drop("event_type")
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("t"),
+        struct(col("t").as("touch_t"),
+          col("event_type").as("touch_type")).as("pay"))
+    val out = Joins.asOf(purchases, touches, "user_id", "t", "pay")
+      .withColumn("touch",
+        when(col("asof_val").isNotNull &&
+          col("t") - col("asof_val.touch_t") <= 3L * day,
+          col("asof_val.touch_type")).otherwise("(none)"))
+      .select(col("user_id"), col("touch"))
+      .as[(Long, String)].collect().toMap
+    out shouldBe Map(1L -> "view", 2L -> "click", 3L -> "(none)",
+      4L -> "click", 5L -> "(none)")
+  }
+}

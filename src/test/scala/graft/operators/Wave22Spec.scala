@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-22 contracts: personalized-PageRank seed semantics and
+  * refactor equivalence, sign-projection cross-implementation parity,
+  * winsorize band arithmetic. */
+class Wave22Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ------------------------------------------------- personalized PR
+
+  test("personalizedPageRankInt: hand-computed seed flow on a path") {
+    import spark.implicits._
+    // path 1—2 plus isolated node 3; seed {1}, one round:
+    //   r1(1) = 150000 + (r0(2) div deg2)·17 div 20 = 150000
+    //   r1(2) = 0 + (r0(1) div deg1)·17 div 20      = 850000
+    //   r1(3) = 0 (no floor, no neighbors)
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graphs.personalizedPageRankInt(edges, "a", "b",
+      nodes, "id", seeds, "id", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L)
+  }
+
+  test("personalizedPageRankInt with ALL nodes as seeds == pageRankInt") {
+    import spark.implicits._
+    // deterministic pseudo-random graph — the refactor-equivalence pin
+    // (both paths now share rankRounds; this catches any future drift)
+    val pairs = for {
+      u <- 0L until 40L; v <- (u + 1) until 40L
+      if (u * 2654435761L + v * 40503L) % 97 < 11
+    } yield (u, v)
+    val edges = pairs.toDF("a", "b")
+    val nodes = (0L until 40L).toDF("id")
+    val plain = Graphs.pageRankInt(edges, "a", "b", nodes, "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val seeded = Graphs.personalizedPageRankInt(edges, "a", "b",
+      nodes, "id", nodes, "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    seeded shouldBe plain
+  }
+
+  test("personalizedPageRankInt: mass never reaches a disconnected component") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graphs.personalizedPageRankInt(edges, "a", "b",
+      nodes, "id", seeds, "id", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    out(10L) shouldBe 0L
+    out(11L) shouldBe 0L
+    out(1L) should be > 0L
+    out(3L) should be > 0L // two hops from the seed
+  }
+
+  // ------------------------------------------------- sign projection
+
+  test("randomProjectSigns matches an independent Spark-SQL md5 replay") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, sfDir).limit(20).cache()
+    val got = Similarity.randomProjectSigns(vecs, "vec_id", "embedding",
+      outDim = 4, seed = 42L)
+      .as[(Long, Long, Long)].collect().toSet
+    // independent path: Column-expression md5 signs (SQL md5, not JVM
+    // MessageDigest) — the oracle twin computed inside Spark
+    val q = vecs.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1048576.0).cast("long")).as("qv"))
+    val want = (0 until 4).flatMap { j =>
+      val y = (0 until 64).map { i =>
+        val sgn = lit(1L) - lit(2L) *
+          (conv(substring(md5(lit(s"rp:42:$j:$i")), 1, 8), 16, 10)
+            .cast("long") % 2)
+        sgn * element_at(col("qv"), i + 1)
+      }.reduce(_ + _)
+      q.select(col("vec_id"), lit(j.toLong).as("j"), y.as("y"))
+        .as[(Long, Long, Long)].collect()
+    }.toSet
+    got shouldBe want
+    got should not be empty
+  }
+
+  test("randomProjectSigns is deterministic and seed-sensitive") {
+    val vecs = graft.Tables.embeddings(spark, sfDir).limit(10)
+    val a = Similarity.randomProjectSigns(vecs, "vec_id", "embedding", 8)
+      .collect().toSet
+    val b = Similarity.randomProjectSigns(vecs, "vec_id", "embedding", 8)
+      .collect().toSet
+    val c = Similarity.randomProjectSigns(vecs, "vec_id", "embedding", 8,
+      seed = 7L).collect().toSet
+    a shouldBe b
+    a should not be c
+  }
+
+  // ------------------------------------------------- winsorize
+
+  test("winsorizeBy: hand band on 1..20, interior values untouched") {
+    import spark.implicits._
+    val df = (1L to 20L).map(v => ("g", v)).toDF("k", "v")
+    val out = Reducers.winsorizeBy(df, "k", "v", 100, 900)
+      .select("v", "lo_milli", "hi_milli", "clipped_milli")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // p100 of 1..20: pos = 19*100 = 1900 → lo rank 2, rem 900
+    //   → 2000 + (3-2)*900 = 2900; p900: pos = 17100 → rank 18 rem 100
+    //   → 18000 + (19-18)*100 = 18100
+    out.foreach { case (_, lo, hi, _) =>
+      lo shouldBe 2900L
+      hi shouldBe 18100L
+    }
+    out.head shouldBe ((1L, 2900L, 18100L, 2900L))   // clipped up
+    out.last shouldBe ((20L, 2900L, 18100L, 18100L)) // clipped down
+    out(9) shouldBe ((10L, 2900L, 18100L, 10000L))   // untouched
+  }
+
+  test("winsorizeBy rejects inverted bands") {
+    import spark.implicits._
+    val df = Seq(("g", 1L)).toDF("k", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Reducers.winsorizeBy(df, "k", "v", 900, 100)
+  }
+}

@@ -520,4 +520,49 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     // every batch after the first — flat, not event-proportional
     observed.drop(1).foreach(_ shouldBe users.toLong)
   }
+
+  test("foreachBatch additive-state maintenance folds to the one-shot state") {
+    import graft.operators.Agg
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q149 merge law driven through the STREAMING path: each
+    // micro-batch is aggregated once into an additive state, states
+    // accumulate across batches, and the fold must equal the one-shot
+    // batch aggregate of everything ever streamed — incremental rollup
+    // maintenance with no reprocessing of history
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val keys = Seq("user_id", "day")
+    val batches = Seq(
+      (1 to 12).map(i => Ev(ts(i), i % 3L, "view", i * 1.11)),
+      (1 to 9).map(i => Ev(ts(i + 20), i % 4L, "click", i * 2.22)),
+      (1 to 7).map(i => Ev(ts(i + 40), i % 2L, "purchase", i * 3.33)))
+    val input = MemoryStream[Ev]
+    val perBatch = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val st = Agg.additiveState(prep(batch), keys, col("cents"))
+        schema = st.schema
+        perBatch ++= st.collect()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val states = spark.createDataFrame(
+      new java.util.ArrayList(perBatch.asJava), schema)
+    val merged = Agg.mergeAdditiveStates(keys, states)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val oneShot = Agg.additiveState(
+      prep(batches.flatten.toDF()), keys, col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    merged shouldBe oneShot
+    merged should not be empty
+  }
 }
