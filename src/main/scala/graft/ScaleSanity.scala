@@ -169,34 +169,40 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/events.parquet")
   }
 
-  /** Value-column scaling for q136's order statistics: replicate the
-    * one column the query reads. Values repeat exactly, so the value
-    * SPREAD (which drives refinement pass count) is constant while n
-    * grows — the counting scans must grow ~linearly and the pass count
-    * must not move. */
+  /** Lineitem scaling for q136/q150/q162: replicate the columns those
+    * queries read (parquet pruning keeps each query's scan at its own
+    * width). Values repeat exactly, so the value SPREAD (which drives
+    * quantile-refinement pass count) is constant while n grows — the
+    * counting scans must grow ~linearly and the pass count must not
+    * move; the profile's distinct-value relation is likewise
+    * replication-invariant. */
   def scaleLineitemPrices(spark: SparkSession, sfDir: String, mult: Int,
                           workDir: String): Unit = {
     val reps = spark.range(mult).select(col("id").as("rep"))
-    Tables.lineitem(spark, sfDir).select(col("l_extendedprice"))
-      .crossJoin(reps).select(col("l_extendedprice"))
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice").map(col)
+    Tables.lineitem(spark, sfDir).select(cols: _*)
+      .crossJoin(reps).select(cols: _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
   }
 
-  /** Z-order input scaling for q137: replica r shifts o_custkey by
+  /** Orders scaling for q137/q161: replica r shifts o_custkey by
     * r·(maxCust+1) (the first Morton dimension's RANGE grows with the
-    * corpus, as a real key space would) and keeps order dates — the
-    * fixed-point quantization re-scales to whatever the range is, so
-    * bucket geometry stays comparable while n grows. */
+    * corpus, as a real key space would) and keeps order dates and
+    * totals — the fixed-point quantization re-scales to whatever the
+    * range is, so bucket geometry stays comparable while n grows, and
+    * the leading-digit distribution is replication-invariant. */
   def scaleOrdersLayout(spark: SparkSession, sfDir: String, mult: Int,
                         workDir: String): Unit = {
     val reps = spark.range(mult).select(col("id").as("rep"))
     val ord = Tables.orders(spark, sfDir)
-      .select(col("o_custkey").cast("long"), col("o_orderdate"))
+      .select(col("o_custkey").cast("long"), col("o_orderdate"),
+        col("o_totalprice"))
     val cShift = ord.agg(max(col("o_custkey"))).head.getLong(0) + 1L
     ord.crossJoin(reps)
       .select((col("o_custkey") + col("rep") * cShift).as("o_custkey"),
-        col("o_orderdate"))
+        col("o_orderdate"), col("o_totalprice"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
   }
@@ -204,7 +210,7 @@ object ScaleSanity {
   private val EventQueries = Set("q140_cdc_merge", "q142_funnel",
     "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions",
     "q149_state_merge", "q152_rfm", "q153_pivot", "q154_unpivot",
-    "q155_rolling_metrics", "q157_attribution")
+    "q155_rolling_metrics", "q157_attribution", "q163_mode_by")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -234,9 +240,11 @@ object ScaleSanity {
     if (queries.exists(EventQueries))
       scaleEvents(spark, sfDir, mult, workDir)
     if (queries.contains("q136_exact_quantiles") ||
-        queries.contains("q150_equidepth_hist"))
+        queries.contains("q150_equidepth_hist") ||
+        queries.contains("q162_column_profile"))
       scaleLineitemPrices(spark, sfDir, mult, workDir)
-    if (queries.contains("q137_zorder_layout"))
+    if (queries.contains("q137_zorder_layout") ||
+        queries.contains("q161_benford"))
       scaleOrdersLayout(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()

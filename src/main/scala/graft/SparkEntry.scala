@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Wave15.queries ++ graft.queries.Wave16.queries ++
       graft.queries.Wave17.queries ++ graft.queries.Wave18.queries ++
       graft.queries.Wave19.queries ++ graft.queries.Wave20.queries ++
-      graft.queries.Wave21.queries ++ graft.queries.Wave22.queries
+      graft.queries.Wave21.queries ++ graft.queries.Wave22.queries ++
+      graft.queries.Wave23.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Wave15.oracleSql ++ graft.queries.Wave16.oracleSql ++
       graft.queries.Wave17.oracleSql ++ graft.queries.Wave18.oracleSql ++
       graft.queries.Wave19.oracleSql ++ graft.queries.Wave20.oracleSql ++
-      graft.queries.Wave21.oracleSql ++ graft.queries.Wave22.oracleSql
+      graft.queries.Wave21.oracleSql ++ graft.queries.Wave22.oracleSql ++
+      graft.queries.Wave23.oracleSql
 }

@@ -129,6 +129,29 @@ object Reducers {
           least(col("hi_milli"), col(valCol).cast("long") * 1000)))
   }
 
+  /** Exact per-key mode with a DETERMINISTIC tie rule: the most
+    * frequent `valCol` per key, ties broken by the SMALLEST value.
+    * Output: `(keyCol, mode_v, n)`. Two keyed aggregations — the
+    * (key, value) count grain then a per-key max — plus a semi-join of
+    * the grain against the max; everything map-side combined, state
+    * bounded by distinct (key, value) pairs. (Spark's own `mode()`
+    * picks an ARBITRARY value among ties — nondeterministic across
+    * runs, which is exactly what an oracle-checked engine cannot
+    * ship.) */
+  def modeBy(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val counts = df
+      .select(col(keyCol).as("__k"), col(valCol).as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val best = counts.groupBy(col("__k")).agg(max(col("__c")).as("__m"))
+    counts.join(best, Seq("__k"))
+      .where(col("__c") === col("__m"))
+      .groupBy(col("__k"))
+      .agg(min(col("__v")).as("mode_v"), max(col("__c")).as("n"))
+      .select(col("__k").as(keyCol), col("mode_v"), col("n"))
+  }
+
   /** Robust per-key outlier profile via median absolute deviation — the
     * anomaly statistic that survives the outliers it hunts (mean/stddev
     * z-scores get dragged by the very spikes they should flag). Two

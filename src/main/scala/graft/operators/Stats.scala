@@ -30,6 +30,36 @@ object Stats {
     * Degenerate groups (constant x, i.e. zero variance) emit a NULL
     * slope rather than dividing by zero. One aggregation, map-side
     * combined; the group key space is the operator's only state. */
+  /** ANALYZE-style column statistics for a pinned set of LONG-castable
+    * columns — `(column, n, n_null, n_distinct, min_v, max_v)` — in
+    * ONE scan however many columns are profiled: each row explodes into
+    * `(column_name, value)` pairs (the unpivot trick), a first keyed
+    * count collapses to the per-(column, value) grain, and the final
+    * per-column rollup derives EVERYTHING from that grain — n = Σcnt,
+    * nulls = cnt of the null value row, exact n_distinct = row count,
+    * min/max over the values. No `count(DISTINCT x1), count(DISTINCT
+    * x2), …` expansion (which rewrites into one Expand + aggregate PER
+    * column), no per-column scans — the optimizer-statistics collection
+    * pass a warehouse runs after every load, exact at any scale: the
+    * only state is the distinct-value relation, map-side combined.
+    * Values are `cast("long")` — quantize doubles first (house
+    * contract). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("long").as("v"))): _*))
+      .as("p"))
+      .select(col("p.column").as("column"), col("p.v").as("v"))
+    pairs.groupBy(col("column"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column"))
+      .agg(sum(col("cnt")).as("n"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+          .as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
   def olsByGroup(df: DataFrame, groupCol: String, x: Column,
                  y: Column): DataFrame = {
     val d = (c: Column) => c.cast(DecimalType(38, 0))

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Reducers, Stats}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 23 — round-9 additions, the statistics-collection + classic
+  * reporting tier:
+  *
+  *  - q162 column profiling ([[Stats.columnProfile]]): ANALYZE-style
+  *    exact per-column statistics (count/nulls/exact NDV/min/max) for
+  *    six lineitem columns in ONE scan via the unpivot-to-pairs trick —
+  *    no per-column `count(DISTINCT …)` expansion.
+  *  - q163 exact per-key mode ([[Reducers.modeBy]]): most frequent
+  *    event type per user with the deterministic smallest-value tie
+  *    rule (Spark's own `mode()` is tie-arbitrary — unshippable under
+  *    an oracle).
+  *  - q164 TPC-H Q5 shape: local-supplier revenue by nation inside one
+  *    region and one order-year — the classic 6-table join; dimension
+  *    joins broadcast, the house dsum keeps revenue replayable.
+  */
+object Wave23 {
+
+  private val ProfiledCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "cents")
+  private val Q5Region = "ASIA"
+  private val Q5From = "1996-01-01"
+  private val Q5To = "1997-01-01"
+
+  private def dsum(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale)
+    sum((floor(c * p) / p).cast(DecimalType(38, scale))).cast("double")
+  }
+  private def sqlDsum(expr: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-scan exact column statistics over lineitem.
+    "q162_column_profile" -> { (s, d) =>
+      Stats.columnProfile(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+        ProfiledCols)
+        .orderBy(col("column"))
+    },
+
+    // Most frequent event type per user, deterministic ties.
+    "q163_mode_by" -> { (s, d) =>
+      Reducers.modeBy(Tables.events(s, d), "user_id", "event_type")
+        .orderBy(col("user_id"))
+    },
+
+    // TPC-H Q5: local-supplier revenue by nation, ASIA, 1996.
+    "q164_tpch_q5" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === Q5Region &&
+          col("o_orderdate") >= Q5From && col("o_orderdate") < Q5To)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    "q162_column_profile" -> {
+      val selects = Seq(
+        "SELECT 'l_orderkey' AS \"column\", CAST(l_orderkey AS BIGINT) AS v FROM lineitem",
+        "SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem",
+        "SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem",
+        "SELECT 'l_linenumber', CAST(l_linenumber AS BIGINT) FROM lineitem",
+        "SELECT 'l_quantity', CAST(l_quantity AS BIGINT) FROM lineitem",
+        "SELECT 'cents', CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH p AS (
+         |  $selects),
+         |g AS (SELECT "column", v, count(*) AS c FROM p GROUP BY 1, 2)
+         |SELECT "column", CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0)
+         |    AS BIGINT) AS n_null,
+         |  CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+         |    AS n_distinct,
+         |  min(v) AS min_v, max(v) AS max_v
+         |FROM g GROUP BY 1 ORDER BY "column"""".stripMargin
+    },
+
+    "q163_mode_by" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS v, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(n) AS mx FROM c GROUP BY 1)
+        |SELECT c.user_id, min(c.v) AS mode_v, CAST(max(c.n) AS BIGINT) AS n
+        |FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mx
+        |GROUP BY 1 ORDER BY c.user_id""".stripMargin,
+
+    "q164_tpch_q5" ->
+      s"""SELECT n.n_name,
+         |  count(*) AS n_items,
+         |  ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = '$Q5Region'
+         |  AND CAST(o.o_orderdate AS DATE) >= DATE '$Q5From'
+         |  AND CAST(o.o_orderdate AS DATE) < DATE '$Q5To'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

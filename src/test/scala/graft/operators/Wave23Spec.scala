@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-23 contracts: one-scan column profile vs brute per-column
+  * stats, mode tie determinism, and the profile plan shape. */
+class Wave23Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ------------------------------------------------- columnProfile
+
+  test("columnProfile equals brute per-column statistics (incl. nulls)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, None),
+      (4L, Some(20L)), (4L, None))
+      .toDF("a", "b")
+    val got = Stats.columnProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    got("a") shouldBe ((5L, 0L, 4L, Some(1L), Some(4L)))
+    got("b") shouldBe ((5L, 2L, 2L, Some(10L), Some(20L)))
+  }
+
+  test("columnProfile matches independent aggregates on real lineitem") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val got = Stats.columnProfile(li, Seq("l_orderkey", "l_quantity"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    for (c <- Seq("l_orderkey", "l_quantity")) {
+      val h = li.agg(count(lit(1)), count(when(col(c).isNull, 1)),
+        countDistinct(col(c).cast("long")),
+        min(col(c).cast("long")), max(col(c).cast("long"))).head
+      got(c) shouldBe ((h.getLong(0), h.getLong(1), h.getLong(2),
+        h.getLong(3), h.getLong(4)))
+    }
+  }
+
+  test("columnProfile plan has ONE scan and no per-column Expand blowup") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val plan = Stats.columnProfile(li,
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+      .queryExecution.executedPlan.toString
+    // the naive count(DISTINCT a), count(DISTINCT b), ... form rewrites
+    // into an Expand; the pair-explode form aggregates a generated
+    // column instead
+    plan should not include "Expand"
+    plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") shouldBe 1
+  }
+
+  // ------------------------------------------------- modeBy
+
+  test("modeBy: counts and the smallest-value tie rule") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),          // clear winner b
+      (2L, "z"), (2L, "a"),                     // tie → smallest 'a'
+      (3L, "x")).toDF("k", "v")
+    Reducers.modeBy(df, "k", "v").columns.toSeq shouldBe
+      Seq("k", "mode_v", "n")
+    val m = Reducers.modeBy(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    m shouldBe Map(1L -> (("b", 2L)), 2L -> (("a", 1L)), 3L -> (("x", 1L)))
+  }
+
+  test("modeBy nulls are excluded, not counted as a value") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, None), (1L, None))
+      .toDF("k", "v")
+    val m = Reducers.modeBy(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    m shouldBe Map(1L -> "a")
+  }
+}
