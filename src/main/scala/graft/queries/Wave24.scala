@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Wave 24 — round-9 additions, the ingest-robustness + latency tier:
+  *
+  *  - q165 inter-event latency histogram: per-user event-gap deltas
+  *    bucketed by power-of-two magnitude (`length(bin(Δ)) − 1` — the
+  *    log2 histogram with no floating log), the service-latency /
+  *    arrival-process profile; user-partitioned lag window + a
+  *    ≤ 64-key rollup.
+  *  - q166 corrupt-record ingest (PERMISSIVE JSONL): plant one JSON
+  *    line per document with every 7th line deliberately malformed,
+  *    read back with an explicit schema + `_corrupt_record`, and
+  *    account for every line — the oracle recomputes the planted
+  *    good/corrupt split arithmetically, so a hash match certifies
+  *    that malformed input is QUARANTINED, not dropped and not
+  *    poisoning parsed rows. Real pipelines meet broken lines daily;
+  *    an engine that can't account for them silently under-counts.
+  */
+object Wave24 {
+
+  /** Per-(query, sf) scratch dir (Wave11's convention). */
+  private def scratch(name: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft_scratch/$tag/$name"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // log2 histogram of per-user inter-event gaps.
+    "q165_latency_histogram" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val deltas = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"))
+        .select((col("t") - lag(col("t"), 1).over(w)).as("delta"))
+        .where(col("delta").isNotNull && col("delta") > 0)
+      val hist = deltas
+        .groupBy((length(bin(col("delta"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("delta")).as("min_us"),
+          max(col("delta")).as("max_us"))
+      val total = hist.agg(sum(col("n")).as("tot"))
+      hist.crossJoin(broadcast(total))
+        .select(col("bucket"), col("n"),
+          expr("(1000 * n) DIV tot").as("pm"),
+          col("min_us"), col("max_us"))
+        .orderBy(col("bucket"))
+    },
+
+    // Plant a JSONL with every 7th line malformed; PERMISSIVE read
+    // must quarantine exactly those lines and parse the rest.
+    "q166_corrupt_ingest" -> { (s, d) =>
+      import s.implicits._
+      val dir = scratch("q166", d)
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, len) =>
+          if (id % 7 == 0) s"""{"id": $id, "len": BROKEN"""
+          else s"""{"id": $id, "len": $len}"""
+        }
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("len", LongType),
+        StructField("_corrupt_record", StringType)))
+      // cache: Spark disallows queries touching ONLY the internal
+      // corrupt column on a raw file scan; materializing first makes
+      // the accounting unconditional
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir).cache()
+      back.agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("len")))
+          .as("sum_len_good"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    "q165_latency_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    event_id
+        |  FROM events),
+        |d AS (
+        |  SELECT t - lag(t) OVER (PARTITION BY u ORDER BY t, event_id)
+        |    AS delta
+        |  FROM e),
+        |f AS (SELECT delta FROM d WHERE delta IS NOT NULL AND delta > 0),
+        |h AS (
+        |  SELECT length(bin(delta)) - 1 AS bucket, count(*) AS n,
+        |    min(delta) AS min_us, max(delta) AS max_us
+        |  FROM f GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n,
+        |  (1000 * n) // t2.tot AS pm, min_us, max_us
+        |FROM h, t2 ORDER BY bucket""".stripMargin,
+
+    // the planting rule, recomputed arithmetically
+    "q166_corrupt_ingest" ->
+      """SELECT
+        |  CAST(count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+        |    AS sum_len_good
+        |FROM documents""".stripMargin
+  )
+}

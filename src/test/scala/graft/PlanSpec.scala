@@ -338,4 +338,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "Exchange SinglePartition"
     p should not include "CartesianProduct"
   }
+
+  test("q153: pivot is ONE aggregation pass — no per-type scans or joins") {
+    val p = plan("q153_pivot")
+    p.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") shouldBe 1
+    p should not include "Join"
+  }
+
+  test("q162: column profile is one scan, no per-column count-distinct Expand") {
+    val p = plan("q162_column_profile")
+    p should not include "Expand"
+    p.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") shouldBe 1
+  }
+
+  test("q164: Q5 star join broadcasts every dimension, facts never nested-loop") {
+    val p = plan("q164_tpch_q5")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -43,6 +43,25 @@ class Wave21Spec extends AnyFunSuite with Matchers with SparkFixture {
     merged shouldBe oneShot
   }
 
+  test("HLL register states survive a parquet round trip (persistable sketch)") {
+    // the claim behind 'aggregate each batch once, store the state':
+    // write registers to disk, read them back, fold with a fresh batch —
+    // identical to folding the live frames
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = Sketches.hllRegistersGrams(
+      docs.filter(col("doc_id") % 2 === 0), "source", "text")
+    val b = Sketches.hllRegistersGrams(
+      docs.filter(col("doc_id") % 2 === 1), "source", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("hll_state").toString
+    a.write.mode("overwrite").parquet(s"$dir/state_a.parquet")
+    val persisted = spark.read.parquet(s"$dir/state_a.parquet")
+    val viaDisk = Sketches.hllMergeEstimate(persisted.unionByName(b))
+      .collect().head
+    val live = Sketches.hllMergeEstimate(a.unionByName(b)).collect().head
+    viaDisk shouldBe live
+  }
+
   // ------------------------------------------------- pivot round trip
 
   test("pivot then unpivot reproduces the long-form counts exactly") {
