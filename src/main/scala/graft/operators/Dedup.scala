@@ -615,6 +615,81 @@ object Dedup {
       .select(col("id_new"), col("id_corpus"), col("jac"))
   }
 
+  /** Persistable frozen-corpus state for [[nearDupAgainstCorpusPrebuilt]]
+    * — the TEXT-side twin of `Similarity.corpusBuckets` (r9's embedding
+    * ingest contract): sketch the corpus ONCE per snapshot, write this
+    * frame to parquet, and every subsequent ingest batch joins against
+    * it with ZERO corpus-side recomputation (no re-tokenize, no
+    * re-minhash, no corpus scan at all).
+    *
+    * One frame at the distinct-set grain:
+    * `(h, sk, ts, docs, keys)` — 8-byte set hash, set key, sorted
+    * distinct token array (exact verification side), the corpus doc ids
+    * carrying that set (pair expansion side), and the `bands` LSH band
+    * keys (candidate join side). All parquet-representable; rows =
+    * distinct corpus content, not corpus size. */
+  def corpusNearDupState(corpusDocs: DataFrame, idCol: String,
+                         textCol: String, k: Int = 64, bands: Int = 16,
+                         seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val perms = H.permutations(k, seed)
+    val sets = docSets(corpusDocs, idCol, textCol).cache()
+    val groups = setGroups(sets)
+    val keys = bandedKeys(groups, perms, bands, rows)
+      .groupBy(col("h")).agg(collect_list(col("key")).as("keys"))
+    val docsPerSk = sets.groupBy(col("sk"))
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+    val skHashUdf = udf((sk: String) => skHash(sk))
+    groups.withColumn("h", skHashUdf(col("sk")))
+      .join(docsPerSk, "sk")
+      .join(keys, "h")
+      .select(col("h"), col("sk"), col("ts"), col("docs"), col("keys"))
+  }
+
+  /** [[nearDupAgainstCorpus]] against a PREBUILT (possibly
+    * parquet-persisted) [[corpusNearDupState]]: identical output
+    * contract — `(id_new, id_corpus, jac)`, self-pairs suppressed —
+    * but the corpus side costs one state scan per batch instead of a
+    * full re-sketch. Verification always takes the general token-array
+    * path (the small-vocab bitmask fast path needs a shared vocabulary
+    * scan the prebuilt contract forbids; both paths compute the same
+    * exact Jaccard, so results are bit-identical either way —
+    * DedupSpec pins prebuilt ≡ recompute). `(k, bands, seed)` must
+    * match the state's build parameters — band keys are a pure
+    * function of them. */
+  def nearDupAgainstCorpusPrebuilt(newDocs: DataFrame,
+                                   corpusState: DataFrame,
+                                   idCol: String, textCol: String,
+                                   threshold: Double, k: Int = 64,
+                                   bands: Int = 16,
+                                   seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val perms = H.permutations(k, seed)
+    val newSets = docSets(newDocs, idCol, textCol).cache()
+    val newGroups = setGroups(newSets).cache()
+    val cand = bandedKeys(newGroups, perms, bands, rows).as("a")
+      .join(corpusState.select(col("h").as("h_b"),
+        explode(col("keys")).as("key")).as("b"),
+        col("a.key") === col("b.key"))
+      .select(col("a.h").as("h_a"), col("h_b"))
+      .dropDuplicates("h_a", "h_b")
+    val skHashUdf = udf((sk: String) => skHash(sk))
+    val an = newGroups.select(skHashUdf(col("sk")).as("h_a"),
+      col("sk").as("sk_a"), col("ts").as("ts_a"))
+    val bc = corpusState.select(col("h").as("h_b"), col("ts").as("ts_b"),
+      col("docs").as("docs_b"))
+    cand.join(an, "h_a").join(bc, "h_b")
+      .withColumn("jac", jac(col("ts_a"), col("ts_b")))
+      .filter(col("jac") >= threshold)
+      .join(newSets.select(col("sk").as("sk_a"), col("doc").as("id_new")),
+        "sk_a")
+      .select(col("id_new"), explode(col("docs_b")).as("id_corpus"),
+        col("jac"))
+      .filter(col("id_new") =!= col("id_corpus"))
+  }
+
   /** n-gram (word-shingle) Jaccard near-dup pairs via the same
     * MinHash-LSH machinery, over the document's distinct `n`-shingle set
     * instead of its token set. Shingle similarity is the sharper near-dup

@@ -350,4 +350,43 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     // (1, 1) row is suppressed; everything else is unaffected
     got shouldBe Set((1L, 3L, 1.0), (2L, 4L, 19.0 / 21.0))
   }
+
+  test("nearDupAgainstCorpusPrebuilt == nearDupAgainstCorpus, incl. via parquet") {
+    import spark.implicits._
+    // the text-side snapshot contract: sketch the corpus once, persist
+    // the state, replay ingest batches against the stored frame —
+    // results bit-identical to the full recompute path
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val newSide = docs.filter(col("doc_id") % 3 === 0)
+    val direct = Dedup.nearDupAgainstCorpus(newSide, corpSide, "doc_id",
+      "text", 0.9).as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val state = Dedup.corpusNearDupState(corpSide, "doc_id", "text")
+    val live = Dedup.nearDupAgainstCorpusPrebuilt(newSide, state,
+      "doc_id", "text", 0.9).as[(Long, Long, Double)].collect().toSet
+    live shouldBe direct
+    live should not be empty
+    // now through disk: write the state, read it back, same answer
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("neardup_state").toString
+    state.write.mode("overwrite").parquet(s"$dir/state.parquet")
+    val persisted = spark.read.parquet(s"$dir/state.parquet")
+    val viaDisk = Dedup.nearDupAgainstCorpusPrebuilt(newSide, persisted,
+      "doc_id", "text", 0.9).as[(Long, Long, Double)].collect().toSet
+    viaDisk shouldBe direct
+  }
+
+  test("nearDupAgainstCorpusPrebuilt suppresses cross-side self-pairs like the direct path") {
+    import spark.implicits._
+    val corpSide = Seq((1L, "alpha beta gamma delta"),
+      (4L, "wholly unrelated content here")).toDF("doc_id", "text")
+    val newSide = Seq((1L, "alpha beta gamma delta"), // same id AND text
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val state = Dedup.corpusNearDupState(corpSide, "doc_id", "text")
+    val got = Dedup.nearDupAgainstCorpusPrebuilt(newSide, state,
+      "doc_id", "text", 0.9).as[(Long, Long, Double)].collect().toSet
+    got shouldBe Set((3L, 1L, 1.0))
+  }
 }
