@@ -237,6 +237,68 @@ object Streams {
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserStats(user_id: Long, n: Long, max_value: Double)
 
+  /** Typed event with its kind — input row for [[funnelCompletions]]. */
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_id: Long, event_type: String)
+
+  /** One completed funnel: the greedy step times, micros. */
+  case class FunnelDone(user_id: Long, step_us: Seq[Long])
+
+  /** Streaming funnel-completion detector — the per-key STATE-MACHINE
+    * tier of the streaming extension (windowed aggs count, sessions
+    * merge, spikes compare; this one *advances through ordered
+    * stages*): per user, fold events in event-time order through
+    * [[graft.operators.Behavior.funnel]]'s greedy recurrence
+    * (`t_1` = first step-1 event; `t_i` = first step-i event with
+    * `t > t_{i-1}` and `t <= t_1 + windowMicros`) and EMIT exactly one
+    * row the moment the final stage completes (append mode — a
+    * completion is immutable once emitted).
+    *
+    * State per user is `steps.size` longs (the stage times so far) —
+    * strictly bounded however long the stream runs; a completed or
+    * dead funnel holds its array until the key's state is dropped by
+    * the caller's retention policy (NoTimeout here: the funnel itself
+    * never expires, matching the batch twin's whole-log semantics).
+    *
+    * Parity contract (the q56/q81 convention): on an ordered replay —
+    * batch boundaries that respect event time, like the MemoryStream
+    * specs drive — completions equal EXACTLY the batch
+    * `Behavior.funnel` rows with `reached == steps.size`
+    * (StreamsSpec pins this against the real events table). Events
+    * inside one batch are sorted by `(ts, event_id)` before folding, so
+    * intra-batch disorder is absorbed; cross-batch disorder follows the
+    * same ordered-replay caveat as [[valueSpikes]]. */
+  def funnelCompletions(events: Dataset[TypedEvent], steps: Seq[String],
+                        windowMicros: Long): Dataset[FunnelDone] = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps: $steps")
+    require(windowMicros > 0, s"windowMicros must be > 0: $windowMicros")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], FunnelDone](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Seq[Long]]) =>
+          val times = state.getOption.getOrElse(Seq.empty[Long]).toBuffer
+          val alreadyDone = times.size >= k
+          it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (times.size < k && e.event_type == steps(times.size)) {
+                val t = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+                val ok =
+                  if (times.isEmpty) true
+                  else t > times.last && t <= times.head + windowMicros
+                if (ok) times += t
+              }
+            }
+          state.update(times.toSeq)
+          if (!alreadyDone && times.size >= k)
+            Iterator(FunnelDone(uid, times.toSeq))
+          else Iterator.empty
+      }
+  }
+
   /** Arbitrary per-key state via mapGroupsWithState: running per-user
     * count + max. The F1/F2 (whole-partition UDF with context) parity
     * point for streams: user code folds each key's new events into typed

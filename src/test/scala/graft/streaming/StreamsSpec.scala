@@ -521,6 +521,66 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     observed.drop(1).foreach(_ shouldBe users.toLong)
   }
 
+  test("funnelCompletions streaming == batch funnel completions (ordered replay)") {
+    import graft.operators.Behavior
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val win = 7L * 86400000000L
+    val evDf = graft.Tables.events(spark, sfDir)
+    val rows = evDf
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.TypedEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    // chronological thirds — batch boundaries respect event time
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    val input = MemoryStream[Streams.TypedEvent]
+    val name = s"funnel_${System.nanoTime}"
+    val q = Streams.funnelCompletions(input.toDS(), steps, win)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table(name).as[Streams.FunnelDone].collect()
+      .map(f => (f.user_id, f.step_us(0), f.step_us(1), f.step_us(2)))
+      .toSet
+    val want = Behavior.funnel(evDf, "user_id", "ts", "event_type",
+      steps, win)
+      .filter(col("reached") === steps.size)
+      .select("user_id", "t1_us", "t2_us", "t3_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got shouldBe want
+    got should not be empty
+    // each completion emitted exactly ONCE across all batches
+    spark.table(name).count() shouldBe got.size.toLong
+  }
+
+  test("funnelCompletions state is k longs per user; dead funnels stay silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.TypedEvent]
+    val name = s"funnelsil_${System.nanoTime}"
+    def ev(u: Long, id: Long, minute: Int, et: String) =
+      Streams.TypedEvent(u, ts(minute), id, et)
+    val q = Streams.funnelCompletions(input.toDS(),
+      Seq("view", "click"), 30L * 60000000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 completes across batches; u2 clicks BEFORE viewing (dead)
+      input.addData(ev(1L, 1L, 1, "view"), ev(2L, 2L, 1, "click"))
+      q.processAllAvailable()
+      input.addData(ev(1L, 3L, 5, "click"), ev(2L, 4L, 6, "view"))
+      q.processAllAvailable()
+      // more u1 events must NOT re-emit the completed funnel
+      input.addData(ev(1L, 5L, 9, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[Streams.FunnelDone].collect()
+    out.map(_.user_id).toSeq shouldBe Seq(1L)
+  }
+
   test("foreachBatch additive-state maintenance folds to the one-shot state") {
     import graft.operators.Agg
     import spark.implicits._
