@@ -15,7 +15,10 @@ object Explain {
       "q78_bigram_lm", "q80_source_overlap", "q88_dsir_weights",
       "q89_probe_decontam", "q90_kmv_distinct", "q91_corpus_build",
       "q93_bloom_decontam", "q95_tfidf_pairs", "q97_corpus_neardup",
-      "q98_quote_pairs", "q99_winnowing", "q109_mutual_knn")
+      "q98_quote_pairs", "q99_winnowing", "q109_mutual_knn",
+      "q136_exact_quantiles", "q138_knn_triangles", "q142_funnel",
+      "q145_snm_neardup", "q148_kcore", "q152_rfm", "q157_attribution",
+      "q158_ppr", "q162_column_profile", "q164_tpch_q5")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based tests for the round-9 behavioral / ordering
+  * operators: brute in-memory references over arbitrary random event
+  * logs and key sets — exercising greedy funnel recursion, rank
+  * bucketing, mode ties, and profile arithmetic far beyond the fixed
+  * goldens. Sample counts are small (each sample runs Spark jobs). */
+object BehaviorProperties extends Properties("Behavior") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkFixture.spark
+
+  private val Steps = Seq("a", "b", "c")
+  private val WinUs = 50L
+
+  /** Random event logs: few users, small time range — dense collisions. */
+  private val genLog: Gen[List[(Long, Long, String)]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 99L)
+      et <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, t, et)))
+
+  /** The greedy funnel recurrence, literally. */
+  private def refFunnel(log: List[(Long, Long, String)])
+      : Map[Long, List[Long]] =
+    log.groupBy(_._1).flatMap { case (u, evs) =>
+      def step(i: Int, acc: List[Long]): List[Long] =
+        if (i >= Steps.size) acc
+        else {
+          val qual = evs.filter(_._3 == Steps(i)).map(_._2).filter { t =>
+            if (acc.isEmpty) true
+            else t > acc.last && t <= acc.head + WinUs
+          }
+          if (qual.isEmpty) acc else step(i + 1, acc :+ qual.min)
+        }
+      val times = step(0, Nil)
+      if (times.isEmpty) None else Some(u -> times)
+    }
+
+  property("funnel == brute greedy recursion on random logs") =
+    forAll(genLog) { log =>
+      import spark.implicits._
+      // distinct (u, t, et): duplicate timestamps for the same step are
+      // harmless (min is min) but keep the reference simple
+      val rows = log.distinct
+      val df = rows.map { case (u, t, et) => (u, t, et) }
+        .toDF("user_id", "t_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("t_us")))
+      val got = Behavior.funnel(df, "user_id", "ts", "event_type",
+        Steps, WinUs)
+        .collect().map { r =>
+          r.getLong(0) -> (1 to Steps.size).toList
+            .map(i => Option(r.get(i + 1)).map(_.asInstanceOf[Long]))
+            .takeWhile(_.isDefined).map(_.get)
+        }.toMap
+      val want = refFunnel(rows)
+      got == want
+    }
+
+  property("globalRank is input-order invariant and equals sortBy index") =
+    forAll(Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)).map(_.distinct))) {
+      keys0 =>
+        import spark.implicits._
+        keys0.nonEmpty ==> {
+          val keys = keys0
+          val want = keys.sorted.zipWithIndex
+            .map { case (k, i) => k -> i.toLong }.toMap
+          val a = Ordered.globalRank(keys.toDF("k"), "k", buckets = 7)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val b = Ordered.globalRank(keys.reverse.toDF("k"), "k",
+            buckets = 3)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          a == want && b == want
+        }
+    }
+
+  property("modeBy == brute argmax-with-min-tie on random key/value sets") =
+    forAll(Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 4L)
+      v <- Gen.chooseNum(0L, 5L)
+    } yield (k, v)))) { pairs =>
+      import spark.implicits._
+      val got = Reducers.modeBy(pairs.toDF("k", "v"), "k", "v")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val want = pairs.groupBy(_._1).map { case (k, ps) =>
+        val counts = ps.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val mx = counts.values.max
+        k -> (counts.filter(_._2 == mx).keys.min, mx)
+      }
+      got == want
+    }
+
+  property("columnProfile == brute stats on random nullable columns") =
+    forAll(Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.chooseNum(-9L, 9L)
+      b <- Gen.option(Gen.chooseNum(-9L, 9L))
+    } yield (a, b)))) { rows =>
+      import spark.implicits._
+      val got = Stats.columnProfile(rows.toDF("a", "b"), Seq("a", "b"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val aVals = rows.map(_._1)
+      val bVals = rows.flatMap(_._2)
+      got("a") == ((rows.size.toLong, 0L, aVals.distinct.size.toLong)) &&
+      got("b") == ((rows.size.toLong, (rows.size - bVals.size).toLong,
+        bVals.distinct.size.toLong))
+    }
+}
