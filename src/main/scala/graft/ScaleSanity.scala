@@ -211,7 +211,8 @@ object ScaleSanity {
     "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions",
     "q149_state_merge", "q152_rfm", "q153_pivot", "q154_unpivot",
     "q155_rolling_metrics", "q157_attribution", "q163_mode_by",
-    "q165_latency_histogram")
+    "q165_latency_histogram", "q167_event_patterns",
+    "q168_conversion_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

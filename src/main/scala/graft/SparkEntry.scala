@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Wave17.queries ++ graft.queries.Wave18.queries ++
       graft.queries.Wave19.queries ++ graft.queries.Wave20.queries ++
       graft.queries.Wave21.queries ++ graft.queries.Wave22.queries ++
-      graft.queries.Wave23.queries ++ graft.queries.Wave24.queries
+      graft.queries.Wave23.queries ++ graft.queries.Wave24.queries ++
+      graft.queries.Wave25.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.Wave17.oracleSql ++ graft.queries.Wave18.oracleSql ++
       graft.queries.Wave19.oracleSql ++ graft.queries.Wave20.oracleSql ++
       graft.queries.Wave21.oracleSql ++ graft.queries.Wave22.oracleSql ++
-      graft.queries.Wave23.oracleSql ++ graft.queries.Wave24.oracleSql
+      graft.queries.Wave23.oracleSql ++ graft.queries.Wave24.oracleSql ++
+      graft.queries.Wave25.oracleSql
 }

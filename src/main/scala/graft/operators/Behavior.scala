@@ -215,6 +215,51 @@ object Behavior {
         expr("n * 1000 DIV n_from").as("pm"))
   }
 
+  /** CEP-lite sequence-pattern counting (the MATCH_RECOGNIZE /
+    * Flink-CEP shape): per user, count NON-OVERLAPPING greedy matches
+    * of the ordered `pattern` in the event-type stream — a tiny DFA
+    * folded over each user's history. Skipping is permissive (events
+    * not matching the awaited stage are ignored), matches restart at
+    * stage 0 the moment a full pattern completes. Output:
+    * `(user_id, n_matches, stage)` with `stage` the in-progress prefix
+    * length at stream end.
+    *
+    * The WHOLE automaton state is ONE integer — `count · 10 + stage` —
+    * so the fold replays bit-for-bit in any engine with a list fold
+    * (the DuckDB twin is a `list_reduce` over the same ordered type
+    * list); `pattern.size` must be < 10 for the encoding. Same
+    * bounded per-user fold shape as [[ewmaFixedPoint]]: one groupBy,
+    * per-task state = one user's events. */
+  def sequencePatternCounts(events: DataFrame, userCol: String,
+                            tsCol: String, ordCol: String,
+                            typeCol: String,
+                            pattern: Seq[String]): DataFrame = {
+    require(pattern.size >= 2 && pattern.size < 10,
+      s"pattern size must be in [2, 9]: $pattern")
+    val e = ev(events, userCol, tsCol)
+    val k = pattern.size
+    // DFA transition as a when-chain over (state % 10, event type)
+    def trans(acc: Column, et: Column): Column = {
+      val stage = pmod(acc, lit(10L))
+      val hit = pattern.zipWithIndex.foldLeft(lit(false)) {
+        case (c, (p, i)) => c || (et === p && stage === i.toLong)
+      }
+      when(hit && pmod(acc, lit(10L)) === (k - 1).toLong,
+        acc - (k - 1) + 10L) // complete: count++, stage reset
+        .when(hit, acc + 1L)
+        .otherwise(acc)
+    }
+    e.groupBy(col("__u"))
+      .agg(sort_array(collect_list(struct(col("__t"),
+        col(ordCol).as("__o"), col(typeCol).as("__et")))).as("__seq"))
+      .select(col("__u").as("user_id"),
+        aggregate(col("__seq"), lit(0L),
+          (acc, x) => trans(acc, x.getField("__et"))).as("__acc"))
+      .select(col("user_id"),
+        expr("__acc DIV 10").as("n_matches"),
+        pmod(col("__acc"), lit(10L)).as("stage"))
+  }
+
   /** RFM segmentation over the buyers (users with >= 1 `purchaseType`
     * event): recency in days from the LOG's last event day, frequency,
     * monetary in exact cents, each scored into `buckets` exact

@@ -192,15 +192,28 @@ object Wave19 {
          |FROM j WHERE jac >= $SnmThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // list_reduce replay of the shift-exact recurrence
+    // recursive-CTE replay of the shift-exact recurrence. Deliberately
+    // NOT list_reduce: DuckDB 1.0's list_reduce is batch-dependent
+    // (same row, different answer depending on neighboring rows —
+    // diagnosed on q167, see Wave25), so sequential folds replay via
+    // the recursion that defines them
     "q146_ewma" ->
-      s"""WITH $SqlEv,
-         |l AS (SELECT u, list(cents ORDER BY t, event_id) AS cs
-         |      FROM e GROUP BY 1)
-         |SELECT u AS user_id, CAST(len(cs) AS BIGINT) AS n_events,
-         |  list_reduce(list_transform(cs, x -> x * 1000000),
-         |    (a, b) -> (b + 7 * a) >> 3) AS ewma_micro
-         |FROM l ORDER BY user_id""".stripMargin,
+      s"""WITH RECURSIVE $SqlEv,
+         |o AS (
+         |  SELECT u, cents,
+         |    row_number() OVER (PARTITION BY u ORDER BY t, event_id)
+         |      AS i
+         |  FROM e),
+         |mx AS (SELECT u, max(i) AS mi, count(*) AS n FROM o GROUP BY 1),
+         |r AS (
+         |  SELECT u, i, cents * 1000000 AS s FROM o WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.u, r.i + 1, (o.cents * 1000000 + 7 * r.s) >> 3
+         |  FROM r JOIN o ON o.u = r.u AND o.i = r.i + 1)
+         |SELECT r.u AS user_id, CAST(mx.n AS BIGINT) AS n_events,
+         |  CAST(r.s AS BIGINT) AS ewma_micro
+         |FROM r JOIN mx ON r.u = mx.u AND r.i = mx.mi
+         |ORDER BY user_id""".stripMargin,
 
     "q147_transitions" ->
       s"""WITH $SqlEv,

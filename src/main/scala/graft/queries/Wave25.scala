@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Behavior, Quantiles}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 25 — round-9 additions, the sequence-pattern tier:
+  *
+  *  - q167 CEP-lite pattern counting
+  *    ([[Behavior.sequencePatternCounts]]): non-overlapping greedy
+  *    matches of view→click→purchase per user — a MATCH_RECOGNIZE-
+  *    style DFA whose whole state is ONE integer (`count·10 + stage`),
+  *    so the oracle replays the identical fold with a `list_reduce`.
+  *  - q168 conversion-time quantiles: exact global order statistics of
+  *    completed-funnel durations — [[Behavior.funnel]] composed with
+  *    [[Quantiles.globalOrderStatistics]] (the no-sort selection
+  *    machinery applied to a derived behavioral metric).
+  */
+object Wave25 {
+
+  private val Pattern = Seq("view", "click", "purchase")
+  private val FunnelWinUs = 7L * 86400000000L
+  private val ConvPm = Seq(250, 500, 750, 900)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Non-overlapping greedy pattern matches per user.
+    "q167_event_patterns" -> { (s, d) =>
+      Behavior.sequencePatternCounts(Tables.events(s, d), "user_id",
+        "ts", "event_id", "event_type", Pattern)
+        .orderBy(col("user_id"))
+    },
+
+    // Exact quantiles of view→purchase conversion time (completed
+    // funnels only).
+    "q168_conversion_quantiles" -> { (s, d) =>
+      val durations = Behavior.funnel(Tables.events(s, d), "user_id",
+        "ts", "event_type", Pattern, FunnelWinUs)
+        .filter(col("reached") === Pattern.size)
+        .select((col(s"t${Pattern.size}_us") - col("t1_us")).as("dur"))
+      Quantiles.globalOrderStatistics(durations, "dur", ConvPm)
+        .orderBy(col("per_mille"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    // the SAME integer DFA stepped by a RECURSIVE CTE over each user's
+    // event index (all users advance in lockstep, one join per step) —
+    // NOT list_reduce: DuckDB 1.0's list_reduce returns a different
+    // result for the SAME row depending on the other rows in the batch
+    // (verified: identical codes list folds to 6 matches filtered, 5
+    // unfiltered), so the replay uses the recursion the engine's fold
+    // is defined by instead
+    "q167_event_patterns" -> {
+      val codes = Pattern.zipWithIndex
+        .map { case (p, i) => s"WHEN '$p' THEN CAST(${i + 1} AS BIGINT)" }
+        .mkString(" ")
+      val steps = Pattern.indices
+        .map { i =>
+          if (i == Pattern.size - 1)
+            s"WHEN o.c = ${i + 1} AND r.acc % 10 = $i THEN r.acc + ${10 - i}"
+          else s"WHEN o.c = ${i + 1} AND r.acc % 10 = $i THEN r.acc + 1"
+        }
+        .mkString("\n        |      ")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id AS u, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type AS et
+         |  FROM events),
+         |o AS (
+         |  SELECT u,
+         |    CASE et $codes ELSE CAST(0 AS BIGINT) END AS c,
+         |    row_number() OVER (PARTITION BY u ORDER BY t, event_id)
+         |      AS i
+         |  FROM e),
+         |mx AS (SELECT u, max(i) AS mi FROM o GROUP BY 1),
+         |r AS (
+         |  SELECT u, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS acc
+         |  FROM mx
+         |  UNION ALL
+         |  SELECT r.u, r.i + 1, CASE
+         |      $steps
+         |      ELSE r.acc END
+         |  FROM r JOIN o ON o.u = r.u AND o.i = r.i + 1)
+         |SELECT r.u AS user_id, r.acc // 10 AS n_matches,
+         |  r.acc % 10 AS stage
+         |FROM r JOIN mx ON r.u = mx.u AND r.i = mx.mi
+         |ORDER BY user_id""".stripMargin
+    },
+
+    // q142's funnel CTE chain -> durations -> brute rank selection
+    // (the q136 oracle pattern on a derived metric)
+    "q168_conversion_quantiles" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, event_type AS et,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |  FROM events),
+         |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = '${Pattern(0)}'
+         |       GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.u, s1.t1, min(e.t) AS t2
+         |  FROM e JOIN s1 ON e.u = s1.u
+         |  WHERE e.et = '${Pattern(1)}' AND e.t > s1.t1
+         |    AND e.t <= s1.t1 + $FunnelWinUs
+         |  GROUP BY 1, 2),
+         |s3 AS (
+         |  SELECT e.u, s2.t1, min(e.t) AS t3
+         |  FROM e JOIN s2 ON e.u = s2.u
+         |  WHERE e.et = '${Pattern(2)}' AND e.t > s2.t2
+         |    AND e.t <= s2.t1 + $FunnelWinUs
+         |  GROUP BY 1, 2),
+         |v AS (SELECT t3 - t1 AS v FROM s3),
+         |s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM v),
+         |n AS (SELECT count(*) AS n FROM v),
+         |p AS (SELECT unnest([${ConvPm.mkString(", ")}]) AS pm),
+         |k AS (SELECT pm, (pm * (n.n - 1)) // 1000 AS krank FROM p, n)
+         |SELECT CAST(k.pm AS BIGINT) AS per_mille,
+         |  CAST(k.krank AS BIGINT) AS rank, s.v AS value
+         |FROM k JOIN s ON s.rk = k.krank
+         |ORDER BY per_mille""".stripMargin
+  )
+}

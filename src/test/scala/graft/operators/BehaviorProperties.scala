@@ -83,6 +83,31 @@ object BehaviorProperties extends Properties("Behavior") {
         }
     }
 
+  property("sequencePatternCounts == brute DFA on random logs") =
+    forAll(genLog) { log =>
+      import spark.implicits._
+      val rows = log.distinct.zipWithIndex
+        .map { case ((u, t, et), i) => (u, t, i.toLong, et) }
+      val df = rows.toDF("user_id", "t_us", "event_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("t_us")))
+      val got = Behavior.sequencePatternCounts(df, "user_id", "ts",
+        "event_id", "event_type", Steps)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (u, evs) =>
+        var cnt = 0L
+        var st = 0
+        evs.sortBy(e => (e._2, e._3)).foreach { e =>
+          if (st < Steps.size && e._4 == Steps(st)) {
+            st += 1
+            if (st == Steps.size) { cnt += 1; st = 0 }
+          }
+        }
+        u -> ((cnt, st.toLong))
+      }
+      got == want
+    }
+
   property("modeBy == brute argmax-with-min-tie on random key/value sets") =
     forAll(Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, for {
       k <- Gen.chooseNum(0L, 4L)
