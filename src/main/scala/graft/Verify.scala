@@ -68,6 +68,22 @@ object Verify {
     // graft_* SQL functions available in the driver session (the
     // register() route of GraftExtensions)
     graft.functions.GraftFunctionRegistry.register(spark)
+    // ADVICE r9 preflight: the LSH oracles (q31, q109, q124, and every
+    // query reusing the mutual-kNN edge CTE — q138, q148) hardcode
+    // 4-bit bucketing, which only replays while
+    // Similarity.autoBits(|embeddings|) == 4, i.e. the oracle corpus
+    // stays at or below the 2048-vector ladder floor. If the driver
+    // regenerates a larger embeddings table, fail HERE with the
+    // coupling named instead of hash-mismatching far from the cause.
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val gotBits = graft.operators.Similarity.autoBits(nVec)
+    require(gotBits == 4,
+      s"embeddings corpus at $sfDir has $nVec vectors -> autoBits = " +
+        s"$gotBits, but the q31/q109/q124 oracles (and the q138/q148 " +
+        s"kNN edge CTE) replay 4-bit LSH buckets (the <= 2048-vector " +
+        s"ladder floor). Regenerate the oracles for the new width or " +
+        s"pin bitsPerTable at those call sites before trusting any " +
+        s"hash compare.")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
