@@ -931,6 +931,30 @@ object Dedup {
     labels.select(col("node"), col("lbl").as("rep"))
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into
+    * EXISTING `(node, rep)` labels without revisiting history's edge
+    * set. The trick: the label frame IS a graph — the STAR
+    * `node — rep` — with exactly the history's components but diameter
+    * ≤ 2, so running [[components]] over `star ∪ newPairs` converges in
+    * O(log delta-diameter) rounds whatever the history graph's shape,
+    * and its input is |state| + |delta| rows, never history's edges.
+    * Because every rep is the MIN member of its component, the merged
+    * rep of two joined components is the min of both — IDENTICAL to the
+    * one-shot `components(historyEdges ∪ newPairs)` (DedupSpec pins the
+    * two-phase ≡ one-shot equality; the q140/q149/q156 incremental-
+    * maintenance law, now for clustering). Nodes only in `labels` keep
+    * their (possibly re-merged) rep; nodes only in `newPairs` join or
+    * found components. */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+                      aCol: String = "doc_a", bCol: String = "doc_b",
+                      maxIter: Int = 25,
+                      checkpointDir: Option[String] = None,
+                      localSolveMaxEdges: Long = 1000000L): DataFrame = {
+    val star = labels.select(col("node").as(aCol), col("rep").as(bCol))
+    components(star.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter, checkpointDir, localSolveMaxEdges)
+  }
+
   /** Driver-side union-find finish for [[components]]: exact same
     * (node, rep = min component member) result as the distributed loop,
     * on a bounded, already-symmetrized+distinct edge frame. Node ordering

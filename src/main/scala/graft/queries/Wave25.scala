@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Behavior, Quantiles}
+import graft.operators.{Behavior, Dedup, Quantiles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,26 @@ object Wave25 {
         .select((col(s"t${Pattern.size}_us") - col("t1_us")).as("dur"))
       Quantiles.globalOrderStatistics(durations, "dur", ConvPm)
         .orderBy(col("per_mille"))
+    },
+
+    // Incremental clustering maintenance: history labels + delta edges
+    // folded with [[Dedup.mergeComponents]]; the oracle recomputes the
+    // one-shot components over the FULL corpus's exact pair set —
+    // equality IS the incremental-maintenance proof (the q140/q149/
+    // q156 law, now for connected components).
+    "q169_incremental_components" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corp = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val labels = Dedup.components(
+        Dedup.minhashNearDupPairs(corp, "doc_id", "text", 0.9))
+      val delta = Dedup.minhashNearDupPairs(batch, "doc_id", "text", 0.9)
+        .select(col("doc_a"), col("doc_b"))
+        .unionByName(
+          Dedup.nearDupAgainstCorpus(batch, corp, "doc_id", "text", 0.9)
+            .select(col("id_new").as("doc_a"),
+              col("id_corpus").as("doc_b")))
+      Dedup.mergeComponents(labels, delta).orderBy(col("node"))
     })
 
   // ------------------------------------------------------------ oracles
@@ -117,6 +137,36 @@ object Wave25 {
          |SELECT CAST(k.pm AS BIGINT) AS per_mille,
          |  CAST(k.krank AS BIGINT) AS rank, s.v AS value
          |FROM k JOIN s ON s.rk = k.krank
-         |ORDER BY per_mille""".stripMargin
+         |ORDER BY per_mille""".stripMargin,
+
+    // one-shot components over the full corpus's exact Jaccard >= 0.9
+    // pair set (q55's CTE), restricted to pair-touched nodes — the
+    // engine's history-labels + delta-fold must land exactly here
+    "q169_incremental_components" ->
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z]+'),
+        |    x -> x <> ''))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node, min(lbl) AS rep FROM reach GROUP BY 1
+        |ORDER BY node""".stripMargin
   )
 }

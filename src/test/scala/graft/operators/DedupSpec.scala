@@ -378,6 +378,38 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     viaDisk shouldBe direct
   }
 
+  test("mergeComponents: two-phase fold == one-shot, incl. component bridging") {
+    import spark.implicits._
+    // history: components {1,2,3} (rep 1) and {10,11} (rep 10), plus
+    // isolated pair {20,21}; delta BRIDGES 3—10 (two big comps merge,
+    // rep must fall to the global min 1), adds a brand-new comp
+    // {30,31}, and attaches 22 to {20,21}
+    val hist = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val delta = Seq((3L, 10L), (30L, 31L), (22L, 20L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.components(hist)
+    val merged = Dedup.mergeComponents(labels, delta)
+      .as[(Long, Long)].collect().toMap
+    val oneShot = Dedup.components(hist.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    merged shouldBe oneShot
+    merged(11L) shouldBe 1L // bridged: old rep 10 re-labeled to 1
+    merged(22L) shouldBe 20L
+    merged(31L) shouldBe 30L
+  }
+
+  test("mergeComponents: distributed loop path agrees (localSolve forced off)") {
+    import spark.implicits._
+    val hist = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val delta = Seq((2L, 5L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.components(hist, localSolveMaxEdges = 0)
+    val merged = Dedup.mergeComponents(labels, delta,
+      localSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    merged shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L)
+  }
+
   test("nearDupAgainstCorpusPrebuilt suppresses cross-side self-pairs like the direct path") {
     import spark.implicits._
     val corpSide = Seq((1L, "alpha beta gamma delta"),
