@@ -100,8 +100,12 @@ object Reducers {
       s"need 0 <= loPm < hiPm <= 1000: ($loPm, $hiPm)")
     val wR = Window.partitionBy(col("__k")).orderBy(col("__v"))
     val wC = Window.partitionBy(col("__k"))
+    // bounds over NON-NULL values only: a null would rank first and
+    // shift every quantile position; null-valued input rows still pass
+    // through the join below with a null clip (deterministic)
     val base = df
       .select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(wR).cast("long"))
       .withColumn("__cnt", count(lit(1)).over(wC))
     def parts(tag: String, pm: Int) = {
@@ -124,9 +128,12 @@ object Reducers {
         milli("hi").as("hi_milli"))
     df.join(bounds, col(keyCol) === bounds("__k"))
       .drop("__k")
+      // least/greatest SKIP nulls (a null value would silently clip to
+      // the band edge) — null in, null out, explicitly
       .withColumn("clipped_milli",
-        greatest(col("lo_milli"),
-          least(col("hi_milli"), col(valCol).cast("long") * 1000)))
+        when(col(valCol).isNull, lit(null).cast("long"))
+          .otherwise(greatest(col("lo_milli"),
+            least(col("hi_milli"), col(valCol).cast("long") * 1000))))
   }
 
   /** Exact per-key mode with a DETERMINISTIC tie rule: the most

@@ -64,6 +64,9 @@ object Stats {
                  y: Column): DataFrame = {
     val d = (c: Column) => c.cast(DecimalType(38, 0))
     df.select(col(groupCol).as("grp"), d(x).as("x"), d(y).as("y"))
+      // complete observations only: sums skip nulls but count(1) would
+      // not, silently skewing every moment a null row touches
+      .where(col("x").isNotNull && col("y").isNotNull)
       .groupBy(col("grp"))
       .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -100,6 +100,18 @@ class Wave20Spec extends AnyFunSuite with Matchers with SparkFixture {
     out("flat")._4 shouldBe None
   }
 
+  test("olsByGroup drops incomplete observations, not just their sums") {
+    import spark.implicits._
+    // same line y = 3x + 7, but with a null-y row injected: n must be
+    // 10 (complete rows), not 11 — otherwise every moment skews
+    val rows = (1 to 10).map(i => ("lin", i.toLong, Some(3L * i + 7))) :+
+      (("lin", 99L, Option.empty[Long]))
+    val out = Stats.olsByGroup(rows.toDF("g", "x", "y"), "g",
+      col("x"), col("y")).collect().head
+    out.getLong(1) shouldBe 10L
+    out.getLong(4) shouldBe 3000000L
+  }
+
   test("olsByGroup slope is scale-exact on a known rational slope") {
     import spark.implicits._
     // y = x/3 rounded down: slope_ppm must land within one ppm-floor of

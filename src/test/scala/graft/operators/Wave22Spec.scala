@@ -123,4 +123,20 @@ class Wave22Spec extends AnyFunSuite with Matchers with SparkFixture {
     an[IllegalArgumentException] should be thrownBy
       Reducers.winsorizeBy(df, "k", "v", 900, 100)
   }
+
+  test("winsorizeBy: null values don't shift quantile positions") {
+    import spark.implicits._
+    val withNulls = ((1L to 20L).map(v => ("g", Some(v))) :+
+      ("g", None) :+ ("g", None)).toDF("k", "v")
+    val out = Reducers.winsorizeBy(withNulls, "k", "v", 100, 900)
+      .select("v", "lo_milli", "hi_milli", "clipped_milli").collect()
+    // bounds identical to the null-free fixture (2900/18100); the two
+    // null rows pass through with a null clip
+    out.foreach { r =>
+      r.getLong(1) shouldBe 2900L
+      r.getLong(2) shouldBe 18100L
+    }
+    out.count(_.isNullAt(3)) shouldBe 2
+    out.length shouldBe 22
+  }
 }
