@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   *    completed-funnel durations — [[Behavior.funnel]] composed with
   *    [[Quantiles.globalOrderStatistics]] (the no-sort selection
   *    machinery applied to a derived behavioral metric).
+  *  - q169 incremental component maintenance
+  *    ([[graft.operators.Dedup.mergeComponents]]): history labels +
+  *    delta edges vs one-shot components — see the operator scaladoc.
+  *  - q170 cohort LTV curves: cumulative purchase revenue per signup
+  *    cohort by week offset, per-user in exact milli-cents — q143's
+  *    retention matrix completed with the revenue dimension
+  *    (cohort-partitioned cumulative window, bounded by the log's week
+  *    span).
   */
 object Wave25 {
 
@@ -60,6 +68,33 @@ object Wave25 {
             .select(col("id_new").as("doc_a"),
               col("id_corpus").as("doc_b")))
       Dedup.mergeComponents(labels, delta).orderBy(col("node"))
+    },
+
+    // Cumulative revenue per signup cohort by week offset, exact
+    // per-user milli-cents.
+    "q170_cohort_ltv" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id").as("u"),
+        unix_micros(col("ts")).as("t"), col("event_type").as("et"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      def week(name: String) = expr(s"($name DIV 86400000000) DIV 7")
+      val first = e.filter(col("et") === "signup")
+        .groupBy(col("u")).agg(min(col("t")).as("t0"))
+      val sizes = first.groupBy(week("t0").as("cohort_week"))
+        .agg(count(lit(1)).as("n0"))
+      val rev = e.join(first, Seq("u"))
+        .where(col("et") === "purchase" && col("t") >= col("t0"))
+        .groupBy(week("t0").as("cohort_week"),
+          (week("t") - week("t0")).as("week_offset"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      rev.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("ltv_milli",
+          expr("(1000 * cum_rev_cents) DIV n0"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     })
 
   // ------------------------------------------------------------ oracles
@@ -167,6 +202,37 @@ object Wave25 {
         |  UNION
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node, min(lbl) AS rep FROM reach GROUP BY 1
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    "q170_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    event_type AS et, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'signup'
+        |      GROUP BY 1),
+        |sizes AS (
+        |  SELECT (t0 // 86400000000) // 7 AS cohort_week,
+        |    count(*) AS n0
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT (f.t0 // 86400000000) // 7 AS cohort_week,
+        |    (e.t // 86400000000) // 7 - (f.t0 // 86400000000) // 7
+        |      AS week_offset,
+        |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+        |  FROM e JOIN f ON e.u = f.u
+        |  WHERE e.et = 'purchase' AND e.t >= f.t0
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_week, week_offset, rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_rev_cents
+        |  FROM r)
+        |SELECT c.cohort_week, c.week_offset, c.rev_cents,
+        |  c.cum_rev_cents, s.n0,
+        |  (1000 * c.cum_rev_cents) // s.n0 AS ltv_milli
+        |FROM c JOIN sizes s USING (cohort_week)
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin
   )
 }
