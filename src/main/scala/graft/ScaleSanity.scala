@@ -219,7 +219,10 @@ object ScaleSanity {
     val mult = if (args.length > 1) args(1).toInt else 100
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val defaults = Seq("q26_minhash_neardup", "q55_neardup_clusters",
-      "q92_subsumed_docs", "q95_tfidf_pairs", "semantic_dedup_sqrtk")
+      "q92_subsumed_docs", "q95_tfidf_pairs", "semantic_dedup_sqrtk",
+      // r9: the new banded/bucketed heavies stay on the default audit
+      // so future rounds re-measure them without opting in
+      "q145_snm_neardup", "q169_incremental_components")
     val queries = if (args.length > 3) args.drop(3).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
