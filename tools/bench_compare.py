@@ -1,35 +1,69 @@
 #!/usr/bin/env python3
-"""Compare a bench JSON line against BASELINE.md rows.
+"""Compare a bench output against BASELINE.md rows.
 
-Usage: python3 tools/bench_compare.py <bench.json> [ratio_threshold]
+Usage: python3 tools/bench_compare.py <bench.json|sbt.log> [ratio_threshold]
 
 Accepts either a raw sbt log (lines of program stdout) or a driver
-BENCH_r{N}.json artifact (a JSON object whose "tail" field holds the
-captured log — possibly truncated mid-line, as in BENCH_r08.json).
+BENCH_r{N}.json artifact (a JSON object whose "tail" field holds the last
+~2000 bytes of captured stdout — possibly truncated mid-line).
 
-Prefers the full-names line ({"metric":"total_fullnames", queries keyed
-q01_pricing_summary}); when that line is missing or truncated it falls
-back to the compact line ({"metric":"total", queries keyed q01), which
-the driver's tail-capture always keeps intact, and maps short -> full
-names via BASELINE.md's per-query rows. Prints each query whose
-raw/frozen ratio exceeds the threshold (default 2.0) and the overall
-ratio. Normalized times (queries_normalized) are shown when present so
-machine load and regression separate mechanically (see the calibration
-probe section in BASELINE.md).
+Bench output formats understood, newest first:
+
+1. Part lines (round 10+): several `{"metric":"qp","part":i,"of":k,
+   "i0":n,"cf":f,"t":[centisec,...]}` lines plus a short final
+   `{"metric":"total",...,"cal_factor":f,"nq":n}` line. Indices map to
+   the sorted full query names, recovered from the full-names line when
+   present, else from the newest CORRECTNESS_r*.json's keys (the driver
+   writes it from the same SparkEntry.queries map), else from BASELINE.md.
+   Each segment's `cf` is a load factor measured right after its queries;
+   over-threshold queries are annotated with it so a throttle window
+   mid-sweep marks which queries it starved.
+
+2. One full-names JSON line (`"metric":"total_fullnames"`).
+
+3. Legacy compact line (short q-keys) — including SALVAGE of a
+   truncated line: `"qNN":float` pairs are regex-recovered from partial
+   JSON (exactly the repair BENCH_r09.json needed by hand), with a
+   recovered-vs-expected count printed.
+
+Prints each query whose raw/frozen ratio exceeds the threshold (default
+2.0), its segment load factor when known, and the overall ratio, both raw
+and load-normalized (raw / cal_factor).
 """
-import json, re, sys
+import glob, json, os, re, sys
 
 # the date column pins this to the frozen per-query table — BASELINE.md's
 # re-measure sections have `| qNNN | sec | sec | ratio |` rows too
 ROW = re.compile(r"^\| (q\d+\w*) \| ([0-9.]+) \| \d{4}-\d{2}-\d{2} \|")
+PAIR = re.compile(r'"(q\d+(?:_\w+)?)":(-?[0-9.]+)')
 
-def baseline_rows(path="BASELINE.md"):
+def repo_root():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+def baseline_rows(path=None):
+    path = path or os.path.join(repo_root(), "BASELINE.md")
     rows = {}
     for line in open(path):
         m = ROW.match(line)
         if m:
             rows[m.group(1)] = float(m.group(2))
     return rows
+
+def correctness_names():
+    """Sorted full query names from the newest CORRECTNESS_r*.json —
+    written by the driver from the same SparkEntry.queries map the bench
+    sweeps, so its sorted keys ARE the part-line index order."""
+    files = sorted(glob.glob(os.path.join(repo_root(), "CORRECTNESS_r*.json")))
+    if not files:
+        return None
+    try:
+        d = json.load(open(files[-1]))
+        keys = d.get("queries", d)
+        if isinstance(keys, dict) and keys:
+            return sorted(keys)
+    except (json.JSONDecodeError, OSError):
+        pass
+    return None
 
 def bench_lines(path):
     """Log lines to scan: the driver artifact's "tail" field, else the
@@ -43,63 +77,122 @@ def bench_lines(path):
         pass
     return text.splitlines()
 
-def find_bench(lines):
-    """(queries, queries_normalized, used_fallback). Full-names line when
-    parseable; else the compact line (short keys, no normalized map)."""
-    compact = None
+def parse_objects(lines):
+    """All parseable JSON objects in the log, plus raw near-JSON lines
+    (for salvage)."""
+    objs, raw = [], []
     for line in lines:
         # sbt prefixes program stdout with "[info] "
         line = line.strip().removeprefix("[info]").strip()
-        if not (line.startswith("{") and '"queries"' in line):
+        # head-truncated lines (tail capture cut mid-line) don't start
+        # with "{" but still carry salvageable "qNN":sec pairs
+        if PAIR.search(line):
+            raw.append(line)
+        if not line.startswith("{"):
             continue
         try:
-            cand = json.loads(line)
+            objs.append(json.loads(line))
         except json.JSONDecodeError:
-            continue  # truncated capture (e.g. BENCH_r08.json's tail head)
-        qs = cand.get("queries", {})
-        if not qs:
             continue
-        if any(k.count("_") for k in qs):
-            return qs, cand.get("queries_normalized", {}), False
-        compact = cand
-    if compact is not None:
-        return compact["queries"], {}, True
-    return None, None, False
+    return objs, raw
+
+def from_parts(objs, names):
+    """Stitch `qp` part lines → ({name: sec}, {name: seg_cf}, final_obj)."""
+    parts = [o for o in objs if o.get("metric") == "qp"]
+    final = next((o for o in objs if o.get("metric") == "total"
+                  and "queries" not in o), None)
+    if not parts:
+        return None, None, final
+    qs, seg = {}, {}
+    for p in parts:
+        i0, cf = p.get("i0", 0), p.get("cf")
+        for j, centi in enumerate(p.get("t", [])):
+            idx = i0 + j
+            if names and idx < len(names):
+                name = names[idx]
+            else:
+                name = f"#q{idx}"  # no name table available
+            qs[name] = -1.0 if centi < 0 else centi / 100.0
+            seg[name] = cf
+    return qs, seg, final
+
+def from_fullnames(objs):
+    for o in objs:
+        qs = o.get("queries", {})
+        if qs and any(k.count("_") for k in qs):
+            return qs, o.get("queries_normalized", {})
+    return None, None
+
+def salvage(raw, frozen):
+    """Regex-recover `"qNN":float` pairs from truncated compact lines
+    (legacy artifacts), mapped to full names via BASELINE.md."""
+    full = {k.split("_")[0]: k for k in frozen}
+    best = {}
+    for line in raw:
+        # full-name keys pass through; short keys map via BASELINE.md
+        pairs = {(k if k.count("_") else full.get(k, k)): float(v)
+                 for k, v in PAIR.findall(line)}
+        if len(pairs) > len(best):
+            best = pairs
+    return best or None
 
 def main():
     path = sys.argv[1]
     thr = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     frozen = baseline_rows()
-    qs, norm, short = find_bench(bench_lines(path))
+    objs, raw = parse_objects(bench_lines(path))
+
+    # name table for part-line indices: full-names line first, else the
+    # newest CORRECTNESS file, else BASELINE.md's own names
+    fq, norm = from_fullnames(objs)
+    names = sorted(fq) if fq else (correctness_names() or sorted(frozen))
+    qs, seg, final = from_parts(objs, names)
+    source = "part lines"
     if qs is None:
-        sys.exit("no bench line with queries found in " + path)
-    if short:
-        # map q01 -> q01_pricing_summary via the baseline table
-        full = {k.split("_")[0]: k for k in frozen}
-        qs = {full.get(k, k): v for k, v in qs.items()}
-        print("(full-names line missing/truncated; using compact line, "
-              "names mapped via BASELINE.md)")
+        qs, seg = fq, {}
+        source = "full-names line"
+    if qs is None:
+        qs, seg = salvage(raw, frozen), {}
+        source = "SALVAGED truncated line (legacy artifact)"
+    if not qs:
+        sys.exit("no bench data found in " + path)
+    norm = norm or {}
+
+    cal = (final or {}).get("cal_factor")
+    expected = (final or {}).get("nq")
+    print(f"source: {source}; queries recovered: {len(qs)}"
+          + (f" / expected {expected}" if expected else ""))
+    if cal:
+        print(f"run cal_factor {cal:.2f} (machine load vs frozen quiet window)")
+    segs = sorted({v for v in seg.values() if v is not None})
+    if segs:
+        print(f"per-segment load factors: min {segs[0]:.2f} max {segs[-1]:.2f}")
+
     tot_raw = sum(v for v in qs.values() if v >= 0)
-    tot_frozen = sum(frozen[k] for k in qs if k in frozen)
+    with_base = [k for k in qs if k in frozen and qs[k] >= 0]
+    tot_frozen = sum(frozen[k] for k in with_base)
     over = []
-    for k, v in sorted(qs.items()):
-        if k not in frozen or v < 0:
-            continue
-        r = v / frozen[k]
+    for k in sorted(with_base):
+        r = qs[k] / frozen[k]
         if r > thr:
-            over.append((k, v, norm.get(k), frozen[k], r))
-    print(f"queries: {len(qs)}  with-baseline: {sum(1 for k in qs if k in frozen)}")
-    print(f"raw total {tot_raw:.1f}s vs frozen {tot_frozen:.1f}s -> {tot_raw/tot_frozen:.2f}x")
+            over.append((k, qs[k], frozen[k], r, seg.get(k)))
+    print(f"queries: {len(qs)}  with-baseline: {len(with_base)}")
+    ratio = tot_raw / tot_frozen if tot_frozen else float("nan")
+    line = f"raw total {tot_raw:.1f}s vs frozen {tot_frozen:.1f}s -> {ratio:.2f}x"
+    if cal:
+        line += f"  (load-normalized {ratio / cal:.2f}x)"
+    print(line)
     if over:
         print(f"\n> {thr}x frozen:")
-        for k, v, n, f, r in over:
-            ns = f" norm={n:.2f}" if n is not None else ""
-            print(f"  {k}: {v:.2f}s{ns} vs {f:.2f}s = {r:.1f}x")
+        for k, v, f, r, cf in over:
+            note = f"  [segment load {cf:.2f}x]" if cf else \
+                   (f"  norm={norm[k]}" if k in norm else "")
+            print(f"  {k}: {v:.2f}s vs {f:.2f}s = {r:.1f}x{note}")
     else:
         print(f"no query above {thr}x its frozen row")
-    missing = [k for k in qs if k not in frozen]
+    missing = sorted(k for k in qs if k not in frozen)
     if missing:
-        print("\nno baseline row yet: " + ", ".join(sorted(missing)))
+        print("\nno baseline row yet: " + ", ".join(missing))
 
 if __name__ == "__main__":
     main()
