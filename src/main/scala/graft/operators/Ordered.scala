@@ -96,7 +96,16 @@ object Ordered {
   def globalRank(df: DataFrame, keyCol: String,
                  buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    val n = df.count()
+    require(!df.columns.contains("rank"),
+      "globalRank adds a 'rank' column; input already has one — rename it")
+    // contract violations fail loudly instead of corrupting output: a
+    // null key would silently collapse into bucket 0 and mis-rank the
+    // whole frame. One aggregate scan yields both counts.
+    val firstRow = df.agg(count(lit(1)), count(when(col(keyCol).isNull, lit(1)))).head
+    val n = firstRow.getLong(0)
+    val nNull = firstRow.getLong(1)
+    require(nNull == 0L,
+      s"globalRank requires non-null '$keyCol': found $nNull null keys")
     if (n == 0) return df.withColumn("rank", lit(null).cast("long"))
     val b = math.min(buckets.toLong, n).toInt
     val cuts: Seq[Long] =

@@ -126,7 +126,11 @@ object Reducers {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("__k"), milli("lo").as("lo_milli"),
         milli("hi").as("hi_milli"))
-    df.join(bounds, col(keyCol) === bounds("__k"))
+    // LEFT join: a group whose values are ALL null has no bounds row —
+    // an inner join would silently drop those rows, contradicting the
+    // null-in-null-out pass-through below; they surface with null
+    // lo/hi/clipped instead
+    df.join(bounds, col(keyCol) === bounds("__k"), "left")
       .drop("__k")
       // least/greatest SKIP nulls (a null value would silently clip to
       // the band edge) — null in, null out, explicitly

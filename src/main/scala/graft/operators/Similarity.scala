@@ -894,6 +894,11 @@ object Similarity {
         it.flatMap { case (id, vec) =>
           if (signs == null)
             signs = Array.tabulate(outDim, vec.length)(sgn)
+          // shared-length contract enforced, not doc-only: a longer
+          // vector would throw AIOOBE mid-dot-product and a shorter one
+          // would silently project with a truncated matrix
+          require(vec.length == signs(0).length,
+            s"randomProjectSigns: mixed vector lengths (${vec.length} vs ${signs(0).length}) for id=$id")
           val q = new Array[Long](vec.length)
           var i = 0
           while (i < vec.length) {

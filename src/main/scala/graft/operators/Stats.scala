@@ -74,11 +74,20 @@ object Stats {
         sum(col("x") * col("y")).as("sxy"))
       .select(col("grp").as(groupCol),
         col("n").cast("long").as("n"),
-        expr("CAST((1000 * sx) DIV n AS BIGINT)").as("mean_x_milli"),
-        expr("CAST((1000 * sy) DIV n AS BIGINT)").as("mean_y_milli"),
+        // FLOOR division (a - pmod(a,b)) / b, not DIV: DIV truncates
+        // toward zero while the DuckDB twin's // floors, so a negative
+        // numerator (negative mean or covariance) would differ by one
+        // unit — the divisors (n, and n*sxx - sx*sx by Cauchy-Schwarz)
+        // are always positive, so pmod's non-negative remainder makes
+        // the quotient exactly the floor in both engines
+        expr("CAST((1000 * sx - pmod(1000 * sx, n)) / n AS BIGINT)")
+          .as("mean_x_milli"),
+        expr("CAST((1000 * sy - pmod(1000 * sy, n)) / n AS BIGINT)")
+          .as("mean_y_milli"),
         when(expr("n * sxx - sx * sx") =!= lit(0),
-          expr("CAST((1000000 * (n * sxy - sx * sy)) " +
-            "DIV (n * sxx - sx * sx) AS BIGINT)"))
+          expr("CAST((1000000 * (n * sxy - sx * sy) - " +
+            "pmod(1000000 * (n * sxy - sx * sy), n * sxx - sx * sx)) " +
+            "/ (n * sxx - sx * sx) AS BIGINT)"))
           .as("slope_ppm"))
   }
 }

@@ -292,7 +292,11 @@ object Streams {
                 if (ok) times += t
               }
             }
-          state.update(times.toSeq)
+          // no state for users that never started the funnel: an
+          // unconditional update would pin a permanent (NoTimeout)
+          // empty-Seq entry per key, growing state with TOTAL user
+          // cardinality instead of funnel-active users
+          if (times.nonEmpty) state.update(times.toSeq)
           if (!alreadyDone && times.size >= k)
             Iterator(FunnelDone(uid, times.toSeq))
           else Iterator.empty
@@ -377,5 +381,43 @@ object Streams {
       .filter(col("prev_max").isNotNull &&
         col("value") > col("prev_max") * factor)
       .select(col("user_id"), col("event_id"), col("prev_max"), col("value"))
+  }
+
+  /** Batch twin of [[funnelCompletions]] (same q56/q81/q110 convention):
+    * the completions an ordered replay of the whole log emits are
+    * exactly the batch funnel's fully-reached rows —
+    * [[graft.operators.Behavior.funnel]]'s greedy recurrence with
+    * `reached == steps.size`, projected to `(user_id, t1_us..tk_us)`.
+    * StreamsSpec pins streaming ≡ this twin on the real events table;
+    * q173 gives the twin the DuckDB oracle row, so the driver's
+    * correctness file certifies the plan the streaming op must match. */
+  def funnelCompletionsBatch(events: DataFrame, steps: Seq[String],
+                             windowMicros: Long): DataFrame = {
+    val k = steps.size
+    graft.operators.Behavior
+      .funnel(events, "user_id", "ts", "event_type", steps, windowMicros)
+      .filter(col("reached") === k)
+      .select(col("user_id") +: (1 to k).map(i => col(s"t${i}_us")): _*)
+  }
+
+  /** Batch twin of the `foreachBatch` additive-state maintenance loop
+    * ([[graft.operators.Agg.additiveState]] per micro-batch, states
+    * folded with [[graft.operators.Agg.mergeAdditiveStates]], never
+    * reprocessing history): partition the log by an arrival-batch
+    * column, aggregate each slice once, fold the slice states. By the
+    * additive merge law the result equals the one-shot aggregate of
+    * everything — which is exactly what the streaming loop maintains,
+    * so the q174 oracle (a plain GROUP BY) certifies both.
+    * StreamsSpec drives a MemoryStream with the same slices and pins
+    * the streamed fold ≡ this twin. */
+  def additiveMaintenanceBatch(df: DataFrame, keys: Seq[String],
+                               measure: org.apache.spark.sql.Column,
+                               batchCol: org.apache.spark.sql.Column,
+                               nBatches: Int): DataFrame = {
+    require(nBatches >= 1, s"need at least one batch: $nBatches")
+    val states = (0 until nBatches).map(i =>
+      graft.operators.Agg.additiveState(df.filter(batchCol === i), keys,
+        measure))
+    graft.operators.Agg.mergeAdditiveStates(keys, states: _*)
   }
 }

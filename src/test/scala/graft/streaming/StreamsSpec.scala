@@ -545,7 +545,11 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     val got = spark.table(name).as[Streams.FunnelDone].collect()
       .map(f => (f.user_id, f.step_us(0), f.step_us(1), f.step_us(2)))
       .toSet
-    val want = Behavior.funnel(evDf, "user_id", "ts", "event_type",
+    // the pinned batch twin — the exact plan q173 puts under the DuckDB
+    // oracle (which is itself Behavior.funnel's reached==k projection)
+    val want = Streams.funnelCompletionsBatch(evDf, steps, win)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    want shouldBe Behavior.funnel(evDf, "user_id", "ts", "event_type",
       steps, win)
       .filter(col("reached") === steps.size)
       .select("user_id", "t1_us", "t2_us", "t3_us")
@@ -624,5 +628,14 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     merged shouldBe oneShot
     merged should not be empty
+    // the pinned batch twin (q174's plan): same slices via an
+    // arrival-batch column must fold to the identical state map
+    val withBatch = batches.zipWithIndex.map { case (b, i) =>
+      prep(b.toDF()).withColumn("__b", lit(i)) }.reduce(_.unionByName(_))
+    val twin = Streams.additiveMaintenanceBatch(withBatch, keys,
+      col("cents"), col("__b"), batches.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    twin shouldBe merged
   }
 }
