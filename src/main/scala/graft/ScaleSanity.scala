@@ -222,7 +222,10 @@ object ScaleSanity {
       "q92_subsumed_docs", "q95_tfidf_pairs", "semantic_dedup_sqrtk",
       // r9: the new banded/bucketed heavies stay on the default audit
       // so future rounds re-measure them without opting in
-      "q145_snm_neardup", "q169_incremental_components")
+      "q145_snm_neardup", "q169_incremental_components",
+      // r10: the incremental corpus-build composition (three
+      // generations of banded ingest + state folds through parquet)
+      "q171_incremental_corpus_build")
     val queries = if (args.length > 3) args.drop(3).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -690,6 +690,26 @@ object Dedup {
       .filter(col("id_new") =!= col("id_corpus"))
   }
 
+  /** Fold two [[corpusNearDupState]] frames into the state of the UNION
+    * corpus: the snapshot monoid that closes the incremental ingest
+    * loop (snapshot → batch → snapshot). `ts` and `keys` are pure
+    * functions of `sk` (same tokens → same sorted array → same band
+    * keys), so for a set key present in both frames only the doc-id
+    * lists need merging; `first` over the equal payloads is
+    * deterministic by equality. Cost is |stateA| + |stateB| rows
+    * through one keyed aggregation — NEVER a corpus re-sketch: merging
+    * last snapshot's state with `corpusNearDupState(batch)` (delta-
+    * sized) yields exactly `corpusNearDupState(old ∪ batch)` without
+    * touching old documents (Wave26Spec pins merged ≡ one-shot). */
+  def mergeNearDupStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("h"), col("sk"))
+      .agg(first(col("ts")).as("ts"),
+        array_sort(array_distinct(flatten(collect_list(col("docs")))))
+          .as("docs"),
+        first(col("keys")).as("keys"))
+      .select(col("h"), col("sk"), col("ts"), col("docs"), col("keys"))
+
   /** n-gram (word-shingle) Jaccard near-dup pairs via the same
     * MinHash-LSH machinery, over the document's distinct `n`-shingle set
     * instead of its token set. Shingle similarity is the sharper near-dup

@@ -261,6 +261,242 @@ object Multimodal {
     b.array()
   }
 
+  /** Decoded-pixel statistics for [[decodePng]]: parsed dimensions plus
+    * exact integer reductions over the RECONSTRUCTED raw pixel stream
+    * (row-major, after unfiltering). `wsum_bytes` = Σ (i+1)·byte_i is
+    * position-weighted, so it pins the byte ORDER, not just the
+    * multiset — a scanline unfiltered with the wrong predictor cannot
+    * hash-match. */
+  case class ImagePixels(asset_id: Long, width: Long, height: Long,
+                         n_pix_bytes: Long, sum_bytes: Long,
+                         wsum_bytes: Long)
+
+  /** REAL pure-JVM decode for a COMPRESSED image format — the third
+    * non-stub codec behind the seam, and the first that must undo an
+    * entropy coder rather than walk headers ([[decodeBmp]] and
+    * [[decodeWav]] are both uncompressed layouts): PNG per the public
+    * spec (RFC 2083). Full pipeline, no external library —
+    * `java.util.zip.Inflater` ships in the JDK:
+    *
+    *  1. 8-byte signature check;
+    *  2. chunk walk (big-endian length + 4-char type + payload + CRC),
+    *     with every chunk's CRC32 VERIFIED over type+payload — a
+    *     flipped bit fails loudly with the asset id;
+    *  3. IHDR parse (width/height big-endian; requires the fixture
+    *     profile: 8-bit, color type 2 = truecolor RGB, deflate
+    *     compression, adaptive filtering, no interlace);
+    *  4. multi-IDAT concatenation (the spec allows the zlib stream to
+    *     split at arbitrary chunk boundaries — [[syntheticPng]] plants
+    *     two IDATs to keep this path honest) and one Inflater pass;
+    *  5. per-scanline UNFILTERING of all five adaptive filters (None /
+    *     Sub / Up / Average / Paeth with the spec's exact predictor);
+    *  6. exact integer stats over the reconstructed pixel bytes.
+    *
+    * q172 certifies the whole chain end-to-end: fixture PNGs plant the
+    * deterministic stream (seed + i) mod 256 as raw pixels, each row
+    * filtered with filter type row%5 (so every filter is exercised in
+    * every image taller than 4 rows), deflated, CRC'd; the oracle
+    * recomputes sum/weighted-sum arithmetically from the planted
+    * formula. A hash match means signature, chunk walk, CRCs, inflate,
+    * and all five unfilter predictors reproduced every byte. */
+  def decodePng(a: Asset): ImagePixels = {
+    val d = a.data
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    require(d.length >= 8 + 12 + 13,
+      s"PNG asset ${a.asset_id}: ${d.length} bytes too short")
+    var i = 0
+    while (i < 8) {
+      require((d(i) & 0xff) == sig(i),
+        f"PNG asset ${a.asset_id}: signature byte $i is 0x${d(i)}%02x")
+      i += 1
+    }
+    def be32(o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    var off = 8
+    var width = -1L; var height = -1L
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(off + 12 <= d.length,
+        s"PNG asset ${a.asset_id}: truncated chunk header at $off")
+      val len = be32(off)
+      require(len >= 0 && off + 12 + len <= d.length,
+        s"PNG asset ${a.asset_id}: chunk length $len overruns buffer")
+      val typ = new String(d, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(d, off + 4, 4 + len.toInt)
+      val want = be32(off + 8 + len.toInt)
+      require(crc.getValue == want,
+        f"PNG asset ${a.asset_id}: chunk $typ CRC 0x${crc.getValue}%08x != stored 0x$want%08x")
+      typ match {
+        case "IHDR" =>
+          require(len == 13,
+            s"PNG asset ${a.asset_id}: IHDR length $len != 13")
+          width = be32(off + 8)
+          height = be32(off + 12)
+          val bitDepth = d(off + 16) & 0xff
+          val colorType = d(off + 17) & 0xff
+          val interlace = d(off + 20) & 0xff
+          require(width > 0 && height > 0,
+            s"PNG asset ${a.asset_id}: bad dimensions ${width}x$height")
+          require(bitDepth == 8 && colorType == 2,
+            s"PNG asset ${a.asset_id}: unsupported profile $bitDepth-bit color type $colorType (want 8-bit RGB)")
+          require((d(off + 18) & 0xff) == 0 && (d(off + 19) & 0xff) == 0 &&
+            interlace == 0,
+            s"PNG asset ${a.asset_id}: nonzero compression/filter/interlace method")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, s"PNG asset ${a.asset_id}: IDAT before IHDR")
+          idat.write(d, off + 8, len.toInt)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks legal, ignored
+      }
+      off += 12 + len.toInt
+    }
+    require(seenIhdr, s"PNG asset ${a.asset_id}: no IHDR chunk")
+    val bpp = 3 // 8-bit RGB
+    val stride = (width * bpp).toInt
+    val rawLen = (height * (1 + stride)).toInt
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < rawLen && !inf.finished()) {
+      val n = inf.inflate(raw, got, rawLen - got)
+      require(n > 0 || inf.finished(),
+        s"PNG asset ${a.asset_id}: zlib stream stalled at $got/$rawLen")
+      got += n
+    }
+    inf.end()
+    require(got == rawLen,
+      s"PNG asset ${a.asset_id}: inflated $got bytes, want $rawLen")
+    // unfilter in place into the recon pixel array
+    val recon = new Array[Int](stride * height.toInt)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (1 + stride)) & 0xff
+      require(ft <= 4, s"PNG asset ${a.asset_id}: filter type $ft on row $r")
+      var x = 0
+      while (x < stride) {
+        val cur = raw(r * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) recon(r * stride + x - bpp) else 0
+        val up = if (r > 0) recon((r - 1) * stride + x) else 0
+        val upLeft =
+          if (r > 0 && x >= bpp) recon((r - 1) * stride + x - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => // Paeth: nearest of left/up/upLeft to left+up-upLeft
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        recon(r * stride + x) = (cur + pred) & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    var sum = 0L; var wsum = 0L
+    var k = 0
+    while (k < recon.length) {
+      sum += recon(k)
+      wsum += (k + 1).toLong * recon(k)
+      k += 1
+    }
+    ImagePixels(a.asset_id, width, height, recon.length.toLong, sum, wsum)
+  }
+
+  /** Fixture encoder for [[decodePng]]: a VALID 8-bit truecolor PNG
+    * whose raw pixel bytes are the deterministic stream (seed + i) mod
+    * 256, each scanline filtered with type row%5 (all five adaptive
+    * filters exercised), deflated, and written as TWO IDAT chunks (the
+    * multi-IDAT path is spec-legal and must concatenate) with real
+    * CRC32s — a stock image viewer opens the output. */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val bpp = 3
+    val stride = width * bpp
+    val recon = Array.tabulate(stride * height)(i =>
+      (((seed + i) % 256 + 256) % 256).toInt)
+    val raw = new Array[Byte](height * (1 + stride))
+    var r = 0
+    while (r < height) {
+      val ft = r % 5
+      raw(r * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = recon(r * stride + x)
+        val left = if (x >= bpp) recon(r * stride + x - bpp) else 0
+        val up = if (r > 0) recon((r - 1) * stride + x) else 0
+        val upLeft =
+          if (r > 0 && x >= bpp) recon((r - 1) * stride + x - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        raw(r * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = comp.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(be32(payload.length.toLong))
+      out.write(t); out.write(payload)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(payload)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(2.toByte) // 8-bit, truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    val cut = math.max(1, z.length / 2) // two IDATs: spec-legal split
+    chunk("IDAT", z.take(cut))
+    if (z.length > cut) chunk("IDAT", z.drop(cut))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Image twin of [[extractAudio]] for the pixel-stats decode: same
+    * seam contract (serializable pure decode fn, partition-preserving
+    * mapPartitions). */
+  def extractImagePixels(assets: Dataset[Asset],
+                         decode: Asset => ImagePixels = decodePng):
+      Dataset[ImagePixels] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decode))
+  }
+
   /** Audio twin of [[extractFeatures]]: same seam contract (serializable
     * pure decode fn, partition-preserving mapPartitions), audio-shaped
     * output row. */

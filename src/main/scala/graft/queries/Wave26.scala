@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Agg, Dedup, Multimodal}
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 26 — round-10 additions, the composition-and-codec tier:
+  *
+  *  - q171 end-to-end incremental corpus build: the round-9 incremental
+  *    pieces composed as ONE snapshot → batch → snapshot pipeline whose
+  *    every cross-batch artifact ROUND-TRIPS THROUGH PARQUET —
+  *    [[Dedup.corpusNearDupState]] (sketch state) folded per batch with
+  *    [[Dedup.mergeNearDupStates]], labels maintained with
+  *    [[Dedup.mergeComponents]], per-lang rollups with
+  *    [[Agg.additiveState]]/[[Agg.mergeAdditiveStates]] — certified
+  *    against a ONE-SHOT full-recompute oracle (q169's exact-Jaccard
+  *    components CTE + a plain GROUP BY). Each ingest generation reads
+  *    ONLY its batch and the persisted state frames; Wave26Spec pins
+  *    the no-corpus-rescan property on the physical scan list.
+  *  - q172 pure-JVM PNG decode ([[Multimodal.decodePng]]): the first
+  *    COMPRESSED codec behind the multimodal seam (BMP/WAV are
+  *    header-walk formats) — chunk walk with verified CRC32s,
+  *    multi-IDAT zlib inflate, all five adaptive scanline filters
+  *    undone; the oracle replays the planted pixel stream
+  *    arithmetically, position-weighted so byte ORDER is pinned.
+  *  - q173 funnel completions, batch twin
+  *    ([[Streams.funnelCompletionsBatch]]): the pinned batch plan of
+  *    the streaming per-key funnel state machine (StreamsSpec holds
+  *    streaming ≡ twin; this row makes the driver's correctness file,
+  *    not just ScalaTest, certify it).
+  *  - q174 additive-state maintenance, batch twin
+  *    ([[Streams.additiveMaintenanceBatch]]): per-arrival-batch states
+  *    folded to the one-shot rollup — the foreachBatch maintenance
+  *    loop's oracle row (same StreamsSpec pairing).
+  */
+object Wave26 {
+
+  private val NearDupT = 0.9 // q171: the q169-convention threshold
+  private val Pattern = Seq("view", "click", "purchase")
+  private val FunnelWinUs = 7L * 86400000000L
+  private val MaintBatches = 3
+
+  /** q171's pipeline: three ingest generations over doc_id % 3 slices
+    * (1 → 2 → 0, so the "snapshot" starts non-trivial), all state
+    * persisted and re-read between generations. Returns the final
+    * per-lang corpus report. */
+  private def incrementalCorpusBuild(s: SparkSession,
+                                     docs: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q171_").toString
+    def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    def save(df: DataFrame, name: String, gen: Int): Unit =
+      df.write.mode("overwrite").parquet(s"$tmp/${name}$gen")
+    def load(name: String, gen: Int): DataFrame =
+      s.read.parquet(s"$tmp/${name}$gen")
+
+    // ---- snapshot 0: sketch + label + rollup the initial corpus
+    val b0 = batch(1)
+    save(Dedup.corpusNearDupState(b0, "doc_id", "text"), "state", 0)
+    save(Dedup.components(
+      Dedup.minhashNearDupPairs(b0, "doc_id", "text", NearDupT)
+        .select(col("doc_a"), col("doc_b"))), "labels", 0)
+    save(Agg.additiveState(b0, Seq("lang"), col("n_chars")), "agg", 0)
+
+    // ---- one ingest generation: reads ONLY the batch + persisted state
+    def ingest(batchDocs: DataFrame, gen: Int): Unit = {
+      val state = load("state", gen - 1)
+      val labels = load("labels", gen - 1)
+      val agg = load("agg", gen - 1)
+      // delta pairs: within-batch LSH + batch × frozen-state (prebuilt —
+      // zero corpus recomputation, the state frame IS the corpus here)
+      val delta = Dedup
+        .minhashNearDupPairs(batchDocs, "doc_id", "text", NearDupT)
+        .select(col("doc_a"), col("doc_b"))
+        .unionByName(Dedup.nearDupAgainstCorpusPrebuilt(batchDocs, state,
+          "doc_id", "text", NearDupT)
+          .select(col("id_new").as("doc_a"), col("id_corpus").as("doc_b")))
+      save(Dedup.mergeComponents(labels, delta), "labels", gen)
+      save(Dedup.mergeNearDupStates(state,
+        Dedup.corpusNearDupState(batchDocs, "doc_id", "text")), "state", gen)
+      save(Agg.mergeAdditiveStates(Seq("lang"), agg,
+        Agg.additiveState(batchDocs, Seq("lang"), col("n_chars"))),
+        "agg", gen)
+    }
+    ingest(batch(2), 1)
+    ingest(batch(0), 2)
+
+    // ---- final report from the persisted generation-2 state only
+    val labels2 = load("labels", 2)
+    val agg2 = load("agg", 2)
+    val nodes = labels2
+      .join(docs.select(col("doc_id").as("node"), col("lang")), "node")
+      .groupBy(col("lang")).agg(count(lit(1)).as("dup_nodes"))
+    val clusters = labels2.select(col("rep")).distinct()
+      .join(docs.select(col("doc_id").as("rep"), col("lang")), "rep")
+      .groupBy(col("lang")).agg(count(lit(1)).as("dup_clusters"))
+    agg2
+      .select(col("lang"), col("n").as("n_docs"),
+        col("sum_v").as("sum_chars"), col("min_v").as("min_chars"),
+        col("max_v").as("max_chars"))
+      .join(nodes, Seq("lang"), "left")
+      .join(clusters, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        col("min_chars"), col("max_chars"),
+        coalesce(col("dup_nodes"), lit(0L)).as("dup_nodes"),
+        coalesce(col("dup_clusters"), lit(0L)).as("dup_clusters"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Snapshot → batch → snapshot through parquet; final report vs the
+    // one-shot full recompute.
+    "q171_incremental_corpus_build" -> { (s, d) =>
+      incrementalCorpusBuild(s, Tables.documents(s, d))
+    },
+
+    // Plant real PNGs (deterministic pixels, row%5 filters, two IDATs),
+    // decode through the full inflate + unfilter pipeline, report exact
+    // pixel-stream stats.
+    "q172_png_decode" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "png", Multimodal.syntheticPng(
+            8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id))
+        }
+      Multimodal.extractImagePixels(assets)
+        .toDF()
+        .orderBy(col("asset_id"))
+    },
+
+    // The streaming funnel state machine's pinned batch plan.
+    "q173_funnel_completions" -> { (s, d) =>
+      Streams.funnelCompletionsBatch(Tables.events(s, d), Pattern,
+        FunnelWinUs)
+        .orderBy(col("user_id"))
+    },
+
+    // The foreachBatch additive-maintenance loop's pinned batch plan:
+    // per-arrival-batch states folded, == one-shot rollup by the merge
+    // law.
+    "q174_additive_maintenance" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      Streams.additiveMaintenanceBatch(e, Seq("event_type"), col("cents"),
+        pmod(col("event_id"), lit(MaintBatches)), MaintBatches)
+        .orderBy(col("event_type"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    // ONE-SHOT recompute over the full corpus: exact-Jaccard >= 0.9
+    // pairs (q169's CTE) -> components -> per-lang node/cluster counts,
+    // joined to the plain per-lang GROUP BY the additive states must
+    // equal. The engine's three-generation parquet-round-tripped fold
+    // must land exactly here — incremental ≡ one-shot, end to end.
+    "q171_incremental_corpus_build" ->
+      s"""WITH RECURSIVE
+         |toks AS (
+         |  SELECT doc_id, unnest(list_distinct(list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z]+'),
+         |    x -> x <> ''))) AS tok
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $NearDupT),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY 1),
+         |lang_stats AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |    CAST(max(n_chars) AS BIGINT) AS max_chars
+         |  FROM documents GROUP BY 1),
+         |nodes AS (
+         |  SELECT d.lang, CAST(count(*) AS BIGINT) AS dup_nodes
+         |  FROM comp c JOIN documents d ON c.node = d.doc_id GROUP BY 1),
+         |clus AS (
+         |  SELECT d.lang, CAST(count(*) AS BIGINT) AS dup_clusters
+         |  FROM (SELECT DISTINCT rep FROM comp) r
+         |  JOIN documents d ON r.rep = d.doc_id GROUP BY 1)
+         |SELECT l.lang, l.n_docs, l.sum_chars, l.min_chars, l.max_chars,
+         |  CAST(coalesce(n.dup_nodes, 0) AS BIGINT) AS dup_nodes,
+         |  CAST(coalesce(c.dup_clusters, 0) AS BIGINT) AS dup_clusters
+         |FROM lang_stats l
+         |LEFT JOIN nodes n USING (lang)
+         |LEFT JOIN clus c USING (lang)
+         |ORDER BY lang""".stripMargin,
+
+    // the planted pixel stream (seed + i) mod 256, recomputed
+    // arithmetically: dims from the id/char mods, sum and
+    // position-weighted sum over the w*h*3 raw bytes — the weighted sum
+    // pins byte ORDER, so a wrong unfilter predictor cannot match
+    "q172_png_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + n_chars % 7 AS h
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, h, w * h * 3 AS npb FROM p)
+        |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(npb AS BIGINT) AS n_pix_bytes,
+        |  CAST(list_sum(list_transform(range(0, npb),
+        |    i -> (doc_id + i) % 256)) AS BIGINT) AS sum_bytes,
+        |  CAST(list_sum(list_transform(range(0, npb),
+        |    i -> (i + 1) * ((doc_id + i) % 256))) AS BIGINT) AS wsum_bytes
+        |FROM n ORDER BY asset_id""".stripMargin,
+
+    // q168's greedy funnel CTE chain, completions only — the streaming
+    // state machine's whole-log truth
+    "q173_funnel_completions" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, event_type AS et,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |  FROM events),
+         |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = '${Pattern(0)}'
+         |       GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.u, s1.t1, min(e.t) AS t2
+         |  FROM e JOIN s1 ON e.u = s1.u
+         |  WHERE e.et = '${Pattern(1)}' AND e.t > s1.t1
+         |    AND e.t <= s1.t1 + $FunnelWinUs
+         |  GROUP BY 1, 2),
+         |s3 AS (
+         |  SELECT e.u, s2.t1, s2.t2, min(e.t) AS t3
+         |  FROM e JOIN s2 ON e.u = s2.u
+         |  WHERE e.et = '${Pattern(2)}' AND e.t > s2.t2
+         |    AND e.t <= s2.t1 + $FunnelWinUs
+         |  GROUP BY 1, 2, 3)
+         |SELECT u AS user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+         |FROM s3 ORDER BY user_id""".stripMargin,
+
+    // the merge law makes the one-shot GROUP BY the exact oracle for
+    // the per-batch fold
+    "q174_additive_maintenance" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_v,
+        |  CAST(min(cents) AS BIGINT) AS min_v,
+        |  CAST(max(cents) AS BIGINT) AS max_v
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-26 contracts: the snapshot-state monoid behind q171's
+  * incremental corpus build (merge law, prebuilt-through-merged-state
+  * parity, incremental ≡ one-shot labels THROUGH parquet, and the
+  * no-corpus-rescan scan-list pin) plus the PNG codec's round-trip,
+  * multi-IDAT, and loud-failure semantics. */
+class Wave26Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+
+  // row normalizer: keys arrive from a collect_list (order arbitrary),
+  // so compare them as sets; everything else positionally
+  private def stateMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      r.getAs[String]("sk") ->
+        ((r.getAs[Long]("h"), r.getAs[Seq[String]]("ts").toList,
+          r.getAs[Seq[Any]]("docs").toList,
+          r.getAs[Seq[Any]]("keys").toSet))
+    }.toMap
+
+  test("mergeNearDupStates folds batch states to the union-corpus state") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Dedup.mergeNearDupStates(
+      Dedup.corpusNearDupState(a, "doc_id", "text"),
+      Dedup.corpusNearDupState(b, "doc_id", "text"))
+    val oneShot = Dedup.corpusNearDupState(docs, "doc_id", "text")
+    val m = stateMap(merged)
+    m shouldBe stateMap(oneShot)
+    m should not be empty
+  }
+
+  test("prebuilt ingest through a MERGED state == recompute vs the union corpus") {
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    val merged = Dedup.mergeNearDupStates(
+      Dedup.corpusNearDupState(a, "doc_id", "text"),
+      Dedup.corpusNearDupState(b, "doc_id", "text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val viaState = pairs(Dedup.nearDupAgainstCorpusPrebuilt(fresh, merged,
+      "doc_id", "text", 0.9))
+    val direct = pairs(Dedup.nearDupAgainstCorpus(fresh,
+      a.unionByName(b), "doc_id", "text", 0.9))
+    viaState shouldBe direct
+    viaState should not be empty
+  }
+
+  test("q171 label maintenance through parquet == one-shot components; " +
+    "generation-2 scans ONLY its batch and persisted state") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_w26spec_").toString
+    def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    // materialize each batch as its OWN parquet table so the scan-list
+    // pin can tell batch files from corpus files
+    (0 to 2).foreach(i =>
+      batch(i).write.mode("overwrite").parquet(s"$tmp/b$i"))
+    def b(i: Int) = spark.read.parquet(s"$tmp/b$i")
+
+    Dedup.corpusNearDupState(b(1), "doc_id", "text")
+      .write.parquet(s"$tmp/state0")
+    Dedup.components(
+      Dedup.minhashNearDupPairs(b(1), "doc_id", "text", 0.9)
+        .select(col("doc_a"), col("doc_b")))
+      .write.parquet(s"$tmp/labels0")
+    def delta(batchDf: org.apache.spark.sql.DataFrame,
+              state: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashNearDupPairs(batchDf, "doc_id", "text", 0.9)
+        .select(col("doc_a"), col("doc_b"))
+        .unionByName(Dedup.nearDupAgainstCorpusPrebuilt(batchDf, state,
+          "doc_id", "text", 0.9)
+          .select(col("id_new").as("doc_a"), col("id_corpus").as("doc_b")))
+
+    // generation 1
+    val s0 = spark.read.parquet(s"$tmp/state0")
+    Dedup.mergeComponents(spark.read.parquet(s"$tmp/labels0"),
+      delta(b(2), s0)).write.parquet(s"$tmp/labels1")
+    Dedup.mergeNearDupStates(s0,
+      Dedup.corpusNearDupState(b(2), "doc_id", "text"))
+      .write.parquet(s"$tmp/state1")
+
+    // generation 2 — THE scan-list pin: the delta frame's input files
+    // must come only from the batch-2 table and the persisted state
+    // (never the corpus-sized b0/b1 tables)
+    val s1 = spark.read.parquet(s"$tmp/state1")
+    val d2 = delta(b(0), s1)
+    val scanned = d2.inputFiles.toSet
+    scanned should not be empty
+    all(scanned.toSeq) should (include("/b0") or include("/state1"))
+    val labels2 = Dedup.mergeComponents(spark.read.parquet(s"$tmp/labels1"),
+      d2)
+
+    val twoPhase = labels2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = Dedup.components(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9)
+        .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    twoPhase shouldBe oneShot
+    twoPhase should not be empty
+  }
+
+  // ------------------------------------------------------------- PNG
+
+  private def planted(n: Int, seed: Long): Seq[Long] =
+    (0 until n).map(i => ((seed + i) % 256 + 256) % 256)
+
+  test("PNG round-trip: decode(syntheticPng) reproduces the planted stream") {
+    for ((w, h, seed) <- Seq((8, 5, 0L), (16, 11, 123L), (3, 7, 255L),
+      (1, 1, 7L), (24, 16, 9999L))) {
+      val px = Multimodal.decodePng(
+        Multimodal.Asset(seed, "png", Multimodal.syntheticPng(w, h, seed)))
+      val n = w * h * 3
+      val stream = planted(n, seed)
+      px.width shouldBe w.toLong
+      px.height shouldBe h.toLong
+      px.n_pix_bytes shouldBe n.toLong
+      px.sum_bytes shouldBe stream.sum
+      px.wsum_bytes shouldBe
+        stream.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    }
+  }
+
+  test("syntheticPng plants TWO IDAT chunks (multi-IDAT concat is exercised)") {
+    val bytes = Multimodal.syntheticPng(16, 11, 42L)
+    val s = new String(bytes.map(b => (b & 0xff).toChar))
+    s.sliding(4).count(_ == "IDAT") shouldBe 2
+  }
+
+  test("PNG decode fails loudly on malformed input") {
+    val good = Multimodal.syntheticPng(8, 6, 1L)
+    // signature flip
+    val badSig = good.clone(); badSig(0) = 0x00.toByte
+    the[IllegalArgumentException] thrownBy
+      Multimodal.decodePng(Multimodal.Asset(7L, "png", badSig)) should
+      have message
+      "requirement failed: PNG asset 7: signature byte 0 is 0x00"
+    // truncation
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePng(Multimodal.Asset(8L, "png", good.take(20)))
+    // CRC tamper: flip a byte inside the first IDAT payload
+    val idatAt = good.indices.find(i => i + 3 < good.length &&
+      good(i) == 'I'.toByte && good(i + 1) == 'D'.toByte &&
+      good(i + 2) == 'A'.toByte && good(i + 3) == 'T'.toByte).get
+    val tampered = good.clone()
+    tampered(idatAt + 4) = (tampered(idatAt + 4) ^ 0xff).toByte
+    val e = the[IllegalArgumentException] thrownBy
+      Multimodal.decodePng(Multimodal.Asset(9L, "png", tampered))
+    e.getMessage should include("CRC")
+  }
+}
