@@ -58,6 +58,29 @@ object Sinks {
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
+  /** ORC sink with readback — the other columnar interchange format a
+    * warehouse migration meets (Hive/Trino ecosystems). Built-in
+    * reader/writer; schema enforced on readback like [[json]]. */
+  def orc(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.schema(df.schema).orc(path)
+  }
+
+  /** Gzip-compressed JSON-lines sink with readback — the format web
+    * corpora actually ship in (`.jsonl.gz`). Spark's readers decompress
+    * transparently, but gzip is NOT splittable: one file = one task at
+    * read time, whatever `maxPartitionBytes` says. So the write
+    * repartitions to `shards` first — at 100 TB the shard count IS the
+    * read parallelism knob (aim for ~128 MB compressed per shard);
+    * a single fat .gz would serialize the whole scan through one core,
+    * the classic compressed-corpus scale trap. */
+  def jsonGz(df: DataFrame, path: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    df.repartition(shards).write.mode("overwrite")
+      .option("compression", "gzip").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
   /** S6 — Avro sink (flat records) with readback. Capability parity:
     * `io/avro.clj:117-135,160-171`. */
   def avro(df: DataFrame, path: String): DataFrame = AvroIO.write(df, path)

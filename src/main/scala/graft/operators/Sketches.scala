@@ -396,6 +396,58 @@ object Sketches {
     override def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
   }
 
+  /** HLL registers over an arbitrary KEY column (cast to string, nulls
+    * dropped): `(bucket, reg)` — the generic-relation form of
+    * [[hllRegistersGrams]]'s gram sketch, same md5 32-bit slice, same
+    * register monoid (per-bucket max), same [[hllMergeEstimate]]
+    * estimator. Persist one frame per table/snapshot (≤ 2^p rows) and
+    * any union of them estimates the union's distinct-key count. */
+  def hllRegistersCol(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8]: $p")
+    val wBits = 32 - p
+    val k = wBits + 1
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    df.select(col(keyCol).cast("string").as("tok"))
+      .where(col("tok").isNotNull).distinct()
+      .select(h.as("h"))
+      .select(shiftright(col("h"), wBits).as("bucket"),
+        col("h").bitwiseAND(lit((1L << wBits) - 1L)).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0, lit(k))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+  }
+
+  /** Join-cardinality estimation from sketches — the planning statistic
+    * a 100 TB optimizer wants BEFORE committing to a join strategy:
+    * distinct keys on each side plus their overlap, by
+    * inclusion–exclusion over HLL registers
+    * (`|A∩B| ≈ est(A) + est(B) − est(A∪B)`, where the union estimate
+    * costs one per-bucket max of the two register frames — sketches
+    * union exactly even though they cannot intersect directly).
+    * Each side is scanned ONCE for its ≤ 2^p-row register frame; both
+    * frames are persistable, so a catalog can keep per-table sketches
+    * and answer overlap questions for ANY table pair with zero table
+    * scans. Output: one row `(est_left, est_right, est_union,
+    * est_overlap)`, overlap clamped at 0 (inclusion–exclusion noise can
+    * go negative on disjoint sides). All integer-rational — an oracle
+    * replays every register and estimate bit-for-bit (q177). */
+  def hllJoinKeyEstimate(left: DataFrame, leftKey: String,
+                         right: DataFrame, rightKey: String,
+                         p: Int = 8): DataFrame = {
+    val ra = hllRegistersCol(left, leftKey, p)
+    val rb = hllRegistersCol(right, rightKey, p)
+    def est(regs: DataFrame, name: String) =
+      hllMergeEstimate(regs, p).select(col("hll_est").as(name))
+    est(ra, "est_left")
+      .crossJoin(est(rb, "est_right"))
+      .crossJoin(est(ra.unionByName(rb), "est_union"))
+      .select(col("est_left"), col("est_right"), col("est_union"),
+        greatest(lit(0L),
+          col("est_left") + col("est_right") - col("est_union"))
+          .as("est_overlap"))
+  }
+
   /** EXACT per-group heavy hitters at 100 TB cost: the classic two-pass
     * scheme. Pass 1 runs [[MisraGries]] per group — bounded state, no
     * token-grain shuffle — to get a candidate set guaranteed to contain

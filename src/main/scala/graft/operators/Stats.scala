@@ -17,15 +17,17 @@ object Stats {
     * million plus the exact first moments:
     * `(group, n, mean_x_milli, mean_y_milli, slope_ppm)` with
     *
-    *   slope_ppm = (10^6 · (n·Σxy − Σx·Σy)) DIV (n·Σx² − (Σx)²)
+    *   slope_ppm = floor((10^6 · (n·Σxy − Σx·Σy)) / (n·Σx² − (Σx)²))
     *
     * All sums are DECIMAL(38,0): at 10^12 rows of 10^3-magnitude
     * features, n·Σx² ≈ 10^21 — far inside 38 digits, and decimal
     * addition is exact in any order (the float-sum nondeterminism the
-    * house dsum pattern exists to avoid). `DIV` truncates toward zero;
-    * it equals floor (and DuckDB's `//`) whenever the covariance is
-    * non-negative — callers fitting a possibly-negative slope should
-    * treat the last ppm digit as truncated, not floored.
+    * house dsum pattern exists to avoid). Division is FLOOR division
+    * via pmod (the divisors — n, and the variance term by
+    * Cauchy–Schwarz — are positive), so negative means and covariances
+    * replay bit-for-bit against engines whose `//` floors (r10 fix;
+    * DIV truncates toward zero and differed by one ppm on negative
+    * slopes).
     *
     * Degenerate groups (constant x, i.e. zero variance) emit a NULL
     * slope rather than dividing by zero. One aggregation, map-side
@@ -89,5 +91,82 @@ object Stats {
             "pmod(1000000 * (n * sxy - sx * sy), n * sxx - sx * sx)) " +
             "/ (n * sxx - sx * sx) AS BIGINT)"))
           .as("slope_ppm"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds in millionths of probability
+    * mass: a uniform draw u ∈ [0, 10^6) maps to weight = number of
+    * thresholds ≤ u (0..7; the 8.3e-5 tail collapses into 7). */
+  private val PoissonThresholds =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+
+  /** POISSON-BOOTSTRAP confidence interval for per-group means — the
+    * bootstrap that actually distributes (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012): classic
+    * resampling needs n draws from n rows (a global shuffle per
+    * replicate), but for large n the multinomial resample count of any
+    * single row converges to Poisson(1), so each row can draw its OWN
+    * weight per replicate — one scan computes all `b` replicates, no
+    * shuffle wider than the (group, replicate) aggregation, map-side
+    * combined.
+    *
+    * Determinism contract: the per-(replicate, row) weight is the
+    * Poisson(1) inverse CDF at the md5-uniform draw
+    * `md5("bs:<seed>:<b>:<id>") mod 10^6` (house hex-slice rule), so
+    * every engine replays the exact same resamples (q178's DuckDB twin
+    * is bit-for-bit). Replicate means are exact floor-milli units;
+    * the CI picks order statistics of the `b` replicate means at
+    * `loPm`/`hiPm` per-mille (index floor((nb−1)·pm/1000), ties broken
+    * by replicate id) — per-group windows over ≤ `b` rows, kilobytes
+    * at any corpus size. Replicates whose total weight is 0 are
+    * dropped (possible only for tiny groups; P ≈ e^(−n)).
+    *
+    * Output: `(groupCol, n, mean_milli, ci_lo_milli, ci_hi_milli)`.
+    * `idCol` must uniquely identify rows (it seeds the per-row draw —
+    * duplicated ids would correlate their weights). Cost: one B×
+    * row expansion through a keyed aggregation — linear in B·n with
+    * bounded state, the documented price of uncertainty at scale. */
+  def bootstrapCI(df: DataFrame, groupCol: String, idCol: String,
+                  measure: Column, b: Int = 32, loPm: Int = 25,
+                  hiPm: Int = 975, seed: Long = 42L): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates: $b")
+    require(loPm >= 0 && hiPm <= 1000 && loPm <= hiPm,
+      s"need 0 <= loPm <= hiPm <= 1000: ($loPm, $hiPm)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
+        measure.cast("long").as("x"))
+      .where(col("x").isNotNull)
+    val u = pmod(
+      conv(substring(md5(concat_ws(":", lit("bs"), lit(seed), col("b"),
+        col("id"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val w = PoissonThresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(u >= t, 1).otherwise(0)
+    }
+    val est = base
+      .withColumn("b", explode(array((0 until b).map(lit): _*)))
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .where(col("sw") > 0)
+      .withColumn("est_milli",
+        expr("CAST((1000 * swx - pmod(1000 * swx, sw)) / sw AS BIGINT)"))
+    val ranked = est
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("g"))
+          .orderBy(col("est_milli"), col("b"))).cast("long"))
+      .withColumn("nb",
+        count(lit(1)).over(Window.partitionBy(col("g"))).cast("long"))
+    def at(pm: Int, name: String) = ranked
+      .where(col("rn") === expr(s"(nb - 1) * $pm DIV 1000") + 1L)
+      .select(col("g"), col("est_milli").as(name))
+    base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("mean_milli",
+        expr("CAST((1000 * sx - pmod(1000 * sx, n)) / n AS BIGINT)"))
+      .join(at(loPm, "ci_lo_milli"), "g")
+      .join(at(hiPm, "ci_hi_milli"), "g")
+      .select(col("g").as(groupCol), col("n"), col("mean_milli"),
+        col("ci_lo_milli"), col("ci_hi_milli"))
   }
 }

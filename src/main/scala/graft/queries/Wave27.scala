@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Sketches, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 27 — round-10 additions, the interchange-and-statistics tier:
+  *
+  *  - q175 ORC round-trip ([[graft.io.Sinks.orc]]): the Hive/Trino
+  *    columnar interchange format through write → readback, content
+  *    fidelity certified per source with min(md5(text)) — the q102/q103
+  *    convention (the oracle reads the parquet original; a hash match
+  *    means the ORC round-trip preserved every byte of text).
+  *  - q176 gzip JSONL ingest ([[graft.io.Sinks.jsonGz]]): the format
+  *    web corpora ship in; gzip is NOT splittable, so the sink's shard
+  *    count is the read-parallelism knob (the single-fat-gz scale trap,
+  *    documented at the sink). Fidelity certified per lang.
+  *  - q177 HLL join-cardinality estimate
+  *    ([[Sketches.hllJoinKeyEstimate]]): distinct keys per side +
+  *    overlap by inclusion–exclusion over register sketches — the
+  *    zero-table-scan planning statistic; every register and estimate
+  *    replayed bit-for-bit by the oracle (q127's replay, twice + merged).
+  *  - q178 Poisson-bootstrap confidence intervals
+  *    ([[Stats.bootstrapCI]]): the bootstrap that distributes — per-row
+  *    Poisson(1) weights from md5-uniform draws, all replicates in one
+  *    scan, exact integer replicate means, CI from per-group order
+  *    statistics; the oracle replays every draw, weight, and rank.
+  */
+object Wave27 {
+
+  private val BootB = 32
+  private val BootLoPm = 25
+  private val BootHiPm = 975
+  private val BootSeed = 42L
+  private val GzShards = 8
+  private val HllP = 8
+
+  /** Per-(query, sf) scratch dir (the Wave3/Wave11 convention). */
+  private def scratch(name: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft_scratch/$tag/$name"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ORC write -> readback -> per-source fidelity aggregate.
+    "q175_orc_roundtrip" -> { (s, d) =>
+      val back = graft.io.Sinks.orc(Tables.documents(s, d),
+        scratch("q175", d))
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(md5(col("text"))).as("fp_min"))
+        .orderBy(col("source"))
+    },
+
+    // Gzip JSONL write (sharded) -> transparent-decompress readback ->
+    // per-lang fidelity aggregate.
+    "q176_gzip_jsonl" -> { (s, d) =>
+      val back = graft.io.Sinks.jsonGz(Tables.documents(s, d),
+        scratch("q176", d), GzShards)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct_ids"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(md5(col("text"))).as("fp_min"))
+        .orderBy(col("lang"))
+    },
+
+    // Register-sketch join-size estimate: orders.o_custkey versus
+    // customer.c_custkey (every order's custkey exists in customer, so
+    // the true overlap is |distinct order custkeys|).
+    "q177_hll_join_estimate" -> { (s, d) =>
+      Sketches.hllJoinKeyEstimate(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", HllP)
+    },
+
+    // Per-priority mean order value with a Poisson-bootstrap CI.
+    "q178_bootstrap_ci" -> { (s, d) =>
+      Stats.bootstrapCI(Tables.orders(s, d), "o_orderpriority",
+        "o_orderkey", floor(col("o_totalprice") * 100),
+        BootB, BootLoPm, BootHiPm, BootSeed)
+        .orderBy(col("o_orderpriority"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  /** One side's register CTE chain for q177 (q127's replay shape):
+    * distinct keys -> md5 32-bit slice -> (bucket, w) -> rho ->
+    * per-bucket max register. */
+  private def sqlRegs(alias: String, table: String, key: String): String =
+    s"""${alias}_h AS (
+       |  SELECT CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)
+       |    AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT $key FROM $table
+       |        WHERE $key IS NOT NULL) ${alias}_keys),
+       |${alias}_reg AS (
+       |  SELECT h // 16777216 AS bucket,
+       |    max(CASE WHEN h % 16777216 = 0 THEN 25
+       |         ELSE 25 - length(bin(h % 16777216)) END) AS reg
+       |  FROM ${alias}_h GROUP BY 1)""".stripMargin
+
+  /** The integer-rational raw estimator over a register CTE (q127's
+    * constants for p = 8: 7213·2^49 and 10000·256 + 10790). */
+  private def sqlEst(alias: String): String =
+    s"""(SELECT CAST(4060558014027923456 // (2570790 *
+       |  (sum(CAST(1 AS BIGINT) << (25 - reg))
+       |   + (256 - count(*)) * (CAST(1 AS BIGINT) << 25))) AS BIGINT)
+       | FROM ${alias}_reg)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // content fidelity vs the parquet original (q102's convention)
+    "q175_orc_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(md5(text)) AS fp_min
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q176_gzip_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(md5(text)) AS fp_min
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // full register replay, both sides + their per-bucket-max union
+    "q177_hll_join_estimate" ->
+      s"""WITH ${sqlRegs("a", "orders", "o_custkey")},
+         |${sqlRegs("b", "customer", "c_custkey")},
+         |u_reg AS (
+         |  SELECT bucket, max(reg) AS reg
+         |  FROM (SELECT * FROM a_reg UNION ALL SELECT * FROM b_reg)
+         |  GROUP BY 1),
+         |e AS (SELECT ${sqlEst("a")} AS est_left,
+         |             ${sqlEst("b")} AS est_right,
+         |             ${sqlEst("u")} AS est_union)
+         |SELECT est_left, est_right, est_union,
+         |  greatest(CAST(0 AS BIGINT),
+         |    est_left + est_right - est_union) AS est_overlap
+         |FROM e""".stripMargin,
+
+    // every draw, weight, replicate mean, and rank replayed
+    "q178_bootstrap_ci" -> {
+      val wCase = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+        999406L, 999917L)
+        .map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS g, CAST(o_orderkey AS VARCHAR) AS id,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders),
+         |reps AS (SELECT unnest(range(0, $BootB)) AS b),
+         |u AS (
+         |  SELECT g, b, x,
+         |    CAST('0x' || substr(md5('bs:$BootSeed:' ||
+         |      CAST(b AS VARCHAR) || ':' || id), 1, 15) AS BIGINT)
+         |      % 1000000 AS u
+         |  FROM o, reps),
+         |w AS (SELECT g, b, x, $wCase AS w FROM u),
+         |est AS (
+         |  SELECT g, b, sum(w) AS sw, sum(w * x) AS swx
+         |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+         |e2 AS (SELECT g, b, (1000 * swx) // sw AS est_milli FROM est),
+         |rk AS (
+         |  SELECT g, b, est_milli,
+         |    row_number() OVER (PARTITION BY g ORDER BY est_milli, b)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY g) AS nb
+         |  FROM e2),
+         |pt AS (
+         |  SELECT g, count(*) AS n, (1000 * sum(x)) // count(*)
+         |    AS mean_milli
+         |  FROM o GROUP BY 1)
+         |SELECT pt.g AS o_orderpriority, CAST(pt.n AS BIGINT) AS n,
+         |  CAST(pt.mean_milli AS BIGINT) AS mean_milli,
+         |  CAST(lo.est_milli AS BIGINT) AS ci_lo_milli,
+         |  CAST(hi.est_milli AS BIGINT) AS ci_hi_milli
+         |FROM pt
+         |JOIN (SELECT g, est_milli FROM rk
+         |      WHERE rn = (nb - 1) * $BootLoPm // 1000 + 1) lo
+         |  ON pt.g = lo.g
+         |JOIN (SELECT g, est_milli FROM rk
+         |      WHERE rn = (nb - 1) * $BootHiPm // 1000 + 1) hi
+         |  ON pt.g = hi.g
+         |ORDER BY o_orderpriority""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-27 contracts: sketch-based join-size estimation laws, the
+  * Poisson-bootstrap CI's exact-arithmetic bounds and determinism, and
+  * the new interchange sinks' lossless readback. */
+class Wave27Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // --------------------------------------------- hllJoinKeyEstimate
+
+  test("hllJoinKeyEstimate: identical sides -> overlap == each side's estimate") {
+    import spark.implicits._
+    val a = (1L to 3000L).toDF("k")
+    val r = Sketches.hllJoinKeyEstimate(a, "k", a, "k").collect()(0)
+    val (l, rr, u, ov) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    l shouldBe rr
+    u shouldBe l // identical registers: union = either side
+    ov shouldBe l
+    // raw HLL at p=8 is ~6.5% RSE; 3x that is a deterministic-run bound
+    math.abs(l - 3000L) should be < 600L
+  }
+
+  test("hllJoinKeyEstimate: disjoint sides -> overlap is estimation noise, not mass") {
+    import spark.implicits._
+    val a = (1L to 4000L).toDF("k")
+    val b = (1000001L to 1004000L).toDF("k")
+    val r = Sketches.hllJoinKeyEstimate(a, "k", b, "k").collect()(0)
+    val (l, rr, u, ov) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    ov.toDouble should be < 0.15 * (l + rr) // inclusion-exclusion noise
+    u.toDouble shouldBe (l + rr).toDouble +- 0.2 * (l + rr)
+  }
+
+  test("hllJoinKeyEstimate: half-overlap lands between the pure cases") {
+    import spark.implicits._
+    val a = (1L to 4000L).toDF("k")
+    val b = (2001L to 6000L).toDF("k") // true overlap 2000
+    val ov = Sketches.hllJoinKeyEstimate(a, "k", b, "k")
+      .collect()(0).getLong(3)
+    ov.toDouble shouldBe 2000.0 +- 900.0 // ~3 sigma of compounded RSE
+  }
+
+  // --------------------------------------------------- bootstrapCI
+
+  test("bootstrapCI: CI is ordered, bounded by the sample's value range, deterministic") {
+    val orders = graft.Tables.orders(spark, sfDir)
+    def run() = Stats.bootstrapCI(orders, "o_orderpriority", "o_orderkey",
+      floor(col("o_totalprice") * 100), b = 16, loPm = 0, hiPm = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val got = run()
+    got should not be empty
+    val bounds = orders
+      .agg(min(floor(col("o_totalprice") * 100)).cast("long"),
+        max(floor(col("o_totalprice") * 100)).cast("long")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0) * 1000, bounds.getLong(1) * 1000)
+    got.foreach { case (_, n, mean, ciLo, ciHi) =>
+      n should be > 0L
+      ciLo should be <= ciHi
+      // replicate means are convex combinations of sample values
+      ciLo should be >= lo
+      ciHi should be <= hi
+      // the point estimate also lives in the value range
+      mean should (be >= lo and be <= hi)
+    }
+    run() shouldBe got // md5 draws: bit-identical on every run
+  }
+
+  test("bootstrapCI: tighter per-mille band nests inside the full band") {
+    val orders = graft.Tables.orders(spark, sfDir)
+    def ci(loPm: Int, hiPm: Int) = Stats.bootstrapCI(orders,
+      "o_orderpriority", "o_orderkey", floor(col("o_totalprice") * 100),
+      b = 16, loPm = loPm, hiPm = hiPm)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val full = ci(0, 1000)
+    val inner = ci(250, 750)
+    inner.keySet shouldBe full.keySet
+    inner.foreach { case (g, (l, h)) =>
+      l should be >= full(g)._1
+      h should be <= full(g)._2
+    }
+  }
+
+  // ------------------------------------------------------ new sinks
+
+  test("orc and gzip-jsonl sinks read back losslessly") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val want = docs.select(col("doc_id"), md5(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_w27_").toString
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    got(graft.io.Sinks.orc(docs, s"$tmp/orc")) shouldBe want
+    got(graft.io.Sinks.jsonGz(docs, s"$tmp/gz", 4)) shouldBe want
+    // the gzip write actually sharded (read parallelism at scale)
+    new java.io.File(s"$tmp/gz").listFiles()
+      .count(_.getName.endsWith(".json.gz")) shouldBe 4
+  }
+}
