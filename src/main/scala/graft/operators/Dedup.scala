@@ -690,6 +690,48 @@ object Dedup {
       .filter(col("id_new") =!= col("id_corpus"))
   }
 
+  /** Entity resolution, the blocking + fuzzy-verify shape (record
+    * linkage / MDM): candidate pairs come from EXACT equality on a
+    * cheap blocking attribute (`blockCol` — address, zip, phone hash,
+    * …), then each candidate is verified with character edit similarity
+    * on the identifying attribute (`nameCol`), `1 − lev/max(len)` ≥
+    * `editSim`. Output: `(id_a, id_b, block, lev, edit_sim)` with
+    * id_a < id_b.
+    *
+    * Scale: the self-join shuffles on the block key, so total verify
+    * work is Σ(block size²) — fine when blocks are personal-scale
+    * (addresses, phones), quadratic if a degenerate block forms (null
+    * normalized "N/A" addresses, etc.). That trap is GUARDED, not
+    * documented away: any block larger than `maxBlock` fails loudly
+    * with the offending key, because at 100 TB a million-row "UNKNOWN"
+    * block would quietly burn a cluster-day (pre-clean or drop such
+    * sentinel keys, or block on a compound attribute). Null blocks are
+    * dropped (null ≠ null in the match semantics). */
+  def blockedEntityPairs(df: DataFrame, idCol: String, blockCol: String,
+                         nameCol: String, editSim: Double,
+                         maxBlock: Long = 10000L): DataFrame = {
+    require(editSim > 0 && editSim <= 1, s"editSim in (0,1]: $editSim")
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(nameCol).as("name")).where(col("block").isNotNull)
+    val hot = base.groupBy(col("block")).agg(count(lit(1)).as("c"))
+      .where(col("c") > maxBlock).select(col("block"), col("c"))
+      .limit(1).collect()
+    require(hot.isEmpty,
+      s"blockedEntityPairs: block '${hot.headOption.map(_.get(0)).orNull}' has ${hot.headOption.map(_.get(1)).orNull} rows > maxBlock=$maxBlock — " +
+        "pre-clean sentinel keys or use a compound blocking attribute")
+    val a = base.select(col("id").as("id_a"), col("block"),
+      col("name").as("name_a"))
+    val b = base.select(col("id").as("id_b"), col("block"),
+      col("name").as("name_b"))
+    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .withColumn("edit_sim", lit(1.0) - col("lev") /
+        greatest(length(col("name_a")), length(col("name_b"))).cast("double"))
+      .where(col("edit_sim") >= editSim)
+      .select(col("id_a"), col("id_b"), col("block"), col("lev"),
+        col("edit_sim"))
+  }
+
   /** Fold two [[corpusNearDupState]] frames into the state of the UNION
     * corpus: the snapshot monoid that closes the incremental ingest
     * loop (snapshot → batch → snapshot). `ts` and `keys` are pure

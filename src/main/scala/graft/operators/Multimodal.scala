@@ -300,6 +300,21 @@ object Multimodal {
     * formula. A hash match means signature, chunk walk, CRCs, inflate,
     * and all five unfilter predictors reproduced every byte. */
   def decodePng(a: Asset): ImagePixels = {
+    val (width, height, recon) = decodePngRecon(a)
+    var sum = 0L; var wsum = 0L
+    var k = 0
+    while (k < recon.length) {
+      sum += recon(k)
+      wsum += (k + 1).toLong * recon(k)
+      k += 1
+    }
+    ImagePixels(a.asset_id, width, height, recon.length.toLong, sum, wsum)
+  }
+
+  /** The full PNG parse + inflate + unfilter shared by [[decodePng]]
+    * and [[pngPixelFingerprint]]: returns (width, height, recon pixel
+    * bytes 0..255 in row-major order). */
+  private[operators] def decodePngRecon(a: Asset): (Long, Long, Array[Int]) = {
     val d = a.data
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     require(d.length >= 8 + 12 + 13,
@@ -402,14 +417,49 @@ object Multimodal {
       }
       r += 1
     }
-    var sum = 0L; var wsum = 0L
-    var k = 0
-    while (k < recon.length) {
-      sum += recon(k)
-      wsum += (k + 1).toLong * recon(k)
-      k += 1
+    (width, height, recon)
+  }
+
+  /** Decoded-CONTENT identity for an image: md5 over the reconstructed
+    * pixel bytes rendered as a ':'-joined decimal string (engine-
+    * replayable — an oracle rebuilds the same string from the planted
+    * stream with a list transform; raw-blob md5 semantics differ across
+    * engines, decimal text does not). Two files with different BYTES —
+    * different filter choices, different IDAT splits, different deflate
+    * levels — but identical pixels get the SAME fingerprint; that
+    * invariance is exactly what encoding-level fingerprints (q112's
+    * byte grams) cannot give, and q180 certifies it. */
+  case class ImageContent(asset_id: Long, width: Long, height: Long,
+                          pix_fp: String)
+
+  def pngPixelFingerprint(a: Asset): ImageContent = {
+    val (width, height, recon) = decodePngRecon(a)
+    val sb = new StringBuilder(recon.length * 4)
+    var i = 0
+    while (i < recon.length) {
+      if (i > 0) sb += ':'
+      sb.append(recon(i))
+      i += 1
     }
-    ImagePixels(a.asset_id, width, height, recon.length.toLong, sum, wsum)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(sb.result().getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    ImageContent(a.asset_id, width, height, fp)
+  }
+
+  /** Exact image dedup on DECODED content: decode every asset
+    * ([[pngPixelFingerprint]] — per-row, partition-parallel, no
+    * shuffle), then one hash aggregation on the pixel fingerprint.
+    * Output: `(pix_fp, width, height, n_assets, rep_asset)` with
+    * rep = min asset id (the canonical-survivor rule). The multimodal
+    * twin of exact text dedup (q21): linear at any corpus size, and
+    * invariant to how each file was ENCODED. */
+  def pixelDupGroups(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(pngPixelFingerprint))
+      .toDF()
+      .groupBy(col("pix_fp"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_assets"), min(col("asset_id")).as("rep_asset"))
   }
 
   /** Fixture encoder for [[decodePng]]: a VALID 8-bit truecolor PNG
@@ -418,8 +468,10 @@ object Multimodal {
     * filters exercised), deflated, and written as TWO IDAT chunks (the
     * multi-IDAT path is spec-legal and must concatenate) with real
     * CRC32s — a stock image viewer opens the output. */
-  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def syntheticPng(width: Int, height: Int, seed: Long,
+                   filterPhase: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(filterPhase >= 0, s"bad filterPhase $filterPhase")
     val bpp = 3
     val stride = width * bpp
     val recon = Array.tabulate(stride * height)(i =>
@@ -427,7 +479,11 @@ object Multimodal {
     val raw = new Array[Byte](height * (1 + stride))
     var r = 0
     while (r < height) {
-      val ft = r % 5
+      // filterPhase rotates the per-row filter choice: same PIXELS,
+      // different filtered bytes and deflate stream — the knob q180
+      // uses to plant files whose BYTES differ but whose decoded
+      // content is identical (encoding-invariant dedup)
+      val ft = (r + filterPhase) % 5
       raw(r * (1 + stride)) = ft.toByte
       var x = 0
       while (x < stride) {

@@ -24,10 +24,11 @@ object Stats {
     * addition is exact in any order (the float-sum nondeterminism the
     * house dsum pattern exists to avoid). Division is FLOOR division
     * via pmod (the divisors — n, and the variance term by
-    * Cauchy–Schwarz — are positive), so negative means and covariances
-    * replay bit-for-bit against engines whose `//` floors (r10 fix;
-    * DIV truncates toward zero and differed by one ppm on negative
-    * slopes).
+    * Cauchy–Schwarz — are positive), a sign-stable convention an
+    * oracle can spell in ANY host dialect: Spark's DIV and DuckDB's
+    * integer `//` BOTH truncate toward zero, so the twins write floor
+    * explicitly as (a − pmod(a, b)) // b (r10 fix; truncation differed
+    * by one ppm on negative slopes).
     *
     * Degenerate groups (constant x, i.e. zero variance) emit a NULL
     * slope rather than dividing by zero. One aggregation, map-side
@@ -76,12 +77,12 @@ object Stats {
         sum(col("x") * col("y")).as("sxy"))
       .select(col("grp").as(groupCol),
         col("n").cast("long").as("n"),
-        // FLOOR division (a - pmod(a,b)) / b, not DIV: DIV truncates
-        // toward zero while the DuckDB twin's // floors, so a negative
-        // numerator (negative mean or covariance) would differ by one
-        // unit — the divisors (n, and n*sxx - sx*sx by Cauchy-Schwarz)
-        // are always positive, so pmod's non-negative remainder makes
-        // the quotient exactly the floor in both engines
+        // FLOOR division (a - pmod(a,b)) / b, not DIV: both engines'
+        // integer division truncates toward zero, so the sign-stable
+        // floor convention is spelled with pmod on BOTH sides — the
+        // divisors (n, and n*sxx - sx*sx by Cauchy-Schwarz) are always
+        // positive, so pmod's non-negative remainder makes the
+        // quotient exactly the floor in each engine
         expr("CAST((1000 * sx - pmod(1000 * sx, n)) / n AS BIGINT)")
           .as("mean_x_milli"),
         expr("CAST((1000 * sy - pmod(1000 * sy, n)) / n AS BIGINT)")
@@ -91,6 +92,60 @@ object Stats {
             "pmod(1000000 * (n * sxy - sx * sy), n * sxx - sx * sx)) " +
             "/ (n * sxx - sx * sx) AS BIGINT)"))
           .as("slope_ppm"))
+  }
+
+  /** Group-wise exact covariance matrix over a pinned set of integer
+    * measures in ONE scan — the correlation step of the ANALYZE tier
+    * ([[columnProfile]] profiles columns singly; this prices every
+    * pair): for each unordered pair (a, b),
+    *
+    *   cov_milli = floor(10^3 · (n·Σab − Σa·Σb) / n²)
+    *
+    * i.e. population covariance in thousandths of the measures' unit
+    * product, floor-divided (pmod form, positive divisor) so any
+    * engine replays it bit-for-bit whatever the sign. Milli, not ppm:
+    * the output must fit BIGINT, and a wide measure's VARIANCE is in
+    * squared units (cents² spreads near 10^13 already; ×10^6 would
+    * overflow where ×10^3 keeps 6 clear decades). All k·(k+1)/2
+    * products accumulate as DECIMAL(38,0) in a single aggregation
+    * (map-side combined, group-key state only), and the pair rows come
+    * from ONE explode over the tiny per-group frame — never a second
+    * scan. Null-complete rows only (a null in ANY measure drops the
+    * row — moment consistency across pairs beats per-pair coverage).
+    * Magnitude guard: 10^3·n·Σab must fit 38 digits and 10^3·cov must
+    * fit BIGINT — keep measures under ~10^7 units (quantize coarser if
+    * not). Output: `(groupCol, col_a, col_b, n, cov_milli)`, diagonal
+    * included (variance in milli). */
+  def covarianceMatrix(df: DataFrame, groupCol: String,
+                       measures: Seq[(String, Column)]): DataFrame = {
+    require(measures.size >= 2, s"need >= 2 measures: ${measures.size}")
+    require(measures.map(_._1).distinct.size == measures.size,
+      "measure names must be unique")
+    val d = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = df.select(
+      col(groupCol).as("grp") +:
+        measures.map { case (n, c) => d(c).as(s"__$n") }: _*)
+      .where(measures.map(m => col(s"__${m._1}").isNotNull)
+        .reduce(_ && _))
+    val pairs = for {
+      i <- measures.indices; j <- i until measures.size
+    } yield (measures(i)._1, measures(j)._1)
+    val aggs =
+      Seq(count(lit(1)).cast(DecimalType(38, 0)).as("n")) ++
+        measures.map { case (n, _) => sum(col(s"__$n")).as(s"s_$n") } ++
+        pairs.map { case (a, b) =>
+          sum(col(s"__$a") * col(s"__$b")).as(s"p_${a}_$b") }
+    val g = base.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        expr(s"CAST((1000 * (n * p_${a}_$b - s_$a * s_$b) - " +
+          s"pmod(1000 * (n * p_${a}_$b - s_$a * s_$b), n * n)) " +
+          "/ (n * n) AS BIGINT)").as("cov_milli"))
+    }
+    g.select(col("grp"), col("n").cast("long").as("n"),
+        explode(array(pairStructs: _*)).as("p"))
+      .select(col("grp").as(groupCol), col("p.col_a").as("col_a"),
+        col("p.col_b").as("col_b"), col("n"), col("p.cov_milli").as("cov_milli"))
   }
 
   /** Poisson(1) inverse-CDF thresholds in millionths of probability

@@ -153,10 +153,17 @@ object Wave20 {
         |    sum(x * x) AS sxx, sum(x * y) AS sxy
         |  FROM t GROUP BY 1)
         |SELECT source, CAST(n AS BIGINT) AS n,
-        |  CAST((1000 * sx) // n AS BIGINT) AS mean_x_milli,
-        |  CAST((1000 * sy) // n AS BIGINT) AS mean_y_milli,
+        |  -- FLOOR division, matching the engine's pmod form: DuckDB's
+        |  -- integer // truncates toward zero, so the floor is spelled
+        |  -- (a - pmod(a, b)) // b with pmod = ((a % b) + b) % b
+        |  CAST((1000 * sx - ((1000 * sx % n) + n) % n) // n AS BIGINT)
+        |    AS mean_x_milli,
+        |  CAST((1000 * sy - ((1000 * sy % n) + n) % n) // n AS BIGINT)
+        |    AS mean_y_milli,
         |  CASE WHEN n * sxx - sx * sx <> 0 THEN
-        |    CAST((1000000 * (n * sxy - sx * sy))
+        |    CAST((1000000 * (n * sxy - sx * sy)
+        |          - ((1000000 * (n * sxy - sx * sy) % (n * sxx - sx * sx))
+        |             + (n * sxx - sx * sx)) % (n * sxx - sx * sx))
         |         // (n * sxx - sx * sx) AS BIGINT)
         |  END AS slope_ppm
         |FROM a ORDER BY source""".stripMargin,

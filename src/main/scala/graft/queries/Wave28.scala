@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 28 — round-10 additions, the record-linkage-and-moments tier:
+  *
+  *  - q179 entity resolution ([[Dedup.blockedEntityPairs]]): the
+  *    blocking + fuzzy-verify shape of record linkage — exact-equality
+  *    blocking on one attribute (address), character edit-similarity
+  *    verification on the identifying attribute (name), with the
+  *    degenerate-block quadratic trap GUARDED (loud failure above
+  *    maxBlock). Fixture plants perturbed clones (last name char
+  *    swapped) of every 7th customer; the oracle replays blocking,
+  *    Levenshtein, and the similarity gate exactly.
+  *  - q180 encoding-invariant image dedup ([[Multimodal
+  *    .pixelDupGroups]]): assets planted with the SAME pixels but
+  *    DIFFERENT bytes (the filterPhase knob rotates PNG row filters, so
+  *    filtered bytes and deflate streams differ) dedup together on the
+  *    decoded-content fingerprint — the thing q112's byte-gram
+  *    near-dup cannot do by construction. Decode is per-row and
+  *    shuffle-free; dedup is one hash aggregation (q21's shape).
+  *  - q181 group-wise covariance matrix ([[Stats.covarianceMatrix]]):
+  *    every pairwise population covariance over pinned measures in ONE
+  *    scan (DECIMAL(38,0) moments, floor-milli output — milli keeps a
+  *    wide measure's squared-unit variance inside BIGINT) — the
+  *    correlation step of the ANALYZE tier, exact at any scale.
+  */
+object Wave28 {
+
+  private val ErSim = 0.8
+  private val PixGroups = 50
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Customers + planted perturbed clones; block on address, verify
+    // name edit similarity.
+    "q179_entity_resolution" -> { (s, d) =>
+      // compound blocking attribute (nation | market segment) — the
+      // scaladoc's own advice when no personal-scale key exists
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("name"),
+          concat_ws("|", col("c_nationkey"), col("c_mktsegment"))
+            .as("blk"))
+      val clones = cust.filter(col("id") % 7 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          expr("concat(substr(name, 1, length(name) - 1), 'x')")
+            .as("name"),
+          col("blk"))
+      Dedup.blockedEntityPairs(cust.unionByName(clones), "id", "blk",
+        "name", ErSim)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Same pixels, different bytes (rotated filters -> different
+    // deflate streams) -> one content group per planted pixel stream.
+    "q180_pixel_dedup" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id % PixGroups
+          Multimodal.Asset(id, "png", Multimodal.syntheticPng(
+            6 + (g % 7).toInt, 4 + (g % 5).toInt, g,
+            filterPhase = (id % 5).toInt))
+        }
+      Multimodal.pixelDupGroups(assets)
+        .orderBy(col("pix_fp"))
+    },
+
+    // Pairwise covariances of quantity / price / discount per return
+    // flag, exact milli.
+    "q181_covariance_matrix" -> { (s, d) =>
+      Stats.covarianceMatrix(Tables.lineitem(s, d), "l_returnflag", Seq(
+        "qty" -> col("l_quantity").cast("long"),
+        "price_c" -> floor(col("l_extendedprice") * 100),
+        "disc_m" -> floor(col("l_discount") * 1000)))
+        .orderBy(col("l_returnflag"), col("col_a"), col("col_b"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+    // identical planting + blocking + levenshtein + gate
+    "q179_entity_resolution" ->
+      s"""WITH c AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+         |    CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS blk
+         |  FROM customer),
+         |all_c AS (
+         |  SELECT * FROM c
+         |  UNION ALL
+         |  SELECT id + 10000000, substr(name, 1, length(name) - 1) || 'x',
+         |    blk
+         |  FROM c WHERE id % 7 = 0),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.blk AS block,
+         |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+         |    1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+         |      / greatest(length(a.name), length(b.name)) AS edit_sim
+         |  FROM all_c a JOIN all_c b
+         |    ON a.blk = b.blk AND a.id < b.id)
+         |SELECT id_a, id_b, block, lev, edit_sim
+         |FROM p WHERE edit_sim >= $ErSim
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the planted pixel stream per group, fingerprinted the same way
+    // (md5 over ':'-joined decimal bytes), group counts from the mod
+    "q180_pixel_dedup" ->
+      s"""WITH gs AS (SELECT DISTINCT doc_id % $PixGroups AS g
+         |           FROM documents),
+         |dims AS (SELECT g, 6 + g % 7 AS w, 4 + g % 5 AS h FROM gs),
+         |fp AS (
+         |  SELECT g, w, h,
+         |    md5(array_to_string(list_transform(range(0, w * h * 3),
+         |      i -> CAST((g + i) % 256 AS VARCHAR)), ':')) AS pix_fp
+         |  FROM dims),
+         |cnt AS (
+         |  SELECT doc_id % $PixGroups AS g, count(*) AS n_assets,
+         |    min(doc_id) AS rep_asset
+         |  FROM documents GROUP BY 1)
+         |SELECT fp.pix_fp, CAST(fp.w AS BIGINT) AS width,
+         |  CAST(fp.h AS BIGINT) AS height,
+         |  CAST(cnt.n_assets AS BIGINT) AS n_assets,
+         |  CAST(cnt.rep_asset AS BIGINT) AS rep_asset
+         |FROM fp JOIN cnt USING (g) ORDER BY pix_fp""".stripMargin,
+
+    // HUGEINT moment replay, floor division (// == the pmod-floor form
+    // on the positive n*n divisor)
+    "q181_covariance_matrix" -> {
+      val pairs = Seq(("qty", "qty", "pqq", "sq", "sq"),
+        ("qty", "price_c", "pqp", "sq", "sp"),
+        ("qty", "disc_m", "pqd", "sq", "sd"),
+        ("price_c", "price_c", "ppp", "sp", "sp"),
+        ("price_c", "disc_m", "ppd", "sp", "sd"),
+        ("disc_m", "disc_m", "pdd", "sd", "sd"))
+      val selects = pairs.map { case (a, b, p, sa, sb) =>
+        // FLOOR division: DuckDB integer // truncates toward zero, so
+        // spell floor as (v - pmod(v, d)) // d with a positive divisor
+        val v = s"(1000 * (n * $p - $sa * $sb))"
+        s"""SELECT grp AS l_returnflag, '$a' AS col_a, '$b' AS col_b,
+           |  CAST(n AS BIGINT) AS n,
+           |  CAST(($v - (($v % (n * n)) + n * n) % (n * n)) // (n * n)
+           |    AS BIGINT) AS cov_milli
+           |FROM g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH l AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(l_quantity AS HUGEINT) AS qty,
+         |    CAST(floor(l_extendedprice * 100) AS HUGEINT) AS price_c,
+         |    CAST(floor(l_discount * 1000) AS HUGEINT) AS disc_m
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |    AND l_discount IS NOT NULL),
+         |g AS (
+         |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(qty) AS sq, sum(price_c) AS sp, sum(disc_m) AS sd,
+         |    sum(qty * qty) AS pqq, sum(qty * price_c) AS pqp,
+         |    sum(qty * disc_m) AS pqd, sum(price_c * price_c) AS ppp,
+         |    sum(price_c * disc_m) AS ppd, sum(disc_m * disc_m) AS pdd
+         |  FROM l GROUP BY 1)
+         |$selects
+         |ORDER BY l_returnflag, col_a, col_b""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave-28 contracts: blocking + fuzzy-verify entity resolution (match
+  * semantics, null blocks, the hot-block guard), encoding-invariant
+  * pixel dedup, and the exact covariance matrix against hand-computed
+  * moments. */
+class Wave28Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // ------------------------------------------- blockedEntityPairs
+
+  test("blockedEntityPairs matches within blocks above the similarity gate") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "12 elm st", "Jonathan Smith"),
+      (2L, "12 elm st", "Jonathon Smith"),  // lev 1 vs id 1 -> match
+      (3L, "12 elm st", "Rebecca Jones"),   // same block, far name
+      (4L, "99 oak ave", "Jonathan Smith"), // same name, other block
+      (5L, null, "Jonathan Smith"),         // null block: dropped
+      (6L, null, "Jonathan Smith")
+    ).toDF("id", "addr", "name")
+    val got = Dedup.blockedEntityPairs(rows, "id", "addr", "name", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L))
+  }
+
+  test("blockedEntityPairs: a degenerate block fails loudly, not quadratically") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, "UNKNOWN", s"name$i"))
+      .toDF("id", "addr", "name")
+    val e = the[IllegalArgumentException] thrownBy
+      Dedup.blockedEntityPairs(rows, "id", "addr", "name", 0.8,
+        maxBlock = 5L)
+    e.getMessage should include("UNKNOWN")
+    e.getMessage should include("maxBlock")
+  }
+
+  // ----------------------------------------------- pixelDupGroups
+
+  test("pixelDupGroups: different bytes, same pixels -> one content group") {
+    import spark.implicits._
+    val variants = (0 until 5).map { phase =>
+      Multimodal.Asset(phase.toLong, "png",
+        Multimodal.syntheticPng(9, 7, seed = 42L, filterPhase = phase))
+    }
+    // the encodings genuinely differ at the byte level
+    variants.map(_.data.toSeq).distinct.size shouldBe 5
+    val other = Multimodal.Asset(99L, "png",
+      Multimodal.syntheticPng(9, 7, seed = 43L))
+    val groups = Multimodal
+      .pixelDupGroups((variants :+ other).toDS())
+      .collect().map(r => (r.getAs[String]("pix_fp"),
+        r.getAs[Long]("n_assets"), r.getAs[Long]("rep_asset")))
+    groups.length shouldBe 2
+    groups.map(_._2).toSet shouldBe Set(5L, 1L)
+    groups.find(_._2 == 5L).get._3 shouldBe 0L // min id is the rep
+  }
+
+  // --------------------------------------------- covarianceMatrix
+
+  test("covarianceMatrix reproduces hand-computed moments, negative cov included") {
+    import spark.implicits._
+    // group A: x=(1,2,3), y=(6,4,2): cov = (n*Sxy - SxSy)/n^2
+    //   Sxy = 6+8+6 = 20; n*Sxy - SxSy = 60 - 6*12 = -12; /9 -> -1.333...
+    //   cov_milli = floor(-12000/9) = -1334 (floor, not truncate!)
+    // var(x): Sxx=14; 42-36=6; 6000/9 -> 666
+    val df = Seq((1L, 6L), (2L, 4L), (3L, 2L))
+      .toDF("x", "y").withColumn("g", lit("A"))
+    val got = Stats.covarianceMatrix(df, "g",
+      Seq("x" -> col("x"), "y" -> col("y")))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    got(("x", "x")) shouldBe ((3L, 666L))
+    got(("x", "y")) shouldBe ((3L, -1334L))
+    got(("y", "y")) shouldBe ((3L, 2666L))
+  }
+
+  test("covarianceMatrix drops null-incomplete rows from every moment") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(6L)), (Some(2L), None), (Some(3L), Some(2L)))
+      .toDF("x", "y").withColumn("g", lit("A"))
+    val got = Stats.covarianceMatrix(df, "g",
+      Seq("x" -> col("x"), "y" -> col("y")))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    got.values.toSet shouldBe Set(2L) // the null row is gone everywhere
+  }
+}
