@@ -180,7 +180,8 @@ object ScaleSanity {
                           workDir: String): Unit = {
     val reps = spark.range(mult).select(col("id").as("rep"))
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-      "l_linenumber", "l_quantity", "l_extendedprice").map(col)
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag",
+      "l_discount").map(col)
     Tables.lineitem(spark, sfDir).select(cols: _*)
       .crossJoin(reps).select(cols: _*)
       .repartition(32)
@@ -197,12 +198,16 @@ object ScaleSanity {
                         workDir: String): Unit = {
     val reps = spark.range(mult).select(col("id").as("rep"))
     val ord = Tables.orders(spark, sfDir)
-      .select(col("o_custkey").cast("long"), col("o_orderdate"),
-        col("o_totalprice"))
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
     val cShift = ord.agg(max(col("o_custkey"))).head.getLong(0) + 1L
+    // o_orderkey shifted per replica too: q178's bootstrap draws are
+    // seeded by the row id, so replicas must stay distinct rows
+    val oShift = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
     ord.crossJoin(reps)
-      .select((col("o_custkey") + col("rep") * cShift).as("o_custkey"),
-        col("o_orderdate"), col("o_totalprice"))
+      .select((col("o_orderkey") + col("rep") * oShift).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * cShift).as("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
   }
@@ -249,10 +254,12 @@ object ScaleSanity {
       scaleEvents(spark, sfDir, mult, workDir)
     if (queries.contains("q136_exact_quantiles") ||
         queries.contains("q150_equidepth_hist") ||
-        queries.contains("q162_column_profile"))
+        queries.contains("q162_column_profile") ||
+        queries.contains("q181_covariance_matrix"))
       scaleLineitemPrices(spark, sfDir, mult, workDir)
     if (queries.contains("q137_zorder_layout") ||
-        queries.contains("q161_benford"))
+        queries.contains("q161_benford") ||
+        queries.contains("q178_bootstrap_ci"))
       scaleOrdersLayout(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()

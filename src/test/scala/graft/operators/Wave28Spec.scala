@@ -79,6 +79,18 @@ class Wave28Spec extends AnyFunSuite with Matchers with SparkFixture {
     got(("y", "y")) shouldBe ((3L, 2666L))
   }
 
+  test("covarianceMatrix is one scan + one aggregation shuffle (plan pin)") {
+    val lineitem = graft.Tables.lineitem(spark, sfDir)
+    val plan = Stats.covarianceMatrix(lineitem, "l_returnflag", Seq(
+      "qty" -> col("l_quantity").cast("long"),
+      "price_c" -> floor(col("l_extendedprice") * 100)))
+      .queryExecution.executedPlan.toString
+    // one parquet scan (all moments in one pass, no per-pair re-scan)
+    plan.split("FileScan parquet").length - 1 shouldBe 1
+    // one shuffle: the group aggregation; the pair explode is narrow
+    plan.split("Exchange").length - 1 shouldBe 1
+  }
+
   test("covarianceMatrix drops null-incomplete rows from every moment") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(6L)), (Some(2L), None), (Some(3L), Some(2L)))
