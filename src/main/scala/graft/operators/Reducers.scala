@@ -133,9 +133,12 @@ object Reducers {
     df.join(bounds, col(keyCol) === bounds("__k"), "left")
       .drop("__k")
       // least/greatest SKIP nulls (a null value would silently clip to
-      // the band edge) — null in, null out, explicitly
+      // the band edge, and a null KEY never matches a bounds row so its
+      // raw value would masquerade as clipped) — null in, null out,
+      // explicitly, for both the value and the key
       .withColumn("clipped_milli",
-        when(col(valCol).isNull, lit(null).cast("long"))
+        when(col(valCol).isNull || col(keyCol).isNull,
+          lit(null).cast("long"))
           .otherwise(greatest(col("lo_milli"),
             least(col("hi_milli"), col(valCol).cast("long") * 1000))))
   }

@@ -874,10 +874,14 @@ object Similarity {
     * the "model" IS (seed, outDim). Per-row cost O(inDim · outDim) in
     * a tight typed loop (sign matrix tabulated once per partition);
     * no shuffle — partitioning is the caller's. All vectors must share
-    * one length (the 64-dim house contract). */
+    * one length (the 64-dim house contract); pass `dim` to pin that
+    * length globally — without it the guard is per-partition only
+    * (each partition derives the width from its own first vector). */
   def randomProjectSigns(vecs: DataFrame, idCol: String, vecCol: String,
-                         outDim: Int, seed: Long = 42L): DataFrame = {
+                         outDim: Int, seed: Long = 42L,
+                         dim: Int = -1): DataFrame = {
     require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    require(dim == -1 || dim >= 1, s"dim must be >= 1 (or -1 to derive): $dim")
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs.select(col(idCol).cast("long"), col(vecCol))
@@ -890,7 +894,15 @@ object Similarity {
             ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
           1L - 2L * (w % 2)
         }
-        var signs: Array[Array[Long]] = null
+        // dim > 0: the matrix width is a GLOBAL contract and every
+        // vector in every partition is checked against it. dim == -1
+        // derives the width from this PARTITION's first vector — the
+        // guard below then catches mixed lengths within a partition,
+        // but two partitions that are each internally uniform at
+        // different widths (e.g. two unioned tables) cannot be told
+        // apart; pass `dim` whenever the expected width is known.
+        var signs: Array[Array[Long]] =
+          if (dim > 0) Array.tabulate(outDim, dim)(sgn) else null
         it.flatMap { case (id, vec) =>
           if (signs == null)
             signs = Array.tabulate(outDim, vec.length)(sgn)

@@ -1,0 +1,15 @@
+package graft.queries
+
+/** Per-(query, scale-factor) scratch directory for queries that
+  * exercise write→readback sinks or persist cross-batch state: ONE
+  * stable path per (query, sf), overwritten in place on every run — so
+  * repeated verify/bench invocations reuse the path instead of leaking
+  * fresh temp directories (and concurrent runs at different scale
+  * factors never collide). Shared by every wave; a change to the root
+  * or the sanitization rule lands once, here. */
+private[queries] object Scratch {
+  def dir(name: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft_scratch/$tag/$name"
+  }
+}

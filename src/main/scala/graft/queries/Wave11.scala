@@ -194,10 +194,8 @@ object Wave11 {
 
   /** Per-(query, sf) scratch dir so verify/bench runs don't collide
     * (same convention as Wave3). */
-  private def scratch(name: String, sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/tmp/graft_scratch/$tag/$name"
-  }
+  private def scratch(name: String, sfDir: String): String =
+    Scratch.dir(name, sfDir)
 
   /** Distinct word `n`-gram md5 fingerprints per doc over filter `cond`. */
   private def sqlGrams(n: Int, cond: String): String =

@@ -55,7 +55,7 @@ object Wave22 {
     // 64 → 16 dim ±1 projection, exact integers, long format.
     "q159_random_projection" -> { (s, d) =>
       Similarity.randomProjectSigns(Tables.embeddings(s, d),
-        "vec_id", "embedding", ProjDim, ProjSeed)
+        "vec_id", "embedding", ProjDim, ProjSeed, dim = 64)
         .orderBy(col("vec_id"), col("j"))
     },
 

@@ -25,10 +25,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 object Wave24 {
 
   /** Per-(query, sf) scratch dir (Wave11's convention). */
-  private def scratch(name: String, sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/tmp/graft_scratch/$tag/$name"
-  }
+  private def scratch(name: String, sfDir: String): String =
+    Scratch.dir(name, sfDir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // log2 histogram of per-user inter-event gaps.

@@ -46,10 +46,12 @@ object Wave26 {
     * (1 → 2 → 0, so the "snapshot" starts non-trivial), all state
     * persisted and re-read between generations. Returns the final
     * per-lang corpus report. */
-  private def incrementalCorpusBuild(s: SparkSession,
-                                     docs: DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_q171_").toString
+  private def incrementalCorpusBuild(s: SparkSession, docs: DataFrame,
+                                     sfDir: String): DataFrame = {
+    // stable per-(query, sf) scratch root, overwritten in place — a
+    // fresh temp dir per invocation would leak 9 parquet state dumps
+    // per bench rep
+    val tmp = Scratch.dir("q171", sfDir)
     def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
     def save(df: DataFrame, name: String, gen: Int): Unit =
       df.write.mode("overwrite").parquet(s"$tmp/${name}$gen")
@@ -113,7 +115,7 @@ object Wave26 {
     // Snapshot → batch → snapshot through parquet; final report vs the
     // one-shot full recompute.
     "q171_incremental_corpus_build" -> { (s, d) =>
-      incrementalCorpusBuild(s, Tables.documents(s, d))
+      incrementalCorpusBuild(s, Tables.documents(s, d), d)
     },
 
     // Plant real PNGs (deterministic pixels, row%5 filters, two IDATs),

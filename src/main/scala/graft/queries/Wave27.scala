@@ -37,10 +37,8 @@ object Wave27 {
   private val HllP = 8
 
   /** Per-(query, sf) scratch dir (the Wave3/Wave11 convention). */
-  private def scratch(name: String, sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/tmp/graft_scratch/$tag/$name"
-  }
+  private def scratch(name: String, sfDir: String): String =
+    Scratch.dir(name, sfDir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORC write -> readback -> per-source fidelity aggregate.

@@ -49,8 +49,13 @@ object Wave28 {
           expr("concat(substr(name, 1, length(name) - 1), 'x')")
             .as("name"),
           col("blk"))
+      // maxBlock raised above the default: this fixture's 125 compound
+      // blocks each hold ~n/125 customers, so block population grows
+      // WITH the scale factor by construction (healthy, not
+      // degenerate); the default guard is sized for sentinel-key
+      // blocks, which a fixed-cardinality blocking key is not
       Dedup.blockedEntityPairs(cust.unionByName(clones), "id", "blk",
-        "name", ErSim)
+        "name", ErSim, maxBlock = 1000000L)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -17,10 +17,8 @@ import org.apache.spark.sql.types.DecimalType
 object Wave3 {
 
   /** Per-(query, sf) scratch dir so verify/bench runs don't collide. */
-  private def scratch(name: String, sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/tmp/graft_scratch/$tag/$name"
-  }
+  private def scratch(name: String, sfDir: String): String =
+    Scratch.dir(name, sfDir)
 
   private def dsum2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum((floor(c * 100) / 100).cast(DecimalType(38, 2))).cast("double")

@@ -143,9 +143,23 @@ def main():
     objs, raw = parse_objects(bench_lines(path))
 
     # name table for part-line indices: full-names line first, else the
-    # newest CORRECTNESS file, else BASELINE.md's own names
+    # newest CORRECTNESS file, else BASELINE.md's own names. The table
+    # is only trusted when its size matches the run's own nq — a STALE
+    # table (last round's CORRECTNESS while this round added queries)
+    # would silently shift every index past the first new name onto the
+    # wrong baseline row, which is exactly the wrong-regression-report
+    # failure this tool exists to prevent. On mismatch the values are
+    # still recovered, as unmapped #qN placeholders.
     fq, norm = from_fullnames(objs)
     names = sorted(fq) if fq else (correctness_names() or sorted(frozen))
+    final_probe = next((o for o in objs if o.get("metric") == "total"
+                        and "queries" not in o), None)
+    nq = (final_probe or {}).get("nq")
+    if nq is not None and names and len(names) != nq:
+        print(f"WARNING: name table has {len(names)} entries but the run "
+              f"reports nq={nq} — refusing index->name mapping (stale "
+              "CORRECTNESS/BASELINE table?); values reported as #qN")
+        names = None
     qs, seg, final = from_parts(objs, names)
     source = "part lines"
     if qs is None:
