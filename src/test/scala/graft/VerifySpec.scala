@@ -22,6 +22,33 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
     spark.read.parquet(s"$out/good").count() shouldBe 25
   }
 
+  test("every declared query has an oracle twin (no silent rows-only downgrades)") {
+    // the driver records a weaker rows-only check for queries missing
+    // from oracleSql — this build's contract is that EVERY query is
+    // hash-certified, so a missing twin is a spec failure, not a
+    // silent downgrade; duplicate names across waves would also
+    // silently shadow each other in the merged maps, so pin the sizes
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    (qs -- os) shouldBe empty
+    (os -- qs) shouldBe empty // an oracle with no query is dead weight
+    val waves = Seq(
+      queries.Wave1.queries, queries.Wave2.queries, queries.Wave3.queries,
+      queries.Wave4.queries, queries.Wave5.queries, queries.Wave6.queries,
+      queries.Wave7.queries, queries.Wave8.queries, queries.Wave9.queries,
+      queries.Wave10.queries, queries.Wave11.queries,
+      queries.Wave12.queries, queries.Wave13.queries,
+      queries.Wave14.queries, queries.Wave15.queries,
+      queries.Wave16.queries, queries.Wave17.queries,
+      queries.Wave18.queries, queries.Wave19.queries,
+      queries.Wave20.queries, queries.Wave21.queries,
+      queries.Wave22.queries, queries.Wave23.queries,
+      queries.Wave24.queries, queries.Wave25.queries,
+      queries.Wave26.queries, queries.Wave27.queries,
+      queries.Wave28.queries)
+    waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
+  }
+
   test("runAll leaves no cached blocks behind (cache-lifetime contract)") {
     val out = PathsUtil.transientPath("graft-verifyspec-cache")
     // q95 caches its tf intermediate internally — the exact shape the

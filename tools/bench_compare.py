@@ -151,15 +151,29 @@ def main():
     # failure this tool exists to prevent. On mismatch the values are
     # still recovered, as unmapped #qN placeholders.
     fq, norm = from_fullnames(objs)
-    names = sorted(fq) if fq else (correctness_names() or sorted(frozen))
     final_probe = next((o for o in objs if o.get("metric") == "total"
                         and "queries" not in o), None)
     nq = (final_probe or {}).get("nq")
-    if nq is not None and names and len(names) != nq:
-        print(f"WARNING: name table has {len(names)} entries but the run "
-              f"reports nq={nq} — refusing index->name mapping (stale "
-              "CORRECTNESS/BASELINE table?); values reported as #qN")
-        names = None
+    candidates = [
+        ("full-names line", sorted(fq) if fq else None),
+        ("newest CORRECTNESS file", correctness_names()),
+        ("BASELINE.md rows", sorted(frozen) or None),
+    ]
+    names = None
+    for label, cand in candidates:
+        if cand is None:
+            continue
+        if nq is None or len(cand) == nq:
+            names = cand
+            if label != "full-names line":
+                print(f"(index->name mapping via {label})")
+            break
+    if names is None:
+        sizes = {l: len(c) for l, c in candidates if c is not None}
+        print(f"WARNING: no name table matches the run's nq={nq} "
+              f"(available: {sizes}) — refusing index->name mapping "
+              "(stale CORRECTNESS/BASELINE tables?); values reported "
+              "as #qN")
     qs, seg, final = from_parts(objs, names)
     source = "part lines"
     if qs is None:
