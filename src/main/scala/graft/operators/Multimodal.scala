@@ -462,6 +462,56 @@ object Multimodal {
       .agg(count(lit(1)).as("n_assets"), min(col("asset_id")).as("rep_asset"))
   }
 
+  /** A RESIZED image's decoded-stream statistics ([[resizePng]]):
+    * output dims plus the exact sum / position-weighted sum of the
+    * resampled pixel bytes (the q172 stat pair, over the RESIZED
+    * grid). */
+  case class ResizedImage(asset_id: Long, width: Long, height: Long,
+                          out_w: Long, out_h: Long, sum_bytes: Long,
+                          wsum_bytes: Long)
+
+  /** REAL image resize on decoded pixels — the resize step of the
+    * multimodal charter (decode / feature-extract / RESIZE /
+    * frame-sample), exact-integer nearest-neighbor: output pixel
+    * (y2, x2) samples source pixel (⌊y2·h/outH⌋, ⌊x2·w/outW⌋), the
+    * standard NN mapping with no floats anywhere, so an oracle replays
+    * every resampled byte arithmetically from the planted stream
+    * (q182). Runs on the FULL decode pipeline (CRC-verified chunk
+    * walk, inflate, unfilter) — this is thumbnailing real files, not
+    * header math. Per-row and shuffle-free like every codec-seam op:
+    * at 100 TB the work is embarrassingly partition-parallel. (A real
+    * pipeline would swap in an area-average kernel via the same seam;
+    * NN is the exact-arithmetic member of the family, which is what an
+    * oracle-certified engine ships first.) */
+  def resizePng(a: Asset, outW: Int, outH: Int): ResizedImage = {
+    require(outW > 0 && outH > 0, s"bad target dimensions ${outW}x$outH")
+    val (w, h, recon) = decodePngRecon(a)
+    var sum = 0L; var wsum = 0L
+    var k = 0
+    val n = outW * outH * 3
+    while (k < n) {
+      val y2 = k / (outW * 3)
+      val rem = k % (outW * 3)
+      val x2 = rem / 3
+      val c = rem % 3
+      val sy = (y2.toLong * h / outH).toInt
+      val sx = (x2.toLong * w / outW).toInt
+      val v = recon((sy * w.toInt + sx) * 3 + c)
+      sum += v
+      wsum += (k + 1).toLong * v
+      k += 1
+    }
+    ResizedImage(a.asset_id, w, h, outW.toLong, outH.toLong, sum, wsum)
+  }
+
+  /** Seam-shaped distributed resize: partition-preserving
+    * mapPartitions, one [[ResizedImage]] row per asset. */
+  def resizeImages(assets: Dataset[Asset], outW: Int, outH: Int):
+      Dataset[ResizedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(resizePng(_, outW, outH)))
+  }
+
   /** Fixture encoder for [[decodePng]]: a VALID 8-bit truecolor PNG
     * whose raw pixel bytes are the deterministic stream (seed + i) mod
     * 256, each scanline filtered with type row%5 (all five adaptive

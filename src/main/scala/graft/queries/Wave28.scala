@@ -32,6 +32,8 @@ object Wave28 {
 
   private val ErSim = 0.8
   private val PixGroups = 50
+  private val ThumbW = 4
+  private val ThumbH = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Customers + planted perturbed clones; block on address, verify
@@ -72,6 +74,23 @@ object Wave28 {
         }
       Multimodal.pixelDupGroups(assets)
         .orderBy(col("pix_fp"))
+    },
+
+    // Real thumbnailing through the codec seam: decode (CRC walk +
+    // inflate + unfilter) then exact nearest-neighbor resample to 4x3;
+    // the oracle replays every resampled byte from the planted stream.
+    "q182_image_resize" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "png", Multimodal.syntheticPng(
+            8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id))
+        }
+      Multimodal.resizeImages(assets, ThumbW, ThumbH)
+        .toDF()
+        .orderBy(col("asset_id"))
     },
 
     // Pairwise covariances of quantity / price / discount per return
@@ -130,6 +149,29 @@ object Wave28 {
          |  CAST(cnt.n_assets AS BIGINT) AS n_assets,
          |  CAST(cnt.rep_asset AS BIGINT) AS rep_asset
          |FROM fp JOIN cnt USING (g) ORDER BY pix_fp""".stripMargin,
+
+    // every resampled byte replayed: out pixel (y2,x2,c) samples source
+    // index (((y2*h)//outH)*w + (x2*w)//outW)*3 + c of the planted
+    // stream; * and // are left-associative same-precedence in DuckDB,
+    // so the unparenthesized chains below ARE the floor-mapping
+    "q182_image_resize" -> {
+      val n = ThumbW * ThumbH * 3
+      val rowBytes = ThumbW * 3
+      val idx = s"((((k // $rowBytes) * h // $ThumbH) * w + " +
+        s"((k % $rowBytes) // 3) * w // $ThumbW) * 3 + k % 3)"
+      s"""WITH p AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + n_chars % 7 AS h
+         |  FROM documents)
+         |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+         |  CAST(h AS BIGINT) AS height,
+         |  CAST($ThumbW AS BIGINT) AS out_w,
+         |  CAST($ThumbH AS BIGINT) AS out_h,
+         |  CAST(list_sum(list_transform(range(0, $n), k ->
+         |    (doc_id + $idx) % 256)) AS BIGINT) AS sum_bytes,
+         |  CAST(list_sum(list_transform(range(0, $n), k ->
+         |    (k + 1) * ((doc_id + $idx) % 256))) AS BIGINT) AS wsum_bytes
+         |FROM p ORDER BY asset_id""".stripMargin
+    },
 
     // HUGEINT moment replay, floor division (// == the pmod-floor form
     // on the positive n*n divisor)

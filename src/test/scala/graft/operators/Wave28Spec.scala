@@ -60,6 +60,23 @@ class Wave28Spec extends AnyFunSuite with Matchers with SparkFixture {
     groups.find(_._2 == 5L).get._3 shouldBe 0L // min id is the rep
   }
 
+  // -------------------------------------------------- resizePng
+
+  test("resizePng: identity resize reproduces the full decode's stats; 1x1 samples (0,0)") {
+    val (w, h, seed) = (9, 7, 123L)
+    val a = Multimodal.Asset(1L, "png", Multimodal.syntheticPng(w, h, seed))
+    val full = Multimodal.decodePng(a)
+    val ident = Multimodal.resizePng(a, w, h)
+    ident.sum_bytes shouldBe full.sum_bytes
+    ident.wsum_bytes shouldBe full.wsum_bytes
+    val one = Multimodal.resizePng(a, 1, 1)
+    // NN at 1x1 samples source pixel (0,0): planted bytes seed..seed+2
+    val want = (0 until 3).map(i => ((seed + i) % 256 + 256) % 256)
+    one.sum_bytes shouldBe want.sum
+    one.wsum_bytes shouldBe want.zipWithIndex.map {
+      case (v, i) => (i + 1) * v }.sum
+  }
+
   // --------------------------------------------- covarianceMatrix
 
   test("covarianceMatrix reproduces hand-computed moments, negative cov included") {
