@@ -212,6 +212,31 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
   }
 
+  /** Customer scaling for q179: replica r shifts c_custkey by
+    * r·(maxCust+1) and REGENERATES c_name from the shifted key
+    * (`Customer#%09d`) — the way a real corpus grows (new customers
+    * get new names), so the name-prefix blocking key's block COUNT
+    * grows with the corpus while each block stays ≤ ~100 rows.
+    * Carrying the base names verbatim would stack `mult` copies into
+    * every prefix block — quadratic verify work manufactured by the
+    * replication, not a property of the operator or the key. Nation
+    * keys repeat exactly (the 25-nation dimension is fixed at any
+    * scale, as in TPC-H). */
+  def scaleCustomer(spark: SparkSession, sfDir: String, mult: Int,
+                    workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_nationkey"))
+    val cShift = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+    cust.crossJoin(reps)
+      .select((col("c_custkey") + col("rep") * cShift).as("c_custkey"),
+        col("c_nationkey"))
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
+  }
+
   private val EventQueries = Set("q140_cdc_merge", "q142_funnel",
     "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions",
     "q149_state_merge", "q152_rfm", "q153_pivot", "q154_unpivot",
@@ -230,7 +255,10 @@ object ScaleSanity {
       "q145_snm_neardup", "q169_incremental_components",
       // r10: the incremental corpus-build composition (three
       // generations of banded ingest + state folds through parquet)
-      "q171_incremental_corpus_build")
+      "q171_incremental_corpus_build",
+      // r11: entity resolution, re-keyed to corpus-independent blocks
+      // after the r10 verdict flagged the nation|mktsegment fixture
+      "q179_entity_resolution")
     val queries = if (args.length > 3) args.drop(3).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -261,6 +289,8 @@ object ScaleSanity {
         queries.contains("q161_benford") ||
         queries.contains("q178_bootstrap_ci"))
       scaleOrdersLayout(spark, sfDir, mult, workDir)
+    if (queries.contains("q179_entity_resolution"))
+      scaleCustomer(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"scaled":{"documents":$nd,"embeddings":$ne,"mult":$mult}}""")

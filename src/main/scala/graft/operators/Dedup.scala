@@ -700,12 +700,21 @@ object Dedup {
     *
     * Scale: the self-join shuffles on the block key, so total verify
     * work is Σ(block size²) — fine when blocks are personal-scale
-    * (addresses, phones), quadratic if a degenerate block forms (null
-    * normalized "N/A" addresses, etc.). That trap is GUARDED, not
-    * documented away: any block larger than `maxBlock` fails loudly
-    * with the offending key, because at 100 TB a million-row "UNKNOWN"
-    * block would quietly burn a cluster-day (pre-clean or drop such
-    * sentinel keys, or block on a compound attribute). Null blocks are
+    * (addresses, phones, name prefixes), quadratic if a degenerate
+    * block forms (null normalized "N/A" addresses, etc.) OR if the
+    * blocking key's cardinality is corpus-INDEPENDENT (125 nations ⇒
+    * blocks of n/125 ⇒ n²/125 verify work; choose a key whose block
+    * size, not count, is bounded as the corpus grows). The degenerate
+    * trap is GUARDED, not documented away: any block larger than
+    * `maxBlock` fails the JOB loudly with the offending key, because
+    * at 100 TB a million-row "UNKNOWN" block would quietly burn a
+    * cluster-day (pre-clean or drop such sentinel keys, or block on a
+    * compound attribute). The guard is LAZY — a per-block count
+    * aggregation inside the returned plan (it shares the block-key
+    * shuffle and raises from the executor via `raise_error` before the
+    * hot block's pairs are expanded), so construction stays plan-only
+    * like every other operator and the input is scanned exactly twice
+    * (count + self-join), never a third eager time. Null blocks are
     * dropped (null ≠ null in the match semantics). */
   def blockedEntityPairs(df: DataFrame, idCol: String, blockCol: String,
                          nameCol: String, editSim: Double,
@@ -713,17 +722,22 @@ object Dedup {
     require(editSim > 0 && editSim <= 1, s"editSim in (0,1]: $editSim")
     val base = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       col(nameCol).as("name")).where(col("block").isNotNull)
-    val hot = base.groupBy(col("block")).agg(count(lit(1)).as("c"))
-      .where(col("c") > maxBlock).select(col("block"), col("c"))
-      .limit(1).collect()
-    require(hot.isEmpty,
-      s"blockedEntityPairs: block '${hot.headOption.map(_.get(0)).orNull}' has ${hot.headOption.map(_.get(1)).orNull} rows > maxBlock=$maxBlock — " +
-        "pre-clean sentinel keys or use a compound blocking attribute")
+    // every block, guard evaluated per BLOCK (one row each), lazily
+    val okBlocks = base.groupBy(col("block"))
+      .agg(count(lit(1)).as("__bc"))
+      .where(when(col("__bc") <= maxBlock, lit(true))
+        .otherwise(raise_error(concat(
+          lit("blockedEntityPairs: block '"), col("block"),
+          lit("' has "), col("__bc"),
+          lit(s" rows > maxBlock=$maxBlock — pre-clean sentinel keys " +
+            "or use a compound blocking attribute"))).cast("boolean")))
+      .select(col("block"))
     val a = base.select(col("id").as("id_a"), col("block"),
       col("name").as("name_a"))
     val b = base.select(col("id").as("id_b"), col("block"),
       col("name").as("name_b"))
-    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+    a.join(okBlocks, Seq("block"))
+      .join(b, Seq("block")).where(col("id_a") < col("id_b"))
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .withColumn("edit_sim", lit(1.0) - col("lev") /
         greatest(length(col("name_a")), length(col("name_b"))).cast("double"))

@@ -356,6 +356,15 @@ object Multimodal {
           val interlace = d(off + 20) & 0xff
           require(width > 0 && height > 0,
             s"PNG asset ${a.asset_id}: bad dimensions ${width}x$height")
+          // stride = width*3 and rawLen = height*(1+stride) are built
+          // with Int arithmetic below; a corrupt/adversarial IHDR with
+          // huge dims would wrap to a small or negative Int and die
+          // with a confusing NegativeArraySizeException instead of the
+          // codec's loud contract message — cap here, loudly
+          require(width * 3 <= Int.MaxValue &&
+            height * (1 + width * 3) <= Int.MaxValue,
+            s"PNG asset ${a.asset_id}: dimensions ${width}x$height " +
+              "exceed the decoder's Int-addressable raster cap")
           require(bitDepth == 8 && colorType == 2,
             s"PNG asset ${a.asset_id}: unsupported profile $bitDepth-bit color type $colorType (want 8-bit RGB)")
           require((d(off + 18) & 0xff) == 0 && (d(off + 19) & 0xff) == 0 &&

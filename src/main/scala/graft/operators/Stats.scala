@@ -121,6 +121,13 @@ object Stats {
     require(measures.size >= 2, s"need >= 2 measures: ${measures.size}")
     require(measures.map(_._1).distinct.size == measures.size,
       "measure names must be unique")
+    // measure names are spliced into expr() strings below (p_${a}_$b,
+    // s_$a) — anything that isn't a plain identifier would parse-fail
+    // opaquely or, worse, alter the expression; fail loudly up front
+    measures.map(_._1).foreach { n =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"measure name must be a plain identifier [A-Za-z_][A-Za-z0-9_]*: '$n'")
+    }
     val d = (c: Column) => c.cast(DecimalType(38, 0))
     val base = df.select(
       col(groupCol).as("grp") +:

@@ -6,7 +6,17 @@ package graft.queries
   * repeated verify/bench invocations reuse the path instead of leaking
   * fresh temp directories (and concurrent runs at different scale
   * factors never collide). Shared by every wave; a change to the root
-  * or the sanitization rule lands once, here. */
+  * or the sanitization rule lands once, here.
+  *
+  * SINGLE-WRITER PER (query, sf): the key is only (query, sf), so two
+  * concurrent runs at the SAME sf (e.g. a verify and a bench launched
+  * in parallel) would race on overwrite-in-place state files — wrong
+  * results or mid-read failures. That is by design, not an oversight:
+  * the harness serializes sbt invocations (target-lock) and the
+  * stable path is what makes q171-style cross-generation state
+  * readback and leak-free re-runs possible. Anyone embedding these
+  * queries in a concurrent driver must key runs by process (add a pid
+  * component) and accept the temp-dir leak that buys. */
 private[queries] object Scratch {
   def dir(name: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")

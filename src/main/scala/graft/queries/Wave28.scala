@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   *
   *  - q179 entity resolution ([[Dedup.blockedEntityPairs]]): the
   *    blocking + fuzzy-verify shape of record linkage — exact-equality
-  *    blocking on one attribute (address), character edit-similarity
-  *    verification on the identifying attribute (name), with the
-  *    degenerate-block quadratic trap GUARDED (loud failure above
-  *    maxBlock). Fixture plants perturbed clones (last name char
+  *    blocking on a corpus-independent compound key (name-prefix ×
+  *    nation: block COUNT grows with the corpus, block SIZE stays
+  *    personal-scale, so Σblock² verify work is linear), character
+  *    edit-similarity verification on the identifying attribute
+  *    (name), with the degenerate-block quadratic trap guarded at the
+  *    operator's DEFAULT maxBlock (lazy per-block raise_error inside
+  *    the plan). Fixture plants perturbed clones (last name char
   *    swapped) of every 7th customer; the oracle replays blocking,
   *    Levenshtein, and the similarity gate exactly.
   *  - q180 encoding-invariant image dedup ([[Multimodal
@@ -39,25 +42,28 @@ object Wave28 {
     // Customers + planted perturbed clones; block on address, verify
     // name edit similarity.
     "q179_entity_resolution" -> { (s, d) =>
-      // compound blocking attribute (nation | market segment) — the
-      // scaladoc's own advice when no personal-scale key exists
+      // corpus-INDEPENDENT compound blocking key: name prefix (all but
+      // the last 2 chars — first-k-characters blocking, robust to the
+      // planted tail perturbation) × nation. Prefix cardinality grows
+      // WITH the corpus while each block stays personal-scale (≤ ~100
+      // names share a prefix bucket, split across 25 nations), so
+      // Σblock² — the verify work — is linear in corpus size and the
+      // operator's default degenerate-block guard stands un-raised.
+      // (The r10 fixture blocked on nation|mktsegment — cardinality
+      // 125 — which made blocks grow as n/125 and verify work n²/125:
+      // a scale-killer the key choice, not the operator, caused.)
       val cust = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("id"),
-          col("c_name").as("name"),
-          concat_ws("|", col("c_nationkey"), col("c_mktsegment"))
-            .as("blk"))
+          col("c_name").as("name"), col("c_nationkey").as("nat"))
       val clones = cust.filter(col("id") % 7 === 0)
         .select((col("id") + 10000000L).as("id"),
           expr("concat(substr(name, 1, length(name) - 1), 'x')")
             .as("name"),
-          col("blk"))
-      // maxBlock raised above the default: this fixture's 125 compound
-      // blocks each hold ~n/125 customers, so block population grows
-      // WITH the scale factor by construction (healthy, not
-      // degenerate); the default guard is sized for sentinel-key
-      // blocks, which a fixed-cardinality blocking key is not
-      Dedup.blockedEntityPairs(cust.unionByName(clones), "id", "blk",
-        "name", ErSim, maxBlock = 1000000L)
+          col("nat"))
+      val withBlk = cust.unionByName(clones)
+        .withColumn("blk", concat_ws("|",
+          expr("substr(name, 1, length(name) - 2)"), col("nat")))
+      Dedup.blockedEntityPairs(withBlk, "id", "blk", "name", ErSim)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -110,14 +116,19 @@ object Wave28 {
     "q179_entity_resolution" ->
       s"""WITH c AS (
          |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
-         |    CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS blk
+         |    c_nationkey AS nat
          |  FROM customer),
-         |all_c AS (
-         |  SELECT * FROM c
+         |u AS (
+         |  SELECT id, name, nat FROM c
          |  UNION ALL
          |  SELECT id + 10000000, substr(name, 1, length(name) - 1) || 'x',
-         |    blk
+         |    nat
          |  FROM c WHERE id % 7 = 0),
+         |all_c AS (
+         |  SELECT id, name,
+         |    substr(name, 1, length(name) - 2) || '|' ||
+         |      CAST(nat AS VARCHAR) AS blk
+         |  FROM u),
          |p AS (
          |  SELECT a.id AS id_a, b.id AS id_b, a.blk AS block,
          |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,

@@ -32,11 +32,16 @@ class Wave28Spec extends AnyFunSuite with Matchers with SparkFixture {
     import spark.implicits._
     val rows = (1L to 10L).map(i => (i, "UNKNOWN", s"name$i"))
       .toDF("id", "addr", "name")
-    val e = the[IllegalArgumentException] thrownBy
-      Dedup.blockedEntityPairs(rows, "id", "addr", "name", 0.8,
-        maxBlock = 5L)
-    e.getMessage should include("UNKNOWN")
-    e.getMessage should include("maxBlock")
+    // construction is plan-only (lazy contract, same as every other
+    // operator) — the guard raises from the executors at action time
+    val df = Dedup.blockedEntityPairs(rows, "id", "addr", "name", 0.8,
+      maxBlock = 5L)
+    val e = intercept[Exception](df.collect())
+    def chain(t: Throwable): String =
+      if (t == null) ""
+      else Option(t.getMessage).getOrElse("") + "\n" + chain(t.getCause)
+    chain(e) should include("UNKNOWN")
+    chain(e) should include("maxBlock")
   }
 
   // ----------------------------------------------- pixelDupGroups

@@ -154,6 +154,18 @@ def main():
     final_probe = next((o for o in objs if o.get("metric") == "total"
                         and "queries" not in o), None)
     nq = (final_probe or {}).get("nq")
+    if nq is None:
+        # Truncated tail lost the final total line. Recover the run's
+        # query count from the part lines themselves (max i0+len(t));
+        # without this, the first available name table — possibly a
+        # STALE CORRECTNESS or BASELINE — would be accepted unchecked,
+        # the exact misattribution this tool exists to prevent.
+        spans = [o.get("i0", 0) + len(o.get("t", []))
+                 for o in objs if o.get("metric") == "qp"]
+        if spans:
+            nq = max(spans)
+            print(f"(final total line missing; nq={nq} recovered from "
+                  "part-line index spans)")
     candidates = [
         ("full-names line", sorted(fq) if fq else None),
         ("newest CORRECTNESS file", correctness_names()),
