@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The bench's self-adjudication machinery: the frozen-row parser must
+  * see exactly the per-query BASELINE table (the same regex contract as
+  * tools/bench_compare.py), because those rows decide which queries get
+  * the end-of-sweep outlier re-run. */
+class BenchSpec extends AnyFunSuite with Matchers {
+
+  test("frozenRows parses the BASELINE per-query table (UTF-8, date-pinned)") {
+    val rows = Bench.frozenRows()
+    // every SparkEntry query that has been frozen — a silent parse
+    // regression (codec, column drift) would empty this and turn the
+    // outlier re-run off without any visible failure
+    rows.size should be >= 180
+    rows.keys.foreach(_ should fullyMatch regex """q\d+_\w+""")
+    rows.values.foreach(v => v should be > 0.0)
+    // a known row with its frozen value's magnitude (re-frozen values
+    // move; the row existing with a sane magnitude is the contract)
+    rows should contain key "q01_pricing_summary"
+    rows("q01_pricing_summary") should (be > 0.01 and be < 60.0)
+    // the ScaleSanity re-measure tables also have numeric q-rows but no
+    // date column in position 3 — they must NOT leak in (their second
+    // column is a 10x time, which would corrupt the 2x gate)
+    rows.keySet.intersect(Set("semantic_dedup_sqrtk")) shouldBe empty
+  }
+
+  test("frozenRows on a missing file degrades to empty, not a throw") {
+    Bench.frozenRows("/nonexistent/BASELINE.md") shouldBe empty
+  }
+
+  test("frozen rows cover every SparkEntry query (new queries need a freeze)") {
+    val rows = Bench.frozenRows()
+    val missing = SparkEntry.queries.keySet -- rows.keySet
+    withClue(s"queries without a frozen BASELINE row (freeze best-of-3 " +
+      s"calibrated quiet-window values before the driver bench): $missing ") {
+      missing shouldBe empty
+    }
+  }
+}

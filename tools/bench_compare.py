@@ -19,6 +19,13 @@ Bench output formats understood, newest first:
    over-threshold queries are annotated with it so a throttle window
    mid-sweep marks which queries it starved.
 
+   Round 11+ adds an optional `{"metric":"qr","cf":f,"n":m,"i":[...],
+   "t":[centisec,...]}` line: the bench's own end-of-sweep re-run of
+   every over-2x-frozen query at a different moment of the run. Each
+   over-gate query is adjudicated HERE: re-run under the gate ->
+   transient load (the row is reported as load-adjudicated); re-run
+   still over -> regression confirmed by two samples.
+
 2. One full-names JSON line (`"metric":"total_fullnames"`).
 
 3. Legacy compact line (short q-keys) — including SALVAGE of a
@@ -187,6 +194,16 @@ def main():
               "(stale CORRECTNESS/BASELINE tables?); values reported "
               "as #qN")
     qs, seg, final = from_parts(objs, names)
+    # the bench's own end-of-sweep outlier re-run (round 11+)
+    qr = next((o for o in objs if o.get("metric") == "qr"), None)
+    rerun = {}
+    if qr and names:
+        for idx, centi in zip(qr.get("i", []), qr.get("t", [])):
+            if idx < len(names):
+                rerun[names[idx]] = -1.0 if centi < 0 else centi / 100.0
+        if qr.get("n", 0) > len(qr.get("i", [])):
+            print(f"(outlier re-run capped: {len(qr['i'])} of {qr['n']} "
+                  "over-gate queries re-sampled)")
     source = "part lines"
     if qs is None:
         qs, seg = fq, {}
@@ -224,10 +241,25 @@ def main():
     print(line)
     if over:
         print(f"\n> {thr}x frozen:")
+        n_adj = n_conf = 0
         for k, v, f, r, cf in over:
             note = f"  [segment load {cf:.2f}x]" if cf else \
                    (f"  norm={norm[k]}" if k in norm else "")
+            if k in rerun and rerun[k] >= 0:
+                r2 = rerun[k] / f
+                if r2 <= thr:
+                    note += (f"  re-run {rerun[k]:.2f}s = {r2:.1f}x -> "
+                             "LOAD-ADJUDICATED (under gate)")
+                    n_adj += 1
+                else:
+                    note += (f"  re-run {rerun[k]:.2f}s = {r2:.1f}x -> "
+                             "regression CONFIRMED by second sample")
+                    n_conf += 1
             print(f"  {k}: {v:.2f}s vs {f:.2f}s = {r:.1f}x{note}")
+        if rerun:
+            pend = len(over) - n_adj - n_conf
+            print(f"  adjudication: {n_adj} transient-load, {n_conf} "
+                  f"confirmed, {pend} un-sampled")
     else:
         print(f"no query above {thr}x its frozen row")
     missing = sorted(k for k in qs if k not in frozen)
