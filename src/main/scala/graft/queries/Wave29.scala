@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Wave 29 — correlated and scalar subqueries (TPC-H Q4/Q17/Q21/Q22
+  * shapes on the available tables).
+  *
+  * This is engine surface, not operator surface: the reference has no
+  * SQL at all (its query layer is the threading macros over MapReduce,
+  * `/root/reference/src/clojure/parkour/graph.clj`), but this library
+  * DECLARES full Spark SQL, and until this wave nothing in q01–q182
+  * exercised Catalyst's subquery decorrelation — the classic place
+  * engines get semantics subtly wrong (NULL-aware anti-joins, per-group
+  * scalar agreement, multi-table outer references). Each query here is
+  * written as literal SQL (`spark.sql`) against per-query temp views,
+  * because EXISTS / NOT EXISTS / scalar subqueries ARE the SQL surface
+  * under test; the DataFrame API has no subquery combinators.
+  *
+  * Decorrelation contract (pinned in Wave29Spec): Catalyst must plan
+  *  - EXISTS as a left-semi join (never a per-row subplan),
+  *  - NOT EXISTS as a left-anti join,
+  *  - a correlated scalar subquery as an aggregate joined back on the
+  *    correlation key (RewriteCorrelatedScalarSubquery),
+  * so at 100 TB each shape is one shuffle-or-broadcast join, not n
+  * subqueries. The schema has no l_commitdate/l_receiptdate, so
+  * "late" is shipped > 30/60 days after the order date — the same
+  * correlated-comparison structure as the TPC-H originals.
+  *
+  * Determinism across engines: double sums go through the house
+  * floor-quantize → DECIMAL(38,s) → sum → double pattern on BOTH
+  * sides; `l_quantity` is integer-valued so its avg is exact in double
+  * and needs no quantization; count(*) is exact.
+  */
+object Wave29 {
+
+  /** Register `tables` as `<q>_<name>` temp views and run `sql`.
+    * Query-scoped view names: Verify/Bench share one session across
+    * all queries, and ScaleSanity points different queries at
+    * different data dirs — a bare `lineitem` view would leak across
+    * them. */
+  private def sqlOn(s: SparkSession, d: String, q: String,
+                    tables: Seq[String], sql: String): DataFrame = {
+    tables.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(s"${q}_$t"))
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q4 shape: correlated EXISTS with a two-column correlation (key
+    // equality + a comparison against the outer order's own date).
+    // Catalyst plans the EXISTS as one left-semi join on l_orderkey
+    // with the date comparison in the join condition — linear at any
+    // scale, shuffle-partitioned on the order key.
+    "q183_exists_late_orders" -> { (s, d) =>
+      sqlOn(s, d, "q183", Seq("orders", "lineitem"), """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM q183_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM q183_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+
+    // Q17 shape: per-group correlated SCALAR subquery — each lineitem
+    // compared against ITS part's average quantity. Catalyst must
+    // rewrite to one partkey-grained aggregate joined back
+    // (RewriteCorrelatedScalarSubquery); a per-row subplan would scan
+    // lineitem once per row. avg(l_quantity) is exact in double
+    // (integer values, n < 2^53), so the 0.2× threshold agrees
+    // bit-for-bit with DuckDB.
+    "q184_scalar_avg_quantity" -> { (s, d) =>
+      sqlOn(s, d, "q184", Seq("lineitem", "part"), """
+        SELECT CAST(sum(CAST(floor(l.l_extendedprice * 1e4) / 1e4
+                             AS DECIMAL(38,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM q184_lineitem l JOIN q184_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+                                    FROM q184_lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)""")
+    },
+
+    // Q21 shape: multi-correlation — the NOT EXISTS references TWO
+    // outer tables (l1's order key and o's order date), and the pair
+    // of EXISTS/NOT EXISTS on the same relation must decorrelate into
+    // one semi and one anti join over the order-key shuffle, each
+    // reusable from the same exchange.
+    "q185_waiting_suppliers" -> { (s, d) =>
+      sqlOn(s, d, "q185", Seq("supplier", "lineitem", "orders"), """
+        SELECT s.s_name, count(*) AS numwait
+        FROM q185_supplier s, q185_lineitem l1, q185_orders o
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM q185_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q185_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100""")
+    },
+
+    // Q22 shape: uncorrelated scalar subquery (global threshold,
+    // evaluated once and broadcast) + correlated NOT EXISTS with an
+    // extra predicate (no RECENT order — every customer has SOME
+    // order in this data). Anti-join decorrelation with a filtered
+    // build side; the threshold uses the quantized-decimal average so
+    // both engines compare against the identical double.
+    "q186_dormant_rich_customers" -> { (s, d) =>
+      sqlOn(s, d, "q186", Seq("customer", "orders"), """
+        SELECT c_nationkey AS nation, count(*) AS numcust,
+          CAST(sum(CAST(floor(c.c_acctbal * 1e2) / 1e2
+                        AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
+        FROM q186_customer c
+        WHERE c.c_acctbal > (SELECT CAST(sum(CAST(floor(c2.c_acctbal * 1e2) / 1e2
+                                               AS DECIMAL(38,2))) AS DOUBLE)
+                                    / count(*)
+                             FROM q186_customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM q186_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        ORDER BY nation""")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q183_exists_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q184_scalar_avg_quantity" ->
+      """SELECT CAST(sum(CAST(floor(l.l_extendedprice * 1e4) / 1e4
+        |                     AS DECIMAL(38,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#11'
+        |  AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+        |                            FROM lineitem l2
+        |                            WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q185_waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE s.s_suppkey = l1.l_suppkey
+        |  AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 100""".stripMargin,
+
+    "q186_dormant_rich_customers" ->
+      """SELECT c_nationkey AS nation, count(*) AS numcust,
+        |  CAST(sum(CAST(floor(c.c_acctbal * 1e2) / 1e2
+        |                AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT CAST(sum(CAST(floor(c2.c_acctbal * 1e2) / 1e2
+        |                                       AS DECIMAL(38,2))) AS DOUBLE)
+        |                            / count(*)
+        |                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY nation""".stripMargin
+  )
+}

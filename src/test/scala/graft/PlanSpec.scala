@@ -359,4 +359,44 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  // ------------------------------- wave 29: subquery decorrelation
+  // At 100 TB a per-row subplan is a dead cluster; every subquery must
+  // decorrelate to ONE join over the correlation key's shuffle.
+
+  test("q183: correlated EXISTS decorrelates to a left-semi join") {
+    val p = plan("q183_exists_late_orders")
+    p should include("LeftSemi")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q184: correlated scalar subquery rewrites to aggregate-join, no per-row subplan") {
+    val p = plan("q184_scalar_avg_quantity")
+    // RewriteCorrelatedScalarSubquery: the partkey-avg becomes an
+    // aggregate joined back; no scalar-subquery expression survives to
+    // the physical plan (an uncorrelated one would print as Subquery)
+    p should not include "Subquery"
+    p should include("avg(")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    p should not include "CartesianProduct"
+  }
+
+  test("q185: EXISTS + multi-correlated NOT EXISTS plan as semi + anti joins") {
+    val p = plan("q185_waiting_suppliers")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q186: NOT EXISTS is an anti join; the global threshold is one Subquery, not a join") {
+    val p = plan("q186_dormant_rich_customers")
+    p should include("LeftAnti")
+    // uncorrelated scalar threshold: evaluated once and reused as a
+    // literal — stays a Subquery node, never a per-row rescan
+    p should include("Subquery")
+    p should not include "CartesianProduct"
+  }
 }
