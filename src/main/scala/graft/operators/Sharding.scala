@@ -48,10 +48,20 @@ object Sharding {
     * independent, so 32 buckets = 32-way parallel cumsum instead of one
     * global single-task window. */
   def chunkPack(docs: DataFrame, idCol: String, textCol: String,
-                chunkTokens: Long, buckets: Int = 32): DataFrame = {
+                chunkTokens: Long, buckets: Int = 32): DataFrame =
+    chunkPackBy(docs, idCol,
+      graft.functions.TextFunctions.tokenCount(col(textCol)),
+      chunkTokens, buckets)
+
+  /** [[chunkPack]] over a caller-supplied per-doc token-count
+    * expression — the seam that lets a real tokenizer (e.g.
+    * [[Bpe.encode]]'s counts) drive the same packing arithmetic the
+    * regex counter used. */
+  def chunkPackBy(docs: DataFrame, idCol: String, tokensExpr: Column,
+                  chunkTokens: Long, buckets: Int = 32): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val toks = docs.select(col(idCol).cast("long").as("id"),
-      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      tokensExpr.cast("long").as("n_tokens"),
       pmod(col(idCol).cast("long"), lit(buckets)).as("bucket"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Bpe, Sharding}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 30 — a real corpus-trained BPE tokenizer behind the
+  * token-budget tier (r10 verdict "missing" #2: q61/q66/q85's budgets
+  * counted regex segments, not tokens).
+  *
+  *  - q187 trains the merge table ON the corpus ([[Bpe.trainMerges]]):
+  *    k pair-count rounds with the deterministic tie-break, so the
+  *    DuckDB twin replays training exactly — k unrolled MATERIALIZED
+  *    CTE rounds of the same pair-count + argmax + greedy-replace.
+  *  - q188 encodes with a PLANTED merge table (a tokenizer is trained
+  *    once, applied everywhere — the table here is a real
+  *    [[Bpe.trainMerges]] output, frozen as a constant so the query is
+  *    scale-factor-independent); the twin replays the same replace
+  *    chain per word.
+  *  - q189 closes the loop the verdict asked for: the SAME chunk
+  *    packing as q85 ([[Sharding.chunkPackBy]]) but budgeted by REAL
+  *    BPE token counts instead of regex segments.
+  *
+  * Cross-engine determinism: merges are literal strings on both sides
+  * (no floating point anywhere); counts are BIGINT-cast; the greedy
+  * replace pass is the engines' shared non-overlapping left-to-right
+  * `replace` semantics.
+  */
+object Wave30 {
+
+  private val TrainK = 16
+  private val BpeChunkTokens = 128
+  private val PackBuckets = 8
+
+  /** A real merge table: `Bpe.trainMerges(documents@sf0.01, k=24)`
+    * verbatim (matches the pure-reference implementation and the
+    * DuckDB replay bit-for-bit). Planted as a constant: q188/q189
+    * behave like production encoders — train once, apply at any
+    * scale. */
+  val PlantedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** DuckDB replay of [[Bpe.applyMerges]] over word `w`: the nested
+    * literal replace chain, innermost = round-0 char segmentation. */
+  private def sqlEncodeWord(merges: Seq[(String, String)]): String = {
+    val base = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    val chain = merges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    s"string_split(trim($chain), ' ')"
+  }
+
+  /** DuckDB list of all BPE tokens of `text` under `merges`. */
+  private def sqlEncodeText(merges: Seq[(String, String)]): String =
+    s"""flatten(list_transform(
+       |  list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+       |  w -> ${sqlEncodeWord(merges)}))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus-trained merge table. Training is eager by nature (one
+    // pair-count action per round — see Bpe.trainMerges scaladoc); the
+    // returned frame is the merge table itself.
+    "q187_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      Bpe.trainMerges(Tables.documents(s, d), "text", TrainK)
+        .toDF("merge_rank", "lhs", "rhs", "cnt")
+    },
+
+    // Deterministic encode under the planted table: per-doc token
+    // count + the first 8 tokens (pipe-joined — array columns don't
+    // survive the driver's pandas compare).
+    "q188_bpe_encode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", Bpe.encode(col("text"), PlantedMerges))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), 1, 8), "|").as("toks_head"))
+        .orderBy(col("doc_id"))
+    },
+
+    // q85's packing arithmetic, budgeted by REAL tokens: same window
+    // cumsum per bucket, same chunk spans — only the counter changed.
+    "q189_bpe_pack" -> { (s, d) =>
+      Sharding.chunkPackBy(Tables.documents(s, d), "doc_id",
+        size(Bpe.encode(col("text"), PlantedMerges)),
+        chunkTokens = BpeChunkTokens, buckets = PackBuckets)
+        .orderBy(col("id"))
+    }
+  )
+
+  /** One unrolled DuckDB training round: pair counts over w{r-1}, the
+    * argmax with the tie-break, and the greedy merge into w{r}.
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    * reference, which makes the chained rounds exponential. */
+  private def sqlTrainRound(r: Int): String =
+    s"""p$r AS MATERIALIZED (
+       |  SELECT pr[1] AS l, pr[2] AS r, sum(wt) AS cnt FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+       |                                 i -> [s[i], s[i + 1]])) AS pr, wt
+       |    FROM (SELECT string_split(seg, ' ') AS s, wt FROM w${r - 1}))
+       |  GROUP BY 1, 2),
+       |b$r AS MATERIALIZED (
+       |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+       |w$r AS MATERIALIZED (
+       |  SELECT trim(replace(' ' || seg || ' ',
+       |    ' ' || (SELECT l FROM b$r) || ' ' || (SELECT r FROM b$r) || ' ',
+       |    ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ')) AS seg,
+       |    wt FROM w${r - 1})""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q187_bpe_train" -> {
+      val rounds = (1 to TrainK).map(sqlTrainRound).mkString(",\n")
+      val sel = (1 to TrainK).map(r =>
+        s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT w, count(*) AS wt FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |w0 AS MATERIALIZED (
+         |  SELECT array_to_string(string_split(w, ''), ' ') AS seg, wt
+         |  FROM words),
+         |$rounds
+         |$sel
+         |ORDER BY merge_rank""".stripMargin
+    },
+
+    "q188_bpe_encode" ->
+      s"""WITH enc AS (
+         |  SELECT doc_id, ${sqlEncodeText(PlantedMerges)} AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  array_to_string(toks[1:8], '|') AS toks_head
+         |FROM enc ORDER BY doc_id""".stripMargin,
+
+    "q189_bpe_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(${sqlEncodeText(PlantedMerges)}) AS BIGINT) AS n_tokens,
+         |    doc_id % $PackBuckets AS bucket
+         |  FROM documents),
+         |o AS (
+         |  SELECT *,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+         |  FROM t)
+         |SELECT id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(floor(CAST(tok_offset AS DOUBLE) / $BpeChunkTokens) AS BIGINT)
+         |    AS chunk_first,
+         |  CAST(floor(CAST(tok_offset + greatest(n_tokens, 1) - 1 AS DOUBLE)
+         |    / $BpeChunkTokens) AS BIGINT) AS chunk_last,
+         |  CAST(floor(CAST(tok_offset + greatest(n_tokens, 1) - 1 AS DOUBLE)
+         |    / $BpeChunkTokens)
+         |    - floor(CAST(tok_offset AS DOUBLE) / $BpeChunkTokens) + 1 AS BIGINT)
+         |    AS n_chunks
+         |FROM o ORDER BY id""".stripMargin
+  )
+}

@@ -45,7 +45,8 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave22.queries, queries.Wave23.queries,
       queries.Wave24.queries, queries.Wave25.queries,
       queries.Wave26.queries, queries.Wave27.queries,
-      queries.Wave28.queries, queries.Wave29.queries)
+      queries.Wave28.queries, queries.Wave29.queries,
+      queries.Wave30.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 

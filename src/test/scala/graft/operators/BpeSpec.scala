@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+// scalatest MatcherWords shadows functions.size/length — realias
+import org.apache.spark.sql.functions.{size => asize, length => alength}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class BpeSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("trainMerges is deterministic: same corpus, same table, twice") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Bpe.trainMerges(docs, "text", 12)
+    val b = Bpe.trainMerges(docs, "text", 12)
+    a shouldBe b
+    a.size shouldBe 12
+    a.map(_._1) shouldBe (1 to 12)
+    // counts never increase along training (each merge consumes pair
+    // mass; a later round can't beat an earlier argmax)
+    a.map(_._4).sliding(2).foreach { case Seq(x, y) => y should be <= x }
+  }
+
+  test("hand corpus reproduces the paper's merge walk") {
+    import spark.implicits._
+    // "low" x5, "lowest" x2: round 1 must merge the most frequent
+    // adjacent pair l+o (count 7), then lo+w (count 7)
+    val docs = Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(2)("lowest").mkString(" ")
+    val m = Bpe.trainMerges(Seq(docs).toDF("text"), "text", 2)
+    m.map(t => (t._2, t._3, t._4)) shouldBe Seq(("l", "o", 7L), ("lo", "w", 7L))
+  }
+
+  test("early stop: a corpus with no adjacent pairs left ends training") {
+    import spark.implicits._
+    // single-char words only — zero adjacent pairs from round 1
+    val m = Bpe.trainMerges(Seq("a b c a b").toDF("text"), "text", 10)
+    m shouldBe empty
+  }
+
+  test("encode partitions every word: tokens concatenate back exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.trainMerges(docs, "text", 12)
+      .map(t => (t._2, t._3))
+    val bad = docs
+      .withColumn("rejoined",
+        array_join(Bpe.encode(col("text"), merges), ""))
+      .withColumn("squashed", regexp_replace(col("text"), "\\s+", ""))
+      .where(col("rejoined") =!= col("squashed"))
+      .count()
+    bad shouldBe 0L
+  }
+
+  test("encode under merges never splits below 1 token per non-empty word") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = graft.queries.Wave30.PlantedMerges
+    val bad = docs
+      .select(asize(Bpe.encode(col("text"), merges)).as("n_tokens"),
+        asize(filter(split(col("text"), "\\s+"), (w: org.apache.spark.sql.Column) => w =!= ""))
+          .as("n_words"))
+      .where(col("n_tokens") < col("n_words")).count()
+    bad shouldBe 0L
+    // and merging HAPPENED: strictly fewer tokens than characters
+    val row = docs.select(
+      sum(asize(Bpe.encode(col("text"), merges))).as("t"),
+      sum(alength(regexp_replace(col("text"), "\\s+", ""))).as("c"))
+      .head()
+    row.getLong(0) should be < row.getLong(1)
+  }
+
+  test("chunkPackBy with the regex counter is exactly chunkPack (seam equivalence)") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaSeam = Sharding.chunkPackBy(docs, "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      chunkTokens = 128, buckets = 8).orderBy(col("id"))
+    val direct = Sharding.chunkPack(docs, "doc_id", "text",
+      chunkTokens = 128, buckets = 8).orderBy(col("id"))
+    viaSeam.collect() shouldBe direct.collect()
+  }
+}
