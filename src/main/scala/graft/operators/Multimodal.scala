@@ -521,6 +521,74 @@ object Multimodal {
     assets.mapPartitions(_.map(resizePng(_, outW, outH)))
   }
 
+  /** An AREA-AVERAGED image's stats: per output pixel the value is the
+    * exact fixed-point mean of its source box, ⌊boxSum·10⁶ / boxArea⌋
+    * micro-units — so `sum_fp`/`wsum_fp` are the q182 stat pair over
+    * the resampled grid, exact integers an oracle replays
+    * arithmetically. */
+  case class AreaResizedImage(asset_id: Long, width: Long, height: Long,
+                              out_w: Long, out_h: Long, sum_fp: Long,
+                              wsum_fp: Long)
+
+  /** Exact-integer AREA-AVERAGE (box-filter) downscale on decoded
+    * pixels — the resampler real thumbnail pipelines use (NN resize
+    * aliases; averaging is the anti-aliased member of the family).
+    * Output pixel (y2, x2) averages the source box
+    * rows [⌊y2·h/outH⌋, ⌊(y2+1)·h/outH⌋) × cols [⌊x2·w/outW⌋,
+    * ⌊(x2+1)·w/outW⌋) — the standard surjective box partition (every
+    * source pixel lands in exactly one box when dims divide; boxes
+    * tile the image exactly in all cases). The mean is kept in
+    * fixed point: ⌊boxSum · 10⁶ / boxArea⌋, all-integer, so the
+    * whole resample is oracle-replayable with no floats (same
+    * convention as the engine's micro-unit rank/stat arithmetic).
+    * Downscale-only by contract (outW ≤ w, outH ≤ h — boxes are
+    * never empty); 1:1 is the identity golden: every box is one
+    * pixel and sum_fp = 10⁶ · (sum of raster bytes). Runs on the
+    * FULL decode (CRC walk, inflate, unfilter); per-row,
+    * shuffle-free, partition-parallel at any corpus size. */
+  def areaResizePng(a: Asset, outW: Int, outH: Int): AreaResizedImage = {
+    require(outW > 0 && outH > 0, s"bad target dimensions ${outW}x$outH")
+    val (wL, hL, recon) = decodePngRecon(a)
+    val w = wL.toInt; val h = hL.toInt
+    require(outW <= w && outH <= h,
+      s"area-average is a downscale resampler: target ${outW}x$outH " +
+        s"exceeds source ${w}x$h for asset ${a.asset_id}")
+    var sum = 0L; var wsum = 0L
+    var k = 0
+    val n = outW * outH * 3
+    while (k < n) {
+      val y2 = k / (outW * 3)
+      val rem = k % (outW * 3)
+      val x2 = rem / 3
+      val c = rem % 3
+      val sy0 = y2 * h / outH; val sy1 = (y2 + 1) * h / outH
+      val sx0 = x2 * w / outW; val sx1 = (x2 + 1) * w / outW
+      var boxSum = 0L
+      var sy = sy0
+      while (sy < sy1) {
+        var sx = sx0
+        while (sx < sx1) {
+          boxSum += recon((sy * w + sx) * 3 + c)
+          sx += 1
+        }
+        sy += 1
+      }
+      val area = (sy1 - sy0).toLong * (sx1 - sx0)
+      val v = boxSum * 1000000L / area // nonneg: truncation == floor
+      sum += v
+      wsum += (k + 1).toLong * v
+      k += 1
+    }
+    AreaResizedImage(a.asset_id, wL, hL, outW.toLong, outH.toLong, sum, wsum)
+  }
+
+  /** Seam-shaped distributed area-average resize. */
+  def areaResizeImages(assets: Dataset[Asset], outW: Int, outH: Int):
+      Dataset[AreaResizedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(areaResizePng(_, outW, outH)))
+  }
+
   /** Fixture encoder for [[decodePng]]: a VALID 8-bit truecolor PNG
     * whose raw pixel bytes are the deterministic stream (seed + i) mod
     * 256, each scanline filtered with type row%5 (all five adaptive

@@ -82,6 +82,29 @@ class Wave28Spec extends AnyFunSuite with Matchers with SparkFixture {
       case (v, i) => (i + 1) * v }.sum
   }
 
+  test("areaResizePng: identity is the full decode ×1e6; 2x2→1x1 is the exact box mean") {
+    val (w, h, seed) = (9, 7, 123L)
+    val a = Multimodal.Asset(1L, "png", Multimodal.syntheticPng(w, h, seed))
+    val full = Multimodal.decodePng(a)
+    val ident = Multimodal.areaResizePng(a, w, h)
+    // every box is one pixel: v_fp = pixel·10⁶ exactly
+    ident.sum_fp shouldBe full.sum_bytes * 1000000L
+    ident.wsum_fp shouldBe full.wsum_bytes * 1000000L
+    // 2x2 → 1x1: each channel's value is ⌊(p00+p01+p10+p11)·10⁶/4⌋
+    val b = Multimodal.Asset(2L, "png", Multimodal.syntheticPng(2, 2, seed))
+    val one = Multimodal.areaResizePng(b, 1, 1)
+    def pix(i: Int): Long = ((seed + i) % 256 + 256) % 256
+    val want = (0 until 3).map { c =>
+      (pix(c) + pix(3 + c) + pix(6 + c) + pix(9 + c)) * 1000000L / 4 }
+    one.sum_fp shouldBe want.sum
+    one.wsum_fp shouldBe want.zipWithIndex.map {
+      case (v, i) => (i + 1) * v }.sum
+    // upscale is refused loudly — area-average is a downscaler
+    val e = the[IllegalArgumentException] thrownBy
+      Multimodal.areaResizePng(b, 4, 4)
+    e.getMessage should include("downscale")
+  }
+
   // --------------------------------------------- covarianceMatrix
 
   test("covarianceMatrix reproduces hand-computed moments, negative cov included") {
