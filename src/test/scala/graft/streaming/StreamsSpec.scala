@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Top-level event row for encoder derivation (inner classes cannot get
   * encoders without their outer scope). */
@@ -583,6 +584,54 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally q.stop()
     val out = spark.table(name).as[Streams.FunnelDone].collect()
     out.map(_.user_id).toSeq shouldBe Seq(1L)
+  }
+
+  test("funnelCompletions survives a kill + checkpoint restart: output == uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.io.PathsUtil.transientPath("graft-stream-funnel-ckpt")
+    val steps = Seq("view", "click")
+    val win = 30L * 60000000L
+    def ev(u: Long, id: Long, minute: Int, et: String) =
+      Streams.TypedEvent(u, ts(minute), id, et)
+    // batchId-keyed sink: a restart may replay the last uncommitted
+    // micro-batch, and keying by id makes the collection idempotent —
+    // the same exactly-once discipline a real foreachBatch sink needs
+    val sunk = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[Streams.FunnelDone]]()
+    val input = MemoryStream[Streams.TypedEvent]
+    def start() = Streams.funnelCompletions(input.toDS(), steps, win)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.FunnelDone],
+                       id: Long) => sunk.put(id, b.collect().toSeq); () }
+      .start()
+    // u1 OPENS the funnel before the kill and completes after the
+    // restart — its completion exists only if the view-time state
+    // crossed the checkpoint; u2 completes pre-kill (must not re-emit)
+    val q1 = start()
+    try {
+      input.addData(ev(1L, 1L, 1, "view"), ev(2L, 2L, 1, "view"),
+        ev(2L, 3L, 3, "click"))
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill
+    input.addData(ev(1L, 4L, 7, "click"), ev(3L, 5L, 8, "view"))
+    val q2 = start() // same checkpoint, same source — recovery
+    try q2.processAllAvailable() finally q2.stop()
+    val got = sunk.values.asScala.flatten
+      .map(f => (f.user_id, f.step_us.toList)).toSet
+    // the uninterrupted oracle: the batch twin over everything streamed
+    val all = Seq(ev(1L, 1L, 1, "view"), ev(2L, 2L, 1, "view"),
+      ev(2L, 3L, 3, "click"), ev(1L, 4L, 7, "click"), ev(3L, 5L, 8, "view"))
+    val want = Streams.funnelCompletionsBatch(
+      all.toDF(), steps, win)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, t1, t2) => (u, List(t1, t2)) }.toSet
+    got shouldBe want
+    got.map(_._1) shouldBe Set(1L, 2L) // u1 proves recovered state
+    // u2 emitted exactly once across the kill
+    sunk.values.asScala.flatten.count(_.user_id == 2L) shouldBe 1
   }
 
   test("foreachBatch additive-state maintenance folds to the one-shot state") {
