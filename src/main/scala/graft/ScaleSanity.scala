@@ -258,7 +258,9 @@ object ScaleSanity {
       "q171_incremental_corpus_build",
       // r11: entity resolution, re-keyed to corpus-independent blocks
       // after the r10 verdict flagged the nation|mktsegment fixture
-      "q179_entity_resolution")
+      "q179_entity_resolution",
+      // r11: BPE training — one corpus scan + vocab-table rounds
+      "q187_bpe_train")
     val queries = if (args.length > 3) args.drop(3).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
