@@ -5,8 +5,9 @@ import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Wave 31 — exact-integer area-average image resize (r11; the q182
-  * seam's anti-aliased resampler, VERDICT r10 "missing" #3).
+/** Wave 31 — the round-11 multimodal completions: area-average resize
+  * (VERDICT r10 "missing" #3) and REAL video frame sampling + frame
+  * dedup (the charter's fourth multimodal verb).
   *
   *  - q190 thumbnails the planted PNG corpus with the box-filter
   *    ([[Multimodal.areaResizePng]]): every output pixel is the exact
@@ -16,11 +17,23 @@ import org.apache.spark.sql.functions._
   *    raster bytes are (seed+i) mod 256, so the DuckDB twin replays
   *    every box sum arithmetically — no decoder on the oracle side,
   *    yet the Spark side earns each byte through the codec.
+  *  - q191 frame-samples planted YUV4MPEG2 videos
+  *    ([[Multimodal.sampleFrames]], a real container players open):
+  *    every 3rd frame's exact luma stat pair through the full header +
+  *    FRAME walk.
+  *  - q192 dedups FRAMES across videos ([[Multimodal.dupFrameGroups]]):
+  *    consecutive doc pairs share a stream seed, so overlapping frame
+  *    indices carry identical luma — q180's pixel-identity dedup,
+  *    temporal edition, keyed on the arithmetically-replayable
+  *    (dims, y_sum, y_wsum) decoded identity.
   */
 object Wave31 {
 
   private val ThumbW = 4
   private val ThumbH = 3
+  private val SampleEvery = 3
+  private val DupW = 12
+  private val DupH = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_area_resize" -> { (s, d) =>
@@ -35,6 +48,39 @@ object Wave31 {
       Multimodal.areaResizeImages(assets, ThumbW, ThumbH)
         .toDF()
         .orderBy(col("asset_id"))
+    },
+
+    // FRAME-SAMPLE over real YUV4MPEG2 streams: every 3rd frame's
+    // exact luma stats, through the full container walk.
+    "q191_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "y4m", Multimodal.syntheticY4m(
+            8 + 2 * (id % 5).toInt, 6 + 2 * (nChars % 3).toInt,
+            3 + (id % 8).toInt, id))
+        }
+      Multimodal.sampleFrames(assets, SampleEvery)
+        .toDF()
+        .orderBy(col("asset_id"), col("frame_idx"))
+    },
+
+    // Frame-level dedup across videos: consecutive doc pairs share a
+    // stream seed, so their overlapping frame indices carry IDENTICAL
+    // luma — the temporal twin of q180's pixel-identity dedup.
+    "q192_dup_frames" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          Multimodal.Asset(id, "y4m", Multimodal.syntheticY4m(
+            DupW, DupH, 2 + (id % 6).toInt, id / 2))
+        }
+      Multimodal.dupFrameGroups(assets)
+        .orderBy(col("y_sum"), col("y_wsum"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -69,5 +115,59 @@ object Wave31 {
          |  CAST(list_sum(list_transform(range(0, $n), k ->
          |    (k + 1) * vs[k + 1])) AS BIGINT) AS wsum_fp
          |FROM v ORDER BY asset_id""".stripMargin
+    },
+
+    // luma byte i of frame f is (seed + f·frameBytes + i) mod 256 with
+    // frameBytes = w·h·3/2 (4:2:0) — pure arithmetic replay
+    "q191_frame_sample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
+         |    6 + 2 * (n_chars % 3) AS h, 3 + doc_id % 8 AS nf
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM p)
+         |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(list_sum(list_transform(range(0, w * h), i ->
+         |    (doc_id + f * ((w * h * 3) // 2) + i) % 256)) AS BIGINT)
+         |    AS y_sum,
+         |  CAST(list_sum(list_transform(range(0, w * h), i ->
+         |    (i + 1) * ((doc_id + f * ((w * h * 3) // 2) + i) % 256)))
+         |    AS BIGINT) AS y_wsum
+         |FROM fr WHERE f % $SampleEvery = 0
+         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // lexicographic min (asset, frame) spelled as min-asset + min
+    // frame WITHIN that asset
+    "q192_dup_frames" -> {
+      val ySize = DupW * DupH
+      val fb = ySize * 3 / 2
+      s"""WITH p AS (
+         |  SELECT doc_id, doc_id // 2 AS seed, 2 + doc_id % 6 AS nf
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, seed, unnest(range(0, nf)) AS f FROM p),
+         |st AS (
+         |  SELECT doc_id AS asset_id, f,
+         |    CAST(list_sum(list_transform(range(0, $ySize), i ->
+         |      (seed + f * $fb + i) % 256)) AS BIGINT) AS y_sum,
+         |    CAST(list_sum(list_transform(range(0, $ySize), i ->
+         |      (i + 1) * ((seed + f * $fb + i) % 256))) AS BIGINT) AS y_wsum
+         |  FROM fr),
+         |agg AS (
+         |  SELECT y_sum, y_wsum, count(*) AS n_frames,
+         |    count(DISTINCT asset_id) AS n_assets, min(asset_id) AS rep_asset
+         |  FROM st GROUP BY 1, 2),
+         |rep AS (
+         |  SELECT y_sum, y_wsum, asset_id, min(f) AS rep_frame
+         |  FROM st GROUP BY 1, 2, 3)
+         |SELECT CAST($DupW AS INTEGER) AS width,
+         |  CAST($DupH AS INTEGER) AS height,
+         |  a.y_sum, a.y_wsum, a.n_frames, a.n_assets, a.rep_asset,
+         |  CAST(r.rep_frame AS BIGINT) AS rep_frame
+         |FROM agg a JOIN rep r ON a.y_sum = r.y_sum
+         |  AND a.y_wsum = r.y_wsum AND a.rep_asset = r.asset_id
+         |WHERE a.n_frames >= 2
+         |ORDER BY a.y_sum, a.y_wsum""".stripMargin
     })
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The YUV4MPEG2 codec behind the seam: header contract, frame walk,
+  * sampling arithmetic, and the loud-failure surface (a 100 TB media
+  * crawl's garbage must surface, not decode to nonsense). */
+class Y4mSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def asset(w: Int, h: Int, frames: Int, seed: Long) =
+    Multimodal.Asset(7L, "y4m", Multimodal.syntheticY4m(w, h, frames, seed))
+
+  test("decodeY4m: header + frame count + exact integer duration") {
+    val m = Multimodal.decodeY4m(asset(12, 8, 5, 42L))
+    m.width shouldBe 12
+    m.height shouldBe 8
+    (m.fps_num, m.fps_den) shouldBe ((25, 1))
+    m.n_frames shouldBe 5L
+    m.duration_us shouldBe 5L * 40000L // 25 fps = 40 ms/frame, exact
+  }
+
+  test("sampleFrameLuma keeps exactly every k-th frame with hand-checked stats") {
+    val (w, h, seed) = (4, 2, 9L)
+    val a = asset(w, h, 7, seed)
+    val got = Multimodal.sampleFrameLuma(a, every = 3)
+    got.map(_.frame_idx) shouldBe Seq(0L, 3L, 6L)
+    // frame f, luma byte i = (seed + f*frameBytes + i) mod 256
+    val fb = w * h * 3 / 2
+    got.foreach { s =>
+      val bytes = (0 until w * h).map(i =>
+        (seed + s.frame_idx * fb + i) % 256)
+      s.y_sum shouldBe bytes.sum
+      s.y_wsum shouldBe bytes.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    }
+    // every=1 is the full stream
+    Multimodal.sampleFrameLuma(a, 1).size shouldBe 7
+  }
+
+  test("dupFrameGroups: shared-seed videos group their overlapping frames") {
+    import spark.implicits._
+    // assets 0 and 1 share seed 0 with 3 and 4 frames: frames 0..2
+    // duplicated pairwise; asset 2 (seed 1) shares nothing
+    val assets = Seq(
+      Multimodal.Asset(0L, "y4m", Multimodal.syntheticY4m(4, 2, 3, 0L)),
+      Multimodal.Asset(1L, "y4m", Multimodal.syntheticY4m(4, 2, 4, 0L)),
+      Multimodal.Asset(2L, "y4m", Multimodal.syntheticY4m(4, 2, 3, 1L))
+    ).toDS()
+    val groups = Multimodal.dupFrameGroups(assets).collect()
+    groups.length shouldBe 3 // frames 0,1,2 of seed-0 streams
+    groups.foreach { r =>
+      r.getAs[Long]("n_frames") shouldBe 2L
+      r.getAs[Long]("n_assets") shouldBe 2L
+      r.getAs[Long]("rep_asset") shouldBe 0L
+    }
+    groups.map(_.getAs[Long]("rep_frame")).sorted shouldBe Array(0L, 1L, 2L)
+  }
+
+  test("corrupt streams fail loudly with the asset id") {
+    val good = Multimodal.syntheticY4m(4, 2, 2, 5L)
+    def failing(mutate: Array[Byte] => Array[Byte]): String = {
+      val e = the[IllegalArgumentException] thrownBy
+        Multimodal.decodeY4m(Multimodal.Asset(99L, "y4m", mutate(good.clone())))
+      e.getMessage should include("99")
+      e.getMessage
+    }
+    // bad magic
+    failing { d => d(0) = 'X'.toByte; d } should include("magic")
+    // truncated final frame
+    failing(_.dropRight(3)) should include("truncated")
+    // junk where a FRAME marker belongs
+    failing { d =>
+      val hdrEnd = d.indexOf('\n'.toInt)
+      d(hdrEnd + 1) = 'Z'.toByte; d
+    } should include("FRAME")
+    // odd dimensions refused at parse (4:2:0 contract)
+    val odd = ("YUV4MPEG2 W3 H2 F25:1\n" + "FRAME\n").getBytes("US-ASCII")
+    val e = the[IllegalArgumentException] thrownBy
+      Multimodal.decodeY4m(Multimodal.Asset(98L, "y4m", odd))
+    e.getMessage should include("even")
+    // non-420 colorspace refused
+    val c422 = "YUV4MPEG2 W4 H2 F25:1 C422\n".getBytes("US-ASCII")
+    val e2 = the[IllegalArgumentException] thrownBy
+      Multimodal.decodeY4m(Multimodal.Asset(97L, "y4m", c422))
+    e2.getMessage should include("C422")
+  }
+
+  test("syntheticY4m emits a stream a standard parser accepts (self-describing sizes)") {
+    val d = Multimodal.syntheticY4m(6, 4, 3, 11L)
+    val header = new String(d.takeWhile(_ != '\n'), "US-ASCII")
+    header should startWith("YUV4MPEG2 ")
+    header should include("W6")
+    header should include("H4")
+    header should include("C420")
+    // total size: header + 3 × ("FRAME\n" + w*h*3/2)
+    d.length shouldBe header.length + 1 + 3 * (6 + 6 * 4 * 3 / 2)
+  }
+}
