@@ -700,24 +700,49 @@ object Multimodal {
     assets.mapPartitions(_.flatMap(sampleFrameLuma(_, every)))
   }
 
+  /** One frame's decoded-luma fingerprint: md5 of the
+    * ':'-joined decimal luma values — EXACTLY the
+    * [[pngPixelFingerprint]] convention, so it is a true content
+    * identity (not a lossy stat pair) AND an oracle replays it as
+    * `md5(array_to_string(list_of_values, ':'))`. */
+  case class FrameFp(asset_id: Long, frame_idx: Long, width: Int,
+                     height: Int, y_fp: String)
+
+  private def frameFingerprints(a: Asset): Seq[FrameFp] = {
+    val l = parseY4m(a)
+    val ySize = l.width * l.height
+    l.yOffsets.zipWithIndex.map { case (off, idx) =>
+      val sb = new StringBuilder(ySize * 4)
+      var i = 0
+      while (i < ySize) {
+        if (i > 0) sb += ':'
+        sb.append(a.data(off + i) & 0xff)
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(sb.result().getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      FrameFp(a.asset_id, idx.toLong, l.width, l.height, fp)
+    }
+  }
+
   /** Frame-level dedup across videos — [[pixelDupGroups]]'s temporal
-    * twin: decode EVERY frame (every = 1), key on the exact decoded
-    * luma identity `(width, height, y_sum, y_wsum)` (the
-    * position-weighted pair pins byte order, and unlike an md5 the
-    * key is arithmetically replayable by an oracle), and keep keys
-    * seen in ≥ 2 frames. One hash aggregation after the
-    * partition-parallel decode: linear at any corpus size. Output:
-    * `(width, height, y_sum, y_wsum, n_frames, n_assets, rep_asset,
-    * rep_frame)`, rep = lexicographic min (asset, frame). */
+    * twin: decode EVERY frame, key on `(width, height, y_fp)` with
+    * `y_fp` the md5 decoded-luma fingerprint above (true content
+    * identity, oracle-replayable), and keep keys seen in ≥ 2 frames.
+    * One hash aggregation after the partition-parallel decode: linear
+    * at any corpus size. Output: `(width, height, y_fp, n_frames,
+    * n_assets, rep_asset, rep_frame)`, rep = lexicographic min
+    * (asset, frame). */
   def dupFrameGroups(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
-    sampleFrames(assets, every = 1)
-      .groupBy(col("width"), col("height"), col("y_sum"), col("y_wsum"))
+    assets.mapPartitions(_.flatMap(frameFingerprints))
+      .groupBy(col("width"), col("height"), col("y_fp"))
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("asset_id")).as("n_assets"),
         min(struct(col("asset_id"), col("frame_idx"))).as("rep"))
       .where(col("n_frames") >= 2)
-      .select(col("width"), col("height"), col("y_sum"), col("y_wsum"),
+      .select(col("width"), col("height"), col("y_fp"),
         col("n_frames"), col("n_assets"),
         col("rep.asset_id").as("rep_asset"),
         col("rep.frame_idx").as("rep_frame"))

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *  - q192 dedups FRAMES across videos ([[Multimodal.dupFrameGroups]]):
   *    consecutive doc pairs share a stream seed, so overlapping frame
   *    indices carry identical luma — q180's pixel-identity dedup,
-  *    temporal edition, keyed on the arithmetically-replayable
-  *    (dims, y_sum, y_wsum) decoded identity.
+  *    temporal edition, keyed on the md5 decoded-luma fingerprint
+  *    (the pngPixelFingerprint ':'-joined-decimals convention, which
+  *    DuckDB replays as md5(array_to_string(...))).
   */
 object Wave31 {
 
@@ -80,7 +81,7 @@ object Wave31 {
             DupW, DupH, 2 + (id % 6).toInt, id / 2))
         }
       Multimodal.dupFrameGroups(assets)
-        .orderBy(col("y_sum"), col("y_wsum"))
+        .orderBy(col("y_fp"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -137,8 +138,9 @@ object Wave31 {
          |FROM fr WHERE f % $SampleEvery = 0
          |ORDER BY asset_id, frame_idx""".stripMargin,
 
-    // lexicographic min (asset, frame) spelled as min-asset + min
-    // frame WITHIN that asset
+    // y_fp replays the pngPixelFingerprint convention: md5 of the
+    // ':'-joined decimal luma values; lexicographic min (asset, frame)
+    // spelled as min-asset + min frame WITHIN that asset
     "q192_dup_frames" -> {
       val ySize = DupW * DupH
       val fb = ySize * 3 / 2
@@ -149,25 +151,23 @@ object Wave31 {
          |  SELECT doc_id, seed, unnest(range(0, nf)) AS f FROM p),
          |st AS (
          |  SELECT doc_id AS asset_id, f,
-         |    CAST(list_sum(list_transform(range(0, $ySize), i ->
-         |      (seed + f * $fb + i) % 256)) AS BIGINT) AS y_sum,
-         |    CAST(list_sum(list_transform(range(0, $ySize), i ->
-         |      (i + 1) * ((seed + f * $fb + i) % 256))) AS BIGINT) AS y_wsum
+         |    md5(array_to_string(list_transform(range(0, $ySize), i ->
+         |      (seed + f * $fb + i) % 256), ':')) AS y_fp
          |  FROM fr),
          |agg AS (
-         |  SELECT y_sum, y_wsum, count(*) AS n_frames,
+         |  SELECT y_fp, count(*) AS n_frames,
          |    count(DISTINCT asset_id) AS n_assets, min(asset_id) AS rep_asset
-         |  FROM st GROUP BY 1, 2),
+         |  FROM st GROUP BY 1),
          |rep AS (
-         |  SELECT y_sum, y_wsum, asset_id, min(f) AS rep_frame
-         |  FROM st GROUP BY 1, 2, 3)
+         |  SELECT y_fp, asset_id, min(f) AS rep_frame
+         |  FROM st GROUP BY 1, 2)
          |SELECT CAST($DupW AS INTEGER) AS width,
          |  CAST($DupH AS INTEGER) AS height,
-         |  a.y_sum, a.y_wsum, a.n_frames, a.n_assets, a.rep_asset,
+         |  a.y_fp, a.n_frames, a.n_assets, a.rep_asset,
          |  CAST(r.rep_frame AS BIGINT) AS rep_frame
-         |FROM agg a JOIN rep r ON a.y_sum = r.y_sum
-         |  AND a.y_wsum = r.y_wsum AND a.rep_asset = r.asset_id
+         |FROM agg a JOIN rep r ON a.y_fp = r.y_fp
+         |  AND a.rep_asset = r.asset_id
          |WHERE a.n_frames >= 2
-         |ORDER BY a.y_sum, a.y_wsum""".stripMargin
+         |ORDER BY a.y_fp""".stripMargin
     })
 }
