@@ -105,9 +105,14 @@ object Bench {
     // throws and the catch would silently disable adjudication
     try {
       import scala.jdk.CollectionConverters._
+      // toDoubleOption: the regex admits '0..5'-style typos, and an
+      // uncaught NumberFormatException HERE would land after the whole
+      // sweep but before the part lines print — destroying the
+      // artifact instead of degrading adjudication off
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
-          java.nio.charset.StandardCharsets.UTF_8).asScala.collect {
-        case Row(name, sec) => name -> sec.toDouble
+          java.nio.charset.StandardCharsets.UTF_8).asScala.flatMap {
+        case Row(name, sec) => sec.toDoubleOption.map(name -> _)
+        case _ => None
       }.toMap
     } catch { case _: java.io.IOException => Map.empty }
   }
@@ -225,7 +230,12 @@ object Bench {
     val rerun = outliers.take(30).map { case (name, idx, _) =>
       (idx, bestOf(name, selected(name), record = false))
     }
-    val rerunCal = miniCalibrate() / MiniRefSec
+    // bracketed like the segments (probePrev holds the sweep's final
+    // probe = the re-run block's leading bracket); skipped entirely on
+    // a clean sweep — no qr line, no probe cost
+    val rerunCal =
+      if (rerun.isEmpty) 0.0
+      else math.max(probePrev, miniCalibrate() / MiniRefSec)
     def r2(v: Double): String =
       BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def r3(v: Double): String =

@@ -24,13 +24,21 @@ import org.apache.spark.sql.functions._
   *    encode(train(corpus)) is deterministic and every word's tokens
   *    concatenate back to the word exactly.
   *
-  * Representation: a segmentation is its symbols joined by single
-  * spaces (words are whitespace-split, so symbols never contain a
-  * space). A merge (l, r) is then literal-string replace of " l r "
-  * with " lr " on the space-padded segmentation — the same greedy
-  * non-overlapping pass in Spark (`replace`), DuckDB (`replace`), and
-  * the paper's reference implementation. No regexes, no expr-string
-  * splicing: symbols ride through `lit()` arguments.
+  * Representation: a segmentation is its symbols joined by DOUBLE
+  * spaces with a single space at each end once padded (words are
+  * whitespace-split, so symbols never contain a space). A merge
+  * (l, r) is then literal-string replace of " l  r " with " lr " on
+  * the padded segmentation. The double gap is load-bearing: each
+  * match consumes ONE of a gap's two spaces on each side, so the
+  * OTHER space is still there to anchor an immediately-adjacent
+  * match — plain left-to-right `replace` becomes exactly the greedy
+  * non-overlapping merge pass of the reference implementation
+  * ("banana" + (a,n) → [b, an, an, a]), where a single-spaced
+  * representation would consume the shared delimiter and skip every
+  * other site. Identical semantics in Spark's `replace`, DuckDB's
+  * `replace`, and subword-nmt's non-consuming lookaround regex. No
+  * regexes, no expr-string splicing: symbols ride through `lit()`
+  * arguments.
   *
   * Scale: training state is the DISTINCT-WORD table (Zipf: millions of
   * rows at 100 TB, not trillions), cached once and re-projected per
@@ -42,19 +50,24 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Characters of `w` joined by single spaces (the round-0
+  /** The double-space symbol separator (see the representation note
+    * in the object scaladoc). */
+  final val Gap = "  "
+
+  /** Characters of `w` joined by the double-space gap (the round-0
     * segmentation). `split(w, "")` yields empty edge strings on some
     * engines — filtered, so both sides agree on exactly the
     * non-empty single-char symbols. */
   def charSeg(w: Column): Column =
-    concat_ws(" ", filter(split(w, ""), c => c =!= ""))
+    concat_ws(Gap, filter(split(w, ""), c => c =!= ""))
 
   private def rep(c: Column, l: String, r: String): Column =
-    call_function("replace", c, lit(s" $l $r "), lit(s" $l$r "))
+    call_function("replace", c, lit(s" $l$Gap$r "), lit(s" $l$r "))
 
-  /** Apply `merges` in order to a space-joined segmentation: one
+  /** Apply `merges` in order to a gap-joined segmentation: one
     * greedy left-to-right replace pass per merge (training-order
-    * encoding — the original BPE rule). */
+    * encoding — the original BPE rule; the double gap makes the
+    * literal pass exactly non-overlapping greedy). */
   def applyMerges(seg: Column, merges: Seq[(String, String)]): Column = {
     val padded = concat(lit(" "), seg, lit(" "))
     trim(merges.foldLeft(padded) { case (c, (l, r)) => rep(c, l, r) })
@@ -66,7 +79,7 @@ object Bpe {
   def encode(text: Column, merges: Seq[(String, String)]): Column =
     flatten(transform(
       filter(split(text, "\\s+"), w => w =!= ""),
-      w => split(applyMerges(charSeg(w), merges), " ")))
+      w => split(applyMerges(charSeg(w), merges), Gap)))
 
   /** Train up to `k` merges on the corpus. EAGER BY NATURE: each round
     * runs one aggregation action (pair counts → 1-row argmax collect),
@@ -97,7 +110,7 @@ object Bpe {
     var r = 1
     var done = false
     while (r <= k && !done) {
-      val s = split(col("seg"), " ")
+      val s = split(col("seg"), Gap)
       // all adjacent pairs, overlapping included, weighted by word
       // frequency; argmax with the deterministic tie-break
       val best = cur

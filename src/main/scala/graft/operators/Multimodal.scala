@@ -441,19 +441,29 @@ object Multimodal {
   case class ImageContent(asset_id: Long, width: Long, height: Long,
                           pix_fp: String)
 
-  def pngPixelFingerprint(a: Asset): ImageContent = {
-    val (width, height, recon) = decodePngRecon(a)
-    val sb = new StringBuilder(recon.length * 4)
+  /** THE content-fingerprint convention, shared by image pixel dedup
+    * and video frame dedup: lowercase-hex md5 of the ':'-joined
+    * DECIMAL values — what a DuckDB oracle replays as
+    * `md5(array_to_string(list, ':'))`. One implementation, because
+    * the separator / charset / hex case silently breaking between two
+    * copies would break the replay contract. */
+  private[operators] def md5DecimalFp(len: Int, valueAt: Int => Int): String = {
+    val sb = new StringBuilder(len * 4)
     var i = 0
-    while (i < recon.length) {
+    while (i < len) {
       if (i > 0) sb += ':'
-      sb.append(recon(i))
+      sb.append(valueAt(i))
       i += 1
     }
     val md = java.security.MessageDigest.getInstance("MD5")
-    val fp = md.digest(sb.result().getBytes("UTF-8"))
+    md.digest(sb.result().getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
-    ImageContent(a.asset_id, width, height, fp)
+  }
+
+  def pngPixelFingerprint(a: Asset): ImageContent = {
+    val (width, height, recon) = decodePngRecon(a)
+    ImageContent(a.asset_id, width, height,
+      md5DecimalFp(recon.length, recon(_)))
   }
 
   /** Exact image dedup on DECODED content: decode every asset
@@ -553,16 +563,26 @@ object Multimodal {
     require(outW <= w && outH <= h,
       s"area-average is a downscale resampler: target ${outW}x$outH " +
         s"exceeds source ${w}x$h for asset ${a.asset_id}")
+    // wsum_fp peaks near 255e6 · n(n+1)/2 — cap n so it can't wrap
+    // Long silently while the oracle's HUGEINT keeps going (255e6 ·
+    // 2.5e5²/2 ≈ 8.0e18 < 2^63−1; the next decade is over)
+    val n = outW * outH * 3
+    require(n <= 250000,
+      s"target ${outW}x$outH (${n} subpixels) exceeds the exact-Long " +
+        "wsum cap of 250000 — resize in tiles or drop the weighted stat")
     var sum = 0L; var wsum = 0L
     var k = 0
-    val n = outW * outH * 3
     while (k < n) {
       val y2 = k / (outW * 3)
       val rem = k % (outW * 3)
       val x2 = rem / 3
       val c = rem % 3
-      val sy0 = y2 * h / outH; val sy1 = (y2 + 1) * h / outH
-      val sx0 = x2 * w / outW; val sx1 = (x2 + 1) * w / outW
+      // Long-widened bounds (sibling resizePng's convention): a legal
+      // large raster would overflow y2*h in Int
+      val sy0 = (y2.toLong * h / outH).toInt
+      val sy1 = ((y2 + 1).toLong * h / outH).toInt
+      val sx0 = (x2.toLong * w / outW).toInt
+      val sx1 = ((x2 + 1).toLong * w / outW).toInt
       var boxSum = 0L
       var sy = sy0
       while (sy < sy1) {
@@ -631,19 +651,37 @@ object Multimodal {
     if (toks.head != "YUV4MPEG2") fail(s"bad magic '${toks.head}'")
     def param(p: Char): Option[String] =
       toks.tail.find(t => t.nonEmpty && t.head == p).map(_.tail)
-    val w = param('W').getOrElse(fail("missing W")).toInt
-    val h = param('H').getOrElse(fail("missing H")).toInt
+    // numeric params parse LOUDLY (a bare NumberFormatException would
+    // drop the asset id the failure contract promises)
+    def num(p: Char): Int = {
+      val v = param(p).getOrElse(fail(s"missing $p"))
+      try v.toInt catch {
+        case _: NumberFormatException => fail(s"non-numeric $p param '$v'")
+      }
+    }
+    val w = num('W')
+    val h = num('H')
     val f = param('F').getOrElse(fail("missing F")).split(":")
     if (f.length != 2) fail("malformed F rate")
-    val (num, den) = (f(0).toInt, f(1).toInt)
+    val (fNum, fDen) =
+      try (f(0).toInt, f(1).toInt) catch {
+        case _: NumberFormatException => fail(s"non-numeric F rate '${f.mkString(":")}'")
+      }
     if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
     if (w % 2 != 0 || h % 2 != 0)
       fail(s"4:2:0 needs even dimensions, got ${w}x$h")
-    if (num <= 0 || den <= 0) fail(s"bad frame rate $num:$den")
+    if (fNum <= 0 || fDen <= 0) fail(s"bad frame rate $fNum:$fDen")
     param('C').foreach { c =>
       if (!c.startsWith("420")) fail(s"unsupported colorspace C$c (want C420*)")
     }
-    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    // frame size computed in Long and capped: an adversarial header
+    // would otherwise wrap Int and walk negative offsets or spin the
+    // frame loop forever — same contract as the PNG IHDR cap
+    val frameBytesL = w.toLong * h + 2L * (w / 2) * (h / 2)
+    if (frameBytesL > Int.MaxValue - 16)
+      fail(s"dimensions ${w}x$h exceed the decoder's Int-addressable " +
+        "frame cap")
+    val frameBytes = frameBytesL.toInt
     val offs = scala.collection.mutable.ArrayBuffer[Int]()
     var pos = nl + 1
     while (pos < d.length) {
@@ -653,12 +691,12 @@ object Multimodal {
       val mark = new String(d, pos, e - pos, "US-ASCII")
       if (mark != "FRAME" && !mark.startsWith("FRAME "))
         fail(s"expected FRAME marker at byte $pos, got '${mark.take(16)}'")
-      if (e + 1 + frameBytes > d.length)
+      if (e.toLong + 1 + frameBytes > d.length)
         fail(s"truncated frame ${offs.size}: need $frameBytes bytes past byte ${e + 1}")
       offs += e + 1
       pos = e + 1 + frameBytes
     }
-    Y4mLayout(w, h, num, den, offs.toSeq)
+    Y4mLayout(w, h, fNum, fDen, offs.toSeq)
   }
 
   def decodeY4m(a: Asset): VideoMeta = {
@@ -712,17 +750,8 @@ object Multimodal {
     val l = parseY4m(a)
     val ySize = l.width * l.height
     l.yOffsets.zipWithIndex.map { case (off, idx) =>
-      val sb = new StringBuilder(ySize * 4)
-      var i = 0
-      while (i < ySize) {
-        if (i > 0) sb += ':'
-        sb.append(a.data(off + i) & 0xff)
-        i += 1
-      }
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val fp = md.digest(sb.result().getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString
-      FrameFp(a.asset_id, idx.toLong, l.width, l.height, fp)
+      FrameFp(a.asset_id, idx.toLong, l.width, l.height,
+        md5DecimalFp(ySize, i => a.data(off + i) & 0xff))
     }
   }
 

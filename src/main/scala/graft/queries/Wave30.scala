@@ -46,13 +46,16 @@ object Wave30 {
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
 
   /** DuckDB replay of [[Bpe.applyMerges]] over word `w`: the nested
-    * literal replace chain, innermost = round-0 char segmentation. */
+    * literal replace chain, innermost = round-0 char segmentation.
+    * Double-space gaps, exactly as the Spark side ([[Bpe.Gap]]) — the
+    * representation that makes literal replace truly greedy
+    * non-overlapping. */
   private def sqlEncodeWord(merges: Seq[(String, String)]): String = {
-    val base = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    val base = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
     val chain = merges.foldLeft(base) { case (acc, (l, r)) =>
-      s"replace($acc, ' $l $r ', ' $l$r ')"
+      s"replace($acc, ' $l  $r ', ' $l$r ')"
     }
-    s"string_split(trim($chain), ' ')"
+    s"string_split(trim($chain), '  ')"
   }
 
   /** DuckDB list of all BPE tokens of `text` under `merges`. */
@@ -103,13 +106,13 @@ object Wave30 {
        |  SELECT pr[1] AS l, pr[2] AS r, sum(wt) AS cnt FROM (
        |    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
        |                                 i -> [s[i], s[i + 1]])) AS pr, wt
-       |    FROM (SELECT string_split(seg, ' ') AS s, wt FROM w${r - 1}))
+       |    FROM (SELECT string_split(seg, '  ') AS s, wt FROM w${r - 1}))
        |  GROUP BY 1, 2),
        |b$r AS MATERIALIZED (
        |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
        |w$r AS MATERIALIZED (
        |  SELECT trim(replace(' ' || seg || ' ',
-       |    ' ' || (SELECT l FROM b$r) || ' ' || (SELECT r FROM b$r) || ' ',
+       |    ' ' || (SELECT l FROM b$r) || '  ' || (SELECT r FROM b$r) || ' ',
        |    ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ')) AS seg,
        |    wt FROM w${r - 1})""".stripMargin
 
@@ -126,7 +129,7 @@ object Wave30 {
          |    FROM documents)
          |  WHERE w <> '' GROUP BY w),
          |w0 AS MATERIALIZED (
-         |  SELECT array_to_string(string_split(w, ''), ' ') AS seg, wt
+         |  SELECT array_to_string(string_split(w, ''), '  ') AS seg, wt
          |  FROM words),
          |$rounds
          |$sel

@@ -31,6 +31,23 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkFixture {
     m.map(t => (t._2, t._3, t._4)) shouldBe Seq(("l", "o", 7L), ("lo", "w", 7L))
   }
 
+  test("adjacent merge sites both fire: banana is the greedy [b,an,an,a]") {
+    import spark.implicits._
+    // the case a delimiter-CONSUMING single-space replace gets wrong
+    // ([b,an,a,n,a]) — the double-space gap representation keeps one
+    // anchor space per gap side, so literal replace is exactly the
+    // non-overlapping greedy pass of the reference implementation
+    val got = Seq("banana").toDF("text")
+      .select(array_join(Bpe.encode(col("text"), Seq(("a", "n"))), "|"))
+      .head().getString(0)
+    got shouldBe "b|an|an|a"
+    // odd-length same-symbol run: leftmost pair wins, tail survives
+    val aaa = Seq("aaa").toDF("text")
+      .select(array_join(Bpe.encode(col("text"), Seq(("a", "a"))), "|"))
+      .head().getString(0)
+    aaa shouldBe "aa|a"
+  }
+
   test("early stop: a corpus with no adjacent pairs left ends training") {
     import spark.implicits._
     // single-char words only — zero adjacent pairs from round 1
