@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions.{array_join, col}
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the BPE engine against an INDEPENDENT list-based
+  * reference (symbol-array greedy merge — no string/replace tricks, so
+  * a delimiter-handling bug in the engine's representation cannot hide
+  * in a matching reference). The {a,b} alphabet is deliberate: tiny
+  * alphabets maximize adjacent repeated pairs, the exact case where
+  * consuming-replace implementations diverge from greedy BPE. */
+object BpeProperties extends Properties("Bpe") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkFixture.spark
+
+  private val genWord: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+
+  private val genCorpus: Gen[List[String]] =
+    Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, genWord))
+
+  /** Reference greedy non-overlapping merge on a symbol list. */
+  private def refMerge(s: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refEncode(word: String, merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word.map(_.toString).toList) {
+      case (s, (l, r)) => refMerge(s, l, r)
+    }
+
+  property("encode matches the list-based greedy reference on any corpus") =
+    forAll(genCorpus, Gen.chooseNum(1, 4)) { (words, k) =>
+      import spark.implicits._
+      val docs = words.mkString(" ")
+      val merges = Bpe.trainMerges(Seq(docs).toDF("text"), "text", k)
+        .map(t => (t._2, t._3))
+      val got = Seq(docs).toDF("text")
+        .select(array_join(Bpe.encode(col("text"), merges), "|"))
+        .head().getString(0)
+      val want = words.flatMap(refEncode(_, merges)).mkString("|")
+      got == want
+    }
+
+  property("trained merge counts equal the reference pair-count walk") =
+    forAll(genCorpus, Gen.chooseNum(1, 3)) { (words, k) =>
+      import spark.implicits._
+      val merges = Bpe.trainMerges(Seq(words.mkString(" ")).toDF("text"),
+        "text", k)
+      // replay training on the reference: after applying the first
+      // r-1 merges, merge r's pair count must match
+      merges.zipWithIndex.forall { case ((_, l, r, cnt), i) =>
+        val prior = merges.take(i).map(t => (t._2, t._3))
+        val segs = words.map(refEncode(_, prior))
+        val refCnt = segs.map(s =>
+          s.zip(s.drop(1)).count(p => p._1 == l && p._2 == r)).sum
+        refCnt.toLong == cnt
+      }
+    }
+
+  property("tokens always concatenate back to their words") =
+    forAll(genCorpus, Gen.chooseNum(1, 4)) { (words, k) =>
+      import spark.implicits._
+      val docs = words.mkString(" ")
+      val merges = Bpe.trainMerges(Seq(docs).toDF("text"), "text", k)
+        .map(t => (t._2, t._3))
+      val got = Seq(docs).toDF("text")
+        .select(array_join(Bpe.encode(col("text"), merges), ""))
+        .head().getString(0)
+      got == words.mkString("")
+    }
+}

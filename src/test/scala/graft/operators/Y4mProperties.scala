@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the Y4M codec: for ANY valid (even-dim) synthetic
+  * stream, decode inverts the generator's declared layout and the
+  * sampled luma statistics equal a direct recompute from the byte
+  * formula — no Spark session needed (the codec is pure). */
+object Y4mProperties extends Properties("Y4m") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  private val genDims: Gen[(Int, Int)] = for {
+    w <- Gen.chooseNum(1, 16).map(_ * 2)
+    h <- Gen.chooseNum(1, 12).map(_ * 2)
+  } yield (w, h)
+
+  property("decode inverts syntheticY4m for any valid dims/frames/seed") =
+    forAll(genDims, Gen.chooseNum(0, 9), Gen.chooseNum(-1000L, 1000L)) {
+      case ((w, h), frames, seed) =>
+        val m = Multimodal.decodeY4m(
+          Multimodal.Asset(5L, "y4m", Multimodal.syntheticY4m(w, h, frames, seed)))
+        m.width == w && m.height == h && m.n_frames == frames.toLong &&
+          m.fps_num == 25 && m.duration_us == frames.toLong * 40000L
+    }
+
+  property("sampled luma stats equal the byte-formula recompute, any stride") =
+    forAll(genDims, Gen.chooseNum(1, 8), Gen.chooseNum(1, 4),
+        Gen.chooseNum(-500L, 500L)) {
+      case ((w, h), frames, every, seed) =>
+        val a = Multimodal.Asset(6L, "y4m",
+          Multimodal.syntheticY4m(w, h, frames, seed))
+        val got = Multimodal.sampleFrameLuma(a, every)
+        val fb = w * h * 3 / 2
+        got.map(_.frame_idx) == (0 until frames).filter(_ % every == 0)
+          .map(_.toLong) &&
+        got.forall { s =>
+          val bytes = (0 until w * h).map(i =>
+            ((seed + s.frame_idx * fb + i) % 256 + 256) % 256)
+          s.y_sum == bytes.sum.toLong &&
+            s.y_wsum == bytes.zipWithIndex
+              .map { case (v, i) => (i + 1).toLong * v }.sum
+        }
+    }
+
+  property("any single corrupting byte flip in the header fails loudly or parses sane") =
+    forAll(genDims, Gen.chooseNum(0, 20)) { case ((w, h), flipPos) =>
+      val d = Multimodal.syntheticY4m(w, h, 2, 1L)
+      val mutated = d.clone()
+      mutated(flipPos % mutated.length) = 'Q'.toByte
+      try {
+        val m = Multimodal.decodeY4m(Multimodal.Asset(8L, "y4m", mutated))
+        // if it still parsed, the layout must be self-consistent
+        m.width > 0 && m.height > 0 && m.n_frames >= 0
+      } catch {
+        case e: IllegalArgumentException => e.getMessage.contains("8")
+        case _: NumberFormatException => false // must never escape raw
+      }
+    }
+}
