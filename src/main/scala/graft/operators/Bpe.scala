@@ -90,6 +90,40 @@ object Bpe {
     *
     * Returns (rank, lhs, rhs, count-at-merge-time) in training order.
     */
+  /** Benchmark decontamination at TOKEN granularity — the form real
+    * eval-leakage checks run (an eval string leaks into training data
+    * as token sequences, and tokenizer-aware n-grams catch rewordings
+    * whitespace word-grams miss, e.g. shared subword runs across
+    * punctuation/spacing variants). Same skinny-join shape as
+    * `TextAnalysis.contamination`: distinct per-doc token-n-gram md5
+    * fingerprints (assembled IN-ROW — no token-stream shuffle), probe
+    * side distinct + broadcast, one keyed join, count per corpus doc.
+    * Nothing quadratic at any corpus size. Output:
+    * (id, n_shared_grams) for contaminated docs only. */
+  def tokenContamination(docs: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeIdCol: String,
+                         probeTextCol: String,
+                         merges: Seq[(String, String)],
+                         n: Int = 8): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1: $n")
+    def grams(df: DataFrame, id: String, text: String): DataFrame = {
+      val t = encode(col(text), merges)
+      df.select(col(id).as("__id"), t.as("t"))
+        .where(size(col("t")) >= n)
+        .select(col("__id"), explode(array_distinct(transform(
+          sequence(lit(0), size(col("t")) - n),
+          i => md5(concat_ws("|", slice(col("t"), i + 1, lit(n))))))).as("gram"))
+        .distinct()
+    }
+    val corpusGrams = grams(docs, idCol, textCol)
+    val probeGrams = broadcast(
+      grams(probes, probeIdCol, probeTextCol).select(col("gram")).distinct())
+    corpusGrams.join(probeGrams, "gram")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("__id").as("id"), col("n_shared_grams"))
+  }
+
   def trainMerges(docs: DataFrame, textCol: String, k: Int,
                   minCount: Long = 1L): Seq[(Int, String, String, Long)] = {
     require(k >= 1 && k <= 4096, s"merge rounds in [1,4096]: $k")

@@ -50,7 +50,7 @@ object Wave30 {
     * Double-space gaps, exactly as the Spark side ([[Bpe.Gap]]) — the
     * representation that makes literal replace truly greedy
     * non-overlapping. */
-  private def sqlEncodeWord(merges: Seq[(String, String)]): String = {
+  private[queries] def sqlEncodeWord(merges: Seq[(String, String)]): String = {
     val base = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
     val chain = merges.foldLeft(base) { case (acc, (l, r)) =>
       s"replace($acc, ' $l  $r ', ' $l$r ')"
@@ -59,7 +59,7 @@ object Wave30 {
   }
 
   /** DuckDB list of all BPE tokens of `text` under `merges`. */
-  private def sqlEncodeText(merges: Seq[(String, String)]): String =
+  private[queries] def sqlEncodeText(merges: Seq[(String, String)]): String =
     s"""flatten(list_transform(
        |  list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
        |  w -> ${sqlEncodeWord(merges)}))""".stripMargin

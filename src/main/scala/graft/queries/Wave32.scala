@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Bpe, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 32 — round-11 tier compositions: the tokenizer feeding the
+  * decontamination machinery, and the three real codecs feeding one
+  * catalog.
+  *
+  *  - q193 decontaminates at TOKEN granularity
+  *    ([[Bpe.tokenContamination]]): q69's skinny fingerprint join, but
+  *    the n-grams are BPE token sequences under the planted merge
+  *    table — the form real eval-leakage checks run. Probe set =
+  *    docs 0–9, corpus = the rest (the q69 convention).
+  *  - q194 catalogs a MIXED-MODALITY lake: every document plants one
+  *    PNG, one WAV, and one Y4M (the q172/q128/q191 fixtures), each is
+  *    decoded by its REAL codec, and the three decoders' outputs land
+  *    in one unified asset-catalog frame. Fields that don't apply to a
+  *    modality carry the -1 sentinel (not NULL — the cross-engine
+  *    compare's nullable-int semantics differ between pandas readers).
+  *    payload_bytes is the DECODED payload (raster / PCM data / frame
+  *    planes), which the oracle replays arithmetically; encoded file
+  *    sizes would need a deflate model and certify nothing extra.
+  */
+object Wave32 {
+
+  // subword grams are denser than word grams: 12 tokens ≈ the
+  // selectivity q69's 8 word-grams give on this corpus (90 of 490
+  // docs flagged at sf0.01, vs all-490 at n=6)
+  private val GramN = 12
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q193_token_decontam" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Bpe.tokenContamination(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        Wave30.PlantedMerges, n = GramN)
+        .orderBy(col("id"))
+    },
+
+    "q194_asset_catalog" -> { (s, d) =>
+      import s.implicits._
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+      val png = meta.map { case (id, nChars) =>
+        val a = Multimodal.Asset(id, "png", Multimodal.syntheticPng(
+          8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id))
+        val m = Multimodal.decodePng(a)
+        (id, "png", m.width, m.height, 1L, -1L, m.n_pix_bytes)
+      }
+      val wav = meta.map { case (id, nChars) =>
+        val a = Multimodal.Asset(id, "wav", Multimodal.syntheticWav(
+          8000 * (1 + (id % 5).toInt), 1 + (id % 2).toInt,
+          40 + (nChars % 101).toInt, id))
+        val m = Multimodal.decodeWav(a)
+        (id, "wav", -1L, -1L, m.n_frames, m.duration_us,
+          m.n_frames * m.channels * 2L)
+      }
+      val y4m = meta.map { case (id, nChars) =>
+        val a = Multimodal.Asset(id, "y4m", Multimodal.syntheticY4m(
+          8 + 2 * (id % 5).toInt, 6 + 2 * (nChars % 3).toInt,
+          3 + (id % 8).toInt, id))
+        val m = Multimodal.decodeY4m(a)
+        (id, "y4m", m.width.toLong, m.height.toLong, m.n_frames,
+          m.duration_us,
+          m.n_frames * (m.width.toLong * m.height * 3 / 2))
+      }
+      png.union(wav).union(y4m)
+        .toDF("asset_id", "modality", "width", "height", "n_frames",
+          "duration_us", "payload_bytes")
+        .orderBy(col("asset_id"), col("modality"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q193_token_decontam" -> {
+      val n = GramN
+      def grams(pred: String) =
+        s"""SELECT DISTINCT doc_id, unnest(list_distinct(
+           |    list_transform(range(1, len(t) - ${n - 2}),
+           |      i -> md5(array_to_string(t[i:i + ${n - 1}], '|'))))) AS gram
+           |  FROM toks WHERE len(t) >= $n AND $pred""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Wave30.sqlEncodeText(Wave30.PlantedMerges)} AS t
+         |  FROM documents),
+         |cg AS (
+         |${grams("doc_id >= 10")}),
+         |pg AS (
+         |  SELECT DISTINCT gram FROM (
+         |${grams("doc_id < 10")}))
+         |SELECT cg.doc_id AS id, count(*) AS n_shared_grams
+         |FROM cg JOIN pg ON cg.gram = pg.gram
+         |GROUP BY 1 ORDER BY id""".stripMargin
+    },
+
+    // all three modality rows recomputed arithmetically from the
+    // planted shapes; -1 sentinels where a field doesn't apply
+    "q194_asset_catalog" ->
+      """WITH p AS (SELECT doc_id, n_chars FROM documents)
+        |SELECT doc_id AS asset_id, 'png' AS modality,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(5 + n_chars % 7 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST(-1 AS BIGINT) AS duration_us,
+        |  CAST((8 + doc_id % 9) * (5 + n_chars % 7) * 3 AS BIGINT)
+        |    AS payload_bytes
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 'wav', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST(40 + n_chars % 101 AS BIGINT),
+        |  CAST((40 + n_chars % 101) * 1000000
+        |    // (8000 * (1 + doc_id % 5)) AS BIGINT),
+        |  CAST((40 + n_chars % 101) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 'y4m',
+        |  CAST(8 + 2 * (doc_id % 5) AS BIGINT),
+        |  CAST(6 + 2 * (n_chars % 3) AS BIGINT),
+        |  CAST(3 + doc_id % 8 AS BIGINT),
+        |  CAST((3 + doc_id % 8) * 40000 AS BIGINT),
+        |  CAST((3 + doc_id % 8) *
+        |    ((8 + 2 * (doc_id % 5)) * (6 + 2 * (n_chars % 3)) * 3 // 2)
+        |    AS BIGINT)
+        |FROM p
+        |ORDER BY asset_id, modality""".stripMargin
+  )
+}

@@ -399,4 +399,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("Subquery")
     p should not include "CartesianProduct"
   }
+
+  test("q193: token decontam is a broadcast fingerprint join, nothing quadratic") {
+    val p = plan("q193_token_decontam")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin" // probe side must stay broadcast
+  }
 }

@@ -46,7 +46,8 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave24.queries, queries.Wave25.queries,
       queries.Wave26.queries, queries.Wave27.queries,
       queries.Wave28.queries, queries.Wave29.queries,
-      queries.Wave30.queries, queries.Wave31.queries)
+      queries.Wave30.queries, queries.Wave31.queries,
+      queries.Wave32.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 

@@ -85,6 +85,24 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkFixture {
     row.getLong(0) should be < row.getLong(1)
   }
 
+  test("tokenContamination flags exactly the docs sharing a token n-gram run") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"))
+    // probe "ab ab ab ab" -> tokens [ab,ab,ab,ab]; doc 10 embeds the
+    // same 4-token run; doc 11 has them interleaved (no 4-run); doc 12
+    // disjoint
+    val docs = Seq(
+      (10L, "ab ab ab ab zz"),
+      (11L, "ab zz ab zz ab zz ab"),
+      (12L, "zz zz zz zz zz")).toDF("doc_id", "text")
+    val probes = Seq((1L, "ab ab ab ab")).toDF("doc_id", "text")
+    val got = Bpe.tokenContamination(docs, "doc_id", "text",
+      probes, "doc_id", "text", merges, n = 4)
+      .as[(Long, Long)].collect().toMap
+    got.keySet shouldBe Set(10L)
+    got(10L) shouldBe 1L // one distinct shared gram
+  }
+
   test("chunkPackBy with the regex counter is exactly chunkPack (seam equivalence)") {
     val docs = Tables.documents(spark, sfDir)
     val viaSeam = Sharding.chunkPackBy(docs, "doc_id",
