@@ -74,8 +74,19 @@ object Bpe {
   }
 
   /** Tokens of `text` under `merges`: whitespace-split words, each
-    * encoded independently, concatenated in order. Pure Column
-    * expression — per-row, codegen'd, shuffle-free. */
+    * encoded independently, concatenated in document order. Pure
+    * Column expression — per-row, shuffle-free.
+    *
+    * On the house no-interpreted-HOFs rule: this IS a `transform`
+    * lambda (no doGenCode), but it is the measured-faster form here —
+    * the codegen alternative (whole-document replace chain over a
+    * char-gapped string, word boundaries widened to 5 spaces) was
+    * built and benchmarked 2× SLOWER at sf0.1 (3.18 s vs 1.61 s for
+    * q188), because it pays a per-char regexp_replace pass to build
+    * the gapped representation, which costs more than the lambda
+    * interpreter it saves. The lambda body itself is the same
+    * codegen'd replace chain either way; only the per-word plumbing
+    * is interpreted. Measured, not assumed (r11). */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
     flatten(transform(
       filter(split(text, "\\s+"), w => w =!= ""),
@@ -106,14 +117,19 @@ object Bpe {
                          merges: Seq[(String, String)],
                          n: Int = 8): DataFrame = {
     require(n >= 1, s"gram size must be >= 1: $n")
+    // zip-of-slices gram assembly (the TextAnalysis.explodedGrams
+    // shape): all codegen, per-doc dedup IN-ROW via array_distinct on
+    // the struct array — no token-stream shuffle, no extra distinct
     def grams(df: DataFrame, id: String, text: String): DataFrame = {
-      val t = encode(col(text), merges)
-      df.select(col(id).as("__id"), t.as("t"))
+      val pre = df.select(col(id).as("__id"),
+        encode(col(text), merges).as("t"))
         .where(size(col("t")) >= n)
-        .select(col("__id"), explode(array_distinct(transform(
-          sequence(lit(0), size(col("t")) - n),
-          i => md5(concat_ws("|", slice(col("t"), i + 1, lit(n))))))).as("gram"))
-        .distinct()
+      val L = size(col("t"))
+      val zipped = arrays_zip((0 until n).map(j =>
+        slice(col("t"), lit(j + 1), greatest(L - (n - 1), lit(0)))): _*)
+      pre.select(col("__id"), explode(array_distinct(zipped)).as("g"))
+        .select(col("__id"), md5(concat_ws("|",
+          (0 until n).map(j => col(s"g.`$j`")): _*)).as("gram"))
     }
     val corpusGrams = grams(docs, idCol, textCol)
     val probeGrams = broadcast(
