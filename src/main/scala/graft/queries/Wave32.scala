@@ -3,7 +3,9 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Bpe, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Wave 32 — round-11 tier compositions: the tokenizer feeding the
   * decontamination machinery, and the three real codecs feeding one
@@ -40,6 +42,30 @@ object Wave32 {
         docs.filter(col("doc_id") < 10), "doc_id", "text",
         Wave30.PlantedMerges, n = GramN)
         .orderBy(col("id"))
+    },
+
+    // RANGE window frame — the time-valued sliding frame (peers by
+    // VALUE distance, not row count), the one window frame class no
+    // other query exercises: per customer, trailing-30-day revenue at
+    // each order. Ordered by epoch SECONDS as a long on both engines
+    // so the frame boundary arithmetic is integer-identical; RANGE
+    // includes order-value peers (same-day orders) symmetrically in
+    // both engines, and the quantized-decimal sum keeps the double
+    // deterministic whatever order peers arrive in.
+    "q195_range_window" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ts"))
+        .rangeBetween(-2592000L, 0L) // 30 days of seconds
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("ts"),
+          col("o_totalprice"))
+        .withColumn("trailing_30d",
+          sum((floor(col("o_totalprice") * 100) / 100)
+            .cast(DecimalType(38, 2))).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("ts").cast("long").as("ts"), col("trailing_30d"))
+        .orderBy(col("o_orderkey"))
     },
 
     "q194_asset_catalog" -> { (s, d) =>
@@ -97,6 +123,16 @@ object Wave32 {
          |FROM cg JOIN pg ON cg.gram = pg.gram
          |GROUP BY 1 ORDER BY id""".stripMargin
     },
+
+    "q195_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2) / 1e2 AS DECIMAL(38,2)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // all three modality rows recomputed arithmetically from the
     // planted shapes; -1 sentinels where a field doesn't apply
