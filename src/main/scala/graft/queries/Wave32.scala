@@ -44,6 +44,29 @@ object Wave32 {
         .orderBy(col("id"))
     },
 
+    // Null-safe equality join (<=>): reference parity the plain
+    // equi-join CANNOT give — the reference's reduce-side join groups
+    // keys by Clojure equality, where nil = nil lands in ONE reduce
+    // group (/root/reference/test/parkour/join_test.clj:19-93 runs on
+    // nil-free fixtures, but the grouping semantics admit nil); Spark
+    // SQL's `=` drops null keys silently. Nation 3 is nulled on both
+    // sides, so the null group joins pairwise under <=> and vanishes
+    // under `=` — the oracle replays with IS NOT DISTINCT FROM.
+    // Catalyst plans EqualNullSafe as a coalesced-key HASH join
+    // (PlanSpec pin) — null-safe does not mean nested-loop.
+    "q196_nullsafe_join" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("nat"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("nat"))
+      cust.join(supp, cust("nat") <=> supp("nat"))
+        .groupBy(coalesce(cust("nat").cast("string"), lit("NULL")).as("nat_key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy(col("nat_key"))
+    },
+
     // RANGE window frame — the time-valued sliding frame (peers by
     // VALUE distance, not row count), the one window frame class no
     // other query exercises: per customer, trailing-30-day revenue at
@@ -123,6 +146,18 @@ object Wave32 {
          |FROM cg JOIN pg ON cg.gram = pg.gram
          |GROUP BY 1 ORDER BY id""".stripMargin
     },
+
+    "q196_nullsafe_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, nullif(c_nationkey, 3) AS nat FROM customer),
+        |s AS (
+        |  SELECT s_suppkey, nullif(s_nationkey, 3) AS nat FROM supplier)
+        |SELECT coalesce(CAST(c.nat AS VARCHAR), 'NULL') AS nat_key,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT c.c_custkey) AS n_cust,
+        |  count(DISTINCT s.s_suppkey) AS n_supp
+        |FROM c JOIN s ON c.nat IS NOT DISTINCT FROM s.nat
+        |GROUP BY 1 ORDER BY nat_key""".stripMargin,
 
     "q195_range_window" ->
       """SELECT o_orderkey, o_custkey,

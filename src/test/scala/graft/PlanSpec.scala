@@ -400,6 +400,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
   }
 
+  test("q196: null-safe equality still plans as a hash join, never nested-loop") {
+    val p = plan("q196_nullsafe_join")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q193: token decontam is a broadcast fingerprint join, nothing quadratic") {
     val p = plan("q193_token_decontam")
     p should include("BroadcastHashJoin")
