@@ -44,6 +44,24 @@ object Wave32 {
         .orderBy(col("id"))
     },
 
+    // TPC-H Q13 shape: LEFT OUTER join with a predicate INSIDE the
+    // join condition (filtering orders without dropping order-less
+    // customers), count(nullable) giving true zeros, then the
+    // distribution of those counts. The outer-join-then-aggregate
+    // shape where pushing the filter below vs into the join changes
+    // the answer — a classic silent-wrong-results trap.
+    "q197_custdist" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
     // Null-safe equality join (<=>): reference parity the plain
     // equi-join CANNOT give — the reference's reduce-side join groups
     // keys by Clojure equality, where nil = nil lands in ONE reduce
@@ -146,6 +164,15 @@ object Wave32 {
          |FROM cg JOIN pg ON cg.gram = pg.gram
          |GROUP BY 1 ORDER BY id""".stripMargin
     },
+
+    "q197_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q196_nullsafe_join" ->
       """WITH c AS (
