@@ -117,20 +117,11 @@ object Bpe {
                          merges: Seq[(String, String)],
                          n: Int = 8): DataFrame = {
     require(n >= 1, s"gram size must be >= 1: $n")
-    // zip-of-slices gram assembly (the TextAnalysis.explodedGrams
-    // shape): all codegen, per-doc dedup IN-ROW via array_distinct on
-    // the struct array — no token-stream shuffle, no extra distinct
-    def grams(df: DataFrame, id: String, text: String): DataFrame = {
-      val pre = df.select(col(id).as("__id"),
-        encode(col(text), merges).as("t"))
-        .where(size(col("t")) >= n)
-      val L = size(col("t"))
-      val zipped = arrays_zip((0 until n).map(j =>
-        slice(col("t"), lit(j + 1), greatest(L - (n - 1), lit(0)))): _*)
-      pre.select(col("__id"), explode(array_distinct(zipped)).as("g"))
-        .select(col("__id"), md5(concat_ws("|",
-          (0 until n).map(j => col(s"g.`$j`")): _*)).as("gram"))
-    }
+    // the shared codegen gram pipeline (TextAnalysis.gramFpsOf): same
+    // in-row assembly/dedup and the 16-byte binary fingerprint key the
+    // word-gram decontam uses — tokenizer-aware only in what feeds it
+    def grams(df: DataFrame, id: String, text: String): DataFrame =
+      TextAnalysis.gramFpsOf(df, col(id), encode(col(text), merges), n)
     val corpusGrams = grams(docs, idCol, textCol)
     val probeGrams = broadcast(
       grams(probes, probeIdCol, probeTextCol).select(col("gram")).distinct())

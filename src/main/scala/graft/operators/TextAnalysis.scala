@@ -145,6 +145,25 @@ object TextAnalysis {
       .select(col("__id"), col("gram"))
       .distinct()
 
+  /** [[gramFps]] over a CALLER-SUPPLIED token-array expression — the
+    * seam tokenizer-aware pipelines share ([[Bpe.tokenContamination]]
+    * feeds BPE tokens through it): the same zip-of-slices in-row gram
+    * assembly, the same 16-byte binary fingerprint convention, with
+    * per-doc dedup done IN-ROW (`array_distinct` on the struct array —
+    * codegen, no shuffle; safe because tokens never contain the space
+    * joiner, so tuple identity = joined-string identity). Docs with
+    * fewer than `n` tokens produce no rows (empty zip). */
+  private[operators] def gramFpsOf(df: DataFrame, id: Column,
+                                   toks: Column, n: Int): DataFrame = {
+    val L = size(col("toks"))
+    val zipped = arrays_zip((0 until n).map(i =>
+      slice(col("toks"), lit(i + 1), greatest(L - (n - 1), lit(0)))): _*)
+    df.select(id.as("__id"), toks.as("toks"))
+      .select(col("__id"), explode(array_distinct(zipped)).as("g"))
+      .select(col("__id"), unhex(md5(concat_ws(" ",
+        (0 until n).map(i => col(s"g.`$i`")): _*))).as("gram"))
+  }
+
   /** Inter-document duplication profile (the "dedup residue" metric run
     * after near-dup removal, and the doc-level cousin of exact substring
     * dedup à la Lee et al. 2022, arXiv:2107.06499): for each document,

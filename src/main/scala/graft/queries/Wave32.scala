@@ -111,33 +111,32 @@ object Wave32 {
 
     "q194_asset_catalog" -> { (s, d) =>
       import s.implicits._
-      val meta = Tables.documents(s, d)
+      // ONE documents scan: all three modality rows flatMap out of the
+      // same input row (three unioned .map datasets would scan and
+      // deserialize the parquet three times)
+      Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
-      val png = meta.map { case (id, nChars) =>
-        val a = Multimodal.Asset(id, "png", Multimodal.syntheticPng(
-          8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id))
-        val m = Multimodal.decodePng(a)
-        (id, "png", m.width, m.height, 1L, -1L, m.n_pix_bytes)
-      }
-      val wav = meta.map { case (id, nChars) =>
-        val a = Multimodal.Asset(id, "wav", Multimodal.syntheticWav(
-          8000 * (1 + (id % 5).toInt), 1 + (id % 2).toInt,
-          40 + (nChars % 101).toInt, id))
-        val m = Multimodal.decodeWav(a)
-        (id, "wav", -1L, -1L, m.n_frames, m.duration_us,
-          m.n_frames * m.channels * 2L)
-      }
-      val y4m = meta.map { case (id, nChars) =>
-        val a = Multimodal.Asset(id, "y4m", Multimodal.syntheticY4m(
-          8 + 2 * (id % 5).toInt, 6 + 2 * (nChars % 3).toInt,
-          3 + (id % 8).toInt, id))
-        val m = Multimodal.decodeY4m(a)
-        (id, "y4m", m.width.toLong, m.height.toLong, m.n_frames,
-          m.duration_us,
-          m.n_frames * (m.width.toLong * m.height * 3 / 2))
-      }
-      png.union(wav).union(y4m)
+        .flatMap { case (id, nChars) =>
+          val png = Multimodal.decodePng(Multimodal.Asset(id, "png",
+            Multimodal.syntheticPng(
+              8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id)))
+          val wav = Multimodal.decodeWav(Multimodal.Asset(id, "wav",
+            Multimodal.syntheticWav(
+              8000 * (1 + (id % 5).toInt), 1 + (id % 2).toInt,
+              40 + (nChars % 101).toInt, id)))
+          val y4m = Multimodal.decodeY4m(Multimodal.Asset(id, "y4m",
+            Multimodal.syntheticY4m(
+              8 + 2 * (id % 5).toInt, 6 + 2 * (nChars % 3).toInt,
+              3 + (id % 8).toInt, id)))
+          Seq(
+            (id, "png", png.width, png.height, 1L, -1L, png.n_pix_bytes),
+            (id, "wav", -1L, -1L, wav.n_frames, wav.duration_us,
+              wav.n_frames * wav.channels * 2L),
+            (id, "y4m", y4m.width.toLong, y4m.height.toLong, y4m.n_frames,
+              y4m.duration_us,
+              y4m.n_frames * (y4m.width.toLong * y4m.height * 3 / 2)))
+        }
         .toDF("asset_id", "modality", "width", "height", "n_frames",
           "duration_us", "payload_bytes")
         .orderBy(col("asset_id"), col("modality"))
@@ -147,10 +146,13 @@ object Wave32 {
 
     "q193_token_decontam" -> {
       val n = GramN
+      // space joiner (tokens never contain spaces) and md5 hex — the
+      // Spark side keys on unhex(md5(...)) binary, a bijection, so the
+      // per-doc distinct sets and join counts are identical
       def grams(pred: String) =
         s"""SELECT DISTINCT doc_id, unnest(list_distinct(
            |    list_transform(range(1, len(t) - ${n - 2}),
-           |      i -> md5(array_to_string(t[i:i + ${n - 1}], '|'))))) AS gram
+           |      i -> md5(array_to_string(t[i:i + ${n - 1}], ' '))))) AS gram
            |  FROM toks WHERE len(t) >= $n AND $pred""".stripMargin
       s"""WITH toks AS (
          |  SELECT doc_id, ${Wave30.sqlEncodeText(Wave30.PlantedMerges)} AS t
