@@ -18,7 +18,11 @@ object Explain {
       "q98_quote_pairs", "q99_winnowing", "q109_mutual_knn",
       "q136_exact_quantiles", "q138_knn_triangles", "q142_funnel",
       "q145_snm_neardup", "q148_kcore", "q152_rfm", "q157_attribution",
-      "q158_ppr", "q162_column_profile", "q164_tpch_q5")
+      "q158_ppr", "q162_column_profile", "q164_tpch_q5",
+      // r11: the subquery decorrelation shapes + the BPE decontam join
+      "q183_exists_late_orders", "q184_scalar_avg_quantity",
+      "q185_waiting_suppliers", "q186_dormant_rich_customers",
+      "q193_token_decontam", "q196_nullsafe_join", "q197_custdist")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
