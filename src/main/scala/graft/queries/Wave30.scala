@@ -94,6 +94,23 @@ object Wave30 {
         size(Bpe.encode(col("text"), PlantedMerges)),
         chunkTokens = BpeChunkTokens, buckets = PackBuckets)
         .orderBy(col("id"))
+    },
+
+    // END-TO-END: encode under the table trained on THIS corpus —
+    // encode(train(corpus)) in one certified row. The oracle replays
+    // BOTH halves: the 16 unrolled training rounds, then the encode
+    // chain whose merge literals are the trained b1..b16 values
+    // (exposed as columns of a 1-row MATERIALIZED frame so the
+    // per-word lambda can capture them).
+    "q198_bpe_selftrained" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainMerges(docs, "text", TrainK)
+        .map(t => (t._2, t._3))
+      docs.withColumn("toks", Bpe.encode(col("text"), merges))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), 1, 8), "|").as("toks_head"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -134,6 +151,37 @@ object Wave30 {
          |$rounds
          |$sel
          |ORDER BY merge_rank""".stripMargin
+    },
+
+    "q198_bpe_selftrained" -> {
+      val rounds = (1 to TrainK).map(sqlTrainRound).mkString(",\n")
+      val mcols = (1 to TrainK).map(r =>
+        s"(SELECT l FROM b$r) AS l$r, (SELECT r FROM b$r) AS r$r")
+        .mkString(", ")
+      // the q188 encode chain, but with the merge literals read from
+      // the trained 1-row frame's columns (lambda-captured)
+      val base = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
+      val chain = (1 to TrainK).foldLeft(base) { (acc, r) =>
+        s"replace($acc, ' ' || l$r || '  ' || r$r || ' ', ' ' || l$r || r$r || ' ')"
+      }
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT w, count(*) AS wt FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |w0 AS MATERIALIZED (
+         |  SELECT array_to_string(string_split(w, ''), '  ') AS seg, wt
+         |  FROM words),
+         |$rounds,
+         |m AS MATERIALIZED (SELECT $mcols),
+         |enc AS (
+         |  SELECT doc_id, flatten(list_transform(
+         |    list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+         |    w -> string_split(trim($chain), '  '))) AS toks
+         |  FROM documents, m)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  array_to_string(toks[1:8], '|') AS toks_head
+         |FROM enc ORDER BY doc_id""".stripMargin
     },
 
     "q188_bpe_encode" ->
