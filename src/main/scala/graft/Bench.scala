@@ -113,8 +113,21 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8).asScala.flatMap {
         case Row(name, sec) => sec.toDoubleOption.map(name -> _)
         case _ => None
-      }.toMap
-    } catch { case _: java.io.IOException => Map.empty }
+      }.toMap match {
+        case m if m.isEmpty =>
+          System.err.println(
+            s"[bench] no frozen rows parsed from $path — outlier re-run adjudication disabled")
+          m
+        case m => m
+      }
+    } catch {
+      case e: java.io.IOException =>
+        // visible, not silent: running from a cwd without BASELINE.md
+        // would otherwise disable adjudication with no trace in the log
+        System.err.println(
+          s"[bench] cannot read $path (${e.getMessage}) — outlier re-run adjudication disabled")
+        Map.empty
+    }
   }
 
   def main(args: Array[String]): Unit = {

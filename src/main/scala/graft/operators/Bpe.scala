@@ -92,15 +92,6 @@ object Bpe {
       filter(split(text, "\\s+"), w => w =!= ""),
       w => split(applyMerges(charSeg(w), merges), Gap)))
 
-  /** Train up to `k` merges on the corpus. EAGER BY NATURE: each round
-    * runs one aggregation action (pair counts → 1-row argmax collect),
-    * like [[Similarity.trainCentroids]] — training is an iterative
-    * optimization, not a lazy plan; callers embed the RESULT (the
-    * merge table) into lazy plans via [[encode]]. Stops early when no
-    * adjacent pair remains or the best count falls below `minCount`.
-    *
-    * Returns (rank, lhs, rhs, count-at-merge-time) in training order.
-    */
   /** Benchmark decontamination at TOKEN granularity — the form real
     * eval-leakage checks run (an eval string leaks into training data
     * as token sequences, and tokenizer-aware n-grams catch rewordings
@@ -131,6 +122,15 @@ object Bpe {
       .select(col("__id").as("id"), col("n_shared_grams"))
   }
 
+  /** Train up to `k` merges on the corpus. EAGER BY NATURE: each round
+    * runs one aggregation action (pair counts → 1-row argmax collect),
+    * like [[Similarity.trainCentroids]] — training is an iterative
+    * optimization, not a lazy plan; callers embed the RESULT (the
+    * merge table) into lazy plans via [[encode]]. Stops early when no
+    * adjacent pair remains or the best count falls below `minCount`.
+    *
+    * Returns (rank, lhs, rhs, count-at-merge-time) in training order.
+    */
   def trainMerges(docs: DataFrame, textCol: String, k: Int,
                   minCount: Long = 1L): Seq[(Int, String, String, Long)] = {
     require(k >= 1 && k <= 4096, s"merge rounds in [1,4096]: $k")

@@ -117,8 +117,18 @@ object Wave30 {
   /** One unrolled DuckDB training round: pair counts over w{r-1}, the
     * argmax with the tie-break, and the greedy merge into w{r}.
     * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
-    * reference, which makes the chained rounds exponential. */
-  private def sqlTrainRound(r: Int): String =
+    * reference, which makes the chained rounds exponential.
+    *
+    * Degenerate-corpus guard: if the corpus exhausts its adjacent
+    * pairs before TrainK rounds (Spark's trainMerges stops early),
+    * b$r is EMPTY and a bare scalar subquery would be NULL —
+    * NULL-poisoning every later w$r and the q198 encode chain into a
+    * silent mismatch. Each scalar is therefore coalesced to chr(1),
+    * a symbol that cannot appear in the double-space-gapped
+    * representation as a standalone token pair, so an exhausted round
+    * replays as a no-op merge exactly like Spark's early stop. */
+  private def sqlTrainRound(r: Int): String = {
+    def sc(c: String) = s"coalesce((SELECT $c FROM b$r), chr(1))"
     s"""p$r AS MATERIALIZED (
        |  SELECT pr[1] AS l, pr[2] AS r, sum(wt) AS cnt FROM (
        |    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
@@ -129,9 +139,10 @@ object Wave30 {
        |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
        |w$r AS MATERIALIZED (
        |  SELECT trim(replace(' ' || seg || ' ',
-       |    ' ' || (SELECT l FROM b$r) || '  ' || (SELECT r FROM b$r) || ' ',
-       |    ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ')) AS seg,
+       |    ' ' || ${sc("l")} || '  ' || ${sc("r")} || ' ',
+       |    ' ' || ${sc("l")} || ${sc("r")} || ' ')) AS seg,
        |    wt FROM w${r - 1})""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -156,7 +167,8 @@ object Wave30 {
     "q198_bpe_selftrained" -> {
       val rounds = (1 to TrainK).map(sqlTrainRound).mkString(",\n")
       val mcols = (1 to TrainK).map(r =>
-        s"(SELECT l FROM b$r) AS l$r, (SELECT r FROM b$r) AS r$r")
+        s"coalesce((SELECT l FROM b$r), chr(1)) AS l$r, " +
+          s"coalesce((SELECT r FROM b$r), chr(1)) AS r$r")
         .mkString(", ")
       // the q188 encode chain, but with the merge literals read from
       // the trained 1-row frame's columns (lambda-captured)
