@@ -261,6 +261,93 @@ object Multimodal {
     b.array()
   }
 
+  /** Per-asset pitch estimate from exact integer autocorrelation.
+    * `best_lag` is the argmax of ac(lag)=Σ s[i]·s[i+lag] over
+    * [minLag,maxLag] (ties → smallest lag), `est_freq_mhz` the implied
+    * fundamental in integer millihertz. */
+  case class AudioPitch(asset_id: Long, n_samples: Long, energy: Long,
+                        best_lag: Long, best_ac: Long, est_freq_mhz: Long)
+
+  /** Pitch detection over DECODED mono 16-bit PCM: the time-domain
+    * autocorrelation a real pitch tracker runs (YIN/ACF family), in
+    * exact integer arithmetic so the oracle can replay every product.
+    * One O(n·L) pass per asset inside `mapPartitions` — decode work
+    * travels with the rows, no shuffle, partition-parallel; at 100 TB
+    * of audio this is a pure map stage whose cost is bounded by
+    * L=maxLag−minLag+1 multiply-adds per sample (L≈40 here; a 1000-
+    * executor cluster scans shards independently). Σ s[i]s[i+lag] over
+    * 16-bit samples fits a long for any real clip (2^30 per term ⇒
+    * overflow needs ~2^33 samples). */
+  def pcm16Autocorr(assets: Dataset[Asset], minLag: Int,
+                    maxLag: Int): Dataset[AudioPitch] = {
+    require(1 <= minLag && minLag <= maxLag,
+      s"lag window must satisfy 1 <= minLag <= maxLag: [$minLag,$maxLag]")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val w = parseWav(a)
+      require(w.bits == 16 && w.channels == 1,
+        s"WAV asset ${a.asset_id}: pcm16Autocorr needs mono 16-bit, " +
+          s"got ${w.channels} ch × ${w.bits} bit")
+      val d = a.data
+      val n = w.dataBytes / 2
+      val s = new Array[Long](n)
+      var i = 0
+      var energy = 0L
+      while (i < n) {
+        val o = w.dataOff + 2 * i
+        val v = ((d(o) & 0xff) | (d(o + 1) << 8)).toShort.toLong
+        s(i) = v
+        energy += v * v
+        i += 1
+      }
+      var bestLag = 0L
+      var bestAc = Long.MinValue
+      var lag = minLag
+      while (lag <= maxLag) {
+        var ac = 0L
+        var j = 0
+        while (j + lag < n) { ac += s(j) * s(j + lag); j += 1 }
+        if (ac > bestAc) { bestAc = ac; bestLag = lag } // ties → smaller lag
+        lag += 1
+      }
+      AudioPitch(a.asset_id, n.toLong, energy, bestLag, bestAc,
+        if (bestLag > 0) w.sampleRate * 1000L / bestLag else 0L)
+    })
+  }
+
+  /** Fixture encoder for [[pcm16Autocorr]]: a mono 16-bit PCM WAV whose
+    * samples are a PERIODIC integer sawtooth,
+    * `s(i) = ((i + seed) mod period) * 4096 / period - 2048`
+    * (truncating division on nonnegative operands = floor), so the
+    * autocorrelation argmax recovers `period` and the oracle replays
+    * every sample arithmetically. Header layout identical to
+    * [[syntheticWav]] — a stock player opens the output. */
+  def syntheticToneWav(sampleRate: Int, nFrames: Int, period: Int,
+                       seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && nFrames >= 0 && period > 0,
+      s"bad tone shape $sampleRate Hz × $nFrames frames, period $period")
+    val dataBytes = nFrames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)
+    b.putShort(1)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2)
+    b.putShort(2)
+    b.putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < nFrames) {
+      val ph = (((i + seed) % period + period) % period).toInt
+      b.putShort((ph * 4096 / period - 2048).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
   /** Decoded-pixel statistics for [[decodePng]]: parsed dimensions plus
     * exact integer reductions over the RECONSTRUCTED raw pixel stream
     * (row-major, after unfiltering). `wsum_bytes` = Σ (i+1)·byte_i is

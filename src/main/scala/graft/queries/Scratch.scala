@@ -17,7 +17,7 @@ package graft.queries
   * readback and leak-free re-runs possible. Anyone embedding these
   * queries in a concurrent driver must key runs by process (add a pid
   * component) and accept the temp-dir leak that buys. */
-private[queries] object Scratch {
+private[graft] object Scratch {
   def dir(name: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     s"/tmp/graft_scratch/$tag/$name"

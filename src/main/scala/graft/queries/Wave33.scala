@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Bpe, Multimodal}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 33 — round 12: the co-located-join storage layout, the
+  * remaining TPC-H-expressible relational shapes, and two new
+  * pipeline operators (audio pitch, tokenizer-coverage QA).
+  *
+  *  - q199 is the ONE core 100 TB technique the surface had not yet
+  *    demonstrated: BUCKETED tables + sort-merge-bucket join. Both
+  *    fact tables are written `bucketBy(orderkey)` (pre-repartitioned
+  *    by the bucket key so each bucket is one file, keeping the
+  *    read-side sort elimination eligible), and the join then needs NO
+  *    exchange on either side — at 100 TB this turns the biggest
+  *    shuffle in the workload (lineitem⋈orders) into a local merge.
+  *    BucketSpec pins the exchange-free plan.
+  *  - q200/q201/q203/q204/q205 complete the TPC-H shapes expressible
+  *    on the available columns (Q6 forecast-revenue, Q10 returned-item
+  *    top customers, Q14 promo share, Q18 large-volume customers, Q19
+  *    disjunctive OR-of-ANDs predicate — the classic pushdown
+  *    stress). q202 re-expresses Q12's late-shipment split on the
+  *    columns this schema has (l_shipdate vs o_orderdate).
+  *  - q206 runs real pitch detection (time-domain autocorrelation,
+  *    exact integer) over decoded mono PCM through the WAV codec seam.
+  *  - q207 turns the BPE encoder into a tokenizer-QA report: per
+  *    language, how much of the corpus the planted vocab actually
+  *    covers (non-single-char token fraction in basis points).
+  */
+object Wave33 {
+
+  private[graft] val Buckets = 16
+  private val Q6From = "1996-01-01"
+  private val Q6To = "1997-01-01"
+  private val Q10From = "1996-01-01"
+  private val Q10To = "1996-04-01"
+  private val Q14Month = "1996-03-01"
+  private val Q14MonthEnd = "1996-04-01"
+  private val Q18MinQty = 220
+  private val LateDays = 90
+  private val ToneRate = 8000
+  private val ToneMinLag = 4
+  private val ToneMaxLag = 40
+
+  private def dsum(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale)
+    sum((floor(c * p) / p).cast(DecimalType(38, scale))).cast("double")
+  }
+  private def sqlDsum(expr: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
+  }
+
+  /** (Re)write `df` as an external bucketed+sorted parquet table. The
+    * pre-`repartition` on the bucket key makes every write task hold
+    * exactly one bucket, so each bucket lands in ONE file — the layout
+    * that keeps read-side sort elimination eligible and, on a real
+    * cluster, bounds small-file count at any scale. Table name carries
+    * the sf tag: one catalog entry per (table, sf), overwritten in
+    * place like [[Scratch]] paths. */
+  private[graft] def bucketized(s: SparkSession, df: DataFrame,
+                                  key: String, table: String,
+                                  path: String): DataFrame = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(Buckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(Buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    s.table(table)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sort-merge-bucket join: both sides bucketed on the join key →
+    // zero exchanges at the join (BucketSpec pins it). The merge hint
+    // keeps the demonstrated plan the SMB one even where the dimension
+    // side would fit a broadcast.
+    "q199_bucketed_join" -> { (s, d) =>
+      val base = Scratch.dir("q199", d)
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val l = bucketized(s,
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "l_orderkey", s"graft_bkt_lineitem_$tag", s"$base/lineitem")
+      val o = bucketized(s,
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", s"graft_bkt_orders_$tag", s"$base/orders")
+      l.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q6: a pure scan-side query — every predicate pushes into
+    // the parquet scan, the agg is one partial+final pass.
+    "q200_tpch_q6" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= Q6From && col("l_shipdate") < Q6To &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // TPC-H Q10: revenue lost to returned items by customer, one
+    // quarter; dimension joins broadcast, top-20 via TakeOrdered.
+    "q201_tpch_q10" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderdate") >= Q10From && col("o_orderdate") < Q10To)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    },
+
+    // Q12 shape on this schema: late (>90 days from order to ship)
+    // vs on-time line counts per order priority — the conditional
+    // split aggregation, one join + one pass.
+    "q202_late_shipments" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) >
+            LateDays, 1L).otherwise(0L)).as("n_late"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) <=
+            LateDays, 1L).otherwise(0L)).as("n_ontime"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q14: promo revenue share for one month — conditional
+    // aggregate over a broadcast part join; the ratio divides two
+    // identically-quantized dsums, so it is bit-stable cross-engine.
+    "q203_tpch_q14" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= Q14Month && col("l_shipdate") < Q14MonthEnd)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+            .as("promo_revenue"),
+          dsum(rev).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") * lit(100.0) / col("total_revenue"))
+            .as("promo_pct"))
+    },
+
+    // TPC-H Q18: large-volume customers — the having-on-sum IN
+    // subquery plans as an aggregate semi-join, never a per-row
+    // subplan.
+    "q204_tpch_q18" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("oq"))
+        .where(col("oq") > Q18MinQty)
+        .select(col("l_orderkey").as("big_orderkey"))
+      li.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q19: the disjunctive OR-of-ANDs predicate (brand × size ×
+    // quantity bands) — the classic filter-pushdown stress; part side
+    // broadcast, one pass.
+    "q205_tpch_q19" -> { (s, d) =>
+      val band1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val band2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val band3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .where(band1 || band2 || band3)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    },
+
+    // Pitch detection over decoded mono PCM through the WAV seam:
+    // exact integer autocorrelation argmax recovers each planted
+    // sawtooth's period; the oracle replays every product.
+    "q206_audio_autocorr" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "wav", Multimodal.syntheticToneWav(
+            ToneRate, 160 + (nChars % 101).toInt, 8 + (id % 25).toInt, id))
+        }
+      Multimodal.pcm16Autocorr(assets, ToneMinLag, ToneMaxLag)
+        .toDF()
+        .orderBy(col("asset_id"))
+    },
+
+    // Tokenizer-coverage QA: per language, the fraction of encoded
+    // tokens the planted BPE vocab actually merges (non-single-char
+    // tokens, basis points). Single scan, per-row codegen encode, one
+    // small keyed agg.
+    "q207_bpe_coverage" -> { (s, d) =>
+      val toks = Bpe.encode(col("text"), Wave30.PlantedMerges)
+      val nTok = size(toks).cast("long")
+      val nSingle = size(filter(toks, t => length(t) === 1)).cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"), nTok.as("n_tokens"), nSingle.as("n_single"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_single")).as("total_single"),
+          floor(sum(col("n_tokens") - col("n_single")) * 10000.0 /
+            sum(col("n_tokens"))).cast("long").as("coverage_bp"))
+        .orderBy(col("lang"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    // The bucketed layout changes the PLAN, never the relation — the
+    // twin is the plain join+agg over the base tables.
+    "q199_bucketed_join" ->
+      s"""SELECT o.o_orderpriority,
+         |  count(*) AS n_items,
+         |  ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q200_tpch_q6" ->
+      s"""SELECT count(*) AS n_items,
+         |  ${sqlDsum("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '$Q6From'
+         |  AND CAST(l_shipdate AS DATE) < DATE '$Q6To'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q201_tpch_q10" ->
+      s"""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         |  ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND CAST(o.o_orderdate AS DATE) >= DATE '$Q10From'
+         |  AND CAST(o.o_orderdate AS DATE) < DATE '$Q10To'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q202_late_shipments" ->
+      s"""SELECT o.o_orderpriority,
+         |  CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+         |    CAST(l.l_shipdate AS DATE)) > $LateDays THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_late,
+         |  CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+         |    CAST(l.l_shipdate AS DATE)) <= $LateDays THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ontime
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q203_tpch_q14" ->
+      s"""WITH m AS (
+         |  SELECT
+         |    ${sqlDsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")}
+         |      AS promo_revenue,
+         |    ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")}
+         |      AS total_revenue
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE CAST(l.l_shipdate AS DATE) >= DATE '$Q14Month'
+         |    AND CAST(l.l_shipdate AS DATE) < DATE '$Q14MonthEnd')
+         |SELECT promo_revenue, total_revenue,
+         |  promo_revenue * 100.0 / total_revenue AS promo_pct
+         |FROM m""".stripMargin,
+
+    "q204_tpch_q18" ->
+      s"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         |  o.o_totalprice, CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING sum(l_quantity) > $Q18MinQty)
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q205_tpch_q19" ->
+      s"""SELECT count(*) AS n_items,
+         |  ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+         |        AND l.l_quantity BETWEEN 1 AND 11)
+         |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+         |        AND l.l_quantity BETWEEN 10 AND 20)
+         |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+         |        AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Replays the sawtooth samples arithmetically (nonneg operands →
+    // DuckDB's truncating // IS floor), then the lag argmax with the
+    // smaller-lag tie-break as a window rank.
+    "q206_audio_autocorr" ->
+      s"""WITH params AS (
+         |  SELECT doc_id, 160 + n_chars % 101 AS n, 8 + doc_id % 25 AS p
+         |  FROM documents),
+         |samples AS MATERIALIZED (
+         |  SELECT doc_id, n, i,
+         |    ((i + doc_id) % p) * 4096 // p - 2048 AS sv
+         |  FROM params, unnest(range(0, n)) u(i)),
+         |energy AS (
+         |  SELECT doc_id, max(n) AS n_samples, sum(sv * sv) AS energy
+         |  FROM samples GROUP BY 1),
+         |ac AS (
+         |  SELECT a.doc_id, b.i - a.i AS lag, sum(a.sv * b.sv) AS ac
+         |  FROM samples a JOIN samples b
+         |    ON a.doc_id = b.doc_id
+         |    AND b.i - a.i BETWEEN $ToneMinLag AND $ToneMaxLag
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, lag, ac,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY ac DESC, lag ASC) AS rk
+         |  FROM ac)
+         |SELECT e.doc_id AS asset_id,
+         |  CAST(e.n_samples AS BIGINT) AS n_samples,
+         |  CAST(e.energy AS BIGINT) AS energy,
+         |  CAST(b.lag AS BIGINT) AS best_lag,
+         |  CAST(b.ac AS BIGINT) AS best_ac,
+         |  CAST($ToneRate * 1000 // b.lag AS BIGINT) AS est_freq_mhz
+         |FROM energy e JOIN best b ON e.doc_id = b.doc_id AND b.rk = 1
+         |ORDER BY asset_id""".stripMargin,
+
+    "q207_bpe_coverage" ->
+      s"""WITH enc AS (
+         |  SELECT lang, ${Wave30.sqlEncodeText(Wave30.PlantedMerges)} AS toks
+         |  FROM documents),
+         |per_doc AS (
+         |  SELECT lang, len(toks) AS n_tokens,
+         |    len(list_filter(toks, t -> len(t) = 1)) AS n_single
+         |  FROM enc)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_single) AS BIGINT) AS total_single,
+         |  CAST(floor(sum(n_tokens - n_single) * 10000.0 / sum(n_tokens))
+         |    AS BIGINT) AS coverage_bp
+         |FROM per_doc GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkFixture
+import graft.operators.Multimodal.Asset
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-12 operator specs: pitch detection over the WAV codec seam. */
+class Wave33Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("pcm16Autocorr: recovers each planted sawtooth period as best_lag") {
+    import spark.implicits._
+    val periods = Seq(8, 13, 21, 32)
+    val assets = periods.zipWithIndex.map { case (p, i) =>
+      Asset(i.toLong, "wav",
+        Multimodal.syntheticToneWav(8000, 400, p, seed = i.toLong))
+    }.toDS()
+    val out = Multimodal.pcm16Autocorr(assets, 4, 40)
+      .collect().sortBy(_.asset_id)
+    out.map(_.best_lag.toInt).toSeq shouldBe periods
+    out.foreach { r =>
+      r.n_samples shouldBe 400L
+      r.est_freq_mhz shouldBe 8000L * 1000L / r.best_lag
+    }
+  }
+
+  test("pcm16Autocorr: matches a brute-force reference on arbitrary samples") {
+    import spark.implicits._
+    // non-periodic content: the operator's integers must still match
+    // an independently-computed autocorrelation exactly
+    val rnd = new scala.util.Random(7)
+    val samples = Array.fill(257)((rnd.nextInt(65536) - 32768).toShort)
+    val b = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000)
+    b.putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(b.putShort)
+    val out = Multimodal.pcm16Autocorr(
+      Seq(Asset(9L, "wav", b.array())).toDS(), 2, 50).collect().head
+
+    def ac(lag: Int): Long =
+      (0 until samples.length - lag)
+        .map(i => samples(i).toLong * samples(i + lag)).sum
+    val best = (2 to 50).map(l => (l, ac(l))).maxBy { case (l, a) => (a, -l) }
+    out.best_lag shouldBe best._1.toLong
+    out.best_ac shouldBe best._2
+    out.energy shouldBe samples.map(s => s.toLong * s).sum
+  }
+
+  test("pcm16Autocorr: rejects stereo input loudly, with the asset id") {
+    import spark.implicits._
+    val stereo = Multimodal.syntheticWav(8000, 2, 16, seed = 1L)
+    val e = intercept[Exception] {
+      Multimodal.pcm16Autocorr(
+        Seq(Asset(3L, "wav", stereo)).toDS(), 4, 40).collect()
+    }
+    // the require fires inside a task; Spark wraps it — check the chain
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    messages(e) should include("mono")
+    messages(e) should include("3")
+  }
+
+  test("pcm16Autocorr: bad lag window fails before any Spark work") {
+    import spark.implicits._
+    val ds = Seq(Asset(1L, "wav",
+      Multimodal.syntheticToneWav(8000, 64, 8, 0L))).toDS()
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.pcm16Autocorr(ds, 0, 4)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.pcm16Autocorr(ds, 9, 4)
+  }
+}

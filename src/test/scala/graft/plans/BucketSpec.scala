@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.SparkFixture
+import graft.queries.Wave33
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the q199 storage-layout contract: once both fact tables are
+  * bucketed (+per-bucket sorted, one file per bucket) on the join key,
+  * the sort-merge join needs NO exchange and NO sort on either side —
+  * the plan that turns the workload's biggest shuffle into a local
+  * merge at any scale. A regression here (a silent Exchange sneaking
+  * back under a Spark upgrade or a writer change) is exactly the kind
+  * of 100 TB cliff the local numbers would never show. */
+class BucketSpec extends AnyFunSuite with Matchers with graft.SparkFixture {
+
+  private lazy val sides = {
+    val d = sfDir
+    val base = graft.queries.Scratch.dir("q199spec", d)
+    val tag = "spec_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val l = Wave33.bucketized(spark,
+      graft.Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "l_orderkey", s"graft_bkt_lineitem_$tag", s"$base/lineitem")
+    val o = Wave33.bucketized(spark,
+      graft.Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey", s"graft_bkt_orders_$tag", s"$base/orders")
+    (l, o)
+  }
+
+  test("bucketed SMB join: zero exchanges, local-only sorts") {
+    val (l, o) = sides
+    val p = l.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    p should include("SortMergeJoin")
+    p should not include "Exchange"
+    // Spark 3+/4 ignores the writer's per-bucket sort metadata by
+    // default (spark.sql.legacy.bucketedTableScan.outputOrdering=false:
+    // with >1 file per bucket a sorted read would need a file merge-
+    // sort), so in-partition Sorts remain — but they must be LOCAL
+    // (global=false): the expensive part, the shuffle, is gone.
+    withClue(p) { "Sort \\[[^\\]]+\\], true".r.findFirstIn(p) shouldBe None }
+    p should include("Bucketed: true")
+  }
+
+  test("bucketed write produces exactly one file per bucket") {
+    val (_, o) = sides
+    val dir = new java.io.File(
+      graft.queries.Scratch.dir("q199spec", sfDir) + "/orders")
+    val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+    parts.length shouldBe Wave33.Buckets
+  }
+
+  test("groupBy on the bucket key also needs no exchange") {
+    val (l, _) = sides
+    val p = l.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+  }
+}
