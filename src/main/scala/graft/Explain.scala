@@ -22,7 +22,10 @@ object Explain {
       // r11: the subquery decorrelation shapes + the BPE decontam join
       "q183_exists_late_orders", "q184_scalar_avg_quantity",
       "q185_waiting_suppliers", "q186_dormant_rich_customers",
-      "q193_token_decontam", "q196_nullsafe_join", "q197_custdist")
+      "q193_token_decontam", "q196_nullsafe_join", "q197_custdist",
+      // r12: the bucketed SMB join + the TPC-H completion shapes
+      "q199_bucketed_join", "q200_tpch_q6", "q201_tpch_q10",
+      "q204_tpch_q18", "q205_tpch_q19")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -30,6 +30,26 @@ object Bucketed {
     df.sparkSession.table(table) // dsink contract: readback of what was written
   }
 
+  /** [[write]] variant for q199-style EXTERNAL tables: data at an
+    * explicit `path` (one stable location per (table, sf), overwritten
+    * in place), and the frame pre-`repartition`ed on the bucket key so
+    * every write task holds exactly one bucket — each bucket lands in
+    * ONE file, which keeps read-side sort elimination eligible and, on
+    * a real cluster, bounds small-file count at any scale. */
+  def writeAt(df: DataFrame, table: String, path: String,
+              bucketCol: String, nBuckets: Int,
+              sortCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite").option("path", path).format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+    s.table(table)
+  }
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** Equi-join two tables bucketed on `key` with equal bucket counts:

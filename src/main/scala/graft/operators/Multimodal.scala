@@ -1092,4 +1092,283 @@ object Multimodal {
         col("content").as("data"))
       .as[Asset]
   }
+
+  // ------------------------------------------------------------------ GIF
+
+  /** Decoded-index statistics for [[decodeGif]]: dimensions, palette
+    * size, and exact integer reductions over the LZW-DECOMPRESSED index
+    * stream. `wsum_idx` is position-weighted (pins index ORDER, so a
+    * code-table desync cannot hash-match); `sum_rgb` maps every index
+    * through the parsed color table (pins the palette walk). */
+  case class GifPixels(asset_id: Long, width: Long, height: Long,
+                       n_colors: Long, n_idx: Long, sum_idx: Long,
+                       wsum_idx: Long, sum_rgb: Long)
+
+  /** GIF-flavor LZW decompression (the fourth real codec behind the
+    * seam, and a second compression FAMILY next to PNG's DEFLATE):
+    * variable-width codes 3..12 bits packed LSB-first, CLEAR/EOI
+    * control codes, table reset on CLEAR, and the KwKwK
+    * (code == next-free) special case. Canonical width growth: after
+    * an ADD, when the next free slot reaches 1<<codeSize the width
+    * grows (cap 12). From the GIF89a spec + standard decoder
+    * behavior; no library, no lifted code. */
+  private[operators] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                                   maxOut: Int, who: String): Array[Int] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"$who: LZW min code size $minCodeSize outside [2,8]")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    // table as (prefix code, tail symbol); singles are implicit
+    val prefix = new Array[Int](4096)
+    val tail = new Array[Int](4096)
+    var nextFree = clear + 2
+    var codeSize = minCodeSize + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    val out = new java.util.ArrayList[Int](maxOut max 16)
+    def firstSym(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def emit(code: Int): Unit = {
+      // materialize the code's string, in order
+      val stack = new scala.collection.mutable.ArrayBuffer[Int]
+      var c = code
+      while (c >= clear) { stack += tail(c); c = prefix(c) }
+      stack += c
+      var i = stack.length - 1
+      while (i >= 0) {
+        out.add(stack(i))
+        require(out.size <= maxOut, s"$who: LZW output overruns $maxOut")
+        i -= 1
+      }
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      require(bitCnt >= codeSize, s"$who: LZW stream ends mid-code")
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      if (code == clear) {
+        nextFree = clear + 2; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < clear, s"$who: first code $code not a literal")
+        emit(code); prev = code
+      } else {
+        require(code <= nextFree && nextFree <= 4096,
+          s"$who: LZW code $code beyond table ($nextFree)")
+        if (nextFree < 4096) {
+          prefix(nextFree) = prev
+          tail(nextFree) =
+            if (code < nextFree) firstSym(code) else firstSym(prev)
+          nextFree += 1
+        }
+        emit(code)
+        if (nextFree < 4096 && nextFree == (1 << codeSize) && codeSize < 12)
+          codeSize += 1
+        prev = code
+      }
+    }
+    val arr = new Array[Int](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    arr
+  }
+
+  /** GIF-flavor LZW compression, the matched pair of [[lzwDecode]]:
+    * same width schedule one ADD ahead (the encoder's table runs one
+    * entry ahead of the decoder's, so it grows at nextFree ==
+    * (1<<codeSize)+1), CLEAR emitted on table exhaustion. Dictionary
+    * keyed (prefix code, symbol) — no string materialization. */
+  private[operators] def lzwEncode(indices: Array[Int],
+                                   minCodeSize: Int): Array[Byte] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"LZW min code size $minCodeSize outside [2,8]")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = minCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = Map.empty[(Int, Int), Int]
+    var nextFree = clear + 2
+    put(clear)
+    if (indices.isEmpty) {
+      put(eoi)
+      if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+      return out.toByteArray
+    }
+    var cur = indices(0)
+    require(cur >= 0 && cur < clear, s"index $cur outside palette")
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i)
+      require(k >= 0 && k < clear, s"index $k outside palette")
+      dict.get((cur, k)) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          if (nextFree < 4096) {
+            dict += ((cur, k) -> nextFree)
+            nextFree += 1
+            // encoder runs one ADD ahead of the decoder: grow late
+            if (nextFree == (1 << codeSize) + 1 && codeSize < 12)
+              codeSize += 1
+          } else {
+            put(clear)
+            dict = Map.empty
+            nextFree = clear + 2
+            codeSize = minCodeSize + 1
+          }
+          cur = k
+      }
+      i += 1
+    }
+    put(cur)
+    put(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** REAL pure-JVM GIF decode: header + logical screen descriptor,
+    * global/local color table, extension-block skipping, image
+    * descriptor, and full LZW decompression of the index stream
+    * ([[lzwDecode]]). Stats cover the FIRST image (the fixture plants
+    * exactly one). Interlace is rejected loudly (row de-interleave is
+    * a permutation this corpus never plants). */
+  def decodeGif(a: Asset): GifPixels = {
+    val d = a.data
+    def u8(o: Int): Int = d(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    require(d.length >= 13, s"GIF asset ${a.asset_id}: ${d.length} bytes < 13")
+    val magic = new String(d, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    require(magic == "GIF89a" || magic == "GIF87a",
+      s"GIF asset ${a.asset_id}: bad magic '$magic'")
+    val packed = u8(10)
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      gct = java.util.Arrays.copyOfRange(d, off, off + 3 * n)
+      off += 3 * n
+    }
+    while (off < d.length) {
+      u8(off) match {
+        case 0x21 => // extension: label + sub-blocks
+          off += 2
+          while (u8(off) != 0) off += 1 + u8(off)
+          off += 1
+        case 0x2c =>
+          val w = le16(off + 5); val h = le16(off + 7)
+          val ipacked = u8(off + 9)
+          require((ipacked & 0x40) == 0,
+            s"GIF asset ${a.asset_id}: interlaced image unsupported")
+          off += 10
+          var table = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            table = java.util.Arrays.copyOfRange(d, off, off + 3 * n)
+            off += 3 * n
+          }
+          require(table != null, s"GIF asset ${a.asset_id}: no color table")
+          val minCode = u8(off); off += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          while (u8(off) != 0) {
+            val n = u8(off)
+            lzw.write(d, off + 1, n)
+            off += 1 + n
+          }
+          val idx = lzwDecode(lzw.toByteArray, minCode, w * h,
+            s"GIF asset ${a.asset_id}")
+          require(idx.length == w * h,
+            s"GIF asset ${a.asset_id}: decoded ${idx.length} != ${w * h}")
+          val nColors = table.length / 3
+          var sum = 0L; var wsum = 0L; var rgb = 0L
+          var i = 0
+          while (i < idx.length) {
+            val v = idx(i)
+            require(v < nColors,
+              s"GIF asset ${a.asset_id}: index $v >= palette $nColors")
+            sum += v
+            wsum += (i + 1).toLong * v
+            rgb += (table(3 * v) & 0xff) + (table(3 * v + 1) & 0xff) +
+              (table(3 * v + 2) & 0xff)
+            i += 1
+          }
+          return GifPixels(a.asset_id, w.toLong, h.toLong, nColors.toLong,
+            idx.length.toLong, sum, wsum, rgb)
+        case 0x3b =>
+          throw new IllegalArgumentException(
+            s"GIF asset ${a.asset_id}: trailer before any image")
+        case b =>
+          throw new IllegalArgumentException(
+            s"GIF asset ${a.asset_id}: unknown block 0x${b.toHexString}")
+      }
+    }
+    throw new IllegalArgumentException(
+      s"GIF asset ${a.asset_id}: no image descriptor")
+  }
+
+  /** Fixture encoder for [[decodeGif]]: a real single-image GIF89a —
+    * 16-color global table (color j = (j², 2j, 40+j)), a graphic
+    * control extension (exercises the skip path), and a genuinely
+    * LZW-COMPRESSED index stream `idx(i) = (seed + 7i) mod 16` through
+    * [[lzwEncode]], sub-blocked at 255 bytes. A stock image viewer
+    * opens the output. */
+  def syntheticGif(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad GIF shape $width×$height")
+    val n = width * height
+    val idx = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      idx(i) = (((seed + 7L * i) % 16 + 16) % 16).toInt
+      i += 1
+    }
+    val lzw = lzwEncode(idx, 4)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0xf3) // GCT present, 8-bit color res, 16 entries
+    out.write(0); out.write(0)
+    var j = 0
+    while (j < 16) {
+      out.write(j * j); out.write(2 * j); out.write(40 + j)
+      j += 1
+    }
+    out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)) // GCE
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no LCT, no interlace
+    out.write(4) // LZW min code size
+    var o = 0
+    while (o < lzw.length) {
+      val len = math.min(255, lzw.length - o)
+      out.write(len)
+      out.write(lzw, o, len)
+      o += len
+    }
+    out.write(0)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** GIF seam twin of [[extractImagePixels]]: partition-preserving, no
+    * shuffle — at 100 TB a pure map stage over asset shards. */
+  def extractGifPixels(assets: Dataset[Asset]): Dataset[GifPixels] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeGif))
+  }
 }

@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.DecimalType
   *  - q207 turns the BPE encoder into a tokenizer-QA report: per
   *    language, how much of the corpus the planted vocab actually
   *    covers (non-single-char token fraction in basis points).
+  *  - q208 decodes real GIFs — full header/color-table/extension walk
+  *    plus LZW decompression ([[Multimodal.lzwDecode]]), the fourth
+  *    image codec and the second compression family behind the seam.
   */
 object Wave33 {
 
@@ -54,26 +57,14 @@ object Wave33 {
     s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
   }
 
-  /** (Re)write `df` as an external bucketed+sorted parquet table. The
-    * pre-`repartition` on the bucket key makes every write task hold
-    * exactly one bucket, so each bucket lands in ONE file — the layout
-    * that keeps read-side sort elimination eligible and, on a real
-    * cluster, bounds small-file count at any scale. Table name carries
-    * the sf tag: one catalog entry per (table, sf), overwritten in
-    * place like [[Scratch]] paths. */
+  /** (Re)write `df` as an external bucketed+sorted parquet table via
+    * [[graft.io.Bucketed.writeAt]]. Table name carries the sf tag: one
+    * catalog entry per (table, sf), overwritten in place like
+    * [[Scratch]] paths. */
   private[graft] def bucketized(s: SparkSession, df: DataFrame,
                                   key: String, table: String,
-                                  path: String): DataFrame = {
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    df.repartition(Buckets, col(key))
-      .write.mode("overwrite")
-      .option("path", path)
-      .bucketBy(Buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
-    s.table(table)
-  }
+                                  path: String): DataFrame =
+    graft.io.Bucketed.writeAt(df, table, path, key, Buckets, Seq(key))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -217,6 +208,25 @@ object Wave33 {
         .orderBy(col("asset_id"))
     },
 
+    // Fourth real image codec through the seam — and a second
+    // COMPRESSION FAMILY next to PNG's DEFLATE: full GIF parse
+    // (header, color table, extension skip, descriptor) + LZW
+    // decompression, per-row, no shuffle. The planted index stream is
+    // arithmetic, so the oracle replays every decoded index.
+    "q208_gif_decode" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "gif", Multimodal.syntheticGif(
+            8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id))
+        }
+      Multimodal.extractGifPixels(assets)
+        .toDF()
+        .orderBy(col("asset_id"))
+    },
+
     // Tokenizer-coverage QA: per language, the fraction of encoded
     // tokens the planted BPE vocab actually merges (non-single-char
     // tokens, basis points). Single scan, per-row codegen encode, one
@@ -352,6 +362,25 @@ object Wave33 {
          |  CAST($ToneRate * 1000 // b.lag AS BIGINT) AS est_freq_mhz
          |FROM energy e JOIN best b ON e.doc_id = b.doc_id AND b.rk = 1
          |ORDER BY asset_id""".stripMargin,
+
+    // Replays idx(i) = (doc_id + 7i) mod 16 and the palette formula
+    // color j = (j², 2j, 40+j) ⇒ r+g+b = j² + 3j + 40; the Spark side
+    // earns the same integers through header parse + LZW decompression.
+    "q208_gif_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + n_chars % 7 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, i, (doc_id + 7 * i) % 16 AS v
+        |  FROM p, unnest(range(0, w * h)) u(i))
+        |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(16 AS BIGINT) AS n_colors,
+        |  CAST(count(*) AS BIGINT) AS n_idx,
+        |  CAST(sum(v) AS BIGINT) AS sum_idx,
+        |  CAST(sum((i + 1) * v) AS BIGINT) AS wsum_idx,
+        |  CAST(sum(v * v + 3 * v + 40) AS BIGINT) AS sum_rgb
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY asset_id""".stripMargin,
 
     "q207_bpe_coverage" ->
       s"""WITH enc AS (

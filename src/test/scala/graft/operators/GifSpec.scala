@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkFixture
+import graft.operators.Multimodal.Asset
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** GIF codec: the LZW pair's byte-level golden (hand-derived from the
+  * GIF89a packing rules), round-trip properties across every width-
+  * growth and table-reset boundary, and the full-file decode seam. */
+class GifSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("LZW golden: [1] with minCodeSize=2 packs to 4C 01, and decodes back") {
+    // codes: CLEAR(4)=100b, 1=001b, EOI(5)=101b at 3 bits, LSB-first:
+    // bits 0,0,1 | 1,0,0 | 1,0,1 → byte0 = 0100_1100 = 0x4C, byte1 = 0x01
+    val enc = Multimodal.lzwEncode(Array(1), 2)
+    enc.map(b => f"${b & 0xff}%02X").mkString(" ") shouldBe "4C 01"
+    Multimodal.lzwDecode(enc, 2, 1, "golden").toSeq shouldBe Seq(1)
+  }
+
+  test("LZW golden: repeated symbol stream exercises the KwKwK case") {
+    // "aaaa" with 4 colors: emits CLEAR, 0, then code 6 (=0,0 entry
+    // just defined — the canonical KwKwK read), then 0, EOI
+    val enc = Multimodal.lzwEncode(Array(0, 0, 0, 0), 2)
+    Multimodal.lzwDecode(enc, 2, 4, "kwkwk").toSeq shouldBe Seq(0, 0, 0, 0)
+  }
+
+  test("LZW round-trips across width growth and the 4096-entry reset") {
+    val rnd = new scala.util.Random(11)
+    // long random stream over 16 symbols: the dictionary crosses every
+    // width boundary (32, 64, ..., 4096) and forces at least one CLEAR
+    val big = Array.fill(30000)(rnd.nextInt(16))
+    Multimodal.lzwDecode(Multimodal.lzwEncode(big, 4), 4, big.length,
+      "big").toSeq shouldBe big.toSeq
+    // highly repetitive stream: deep dictionary strings, KwKwK chains
+    val rep = Array.tabulate(5000)(i => (i / 97) % 4)
+    Multimodal.lzwDecode(Multimodal.lzwEncode(rep, 2), 2, rep.length,
+      "rep").toSeq shouldBe rep.toSeq
+    // every minCodeSize in range, short streams
+    (2 to 8).foreach { m =>
+      val s = Array.tabulate(300)(i => i % (1 << m))
+      Multimodal.lzwDecode(Multimodal.lzwEncode(s, m), m, s.length,
+        s"m$m").toSeq shouldBe s.toSeq
+    }
+  }
+
+  test("decodeGif: exact stats from the planted index formula") {
+    val (w, h, seed) = (11, 7, 42L)
+    val px = Multimodal.decodeGif(
+      Asset(7L, "gif", Multimodal.syntheticGif(w, h, seed)))
+    px.width shouldBe w.toLong
+    px.height shouldBe h.toLong
+    px.n_colors shouldBe 16L
+    px.n_idx shouldBe (w * h).toLong
+    val idx = Array.tabulate(w * h)(i => ((seed + 7L * i) % 16).toInt)
+    px.sum_idx shouldBe idx.map(_.toLong).sum
+    px.wsum_idx shouldBe idx.zipWithIndex.map { case (v, i) =>
+      (i + 1).toLong * v }.sum
+    // color j = (j², 2j, 40+j) ⇒ per-pixel r+g+b = j² + 3j + 40
+    px.sum_rgb shouldBe idx.map(j => (j * j + 3 * j + 40).toLong).sum
+  }
+
+  test("decodeGif: tampered LZW stream fails loudly, not wrong-pixels") {
+    val g = Multimodal.syntheticGif(9, 6, 5L)
+    // flip a byte inside the compressed sub-block region (after the
+    // 13-byte header + 48-byte GCT + 8-byte GCE + 10-byte descriptor
+    // + min-code byte + sub-block length byte)
+    g(13 + 48 + 8 + 10 + 2 + 3) = (g(13 + 48 + 8 + 10 + 2 + 3) ^ 0x55).toByte
+    an[Exception] should be thrownBy
+      Multimodal.decodeGif(Asset(1L, "gif", g))
+  }
+
+  test("extractGifPixels: partition-preserving seam over the corpus") {
+    import spark.implicits._
+    val assets = (1L to 40L).map(id =>
+      Asset(id, "gif", Multimodal.syntheticGif(
+        4 + (id % 5).toInt, 3 + (id % 4).toInt, id))).toDS().repartition(5)
+    val out = Multimodal.extractGifPixels(assets)
+    out.rdd.getNumPartitions shouldBe 5
+    out.collect().map(_.asset_id).sorted shouldBe (1L to 40L).toArray
+  }
+}

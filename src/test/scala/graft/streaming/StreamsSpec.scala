@@ -55,6 +55,41 @@ class StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     rows should contain((Timestamp.valueOf("2024-01-01 10:15:00"), "view", 1L))
   }
 
+  test("tumblingCounts: an event behind the watermark is DROPPED; closed windows never reopen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = s"tumbling_late_${System.nanoTime}"
+    val q = Streams.tumblingCounts(input.toDF(), window = "15 minutes",
+      watermark = "1 hour").writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Ev(ts(5), 1, "click", 1.0), Ev(ts(10), 2, "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark well past the 10:00 window → it closes
+      // and append emits it
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 13:00:00"), 9, "probe", 0.0))
+      q.processAllAvailable()
+      // a straggler INSIDE the closed window, behind the watermark:
+      // the engine must drop it — no recount, no duplicate emission
+      input.addData(Ev(ts(7), 3, "click", 9.0))
+      q.processAllAvailable()
+      // push the watermark further so anything the straggler HAD
+      // re-opened would be forced out before we assert
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 15:00:00"), 9, "probe", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val clickRows = spark.table(name)
+      .select("window_start", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect()
+      .filter { case (w, t, _) =>
+        w == Timestamp.valueOf("2024-01-01 10:00:00") && t == "click" }
+    // exactly ONE emission for the closed window, still counting 2:
+    // the late event left no trace
+    clickRows.toSeq shouldBe Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L))
+  }
+
   test("tumblingCounts is mode-agnostic: identical results on a batch frame") {
     import spark.implicits._
     val batch = Seq(
