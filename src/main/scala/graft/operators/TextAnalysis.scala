@@ -492,6 +492,60 @@ object TextAnalysis {
       regexp_count(t2, lit(IpRe)).cast("long").as("n_ips"))
   }
 
+  /** Web-corpus main-content extraction — the FIRST stage of a real
+    * 100 TB web pipeline (Common-Crawl-style WET text): staged tag
+    * stripping plus a line-level boilerplate filter. All passes are
+    * codegen Column expressions in the RE2∩Java regex dialect (no
+    * backreferences — script and style get separate passes), so the
+    * whole chain replays bit-for-bit in the DuckDB oracle:
+    *
+    *  1. drop `<script>…</script>`, `<style>…</style>` (non-greedy,
+    *     dotall) and `<!-- … -->` comments wholesale;
+    *  2. closing block tags become newlines — the BLOCK structure the
+    *     boilerplate filter works on;
+    *  3. every remaining tag becomes a space; the five common HTML
+    *     entities decode (`&amp;` last, the standard order);
+    *  4. per block: collapse whitespace, trim, and DROP blocks under
+    *     `minWords` words — nav menus, ad units, footers and titles
+    *     die here, body paragraphs survive.
+    *
+    * Per-row work linear in document size, no shuffle — a pure map
+    * stage over raw-HTML shards at any corpus size. */
+  def extractHtmlText(html: Column, minWords: Int = 5): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</(p|div|h1|h2|h3|li|nav|footer|title|td|tr)>", "\n")
+    // tags must OPEN like a tag (letter, slash, or ! for doctype):
+    // a bare '<' in prose ("a < b") is content, not markup
+    val noTags = regexp_replace(blocks, "</?[a-zA-Z!][^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val kept = filter(
+      transform(split(decoded, "\n"),
+        b => trim(regexp_replace(b, "\\s+", " "))),
+      b => size(filter(split(b, " "), w => w =!= "")) >= minWords)
+    array_join(kept, " ")
+  }
+
+  /** Per-document extraction report over [[extractHtmlText]]: raw and
+    * extracted sizes, content ratio in basis points (the text-density
+    * signal web curation ranks pages by), and a fingerprint of the
+    * extracted text for downstream exact dedup. */
+  def htmlMainContent(docs: DataFrame, idCol: String, htmlCol: String,
+                      minWords: Int = 5): DataFrame = {
+    val text = extractHtmlText(col(htmlCol), minWords)
+    docs.select(col(idCol).as("id"), col(htmlCol), text.as("text"))
+      .select(col("id"),
+        length(col(htmlCol)).cast("long").as("n_raw_chars"),
+        length(col("text")).cast("long").as("n_text_chars"),
+        floor(length(col("text")) * 10000.0 / length(col(htmlCol)))
+          .cast("long").as("content_bp"),
+        md5(col("text")).as("fp_text"))
+  }
+
   /** Per-document token statistics: count, distinct count, char count,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

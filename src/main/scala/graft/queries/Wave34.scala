@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 34 — round 12, part two.
+  *
+  *  - q209 completes the OLAP grouping trio (q17 rollup, q50 cube):
+  *    explicit GROUPING SETS with a grouping_id disambiguator — the
+  *    general form report pipelines actually emit, one pass.
+  *  - q210 is the FIRST stage of a real web-scale corpus pipeline:
+  *    HTML main-content extraction ([[TextAnalysis.extractHtmlText]]) —
+  *    staged tag stripping + entity decode + line-level boilerplate
+  *    dropping, all codegen Column regexes in the RE2∩Java dialect so
+  *    the DuckDB twin replays the chain bit-for-bit. The fixture
+  *    wraps each document's text in a full planted page (head/style/
+  *    script/nav/ad/footer); extraction must recover exactly the body
+  *    paragraphs and report the content-density signal web curation
+  *    ranks pages by.
+  */
+object Wave34 {
+
+  private val MinWords = 5
+
+  private def dsum(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale)
+    sum((floor(c * p) / p).cast(DecimalType(38, scale))).cast("double")
+  }
+  private def sqlDsum(expr: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
+  }
+
+  /** The planted page, shared by the Spark fixture and (in SQL form)
+    * the oracle: title/nav/h1/ad/footer are short boilerplate blocks
+    * the extractor must drop; the two body paragraphs carry the
+    * document's text halves. */
+  private def plantedHtml(text: Column, lang: Column,
+                          source: Column): Column = {
+    val half = floor(length(text) / 2).cast("int")
+    concat(
+      lit("<html><head><title>"), source,
+      lit("</title><style>p{color:red;}</style>" +
+        "<script>var x=1;</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>" +
+        "<h1>"), lang, lit(" report</h1><p>"),
+      text.substr(lit(1), half),
+      lit("</p><div class=\"ad\">Sponsored &amp; promoted</div><p>"),
+      text.substr(half + 1, length(text)),
+      lit(" &lt;end&gt;</p><footer>Copyright 2026</footer></body></html>"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Explicit GROUPING SETS ((flag,status),(flag),()) in ONE pass
+    // with grouping_id disambiguating the stratum of each output row.
+    "q209_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty[Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // HTML main-content extraction over planted full pages: script/
+    // style/comment removal, block split, tag strip, entity decode,
+    // boilerplate drop — per-row codegen, no shuffle.
+    "q210_html_extract" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val withHtml = docs.select(col("doc_id"),
+        plantedHtml(col("text"), col("lang"), col("source")).as("html"))
+      TextAnalysis.htmlMainContent(withHtml, "doc_id", "html", MinWords)
+        .orderBy(col("id"))
+    })
+
+  // ------------------------------------------------------------ oracles
+
+  /** The extraction chain in DuckDB dialect — same passes, same order,
+    * RE2-safe patterns, 'g' flags where DuckDB needs them. */
+  private def sqlExtract(html: String): String = {
+    val noScript =
+      s"regexp_replace($html, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle =
+      s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
+    val blocks = s"regexp_replace($noComment, " +
+      s"'(?i)</(p|div|h1|h2|h3|li|nav|footer|title|td|tr)>', chr(10), 'g')"
+    val noTags = s"regexp_replace($blocks, '</?[a-zA-Z!][^>]*>', ' ', 'g')"
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => s"replace($c, '$e', '$r')" }
+    s"""array_to_string(
+       |  list_filter(
+       |    list_transform(string_split($decoded, chr(10)),
+       |      b -> trim(regexp_replace(b, '\\s+', ' ', 'g'))),
+       |    b -> len(list_filter(string_split(b, ' '), w -> w <> ''))
+       |      >= $MinWords),
+       |  ' ')""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q209_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+         |    AS BIGINT) AS gid,
+         |  count(*) AS n_items,
+         |  ${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), ())
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q210_html_extract" -> {
+      val html =
+        """'<html><head><title>' || source ||
+          |'</title><style>p{color:red;}</style>' ||
+          |'<script>var x=1;</script></head><body>' ||
+          |'<nav><a href="/">Home</a> <a href="/about">About</a></nav>' ||
+          |'<h1>' || lang || ' report</h1><p>' ||
+          |substr(text, 1, length(text) // 2) ||
+          |'</p><div class="ad">Sponsored &amp; promoted</div><p>' ||
+          |substr(text, length(text) // 2 + 1, length(text)) ||
+          |' &lt;end&gt;</p><footer>Copyright 2026</footer></body></html>'"""
+          .stripMargin.replace("\n", "\n  ")
+      s"""WITH pages AS MATERIALIZED (
+         |  SELECT doc_id, $html AS html FROM documents),
+         |extracted AS (
+         |  SELECT doc_id, html, ${sqlExtract("html")} AS text FROM pages)
+         |SELECT doc_id AS id,
+         |  CAST(length(html) AS BIGINT) AS n_raw_chars,
+         |  CAST(length(text) AS BIGINT) AS n_text_chars,
+         |  CAST(floor(length(text) * 10000.0 / length(html))
+         |    AS BIGINT) AS content_bp,
+         |  md5(text) AS fp_text
+         |FROM extracted ORDER BY id""".stripMargin
+    })
+}

@@ -47,7 +47,8 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave26.queries, queries.Wave27.queries,
       queries.Wave28.queries, queries.Wave29.queries,
       queries.Wave30.queries, queries.Wave31.queries,
-      queries.Wave32.queries, queries.Wave33.queries)
+      queries.Wave32.queries, queries.Wave33.queries,
+      queries.Wave34.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand goldens for the HTML main-content extractor: each pass (script/
+  * style/comment removal, block split, tag strip, entity decode,
+  * boilerplate drop) pinned on crafted pages. */
+class HtmlSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def extract(html: String, minWords: Int = 5): String = {
+    import spark.implicits._
+    Seq(html).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h"), minWords).as("t"))
+      .collect().head.getString(0)
+  }
+
+  test("body paragraphs survive; nav/title/ad/footer boilerplate dies") {
+    val html =
+      """<html><head><title>Site</title><style>p{x:1}</style>
+        |<script>var a="</p>";</script></head><body>
+        |<nav><a href="/">Home</a> <a href="/x">More</a></nav>
+        |<p>this is the first real paragraph of content here</p>
+        |<div class="ad">Buy now</div>
+        |<p>and a second real paragraph with enough words too</p>
+        |<footer>Copyright 2026</footer></body></html>""".stripMargin
+    extract(html) shouldBe
+      "this is the first real paragraph of content here " +
+        "and a second real paragraph with enough words too"
+  }
+
+  test("script content is removed wholesale, even containing tag-like text") {
+    extract("<p>one two three four five six</p>" +
+      "<script>document.write('<p>injected text here</p>')</script>") shouldBe
+      "one two three four five six"
+  }
+
+  test("entities decode in the standard order (&amp; last — no double decode)") {
+    // &amp;lt; must decode to the literal text "&lt;", NOT to "<"
+    extract("<p>a &amp;lt; b &lt;tag&gt; c &quot;q&quot; d &#39;s&#39; e</p>",
+      minWords = 1) shouldBe "a &lt; b <tag> c \"q\" d 's' e"
+  }
+
+  test("whitespace collapses per block; minWords is a word count, not chars") {
+    extract("<p>  one   two\tthree four five  </p>", minWords = 5) shouldBe
+      "one two three four five"
+    extract("<p>aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bb</p>",
+      minWords = 5) shouldBe ""
+  }
+
+  test("comments vanish; unterminated tags do not eat the document") {
+    extract("<!-- hidden words here --><p>kept words one two three</p>",
+      minWords = 3) shouldBe "kept words one two three"
+    // a bare '<' with no '>' is content, not a tag
+    extract("<p>a < b and c > d plus e f</p>", minWords = 3) shouldBe
+      "a < b and c > d plus e f"
+  }
+
+  test("htmlMainContent: content_bp is the floor basis-point density") {
+    import spark.implicits._
+    val html = "<p>one two three four five</p>"
+    val row = TextAnalysis.htmlMainContent(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head
+    row.getAs[Long]("n_raw_chars") shouldBe html.length.toLong
+    row.getAs[Long]("n_text_chars") shouldBe "one two three four five".length.toLong
+    row.getAs[Long]("content_bp") shouldBe
+      (23L * 10000L) / html.length.toLong
+  }
+}

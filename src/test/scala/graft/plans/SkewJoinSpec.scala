@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins that the engine's ADAPTIVE skew handling actually fires: a
+  * join with one pathological hot key must come out of AQE with its
+  * skewed partition SPLIT (`skew=true` on the sort-merge join), not
+  * one straggler task doing all the work. This is the runtime
+  * complement to q59's explicit salting — at 100 TB the hot-key
+  * partition is the difference between a 10-minute and a 10-hour
+  * stage, and this proof is exactly the kind a local row count can
+  * never give. */
+class SkewJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("AQE splits a hot-key partition: final plan carries skew=true") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // thresholds scaled down so a ~MB hot partition counts as skewed
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // left: 100k rows on ONE key + a thin tail; right: all keys small
+      val pad = "x" * 64
+      val left = spark.range(0, 100000)
+        .select(lit(7L).as("k"), concat(lit(pad), $"id").as("payload"))
+        .union(spark.range(0, 100).select(($"id" + 100L).as("k"),
+          lit("tail").as("payload")))
+      val right = spark.range(0, 300)
+        .select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS DataFrame's QueryExecution, so its
+      // AdaptiveSparkPlan finalizes (count() would plan its own tree)
+      joined.collect().length shouldBe 100100
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      withClue(finalPlan.take(4000)) {
+        finalPlan should include("skew=true")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
