@@ -284,4 +284,44 @@ object Graphs {
     }
     deg.filter(col("deg") >= k)
   }
+
+  /** Multi-source BFS hop distance, capped at `rounds` hops: for every
+    * vertex reachable from the SEED SET within `rounds` undirected
+    * hops, the minimum hop count to any seed — the influence-radius /
+    * contamination-spread query over a similarity graph ("how far does
+    * this near-dup neighborhood reach from the flagged docs?").
+    *
+    * FRONTIER-DRIVEN: round r joins only the vertices first reached at
+    * round r−1 against the adjacency (not the whole dist frame), so
+    * per-round shuffle bytes track the expanding wavefront, never the
+    * graph — the textbook Pregel BFS shape. Edge intake normalizes
+    * orientation exactly like [[pageRankInt]]; each round's dist frame
+    * is localCheckpoint-ed, cutting lineage so the plan stays
+    * round-bounded at any graph size. Unreached vertices are simply
+    * absent (no sentinel rows to carry). */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+              seeds: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds in [1,64]: $rounds")
+    val fwd = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .dropDuplicates("u", "v").cache()
+    val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var dist = seeds.select(col(idCol).as("id"), lit(0L).as("dist"))
+      .dropDuplicates("id").localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val reached = und
+        .join(frontier.select(col("id").as("u")), "u")
+        .select(col("v").as("id"), lit(r.toLong).as("dist"))
+      val next = dist.union(reached)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = next.where(col("dist") === r)
+      dist = next
+    }
+    fwd.unpersist()
+    dist
+  }
 }

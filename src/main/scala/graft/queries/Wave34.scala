@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.DecimalType
 object Wave34 {
 
   private val MinWords = 5
+  private val BfsRounds = 4
+  private val SeedEvery = 50
 
   private def dsum(c: Column, scale: Int = 4): Column = {
     val p = math.pow(10, scale)
@@ -77,6 +79,21 @@ object Wave34 {
       val withHtml = docs.select(col("doc_id"),
         plantedHtml(col("text"), col("lang"), col("source")).as("html"))
       TextAnalysis.htmlMainContent(withHtml, "doc_id", "html", MinWords)
+        .orderBy(col("id"))
+    },
+
+    // Multi-source BFS over the mutual-kNN graph (q138/q148's edges):
+    // min hop distance from the seed set, frontier-driven, capped
+    // rounds — the influence-radius query.
+    "q211_bfs_hops" -> { (s, d) =>
+      val edges = graft.operators.Similarity.mutualKnnLsh(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = Wave18.KnnK, exact = true)
+      val seeds = Tables.embeddings(s, d)
+        .where(pmod(col("vec_id"), lit(SeedEvery)) === 0)
+      graft.operators.Graphs.bfsHops(
+        edges, "id_a", "id_b", seeds, "vec_id", BfsRounds)
+        .select(col("id").cast("long").as("id"), col("dist"))
         .orderBy(col("id"))
     })
 
@@ -141,5 +158,29 @@ object Wave34 {
          |    AS BIGINT) AS content_bp,
          |  md5(text) AS fp_text
          |FROM extracted ORDER BY id""".stripMargin
+    },
+
+    "q211_bfs_hops" -> {
+      // unrolled frontier rounds, kcore-style: round r expands only
+      // the vertices first reached at r−1
+      def round(r: Int): String =
+        s"""d$r AS MATERIALIZED (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${r - 1}
+           |    UNION ALL
+           |    SELECT und.v AS id, $r AS dist
+           |    FROM d${r - 1} f JOIN und ON und.u = f.id
+           |    WHERE f.dist = ${r - 1})
+           |  GROUP BY id)""".stripMargin
+      val rounds = (1 to BfsRounds).map(round).mkString(",\n")
+      s"""WITH ${Wave18.SqlKnnEdges},
+         |und AS MATERIALIZED (
+         |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |d0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, 0 AS dist FROM embeddings
+         |  WHERE vec_id % $SeedEvery = 0),
+         |$rounds
+         |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+         |FROM d$BfsRounds ORDER BY id""".stripMargin
     })
 }

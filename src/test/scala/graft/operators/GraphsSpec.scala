@@ -69,4 +69,26 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
     stats.getLong(0) should be >= 150000L
     stats.getLong(1) should be <= n * 1000000L
   }
+
+  test("bfsHops: min hop distance from the seed set, capped rounds, unreached absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5, separate pair 20-21, separate star 10-{11,12}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (20L, 21L), (10L, 11L), (10L, 12L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 20L).toDF("vec_id")
+    val out = Graphs.bfsHops(edges, "id_a", "id_b", seeds, "vec_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      20L -> 0L, 21L -> 1L) // 5 needs 4 hops; the 10-star has no seed
+  }
+
+  test("bfsHops: multiple seeds — the NEAREST seed wins") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L, 5L).toDF("vec_id")
+    val out = Graphs.bfsHops(edges, "id_a", "id_b", seeds, "vec_id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L)
+  }
 }
