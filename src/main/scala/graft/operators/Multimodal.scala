@@ -1371,4 +1371,349 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(decodeGif))
   }
+
+  // ----------------------------------------------------------------- JPEG
+
+  /** Decoded-pixel statistics for [[decodeJpeg]]: dimensions, block
+    * count, and exact integer reductions over the reconstructed pixel
+    * stream (row-major). `wsum_pix` pins pixel ORDER — a block decoded
+    * in the wrong MCU slot cannot hash-match. */
+  case class JpegPixels(asset_id: Long, width: Long, height: Long,
+                        n_blocks: Long, sum_pix: Long, wsum_pix: Long)
+
+  /** A parsed JPEG huffman table: canonical codes built from the DHT
+    * BITS/HUFFVAL lists (ITU T.81 Annex C). Decode walks code lengths
+    * 1..16 against the running code value — the standard algorithm,
+    * no library. */
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    // minCode(l), maxCode(l), valPtr(l) per T.81 F.2.2.3
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(bits: JpegBits, who: String): Int = {
+      var code = bits.read1(who)
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return symbols(valPtr(l) + code - minCode(l))
+        code = (code << 1) | bits.read1(who)
+        l += 1
+      }
+      throw new IllegalArgumentException(s"$who: invalid huffman code")
+    }
+  }
+
+  /** Entropy-segment bit reader with 0xFF00 byte unstuffing and RSTn
+    * awareness (T.81 F.2.2.5). MSB-first — JPEG packs opposite to
+    * GIF's LSB-first LZW. */
+  private final class JpegBits(d: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def read1(who: String): Int = {
+      if (cnt == 0) {
+        require(pos < d.length, s"$who: entropy stream ends mid-code")
+        var b = d(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < d.length, s"$who: dangling 0xFF")
+          val m = d(pos) & 0xff; pos += 1
+          require(m == 0x00, s"$who: marker 0x${m.toHexString} inside scan")
+          b = 0xff
+        }
+        buf = b; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def read(n: Int, who: String): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | read1(who); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(who: String): Unit = {
+      cnt = 0
+      require(pos + 1 < d.length && (d(pos) & 0xff) == 0xff &&
+        ((d(pos + 1) & 0xff) & 0xf8) == 0xd0,
+        s"$who: expected RSTn at $pos")
+      pos += 2
+    }
+  }
+
+  /** Zigzag order → natural (row-major) position, T.81 Figure 5. */
+  private val JpegZigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var x = 0; var y = 0; var up = true
+    var i = 0
+    while (i < 64) {
+      z(i) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+      i += 1
+    }
+    z
+  }
+
+  /** REAL pure-JVM baseline JPEG decode (ITU T.81): marker walk (DQT/
+    * DHT/SOF0/DRI/SOS), canonical huffman decode of the entropy
+    * segment (DC prediction + EXTEND, AC run-length with EOB/ZRL,
+    * 0xFF00 unstuffing, RSTn intervals), dequantization through the
+    * zigzag, and the 2-D IDCT (StrictMath cosine basis — bit-identical
+    * on every JVM) with level shift + clamp. Greyscale baseline
+    * (SOF0, one component) — the fixture's class; progressive and
+    * chroma subsampling are rejected loudly. This is the third
+    * compression family behind the seam: entropy (huffman) + transform
+    * (DCT) coding, next to PNG's DEFLATE and GIF's LZW. */
+  def decodeJpeg(a: Asset): JpegPixels = {
+    val d = a.data
+    val who = s"JPEG asset ${a.asset_id}"
+    def u8(o: Int): Int = d(o) & 0xff
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    require(d.length >= 4 && u16(0) == 0xffd8, s"$who: missing SOI")
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var width = -1; var height = -1
+    var qId = -1; var dcId = -1; var acId = -1
+    var restartInterval = 0
+    var off = 2
+    var scanStart = -1
+    while (scanStart < 0) {
+      require(off + 4 <= d.length && u8(off) == 0xff,
+        s"$who: bad marker at $off")
+      val marker = u8(off + 1)
+      val len = u16(off + 2)
+      val seg = off + 4
+      require(off + 2 + len <= d.length,
+        s"$who: segment 0x${marker.toHexString} overruns buffer")
+      marker match {
+        case 0xdb => // DQT: one or more tables
+          var p = seg
+          while (p < off + 2 + len) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0xf
+            require(pq == 0, s"$who: 16-bit quant tables unsupported")
+            quant(tq) = Array.tabulate(64)(i => u8(p + 1 + i))
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = seg
+          while (p < off + 2 + len) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0xf
+            val counts = Array.tabulate(16)(i => u8(p + 1 + i))
+            val n = counts.sum
+            val symbols = Array.tabulate(n)(i => u8(p + 17 + i))
+            val t = new JpegHuff(counts, symbols)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          require(u8(seg) == 8, s"$who: ${u8(seg)}-bit precision")
+          height = u16(seg + 1); width = u16(seg + 3)
+          val ncomp = u8(seg + 5)
+          require(ncomp == 1,
+            s"$who: $ncomp components (greyscale baseline only)")
+          val hv = u8(seg + 7)
+          require(hv == 0x11, s"$who: subsampling 0x${hv.toHexString}")
+          qId = u8(seg + 8)
+        case 0xc2 =>
+          throw new IllegalArgumentException(s"$who: progressive (SOF2)")
+        case 0xdd => restartInterval = u16(seg)
+        case 0xda => // SOS
+          require(u8(seg) == 1, s"$who: multi-component scan")
+          dcId = u8(seg + 2) >> 4; acId = u8(seg + 2) & 0xf
+          scanStart = seg + 6 // ns + (id,tabs) + Ss + Se + AhAl
+        case m if m >= 0xe0 && m <= 0xef => () // APPn
+        case 0xfe => () // COM
+        case m =>
+          throw new IllegalArgumentException(
+            s"$who: unsupported marker 0x${m.toHexString}")
+      }
+      if (scanStart < 0) off += 2 + len
+    }
+    require(width > 0 && height > 0, s"$who: no SOF0 before SOS")
+    require(width % 8 == 0 && height % 8 == 0,
+      s"$who: ${width}×$height not 8-aligned (fixture contract)")
+    val q = quant(qId); require(q != null, s"$who: quant table $qId unset")
+    val dcT = dcTabs(dcId); require(dcT != null, s"$who: DC table $dcId")
+    val acT = acTabs(acId); require(acT != null, s"$who: AC table $acId")
+    // cosine basis: basis(u)(x) = C(u)/2 · cos((2x+1)uπ/16)
+    val basis = Array.tabulate(8, 8) { (u, x) =>
+      val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      c / 2.0 * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val bw = width / 8; val bh = height / 8
+    val img = new Array[Int](width * height)
+    val bits = new JpegBits(d, scanStart)
+    var pred = 0
+    var mcu = 0
+    val coef = new Array[Int](64)
+    while (mcu < bw * bh) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bits.restart(who); pred = 0
+      }
+      java.util.Arrays.fill(coef, 0)
+      val sDc = dcT.decode(bits, who)
+      require(sDc <= 11, s"$who: DC category $sDc")
+      pred += extend(bits.read(sDc, who), sDc)
+      coef(0) = pred * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = acT.decode(bits, who)
+        val run = rs >> 4; val size = rs & 0xf
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else eob = true
+        } else {
+          k += run
+          require(k < 64, s"$who: AC run overruns block")
+          coef(JpegZigzag(k)) = extend(bits.read(size, who), size) * q(k)
+          k += 1
+        }
+      }
+      // 2-D IDCT, level shift, clamp; write into the image
+      val by = mcu / bw; val bx = mcu % bw
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var f = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val c = coef(v * 8 + u)
+              if (c != 0) f += basis(u)(x) * basis(v)(y) * c
+              v += 1
+            }
+            u += 1
+          }
+          val p = Math.round(f).toInt + 128
+          img((by * 8 + y) * width + bx * 8 + x) =
+            if (p < 0) 0 else if (p > 255) 255 else p
+          x += 1
+        }
+        y += 1
+      }
+      mcu += 1
+    }
+    var sum = 0L; var wsum = 0L
+    var i = 0
+    while (i < img.length) {
+      sum += img(i); wsum += (i + 1).toLong * img(i)
+      i += 1
+    }
+    JpegPixels(a.asset_id, width.toLong, height.toLong, (bw * bh).toLong,
+      sum, wsum)
+  }
+
+  /** Fixture encoder for [[decodeJpeg]]: a real greyscale baseline
+    * JPEG — JFIF APP0, DQT with Q(0,0)=8 (so a DC-only block decodes
+    * to exactly DC+128), legal custom DHTs (twelve 4-bit DC category
+    * codes; a 1-bit EOB-only AC code), SOF0/SOS, huffman-coded DC
+    * deltas with EXTEND-inverse bit encoding, EOB per block, 0xFF
+    * byte stuffing. Block b is the flat value (seed + 37b) mod 256;
+    * a stock viewer opens the output. */
+  def syntheticJpeg(width: Int, height: Int, seed: Long,
+                    restartEvery: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      s"bad JPEG fixture shape $width×$height (must be 8-aligned)")
+    require(restartEvery >= 0, s"restartEvery must be >= 0: $restartEvery")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8) // SOI
+    w16(0xffe0); w16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w16(0x0101); w8(0); w16(1); w16(1); w8(0); w8(0)
+    w16(0xffdb); w16(67); w8(0) // DQT table 0
+    w8(8); (1 until 64).foreach(_ => w8(16)) // Q[0]=8, rest 16
+    // DHT: DC table 0 — twelve categories, all 4-bit codes
+    w16(0xffc4); w16(2 + 17 + 12); w8(0x00)
+    val dcCounts = Array.fill(16)(0); dcCounts(3) = 12 // twelve len-4 codes
+    dcCounts.foreach(w8); (0 to 11).foreach(w8)
+    // DHT: AC table 0 — single 1-bit code for EOB
+    w16(0xffc4); w16(2 + 17 + 1); w8(0x10)
+    val acCounts = Array.fill(16)(0); acCounts(0) = 1
+    acCounts.foreach(w8); w8(0x00)
+    w16(0xffc0); w16(11) // SOF0: 8-bit, 1 component, no subsampling
+    w8(8); w16(height); w16(width); w8(1); w8(1); w8(0x11); w8(0)
+    if (restartEvery > 0) { w16(0xffdd); w16(4); w16(restartEvery) } // DRI
+    w16(0xffda); w16(8) // SOS
+    w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    // entropy segment: DC delta + EOB per block, MSB-first, FF-stuffed
+    var bitBuf = 0; var bitCnt = 0
+    val body = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          body.write(bitBuf)
+          if (bitBuf == 0xff) body.write(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushPad(): Unit = if (bitCnt > 0) { // pad with 1s per T.81
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      body.write(bitBuf)
+      if (bitBuf == 0xff) body.write(0x00)
+      bitBuf = 0; bitCnt = 0
+    }
+    val nb = (width / 8) * (height / 8)
+    var pred = 0
+    var rst = 0
+    var b = 0
+    while (b < nb) {
+      if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+        flushPad() // byte-align, then the UNSTUFFED restart marker
+        body.write(0xff); body.write(0xd0 + rst)
+        rst = (rst + 1) % 8
+        pred = 0
+      }
+      val v = (((seed + 37L * b) % 256 + 256) % 256).toInt
+      val dc = v - 128
+      val diff = dc - pred; pred = dc
+      var s = 0; var m = math.abs(diff)
+      while (m > 0) { s += 1; m >>= 1 }
+      putBits(s, 4) // DC category: canonical len-4 code == the symbol
+      if (s > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // EOB: the single 1-bit AC code
+      b += 1
+    }
+    flushPad()
+    body.writeTo(out)
+    w16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** JPEG seam twin of [[extractGifPixels]]: partition-preserving, no
+    * shuffle — a pure map stage over asset shards at any scale. */
+  def extractJpegPixels(assets: Dataset[Asset]): Dataset[JpegPixels] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeJpeg))
+  }
 }

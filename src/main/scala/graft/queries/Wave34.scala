@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.DecimalType
   *    script/nav/ad/footer); extraction must recover exactly the body
   *    paragraphs and report the content-density signal web curation
   *    ranks pages by.
+  *  - q211 runs multi-source BFS over the mutual-kNN graph
+  *    ([[graft.operators.Graphs.bfsHops]]): frontier-driven hop
+  *    distance from a seed set — the influence-radius query.
+  *  - q212 decodes real baseline JPEGs
+  *    ([[graft.operators.Multimodal.decodeJpeg]]): marker walk,
+  *    canonical huffman, dequant, IDCT — the third compression family
+  *    behind the codec seam (entropy + transform coding).
   */
 object Wave34 {
 
@@ -95,6 +102,28 @@ object Wave34 {
         edges, "id_a", "id_b", seeds, "vec_id", BfsRounds)
         .select(col("id").cast("long").as("id"), col("dist"))
         .orderBy(col("id"))
+    },
+
+    // Baseline JPEG through the codec seam — the THIRD compression
+    // family (huffman entropy + DCT transform coding, next to DEFLATE
+    // and LZW). Every 4th asset carries DRI/RSTn restart markers; the
+    // planted DC-only blocks decode to exact flat values the oracle
+    // replays arithmetically, while the decoder earns them through
+    // marker walk, canonical huffman, dequant, and the full IDCT.
+    "q212_jpeg_decode" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          graft.operators.Multimodal.Asset(id, "jpeg",
+            graft.operators.Multimodal.syntheticJpeg(
+              8 * (2 + (id % 3).toInt), 8 * (1 + (nChars % 3).toInt), id,
+              restartEvery = if (id % 4 == 0) 2 else 0))
+        }
+      graft.operators.Multimodal.extractJpegPixels(assets)
+        .toDF()
+        .orderBy(col("asset_id"))
     })
 
   // ------------------------------------------------------------ oracles
@@ -182,5 +211,27 @@ object Wave34 {
          |$rounds
          |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
          |FROM d$BfsRounds ORDER BY id""".stripMargin
-    })
+    },
+
+    // Replays block b's flat value (doc_id + 37b) mod 256 over the
+    // pixel grid; the Spark side earns the same integers through the
+    // full entropy-decode + IDCT pipeline.
+    "q212_jpeg_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8 * (2 + doc_id % 3) AS w,
+        |    8 * (1 + n_chars % 3) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |    (doc_id + 37 * ((i // w // 8) * (w // 8) + (i % w) // 8))
+        |      % 256 AS v
+        |  FROM p, unnest(range(0, w * h)) u(i))
+        |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST((w // 8) * (h // 8) AS BIGINT) AS n_blocks,
+        |  CAST(sum(v) AS BIGINT) AS sum_pix,
+        |  CAST(sum((i + 1) * v) AS BIGINT) AS wsum_pix
+        |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY asset_id""".stripMargin
+    )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkFixture
+import graft.operators.Multimodal.Asset
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Baseline JPEG codec: flat-block (DC-only) goldens against the
+  * planted formula, the AC/huffman path against an independently
+  * computed IDCT reference, restart-marker and byte-stuffing coverage,
+  * and loud failure on truncation. */
+class JpegSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("decodeJpeg: DC-only blocks decode to the exact planted flat values") {
+    val (w, h, seed) = (24, 16, 42L)
+    val px = Multimodal.decodeJpeg(
+      Asset(1L, "jpeg", Multimodal.syntheticJpeg(w, h, seed)))
+    px.width shouldBe w.toLong
+    px.height shouldBe h.toLong
+    px.n_blocks shouldBe ((w / 8) * (h / 8)).toLong
+    val bw = w / 8
+    def blockVal(b: Int): Long = (seed + 37L * b) % 256
+    var sum = 0L; var wsum = 0L
+    var i = 0
+    while (i < w * h) {
+      val v = blockVal((i / w / 8) * bw + (i % w / 8))
+      sum += v; wsum += (i + 1).toLong * v
+      i += 1
+    }
+    px.sum_pix shouldBe sum
+    px.wsum_pix shouldBe wsum
+  }
+
+  test("restart intervals: DRI/RSTn stream decodes to identical pixels") {
+    val (w, h, seed) = (32, 24, 7L)
+    val plain = Multimodal.syntheticJpeg(w, h, seed)
+    val rst = Multimodal.syntheticJpeg(w, h, seed, restartEvery = 3)
+    rst should not equal plain // the streams really differ
+    val a = Multimodal.decodeJpeg(Asset(1L, "jpeg", plain))
+    val b = Multimodal.decodeJpeg(Asset(2L, "jpeg", rst))
+    (b.sum_pix, b.wsum_pix, b.n_blocks) shouldBe
+      (a.sum_pix, a.wsum_pix, a.n_blocks)
+  }
+
+  test("byte stuffing: a fixture whose scan contains FF 00 still decodes exactly") {
+    // the standard fixture's ±37/−219 diff alphabet can never build 8
+    // consecutive one-bits (every EOB is a 0), so stuffing is exercised
+    // with a hand-built two-block stream: DC diffs 127 then 255 pack to
+    // bytes 7F E8 FF 7F — the FF MUST come out stuffed as FF 00
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8)
+    w16(0xffdb); w16(67); w8(0); w8(8); (1 until 64).foreach(_ => w8(16))
+    w16(0xffc4); w16(2 + 17 + 12); w8(0x00)
+    val dcCounts = Array.fill(16)(0); dcCounts(3) = 12
+    dcCounts.foreach(w8); (0 to 11).foreach(w8)
+    w16(0xffc4); w16(2 + 17 + 1); w8(0x10)
+    val acCounts = Array.fill(16)(0); acCounts(0) = 1
+    acCounts.foreach(w8); w8(0x00)
+    w16(0xffc0); w16(11); w8(8); w16(8); w16(16); w8(1); w8(1); w8(0x11); w8(0)
+    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    // bits: cat7 0111 + 1111111 + EOB 0 | cat8 1000 + 11111111 + EOB 0 + pad
+    w8(0x7f); w8(0xe8); w8(0xff); w8(0x00); w8(0x7f) // FF stuffed by hand
+    w16(0xffd9)
+    val bytes = out.toByteArray
+    // sanity: the scan region really contains the stuffed FF 00 pair
+    bytes.sliding(2).exists(p =>
+      p(0) == 0xff.toByte && p(1) == 0x00.toByte) shouldBe true
+    val px = Multimodal.decodeJpeg(Asset(1L, "jpeg", bytes))
+    // dc1 = 127 → pixel 255; dc2 = 127+255 = 382 → clamps to 255
+    px.n_blocks shouldBe 2L
+    px.sum_pix shouldBe 2L * 64L * 255L
+    px.wsum_pix shouldBe (1 to 128).map(i => i.toLong * 255L).sum
+  }
+
+  test("AC path: one planted AC coefficient matches an independent IDCT reference") {
+    // hand-assembled 8×8 greyscale JPEG: DC diff 0, AC (run 0, size 1)
+    // value +1 at zigzag 1, EOB — custom canonical tables
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8)
+    w16(0xffdb); w16(67); w8(0); w8(8); (1 until 64).foreach(_ => w8(16))
+    w16(0xffc4); w16(2 + 17 + 12); w8(0x00) // DC: twelve len-4 codes
+    val dcCounts = Array.fill(16)(0); dcCounts(3) = 12
+    dcCounts.foreach(w8); (0 to 11).foreach(w8)
+    w16(0xffc4); w16(2 + 17 + 2); w8(0x10) // AC: '0'→0x01, '10'→EOB
+    val acCounts = Array.fill(16)(0); acCounts(0) = 1; acCounts(1) = 1
+    acCounts.foreach(w8); w8(0x01); w8(0x00)
+    w16(0xffc0); w16(11); w8(8); w16(8); w16(8); w8(1); w8(1); w8(0x11); w8(0)
+    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    // bits: DC cat0 '0000' | AC sym '0' | value '1' | EOB '10' = 0x06
+    w8(0x06)
+    w16(0xffd9)
+    val px = Multimodal.decodeJpeg(Asset(9L, "jpeg", out.toByteArray))
+
+    // independent reference: dequantized coef 16 at natural (u=1, v=0)
+    def c(u: Int) = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    val ref = Array.tabulate(8, 8) { (y, x) =>
+      val f = 0.25 * c(1) * c(0) * 16.0 *
+        StrictMath.cos((2 * x + 1) * 1 * StrictMath.PI / 16.0) *
+        StrictMath.cos((2 * y + 1) * 0 * StrictMath.PI / 16.0)
+      val p = Math.round(f).toInt + 128
+      math.max(0, math.min(255, p))
+    }
+    val flat = ref.flatten
+    px.n_blocks shouldBe 1L
+    px.sum_pix shouldBe flat.map(_.toLong).sum
+    px.wsum_pix shouldBe flat.zipWithIndex.map { case (v, i) =>
+      (i + 1).toLong * v }.sum
+  }
+
+  test("truncated entropy stream fails loudly with the asset id") {
+    val d = Multimodal.syntheticJpeg(16, 16, 3L)
+    val cut = java.util.Arrays.copyOfRange(d, 0, d.length - 12)
+    val e = intercept[Exception] {
+      Multimodal.decodeJpeg(Asset(77L, "jpeg", cut))
+    }
+    e.getMessage should include("77")
+  }
+
+  test("extractJpegPixels: partition-preserving seam") {
+    import spark.implicits._
+    val assets = (1L to 30L).map(id =>
+      Asset(id, "jpeg", Multimodal.syntheticJpeg(
+        8 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt), id))).toDS()
+      .repartition(4)
+    val outp = Multimodal.extractJpegPixels(assets)
+    outp.rdd.getNumPartitions shouldBe 4
+    outp.collect().map(_.asset_id).sorted shouldBe (1L to 30L).toArray
+  }
+}
