@@ -24,9 +24,18 @@ object Sharding {
     * new shard mid-stream; use [[packGreedy]] when shards must never
     * exceed the budget. Output: (id, bucket, shard, n_tokens). */
   def contiguousShards(docs: DataFrame, idCol: String, textCol: String,
-                       budget: Long, buckets: Int = 32): DataFrame = {
+                       budget: Long, buckets: Int = 32): DataFrame =
+    contiguousShardsBy(docs, idCol,
+      graft.functions.TextFunctions.tokenCount(col(textCol)), budget, buckets)
+
+  /** [[contiguousShards]] over a caller-supplied token-count column —
+    * the seam that lets real tokenizer counts (e.g.
+    * `size(Bpe.encode(...))`, q213) drive the same bucket-parallel
+    * cumsum. */
+  def contiguousShardsBy(docs: DataFrame, idCol: String, nTokens: Column,
+                         budget: Long, buckets: Int = 32): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("id"),
-      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      nTokens.cast("long").as("n_tokens"),
       pmod(col(idCol).cast("long"), lit(buckets)).as("bucket"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

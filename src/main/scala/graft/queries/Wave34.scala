@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{Bpe, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -27,12 +27,18 @@ import org.apache.spark.sql.types.DecimalType
   *    ([[graft.operators.Multimodal.decodeJpeg]]): marker walk,
   *    canonical huffman, dequant, IDCT — the third compression family
   *    behind the codec seam (entropy + transform coding).
+  *  - q213 is the capstone: a WEB corpus build end to end in one
+  *    declarative plan (extract → quality → dedup → BPE budget →
+  *    bucket-parallel shards), oracle-replayed as one CTE chain.
   */
 object Wave34 {
 
   private val MinWords = 5
   private val BfsRounds = 4
   private val SeedEvery = 50
+  private val MinDocToks = 30
+  private val ShardBudget = 2048L
+  private val ShardBuckets = 8
 
   private def dsum(c: Column, scale: Int = 4): Column = {
     val p = math.pow(10, scale)
@@ -124,6 +130,37 @@ object Wave34 {
       graft.operators.Multimodal.extractJpegPixels(assets)
         .toDF()
         .orderBy(col("asset_id"))
+    },
+
+    // The round's capstone composition — a WEB corpus build, end to
+    // end in ONE declarative plan: raw HTML → main-content extraction
+    // → quality gate (minimum real-token count) → exact dedup on the
+    // extracted text → BPE token budgeting → bucket-parallel
+    // contiguous sharding → per-shard manifest. Every stage is the
+    // already-certified machinery (q210 extraction, q21 dedup shape,
+    // q188 encode, q66 sharding); what this row certifies is the
+    // COMPOSITION, oracle-replayed as one CTE chain.
+    "q213_web_corpus_build" -> { (s, d) =>
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        plantedHtml(col("text"), col("lang"), col("source")).as("html"))
+      val extracted = pages.select(col("doc_id"),
+        TextAnalysis.extractHtmlText(col("html"), MinWords).as("text"))
+      val toks = extracted.withColumn("n_toks",
+        size(Bpe.encode(col("text"), Wave30.PlantedMerges)).cast("long"))
+      val quality = toks.where(col("n_toks") >= MinDocToks)
+      val deduped = quality
+        .withColumn("fp", md5(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_toks")).as("n_toks"))
+      val sharded = graft.operators.Sharding.contiguousShardsBy(
+        deduped, "doc_id", col("n_toks"), ShardBudget, ShardBuckets)
+      sharded.join(deduped.select(col("doc_id").as("id"), col("fp")), "id")
+        .groupBy(col("bucket"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"),
+          min(col("fp")).as("fp_min"))
+        .orderBy(col("bucket"), col("shard"))
     })
 
   // ------------------------------------------------------------ oracles
@@ -232,6 +269,45 @@ object Wave34 {
         |  CAST(sum(v) AS BIGINT) AS sum_pix,
         |  CAST(sum((i + 1) * v) AS BIGINT) AS wsum_pix
         |FROM px GROUP BY 1, 2, 3, 4
-        |ORDER BY asset_id""".stripMargin
-    )
+        |ORDER BY asset_id""".stripMargin,
+
+    "q213_web_corpus_build" -> {
+      val html =
+        """'<html><head><title>' || source ||
+          |'</title><style>p{color:red;}</style>' ||
+          |'<script>var x=1;</script></head><body>' ||
+          |'<nav><a href="/">Home</a> <a href="/about">About</a></nav>' ||
+          |'<h1>' || lang || ' report</h1><p>' ||
+          |substr(text, 1, length(text) // 2) ||
+          |'</p><div class="ad">Sponsored &amp; promoted</div><p>' ||
+          |substr(text, length(text) // 2 + 1, length(text)) ||
+          |' &lt;end&gt;</p><footer>Copyright 2026</footer></body></html>'"""
+          .stripMargin.replace("\n", "\n  ")
+      s"""WITH pages AS MATERIALIZED (
+         |  SELECT doc_id, $html AS html FROM documents),
+         |extracted AS MATERIALIZED (
+         |  SELECT doc_id, ${sqlExtract("html")} AS text FROM pages),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    CAST(len(${Wave30.sqlEncodeText(Wave30.PlantedMerges)})
+         |      AS BIGINT) AS n_toks
+         |  FROM extracted),
+         |deduped AS MATERIALIZED (
+         |  SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+         |    min(n_toks) AS n_toks
+         |  FROM toks WHERE n_toks >= $MinDocToks GROUP BY 1),
+         |sharded AS (
+         |  SELECT doc_id, fp, n_toks, doc_id % $ShardBuckets AS bucket,
+         |    sum(n_toks) OVER (PARTITION BY doc_id % $ShardBuckets
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks AS off
+         |  FROM deduped)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(off // $ShardBudget AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  min(fp) AS fp_min
+         |FROM sharded GROUP BY 1, 2
+         |ORDER BY bucket, shard""".stripMargin
+    })
 }
