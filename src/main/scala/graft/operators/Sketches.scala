@@ -479,4 +479,51 @@ object Sketches {
       .select(col("g").as(groupCol), col("tok").as("token"), col("cnt"),
         col("n_tokens"))
   }
+
+  // ------------------------------------------- mergeable quantile sketch
+
+  /** Deterministic bottom-k quantile sketch: the k rows with the
+    * smallest `md5("qsk:" || id)` — a hash-uniform row sample that is
+    * ORDER-INSENSITIVE (the same k rows whatever the scan order) and
+    * EXACTLY mergeable over disjoint inputs:
+    * `bottomK(A) ∪ bottomK(B) → bottomK` IS `bottomK(A ∪ B)`, no
+    * approximation in the merge itself (SketchesSpec pins the law as
+    * set equality). Like the Bloom/CMS/KMV/HLL states above, the
+    * sketch is a k-row frame — persistable through parquet, built per
+    * shard, folded at plan time; rank error is the sampling error of a
+    * k-row uniform sample, O(n/√k). One TakeOrdered pass per input —
+    * no global sort, no full shuffle. */
+  def quantileSketch(df: DataFrame, idCol: String, valueCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= (1 << 20), s"sketch size in [1, 2^20]: $k")
+    df.select(
+      md5(concat(lit("qsk:"), col(idCol).cast("long").cast("string")))
+        .as("h"),
+      col(valueCol).cast("long").as("v"))
+      .orderBy(col("h"), col("v")).limit(k)
+  }
+
+  /** Fold sketches over DISJOINT row sets into the sketch of the union
+    * (exact by the bottom-k law). */
+  def mergeQuantileSketches(k: Int, sketches: DataFrame*): DataFrame =
+    sketches.reduce(_.union(_)).orderBy(col("h"), col("v")).limit(k)
+
+  /** Quantile estimates from a sketch: the sample's order statistic at
+    * rank ⌊pm·(k−1)/1000⌋ per requested per-mille. The window runs
+    * over the K-ROW sketch, not the data — bounded whatever the
+    * corpus. */
+  def sketchQuantiles(sketch: DataFrame, k: Int,
+                      perMille: Seq[Int]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("h"))
+    val ranked = sketch
+      .withColumn("rk", row_number().over(w).cast("long") - 1)
+    val ranks = perMille.toDF("pm")
+      .withColumn("krank",
+        floor(col("pm") * (k - 1) / 1000.0).cast("long"))
+    ranked.join(ranks, col("rk") === col("krank"))
+      .select(col("pm").cast("long").as("pm"), col("v").as("est"))
+  }
 }

@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.DecimalType
   *  - q213 is the capstone: a WEB corpus build end to end in one
   *    declarative plan (extract → quality → dedup → BPE budget →
   *    bucket-parallel shards), oracle-replayed as one CTE chain.
+  *  - q214 adds the fourth bounded-state summary — a MERGEABLE
+  *    quantile sketch ([[graft.operators.Sketches.quantileSketch]]):
+  *    deterministic bottom-k hash sample with an EXACT merge law; the
+  *    query runs split+merge, the oracle replays one-shot, and their
+  *    hash equality is the cross-engine merge certificate.
   */
 object Wave34 {
 
@@ -39,6 +44,8 @@ object Wave34 {
   private val MinDocToks = 30
   private val ShardBudget = 2048L
   private val ShardBuckets = 8
+  private val SkK = 512
+  private val SkPms = Seq(100, 250, 500, 750, 900)
 
   private def dsum(c: Column, scale: Int = 4): Column = {
     val p = math.pow(10, scale)
@@ -161,6 +168,26 @@ object Wave34 {
           min(col("id")).as("min_doc"), max(col("id")).as("max_doc"),
           min(col("fp")).as("fp_min"))
         .orderBy(col("bucket"), col("shard"))
+    },
+
+    // Mergeable quantile sketch: deterministic bottom-k hash sample,
+    // built per half, folded EXACTLY (the bottom-k merge law), then
+    // order statistics over the k-row state. The query runs the
+    // split+merge path; the oracle replays the one-shot sketch — their
+    // hash-equality IS the cross-engine merge-law certificate.
+    "q214_quantile_sketch" -> { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("id"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val even = graft.operators.Sketches.quantileSketch(
+        base.where(pmod(col("id"), lit(2)) === 0), "id", "cents", SkK)
+      val odd = graft.operators.Sketches.quantileSketch(
+        base.where(pmod(col("id"), lit(2)) === 1), "id", "cents", SkK)
+      val merged = graft.operators.Sketches.mergeQuantileSketches(
+        SkK, even, odd)
+      graft.operators.Sketches.sketchQuantiles(merged, SkK, SkPms)
+        .orderBy(col("pm"))
     })
 
   // ------------------------------------------------------------ oracles
@@ -309,5 +336,24 @@ object Wave34 {
          |  min(fp) AS fp_min
          |FROM sharded GROUP BY 1, 2
          |ORDER BY bucket, shard""".stripMargin
-    })
+    },
+
+    // One-shot bottom-k replay: equality with the engine's split+merge
+    // path certifies the merge law cross-engine.
+    "q214_quantile_sketch" ->
+      s"""WITH v AS (
+         |  SELECT l_orderkey * 10 + l_linenumber AS id,
+         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |sk AS MATERIALIZED (
+         |  SELECT md5('qsk:' || id) AS h, v FROM v
+         |  ORDER BY h, v LIMIT $SkK),
+         |ranked AS (
+         |  SELECT v, h, row_number() OVER (ORDER BY v, h) - 1 AS rk
+         |  FROM sk),
+         |pms AS (SELECT unnest([${SkPms.mkString(", ")}]) AS pm)
+         |SELECT CAST(p.pm AS BIGINT) AS pm, r.v AS est
+         |FROM pms p JOIN ranked r ON r.rk = (p.pm * ${SkK - 1}) // 1000
+         |ORDER BY pm""".stripMargin
+    )
 }

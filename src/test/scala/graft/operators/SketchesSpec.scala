@@ -296,4 +296,36 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
       b -> math.max(lo.getOrElse(b, 0), hi.getOrElse(b, 0))).toMap
     merged shouldBe regs(docs)
   }
+
+  test("quantileSketch: split+merge equals the one-shot sketch EXACTLY") {
+    import spark.implicits._
+    val base = (1L to 5000L).map(i => (i, (i * 7919L) % 100000L))
+      .toDF("id", "v")
+    val k = 256
+    val oneShot = Sketches.quantileSketch(base, "id", "v", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val merged = Sketches.mergeQuantileSketches(k,
+      Sketches.quantileSketch(base.where(col("id") % 2 === 0), "id", "v", k),
+      Sketches.quantileSketch(base.where(col("id") % 2 =!= 0), "id", "v", k))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    merged shouldBe oneShot
+    oneShot.size shouldBe k
+  }
+
+  test("quantileSketch estimates land within sampling error of the truth") {
+    import spark.implicits._
+    val n = 20000L
+    // values are a permuted 0..n-1, so true per-mille pm ≈ pm·n/1000
+    val base = (0L until n).map(i => (i, (i * 104729L) % n)).toDF("id", "v")
+    val k = 512
+    val sk = Sketches.quantileSketch(base, "id", "v", k)
+    val ests = Sketches.sketchQuantiles(sk, k, Seq(100, 250, 500, 750, 900))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ests.foreach { case (pm, est) =>
+      // rank error of a k-row uniform sample: assert within 10% of n
+      // (≈ 4.5σ at k=512 — deterministic for this fixed data)
+      val target = pm.toDouble * n / 1000.0
+      math.abs(est - target) should be < (0.10 * n)
+    }
+  }
 }
