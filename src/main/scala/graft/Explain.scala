@@ -25,7 +25,10 @@ object Explain {
       "q193_token_decontam", "q196_nullsafe_join", "q197_custdist",
       // r12: the bucketed SMB join + the TPC-H completion shapes
       "q199_bucketed_join", "q200_tpch_q6", "q201_tpch_q10",
-      "q204_tpch_q18", "q205_tpch_q19")
+      "q204_tpch_q18", "q205_tpch_q19",
+      // r12 part two: grouping sets, web build capstone, BFS, sketch
+      "q209_grouping_sets", "q211_bfs_hops", "q213_web_corpus_build",
+      "q214_quantile_sketch")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -31,19 +31,25 @@ object Sharding {
   /** [[contiguousShards]] over a caller-supplied token-count column —
     * the seam that lets real tokenizer counts (e.g.
     * `size(Bpe.encode(...))`, q213) drive the same bucket-parallel
-    * cumsum. */
+    * cumsum. `carry` columns ride through unchanged, so a caller that
+    * needs per-doc attributes downstream (q213's content fingerprint)
+    * does NOT have to join back — a join-back would re-run the
+    * upstream pipeline (one extra full scan per reference). */
   def contiguousShardsBy(docs: DataFrame, idCol: String, nTokens: Column,
-                         budget: Long, buckets: Int = 32): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("id"),
-      nTokens.cast("long").as("n_tokens"),
-      pmod(col(idCol).cast("long"), lit(buckets)).as("bucket"))
+                         budget: Long, buckets: Int = 32,
+                         carry: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id") +:
+      nTokens.cast("long").as("n_tokens") +:
+      pmod(col(idCol).cast("long"), lit(buckets)).as("bucket") +:
+      carry.map(col): _*)
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
       .withColumn("csum", sum(col("n_tokens")).over(w))
       .withColumn("shard",
         floor((col("csum") - col("n_tokens")) / budget).cast("long"))
-      .select(col("id"), col("bucket"), col("shard"), col("n_tokens"))
+      .select(col("id") +: col("bucket") +: col("shard") +:
+        col("n_tokens") +: carry.map(col): _*)
   }
 
   /** Concat-and-chunk sequence packing — the "tokenize, concatenate,

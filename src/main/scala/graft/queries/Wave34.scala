@@ -160,8 +160,9 @@ object Wave34 {
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), min(col("n_toks")).as("n_toks"))
       val sharded = graft.operators.Sharding.contiguousShardsBy(
-        deduped, "doc_id", col("n_toks"), ShardBudget, ShardBuckets)
-      sharded.join(deduped.select(col("doc_id").as("id"), col("fp")), "id")
+        deduped, "doc_id", col("n_toks"), ShardBudget, ShardBuckets,
+        carry = Seq("fp"))
+      sharded
         .groupBy(col("bucket"), col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),

@@ -414,4 +414,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "SortMergeJoin" // probe side must stay broadcast
   }
+
+  test("q209: grouping sets is ONE scan through Expand, not a union of scans") {
+    val p = plan("q209_grouping_sets")
+    p should include("Expand")
+    // one lineitem scan: a per-stratum union would read it three times
+    "FileScan parquet".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("q213: web corpus build — ONE corpus scan, no single-partition window") {
+    val p = plan("q213_web_corpus_build")
+    p should not include "Exchange SinglePartition"
+    p should not include "CartesianProduct"
+    // the carry-column seam keeps fp in-stream: a join-back would
+    // re-run extraction + BPE encode as a second full scan
+    "FileScan parquet".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("q214: sketch builds are TakeOrdered passes, not global sorts") {
+    val p = plan("q214_quantile_sketch")
+    p should include("TakeOrderedAndProject")
+    // the only Sort allowed is over the k-row sketch (the rank window)
+    "Sort \\[v".r.findAllIn(p).size should be <= 2
+  }
 }
