@@ -312,6 +312,23 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     oneShot.size shouldBe k
   }
 
+  test("quantileSketch state persists through parquet: readback merge ≡ in-memory") {
+    import spark.implicits._
+    val base = (1L to 4000L).map(i => (i, (i * 31L) % 9999L)).toDF("id", "v")
+    val k = 128
+    val half = Sketches.quantileSketch(
+      base.where(col("id") <= 2000), "id", "v", k)
+    val dir = graft.io.PathsUtil.transientPath("graft-qsketch-state")
+    half.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val mergedViaDisk = Sketches.mergeQuantileSketches(k, back,
+      Sketches.quantileSketch(base.where(col("id") > 2000), "id", "v", k))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val oneShot = Sketches.quantileSketch(base, "id", "v", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    mergedViaDisk shouldBe oneShot
+  }
+
   test("quantileSketch estimates land within sampling error of the truth") {
     import spark.implicits._
     val n = 20000L
