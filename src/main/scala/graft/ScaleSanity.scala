@@ -260,7 +260,9 @@ object ScaleSanity {
       // after the r10 verdict flagged the nation|mktsegment fixture
       "q179_entity_resolution",
       // r11: BPE training — one corpus scan + vocab-table rounds
-      "q187_bpe_train")
+      "q187_bpe_train",
+      // r12: frontier BFS over the kNN graph; the one-scan web build
+      "q211_bfs_hops", "q213_web_corpus_build")
     val queries = if (args.length > 3) args.drop(3).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, TextAnalysis}
+import graft.operators.{Bpe, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -35,6 +35,9 @@ import org.apache.spark.sql.types.DecimalType
   *    deterministic bottom-k hash sample with an EXACT merge law; the
   *    query runs split+merge, the oracle replays one-shot, and their
   *    hash equality is the cross-engine merge certificate.
+  *  - q215 catalogs ALL FIVE real codecs (PNG, WAV, Y4M, GIF, JPEG)
+  *    out of one documents scan into the unified asset frame — the
+  *    complete seam in one certified row.
   */
 object Wave34 {
 
@@ -169,6 +172,48 @@ object Wave34 {
           min(col("id")).as("min_doc"), max(col("id")).as("max_doc"),
           min(col("fp")).as("fp_min"))
         .orderBy(col("bucket"), col("shard"))
+    },
+
+    // The COMPLETE codec seam in one catalog: all five real decoders
+    // (PNG, WAV, Y4M, GIF, JPEG — q194's three plus the two r12
+    // compression families) flatMap out of ONE documents scan into the
+    // unified asset frame. Every width/height/frame/payload figure is
+    // EARNED through its format's full decode, then replayed
+    // arithmetically by the oracle.
+    "q215_catalog_five" -> { (s, d) =>
+      import s.implicits._
+      import Multimodal.{Asset => A}
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .flatMap { case (id, nChars) =>
+          val png = Multimodal.decodePng(A(id, "png",
+            Multimodal.syntheticPng(8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id)))
+          val wav = Multimodal.decodeWav(A(id, "wav",
+            Multimodal.syntheticWav(8000 * (1 + (id % 5).toInt), 1 + (id % 2).toInt,
+              40 + (nChars % 101).toInt, id)))
+          val y4m = Multimodal.decodeY4m(A(id, "y4m",
+            Multimodal.syntheticY4m(8 + 2 * (id % 5).toInt,
+              6 + 2 * (nChars % 3).toInt, 3 + (id % 8).toInt, id)))
+          val gif = Multimodal.decodeGif(A(id, "gif",
+            Multimodal.syntheticGif(8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id)))
+          val jpg = Multimodal.decodeJpeg(A(id, "jpeg",
+            Multimodal.syntheticJpeg(8 * (2 + (id % 3).toInt),
+              8 * (1 + (nChars % 3).toInt), id)))
+          Seq(
+            (id, "png", png.width, png.height, 1L, -1L, png.n_pix_bytes),
+            (id, "wav", -1L, -1L, wav.n_frames, wav.duration_us,
+              wav.n_frames * wav.channels * 2L),
+            (id, "y4m", y4m.width.toLong, y4m.height.toLong, y4m.n_frames,
+              y4m.duration_us,
+              y4m.n_frames * (y4m.width.toLong * y4m.height * 3 / 2)),
+            (id, "gif", gif.width, gif.height, 1L, -1L, gif.n_idx),
+            (id, "jpeg", jpg.width, jpg.height, 1L, -1L,
+              jpg.width * jpg.height))
+        }
+        .toDF("asset_id", "modality", "width", "height", "n_frames",
+          "duration_us", "payload_bytes")
+        .orderBy(col("asset_id"), col("modality"))
     },
 
     // Mergeable quantile sketch: deterministic bottom-k hash sample,
@@ -338,6 +383,50 @@ object Wave34 {
          |FROM sharded GROUP BY 1, 2
          |ORDER BY bucket, shard""".stripMargin
     },
+
+    // q194's three arithmetic arms plus the GIF and JPEG replays.
+    "q215_catalog_five" ->
+      """WITH p AS (SELECT doc_id, n_chars FROM documents)
+        |SELECT doc_id AS asset_id, 'png' AS modality,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(5 + n_chars % 7 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST(-1 AS BIGINT) AS duration_us,
+        |  CAST((8 + doc_id % 9) * (5 + n_chars % 7) * 3 AS BIGINT)
+        |    AS payload_bytes
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 'wav', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST(40 + n_chars % 101 AS BIGINT),
+        |  CAST((40 + n_chars % 101) * 1000000
+        |    // (8000 * (1 + doc_id % 5)) AS BIGINT),
+        |  CAST((40 + n_chars % 101) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 'y4m',
+        |  CAST(8 + 2 * (doc_id % 5) AS BIGINT),
+        |  CAST(6 + 2 * (n_chars % 3) AS BIGINT),
+        |  CAST(3 + doc_id % 8 AS BIGINT),
+        |  CAST((3 + doc_id % 8) * 40000 AS BIGINT),
+        |  CAST((3 + doc_id % 8) *
+        |    ((8 + 2 * (doc_id % 5)) * (6 + 2 * (n_chars % 3)) * 3 // 2)
+        |    AS BIGINT)
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 'gif',
+        |  CAST(8 + doc_id % 9 AS BIGINT),
+        |  CAST(5 + n_chars % 7 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST((8 + doc_id % 9) * (5 + n_chars % 7) AS BIGINT)
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 'jpeg',
+        |  CAST(8 * (2 + doc_id % 3) AS BIGINT),
+        |  CAST(8 * (1 + n_chars % 3) AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST(64 * (2 + doc_id % 3) * (1 + n_chars % 3) AS BIGINT)
+        |FROM p
+        |ORDER BY asset_id, modality""".stripMargin,
 
     // One-shot bottom-k replay: equality with the engine's split+merge
     // path certifies the merge law cross-engine.
