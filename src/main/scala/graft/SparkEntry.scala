@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Wave27.queries ++ graft.queries.Wave28.queries ++
       graft.queries.Wave29.queries ++ graft.queries.Wave30.queries ++
       graft.queries.Wave31.queries ++ graft.queries.Wave32.queries ++
-      graft.queries.Wave33.queries ++ graft.queries.Wave34.queries
+      graft.queries.Wave33.queries ++ graft.queries.Wave34.queries ++
+      graft.queries.Wave35.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Wave27.oracleSql ++ graft.queries.Wave28.oracleSql ++
       graft.queries.Wave29.oracleSql ++ graft.queries.Wave30.oracleSql ++
       graft.queries.Wave31.oracleSql ++ graft.queries.Wave32.oracleSql ++
-      graft.queries.Wave33.oracleSql ++ graft.queries.Wave34.oracleSql
+      graft.queries.Wave33.oracleSql ++ graft.queries.Wave34.oracleSql ++
+      graft.queries.Wave35.oracleSql
 }

@@ -324,4 +324,48 @@ object Graphs {
     fwd.unpersist()
     dist
   }
+
+  /** Synchronous label propagation (community detection): every vertex
+    * starts labeled with its own id; each round every vertex adopts the
+    * most frequent label among its neighbors' PREVIOUS-round labels
+    * (ties → smallest label; isolated vertices keep their label).
+    * Deterministic by construction — the classic randomized-order LPA
+    * is replaced by the synchronous variant with a total tie-break, so
+    * the oracle can replay rounds exactly.
+    *
+    * Scale shape: each round is (edges ⨝ labels) → two hash
+    * aggregations — count per (vertex, label), then per-vertex argmax
+    * via `max(struct(count, -label))`, which partial-aggregates
+    * map-side. No window sort, no per-vertex top-k shuffle. Label
+    * frames are localCheckpoint-ed per round so the plan stays
+    * round-bounded (same ladder as [[pageRankInt]]). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       nodes: DataFrame, idCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds in [1,32]: $rounds")
+    val fwd = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v").cache()
+    val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
+      .dropDuplicates("id").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val best = und
+        .join(labels.select(col("id").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v").as("id"), (-col("m.nl")).as("__new"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    fwd.unpersist()
+    labels.select(col("id"), col("lbl").as("community"))
+  }
 }

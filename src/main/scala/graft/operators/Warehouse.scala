@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: the table-keeping half of a
+  * training-data platform — dimension versioning (SCD Type 2), change-log
+  * application (CDC merge / upsert-delete), and declarative data-quality
+  * constraint checks.
+  *
+  * Capability lineage: the reference's grouped-reduce surface
+  * (`/root/reference/src/clojure/parkour/reducers.clj:55-78`) plus its
+  * secondary-sort machinery (`/root/reference/src/clojure/parkour/io/
+  * avro.clj:95-99`) are exactly what a MapReduce shop would compose to
+  * build these maintenance jobs by hand; here each is ONE declarative
+  * plan Catalyst can optimize.
+  *
+  * 100 TB posture:
+  *   - [[scd2]] is one shuffle on the business key; interval assembly is
+  *     window functions inside each key partition (no self-join, no
+  *     per-row subquery). Keys are independent — scales linearly in rows.
+  *   - [[cdcMerge]] is one hash aggregation with map-side partial
+  *     combine (`max(struct(seq…, payload…))`): the change log is never
+  *     sorted, and per-key state is ONE row regardless of log depth —
+  *     the latest-wins MERGE shape at any log:snapshot ratio.
+  *   - [[constraintCheck]] emits one 1-row aggregate per scan;
+  *     referential checks are hash anti-joins the optimizer can
+  *     broadcast when the dimension side is small.
+  */
+object Warehouse {
+
+  /** SCD Type-2 dimension build from a change stream: compress
+    * consecutive runs of identical `attrCol` per key into validity
+    * intervals `[valid_from, valid_to)`, ordered by (`tsCol`,
+    * `tieCols`…). The latest interval per key has a null `valid_to` and
+    * `is_current = 1`; `version` numbers a key's intervals from 1.
+    *
+    * Exactly-one-shuffle plan: all three windows share the same
+    * partitioning (`keyCol`) and ordering prefix, so Catalyst plans one
+    * Exchange + one Sort and evaluates lag/filter/lead/row_number in a
+    * single window stage pipeline. */
+  def scd2(changes: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCols: Seq[String]): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)).toIndexedSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val changed = changes
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      // first row of a key, or a genuine attribute change (null-safe:
+      // a null attr after a non-null one IS a change)
+      .filter(col("__prev").isNull.or(!col("__prev").eqNullSafe(col(attrCol))))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
+      .withColumn("version", row_number().over(wc).cast("long"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .drop("__prev")
+  }
+
+  /** CDC merge: apply a change log of upserts (`opCol != deleteOp`) and
+    * deletes (`opCol == deleteOp`) with latest-sequence-wins semantics;
+    * returns the surviving final state — one row per key whose LAST
+    * operation was an upsert, carrying that operation's `payloadCols`
+    * plus `n_ops` (total log entries seen for the key).
+    *
+    * `seqCols` must totally order a key's log entries (e.g. (ts,
+    * change_id)). The whole merge is ONE `groupBy(key).agg(max(struct))`
+    * — struct ordering compares seq fields first, so the max struct IS
+    * the latest entry, and partial aggregation reduces each map task's
+    * contribution to one row per key before the shuffle. */
+  def cdcMerge(log: DataFrame, keyCol: String, seqCols: Seq[String],
+               opCol: String, payloadCols: Seq[String],
+               deleteOp: String = "D"): DataFrame = {
+    val packed = struct(
+      (seqCols.map(col) ++ (opCol +: payloadCols).map(col)).toIndexedSeq: _*)
+    val last = log.groupBy(col(keyCol))
+      .agg(max(packed).as("__last"), count(lit(1)).as("n_ops"))
+    payloadCols.foldLeft(
+      last.filter(col(s"__last.$opCol") =!= deleteOp)
+    )((df, c) => df.withColumn(c, col(s"__last.$c"))).drop("__last")
+  }
+
+  /** One data-quality constraint over one prepared frame: a 1-row
+    * report `(tbl, chk, n_checked, n_viol, ok)`. `isViolation` is any
+    * Boolean column; nulls count as non-violations unless the predicate
+    * says otherwise (make nullability explicit in the predicate). */
+  def constraintCheck(df: DataFrame, table: String, check: String,
+                      isViolation: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(isViolation, 1L).otherwise(0L)).as("n_viol"))
+      .select(lit(table).as("tbl"), lit(check).as("chk"),
+        col("n_checked"),
+        coalesce(col("n_viol"), lit(0L)).as("n_viol"),
+        when(coalesce(col("n_viol"), lit(0L)) === 0, 1L).otherwise(0L)
+          .as("ok"))
+
+  /** Referential-integrity check: rows of `fact` whose `fkCol` has no
+    * match in `dim.pkCol` are violations. Planned as a hash left-anti
+    * join (broadcast when `dim` is small); the report is the same 1-row
+    * shape as [[constraintCheck]]. */
+  def riCheck(fact: DataFrame, fkCol: String, dim: DataFrame,
+              pkCol: String, table: String, check: String): DataFrame = {
+    val total = fact.agg(count(lit(1)).as("n_checked"))
+    val orphans = fact.join(
+        dim.select(col(pkCol)).dropDuplicates(pkCol),
+        fact(fkCol) === dim(pkCol), "left_anti")
+      .agg(count(lit(1)).as("n_viol"))
+    total.crossJoin(orphans) // two 1-row aggregates
+      .select(lit(table).as("tbl"), lit(check).as("chk"),
+        col("n_checked"), col("n_viol"),
+        when(col("n_viol") === 0, 1L).otherwise(0L).as("ok"))
+  }
+
+  /** Uniqueness check: `n_viol` = rows beyond the first per key (the
+    * count-minus-distinct formulation — one pass, no self-join). */
+  def uniqueCheck(df: DataFrame, keyCol: String, table: String,
+                  check: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - count_distinct(col(keyCol))).as("n_viol"))
+      .select(lit(table).as("tbl"), lit(check).as("chk"),
+        col("n_checked"), col("n_viol"),
+        when(col("n_viol") === 0, 1L).otherwise(0L).as("ok"))
+}

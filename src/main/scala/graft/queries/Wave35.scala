@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Graphs, Warehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 35 — round 12, part three: the WAREHOUSE-MAINTENANCE tier.
+  * A training-data platform is also a warehouse: dimensions version,
+  * change logs apply, constraints audit, communities summarize.
+  *
+  *  - q216 builds an SCD TYPE-2 dimension from the event stream
+  *    ([[Warehouse.scd2]]): per-user tier history compressed into
+  *    validity intervals — one shuffle on the business key, windows
+  *    for lag/lead/version inside each partition. The MapReduce
+  *    lineage is the reference's secondary-sort reducer (reference
+  *    `src/clojure/parkour/io/avro.clj:95-99`): group by key, scan
+  *    time-ordered values, emit interval rows.
+  *  - q217 applies a CDC change log with latest-wins MERGE semantics
+  *    ([[Warehouse.cdcMerge]]): upserts and deletes collapse to ONE
+  *    `max(struct(seq…))` hash aggregation — no sort, no window, one
+  *    row of state per key with map-side partial combine.
+  *  - q218 emits a declarative data-quality report: eight constraint
+  *    checks (uniqueness, referential integrity, ranges, null-ness)
+  *    over five tables, each a 1-row aggregate, unioned — the dbt-test
+  *    shape as one Spark plan.
+  *  - q219 runs synchronous LABEL PROPAGATION over the near-dup graph
+  *    ([[Graphs.labelPropagation]]): 4 deterministic rounds, argmax by
+  *    `max(struct(count,-label))` (no window sort), checkpoint ladder —
+  *    template/boilerplate communities at corpus scale. The oracle
+  *    unrolls all rounds as materialized CTEs (same family as q115's
+  *    PageRank replay).
+  */
+object Wave35 {
+
+  private val LpaRounds = 4
+  /** Tier width in currency units: tier = floor(value / 100). */
+  private val TierUnit = 100
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD2 dimension: per-user purchase-tier history as validity
+    // intervals [valid_from, valid_to) in epoch micros, latest open.
+    "q216_scd2_dimension" -> { (s, d) =>
+      val upd = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / TierUnit).cast("long").as("tier"))
+      Warehouse.scd2(upd, "user_id", "tier", "ts", Seq("event_id"))
+        .select(col("user_id"), col("version"), col("tier"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // CDC merge: error events are deletes, everything else upserts a
+    // payload; latest (ts, event_id) wins; deleted users are absent.
+    "q217_cdc_merge" -> { (s, d) =>
+      val log = Tables.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts")).as("seq_us"),
+        col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("event_type"))
+      Warehouse.cdcMerge(log, "user_id", Seq("seq_us", "event_id"),
+        "op", Seq("cents", "event_type"))
+        .select(col("user_id"), col("cents").as("last_cents"),
+          col("event_type").as("last_type"), col("n_ops"))
+        .orderBy(col("user_id"))
+    },
+
+    // Data-quality constraint report: (tbl, chk, n_checked, n_viol, ok).
+    "q218_dq_report" -> { (s, d) =>
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val li = Tables.lineitem(s, d)
+      Seq(
+        Warehouse.uniqueCheck(ord, "o_orderkey", "orders", "pk_unique"),
+        Warehouse.riCheck(ord, "o_custkey", cust, "c_custkey",
+          "orders", "fk_customer"),
+        Warehouse.riCheck(li, "l_orderkey", ord, "o_orderkey",
+          "lineitem", "fk_orders"),
+        Warehouse.constraintCheck(ord, "orders", "nonneg_total",
+          col("o_totalprice").isNull || col("o_totalprice") < 0),
+        Warehouse.constraintCheck(cust, "customer", "acctbal_range",
+          col("c_acctbal").isNull || col("c_acctbal") < -1000
+            || col("c_acctbal") > 10000),
+        Warehouse.constraintCheck(Tables.events(s, d), "events",
+          "props_present",
+          col("props").isNull || length(col("props")) === 0),
+        Warehouse.constraintCheck(li, "lineitem", "qty_range",
+          col("l_quantity").isNull || col("l_quantity") < 1
+            || col("l_quantity") > 50),
+        Warehouse.constraintCheck(Tables.documents(s, d), "documents",
+          "nonempty_text",
+          col("text").isNull || length(col("text")) === 0)
+      ).reduce(_.unionByName(_)).orderBy(col("tbl"), col("chk"))
+    },
+
+    // 4-round synchronous LPA communities over the jaccard>=0.9 graph.
+    "q219_label_propagation" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        Wave13.PrTau)
+      Graphs.labelPropagation(edges, "doc_a", "doc_b", docs, "doc_id",
+        LpaRounds)
+        .orderBy(col("id"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q216_scd2_dimension" ->
+      s"""WITH upd AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(floor(value / $TierUnit) AS BIGINT) AS tier
+         |  FROM events WHERE event_type = 'purchase'),
+         |chg AS (
+         |  SELECT user_id, ts, event_id, tier FROM (
+         |    SELECT *, lag(tier) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS prev
+         |    FROM upd)
+         |  WHERE prev IS NULL OR prev IS DISTINCT FROM tier)
+         |SELECT user_id,
+         |  CAST(row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS BIGINT) AS version,
+         |  tier,
+         |  epoch_us(ts) AS valid_from,
+         |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id)) AS valid_to,
+         |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_current
+         |FROM chg ORDER BY user_id, version""".stripMargin,
+
+    "q217_cdc_merge" ->
+      """WITH log AS (
+        |  SELECT user_id, epoch_us(ts) AS seq_us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY seq_us DESC, event_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM log)
+        |SELECT user_id, cents AS last_cents, event_type AS last_type,
+        |  CAST(n_ops AS BIGINT) AS n_ops
+        |FROM ranked WHERE rk = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "q218_dq_report" ->
+      """WITH checks AS (
+        |  SELECT 'orders' AS tbl, 'pk_unique' AS chk,
+        |    count(*) AS n_checked,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_viol
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'fk_customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'fk_orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+        |       SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'orders', 'nonneg_total', count(*),
+        |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |        THEN 1 ELSE 0 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer', 'acctbal_range', count(*),
+        |    sum(CASE WHEN c_acctbal IS NULL OR c_acctbal < -1000
+        |        OR c_acctbal > 10000 THEN 1 ELSE 0 END)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'events', 'props_present', count(*),
+        |    sum(CASE WHEN props IS NULL OR length(props) = 0
+        |        THEN 1 ELSE 0 END)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem', 'qty_range', count(*),
+        |    sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |        OR l_quantity > 50 THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'documents', 'nonempty_text', count(*),
+        |    sum(CASE WHEN text IS NULL OR length(text) = 0
+        |        THEN 1 ELSE 0 END)
+        |  FROM documents)
+        |SELECT tbl, chk, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(coalesce(n_viol, 0) AS BIGINT) AS n_viol,
+        |  CAST(CASE WHEN coalesce(n_viol, 0) = 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS ok
+        |FROM checks ORDER BY tbl, chk""".stripMargin,
+
+    "q219_label_propagation" -> {
+      // synchronous rounds unrolled; l{k-1} is referenced twice per
+      // round (neighbor counts + isolated-keep), so every label frame
+      // is MATERIALIZED (plain CTEs re-inline per reference and the
+      // chain would go exponential).
+      val rounds = (1 to LpaRounds).map { k =>
+        s"""c$k AS (
+           |  SELECT u.dst AS id, p.lbl, count(*) AS c
+           |  FROM und u JOIN l${k - 1} p ON u.src = p.id
+           |  GROUP BY 1, 2),
+           |b$k AS (
+           |  SELECT id, lbl FROM (
+           |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+           |      ORDER BY c DESC, lbl ASC) AS rk FROM c$k)
+           |  WHERE rk = 1),
+           |l$k AS MATERIALIZED (
+           |  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+           |  FROM l${k - 1} p LEFT JOIN b$k b USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Wave13.SqlNearDupEdges},
+         |und AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+         |l0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents),
+         |$rounds
+         |SELECT id, CAST(lbl AS BIGINT) AS community
+         |FROM l$LpaRounds ORDER BY id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-12 warehouse-tier specs: SCD2 interval laws, CDC merge
+  * semantics, constraint reports, label-propagation communities. */
+class Wave35Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("scd2: compresses runs, chains intervals, flags one current row per key") {
+    import spark.implicits._
+    // key 1: a,a,b,b,a  -> versions a,b,a ; key 2: x -> one open row
+    val changes = Seq(
+      (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "a"),
+      (1L, ts(3000000L), 3L, "b"), (1L, ts(4000000L), 4L, "b"),
+      (1L, ts(5000000L), 5L, "a"), (2L, ts(7000000L), 6L, "x")
+    ).toDF("k", "ts", "id", "attr")
+    val out = Warehouse.scd2(changes, "k", "attr", "ts", Seq("id"))
+      .orderBy("k", "version")
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .collect()
+    out.length shouldBe 4
+    val k1 = out.filter(_.getLong(0) == 1L)
+    k1.map(_.getString(2)).toSeq shouldBe Seq("a", "b", "a")
+    // interval chaining: each valid_to equals the next valid_from
+    k1.sliding(2).foreach { case Array(p, n) =>
+      p.getTimestamp(4) shouldBe n.getTimestamp(3)
+    }
+    // exactly one open current row per key
+    out.count(r => r.isNullAt(4)) shouldBe 2
+    out.filter(r => r.isNullAt(4)).map(_.getLong(5)).toSeq shouldBe Seq(1L, 1L)
+    out.filter(r => !r.isNullAt(4)).map(_.getLong(5)).toSeq.distinct shouldBe Seq(0L)
+  }
+
+  test("scd2: one Exchange — all windows share the key partitioning") {
+    import spark.implicits._
+    val changes = Seq((1L, ts(1L), 1L, "a")).toDF("k", "ts", "id", "attr")
+    val plan = Warehouse.scd2(changes, "k", "attr", "ts", Seq("id"))
+      .queryExecution.executedPlan.toString
+    "(?i)exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("cdcMerge: latest op wins, deletes drop keys, n_ops counts the log") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: U(10) then U(20)  -> survives with 20, n_ops 2
+      (1L, 100L, 1L, "U", 10L),
+      (1L, 200L, 2L, "U", 20L),
+      // key 2: U then D          -> absent
+      (2L, 100L, 3L, "U", 30L),
+      (2L, 300L, 4L, "D", 0L),
+      // key 3: D then U          -> resurrected with 40
+      (3L, 100L, 5L, "D", 0L),
+      (3L, 200L, 6L, "U", 40L),
+      // key 4: same seq_us, higher id wins
+      (4L, 100L, 7L, "U", 50L),
+      (4L, 100L, 8L, "U", 60L)
+    ).toDF("k", "seq_us", "id", "op", "v")
+    val out = Warehouse.cdcMerge(log, "k", Seq("seq_us", "id"), "op", Seq("v"))
+      .orderBy("k").select("k", "v", "n_ops").as[(Long, Long, Long)]
+      .collect().toSeq
+    out shouldBe Seq((1L, 20L, 2L), (3L, 40L, 2L), (4L, 60L, 2L))
+  }
+
+  test("constraint checks: planted violations are counted exactly") {
+    import spark.implicits._
+    val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L), (3L, 98L))
+      .toDF("id", "fk")
+    val dim = Seq(10L).toDF("pk")
+    val ri = Warehouse.riCheck(fact, "fk", dim, "pk", "t", "fk_dim")
+      .collect().head
+    (ri.getLong(2), ri.getLong(3), ri.getLong(4)) shouldBe ((4L, 2L, 0L))
+    val uq = Warehouse.uniqueCheck(fact, "id", "t", "pk_unique")
+      .collect().head
+    (uq.getLong(2), uq.getLong(3), uq.getLong(4)) shouldBe ((4L, 1L, 0L))
+    val ck = Warehouse.constraintCheck(fact, "t", "fk_range",
+      col("fk").isNull || col("fk") > 50).collect().head
+    (ck.getLong(2), ck.getLong(3), ck.getLong(4)) shouldBe ((4L, 2L, 0L))
+    val ok = Warehouse.constraintCheck(fact, "t", "id_pos", col("id") < 0)
+      .collect().head
+    (ok.getLong(3), ok.getLong(4)) shouldBe ((0L, 1L))
+  }
+
+  test("labelPropagation: disjoint triangles converge to their min id; isolated keep their own") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)
+    ).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    val out = Graphs.labelPropagation(edges, "a", "b", nodes, "id", 4)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (99L, 99L))
+  }
+
+  test("labelPropagation: one synchronous round uses only previous-round labels") {
+    import spark.implicits._
+    // path 1-2-3: after ONE round v1->2, v2->1 (tie 1,3 -> min), v3->2;
+    // a sequential/asynchronous update would give a different v2 or v3.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val out = Graphs.labelPropagation(edges, "a", "b", nodes, "id", 1)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq((1L, 2L), (2L, 1L), (3L, 2L))
+  }
+}
