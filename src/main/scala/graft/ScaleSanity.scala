@@ -242,7 +242,9 @@ object ScaleSanity {
     "q149_state_merge", "q152_rfm", "q153_pivot", "q154_unpivot",
     "q155_rolling_metrics", "q157_attribution", "q163_mode_by",
     "q165_latency_histogram", "q167_event_patterns",
-    "q168_conversion_quantiles", "q170_cohort_ltv")
+    "q168_conversion_quantiles", "q170_cohort_ltv",
+    // r12 warehouse tier rides the event stream
+    "q216_scd2_dimension", "q217_cdc_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
