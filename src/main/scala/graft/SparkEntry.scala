@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.Wave29.queries ++ graft.queries.Wave30.queries ++
       graft.queries.Wave31.queries ++ graft.queries.Wave32.queries ++
       graft.queries.Wave33.queries ++ graft.queries.Wave34.queries ++
-      graft.queries.Wave35.queries ++ graft.queries.Wave36.queries
+      graft.queries.Wave35.queries ++ graft.queries.Wave36.queries ++
+      graft.queries.Wave37.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.Wave29.oracleSql ++ graft.queries.Wave30.oracleSql ++
       graft.queries.Wave31.oracleSql ++ graft.queries.Wave32.oracleSql ++
       graft.queries.Wave33.oracleSql ++ graft.queries.Wave34.oracleSql ++
-      graft.queries.Wave35.oracleSql ++ graft.queries.Wave36.oracleSql
+      graft.queries.Wave35.oracleSql ++ graft.queries.Wave36.oracleSql ++
+      graft.queries.Wave37.oracleSql
 }

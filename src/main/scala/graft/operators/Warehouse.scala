@@ -114,6 +114,105 @@ object Warehouse {
         when(col("n_viol") === 0, 1L).otherwise(0L).as("ok"))
   }
 
+  /** Incremental JOIN-view maintenance (the DBSP / differential-dataflow
+    * bilinear delta rule): given snapshots `a`, `b` and change batches
+    * `da`, `db` — each delta row carrying a signed multiplicity in
+    * `weightCol` (+1 insert, −1 delete/retract) — the delta of the
+    * equi-join view `a ⋈ b` is
+    *
+    *   ΔJ = Δa ⋈ b  ∪  a ⋈ Δb  ∪  Δa ⋈ Δb
+    *
+    * with each output row weighted by the product of its input weights
+    * (snapshot rows weigh 1). Applying ΔJ to the old view (sum weights
+    * per row, drop zeros) yields exactly the view over the updated
+    * inputs — no recompute of `a ⋈ b`, ever.
+    *
+    * 100 TB shape: the snap×snap term — the only term proportional to
+    * corpus×corpus — NEVER appears; every join here has a |Δ|-sized
+    * side, so maintenance cost tracks the change batch. With snapshots
+    * bucketed on the key the Δ-side shuffles are |Δ|-sized too, and
+    * small deltas broadcast. Column contract: `a`/`da` and `b`/`db`
+    * must be union-compatible pairs; output = a-columns ++ b-columns
+    * (key deduplicated) ++ `weightCol`. */
+  def joinDelta(a: DataFrame, da: DataFrame, b: DataFrame, db: DataFrame,
+                keyCol: String, weightCol: String = "w"): DataFrame = {
+    def weighted(df: DataFrame) =
+      if (df.columns.contains(weightCol)) df
+      else df.withColumn(weightCol, lit(1L))
+    val (wa, wb) = (weighted(da), weighted(db))
+    val a1 = a.withColumn(weightCol, lit(1L))
+    val b1 = b.withColumn(weightCol, lit(1L))
+    def term(l: DataFrame, r: DataFrame): DataFrame = {
+      val lw = l.withColumnRenamed(weightCol, "__lw")
+      val rw = r.withColumnRenamed(weightCol, "__rw")
+        .withColumnRenamed(keyCol, "__rk")
+      lw.join(rw, col(keyCol) === col("__rk"))
+        .drop("__rk")
+        .withColumn(weightCol, col("__lw") * col("__rw"))
+        .drop("__lw", "__rw")
+    }
+    term(wa, b1).unionByName(term(a1, wb)).unionByName(term(wa, wb))
+  }
+
+  /** Incremental SCD2 APPLICATION: merge an append-only change batch
+    * into an existing [[scd2]] dimension WITHOUT rescanning closed
+    * history. Requires every delta timestamp to be later than the
+    * applied key's open `valid_from` (the append-only contract batch
+    * pipelines satisfy by construction). Composition law (pinned in
+    * Wave37Spec): `scd2Apply(scd2(s1), s2) ≡ scd2(s1 ∪ s2)` whenever
+    * s2's timestamps follow s1's per key.
+    *
+    * Plan shape: closed rows (`is_current = 0`) pass through untouched
+    * — no window ever runs over them; the only window work is over the
+    * |Δ| change rows, and the only join is delta-keys × current rows
+    * (one shuffle each on the business key). At a billion-row dimension
+    * with a million-row batch, the sort is over the million. */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String,
+                attrCol: String, tsCol: String,
+                tieCols: Seq[String]): DataFrame = {
+    val dimCols = Seq(keyCol, "version", attrCol, "valid_from", "valid_to",
+      "is_current")
+    val closed = dim.filter(col("is_current") === 0).select(dimCols.map(col): _*)
+    val open = dim.filter(col("is_current") === 1)
+      .select(col(keyCol), col("version").as("__cur_ver"),
+        col(attrCol).as("__cur_attr"), col("valid_from").as("__cur_from"))
+    val ord = (col(tsCol) +: tieCols.map(col)).toIndexedSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    // genuine attribute changes within the batch, seeded by the key's
+    // current attribute so an unchanged leading run extends the open row
+    val runs = changes
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .join(open, Seq(keyCol), "left")
+      .filter(
+        when(col("__prev").isNull,
+          col("__cur_ver").isNull || !col("__cur_attr").eqNullSafe(col(attrCol)))
+          .otherwise(!col("__prev").eqNullSafe(col(attrCol))))
+    val wr = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val fresh = runs
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wr))
+      .withColumn("version",
+        (coalesce(col("__cur_ver"), lit(0L)) + row_number().over(wr)).cast("long"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(dimCols.map(col): _*)
+    // keys whose batch produced at least one new interval close their
+    // open row at the first new interval's start; others stay open
+    val firstNew = fresh.groupBy(col(keyCol))
+      .agg(min(col("valid_from")).as("__close_at"),
+        max(when(col("is_current") === 1, col("valid_from"))).as("__x"))
+      .drop("__x")
+    val openOut = dim.filter(col("is_current") === 1)
+      .join(firstNew, Seq(keyCol), "left")
+      .withColumn("valid_to",
+        when(col("__close_at").isNotNull, col("__close_at"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current",
+        when(col("__close_at").isNotNull, 0L).otherwise(col("is_current")))
+      .select(dimCols.map(col): _*)
+    closed.unionByName(openOut).unionByName(fresh)
+  }
+
   /** Uniqueness check: `n_viol` = rows beyond the first per key (the
     * count-minus-distinct formulation — one pass, no self-join). */
   def uniqueCheck(df: DataFrame, keyCol: String, table: String,

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 37 — round 12, part five: INCREMENTAL VIEW MAINTENANCE. The
+  * warehouse tier's q216/q217 build state; this wave keeps derived
+  * state current under change batches without recomputing it — the
+  * capability that turns a 100 TB nightly rebuild into a |Δ|-sized
+  * merge. Extends the additive-aggregate maintenance q174 proved to
+  * the two harder shapes: JOIN views and SCD2 dimensions.
+  *
+  *  - q225 maintains a join view through [[Warehouse.joinDelta]] (the
+  *    DBSP bilinear rule ΔJ = Δa⋈b ∪ a⋈Δb ∪ Δa⋈Δb with signed
+  *    multiplicities): inserts of new orders/lineitems AND retractions
+  *    of cancelled orders flow through three |Δ|-sided joins; the
+  *    snap×snap term never runs. The oracle computes the same net
+  *    change as J(new) − J(old) by brute force — the algebra is the
+  *    thing under test.
+  *  - q226 applies a later event batch to an existing SCD2 dimension
+  *    with [[Warehouse.scd2Apply]]: closed history passes through
+  *    untouched (no window, no sort over it), and the composed result
+  *    replays the ONE-SHOT [[Warehouse.scd2]] oracle over the full
+  *    stream — incremental ≡ recompute, certified by hash.
+  */
+object Wave37 {
+
+  /** Orders/lineitems strictly before this date are the "snapshot";
+    * the rest arrive as the change batch. */
+  private val JoinCut = "1999-01-01"
+  /** Purchase events before this instant seed the dimension; the rest
+    * arrive as the applied batch. */
+  private val Scd2Cut = "2024-01-16"
+  private val TierUnit = 100
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Net effect of a change batch on the orders⋈lineitem view, per
+    // order priority: new orders and new lineitems insert (+1),
+    // cancelled (status F) snapshot orders retract (−1). ΔJ aggregates
+    // directly — the view itself is never rebuilt.
+    "q225_join_delta" -> { (s, d) =>
+      val cut = lit(JoinCut).cast("timestamp")
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val oldO = ord.filter(col("o_orderdate") < cut)
+      val oldL = li.filter(col("l_shipdate") < cut)
+      val dO = ord.filter(col("o_orderdate") >= cut).withColumn("w", lit(1L))
+        .unionByName(oldO.filter(col("o_orderstatus") === "F")
+          .withColumn("w", lit(-1L)))
+      val dL = li.filter(col("l_shipdate") >= cut).withColumn("w", lit(1L))
+      val delta = Warehouse.joinDelta(
+        oldO.withColumnRenamed("o_orderkey", "k"),
+        dO.withColumnRenamed("o_orderkey", "k"),
+        oldL.withColumnRenamed("l_orderkey", "k"),
+        dL.withColumnRenamed("l_orderkey", "k"), "k")
+      val vq = (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 1e4) / 1e4).cast(DecimalType(38, 4))
+      delta.groupBy(col("o_orderpriority"))
+        .agg(sum(col("w")).as("net_rows"),
+          sum(col("w") * vq).cast("double").as("net_revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // SCD2 dimension maintained incrementally: seed on the first half
+    // of the purchase stream, apply the second half as a batch. Output
+    // is the q216 shape; the oracle replays the ONE-SHOT build over
+    // the whole stream.
+    "q226_scd2_apply" -> { (s, d) =>
+      val cut = lit(Scd2Cut).cast("timestamp")
+      val upd = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / TierUnit).cast("long").as("tier"))
+      val dim0 = Warehouse.scd2(upd.filter(col("ts") < cut),
+        "user_id", "tier", "ts", Seq("event_id"))
+      Warehouse.scd2Apply(dim0, upd.filter(col("ts") >= cut),
+        "user_id", "tier", "ts", Seq("event_id"))
+        .select(col("user_id"), col("version"), col("tier"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Brute force: the net change IS J(new) − J(old). Decimal sums
+    // subtract exactly; the cast to double happens once at the end on
+    // both engines.
+    "q225_join_delta" ->
+      s"""WITH old_o AS (
+         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '$JoinCut'),
+         |old_l AS (
+         |  SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$JoinCut'),
+         |new_o AS (
+         |  SELECT * FROM old_o WHERE o_orderstatus <> 'F'
+         |  UNION ALL
+         |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '$JoinCut'),
+         |j_old AS (
+         |  SELECT o_orderpriority, count(*) AS n,
+         |    sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4) / 1e4
+         |        AS DECIMAL(38,4))) AS rev
+         |  FROM old_o o JOIN old_l l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1),
+         |j_new AS (
+         |  SELECT o_orderpriority, count(*) AS n,
+         |    sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4) / 1e4
+         |        AS DECIMAL(38,4))) AS rev
+         |  FROM new_o o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1)
+         |SELECT coalesce(n2.o_orderpriority, n1.o_orderpriority)
+         |    AS o_orderpriority,
+         |  CAST(coalesce(n2.n, 0) - coalesce(n1.n, 0) AS BIGINT) AS net_rows,
+         |  CAST(coalesce(n2.rev, CAST(0 AS DECIMAL(38,4)))
+         |     - coalesce(n1.rev, CAST(0 AS DECIMAL(38,4))) AS DOUBLE)
+         |    AS net_revenue
+         |FROM j_new n2 FULL OUTER JOIN j_old n1 USING (o_orderpriority)
+         |ORDER BY 1""".stripMargin,
+
+    // One-shot replay of the full stream — identical to the q216
+    // oracle: incremental application must be indistinguishable.
+    "q226_scd2_apply" -> Wave35.oracleSql("q216_scd2_dimension")
+  )
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-12 incremental-view-maintenance laws: the bilinear join-delta
+  * rule (inserts AND retractions), and SCD2 batch application composing
+  * to the one-shot build. */
+class Wave37Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("joinDelta: old view + delta == new view, with inserts and deletes") {
+    import spark.implicits._
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (1L, "b1x"), (2L, "b2")).toDF("k", "bv")
+    // batch: delete a(2), insert a(4); insert b(2,b2new), b(4,b4)
+    val da = Seq((2L, "a2", -1L), (4L, "a4", 1L)).toDF("k", "av", "w")
+    val db = Seq((2L, "b2new", 1L), (4L, "b4", 1L)).toDF("k", "bv", "w")
+    val delta = Warehouse.joinDelta(a, da, b, db, "k")
+    // apply: old view rows weigh 1; sum weights per row, drop zeros
+    val applied = a.join(b, "k").withColumn("w", lit(1L))
+      .unionByName(delta)
+      .groupBy("k", "av", "bv").agg(sum("w").as("w"))
+      .filter(col("w") =!= 0L)
+    val aNew = Seq((1L, "a1"), (3L, "a3"), (4L, "a4")).toDF("k", "av")
+    val bNew = b.unionByName(db.drop("w"))
+    val expect = aNew.join(bNew, "k").withColumn("w", lit(1L))
+    applied.except(expect).count() shouldBe 0L
+    expect.except(applied).count() shouldBe 0L
+    // the retracted key's rows net out: k=2 appears nowhere
+    applied.filter(col("k") === 2L).count() shouldBe 0L
+  }
+
+  test("joinDelta: exactly three joins — the snap×snap term never runs") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "av")
+    val b = Seq((1L, "y")).toDF("k", "bv")
+    val da = Seq((2L, "x2", 1L)).toDF("k", "av", "w")
+    val db = Seq((2L, "y2", 1L)).toDF("k", "bv", "w")
+    val p = Warehouse.joinDelta(a, da, b, db, "k")
+      .queryExecution.executedPlan.toString
+    ("BroadcastHashJoin".r.findAllIn(p).size +
+      "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size) shouldBe 3
+  }
+
+  test("scd2Apply composes: apply(scd2(s1), s2) == scd2(s1 ++ s2)") {
+    import spark.implicits._
+    // key 1: a,a | b,b,a (change at boundary and inside batch)
+    // key 2: x   | x     (batch extends the open run — no new version)
+    // key 3:     | n,m   (key born in the batch)
+    val s1 = Seq(
+      (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "a"),
+      (2L, ts(1500000L), 3L, "x")
+    ).toDF("k", "ts", "id", "attr")
+    val s2 = Seq(
+      (1L, ts(3000000L), 4L, "b"), (1L, ts(4000000L), 5L, "b"),
+      (1L, ts(5000000L), 6L, "a"),
+      (2L, ts(6000000L), 7L, "x"),
+      (3L, ts(7000000L), 8L, "n"), (3L, ts(8000000L), 9L, "m")
+    ).toDF("k", "ts", "id", "attr")
+    val cols = Seq("k", "version", "attr", "valid_from", "valid_to", "is_current")
+    val inc = Warehouse.scd2Apply(
+      Warehouse.scd2(s1, "k", "attr", "ts", Seq("id")),
+      s2, "k", "attr", "ts", Seq("id")).select(cols.map(col): _*)
+    val oneShot = Warehouse.scd2(s1.unionByName(s2), "k", "attr", "ts", Seq("id"))
+      .select(cols.map(col): _*)
+    inc.except(oneShot).count() shouldBe 0L
+    oneShot.except(inc).count() shouldBe 0L
+    // key 2 kept ONE open interval (the batch run extended it)
+    inc.filter(col("k") === 2L).count() shouldBe 1L
+  }
+
+  test("scd2Apply never recomputes closed history: planted corruption passes through") {
+    import spark.implicits._
+    val s1 = Seq(
+      (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "b")
+    ).toDF("k", "ts", "id", "attr")
+    val dim = Warehouse.scd2(s1, "k", "attr", "ts", Seq("id"))
+    // corrupt the CLOSED interval's attr; a rebuild from the stream
+    // could never produce this value
+    val tampered = dim.withColumn("attr",
+      when(col("is_current") === 0L, lit("TAMPERED")).otherwise(col("attr")))
+    val out = Warehouse.scd2Apply(tampered,
+      Seq((1L, ts(3000000L), 3L, "c")).toDF("k", "ts", "id", "attr"),
+      "k", "attr", "ts", Seq("id"))
+    out.filter(col("attr") === "TAMPERED").count() shouldBe 1L
+    out.filter(col("k") === 1L).count() shouldBe 3L
+  }
+}
