@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 38 — round 12, part six: the two streaming capabilities the
+  * §2.8 extension still lacked, each certified through its batch twin
+  * (the q56/q111/q173 convention — one function serves batch backfill
+  * and the live stream; the streaming semantics are pinned e2e in
+  * StreamsSpec with MemoryStream drivers).
+  *
+  *  - q227 runs the stream-stream LEFT OUTER interval join
+  *    ([[Streams.outerIntervalJoin]]): unmatched left events DO emit
+  *    (null right id, null gap), which in a live stream is a
+  *    watermark-eviction event — the engine may only release the null
+  *    row once no match can arrive. Batch run ≡ plain left outer join,
+  *    giving the DuckDB twin.
+  *  - q228 runs the per-user admission quota whose streaming side is
+  *    Spark 4's `transformWithState` (RocksDB-backed arbitrary state,
+  *    [[Streams.QuotaProcessor]] — ONE long of state per user): admit
+  *    the first K events per user in event-time order. The oracle
+  *    certifies the batch twin's window formulation; StreamsSpec pins
+  *    streamed ≡ batch across arbitrary micro-batch boundaries.
+  */
+object Wave38 {
+
+  private val QuotaN = 5L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Left-outer interval join: every click, with its purchases inside
+    // the hour — or a null row if none ever came.
+    "q227_outer_interval_join" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      Streams.outerIntervalJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+    },
+
+    // Admission quota: first 5 events per user, with sequence numbers.
+    "q228_event_quota" -> { (s, d) =>
+      Streams.quotaKeepBatch(Tables.events(s, d), QuotaN)
+        .orderBy(col("user_id"), col("seq"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q227_outer_interval_join" ->
+      """SELECT c.user_id, c.event_id AS l_event_id,
+        |  p.event_id AS r_event_id,
+        |  date_diff('microsecond', c.ts, p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+        |ORDER BY c.user_id, l_event_id, r_event_id""".stripMargin,
+
+    "q228_event_quota" ->
+      s"""SELECT user_id, event_id, seq FROM (
+         |  SELECT user_id, event_id,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS BIGINT) AS seq
+         |  FROM events)
+         |WHERE seq <= $QuotaN
+         |ORDER BY user_id, seq""".stripMargin
+  )
+}

@@ -215,6 +215,37 @@ object Streams {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every left event pairs
+    * with the right-side events that follow it within `within`; a left
+    * event with NO such match still emits — with null right id and null
+    * gap — but only once the watermark has passed the end of its match
+    * window (before that, a match could still arrive, so the engine
+    * must hold the row). This is the state-EVICTION contract the inner
+    * [[intervalJoin]] never exercises: outer results are watermark-
+    * driven, and StreamsSpec pins that the null row appears exactly
+    * when the watermark crosses, not when the batch ends.
+    *
+    * In batch the same plan is a plain left outer join (`withWatermark`
+    * is a no-op), which is the DuckDB-comparable twin — gap arithmetic
+    * stays integer epoch-μs. State at scale: both sides keyed by
+    * user_id, buffered rows bounded by `watermark` + `within` of event
+    * time per key. */
+  def outerIntervalJoin(left: DataFrame, right: DataFrame,
+                        within: String = "60 minutes",
+                        watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+    l.join(r, expr(
+      s"user_id = r_user_id AND r_ts > l_ts AND r_ts <= l_ts + interval $within"),
+      "left_outer")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
   /** Streaming dux (S13's streaming twin): split one stream into named
     * outputs by predicate via foreachBatch — each micro-batch appends its
     * matching rows under `<basePath>/<name>`. Returns the started query. */
@@ -419,5 +450,75 @@ object Streams {
       graft.operators.Agg.additiveState(df.filter(batchCol === i), keys,
         measure))
     graft.operators.Agg.mergeAdditiveStates(keys, states: _*)
+  }
+
+  // ------------------------------------------- transformWithState tier
+
+  /** Input row for [[quotaKeep]]. */
+  case class QuotaEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  /** A kept event with its per-user admission sequence number (1-based). */
+  case class QuotaKept(user_id: Long, event_id: Long, seq: Long)
+
+  /** Per-key admission quota on Spark 4's `transformWithState` API (the
+    * arbitrary-state successor to mapGroupsWithState, RocksDB-backed):
+    * admit each user's first `n` events in event-time order and drop
+    * the rest forever. State per user is ONE long (admitted-so-far) —
+    * the smallest possible stateful operator, and the cap makes state
+    * writes stop entirely once a key fills its quota. Events inside a
+    * micro-batch are sorted by (ts, event_id) before admission, so
+    * intra-batch disorder is absorbed; cross-batch disorder follows the
+    * ordered-replay caveat shared by [[valueSpikes]]/[[funnelCompletions]].
+    *
+    * Parity (StreamsSpec): on an ordered replay the admitted set equals
+    * [[quotaKeepBatch]] exactly, whatever the batch boundaries. */
+  class QuotaProcessor(n: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, QuotaEvent, QuotaKept] {
+    @transient private var admitted:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[QuotaEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QuotaKept] = {
+      val sofar = if (admitted.exists()) admitted.get() else 0L
+      if (sofar >= n) Iterator.empty // quota full: no state write either
+      else {
+        val kept = rows.toSeq
+          .sortBy(e => (e.ts.getTime, e.event_id))
+          .take((n - sofar).toInt)
+        admitted.update(sofar + kept.size)
+        kept.iterator.zipWithIndex.map { case (e, i) =>
+          QuotaKept(key, e.event_id, sofar + i + 1)
+        }
+      }
+    }
+  }
+
+  /** Streaming side of the quota: requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass`), which
+    * `transformWithState` mandates. */
+  def quotaKeep(events: Dataset[QuotaEvent], n: Long): Dataset[QuotaKept] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Batch twin: the first `n` events per user in (ts, event_id) order
+    * with their admission sequence — one window over the user
+    * partitioning; this is the oracle-certified side (q228). */
+  def quotaKeepBatch(events: DataFrame, n: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .filter(col("seq") <= n)
+      .select(col("user_id"), col("event_id"), col("seq"))
   }
 }

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+/** Round-12 streaming additions, driven e2e: the LEFT OUTER interval
+  * join's watermark-driven null emission, and the transformWithState
+  * admission quota's batch parity across micro-batch boundaries. */
+class Wave38StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("outerIntervalJoin: unmatched left emits null row ONLY after the watermark closes its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[EvId]
+    val right = MemoryStream[EvId]
+    val name = s"outer_join_${System.nanoTime}"
+    val q = Streams.outerIntervalJoin(left.toDF(), right.toDF(),
+      within = "10 minutes", watermark = "30 minutes").writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      // click 100 gets a purchase inside 10 min; click 200 never does
+      left.addData(EvId(100L, ts(0), 1, "click", 0.0),
+        EvId(200L, ts(1), 2, "click", 0.0))
+      right.addData(EvId(900L, ts(5), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val early = spark.table(name)
+        .select("l_event_id", "r_event_id").as[(Long, Option[Long])]
+        .collect().toSet
+      // matched row may emit; the NULL row for 200 must NOT exist yet —
+      // a match could still arrive within its window
+      early.filter(_._2.isEmpty) shouldBe empty
+      // advance both watermarks far past click 200's window end
+      left.addData(EvId(101L, ts(55), 9, "click", 0.0))
+      right.addData(EvId(901L, ts(55), 9, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("l_event_id", "r_event_id").as[(Long, Option[Long])]
+      .collect().toSet
+    rows should contain((100L, Some(900L)))
+    rows should contain((200L, None))
+  }
+
+  test("outerIntervalJoin batch run == streamed accumulation (ordered replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      EvId(1L, ts(0), 1, "click", 0.0), EvId(2L, ts(3), 1, "purchase", 0.0),
+      EvId(3L, ts(2), 2, "click", 0.0), // never matched
+      EvId(4L, ts(20), 3, "click", 0.0), EvId(5L, ts(25), 3, "purchase", 0.0),
+      EvId(6L, ts(59), 9, "click", 0.0), EvId(7L, ts(59), 9, "purchase", 0.0))
+    val clicks = evs.filter(_.event_type == "click")
+    val purch = evs.filter(_.event_type == "purchase")
+    val batch = Streams.outerIntervalJoin(
+      clicks.toDF(), purch.toDF(), within = "10 minutes")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val left = MemoryStream[EvId]
+    val right = MemoryStream[EvId]
+    val name = s"outer_par_${System.nanoTime}"
+    val q = Streams.outerIntervalJoin(left.toDF(), right.toDF(),
+      within = "10 minutes", watermark = "5 minutes").writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      left.addData(clicks.filter(_.ts.getTime < ts(10).getTime): _*)
+      right.addData(purch.filter(_.ts.getTime < ts(10).getTime): _*)
+      q.processAllAvailable()
+      left.addData(clicks.filter(_.ts.getTime >= ts(10).getTime): _*)
+      right.addData(purch.filter(_.ts.getTime >= ts(10).getTime): _*)
+      q.processAllAvailable()
+      // final watermark push so the last unmatched windows close
+      left.addData(EvId(98L, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "click", 0.0))
+      right.addData(EvId(99L, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      .filter(r => r._1 != 99L) // drop the watermark-push fixture pair
+    streamed shouldBe batch
+  }
+
+  test("quotaKeep (transformWithState): streamed == batch twin across arbitrary micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1: seven events split 3|2|2 across batches; user 2: two
+      val evs = (1 to 7).map(i =>
+        Streams.QuotaEvent(1L, ts(i), 100L + i)) ++
+        Seq(Streams.QuotaEvent(2L, ts(1), 201L),
+          Streams.QuotaEvent(2L, ts(2), 202L))
+      val input = MemoryStream[Streams.QuotaEvent]
+      val name = s"quota_${System.nanoTime}"
+      val q = Streams.quotaKeep(input.toDS(), 5L).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(evs(0), evs(1), evs(2), evs(7))
+        q.processAllAvailable()
+        input.addData(evs(3), evs(4), evs(8))
+        q.processAllAvailable()
+        input.addData(evs(5), evs(6)) // over quota: dropped, no state write
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = Streams.quotaKeepBatch(evs.toDF(), 5L)
+        .as[(Long, Long, Long)].collect().toSet
+      streamed shouldBe batch
+      // user 1 admitted exactly 5, sequenced 1..5 on its first events
+      streamed.filter(_._1 == 1L).map(_._3) shouldBe Set(1L, 2L, 3L, 4L, 5L)
+      streamed.filter(_._1 == 1L).map(_._2).max shouldBe 105L
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
