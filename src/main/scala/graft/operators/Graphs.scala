@@ -368,4 +368,51 @@ object Graphs {
     fwd.unpersist()
     labels.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Link prediction by common neighbors + Resource Allocation index:
+    * for every NON-edge pair (x, y) sharing at least one neighbor,
+    * `cn` = |N(x) ∩ N(y)| and `ra_q` = Σ_{w ∈ N(x)∩N(y)} ⌊RaScale /
+    * deg(w)⌋ — the RA index (Zhou et al. 2009) in exact integer
+    * fixed-point, so both engines sum identical longs (no libm, no
+    * float-order sensitivity). Returns the global top `k` by
+    * (ra_q desc, cn desc, x, y).
+    *
+    * Scale shape: wedge enumeration at each center w costs deg(w)², so
+    * total work is Σdeg² — the q138 triangle budget. Unlike triangles
+    * the center CANNOT be degree-oriented away (we need all neighbor
+    * pairs of w), so hubs are excluded by `maxDegree` instead: a hub's
+    * per-neighbor RA weight is ≤ RaScale/maxDegree anyway, so the cap
+    * trims the quadratic tail while touching only the lowest-signal
+    * terms. Both the operator and its oracle replay the same cap. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     maxDegree: Int, k: Int): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree >= 2: $maxDegree")
+    require(k >= 1, s"k >= 1: $k")
+    val fwd = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v").cache()
+    val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+    // wedges centered at w, both endpoints canonical x < y; hub centers
+    // excluded up front so their deg² never materializes
+    val adj = und.select(col("u").as("w"), col("v").as("n"))
+      .join(deg.filter(col("deg") <= maxDegree), "w")
+    val wedges = adj.select(col("w"), col("n").as("x"), col("deg"))
+      .join(adj.select(col("w"), col("n").as("y")), "w")
+      .filter(col("x") < col("y"))
+    val nonEdge = wedges.join(fwd,
+      wedges("x") === fwd("u") && wedges("y") === fwd("v"), "left_anti")
+    val out = nonEdge.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"${RaScale}L div deg")).as("ra_q"))
+      .orderBy(col("ra_q").desc, col("cn").desc, col("x"), col("y"))
+      .limit(k)
+    fwd.unpersist()
+    out
+  }
+
+  /** Fixed-point scale for the RA index's 1/deg terms. */
+  val RaScale = 1000000000L
 }

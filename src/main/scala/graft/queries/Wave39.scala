@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Graphs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 39 — round 12, part seven: LINK PREDICTION over the near-dup
+  * graph. The banding machinery (q26/q115/q219) finds the edges that
+  * exist; this wave scores the pairs it plausibly MISSED — two
+  * documents sharing many near-dup neighbors are near-dups the bands
+  * didn't catch (recall repair for the dedup tier), ranked by the
+  * Resource Allocation index in exact integer fixed-point so the
+  * DuckDB twin replays the scores bit-for-bit.
+  *
+  * q229 = [[Graphs.linkPrediction]] on the jaccard≥0.9 graph: wedge
+  * enumeration (Σdeg² — the q138 triangle budget) with hub centers
+  * capped by `maxDegree` (their per-neighbor RA weight is the smallest
+  * signal in the sum), existing edges anti-joined away, global top-50
+  * with a total tie-break.
+  */
+object Wave39 {
+
+  private val MaxDeg = 64
+  private val TopK = 50
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q229_link_prediction" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        Wave13.PrTau)
+      Graphs.linkPrediction(edges, "doc_a", "doc_b", MaxDeg, TopK)
+        .select(col("x").as("doc_a"), col("y").as("doc_b"),
+          col("cn"), col("ra_q"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q229_link_prediction" ->
+      s"""WITH ${Wave13.SqlNearDupEdges},
+         |und AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS v FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM edges),
+         |deg AS MATERIALIZED (
+         |  SELECT u AS w, count(*) AS deg FROM und GROUP BY 1),
+         |adj AS (
+         |  SELECT und.u AS w, und.v AS n, deg.deg
+         |  FROM und JOIN deg ON und.u = deg.w
+         |  WHERE deg.deg <= $MaxDeg),
+         |wedges AS (
+         |  SELECT a.n AS x, b.n AS y, a.deg
+         |  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n),
+         |nonedge AS (
+         |  SELECT c.x, c.y, c.deg FROM wedges c
+         |  LEFT JOIN edges e ON e.doc_a = c.x AND e.doc_b = c.y
+         |  WHERE e.doc_a IS NULL)
+         |SELECT x AS doc_a, y AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS cn,
+         |  CAST(sum(${Graphs.RaScale} // deg) AS BIGINT) AS ra_q
+         |FROM nonedge GROUP BY 1, 2
+         |ORDER BY ra_q DESC, cn DESC, doc_a, doc_b
+         |LIMIT $TopK""".stripMargin
+  )
+}

@@ -91,4 +91,31 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L)
   }
+
+  test("linkPrediction: path and square goldens, exact RA fixed-point") {
+    import spark.implicits._
+    // path 1-2-3: one non-edge wedge pair (1,3) through center 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Graphs.linkPrediction(path, "a", "b", maxDegree = 64, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    p shouldBe Seq((1L, 3L, 1L, Graphs.RaScale / 2))
+    // square 1-2-3-4-1: the two diagonals, each via TWO deg-2 centers
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val q = Graphs.linkPrediction(sq, "a", "b", maxDegree = 64, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    q shouldBe Set((1L, 3L, 2L, 2 * (Graphs.RaScale / 2)),
+      (2L, 4L, 2L, 2 * (Graphs.RaScale / 2)))
+  }
+
+  test("linkPrediction: hub centers above maxDegree contribute no wedges") {
+    import spark.implicits._
+    // star center 10 with 4 leaves; cap 3 excludes it entirely
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L))
+      .toDF("a", "b")
+    Graphs.linkPrediction(star, "a", "b", maxDegree = 3, k = 10)
+      .count() shouldBe 0L
+    // with the cap admitting deg 4, all 6 leaf pairs appear
+    Graphs.linkPrediction(star, "a", "b", maxDegree = 4, k = 10)
+      .count() shouldBe 6L
+  }
 }
