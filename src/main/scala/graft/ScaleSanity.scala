@@ -263,8 +263,9 @@ object ScaleSanity {
       "q179_entity_resolution",
       // r11: BPE training — one corpus scan + vocab-table rounds
       "q187_bpe_train",
-      // r12: frontier BFS over the kNN graph; the one-scan web build
-      "q211_bfs_hops", "q213_web_corpus_build")
+      // r12: frontier BFS over the kNN graph; the one-scan web build;
+      // link prediction (wedge enumeration over the near-dup graph)
+      "q211_bfs_hops", "q213_web_corpus_build", "q229_link_prediction")
     val queries = if (args.length > 3) args.drop(3).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
