@@ -32,6 +32,14 @@ object GraftFunctionRegistry {
       mk(args(0), args(1))
     })
 
+  private def unary(name: String, usage: String)
+                   (mk: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      mk(args(0))
+    })
+
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other if other.foldable =>
@@ -53,6 +61,8 @@ object GraftFunctionRegistry {
       "graft_dot_f32(a, b) - plain-double dot product of two float arrays")(DotF32),
     binary("graft_dotq_long",
       "graft_dotq_long(a, b) - exact-quantized dot as sum of floor(x*y*1e12) longs")(DotQLongF32),
+    unary("graft_nfc",
+      "graft_nfc(s) - Unicode NFC normalization (JDK Normalizer; zero-alloc on already-normalized input)")(NfcNormalize),
     (FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(hashes, k, seed) - k-permutation MinHash signature over a pre-hashed array<long>"),

@@ -405,6 +405,59 @@ object NativeExpr {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Unicode NFC normalization over a string column, via the JDK's
+    * `java.text.Normalizer` (a static call — no library). The encoding-
+    * hygiene pass every text pipeline runs before fingerprinting:
+    * decomposed sequences (e + U+0301) and precomposed chars (U+00E9)
+    * hash differently byte-wise but are THE SAME text, so dedup and
+    * decontamination keyed on un-normalized md5s silently miss pairs.
+    *
+    * Already-normalized strings (the overwhelming hot path — all-ASCII
+    * passes the ICU quick-check without allocating) return the input
+    * `UTF8String` unchanged, so the corpus scan pays one quick-check
+    * per row and allocates only on genuinely denormalized rows. Stays
+    * inside whole-stage codegen either way.
+    *
+    * Cross-engine contract: NFC is a Unicode-standard normal form, so
+    * DuckDB's `nfc_normalize` reproduces it bit-for-bit (both are UAX
+    * #15 implementations pinned by the same version-stable composition
+    * tables for all assigned codepoints the suite plants). */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case _: StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${other.catalogString}")
+      }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val s = ctx.freshName("s")
+        s"""
+           |String $s = $in.toString();
+           |if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+           |  ${ev.value} = $in;
+           |} else {
+           |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+           |}
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Shared input-type check: both sides must be array<float>. */
   private[functions] def checkFloatArrays(name: String, left: Expression,
                                           right: Expression): TypeCheckResult =
@@ -423,4 +476,5 @@ object NativeExpr {
   def dotLong(a: Column, b: Column): Column = c(DotLongArr(x(a), x(b)))
   def minhashSig(hashes: Column, perms: Array[(Long, Long)]): Column =
     c(MinHashSigF(x(hashes), perms.toIndexedSeq, HashFunctions.Prime))
+  def nfc(s: Column): Column = c(NfcNormalize(x(s)))
 }

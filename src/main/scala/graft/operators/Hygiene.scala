@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpr
+
+/** Encoding-hygiene pass: the normalization every text pipeline runs
+  * BEFORE fingerprinting, dedup, or decontamination. Three independent
+  * defects, three columnar fixes — all pure `Column` expressions inside
+  * whole-stage codegen, linear per row, shuffling nothing:
+  *
+  *  1. Unicode normal form — decomposed (`e` + U+0301) and precomposed
+  *     (U+00E9) spellings are byte-different, semantically identical
+  *     text; un-normalized md5 keys silently miss dup pairs.
+  *     [[NativeExpr.nfc]] (codegen'd JDK Normalizer, zero-alloc on the
+  *     already-normalized hot path).
+  *  2. Invisible characters — C0/C1 controls (except tab/newline/CR),
+  *     zero-width space/joiners, and the BOM survive scrapes and break
+  *     both tokenizers and exact-match dedup. [[scrubInvisible]].
+  *  3. Mojibake — UTF-8 bytes mis-read as Latin-1 (`é` shipped as
+  *     `Ã©`): the single most common web-scrape corruption.
+  *     [[mojibakeHits]] detects; [[repairMojibake]] re-encodes through
+  *     ISO-8859-1 — but ONLY when the whole string is provably that
+  *     artifact (see the gate below), because "repairing" legitimate
+  *     Latin-1-supplement text destroys it.
+  *
+  * Order matters when composing: repair FIRST (the scrub class overlaps
+  * the C1 range mojibake continuation chars live in), then NFC, then
+  * scrub, then whitespace — [[canonicalText]] pins that order.
+  *
+  * Capability parity: the reference normalizes case/tokens inside its
+  * word-count tasks (`/root/reference/examples/parkour/example/word_count.clj:9-13`);
+  * this module is the same pre-tokenization hygiene concern expressed as
+  * a declared, optimizable column surface (and the 100 TB reality the
+  * reference's clean test fixtures never meet).
+  *
+  * Scale: every function here is a per-row map over the corpus scan —
+  * no shuffle, no state, 1000 executors split it embarrassingly. The
+  * regex classes are fixed-width character classes (no backtracking
+  * blowup possible).
+  */
+object Hygiene {
+
+  /** Characters scrubbed by [[scrubInvisible]]: C0 controls minus
+    * tab/LF/CR, DEL, C1 controls, zero-width space/non-joiner/joiner,
+    * BOM/zero-width no-break space. */
+  val ScrubClass: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u0080-\\u009F\\u200B-\\u200D\\uFEFF]"
+
+  /** Mojibake signature: a Latin-1-read UTF-8 two-byte sequence —
+    * U+00C2/U+00C3 (the mis-decoded lead byte of every U+0080–U+00FF
+    * codepoint) followed by a mis-decoded continuation byte. */
+  val MojibakeClass: String = "[\\u00C2\\u00C3][\\u0080-\\u00BF]"
+
+  /** Strip invisible/control characters (keeps tab, LF, CR for the
+    * whitespace pass to fold). */
+  def scrubInvisible(text: Column): Column =
+    regexp_replace(text, ScrubClass, "")
+
+  /** Fold whitespace runs (space/tab/LF/CR — the survivors of
+    * [[scrubInvisible]]) to one space and trim the ends. The explicit
+    * class, not `\s`, because RE2 (DuckDB) and java.util.regex disagree
+    * on `\s` membership for VT. */
+  def canonWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "[ \\t\\n\\r]+", " "))
+
+  /** Count of mojibake two-char signatures in the string. */
+  def mojibakeHits(text: Column): Column =
+    regexp_count(text, lit(MojibakeClass)).cast("long")
+
+  /** True iff the string is a PURE UTF-8-read-as-Latin-1 artifact:
+    * after deleting the mojibake pairs, only ASCII remains (checked
+    * exactly as byte length == char length — no regex). A lone `Ã`, a
+    * legitimate `©`, a `€`, or CJK text all fail the gate, because
+    * re-encoding them through ISO-8859-1 is lossy or invalid — this is
+    * the predicate that makes [[repairMojibake]] safe to run blind
+    * across a 100 TB corpus. */
+  def latin1ArtifactOnly(text: Column): Column = {
+    val stripped = regexp_replace(text, MojibakeClass, "")
+    octet_length(stripped) === length(stripped)
+  }
+
+  /** Reverse the Latin-1 mis-decode — encode back to ISO-8859-1 bytes
+    * (recovering the original UTF-8 bytes) and decode as UTF-8 — when
+    * and only when mojibake is present AND the gate proves the string
+    * is purely that artifact. In the gated branch every character is
+    * ≤ U+00FF (Latin-1-mappable) and every recovered byte sequence is
+    * a valid 2-byte UTF-8 sequence (C2/C3 + 80–BF), so neither codec
+    * step can throw or substitute. Everything else passes through
+    * untouched. */
+  def repairMojibake(text: Column): Column =
+    when(mojibakeHits(text) > 0 && latin1ArtifactOnly(text),
+      decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+
+  /** The full hygiene pass in its one correct order: mojibake repair →
+    * NFC → invisible scrub → whitespace canonicalization. */
+  def canonicalText(text: Column): Column =
+    canonWhitespace(scrubInvisible(NativeExpr.nfc(repairMojibake(text))))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Hygiene
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 40 — round 12, part eight: ENCODING HYGIENE, the normalization
+  * pass that runs before every fingerprint in a real scrape-fed corpus.
+  * Both queries plant the defects deterministically from the documents
+  * table (the corpus text is clean synthetic ASCII, so the defects are
+  * constructed identically by both engines — the q190/q206 planted-
+  * fixture convention), then run the REAL operator on the Spark side:
+  * q230's NFC goes through the codegen'd JDK-Normalizer expression
+  * ([[graft.functions.NativeExpr.nfc]]) and q231's repair through the
+  * actual ISO-8859-1 → UTF-8 re-decode, while the DuckDB twins replay
+  * `nfc_normalize` and the inverse literal substitution — cross-engine
+  * agreement is exactly the Unicode-standard contract.
+  *
+  *  - q230: decomposed vs precomposed accents (doc parity picks the
+  *    spelling), zero-width + control injection, whitespace debris →
+  *    one canonical fingerprint per doc, spelling-independent.
+  *  - q231: mojibake (`é` shipped as `Ã©`) detect + GATED repair — the
+  *    three-way fixture proves the gate: pure artifacts get repaired,
+  *    clean Latin-1 text is untouched, and a string mixing mojibake
+  *    with a legitimate `Ã` is refused (repairing it would corrupt).
+  */
+object Wave40 {
+
+  // planted characters, shared by both engines (chr() codes in SQL)
+  private val Combining = "\u0301" // combining acute (769)
+  private val Precomposed = "\u00e9" // e-acute (233)
+  private val Zwsp = "\u200b" // zero-width space (8203)
+  private val Bel = "\u0007"
+  private val Moji = "\u00c3\u00a9" // e-acute mis-read as Latin-1
+
+  /** DuckDB RE2 spelling of [[Hygiene.ScrubClass]] (RE2 uses `\x{hhhh}`
+    * where java.util.regex uses `\uhhhh`). */
+  private val SqlScrub =
+    """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]"""
+
+  /** DuckDB spelling of [[Hygiene.MojibakeClass]] (built with chr() so
+    * the SQL file stays pure ASCII). */
+  private val SqlMoji =
+    "'[' || chr(194) || chr(195) || '][' || chr(128) || '-' || chr(191) || ']'"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Canonical text fingerprints: NFC + invisible scrub + whitespace
+    // fold give byte-identical md5s for byte-different spellings.
+    "q230_unicode_hygiene" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val prefix = when(col("doc_id") % 2 === 0,
+        lit("cafe" + Combining)).otherwise(lit("caf" + Precomposed))
+      val invis = when(col("doc_id") % 3 === 0,
+        lit(Zwsp + Bel)).otherwise(lit(""))
+      val dirty = concat(prefix, invis, lit("  \t"), col("text"),
+        lit("\r\n"))
+      val canon = Hygiene.canonicalText(dirty)
+      docs.select(col("doc_id"),
+          length(dirty).cast("long").as("n_raw"),
+          length(canon).cast("long").as("n_canon"),
+          md5(canon).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Mojibake detect + gated repair: the three-way planted fixture.
+    "q231_mojibake_repair" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clean = concat(lit("resum" + Precomposed + ": "), col("text"))
+      val pure = regexp_replace(clean, Precomposed, Moji)
+      val dirty = when(col("doc_id") % 3 === 0, pure)
+        .when(col("doc_id") % 3 === 1, clean)
+        .otherwise(concat(lit("s\u00c3o paulo "), pure))
+      val out = Hygiene.repairMojibake(dirty)
+      docs.select(col("doc_id"),
+          Hygiene.mojibakeHits(dirty).as("hits"),
+          (out =!= dirty).as("repaired"),
+          (out === clean).as("restored"),
+          md5(out).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q230_unicode_hygiene" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'cafe' || chr(769)
+         |         ELSE 'caf' || chr(233) END
+         |    || CASE WHEN doc_id % 3 = 0 THEN chr(8203) || chr(7)
+         |            ELSE '' END
+         |    || '  ' || chr(9) || text || chr(13) || chr(10) AS dirty
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, dirty,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+         |      '$SqlScrub', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS canon
+         |  FROM d)
+         |SELECT doc_id, CAST(length(dirty) AS BIGINT) AS n_raw,
+         |  CAST(length(canon) AS BIGINT) AS n_canon, md5(canon) AS fp
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q231_mojibake_repair" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, 'resum' || chr(233) || ': ' || text AS clean
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, clean,
+         |    CASE WHEN doc_id % 3 = 0
+         |           THEN replace(clean, chr(233), chr(195) || chr(169))
+         |         WHEN doc_id % 3 = 1 THEN clean
+         |         ELSE 's' || chr(195) || 'o paulo ' ||
+         |           replace(clean, chr(233), chr(195) || chr(169)) END
+         |      AS dirty
+         |  FROM base),
+         |g AS (
+         |  SELECT doc_id, clean, dirty,
+         |    len(regexp_extract_all(dirty, $SqlMoji)) AS hits,
+         |    regexp_replace(dirty, $SqlMoji, '', 'g') AS stripped
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, clean, dirty, hits,
+         |    CASE WHEN hits > 0 AND strlen(stripped) = length(stripped)
+         |         THEN replace(dirty, chr(195) || chr(169), chr(233))
+         |         ELSE dirty END AS repaired_txt
+         |  FROM g)
+         |SELECT doc_id, CAST(hits AS BIGINT) AS hits,
+         |  repaired_txt <> dirty AS repaired,
+         |  repaired_txt = clean AS restored,
+         |  md5(repaired_txt) AS fp
+         |FROM r ORDER BY doc_id""".stripMargin
+  )
+}

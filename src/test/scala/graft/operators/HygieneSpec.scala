@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkFixture
+import graft.functions.NativeExpr
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Goldens for the encoding-hygiene pass. Every expected value is a
+  * hand-written string — the planted defects are tiny enough to reason
+  * about byte by byte, which is the point: the mojibake gate's
+  * refuse-cases are exactly the strings a blind repair would corrupt. */
+class HygieneSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def run1(input: String, out: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(input).toDF("t").select(out.as("o")).collect()(0).getString(0)
+  }
+
+  test("nfc: decomposed composes, precomposed and ASCII are unchanged, idempotent") {
+    val decomposed = "cafe\u0301"
+    val precomposed = "caf\u00e9"
+    run1(decomposed, NativeExpr.nfc(col("t"))) shouldBe precomposed
+    run1(precomposed, NativeExpr.nfc(col("t"))) shouldBe precomposed
+    run1("plain ascii", NativeExpr.nfc(col("t"))) shouldBe "plain ascii"
+    // idempotence through two codegen stages
+    run1(decomposed, NativeExpr.nfc(NativeExpr.nfc(col("t")))) shouldBe precomposed
+  }
+
+  test("nfc: interpreted eval path matches codegen (null in, null out)") {
+    import spark.implicits._
+    // force the interpreted path by evaluating the expression directly
+    val expr = org.apache.spark.sql.graftshim.ColumnBridge
+      .expression(NativeExpr.nfc(col("t")))
+    expr.nullable shouldBe true
+    val df = Seq(Some("cafe\u0301"), None).toDF("t")
+      .select(NativeExpr.nfc(col("t")).as("o"))
+    df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .toSeq shouldBe Seq("caf\u00e9", null)
+  }
+
+  test("scrubInvisible removes controls/zero-width/BOM, keeps tab-LF-CR for the ws pass") {
+    val dirty = "a\u0000b\u0007c\u200bd\u200de\ufefff\tg\nh\ri"
+    run1(dirty, Hygiene.scrubInvisible(col("t"))) shouldBe "abcdef\tg\nh\ri"
+  }
+
+  test("canonWhitespace folds runs of space/tab/LF/CR and trims") {
+    run1("  a \t b\r\nc  ", Hygiene.canonWhitespace(col("t"))) shouldBe "a b c"
+  }
+
+  test("mojibake: pure artifact is detected and repaired exactly") {
+    val clean = "r\u00e9sum\u00e9 caf\u00e9"
+    val dirty = clean.flatMap(c =>
+      if (c == '\u00e9') "\u00c3\u00a9" else c.toString)
+    run1(dirty, Hygiene.mojibakeHits(col("t")).cast("string")) shouldBe "3"
+    run1(dirty, Hygiene.repairMojibake(col("t"))) shouldBe clean
+  }
+
+  test("mojibake gate refuses: clean Latin-1, mixed legit-Ã, and non-Latin-1 text") {
+    // legitimate precomposed text: zero hits, untouched
+    val legit = "r\u00e9sum\u00e9"
+    run1(legit, Hygiene.repairMojibake(col("t"))) shouldBe legit
+    // mojibake NEXT TO a legitimate lone Ã: stripped leaves non-ASCII,
+    // gate refuses (a blind repair would corrupt the Ã)
+    val mixed = "s\u00c3o \u00c3\u00a9"
+    run1(mixed, Hygiene.repairMojibake(col("t"))) shouldBe mixed
+    // euro sign is not Latin-1-mappable: gate must refuse even with a
+    // real artifact present (blind encode would throw or substitute)
+    val withEuro = "\u20ac \u00c3\u00a9"
+    run1(withEuro, Hygiene.repairMojibake(col("t"))) shouldBe withEuro
+  }
+
+  test("canonicalText composes in the pinned order: repair, NFC, scrub, whitespace") {
+    // mojibake variant: NO zero-width chars — U+200B is not
+    // Latin-1-mappable, so its presence (correctly) refuses the repair
+    // gate; a pure artifact may only contain ASCII + the pairs
+    val dirty = "caf\u00c3\u00a9  \thello\u0007  world\r\n"
+    run1(dirty, Hygiene.canonicalText(col("t"))) shouldBe
+      "caf\u00e9 hello world"
+    // decomposed accent + zero-width arrives at the same canonical bytes
+    val dirty2 = "cafe\u0301\u200b  \thello\u0007  world\r\n"
+    run1(dirty2, Hygiene.canonicalText(col("t"))) shouldBe
+      "caf\u00e9 hello world"
+    // a mojibake string that ALSO carries a zero-width char keeps its
+    // artifact (gate refused — repair would need a non-Latin-1 encode)
+    // but still loses the invisibles and whitespace debris
+    val dirty3 = "caf\u00c3\u00a9\u200b  x"
+    run1(dirty3, Hygiene.canonicalText(col("t"))) shouldBe
+      "caf\u00c3\u00a9 x"
+  }
+}
