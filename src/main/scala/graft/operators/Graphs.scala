@@ -369,6 +369,63 @@ object Graphs {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** Newman modularity per community, in exact integer fixed-point:
+    * for community c, `q_contrib = ⌊e_c·S/m⌋ − ⌊d_c²·S/(4m²)⌋` where
+    * e_c = intra-community edge count, d_c = Σ degrees of members,
+    * m = total undirected edge count, S = [[RaScale]]. Σ q_contrib/S is
+    * Newman's Q up to the per-community floor truncations — every term
+    * an integer both engines reproduce bit-for-bit (the d_c²·S product
+    * runs in DECIMAL(38,0): up to ~4·10²¹ at a 2M-degree sum, past
+    * int64 but nowhere near decimal's 38 digits).
+    *
+    * The community-quality audit for [[labelPropagation]] /
+    * [[Dedup.nearDupClusters]] output: a near-zero or negative
+    * contribution flags a community no denser than chance — a banding
+    * artifact to re-verify, not a template cluster.
+    *
+    * Scale shape: degrees are ONE hash agg over the edge list; e_c is
+    * one join of edges against the (id → community) map on each
+    * endpoint; everything aggregates to |communities| rows with
+    * map-side partial combine. Linear in |E|, no window, no quadratic
+    * stage. `labels` must map every node (extra labels are fine — they
+    * surface as empty communities only if edges reference them). */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame): DataFrame = {
+    // four downstream subtrees (degrees, d_sum, e_intra, m) read the
+    // canonical edge list — materialize it once, like labelPropagation
+    val fwd = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v").localCheckpoint()
+    val lab = labels.select(col("id"), col("community"))
+    val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    // every labeled node, degree 0 when isolated
+    val dsum = lab.join(deg, Seq("id"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+    val eIntra = fwd
+      .join(lab.select(col("id").as("u"), col("community").as("ca")), "u")
+      .join(lab.select(col("id").as("v"), col("community").as("cb")), "v")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_intra"))
+    val m = fwd.agg(count(lit(1)).as("m"))
+    val out = dsum.join(eIntra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        col("d_sum"), coalesce(col("e_intra"), lit(0L)).as("e_intra"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib",
+        expr(s"e_intra * ${RaScale}L div m") -
+          expr("CAST(d_sum AS DECIMAL(38,0)) * CAST(d_sum AS DECIMAL(38,0))" +
+            s" * ${RaScale}L div (4L * m * m)"))
+      .select(col("community"), col("n_nodes"), col("d_sum"),
+        col("e_intra"), col("q_contrib"))
+    out
+  }
+
   /** Link prediction by common neighbors + Resource Allocation index:
     * for every NON-edge pair (x, y) sharing at least one neighbor,
     * `cn` = |N(x) ∩ N(y)| and `ra_q` = Σ_{w ∈ N(x)∩N(y)} ⌊RaScale /
@@ -388,11 +445,14 @@ object Graphs {
                      maxDegree: Int, k: Int): DataFrame = {
     require(maxDegree >= 2, s"maxDegree >= 2: $maxDegree")
     require(k >= 1, s"k >= 1: $k")
+    // three downstream subtrees (und → deg/adj, the anti-join) read the
+    // canonical edge list — materialize it once (a lazy cache would be
+    // dropped by the eager unpersist before the plan ever executes)
     val fwd = edges
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .dropDuplicates("u", "v").cache()
+      .dropDuplicates("u", "v").localCheckpoint()
     val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
     // wedges centered at w, both endpoints canonical x < y; hub centers
@@ -409,7 +469,6 @@ object Graphs {
         sum(expr(s"${RaScale}L div deg")).as("ra_q"))
       .orderBy(col("ra_q").desc, col("cn").desc, col("x"), col("y"))
       .limit(k)
-    fwd.unpersist()
     out
   }
 

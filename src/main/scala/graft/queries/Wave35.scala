@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object Wave35 {
 
-  private val LpaRounds = 4
+  private[queries] val LpaRounds = 4
   /** Tier width in currency units: tier = floor(value / 100). */
   private val TierUnit = 100
 
@@ -200,35 +200,42 @@ object Wave35 {
         |    AS BIGINT) AS ok
         |FROM checks ORDER BY tbl, chk""".stripMargin,
 
-    "q219_label_propagation" -> {
-      // synchronous rounds unrolled; l{k-1} is referenced twice per
-      // round (neighbor counts + isolated-keep), so every label frame
-      // is MATERIALIZED (plain CTEs re-inline per reference and the
-      // chain would go exponential).
-      val rounds = (1 to LpaRounds).map { k =>
-        s"""c$k AS (
-           |  SELECT u.dst AS id, p.lbl, count(*) AS c
-           |  FROM und u JOIN l${k - 1} p ON u.src = p.id
-           |  GROUP BY 1, 2),
-           |b$k AS (
-           |  SELECT id, lbl FROM (
-           |    SELECT id, lbl, row_number() OVER (PARTITION BY id
-           |      ORDER BY c DESC, lbl ASC) AS rk FROM c$k)
-           |  WHERE rk = 1),
-           |l$k AS MATERIALIZED (
-           |  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
-           |  FROM l${k - 1} p LEFT JOIN b$k b USING (id))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ${Wave13.SqlNearDupEdges},
-         |und AS MATERIALIZED (
-         |  SELECT doc_a AS src, doc_b AS dst FROM edges
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM edges),
-         |l0 AS MATERIALIZED (
-         |  SELECT doc_id AS id, doc_id AS lbl FROM documents),
-         |$rounds
+    "q219_label_propagation" ->
+      s"""WITH $SqlLpaFrames
          |SELECT id, CAST(lbl AS BIGINT) AS community
          |FROM l$LpaRounds ORDER BY id""".stripMargin
-    }
   )
+
+  /** Shared DuckDB replay of the q219 pipeline: near-dup edges → und/l0
+    * → [[LpaRounds]] synchronous LPA rounds. Leaves CTE frames `edges`,
+    * `und`, and `l$LpaRounds` (final labels) in scope; callers prefix
+    * with `WITH ` and append their own SELECT (q219 here, q232's
+    * modularity in Wave41). Synchronous rounds unrolled; l{k-1} is
+    * referenced twice per round (neighbor counts + isolated-keep), so
+    * every label frame is MATERIALIZED (plain CTEs re-inline per
+    * reference and the chain would go exponential). */
+  private[queries] lazy val SqlLpaFrames: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT u.dst AS id, p.lbl, count(*) AS c
+         |  FROM und u JOIN l${k - 1} p ON u.src = p.id
+         |  GROUP BY 1, 2),
+         |b$k AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl ASC) AS rk FROM c$k)
+         |  WHERE rk = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+         |  FROM l${k - 1} p LEFT JOIN b$k b USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""${Wave13.SqlNearDupEdges},
+       |und AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |l0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |$rounds""".stripMargin
+  }
 }

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Graphs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 41 — round 12, part nine: COMMUNITY QUALITY. The graph tier
+  * can now find structure three ways (components q55, LPA q219, link
+  * prediction q229); q232 closes the loop by SCORING what LPA found —
+  * Newman modularity per community ([[Graphs.modularity]]) in exact
+  * integer fixed-point, so the DuckDB twin replays every ⌊·⌋ term
+  * bit-for-bit on top of the shared LPA replay
+  * ([[Wave35.SqlLpaFrames]]). In a curation pipeline this is the audit
+  * that separates real template/boilerplate clusters (strongly
+  * positive contribution) from banding artifacts no denser than chance
+  * (≈0 or negative) before a dedup policy acts on them.
+  */
+object Wave41 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q232_modularity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        Wave13.PrTau)
+      val labels = Graphs.labelPropagation(edges, "doc_a", "doc_b",
+        docs, "doc_id", Wave35.LpaRounds)
+      Graphs.modularity(edges, "doc_a", "doc_b", labels)
+        // singleton isolated nodes contribute nothing — report the
+        // communities that HAVE structure (or edges at all)
+        .filter(col("d_sum") > 0)
+        .orderBy(col("community"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q232_modularity" ->
+      s"""WITH ${Wave35.SqlLpaFrames},
+         |lab AS (SELECT id, lbl AS community FROM l${Wave35.LpaRounds}),
+         |m AS (SELECT count(*) AS m FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY 1),
+         |dsum AS (
+         |  SELECT community, count(*) AS n_nodes,
+         |    sum(coalesce(deg, 0)) AS d_sum
+         |  FROM lab LEFT JOIN deg USING (id) GROUP BY 1),
+         |ei AS (
+         |  SELECT la.community, count(*) AS e_intra
+         |  FROM edges e
+         |  JOIN lab la ON la.id = e.doc_a
+         |  JOIN lab lb ON lb.id = e.doc_b
+         |  WHERE la.community = lb.community
+         |  GROUP BY 1)
+         |SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(d_sum AS BIGINT) AS d_sum,
+         |  CAST(coalesce(e_intra, 0) AS BIGINT) AS e_intra,
+         |  CAST(coalesce(e_intra, 0) * ${Graphs.RaScale} // m
+         |    - CAST(d_sum AS HUGEINT) * d_sum * ${Graphs.RaScale}
+         |      // (4 * m * m) AS BIGINT) AS q_contrib
+         |FROM dsum LEFT JOIN ei USING (community) CROSS JOIN m
+         |WHERE d_sum > 0
+         |ORDER BY community""".stripMargin
+  )
+}

@@ -107,6 +107,28 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (2L, 4L, 2L, 2 * (Graphs.RaScale / 2)))
   }
 
+  test("modularity: two triangles + bridge, exact fixed-point contributions") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; m = 7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "community")
+    val got = Graphs.modularity(edges, "a", "b", labels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // each side: e_c = 3, d_sum = 2+2+3 = 7
+    //   q = (3S div 7) - (49*S div 196) = 428571428 - 250000000
+    val q = 3L * Graphs.RaScale / 7 - 49L * Graphs.RaScale / 196
+    got shouldBe Set((1L, 3L, 7L, 3L, q), (4L, 3L, 7L, 3L, q))
+    // splitting a 4-ring in half scores exactly zero (chance density)
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val half = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "community")
+    Graphs.modularity(ring, "a", "b", half)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L, 4L, 1L, 0L), (3L, 2L, 4L, 1L, 0L))
+  }
+
   test("linkPrediction: hub centers above maxDegree contribute no wedges") {
     import spark.implicits._
     // star center 10 with 4 leaves; cap 3 excludes it entirely
