@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the identity key a web-scale corpus dedups
+  * fetches by BEFORE any content hash exists. Two raw URLs that differ
+  * only in host case, a default port, a `#fragment`, tracking params,
+  * parameter order, or a trailing slash name the same resource; a crawl
+  * frontier keyed on raw strings re-fetches (and a corpus keyed on them
+  * double-counts) every such alias. One canonical form per resource is
+  * the fix, and it must be DETERMINISTIC — the same rules at ingest and
+  * at lookup, forever — which is why everything here is closed-form
+  * column algebra (regex extraction + list ops) rather than a locale- or
+  * library-dependent parser.
+  *
+  * Canonical form (RFC 3986 §6 normalizations that are safe without
+  * per-site knowledge, plus the tracking-param strip every pipeline
+  * adds):
+  *   - scheme and host lowercased (path/query stay case-sensitive)
+  *   - default port stripped (`:80` for http, `:443` for https)
+  *   - fragment dropped (client-side only, never sent to the server)
+  *   - `utm_*` / `fbclid` / `gclid` / `ref` query params removed
+  *   - surviving query params sorted byte-wise (order never reaches
+  *     the resource; sorting makes the key order-independent)
+  *   - trailing slashes collapsed off the path (root stays `/`, an
+  *     empty path becomes `/`)
+  *
+  * Preconditions: absolute `scheme://host...` URLs (a crawl frontier
+  * resolves relatives long before this layer). Unknown schemes pass
+  * through with only the generic rules applied.
+  *
+  * Scale: pure per-row column expressions — no shuffle, no UDF, no
+  * state; the regexes are anchored single-pass classes. At 100 TB the
+  * canonical key feeds straight into the exact-dedup hash aggregate
+  * ([[Dedup]]) with map-side combine.
+  *
+  * Capability parity: the reference keys corpora by opaque ids and has
+  * no web layer; this extends the q213 web-corpus-build tier the same
+  * way [[Hygiene]] extends its text layer.
+  */
+object Web {
+
+  /** Query params that track campaigns, not resources. */
+  val TrackingParamRe: String = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** Scheme, lowercased (empty string when the URL is not absolute). */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Host[:port] exactly as written (case preserved, port kept). */
+  def urlHostPort(url: Column): Column =
+    regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)
+
+  /** Lowercased host with the scheme's DEFAULT port stripped (an
+    * explicit non-default port is part of the identity and stays). */
+  def canonicalHost(url: Column): Column = {
+    val hp = lower(urlHostPort(url))
+    val scheme = urlScheme(url)
+    when(scheme === "http", regexp_replace(hp, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+  }
+
+  /** Path with trailing slashes collapsed; empty and root both `/`.
+    * (No lookbehind — RE2 engines don't have it; strip-then-restore.) */
+  def canonicalPath(url: Column): Column = {
+    val p = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val stripped = regexp_replace(p, "/+$", "")
+    when(stripped === "", lit("/")).otherwise(stripped)
+  }
+
+  /** Query string minus tracking params, remaining params byte-sorted;
+    * empty string when nothing survives (or there was no query). */
+  def canonicalQuery(url: Column): Column = {
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(q, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    array_join(array_sort(kept), "&")
+  }
+
+  /** The full canonical URL (see object doc for the rule set). */
+  def canonicalUrl(url: Column): Column = {
+    val q = canonicalQuery(url)
+    concat(urlScheme(url), lit("://"), canonicalHost(url),
+      canonicalPath(url),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Registrable domain (eTLD+1) by the standard no-PSL heuristic:
+    * last two labels, or last THREE when the second-level label is a
+    * known registry suffix (`co`/`com`/`org`/`net`/`ac`/`gov`/`edu`)
+    * under a 2-letter ccTLD (`co.uk`, `com.au`, …). Not the full
+    * Public Suffix List — deterministic, offline, and right for the
+    * domains a pipeline actually rate-limits and aggregates by; the
+    * scaladoc IS the contract, so both engines replay it exactly. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, n - 1)
+    val tld = element_at(labels, n)
+    val isMulti = (n >= 3) && (length(tld) === 2) &&
+      sld.isin("co", "com", "org", "net", "ac", "gov", "edu")
+    when(n <= 2, host)
+      .when(isMulti,
+        concat_ws(".", element_at(labels, n - 2), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+}

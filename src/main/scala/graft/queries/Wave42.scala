@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Web
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 42 — round 12, part ten: URL IDENTITY. Before a web corpus can
+  * dedup by content it must dedup by RESOURCE — and raw URL strings
+  * name the same resource many ways. Each document is planted as TWO
+  * aliases of one resource (variant 0 near-canonical; variant 1 with
+  * uppercase scheme+host, default port, tracking params, scrambled
+  * param order, trailing slash, and a fragment); [[Web.canonicalUrl]]
+  * must collapse every pair to one key.
+  *
+  *  - q233 emits the per-alias canonicalization (canon, host,
+  *    registrable domain) — the oracle replays the rule set with RE2 +
+  *    list ops, so every rule (port vs scheme, tracking strip, byte
+  *    sort, slash collapse, eTLD+1 heuristic) is cross-engine-pinned.
+  *  - q234 aggregates the fetch-planning table: per registrable domain,
+  *    alias rows vs distinct resources vs distinct hosts, with the
+  *    collapse ratio in fixed-point (exactly 2·10⁶ everywhere iff
+  *    canonicalization collapsed every pair and nothing else).
+  */
+object Wave42 {
+
+  /** Planted two-alias URL set, one resource per document. */
+  private def aliases(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val suffix = when(col("doc_id") % 6 === 0, lit(".co.uk"))
+      .otherwise(lit(".example"))
+    val hostLo = concat(col("source"), suffix)
+    val v = explode(array(lit(0), lit(1)))
+    docs.select(col("doc_id"), col("lang"), hostLo.as("host_lo"),
+        v.as("variant"))
+      .withColumn("url",
+        when(col("variant") === 0,
+          concat(lit("http://"), col("host_lo"), lit("/"), col("lang"),
+            lit("/doc/"), col("doc_id"), lit("?a=1&id="), col("doc_id"),
+            lit("&b=2")))
+        .otherwise(
+          concat(lit("HTTP://"), upper(col("host_lo")), lit(":80/"),
+            col("lang"), lit("/doc/"), col("doc_id"),
+            lit("/?utm_source=feed&b=2&id="), col("doc_id"),
+            lit("&a=1&fbclid=x#sec"))))
+  }
+
+  /** Shared DuckDB construction + canonicalization of [[aliases]]. */
+  private val SqlCanon: String =
+    """a AS (
+      |  SELECT doc_id, variant,
+      |    CASE WHEN variant = 0
+      |      THEN 'http://' || host_lo || '/' || lang || '/doc/' ||
+      |        doc_id || '?a=1&id=' || doc_id || '&b=2'
+      |      ELSE 'HTTP://' || upper(host_lo) || ':80/' || lang ||
+      |        '/doc/' || doc_id || '/?utm_source=feed&b=2&id=' ||
+      |        doc_id || '&a=1&fbclid=x#sec' END AS url
+      |  FROM (SELECT doc_id, lang,
+      |          source || CASE WHEN doc_id % 6 = 0 THEN '.co.uk'
+      |                         ELSE '.example' END AS host_lo
+      |        FROM documents)
+      |  CROSS JOIN (VALUES (0), (1)) v(variant)),
+      |c AS (
+      |  SELECT doc_id, variant, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+      |      AS hostport,
+      |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    array_to_string(list_sort(list_filter(
+      |      str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS cq
+      |  FROM a),
+      |k AS (
+      |  SELECT doc_id, variant,
+      |    CASE WHEN scheme = 'http'
+      |           THEN regexp_replace(hostport, ':80$', '')
+      |         WHEN scheme = 'https'
+      |           THEN regexp_replace(hostport, ':443$', '')
+      |         ELSE hostport END AS host,
+      |    scheme, cq,
+      |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(rawpath, '/+$', '') END AS cp
+      |  FROM c),
+      |canon AS (
+      |  SELECT doc_id, variant, host,
+      |    scheme || '://' || host || cp ||
+      |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url,
+      |    (SELECT CASE WHEN len(ls) <= 2 THEN host
+      |       WHEN length(ls[len(ls)]) = 2 AND ls[len(ls)-1] IN
+      |         ('co','com','org','net','ac','gov','edu')
+      |         THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' ||
+      |           ls[len(ls)]
+      |       ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END
+      |     FROM (SELECT str_split(host, '.') AS ls)) AS domain
+      |  FROM k)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q233_url_canonical" -> { (s, d) =>
+      val a = aliases(s, d)
+      a.select(col("doc_id"), col("variant").cast("long").as("variant"),
+          Web.canonicalUrl(col("url")).as("canon_url"),
+          Web.canonicalHost(col("url")).as("host"),
+          Web.registrableDomain(Web.canonicalHost(col("url")))
+            .as("domain"))
+        .orderBy(col("doc_id"), col("variant"))
+    },
+
+    "q234_domain_stats" -> { (s, d) =>
+      val a = aliases(s, d)
+      val canon = a.select(
+        Web.canonicalUrl(col("url")).as("canon_url"),
+        Web.canonicalHost(col("url")).as("host"))
+      canon
+        .groupBy(Web.registrableDomain(col("host")).as("domain"))
+        .agg(count(lit(1)).as("n_aliases"),
+          countDistinct(col("canon_url")).as("n_resources"),
+          countDistinct(col("host")).as("n_hosts"))
+        .withColumn("collapse_q",
+          expr("n_aliases * 1000000L div n_resources"))
+        .orderBy(col("domain"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q233_url_canonical" ->
+      s"""WITH $SqlCanon
+         |SELECT doc_id, CAST(variant AS BIGINT) AS variant,
+         |  canon_url, host, domain
+         |FROM canon ORDER BY doc_id, variant""".stripMargin,
+
+    "q234_domain_stats" ->
+      s"""WITH $SqlCanon
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_aliases,
+         |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_resources,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(count(*) * 1000000 // count(DISTINCT canon_url)
+         |    AS BIGINT) AS collapse_q
+         |FROM canon GROUP BY 1 ORDER BY domain""".stripMargin
+  )
+}

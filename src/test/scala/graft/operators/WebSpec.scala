@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-written URL goldens: each case isolates one canonicalization
+  * rule, plus the alias-collapse property the Wave42 fixture relies on. */
+class WebSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(Web.canonicalUrl(col("u"))).collect()(0)
+      .getString(0)
+  }
+
+  private def dom(host: String): String = {
+    import spark.implicits._
+    Seq(host).toDF("h").select(Web.registrableDomain(col("h")))
+      .collect()(0).getString(0)
+  }
+
+  test("canonicalUrl: scheme+host lowercase, default port, fragment, tracking, sort, slash") {
+    canon("HTTP://WWW.Site.Example:80/A/b/?utm_source=x&b=2&a=1#frag") shouldBe
+      "http://www.site.example/A/b?a=1&b=2"
+    // path case is preserved; query params are byte-sorted
+    canon("http://site.example/Doc?z=1&a=2") shouldBe
+      "http://site.example/Doc?a=2&z=1"
+  }
+
+  test("canonicalUrl: default port is scheme-specific, explicit ports survive") {
+    canon("https://site.example:443/x") shouldBe "https://site.example/x"
+    // :443 is NOT the default for http — part of the identity
+    canon("http://site.example:443/x") shouldBe "http://site.example:443/x"
+    canon("http://site.example:8080/x") shouldBe "http://site.example:8080/x"
+  }
+
+  test("canonicalUrl: empty path becomes /, all-tracking query disappears") {
+    canon("http://site.example?utm_campaign=x&fbclid=1") shouldBe
+      "http://site.example/"
+    canon("http://site.example/deep///") shouldBe "http://site.example/deep"
+  }
+
+  test("canonicalUrl collapses the two Wave42 alias spellings to one key") {
+    val a = canon("http://src9.example/en/doc/7?a=1&id=7&b=2")
+    val b = canon("HTTP://SRC9.EXAMPLE:80/en/doc/7/?utm_source=feed&b=2&id=7&a=1&fbclid=x#sec")
+    a shouldBe b
+    a shouldBe "http://src9.example/en/doc/7?a=1&b=2&id=7"
+  }
+
+  test("registrableDomain: plain TLD, registry suffix under ccTLD, short hosts") {
+    dom("www.site.example") shouldBe "site.example"
+    dom("www.site.co.uk") shouldBe "site.co.uk"
+    dom("a.b.c.com.au") shouldBe "c.com.au"
+    // 'co.uk' itself, two labels: returned whole
+    dom("co.uk") shouldBe "co.uk"
+    dom("localhost") shouldBe "localhost"
+    // 3-letter TLD never triggers the registry-suffix rule
+    dom("a.co.example") shouldBe "co.example"
+  }
+}
