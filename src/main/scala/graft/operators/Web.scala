@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the identity key a web-scale corpus dedups
@@ -85,6 +85,61 @@ object Web {
     concat(urlScheme(url), lit("://"), canonicalHost(url),
       canonicalPath(url),
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** robots.txt verdict per URL, Google-documented semantics: among the
+    * host's rules whose path-prefix matches the URL path, the LONGEST
+    * match wins; on equal length an Allow beats a Disallow; a URL with
+    * no matching rule is allowed. `rules` is (hostCol, prefixCol,
+    * allowCol: boolean) — the parsed policy table, one row per
+    * Allow/Disallow line.
+    *
+    * Plan shape: join on host (the policy table is tiny next to the
+    * fetch list — Catalyst broadcasts it), prefix-filter, then ONE
+    * `max(struct(len, allow))` hash aggregate per URL — no window sort,
+    * map-side combinable; unmatched URLs come back through the left
+    * join's null arm. Scale: |fetch list| × (rules per host), linear in
+    * the frontier for any bounded per-host policy.
+    *
+    * Returns the input plus `allowed` (boolean) and `rule` (the winning
+    * prefix, null when no rule matched). */
+  def robotsVerdict(urls: DataFrame, urlCol: String,
+                    rules: DataFrame, hostCol: String, prefixCol: String,
+                    allowCol: String): DataFrame = {
+    val u = urls.withColumn("__host", canonicalHost(col(urlCol)))
+      .withColumn("__path", canonicalPath(col(urlCol)))
+    val r = rules.select(col(hostCol).as("__host"),
+      col(prefixCol).as("__prefix"), col(allowCol).as("__allow"))
+    // no filter: a URL whose host HAS rules but none matching must
+    // still reach the aggregate (with zero hits), not vanish
+    val matched = u.join(r, Seq("__host"), "left")
+      .withColumn("__hit", col("__prefix").isNotNull &&
+        col("__path").startsWith(col("__prefix")))
+    val urlCols = urls.columns.map(col).toSeq
+    matched
+      .groupBy(urlCols: _*)
+      .agg(max(when(col("__hit"),
+        struct(length(col("__prefix")).as("l"), col("__allow").as("a"),
+          col("__prefix").as("p")))).as("w"))
+      .select(urlCols :+
+        coalesce(col("w.a"), lit(true)).as("allowed") :+
+        col("w.p").as("rule"): _*)
+  }
+
+  /** Per-host FIFO fetch schedule under a crawl delay: within each
+    * host, fetches are sequenced by `orderCol` and the k-th fetch is
+    * scheduled at `(k−1)·delayUsCol` microseconds — the politeness
+    * contract every crawler owes a host, as a plan: ONE window over the
+    * host partitioning (hosts are independent, so 1000 executors split
+    * the frontier by host with no cross-partition traffic; no host's
+    * queue ever leaves one partition). */
+  def politenessSchedule(fetches: DataFrame, hostCol: String,
+                         orderCol: String, delayUsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(orderCol))
+    fetches
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("sched_us", (col("seq") - 1) * col(delayUsCol))
   }
 
   /** Registrable domain (eTLD+1) by the standard no-PSL heuristic:

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Web
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 43 — round 12, part eleven: CRAWL POLICY. Wave 42 gave every
+  * resource one name; this wave decides whether and WHEN it may be
+  * fetched — completing the frontier story (canonicalize → robots →
+  * schedule) that sits in front of the q213 corpus build.
+  *
+  *  - q235 applies robots.txt semantics ([[Web.robotsVerdict]]):
+  *    longest-prefix-match, Allow wins ties, no-match allows. The
+  *    planted policy exercises all three arms (a /private disallow, a
+  *    LONGER /private/ok allow carve-out, and unruled paths).
+  *  - q236 emits the per-host politeness schedule
+  *    ([[Web.politenessSchedule]]) for the allowed fetches: FIFO per
+  *    host, k-th fetch at (k−1)·delay, delay derived from the host
+  *    string so both engines compute it closed-form.
+  */
+object Wave43 {
+
+  /** Planted fetch list: one URL per document, 2-in-5 under /private. */
+  private def fetches(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = when(col("doc_id") % 5 === 0,
+        concat(lit("/private/doc/"), col("doc_id")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("/private/ok/doc/"), col("doc_id")))
+      .otherwise(concat(lit("/"), col("lang"), lit("/doc/"),
+        col("doc_id")))
+    docs.select(col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example"), path)
+        .as("url"))
+  }
+
+  /** Per-host policy table: disallow /private, carve out /private/ok. */
+  private def rules(s: SparkSession, d: String): DataFrame = {
+    val hosts = Tables.documents(s, d)
+      .select(concat(col("source"), lit(".example")).as("host"))
+      .distinct()
+    hosts.select(col("host"), explode(array(
+      struct(lit("/private").as("prefix"), lit(false).as("allow")),
+      struct(lit("/private/ok").as("prefix"), lit(true).as("allow")),
+      struct(lit("/tmp").as("prefix"), lit(false).as("allow"))))
+        .as("r"))
+      .select(col("host"), col("r.prefix"), col("r.allow"))
+  }
+
+  private val SqlFetches =
+    """f AS (
+      |  SELECT doc_id, source || '.example' AS host,
+      |    CASE WHEN doc_id % 5 = 0 THEN '/private/doc/' || doc_id
+      |         WHEN doc_id % 5 = 1 THEN '/private/ok/doc/' || doc_id
+      |         ELSE '/' || lang || '/doc/' || doc_id END AS path
+      |  FROM documents),
+      |r AS (
+      |  SELECT host, prefix, allow
+      |  FROM (SELECT DISTINCT source || '.example' AS host FROM documents)
+      |  CROSS JOIN (VALUES ('/private', FALSE), ('/private/ok', TRUE),
+      |              ('/tmp', FALSE)) rr(prefix, allow)),
+      |hits AS (
+      |  SELECT f.doc_id, r.prefix, r.allow
+      |  FROM f JOIN r ON f.host = r.host
+      |  WHERE starts_with(f.path, r.prefix)),
+      |win AS (
+      |  SELECT doc_id, prefix, allow, row_number() OVER (
+      |    PARTITION BY doc_id
+      |    ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rk
+      |  FROM hits),
+      |verdict AS (
+      |  SELECT f.doc_id, f.host, f.path,
+      |    coalesce(w.allow, TRUE) AS allowed, w.prefix AS rule
+      |  FROM f LEFT JOIN (SELECT * FROM win WHERE rk = 1) w
+      |    USING (doc_id))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q235_robots_filter" -> { (s, d) =>
+      Web.robotsVerdict(fetches(s, d), "url",
+          rules(s, d), "host", "prefix", "allow")
+        .select(col("doc_id"), col("allowed"), col("rule"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q236_politeness" -> { (s, d) =>
+      val allowed = Web.robotsVerdict(fetches(s, d), "url",
+          rules(s, d), "host", "prefix", "allow")
+        .filter(col("allowed"))
+        .withColumn("host", Web.canonicalHost(col("url")))
+        .withColumn("delay_us",
+          (lit(1000000L) + (ascii(col("host")) % 3) * 500000L))
+      Web.politenessSchedule(allowed, "host", "doc_id", "delay_us")
+        .select(col("doc_id"), col("host"), col("seq"), col("sched_us"))
+        .orderBy(col("host"), col("seq"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q235_robots_filter" ->
+      s"""WITH $SqlFetches
+         |SELECT doc_id, allowed, rule
+         |FROM verdict ORDER BY doc_id""".stripMargin,
+
+    "q236_politeness" ->
+      s"""WITH $SqlFetches,
+         |sched AS (
+         |  SELECT doc_id, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+         |      AS BIGINT) AS seq,
+         |    1000000 + (ascii(host) % 3) * 500000 AS delay_us
+         |  FROM verdict WHERE allowed)
+         |SELECT doc_id, host, seq,
+         |  CAST((seq - 1) * delay_us AS BIGINT) AS sched_us
+         |FROM sched ORDER BY host, seq""".stripMargin
+  )
+}

@@ -49,6 +49,46 @@ class WebSpec extends AnyFunSuite with Matchers with SparkFixture {
     a shouldBe "http://src9.example/en/doc/7?a=1&b=2&id=7"
   }
 
+  test("robotsVerdict: longest match wins, Allow beats Disallow on ties, no-match allows") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "http://h.example/private/doc/1"),   // blocked by /private
+      (2L, "http://h.example/private/ok/doc/2"), // longer Allow carve-out
+      (3L, "http://h.example/public/doc/3"),    // host HAS rules, none match
+      (4L, "http://other.example/private/x"),   // host has NO rules at all
+      (5L, "http://h.example/tie")              // equal-length tie: Allow wins
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("h.example", "/private", false),
+      ("h.example", "/private/ok", true),
+      ("h.example", "/tie", false),
+      ("h.example", "/tie", true)
+    ).toDF("host", "prefix", "allow")
+    val got = Web.robotsVerdict(urls, "url", rules, "host", "prefix", "allow")
+      .select("id", "allowed", "rule")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    got shouldBe Set(
+      (1L, false, "/private"),
+      (2L, true, "/private/ok"),
+      (3L, true, null),
+      (4L, true, null),
+      (5L, true, "/tie"))
+  }
+
+  test("politenessSchedule: per-host FIFO at (k-1)*delay") {
+    import spark.implicits._
+    val fetches = Seq(
+      (1L, "a.example", 1000000L), (3L, "a.example", 1000000L),
+      (2L, "a.example", 1000000L), (9L, "b.example", 2000000L)
+    ).toDF("id", "host", "delay_us")
+    val got = Web.politenessSchedule(fetches, "host", "id", "delay_us")
+      .select("id", "seq", "sched_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set((1L, 1L, 0L), (2L, 2L, 1000000L),
+      (3L, 3L, 2000000L), (9L, 1L, 0L))
+  }
+
   test("registrableDomain: plain TLD, registry suffix under ccTLD, short hosts") {
     dom("www.site.example") shouldBe "site.example"
     dom("www.site.co.uk") shouldBe "site.co.uk"
