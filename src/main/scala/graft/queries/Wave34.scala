@@ -41,7 +41,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Wave34 {
 
-  private val MinWords = 5
+  private[queries] val MinWords = 5
   private val BfsRounds = 4
   private val SeedEvery = 50
   private val MinDocToks = 30
@@ -63,7 +63,7 @@ object Wave34 {
     * the oracle: title/nav/h1/ad/footer are short boilerplate blocks
     * the extractor must drop; the two body paragraphs carry the
     * document's text halves. */
-  private def plantedHtml(text: Column, lang: Column,
+  private[queries] def plantedHtml(text: Column, lang: Column,
                           source: Column): Column = {
     val half = floor(length(text) / 2).cast("int")
     concat(
@@ -240,7 +240,7 @@ object Wave34 {
 
   /** The extraction chain in DuckDB dialect — same passes, same order,
     * RE2-safe patterns, 'g' flags where DuckDB needs them. */
-  private def sqlExtract(html: String): String = {
+  private[queries] def sqlExtract(html: String): String = {
     val noScript =
       s"regexp_replace($html, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
     val noStyle =

@@ -36,7 +36,7 @@ object Wave40 {
 
   /** DuckDB RE2 spelling of [[Hygiene.ScrubClass]] (RE2 uses `\x{hhhh}`
     * where java.util.regex uses `\uhhhh`). */
-  private val SqlScrub =
+  private[queries] val SqlScrub =
     """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]"""
 
   /** DuckDB spelling of [[Hygiene.MojibakeClass]] (built with chr() so

@@ -36,7 +36,7 @@ object Wave43 {
   }
 
   /** Per-host policy table: disallow /private, carve out /private/ok. */
-  private def rules(s: SparkSession, d: String): DataFrame = {
+  private[queries] def rules(s: SparkSession, d: String): DataFrame = {
     val hosts = Tables.documents(s, d)
       .select(concat(col("source"), lit(".example")).as("host"))
       .distinct()

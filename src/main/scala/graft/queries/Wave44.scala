@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Hygiene, TextAnalysis, Web}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 44 — round 12, part twelve: the END-TO-END CRAWL→CORPUS
+  * composition (the q171/q213 convention — one declarative plan through
+  * every layer this round added). q237 takes a raw two-alias frontier
+  * with /private arms and runs: URL canonicalization (alias collapse,
+  * Wave 42) → robots verdict (Wave 43) → fetch (planted pages with a
+  * zero-width defect in the h1) → main-content extraction (Wave 34) →
+  * encoding hygiene (Wave 40 — the zero-width char must not reach the
+  * fingerprint) → exact content dedup → per-registrable-domain corpus
+  * report. Every stage is the certified operator, not a re-derivation;
+  * the DuckDB twin replays the full chain, so one hash mismatch
+  * anywhere in five waves of machinery fails THIS row.
+  *
+  * Scale: alias collapse and content dedup are hash aggregates; robots
+  * is a broadcast policy join; fetch/extract/hygiene are per-row maps;
+  * the report is one agg to |domains| rows. No stage exceeds the
+  * frontier's linear cost — this is the 100 TB ingest plan in one
+  * expression.
+  */
+object Wave44 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q237_crawl_corpus" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pb = when(col("doc_id") % 5 === 0,
+          concat(lit("/private/doc/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("/private/ok/doc/"), col("doc_id")))
+        .otherwise(concat(lit("/"), col("lang"), lit("/doc/"),
+          col("doc_id")))
+      val base = docs.select(col("doc_id"),
+        concat(col("source"), lit(".example")).as("host"), pb.as("pb"))
+      val frontier = base.select(col("doc_id"), explode(array(
+        concat(lit("http://"), col("host"), col("pb"), lit("?id="),
+          col("doc_id")),
+        concat(lit("HTTP://"), upper(col("host")), lit(":80"), col("pb"),
+          lit("/?utm_source=feed&id="), col("doc_id"), lit("#x"))))
+        .as("url"))
+      // 1. one name per resource (alias collapse)
+      val resources = frontier
+        .groupBy(Web.canonicalUrl(col("url")).as("canon"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_aliases"))
+      // 2. robots policy
+      val verdict = Web.robotsVerdict(resources, "canon",
+        Wave43.rules(s, d), "host", "prefix", "allow")
+      // 3-5. fetch allowed pages, extract, hygiene, fingerprint
+      val fetched = verdict.filter(col("allowed"))
+        .join(docs, "doc_id")
+        .withColumn("html", regexp_replace(
+          Wave34.plantedHtml(col("text"), col("lang"), col("source")),
+          "<h1>", "<h1>\u200b"))
+        .withColumn("ctext", Hygiene.canonicalText(
+          TextAnalysis.extractHtmlText(col("html"), Wave34.MinWords)))
+        .select(col("canon"), md5(col("ctext")).as("fp"),
+          TextFunctions.tokenCount(col("ctext")).as("n_toks"))
+      // 6. per-domain corpus report
+      verdict
+        .join(fetched, Seq("canon"), "left")
+        .groupBy(Web.registrableDomain(Web.canonicalHost(col("canon")))
+          .as("domain"))
+        .agg(count(lit(1)).as("n_resources"),
+          sum(col("n_aliases")).as("n_aliases"),
+          sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"),
+          countDistinct(col("fp")).as("n_unique_content"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("total_tokens"))
+        .orderBy(col("domain"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val SqlHtml =
+    """'<html><head><title>' || source ||
+      |      '</title><style>p{color:red;}</style>' ||
+      |      '<script>var x=1;</script></head><body>' ||
+      |      '<nav><a href="/">Home</a> <a href="/about">About</a></nav>' ||
+      |      '<h1>' || chr(8203) || lang || ' report</h1><p>' ||
+      |      substr(text, 1, length(text) // 2) ||
+      |      '</p><div class="ad">Sponsored &amp; promoted</div><p>' ||
+      |      substr(text, length(text) // 2 + 1, length(text)) ||
+      |      ' &lt;end&gt;</p><footer>Copyright 2026</footer></body></html>'"""
+      .stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q237_crawl_corpus" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source || '.example' AS host,
+         |    CASE WHEN doc_id % 5 = 0 THEN '/private/doc/' || doc_id
+         |         WHEN doc_id % 5 = 1 THEN '/private/ok/doc/' || doc_id
+         |         ELSE '/' || lang || '/doc/' || doc_id END AS pb
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, 'http://' || host || pb || '?id=' || doc_id
+         |    AS url FROM b
+         |  UNION ALL
+         |  SELECT doc_id, 'HTTP://' || upper(host) || ':80' || pb ||
+         |    '/?utm_source=feed&id=' || doc_id || '#x' FROM b),
+         |cx AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         |      AS scheme,
+         |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+         |      AS hostport,
+         |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+         |      AS rawpath,
+         |    array_to_string(list_sort(list_filter(
+         |      str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p,
+         |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS cq
+         |  FROM fr),
+         |kx AS (
+         |  SELECT doc_id,
+         |    CASE WHEN scheme = 'http'
+         |           THEN regexp_replace(hostport, ':80$$', '')
+         |         WHEN scheme = 'https'
+         |           THEN regexp_replace(hostport, ':443$$', '')
+         |         ELSE hostport END AS host,
+         |    scheme, cq,
+         |    CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+         |         ELSE regexp_replace(rawpath, '/+$$', '') END AS cp
+         |  FROM cx),
+         |canonx AS (
+         |  SELECT doc_id, host, cp,
+         |    scheme || '://' || host || cp ||
+         |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon
+         |  FROM kx),
+         |res AS (
+         |  SELECT canon, min(doc_id) AS doc_id, count(*) AS n_aliases,
+         |    min(host) AS host, min(cp) AS cp
+         |  FROM canonx GROUP BY 1),
+         |rl AS (
+         |  SELECT host, prefix, allow
+         |  FROM (SELECT DISTINCT source || '.example' AS host
+         |        FROM documents)
+         |  CROSS JOIN (VALUES ('/private', FALSE), ('/private/ok', TRUE),
+         |              ('/tmp', FALSE)) rr(prefix, allow)),
+         |hits AS (
+         |  SELECT res.canon, r.prefix, r.allow
+         |  FROM res JOIN rl r ON res.host = r.host
+         |  WHERE starts_with(res.cp, r.prefix)),
+         |win AS (
+         |  SELECT canon, allow, row_number() OVER (PARTITION BY canon
+         |    ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rk
+         |  FROM hits),
+         |verdict AS (
+         |  SELECT res.canon, res.doc_id, res.n_aliases, res.host,
+         |    coalesce(w.allow, TRUE) AS allowed
+         |  FROM res LEFT JOIN (SELECT canon, allow FROM win WHERE rk = 1)
+         |    w USING (canon)),
+         |page AS (
+         |  SELECT v.canon, $SqlHtml AS html
+         |  FROM verdict v JOIN documents USING (doc_id)
+         |  WHERE v.allowed),
+         |ext AS (
+         |  SELECT canon, ${Wave34.sqlExtract("html")} AS etext
+         |  FROM page),
+         |clean AS (
+         |  SELECT canon,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(etext),
+         |      '${Wave40.SqlScrub}', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))
+         |      AS ctext
+         |  FROM ext),
+         |content AS (
+         |  SELECT canon, md5(ctext) AS fp,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(ctext),
+         |      '[^a-z]+'), x -> x <> '')) AS BIGINT) AS n_toks
+         |  FROM clean),
+         |vd AS (
+         |  SELECT v.*, c.fp, c.n_toks,
+         |    (SELECT CASE WHEN len(ls) <= 2 THEN host
+         |       WHEN length(ls[len(ls)]) = 2 AND ls[len(ls)-1] IN
+         |         ('co','com','org','net','ac','gov','edu')
+         |         THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' ||
+         |           ls[len(ls)]
+         |       ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END
+         |     FROM (SELECT str_split(host, '.') AS ls)) AS domain
+         |  FROM verdict v LEFT JOIN content c USING (canon))
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_resources,
+         |  CAST(sum(n_aliases) AS BIGINT) AS n_aliases,
+         |  CAST(sum(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_blocked,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_content,
+         |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS total_tokens
+         |FROM vd GROUP BY 1 ORDER BY domain""".stripMargin
+  )
+}
