@@ -126,6 +126,15 @@ object Web {
         col("w.p").as("rule"): _*)
   }
 
+  /** All `<a href="...">` targets of a page, in document order — the
+    * outlink extraction that feeds the frontier and the host link
+    * graph. Deliberately regex-shallow (like the q210 extractor):
+    * double-quoted hrefs on anchor tags, which is exactly what a
+    * planted-page oracle can replay byte-for-byte; a production parser
+    * slots in behind the same Column seam. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("<a href=\"([^\"]*)\""), lit(1))
+
   /** Per-host FIFO fetch schedule under a crawl delay: within each
     * host, fetches are sequenced by `orderCol` and the k-th fetch is
     * scheduled at `(k−1)·delayUsCol` microseconds — the politeness

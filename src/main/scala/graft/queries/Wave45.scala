@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Graphs, Web}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave 45 — round 12, part thirteen: the HOST LINK GRAPH. A crawler
+  * ranks hosts by how the web points at them; q238 builds that signal
+  * end-to-end: plant pages whose three outlinks aim at the next three
+  * hosts in alphabetical ring order, EXTRACT the hrefs back out of the
+  * html ([[Web.extractLinks]] — the oracle replays the same regex over
+  * the same bytes, so extraction itself is cross-engine-pinned),
+  * canonicalize targets to hosts, and run the exact integer PageRank
+  * ([[Graphs.pageRankInt]], the q115/q121 kernel) over the host graph.
+  * String node ids exercise the rank kernel's key-type generality; the
+  * ring construction gives every host identical in/out structure, so
+  * equal ranks are themselves an oracle-checked invariant.
+  *
+  * Scale: hosts are tiny next to pages (the broadcast side everywhere);
+  * link extraction is a per-row map; the edge set collapses by distinct
+  * BEFORE ranking, so rank work is |hosts|-bounded however many pages
+  * link. The alphabetical host index is a window over a relation whose
+  * cardinality is |hosts| — never the corpus.
+  */
+object Wave45 {
+
+  private val PrIters = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q238_host_pagerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hosts = docs
+        .select(concat(col("source"), lit(".example")).as("host"))
+        .distinct()
+        .withColumn("hid",
+          row_number().over(Window.orderBy(col("host"))).cast("long"))
+      val nh = hosts.agg(count(lit(1)).as("n"))
+      val pg = docs
+        .select(col("doc_id"),
+          concat(col("source"), lit(".example")).as("host"))
+        .join(hosts, "host")
+        .select(col("doc_id"), col("host").as("page_host"), col("hid"))
+        .crossJoin(broadcast(nh))
+      def target(k: Int) = hosts
+        .select(col("hid").as(s"__t$k"), col("host").as(s"h$k"))
+      val linked = pg
+        .join(broadcast(target(1)),
+          ((col("hid") - 1 + 1) % col("n")) + 1 === col("__t1"))
+        .join(broadcast(target(2)),
+          ((col("hid") - 1 + 2) % col("n")) + 1 === col("__t2"))
+        .join(broadcast(target(3)),
+          ((col("hid") - 1 + 3) % col("n")) + 1 === col("__t3"))
+        .select(col("page_host"), concat(lit("<html><body>"),
+          lit("<a href=\"http://"), col("h1"), lit("/from/"),
+          col("doc_id"), lit("\">x</a>"),
+          lit("<a href=\"http://"), col("h2"), lit("/from/"),
+          col("doc_id"), lit("\">x</a>"),
+          lit("<a href=\"http://"), col("h3"), lit("/from/"),
+          col("doc_id"), lit("\">x</a></body></html>")).as("html"))
+      val edges = linked
+        .select(col("page_host").as("a"),
+          explode(Web.extractLinks(col("html"))).as("link"))
+        .select(col("a"), Web.canonicalHost(col("link")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      Graphs.pageRankInt(edges, "a", "b",
+          hosts.select(col("host").as("id")), "id", iters = PrIters)
+        .select(col("id").as("host"), col("rank"))
+        .orderBy(col("host"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q238_host_pagerank" -> {
+      val rounds = (1 to PrIters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    150000 + (coalesce(s.s, 0) * 17) // 20 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT u.dst, sum(p.r // u.deg) AS s
+           |    FROM adj u JOIN r${k - 1} p ON u.src = p.id
+           |    GROUP BY 1) s ON n.id = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH hosts AS (
+         |  SELECT host, CAST(row_number() OVER (ORDER BY host)
+         |    AS BIGINT) AS hid
+         |  FROM (SELECT DISTINCT source || '.example' AS host
+         |        FROM documents)),
+         |nh AS (SELECT count(*) AS n FROM hosts),
+         |pg AS (
+         |  SELECT d.doc_id, h.host AS page_host, h.hid
+         |  FROM documents d
+         |  JOIN hosts h ON h.host = d.source || '.example'),
+         |lk AS (
+         |  SELECT p.page_host,
+         |    '<html><body>' ||
+         |    '<a href="http://' || t1.host || '/from/' || p.doc_id ||
+         |    '">x</a>' ||
+         |    '<a href="http://' || t2.host || '/from/' || p.doc_id ||
+         |    '">x</a>' ||
+         |    '<a href="http://' || t3.host || '/from/' || p.doc_id ||
+         |    '">x</a></body></html>' AS html
+         |  FROM pg p CROSS JOIN nh
+         |  JOIN hosts t1 ON t1.hid = ((p.hid - 1 + 1) % nh.n) + 1
+         |  JOIN hosts t2 ON t2.hid = ((p.hid - 1 + 2) % nh.n) + 1
+         |  JOIN hosts t3 ON t3.hid = ((p.hid - 1 + 3) % nh.n) + 1),
+         |ex AS (
+         |  SELECT page_host AS a,
+         |    lower(regexp_extract(
+         |      unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)),
+         |      '^[^:/?#]+://([^/?#]*)', 1)) AS b
+         |  FROM lk),
+         |eh AS (
+         |  SELECT DISTINCT a, b FROM ex WHERE a <> b),
+         |fwd AS (
+         |  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+         |  FROM eh),
+         |und AS (
+         |  SELECT src, dst FROM fwd
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM fwd),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+         |adj AS (SELECT und.src, und.dst, deg.deg
+         |        FROM und JOIN deg USING (src)),
+         |nodes AS (SELECT host AS id FROM hosts),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |SELECT id AS host, CAST(r AS BIGINT) AS rank
+         |FROM r$PrIters ORDER BY host""".stripMargin
+    }
+  )
+}

@@ -437,4 +437,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     // the only Sort allowed is over the k-row sketch (the rank window)
     "Sort \\[v".r.findAllIn(p).size should be <= 2
   }
+
+  test("q230: hygiene pass is ONE corpus scan of per-row maps — no join, no agg") {
+    val p = plan("q230_unicode_hygiene")
+    p should not include "Join"
+    p should not include "HashAggregate"
+    "FileScan parquet".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("q232: modularity argmaxes via max(struct) hash aggs — no window anywhere") {
+    val p = plan("q232_modularity")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
+  test("q233: URL canonicalization is ONE scan of column algebra — no join") {
+    val p = plan("q233_url_canonical")
+    p should not include "Join"
+    "FileScan parquet".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("q235: robots verdict is a policy join + ONE hash agg — no window sort") {
+    val p = plan("q235_robots_filter")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should include("HashAggregate")
+  }
+
+  test("q237: crawl-corpus composition — no cartesian, no single-partition choke") {
+    val p = plan("q237_crawl_corpus")
+    p should not include "CartesianProduct"
+    p should not include "Exchange SinglePartition"
+    p should not include "Window"
+  }
 }

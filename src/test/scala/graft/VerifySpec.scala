@@ -48,7 +48,12 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave28.queries, queries.Wave29.queries,
       queries.Wave30.queries, queries.Wave31.queries,
       queries.Wave32.queries, queries.Wave33.queries,
-      queries.Wave34.queries)
+      queries.Wave34.queries, queries.Wave35.queries,
+      queries.Wave36.queries, queries.Wave37.queries,
+      queries.Wave38.queries, queries.Wave39.queries,
+      queries.Wave40.queries, queries.Wave41.queries,
+      queries.Wave42.queries, queries.Wave43.queries,
+      queries.Wave44.queries, queries.Wave45.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 
