@@ -1401,4 +1401,52 @@ object TextAnalysis {
         col("novel_chunks"), col("novel_chars"), col("total_chars"),
         (floor(col("novel_chars").cast("double") * 1e9
           / col("total_chars").cast("double")) / 1e9).as("novelty"))
+
+  /** C4-style corpus line dedup, keep-first flavor (Raffel et al. 2020
+    * §2.2 deduplicate "any three-sentence span occurring more than
+    * once" — here the unit is a fixed-width token line, the structure
+    * this corpus has): every line occurring more than once ANYWHERE in
+    * the dataset (across documents or repeated within one) survives
+    * only at its first occurrence — (min doc, min position) — and is
+    * cut everywhere else. Unlike [[removeDuplicateSpans]] (which cuts
+    * ALL copies of a cross-document gram), keep-first preserves one
+    * copy of boilerplate, the policy C4 actually shipped.
+    *
+    * Returns per document: `n_lines`, `n_kept`, and the cleaned text
+    * (kept lines in original order, single-space-joined).
+    *
+    * Scale: explode to (line, doc, pos) → ONE hash aggregate keyed on
+    * the line (count + min-pair, both map-side combinable, state one
+    * row per distinct line) → hash join back on the line key → per-doc
+    * aggregate. Two shuffles, both corpus-linear, nothing quadratic;
+    * the per-line state is bytes, so skew is bounded by the hottest
+    * boilerplate line's occurrence count — which the join, not a
+    * window, absorbs. */
+  def lineDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                         lineTokens: Int = 8): DataFrame = {
+    require(lineTokens >= 1, s"lineTokens >= 1: $lineTokens")
+    val toks = T.tokens(col(textCol))
+    val lines = transform(
+      sequence(lit(0), floor((size(toks) - 1) / lineTokens).cast("int")),
+      k => array_join(slice(toks, k * lineTokens + 1, lit(lineTokens)), " "))
+    val ln = docs
+      .where(size(toks) > 0)
+      .select(col(idCol).as("__id"), posexplode(lines)
+        .as(Seq("line_no", "line")))
+    val st = ln.groupBy(col("line"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("__id"), col("line_no"))).as("keeper"))
+    ln.join(st, "line")
+      .withColumn("keep", col("n_occ") === 1 ||
+        struct(col("__id"), col("line_no")) === col("keeper"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ").as("cleaned"))
+      .select(col("__id").as(idCol), col("n_lines"), col("n_kept"),
+        col("cleaned"))
+  }
 }

@@ -35,9 +35,12 @@ import org.apache.spark.sql.functions._
   * canonical key feeds straight into the exact-dedup hash aggregate
   * ([[Dedup]]) with map-side combine.
   *
-  * Capability parity: the reference keys corpora by opaque ids and has
-  * no web layer; this extends the q213 web-corpus-build tier the same
-  * way [[Hygiene]] extends its text layer.
+  * Capability parity: the reference's resource naming stops at URI
+  * coercion and resolution for job IO
+  * (`/root/reference/src/clojure/parkour/fs.clj:49-56`); web-resource
+  * identity (canonical form, registrable domain, fetch policy) is the
+  * 100 TB-corpus extension of that concern, built here the same way
+  * [[Hygiene]] extends the reference's text handling.
   */
 object Web {
 

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 46 — round 12, part fourteen: KEEP-FIRST LINE DEDUP, the C4
+  * policy ([[TextAnalysis.lineDedupKeepFirst]]). The dedup tier could
+  * already cut every copy of a repeated span (q82) or drop whole
+  * near-dup documents (q26/q87); what it lacked was the policy C4
+  * actually shipped — repeated lines survive at exactly ONE place (the
+  * first occurrence) and are cut everywhere else, so boilerplate keeps
+  * a single representative instead of vanishing. The 40-word corpus
+  * repeats 8-token lines across documents naturally, so the oracle row
+  * exercises real collisions, not planted ones.
+  */
+object Wave46 {
+
+  private val LineTokens = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q239_line_dedup" -> { (s, d) =>
+      TextAnalysis.lineDedupKeepFirst(Tables.documents(s, d),
+          "doc_id", "text", LineTokens)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("cleaned")).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q239_line_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         |    '[^a-z]+'), x -> x <> '') AS t
+         |  FROM documents),
+         |ln AS (
+         |  SELECT doc_id, k AS line_no,
+         |    array_to_string(t[k*$LineTokens+1 : k*$LineTokens+$LineTokens],
+         |      ' ') AS line
+         |  FROM toks, unnest(range(0, (len(t)+${LineTokens - 1})
+         |    //$LineTokens)) AS u(k)
+         |  WHERE len(t) > 0),
+         |st AS (
+         |  SELECT line, count(*) AS n_occ,
+         |    min(doc_id * 1000000 + line_no) AS keeper
+         |  FROM ln GROUP BY 1),
+         |kept AS (
+         |  SELECT l.doc_id, l.line_no, l.line,
+         |    (s.n_occ = 1 OR l.doc_id * 1000000 + l.line_no = s.keeper)
+         |      AS keep
+         |  FROM ln l JOIN st s USING (line))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+         |    ORDER BY line_no), '')) AS fp
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

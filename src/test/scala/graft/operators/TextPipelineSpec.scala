@@ -288,4 +288,24 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     }.sortBy { case (a, b, _, lq) => (-lq, a, b) }.take(20)
     got.toSeq shouldBe want
   }
+
+  test("lineDedupKeepFirst: repeats survive only at (min doc, min position)") {
+    import spark.implicits._
+    // doc 1 repeats "x y" internally; doc 2 repeats it again — only the
+    // very first occurrence (doc 1, line 0) survives anywhere
+    val d = Seq((1L, "x y x y"), (2L, "x y z w"), (3L, "u v"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedupKeepFirst(d, "doc_id", "text",
+        lineTokens = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    got shouldBe Set(
+      (1L, 2L, 1L, "x y"),   // second in-doc copy cut
+      (2L, 2L, 1L, "z w"),   // cross-doc copy cut, unique line kept
+      (3L, 1L, 1L, "u v"))   // untouched
+    // ragged tail: 5 tokens at width 2 -> 3 lines, last has 1 token
+    val tail = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    TextAnalysis.lineDedupKeepFirst(tail, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect().toSeq shouldBe
+      Seq((9L, 3L, 3L, "a b c d e"))
+  }
 }
