@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 47 — round 12, part fifteen: INCREMENTAL CRAWL STATE. A crawler
+  * never re-reads its corpus to decide what to fetch — it diffs the new
+  * frontier against a persisted (url → content fingerprint) state
+  * (q171's incremental-ingest discipline applied to the crawl tier).
+  * q240 runs two generations: generation 1 (two-thirds of the web)
+  * writes its state THROUGH PARQUET; generation 2 (the full frontier,
+  * with 1-in-9 pages' content changed) classifies every resource as
+  * new / changed / unchanged against the re-read state — the fetch
+  * work is n_new + n_changed, never the corpus. Wave47Spec pins the
+  * no-rescan property: the classification plan reads exactly the state
+  * parquet and the generation-2 frontier, nothing else.
+  */
+object Wave47 {
+
+  /** Planted frontier: one canonical URL per doc with its content
+    * fingerprint; `changed` plants the generation-2 content drift
+    * (1-in-9 pages append a token). */
+  private def frontier(docs: DataFrame, changed: Boolean): DataFrame = {
+    val text =
+      if (changed)
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" zchanged")))
+          .otherwise(col("text"))
+      else col("text")
+    docs.select(
+      concat(lit("http://"), col("source"), lit(".example/doc/"),
+        col("doc_id")).as("url"),
+      concat(col("source"), lit(".example")).as("host"),
+      md5(text).as("fp"))
+  }
+
+  /** The classification frame (per-resource status vs the re-read
+    * state) — shared by the query and the spec's plan pin. */
+  private[queries] def classify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tmp = Scratch.dir("q240", d)
+    frontier(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2),
+        changed = false)
+      .write.mode("overwrite").parquet(s"$tmp/state1")
+    val state = s.read.parquet(s"$tmp/state1")
+    frontier(docs, changed = true)
+      .join(state.select(col("url"), col("fp").as("fp_old")),
+        Seq("url"), "left")
+      .withColumn("status",
+        when(col("fp_old").isNull, "new")
+          .when(col("fp_old") =!= col("fp"), "changed")
+          .otherwise("unchanged"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q240_incremental_crawl" -> { (s, d) =>
+      classify(s, d)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_resources"),
+          sum(when(col("status") === "new", 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+            .as("n_unchanged"))
+        .orderBy(col("host"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    // the oracle replays generation 1 inline (DuckDB has no state
+    // files); the Spark side's parquet round-trip is pinned in
+    // Wave47Spec instead
+    "q240_incremental_crawl" ->
+      """WITH g1 AS (
+        |  SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |    md5(text) AS fp_old
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |g2 AS (
+        |  SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |    source || '.example' AS host,
+        |    md5(CASE WHEN doc_id % 9 = 0 THEN text || ' zchanged'
+        |             ELSE text END) AS fp
+        |  FROM documents),
+        |cls AS (
+        |  SELECT g2.host,
+        |    CASE WHEN g1.fp_old IS NULL THEN 'new'
+        |         WHEN g1.fp_old <> g2.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM g2 LEFT JOIN g1 USING (url))
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_resources,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged
+        |FROM cls GROUP BY 1 ORDER BY host""".stripMargin
+  )
+}

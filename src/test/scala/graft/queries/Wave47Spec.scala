@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** q240's incremental contract: the classification plan reads ONLY the
+  * persisted state parquet + the generation-2 frontier (no generation-1
+  * recompute), and the status partition matches the planted arithmetic. */
+class Wave47Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("q240 classification scans exactly state parquet + documents (no-rescan pin)") {
+    val plan = Wave47.classify(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    "FileScan parquet".r.findAllIn(plan).length shouldBe 2
+    plan should include("state1")
+    plan should include("documents.parquet")
+  }
+
+  test("q240 status partition matches the planted generation arithmetic") {
+    val docs = Tables.documents(spark, sfDir)
+    val nNew = docs.filter(pmod(col("doc_id"), lit(3)) === 2).count()
+    val nChanged = docs.filter(col("doc_id") % 9 === 0).count()
+    val nAll = docs.count()
+    val got = Wave47.classify(spark, sfDir)
+      .groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.getOrElse("new", 0L) shouldBe nNew
+    got.getOrElse("changed", 0L) shouldBe nChanged
+    got.getOrElse("unchanged", 0L) shouldBe (nAll - nNew - nChanged)
+  }
+}
