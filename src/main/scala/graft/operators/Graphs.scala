@@ -369,6 +369,55 @@ object Graphs {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** DIRECTED integer PageRank with dangling-mass redistribution — the
+    * actual web-rank semantics ([[pageRankInt]] is the undirected
+    * variant the near-dup graphs use; a link graph is not symmetric
+    * and pages with no outlinks exist). Same exact-arithmetic
+    * conventions: init 10⁶, per-round
+    * `r' = 150000 + ((Σ_in r(src) div outdeg(src) + dangling div N) · 17) div 20`
+    * where `dangling` is the rank mass sitting on zero-outlink nodes,
+    * split evenly (floor) across all N nodes. Every term is a long both
+    * engines floor identically, so ranks replay bit-for-bit.
+    *
+    * Scale shape: out-degrees are one hash agg; each round is one
+    * edges⨝ranks join + a dst-keyed sum (map-side combinable) + a
+    * 1-row dangling aggregate broadcast back — per-round shuffle bytes
+    * are node-bounded, the edge relation is shuffled once into the
+    * join layout. localCheckpoint per round truncates lineage exactly
+    * as [[pageRankInt]] does. */
+  def pageRankDirectedInt(edges: DataFrame, srcCol: String, dstCol: String,
+                          nodes: DataFrame, idCol: String,
+                          iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters in [1,32]: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst").localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val ids = nodes.select(col(idCol).as("id")).dropDuplicates("id")
+      .localCheckpoint()
+    val nTotal = ids.agg(count(lit(1)).as("n"))
+    var r = ids.select(col("id"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val shares = e.join(outdeg, "src")
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div deg").as("share"))
+      val inSum = shares.groupBy(col("dst")).agg(sum(col("share")).as("s"))
+      val dang = r.join(outdeg.select(col("src").as("id")), Seq("id"),
+          "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      r = ids
+        .join(inSum.select(col("dst").as("id"), col("s")), Seq("id"), "left")
+        .crossJoin(broadcast(dang)).crossJoin(broadcast(nTotal))
+        .select(col("id"),
+          (lit(150000L) +
+            expr("((coalesce(s, 0L) + dang div n) * 17L) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("id"), col("r").as("rank"))
+  }
+
   /** Newman modularity per community, in exact integer fixed-point:
     * for community c, `q_contrib = ⌊e_c·S/m⌋ − ⌊d_c²·S/(4m²)⌋` where
     * e_c = intra-community edge count, d_c = Σ degrees of members,

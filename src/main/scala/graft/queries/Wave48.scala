@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave 48 — round 12, part sixteen: DIRECTED PageRank with dangling
+  * mass ([[Graphs.pageRankDirectedInt]]). q238 ranked the host graph
+  * undirected; real link graphs are not symmetric and pages with no
+  * outlinks exist, so the web-rank kernel needs out-degree shares and
+  * dangling redistribution. The planted host graph exercises both:
+  * host `hid` emits `1 + hid % 3` ring links — EXCEPT every fifth
+  * host, which emits none (a dangling sink whose accumulated rank must
+  * be split across all hosts, floor-exactly, each round). Variable
+  * out-degrees make the ranks genuinely non-uniform; every arithmetic
+  * step is a long both engines floor identically.
+  */
+object Wave48 {
+
+  private val Iters = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q241_directed_pagerank" -> { (s, d) =>
+      val hosts = Tables.documents(s, d)
+        .select(concat(col("source"), lit(".example")).as("host"))
+        .distinct()
+        .withColumn("hid",
+          row_number().over(Window.orderBy(col("host"))).cast("long"))
+      val nh = hosts.agg(count(lit(1)).as("n"))
+      val offsets = s.range(1, 4).toDF("k")
+      val edges = hosts.crossJoin(broadcast(nh))
+        .join(broadcast(offsets),
+          col("k") <= lit(1) + col("hid") % 3 && col("hid") % 5 =!= 0)
+        .join(broadcast(hosts.select(col("hid").as("__t"),
+          col("host").as("dst"))),
+          ((col("hid") - 1 + col("k")) % col("n")) + 1 === col("__t"))
+        .select(col("host").as("src"), col("dst"))
+      Graphs.pageRankDirectedInt(edges, "src", "dst",
+          hosts.select(col("host").as("id")), "id", Iters)
+        .select(col("id").as("host"), col("rank"))
+        .orderBy(col("host"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q241_directed_pagerank" -> {
+      val rounds = (1 to Iters).map { k =>
+        s"""dang$k AS (
+           |  SELECT coalesce(sum(r.r), 0) AS dang
+           |  FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.src
+           |  WHERE o.src IS NULL),
+           |r$k AS MATERIALIZED (
+           |  SELECT n.id,
+           |    150000 + ((coalesce(s.s, 0) + (SELECT dang FROM dang$k)
+           |      // (SELECT n FROM nh)) * 17) // 20 AS r
+           |  FROM ids n LEFT JOIN (
+           |    SELECT e.dst, sum(p.r // e.deg) AS s
+           |    FROM adj e JOIN r${k - 1} p ON e.src = p.id
+           |    GROUP BY 1) s ON n.id = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH hosts AS (
+         |  SELECT host, CAST(row_number() OVER (ORDER BY host)
+         |    AS BIGINT) AS hid
+         |  FROM (SELECT DISTINCT source || '.example' AS host
+         |        FROM documents)),
+         |nh AS (SELECT count(*) AS n FROM hosts),
+         |edges AS (
+         |  SELECT h.host AS src, t.host AS dst
+         |  FROM hosts h CROSS JOIN nh
+         |  JOIN (VALUES (1), (2), (3)) kk(k)
+         |    ON kk.k <= 1 + h.hid % 3 AND h.hid % 5 <> 0
+         |  JOIN hosts t ON t.hid = ((h.hid - 1 + kk.k) % nh.n) + 1
+         |  WHERE h.host <> t.host),
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |adj AS (SELECT e.src, e.dst, o.deg
+         |        FROM e JOIN outdeg o USING (src)),
+         |ids AS (SELECT host AS id FROM hosts),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM ids),
+         |$rounds
+         |SELECT id AS host, CAST(r AS BIGINT) AS rank
+         |FROM r$Iters ORDER BY host""".stripMargin
+    }
+  )
+}

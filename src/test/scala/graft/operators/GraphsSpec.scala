@@ -107,6 +107,22 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (2L, 4L, 2L, 2 * (Graphs.RaScale / 2)))
   }
 
+  test("pageRankDirectedInt: 1->2 with dangling 2, hand-computed two rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("s", "t")
+    val nodes = Seq(1L, 2L).toDF("id")
+    // round 1: dang = r(2)=1e6, split 500000 each;
+    //   r1 = 150000 + (500000*17) div 20            = 575000
+    //   r2 = 150000 + ((1000000+500000)*17) div 20  = 1425000
+    // round 2: dang = 1425000 div 2 = 712500;
+    //   r1 = 150000 + (712500*17) div 20            = 755625
+    //   r2 = 150000 + ((575000+712500)*17) div 20   = 1244375
+    val got = Graphs.pageRankDirectedInt(edges, "s", "t", nodes, "id",
+        iters = 2)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 755625L, 2L -> 1244375L)
+  }
+
   test("modularity: two triangles + bridge, exact fixed-point contributions") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; m = 7
