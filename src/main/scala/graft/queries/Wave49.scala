@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 49 — round 12, part seventeen: the crawl diff LIVE. q240 diffs
+  * frontier generations in batch; q242 certifies the same semantics as
+  * an observation LOG — the `seq`-th sighting of each URL classified
+  * against the previous distinct fingerprint ([[Streams
+  * .crawlDiffBatch]], one lag window per URL partition). The streaming
+  * side ([[Streams.crawlDiff]], `transformWithState` with ONE
+  * fingerprint string of RocksDB state per URL, zero writes on
+  * unchanged sightings) is pinned streamed ≡ batch across arbitrary
+  * micro-batch splits in Wave49StreamsSpec — the §2.8 convention.
+  *
+  * The planted log: every page is seen once; every second page is
+  * re-seen unchanged; every fourth is then re-seen with drifted
+  * content.
+  */
+object Wave49 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q242_crawl_diff_log" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val url = concat(lit("http://"), col("source"),
+        lit(".example/doc/"), col("doc_id"))
+      val obs = docs.select(url.as("url"), lit(0L).as("seq"),
+          md5(col("text")).as("fp"))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .select(url.as("url"), lit(1L).as("seq"),
+            md5(col("text")).as("fp")))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select(url.as("url"), lit(2L).as("seq"),
+            md5(concat(col("text"), lit(" zchanged"))).as("fp")))
+      Streams.crawlDiffBatch(obs)
+        .orderBy(col("url"), col("seq"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q242_crawl_diff_log" ->
+      """WITH u AS (
+        |  SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |    doc_id, text
+        |  FROM documents),
+        |obs AS (
+        |  SELECT url, CAST(0 AS BIGINT) AS seq, md5(text) AS fp FROM u
+        |  UNION ALL
+        |  SELECT url, 1, md5(text) FROM u WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT url, 2, md5(text || ' zchanged') FROM u
+        |  WHERE doc_id % 4 = 0)
+        |SELECT url, seq,
+        |  CASE WHEN lag(fp) OVER (PARTITION BY url ORDER BY seq) IS NULL
+        |         THEN 'new'
+        |       WHEN lag(fp) OVER (PARTITION BY url ORDER BY seq) <> fp
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM obs ORDER BY url, seq""".stripMargin
+  )
+}

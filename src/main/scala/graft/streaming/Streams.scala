@@ -521,4 +521,71 @@ object Streams {
       .filter(col("seq") <= n)
       .select(col("user_id"), col("event_id"), col("seq"))
   }
+
+  /** One recrawl observation: the `seq`-th sighting of `url` carrying
+    * content fingerprint `fp`. */
+  case class CrawlSeen(url: String, seq: Long, fp: String)
+  /** Its verdict against the crawler's per-URL state. */
+  case class CrawlStatus(url: String, seq: Long, status: String)
+
+  /** Live crawl-state diff on `transformWithState`: one
+    * `ValueState[String]` per URL holds the last-seen content
+    * fingerprint; each observation emits `new` / `changed` /
+    * `unchanged` and rolls the state forward. The streaming side of
+    * q240's batch diff — the frontier never re-reads its corpus, it
+    * keys into per-URL state. Observations inside a micro-batch are
+    * processed in `seq` order (intra-batch disorder absorbed; the
+    * cross-batch ordered-replay caveat is shared with [[quotaKeep]]).
+    * State per URL is one fingerprint string; an `unchanged` sighting
+    * writes nothing. */
+  class CrawlDiffProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CrawlSeen, CrawlStatus] {
+    @transient private var last:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[String]("last_fp",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CrawlSeen],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CrawlStatus] = {
+      var prev = if (last.exists()) last.get() else null
+      val out = rows.toSeq.sortBy(_.seq).map { r =>
+        val status =
+          if (prev == null) "new"
+          else if (prev != r.fp) "changed"
+          else "unchanged"
+        if (prev != r.fp) { last.update(r.fp); prev = r.fp }
+        CrawlStatus(key, r.seq, status)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming side (requires the RocksDB state store, as all
+    * `transformWithState` operators do). */
+  def crawlDiff(obs: Dataset[CrawlSeen]): Dataset[CrawlStatus] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.url)
+      .transformWithState(new CrawlDiffProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Batch twin over a full observation log: status vs the PREVIOUS
+    * distinct fingerprint in `seq` order — one lag window per URL
+    * partition; this is the oracle-certified side (q242). */
+  def crawlDiffBatch(obs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("seq"))
+    obs.select(col("url"), col("seq"), col("fp"))
+      .withColumn("__prev", lag(col("fp"), 1).over(w))
+      .select(col("url"), col("seq"),
+        when(col("__prev").isNull, "new")
+          .when(col("__prev") =!= col("fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** crawlDiff (transformWithState): the per-URL fingerprint state must
+  * classify identically however the observation log is micro-batched,
+  * including the A→B→A revisit (state rolls forward, so the THIRD
+  * sighting is `changed` again, not `unchanged`). */
+class Wave49StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("crawlDiff: streamed == batch twin across arbitrary micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val obs = Seq(
+        Streams.CrawlSeen("u1", 0, "A"), Streams.CrawlSeen("u1", 1, "B"),
+        Streams.CrawlSeen("u1", 2, "A"), // revisit: changed, not unchanged
+        Streams.CrawlSeen("u2", 0, "X"), Streams.CrawlSeen("u2", 1, "X"),
+        Streams.CrawlSeen("u3", 0, "Z"))
+      val input = MemoryStream[Streams.CrawlSeen]
+      val name = s"crawldiff_${System.nanoTime}"
+      val q = Streams.crawlDiff(input.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // split mid-URL: u1's history straddles three batches
+        input.addData(obs(0), obs(3))
+        q.processAllAvailable()
+        input.addData(obs(1), obs(4), obs(5))
+        q.processAllAvailable()
+        input.addData(obs(2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .as[(String, Long, String)].collect().toSet
+      val batch = Streams.crawlDiffBatch(obs.toDF())
+        .as[(String, Long, String)].collect().toSet
+      streamed shouldBe batch
+      streamed shouldBe Set(
+        ("u1", 0L, "new"), ("u1", 1L, "changed"), ("u1", 2L, "changed"),
+        ("u2", 0L, "new"), ("u2", 1L, "unchanged"),
+        ("u3", 0L, "new"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("crawlDiff: intra-batch disorder is absorbed by seq ordering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.CrawlSeen]
+      val name = s"crawldiff2_${System.nanoTime}"
+      val q = Streams.crawlDiff(input.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // whole history in ONE batch, deliberately out of order
+        input.addData(Streams.CrawlSeen("u", 2, "B"),
+          Streams.CrawlSeen("u", 0, "A"), Streams.CrawlSeen("u", 1, "A"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[(String, Long, String)].collect().toSet shouldBe
+        Set(("u", 0L, "new"), ("u", 1L, "unchanged"), ("u", 2L, "changed"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
