@@ -418,6 +418,51 @@ object Graphs {
     r.select(col("id"), col("r").as("rank"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) in exact integer
+    * fixed-point — the directed companion to [[pageRankDirectedInt]]:
+    * PageRank measures where rank FLOWS, HITS separates pages that
+    * POINT WELL (hubs) from pages POINTED AT well (authorities), the
+    * distinction a crawl scheduler uses to pick seed lists vs fetch
+    * targets. Per round: `a_i = Σ_{j→i} h_j` then renormalize
+    * `a := a·10⁶ div max(a, 1)`; `h_i = Σ_{i→j} a_j` then the same —
+    * max-normalization instead of the textbook L2 because it stays in
+    * integer division both engines floor identically (the score RATIOS,
+    * which are what rankings read, converge the same way).
+    *
+    * Scale shape: each half-round is one edges⨝scores join + a keyed
+    * sum (map-side combinable) + a 1-row max broadcast back —
+    * node-bounded shuffle bytes per round, edges shuffled into the join
+    * layout once; the localCheckpoint ladder truncates lineage. */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              nodes: DataFrame, idCol: String,
+              iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters in [1,16]: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst").localCheckpoint()
+    val ids = nodes.select(col(idCol).as("id")).dropDuplicates("id")
+      .localCheckpoint()
+    var h = ids.select(col("id"), lit(1000000L).as("s")).localCheckpoint()
+    var a = h
+    def half(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = ids
+        .join(e.join(scores.select(col("id").as(from), col("s")), from)
+          .groupBy(col(to).as("id")).agg(sum(col("s")).as("raw")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"), expr("raw * 1000000L div mx").as("s"))
+        .localCheckpoint()
+    }
+    for (_ <- 1 to iters) {
+      a = half(h, "src", "dst") // authorities gather hub mass
+      h = half(a, "dst", "src") // hubs gather authority mass
+    }
+    ids.join(h.select(col("id"), col("s").as("hub_q")), "id")
+      .join(a.select(col("id"), col("s").as("auth_q")), "id")
+  }
+
   /** Newman modularity per community, in exact integer fixed-point:
     * for community c, `q_contrib = ⌊e_c·S/m⌋ − ⌊d_c²·S/(4m²)⌋` where
     * e_c = intra-community edge count, d_c = Σ degrees of members,

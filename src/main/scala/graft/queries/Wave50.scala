@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave 50 — round 12, part eighteen: HITS hubs and authorities
+  * ([[Graphs.hitsInt]]) over the q241 host graph. PageRank says where
+  * rank flows; HITS separates the hosts that POINT well (hubs — seed
+  * lists) from the hosts POINTED AT well (authorities — fetch
+  * priorities). Same planted graph as q241 (variable out-degrees,
+  * every fifth host dangling), so the two kernels are directly
+  * comparable on one fixture: dangling hosts get hub score 0 but can
+  * still hold authority. Two full rounds, max-normalized integer
+  * fixed-point, every division floored identically by both engines.
+  */
+object Wave50 {
+
+  private val Iters = 2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q243_hits" -> { (s, d) =>
+      val hosts = Tables.documents(s, d)
+        .select(concat(col("source"), lit(".example")).as("host"))
+        .distinct()
+        .withColumn("hid",
+          row_number().over(Window.orderBy(col("host"))).cast("long"))
+      val nh = hosts.agg(count(lit(1)).as("n"))
+      val offsets = s.range(1, 4).toDF("k")
+      val edges = hosts.crossJoin(broadcast(nh))
+        .join(broadcast(offsets),
+          col("k") <= lit(1) + col("hid") % 3 && col("hid") % 5 =!= 0)
+        .join(broadcast(hosts.select(col("hid").as("__t"),
+          col("host").as("dst"))),
+          ((col("hid") - 1 + col("k")) % col("n")) + 1 === col("__t"))
+        .select(col("host").as("src"), col("dst"))
+      Graphs.hitsInt(edges, "src", "dst",
+          hosts.select(col("host").as("id")), "id", Iters)
+        .select(col("id").as("host"), col("hub_q"), col("auth_q"))
+        .orderBy(col("host"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q243_hits" -> {
+      val rounds = (1 to Iters).map { k =>
+        s"""ar$k AS (
+           |  SELECT n.id, coalesce(s.s, 0) AS raw
+           |  FROM ids n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(h.s) AS s
+           |    FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1)
+           |    s ON n.id = s.id),
+           |a$k AS MATERIALIZED (
+           |  SELECT id, raw * 1000000 //
+           |    (SELECT greatest(max(raw), 1) FROM ar$k) AS s FROM ar$k),
+           |hr$k AS (
+           |  SELECT n.id, coalesce(s.s, 0) AS raw
+           |  FROM ids n LEFT JOIN (
+           |    SELECT e.src AS id, sum(a.s) AS s
+           |    FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1)
+           |    s ON n.id = s.id),
+           |h$k AS MATERIALIZED (
+           |  SELECT id, raw * 1000000 //
+           |    (SELECT greatest(max(raw), 1) FROM hr$k) AS s FROM hr$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH hosts AS (
+         |  SELECT host, CAST(row_number() OVER (ORDER BY host)
+         |    AS BIGINT) AS hid
+         |  FROM (SELECT DISTINCT source || '.example' AS host
+         |        FROM documents)),
+         |nh AS (SELECT count(*) AS n FROM hosts),
+         |edges AS (
+         |  SELECT h.host AS src, t.host AS dst
+         |  FROM hosts h CROSS JOIN nh
+         |  JOIN (VALUES (1), (2), (3)) kk(k)
+         |    ON kk.k <= 1 + h.hid % 3 AND h.hid % 5 <> 0
+         |  JOIN hosts t ON t.hid = ((h.hid - 1 + kk.k) % nh.n) + 1
+         |  WHERE h.host <> t.host),
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |ids AS (SELECT host AS id FROM hosts),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM ids),
+         |$rounds
+         |SELECT h.id AS host, CAST(h.s AS BIGINT) AS hub_q,
+         |  CAST(a.s AS BIGINT) AS auth_q
+         |FROM h$Iters h JOIN a$Iters a USING (id)
+         |ORDER BY host""".stripMargin
+    }
+  )
+}

@@ -107,6 +107,22 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (2L, 4L, 2L, 2 * (Graphs.RaScale / 2)))
   }
 
+  test("hitsInt: two-hub fixture, hand-computed two max-normalized rounds") {
+    import spark.implicits._
+    // 1->3, 2->3, 2->4: 2 is the better hub, 3 the better authority
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("s", "t")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // r1: a_raw 3=2e6 4=1e6 -> a3=1e6 a4=500000;
+    //     h_raw 1=1e6 2=1.5e6 -> h1=666666 h2=1e6
+    // r2: a_raw 3=1666666 4=1e6 -> a3=1e6 a4=600000;
+    //     h_raw 1=1e6 2=1.6e6 -> h1=625000 h2=1e6
+    val got = Graphs.hitsInt(edges, "s", "t", nodes, "id", iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe Set(
+      (1L, 625000L, 0L), (2L, 1000000L, 0L),
+      (3L, 0L, 1000000L), (4L, 0L, 600000L))
+  }
+
   test("pageRankDirectedInt: 1->2 with dangling 2, hand-computed two rounds") {
     import spark.implicits._
     val edges = Seq((1L, 2L)).toDF("s", "t")
