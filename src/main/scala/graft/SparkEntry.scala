@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Wave43.queries ++ graft.queries.Wave44.queries ++
       graft.queries.Wave45.queries ++ graft.queries.Wave46.queries ++
       graft.queries.Wave47.queries ++ graft.queries.Wave48.queries ++
-      graft.queries.Wave49.queries ++ graft.queries.Wave50.queries
+      graft.queries.Wave49.queries ++ graft.queries.Wave50.queries ++
+      graft.queries.Wave51.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.Wave43.oracleSql ++ graft.queries.Wave44.oracleSql ++
       graft.queries.Wave45.oracleSql ++ graft.queries.Wave46.oracleSql ++
       graft.queries.Wave47.oracleSql ++ graft.queries.Wave48.oracleSql ++
-      graft.queries.Wave49.oracleSql ++ graft.queries.Wave50.oracleSql
+      graft.queries.Wave49.oracleSql ++ graft.queries.Wave50.oracleSql ++
+      graft.queries.Wave51.oracleSql
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 51 — round 12, part nineteen: ADAPTIVE RECRAWL PRIORITY (the
+  * Cho & Garcia-Molina freshness idea in fixed-point). A crawler's
+  * recrawl queue is ordered by expected staleness: URLs that changed
+  * often when observed, weighted by how long since the last look. q244
+  * derives both signals from the q242 observation log:
+  * `change_rate_q = n_changed·10⁶ div (n_obs − 1)` (observed change
+  * probability per revisit; single-sighting URLs get the 500000
+  * exploration prior), `age = max_seq − last_seq`, and
+  * `priority_q = (age + 1) · change_rate_q` — global top-50 with a
+  * total tie-break, the fetch list the scheduler hands to q236's
+  * politeness stage.
+  *
+  * Scale: the log aggregates to one row per URL (hash agg, map-side
+  * combinable), the global max_seq is a 1-row broadcast, and the top-50
+  * is TakeOrdered — no global sort, no window over the corpus.
+  */
+object Wave51 {
+
+  private val TopK = 50
+  private val Prior = 500000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q244_recrawl_priority" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val url = concat(lit("http://"), col("source"),
+        lit(".example/doc/"), col("doc_id"))
+      val obs = docs.select(url.as("url"), lit(0L).as("seq"),
+          md5(col("text")).as("fp"))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .select(url.as("url"), lit(1L).as("seq"),
+            md5(col("text")).as("fp")))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select(url.as("url"), lit(2L).as("seq"),
+            md5(concat(col("text"), lit(" zchanged"))).as("fp")))
+      val log = Streams.crawlDiffBatch(obs)
+      val per = log.groupBy(col("url"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          max(col("seq")).as("last_seq"))
+      val maxSeq = per.agg(max(col("last_seq")).as("max_seq"))
+      per.crossJoin(broadcast(maxSeq))
+        .withColumn("change_rate_q",
+          when(col("n_obs") > 1,
+            expr("n_changed * 1000000L div (n_obs - 1)"))
+            .otherwise(lit(Prior)))
+        .withColumn("priority_q",
+          (col("max_seq") - col("last_seq") + 1) * col("change_rate_q"))
+        .select(col("url"), col("n_obs"), col("n_changed"),
+          col("change_rate_q"), col("priority_q"))
+        .orderBy(col("priority_q").desc, col("url"))
+        .limit(TopK)
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q244_recrawl_priority" ->
+      s"""WITH u AS (
+         |  SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+         |    doc_id, text
+         |  FROM documents),
+         |obs AS (
+         |  SELECT url, CAST(0 AS BIGINT) AS seq, md5(text) AS fp FROM u
+         |  UNION ALL
+         |  SELECT url, 1, md5(text) FROM u WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT url, 2, md5(text || ' zchanged') FROM u
+         |  WHERE doc_id % 4 = 0),
+         |log AS (
+         |  SELECT url, seq,
+         |    CASE WHEN lag(fp) OVER (PARTITION BY url ORDER BY seq)
+         |           IS NULL THEN 'new'
+         |         WHEN lag(fp) OVER (PARTITION BY url ORDER BY seq)
+         |           <> fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM obs),
+         |per AS (
+         |  SELECT url, count(*) AS n_obs,
+         |    sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+         |      AS n_changed,
+         |    max(seq) AS last_seq
+         |  FROM log GROUP BY 1),
+         |ms AS (SELECT max(last_seq) AS max_seq FROM per),
+         |pri AS (
+         |  SELECT url, n_obs, n_changed,
+         |    CASE WHEN n_obs > 1
+         |         THEN n_changed * 1000000 // (n_obs - 1)
+         |         ELSE $Prior END AS change_rate_q,
+         |    (ms.max_seq - last_seq + 1) *
+         |      CASE WHEN n_obs > 1
+         |           THEN n_changed * 1000000 // (n_obs - 1)
+         |           ELSE $Prior END AS priority_q
+         |  FROM per CROSS JOIN ms)
+         |SELECT url, CAST(n_obs AS BIGINT) AS n_obs,
+         |  CAST(n_changed AS BIGINT) AS n_changed,
+         |  CAST(change_rate_q AS BIGINT) AS change_rate_q,
+         |  CAST(priority_q AS BIGINT) AS priority_q
+         |FROM pri ORDER BY priority_q DESC, url LIMIT $TopK""".stripMargin
+  )
+}

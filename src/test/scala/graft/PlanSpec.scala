@@ -470,4 +470,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "Exchange SinglePartition"
     p should not include "Window"
   }
+
+  test("q244: recrawl top-k is TakeOrdered over a per-URL hash agg — no global sort") {
+    val p = plan("q244_recrawl_priority")
+    p should include("TakeOrderedAndProject")
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+  }
 }
