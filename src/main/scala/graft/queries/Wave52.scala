@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 52 — round 12, part twenty: VOCABULARY DRIFT between corpus
+  * generations — the distribution-shift monitor a continuously-ingested
+  * corpus runs before retraining decisions. q245 compares the q240
+  * generations (gen-1 = two-thirds of the corpus; gen-2 = everything,
+  * with 1-in-9 documents' content drifted, which also INJECTS a token
+  * gen-1 never saw): per-token probabilities in exact fixed-point
+  * (`p_q = count·10⁹ div total`) from one hash aggregate per
+  * generation, full-outer-joined so vanished and novel tokens both
+  * surface, ranked by absolute drift. Σ drift_q / 2 is the total
+  * variation distance, every term a long both engines floor
+  * identically.
+  *
+  * Scale: two token-keyed hash aggs (map-side combinable, state one row
+  * per distinct token — vocabulary-bounded, not corpus-bounded), two
+  * 1-row totals broadcast back, one vocabulary-sized join. Nothing
+  * touches corpus² anywhere.
+  */
+object Wave52 {
+
+  private val Scale = 1000000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q245_vocab_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def counts(df: DataFrame): DataFrame = df
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val g1 = counts(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2))
+      val g2 = counts(docs.withColumn("text",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" zchanged"))).otherwise(col("text"))))
+      val t1 = g1.agg(sum(col("c")).as("t1"))
+      val t2 = g2.agg(sum(col("c")).as("t2"))
+      g1.select(col("tok"), col("c").as("c1"))
+        .join(g2.select(col("tok"), col("c").as("c2")), Seq("tok"), "full")
+        .select(col("tok"), coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+        .select(col("tok"),
+          expr(s"c1 * ${Scale}L div t1").as("p1_q"),
+          expr(s"c2 * ${Scale}L div t2").as("p2_q"))
+        .withColumn("drift_q", abs(col("p1_q") - col("p2_q")))
+        .orderBy(col("drift_q").desc, col("tok"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q245_vocab_drift" ->
+      s"""WITH toks1 AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         |    '[^a-z]+'), x -> x <> '')) AS tok
+         |  FROM documents WHERE doc_id % 3 <> 2),
+         |toks2 AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(
+         |    CASE WHEN doc_id % 9 = 0 THEN text || ' zchanged'
+         |         ELSE text END),
+         |    '[^a-z]+'), x -> x <> '')) AS tok
+         |  FROM documents),
+         |g1 AS (SELECT tok, count(*) AS c1 FROM toks1 GROUP BY 1),
+         |g2 AS (SELECT tok, count(*) AS c2 FROM toks2 GROUP BY 1),
+         |t AS (SELECT (SELECT sum(c1) FROM g1) AS t1,
+         |             (SELECT sum(c2) FROM g2) AS t2)
+         |SELECT tok,
+         |  CAST(coalesce(c1, 0) * $Scale // t1 AS BIGINT) AS p1_q,
+         |  CAST(coalesce(c2, 0) * $Scale // t2 AS BIGINT) AS p2_q,
+         |  CAST(abs(coalesce(c1, 0) * $Scale // t1
+         |    - coalesce(c2, 0) * $Scale // t2) AS BIGINT) AS drift_q
+         |FROM g1 FULL JOIN g2 USING (tok) CROSS JOIN t
+         |ORDER BY drift_q DESC, tok""".stripMargin
+  )
+}
