@@ -859,6 +859,50 @@ object Similarity {
           .otherwise(0L))
   }
 
+  /** Product-quantization encode (Jégou et al. 2011): split each vector
+    * into `⌈dims/subDim⌉` contiguous subspaces and, per subspace, code
+    * the subvector as its nearest codeword by exact quantized squared
+    * L2 — here the codebook is the LABEL CENTROIDS restricted to that
+    * subspace (the [[labelCentroidCosine]] centroid machinery), so both
+    * engines derive identical codebooks from the data with no planted
+    * literals and no float k-means. Output: one row per (vector,
+    * subspace) with the chosen `code` (label) and the exact residual
+    * `d_q = Σ (x_q − c_q)²` — Σ_sub d_q is the vector's reconstruction
+    * error, the quantity a PQ deployment tunes subDim against.
+    *
+    * Arithmetic: `x_q = ⌊x·10⁶⌋`, `c_q = Σx_q div n` — all longs, ties
+    * broken toward the smaller label (min(struct(d, label))), so codes
+    * replay bit-for-bit cross-engine.
+    *
+    * Scale shape: the codebook is |labels|·dims rows (a broadcast);
+    * encode is the per-dim explode joined against it — a 100 TB corpus
+    * maps through at |dims|·|labels| intermediate rows per vector, all
+    * collapsed by map-side-combinable aggregates. Nothing is corpus².
+    * At 4 labels × 16-dim subspaces a 64-dim float vector compresses to
+    * 4 small codes — the memory arithmetic that lets an ANN index hold
+    * a trillion vectors. */
+  def pqEncodeByLabel(vectors: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, subDim: Int): DataFrame = {
+    require(subDim >= 1, s"subDim >= 1: $subDim")
+    val q = vectors.select(col(idCol).as("id"), col(labelCol).as("label"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+    val ex = q.select(col("id"), col("label"),
+      posexplode(col("qv")).as(Seq("dim", "x")))
+    val cent = ex.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(expr("sum(x) DIV count(1)").as("c"))
+    val d = ex.join(broadcast(cent), "dim")
+      .select(col("id"), col("clabel"),
+        expr(s"dim DIV $subDim").cast("long").as("sub"),
+        ((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .groupBy(col("id"), col("clabel"), col("sub"))
+      .agg(sum(col("d2")).as("dd"))
+    d.groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("dd"), col("clabel"))).as("w"))
+      .select(col("id"), col("sub"),
+        col("w.clabel").cast("long").as("code"), col("w.dd").as("d_q"))
+  }
+
   /** Johnson–Lindenstrauss SIGN random projection to `outDim`
     * dimensions (Achlioptas ±1 variant): `y_j = Σ_i s_{j,i} · q_i` with
     * `q_i = floor(x_i · 2^20)` (the house fixed-point quantization) and

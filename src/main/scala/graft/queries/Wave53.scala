@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 53 — round 12, part twenty-one: PRODUCT QUANTIZATION
+  * ([[Similarity.pqEncodeByLabel]]) — the compression half of
+  * billion-scale ANN that the LSH/IVF tier (q31/q33/q109) didn't cover:
+  * instead of bucketing vectors, PQ re-CODES them, 16 quantized floats
+  * per subspace down to one small code, with an exact integer residual
+  * that says what the compression cost. q246 encodes the embeddings
+  * table in four 16-dim subspaces against label-derived codebooks; the
+  * DuckDB twin derives the same codebooks from the same rows and
+  * replays every squared-distance argmin bit-for-bit.
+  */
+object Wave53 {
+
+  private val SubDim = 16
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q246_pq_encode" -> { (s, d) =>
+      Similarity.pqEncodeByLabel(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", SubDim)
+        .select(col("id").as("vec_id"), col("sub"), col("code"),
+          col("d_q"))
+        .orderBy(col("vec_id"), col("sub"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q246_pq_encode" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+         |    qv[CAST(i + 1 AS INT)] AS x
+         |  FROM q, unnest(range(0, len(qv))) AS u(i)),
+         |cent AS (
+         |  SELECT label AS clabel, dim, sum(x) // count(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |d AS (
+         |  SELECT e.vec_id, c.clabel, e.dim // $SubDim AS sub,
+         |    (e.x - c.c) * (e.x - c.c) AS d2
+         |  FROM ex e JOIN cent c USING (dim)),
+         |ds AS (
+         |  SELECT vec_id, clabel, sub, sum(d2) AS dd
+         |  FROM d GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT vec_id, sub, clabel, dd, row_number() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY dd ASC, clabel ASC) AS rk
+         |  FROM ds)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+         |  CAST(clabel AS BIGINT) AS code, CAST(dd AS BIGINT) AS d_q
+         |FROM best WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin
+  )
+}
