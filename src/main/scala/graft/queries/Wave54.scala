@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.NativeExpr
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave 54 — round 12, part twenty-two: PQ ASYMMETRIC DISTANCE search
+  * (the query half of product quantization — Jégou et al. 2011's ADC).
+  * A PQ index never decodes: each probe precomputes a distance TABLE
+  * (probe-to-codeword, per subspace), and a vector's approximate
+  * distance is four table lookups summed — q247 runs that exact
+  * pipeline in integer fixed-point over the q246 codes, takes each
+  * probe's approximate top-10, and scores it against the EXACT
+  * quantized-L2 top-10 (computed with the codegen dot kernel) as
+  * `recall_q`. The measured recall IS the result: the oracle replays
+  * both rankings and the intersection bit-for-bit, so a silent
+  * ranking divergence anywhere in the code/table/lookup chain fails
+  * the row. (With only |labels| = 4 codewords per subspace — 2 bits —
+  * the quantizer is deliberately coarse: measured recall ≈ 0.16 at
+  * sf0.01, exactly the number that tells a deployment to grow the
+  * codebook; the pipeline, not the recall, is what this row certifies.)
+  *
+  * Scale: distance tables are |probes|·|labels|·subspaces rows
+  * (broadcast side); the lookup join streams the codes relation once;
+  * per-probe top-k windows partition on the probe — probes are the
+  * 1000-executor split key. The exact side joins probes (broadcast)
+  * against all vectors once — linear in corpus, only for the recall
+  * audit; a production query path runs ADC alone. */
+object Wave54 {
+
+  private val SubDim = 16
+  private val ProbeEvery = 50
+  private val K = 10
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q247_pq_adc" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+      // codebook: label centroids per dim (the q246 derivation)
+      val cent = q.select(col("label"), posexplode(col("qv"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("label").as("clabel"), col("dim"))
+        .agg(expr("sum(x) DIV count(1)").as("c"))
+      val codes = Similarity.pqEncodeByLabel(emb, "vec_id", "embedding",
+        "label", SubDim)
+      val probes = q.filter(pmod(col("vec_id"), lit(ProbeEvery)) === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+      // ADC tables: probe × codeword squared distance per subspace
+      val tables = probes
+        .select(col("probe_id"), posexplode(col("pv")).as(Seq("dim", "p")))
+        .join(broadcast(cent), "dim")
+        .select(col("probe_id"), col("clabel"),
+          expr(s"dim DIV $SubDim").cast("long").as("sub"),
+          ((col("p") - col("c")) * (col("p") - col("c"))).as("d2"))
+        .groupBy(col("probe_id"), col("clabel"), col("sub"))
+        .agg(sum(col("d2")).as("t"))
+      // approximate distance = sum of table lookups over the codes
+      val approx = codes
+        .join(tables, codes("sub") === tables("sub") &&
+          codes("code") === tables("clabel"))
+        .groupBy(col("probe_id"), col("id").as("vec_id"))
+        .agg(sum(col("t")).as("ad"))
+        .filter(col("probe_id") =!= col("vec_id"))
+      val wa = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ad"), col("vec_id"))
+      val approxTop = approx.withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= K).select(col("probe_id"), col("vec_id"))
+      // exact quantized-L2 top-k (codegen dot kernel)
+      val exact = q.select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (NativeExpr.dotLong(col("qv"), col("qv"))
+            + NativeExpr.dotLong(col("pv"), col("pv"))
+            - lit(2L) * NativeExpr.dotLong(col("qv"), col("pv")))
+            .as("ed"))
+      val we = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ed"), col("vec_id"))
+      val exactTop = exact.withColumn("rk", row_number().over(we))
+        .filter(col("rk") <= K).select(col("probe_id"), col("vec_id"))
+      approxTop.join(exactTop, Seq("probe_id", "vec_id"), "inner")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+        .join(probes.select(col("probe_id")), Seq("probe_id"), "right")
+        .select(col("probe_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_q", expr(s"hits * 1000000L div $K"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q247_pq_adc" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+         |    qv[CAST(i + 1 AS INT)] AS x
+         |  FROM q, unnest(range(0, len(qv))) AS u(i)),
+         |cent AS (
+         |  SELECT label AS clabel, dim, sum(x) // count(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |dsub AS (
+         |  SELECT e.vec_id, c.clabel, e.dim // $SubDim AS sub,
+         |    sum((e.x - c.c) * (e.x - c.c)) AS dd
+         |  FROM ex e JOIN cent c USING (dim) GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, clabel AS code FROM (
+         |    SELECT vec_id, sub, clabel, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dd ASC, clabel ASC)
+         |      AS rk FROM dsub) WHERE rk = 1),
+         |tabs AS (
+         |  SELECT e.vec_id AS probe_id, c.clabel,
+         |    e.dim // $SubDim AS sub,
+         |    sum((e.x - c.c) * (e.x - c.c)) AS t
+         |  FROM ex e JOIN cent c USING (dim)
+         |  WHERE e.vec_id % $ProbeEvery = 0 GROUP BY 1, 2, 3),
+         |approx AS (
+         |  SELECT t.probe_id, k.vec_id, sum(t.t) AS ad
+         |  FROM codes k JOIN tabs t
+         |    ON t.sub = k.sub AND t.clabel = k.code
+         |  WHERE t.probe_id <> k.vec_id GROUP BY 1, 2),
+         |atop AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY ad ASC, vec_id ASC) AS rk
+         |    FROM approx) WHERE rk <= $K),
+         |exact AS (
+         |  SELECT p.vec_id AS probe_id, v.vec_id,
+         |    list_sum(list_transform(range(1, len(v.qv) + 1),
+         |      i -> (v.qv[i] - p.qv[i]) * (v.qv[i] - p.qv[i]))) AS ed
+         |  FROM q v JOIN q p ON p.vec_id % $ProbeEvery = 0
+         |    AND v.vec_id <> p.vec_id),
+         |etop AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY ed ASC, vec_id ASC) AS rk
+         |    FROM exact) WHERE rk <= $K),
+         |hits AS (
+         |  SELECT a.probe_id, count(*) AS hits
+         |  FROM atop a JOIN etop e
+         |    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |  GROUP BY 1)
+         |SELECT p.probe_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) * 1000000 // $K AS BIGINT)
+         |    AS recall_q
+         |FROM (SELECT DISTINCT vec_id AS probe_id FROM q
+         |      WHERE vec_id % $ProbeEvery = 0) p
+         |LEFT JOIN hits h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin
+  )
+}

@@ -57,7 +57,8 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave46.queries, queries.Wave47.queries,
       queries.Wave48.queries, queries.Wave49.queries,
       queries.Wave50.queries, queries.Wave51.queries,
-      queries.Wave52.queries, queries.Wave53.queries)
+      queries.Wave52.queries, queries.Wave53.queries,
+      queries.Wave54.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 
