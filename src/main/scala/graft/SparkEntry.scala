@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.Wave47.queries ++ graft.queries.Wave48.queries ++
       graft.queries.Wave49.queries ++ graft.queries.Wave50.queries ++
       graft.queries.Wave51.queries ++ graft.queries.Wave52.queries ++
-      graft.queries.Wave53.queries ++ graft.queries.Wave54.queries
+      graft.queries.Wave53.queries ++ graft.queries.Wave54.queries ++
+      graft.queries.Wave55.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.Wave47.oracleSql ++ graft.queries.Wave48.oracleSql ++
       graft.queries.Wave49.oracleSql ++ graft.queries.Wave50.oracleSql ++
       graft.queries.Wave51.oracleSql ++ graft.queries.Wave52.oracleSql ++
-      graft.queries.Wave53.oracleSql ++ graft.queries.Wave54.oracleSql
+      graft.queries.Wave53.oracleSql ++ graft.queries.Wave54.oracleSql ++
+      graft.queries.Wave55.oracleSql
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.NativeExpr
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave 55 — round 12, part twenty-three: IVF-PRUNED ADC SEARCH — the
+  * composition a production ANN index actually runs (the FAISS
+  * `IVFxx,PQyy` default): a coarse quantizer prunes the corpus to the
+  * probe's nearest cells, and ADC table lookups rank only the
+  * survivors. q248 wires the two certified halves together — cell
+  * assignment by exact quantized full-dim L2 against data-derived
+  * coarse centroids (the q33/q116 machinery), candidate pruning to
+  * nProbe = 2 of 4 cells, then the q247 ADC ranking restricted to the
+  * pruned set — and reports per probe the candidate count (the pruning
+  * ratio is the speedup claim) and recall against the exact top-10
+  * (the accuracy cost). Both replay bit-for-bit: every distance is a
+  * long, every argmin tie-broken identically.
+  *
+  * Scale: the pruning join is codes ⨝ (probe, cell) on the cell key —
+  * at a trillion vectors this is the difference between scanning the
+  * corpus per probe and scanning nProbe/nCells of it; everything else
+  * inherits q246/q247's broadcast-table shapes.
+  */
+object Wave55 {
+
+  private val SubDim = 16
+  private val ProbeEvery = 50
+  private val NProbe = 2
+  private val K = 10
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q248_ivf_adc" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+      val ex = q.select(col("vec_id"), col("label"),
+        posexplode(col("qv")).as(Seq("dim", "x")))
+      val cent = ex.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(expr("sum(x) DIV count(1)").as("c"))
+      // coarse assignment: nearest full-dim centroid (NOT the label
+      // column — the cell is earned by distance, as a real IVF does)
+      val fullD = ex.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("clabel"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("fd"))
+      val cells = fullD
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("fd"), col("clabel"))).as("w"))
+        .select(col("vec_id"), col("w.clabel").as("cell"))
+      val codes = Similarity.pqEncodeByLabel(emb, "vec_id", "embedding",
+          "label", SubDim)
+        .join(cells, col("id") === cells("vec_id"))
+        .select(col("id"), col("sub"), col("code"), col("cell"))
+      val probes = q.filter(pmod(col("vec_id"), lit(ProbeEvery)) === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+      // probe -> nProbe nearest cells (by the same full-dim distance)
+      val wp = Window.partitionBy(col("probe_id"))
+        .orderBy(col("fd"), col("clabel"))
+      val probeCells = fullD
+        .join(probes.select(col("probe_id")),
+          col("vec_id") === col("probe_id"))
+        .withColumn("rk", row_number().over(wp))
+        .filter(col("rk") <= NProbe)
+        .select(col("probe_id"), col("clabel").as("cell"))
+      // ADC tables (the q247 construction)
+      val tables = probes
+        .select(col("probe_id"), posexplode(col("pv")).as(Seq("dim", "p")))
+        .join(broadcast(cent), "dim")
+        .select(col("probe_id"), col("clabel"),
+          expr(s"dim DIV $SubDim").cast("long").as("sub"),
+          ((col("p") - col("c")) * (col("p") - col("c"))).as("d2"))
+        .groupBy(col("probe_id"), col("clabel"), col("sub"))
+        .agg(sum(col("d2")).as("t"))
+      // pruned candidates: only vectors in the probe's selected cells
+      val cand = codes.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("probe_id") =!= col("id"))
+      val approx = cand
+        .join(tables.select(col("probe_id").as("tp"), col("clabel"),
+            col("sub").as("tsub"), col("t")),
+          col("tp") === col("probe_id") && col("tsub") === cand("sub") &&
+            col("clabel") === cand("code"))
+        .groupBy(col("probe_id"), col("id").as("vec_id"))
+        .agg(sum(col("t")).as("ad"))
+      val wa = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ad"), col("vec_id"))
+      val approxTop = approx.withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= K).select(col("probe_id"), col("vec_id"))
+      val nCand = approx.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      // exact audit (identical to q247's exact side)
+      val exact = q.select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (NativeExpr.dotLong(col("qv"), col("qv"))
+            + NativeExpr.dotLong(col("pv"), col("pv"))
+            - lit(2L) * NativeExpr.dotLong(col("qv"), col("pv")))
+            .as("ed"))
+      val we = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ed"), col("vec_id"))
+      val exactTop = exact.withColumn("rk", row_number().over(we))
+        .filter(col("rk") <= K).select(col("probe_id"), col("vec_id"))
+      approxTop.join(exactTop, Seq("probe_id", "vec_id"), "inner")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+        .join(nCand, Seq("probe_id"), "right")
+        .select(col("probe_id"), col("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_q", expr(s"hits * 1000000L div $K"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q248_ivf_adc" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+         |    qv[CAST(i + 1 AS INT)] AS x
+         |  FROM q, unnest(range(0, len(qv))) AS u(i)),
+         |cent AS (
+         |  SELECT label AS clabel, dim, sum(x) // count(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |fulld AS (
+         |  SELECT e.vec_id, c.clabel,
+         |    sum((e.x - c.c) * (e.x - c.c)) AS fd
+         |  FROM ex e JOIN cent c USING (dim) GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY fd ASC, clabel ASC) AS rk
+         |    FROM fulld) WHERE rk = 1),
+         |dsub AS (
+         |  SELECT e.vec_id, c.clabel, e.dim // $SubDim AS sub,
+         |    sum((e.x - c.c) * (e.x - c.c)) AS dd
+         |  FROM ex e JOIN cent c USING (dim) GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT k.vec_id, k.sub, k.code, cl.cell FROM (
+         |    SELECT vec_id, sub, clabel AS code FROM (
+         |      SELECT vec_id, sub, clabel, row_number() OVER (
+         |        PARTITION BY vec_id, sub ORDER BY dd ASC, clabel ASC)
+         |        AS rk FROM dsub) WHERE rk = 1) k
+         |  JOIN cells cl USING (vec_id)),
+         |pc AS (
+         |  SELECT probe_id, clabel AS cell FROM (
+         |    SELECT vec_id AS probe_id, clabel, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY fd ASC, clabel ASC) AS rk
+         |    FROM fulld WHERE vec_id % $ProbeEvery = 0)
+         |  WHERE rk <= $NProbe),
+         |tabs AS (
+         |  SELECT e.vec_id AS probe_id, c.clabel,
+         |    e.dim // $SubDim AS sub,
+         |    sum((e.x - c.c) * (e.x - c.c)) AS t
+         |  FROM ex e JOIN cent c USING (dim)
+         |  WHERE e.vec_id % $ProbeEvery = 0 GROUP BY 1, 2, 3),
+         |approx AS (
+         |  SELECT pc.probe_id, k.vec_id, sum(t.t) AS ad
+         |  FROM codes k
+         |  JOIN pc ON pc.cell = k.cell AND pc.probe_id <> k.vec_id
+         |  JOIN tabs t ON t.probe_id = pc.probe_id AND t.sub = k.sub
+         |    AND t.clabel = k.code
+         |  GROUP BY 1, 2),
+         |ncand AS (
+         |  SELECT probe_id, count(*) AS n_cand FROM approx GROUP BY 1),
+         |atop AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY ad ASC, vec_id ASC) AS rk
+         |    FROM approx) WHERE rk <= $K),
+         |exact AS (
+         |  SELECT p.vec_id AS probe_id, v.vec_id,
+         |    list_sum(list_transform(range(1, len(v.qv) + 1),
+         |      i -> (v.qv[i] - p.qv[i]) * (v.qv[i] - p.qv[i]))) AS ed
+         |  FROM q v JOIN q p ON p.vec_id % $ProbeEvery = 0
+         |    AND v.vec_id <> p.vec_id),
+         |etop AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY ed ASC, vec_id ASC) AS rk
+         |    FROM exact) WHERE rk <= $K),
+         |hits AS (
+         |  SELECT a.probe_id, count(*) AS hits
+         |  FROM atop a JOIN etop e
+         |    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |  GROUP BY 1)
+         |SELECT n.probe_id, CAST(n.n_cand AS BIGINT) AS n_cand,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) * 1000000 // $K AS BIGINT)
+         |    AS recall_q
+         |FROM ncand n LEFT JOIN hits h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin
+  )
+}
