@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 56 — round 12, part twenty-four: PARQUET SCHEMA EVOLUTION. A
+  * corpus written over months changes shape — generation 1 shipped
+  * (doc_id, text), generation 2 added a `lang` column — and the lake
+  * must read BOTH under one schema without rewriting history. q249
+  * writes the two generations to parquet with their true shapes inside
+  * the query (the q240 scratch convention), reads them back with
+  * `mergeSchema`, and certifies the merged semantics: old rows surface
+  * `lang` as NULL, new rows keep theirs, and per-generation aggregates
+  * come out of ONE merged scan. The Avro side of this concern is S5's
+  * reader-schema evolution (q35); this is the parquet half.
+  *
+  * Scale: schema merge happens at footer level (per-file schemas union
+  * at planning time) — no data rewrite, no shuffle; the read stays one
+  * scan with pushdown intact.
+  */
+object Wave56 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q249_schema_evolution" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tmp = Scratch.dir("q249", d)
+      // generation 1: the old shape (no lang column, two-thirds of docs)
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$tmp/gen1")
+      // generation 2: the evolved shape (new docs carry lang)
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/gen2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/gen1", s"$tmp/gen2")
+      merged
+        .groupBy(coalesce(col("lang"), lit("__legacy__")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    // the oracle replays the merge LOGICALLY (old rows have no lang);
+    // the parquet round-trip itself is the Spark side's work
+    "q249_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT doc_id, text, NULL AS lang
+        |  FROM documents WHERE doc_id % 3 <> 2
+        |  UNION ALL
+        |  SELECT doc_id, text, lang
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT coalesce(lang, '__legacy__') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM merged GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+}

@@ -58,7 +58,8 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave48.queries, queries.Wave49.queries,
       queries.Wave50.queries, queries.Wave51.queries,
       queries.Wave52.queries, queries.Wave53.queries,
-      queries.Wave54.queries, queries.Wave55.queries)
+      queries.Wave54.queries, queries.Wave55.queries,
+      queries.Wave56.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 
