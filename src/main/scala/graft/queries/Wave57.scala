@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 57 — round 12, part twenty-five: HASH-RING NEGATIVE SAMPLING —
+  * the contrastive-training dataset builder. Every anchor needs one
+  * deterministic negative per foreign label, uniformly spread, WITHOUT
+  * an anchor×candidates product: place anchors and candidates on a
+  * hash ring (md5-derived positions made collision-free by embedding
+  * the id's low bits) and give each (anchor, label) the label's ring
+  * PREDECESSOR — one [[Joins.asOf]] pass per the whole corpus, with
+  * the ring wrap as a per-label argmax fallback. Re-running the build
+  * reproduces the same pairs bit-for-bit (the position IS the sample),
+  * and adding a vector perturbs only the anchors between it and its
+  * ring successor — the consistent-hashing locality that makes the
+  * sample STABLE under corpus growth, which ad-hoc RNG sampling is not.
+  *
+  * Scale: positions are a per-row map; the as-of pass is one window
+  * over the label partitioning; the fallback is |labels| rows broadcast
+  * back. Linear, no corpus², anchors never meet more than their
+  * predecessor.
+  */
+object Wave57 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q250_negative_sampling" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // collision-free ring position: 40 md5 bits << 20 | low id bits (< 2^60)
+      val pos = (expr("CAST(conv(substring(md5(concat('neg:', " +
+        "CAST(vec_id AS STRING))), 1, 10), 16, 10) AS BIGINT)")
+        * lit(1048576L)) + pmod(col("vec_id"), lit(1048576L))
+      val ring = emb.select(col("vec_id"), col("label").cast("long")
+        .as("label"), pos.as("h"))
+      val labels = ring.select(col("label").as("neg_label")).distinct()
+      val anchors = ring
+        .select(col("vec_id").as("anchor_id"), col("label"), col("h"))
+        .join(broadcast(labels), col("neg_label") =!= col("label"))
+        .select(col("anchor_id"), col("neg_label").as("k"), col("h"))
+      val cands = ring.select(col("label").as("k"), col("h"),
+        col("vec_id"))
+      val matched = Joins.asOf(anchors, cands, "k", "h", "vec_id",
+        outCol = "neg_id")
+      // ring wrap: anchors below the label's smallest position take the
+      // label's LARGEST-position candidate (deterministic argmax)
+      val wrap = cands.groupBy(col("k"))
+        .agg(max(struct(col("h"), col("vec_id"))).as("w"))
+        .select(col("k"), col("w.vec_id").as("wrap_id"))
+      matched.join(broadcast(wrap), Seq("k"))
+        .select(col("anchor_id"), col("k").as("neg_label"),
+          coalesce(col("neg_id"), col("wrap_id")).as("neg_id"))
+        .orderBy(col("anchor_id"), col("neg_label"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    // DuckDB's native ASOF JOIN is the independent implementation of
+    // the predecessor semantics (largest candidate h <= anchor h, key
+    // equality on the label) — the q52 cross-check convention
+    "q250_negative_sampling" ->
+      """WITH ring AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(CAST(concat('0x', substring(md5('neg:' || vec_id),
+        |      1, 10)) AS BIGINT) * 1048576
+        |      + vec_id % 1048576 AS BIGINT) AS h
+        |  FROM embeddings),
+        |anchors AS (
+        |  SELECT r.vec_id AS anchor_id, l.neg_label AS k, r.h
+        |  FROM ring r
+        |  JOIN (SELECT DISTINCT label AS neg_label FROM ring) l
+        |    ON l.neg_label <> r.label),
+        |cands AS (SELECT label AS k, h, vec_id FROM ring),
+        |m AS (
+        |  SELECT a.anchor_id, a.k, c.vec_id AS neg_id
+        |  FROM anchors a ASOF LEFT JOIN cands c
+        |    ON a.k = c.k AND a.h >= c.h),
+        |wrap AS (
+        |  SELECT k, arg_max(vec_id, h) AS wrap_id FROM cands GROUP BY 1)
+        |SELECT m.anchor_id, m.k AS neg_label,
+        |  coalesce(m.neg_id, w.wrap_id) AS neg_id
+        |FROM m JOIN wrap w USING (k)
+        |ORDER BY anchor_id, neg_label""".stripMargin
+  )
+}
