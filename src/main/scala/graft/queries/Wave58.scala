@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 58 — round 12, part twenty-six: SESSION QUALITY. q56 cuts the
+  * event stream into sessions; q251 reads them the way a product (or a
+  * bot-filter) does — the depth HISTOGRAM: bounce rate (single-event
+  * sessions), engagement buckets, and exact total dwell in integer
+  * epoch-micros (Spark's `session_window` end = last event + gap, so
+  * dwell = span + gap on both engines — the oracle replays the
+  * gaps-and-islands construction and the same bucket edges).
+  *
+  * Scale: sessionization is the one keyed window/session-window pass
+  * q56 already certifies; the histogram is a 4-row aggregate on top.
+  */
+object Wave58 {
+
+  private val GapUs = 1800000000L // 30 min, the q56 gap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q251_session_depth" -> { (s, d) =>
+      val sess = Streams.sessionize(Tables.events(s, d),
+        gap = "30 minutes")
+      val bucket = when(col("n_events") === 1, "1_bounce")
+        .when(col("n_events") <= 3, "2-3")
+        .when(col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+      sess
+        .select(bucket.as("depth"), col("n_events"),
+          (unix_micros(col("session_end"))
+            - unix_micros(col("session_start"))).as("dwell_us"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("dwell_us")).as("dwell_us_total"))
+        .orderBy(col("depth"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q251_session_depth" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |flagged AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged),
+         |per AS (
+         |  SELECT user_id, sid, count(*) AS n_events,
+         |    epoch_us(max(ts)) - epoch_us(min(ts)) + $GapUs AS dwell_us
+         |  FROM sess GROUP BY 1, 2),
+         |b AS (
+         |  SELECT CASE WHEN n_events = 1 THEN '1_bounce'
+         |              WHEN n_events <= 3 THEN '2-3'
+         |              WHEN n_events <= 7 THEN '4-7'
+         |              ELSE '8+' END AS depth,
+         |    n_events, dwell_us
+         |  FROM per)
+         |SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events,
+         |  CAST(sum(dwell_us) AS BIGINT) AS dwell_us_total
+         |FROM b GROUP BY 1 ORDER BY depth""".stripMargin
+  )
+}
