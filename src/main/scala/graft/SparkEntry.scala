@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Wave51.queries ++ graft.queries.Wave52.queries ++
       graft.queries.Wave53.queries ++ graft.queries.Wave54.queries ++
       graft.queries.Wave55.queries ++ graft.queries.Wave56.queries ++
-      graft.queries.Wave57.queries ++ graft.queries.Wave58.queries
+      graft.queries.Wave57.queries ++ graft.queries.Wave58.queries ++
+      graft.queries.Wave59.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -77,5 +78,6 @@ object SparkEntry {
       graft.queries.Wave51.oracleSql ++ graft.queries.Wave52.oracleSql ++
       graft.queries.Wave53.oracleSql ++ graft.queries.Wave54.oracleSql ++
       graft.queries.Wave55.oracleSql ++ graft.queries.Wave56.oracleSql ++
-      graft.queries.Wave57.oracleSql ++ graft.queries.Wave58.oracleSql
+      graft.queries.Wave57.oracleSql ++ graft.queries.Wave58.oracleSql ++
+      graft.queries.Wave59.oracleSql
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 59 — round 12, part twenty-seven: DELETION PROPAGATION — the
+  * right-to-be-forgotten audit a data platform runs before (and after)
+  * a purge. Given a deletion list (planted: every 37th user), q252
+  * reports per table how many rows the cascade touches and how many
+  * survive — customers directly, orders via custkey, lineitems via
+  * their order's custkey (the two-hop cascade that is exactly where
+  * ad-hoc purge scripts go wrong), events via user_id. Every count
+  * comes from a broadcast semi/anti join against the deletion list —
+  * the plan a 100 TB purge runs, with the tiny list on the build side.
+  */
+object Wave59 {
+
+  private val DelEvery = 37
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q252_deletion_audit" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val events = Tables.events(s, d)
+      val del = cust.filter(pmod(col("c_custkey"), lit(DelEvery)) === 0)
+        .select(col("c_custkey").as("del_key"))
+      def audit(df: DataFrame, key: org.apache.spark.sql.Column,
+                tbl: String): DataFrame = {
+        val flagged = df.join(broadcast(del), key === col("del_key"),
+          "left")
+        flagged.agg(lit(tbl).as("tbl"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("del_key").isNotNull, 1L).otherwise(0L))
+            .as("n_purge"),
+          sum(when(col("del_key").isNull, 1L).otherwise(0L))
+            .as("n_survive"))
+      }
+      // lineitem cascades through its order's customer
+      val liKeyed = li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      Seq(
+        audit(cust, col("c_custkey"), "customer"),
+        audit(orders, col("o_custkey"), "orders"),
+        audit(liKeyed, col("o_custkey"), "lineitem"),
+        audit(events, col("user_id"), "events")
+      ).reduce(_.unionByName(_)).orderBy(col("tbl"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q252_deletion_audit" ->
+      s"""WITH del AS (
+         |  SELECT c_custkey AS del_key FROM customer
+         |  WHERE c_custkey % $DelEvery = 0),
+         |a AS (
+         |  SELECT 'customer' AS tbl, count(*) AS n_rows,
+         |    sum(CASE WHEN d.del_key IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS n_purge
+         |  FROM customer c LEFT JOIN del d ON c.c_custkey = d.del_key
+         |  UNION ALL
+         |  SELECT 'orders', count(*),
+         |    sum(CASE WHEN d.del_key IS NOT NULL THEN 1 ELSE 0 END)
+         |  FROM orders o LEFT JOIN del d ON o.o_custkey = d.del_key
+         |  UNION ALL
+         |  SELECT 'lineitem', count(*),
+         |    sum(CASE WHEN d.del_key IS NOT NULL THEN 1 ELSE 0 END)
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  LEFT JOIN del d ON o.o_custkey = d.del_key
+         |  UNION ALL
+         |  SELECT 'events', count(*),
+         |    sum(CASE WHEN d.del_key IS NOT NULL THEN 1 ELSE 0 END)
+         |  FROM events e LEFT JOIN del d ON e.user_id = d.del_key)
+         |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_purge AS BIGINT) AS n_purge,
+         |  CAST(n_rows - n_purge AS BIGINT) AS n_survive
+         |FROM a ORDER BY tbl""".stripMargin
+  )
+}
