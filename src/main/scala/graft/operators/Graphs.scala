@@ -248,15 +248,20 @@ object Graphs {
     * Scale shape: each round is two semi-joins (edge list × shrinking
     * survivor set) + one degree count — all vertex/edge-cardinality
     * keyed operations, no per-vertex adjacency materialization, no
-    * window. The normalized edge list is built and cached ONCE
+    * window. The normalized edge list is built and materialized ONCE
     * ([[triangleCounts]]'s intake contract: least/greatest + dedup,
-    * self-loops dropped), and each round's degree frame is ALSO cached:
-    * round r references round r-1's survivors twice (one semi-join per
-    * endpoint), so uncached round frames would re-derive the whole
-    * chain 2^rounds times. Cached state is `rounds` vertex-cardinality
-    * frames — the same memory class as [[pageRankInt]]'s per-round
-    * ranks; caches release on context cleanup (`rounds` is small by
-    * contract). */
+    * self-loops dropped), and each round's degree frame is ALSO
+    * materialized: round r references round r-1's survivors twice (one
+    * semi-join per endpoint), so unmaterialized round frames would
+    * re-derive the whole chain 2^rounds times. Both use
+    * `localCheckpoint` (eager; the [[bfsHops]] convention), NOT
+    * `cache()`: checkpoint blocks are released by the context cleaner
+    * as soon as the superseded round frame goes unreferenced, whereas
+    * per-round CacheManager entries are invisible to the caller and
+    * would accumulate executor storage across repeated invocations in
+    * a long-lived session. Live state is therefore one
+    * vertex-cardinality frame per in-flight round, and lineage stays
+    * round-bounded at any graph size. */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -266,7 +271,7 @@ object Graphs {
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .dropDuplicates("u", "v")
-      .cache()
+      .localCheckpoint()
     var alive: Option[DataFrame] = None
     var deg: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -279,7 +284,7 @@ object Graphs {
       deg = e.select(col("u").as("id"))
         .union(e.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-        .cache()
+        .localCheckpoint()
       alive = Some(deg.filter(col("deg") >= k).select(col("id")))
     }
     deg.filter(col("deg") >= k)

@@ -509,20 +509,31 @@ object Sketches {
     sketches.reduce(_.union(_)).orderBy(col("h"), col("v")).limit(k)
 
   /** Quantile estimates from a sketch: the sample's order statistic at
-    * rank ⌊pm·(k−1)/1000⌋ per requested per-mille. The window runs
-    * over the K-ROW sketch, not the data — bounded whatever the
-    * corpus. */
+    * rank ⌊pm·(m−1)/1000⌋ per requested per-mille, where m is the
+    * sketch's ACTUAL row count (not the nominal k — an input smaller
+    * than k yields an m-row sketch, and trusting k would push the
+    * computed rank past the last row, silently dropping the requested
+    * per-mille instead of answering with the max order statistic).
+    * The nominal `k` parameter is kept for symmetry with the builder
+    * but only sanity-checked; m is measured in-plan (one 1-row count
+    * aggregate, broadcast onto the per-mille list). The window runs
+    * over the ≤K-ROW sketch, not the data — bounded whatever the
+    * corpus. An empty sketch yields zero rows. */
   def sketchQuantiles(sketch: DataFrame, k: Int,
                       perMille: Seq[Int]): DataFrame = {
     val spark = sketch.sparkSession
     import spark.implicits._
+    require(k >= 1, s"nominal sketch size must be >= 1: $k")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"), col("h"))
     val ranked = sketch
       .withColumn("rk", row_number().over(w).cast("long") - 1)
+    val cnt = sketch.agg(count(lit(1)).as("__m"))
     val ranks = perMille.toDF("pm")
+      .crossJoin(broadcast(cnt))
       .withColumn("krank",
-        floor(col("pm") * (k - 1) / 1000.0).cast("long"))
+        floor(col("pm") * (col("__m") - 1) / 1000.0).cast("long"))
+      .select(col("pm"), col("krank"))
     ranked.join(ranks, col("rk") === col("krank"))
       .select(col("pm").cast("long").as("pm"), col("v").as("est"))
   }

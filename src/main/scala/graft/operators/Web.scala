@@ -44,8 +44,12 @@ import org.apache.spark.sql.functions._
   */
 object Web {
 
-  /** Query params that track campaigns, not resources. */
-  val TrackingParamRe: String = "^(utm_[^=]*|fbclid|gclid|ref)="
+  /** Query params that track campaigns, not resources. The `=` is
+    * optional (`(=|$)`): a bare valueless param (`?fbclid`,
+    * `?utm_source`) names the same resource as its valued form, so it
+    * must canonicalize away too — requiring `=` would mint two
+    * canonical URLs for one page. */
+  val TrackingParamRe: String = "^(utm_[^=&]*|fbclid|gclid|ref)(=|$)"
 
   /** Scheme, lowercased (empty string when the URL is not absolute). */
   def urlScheme(url: Column): Column =
@@ -105,11 +109,16 @@ object Web {
     * the frontier for any bounded per-host policy.
     *
     * Returns the input plus `allowed` (boolean) and `rule` (the winning
-    * prefix, null when no rule matched). */
+    * prefix, null when no rule matched). Row multiplicity is PRESERVED:
+    * the aggregate keys on a per-row id captured before the join
+    * (`monotonically_increasing_id`), so a frontier with the same URL
+    * twice gets two verdict rows — "input plus columns" means exactly
+    * that, not dedup-on-all-columns. */
   def robotsVerdict(urls: DataFrame, urlCol: String,
                     rules: DataFrame, hostCol: String, prefixCol: String,
                     allowCol: String): DataFrame = {
-    val u = urls.withColumn("__host", canonicalHost(col(urlCol)))
+    val u = urls.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__host", canonicalHost(col(urlCol)))
       .withColumn("__path", canonicalPath(col(urlCol)))
     val r = rules.select(col(hostCol).as("__host"),
       col(prefixCol).as("__prefix"), col(allowCol).as("__allow"))
@@ -120,7 +129,7 @@ object Web {
         col("__path").startsWith(col("__prefix")))
     val urlCols = urls.columns.map(col).toSeq
     matched
-      .groupBy(urlCols: _*)
+      .groupBy(col("__rid") +: urlCols: _*)
       .agg(max(when(col("__hit"),
         struct(length(col("__prefix")).as("l"), col("__allow").as("a"),
           col("__prefix").as("p")))).as("w"))

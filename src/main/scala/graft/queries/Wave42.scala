@@ -70,7 +70,7 @@ object Wave42 {
       |    array_to_string(list_sort(list_filter(
       |      str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
       |      p -> p <> '' AND NOT regexp_matches(p,
-      |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS cq
+      |        '^(utm_[^=&]*|fbclid|gclid|ref)(=|$)'))), '&') AS cq
       |  FROM a),
       |k AS (
       |  SELECT doc_id, variant,

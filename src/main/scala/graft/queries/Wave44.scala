@@ -116,7 +116,7 @@ object Wave44 {
          |    array_to_string(list_sort(list_filter(
          |      str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
          |      p -> p <> '' AND NOT regexp_matches(p,
-         |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS cq
+         |        '^(utm_[^=&]*|fbclid|gclid|ref)(=|$$)'))), '&') AS cq
          |  FROM fr),
          |kx AS (
          |  SELECT doc_id,

@@ -489,7 +489,7 @@ object Streams {
       if (sofar >= n) Iterator.empty // quota full: no state write either
       else {
         val kept = rows.toSeq
-          .sortBy(e => (e.ts.getTime, e.event_id))
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           .take((n - sofar).toInt)
         admitted.update(sofar + kept.size)
         kept.iterator.zipWithIndex.map { case (e, i) =>

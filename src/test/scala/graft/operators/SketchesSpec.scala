@@ -345,4 +345,23 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
       math.abs(est - target) should be < (0.10 * n)
     }
   }
+
+  test("sketchQuantiles ranks against the actual row count, not nominal k") {
+    import spark.implicits._
+    // 10-row input, nominal k=512: the sketch holds all 10 rows exactly.
+    // Every requested per-mille must answer (pm=1000 → the max order
+    // statistic), where the old k-based rank (511) would silently emit
+    // no row at all.
+    val base = (0L until 10L).map(i => (i, i * 7L)).toDF("id", "v")
+    val sk = Sketches.quantileSketch(base, "id", "v", 512)
+    val ests = Sketches.sketchQuantiles(sk, 512, Seq(0, 500, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ests.size shouldBe 3
+    ests(0L) shouldBe 0L     // rank 0: min value
+    ests(500L) shouldBe 28L  // rank floor(500*9/1000)=4 → v=4*7
+    ests(1000L) shouldBe 63L // rank 9: max value
+    // empty sketch answers with zero rows, not an error
+    val empty = Sketches.quantileSketch(base.where(col("v") < 0), "id", "v", 8)
+    Sketches.sketchQuantiles(empty, 8, Seq(500)).count() shouldBe 0L
+  }
 }

@@ -42,6 +42,18 @@ class WebSpec extends AnyFunSuite with Matchers with SparkFixture {
     canon("http://site.example/deep///") shouldBe "http://site.example/deep"
   }
 
+  test("canonicalUrl: bare valueless tracking params canonicalize away too") {
+    // '?fbclid' and '?utm_source' without '=' name the same resource as
+    // their valued forms — one canonical URL, not two
+    canon("http://site.example/p?fbclid") shouldBe "http://site.example/p"
+    canon("http://site.example/p?utm_source&a=1") shouldBe
+      "http://site.example/p?a=1"
+    // a NON-tracking param that merely starts with 'ref' keeps its value
+    canon("http://site.example/p?refresh=1") shouldBe
+      "http://site.example/p?refresh=1"
+    canon("http://site.example/p?ref") shouldBe "http://site.example/p"
+  }
+
   test("canonicalUrl collapses the two Wave42 alias spellings to one key") {
     val a = canon("http://src9.example/en/doc/7?a=1&id=7&b=2")
     val b = canon("HTTP://SRC9.EXAMPLE:80/en/doc/7/?utm_source=feed&b=2&id=7&a=1&fbclid=x#sec")
@@ -74,6 +86,23 @@ class WebSpec extends AnyFunSuite with Matchers with SparkFixture {
       (3L, true, null),
       (4L, true, null),
       (5L, true, "/tie"))
+  }
+
+  test("robotsVerdict preserves row multiplicity for duplicate frontier rows") {
+    import spark.implicits._
+    // the same (id, url) row twice: "input plus columns" must yield
+    // two verdict rows, not collapse them through the aggregate
+    val urls = Seq(
+      (1L, "http://h.example/private/doc/1"),
+      (1L, "http://h.example/private/doc/1"),
+      (2L, "http://h.example/open")
+    ).toDF("id", "url")
+    val rules = Seq(("h.example", "/private", false))
+      .toDF("host", "prefix", "allow")
+    val got = Web.robotsVerdict(urls, "url", rules, "host", "prefix", "allow")
+      .select("id", "allowed")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq.sorted
+    got shouldBe Seq((1L, false), (1L, false), (2L, true))
   }
 
   test("politenessSchedule: per-host FIFO at (k-1)*delay") {
