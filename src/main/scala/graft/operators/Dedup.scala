@@ -690,6 +690,84 @@ object Dedup {
       .filter(col("id_new") =!= col("id_corpus"))
   }
 
+  /** [[minhashNearDupPairs]] re-derived ENTIRELY from one prebuilt
+    * [[corpusNearDupState]] frame — same output contract
+    * `(doc_a, doc_b, jac)` with `doc_a < doc_b`, bit-identical pair set
+    * (DedupSpec pins the equivalence): the state already carries the
+    * band keys (`keys`), the exact-verify token arrays (`ts`), and the
+    * doc expansion lists (`docs`), so no tokenize / no minhash / no
+    * corpus scan happens here at all — candidates come from a skinny
+    * self-join of the exploded band keys, verification is the same
+    * exact Jaccard, same-set (jac = 1) pairs unfold from each row's
+    * sorted `docs` array in one pass (posexplode + tail slice, no
+    * join).
+    *
+    * This is the INGEST-LOOP shape: a snapshot pipeline that persists
+    * the batch's state anyway (to fold into the corpus snapshot with
+    * [[mergeNearDupStates]]) gets its within-batch pairs from that same
+    * frame for free — one sketch pass per batch instead of one per
+    * consumer (q171 runs exactly this). */
+  def nearDupPairsWithinState(state: DataFrame,
+                              threshold: Double): DataFrame = {
+    val banded = state.select(col("h"), explode(col("keys")).as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.key") === col("b.key") && col("a.h") < col("b.h"))
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .dropDuplicates("h_a", "h_b")
+    val payload = state.select(col("h"), col("ts"), col("docs"))
+    val cross = cand
+      .join(payload.select(col("h").as("h_a"), col("ts").as("ts_a"),
+        col("docs").as("docs_a")), "h_a")
+      .join(payload.select(col("h").as("h_b"), col("ts").as("ts_b"),
+        col("docs").as("docs_b")), "h_b")
+      .withColumn("jac", jac(col("ts_a"), col("ts_b")))
+      .filter(col("jac") >= threshold)
+      .select(explode(col("docs_a")).as("da"), col("docs_b"), col("jac"))
+      .select(col("da"), explode(col("docs_b")).as("db"), col("jac"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    // same-set pairs: docs is sorted ascending (the state contract), so
+    // (docs[i], docs[j]) for j > i enumerates each unordered pair once
+    val same = state
+      .filter(size(col("docs")) >= 2)
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "da")))
+      .select(col("da"),
+        explode(slice(col("docs"), col("i") + lit(2), size(col("docs"))))
+          .as("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(1.0).as("jac"))
+    same.unionByName(cross)
+  }
+
+  /** [[nearDupAgainstCorpusPrebuilt]] with BOTH sides prebuilt — the
+    * batch's own [[corpusNearDupState]] joined against the frozen
+    * snapshot's, candidates meeting on equal band keys (equal-content
+    * rows share `h` and all band keys, so cross-side exact duplicates
+    * surface as jac = 1 pairs exactly like the recompute path; DedupSpec
+    * pins ≡ [[nearDupAgainstCorpusPrebuilt]]). Output
+    * `(id_new, id_corpus, jac)`, self-pairs suppressed. Cost: two state
+    * scans + the banded join — zero tokenization on either side. */
+  def nearDupPairsBetweenStates(stateNew: DataFrame, stateCorpus: DataFrame,
+                                threshold: Double): DataFrame = {
+    val bn = stateNew.select(col("h").as("h_a"), explode(col("keys")).as("key"))
+    val bc = stateCorpus.select(col("h").as("h_b"), explode(col("keys")).as("key"))
+    val cand = bn.join(bc, "key")
+      .select(col("h_a"), col("h_b"))
+      .dropDuplicates("h_a", "h_b")
+    cand
+      .join(stateNew.select(col("h").as("h_a"), col("ts").as("ts_a"),
+        col("docs").as("docs_a")), "h_a")
+      .join(stateCorpus.select(col("h").as("h_b"), col("ts").as("ts_b"),
+        col("docs").as("docs_b")), "h_b")
+      .withColumn("jac", jac(col("ts_a"), col("ts_b")))
+      .filter(col("jac") >= threshold)
+      .select(explode(col("docs_a")).as("id_new"), col("docs_b"), col("jac"))
+      .select(col("id_new"), explode(col("docs_b")).as("id_corpus"),
+        col("jac"))
+      .filter(col("id_new") =!= col("id_corpus"))
+  }
+
   /** Entity resolution, the blocking + fuzzy-verify shape (record
     * linkage / MDM): candidate pairs come from EXACT equality on a
     * cheap blocking attribute (`blockCol` — address, zip, phone hash,

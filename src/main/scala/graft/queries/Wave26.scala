@@ -58,30 +58,34 @@ object Wave26 {
     def load(name: String, gen: Int): DataFrame =
       s.read.parquet(s"$tmp/${name}$gen")
 
-    // ---- snapshot 0: sketch + label + rollup the initial corpus
+    // ---- snapshot 0: sketch ONCE; labels derive from the state frame
     val b0 = batch(1)
     save(Dedup.corpusNearDupState(b0, "doc_id", "text"), "state", 0)
     save(Dedup.components(
-      Dedup.minhashNearDupPairs(b0, "doc_id", "text", NearDupT)
+      Dedup.nearDupPairsWithinState(load("state", 0), NearDupT)
         .select(col("doc_a"), col("doc_b"))), "labels", 0)
     save(Agg.additiveState(b0, Seq("lang"), col("n_chars")), "agg", 0)
 
-    // ---- one ingest generation: reads ONLY the batch + persisted state
+    // ---- one ingest generation: reads ONLY the batch + persisted state.
+    // The batch is tokenized + minhashed exactly ONCE (its own
+    // corpusNearDupState, persisted): within-batch pairs, batch × frozen-
+    // snapshot pairs, and the snapshot fold all read that one frame —
+    // the r13 shape that replaced three sketch passes per generation
+    // (minhashNearDupPairs + nearDupAgainstCorpusPrebuilt's new side +
+    // corpusNearDupState) with one.
     def ingest(batchDocs: DataFrame, gen: Int): Unit = {
       val state = load("state", gen - 1)
       val labels = load("labels", gen - 1)
       val agg = load("agg", gen - 1)
-      // delta pairs: within-batch LSH + batch × frozen-state (prebuilt —
-      // zero corpus recomputation, the state frame IS the corpus here)
-      val delta = Dedup
-        .minhashNearDupPairs(batchDocs, "doc_id", "text", NearDupT)
+      save(Dedup.corpusNearDupState(batchDocs, "doc_id", "text"),
+        "bstate", gen)
+      val bState = load("bstate", gen)
+      val delta = Dedup.nearDupPairsWithinState(bState, NearDupT)
         .select(col("doc_a"), col("doc_b"))
-        .unionByName(Dedup.nearDupAgainstCorpusPrebuilt(batchDocs, state,
-          "doc_id", "text", NearDupT)
+        .unionByName(Dedup.nearDupPairsBetweenStates(bState, state, NearDupT)
           .select(col("id_new").as("doc_a"), col("id_corpus").as("doc_b")))
       save(Dedup.mergeComponents(labels, delta), "labels", gen)
-      save(Dedup.mergeNearDupStates(state,
-        Dedup.corpusNearDupState(batchDocs, "doc_id", "text")), "state", gen)
+      save(Dedup.mergeNearDupStates(state, bState), "state", gen)
       save(Agg.mergeAdditiveStates(Seq("lang"), agg,
         Agg.additiveState(batchDocs, Seq("lang"), col("n_chars"))),
         "agg", gen)

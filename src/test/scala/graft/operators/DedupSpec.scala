@@ -378,6 +378,58 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     viaDisk shouldBe direct
   }
 
+  test("nearDupPairsWithinState == minhashNearDupPairs, incl. via parquet") {
+    import spark.implicits._
+    // the r13 one-sketch-per-batch ingest contract: within-batch pairs
+    // derive from the batch's own persisted state frame — no second
+    // tokenize/minhash pass — and the pair set is bit-identical
+    val docs = graft.Tables.documents(spark, sfDir)
+    val direct = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("within_state").toString
+    Dedup.corpusNearDupState(docs, "doc_id", "text")
+      .write.parquet(s"$dir/state.parquet")
+    val viaState = Dedup.nearDupPairsWithinState(
+      spark.read.parquet(s"$dir/state.parquet"), 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    viaState shouldBe direct
+    viaState should not be empty
+    // the fixture must exercise BOTH families: same-set (jac = 1, from
+    // the docs-array unfold) and verified cross-set pairs
+    viaState.exists(_._3 == 1.0) shouldBe true
+    viaState.exists(_._3 < 1.0) shouldBe true
+  }
+
+  test("nearDupPairsBetweenStates == nearDupAgainstCorpusPrebuilt, incl. self-pair suppression") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val newSide = docs.filter(col("doc_id") % 3 === 0)
+    val state = Dedup.corpusNearDupState(corpSide, "doc_id", "text")
+      .localCheckpoint()
+    val direct = Dedup.nearDupAgainstCorpusPrebuilt(newSide, state,
+      "doc_id", "text", 0.9).as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val newState = Dedup.corpusNearDupState(newSide, "doc_id", "text")
+    val viaStates = Dedup.nearDupPairsBetweenStates(newState, state, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    viaStates shouldBe direct
+    viaStates should not be empty
+    // overlapping ids across sides never self-pair (the prebuilt
+    // contract), while identical CONTENT still pairs at jac = 1
+    val aState = Dedup.corpusNearDupState(
+      Seq((1L, "alpha beta gamma"), (2L, "zeta eta theta"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val bState = Dedup.corpusNearDupState(
+      Seq((1L, "alpha beta gamma"), (9L, "alpha beta gamma"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val got = Dedup.nearDupPairsBetweenStates(aState, bState, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    got shouldBe Set((1L, 9L, 1.0))
+  }
+
   test("mergeComponents: two-phase fold == one-shot, incl. component bridging") {
     import spark.implicits._
     // history: components {1,2,3} (rep 1) and {10,11} (rep 10), plus

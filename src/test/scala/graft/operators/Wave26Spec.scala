@@ -68,33 +68,40 @@ class Wave26Spec extends AnyFunSuite with Matchers with SparkFixture {
     Dedup.corpusNearDupState(b(1), "doc_id", "text")
       .write.parquet(s"$tmp/state0")
     Dedup.components(
-      Dedup.minhashNearDupPairs(b(1), "doc_id", "text", 0.9)
+      Dedup.nearDupPairsWithinState(
+        spark.read.parquet(s"$tmp/state0"), 0.9)
         .select(col("doc_a"), col("doc_b")))
       .write.parquet(s"$tmp/labels0")
-    def delta(batchDf: org.apache.spark.sql.DataFrame,
+    // the shipped q171 shape: the batch is sketched ONCE (its own
+    // persisted state frame), and BOTH pair families derive from it
+    def delta(bState: org.apache.spark.sql.DataFrame,
               state: org.apache.spark.sql.DataFrame) =
-      Dedup.minhashNearDupPairs(batchDf, "doc_id", "text", 0.9)
+      Dedup.nearDupPairsWithinState(bState, 0.9)
         .select(col("doc_a"), col("doc_b"))
-        .unionByName(Dedup.nearDupAgainstCorpusPrebuilt(batchDf, state,
-          "doc_id", "text", 0.9)
+        .unionByName(Dedup.nearDupPairsBetweenStates(bState, state, 0.9)
           .select(col("id_new").as("doc_a"), col("id_corpus").as("doc_b")))
 
     // generation 1
     val s0 = spark.read.parquet(s"$tmp/state0")
+    Dedup.corpusNearDupState(b(2), "doc_id", "text")
+      .write.parquet(s"$tmp/bstate1")
+    val bs1 = spark.read.parquet(s"$tmp/bstate1")
     Dedup.mergeComponents(spark.read.parquet(s"$tmp/labels0"),
-      delta(b(2), s0)).write.parquet(s"$tmp/labels1")
-    Dedup.mergeNearDupStates(s0,
-      Dedup.corpusNearDupState(b(2), "doc_id", "text"))
-      .write.parquet(s"$tmp/state1")
+      delta(bs1, s0)).write.parquet(s"$tmp/labels1")
+    Dedup.mergeNearDupStates(s0, bs1).write.parquet(s"$tmp/state1")
 
-    // generation 2 — THE scan-list pin: the delta frame's input files
-    // must come only from the batch-2 table and the persisted state
-    // (never the corpus-sized b0/b1 tables)
+    // generation 2 — THE scan-list pin, now even tighter than r12's:
+    // the delta frame's input files are ONLY the batch's persisted
+    // sketch state and the frozen snapshot state — never the corpus
+    // tables b0/b1, and not even the raw batch table (it was tokenized
+    // exactly once, into bstate2)
     val s1 = spark.read.parquet(s"$tmp/state1")
-    val d2 = delta(b(0), s1)
+    Dedup.corpusNearDupState(b(0), "doc_id", "text")
+      .write.parquet(s"$tmp/bstate2")
+    val d2 = delta(spark.read.parquet(s"$tmp/bstate2"), s1)
     val scanned = d2.inputFiles.toSet
     scanned should not be empty
-    all(scanned.toSeq) should (include("/b0") or include("/state1"))
+    all(scanned.toSeq) should (include("/bstate2") or include("/state1"))
     val labels2 = Dedup.mergeComponents(spark.read.parquet(s"$tmp/labels1"),
       d2)
 
