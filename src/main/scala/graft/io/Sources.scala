@@ -93,6 +93,34 @@ object Sources {
     spark.range(start, end, step, n.toInt)
   }
 
+  /** S9 rebuilt on the F7 seam, as proof the seam is real: the
+    * reference's range dseq is itself BUILT on its custom-InputFormat
+    * mechanism (`io/range.clj:8-26` over `mapreduce.clj:194-223`) —
+    * this is the same composition on ours. Registers a [[FnSource]]
+    * whose split data are `(lo, hi)` bounds (driver-side planning,
+    * like the reference's splits var) and whose records fn enumerates
+    * a split's values executor-side. Output column: `x: long`. Result
+    * rows are identical to [[range]]; the partition count equals the
+    * split count (IoSpec pins both). */
+  def rangeViaFn(spark: SparkSession, name: String, start: Long, end: Long,
+                 step: Long = 1L, nper: Long = 1000L): DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    require(nper > 0, s"nper must be positive: $nper")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val perSplit = step * nper
+    FnSource.register(name, schema,
+      splits = () =>
+        Iterator.iterate(start)(_ + perSplit).takeWhile(_ < end)
+          .map(lo => (lo, math.min(lo + perSplit, end))).toSeq,
+      records = s => {
+        val (lo, hi) = s.asInstanceOf[(Long, Long)]
+        Iterator.iterate(lo)(_ + step).takeWhile(_ < hi).map(v => Seq(v))
+      })
+    spark.read.format("graft-fn").option("fn", name).load()
+  }
+
   /** S10 — cheap seeded peek at a big dataset. The reference samples
     * whole input splits (`io/sample.clj:14-32`); the Spark analogue is a
     * seeded Bernoulli sample capped at `maxRows`. Deterministic given

@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.io.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 60 — round 13, part one: the F7 CUSTOM-SOURCE seam closed for
+  * real. The reference's `input-format!` manufactures an InputFormat
+  * from a (splits fn, records fn) pair and builds its own range dseq on
+  * top (`mapreduce.clj:194-223`, `io/range.clj:8-26`); our DataSource
+  * V2 counterpart ([[graft.io.FnDataSource]], format `graft-fn`) does
+  * the same with `Batch.planInputPartitions` / `PartitionReader`, and
+  * q253 certifies it end-to-end: a range source REBUILT through the
+  * seam ([[Sources.rangeViaFn]]), scanned by name via
+  * `spark.read.format("graft-fn")`, aggregated, and matched against
+  * DuckDB's `range()` table function. IoSpec pins the mechanism's
+  * plan-level contracts (split count == partition count, pruned
+  * ReadSchema, planning-time splits).
+  */
+object Wave60 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F7: the q39 range-mod shape, but the rows come from the
+    // fn-defined DataSource V2 source instead of spark.range — same
+    // relational answer, different (caller-extensible) leaf.
+    "q253_fn_source_range" -> { (s, d) =>
+      Sources.rangeViaFn(s, "w60_range", 0, 60000, 1, nper = 4096)
+        .groupBy((col("x") % 11).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"))
+        .orderBy(col("m"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q253_fn_source_range" ->
+      """SELECT CAST(range % 11 AS BIGINT) AS m, count(*) AS n,
+        |  CAST(sum(range) AS BIGINT) AS sum_x
+        |FROM range(0, 60000) GROUP BY 1 ORDER BY m""".stripMargin)
+}

@@ -267,6 +267,52 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
       .sortBy(_._1) shouldBe data.sortBy(_._1).toArray
   }
 
+  test("graft-fn source (F7): fn-defined splits + records, partition count, rangeViaFn parity") {
+    import spark.implicits._
+    // rangeViaFn == spark.range rows, and one task per fn-defined split
+    val viaFn = Sources.rangeViaFn(spark, "iospec_range", 0, 10000, 1,
+      nper = 1024)
+    viaFn.rdd.getNumPartitions shouldBe 10 // ceil(10000/1024)
+    viaFn.as[Long].collect().sorted shouldBe
+      Sources.range(spark, 0, 10000).collect().map(Long2long).sorted
+    // a custom 3-column source straight through FnSource.register
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tok",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    FnSource.register("iospec_docs", schema,
+      splits = () => Seq(0L, 1L, 2L),
+      records = s => {
+        val lo = s.asInstanceOf[Long] * 100
+        (lo until lo + 100).iterator.map(i =>
+          Seq(i, ('a' + (i % 26)).toChar.toString, "x" * 50))
+      })
+    val docs = spark.read.format("graft-fn").option("fn", "iospec_docs").load()
+    docs.rdd.getNumPartitions shouldBe 3
+    docs.count() shouldBe 300
+    docs.where(col("tok") === "a").count() shouldBe 12 // 300/26 rounded up
+    // column PRUNING pushes into the scan: a 2-col projection's leaf
+    // reads exactly those fields (SupportsPushDownRequiredColumns)
+    val pruned = docs.select(col("id"), col("tok"))
+      .groupBy(col("tok")).agg(sum(col("id")).as("s"))
+    // sparkPlan is the selected physical plan BEFORE the AQE wrapper
+    // buries the scan inside query stages
+    val scans = pruned.queryExecution.sparkPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.output.map(_.name)
+    }
+    scans should not be empty
+    scans.head should contain theSameElementsAs Seq("id", "tok")
+    // unregistered name fails LOUDLY at read time
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft-fn").option("fn", "nope").load()
+    }
+    err.getMessage should include("not registered")
+  }
+
   test("json + csv sinks: lossless readback (rows, schema, values)") {
     import spark.implicits._
     val df = Seq(
