@@ -182,13 +182,14 @@ object Wave2 {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // Multimodal plumbing: binary column -> distributed feature extraction
-    // (byte-histogram stub standing in for a codec). Oracle-comparable:
-    // the stub is deterministic in the bytes, and the histogram COUNTS
-    // are recovered exactly from the L1-normalized float features
-    // (c = round(f * total) is exact for c < 2^24 because float c/t has
-    // relative error <= 2^-24), so every output column is an exact
-    // integer DuckDB can reproduce from the same text bytes.
+    // Multimodal plumbing: binary column -> distributed feature
+    // extraction through extractFeatures' DEFAULT decode (decodeAuto;
+    // its text arm — the content IS the bytes, width/height honestly
+    // 0). Oracle-comparable: the histogram COUNTS are recovered
+    // exactly from the L1-normalized float features (c = round(f *
+    // total) is exact for c < 2^24 because float c/t has relative
+    // error <= 2^-24), so every output column is an exact integer
+    // DuckDB can reproduce from the same text bytes.
     "q32_multimodal_features" -> { (s, d) =>
       val assets = Multimodal.assetsFromText(
         s, Tables.documents(s, d), "doc_id", "text")
@@ -363,15 +364,16 @@ object Wave2 {
     // contract is the same exact brute-force top-k.
     "q33_ivf_ann" -> SqlBruteTopK,
 
-    // q32's stub decode is deterministic in the text bytes (pure-ASCII
-    // corpus: bytes = chars), and the Spark side reconstructs the exact
-    // integer histogram counts from the normalized float features — so
-    // DuckDB reproduces every column from the same text.
+    // q32 rides extractFeatures' DEFAULT decode (decodeAuto): for text
+    // assets the decoded content IS the bytes (pure-ASCII corpus:
+    // bytes = chars) and width/height are honestly 0 — no raster. The
+    // Spark side reconstructs the exact integer histogram counts from
+    // the normalized float features, so DuckDB reproduces every column.
     "q32_multimodal_features" ->
       """SELECT doc_id AS asset_id, 'text' AS modality,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(16 + strlen(text) % 64 AS BIGINT) AS width,
-        |  CAST((16 + strlen(text) % 64) // 2 AS BIGINT) AS height,
+        |  CAST(0 AS BIGINT) AS width,
+        |  CAST(0 AS BIGINT) AS height,
         |  CAST(length(text) - length(regexp_replace(text, '[\x20-\x2f]', '', 'g')) AS BIGINT) AS hist2,
         |  CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS BIGINT) AS hist6,
         |  CAST(length(text) - length(regexp_replace(text, '[\x70-\x7f]', '', 'g')) AS BIGINT) AS hist7

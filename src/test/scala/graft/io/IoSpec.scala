@@ -189,7 +189,10 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
     val assets = graft.operators.Multimodal.assetsFromBinaryFiles(spark, dir)
     val byMod = assets.collect().map(a => a.modality -> a.data.length).toMap
     byMod shouldBe Map("jpg" -> 4, "wav" -> 3)
-    val feats = graft.operators.Multimodal.extractFeatures(assets)
+    // explicit stub: the planted bytes are not real media — this test
+    // is about the binaryFiles plumbing, not the codecs
+    val feats = graft.operators.Multimodal.extractFeatures(assets,
+      graft.operators.Multimodal.decodeStub)
     feats.count() shouldBe 2
   }
 

@@ -35,6 +35,43 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     buf.array()
   }
 
+  test("decodeAuto (the extractFeatures DEFAULT) real-decodes all five families + text") {
+    import spark.implicits._
+    val assets = Seq(
+      Asset(1L, "bmp", Multimodal.syntheticBmp(13, 7, seed = 5L)),
+      Asset(2L, "png", Multimodal.syntheticPng(8, 6, seed = 9L)),
+      Asset(3L, "gif", Multimodal.syntheticGif(10, 4, seed = 3L)),
+      Asset(4L, "jpeg", Multimodal.syntheticJpeg(16, 8, seed = 7L)),
+      Asset(5L, "wav", Multimodal.syntheticWav(8000, 2, 50, seed = 1L)),
+      Asset(6L, "y4m", Multimodal.syntheticY4m(8, 6, 3, seed = 2L)),
+      Asset(7L, "text", "alpha beta".getBytes("UTF-8"))).toDS()
+    val rows = Multimodal.extractFeatures(assets) // DEFAULT decode
+      .collect().sortBy(_.asset_id)
+    // dimensions come from the PARSED headers, not any byte-length fake
+    rows.map(r => (r.asset_id, r.width, r.height)).toSeq shouldBe Seq(
+      (1L, 13, 7), (2L, 8, 6), (3L, 10, 4), (4L, 16, 8),
+      (5L, 2, 16),  // audio: channels × bits
+      (6L, 8, 6), (7L, 0, 0)) // text: no raster
+    // every histogram is a distribution over DECODED content
+    rows.foreach { r =>
+      r.features.length shouldBe 16
+      r.features.sum shouldBe 1.0f +- 1e-3f
+    }
+    // PNG histogram is over the planted pixel stream (seed + i) mod 256,
+    // not the compressed container bytes: replay it
+    val want = new Array[Float](16)
+    val nPix = 8 * 6 * 3
+    (0 until nPix).foreach(i => want(((9 + i) % 256) >> 4) += 1f / nPix)
+    val got = rows(1).features
+    (0 until 16).foreach(b => got(b) shouldBe want(b) +- 1e-4f)
+    // unknown modality fails loudly, naming the asset
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(
+        Seq(Asset(8L, "tiff", Array[Byte](1, 2))).toDS()).collect()
+    }
+    err.getMessage should include("no codec for modality")
+  }
+
   test("codec seam: a non-stub decode fn swaps in without touching the plumbing") {
     import spark.implicits._
     val assets = Seq(
@@ -42,7 +79,10 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
       Asset(2L, "img", header(1920, 1080, 0)),
       Asset(3L, "aud", header(7, 9, 21))).toDS().repartition(7)
 
-    val viaStub = Multimodal.extractFeatures(assets)
+    // the stub is passed EXPLICITLY — these are synthetic header blobs
+    // under made-up modalities, exactly the content the test-only stub
+    // exists for (the default decodeAuto would rightly refuse them)
+    val viaStub = Multimodal.extractFeatures(assets, Multimodal.decodeStub)
     val viaCodec = Multimodal.extractFeatures(assets, FakeHeaderCodec.decode)
 
     // identical schema: the contract is fixed by the plumbing, not the codec
