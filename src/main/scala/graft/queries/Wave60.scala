@@ -1,6 +1,8 @@
 package graft.queries
 
+import graft.Tables
 import graft.io.Sources
+import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,10 +18,33 @@ import org.apache.spark.sql.functions._
   * DuckDB's `range()` table function. IoSpec pins the mechanism's
   * plan-level contracts (split count == partition count, pruned
   * ReadSchema, planning-time splits).
+  *
+  * Plus the §2.8 TIMER surface: q254 is the batch twin of
+  * [[graft.streaming.Streams.sessionQuota]] — the `transformWithState`
+  * processor whose event-time timers close idle burst sessions and
+  * CLEAR per-key state (the RocksDB-bounding mechanism a 100 TB
+  * stream needs). Wave60StreamsSpec holds streamed ≡ twin across
+  * micro-batch splits, timer-fired closes for keys that never return,
+  * and a kill + checkpoint restart where a pre-kill timer fires
+  * post-recovery.
   */
 object Wave60 {
 
+  /** q254: idle gap (12 h) and per-session admission quota. */
+  private val SessGapUs = 43200000000L
+  private val SessN = 2L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.8 timers: batch twin of the transformWithState session-quota
+    // processor (admit ≤ n per idle-gap burst; one timer-driven close
+    // row per session). Wave60StreamsSpec holds streamed ≡ this twin
+    // incl. the timer-fired final closes; this row gives the twin the
+    // driver's DuckDB certificate.
+    "q254_session_quota" -> { (s, d) =>
+      Streams.sessionQuotaBatch(Tables.events(s, d), SessN, SessGapUs)
+        .orderBy(col("user_id"), col("kind"), col("event_id"))
+    },
 
     // F7: the q39 range-mod shape, but the rows come from the
     // fn-defined DataSource V2 source instead of spark.range — same
@@ -35,5 +60,34 @@ object Wave60 {
     "q253_fn_source_range" ->
       """SELECT CAST(range % 11 AS BIGINT) AS m, count(*) AS n,
         |  CAST(sum(range) AS BIGINT) AS sum_x
-        |FROM range(0, 60000) GROUP BY 1 ORDER BY m""".stripMargin)
+        |FROM range(0, 60000) GROUP BY 1 ORDER BY m""".stripMargin,
+
+    "q254_session_quota" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, t,
+         |    CASE WHEN lag(t) OVER uw IS NULL
+         |           OR t - lag(t) OVER uw > $SessGapUs
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM m),
+         |q AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY user_id, sess
+         |      ORDER BY t, event_id) AS seq,
+         |    count(*) OVER (PARTITION BY user_id, sess) AS tot
+         |  FROM s)
+         |SELECT user_id, 'admit' AS kind, event_id,
+         |  CAST(seq AS BIGINT) AS seq, CAST(seq AS BIGINT) AS n_seen
+         |FROM q WHERE seq <= $SessN
+         |UNION ALL
+         |SELECT user_id, 'close' AS kind, event_id,
+         |  CAST(least($SessN, tot) AS BIGINT) AS seq,
+         |  CAST(tot AS BIGINT) AS n_seen
+         |FROM q WHERE seq = tot
+         |ORDER BY user_id, kind, event_id""".stripMargin)
 }

@@ -588,4 +588,155 @@ object Streams {
           .when(col("__prev") =!= col("fp"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  // ------------------------------------- transformWithState + TIMERS
+
+  /** One output row of [[sessionQuota]]: `kind` is `admit` (event
+    * admitted, `seq` = its 1-based position in the burst session,
+    * `n_seen` = events seen in the session so far — equal while under
+    * quota) or `close` (the session ended: `event_id` = its LAST event,
+    * `seq` = admitted count, `n_seen` = total events). */
+  case class SessionOut(user_id: Long, kind: String, event_id: Long,
+                        seq: Long, n_seen: Long)
+
+  /** Per-key session-quota state: one small fixed-size row. `timerMs`
+    * is the registered event-time timer so it can be deleted when the
+    * session extends (exactly one live timer per key). */
+  case class SessQState(admitted: Long, seen: Long, lastTsUs: Long,
+                        lastEventId: Long, timerMs: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  /** Idle-gap session quota on `transformWithState` with EVENT-TIME
+    * TIMERS — the state-EXPIRY surface a 100 TB streaming pipeline
+    * needs to bound RocksDB: admit at most `n` events per burst
+    * session (a session ends when a key is idle > `gapMicros` of event
+    * time), and when the registered timer at `last_ts + gap` fires
+    * (the watermark passed it — no same-session event can still
+    * arrive), emit the session's `close` summary row and CLEAR the
+    * key's state. Idle keys therefore LEAVE the store entirely —
+    * unlike [[quotaKeep]], whose per-key long lives forever — so state
+    * size tracks the ACTIVE key set, not the all-time key set.
+    *
+    * The gap check also runs on arrival (an event past the gap closes
+    * the old session in-stream and starts a new one, deleting the
+    * stale timer), so results are identical whether the timer or the
+    * next event notices the session end first; the timer is what
+    * guarantees the LAST session of an idle key still closes and its
+    * state is reclaimed. Intra-batch disorder is absorbed by the
+    * (ts, nanos, event_id) sort; cross-batch ordering follows the
+    * ordered-replay caveat shared by the whole stateful tier.
+    * Wave60StreamsSpec pins streamed ≡ [[sessionQuotaBatch]] across
+    * arbitrary micro-batch splits and across a kill/restart from
+    * checkpoint; q254 gives the twin its DuckDB oracle row. */
+  class SessionQuotaProcessor(n: Long, gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, QuotaEvent, SessionOut] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[SessQState] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessQState]("sess",
+        org.apache.spark.sql.Encoders.product[SessQState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def closeRow(key: Long, s: SessQState): SessionOut =
+      SessionOut(key, "close", s.lastEventId, s.admitted, s.seen)
+    override def handleInputRows(key: Long, rows: Iterator[QuotaEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val evs = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var s = if (st.exists()) st.get() else null
+      evs.foreach { e =>
+        val tUs = tsMicros(e.ts)
+        if (s != null && tUs - s.lastTsUs > gapMicros) {
+          // the next event noticed the session end before the timer did:
+          // close in-stream and drop the now-stale timer
+          out += closeRow(key, s)
+          if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
+          s = null
+        }
+        if (s == null) s = SessQState(0L, 0L, tUs, e.event_id, 0L)
+        s = s.copy(seen = s.seen + 1, lastTsUs = math.max(s.lastTsUs, tUs),
+          lastEventId = e.event_id)
+        if (s.admitted < n) {
+          s = s.copy(admitted = s.admitted + 1)
+          out += SessionOut(key, "admit", e.event_id, s.admitted, s.seen)
+        }
+      }
+      if (s != null) {
+        // roll the single live timer to the (possibly extended) gap end;
+        // +1 ms so an equal-timestamp event (t' − last == gap, still
+        // same-session) sorts strictly before the expiry
+        if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
+        val timerMs = (s.lastTsUs + gapMicros) / 1000 + 1
+        getHandle.registerTimer(timerMs)
+        st.update(s.copy(timerMs = timerMs))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] =
+      if (!st.exists()) Iterator.empty
+      else {
+        // stale timers are deleted on every roll, so a firing timer IS
+        // the live session's gap end: close it and reclaim the state
+        val s = st.get()
+        st.clear()
+        Iterator.single(closeRow(key, s))
+      }
+  }
+
+  /** Streaming side of the session quota (RocksDB state store required,
+    * as for all `transformWithState` operators). `watermarkDelay`
+    * bounds event-time disorder; timers fire once the watermark passes
+    * a session's gap end. */
+  def sessionQuota(events: Dataset[QuotaEvent], n: Long, gapMicros: Long,
+                   watermarkDelay: String = "10 minutes")
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionQuotaProcessor(n, gapMicros),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Batch twin of [[sessionQuota]] (the q173/q174 convention): idle-gap
+    * sessionization per user (lag > gap starts a session), `admit` rows
+    * for each session's first `n` events, one `close` row per session
+    * carried by its LAST event (`seq == tot` — no arg-max needed on
+    * either engine). Two windows over the user partitioning; this is
+    * the oracle-certified side (q254). */
+  def sessionQuotaBatch(events: DataFrame, n: Long,
+                        gapMicros: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("t"), col("event_id"))
+    val q = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("__prev", lag(col("t"), 1).over(w))
+      .withColumn("__ns",
+        when(col("__prev").isNull ||
+          col("t") - col("__prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("__ns")).over(w))
+      .withColumn("seq", row_number().over(ws).cast("long"))
+      .withColumn("tot", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("sess"))).cast("long"))
+    q.filter(col("seq") <= n)
+      .select(col("user_id"), lit("admit").as("kind"), col("event_id"),
+        col("seq"), col("seq").as("n_seen"))
+      .unionByName(q.filter(col("seq") === col("tot"))
+        .select(col("user_id"), lit("close").as("kind"), col("event_id"),
+          least(lit(n), col("tot")).as("seq"), col("tot").as("n_seen")))
+  }
 }

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** Round-13 streaming additions: the transformWithState TIMER surface.
+  * [[Streams.sessionQuota]]'s event-time timers must (a) close sessions
+  * for keys that NEVER return — the in-stream gap check can't, only a
+  * timer can — (b) keep streamed output ≡ the batch twin across
+  * arbitrary micro-batch splits, and (c) survive a kill + checkpoint
+  * restart with a PRE-kill timer firing POST-recovery. */
+class Wave60StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(u: Long, minute: Int, id: Long) =
+    Streams.QuotaEvent(u, ts(minute), id)
+
+  private val GapUs = 600000000L // 10 minutes
+  private val N = 2L
+
+  private def withRocksDb[T](body: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("sessionQuota: streamed == batch twin; idle keys close by TIMER, not by a next event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // u1: burst A (4 events, quota 2), 27-min idle, burst B (2 events);
+      // u2: ONE event, never returns — only the timer can close it
+      val real = Seq(
+        ev(1L, 0, 101L), ev(1L, 1, 102L), ev(1L, 2, 103L), ev(1L, 3, 104L),
+        ev(2L, 2, 201L),
+        ev(1L, 30, 105L), ev(1L, 31, 106L))
+      val input = MemoryStream[Streams.QuotaEvent]
+      val name = s"sessq_${System.nanoTime}"
+      val q = Streams.sessionQuota(input.toDS(), N, GapUs,
+        watermarkDelay = "1 minute").writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(real(0), real(1), real(4)) // split mid-burst
+        q.processAllAvailable()
+        input.addData(real(2), real(3))
+        q.processAllAvailable()
+        input.addData(real(5), real(6))
+        q.processAllAvailable()
+        // push the watermark far past every gap end so the timers fire
+        // (two pushes: the watermark computed from batch k applies to
+        // batch k+1)
+        input.addData(ev(99L, 120, 901L))
+        q.processAllAvailable()
+        input.addData(ev(99L, 180, 902L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .as[Streams.SessionOut].collect().toSet
+        .filter(_.user_id != 99L) // the watermark-push fixture key
+      val want = Streams.sessionQuotaBatch(real.toDF(), N, GapUs)
+        .as[Streams.SessionOut].collect().toSet
+      streamed shouldBe want
+      // the load-bearing timer facts: u2's single-event session closed
+      // with NO second u2 event ever arriving, and u1's LAST burst
+      // closed after its final event — both only a timer can emit
+      streamed should contain(
+        Streams.SessionOut(2L, "close", 201L, 1L, 1L))
+      streamed should contain(
+        Streams.SessionOut(1L, "close", 106L, 2L, 2L))
+      // burst A: 4 seen, 2 admitted, closed by burst B's arrival
+      streamed should contain(
+        Streams.SessionOut(1L, "close", 104L, 2L, 4L))
+    }
+  }
+
+  test("sessionQuota: a PRE-kill timer fires POST-restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val base = graft.io.PathsUtil.transientPath("graft-stream-sessq-ckpt")
+      val sunk = new java.util.concurrent.ConcurrentHashMap[
+        Long, Seq[Streams.SessionOut]]()
+      val input = MemoryStream[Streams.QuotaEvent]
+      def start() = Streams.sessionQuota(input.toDS(), N, GapUs,
+        watermarkDelay = "1 minute").writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.SessionOut],
+                         id: Long) => sunk.put(id, b.collect().toSeq); () }
+        .start()
+      // u1's whole burst lands BEFORE the kill — its close timer is
+      // registered and checkpointed; no u1 event ever arrives again
+      val real = Seq(ev(1L, 0, 101L), ev(1L, 1, 102L), ev(1L, 2, 103L))
+      val q1 = start()
+      try {
+        input.addData(real: _*)
+        q1.processAllAvailable()
+      } finally q1.stop() // the kill
+      // post-restart: only watermark pushes — u1's close can only come
+      // from the RECOVERED timer
+      input.addData(ev(99L, 120, 901L))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        input.addData(ev(99L, 180, 902L))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = sunk.values.asScala.flatten.toSet.filter(_.user_id != 99L)
+      val want = Streams.sessionQuotaBatch(real.toDF(), N, GapUs)
+        .as[Streams.SessionOut].collect().toSet
+      got shouldBe want
+      got should contain(Streams.SessionOut(1L, "close", 103L, 2L, 3L))
+      // exactly once across the kill (batchId-keyed idempotent sink)
+      sunk.values.asScala.flatten.count(o =>
+        o.user_id == 1L && o.kind == "close") shouldBe 1
+    }
+  }
+}
