@@ -20,7 +20,16 @@ object Joins {
     * with the largest `tsCol` <= the left row's `tsCol`, matching on
     * `keyCol` (null when no prior right row exists). Ties on equal ts
     * take the right row (inclusive >=). Right rows should be unique per
-    * (key, ts) — pre-aggregate if not. */
+    * (key, ts) — pre-aggregate if not.
+    *
+    * HOT-KEY BOUND: the per-key window concentrates ONE KEY'S ENTIRE
+    * merged timeline (left ∪ right rows) into one task — inherent to
+    * the formulation and fine for timeline-shaped keys (users, devices,
+    * symbols: bounded history each), degenerate when one key carries an
+    * unbounded share of the volume (a sentinel id, a global feed). For
+    * that shape use [[asOfBucketed]], which splits each key's timeline
+    * into time buckets and carries state across them at bucket grain —
+    * identical result, per-task work bounded by a bucket, not a key. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            payload: String, outCol: String = "asof_val"): DataFrame = {
     val l = left.select(
@@ -41,6 +50,82 @@ object Joins {
       .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(col("__row.*"), col("__asof").as(outCol))
+  }
+
+  /** [[asOf]] for HOT keys — the salted-window variant (the
+    * [[Skew.saltedJoin]] idea applied to a window): identical result,
+    * but no task ever holds more than one (key, time-bucket) of rows.
+    *
+    * Three passes, all bucket- or bucket-count-grain:
+    *  1. within each (key, bucket) partition, the plain running
+    *     last-non-null payload — the straggler-free stand-in for the
+    *     per-key window (a task's input is one bucket of one key);
+    *  2. per (key, bucket), the bucket's LAST right payload — a
+    *     map-side-combinable `max_by` aggregate;
+    *  3. carry-in per (key, bucket): latest earlier bucket's last
+    *     payload, via a window at BUCKET grain — this one does
+    *     partition by key alone, but its per-key row count is the
+    *     number of occupied buckets (timeline span / `bucketWidth`),
+    *     independent of row volume, so the hot key costs the same as
+    *     any other.
+    * A left row's answer is its within-bucket running value, else the
+    * bucket's carry-in. Equal timestamps always share a bucket, so the
+    * inclusive tie rule is untouched; JoinsSpec pins result ≡ [[asOf]]
+    * and the salts-fold max-partition drop on a 90%-hot-key fixture
+    * (the q59 convention).
+    *
+    * `bucketWidth` is in the ts column's own units for numeric ts, or
+    * MICROSECONDS for timestamp ts (floor division via the house
+    * `(t − pmod(t,b)) / b`, exact for negatives). Right rows with null
+    * payload are ignored, exactly as `last(ignoreNulls)` ignores them
+    * in [[asOf]]. */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, payload: String,
+                   outCol: String = "asof_val",
+                   bucketWidth: Long = 3600000000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def tLong(df: DataFrame): Column = df.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(tsCol).cast("timestamp"))
+      case _ => col(tsCol).cast("long")
+    }
+    def bucketOf(t: Column): Column =
+      ((t - pmod(t, lit(bucketWidth))) / bucketWidth).cast("long")
+    val l = left.select(
+      col(keyCol).as("__k"), tLong(left).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(payload).dataType).as("__pay"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
+    val rowType = l.schema("__row").dataType
+    val r = right.select(
+      col(keyCol).as("__k"), tLong(right).as("__t"),
+      lit(0).as("__side"),
+      col(payload).as("__pay"),
+      lit(null).cast(rowType).as("__row"))
+    val u = l.unionByName(r).withColumn("__b", bucketOf(col("__t")))
+    // pass 1: running last within (key, bucket) — the bounded window
+    val wIn = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stage = u.withColumn("__in",
+      last(col("__pay"), ignoreNulls = true).over(wIn))
+    // pass 2: each bucket's last right payload (one row per key-bucket)
+    val bLast = u.filter(col("__side") === 0 && col("__pay").isNotNull)
+      .groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__pay"), col("__t")).as("__blast"))
+    // pass 3: carry-in from the nearest earlier non-empty bucket —
+    // bucket-grain rows only
+    val wB = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = u.select(col("__k"), col("__b")).distinct()
+      .join(bLast, Seq("__k", "__b"), "left")
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wB))
+      .select(col("__k"), col("__b"), col("__carry"))
+    stage.filter(col("__side") === 1)
+      .join(carries, Seq("__k", "__b"))
+      .select(col("__row.*"),
+        coalesce(col("__in"), col("__carry")).as(outCol))
   }
 
   /** Equi + range join: pairs matching `keys` equality and `lo <= hi`

@@ -46,6 +46,24 @@ object Wave60 {
         .orderBy(col("user_id"), col("kind"), col("event_id"))
     },
 
+    // Hot-key-safe as-of join (q52's shape through asOfBucketed): the
+    // per-(key, day-bucket) window + bucket-grain carry must answer
+    // identically to the plain per-key window — and DuckDB's NATIVE
+    // ASOF JOIN is the independent cross-check, exactly q52's oracle.
+    "q255_asof_bucketed" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.operators.Joins.asOfBucketed(purchases, clicks, "user_id",
+          "ts", "click_value", outCol = "last_click_value",
+          bucketWidth = 86400000000L)
+        .select(col("event_id"), col("user_id"), col("last_click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // F7: the q39 range-mod shape, but the rows come from the
     // fn-defined DataSource V2 source instead of spark.range — same
     // relational answer, different (caller-extensible) leaf.
@@ -61,6 +79,18 @@ object Wave60 {
       """SELECT CAST(range % 11 AS BIGINT) AS m, count(*) AS n,
         |  CAST(sum(range) AS BIGINT) AS sum_x
         |FROM range(0, 60000) GROUP BY 1 ORDER BY m""".stripMargin,
+
+    "q255_asof_bucketed" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_value AS last_click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q254_session_quota" ->
       s"""WITH e AS (

@@ -37,6 +37,57 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.columns shouldBe Array("user", "ts", "tag", "price")
   }
 
+  test("asOfBucketed == asOf on timestamps and on numeric ts, incl. cross-bucket carry") {
+    import spark.implicits._
+    // timelines engineered so answers must cross bucket boundaries:
+    // bucket = 20 min, right rows only in early buckets
+    val left = Seq(
+      (1L, t(10), "a"), (1L, t(30), "b"), (1L, t(55), "c"),
+      (2L, t(5), "d"), (2L, t(45), "e"), (3L, t(50), "f"))
+      .toDF("user", "ts", "tag")
+    val right = Seq(
+      (1L, t(0), 100.0), (1L, t(10), 110.0), (1L, t(29), 120.0),
+      (2L, t(44), 200.0))
+      .toDF("user", "ts", "v")
+    val plain = Joins.asOf(left, right, "user", "ts", "v")
+      .select("tag", "asof_val").as[(String, Option[Double])]
+      .collect().toMap
+    val bucketed = Joins.asOfBucketed(left, right, "user", "ts", "v",
+      bucketWidth = 20L * 60000000L)
+      .select("tag", "asof_val").as[(String, Option[Double])]
+      .collect().toMap
+    bucketed shouldBe plain
+    bucketed("c") shouldBe Some(120.0) // carry across two empty buckets
+    bucketed("f") shouldBe None        // key with no right rows at all
+    bucketed("a") shouldBe Some(110.0) // inclusive tie inside a bucket
+    // numeric ts path: same data with long timestamps, width 7 units
+    val ln = Seq((1L, 3L, "x"), (1L, 22L, "y")).toDF("user", "ts", "tag")
+    val rn = Seq((1L, 2L, 5.0), (1L, 9L, 6.0)).toDF("user", "ts", "v")
+    val pn = Joins.asOf(ln, rn, "user", "ts", "v")
+      .select("tag", "asof_val").as[(String, Option[Double])].collect().toMap
+    val bn = Joins.asOfBucketed(ln, rn, "user", "ts", "v", bucketWidth = 7L)
+      .select("tag", "asof_val").as[(String, Option[Double])].collect().toMap
+    bn shouldBe pn
+  }
+
+  test("asOfBucketed == asOf on a real-table fixture (orders as-of customer events)") {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+    val left = orders.select(col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+      col("o_orderkey"))
+    val right = orders.select(col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+      col("o_totalprice").as("v"))
+      .groupBy(col("k"), col("ts")).agg(max(col("v")).as("v"))
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_orderkey", "asof_val")
+      .as[(Long, Option[Double])].collect().toMap
+    res(Joins.asOfBucketed(left, right, "k", "ts", "v",
+      bucketWidth = 90L * 86400000000L)) shouldBe
+      res(Joins.asOf(left, right, "k", "ts", "v"))
+  }
+
   test("saltedJoin equals the plain join exactly") {
     import spark.implicits._
     val large = graft.Tables.orders(spark, sfDir)
@@ -111,6 +162,41 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
       plan should include("__salt")
       plan should not include "BroadcastHashJoin"
       salted.count() shouldBe unsalted.count()
+    }
+  }
+
+  test("asOfBucketed kills the asOf straggler: max window partition drops on a 90%-hot key") {
+    import spark.implicits._
+    // one key carries 90% of the merged timeline: plain asOf's per-key
+    // window funnels all of it through one task; the bucketed variant's
+    // widest partition is one (key, bucket)
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32") {
+      val hotLeft = spark.range(27000)
+        .select(lit(0L).as("k"), (col("id") * 10 + 1).as("ts"),
+          col("id").as("tag"))
+        .union(spark.range(3000).select((col("id") % 100 + 1).as("k"),
+          (col("id") * 10 + 1).as("ts"), col("id").as("tag")))
+      val hotRight = spark.range(27000)
+        .select(lit(0L).as("k"), (col("id") * 10).as("ts"),
+          (col("id") * 1.0).as("v"))
+        .union(spark.range(3000).select((col("id") % 100 + 1).as("k"),
+          (col("id") * 10).as("ts"), (col("id") * 1.0).as("v")))
+      val plain = Joins.asOf(hotLeft, hotRight, "k", "ts", "v")
+      val bucketed = Joins.asOfBucketed(hotLeft, hotRight, "k", "ts", "v",
+        bucketWidth = 9000L) // ~30 buckets over the hot timeline
+      val maxP = partitionSizes(plain).max
+      val maxB = partitionSizes(bucketed).max
+      maxP should be >= 27000L // the hot key's whole timeline, one task
+      maxB should be <= maxP / 4 // spread across (key, bucket)
+      // and the spread variant still answers identically
+      val a = plain.select("tag", "asof_val")
+        .as[(Long, Option[Double])].collect().toMap
+      val b = bucketed.select("tag", "asof_val")
+        .as[(Long, Option[Double])].collect().toMap
+      b shouldBe a
     }
   }
 
