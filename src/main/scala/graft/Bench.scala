@@ -201,12 +201,23 @@ object Bench {
         System.err.println(s"[bench] FAILED $name: $msg")
         -1.0
       }
+    // SPARK_GRAFT_EMIT_SAMPLES=1: print every rep's raw time to stderr —
+    // the instrument for measuring a query's within-JVM spread when
+    // (re)freezing a BASELINE row (only min is machine-reported).
+    val emitSamples = sys.env.get("SPARK_GRAFT_EMIT_SAMPLES").exists(_.nonEmpty)
     def bestOf(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame, record: Boolean): Double = {
       val first = once(name, fn, record)
-      if (first < 0) first
-      else (first +: (2 to reps).map(_ => once(name, fn, record)))
-        .filter(_ >= 0).min
+      val all =
+        if (first < 0) Seq(first)
+        else first +: (2 to reps).map(_ => once(name, fn, record))
+      if (emitSamples)
+        System.err.println(s"[bench] samples $name: " +
+          all.map(t => f"$t%.3f").mkString(" "))
+      all.filter(_ >= 0) match {
+        case Seq() => -1.0
+        case ok => ok.min
+      }
     }
     val ordered = selected.toSeq.sortBy(_._1)
     val segments = ordered.zipWithIndex.grouped(SegSize).toSeq
@@ -216,6 +227,16 @@ object Bench {
     // segment it overlapped instead of being averaged into one side
     var probePrev = miniCalibrate() / MiniRefSec
     val segResults = segments.map { seg =>
+      // throwaway segment warm-up: run the segment's FIRST query once,
+      // untimed, so the timed reps land on a JIT/codegen/arrow-warm JVM.
+      // Small iterative queries were bimodal ACROSS JVMs (q55 measured
+      // 1.75-3.67 s on identical code, r12) because whichever mode the
+      // first execution's compilation lands in sticks for the segment;
+      // one discarded heavy per 25 queries (~4% overhead) retires the
+      // spread-midpoint freezing that bimodality forced (q26/q55).
+      seg.headOption.foreach { case ((name, fn), _) =>
+        once(name, fn, record = false)
+      }
       val times = seg.map { case ((name, fn), idx) =>
         (name, idx, bestOf(name, fn, record = true))
       }

