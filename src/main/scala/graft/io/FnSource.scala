@@ -99,8 +99,20 @@ class FnDataSource extends TableProvider with DataSourceRegister {
     FnSource.lookup(fnName(options)).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new FnTable(properties.get("fn"))
+                        properties: java.util.Map[String, String]): Table = {
+    // properties is the CASE-SENSITIVE map — route through the same
+    // case-insensitive lookup inferSchema used, or .option("FN", ...)
+    // would pass inference and then NPE here
+    val name = fnName(new CaseInsensitiveStringMap(properties))
+    val registered = FnSource.lookup(name).schema
+    // a .schema(...) override skips inferSchema and lands here: the
+    // source serves exactly the registered schema, so a mismatch must
+    // fail upfront, not as a downstream analyzer/runtime surprise
+    require(schema == registered,
+      s"graft-fn '$name' serves its REGISTERED schema ${registered.simpleString}; " +
+        s"user-specified schema ${schema.simpleString} is not supported")
+    new FnTable(name)
+  }
 }
 
 private[io] class FnTable(name: String) extends Table with SupportsRead {

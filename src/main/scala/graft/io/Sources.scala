@@ -109,14 +109,29 @@ object Sources {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("x",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    val perSplit = step * nper
+    // split planning in BigInt (driver-side, |splits| values): the naive
+    // `iterate(_ + perSplit).takeWhile(_ < end)` wraps past Long.MaxValue
+    // and never terminates when end sits near the domain edge
     FnSource.register(name, schema,
-      splits = () =>
-        Iterator.iterate(start)(_ + perSplit).takeWhile(_ < end)
-          .map(lo => (lo, math.min(lo + perSplit, end))).toSeq,
+      splits = () => {
+        val p = BigInt(step) * BigInt(nper)
+        Iterator.iterate(BigInt(start))(_ + p).takeWhile(_ < BigInt(end))
+          .map(lo => (lo.toLong, (lo + p).min(BigInt(end)).toLong)).toSeq
+      },
       records = s => {
         val (lo, hi) = s.asInstanceOf[(Long, Long)]
-        Iterator.iterate(lo)(_ + step).takeWhile(_ < hi).map(v => Seq(v))
+        new Iterator[Seq[Any]] {
+          private var cur = lo
+          override def hasNext: Boolean = cur < hi
+          override def next(): Seq[Any] = {
+            val v = cur
+            // overflow-safe advance: hi - cur only wraps when the true
+            // distance exceeds 2^63 (then it reads negative and the
+            // comparison is correctly false)
+            cur = if (hi - cur <= step && hi - cur > 0) hi else cur + step
+            Seq(v)
+          }
+        }
       })
     spark.read.format("graft-fn").option("fn", name).load()
   }

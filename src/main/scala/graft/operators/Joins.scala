@@ -74,24 +74,33 @@ object Joins {
     * and the salts-fold max-partition drop on a 90%-hot-key fixture
     * (the q59 convention).
     *
-    * `bucketWidth` is in the ts column's own units for numeric ts, or
-    * MICROSECONDS for timestamp ts (floor division via the house
-    * `(t − pmod(t,b)) / b`, exact for negatives). Right rows with null
-    * payload are ignored, exactly as `last(ignoreNulls)` ignores them
-    * in [[asOf]]. */
+    * `bucketWidth` is in the ts column's own units for INTEGRAL ts, or
+    * MICROSECONDS for timestamp ts. Fractional ts types are REJECTED
+    * (truncating them would silently break the ≡-[[asOf]] tie
+    * semantics — quantize first); bucketing is exact long arithmetic
+    * (`(t − pmod(t,b)) DIV b` — the numerator is floor-aligned and
+    * divisible, so DIV is the floor for negatives too, with no double
+    * rounding at any magnitude). NULL keys and NULL timestamps are
+    * preserved with [[asOf]]'s exact semantics (null-safe joins; a
+    * null ts sorts first, so null-ts right payloads are visible to
+    * every bucket's carry — the same order the per-key window gives
+    * them). Right rows with null payload are ignored, exactly as
+    * `last(ignoreNulls)` ignores them in [[asOf]]. */
   def asOfBucketed(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, payload: String,
                    outCol: String = "asof_val",
                    bucketWidth: Long = 3600000000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
     def tLong(df: DataFrame): Column = df.schema(tsCol).dataType match {
       case TimestampType | TimestampNTZType =>
         unix_micros(col(tsCol).cast("timestamp"))
-      case _ => col(tsCol).cast("long")
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(tsCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asOfBucketed needs an integral or timestamp ts column; '$tsCol' " +
+          s"is $other — truncating it would diverge from asOf (quantize first)")
     }
-    def bucketOf(t: Column): Column =
-      ((t - pmod(t, lit(bucketWidth))) / bucketWidth).cast("long")
     val l = left.select(
       col(keyCol).as("__k"), tLong(left).as("__t"),
       lit(1).as("__side"),
@@ -103,7 +112,8 @@ object Joins {
       lit(0).as("__side"),
       col(payload).as("__pay"),
       lit(null).cast(rowType).as("__row"))
-    val u = l.unionByName(r).withColumn("__b", bucketOf(col("__t")))
+    val u = l.unionByName(r).withColumn("__b",
+      expr(s"(__t - pmod(__t, ${bucketWidth}L)) DIV ${bucketWidth}L"))
     // pass 1: running last within (key, bucket) — the bounded window
     val wIn = Window.partitionBy(col("__k"), col("__b"))
       .orderBy(col("__t"), col("__side"))
@@ -118,14 +128,22 @@ object Joins {
     // bucket-grain rows only
     val wB = Window.partitionBy(col("__k")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = u.select(col("__k"), col("__b")).distinct()
-      .join(bLast, Seq("__k", "__b"), "left")
+    val carries = u.select(col("__k"), col("__b")).distinct().as("x")
+      .join(bLast.as("y"),
+        col("x.__k") <=> col("y.__k") && col("x.__b") <=> col("y.__b"),
+        "left")
+      .select(col("x.__k").as("__k"), col("x.__b").as("__b"),
+        col("__blast"))
       .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wB))
       .select(col("__k"), col("__b"), col("__carry"))
-    stage.filter(col("__side") === 1)
-      .join(carries, Seq("__k", "__b"))
-      .select(col("__row.*"),
-        coalesce(col("__in"), col("__carry")).as(outCol))
+    // null-safe join: a NULL key or NULL ts (→ NULL bucket) is a real
+    // group in asOf's window and must stay one here, not vanish through
+    // EqualTo's null-never-matches
+    stage.filter(col("__side") === 1).as("s")
+      .join(carries.as("c"),
+        col("s.__k") <=> col("c.__k") && col("s.__b") <=> col("c.__b"))
+      .select(col("s.__row.*"),
+        coalesce(col("s.__in"), col("c.__carry")).as(outCol))
   }
 
   /** Equi + range join: pairs matching `keys` equality and `lo <= hi`

@@ -606,7 +606,11 @@ object Streams {
                         lastEventId: Long, timerMs: Long)
 
   private def tsMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    // floorDiv, not /: getTime truncates toward zero for pre-epoch
+    // instants, which would shift 1969 events FORWARD and diverge from
+    // the batch twin's unix_micros (getNanos is always the non-negative
+    // fraction on top of the floor second)
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   /** Idle-gap session quota on `transformWithState` with EVENT-TIME
     * TIMERS — the state-EXPIRY surface a 100 TB streaming pipeline

@@ -314,6 +314,30 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
       spark.read.format("graft-fn").option("fn", "nope").load()
     }
     err.getMessage should include("not registered")
+    // option keys are case-insensitive end-to-end (getTable receives the
+    // case-SENSITIVE properties map — regression: NPE on .option("FN",...))
+    spark.read.format("graft-fn").option("FN", "iospec_docs").load()
+      .count() shouldBe 300
+    // a user-specified schema is a loud unsupported, not a silent ignore
+    // (Spark's own supportsExternalMetadata=false gate fires first; the
+    // table's REGISTERED-schema require backstops direct getTable use)
+    val schemaErr = intercept[Exception] {
+      spark.read.format("graft-fn")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("wrong",
+            org.apache.spark.sql.types.LongType))))
+        .option("fn", "iospec_docs").load().collect()
+    }
+    (schemaErr.getMessage.contains("REGISTERED schema") ||
+      schemaErr.getMessage.toLowerCase.contains("schema")) shouldBe true
+    // domain-edge range: split planning must not wrap past Long.MaxValue
+    val edge = Sources.rangeViaFn(spark, "iospec_edge",
+      Long.MaxValue - 10, Long.MaxValue, 1, nper = 4)
+    edge.count() shouldBe 10
+    edge.agg(min(col("x")), max(col("x"))).collect()(0) match {
+      case r => (r.getLong(0), r.getLong(1)) shouldBe
+        (Long.MaxValue - 10, Long.MaxValue - 1)
+    }
   }
 
   test("json + csv sinks: lossless readback (rows, schema, values)") {

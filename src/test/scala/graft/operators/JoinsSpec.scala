@@ -70,6 +70,38 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
     bn shouldBe pn
   }
 
+  test("asOfBucketed: NULL keys/ts preserved like asOf; negative ts bucket exactly; fractional ts rejected") {
+    import spark.implicits._
+    // null key and null ts are real groups in asOf's window — they must
+    // not vanish through the bucketed variant's joins
+    val ln = Seq((Option(1L), Option(10L), "a"),
+      (Option.empty[Long], Option(10L), "nk"),
+      (Option(1L), Option.empty[Long], "nt"),
+      (Option(1L), Option(-15L), "neg"))
+      .toDF("user", "ts", "tag")
+    val rn = Seq((Option(1L), Option(-20L), 1.0),
+      (Option(1L), Option(5L), 2.0),
+      (Option.empty[Long], Option(3L), 3.0),
+      (Option(1L), Option.empty[Long], 4.0))
+      .toDF("user", "ts", "v")
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select("tag", "asof_val").as[(String, Option[Double])]
+      .collect().toMap
+    val plain = res(Joins.asOf(ln, rn, "user", "ts", "v"))
+    // bucket width 7 straddles zero: bucket(-15) must be exact floor
+    val bucketed = res(Joins.asOfBucketed(ln, rn, "user", "ts", "v",
+      bucketWidth = 7L))
+    bucketed shouldBe plain
+    bucketed.keySet shouldBe Set("a", "nk", "nt", "neg") // no row loss
+    bucketed("neg") shouldBe Some(1.0) // -20 <= -15, crosses buckets
+    // fractional timestamps would truncate-and-lie: rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Joins.asOfBucketed(Seq((1L, 5.2, "x")).toDF("user", "ts", "tag"),
+        Seq((1L, 5.7, 9.0)).toDF("user", "ts", "v"), "user", "ts", "v")
+    }
+    err.getMessage should include("integral or timestamp")
+  }
+
   test("asOfBucketed == asOf on a real-table fixture (orders as-of customer events)") {
     import spark.implicits._
     val orders = graft.Tables.orders(spark, sfDir)
