@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.Wave53.queries ++ graft.queries.Wave54.queries ++
       graft.queries.Wave55.queries ++ graft.queries.Wave56.queries ++
       graft.queries.Wave57.queries ++ graft.queries.Wave58.queries ++
-      graft.queries.Wave59.queries ++ graft.queries.Wave60.queries
+      graft.queries.Wave59.queries ++ graft.queries.Wave60.queries ++
+      graft.queries.Wave61.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -79,5 +80,6 @@ object SparkEntry {
       graft.queries.Wave53.oracleSql ++ graft.queries.Wave54.oracleSql ++
       graft.queries.Wave55.oracleSql ++ graft.queries.Wave56.oracleSql ++
       graft.queries.Wave57.oracleSql ++ graft.queries.Wave58.oracleSql ++
-      graft.queries.Wave59.oracleSql ++ graft.queries.Wave60.oracleSql
+      graft.queries.Wave59.oracleSql ++ graft.queries.Wave60.oracleSql ++
+      graft.queries.Wave61.oracleSql
 }

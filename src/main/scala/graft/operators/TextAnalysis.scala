@@ -492,6 +492,50 @@ object TextAnalysis {
       regexp_count(t2, lit(IpRe)).cast("long").as("n_ips"))
   }
 
+  /** Secret/credential patterns, RE2∩Java dialect (no backreferences,
+    * no lookaround) so the DuckDB oracle replays the scrub exactly.
+    * Order matters and is part of the contract: PEM blocks first (their
+    * base64 innards would otherwise feed the generic hex rule), then
+    * the prefixed key families (AWS, GitHub), then generic 32+-hex
+    * secrets, then bearer tokens (whose letter-digit payloads the hex
+    * rule must not have consumed). */
+  val PemRe = "(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----"
+  val AwsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  val GhTokenRe = "\\bghp_[A-Za-z0-9]{36}\\b"
+  val HexSecretRe = "\\b[0-9a-f]{32,}\\b"
+  val BearerRe = "(?i)\\bbearer [A-Za-z0-9._\\-]{16,}\\b"
+
+  /** Credential scrubbing — [[piiRedact]]'s sibling for the secrets a
+    * web/code corpus actually leaks (the pre-training hygiene pass
+    * every provider runs): staged regex redaction of PEM private-key
+    * blocks, AWS access key ids, GitHub personal tokens, generic
+    * 32+-char hex secrets, and bearer tokens, each stage counted on the
+    * text as the PREVIOUS stages left it (so a PEM's hex innards never
+    * double-count as hex secrets). The generic hex rule intentionally
+    * also catches bare md5/sha digests — in a training corpus a
+    * 32+-hex blob is noise-or-secret either way, and the documented
+    * bias is scrub-too-much, never leak.
+    *
+    * Scale: five codegen regexp passes per row, no shuffle — a pure map
+    * stage over document shards at any corpus size, exactly like
+    * [[piiRedact]]/[[extractHtmlText]]. Output: (id, clean_text,
+    * n_pem, n_aws, n_gh, n_hex, n_bearer). */
+  def secretsRedact(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, PemRe, "<PEM>")
+    val t2 = regexp_replace(t1, AwsKeyRe, "<AWSKEY>")
+    val t3 = regexp_replace(t2, GhTokenRe, "<GHTOKEN>")
+    val t4 = regexp_replace(t3, HexSecretRe, "<HEXSECRET>")
+    val t5 = regexp_replace(t4, BearerRe, "<BEARER>")
+    docs.select(col(idCol).as("id"), t5.as("clean_text"),
+      regexp_count(t0, lit(PemRe)).cast("long").as("n_pem"),
+      regexp_count(t1, lit(AwsKeyRe)).cast("long").as("n_aws"),
+      regexp_count(t2, lit(GhTokenRe)).cast("long").as("n_gh"),
+      regexp_count(t3, lit(HexSecretRe)).cast("long").as("n_hex"),
+      regexp_count(t4, lit(BearerRe)).cast("long").as("n_bearer"))
+  }
+
   /** Web-corpus main-content extraction — the FIRST stage of a real
     * 100 TB web pipeline (Common-Crawl-style WET text): staged tag
     * stripping plus a line-level boilerplate filter. All passes are
