@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 62 — round 13, part three: the MULTI-GRAIN AGGREGATION surface
+  * (ROLLUP / CUBE / GROUPING SETS with `grouping_id`) and the
+  * RESHAPE surface (pivot / unpivot), the last relational idioms a
+  * warehouse user of the reference's group-and-reduce layer
+  * (`reducers.clj:15-174`, SURVEY §2.4 A1/A6) reaches for that had no
+  * certified row.
+  *
+  * Scale notes (100 TB): rollup/cube/grouping-sets all compile to ONE
+  * `Expand` + hash aggregate in Catalyst — one shuffle whose key space
+  * is the union of the grouping sets, every leg map-side combinable;
+  * no per-grain rescan of the fact table. Pivot is given its value
+  * list EXPLICITLY (`pivot(col, values)`) so Catalyst skips the
+  * distinct-scan pre-job and plans a single aggregate with one output
+  * column per value — the form that survives a 1000-executor fact
+  * scan. Unpivot is a generated `Expand` (rows × |metrics|), a pure
+  * map stage.
+  *
+  * Oracle notes: subtotal rows carry NULL grouping keys in both
+  * engines; `grouping_id()` (Spark) and `GROUPING(a, b)` (DuckDB) use
+  * the same bit order (leftmost column = most significant bit).
+  * Double measures go through the Wave1 dsum quantize-to-decimal
+  * convention so subtotal sums are order-insensitive and bit-equal.
+  */
+object Wave62 {
+
+  private def quant(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p) / p
+  }
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(quant(c, scale).cast(DecimalType(38, scale))).cast("double")
+  private def sqlDsum(expr: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"CAST(sum(CAST(floor(($expr) * $p) / $p AS DECIMAL(38,$scale))) AS DOUBLE)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROLLUP (flag, status): detail + per-flag subtotal + grand total
+    // in ONE Expand+agg pass — no per-grain rescan.
+    "q259_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // CUBE (priority, status): all four grains of the orders matrix.
+    "q260_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+    },
+
+    // GROUPING SETS via SQL: exactly two named grains (by priority, by
+    // status) — the hand-picked-subtotals form ROLLUP/CUBE can't spell.
+    "q261_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("w62_orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping_id() AS BIGINT) AS gid, count(1) AS n
+          |FROM w62_orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+          |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
+    },
+
+    // Pivot with an EXPLICIT value list (no distinct-scan planning
+    // job), then unpivot the wide counts back to long form — the
+    // round-trip certifies both reshapes against one conditional-agg
+    // oracle.
+    "q262_pivot_unpivot" -> { (s, d) =>
+      val wide = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "n")
+        .orderBy(col("o_orderpriority"), col("status"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q259_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q260_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         |  count(*) AS n, ${sqlDsum("o_totalprice", 2)} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q261_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q262_pivot_unpivot" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, s.status,
+        |    count(*) FILTER (WHERE o_orderstatus = s.status) AS n
+        |  FROM orders
+        |  CROSS JOIN (SELECT unnest(['F', 'O', 'P']) AS status) s
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, status, n
+        |FROM g ORDER BY o_orderpriority, status""".stripMargin)
+}
