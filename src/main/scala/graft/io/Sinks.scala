@@ -81,6 +81,23 @@ object Sinks {
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
+  /** XML sink with readback — Spark 4's built-in XML data source (the
+    * spark-xml package merged into core), the interchange format
+    * enterprise feeds and Wikipedia-style corpus dumps arrive in. One
+    * `<row>` element per record under a root tag; the reader is given
+    * the writer's schema so types survive the text round-trip. Values
+    * are XML-escaped on write and unescaped on read (`&amp;`/`&lt;`),
+    * so arbitrary document text is byte-preserved. Scale note: XML files
+    * written by the engine are one-element-per-line and the reader
+    * splits by rowTag — read parallelism follows file count like CSV,
+    * so the write keeps the upstream partitioning (one file per task,
+    * ~128 MB each at cluster defaults). */
+  def xml(df: DataFrame, path: String, rowTag: String = "row"): DataFrame = {
+    df.write.mode("overwrite").option("rowTag", rowTag).format("xml").save(path)
+    df.sparkSession.read.option("rowTag", rowTag).schema(df.schema)
+      .format("xml").load(path)
+  }
+
   /** S6 — Avro sink (flat records) with readback. Capability parity:
     * `io/avro.clj:117-135,160-171`. */
   def avro(df: DataFrame, path: String): DataFrame = AvroIO.write(df, path)

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 63 — round 13, part four: the Spark-4 VARIANT column — the
+  * open-type JSON ingestion path a semi-structured corpus (API logs,
+  * crawl metadata sidecars) rides before its schema is known. The
+  * engine plants a JSON document per order (deterministic string
+  * algebra over order columns: an int, a string, a nested object, a
+  * heterogeneous-length array, a field that is JSON `null` on a 1-in-3
+  * stripe), parses it ONCE with `parse_json`, and certifies the typed
+  * extraction surface:
+  *
+  *  - `variant_get(v, path, type)` for int / string / nested paths and
+  *    array subscripts,
+  *  - `try_variant_get` on a path absent from every document (typed
+  *    NULL, no error),
+  *  - `is_variant_null` distinguishing JSON `null` from a value —
+  *    the distinction plain struct inference erases,
+  *  - `variant_explode` (q264): LATERAL-unnesting a variant array
+  *    into (pos, element) rows.
+  *
+  * The oracle never re-parses JSON: it recomputes every extracted
+  * value from the base columns by first principles, so the rows
+  * certify the whole plant → parse → extract pipeline, not two
+  * engines' shared parser quirks.
+  *
+  * Scale notes (100 TB): parse_json is a per-row codegen expression —
+  * one scan, no shuffle; the variant binary encoding is columnar
+  * (metadata dictionary + value buffer), so repeated `variant_get`
+  * paths on one row share the parse. variant_explode is a generator
+  * (the P2 mapcat shape): rows × |arr| with no shuffle until the
+  * downstream aggregate, which map-side combines on a ≤11-key grid.
+  */
+object Wave63 {
+
+  /** Deterministic per-order JSON plant (string algebra on both the
+    * engine side only — the oracle recomputes from columns). */
+  private def plantJson(okey: org.apache.spark.sql.Column,
+      pri: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("""{"k":"""), okey,
+      lit(""","pri":""""), pri, lit("\""),
+      lit(""","nest":{"m":"""), pmod(okey, lit(7)), lit("}"),
+      lit(""","arr":["""), pmod(okey, lit(3)), lit(","),
+      pmod(okey, lit(5)), lit("]"),
+      lit(""","z":"""),
+      when(pmod(okey, lit(3)) === 0, lit("null"))
+        .otherwise(pmod(okey, lit(13)).cast("string")),
+      lit("}"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q263_variant_extract" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val v = o.select(col("o_orderkey"),
+        parse_json(plantJson(col("o_orderkey"), col("o_orderpriority")))
+          .as("v"))
+      v.select(
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.pri", "string").as("pri"),
+          variant_get(col("v"), "$.nest.m", "bigint").as("m"),
+          variant_get(col("v"), "$.arr[1]", "bigint").as("arr1"),
+          try_variant_get(col("v"), "$.nope", "bigint").as("nope"),
+          is_variant_null(variant_get(col("v"), "$.z", "variant"))
+            .as("z_is_null"),
+          variant_get(col("v"), "$.z", "bigint").as("z"))
+        .orderBy(col("k"))
+    },
+
+    "q264_variant_explode" -> { (s, d) =>
+      val q = "w63_explode"
+      Tables.orders(s, d).select(col("o_orderkey"),
+          parse_json(plantJson(col("o_orderkey"), col("o_orderpriority")))
+            .as("v"))
+        .createOrReplaceTempView(q)
+      s.sql(
+        s"""SELECT variant_get(x.value, '$$', 'bigint') AS el,
+           |  count(1) AS n, sum(o_orderkey) AS sum_k,
+           |  sum(CAST(x.pos AS BIGINT)) AS sum_pos
+           |FROM $q,
+           |LATERAL variant_explode(variant_get(v, '$$.arr')) x
+           |GROUP BY 1
+           |ORDER BY el""".stripMargin)
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    // First-principles replay: every extracted value from base columns.
+    "q263_variant_extract" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |  o_orderkey % 7 AS m, o_orderkey % 5 AS arr1,
+        |  CAST(NULL AS BIGINT) AS nope,
+        |  (o_orderkey % 3 = 0) AS z_is_null,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE o_orderkey % 13 END AS z
+        |FROM orders ORDER BY k""".stripMargin,
+
+    // arr = [k%3, k%5] at positions [0, 1].
+    "q264_variant_explode" ->
+      """WITH x AS (
+        |  SELECT o_orderkey % 3 AS el, 0 AS pos, o_orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey % 5 AS el, 1 AS pos, o_orderkey FROM orders)
+        |SELECT el, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  CAST(sum(pos) AS BIGINT) AS sum_pos
+        |FROM x GROUP BY el ORDER BY el""".stripMargin)
+}

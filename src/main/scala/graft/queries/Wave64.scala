@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 64 — round 13, part five: the XML interchange seam
+  * ([[graft.io.Sinks.xml]]), Spark 4's built-in XML data source. The
+  * S16 sink family (JSONL q102, CSV q103, ORC q175, gzip-JSONL q176,
+  * Avro q35, partitioned/bucketed q199) gains the one text format it
+  * lacked — the format Wikipedia dumps, RSS/Atom feeds, and
+  * enterprise exports arrive in.
+  *
+  * q265 routes the documents corpus through XML and back, then
+  * certifies per-source counts, char sums, and min(md5(text)) — the
+  * q102 lossless-fidelity convention, which here also proves the
+  * writer's XML escaping and the reader's unescaping are exact
+  * inverses on real corpus text.
+  *
+  * Scale notes (100 TB): the XML write keeps upstream partitioning
+  * (one file per task); the reader splits on rowTag boundaries per
+  * file, so read parallelism follows the file count — the same
+  * contract as the CSV/JSONL sinks. Everything downstream of the
+  * readback is one map-side-combinable aggregate.
+  */
+object Wave64 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q265_xml_roundtrip" -> { (s, d) =>
+      val back = graft.io.Sinks.xml(Tables.documents(s, d),
+        Scratch.dir("q265", d))
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(md5(col("text"))).as("fp_min"))
+        .orderBy(col("source"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q265_xml_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(md5(text)) AS fp_min
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)
+}

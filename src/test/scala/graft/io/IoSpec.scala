@@ -340,6 +340,20 @@ class IoSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("xml sink: escaping round-trip on hostile text (&, <, >, quotes)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a < b && c > d", "en"),
+      (2L, """quotes " and ' apos""", "de"),
+      (3L, "entity soup &amp; &lt;row&gt; </row> <row>", "fr"),
+      (4L, "plain", "en")).toDF("id", "text", "lang")
+    val back = Sinks.xml(df, "/tmp/graft_io_test/xml_rt")
+    back.schema.fields.map(f => (f.name, f.dataType)) shouldBe
+      df.schema.fields.map(f => (f.name, f.dataType))
+    back.orderBy("id").as[(Long, String, String)].collect() shouldBe
+      df.orderBy("id").as[(Long, String, String)].collect()
+  }
+
   test("json + csv sinks: lossless readback (rows, schema, values)") {
     import spark.implicits._
     val df = Seq(
