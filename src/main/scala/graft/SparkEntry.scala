@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.Wave57.queries ++ graft.queries.Wave58.queries ++
       graft.queries.Wave59.queries ++ graft.queries.Wave60.queries ++
       graft.queries.Wave61.queries ++ graft.queries.Wave62.queries ++
-      graft.queries.Wave63.queries ++ graft.queries.Wave64.queries
+      graft.queries.Wave63.queries ++ graft.queries.Wave64.queries ++
+      graft.queries.Wave65.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -83,5 +84,6 @@ object SparkEntry {
       graft.queries.Wave57.oracleSql ++ graft.queries.Wave58.oracleSql ++
       graft.queries.Wave59.oracleSql ++ graft.queries.Wave60.oracleSql ++
       graft.queries.Wave61.oracleSql ++ graft.queries.Wave62.oracleSql ++
-      graft.queries.Wave63.oracleSql ++ graft.queries.Wave64.oracleSql
+      graft.queries.Wave63.oracleSql ++ graft.queries.Wave64.oracleSql ++
+      graft.queries.Wave65.oracleSql
 }

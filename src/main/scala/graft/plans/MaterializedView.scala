@@ -1,0 +1,319 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, BoundReference, Cast, Expression,
+  Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import scala.collection.concurrent.TrieMap
+
+/** Incremental-view-maintenance's READ side: transparent materialized-
+  * view rewrite, as a Catalyst `Rule[LogicalPlan]` — the charter's
+  * tier-(c) extension point (custom rule registered on the session).
+  *
+  * A warehouse keeps a small pre-aggregated summary of a huge fact
+  * table (here: parquet MVs built by [[materialize]]). With the rule
+  * installed, any `Aggregate` whose base scan, grouping grain, filter,
+  * and measures are ANSWERABLE from a registered MV is rewritten to
+  * re-aggregate the MV instead of scanning the fact table:
+  *
+  *   - grouping columns ⊆ MV dims (coarser grains re-aggregate),
+  *   - filters referencing only dims are replayed against the MV,
+  *   - `count(1)` → `sum(cnt)`, `sum(e)` → `sum(sum_e)`,
+  *     `min(e)`/`max(e)` → `min/max(min_e/max_e)`,
+  *     `avg(e)` → `sum(sum_e) / sum(cnt)` (double inputs),
+  *   - measure matching is by SEMANTIC expression equality (attribute
+  *     references normalized by name), so quantized-decimal sums (the
+  *     dsum oracle convention) match exactly — not just bare columns,
+  *   - distinct aggregates and FILTER clauses never rewrite (not
+  *     derivable from a partial aggregate).
+  *
+  * Output attribute names AND exprIds are preserved, so the rewrite is
+  * invisible to everything downstream of the aggregate.
+  *
+  * Scale notes (100 TB): this is the single highest-leverage plan
+  * rewrite a warehouse runs — a grand-total or per-dim report over a
+  * 100 TB fact table becomes a scan of a few thousand MV rows. The MV
+  * itself is one map-side-combinable aggregate to build (|dims grain|
+  * rows), and the rewrite keeps Catalyst downstream: the rewritten
+  * aggregate still partial-aggregates, AQE still plans it.
+  *
+  * Registration is per-session and runtime-injectable: [[install]]
+  * appends the rule to `spark.experimental.extraOptimizations` (the
+  * documented runtime hook for caller sessions the library did not
+  * build; a session built by the caller can equally pass the rule via
+  * `SparkSessionExtensions.injectOptimizerRule`). Registry entries
+  * live in a session-keyed map; [[clear]] removes them.
+  *
+  * Capability parity anchor: the reference has no optimizer (each
+  * MapReduce job is hand-planned); this is the Spark-first answer to
+  * its repeated-report idiom (the `examples/parkour/example` jobs
+  * re-running the same counts per run) — compute once, answer many.
+  */
+object MaterializedView {
+
+  /** One registered measure: MV column `mvCol` holds `kind` over the
+    * base-side expression `baseExpr` (normalized, see [[normalize]]). */
+  private final case class Measure(mvCol: String, kind: String,
+      baseExpr: Expression)
+
+  private final case class MvEntry(
+      name: String,
+      basePath: String,
+      dims: Seq[String],
+      measures: Seq[Measure],
+      mvRelation: LogicalRelation)
+
+  /** Session-keyed registry (sessions are long-lived; entries are
+    * explicitly cleared by [[clear]]). Keyed by session identity — the
+    * public API exposes no stable session id, and identity is exactly
+    * the scope the rule is installed on. */
+  private val registry = TrieMap.empty[Int, Vector[MvEntry]]
+
+  private def sessionKey(spark: SparkSession): Int =
+    System.identityHashCode(spark)
+
+  /** Build an MV over the parquet base at `basePath`, write it to
+    * `mvPath`, register it for rewrite, and install the rule on the
+    * session. `sums`/`mins`/`maxs` map MV column name → base-side
+    * expression (any deterministic row-level expression — quantized
+    * decimals welcome). The MV always carries `cnt` (count of base
+    * rows per grain) so counts and averages derive. Returns the MV
+    * readback frame. */
+  def materialize(spark: SparkSession, name: String, basePath: String,
+      dims: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      mvPath: String): DataFrame = {
+    require(dims.nonEmpty, "MV needs at least one dim")
+    val base = spark.read.parquet(basePath)
+    val aggCols =
+      (count(lit(1)).as("cnt") +:
+        (sums.map { case (n, c) => sum(c).as(n) } ++
+          mins.map { case (n, c) => min(c).as(n) } ++
+          maxs.map { case (n, c) => max(c).as(n) })).toIndexedSeq
+    val mvFrame = base.groupBy(dims.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    mvFrame.write.mode("overwrite").parquet(mvPath)
+    val mv = spark.read.parquet(mvPath)
+    val mvRel = mv.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(throw new IllegalStateException(
+      "MV readback did not plan as a LogicalRelation"))
+
+    def measuresOf(kind: String, cols: Seq[(String, Column)]): Seq[Measure] =
+      cols.map { case (n, c) =>
+        Measure(n, kind, normalizeAgainst(base, c))
+      }
+    val entry = MvEntry(name, canonPath(basePath), dims,
+      measuresOf("sum", sums) ++ measuresOf("min", mins) ++
+        measuresOf("max", maxs),
+      mvRel)
+    registry.updateWith(sessionKey(spark)) {
+      case Some(v) => Some(v.filterNot(_.name == name) :+ entry)
+      case None    => Some(Vector(entry))
+    }
+    install(spark)
+    mv
+  }
+
+  /** Drop every MV registered on this session (the rule stays
+    * installed but matches nothing). */
+  def clear(spark: SparkSession): Unit =
+    registry.remove(sessionKey(spark))
+
+  /** Run `f` with the session's MV registry suspended — queries built
+    * AND collected inside see the base tables. The escape hatch for
+    * audits that must compare MV answers against fact-table truth. */
+  def withoutRewrite[T](spark: SparkSession)(f: => T): T = {
+    val k = sessionKey(spark)
+    val saved = registry.remove(k)
+    try f
+    finally saved.foreach(v => registry.put(k, v))
+  }
+
+  /** Idempotently append the rewrite rule to the session's runtime
+    * optimizer hook. */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations =
+        existing :+ new MvRewriteRule(sessionKey(spark))
+  }
+
+  private def canonPath(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  /** Resolve `c` against `base` and run it through the OPTIMIZER (not
+    * just the analyzer) before normalizing — user-query aggregates are
+    * matched at optimizer time, after constant folding / cast
+    * simplification, so the registered form must have seen the same
+    * rewrites or semantically-equal expressions would never compare
+    * equal (e.g. `cast(1e4 as double)` folds to `1e4`). */
+  private def normalizeAgainst(base: DataFrame, c: Column): Expression = {
+    val resolved = base.select(c.as("__m"))
+      .queryExecution.optimizedPlan.expressions.collectFirst {
+        case a: Alias if a.name == "__m" => a.child
+      }.getOrElse(throw new IllegalStateException(
+        s"could not resolve MV measure expression: $c"))
+    normalize(resolved)
+  }
+
+  /** Replace every attribute reference with a BoundReference keyed on
+    * the attribute NAME's rank among the expression's referenced names
+    * — two expressions over the same base columns then compare equal
+    * via `semanticEquals` regardless of which scan instance resolved
+    * them (exprIds differ per read). */
+  private def normalize(e: Expression): Expression = {
+    val names = e.collect {
+      case a: AttributeReference => a.name
+    }.distinct.sorted
+    val ord = names.zipWithIndex.toMap
+    e.transformUp {
+      case a: AttributeReference =>
+        BoundReference(ord(a.name), a.dataType, nullable = true)
+    }
+  }
+
+  /** The rewrite rule. Holds only the session key — entries are looked
+    * up per-apply so clear()/re-materialize take effect immediately. */
+  private final class MvRewriteRule(sessKey: Int)
+      extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val entries = registry.getOrElse(sessKey, Vector.empty)
+      if (entries.isEmpty) plan
+      else plan.transformUp {
+        case agg: Aggregate =>
+          unwrap(agg.child).flatMap { case (path, baseOut, cond) =>
+            entries.find(_.basePath == path)
+              .flatMap(e => rewrite(agg, e, baseOut, cond))
+          }.getOrElse(agg)
+      }
+    }
+
+    /** Strip attr-only Projects / SubqueryAlias and at most one Filter
+      * off the aggregate's child; yield (canonical scan path, scan
+      * output, optional filter condition). */
+    private def unwrap(plan: LogicalPlan)
+        : Option[(String, Seq[Attribute], Option[Expression])] = plan match {
+      case lr: LogicalRelation =>
+        rootPath(lr).map(p => (p, lr.output, None))
+      case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+        unwrap(p.child)
+      case s: SubqueryAlias => unwrap(s.child)
+      case f: Filter =>
+        unwrap(f.child).flatMap {
+          case (path, out, None) => Some((path, out, Some(f.condition)))
+          case _                 => None // two filters: out of scope
+        }
+      case _ => None
+    }
+
+    private def rootPath(lr: LogicalRelation): Option[String] =
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+            if fs.location.rootPaths.length == 1 =>
+          Some(canonPath(fs.location.rootPaths.head.toString))
+        case _ => None
+      }
+
+    private def rewrite(agg: Aggregate, e: MvEntry,
+        baseOut: Seq[Attribute],
+        cond: Option[Expression]): Option[LogicalPlan] = {
+      // fresh MV scan instance per rewrite site (unique exprIds)
+      val mvRel = e.mvRelation.newInstance()
+      val mvAttr: Map[String, Attribute] =
+        mvRel.output.map(a => a.name -> a).toMap
+      val dimSet = e.dims.toSet
+
+      // groupings must be bare dim columns
+      val groupOk = agg.groupingExpressions.forall {
+        case a: AttributeReference => dimSet.contains(a.name)
+        case _                     => false
+      }
+      // a filter may only touch dim columns
+      val condOk = cond.forall(_.references.forall(r => dimSet.contains(r.name)))
+      if (!groupOk || !condOk) return None
+
+      // every aggregate call must derive from the MV
+      val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      val derived: Map[AggregateExpression, Expression] =
+        aggCalls.flatMap(ae => derive(ae, e, mvAttr).map(ae -> _)).toMap
+      if (derived.size != aggCalls.distinct.size) return None
+
+      // non-aggregate attribute references in output must be dims
+      val outsideOk = agg.aggregateExpressions.forall { ne =>
+        ne.collect {
+          case a: AttributeReference
+              if !aggCalls.exists(_.references.contains(a)) => a
+        }.forall(a => dimSet.contains(a.name))
+      }
+      if (!outsideOk) return None
+
+      val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+        case ne =>
+          ne.transformUp {
+            case ae: AggregateExpression => derived(ae)
+            case a: AttributeReference if mvAttr.contains(a.name) &&
+                dimSet.contains(a.name) => mvAttr(a.name)
+          }.asInstanceOf[NamedExpression]
+      }
+      val newGroupings: Seq[Expression] = agg.groupingExpressions.map {
+        case a: AttributeReference => mvAttr(a.name)
+        case other                 => other
+      }
+      val newChild: LogicalPlan = cond match {
+        case Some(c) =>
+          val remapped = c.transformUp {
+            case a: AttributeReference => mvAttr(a.name)
+          }
+          Filter(remapped, mvRel)
+        case None => mvRel
+      }
+      Some(Aggregate(newGroupings, newAggExprs, newChild, None))
+    }
+
+    /** Map one base-side aggregate call onto the MV columns; None if
+      * not derivable. */
+    private def derive(ae: AggregateExpression, e: MvEntry,
+        mvAttr: Map[String, Attribute]): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def measure(kind: String, child: Expression): Option[Attribute] = {
+        val n = normalize(child)
+        e.measures.find(m => m.kind == kind && m.baseExpr.semanticEquals(n))
+          .map(m => mvAttr(m.mvCol))
+      }
+      ae.aggregateFunction match {
+        case c: Count if c.children == Seq(Literal(1)) =>
+          Some(Sum(mvAttr("cnt")).toAggregateExpression())
+        case s: Sum =>
+          measure("sum", s.child).map(a => Sum(a).toAggregateExpression())
+        case m: Min =>
+          measure("min", m.child).map(a => Min(a).toAggregateExpression())
+        case m: Max =>
+          measure("max", m.child).map(a => Max(a).toAggregateExpression())
+        case av: Average if av.child.dataType == DoubleType =>
+          measure("sum", av.child).map { a =>
+            val sumV = Cast(Sum(a).toAggregateExpression(), DoubleType)
+            val cntV = Cast(Sum(mvAttr("cnt")).toAggregateExpression(),
+              DoubleType)
+            org.apache.spark.sql.catalyst.expressions.Divide(sumV, cntV)
+          }
+        case _ => None
+      }
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.plans.MaterializedView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 65 — round 13, part six: MATERIALIZED-VIEW REWRITE certified
+  * end-to-end. q266 materializes a (returnflag, linestatus) summary of
+  * lineitem ([[MaterializedView.materialize]]), then runs a coarser
+  * report — dim-filtered, grouped by returnflag, dsum + count — whose
+  * optimized plan is REQUIRED (in-plan assertion) to scan the MV
+  * parquet and not the fact table. The DuckDB oracle computes the same
+  * report from the BASE table, so the row certifies the rewrite's
+  * semantics, not just its firing: a wrong sum_qty/cnt derivation, a
+  * broken filter replay, or a grain mix-up all hash-mismatch.
+  *
+  * The rewritten result is forced through a parquet round-trip while
+  * the registry is live, then the registry is cleared — the rewrite
+  * never leaks into any other query in the sweep.
+  *
+  * Scale notes (100 TB): this is the read-side of the warehouse tier's
+  * incremental view maintenance (q218's family) — the report that
+  * would scan 100 TB answers from a 6-row summary. The rule preserves
+  * output names and exprIds, so everything downstream is untouched;
+  * non-answerable queries are left alone (MaterializedViewSpec pins
+  * both directions).
+  */
+object Wave65 {
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  private def scansOnlyMv(df: DataFrame): Boolean = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    paths.nonEmpty && paths.forall(_.contains("lineitem_mv"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q266_mv_rewrite" -> { (s, d) =>
+      val mvPath = Scratch.dir("q266", d) + "/lineitem_mv"
+      MaterializedView.materialize(s, "q266_lineitem",
+        s"$d/lineitem.parquet",
+        dims = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sum_qty" -> qdec(col("l_quantity"))),
+        mvPath = mvPath)
+      val report = s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(qdec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+      // the row certifies the REWRITTEN plan — refuse to fall back
+      if (!scansOnlyMv(report))
+        throw new IllegalStateException(
+          "q266: MV rewrite did not fire; plan still scans the fact table")
+      // force execution while the registry is live, then clear so the
+      // rewrite cannot leak into any other query in the sweep
+      val out = graft.io.Sinks.parquet(report,
+        Scratch.dir("q266_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("l_returnflag"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q266_mv_rewrite" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_quantity * 1e4) / 1e4 AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+}

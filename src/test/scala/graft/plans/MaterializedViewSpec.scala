@@ -1,0 +1,143 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the MV-rewrite rule's contract, both directions:
+  *
+  *  - answerable aggregates (coarser grain, dim filter, dsum-shaped
+  *    quantized sums, count, avg, min/max) REWRITE — the optimized
+  *    plan scans the MV parquet, never the fact table — and answer
+  *    exactly what the un-rewritten plan answers;
+  *  - non-answerable aggregates (unregistered measure, non-dim filter,
+  *    distinct, non-dim grain) DON'T rewrite — they still scan the
+  *    fact table.
+  *
+  * The equality legs compare against results computed under
+  * [[MaterializedView.withoutRewrite]], so the pin is semantic, not
+  * just structural. */
+class MaterializedViewSpec extends AnyFunSuite with Matchers
+    with SparkFixture {
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  private val basePath = s"$sfDir/lineitem.parquet"
+
+  /** Materialized + registered exactly once for the suite. */
+  private lazy val mv: DataFrame = MaterializedView.materialize(
+    spark, "mvspec_lineitem", basePath,
+    dims = Seq("l_returnflag", "l_linestatus"),
+    sums = Seq("sum_qty" -> qdec(col("l_quantity")),
+      "sum_qty_d" -> qdec(col("l_quantity")).cast("double")),
+    mins = Seq("min_qty" -> col("l_quantity")),
+    maxs = Seq("max_qty" -> col("l_quantity")),
+    mvPath = graft.queries.Scratch.dir("mvspec", sfDir) + "/lineitem_mv")
+
+  private def scansMv(df: DataFrame): Boolean = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    paths.exists(_.contains("lineitem_mv")) &&
+      !paths.exists(_.endsWith("lineitem.parquet"))
+  }
+
+  private def lineitem = spark.read.parquet(basePath)
+
+  /** Collect `build` twice — rewritten, then suspended — as sorted row
+    * strings. */
+  private def both(build: => DataFrame): (Seq[String], Seq[String]) = {
+    mv.count()
+    val got = build.collect().map(_.toString).toSeq.sorted
+    val want = MaterializedView.withoutRewrite(spark) {
+      build.collect().map(_.toString).toSeq.sorted
+    }
+    (got, want)
+  }
+
+  test("coarser-grain dsum/count/min/max rewrites to the MV and matches") {
+    mv.count()
+    val q = lineitem.groupBy(col("l_returnflag"))
+      .agg(sum(qdec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"))
+    scansMv(q) shouldBe true
+    val (got, want) = both {
+      lineitem.groupBy(col("l_returnflag"))
+        .agg(sum(qdec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"))
+    }
+    got shouldBe want
+  }
+
+  test("avg derives as sum/cnt and matches the base-table avg closely") {
+    mv.count()
+    val q = lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg(qdec(col("l_quantity")).cast("double")).as("avg_q"))
+    scansMv(q) shouldBe true
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want = MaterializedView.withoutRewrite(spark) {
+      lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(avg(qdec(col("l_quantity")).cast("double")).as("avg_q"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    }
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v shouldBe want(k) +- 1e-9 }
+  }
+
+  test("dim filter replays against the MV") {
+    mv.count()
+    val q = lineitem.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    scansMv(q) shouldBe true
+    val (got, want) = both {
+      lineitem.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    }
+    got shouldBe want
+  }
+
+  test("non-dim filter does NOT rewrite") {
+    mv.count()
+    val q = lineitem.filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    scansMv(q) shouldBe false
+  }
+
+  test("unregistered measure does NOT rewrite") {
+    mv.count()
+    val q = lineitem.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice")).as("s"))
+    scansMv(q) shouldBe false
+  }
+
+  test("distinct aggregate does NOT rewrite") {
+    mv.count()
+    val q = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("nd"))
+    scansMv(q) shouldBe false
+  }
+
+  test("grouping by a non-dim column does NOT rewrite") {
+    mv.count()
+    val q = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    scansMv(q) shouldBe false
+  }
+}
