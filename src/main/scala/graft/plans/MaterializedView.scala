@@ -70,7 +70,13 @@ object MaterializedView {
       basePath: String,
       dims: Seq[String],
       measures: Seq[Measure],
-      mvRelation: LogicalRelation)
+      mvRelation: LogicalRelation,
+      // definition + storage version, kept for incremental refresh
+      sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)],
+      mvDir: String,
+      version: Int)
 
   /** Session-keyed registry (sessions are long-lived; entries are
     * explicitly cleared by [[clear]]). Keyed by session identity — the
@@ -81,33 +87,33 @@ object MaterializedView {
   private def sessionKey(spark: SparkSession): Int =
     System.identityHashCode(spark)
 
-  /** Build an MV over the parquet base at `basePath`, write it to
-    * `mvPath`, register it for rewrite, and install the rule on the
-    * session. `sums`/`mins`/`maxs` map MV column name → base-side
-    * expression (any deterministic row-level expression — quantized
-    * decimals welcome). The MV always carries `cnt` (count of base
-    * rows per grain) so counts and averages derive. Returns the MV
-    * readback frame. */
+  /** Build an MV over the parquet base at `basePath`, write it under
+    * `mvPath` (a version directory per build/refresh), register it for
+    * rewrite, and install the rule on the session. `sums`/`mins`/
+    * `maxs` map MV column name → base-side expression (any
+    * deterministic row-level expression — quantized decimals welcome).
+    * The MV always carries `cnt` (count of base rows per grain) so
+    * counts and averages derive. Returns the MV readback frame.
+    *
+    * `baseFilter` restricts the snapshot the MV is built from (e.g. an
+    * ingest watermark). FRESHNESS IS THE CALLER'S CONTRACT: the rule
+    * rewrites any matching aggregate over `basePath` against whatever
+    * is registered — a caller that materializes a partial snapshot
+    * must [[refresh]] with the complement before serving queries,
+    * exactly like any warehouse MV with a staleness window. */
   def materialize(spark: SparkSession, name: String, basePath: String,
       dims: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
-      mvPath: String): DataFrame = {
+      mvPath: String,
+      baseFilter: Option[Column] = None): DataFrame = {
     require(dims.nonEmpty, "MV needs at least one dim")
     val base = spark.read.parquet(basePath)
-    val aggCols =
-      (count(lit(1)).as("cnt") +:
-        (sums.map { case (n, c) => sum(c).as(n) } ++
-          mins.map { case (n, c) => min(c).as(n) } ++
-          maxs.map { case (n, c) => max(c).as(n) })).toIndexedSeq
-    val mvFrame = base.groupBy(dims.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-    mvFrame.write.mode("overwrite").parquet(mvPath)
-    val mv = spark.read.parquet(mvPath)
-    val mvRel = mv.queryExecution.analyzed.collectFirst {
-      case lr: LogicalRelation => lr
-    }.getOrElse(throw new IllegalStateException(
-      "MV readback did not plan as a LogicalRelation"))
+    val snapshot = baseFilter.fold(base)(base.filter)
+    val mvFrame = aggFrame(snapshot, dims, sums, mins, maxs)
+    val verDir = s"$mvPath/v0"
+    mvFrame.write.mode("overwrite").parquet(verDir)
+    val mv = spark.read.parquet(verDir)
 
     def measuresOf(kind: String, cols: Seq[(String, Column)]): Seq[Measure] =
       cols.map { case (n, c) =>
@@ -116,7 +122,7 @@ object MaterializedView {
     val entry = MvEntry(name, canonPath(basePath), dims,
       measuresOf("sum", sums) ++ measuresOf("min", mins) ++
         measuresOf("max", maxs),
-      mvRel)
+      relationOf(mv), sums, mins, maxs, mvPath, 0)
     registry.updateWith(sessionKey(spark)) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ entry)
       case None    => Some(Vector(entry))
@@ -124,6 +130,62 @@ object MaterializedView {
     install(spark)
     mv
   }
+
+  /** INCREMENTAL refresh: fold a batch of new base rows into the MV
+    * without touching history — the write side of incremental view
+    * maintenance. The delta is aggregated to the MV grain (one
+    * map-side-combinable pass over |delta|, never the base), unioned
+    * with the current |grain|-sized MV, and the partial aggregates are
+    * merged by their composition laws (cnt/sums add, mins/maxs fold).
+    * The merged MV lands in the next version directory (readers of the
+    * old version are never invalidated) and re-registers atomically.
+    *
+    * At 100 TB this is THE way a summary stays serviceable: per-batch
+    * cost is |delta| + |grain| rows, independent of history size. */
+  def refresh(spark: SparkSession, name: String, delta: DataFrame): DataFrame = {
+    val k = sessionKey(spark)
+    val entry = registry.getOrElse(k, Vector.empty).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no MV named '$name' registered on this session"))
+    val deltaAgg = aggFrame(delta, entry.dims, entry.sums, entry.mins,
+      entry.maxs)
+    val mvCur = spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
+    val mergeCols =
+      (sum(col("cnt")).as("cnt") +:
+        (entry.sums.map { case (n, _) => sum(col(n)).as(n) } ++
+          entry.mins.map { case (n, _) => min(col(n)).as(n) } ++
+          entry.maxs.map { case (n, _) => max(col(n)).as(n) })).toIndexedSeq
+    val merged = mvCur.unionByName(deltaAgg)
+      .groupBy(entry.dims.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+    val nextDir = s"${entry.mvDir}/v${entry.version + 1}"
+    merged.write.mode("overwrite").parquet(nextDir)
+    val mv = spark.read.parquet(nextDir)
+    val next = entry.copy(mvRelation = relationOf(mv),
+      version = entry.version + 1)
+    registry.updateWith(k) {
+      case Some(v) => Some(v.filterNot(_.name == name) :+ next)
+      case None    => Some(Vector(next))
+    }
+    mv
+  }
+
+  private def aggFrame(rows: DataFrame, dims: Seq[String],
+      sums: Seq[(String, Column)], mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)]): DataFrame = {
+    val aggCols =
+      (count(lit(1)).as("cnt") +:
+        (sums.map { case (n, c) => sum(c).as(n) } ++
+          mins.map { case (n, c) => min(c).as(n) } ++
+          maxs.map { case (n, c) => max(c).as(n) })).toIndexedSeq
+    rows.groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private def relationOf(mv: DataFrame): LogicalRelation =
+    mv.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(throw new IllegalStateException(
+      "MV readback did not plan as a LogicalRelation"))
 
   /** Drop every MV registered on this session (the rule stays
     * installed but matches nothing). */
@@ -194,8 +256,11 @@ object MaterializedView {
       else plan.transformUp {
         case agg: Aggregate =>
           unwrap(agg.child).flatMap { case (path, baseOut, cond) =>
-            entries.find(_.basePath == path)
+            // several MVs may summarize one base at different grains —
+            // first ANSWERABLE one wins
+            entries.filter(_.basePath == path).iterator
               .flatMap(e => rewrite(agg, e, baseOut, cond))
+              .nextOption()
           }.getOrElse(agg)
       }
     }

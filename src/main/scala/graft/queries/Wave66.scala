@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.plans.MaterializedView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 66 — round 13, part seven: INCREMENTAL MV REFRESH (the write
+  * side of q266's rewrite). q267 materializes the lineitem summary
+  * from a 4/5 snapshot (`l_orderkey % 5 != 0`), folds the remaining
+  * 1/5 in as a delta batch via [[MaterializedView.refresh]] — one
+  * aggregation over |delta| rows merged with the |grain|-sized MV by
+  * the partial-aggregate composition laws (cnt/sum add, min/max fold)
+  * — and only THEN runs the full-table report through the rewrite.
+  * The DuckDB oracle computes the report from the complete base table,
+  * so a wrong merge law, a dropped delta row, or a stale-version read
+  * all hash-mismatch.
+  *
+  * Scale notes (100 TB): per-batch maintenance cost is
+  * |delta| + |grain| rows — independent of history size. The refresh
+  * writes a NEW version directory and re-registers atomically, so
+  * in-flight readers of the old version are never invalidated; this is
+  * the same generation discipline as the incremental-dedup state
+  * (q171) and crawl state (q234) tiers.
+  */
+object Wave66 {
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  private def scansOnlyMv(df: DataFrame): Boolean = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    paths.nonEmpty && paths.forall(_.contains("lineitem_mv"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q267_mv_refresh" -> { (s, d) =>
+      val basePath = s"$d/lineitem.parquet"
+      val snapshot = pmod(col("l_orderkey"), lit(5)) =!= 0
+      MaterializedView.materialize(s, "q267_lineitem", basePath,
+        dims = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sum_qty" -> qdec(col("l_quantity"))),
+        maxs = Seq("max_qty" -> col("l_quantity")),
+        mvPath = Scratch.dir("q267", d) + "/lineitem_mv",
+        baseFilter = Some(snapshot))
+      // the arriving batch: the complement stripe
+      val delta = s.read.parquet(basePath)
+        .filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      MaterializedView.refresh(s, "q267_lineitem", delta)
+      val report = s.read.parquet(basePath)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qdec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          max(col("l_quantity")).as("max_qty"))
+      if (!scansOnlyMv(report))
+        throw new IllegalStateException(
+          "q267: MV rewrite did not fire; plan still scans the fact table")
+      val out = graft.io.Sinks.parquet(report, Scratch.dir("q267_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q267_mv_refresh" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity * 1e4) / 1e4 AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sum_qty,
+        |  count(*) AS n, max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}

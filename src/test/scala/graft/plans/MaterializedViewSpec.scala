@@ -134,6 +134,30 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers
     scansMv(q) shouldBe false
   }
 
+  test("incremental refresh: snapshot + delta answers like a full build") {
+    mv.count()
+    val snap = pmod(col("l_orderkey"), lit(3)) =!= 0
+    MaterializedView.materialize(spark, "mvspec_refresh", basePath,
+      dims = Seq("l_returnflag"),
+      sums = Seq("sq" -> qdec(col("l_quantity"))),
+      mins = Seq("mn" -> col("l_quantity")),
+      maxs = Seq("mx" -> col("l_quantity")),
+      mvPath = graft.queries.Scratch.dir("mvspec_refresh", sfDir) + "/li_mv",
+      baseFilter = Some(snap))
+    val delta = lineitem.filter(pmod(col("l_orderkey"), lit(3)) === 0)
+    val refreshed = MaterializedView.refresh(spark, "mvspec_refresh", delta)
+    val full = lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(qdec(col("l_quantity"))).as("sq"),
+        min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"))
+    refreshed.select("l_returnflag", "cnt", "sq", "mn", "mx")
+      .collect().map(_.toString).sorted shouldBe
+      MaterializedView.withoutRewrite(spark) {
+        full.collect().map(_.toString).sorted
+      }
+  }
+
   test("grouping by a non-dim column does NOT rewrite") {
     mv.count()
     val q = lineitem.groupBy(col("l_orderkey"))
