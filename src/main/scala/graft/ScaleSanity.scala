@@ -237,6 +237,28 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
   }
 
+  /** Lineitem scaling for the multi-grain/MV tier (q259/q266/q267):
+    * the grain columns (returnflag, linestatus) repeat exactly — the
+    * 6-row dimension grid is fixed at any corpus size, as in TPC-H —
+    * while l_orderkey shifts per replica so rows stay distinct and
+    * q267's orderkey-stripe snapshot/delta split remains exactly 4/5
+    * vs 1/5. Work must grow ~linearly (one scan into a 6-key
+    * map-side-combinable aggregate); the REWRITTEN report afterwards
+    * is |grain|-bounded whatever the corpus. */
+  def scaleLineitemMv(spark: SparkSession, sfDir: String, mult: Int,
+                      workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+    val oShift = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+    li.crossJoin(reps)
+      .select((col("l_orderkey") + col("rep") * oShift).as("l_orderkey"),
+        col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+  }
+
   /** Coherent four-table scaling for q252's deletion cascade: ONE key
     * story across the slice — replica r shifts c_custkey (and the
     * events user_id, which lives in the same id space) by r·(maxCust+1)
@@ -344,8 +366,14 @@ object ScaleSanity {
       scaleLineitemPrices(spark, sfDir, mult, workDir)
     if (queries.contains("q137_zorder_layout") ||
         queries.contains("q161_benford") ||
-        queries.contains("q178_bootstrap_ci"))
+        queries.contains("q178_bootstrap_ci") ||
+        queries.contains("q263_variant_extract") ||
+        queries.contains("q264_variant_explode"))
       scaleOrdersLayout(spark, sfDir, mult, workDir)
+    if (queries.contains("q259_rollup") ||
+        queries.contains("q266_mv_rewrite") ||
+        queries.contains("q267_mv_refresh"))
+      scaleLineitemMv(spark, sfDir, mult, workDir)
     if (queries.contains("q179_entity_resolution"))
       scaleCustomer(spark, sfDir, mult, workDir)
     if (queries.contains("q252_deletion_audit"))

@@ -1493,4 +1493,71 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_lines"), col("n_kept"),
         col("cleaned"))
   }
+
+  /** Corpus-trained CLASS-PROFILE CLASSIFIER — the fastText-style
+    * model-based filter every LLM data pipeline runs (language ID,
+    * quality buckets, domain routing), in the house's exactly-replayable
+    * arithmetic. Trains add-one-smoothed per-class unigram profiles on
+    * the labeled corpus itself and scores every document against every
+    * class:
+    *
+    *   score(doc, c) = Σ_tok k_tok · ⌊p_c(tok)·10¹²⌋/10¹²  with
+    *   p_c(tok) = (cnt_c(tok) + 1) / (N_c + V)
+    *
+    * — one IEEE division per (class, token) on exact integer operands
+    * (bit-identical in any engine), floor-quantized to DECIMAL(38,12),
+    * then an exact decimal sum weighted by the doc's token multiplicity.
+    * Linear-probability additive scoring rather than log-likelihood: the
+    * house is libm-free (`bm25TopK`'s rational-idf rule) because ln()
+    * ULP differences across engines would flip quantization boundaries.
+    * Prediction = argmax, ties to the lexicographically first class.
+    * Returns the (label, predicted, n) confusion matrix — the
+    * self-train diagnostic that tells a pipeline whether its classes
+    * are separable before it routes 100 TB on them.
+    *
+    * Docs with zero tokens carry no evidence and are excluded (the
+    * contract, mirrored by the oracle).
+    *
+    * Scale shape: the model is |classes| × |vocab| rows (Zipf-sublinear
+    * in corpus bytes); doc-side work is |doc tokens| × |classes| via a
+    * broadcast class list; the model join keys on (class, token) with
+    * map-side-combinable everything; the argmax is a |classes|-row
+    * window per doc. Nothing corpus². */
+  def classProfileConfusion(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val toks = docs
+      .where(size(T.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+        explode(T.tokens(col(textCol))).as("tok"))
+    val model = toks.groupBy(col("__lbl").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = toks.groupBy(col("__lbl").as("cls"))
+      .agg(count(lit(1)).as("n_tok"))
+    val vocab = toks.select(col("tok")).distinct().count()
+    val docToks = toks.groupBy(col("__id"), col("__lbl"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val classes = broadcast(totals)
+    val p = docToks.crossJoin(classes)
+      .join(model, Seq("cls", "tok"), "left")
+      .withColumn("p",
+        (coalesce(col("cnt"), lit(0L)) + lit(1L)) /
+          (col("n_tok") + lit(vocab)))
+      .withColumn("q",
+        // DECIMAL(22,12) so the k×q product (DECIMAL(33,12)) stays
+        // inside BOTH engines' 38-digit width (DuckDB refuses a
+        // multiply whose result precision would exceed 38)
+        (floor(col("p") * 1e12) / 1e12)
+          .cast(org.apache.spark.sql.types.DecimalType(22, 12)))
+    val scores = p.groupBy(col("__id"), col("__lbl"), col("cls"))
+      .agg(sum(col("k").cast(
+        org.apache.spark.sql.types.DecimalType(10, 0)) * col("q"))
+        .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("cls").asc)
+    scores.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("__lbl").as("label"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

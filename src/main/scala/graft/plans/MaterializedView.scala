@@ -76,7 +76,8 @@ object MaterializedView {
       mins: Seq[(String, Column)],
       maxs: Seq[(String, Column)],
       mvDir: String,
-      version: Int)
+      version: Int,
+      lastBatchId: Long = -1L)
 
   /** Session-keyed registry (sessions are long-lived; entries are
     * explicitly cleared by [[clear]]). Keyed by session identity — the
@@ -141,12 +142,22 @@ object MaterializedView {
     * old version are never invalidated) and re-registers atomically.
     *
     * At 100 TB this is THE way a summary stays serviceable: per-batch
-    * cost is |delta| + |grain| rows, independent of history size. */
-  def refresh(spark: SparkSession, name: String, delta: DataFrame): DataFrame = {
+    * cost is |delta| + |grain| rows, independent of history size.
+    *
+    * `batchId` makes the fold EXACTLY-ONCE under foreachBatch replay
+    * semantics (Structured Streaming re-delivers a batch after a
+    * failure with the SAME id): a batchId ≤ the last folded one is a
+    * no-op returning the current MV. Pass the foreachBatch id when
+    * streaming ([[graft.streaming.Streams.maintainMv]] does); leave
+    * the default for hand-driven refreshes. */
+  def refresh(spark: SparkSession, name: String, delta: DataFrame,
+      batchId: Long = -1L): DataFrame = {
     val k = sessionKey(spark)
     val entry = registry.getOrElse(k, Vector.empty).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"no MV named '$name' registered on this session"))
+    if (batchId >= 0 && batchId <= entry.lastBatchId)
+      return spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
     val deltaAgg = aggFrame(delta, entry.dims, entry.sums, entry.mins,
       entry.maxs)
     val mvCur = spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
@@ -162,7 +173,8 @@ object MaterializedView {
     merged.write.mode("overwrite").parquet(nextDir)
     val mv = spark.read.parquet(nextDir)
     val next = entry.copy(mvRelation = relationOf(mv),
-      version = entry.version + 1)
+      version = entry.version + 1,
+      lastBatchId = math.max(entry.lastBatchId, batchId))
     registry.updateWith(k) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ next)
       case None    => Some(Vector(next))

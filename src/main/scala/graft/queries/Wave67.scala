@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 67 — round 13, part eight: the MODEL-BASED CLASSIFIER seam
+  * ([[TextAnalysis.classProfileConfusion]]) — the fastText-style
+  * filter every LLM pipeline trains on its own corpus (language ID,
+  * quality buckets, domain routing) before routing 100 TB on its
+  * predictions. q268 self-trains add-one-smoothed per-language unigram
+  * profiles on `documents` and reports the (label, predicted, n)
+  * confusion matrix.
+  *
+  * The oracle replays training AND inference end-to-end (count tables,
+  * one IEEE division per (class, token) on exact integer operands,
+  * floor-quantize to DECIMAL, exact decimal argmax with
+  * lexicographic tie-break) — so a wrong smoothing denominator, a
+  * dropped unseen-token floor, or an unstable tie-break all
+  * hash-mismatch. Scoring is linear-probability additive rather than
+  * log-likelihood: the house is libm-free (bm25's rational-idf rule)
+  * because ln() ULP differences across engines flip quantization
+  * boundaries.
+  */
+object Wave67 {
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q268_class_profile" -> { (s, d) =>
+      TextAnalysis.classProfileConfusion(Tables.documents(s, d),
+          "doc_id", "text", "lang")
+        .orderBy(col("label"), col("predicted"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q268_class_profile" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, lang AS lbl, unnest($SqlToks) AS tok
+         |  FROM documents WHERE len($SqlToks) > 0),
+         |model AS (SELECT lbl AS cls, tok, count(*) AS cnt
+         |          FROM toks GROUP BY 1, 2),
+         |totals AS (SELECT lbl AS cls, count(*) AS n_tok
+         |           FROM toks GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+         |doctoks AS (SELECT id, lbl, tok, count(*) AS k
+         |            FROM toks GROUP BY 1, 2, 3),
+         |contribs AS (
+         |  SELECT d.id, d.lbl, t.cls,
+         |    CAST(d.k AS DECIMAL(10,0)) *
+         |    CAST(floor((coalesce(m.cnt, 0) + 1) / (t.n_tok + v.v) * 1e12)
+         |         / 1e12 AS DECIMAL(22,12)) AS contrib
+         |  FROM doctoks d
+         |  CROSS JOIN totals t CROSS JOIN vocab v
+         |  LEFT JOIN model m ON m.cls = t.cls AND m.tok = d.tok),
+         |scores AS (SELECT id, lbl, cls, sum(contrib) AS score
+         |           FROM contribs GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT id, lbl, cls, row_number()
+         |    OVER (PARTITION BY id ORDER BY score DESC, cls ASC) AS rn
+         |  FROM scores)
+         |SELECT lbl AS label, cls AS predicted, count(*) AS n
+         |FROM pred WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)
+}

@@ -452,6 +452,32 @@ object Streams {
     graft.operators.Agg.mergeAdditiveStates(keys, states: _*)
   }
 
+  /** STREAMING MV MAINTENANCE: keep a registered
+    * [[graft.plans.MaterializedView]] fresh from a live stream of base
+    * rows. Each micro-batch folds into the summary via
+    * [[graft.plans.MaterializedView.refresh]] — |batch| + |grain| work
+    * per batch, independent of history — and the foreachBatch batchId
+    * rides along, so Structured Streaming's redelivery-after-failure
+    * contract becomes EXACTLY-ONCE at the MV (a replayed id is a
+    * no-op). The rewrite rule then serves reports from a summary
+    * that's never more than one micro-batch stale.
+    *
+    * This is the live half of q174's additive-maintenance law and
+    * q267's refresh certificate; Wave66StreamsSpec pins streamed-fold
+    * ≡ one-shot build and the duplicate-batch no-op. */
+  def maintainMv(newRows: DataFrame, mvName: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newRows.sparkSession
+    newRows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.plans.MaterializedView.refresh(spark, mvName, batch, id)
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   // ------------------------------------------- transformWithState tier
 
   /** Input row for [[quotaKeep]]. */

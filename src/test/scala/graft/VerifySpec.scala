@@ -61,7 +61,10 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave54.queries, queries.Wave55.queries,
       queries.Wave56.queries, queries.Wave57.queries,
       queries.Wave58.queries, queries.Wave59.queries,
-      queries.Wave60.queries, queries.Wave61.queries)
+      queries.Wave60.queries, queries.Wave61.queries,
+      queries.Wave62.queries, queries.Wave63.queries,
+      queries.Wave64.queries, queries.Wave65.queries,
+      queries.Wave66.queries, queries.Wave67.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 

@@ -335,4 +335,21 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     (got(3)._3, got(3)._4, got(3)._5, got(3)._6, got(3)._7) shouldBe
       ((0L, 0L, 0L, 0L, 0L))
   }
+
+  test("classProfileConfusion: separable classes give a diagonal matrix; zero-token docs excluded") {
+    import spark.implicits._
+    // two classes with disjoint vocabularies + one shared stopword;
+    // class sizes differ so the totals/smoothing paths both matter
+    val d = Seq(
+      (1L, "alpha beta alpha the", "a"),
+      (2L, "beta alpha beta", "a"),
+      (3L, "alpha alpha the", "a"),
+      (4L, "gamma delta the", "b"),
+      (5L, "delta gamma delta gamma", "b"),
+      (6L, "1234 .,;", "a") // zero tokens: must be excluded entirely
+    ).toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.classProfileConfusion(d, "doc_id", "text", "lang")
+      .as[(String, String, Long)].collect().sorted
+    m shouldBe Array(("a", "a", 3L), ("b", "b", 2L))
+  }
 }

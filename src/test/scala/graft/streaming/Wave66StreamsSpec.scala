@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.plans.MaterializedView
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins [[Streams.maintainMv]] — streaming MV maintenance:
+  *
+  *  - micro-batch folds compose: after streaming rows in several
+  *    batches, the MV equals a one-shot build over snapshot + stream;
+  *  - the foreachBatch batchId makes refresh EXACTLY-ONCE: replaying
+  *    an already-folded id is a no-op (no version bump, same rows) —
+  *    the redelivery case Structured Streaming's contract requires
+  *    sinks to absorb.
+  */
+/** Top-level so Spark can instantiate the encoder without an outer
+  * scope. */
+case class W66LiRow(l_orderkey: Long, l_quantity: Double,
+    l_returnflag: String, l_linestatus: String)
+
+class Wave66StreamsSpec extends AnyFunSuite with Matchers
+    with graft.SparkFixture {
+
+  private type LiRow = W66LiRow
+  private val LiRow = W66LiRow
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  test("maintainMv: streamed folds == one-shot build; replayed batchId is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val work = graft.queries.Scratch.dir("w66stream", sfDir)
+    val basePath = s"$work/base.parquet"
+    val snapshot = Seq(
+      LiRow(1, 10.0, "A", "F"), LiRow(2, 20.5, "N", "O"),
+      LiRow(3, 7.25, "R", "F"))
+    snapshot.toDF().write.mode("overwrite").parquet(basePath)
+
+    MaterializedView.materialize(spark, "w66_mv", basePath,
+      dims = Seq("l_returnflag"),
+      sums = Seq("sum_qty" -> qdec(col("l_quantity"))),
+      maxs = Seq("max_qty" -> col("l_quantity")),
+      mvPath = s"$work/mv")
+
+    val batches = Seq(
+      Seq(LiRow(4, 1.0, "A", "O"), LiRow(5, 2.0, "A", "F")),
+      Seq(LiRow(6, 30.0, "N", "F")),
+      Seq(LiRow(7, 5.5, "R", "O"), LiRow(8, 0.75, "A", "F")))
+
+    val input = MemoryStream[LiRow]
+    val q = Streams.maintainMv(input.toDF(), "w66_mv",
+      s"$work/ckpt_${System.nanoTime}")
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val served = spark.read.parquet(basePath)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(qdec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"), max(col("l_quantity")).as("max_qty"))
+    // the report must come from the MV (rewrite) AND equal the truth
+    val got = served.collect().map(_.toString).sorted
+    val truth = MaterializedView.withoutRewrite(spark) {
+      (snapshot ++ batches.flatten).toDF()
+        .groupBy(col("l_returnflag"))
+        .agg(sum(qdec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"), max(col("l_quantity")).as("max_qty"))
+        .collect().map(_.toString).sorted
+    }
+    got shouldBe truth
+
+    // replay an already-folded batch id: rows must not change
+    val before = spark.read.parquet(s"$work/mv/v${batches.size}")
+      .collect().map(_.toString).sorted
+    val replayed = MaterializedView.refresh(spark, "w66_mv",
+      batches.head.toDF(), batchId = 0L)
+    replayed.collect().map(_.toString).sorted shouldBe before
+
+    MaterializedView.clear(spark)
+  }
+}
