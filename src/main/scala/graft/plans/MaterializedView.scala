@@ -375,7 +375,11 @@ object MaterializedView {
       }
       ae.aggregateFunction match {
         case c: Count if c.children == Seq(Literal(1)) =>
-          Some(Sum(mvAttr("cnt")).toAggregateExpression())
+          // coalesce: a GLOBAL count over an empty base must stay 0,
+          // but Sum over the (then empty) MV would return NULL
+          Some(org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            Sum(mvAttr("cnt")).toAggregateExpression(),
+            Literal(0L))))
         case s: Sum =>
           measure("sum", s.child).map(a => Sum(a).toAggregateExpression())
         case m: Min =>

@@ -158,6 +158,37 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers
       }
   }
 
+  test("GLOBAL aggregate (no GROUP BY) rewrites; count over an empty base stays 0") {
+    mv.count()
+    // global grain over the populated base
+    val g = lineitem.agg(count(lit(1)).as("n"),
+      min(col("l_quantity")).as("mn"))
+    scansMv(g) shouldBe true
+    val (got, want) = both {
+      lineitem.agg(count(lit(1)).as("n"), min(col("l_quantity")).as("mn"))
+    }
+    got shouldBe want
+    // empty base: the rewritten global count must be 0, not NULL
+    val emptyBase = graft.queries.Scratch.dir("mvspec_empty", sfDir) + "/base"
+    lineitem.limit(0).write.mode("overwrite").parquet(emptyBase)
+    MaterializedView.materialize(spark, "mvspec_empty", emptyBase,
+      dims = Seq("l_returnflag"),
+      sums = Seq("sq" -> qdec(col("l_quantity"))),
+      mvPath = graft.queries.Scratch.dir("mvspec_empty", sfDir) + "/mv")
+    val eq = spark.read.parquet(emptyBase).agg(count(lit(1)).as("n"))
+    scansMv(eq) shouldBe false // different base; but via its own MV:
+    val paths = eq.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    paths.exists(_.contains("mvspec_empty/mv")) shouldBe true
+    eq.collect()(0).getLong(0) shouldBe 0L
+  }
+
   test("grouping by a non-dim column does NOT rewrite") {
     mv.count()
     val q = lineitem.groupBy(col("l_orderkey"))
