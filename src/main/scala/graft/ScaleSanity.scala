@@ -368,7 +368,8 @@ object ScaleSanity {
         queries.contains("q161_benford") ||
         queries.contains("q178_bootstrap_ci") ||
         queries.contains("q263_variant_extract") ||
-        queries.contains("q264_variant_explode"))
+        queries.contains("q264_variant_explode") ||
+        queries.contains("q269_interval_overlap"))
       scaleOrdersLayout(spark, sfDir, mult, workDir)
     if (queries.contains("q259_rollup") ||
         queries.contains("q266_mv_rewrite") ||

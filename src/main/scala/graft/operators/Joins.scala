@@ -153,6 +153,58 @@ object Joins {
                 range: Column): DataFrame =
     left.join(right, keys && range)
 
+  /** INTERVAL-OVERLAP join: all pairs whose CLOSED integer intervals
+    * intersect ([lo_a, hi_a] ∩ [lo_b, hi_b] ≠ ∅), optionally under an
+    * equi-key. OSS Spark has no range-join optimization — a bare
+    * overlap theta-join plans as a (keyed) nested loop — so this is the
+    * bucket-decomposition formulation every temporal/genomic engine
+    * uses: each interval replicates into the width-`bucketWidth`
+    * buckets it touches, candidates meet ONLY inside equal (key,
+    * bucket) cells via a plain hash join, and each qualifying pair is
+    * emitted EXACTLY ONCE — no dedup shuffle — by its OWNER bucket,
+    * the bucket containing the intersection's start
+    * `greatest(lo_a, lo_b)` (both intervals cover that point, so both
+    * are present in that cell; every other shared cell is discarded by
+    * the ownership test).
+    *
+    * Scale notes (100 TB): work per cell is |cell_a|·|cell_b| — pick
+    * `bucketWidth` near the MEDIAN interval length so replication
+    * (≈ length/width + 1 cells per interval) and cell occupancy
+    * balance; the equi-key co-partitions the join so 1000 executors
+    * split the key space. One pathological kilometers-long interval
+    * replicates length/width times — cap input spans upstream or
+    * bucket at their grain; replication is linear in total interval
+    * DAYS, never corpus². `selfPairs = true` (same frame on both
+    * sides) prunes to unordered `id_a < id_b` pairs inside the join.
+    *
+    * Intervals must satisfy lo ≤ hi with non-negative longs (epoch
+    * days/micros); output carries (keys..., id_a, lo_a, hi_a, id_b,
+    * lo_b, hi_b). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, idCol: String,
+      loCol: String, hiCol: String, keyCols: Seq[String],
+      bucketWidth: Long, selfPairs: Boolean = false): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    def side(df: DataFrame, s: String): DataFrame =
+      df.select(
+        (keyCols.map(col) ++ Seq(
+          col(idCol).as(s"id_$s"),
+          col(loCol).cast("long").as(s"lo_$s"),
+          col(hiCol).cast("long").as(s"hi_$s"))): _*)
+        .withColumn("__b", explode(sequence(
+          floor(col(s"lo_$s") / bucketWidth).cast("long"),
+          floor(col(s"hi_$s") / bucketWidth).cast("long"))))
+    val a = side(left, "a")
+    val b = side(right, "b")
+    val pairPrune =
+      if (selfPairs) col("id_a") < col("id_b") else lit(true)
+    a.join(b, keyCols :+ "__b")
+      .where(pairPrune &&
+        col("hi_a") >= col("lo_b") && col("hi_b") >= col("lo_a") &&
+        floor(greatest(col("lo_a"), col("lo_b")) / bucketWidth)
+          .cast("long") === col("__b"))
+      .drop("__b")
+  }
+
   /** CDC compaction — "current state" of a change stream: one row per
     * key, the one with the largest `ord` tuple (lexicographic; make the
     * last element a unique id for a total order). Formulated as a

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 68 — round 13, part nine: the INTERVAL-OVERLAP JOIN
+  * ([[Joins.intervalOverlap]]) — the temporal/genomic workhorse OSS
+  * Spark has no optimization for (a bare overlap theta-join plans as a
+  * keyed nested loop). The bucket-decomposition formulation replicates
+  * each interval into the width-W buckets it touches, meets candidates
+  * in equal (key, bucket) cells via a plain hash join, and emits each
+  * pair exactly once from the bucket owning `greatest(lo_a, lo_b)` —
+  * no post-hoc dedup.
+  *
+  * q269 gives every order a processing window [orderdate,
+  * orderdate + orderkey%30 days] (epoch-day integers, deterministic on
+  * both engines) and finds same-customer overlapping windows — sparse
+  * by construction (~10 short windows per customer over a 6.5-year
+  * span), so the oracle's direct theta-join replay is feasible at
+  * sf0.01 while the engine side exercises the full bucketed path with
+  * W = 16 days (near the median window length). JoinsSpec pins the
+  * operator against a brute-force cross filter, including
+  * edge-touching, nested, multi-bucket-spanning, and cross-key cases.
+  */
+object Wave68 {
+
+  private val BucketDays = 16L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q269_interval_overlap" -> { (s, d) =>
+      val iv = Tables.orders(s, d).select(
+        col("o_custkey").as("k"),
+        col("o_orderkey").as("oid"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + pmod(col("oid"), lit(30)))
+      Joins.intervalOverlap(iv, iv, "oid", "lo", "hi", Seq("k"),
+          bucketWidth = BucketDays, selfPairs = true)
+        .select(col("k"), col("id_a"), col("id_b"),
+          (least(col("hi_a"), col("hi_b")) -
+            greatest(col("lo_a"), col("lo_b")) + 1).as("overlap_days"))
+        .orderBy(col("k"), col("id_a"), col("id_b"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q269_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_custkey AS k, o_orderkey AS oid,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS lo,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + o_orderkey % 30 AS hi
+        |  FROM orders)
+        |SELECT a.k AS k, a.oid AS id_a, b.oid AS id_b,
+        |  CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+        |    AS overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.k = b.k AND a.oid < b.oid
+        |  AND a.hi >= b.lo AND b.hi >= a.lo
+        |ORDER BY k, id_a, id_b""".stripMargin)
+}

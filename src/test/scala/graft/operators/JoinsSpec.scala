@@ -232,6 +232,37 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("intervalOverlap == brute-force theta join (edge-touch, nesting, multi-bucket spans, keys)") {
+    import spark.implicits._
+    // hostile fixture: touching endpoints ([0,5]∩[5,9]), nesting
+    // ([10,40]⊃[12,13]), a span crossing many width-7 buckets ([0,40]),
+    // same intervals under a different key (must NOT pair), exact
+    // bucket-boundary los (7, 14), and a point interval [21,21]
+    val iv = Seq(
+      ("k1", 1L, 0L, 5L), ("k1", 2L, 5L, 9L), ("k1", 3L, 6L, 6L),
+      ("k1", 4L, 10L, 40L), ("k1", 5L, 12L, 13L), ("k1", 6L, 0L, 40L),
+      ("k1", 7L, 41L, 45L), ("k1", 8L, 21L, 21L),
+      ("k2", 9L, 0L, 5L), ("k2", 10L, 5L, 9L), ("k2", 11L, 7L, 14L),
+      ("k2", 12L, 14L, 14L), ("k2", 13L, 46L, 46L)
+    ).toDF("k", "id", "lo", "hi")
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = graft.operators.Joins.intervalOverlap(iv, iv, "id", "lo",
+          "hi", Seq("k"), bucketWidth = w, selfPairs = true)
+        .select("k", "id_a", "id_b")
+        .as[(String, Long, Long)].collect().sorted
+      val brute = iv.as("a").join(iv.as("b"),
+          col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+            col("a.hi") >= col("b.lo") && col("b.hi") >= col("a.lo"))
+        .select(col("a.k"), col("a.id"), col("b.id"))
+        .as[(String, Long, Long)].collect().sorted
+      withClue(s"bucketWidth=$w") { got shouldBe brute }
+      // exactly-once: no dedup hides double emission — recheck distinct
+      withClue(s"bucketWidth=$w duplicate emission") {
+        got.length shouldBe got.distinct.length
+      }
+    }
+  }
+
   test("AQE skew-join splits the same straggler when thresholds see it (plan pin)") {
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
