@@ -250,11 +250,13 @@ object ScaleSanity {
     val reps = spark.range(mult).select(col("id").as("rep"))
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").cast("long").as("l_orderkey"),
-        col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+        col("l_partkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_linestatus"))
     val oShift = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
     li.crossJoin(reps)
       .select((col("l_orderkey") + col("rep") * oShift).as("l_orderkey"),
-        col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+        col("l_partkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_linestatus"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
   }
@@ -373,7 +375,8 @@ object ScaleSanity {
       scaleOrdersLayout(spark, sfDir, mult, workDir)
     if (queries.contains("q259_rollup") ||
         queries.contains("q266_mv_rewrite") ||
-        queries.contains("q267_mv_refresh"))
+        queries.contains("q267_mv_refresh") ||
+        queries.contains("q270_item_pairs"))
       scaleLineitemMv(spark, sfDir, mult, workDir)
     if (queries.contains("q179_entity_resolution"))
       scaleCustomer(spark, sfDir, mult, workDir)

@@ -310,4 +310,52 @@ object Behavior {
       (grade("f") + 1).cast("long").as("f_score"),
       (grade("m_cents") + 1).cast("long").as("m_score"))
   }
+
+  /** MARKET-BASKET frequent pairs — the support-≥-s first rung of
+    * association mining (the pair pass FP-growth and the classic
+    * "customers also bought" recommenders start from), with the lift
+    * statistic in exact integer parts-per-million:
+    *
+    *   lift_ppm = (support · n_baskets · 10⁶) div (n_a · n_b)
+    *
+    * — pure integer arithmetic, so any engine replays it bit-for-bit
+    * (no IEEE division on corpus-sized operands).
+    *
+    * Scale shape: one distinct to basket grain, a per-basket self-join
+    * whose fan-out is Σ|basket|² — bounded by `maxBasketSize`, the
+    * standard itemset-mining hub guard: a degenerate mega-basket (one
+    * "order" holding the whole catalog) would otherwise contribute
+    * |catalog|² pairs; such baskets are DROPPED (on both engines — the
+    * oracle replays the cap), a documented bias mining practice
+    * accepts because mega-baskets carry no pairwise signal. Everything
+    * downstream is map-side-combinable counts; the min-support filter
+    * runs before the dimension-count joins so only surviving pairs pay
+    * them. */
+  def frequentPairs(rows: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Long = 1000L): DataFrame = {
+    require(minSupport >= 1, s"minSupport >= 1: $minSupport")
+    val items = rows.select(col(basketCol).as("__o"), col(itemCol).as("__i"))
+      .distinct()
+    val okBaskets = items.groupBy(col("__o"))
+      .agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") <= maxBasketSize)
+      .select(col("__o"))
+    val kept = items.join(okBaskets, "__o")
+    val nBaskets = okBaskets.count()
+    val itemCnt = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.__o") === col("b.__o") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairs
+      .join(itemCnt.select(col("__i").as("item_a"), col("__ci").as("n_a")),
+        "item_a")
+      .join(itemCnt.select(col("__i").as("item_b"), col("__ci").as("n_b")),
+        "item_b")
+      .withColumn("lift_ppm",
+        expr(s"support * ${nBaskets}L * 1000000L div (n_a * n_b)"))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"), col("lift_ppm"))
+  }
 }

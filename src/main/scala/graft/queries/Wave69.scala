@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Behavior
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 69 — round 13, part ten: MARKET-BASKET association mining
+  * ([[Behavior.frequentPairs]]) — the support/lift pair pass that
+  * seeds "customers also bought" recommenders and FP-growth. q270
+  * mines part pairs co-occurring in an order (support ≥ 2) with the
+  * lift statistic in exact integer parts-per-million — pure integer
+  * arithmetic end-to-end, so the DuckDB oracle replays the mining run
+  * bit-for-bit including the mega-basket cap.
+  */
+object Wave69 {
+
+  private val MinSupport = 2L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q270_item_pairs" -> { (s, d) =>
+      Behavior.frequentPairs(Tables.lineitem(s, d), "l_orderkey",
+          "l_partkey", MinSupport)
+        .orderBy(col("item_a"), col("item_b"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q270_item_pairs" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+         |ok AS (
+         |  SELECT o FROM items GROUP BY o HAVING count(*) <= 1000),
+         |kept AS (SELECT items.* FROM items JOIN ok USING (o)),
+         |nb AS (SELECT count(*) AS n FROM ok),
+         |ic AS (SELECT i, count(*) AS ci FROM kept GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+         |  FROM kept a JOIN kept b ON a.o = b.o AND a.i < b.i
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport)
+         |SELECT p.item_a, p.item_b, p.support,
+         |  ca.ci AS n_a, cb.ci AS n_b,
+         |  CAST(p.support * nb.n * 1000000 // (ca.ci * cb.ci) AS BIGINT)
+         |    AS lift_ppm
+         |FROM pairs p
+         |JOIN ic ca ON ca.i = p.item_a
+         |JOIN ic cb ON cb.i = p.item_b
+         |CROSS JOIN nb
+         |ORDER BY item_a, item_b""".stripMargin)
+}

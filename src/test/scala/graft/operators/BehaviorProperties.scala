@@ -140,4 +140,32 @@ object BehaviorProperties extends Properties("Behavior") {
       got("b") == ((rows.size.toLong, (rows.size - bVals.size).toLong,
         bVals.distinct.size.toLong))
     }
+
+  property("frequentPairs == brute reference incl. mega-basket cap") =
+    forAll(Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, for {
+      o <- Gen.chooseNum(0L, 7L)
+      i <- Gen.chooseNum(0L, 9L)
+    } yield (o, i)))) { rows =>
+      import spark.implicits._
+      val cap = 4L
+      val got = Behavior.frequentPairs(rows.toDF("o", "i"), "o", "i",
+          minSupport = 1L, maxBasketSize = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(5))).toMap
+      // brute reference
+      val baskets = rows.distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted)
+        .filter(_._2.size <= cap).toMap
+      val nB = baskets.size.toLong
+      val ic = baskets.values.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val sup = baskets.values.toList
+        .flatMap(is => for (a <- is; b <- is if a < b) yield (a, b))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = sup.map { case (p, s) =>
+        p -> (s, s * nB * 1000000L / (ic(p._1) * ic(p._2)))
+      }
+      got == want
+    }
 }
