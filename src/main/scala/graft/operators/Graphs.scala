@@ -573,4 +573,100 @@ object Graphs {
 
   /** Fixed-point scale for the RA index's 1/deg terms. */
   val RaScale = 1000000000L
+
+  /** STRONGLY connected components of a DIRECTED graph — the directed
+    * complement of [[graft.operators.Dedup.components]] (which is
+    * undirected): link farms, redirect rings, and crawl traps are
+    * cycles in the host DIGRAPH, invisible to undirected connectivity.
+    *
+    * Algorithm: iterative max-id COLORING (Orzan's distributed SCC
+    * family). Per peel round, over the still-unassigned subgraph:
+    *  1. forward max-propagation — `maxDiameter` synchronous rounds of
+    *     color(v) ← max(color(v), max color over in-neighbors); after
+    *     convergence color(v) = the largest id that can reach v;
+    *  2. roots are nodes with color(v) = v; each root's SCC is exactly
+    *     the nodes that can reach it BACKWARD while staying inside its
+    *     color region — `maxDiameter` rounds of reversed propagation
+    *     confined to color equality;
+    *  3. assign those nodes, peel them off, repeat (≤ `maxRounds`).
+    *
+    * Every round is (edges ⨝ colors) → hash-agg max — the
+    * [[pageRankInt]] shape: map-side-combinable, no windows, frames
+    * localCheckpoint-ed per round so plans stay round-bounded. Work
+    * per peel is |remaining edges| · maxDiameter; peels remove at
+    * least every current color-root's component, so bounded-diameter
+    * graphs with few SCC "layers" (the crawl shape) finish in a few
+    * peels. The bounds are the CALLER'S CONTRACT (like bfsHops's
+    * `rounds`): if the graph exceeds them the loop throws rather than
+    * returning a silently-partial labeling.
+    *
+    * Output: (id, scc) with scc = the component's MINIMUM member id
+    * (the house canonical label, [[Dedup.components]]' convention). */
+  def scc(edges: DataFrame, srcCol: String, dstCol: String,
+          maxDiameter: Int, maxRounds: Int): DataFrame = {
+    require(maxDiameter >= 1 && maxDiameter <= 64,
+      s"maxDiameter in [1,64]: $maxDiameter")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds in [1,64]: $maxRounds")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint()
+    val allNodes = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id")))
+      .distinct().localCheckpoint()
+
+    var remaining = allNodes
+    var rem = e0
+    var assigned: DataFrame = null
+    var round = 0
+    while (round < maxRounds && !remaining.isEmpty) {
+      round += 1
+      // 1. forward max-color propagation over the remaining subgraph
+      var colors = remaining.select(col("id"), col("id").as("color"))
+        .localCheckpoint()
+      for (_ <- 1 to maxDiameter) {
+        val pushed = rem
+          .join(colors.select(col("id").as("u"), col("color")), "u")
+          .select(col("v").as("id"), col("color"))
+        colors = colors.union(pushed)
+          .groupBy(col("id")).agg(max(col("color")).as("color"))
+          .localCheckpoint()
+      }
+      // 2. backward confinement from the roots, inside the color region
+      var members = colors.where(col("color") === col("id"))
+        .select(col("id"), col("color").as("scc"))
+        .localCheckpoint()
+      for (_ <- 1 to maxDiameter) {
+        val back = rem
+          .join(members.select(col("id").as("v"), col("scc")), "v")
+          .select(col("u"), col("scc"))
+          .join(colors.select(col("id").as("u"), col("color")), "u")
+          .where(col("color") === col("scc"))
+          .select(col("u").as("id"), col("scc"))
+        members = members.union(back)
+          .groupBy(col("id")).agg(min(col("scc")).as("scc"))
+          .localCheckpoint()
+      }
+      assigned =
+        if (assigned == null) members
+        else assigned.unionByName(members).localCheckpoint()
+      remaining = remaining.join(members.select(col("id")), Seq("id"),
+        "left_anti").localCheckpoint()
+      rem = rem
+        .join(members.select(col("id").as("u")), Seq("u"), "left_anti")
+        .join(members.select(col("id").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+    }
+    if (!remaining.isEmpty)
+      throw new IllegalStateException(
+        s"scc: $maxRounds peel rounds left nodes unassigned — raise " +
+          "maxRounds/maxDiameter for this graph")
+    // canonical min-member label
+    val minLabel = assigned.groupBy(col("scc"))
+      .agg(min(col("id")).as("root"))
+    assigned.join(minLabel, "scc")
+      .select(col("id"), col("root").as("scc"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.operators.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 70 — round 13, part eleven: STRONGLY CONNECTED COMPONENTS on a
+  * directed graph ([[Graphs.scc]]) — the directed complement of the
+  * undirected components pass, and the primitive that finds link
+  * farms / redirect rings / crawl traps (cycles in the host digraph).
+  *
+  * q271 runs the max-id-coloring SCC on a graph with KNOWN component
+  * structure built from pure arithmetic on both engines: two 256-node
+  * binary de Bruijn shift blocks (u → 2u mod 256 and 2u+1 mod 256 —
+  * strongly connected, diameter 8) joined by a ONE-WAY bridge, plus a
+  * pure sink node; expected SCCs are the two blocks and the singleton
+  * sink. The oracle is an INDEPENDENT algorithm: DuckDB computes the
+  * transitive closure with a recursive CTE and labels components by
+  * mutual reachability — so the two engines agree only if both
+  * implement SCC correctly, the q52 independent-implementation
+  * convention. GraphsSpec additionally pins the operator against an
+  * in-memory Tarjan on random digraphs.
+  */
+object Wave70 {
+
+  private val B = 256L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q271_scc" -> { (s, _) =>
+      val u = s.range(B).select(col("id").as("u"))
+      def deBruijn(base: Long): DataFrame =
+        u.select((col("u") + base).as("s"),
+            (pmod(col("u") * 2, lit(B)) + base).as("d"))
+          .union(u.select((col("u") + base).as("s"),
+            (pmod(col("u") * 2 + 1, lit(B)) + base).as("d")))
+      val extras = s.range(1).select(lit(0L).as("s"), lit(B).as("d"))
+        .union(s.range(1).select(lit(0L).as("s"), lit(600L).as("d")))
+      val edges = deBruijn(0).union(deBruijn(B)).union(extras)
+      Graphs.scc(edges, "s", "d", maxDiameter = 20, maxRounds = 4)
+        .groupBy(col("scc")).agg(count(lit(1)).as("n"))
+        .orderBy(col("scc"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q271_scc" ->
+      """WITH RECURSIVE b0 AS (SELECT range AS u FROM range(0, 256)),
+        |e AS (
+        |  SELECT u AS s, (2 * u) % 256 AS d FROM b0
+        |  UNION ALL SELECT u, (2 * u + 1) % 256 FROM b0
+        |  UNION ALL SELECT u + 256, ((2 * u) % 256) + 256 FROM b0
+        |  UNION ALL SELECT u + 256, ((2 * u + 1) % 256) + 256 FROM b0
+        |  UNION ALL SELECT 0, 256
+        |  UNION ALL SELECT 0, 600),
+        |edges AS (SELECT DISTINCT s, d FROM e),
+        |reach AS (
+        |  SELECT s AS a, d AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s),
+        |mutual AS (
+        |  SELECT r1.a AS u, r1.b AS v FROM reach r1
+        |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        |nodes AS (
+        |  SELECT DISTINCT s AS id FROM edges
+        |  UNION SELECT DISTINCT d FROM edges),
+        |comp AS (
+        |  SELECT n.id, least(n.id, coalesce(min(m.u), n.id)) AS scc
+        |  FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+        |  GROUP BY n.id)
+        |SELECT CAST(scc AS BIGINT) AS scc, count(*) AS n
+        |FROM comp GROUP BY 1 ORDER BY scc""".stripMargin)
+}

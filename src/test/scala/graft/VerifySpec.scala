@@ -65,7 +65,8 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave62.queries, queries.Wave63.queries,
       queries.Wave64.queries, queries.Wave65.queries,
       queries.Wave66.queries, queries.Wave67.queries,
-      queries.Wave68.queries, queries.Wave69.queries)
+      queries.Wave68.queries, queries.Wave69.queries,
+      queries.Wave70.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 

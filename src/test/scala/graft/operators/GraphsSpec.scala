@@ -172,4 +172,65 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
     Graphs.linkPrediction(star, "a", "b", maxDegree = 4, k = 10)
       .count() shouldBe 6L
   }
+
+  /** In-memory Tarjan reference (recursive; test graphs are ≤ 12
+    * nodes). Returns node → min-member-of-SCC for nodes with an edge. */
+  private def tarjanRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var index = 0
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    def strong(v: Long): Unit = {
+      idx(v) = index; low(v) = index; index += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Nil)) {
+        if (!idx.contains(w)) { strong(w); low(v) = low(v) min low(w) }
+        else if (onStack(w)) low(v) = low(v) min idx(w)
+      }
+      if (low(v) == idx(v)) {
+        val members = scala.collection.mutable.Buffer[Long]()
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; members += w; w != v }) ()
+        val root = members.min
+        members.foreach(m => comp(m) = root)
+      }
+    }
+    nodes.foreach(v => if (!idx.contains(v)) strong(v))
+    comp.toMap
+  }
+
+  test("scc == Tarjan on seeded random digraphs (incl. cycles, DAG parts, self-reach)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(7)
+      val edges = (for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && rnd.nextDouble() < 0.28
+      } yield (u.toLong, v.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val got = Graphs.scc(edges.toDF("s", "d"), "s", "d",
+            maxDiameter = 12, maxRounds = 16)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"trial $trial edges=$edges") {
+          got shouldBe tarjanRef(edges)
+        }
+      }
+    }
+  }
+
+  test("scc: two one-way-bridged cycles + a sink are three components") {
+    import spark.implicits._
+    // 0→1→2→0 (cycle A), 3→4→3 (cycle B), bridge 2→3, sink 4→9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 3L),
+      (2L, 3L), (4L, 9L)).toDF("s", "d")
+    val got = Graphs.scc(edges, "s", "d", maxDiameter = 6, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      9L -> 9L)
+  }
 }
