@@ -179,20 +179,33 @@ object Joins {
     *
     * Intervals must satisfy lo ≤ hi with non-negative longs (epoch
     * days/micros); output carries (keys..., id_a, lo_a, hi_a, id_b,
-    * lo_b, hi_b). */
+    * lo_b, hi_b). A LAZY in-plan guard (the blockedEntityPairs
+    * convention) raises from the executor if any single interval would
+    * replicate into more than `maxCellsPerInterval` buckets — the
+    * degenerate open-ended-interval case that would otherwise
+    * silently manufacture quadratic cells. */
   def intervalOverlap(left: DataFrame, right: DataFrame, idCol: String,
       loCol: String, hiCol: String, keyCols: Seq[String],
-      bucketWidth: Long, selfPairs: Boolean = false): DataFrame = {
+      bucketWidth: Long, selfPairs: Boolean = false,
+      maxCellsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
-    def side(df: DataFrame, s: String): DataFrame =
+    def side(df: DataFrame, s: String): DataFrame = {
+      val loB = floor(col(s"lo_$s") / bucketWidth).cast("long")
+      val hiB = floor(col(s"hi_$s") / bucketWidth).cast("long")
       df.select(
         (keyCols.map(col) ++ Seq(
           col(idCol).as(s"id_$s"),
           col(loCol).cast("long").as(s"lo_$s"),
           col(hiCol).cast("long").as(s"hi_$s"))): _*)
-        .withColumn("__b", explode(sequence(
-          floor(col(s"lo_$s") / bucketWidth).cast("long"),
-          floor(col(s"hi_$s") / bucketWidth).cast("long"))))
+        .withColumn("__b", explode(sequence(loB,
+          when(hiB - loB < maxCellsPerInterval, hiB)
+            .otherwise(raise_error(concat(
+              lit("intervalOverlap: interval [") , col(s"lo_$s"),
+              lit(", "), col(s"hi_$s"),
+              lit(s"] spans > $maxCellsPerInterval buckets of width " +
+                s"$bucketWidth — cap input spans or raise bucketWidth")))
+              .cast("long")))))
+    }
     val a = side(left, "a")
     val b = side(right, "b")
     val pairPrune =

@@ -263,6 +263,24 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("intervalOverlap: mega-interval guard raises lazily from the plan") {
+    import spark.implicits._
+    val iv = Seq(("k", 1L, 0L, 50L), ("k", 2L, 0L, 10L))
+      .toDF("k", "id", "lo", "hi")
+    val ex = intercept[Exception] {
+      graft.operators.Joins.intervalOverlap(iv, iv, "id", "lo", "hi",
+          Seq("k"), bucketWidth = 1L, selfPairs = true,
+          maxCellsPerInterval = 20L)
+        .count()
+    }
+    ex.getMessage should include("intervalOverlap")
+    // same data passes with an adequate cap
+    graft.operators.Joins.intervalOverlap(iv, iv, "id", "lo", "hi",
+        Seq("k"), bucketWidth = 1L, selfPairs = true,
+        maxCellsPerInterval = 100L)
+      .count() shouldBe 1L
+  }
+
   test("AQE skew-join splits the same straggler when thresholds see it (plan pin)") {
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
