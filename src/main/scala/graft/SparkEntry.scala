@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.Wave63.queries ++ graft.queries.Wave64.queries ++
       graft.queries.Wave65.queries ++ graft.queries.Wave66.queries ++
       graft.queries.Wave67.queries ++ graft.queries.Wave68.queries ++
-      graft.queries.Wave69.queries ++ graft.queries.Wave70.queries
+      graft.queries.Wave69.queries ++ graft.queries.Wave70.queries ++
+      graft.queries.Wave71.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -89,5 +90,6 @@ object SparkEntry {
       graft.queries.Wave63.oracleSql ++ graft.queries.Wave64.oracleSql ++
       graft.queries.Wave65.oracleSql ++ graft.queries.Wave66.oracleSql ++
       graft.queries.Wave67.oracleSql ++ graft.queries.Wave68.oracleSql ++
-      graft.queries.Wave69.oracleSql ++ graft.queries.Wave70.oracleSql
+      graft.queries.Wave69.oracleSql ++ graft.queries.Wave70.oracleSql ++
+      graft.queries.Wave71.oracleSql
 }

@@ -1525,6 +1525,23 @@ object TextAnalysis {
     * window per doc. Nothing corpus². */
   def classProfileConfusion(docs: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
+    val scores = classProfileScores(docs, idCol, textCol, labelCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("cls").asc)
+    scores.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("__lbl").as("label"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The classifier's raw score table — one row per (doc, class) with
+    * the exact quantized-decimal additive score (see
+    * [[classProfileConfusion]] for the arithmetic contract). Exposed
+    * so evaluation passes ([[binaryAucPpm]]) read the same scores the
+    * argmax decision does. */
+  def classProfileScores(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
     val toks = docs
       .where(size(T.tokens(col(textCol))) > 0)
       .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
@@ -1537,7 +1554,7 @@ object TextAnalysis {
     val docToks = toks.groupBy(col("__id"), col("__lbl"), col("tok"))
       .agg(count(lit(1)).as("k"))
     val classes = broadcast(totals)
-    val p = docToks.crossJoin(classes)
+    docToks.crossJoin(classes)
       .join(model, Seq("cls", "tok"), "left")
       .withColumn("p",
         (coalesce(col("cnt"), lit(0L)) + lit(1L)) /
@@ -1548,16 +1565,49 @@ object TextAnalysis {
         // multiply whose result precision would exceed 38)
         (floor(col("p") * 1e12) / 1e12)
           .cast(org.apache.spark.sql.types.DecimalType(22, 12)))
-    val scores = p.groupBy(col("__id"), col("__lbl"), col("cls"))
+      .groupBy(col("__id"), col("__lbl"), col("cls"))
       .agg(sum(col("k").cast(
         org.apache.spark.sql.types.DecimalType(10, 0)) * col("q"))
         .as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id"))
-      .orderBy(col("score").desc, col("cls").asc)
-    scores.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .groupBy(col("__lbl").as("label"), col("cls").as("predicted"))
-      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Binary AUC (Mann–Whitney, average ranks over ties) in exact
+    * integer PARTS-PER-MILLION — the EVALUATION leg of the classifier
+    * lifecycle (train → score → argmax → measure):
+    *
+    *   auc_ppm = (2·R₊ − n₊·(n₊+1)) · 10⁶ div (2·n₊·n₋)
+    *
+    * with 2·R₊ = Σ over positives of (2·min_rank + tie_size − 1) — an
+    * INTEGER (tied scores share an average rank of the form x.5), so
+    * the whole statistic is integer arithmetic over exact
+    * quantized-decimal scores and any engine replays it bit-for-bit.
+    *
+    * `scored` is one row per example with `scoreCol` (exact-comparable
+    * — the classifier's DECIMAL scores qualify; raw doubles don't) and
+    * boolean `positiveCol`. Returns ONE row (n_pos, n_neg, auc_ppm).
+    *
+    * Scale shape: one hash agg to (score → n, n_pos) groups, then a
+    * cumulative over the DISTINCT-score table — |distinct scores|
+    * rows, orders of magnitude below corpus size, and eval sets are
+    * bounded by practice anyway (the single-partition window is over
+    * the score GRID, never the corpus). */
+  def binaryAucPpm(scored: DataFrame, scoreCol: String,
+      positiveCol: String): DataFrame = {
+    val grid = scored.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(positiveCol), 1L).otherwise(0L)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = grid.withColumn("below",
+      coalesce(sum(col("n")).over(w), lit(0L)))
+    // 2·avg_rank for every member of a tie group = 2(below+1) + n − 1
+    ranked.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * (lit(2) * (col("below") + 1) + col("n") - 1))
+          .as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("(r2 - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)")
+          .as("auc_ppm"))
   }
 }

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 71 — round 13, part twelve: classifier EVALUATION
+  * ([[TextAnalysis.binaryAucPpm]]) — the Mann–Whitney AUC in exact
+  * integer parts-per-million, closing the model lifecycle q268 opened
+  * (train → score → argmax → MEASURE). q272 treats q268's
+  * English-profile score as a binary detector (positive = the doc's
+  * label IS "en") and reports its AUC plus the class balance.
+  *
+  * The tie handling is the load-bearing part: additive quantized
+  * scores collide, and average-rank AUC over ties is exactly
+  * replayable because 2·R₊ is an integer. The oracle recomputes the
+  * scores AND the rank statistic from scratch in DuckDB — one
+  * engine-independent certificate over the whole train+score+eval
+  * pipeline.
+  */
+object Wave71 {
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q272_classifier_auc" -> { (s, d) =>
+      val scores = TextAnalysis.classProfileScores(Tables.documents(s, d),
+          "doc_id", "text", "lang")
+        .where(col("cls") === "en")
+        .select(col("score"), (col("__lbl") === "en").as("pos"))
+      TextAnalysis.binaryAucPpm(scores, "score", "pos")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q272_classifier_auc" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, lang AS lbl, unnest($SqlToks) AS tok
+         |  FROM documents WHERE len($SqlToks) > 0),
+         |model AS (SELECT lbl AS cls, tok, count(*) AS cnt
+         |          FROM toks GROUP BY 1, 2),
+         |totals AS (SELECT lbl AS cls, count(*) AS n_tok
+         |           FROM toks GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+         |doctoks AS (SELECT id, lbl, tok, count(*) AS k
+         |            FROM toks GROUP BY 1, 2, 3),
+         |scores AS (
+         |  SELECT d.id, d.lbl, sum(
+         |    CAST(d.k AS DECIMAL(10,0)) *
+         |    CAST(floor((coalesce(m.cnt, 0) + 1) / (t.n_tok + v.v) * 1e12)
+         |         / 1e12 AS DECIMAL(22,12))) AS score
+         |  FROM doctoks d
+         |  CROSS JOIN totals t CROSS JOIN vocab v
+         |  LEFT JOIN model m ON m.cls = t.cls AND m.tok = d.tok
+         |  WHERE t.cls = 'en'
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT score AS s, count(*) AS n,
+         |    sum(CASE WHEN lbl = 'en' THEN 1 ELSE 0 END) AS np
+         |  FROM scores GROUP BY 1),
+         |ranked AS (
+         |  SELECT *, coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS below
+         |  FROM grid)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(n - np) AS BIGINT) AS n_neg,
+         |  CAST((sum(np * (2 * (below + 1) + n - 1))
+         |        - sum(np) * (sum(np) + 1)) * 1000000
+         |       // (2 * sum(np) * sum(n - np)) AS BIGINT) AS auc_ppm
+         |FROM ranked""".stripMargin)
+}

@@ -352,4 +352,23 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
       .as[(String, String, Long)].collect().sorted
     m shouldBe Array(("a", "a", 3L), ("b", "b", 2L))
   }
+
+  test("binaryAucPpm: hand-computed Mann-Whitney with average-rank ties") {
+    import spark.implicits._
+    // scores asc: 1(neg) ranks 1; 2,2,2 (pos,pos,neg) avg rank 3; 3(pos) rank 5
+    // R+ = 3 + 3 + 5 = 11; AUC = (11 - 6) / (3*2) = 5/6 -> 833333 ppm
+    val d = Seq((3L, true), (2L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("score", "pos")
+    val got = TextAnalysis.binaryAucPpm(d, "score", "pos")
+      .as[(Long, Long, Long)].collect()
+    got shouldBe Array((3L, 2L, 833333L))
+    // perfect separation -> exactly 1e6; reversed -> 0
+    val sep = Seq((9L, true), (8L, true), (2L, false), (1L, false))
+      .toDF("score", "pos")
+    TextAnalysis.binaryAucPpm(sep, "score", "pos")
+      .as[(Long, Long, Long)].collect()(0)._3 shouldBe 1000000L
+    val rev = Seq((1L, true), (9L, false)).toDF("score", "pos")
+    TextAnalysis.binaryAucPpm(rev, "score", "pos")
+      .as[(Long, Long, Long)].collect()(0)._3 shouldBe 0L
+  }
 }
