@@ -315,7 +315,9 @@ object ScaleSanity {
     "q165_latency_histogram", "q167_event_patterns",
     "q168_conversion_quantiles", "q170_cohort_ltv",
     // r12 warehouse tier rides the event stream
-    "q216_scd2_dimension", "q217_cdc_merge")
+    "q216_scd2_dimension", "q217_cdc_merge",
+    // r13 journey near-dup builds per-user behavior strings
+    "q273_journey_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

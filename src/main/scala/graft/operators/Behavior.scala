@@ -358,4 +358,46 @@ object Behavior {
       .select(col("item_a"), col("item_b"), col("support"),
         col("n_a"), col("n_b"), col("lift_ppm"))
   }
+
+  /** JOURNEY NEAR-DUP: pairs of behavioral sequences within edit
+    * distance `maxDist` — the bot-farm / replayed-session detector
+    * (two accounts emitting near-identical event journeys). The
+    * text-dedup recipe applied to behavior strings: q-gram BANDING
+    * (pairs meet only inside equal q-gram buckets — the q60/q130
+    * shape) then a codegen `levenshtein` VERIFY on candidates only.
+    *
+    * Recall contract (the q-gram lemma): sequences of length L within
+    * distance k are guaranteed to share a q-gram only when
+    * L ≥ q·(k+1); shorter journeys band on the whole string (exact
+    * match only). This bound is part of the operator's CONTRACT — the
+    * oracle replays the same banding, and a caller needing full recall
+    * on short sequences lowers `q`.
+    *
+    * Scale shape: shingling is a per-row generator; candidates form in
+    * q-gram buckets whose size tracks genuine journey similarity (a
+    * small event alphabet makes buckets denser — pick `q` so qᐩ|Σ|
+    * covers the fleet); the expensive verify runs on candidates only.
+    * Output: (id_a, id_b, dist), id_a < id_b, each pair once. */
+  def journeyNearDups(journeys: DataFrame, idCol: String, strCol: String,
+      q: Int, maxDist: Int): DataFrame = {
+    require(q >= 2, s"q >= 2: $q")
+    require(maxDist >= 0, s"maxDist >= 0: $maxDist")
+    val j = journeys.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val grams = j.withColumn("__g", explode(
+      when(length(col("__s")) >= q,
+        transform(sequence(lit(1), length(col("__s")) - (q - 1)),
+          i => col("__s").substr(i, lit(q))))
+        .otherwise(array(col("__s")))))
+      .select(col("__id"), col("__g"))
+    val cand = grams.as("a").join(grams.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(j.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(j.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Behavior
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 72 — round 13, part thirteen: BEHAVIORAL SEQUENCE SIMILARITY
+  * ([[Behavior.journeyNearDups]]) — trajectory/sequence near-dup
+  * search (the REPOSE/top-k-trajectory problem family), as the
+  * bot-farm detector: accounts emitting near-identical event journeys.
+  *
+  * q273 builds each user's journey string (event-type initials in
+  * exact (ts, event_id) order), PLANTS a twin per user — same journey
+  * with one character substituted at a user-derived position (the q75
+  * deterministic-planting convention; 'z' is no event type's initial,
+  * so twin distance is exactly 1) — and requires the banded q-gram +
+  * Levenshtein-verify pipeline to recover exactly the planted pairs.
+  * The oracle replays journey assembly, planting, banding (same
+  * q-gram lemma recall contract), and the verify — byte-for-byte.
+  */
+object Wave72 {
+
+  /** q = 12: the q-gram lemma needs L ≥ q·(maxDist+1) = 36 (journeys
+    * run ~67 chars at sf0.01, ~400 at sf0.1), and the small event
+    * alphabet (|Σ| ≈ 7 initials) makes SHORT grams degenerate — at
+    * q = 4 every journey contains most of the 7⁴ possible grams, so
+    * banding admits nearly all pairs and the verify goes quadratic
+    * (measured: 30 s at sf0.1 vs 2 s with q = 12). 7¹² ≫ fleet size
+    * keeps buckets at true near-dups only. */
+  private val Q = 12
+  private val MaxDist = 2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q273_journey_neardup" -> { (s, d) =>
+      val j = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(array_sort(collect_list(struct(
+            col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          e => e.getField("c")), "").as("s"))
+      val pos = (pmod(col("user_id"), length(col("s"))) + 1).cast("int")
+      val twins = j.select(
+        (col("user_id") + 10000L).as("user_id"),
+        concat(col("s").substr(lit(1), pos - 1), lit("z"),
+          col("s").substr(pos + 1, length(col("s")))).as("s"))
+      Behavior.journeyNearDups(j.unionByName(twins), "user_id", "s",
+          q = Q, maxDist = MaxDist)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q273_journey_neardup" ->
+      s"""WITH j AS (
+         |  SELECT user_id, string_agg(substr(event_type, 1, 1), ''
+         |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS s
+         |  FROM events GROUP BY 1),
+         |twins AS (
+         |  SELECT user_id + 10000 AS user_id,
+         |    substr(s, 1, CAST(user_id % len(s) AS INT)) || 'z' ||
+         |    substr(s, CAST(user_id % len(s) AS INT) + 2) AS s
+         |  FROM j),
+         |allj AS (SELECT * FROM j UNION ALL SELECT * FROM twins),
+         |grams AS (
+         |  SELECT user_id, s, unnest(CASE WHEN len(s) >= $Q
+         |    THEN list_transform(range(1, len(s) - ${Q - 2}),
+         |      i -> substr(s, CAST(i AS INT), $Q))
+         |    ELSE [s] END) AS g
+         |  FROM allj),
+         |cand AS (
+         |  SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
+         |  FROM grams a JOIN grams b
+         |    ON a.g = b.g AND a.user_id < b.user_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(ja.s, jb.s) AS BIGINT) AS dist
+         |FROM cand c
+         |JOIN allj ja ON ja.user_id = c.id_a
+         |JOIN allj jb ON jb.user_id = c.id_b
+         |WHERE levenshtein(ja.s, jb.s) <= $MaxDist
+         |ORDER BY id_a, id_b""".stripMargin)
+}

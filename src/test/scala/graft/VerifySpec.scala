@@ -66,7 +66,8 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave64.queries, queries.Wave65.queries,
       queries.Wave66.queries, queries.Wave67.queries,
       queries.Wave68.queries, queries.Wave69.queries,
-      queries.Wave70.queries, queries.Wave71.queries)
+      queries.Wave70.queries, queries.Wave71.queries,
+      queries.Wave72.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 

@@ -168,4 +168,35 @@ object BehaviorProperties extends Properties("Behavior") {
       }
       got == want
     }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("journeyNearDups == brute banded reference (q-gram lemma contract)") =
+    forAll(Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, for {
+      len <- Gen.chooseNum(1, 12)
+      s <- Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)
+    } yield s))) { strs =>
+      import spark.implicits._
+      val q = 3
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Behavior.journeyNearDups(rows.toDF("id", "s"), "id", "s",
+          q = q, maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      def grams(s: String): Set[String] =
+        if (s.length >= q) s.sliding(q).toSet else Set(s)
+      val want = (for {
+        x <- rows; y <- rows
+        if x._1 < y._1 && grams(x._2).intersect(grams(y._2)).nonEmpty
+        d = lev(x._2, y._2) if d <= 2
+      } yield (x._1, y._1, d.toLong)).toSet
+      got == want
+    }
 }
