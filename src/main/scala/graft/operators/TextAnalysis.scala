@@ -1610,4 +1610,51 @@ object TextAnalysis {
         expr("(r2 - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)")
           .as("auc_ppm"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov DRIFT statistic in exact integer
+    * parts-per-million — the distribution-shift monitor a pipeline
+    * runs between corpus generations (did this crawl's length/quality
+    * distribution move?):
+    *
+    *   ks_ppm = max over the merged value grid of
+    *            |cum_a·n_b − cum_b·n_a| · 10⁶ div (n_a·n_b)
+    *
+    * — cross-multiplied integer counts, no division until the final
+    * quantization, so any engine replays it bit-for-bit. `groupCol`
+    * must hold exactly two values (checked); rows group to the
+    * DISTINCT-value grid first, so the cumulative window runs over
+    * |grid| rows, never the corpus (the binaryAucPpm posture).
+    * Returns ONE row (n_a, n_b, ks_ppm) with a/b = the
+    * lexicographically smaller/larger group. */
+  def ksDriftPpm(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    // the two group names ride the closure (the 2-row dval idiom)
+    val gs = df.select(col(groupCol).cast("string").as("g"))
+      .distinct().orderBy(col("g")).collect().map(_.getString(0)).toSeq
+    require(gs.size == 2,
+      s"ksDriftPpm needs exactly two groups, got ${gs.size}: $gs")
+    val (ga, gb) = (gs(0), gs(1))
+    val grid = df
+      .select(col(valueCol).as("v"), col(groupCol).cast("string").as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.orderBy(col("v")).rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // long cross-products bound the sample sizes at ~3e9 each; beyond
+    // that, pre-quantize values to a coarser grid (the statistic is
+    // grid-stable under monotone binning)
+    grid.select(
+        sum(col("ca")).over(wCum).as("cuma"),
+        sum(col("cb")).over(wCum).as("cumb"),
+        sum(col("ca")).over(wAll).as("na"),
+        sum(col("cb")).over(wAll).as("nb"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("d"))
+      .select(col("n_a"), col("n_b"),
+        expr("d * 1000000L div (n_a * n_b)").as("ks_ppm"))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 73 — round 13, part fourteen: DISTRIBUTION-DRIFT monitoring
+  * ([[TextAnalysis.ksDriftPpm]]) — the two-sample Kolmogorov–Smirnov
+  * statistic in exact integer parts-per-million, the check a pipeline
+  * runs between corpus generations before retraining ("did this
+  * crawl's length distribution move?").
+  *
+  * q274 splits `documents` into two pseudo-generations (even/odd
+  * doc_id — a deterministic A/A-with-structure split) and reports the
+  * KS distance between their `n_chars` distributions. The statistic
+  * is cross-multiplied integer counts over the merged distinct-value
+  * grid — no division until the final ppm quantization — so DuckDB
+  * replays it bit-for-bit, and the cumulative window runs over the
+  * |grid| rows, never the corpus.
+  */
+object Wave73 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q274_ks_drift" -> { (s, d) =>
+      val gen = Tables.documents(s, d)
+        .select(col("n_chars"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "gen_a")
+            .otherwise("gen_b").as("gen"))
+      TextAnalysis.ksDriftPpm(gen, "n_chars", "gen")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q274_ks_drift" ->
+      """WITH g AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'gen_a' ELSE 'gen_b' END AS gen
+        |  FROM documents),
+        |grid AS (
+        |  SELECT v,
+        |    sum(CASE WHEN gen = 'gen_a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN gen = 'gen_b' THEN 1 ELSE 0 END) AS cb
+        |  FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT
+        |    sum(ca) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM grid)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(cuma * nb - cumb * na)) * 1000000
+        |       // (max(na) * max(nb)) AS BIGINT) AS ks_ppm
+        |FROM cum""".stripMargin)
+}

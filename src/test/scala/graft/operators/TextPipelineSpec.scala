@@ -371,4 +371,25 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     TextAnalysis.binaryAucPpm(rev, "score", "pos")
       .as[(Long, Long, Long)].collect()(0)._3 shouldBe 0L
   }
+
+  test("ksDriftPpm: hand-computed grids, identity zero, disjoint one") {
+    import spark.implicits._
+    // A={1,2}, B={2,3}: sup|F_A - F_B| at v=1 (1/2 vs 0) = 0.5
+    val d = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("v", "g")
+    TextAnalysis.ksDriftPpm(d, "v", "g")
+      .as[(Long, Long, Long)].collect() shouldBe Array((2L, 2L, 500000L))
+    // identical samples -> 0; disjoint supports -> exactly 1e6
+    val same = Seq((5L, "a"), (7L, "a"), (5L, "b"), (7L, "b")).toDF("v", "g")
+    TextAnalysis.ksDriftPpm(same, "v", "g")
+      .as[(Long, Long, Long)].collect()(0)._3 shouldBe 0L
+    val disj = Seq((1L, "a"), (2L, "a"), (8L, "b"), (9L, "b")).toDF("v", "g")
+    TextAnalysis.ksDriftPpm(disj, "v", "g")
+      .as[(Long, Long, Long)].collect()(0)._3 shouldBe 1000000L
+    // three groups refuse loudly
+    val three = Seq((1L, "a"), (1L, "b"), (1L, "c")).toDF("v", "g")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ksDriftPpm(three, "v", "g")
+    }
+  }
 }
