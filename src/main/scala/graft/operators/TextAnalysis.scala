@@ -1626,6 +1626,65 @@ object TextAnalysis {
     * |grid| rows, never the corpus (the binaryAucPpm posture).
     * Returns ONE row (n_a, n_b, ks_ppm) with a/b = the
     * lexicographically smaller/larger group. */
+  /** Ranked-retrieval evaluation over a batch of single-term queries:
+    * MRR (mean reciprocal rank of the FIRST relevant hit) and hits@k,
+    * both in exact integer arithmetic — the IR-eval leg next to
+    * [[binaryAucPpm]] and [[ksDriftPpm]]. Each query's candidates are
+    * the docs CONTAINING its term (rank windows are df-bounded, never
+    * corpus-wide); scoring is the [[bm25TopK]] arithmetic (quantized
+    * to 1e-9 through decimal so both engines agree bit-for-bit);
+    * rank ties break by doc id. Queries whose relevant set retrieves
+    * nothing are dropped and counted (`n_dropped`).
+    *
+    *   mrr_ppm = (Σ_q 10⁶ div rank_q) div n_queries
+    *
+    * `queries` is a bounded dimension (it rides the closure — the dval
+    * idiom); `relevance` is (qid, doc id) pairs, broadcast-joined.
+    * Scale shape: one stats aggregate (N, Σdl, df per term), one
+    * per-term candidate filter, per-qid rank windows of df rows. */
+  def retrievalMrrPpm(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], relevance: DataFrame,
+      atK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val base = docs.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("toks"),
+      T.tokenCount(col(textCol)).as("dl")).cache()
+    val dfCols = queries.zipWithIndex.map { case ((_, t), i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+        .as(s"df$i")
+    }
+    val statsRow = base
+      .agg(count(lit(1)).as("n"), (sum(col("dl")).as("dlsum") +: dfCols): _*)
+      .collect()(0)
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val scoredPerQuery = queries.zipWithIndex.map { case ((qid, t), i) =>
+      val dfT = statsRow.getLong(i + 2).toDouble
+      val tf = (size(col("toks")) - size(array_remove(col("toks"), t)))
+        .cast("double")
+      val idf = (nDocs - dfT + 0.5) / (dfT + 0.5)
+      val s = lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+      base.where(array_contains(col("toks"), t))
+        .select(lit(qid).as("qid"), col("id"),
+          floor(s * lit(1e9)).cast("decimal(38,0)").as("score"))
+    }
+    val ranked = scoredPerQuery.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+    val firstRel = ranked
+      .join(broadcast(relevance.toDF("qid", "id")), Seq("qid", "id"))
+      .groupBy(col("qid")).agg(min(col("rank")).as("fr"))
+    firstRel.agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("fr") <= atK, 1L).otherwise(0L)).as(s"hits_at_$atK"),
+        sum(expr("1000000L div fr")).as("__rsum"))
+      .select(col("n_queries"), col(s"hits_at_$atK"),
+        expr("__rsum div n_queries").as("mrr_ppm"),
+        (lit(queries.size.toLong) - col("n_queries")).as("n_dropped"))
+  }
+
   def ksDriftPpm(df: DataFrame, valueCol: String,
       groupCol: String): DataFrame = {
     // the two group names ride the closure (the 2-row dval idiom)

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 74 — round 13, part fifteen: RANKED-RETRIEVAL EVALUATION
+  * ([[TextAnalysis.retrievalMrrPpm]]) — MRR and hits@k in exact
+  * integer arithmetic, completing the round's eval trio (AUC q272,
+  * KS drift q274, MRR here) over the BM25 machinery q71 certified.
+  *
+  * q275 plants ten single-term queries (letter-suffixed — the house
+  * tokenizer strips digits): docs with doc_id % 23 == i gain the
+  * marker token for query i, and the RELEVANT subset is
+  * doc_id % 46 == i (exactly half the matching docs, since
+  * 46 = 2·23). Within a query all matches have tf = 1 and the same
+  * idf, so the ranking is decided by the BM25 length normalization —
+  * a real, nontrivial ordering the oracle must reproduce through the
+  * exact quantized score, not a degenerate rank-1 freebie. The oracle
+  * replays planting, tokenization, corpus stats, per-candidate
+  * scoring, ranking, and both metrics.
+  */
+object Wave74 {
+
+  private val NQ = 10
+  private val AtK = 5
+
+  private def marker(i: Int): String = "qry" + ('a' + i).toChar
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q275_retrieval_mrr" -> { (s, d) =>
+      val planted = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          (0 until NQ).map(i =>
+            when(pmod(col("doc_id"), lit(23)) === i, lit(" " + marker(i)))
+              .otherwise(lit(""))).reduce(concat(_, _))))
+      val qs = (0 until NQ).map(i => (i.toLong, marker(i)))
+      val rel = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(46)) < NQ)
+        .select(pmod(col("doc_id"), lit(46)).as("qid"),
+          col("doc_id").as("id"))
+      TextAnalysis.retrievalMrrPpm(planted, "doc_id", "text", qs, rel,
+        atK = AtK)
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q275_retrieval_mrr" -> {
+      val k1 = 1.2; val b = 0.75; val k1p1 = k1 + 1.0; val oneMb = 1.0 - b
+      val plant = (0 until NQ).map(i =>
+        s"CASE WHEN doc_id % 23 = $i THEN ' ${marker(i)}' ELSE '' END")
+        .mkString(" || ")
+      val toks =
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+      val dfExprs = (0 until NQ).map(i =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '${marker(i)}') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val perQuery = (0 until NQ).map { i =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '${marker(i)}')) AS DOUBLE)"
+        val idf = s"(n_docs - df$i + 0.5) / (df$i + 0.5)"
+        s"""SELECT $i AS qid, id,
+           |  CAST(floor($idf * ($tf * $k1p1) /
+           |    ($tf + $k1 * ($oneMb + $b * CAST(dl AS DOUBLE) / avgdl))
+           |    * 1e9) AS HUGEINT) AS score
+           |FROM base, stats WHERE list_contains(toks, '${marker(i)}')"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || $plant AS text FROM documents),
+         |base AS (
+         |  SELECT doc_id AS id, $toks AS toks,
+         |    CAST(len($toks) AS BIGINT) AS dl
+         |  FROM planted),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfExprs
+         |  FROM base),
+         |scored AS (
+         |  $perQuery),
+         |ranked AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rank
+         |  FROM scored),
+         |rel AS (
+         |  SELECT doc_id % 46 AS qid, doc_id AS id FROM documents
+         |  WHERE doc_id % 46 < $NQ),
+         |fr AS (
+         |  SELECT r.qid, min(r.rank) AS fr
+         |  FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.id = r.id
+         |  GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN fr <= $AtK THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_$AtK,
+         |  CAST(sum(1000000 // fr) // count(*) AS BIGINT) AS mrr_ppm,
+         |  CAST($NQ - count(*) AS BIGINT) AS n_dropped
+         |FROM fr""".stripMargin
+    })
+}
