@@ -581,13 +581,16 @@ object Graphs {
     *
     * Algorithm: iterative max-id COLORING (Orzan's distributed SCC
     * family). Per peel round, over the still-unassigned subgraph:
-    *  1. forward max-propagation — `maxDiameter` synchronous rounds of
-    *     color(v) ← max(color(v), max color over in-neighbors); after
-    *     convergence color(v) = the largest id that can reach v;
+    *  1. forward max-propagation — synchronous rounds of
+    *     color(v) ← max(color(v), max color over in-neighbors) run to
+    *     a VERIFIED fixpoint (early-exit when no color changes; throws
+    *     if still changing after `maxDiameter` rounds — an unconverged
+    *     coloring would silently split an SCC); at the fixpoint
+    *     color(v) = the largest id that can reach v;
     *  2. roots are nodes with color(v) = v; each root's SCC is exactly
     *     the nodes that can reach it BACKWARD while staying inside its
-    *     color region — `maxDiameter` rounds of reversed propagation
-    *     confined to color equality;
+    *     color region — reversed propagation confined to color
+    *     equality, same verified-fixpoint discipline;
     *  3. assign those nodes, peel them off, repeat (≤ `maxRounds`).
     *
     * Every round is (edges ⨝ colors) → hash-agg max — the
@@ -623,22 +626,47 @@ object Graphs {
     var round = 0
     while (round < maxRounds && !remaining.isEmpty) {
       round += 1
-      // 1. forward max-color propagation over the remaining subgraph
+      // 1. forward max-color propagation over the remaining subgraph —
+      // TO A VERIFIED FIXPOINT. An unconverged coloring would peel a
+      // fragment of an SCC and silently split it across labels (every
+      // node still ends up assigned, so no downstream guard can catch
+      // it); each round therefore checks whether any color changed,
+      // exits early once none did, and THROWS if the coloring is still
+      // moving after `maxDiameter` rounds.
       var colors = remaining.select(col("id"), col("id").as("color"))
         .localCheckpoint()
-      for (_ <- 1 to maxDiameter) {
+      var fwdDone = false
+      var fwdIt = 0
+      while (!fwdDone) {
+        fwdIt += 1
         val pushed = rem
           .join(colors.select(col("id").as("u"), col("color")), "u")
           .select(col("v").as("id"), col("color"))
-        colors = colors.union(pushed)
+        val next = colors.union(pushed)
           .groupBy(col("id")).agg(max(col("color")).as("color"))
           .localCheckpoint()
+        fwdDone = next
+          .join(colors.withColumnRenamed("color", "prev"), "id")
+          .where(col("color") =!= col("prev")).isEmpty
+        colors = next
+        if (!fwdDone && fwdIt > maxDiameter)
+          throw new IllegalStateException(
+            s"scc: forward color propagation still changing after " +
+              s"$maxDiameter rounds — raise maxDiameter for this graph " +
+              "(an unconverged coloring would split an SCC)")
       }
-      // 2. backward confinement from the roots, inside the color region
+      // 2. backward confinement from the roots, inside the color
+      // region — same verified-fixpoint discipline (membership only
+      // grows and each id's label is fixed by its color, so fixpoint
+      // = the member count stopped moving)
       var members = colors.where(col("color") === col("id"))
         .select(col("id"), col("color").as("scc"))
         .localCheckpoint()
-      for (_ <- 1 to maxDiameter) {
+      var nMembers = members.count()
+      var bwdDone = false
+      var bwdIt = 0
+      while (!bwdDone) {
+        bwdIt += 1
         val back = rem
           .join(members.select(col("id").as("v"), col("scc")), "v")
           .select(col("u"), col("scc"))
@@ -648,6 +676,14 @@ object Graphs {
         members = members.union(back)
           .groupBy(col("id")).agg(min(col("scc")).as("scc"))
           .localCheckpoint()
+        val n = members.count()
+        bwdDone = n == nMembers
+        nMembers = n
+        if (!bwdDone && bwdIt > maxDiameter)
+          throw new IllegalStateException(
+            s"scc: backward confinement still growing after " +
+              s"$maxDiameter rounds — raise maxDiameter for this graph " +
+              "(an unconverged confinement would truncate an SCC)")
       }
       assigned =
         if (assigned == null) members

@@ -1611,21 +1611,6 @@ object TextAnalysis {
           .as("auc_ppm"))
   }
 
-  /** Two-sample Kolmogorov–Smirnov DRIFT statistic in exact integer
-    * parts-per-million — the distribution-shift monitor a pipeline
-    * runs between corpus generations (did this crawl's length/quality
-    * distribution move?):
-    *
-    *   ks_ppm = max over the merged value grid of
-    *            |cum_a·n_b − cum_b·n_a| · 10⁶ div (n_a·n_b)
-    *
-    * — cross-multiplied integer counts, no division until the final
-    * quantization, so any engine replays it bit-for-bit. `groupCol`
-    * must hold exactly two values (checked); rows group to the
-    * DISTINCT-value grid first, so the cumulative window runs over
-    * |grid| rows, never the corpus (the binaryAucPpm posture).
-    * Returns ONE row (n_a, n_b, ks_ppm) with a/b = the
-    * lexicographically smaller/larger group. */
   /** Ranked-retrieval evaluation over a batch of single-term queries:
     * MRR (mean reciprocal rank of the FIRST relevant hit) and hits@k,
     * both in exact integer arithmetic — the IR-eval leg next to
@@ -1685,6 +1670,21 @@ object TextAnalysis {
         (lit(queries.size.toLong) - col("n_queries")).as("n_dropped"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov DRIFT statistic in exact integer
+    * parts-per-million — the distribution-shift monitor a pipeline
+    * runs between corpus generations (did this crawl's length/quality
+    * distribution move?):
+    *
+    *   ks_ppm = max over the merged value grid of
+    *            |cum_a·n_b − cum_b·n_a| · 10⁶ div (n_a·n_b)
+    *
+    * — cross-multiplied integer counts, no division until the final
+    * quantization, so any engine replays it bit-for-bit. `groupCol`
+    * must hold exactly two values (checked); rows group to the
+    * DISTINCT-value grid first, so the cumulative window runs over
+    * |grid| rows, never the corpus (the binaryAucPpm posture).
+    * Returns ONE row (n_a, n_b, ks_ppm) with a/b = the
+    * lexicographically smaller/larger group. */
   def ksDriftPpm(df: DataFrame, valueCol: String,
       groupCol: String): DataFrame = {
     // the two group names ride the closure (the 2-row dval idiom)

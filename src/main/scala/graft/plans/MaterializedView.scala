@@ -29,10 +29,13 @@ import scala.collection.concurrent.TrieMap
   *   - filters referencing only dims are replayed against the MV,
   *   - `count(1)` → `sum(cnt)`, `sum(e)` → `sum(sum_e)`,
   *     `min(e)`/`max(e)` → `min/max(min_e/max_e)`,
-  *     `avg(e)` → `sum(sum_e) / sum(cnt)` (double inputs),
+  *     `avg(e)` → `sum(sum_e) / sum(__nn_e)` (double inputs; `__nn_e`
+  *     is the measure's non-null input count, so null-bearing measures
+  *     average exactly like Spark's avg),
   *   - measure matching is by SEMANTIC expression equality (attribute
-  *     references normalized by name), so quantized-decimal sums (the
-  *     dsum oracle convention) match exactly — not just bare columns,
+  *     references normalized to the base schema's column ordinals), so
+  *     quantized-decimal sums (the dsum oracle convention) match
+  *     exactly — not just bare columns,
   *   - distinct aggregates and FILTER clauses never rewrite (not
   *     derivable from a partial aggregate).
   *
@@ -69,6 +72,11 @@ object MaterializedView {
       name: String,
       basePath: String,
       dims: Seq[String],
+      // name → ordinal over the FULL base schema (sorted names) — the
+      // shared key space both registration- and query-side expression
+      // normalization bind against, so same-typed expressions over
+      // DIFFERENT base columns never normalize to equal forms
+      baseOrd: Map[String, Int],
       measures: Seq[Measure],
       mvRelation: LogicalRelation,
       // definition + storage version, kept for incremental refresh
@@ -110,6 +118,7 @@ object MaterializedView {
       baseFilter: Option[Column] = None): DataFrame = {
     require(dims.nonEmpty, "MV needs at least one dim")
     val base = spark.read.parquet(basePath)
+    val baseOrd = base.schema.fieldNames.sorted.zipWithIndex.toMap
     val snapshot = baseFilter.fold(base)(base.filter)
     val mvFrame = aggFrame(snapshot, dims, sums, mins, maxs)
     val verDir = s"$mvPath/v0"
@@ -118,9 +127,9 @@ object MaterializedView {
 
     def measuresOf(kind: String, cols: Seq[(String, Column)]): Seq[Measure] =
       cols.map { case (n, c) =>
-        Measure(n, kind, normalizeAgainst(base, c))
+        Measure(n, kind, normalizeAgainst(base, c, baseOrd))
       }
-    val entry = MvEntry(name, canonPath(basePath), dims,
+    val entry = MvEntry(name, canonPath(basePath), dims, baseOrd,
       measuresOf("sum", sums) ++ measuresOf("min", mins) ++
         measuresOf("max", maxs),
       relationOf(mv), sums, mins, maxs, mvPath, 0)
@@ -153,41 +162,58 @@ object MaterializedView {
   def refresh(spark: SparkSession, name: String, delta: DataFrame,
       batchId: Long = -1L): DataFrame = {
     val k = sessionKey(spark)
-    val entry = registry.getOrElse(k, Vector.empty).find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no MV named '$name' registered on this session"))
-    if (batchId >= 0 && batchId <= entry.lastBatchId)
-      return spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
-    val deltaAgg = aggFrame(delta, entry.dims, entry.sums, entry.mins,
-      entry.maxs)
-    val mvCur = spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
-    val mergeCols =
-      (sum(col("cnt")).as("cnt") +:
-        (entry.sums.map { case (n, _) => sum(col(n)).as(n) } ++
-          entry.mins.map { case (n, _) => min(col(n)).as(n) } ++
-          entry.maxs.map { case (n, _) => max(col(n)).as(n) })).toIndexedSeq
-    val merged = mvCur.unionByName(deltaAgg)
-      .groupBy(entry.dims.map(col): _*)
-      .agg(mergeCols.head, mergeCols.tail: _*)
-    val nextDir = s"${entry.mvDir}/v${entry.version + 1}"
-    merged.write.mode("overwrite").parquet(nextDir)
-    val mv = spark.read.parquet(nextDir)
-    val next = entry.copy(mvRelation = relationOf(mv),
-      version = entry.version + 1,
-      lastBatchId = math.max(entry.lastBatchId, batchId))
-    registry.updateWith(k) {
-      case Some(v) => Some(v.filterNot(_.name == name) :+ next)
-      case None    => Some(Vector(next))
+    // serialize the read-modify-write per (session, MV): the version
+    // read, parquet write, and registry update are one critical
+    // section, so concurrent refreshes can't double-fold a delta or
+    // race the exactly-once batchId guard
+    val lock = refreshLocks.getOrElseUpdate((k, name), new Object)
+    lock.synchronized {
+      val entry = registry.getOrElse(k, Vector.empty).find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no MV named '$name' registered on this session"))
+      if (batchId >= 0 && batchId <= entry.lastBatchId)
+        return spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
+      val deltaAgg = aggFrame(delta, entry.dims, entry.sums, entry.mins,
+        entry.maxs)
+      val mvCur = spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
+      val mergeCols =
+        (sum(col("cnt")).as("cnt") +:
+          (entry.sums.flatMap { case (n, _) =>
+            Seq(sum(col(n)).as(n),
+              sum(col(s"__nn_$n")).as(s"__nn_$n")) } ++
+            entry.mins.map { case (n, _) => min(col(n)).as(n) } ++
+            entry.maxs.map { case (n, _) => max(col(n)).as(n) })).toIndexedSeq
+      val merged = mvCur.unionByName(deltaAgg)
+        .groupBy(entry.dims.map(col): _*)
+        .agg(mergeCols.head, mergeCols.tail: _*)
+      val nextDir = s"${entry.mvDir}/v${entry.version + 1}"
+      merged.write.mode("overwrite").parquet(nextDir)
+      val mv = spark.read.parquet(nextDir)
+      val next = entry.copy(mvRelation = relationOf(mv),
+        version = entry.version + 1,
+        lastBatchId = math.max(entry.lastBatchId, batchId))
+      registry.updateWith(k) {
+        case Some(v) => Some(v.filterNot(_.name == name) :+ next)
+        case None    => Some(Vector(next))
+      }
+      mv
     }
-    mv
   }
+
+  /** Per-(session, MV) refresh locks — entries are tiny and the MV
+    * namespace is bounded by what callers register, so stale locks
+    * after [[clear]] are harmless. */
+  private val refreshLocks = TrieMap.empty[(Int, String), Object]
 
   private def aggFrame(rows: DataFrame, dims: Seq[String],
       sums: Seq[(String, Column)], mins: Seq[(String, Column)],
       maxs: Seq[(String, Column)]): DataFrame = {
     val aggCols =
       (count(lit(1)).as("cnt") +:
-        (sums.map { case (n, c) => sum(c).as(n) } ++
+        // per-sum NON-NULL count rides along so avg can divide by the
+        // count of non-null inputs (Spark's avg semantics), not cnt
+        (sums.flatMap { case (n, c) =>
+          Seq(sum(c).as(n), count(c).as(s"__nn_$n")) } ++
           mins.map { case (n, c) => min(c).as(n) } ++
           maxs.map { case (n, c) => max(c).as(n) })).toIndexedSeq
     rows.groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -232,29 +258,34 @@ object MaterializedView {
     * simplification, so the registered form must have seen the same
     * rewrites or semantically-equal expressions would never compare
     * equal (e.g. `cast(1e4 as double)` folds to `1e4`). */
-  private def normalizeAgainst(base: DataFrame, c: Column): Expression = {
+  private def normalizeAgainst(base: DataFrame, c: Column,
+      baseOrd: Map[String, Int]): Expression = {
     val resolved = base.select(c.as("__m"))
       .queryExecution.optimizedPlan.expressions.collectFirst {
         case a: Alias if a.name == "__m" => a.child
       }.getOrElse(throw new IllegalStateException(
         s"could not resolve MV measure expression: $c"))
-    normalize(resolved)
+    normalize(resolved, baseOrd).getOrElse(throw new IllegalStateException(
+      s"MV measure references a column outside the base schema: $c"))
   }
 
   /** Replace every attribute reference with a BoundReference keyed on
-    * the attribute NAME's rank among the expression's referenced names
-    * — two expressions over the same base columns then compare equal
-    * via `semanticEquals` regardless of which scan instance resolved
-    * them (exprIds differ per read). */
-  private def normalize(e: Expression): Expression = {
-    val names = e.collect {
-      case a: AttributeReference => a.name
-    }.distinct.sorted
-    val ord = names.zipWithIndex.toMap
-    e.transformUp {
+    * the attribute NAME's ordinal in the FULL base schema (`ord`) —
+    * two expressions then compare equal via `semanticEquals` exactly
+    * when they are the same computation over the same base COLUMNS,
+    * regardless of which scan instance resolved them (exprIds differ
+    * per read). Keying on the full schema, not the expression's own
+    * referenced-name rank, is what keeps `sum(a)` and `sum(b)` over
+    * different same-typed columns DISTINCT. None if the expression
+    * references a name outside the base schema (no match possible). */
+  private def normalize(e: Expression,
+      ord: Map[String, Int]): Option[Expression] = {
+    val names = e.collect { case a: AttributeReference => a.name }
+    if (!names.forall(ord.contains)) None
+    else Some(e.transformUp {
       case a: AttributeReference =>
         BoundReference(ord(a.name), a.dataType, nullable = true)
-    }
+    })
   }
 
   /** The rewrite rule. Holds only the session key — entries are looked
@@ -368,11 +399,13 @@ object MaterializedView {
     private def derive(ae: AggregateExpression, e: MvEntry,
         mvAttr: Map[String, Attribute]): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      def measure(kind: String, child: Expression): Option[Attribute] = {
-        val n = normalize(child)
-        e.measures.find(m => m.kind == kind && m.baseExpr.semanticEquals(n))
-          .map(m => mvAttr(m.mvCol))
-      }
+      def findMeasure(kind: String, child: Expression): Option[Measure] =
+        normalize(child, e.baseOrd).flatMap { n =>
+          e.measures.find(m =>
+            m.kind == kind && m.baseExpr.semanticEquals(n))
+        }
+      def measure(kind: String, child: Expression): Option[Attribute] =
+        findMeasure(kind, child).map(m => mvAttr(m.mvCol))
       ae.aggregateFunction match {
         case c: Count if c.children == Seq(Literal(1)) =>
           // coalesce: a GLOBAL count over an empty base must stay 0,
@@ -387,11 +420,16 @@ object MaterializedView {
         case m: Max =>
           measure("max", m.child).map(a => Max(a).toAggregateExpression())
         case av: Average if av.child.dataType == DoubleType =>
-          measure("sum", av.child).map { a =>
-            val sumV = Cast(Sum(a).toAggregateExpression(), DoubleType)
-            val cntV = Cast(Sum(mvAttr("cnt")).toAggregateExpression(),
-              DoubleType)
-            org.apache.spark.sql.catalyst.expressions.Divide(sumV, cntV)
+          // divide by the measure's NON-NULL count (`__nn_*`), not the
+          // base row count — Spark's avg ignores null inputs, and the
+          // two differ exactly when the measure expression has nulls
+          findMeasure("sum", av.child).flatMap { m =>
+            mvAttr.get(s"__nn_${m.mvCol}").map { nn =>
+              val sumV = Cast(Sum(mvAttr(m.mvCol)).toAggregateExpression(),
+                DoubleType)
+              val cntV = Cast(Sum(nn).toAggregateExpression(), DoubleType)
+              org.apache.spark.sql.catalyst.expressions.Divide(sumV, cntV)
+            }
           }
         case _ => None
       }

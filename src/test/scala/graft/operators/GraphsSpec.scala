@@ -233,4 +233,21 @@ class GraphsSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
       9L -> 9L)
   }
+
+  test("scc THROWS on an under-budgeted maxDiameter instead of splitting an SCC") {
+    import spark.implicits._
+    // a 10-cycle needs 9 propagation rounds for the max id to reach
+    // every node; maxDiameter=5 must throw, never return a partition
+    // that silently splits the cycle across labels
+    val cycle = (0 until 10).map(i => (i.toLong, ((i + 1) % 10).toLong))
+      .toDF("s", "d")
+    val ex = intercept[IllegalStateException] {
+      Graphs.scc(cycle, "s", "d", maxDiameter = 5, maxRounds = 8).collect()
+    }
+    ex.getMessage should include("still changing")
+    // with an adequate budget the same cycle is ONE component
+    val ok = Graphs.scc(cycle, "s", "d", maxDiameter = 12, maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ok shouldBe (0 until 10).map(i => i.toLong -> 0L).toMap
+  }
 }

@@ -195,4 +195,62 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers
       .agg(count(lit(1)).as("n"))
     scansMv(q) shouldBe false
   }
+
+  test("same-shaped measures over DIFFERENT columns map to their own MV columns") {
+    mv.count()
+    // two sums with IDENTICAL expression shape and type over different
+    // base columns — a name-blind normalization would conflate them
+    // and answer sum(price) with the quantity column
+    MaterializedView.materialize(spark, "mvspec_twocol", basePath,
+      dims = Seq("l_returnflag"),
+      sums = Seq("s_qty" -> qdec(col("l_quantity")),
+        "s_price" -> qdec(col("l_extendedprice"))),
+      mvPath = graft.queries.Scratch.dir("mvspec_twocol", sfDir) + "/lineitem_mv")
+    def report = lineitem.groupBy(col("l_returnflag"))
+      .agg(sum(qdec(col("l_quantity"))).cast("double").as("sq"),
+        sum(qdec(col("l_extendedprice"))).cast("double").as("sp"))
+    scansMv(report) shouldBe true
+    val got = report.collect().map(_.toString).toSeq.sorted
+    val want = MaterializedView.withoutRewrite(spark) {
+      report.collect().map(_.toString).toSeq.sorted
+    }
+    got shouldBe want
+    // an UNREGISTERED same-shaped expression over a third column must
+    // not rewrite (it would previously semantic-match a registered one)
+    val q3 = lineitem.groupBy(col("l_returnflag"))
+      .agg(sum(qdec(col("l_discount"))).cast("double").as("sd"))
+    scansMv(q3) shouldBe false
+  }
+
+  test("avg over a null-bearing measure divides by the non-null count") {
+    mv.count()
+    val nullBase = graft.queries.Scratch.dir("mvspec_nulls", sfDir) + "/base"
+    lineitem.select(col("l_returnflag"),
+        when(pmod(col("l_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(qdec(col("l_quantity")).cast("double")).as("qn"))
+      .write.mode("overwrite").parquet(nullBase)
+    MaterializedView.materialize(spark, "mvspec_nulls", nullBase,
+      dims = Seq("l_returnflag"),
+      sums = Seq("s_qn" -> col("qn")),
+      mvPath = graft.queries.Scratch.dir("mvspec_nulls", sfDir) + "/mv")
+    val q = spark.read.parquet(nullBase).groupBy(col("l_returnflag"))
+      .agg(avg(col("qn")).as("a"))
+    val paths = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    paths.exists(_.contains("mvspec_nulls/mv")) shouldBe true
+    val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = MaterializedView.withoutRewrite(spark) {
+      spark.read.parquet(nullBase).groupBy(col("l_returnflag"))
+        .agg(avg(col("qn")).as("a")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v shouldBe want(k) +- 1e-9 }
+  }
 }
