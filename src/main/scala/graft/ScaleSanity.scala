@@ -412,6 +412,28 @@ object ScaleSanity {
             sampleFraction = math.min(1.0, 20000.0 / ne), seed = 42L)
           runFully(graft.operators.Similarity.semanticDedup(emb, "vec_id",
             "embedding", cents, 0.35))
+        } else if (name == "scc_debruijn_scaled") {
+          // q271's digraph grown by `mult` DISJOINT copies (the r9
+          // order–supplier graph convention): each copy is the 514-node
+          // two-block de Bruijn structure shifted by rep·1024, so the
+          // SCC count grows ×mult while the diameter — and therefore
+          // the round ladder — stays CONSTANT. The scale model is
+          // rounds×|E|: every peel's propagation joins grow linearly
+          // in |E|, and roots in all copies peel in the same rounds.
+          val B = 256L
+          val reps = spark.range(mult).select((col("id") * 1024L).as("off"))
+          val u = spark.range(B).select(col("id").as("u")).crossJoin(reps)
+          def deBruijn(base: Long) =
+            u.select((col("u") + base + col("off")).as("s"),
+                (pmod(col("u") * 2, lit(B)) + base + col("off")).as("d"))
+              .union(u.select((col("u") + base + col("off")).as("s"),
+                (pmod(col("u") * 2 + 1, lit(B)) + base + col("off")).as("d")))
+          val extras = reps.select(col("off").as("s"), (col("off") + B).as("d"))
+            .union(reps.select(col("off").as("s"), (col("off") + 600L).as("d")))
+          val edges = deBruijn(0).union(deBruijn(B)).union(extras)
+          runFully(graft.operators.Graphs.scc(edges, "s", "d",
+              maxDiameter = 20, maxRounds = 4)
+            .groupBy(col("scc")).agg(count(lit(1)).as("n")))
         } else runFully(SparkEntry.queries(name)(spark, workDir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$name","mult":$mult,"sec":$sec%.1f,"rows":$rows}""")

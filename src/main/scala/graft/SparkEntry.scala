@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.Wave67.queries ++ graft.queries.Wave68.queries ++
       graft.queries.Wave69.queries ++ graft.queries.Wave70.queries ++
       graft.queries.Wave71.queries ++ graft.queries.Wave72.queries ++
-      graft.queries.Wave73.queries ++ graft.queries.Wave74.queries
+      graft.queries.Wave73.queries ++ graft.queries.Wave74.queries ++
+      graft.queries.Wave75.queries ++ graft.queries.Wave76.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -93,5 +94,6 @@ object SparkEntry {
       graft.queries.Wave67.oracleSql ++ graft.queries.Wave68.oracleSql ++
       graft.queries.Wave69.oracleSql ++ graft.queries.Wave70.oracleSql ++
       graft.queries.Wave71.oracleSql ++ graft.queries.Wave72.oracleSql ++
-      graft.queries.Wave73.oracleSql ++ graft.queries.Wave74.oracleSql
+      graft.queries.Wave73.oracleSql ++ graft.queries.Wave74.oracleSql ++
+      graft.queries.Wave75.oracleSql ++ graft.queries.Wave76.oracleSql
 }

@@ -596,12 +596,22 @@ object Graphs {
     * Every round is (edges ⨝ colors) → hash-agg max — the
     * [[pageRankInt]] shape: map-side-combinable, no windows, frames
     * localCheckpoint-ed per round so plans stay round-bounded. Work
-    * per peel is |remaining edges| · maxDiameter; peels remove at
-    * least every current color-root's component, so bounded-diameter
-    * graphs with few SCC "layers" (the crawl shape) finish in a few
-    * peels. The bounds are the CALLER'S CONTRACT (like bfsHops's
-    * `rounds`): if the graph exceeds them the loop throws rather than
-    * returning a silently-partial labeling.
+    * per peel is |remaining edges| · (true propagation distance + 1 —
+    * the fixpoint check early-exits, maxDiameter is only the budget);
+    * peels remove at least every current color-root's component, so
+    * bounded-diameter graphs with few SCC "layers" (the crawl shape)
+    * finish in a few peels. The bounds are the CALLER'S CONTRACT (like
+    * bfsHops's `rounds`): if the graph exceeds them the loop throws
+    * rather than returning a silently-partial labeling.
+    *
+    * Scale model (ScaleSanity `scc_debruijn_scaled`): cost is
+    * rounds×|E|, and growing the graph by disjoint copies leaves the
+    * ROUND count flat (roots in every copy peel concurrently) — 10×
+    * the edges measured 1.6× the time, the per-round session floor
+    * dominating. If a real graph's DIAMETER (not size) is what grows,
+    * the scale path is forward-backward trim (pick one pivot, compute
+    * fwd/bwd reachability once, recurse on the three remainders) —
+    * fewer, deeper passes instead of this peel ladder.
     *
     * Output: (id, scc) with scc = the component's MINIMUM member id
     * (the house canonical label, [[Dedup.components]]' convention). */

@@ -232,6 +232,82 @@ object Multimodal {
     b.array()
   }
 
+  /** Perceptual difference-hash of one image: (asset id, dims, dhash).
+    * All-Long so both engines' column types line up. */
+  case class ImageDHash(asset_id: Long, width: Long, height: Long,
+                        dhash: Long)
+
+  /** dHash over a decoded BMP raster — the PERCEPTUAL near-dup
+    * primitive for the multimodal tier (q112's byte-gram sketch catches
+    * byte-level copies; dHash catches re-encoded/resized copies whose
+    * BYTES differ but whose picture doesn't): pool the luma raster onto
+    * a `grid`×`grid` block grid, then one bit per horizontally-adjacent
+    * cell pair — set iff the left cell's mean luma exceeds the right's.
+    * Means are compared by EXACT integer cross-multiply
+    * (sumA·cntB > sumB·cntA — block sizes differ when dims don't divide
+    * the grid, so raw sums are incomparable and float means would be
+    * engine-ambiguous); an out-of-raster (empty) cell compares as 0.
+    * Hash width = grid·(grid−1) bits ≤ 56 — always positive in a Long,
+    * so DuckDB replays it bit-for-bit from planted pixels.
+    *
+    * Scale: per-row decode + one O(pixels) pass, no shuffle — the
+    * embarrassingly-parallel codec posture; grouping on the hash is a
+    * plain hash aggregate. */
+  def dHashBmp(a: Asset, grid: Int = 8): ImageDHash = {
+    require(grid >= 2 && grid <= 8, s"grid in [2,8]: $grid")
+    val d = a.data
+    require(d.length >= 54 && d(0) == 'B'.toByte && d(1) == 'M'.toByte,
+      s"BMP asset ${a.asset_id}: not a BMP")
+    def le32(o: Int): Int =
+      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+        ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    val off = le32(10)
+    val width = le32(18)
+    val hRaw = le32(22)
+    require(width > 0 && hRaw != 0,
+      s"BMP asset ${a.asset_id}: bad dimensions ${width}x$hRaw")
+    val height = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val sums = Array.ofDim[Long](grid, grid)
+    val cnts = Array.ofDim[Long](grid, grid)
+    var py = 0
+    while (py < height) {
+      val srcRow = if (bottomUp) height - 1 - py else py
+      val rowOff = off + srcRow * rowSize
+      val cy = py * grid / height
+      var px = 0
+      while (px < width) {
+        val o = rowOff + px * 3
+        val luma = (d(o) & 0xff) + (d(o + 1) & 0xff) + (d(o + 2) & 0xff)
+        val cx = px * grid / width
+        sums(cy)(cx) += luma
+        cnts(cy)(cx) += 1
+        px += 1
+      }
+      py += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < grid) {
+      var cx = 0
+      while (cx < grid - 1) {
+        if (sums(cy)(cx) * cnts(cy)(cx + 1) >
+            sums(cy)(cx + 1) * cnts(cy)(cx))
+          hash |= 1L << (cy * (grid - 1) + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    ImageDHash(a.asset_id, width.toLong, height.toLong, hash)
+  }
+
+  /** Distributed dHash: the per-row typed kernel over an asset set. */
+  def dHashImages(assets: Dataset[Asset], grid: Int = 8): Dataset[ImageDHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a => dHashBmp(a, grid)))
+  }
+
   /** Decoded audio metadata: the audio twin of [[AssetFeatures]].
     * `duration_us` is exact integer floor arithmetic
     * (n_frames * 1e6 DIV sample_rate) so oracles replay it bit-for-bit. */

@@ -250,6 +250,78 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("id"))).cast("long"))
   }
 
+  /** Passage-level (CHUNKED) BM25 retrieval — the indexing shape a
+    * retrieval-augmented pipeline runs over a corpus: each document is
+    * cut into token windows of `chunkTokens` at `stride` offsets
+    * (overlapping when stride < chunkTokens), every chunk is scored
+    * against the term bag with [[bm25TopK]]'s exact arithmetic
+    * (rational idf over CHUNK document-frequency, chunk length as dl,
+    * per-term scores floor-quantized to 1e-9 and summed as exact
+    * decimals), and each document answers with its BEST chunk — so a
+    * long document with one relevant passage ranks by the passage, not
+    * diluted by its full length (the reason RAG indexes chunk).
+    *
+    * Output: (id, best_off, score, rank) for the `k` best documents;
+    * `best_off` is the winning chunk's 0-based token offset (ties →
+    * smallest offset; document ties → smallest id).
+    *
+    * Scale: the chunk explode is Σ ceil(dl/stride) rows (linear in
+    * corpus tokens), stats are ONE aggregate (the dval idiom), scoring
+    * is a codegen projection, the per-doc argmax is a map-side-
+    * combinable max_by, and the final rank is a bounded top-k
+    * (TakeOrdered) — no corpus-wide window anywhere. */
+  def chunkedBm25TopK(docs: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int, stride: Int, terms: Seq[String],
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    require(terms.nonEmpty, "need at least one query term")
+    val base = docs.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("toks"),
+      T.tokenCount(col(textCol)).as("dl"))
+      .filter(col("dl") > 0)
+    val chunks = base
+      .select(col("id"),
+        explode(sequence(lit(0L), col("dl") - 1, lit(stride.toLong)))
+          .as("off"), col("toks"))
+      .select(col("id"), col("off"),
+        slice(col("toks"), (col("off") + 1).cast("int"),
+          lit(chunkTokens)).as("ctoks"))
+      .withColumn("cdl", size(col("ctoks")).cast("long"))
+      .cache()
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("ctoks"), t), 1L).otherwise(0L))
+        .as(s"df$i")
+    }
+    val statsRow = chunks
+      .agg(count(lit(1)).as("n"), (sum(col("cdl")).as("dlsum") +: dfCols): _*)
+      .collect()(0)
+    val nChunks = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getLong(1).toDouble / nChunks
+    val dfs = terms.indices.map(i => statsRow.getLong(i + 2).toDouble)
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      val tf = (size(col("ctoks")) - size(array_remove(col("ctoks"), t)))
+        .cast("double")
+      val idf = (nChunks - dfs(i) + 0.5) / (dfs(i) + 0.5)
+      val s = lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("cdl").cast("double") / lit(avgdl)))
+      floor(s * lit(1e9)).cast("decimal(38,0)")
+    }
+    val total = termScores.reduce(_ + _).cast("double") / lit(1e9)
+    // per-doc argmax: best score, ties to the SMALLEST offset — the
+    // struct order (score, -off) makes the argmax total
+    val best = chunks.select(col("id"), col("off"), total.as("score"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("score"), (-col("off")).as("noff"))).as("m"))
+      .select(col("id"), (-col("m.noff")).as("best_off"),
+        col("m.score").as("score"))
+    best.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+  }
+
   /** Passage-level exact substring dedup (the span-output flavor of Lee
     * et al. 2022, arXiv:2107.06499): for each document, the merged token
     * spans covered by at least one word `n`-gram that also occurs in

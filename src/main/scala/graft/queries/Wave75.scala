@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.MaterializedView
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 75 — round 14, part one: the round-13 verdict's streaming /
+  * warehouse hardening items, each with a DuckDB certificate.
+  *
+  *  - q276 EXACTLY-ONCE multi-batch MV maintenance: the foreachBatch
+  *    fold ([[graft.streaming.Streams.maintainMv]]) reduced to its
+  *    batch twin — materialize from a quarter snapshot of orders, fold
+  *    three delta batches via [[MaterializedView.refresh]] with their
+  *    foreachBatch-style batchIds, REPLAY one id (Structured
+  *    Streaming's redelivery-after-failure contract), and only then
+  *    serve the report through the rewrite. A broken merge law, a
+  *    dropped delta, or a double-folded replay all hash-mismatch
+  *    against the full-table oracle. Wave66StreamsSpec holds the LIVE
+  *    foreachBatch loop ≡ this fold; this row gives the fold the
+  *    driver's DuckDB certificate (the q173/q174 convention).
+  *  - q277 per-entity state-change log: the relational twin of
+  *    [[graft.streaming.Streams.crawlDiffTtl]] — the processor whose
+  *    per-key fingerprint state is registered with a NATIVE
+  *    `TTLConfig` (the r13 verdict's open item: the built-in
+  *    state-store expiry that bounds RocksDB for keys that never
+  *    return, as opposed to hand-rolled timers). With TTL ≫ the replay
+  *    horizon the streamed output is exactly [[Streams
+  *    .crawlDiffBatch]] — Wave75StreamsSpec pins that parity across
+  *    micro-batch splits, expiry-reads-as-`new` under a tiny TTL, and
+  *    state survival across a checkpoint restart. The log here is a
+  *    DIFFERENT instance from q242's crawl log: each user's
+  *    event-type stream, diffed per sighting (did this entity's
+  *    behavior state change?).
+  *  - q278 MV rewrite under HAVING: a Filter ABOVE the aggregate
+  *    (post-aggregate predicate — TPC-H Q18's inner shape, q204's
+  *    blocker) must not stop the rewrite. The in-plan assertion
+  *    REQUIRES the optimized plan to scan the MV; the oracle replays
+  *    the HAVING report from the base table.
+  *
+  * Scale notes (100 TB): q276 is the maintenance law that keeps a
+  * summary serviceable — per-batch cost |delta| + |grain|, and the
+  * idempotent batchId makes crash-replay safe without a transaction
+  * log. q277's streamed form holds ONE string per live entity and
+  * lets the store itself expire the quiet ones. q278 is the rewrite
+  * shape reports actually use (threshold reports are HAVING-shaped
+  * almost by definition).
+  */
+object Wave75 {
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  /** q278's HAVING threshold — q204's BigOrderQty convention. */
+  private val HavingQty = 250.0
+
+  private def scansOnly(df: DataFrame, marker: String): Boolean = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    paths.nonEmpty && paths.forall(_.contains(marker))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q276_mv_stream_fold" -> { (s, d) =>
+      val basePath = s"$d/orders.parquet"
+      MaterializedView.materialize(s, "q276_orders", basePath,
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_total" -> qdec(col("o_totalprice"))),
+        mvPath = Scratch.dir("q276", d) + "/orders_mv",
+        baseFilter = Some(pmod(col("o_orderkey"), lit(4)) === 0))
+      val orders = s.read.parquet(basePath)
+      def delta(i: Int) =
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+      MaterializedView.refresh(s, "q276_orders", delta(1), batchId = 0L)
+      MaterializedView.refresh(s, "q276_orders", delta(2), batchId = 1L)
+      // foreachBatch redelivery: a replayed id must be a NO-OP — a
+      // double fold would double batch 1's sums and hash-mismatch
+      MaterializedView.refresh(s, "q276_orders", delta(2), batchId = 1L)
+      MaterializedView.refresh(s, "q276_orders", delta(3), batchId = 2L)
+      val report = orders.groupBy(col("o_orderstatus"))
+        .agg(sum(qdec(col("o_totalprice"))).cast("double").as("sum_total"),
+          count(lit(1)).as("n"))
+      if (!scansOnly(report, "orders_mv"))
+        throw new IllegalStateException(
+          "q276: MV rewrite did not fire; plan still scans the fact table")
+      val out = graft.io.Sinks.parquet(report, Scratch.dir("q276_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("o_orderstatus"))
+    },
+
+    // The TTL'd crawl-diff's relational twin on a fresh instance: each
+    // user's event-type stream as an observation log, one lag window
+    // per entity partition.
+    "q277_state_change_log" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val obs = Tables.events(s, d).select(
+        concat(lit("u"), col("user_id").cast("string")).as("url"),
+        row_number().over(w).cast("long").as("seq"),
+        col("event_type").as("fp"))
+      Streams.crawlDiffBatch(obs).orderBy(col("url"), col("seq"))
+    },
+
+    "q278_mv_having" -> { (s, d) =>
+      val basePath = s"$d/lineitem.parquet"
+      MaterializedView.materialize(s, "q278_lineitem", basePath,
+        dims = Seq("l_orderkey"),
+        sums = Seq("sum_qty" -> qdec(col("l_quantity"))),
+        mvPath = Scratch.dir("q278", d) + "/lineitem_mv")
+      val report = s.read.parquet(basePath)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(qdec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > HavingQty) // the HAVING shape
+      if (!scansOnly(report, "lineitem_mv"))
+        throw new IllegalStateException(
+          "q278: MV rewrite did not fire under HAVING; plan still " +
+            "scans the fact table")
+      val out = graft.io.Sinks.parquet(report, Scratch.dir("q278_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("l_orderkey"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q276_mv_stream_fold" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e4) / 1e4 AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sum_total,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q277_state_change_log" ->
+      """WITH obs AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq,
+        |    event_type AS fp
+        |  FROM events)
+        |SELECT url, seq,
+        |  CASE WHEN lag(fp) OVER w IS NULL THEN 'new'
+        |       WHEN lag(fp) OVER w <> fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM obs WINDOW w AS (PARTITION BY url ORDER BY seq)
+        |ORDER BY url, seq""".stripMargin,
+
+    "q278_mv_having" ->
+      s"""SELECT l_orderkey,
+         |  CAST(sum(CAST(floor(l_quantity * 1e4) / 1e4 AS DECIMAL(38,4)))
+         |    AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY 1
+         |HAVING CAST(sum(CAST(floor(l_quantity * 1e4) / 1e4 AS DECIMAL(38,4)))
+         |    AS DOUBLE) > $HavingQty
+         |ORDER BY l_orderkey""".stripMargin)
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 76 — round 14, part two: two retrieval-and-curation operators
+  * a training-data pipeline runs that were still missing from the
+  * certified surface.
+  *
+  *  - q279 CHUNKED BM25 retrieval ([[TextAnalysis.chunkedBm25TopK]]):
+  *    the RAG indexing shape — documents cut into overlapping token
+  *    windows (24 tokens, stride 12), each chunk scored with the
+  *    oracle-proven q71 arithmetic (rational idf over CHUNK df, exact
+  *    1e-9 decimal quantization), each document ranked by its BEST
+  *    passage. Long documents with one relevant passage rank by the
+  *    passage, not diluted by length — the reason retrieval indexes
+  *    chunk. The oracle replays chunking (list slices over the
+  *    tokenizer twin), stats, scoring, and both argmax/rank orders
+  *    bit-for-bit.
+  *  - q280 perceptual image dHash ([[Multimodal.dHashBmp]]): the
+  *    multimodal tier's NEAR-dup primitive — q112 catches byte-level
+  *    copies; dHash pools the decoded luma raster onto a block grid
+  *    and fingerprints the horizontal gradient signs, so re-encoded
+  *    copies with different bytes but the same picture collide. Means
+  *    compare by exact integer cross-multiply (blocks differ in size
+  *    when dims don't divide the grid), so the DuckDB oracle replays
+  *    the planted BMP pixel stream arithmetically — decode, pooling,
+  *    gradient bits, and the min-id group label all certified.
+  *    grid=4 here because the fixture rasters go down to 5 px tall;
+  *    every grid cell is then non-empty on every asset.
+  *
+  * Scale notes (100 TB): q279 is linear in corpus tokens (chunk
+  * explode at stride granularity), stats are one aggregate, scoring is
+  * codegen, the argmax is map-side-combinable, and the rank is a
+  * bounded TakeOrdered. q280 is a per-row decode kernel (no shuffle)
+  * plus a hash-keyed group label — both embarrassingly parallel.
+  */
+object Wave76 {
+
+  private val ChunkTokens = 24
+  private val ChunkStride = 12
+  private val ChunkTerms = Seq("dup", "join", "sort") // q71's mixed-df bag
+  private val ChunkK = 20
+  private val ChunkK1 = 1.2
+  private val ChunkB = 0.75
+  private val DGrid = 4
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q279_chunk_retrieval" -> { (s, d) =>
+      TextAnalysis.chunkedBm25TopK(Tables.documents(s, d), "doc_id", "text",
+        ChunkTokens, ChunkStride, ChunkTerms, ChunkK, ChunkK1, ChunkB)
+        .orderBy(col("rank"))
+    },
+
+    // Plant real BMPs (the q126 dims convention), dHash each, label
+    // perceptual-dup groups by min asset id per hash.
+    "q280_image_dhash" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.Asset(id, "bmp", Multimodal.syntheticBmp(
+            8 + (id % 9).toInt, 5 + (nChars % 7).toInt, id))
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dhash"))
+      Multimodal.dHashImages(assets, DGrid).toDF()
+        .withColumn("gid", min(col("asset_id")).over(w))
+        .orderBy(col("asset_id"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q279_chunk_retrieval" -> {
+      val k1p1 = ChunkK1 + 1.0
+      val oneMb = 1.0 - ChunkB
+      val dfExprs = ChunkTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(ctoks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(",\n    ")
+      val termSum = ChunkTerms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(ctoks, x -> x = '$t')) AS DOUBLE)"
+        val idf = s"(n_chunks - df$i + 0.5) / (df$i + 0.5)"
+        s"""CAST(floor($idf * ($tf * $k1p1) /
+           |      ($tf + $ChunkK1 * ($oneMb + $ChunkB * CAST(cdl AS DOUBLE) / avgdl)) * 1e9) AS HUGEINT)""".stripMargin
+      }.mkString("\n    + ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, $SqlToks AS toks,
+         |    CAST(len($SqlToks) AS BIGINT) AS dl
+         |  FROM documents),
+         |nz AS (SELECT * FROM base WHERE dl > 0),
+         |chunks AS (
+         |  SELECT id, CAST(u.off AS BIGINT) AS off,
+         |    toks[CAST(u.off + 1 AS INT):CAST(u.off + $ChunkTokens AS INT)] AS ctoks
+         |  FROM nz, unnest(range(0, dl, $ChunkStride)) AS u(off)),
+         |c2 AS (
+         |  SELECT id, off, ctoks, CAST(len(ctoks) AS BIGINT) AS cdl
+         |  FROM chunks),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_chunks,
+         |    CAST(sum(cdl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfExprs
+         |  FROM c2),
+         |scored AS (
+         |  SELECT id, off, CAST($termSum AS DOUBLE) / 1e9 AS score
+         |  FROM c2, stats),
+         |best AS (
+         |  SELECT id, off AS best_off, score FROM (
+         |    SELECT id, off, score, row_number() OVER (
+         |      PARTITION BY id ORDER BY score DESC, off) AS rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT id, best_off, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+         |FROM best ORDER BY score DESC, id LIMIT $ChunkK""".stripMargin
+    },
+
+    // Replays the planted (seed+i) mod 256 pixel stream through the
+    // bottom-up padded-row BMP layout, the grid pooling, and the
+    // cross-multiplied gradient bits — a wrong unfilter orientation,
+    // pooling boundary, or comparison direction all hash-mismatch.
+    "q280_image_dhash" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + n_chars % 7 AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, w, h, ((w * 3 + 3) // 4) * 4 AS rs,
+         |    CAST(ux.x AS BIGINT) AS x, CAST(uy.y AS BIGINT) AS y
+         |  FROM p, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)),
+         |lum AS (
+         |  SELECT doc_id, x * $DGrid // w AS cx, y * $DGrid // h AS cy,
+         |    (doc_id + (h - 1 - y) * rs + x * 3) % 256
+         |    + (doc_id + (h - 1 - y) * rs + x * 3 + 1) % 256
+         |    + (doc_id + (h - 1 - y) * rs + x * 3 + 2) % 256 AS l
+         |  FROM px),
+         |cells AS (
+         |  SELECT doc_id, cy, cx, sum(l) AS s, count(*) AS n
+         |  FROM lum GROUP BY 1, 2, 3),
+         |hashes AS (
+         |  SELECT a.doc_id,
+         |    CAST(sum(CASE WHEN a.s * b.n > b.s * a.n
+         |      THEN CAST(1 AS BIGINT) << CAST(a.cy * ${DGrid - 1} + a.cx AS INT)
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         |  GROUP BY 1)
+         |SELECT p.doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+         |  CAST(h AS BIGINT) AS height, hashes.dhash,
+         |  min(p.doc_id) OVER (PARTITION BY hashes.dhash) AS gid
+         |FROM p JOIN hashes USING (doc_id)
+         |ORDER BY asset_id""".stripMargin)
+}

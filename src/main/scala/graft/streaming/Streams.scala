@@ -601,6 +601,61 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** [[CrawlDiffProcessor]] with NATIVE state TTL: the per-URL
+    * fingerprint is registered with a real `TTLConfig(ttl)` instead of
+    * `TTLConfig.NONE`, so the state store itself expires entries that
+    * haven't been written for `ttl` of processing time — the built-in
+    * mechanism that bounds RocksDB on a 100 TB stream for keys that
+    * simply never return (timers, by contrast, only cover keys the
+    * processor explicitly armed; see [[SessionQuotaProcessor]]).
+    *
+    * Semantics under expiry are the crawler's natural degradation: a
+    * URL whose state lapsed reads as `new` on its next sighting — a
+    * re-discovery, never a wrong `changed`/`unchanged`. With
+    * `ttl` ≫ the replay horizon the output is exactly
+    * [[crawlDiffBatch]] (Wave75StreamsSpec pins that parity across
+    * micro-batch splits, the expiry-reads-as-new behavior under a tiny
+    * TTL, and state survival across a checkpoint restart within TTL). */
+  class CrawlDiffTtlProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CrawlSeen, CrawlStatus] {
+    @transient private var last:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[String]("last_fp",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[CrawlSeen],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CrawlStatus] = {
+      var prev = if (last.exists()) last.get() else null
+      val out = rows.toSeq.sortBy(_.seq).map { r =>
+        val status =
+          if (prev == null) "new"
+          else if (prev != r.fp) "changed"
+          else "unchanged"
+        if (prev != r.fp) { last.update(r.fp); prev = r.fp }
+        CrawlStatus(key, r.seq, status)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming side of the TTL'd diff. State TTL requires
+    * processing-time semantics, so the query runs in
+    * `TimeMode.ProcessingTime()` (RocksDB state store mandated, as for
+    * all `transformWithState` operators). */
+  def crawlDiffTtl(obs: Dataset[CrawlSeen],
+      ttl: java.time.Duration): Dataset[CrawlStatus] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.url)
+      .transformWithState(new CrawlDiffTtlProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   /** Batch twin over a full observation log: status vs the PREVIOUS
     * distinct fingerprint in `seq` order — one lag window per URL
     * partition; this is the oracle-certified side (q242). */

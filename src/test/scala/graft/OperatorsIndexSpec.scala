@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** OPERATORS.md is the library-surface index (SURVEY §2 id → file →
+  * certifying query). A stale index re-creates the problem it exists
+  * to solve, so this spec holds it to the code: every file it names
+  * must exist and every `qNN` certificate must resolve to a declared
+  * query — the VerifySpec no-silent-downgrade convention. */
+class OperatorsIndexSpec extends AnyFunSuite with Matchers {
+
+  private val text = scala.io.Source.fromFile("OPERATORS.md", "UTF-8").mkString
+
+  test("every file named in OPERATORS.md exists") {
+    val files = "(?:io|operators|plans|queries|streaming)/[A-Za-z0-9]+\\.scala|Engine\\.scala".r
+      .findAllIn(text).toSet
+    files should not be empty
+    val missing = files.filterNot(f =>
+      new java.io.File(s"src/main/scala/graft/$f").exists())
+    missing shouldBe empty
+  }
+
+  test("every qNN certificate in OPERATORS.md resolves to a declared query") {
+    val cited = "\\bq\\d+\\b".r.findAllIn(text).toSet
+    cited should not be empty
+    val declared = SparkEntry.queries.keySet.map(_.split("_")(0))
+    val unresolved = cited.filterNot(declared.contains)
+    unresolved shouldBe empty
+  }
+
+  test("every graded SURVEY §2 id appears in the index") {
+    val wanted =
+      (1 to 18).filter(_ != 7).map(i => s"S$i") ++ // S7 excluded by SURVEY §2.1
+        (1 to 9).map(i => s"P$i") ++ (1 to 4).map(i => s"J$i") ++
+        (1 to 10).map(i => s"A$i") ++ (1 to 5).map(i => s"O$i") ++
+        (1 to 2).map(i => s"U$i") ++ (1 to 8).map(i => s"F$i") ++
+        Seq("§2.7", "§2.8", "§2.10a", "§2.10b", "§2.10c", "§2.10d")
+    val missing = wanted.filterNot(id => text.contains(s"| $id |"))
+    missing shouldBe empty
+  }
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.SparkFixture
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 76 operator contracts:
+  *  - chunkedBm25TopK degenerates to bm25TopK when every document is
+  *    ONE chunk (chunkTokens/stride ≥ every dl) — same stats, same
+  *    arithmetic, same ranks — and picks the passage-bearing offset
+  *    when relevance is buried deep in a long document;
+  *  - dHashBmp matches a hand-computed gradient hash and groups
+  *    identical rasters. */
+class Wave76Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("chunkedBm25TopK with whole-doc chunks == bm25TopK exactly") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(200).cache()
+    val big = 100000 // ≥ any dl in the fixture
+    val terms = Seq("dup", "join")
+    val chunked = TextAnalysis.chunkedBm25TopK(docs, "doc_id", "text",
+      big, big, terms, k = 15)
+      .select(col("id"), col("score"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val plain = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    chunked shouldBe plain
+  }
+
+  test("chunkedBm25TopK ranks by the BEST PASSAGE, not the diluted whole doc") {
+    import spark.implicits._
+    // doc 1: the term buried at the end of a long document; doc 2: no
+    // term. Whole-doc BM25 would dilute doc 1 by its length; chunked
+    // retrieval must surface it with the passage's offset.
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler target here"),
+      (2L, filler)).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkedBm25TopK(docs, "doc_id", "text",
+      chunkTokens = 8, stride = 4, terms = Seq("target"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    got.head._1 shouldBe 1L      // the passage-bearing doc wins
+    // best_off = the SHORTEST window holding 'target' (offset 40 covers
+    // tokens 41-42: tf=1 over cdl=2 beats tf=1 over cdl=8 by length norm)
+    got.head._2 shouldBe 40L
+    got.head._3 shouldBe 1L
+    // doc 2 scores 0 for 'target' but still ranks (score 0)
+    got.map(_._1).toSet shouldBe Set(1L, 2L)
+  }
+
+  test("dHashBmp: hand-computed gradient bits on a 2x1 raster") {
+    // syntheticBmp(2,1,252): pixel bytes (252+i)%256 = 252,253,254,255,0,1
+    // grid=2 → cell(0,0) luma 252+253+254 = 759 over 1 px;
+    //          cell(0,1) luma 255+0+1 = 256 over 1 px; row cy=1 empty.
+    // bit(cy=0,cx=0) set iff 759·1 > 256·1 → set → hash = 1
+    val a = Multimodal.Asset(7L, "bmp", Multimodal.syntheticBmp(2, 1, 252L))
+    val h = Multimodal.dHashBmp(a, grid = 2)
+    h.dhash shouldBe 1L
+    h.width shouldBe 2L
+    h.height shouldBe 1L
+    // reversed gradient: bytes 0..5 → left 3 < right 12 → bit clear
+    Multimodal.dHashBmp(
+      Multimodal.Asset(8L, "bmp", Multimodal.syntheticBmp(2, 1, 0L)),
+      grid = 2).dhash shouldBe 0L
+  }
+
+  test("dHashImages groups identical rasters under one hash") {
+    import spark.implicits._
+    // the hand-golden rasters from the previous test: seeds 252 and 0
+    // on a 2x1 canvas hash to 1 and 0 respectively at grid=2
+    val assets = Seq(
+      Multimodal.Asset(1L, "bmp", Multimodal.syntheticBmp(2, 1, 252L)),
+      Multimodal.Asset(2L, "bmp", Multimodal.syntheticBmp(2, 1, 252L)),
+      Multimodal.Asset(3L, "bmp", Multimodal.syntheticBmp(2, 1, 0L))).toDS()
+    val got = Multimodal.dHashImages(assets, grid = 2).collect()
+      .map(d => d.asset_id -> d.dhash).toMap
+    got(1L) shouldBe 1L
+    got(2L) shouldBe 1L
+    got(3L) shouldBe 0L
+  }
+}

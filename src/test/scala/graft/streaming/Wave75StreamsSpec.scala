@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.time.Duration
+
+/** crawlDiffTtl (transformWithState + NATIVE `TTLConfig`): the state
+  * store itself must (a) answer exactly like the batch twin while the
+  * TTL hasn't lapsed, whatever the micro-batch splits, (b) EXPIRE a
+  * quiet key's fingerprint so its next sighting reads `new` again (the
+  * RocksDB-bounding behavior for keys that never return — timers can't
+  * cover those unless the processor armed one), and (c) keep unexpired
+  * state across a kill + checkpoint restart.
+  *
+  * Harness note: state TTL mandates `TimeMode.ProcessingTime()`, and
+  * in that mode the operator keeps requesting micro-batches to advance
+  * the processing-time clock (TTL/timer bookkeeping), so neither
+  * `processAllAvailable` nor `Trigger.AvailableNow` ever settles.
+  * The tests therefore POLL the memory sink for the expected row count
+  * and then stop the query — the same observable contract, bounded. */
+class Wave75StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def withRocksDb[T](body: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private def start(input: MemoryStream[Streams.CrawlSeen], ttl: Duration,
+      sink: String, ckpt: Option[String] = None): StreamingQuery = {
+    val w = Streams.crawlDiffTtl(input.toDS(), ttl)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+    ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Wait until the memory sink holds `n` rows (the query keeps running
+    * empty processing-time batches underneath — that's expected). */
+  private def awaitRows(sink: String, n: Long): Unit = {
+    val deadline = System.currentTimeMillis + 120000
+    while (spark.table(sink).count() < n) {
+      if (System.currentTimeMillis > deadline)
+        fail(s"sink $sink did not reach $n rows in time")
+      Thread.sleep(100)
+    }
+  }
+
+  private def rows(sink: String): Set[(String, Long, String)] = {
+    import spark.implicits._
+    spark.table(sink).as[(String, Long, String)].collect().toSet
+  }
+
+  test("crawlDiffTtl: within TTL, streamed == batch twin across micro-batch waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val obs = Seq(
+        Streams.CrawlSeen("u1", 0, "A"), Streams.CrawlSeen("u1", 1, "B"),
+        Streams.CrawlSeen("u1", 2, "A"),
+        Streams.CrawlSeen("u2", 0, "X"), Streams.CrawlSeen("u2", 1, "X"),
+        Streams.CrawlSeen("u3", 0, "Z"))
+      val input = MemoryStream[Streams.CrawlSeen]
+      val sink = s"ttlp_${System.nanoTime}"
+      val q = start(input, Duration.ofHours(1), sink)
+      try {
+        // split mid-URL: u1's history straddles three waves
+        input.addData(obs(0), obs(3))
+        awaitRows(sink, 2)
+        input.addData(obs(1), obs(4), obs(5))
+        awaitRows(sink, 5)
+        input.addData(obs(2))
+        awaitRows(sink, 6)
+      } finally q.stop()
+      val batch = Streams.crawlDiffBatch(obs.toDF())
+        .as[(String, Long, String)].collect().toSet
+      rows(sink) shouldBe batch
+      rows(sink) shouldBe Set(
+        ("u1", 0L, "new"), ("u1", 1L, "changed"), ("u1", 2L, "changed"),
+        ("u2", 0L, "new"), ("u2", 1L, "unchanged"),
+        ("u3", 0L, "new"))
+    }
+  }
+
+  test("crawlDiffTtl: an expired fingerprint reads as `new` again, never a wrong verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Streams.CrawlSeen]
+      val sink = s"ttle_${System.nanoTime}"
+      val q = start(input, Duration.ofMillis(100), sink)
+      try {
+        input.addData(Streams.CrawlSeen("u", 0, "A"))
+        awaitRows(sink, 1)
+        // let the 100 ms TTL lapse in processing time, then re-sight
+        // the SAME fingerprint: un-expired state would say `unchanged`
+        Thread.sleep(2000)
+        input.addData(Streams.CrawlSeen("u", 1, "A"))
+        awaitRows(sink, 2)
+      } finally q.stop()
+      rows(sink) shouldBe Set(("u", 0L, "new"), ("u", 1L, "new"))
+    }
+  }
+
+  test("crawlDiffTtl: unexpired state survives a kill + checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // the memory sink can't recover from a checkpoint — use a
+      // batchId-keyed foreachBatch sink (idempotent across replays),
+      // the Wave60 recovery-pin convention
+      val ckpt =
+        graft.io.PathsUtil.transientPath("graft-crawlttl-ckpt") + "/ckpt"
+      val sunk = new java.util.concurrent.ConcurrentHashMap[
+        (String, Long), String]()
+      val input = MemoryStream[Streams.CrawlSeen]
+      def startQ() = Streams.crawlDiffTtl(input.toDS(), Duration.ofHours(1))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Streams.CrawlStatus], _: Long) =>
+            b.collect().foreach(r => sunk.put((r.url, r.seq), r.status)); ()
+        }
+        .start()
+      def awaitSunk(n: Int): Unit = {
+        val deadline = System.currentTimeMillis + 120000
+        while (sunk.size < n) {
+          if (System.currentTimeMillis > deadline)
+            fail(s"foreachBatch sink did not reach $n rows in time")
+          Thread.sleep(100)
+        }
+      }
+      val q1 = startQ()
+      try {
+        input.addData(Streams.CrawlSeen("u", 0, "A"))
+        awaitSunk(1)
+      } finally q1.stop() // the kill
+      // post-restart: an `unchanged` verdict can only come from the
+      // RECOVERED fingerprint state
+      input.addData(Streams.CrawlSeen("u", 1, "A"),
+        Streams.CrawlSeen("u", 2, "B"))
+      val q2 = startQ()
+      try awaitSunk(3)
+      finally q2.stop()
+      import scala.jdk.CollectionConverters._
+      sunk.asScala.toMap shouldBe Map(
+        ("u", 0L) -> "new", ("u", 1L) -> "unchanged", ("u", 2L) -> "changed")
+    }
+  }
+}
