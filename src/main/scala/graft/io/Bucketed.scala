@@ -50,6 +50,28 @@ object Bucketed {
     s.table(table)
   }
 
+  /** INCREMENTAL layout maintenance: append a new generation of rows
+    * into an EXISTING bucketed table under the SAME bucket spec (Spark
+    * rejects a mismatched spec loudly), pre-repartitioned so the new
+    * generation adds exactly ONE file per bucket. Joins and
+    * aggregations on the bucket key stay exchange-free after any
+    * number of appends — the nightly-ingest path that keeps a 100 TB
+    * fact table's shuffle paid once at write time, forever. (With >1
+    * file per bucket Spark won't use the per-file sort metadata, so
+    * read-side sorts come back as LOCAL sorts; the shuffle — the part
+    * that costs — never does. Compact with [[writeAt]] when local sort
+    * time starts to matter.) */
+  def append(df: DataFrame, table: String, bucketCol: String,
+             nBuckets: Int, sortCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(nBuckets, col(bucketCol))
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** Equi-join two tables bucketed on `key` with equal bucket counts:

@@ -1226,6 +1226,27 @@ object Dedup {
           .otherwise("heldout"))
   }
 
+  /** Leakage-safe K-FOLD assignment — [[leakageSafeSplit]] generalized
+    * from train/heldout to cross-validation folds: every document gets
+    * fold = md5("`salt`:rep") mod `k` of its near-dup CLUSTER rep, so a
+    * document and all its near-twins share a fold and no fold's eval
+    * leg ever scores a training twin (GroupKFold with near-dup clusters
+    * as the groups). Deterministic, re-runnable, stable under corpus
+    * growth for unchanged clusters.
+    *
+    * Scale: one [[nearDupClusters]] pass plus a per-row hash — nothing
+    * beyond the clustering itself. */
+  def leakageSafeFolds(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, k: Int,
+                       salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"leakageSafeFolds: k must be >= 2, got $k")
+    nearDupClusters(docs, idCol, textCol, threshold)
+      .withColumn("fold",
+        conv(substring(md5(concat(lit(s"$salt:"),
+            col("cluster_rep").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % k)
+  }
+
   /** Per-cluster quota dedup — the generalization of canonical-doc
     * selection from "keep 1" to "keep at most `quota`": documents ranked
     * within their near-dup cluster by ascending id, ranks above the

@@ -471,6 +471,39 @@ object Similarity {
         V.quantize(col("col._1"), 6).as("sim"))
   }
 
+  /** ANN QUALITY AUDIT: per-probe recall@k of the banded LSH search
+    * ([[lshTopK]]) against the exact brute-force ground truth
+    * ([[bruteForceTopK]]) — the "measure, don't guess" leg of the
+    * similarity tier. Before pointing a 100 TB pipeline at an
+    * approximate index you measure its recall on a probe sample; this
+    * makes that measurement a first-class operator with exact integer
+    * output (recall_ppm = matches·10⁶ div k) instead of a number read
+    * off a notebook. Both leg kernels run `exact = true` so the whole
+    * audit is engine-replayable.
+    *
+    * Output: (query_id, n_common, recall_ppm), one row per probe (a
+    * probe whose LSH candidates miss everything still emits, with 0).
+    *
+    * Scale: the brute leg is probe-bounded (probes broadcast, corpus
+    * scanned once per the [[bruteForceTopK]] contract) — recall audits
+    * run on a SAMPLE of probes by construction; the LSH leg is the
+    * production path being measured. */
+  def annRecallAtK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val brute = bruteForceTopK(queries, corpus, idCol, vecCol, k,
+      exact = true)
+    val approx = lshTopK(queries, corpus, idCol, vecCol, k, exact = true)
+    val matched = brute.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    brute.select(col("query_id")).distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_common"))
+      // integral divide (not IEEE /) so the ppm is exact on both engines
+      .withColumn("recall_ppm", expr(s"n_common * 1000000L div $k"))
+  }
+
   /** Spherical k-means centroid training for [[ivfTopK]] — the "sampled
     * k-means at scale" the IVF scaladoc calls for, as a real distributed
     * op: per-iteration, vectors are assigned to their max-dot-product

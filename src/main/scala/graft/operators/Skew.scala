@@ -23,4 +23,40 @@ object Skew {
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
   }
+
+  /** Key-skew DIAGNOSTICS report — the measurement you run before
+    * choosing [[saltedJoin]]'s salt count or a bucketing layout: the
+    * `topK` heaviest keys with their exact row counts, corpus share in
+    * integer ppm, and how many TIMES the uniform per-key share each
+    * carries (`skew_x_ppm` = n·|keys|·10⁶ div total; 10⁶ = perfectly
+    * uniform, 50·10⁶ = this key is a 50× hot spot — a direct read on
+    * the straggler factor an unsalted shuffle would see, and the salt
+    * count that would level it).
+    *
+    * All integer arithmetic (exact, engine-portable). Output:
+    * (rank, key, n, share_ppm, skew_x_ppm), rank by (n desc, key).
+    *
+    * Scale: one map-side-combinable count per key, two 1-row global
+    * aggregates that ride the closure of a cross join (broadcast — a
+    * pair of longs), and a bounded TakeOrdered top-k. Nothing holds
+    * the key distribution in one task. */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        expr("n * 1000000L div __total").as("share_ppm"),
+        // n·|keys|·10⁶ can pass 2⁶³ on a 1e12-row corpus with 1e9 keys
+        // — widen through DECIMAL(38,0) before the integral divide
+        expr("CAST(n AS DECIMAL(38,0)) * __nkeys * 1000000 div __total")
+          .as("skew_x_ppm"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key"))).cast("long"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Skew
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 77 — round 14, part three: the two layout-planning operators a
+  * repeated-join warehouse runs.
+  *
+  *  - q281 INCREMENTAL bucketed-table maintenance
+  *    ([[graft.io.Bucketed.append]]): q199 certifies the shuffle-once
+  *    bucketed join; this row certifies it SURVIVES INGEST — the
+  *    orders table is written as a 2/3 snapshot, the remaining third
+  *    appended as a new generation under the same bucket spec, and the
+  *    join against bucketed lineitem is REQUIRED (in-plan assertion)
+  *    to run with zero Exchange. A writer regression that silently
+  *    re-shuffles appended generations is exactly the 100 TB cliff
+  *    local row counts never show; the oracle certifies the appended
+  *    table's CONTENT (snapshot + delta ≡ whole table) through the
+  *    join result.
+  *  - q282 key-skew diagnostics ([[Skew.keySkewReport]]): the exact
+  *    measurement run before choosing a salt count or bucket layout —
+  *    top keys by row count with integer-ppm corpus share and the
+  *    ×-uniform hot-spot factor. All integer arithmetic; the events
+  *    stream's user_id distribution is the fixture.
+  *
+  * Scale notes: q281's append is one keyed repartition of the DELTA
+  * only (never the history); q282 is one map-side-combinable count +
+  * a broadcast pair of totals + a bounded top-k.
+  */
+object Wave77 {
+
+  private val Buckets = 8
+  private val SkewTopK = 25
+
+  private def dsum(c: Column): Column =
+    sum((floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))).cast("double")
+
+  private def noExchange(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q281_bucketed_append" -> { (s, d) =>
+      val base = Scratch.dir("q281", d)
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      // generation 1: the 2/3 snapshot
+      graft.io.Bucketed.writeAt(
+        orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+        s"graft_bkt_ord_gen_$tag", s"$base/orders",
+        "o_orderkey", Buckets, Seq("o_orderkey"))
+      // generation 2: the nightly delta, appended under the same spec
+      graft.io.Bucketed.append(
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        s"graft_bkt_ord_gen_$tag", "o_orderkey", Buckets,
+        Seq("o_orderkey"))
+      val li = graft.io.Bucketed.writeAt(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        s"graft_bkt_li_gen_$tag", s"$base/lineitem",
+        "l_orderkey", Buckets, Seq("l_orderkey"))
+      val o = s.table(s"graft_bkt_ord_gen_$tag")
+      val joined = o.hint("merge")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+      if (!noExchange(joined))
+        throw new IllegalStateException(
+          "q281: bucketed join re-shuffled after append; the appended " +
+            "generation broke the bucket layout")
+      joined
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("o_totalprice")).as("sum_total"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q282_key_skew" -> { (s, d) =>
+      Skew.keySkewReport(Tables.events(s, d), "user_id", SkewTopK)
+        .orderBy(col("rank"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    // snapshot + appended delta must answer exactly like the whole
+    // table — a dropped or duplicated generation hash-mismatches
+    "q281_bucketed_append" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e4) / 1e4 AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sum_total,
+        |  CAST(sum(CAST(floor(l_quantity * 1e4) / 1e4 AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q282_key_skew" ->
+      s"""WITH counts AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS nkeys
+         |  FROM counts),
+         |ranked AS (
+         |  SELECT key, n, n * 1000000 // total AS share_ppm,
+         |    CAST(CAST(n AS HUGEINT) * nkeys * 1000000 // total
+         |      AS BIGINT) AS skew_x_ppm,
+         |    CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+         |  FROM counts, tot)
+         |SELECT key, n, share_ppm, skew_x_ppm, rank
+         |FROM ranked WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin)
+}

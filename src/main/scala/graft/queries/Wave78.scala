@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 78 — round 14, part four: the eval-hygiene pair that closes
+  * the leakage-safe-split story.
+  *
+  *  - q283 leakage-safe K-FOLD assignment ([[Dedup.leakageSafeFolds]]):
+  *    q122's train/heldout split generalized to cross-validation —
+  *    folds keyed on the near-dup CLUSTER rep (GroupKFold with
+  *    clusters as groups), so no fold's eval leg ever scores a
+  *    training twin. Same oracle family as q122 (recursive-CTE
+  *    components + the md5-slice fold hash).
+  *  - q284 split-leakage AUDIT: the INVARIANT q122 promises, proved
+  *    with exact pairs — every exact-Jaccard ≥ 0.9 pair is classified
+  *    by which side(s) of the split its documents landed on, and the
+  *    `cross` class must count ZERO. The engine computes pairs with
+  *    the prefix-filter exact path and the oracle recomputes both the
+  *    split and the pair classes from scratch, so a broken cluster
+  *    boundary, hash, or rep choice shows up as a non-zero cross row
+  *    (and any drift in pair counts as a hash mismatch). All three
+  *    classes always emit (zero-filled), so the certificate is
+  *    explicit, not vacuous.
+  *
+  * Scale notes: q283 is q122's cost exactly (one banded clustering
+  * pass + a per-row hash). q284's audit leg is the exact
+  * prefix-filter pair path (the documented exact-result scale path) +
+  * two broadcast-sized dimension joins of the split assignment onto
+  * the pair endpoints — keyed joins, nothing quadratic; on a real
+  * fleet you'd run it on a sampled stratum, which changes volume, not
+  * the plan.
+  */
+object Wave78 {
+
+  private val Thr = 0.9
+  private val Folds = 5
+
+  /** q55's cluster oracle prefix (the Wave15 convention). */
+  private def clusterCte(thr: Double): String =
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS tok
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $thr),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |reps AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY 1),
+       |clusters AS (
+       |  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+       |  FROM documents d LEFT JOIN reps r ON d.doc_id = r.node)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q283_leakage_folds" -> { (s, d) =>
+      Dedup.leakageSafeFolds(Tables.documents(s, d), "doc_id", "text",
+        threshold = Thr, k = Folds)
+        .orderBy(col("doc_id"))
+    },
+
+    "q284_split_leakage_audit" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val split = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+        threshold = Thr, trainPct = 90)
+        .select(col("doc_id"), col("split"))
+      val pairs = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", Thr)
+        .select(col("doc_a"), col("doc_b"))
+      val classed = pairs
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), "doc_b")
+        .select(when(col("sa") === col("sb"), col("sa"))
+          .otherwise("cross").as("pair_class"))
+        .groupBy(col("pair_class")).agg(count(lit(1)).as("n_pairs"))
+      // all three classes always emit — the zero `cross` row IS the
+      // leakage-safety certificate, not an absence
+      val s2 = split.sparkSession
+      import s2.implicits._
+      Seq("train", "heldout", "cross").toDF("pair_class")
+        .join(classed, Seq("pair_class"), "left")
+        .select(col("pair_class"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy(col("pair_class"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q283_leakage_folds" ->
+      s"""${clusterCte(Thr)}
+         |SELECT doc_id, cluster_rep,
+         |  CAST('0x' || substr(md5('fold:' ||
+         |      CAST(cluster_rep AS VARCHAR)), 1, 15) AS BIGINT) % $Folds AS fold
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    "q284_split_leakage_audit" ->
+      s"""${clusterCte(Thr)},
+         |split AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' ||
+         |        CAST(cluster_rep AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+         |      THEN 'train' ELSE 'heldout' END AS side
+         |  FROM clusters),
+         |classed AS (
+         |  SELECT CASE WHEN a.side = b.side THEN a.side
+         |              ELSE 'cross' END AS pair_class
+         |  FROM pairs p
+         |  JOIN split a ON p.doc_a = a.doc_id
+         |  JOIN split b ON p.doc_b = b.doc_id),
+         |counted AS (
+         |  SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM classed GROUP BY 1)
+         |SELECT c.pair_class, CAST(coalesce(counted.n_pairs, 0) AS BIGINT) AS n_pairs
+         |FROM (VALUES ('train'), ('heldout'), ('cross')) c(pair_class)
+         |LEFT JOIN counted USING (pair_class)
+         |ORDER BY pair_class""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 79 — round 14, part five: the ANN QUALITY AUDIT made a
+  * certified row. q285 measures [[Similarity.lshTopK]]'s recall@5
+  * against the exact brute-force ground truth per probe
+  * ([[Similarity.annRecallAtK]]) — the measurement a pipeline runs on
+  * a probe sample before trusting an approximate index at 100 TB. The
+  * DuckDB oracle recomputes BOTH legs from scratch (the q28 brute CTE
+  * and the q31 md5-hyperplane bucket replay, both already
+  * oracle-proven on their own rows) and intersects them, so the row
+  * certifies the ground truth, the approximate path, AND the metric
+  * arithmetic in one hash. bitsPerTable sits on its 4-bit autoBits
+  * floor for every ≤2048-vector oracle corpus (the q31/q124 note), so
+  * the fixed-width replay is bit-for-bit at sf0.001/sf0.01.
+  */
+object Wave79 {
+
+  private val RecallK = 5
+
+  /** DuckDB twin of VectorFunctions.dotQLong (the Wave2/Wave15 helper). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q285_ann_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.annRecallAtK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", RecallK)
+        .orderBy(col("query_id"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q285_ann_recall" ->
+      s"""WITH planes AS (
+         |  SELECT t, i, j,
+         |    CAST('0x' || substr(h, 1, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 5, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 9, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 13, 4) AS BIGINT) - 131072 AS w
+         |  FROM (
+         |    SELECT t, i, j, md5('lsh:42:' || t || ':' || i || ':' || j) AS h
+         |    FROM range(0, 24) r1(t), range(0, 4) r2(i), range(0, 64) r3(j))),
+         |vq AS (
+         |  SELECT vec_id, j,
+         |    CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+         |      * 1048576.0) AS BIGINT) AS q
+         |  FROM embeddings, range(0, 64) rj(j)),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+         |             ELSE CAST(0 AS BIGINT) END) AS bucket
+         |  FROM (
+         |    SELECT vq.vec_id, p.t, p.i, sum(vq.q * p.w) AS d
+         |    FROM vq JOIN planes p ON p.j = vq.j
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buckets qb JOIN buckets cb
+         |    ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+         |lsh_sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    (${sqlDotQ("a.embedding", "b.embedding")})
+         |      / (sqrt(${sqlDotQ("a.embedding", "a.embedding")})
+         |         * sqrt(${sqlDotQ("b.embedding", "b.embedding")})) AS sim
+         |  FROM cand JOIN embeddings a ON query_id = a.vec_id
+         |            JOIN embeddings b ON neighbor_id = b.vec_id),
+         |lsh_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rk
+         |    FROM lsh_sims) WHERE rk <= $RecallK),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id < 10),
+         |bc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |brute_sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    (${sqlDotQ("qv", "cv")})
+         |      / (sqrt(${sqlDotQ("qv", "qv")}) * sqrt(${sqlDotQ("cv", "cv")})) AS sim
+         |  FROM bq JOIN bc ON query_id <> neighbor_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rk
+         |    FROM brute_sims) WHERE rk <= $RecallK),
+         |matched AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM brute_top b JOIN lsh_top l
+         |    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(m.n, 0) * 1000000 // $RecallK AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM brute_top) q
+         |LEFT JOIN matched m USING (query_id)
+         |ORDER BY query_id""".stripMargin)
+}

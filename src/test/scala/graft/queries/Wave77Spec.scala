@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkFixture
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 77 operator contracts: keySkewReport's exact integer
+  * arithmetic on a hand-computed distribution, and bucketed append's
+  * one-file-per-bucket-per-generation layout. */
+class Wave77Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("keySkewReport: hand-computed shares, hot-spot factors, rank ties") {
+    import spark.implicits._
+    // A×4, B×2, C×2, D×1 → total 9 rows over 4 keys
+    val df = (Seq.fill(4)("A") ++ Seq.fill(2)("B") ++ Seq.fill(2)("C") ++
+      Seq("D")).toDF("k")
+    val got = Skew.keySkewReport(df, "k", topK = 3)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    got shouldBe Array(
+      ("A", 4L, 444444L, 1777777L, 1L), // 4·10⁶÷9, 4·4·10⁶÷9
+      ("B", 2L, 222222L, 888888L, 2L),  // count tie with C → key order
+      ("C", 2L, 222222L, 888888L, 3L))
+  }
+
+  test("bucketed append adds exactly one file per bucket per generation") {
+    val d = sfDir
+    val base = Scratch.dir("w77spec", d)
+    val tag = "w77_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val orders = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    graft.io.Bucketed.writeAt(
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      s"graft_bkt_w77_$tag", s"$base/orders", "o_orderkey", 4)
+    graft.io.Bucketed.append(
+      orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0),
+      s"graft_bkt_w77_$tag", "o_orderkey", 4)
+    // content: snapshot + delta == the whole table
+    spark.table(s"graft_bkt_w77_$tag").count() shouldBe orders.count()
+    // layout: 4 bucket files per generation
+    val parts = new java.io.File(s"$base/orders").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    parts.length shouldBe 8
+    // and the join on the bucket key still needs no exchange
+    val p = spark.table(s"graft_bkt_w77_$tag").hint("merge")
+      .join(spark.table(s"graft_bkt_w77_$tag").select(
+        col("o_orderkey").as("k2")), col("o_orderkey") === col("k2"))
+      .queryExecution.executedPlan.toString
+    p should include("SortMergeJoin")
+    p should not include "Exchange"
+  }
+}
