@@ -1742,6 +1742,71 @@ object TextAnalysis {
         (lit(queries.size.toLong) - col("n_queries")).as("n_dropped"))
   }
 
+  /** [[retrievalMrrPpm]] generalized to MULTI-TERM queries — the form
+    * real retrieval evals take (a query is a bag of terms, a doc's
+    * score the sum of its per-term BM25 contributions, candidates the
+    * docs containing ANY query term). Same exact arithmetic: per-term
+    * scores floor-quantized to 1e-9 and summed as DECIMAL(38,0) so
+    * rank order is engine-identical; same output contract
+    * (n_queries, hits_at_k, mrr_ppm, n_dropped).
+    *
+    * Scale shape: one stats aggregate covering every DISTINCT term
+    * (the dval idiom), one ANY-term candidate filter per query
+    * (union-of-df bounded), per-qid rank windows over candidate rows
+    * only, broadcast relevance join. */
+  def retrievalMrrMultiPpm(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], relevance: DataFrame,
+      atK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query, each with at least one term")
+    val base = docs.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("toks"),
+      T.tokenCount(col(textCol)).as("dl")).cache()
+    val allTerms = queries.flatMap(_._2).distinct
+    val dfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+        .as(s"df$i")
+    }
+    val statsRow = base
+      .agg(count(lit(1)).as("n"), (sum(col("dl")).as("dlsum") +: dfCols): _*)
+      .collect()(0)
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val dfOf: Map[String, Double] = allTerms.zipWithIndex.map {
+      case (t, i) => t -> statsRow.getLong(i + 2).toDouble
+    }.toMap
+    val scoredPerQuery = queries.map { case (qid, terms) =>
+      val anyTerm = terms.map(t => array_contains(col("toks"), t))
+        .reduce(_ || _)
+      val termScores = terms.map { t =>
+        val tf = (size(col("toks")) - size(array_remove(col("toks"), t)))
+          .cast("double")
+        val idf = (nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5)
+        val sc = lit(idf) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / lit(avgdl)))
+        floor(sc * lit(1e9)).cast("decimal(38,0)")
+      }
+      base.where(anyTerm)
+        .select(lit(qid).as("qid"), col("id"),
+          termScores.reduce(_ + _).as("score"))
+    }
+    val ranked = scoredPerQuery.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+    val firstRel = ranked
+      .join(broadcast(relevance.toDF("qid", "id")), Seq("qid", "id"))
+      .groupBy(col("qid")).agg(min(col("rank")).as("fr"))
+    firstRel.agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("fr") <= atK, 1L).otherwise(0L)).as(s"hits_at_$atK"),
+        sum(expr("1000000L div fr")).as("__rsum"))
+      .select(col("n_queries"), col(s"hits_at_$atK"),
+        expr("__rsum div n_queries").as("mrr_ppm"),
+        (lit(queries.size.toLong) - col("n_queries")).as("n_dropped"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov DRIFT statistic in exact integer
     * parts-per-million — the distribution-shift monitor a pipeline
     * runs between corpus generations (did this crawl's length/quality

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 80 — round 14, part six: MULTI-TERM ranked-retrieval
+  * evaluation ([[TextAnalysis.retrievalMrrMultiPpm]]) — q275's eval
+  * machinery generalized to the form real retrieval runs take: each
+  * query is a BAG of terms, candidates are docs containing ANY of
+  * them, and a doc's score is the exact-decimal SUM of its per-term
+  * BM25 contributions.
+  *
+  * The plant makes multi-term scoring decide the ranking: query i's
+  * first term lands on doc_id % 17 == i, its second on
+  * doc_id % 19 == i, so docs holding BOTH terms (ids satisfying both
+  * congruences) outscore single-term docs, and within each tier the
+  * BM25 length norm orders candidates. Relevance is the
+  * doc_id % 3 == 0 third of the first-term set — some relevant docs
+  * hold both terms (rank near the top), others one (rank by length) —
+  * so MRR is a real number the oracle must earn by replaying
+  * planting, stats over every distinct term, ANY-term candidacy,
+  * summed scoring, ranking, and both metrics.
+  */
+object Wave80 {
+
+  private val NQ = 6
+  private val AtK = 5
+
+  private def m1(i: Int): String = "mqa" + ('a' + i).toChar
+  private def m2(i: Int): String = "mrb" + ('a' + i).toChar
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q286_retrieval_multi" -> { (s, d) =>
+      val planted = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          (0 until NQ).map(i =>
+            concat(
+              when(pmod(col("doc_id"), lit(17)) === i, lit(" " + m1(i)))
+                .otherwise(lit("")),
+              when(pmod(col("doc_id"), lit(19)) === i, lit(" " + m2(i)))
+                .otherwise(lit("")))).reduce(concat(_, _))))
+      val qs = (0 until NQ).map(i => (i.toLong, Seq(m1(i), m2(i))))
+      val rel = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(17)) < NQ &&
+          pmod(col("doc_id"), lit(3)) === 0)
+        .select(pmod(col("doc_id"), lit(17)).as("qid"),
+          col("doc_id").as("id"))
+      TextAnalysis.retrievalMrrMultiPpm(planted, "doc_id", "text", qs, rel,
+        atK = AtK)
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q286_retrieval_multi" -> {
+      val k1 = 1.2; val b = 0.75; val k1p1 = k1 + 1.0; val oneMb = 1.0 - b
+      val plant = (0 until NQ).map(i =>
+        s"CASE WHEN doc_id % 17 = $i THEN ' ${m1(i)}' ELSE '' END || " +
+          s"CASE WHEN doc_id % 19 = $i THEN ' ${m2(i)}' ELSE '' END")
+        .mkString(" || ")
+      val toks =
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+      // df per DISTINCT term, indexed the way the operator indexes them
+      val allTerms = (0 until NQ).flatMap(i => Seq(m1(i), m2(i)))
+      val dfExprs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(",\n    ")
+      val dfIdx = allTerms.zipWithIndex.toMap
+      def termScore(t: String): String = {
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        val idf = s"(n_docs - df${dfIdx(t)} + 0.5) / (df${dfIdx(t)} + 0.5)"
+        s"""CAST(floor($idf * ($tf * $k1p1) /
+           |    ($tf + $k1 * ($oneMb + $b * CAST(dl AS DOUBLE) / avgdl))
+           |    * 1e9) AS HUGEINT)""".stripMargin
+      }
+      val perQuery = (0 until NQ).map { i =>
+        s"""SELECT $i AS qid, id,
+           |  ${termScore(m1(i))}
+           |  + ${termScore(m2(i))} AS score
+           |FROM base, stats
+           |WHERE list_contains(toks, '${m1(i)}')
+           |   OR list_contains(toks, '${m2(i)}')""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || $plant AS text FROM documents),
+         |base AS (
+         |  SELECT doc_id AS id, $toks AS toks,
+         |    CAST(len($toks) AS BIGINT) AS dl
+         |  FROM planted),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfExprs
+         |  FROM base),
+         |scored AS (
+         |  $perQuery),
+         |ranked AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rank
+         |  FROM scored),
+         |rel AS (
+         |  SELECT doc_id % 17 AS qid, doc_id AS id FROM documents
+         |  WHERE doc_id % 17 < $NQ AND doc_id % 3 = 0),
+         |fr AS (
+         |  SELECT r.qid, min(r.rank) AS fr
+         |  FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.id = r.id
+         |  GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN fr <= $AtK THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_$AtK,
+         |  CAST(sum(1000000 // fr) // count(*) AS BIGINT) AS mrr_ppm,
+         |  CAST($NQ - count(*) AS BIGINT) AS n_dropped
+         |FROM fr""".stripMargin
+    })
+}
