@@ -64,6 +64,12 @@ object Bucketed {
   def append(df: DataFrame, table: String, bucketCol: String,
              nBuckets: Int, sortCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // append-mode saveAsTable would silently CREATE a missing table —
+    // a typo'd name must fail, not grow a shadow table
+    require(df.sparkSession.catalog.tableExists(table),
+      s"Bucketed.append: table '$table' does not exist — append is " +
+        "layout MAINTENANCE of an existing bucketed table (write/" +
+        "writeAt creates one)")
     val w = df.repartition(nBuckets, col(bucketCol))
       .write.mode("append").format("parquet")
       .bucketBy(nBuckets, bucketCol)

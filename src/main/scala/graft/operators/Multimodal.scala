@@ -256,19 +256,32 @@ object Multimodal {
   def dHashBmp(a: Asset, grid: Int = 8): ImageDHash = {
     require(grid >= 2 && grid <= 8, s"grid in [2,8]: $grid")
     val d = a.data
+    // full decodeBmp-grade validation — malformed input fails loudly
+    // WITH the asset id (the codec-seam convention), never an executor
+    // ArrayIndexOutOfBounds or a silent garbage hash
     require(d.length >= 54 && d(0) == 'B'.toByte && d(1) == 'M'.toByte,
       s"BMP asset ${a.asset_id}: not a BMP")
     def le32(o: Int): Int =
       (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
         ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
     val off = le32(10)
     val width = le32(18)
     val hRaw = le32(22)
+    require(le16(26) == 1,
+      s"BMP asset ${a.asset_id}: color planes ${le16(26)} != 1")
+    require(le16(28) == 24,
+      s"BMP asset ${a.asset_id}: ${le16(28)} bpp (dHash reads 24bpp)")
+    require(le32(30) == 0,
+      s"BMP asset ${a.asset_id}: compression ${le32(30)} != BI_RGB")
     require(width > 0 && hRaw != 0,
       s"BMP asset ${a.asset_id}: bad dimensions ${width}x$hRaw")
     val height = math.abs(hRaw)
     val bottomUp = hRaw > 0
     val rowSize = ((width * 3 + 3) / 4) * 4
+    require(off >= 54 && off.toLong + rowSize.toLong * height <= d.length,
+      s"BMP asset ${a.asset_id}: pixel data [$off, " +
+        s"${off.toLong + rowSize.toLong * height}) outside ${d.length} bytes")
     val sums = Array.ofDim[Long](grid, grid)
     val cnts = Array.ofDim[Long](grid, grid)
     var py = 0

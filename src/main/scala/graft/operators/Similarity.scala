@@ -490,8 +490,10 @@ object Similarity {
     * production path being measured. */
   def annRecallAtK(queries: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, k: Int): DataFrame = {
+    // the ground-truth leg feeds both the intersect and the probe list
+    // — cache so the |probes|·|corpus| scan runs once, not twice
     val brute = bruteForceTopK(queries, corpus, idCol, vecCol, k,
-      exact = true)
+      exact = true).cache()
     val approx = lshTopK(queries, corpus, idCol, vecCol, k, exact = true)
     val matched = brute.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id")),

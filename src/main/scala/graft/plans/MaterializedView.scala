@@ -117,28 +117,39 @@ object MaterializedView {
       mvPath: String,
       baseFilter: Option[Column] = None): DataFrame = {
     require(dims.nonEmpty, "MV needs at least one dim")
-    val base = spark.read.parquet(basePath)
-    val baseOrd = base.schema.fieldNames.sorted.zipWithIndex.toMap
-    val snapshot = baseFilter.fold(base)(base.filter)
-    val mvFrame = aggFrame(snapshot, dims, sums, mins, maxs)
-    val verDir = s"$mvPath/v0"
-    mvFrame.write.mode("overwrite").parquet(verDir)
-    val mv = spark.read.parquet(verDir)
+    // same critical section as refresh: a materialize racing a refresh
+    // of the same name must not let the refresh write back an entry
+    // derived from the pre-materialize registration
+    val lock = refreshLocks.getOrElseUpdate((sessionKey(spark), name),
+      new Object)
+    lock.synchronized {
+      val base = spark.read.parquet(basePath)
+      val baseOrd = base.schema.fieldNames.sorted.zipWithIndex.toMap
+      val snapshot = baseFilter.fold(base)(base.filter)
+      val mvFrame = aggFrame(snapshot, dims, sums, mins, maxs)
+      val verDir = s"$mvPath/v0"
+      // suppress the rule for the build itself: with OTHER MVs already
+      // registered over this base, the snapshot aggregate could match
+      // one of them and materialize a stale summary of a summary
+      noSelfRewrite { mvFrame.write.mode("overwrite").parquet(verDir) }
+      val mv = spark.read.parquet(verDir)
 
-    def measuresOf(kind: String, cols: Seq[(String, Column)]): Seq[Measure] =
-      cols.map { case (n, c) =>
-        Measure(n, kind, normalizeAgainst(base, c, baseOrd))
+      def measuresOf(kind: String,
+          cols: Seq[(String, Column)]): Seq[Measure] =
+        cols.map { case (n, c) =>
+          Measure(n, kind, normalizeAgainst(base, c, baseOrd))
+        }
+      val entry = MvEntry(name, canonPath(basePath), dims, baseOrd,
+        measuresOf("sum", sums) ++ measuresOf("min", mins) ++
+          measuresOf("max", maxs),
+        relationOf(mv), sums, mins, maxs, mvPath, 0)
+      registry.updateWith(sessionKey(spark)) {
+        case Some(v) => Some(v.filterNot(_.name == name) :+ entry)
+        case None    => Some(Vector(entry))
       }
-    val entry = MvEntry(name, canonPath(basePath), dims, baseOrd,
-      measuresOf("sum", sums) ++ measuresOf("min", mins) ++
-        measuresOf("max", maxs),
-      relationOf(mv), sums, mins, maxs, mvPath, 0)
-    registry.updateWith(sessionKey(spark)) {
-      case Some(v) => Some(v.filterNot(_.name == name) :+ entry)
-      case None    => Some(Vector(entry))
+      install(spark)
+      mv
     }
-    install(spark)
-    mv
   }
 
   /** INCREMENTAL refresh: fold a batch of new base rows into the MV
@@ -187,7 +198,11 @@ object MaterializedView {
         .groupBy(entry.dims.map(col): _*)
         .agg(mergeCols.head, mergeCols.tail: _*)
       val nextDir = s"${entry.mvDir}/v${entry.version + 1}"
-      merged.write.mode("overwrite").parquet(nextDir)
+      // suppress the rule for the fold itself: a delta that scans the
+      // registered base path with a dims-only filter would otherwise be
+      // REWRITTEN against the stale MV — double-counting the region
+      // instead of folding the new rows
+      noSelfRewrite { merged.write.mode("overwrite").parquet(nextDir) }
       val mv = spark.read.parquet(nextDir)
       val next = entry.copy(mvRelation = relationOf(mv),
         version = entry.version + 1,
@@ -204,6 +219,22 @@ object MaterializedView {
     * namespace is bounded by what callers register, so stale locks
     * after [[clear]] are harmless. */
   private val refreshLocks = TrieMap.empty[(Int, String), Object]
+
+  /** Thread-local rule suppression for the library's OWN builds
+    * (materialize's snapshot aggregate, refresh's fold): optimization
+    * of an action runs on the calling thread, so this pins off the
+    * self-rewrite hazard without touching the session registry the way
+    * [[withoutRewrite]] does (which would race concurrent refreshes of
+    * OTHER MVs on the same session). */
+  private val selfBuild = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def noSelfRewrite[T](f: => T): T = {
+    selfBuild.set(java.lang.Boolean.TRUE)
+    try f
+    finally selfBuild.set(java.lang.Boolean.FALSE)
+  }
 
   private def aggFrame(rows: DataFrame, dims: Seq[String],
       sums: Seq[(String, Column)], mins: Seq[(String, Column)],
@@ -294,6 +325,7 @@ object MaterializedView {
       extends Rule[LogicalPlan] {
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (selfBuild.get()) return plan // library-internal build/fold
       val entries = registry.getOrElse(sessKey, Vector.empty)
       if (entries.isEmpty) plan
       else plan.transformUp {

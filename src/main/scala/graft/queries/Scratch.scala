@@ -22,4 +22,22 @@ private[graft] object Scratch {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     s"/tmp/graft_scratch/$tag/$name"
   }
+
+  /** Shared optimized-plan path check for the in-plan assertion rows
+    * (MV rewrite q266/q267/q276/q278): true iff the plan scans at
+    * least one file relation and EVERY scanned root path contains
+    * `marker` — i.e. nothing still reads the fact table. One copy so
+    * a change (AQE shapes, multi-root relations) lands once. */
+  def scansOnly(df: org.apache.spark.sql.DataFrame,
+                marker: String): Boolean = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    paths.nonEmpty && paths.forall(_.contains(marker))
+  }
 }

@@ -31,17 +31,8 @@ object Wave65 {
   private def qdec(c: org.apache.spark.sql.Column) =
     (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
 
-  private def scansOnlyMv(df: DataFrame): Boolean = {
-    val paths = df.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Seq.empty[String]
-        }
-    }.flatten
-    paths.nonEmpty && paths.forall(_.contains("lineitem_mv"))
-  }
+  private def scansOnlyMv(df: DataFrame): Boolean =
+    Scratch.scansOnly(df, "lineitem_mv")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -56,17 +56,8 @@ object Wave75 {
   /** q278's HAVING threshold — q204's BigOrderQty convention. */
   private val HavingQty = 250.0
 
-  private def scansOnly(df: DataFrame, marker: String): Boolean = {
-    val paths = df.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Seq.empty[String]
-        }
-    }.flatten
-    paths.nonEmpty && paths.forall(_.contains(marker))
-  }
+  private def scansOnly(df: DataFrame, marker: String): Boolean =
+    Scratch.scansOnly(df, marker)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

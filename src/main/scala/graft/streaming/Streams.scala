@@ -615,7 +615,15 @@ object Streams {
     * `ttl` ≫ the replay horizon the output is exactly
     * [[crawlDiffBatch]] (Wave75StreamsSpec pins that parity across
     * micro-batch splits, the expiry-reads-as-new behavior under a tiny
-    * TTL, and state survival across a checkpoint restart within TTL). */
+    * TTL, and state survival across a checkpoint restart within TTL).
+    *
+    * TTL expiry counts from the last WRITE, so unlike
+    * [[CrawlDiffProcessor]] (which skips the state write on
+    * `unchanged`), every batch that sees a key ends with ONE
+    * unconditional write — the TTL "touch" that keeps actively-crawled
+    * stable URLs alive; only keys that truly stop appearing expire
+    * (Wave75StreamsSpec pins the touch: a stable fingerprint re-seen
+    * within TTL stays `unchanged` past the first write's horizon). */
   class CrawlDiffTtlProcessor(ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, CrawlSeen, CrawlStatus] {
@@ -636,9 +644,12 @@ object Streams {
           if (prev == null) "new"
           else if (prev != r.fp) "changed"
           else "unchanged"
-        if (prev != r.fp) { last.update(r.fp); prev = r.fp }
+        prev = r.fp
         CrawlStatus(key, r.seq, status)
       }
+      // one write per (key, batch) whatever the verdicts: the value
+      // write is what restarts the TTL clock
+      if (prev != null) last.update(prev)
       out.iterator
     }
   }

@@ -106,6 +106,31 @@ class Wave75StreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("crawlDiffTtl: an unchanged sighting TOUCHES the TTL — stable active keys never expire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Streams.CrawlSeen]
+      val sink = s"ttlt_${System.nanoTime}"
+      // TTL 8 s; same fingerprint re-seen every ~5 s. TTL counts from
+      // the last WRITE, so without the per-batch touch the THIRD
+      // sighting (~10 s after the only write) would misreport `new`.
+      val q = start(input, Duration.ofSeconds(8), sink)
+      try {
+        input.addData(Streams.CrawlSeen("u", 0, "A"))
+        awaitRows(sink, 1)
+        Thread.sleep(5000)
+        input.addData(Streams.CrawlSeen("u", 1, "A"))
+        awaitRows(sink, 2)
+        Thread.sleep(5000)
+        input.addData(Streams.CrawlSeen("u", 2, "A"))
+        awaitRows(sink, 3)
+      } finally q.stop()
+      rows(sink) shouldBe Set(("u", 0L, "new"), ("u", 1L, "unchanged"),
+        ("u", 2L, "unchanged"))
+    }
+  }
+
   test("crawlDiffTtl: unexpired state survives a kill + checkpoint restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
