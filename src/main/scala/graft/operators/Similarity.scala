@@ -1007,4 +1007,143 @@ object Similarity {
       }
       .toDF(idCol, "j", "y")
   }
+
+  /** Normalized (query_id, neighbor_id) exclusion relation for the
+    * negative-mining operators: first two columns of `positives`
+    * coerced to long, deduplicated, broadcast (the positive lists of a
+    * probe-bounded query set are small by construction). */
+  private def positivePairs(positives: DataFrame): DataFrame = {
+    val cols = positives.columns
+    require(cols.length >= 2,
+      s"positives needs (query_id, pos_id) columns, got ${cols.mkString(",")}")
+    broadcast(positives
+      .select(col(cols(0)).cast("long").as("query_id"),
+        col(cols(1)).cast("long").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id"))
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training: per query, the
+    * top-k most-similar corpus vectors EXCLUDING an explicit positives
+    * relation (query_id, pos_id) — the pairs a contrastive objective
+    * must never sample as negatives (labeled positives, near-dup
+    * cluster mates, same-source docs; the caller picks the rule, so the
+    * operator composes with [[graft.operators.Dedup.nearDupClusters]]
+    * or any label table). Mining negatives ADJACENT to the decision
+    * boundary is the standard embedding-model move (dense-retrieval
+    * hard negatives); taking plain top-k without the exclusion poisons
+    * training with false negatives.
+    *
+    * Exclusion happens BEFORE similarity is computed (anti-join on the
+    * skinny id pair, positives broadcast), so excluded pairs cost
+    * nothing. Scale contract = [[bruteForceTopK]]'s: queries broadcast
+    * (probe-bounded by construction), corpus streams map-side, per-query
+    * rank via the bounded-heap Aggregator — no window over the corpus,
+    * nothing quadratic in |C|. For corpus-scale query sets use
+    * [[hardNegativesLsh]]. Output: (query_id, neighbor_id, rank, sim),
+    * sim quantized 1e-6. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame, idCol: String, vecCol: String,
+                    k: Int, exact: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val cand = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .join(positivePairs(positives), Seq("query_id", "neighbor_id"),
+        "left_anti")
+    val sims = pairSims(
+      cand.select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")),
+      exact).toDF("query_id", "neighbor_id", "sim")
+    val topk = Agg.topK(k)
+    sims.groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        V.quantize(col("col._1"), 6).as("sim"))
+  }
+
+  /** [[hardNegatives]] at corpus scale: candidates come from the
+    * multi-table sign-bit LSH buckets ([[lshTopK]]'s generation — skinny
+    * keyed (table, bucket) join, ids only, nothing quadratic), positives
+    * are anti-joined off the candidate pairs before vectors attach, and
+    * the rank is the same bounded-heap top-k. Approximate with the
+    * [[lshTopK]] recall curve — audit with [[annRecallAtK]] before
+    * trusting it (the q285 convention). */
+  def hardNegativesLsh(queries: DataFrame, corpus: DataFrame,
+                       positives: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nTables: Int = 24, bitsPerTable: Int = 0,
+                       dim: Int = 64, seed: Long = 42L,
+                       exact: Boolean = false): DataFrame = {
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(corpus.count())
+    val planes = md5Planes(seed, nTables, m, dim)
+    val qb = tableBuckets(queries, idCol, vecCol, planes)
+      .withColumnRenamed("id", "query_id")
+    val cb = tableBuckets(corpus, idCol, vecCol, planes)
+      .withColumnRenamed("id", "neighbor_id")
+    val pairs = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(positivePairs(positives), Seq("query_id", "neighbor_id"),
+        "left_anti")
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    rankTopK(pairs, qv, cv, k, exact)
+  }
+
+  /** SEMI-HARD TRIPLET MINING (the FaceNet rule): per anchor, pair the
+    * HARDEST positive (minimum similarity among the anchor's positives —
+    * the pair the loss must still pull together) with the SEMI-HARD
+    * negative (the most similar negative STRICTLY below that positive's
+    * similarity — inside the margin band, so the gradient is informative
+    * but the triplet is not already violated by a false label). Anchors
+    * with no positive, or no negative under the positive, emit nothing —
+    * semi-hard mining drops them by definition.
+    *
+    * Determinism: similarities come from the quantized order-invariant
+    * cosine kernel by default (`exact = true`), ties break to the
+    * LOWEST id on both legs (positive leg: min (sim, id) struct;
+    * negative leg: max (sim, -id) struct), and the strict `<` compare
+    * runs on the raw kernel doubles — one fixed IEEE op sequence any
+    * engine replays bit-for-bit. Output: (anchor_id, pos_id, pos_sim,
+    * neg_id, neg_sim), sims quantized 1e-6.
+    *
+    * Scale: anchors broadcast (mining runs on a probe/batch sample by
+    * construction — the in-batch semi-hard regime), corpus streams once;
+    * both per-anchor reductions are map-side-combinable single-struct
+    * aggregates (no window, no per-anchor candidate list ever
+    * materializes); the hardest-positive relation re-attaches to the
+    * negative stream via broadcast. */
+  def semiHardTriplets(anchors: DataFrame, corpus: DataFrame,
+                       positives: DataFrame, idCol: String, vecCol: String,
+                       exact: Boolean = true): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val pos = positivePairs(positives)
+    val sims = pairSims(
+      c.join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")),
+      exact).toDF("query_id", "neighbor_id", "sim")
+    val hardestPos = sims
+      .join(pos, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("sim"), col("neighbor_id"))).as("p"))
+      .select(col("query_id"), col("p.sim").as("pos_sim"),
+        col("p.neighbor_id").as("pos_id"))
+    sims
+      .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .join(broadcast(hardestPos), "query_id")
+      .filter(col("sim") < col("pos_sim"))
+      .groupBy(col("query_id"), col("pos_id"), col("pos_sim"))
+      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("nid"))).as("n"))
+      .select(col("query_id").as("anchor_id"), col("pos_id"),
+        V.quantize(col("pos_sim"), 6).as("pos_sim"),
+        (-col("n.nid")).as("neg_id"),
+        V.quantize(col("n.sim"), 6).as("neg_sim"))
+  }
 }

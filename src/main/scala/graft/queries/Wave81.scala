@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 81 — round 14, part seven: NEGATIVE MINING for contrastive
+  * training ([[Similarity.hardNegatives]], [[Similarity.semiHardTriplets]])
+  * — the missing piece between the similarity tier (top-k search) and a
+  * training-data pipeline that actually trains embedding models: top-k
+  * *negatives* per query with the positive pairs excluded, and the
+  * FaceNet semi-hard (anchor, positive, negative) triplet rule.
+  *
+  * Positives here are the SAME-SOURCE relation (two docs from one
+  * `source` are treated as positive pairs — the engine-neutral stand-in
+  * for "same cluster / same label"; the operator takes ANY explicit
+  * (query, pos) relation, so near-dup clusters or label tables plug in
+  * unchanged). Both rows run the quantized order-invariant cosine
+  * kernel, so DuckDB replays every similarity, the strict semi-hard
+  * compare, and both tie-breaks bit-for-bit.
+  */
+object Wave81 {
+
+  private val NQ = 12 // anchors: vec_id < 12 (probe-bounded by design)
+  private val K = 5
+
+  /** Same-source positive pairs restricted to the anchor set. */
+  private def sameSourcePositives(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val a = src.where(col("doc_id") < NQ)
+      .select(col("doc_id").as("query_id"), col("source"))
+    a.join(src.withColumnRenamed("doc_id", "pos_id"), Seq("source"))
+      .where(col("query_id") =!= col("pos_id"))
+      .select(col("query_id"), col("pos_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q287_hard_negatives" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+        emb.where(col("vec_id") < NQ), emb, sameSourcePositives(s, d),
+        "vec_id", "embedding", K, exact = true)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q288_semihard_triplets" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.semiHardTriplets(
+        emb.where(col("vec_id") < NQ), emb, sameSourcePositives(s, d),
+        "vec_id", "embedding")
+        .orderBy(col("anchor_id"))
+    })
+
+  /** DuckDB twin of VectorFunctions.dotQLong (exact quantized dot). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  private val SqlCommon =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $NQ),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |pos AS (
+       |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id
+       |  FROM documents a JOIN documents b ON a.source = b.source
+       |  WHERE a.doc_id < $NQ AND a.doc_id <> b.doc_id),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${sqlDotQ("qv", "cv")})
+       |      / (sqrt(${sqlDotQ("qv", "qv")}) * sqrt(${sqlDotQ("cv", "cv")})) AS sim
+       |  FROM q JOIN c ON query_id <> neighbor_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q287_hard_negatives" ->
+      s"""WITH $SqlCommon,
+         |negs AS (
+         |  SELECT s.query_id, s.neighbor_id, s.sim FROM sims s
+         |  ANTI JOIN pos p
+         |    ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM negs)
+         |SELECT query_id, neighbor_id, rank, floor(sim * 1e6) / 1e6 AS sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    "q288_semihard_triplets" ->
+      s"""WITH $SqlCommon,
+         |psims AS (
+         |  SELECT s.* FROM sims s
+         |  SEMI JOIN pos p
+         |    ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id),
+         |hp AS (
+         |  SELECT query_id AS anchor_id, neighbor_id AS pos_id, sim AS pos_sim
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY sim ASC, neighbor_id ASC) AS rn FROM psims)
+         |  WHERE rn = 1),
+         |nsims AS (
+         |  SELECT s.* FROM sims s
+         |  ANTI JOIN pos p
+         |    ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id),
+         |sh AS (
+         |  SELECT n.query_id AS anchor_id, hp.pos_id, hp.pos_sim,
+         |    n.neighbor_id AS neg_id, n.sim AS neg_sim,
+         |    row_number() OVER (PARTITION BY n.query_id
+         |      ORDER BY n.sim DESC, n.neighbor_id ASC) AS rn
+         |  FROM nsims n JOIN hp ON hp.anchor_id = n.query_id
+         |  WHERE n.sim < hp.pos_sim)
+         |SELECT anchor_id, pos_id, floor(pos_sim * 1e6) / 1e6 AS pos_sim,
+         |  neg_id, floor(neg_sim * 1e6) / 1e6 AS neg_sim
+         |FROM sh WHERE rn = 1 ORDER BY anchor_id""".stripMargin)
+}

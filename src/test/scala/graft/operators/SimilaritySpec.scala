@@ -370,4 +370,88 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
       (3L, 1, Some(1000000L), 0L),
       (4L, 2, None, 0L))
   }
+
+  test("hardNegatives golden: positive excluded, next-best candidates rank") {
+    import spark.implicits._
+    // 10's true nearest is 11 (positive — must be excluded), then 12, 13
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.99f, 0.1f, 0.0f)),
+      (12L, Array(0.9f, 0.3f, 0.0f)),
+      (13L, Array(0.5f, 0.5f, 0.0f)),
+      (14L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pos = Seq((10L, 11L)).toDF("query_id", "pos_id")
+    val r = Similarity.hardNegatives(
+      vecs.filter(col("vec_id") === 10L), vecs, pos, "vec_id", "embedding",
+      k = 2, exact = true)
+      .select(col("rank"), col("neighbor_id")).as[(Long, Long)]
+      .collect().sorted
+    r shouldBe Array((1L, 12L), (2L, 13L))
+  }
+
+  test("hardNegatives invariant: no positive pair ever surfaces (brute + LSH)") {
+    val q = emb.filter(col("vec_id") < 10)
+    // positives: ids in the same decade bucket (a dense exclusion set)
+    val pos = emb.select((col("vec_id") / 10).cast("long").as("b"),
+        col("vec_id").cast("long").as("pos_id"))
+      .join(emb.select((col("vec_id") / 10).cast("long").as("b"),
+        col("vec_id").cast("long").as("query_id")), Seq("b"))
+      .where(col("query_id") < 10 && col("query_id") =!= col("pos_id"))
+      .select(col("query_id"), col("pos_id"))
+    val posSet = topkSet(pos.toDF("query_id", "neighbor_id"))
+    val brute = Similarity.hardNegatives(q, emb, pos, "vec_id", "embedding", 5)
+    val lsh = Similarity.hardNegativesLsh(q, emb, pos, "vec_id", "embedding", 5)
+    (topkSet(brute) intersect posSet) shouldBe empty
+    (topkSet(lsh) intersect posSet) shouldBe empty
+    brute.count() shouldBe 50 // 10 queries × k, exclusion never starves k here
+    // LSH leg mines from bucket candidates; recall vs the brute leg
+    val recall = (topkSet(brute) intersect topkSet(lsh)).size.toDouble / 50
+    recall should be >= 0.9
+  }
+
+  test("semiHardTriplets golden: hardest positive + semi-hard negative") {
+    import spark.implicits._
+    // anchor 1: positives {2, 3}; hardest (least similar) positive is 3.
+    // negatives: 4 (sim above pos_sim — a HARD negative, skipped by the
+    // semi-hard rule), 5 (best under pos_sim — selected), 6 (worse).
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)), // pos, sim ~0.995
+      (3L, Array(0.7f, 0.7f, 0.0f)),  // pos, sim ~0.707 = hardest
+      (4L, Array(0.9f, 0.3f, 0.0f)),  // neg, sim ~0.949 > pos_sim → skipped
+      (5L, Array(0.5f, 0.8f, 0.0f)),  // neg, sim ~0.530 < pos_sim → selected
+      (6L, Array(0.0f, 0.0f, 1.0f))   // neg, sim 0
+    ).toDF("vec_id", "embedding")
+    val pos = Seq((1L, 2L), (1L, 3L)).toDF("query_id", "pos_id")
+    val r = Similarity.semiHardTriplets(
+      vecs.filter(col("vec_id") === 1L), vecs, pos, "vec_id", "embedding")
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"))
+      .as[(Long, Long, Long)].collect()
+    r shouldBe Array((1L, 3L, 5L))
+  }
+
+  test("semiHardTriplets invariants on real embeddings: neg strictly under pos, legs disjoint from/within positives") {
+    import spark.implicits._
+    val anchors = emb.filter(col("vec_id") < 12)
+    val pos = emb.select((col("vec_id") / 25).cast("long").as("b"),
+        col("vec_id").cast("long").as("pos_id"))
+      .join(emb.select((col("vec_id") / 25).cast("long").as("b"),
+        col("vec_id").cast("long").as("query_id")), Seq("b"))
+      .where(col("query_id") < 12 && col("query_id") =!= col("pos_id"))
+      .select(col("query_id"), col("pos_id"))
+    val posSet = pos.as[(Long, Long)].collect().toSet
+    val r = Similarity.semiHardTriplets(anchors, emb, pos,
+      "vec_id", "embedding")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    r should not be empty
+    r.foreach { case (a, p, ps, n, ns) =>
+      assert(posSet.contains((a, p)), s"pos leg ($a,$p) not a positive")
+      assert(!posSet.contains((a, n)), s"neg leg ($a,$n) is a positive")
+      // raw compare is strict; 1e-6 quantization can collapse a hair gap
+      assert(ns <= ps, s"neg_sim $ns not under pos_sim $ps for anchor $a")
+    }
+    // at most one triplet per anchor
+    r.map(_._1).distinct.length shouldBe r.length
+  }
 }
