@@ -1853,4 +1853,102 @@ object TextAnalysis {
       .select(col("n_a"), col("n_b"),
         expr("d * 1000000L div (n_a * n_b)").as("ks_ppm"))
   }
+
+  /** Positional POSTING LIST for a bounded vocabulary: one codegen
+    * tokenize + posexplode over the corpus, filtered to the query
+    * vocabulary before anything shuffles — the inverted-index primitive
+    * under [[phraseMatch]] and [[termMinDistance]]. Positions are
+    * 0-based token offsets. Output: (id, pos, tok), only query-vocab
+    * rows (match density, not corpus size). */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Seq[String]): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(T.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(vocab.distinct: _*))
+
+  /** POSITIONAL phrase matching: per (phrase, doc), the number of
+    * occurrences of the phrase as CONSECUTIVE tokens — what separates a
+    * real phrase query from bag-of-words candidacy (a doc holding both
+    * terms apart is NOT a match). Occurrences may overlap (each start
+    * position counts); the tokenizer is the engine-standard
+    * [[graft.functions.TextFunctions.tokens]], so a list-indexing engine
+    * (DuckDB) replays every count verbatim.
+    *
+    * Shape: ONE tokenize+posexplode scan filtered to the phrase
+    * vocabulary (so only matching tokens ever shuffle), then per phrase
+    * a chain of skinny (id, pos) equi-joins — word j's postings shifted
+    * by −j — whose surviving rows ARE the phrase starts. Never a
+    * per-position interpreted lambda over the document (the first cut
+    * did exactly that and re-tokenized the doc per position; 100×
+    * slower), never anything quadratic in the corpus: the join keys are
+    * (id, pos), match-density-bounded. dl re-attaches to CANDIDATES by
+    * one keyed join (AQE broadcasts the small side). Emits only
+    * matching rows. Output: (phrase_id, id, n_occ, dl). */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "need at least one non-empty phrase")
+    val posts = postings(docs, idCol, textCol,
+      phrases.flatMap(_._2)).cache()
+    val perPhrase = phrases.map { case (pid, words) =>
+      var starts = posts.where(col("tok") === words.head)
+        .select(col("id"), col("pos"))
+      words.zipWithIndex.drop(1).foreach { case (w, j) =>
+        starts = starts.join(
+          posts.where(col("tok") === w)
+            .select(col("id"), (col("pos") - j).as("pos")),
+          Seq("id", "pos"))
+      }
+      starts.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_occ"))
+        .select(lit(pid).as("phrase_id"), col("id"), col("n_occ"))
+    }
+    val cand = perPhrase.reduce(_ union _)
+    val dl = docs.select(col(idCol).as("id"),
+      T.tokenCount(col(textCol)).as("dl"))
+    cand.join(dl, "id")
+      .select(col("phrase_id"), col("id"), col("n_occ"), col("dl"))
+  }
+
+  /** Ranked phrase retrieval over [[phraseMatch]] candidates: per
+    * phrase, the top-k docs by (occurrences desc, length asc, id) —
+    * more hits beat longer padding. The rank window runs over MATCHING
+    * docs only (match density, not corpus size — the q286 convention),
+    * so the corpus-wide work stays the single tokenize-and-filter
+    * projection. Output: (phrase_id, id, n_occ, rank). */
+  def phraseRank(docs: DataFrame, idCol: String, textCol: String,
+                 phrases: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phrase_id"))
+      .orderBy(col("n_occ").desc, col("dl").asc, col("id"))
+    phraseMatch(docs, idCol, textCol, phrases)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("phrase_id"), col("id"), col("n_occ"), col("rank"))
+  }
+
+  /** TERM PROXIMITY: per doc containing BOTH terms of a pair, the
+    * minimum token distance |i−j| between any occurrence of each — the
+    * primitive under proximity-boosted ranking and "terms within a
+    * window" operators. Same posting-list shape as [[phraseMatch]]: one
+    * vocab-filtered tokenize+posexplode scan, then per pair an (id)
+    * equi-join of the two terms' postings and a map-side-combinable
+    * min(|p1−p2|). Per-doc join cost is tf(t1)·tf(t2) — the standard
+    * proximity bill; for stopword-frequency terms, pre-filter or cap
+    * upstream (query terms are rare by construction in retrieval).
+    * Output: (pair_id, id, min_dist). */
+  def termMinDistance(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: Seq[(Long, String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one term pair")
+    val posts = postings(docs, idCol, textCol,
+      pairs.flatMap(p => Seq(p._2, p._3))).cache()
+    pairs.map { case (pid, t1, t2) =>
+      posts.where(col("tok") === t1).select(col("id"), col("pos").as("p1"))
+        .join(posts.where(col("tok") === t2)
+          .select(col("id"), col("pos").as("p2")), Seq("id"))
+        .groupBy(col("id"))
+        .agg(min(abs(col("p1") - col("p2"))).cast("long").as("min_dist"))
+        .select(lit(pid).as("pair_id"), col("id"), col("min_dist"))
+    }.reduce(_ union _)
+  }
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 82 — round 14, part eight: POSITIONAL retrieval —
+  * [[TextAnalysis.phraseRank]] (exact consecutive-token phrase queries,
+  * occurrence-counted and ranked) and [[TextAnalysis.termMinDistance]]
+  * (min token distance between two terms — the proximity primitive).
+  * Bag-of-words retrieval (q275/q286) can't tell "new york" from "york
+  * is new"; these two close the positional gap.
+  *
+  * Plants make position decide the answer: q289 plants each phrase
+  * adjacent in some docs (once or twice), and as a SPLIT decoy
+  * (both terms, one filler apart) in others — a bag-of-words impl
+  * would rank decoy docs, a positional one must not. q290 plants term
+  * pairs at CONTROLLED gaps (doc_id-derived filler runs, plus a
+  * reversed-order plant, since distance is symmetric), so the oracle
+  * must recompute exact position lists to agree.
+  */
+object Wave82 {
+
+  private val NP = 4 // phrases
+  private val K = 5
+
+  private def w1(i: Int): String = "pq" + ('a' + i).toChar + "a"
+  private def w2(i: Int): String = "pq" + ('a' + i).toChar + "b"
+
+  private def plantedPhrases(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        (0 until NP).map(i => concat(
+          when(pmod(col("doc_id"), lit(11)) === i,
+            lit(s" ${w1(i)} ${w2(i)}")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === i,
+            lit(s" ${w1(i)} ${w2(i)} ${w1(i)} ${w2(i)}")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === i,
+            lit(s" ${w1(i)} zdecoy ${w2(i)}")).otherwise(lit(""))))
+          .reduce(concat(_, _))))
+
+  private def plantedPairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        // pair 0: gap g fillers for doc_id%9 = g in 0..5 → distance g+1
+        (0 to 5).map(g =>
+          when(pmod(col("doc_id"), lit(9)) === g,
+            lit(" prxa" + " zfil" * g + " prya")).otherwise(lit("")))
+          .reduce(concat(_, _)),
+        // pair 1: reversed order (distance symmetric) and a wide gap
+        when(pmod(col("doc_id"), lit(10)) === 3, lit(" pryb prxb"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(10)) === 7,
+          lit(" prxb zfil zfil zfil pryb")).otherwise(lit(""))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q289_phrase_rank" -> { (s, d) =>
+      TextAnalysis.phraseRank(plantedPhrases(s, d), "doc_id", "text",
+        (0 until NP).map(i => (i.toLong, Seq(w1(i), w2(i)))), K)
+        .orderBy(col("phrase_id"), col("rank"))
+    },
+
+    "q290_term_proximity" -> { (s, d) =>
+      TextAnalysis.termMinDistance(plantedPairs(s, d), "doc_id", "text",
+        Seq((0L, "prxa", "prya"), (1L, "prxb", "pryb")))
+        .orderBy(col("pair_id"), col("id"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q289_phrase_rank" -> {
+      val plant = (0 until NP).map(i =>
+        s"CASE WHEN doc_id % 11 = $i THEN ' ${w1(i)} ${w2(i)}' ELSE '' END || " +
+          s"CASE WHEN doc_id % 7 = $i THEN ' ${w1(i)} ${w2(i)} ${w1(i)} ${w2(i)}' ELSE '' END || " +
+          s"CASE WHEN doc_id % 13 = $i THEN ' ${w1(i)} zdecoy ${w2(i)}' ELSE '' END")
+        .mkString(" || ")
+      val perPhrase = (0 until NP).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS phrase_id, id,
+           |  CASE WHEN len(toks) >= 2 THEN CAST(len(list_filter(
+           |    range(1, len(toks)),
+           |    i -> toks[i] = '${w1(i)}' AND toks[i+1] = '${w2(i)}'))
+           |    AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_occ, dl
+           |FROM base""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || $plant AS text FROM documents),
+         |base AS (
+         |  SELECT doc_id AS id, $SqlToks AS toks,
+         |    CAST(len($SqlToks) AS BIGINT) AS dl
+         |  FROM planted),
+         |cand AS (
+         |  $perPhrase),
+         |ranked AS (
+         |  SELECT phrase_id, id, n_occ,
+         |    CAST(row_number() OVER (PARTITION BY phrase_id
+         |      ORDER BY n_occ DESC, dl ASC, id) AS BIGINT) AS rank
+         |  FROM cand WHERE n_occ > 0)
+         |SELECT phrase_id, id, n_occ, rank FROM ranked
+         |WHERE rank <= $K ORDER BY phrase_id, rank""".stripMargin
+    },
+
+    "q290_term_proximity" -> {
+      val plant0 = (0 to 5).map(g =>
+        s"CASE WHEN doc_id % 9 = $g THEN ' prxa${" zfil" * g} prya' ELSE '' END")
+        .mkString(" || ")
+      val plant1 =
+        "CASE WHEN doc_id % 10 = 3 THEN ' pryb prxb' ELSE '' END || " +
+          "CASE WHEN doc_id % 10 = 7 THEN ' prxb zfil zfil zfil pryb' ELSE '' END"
+      def pairSel(pid: Int, t1: String, t2: String): String =
+        s"""SELECT CAST($pid AS BIGINT) AS pair_id, id,
+           |  CAST(list_min(flatten(list_transform(
+           |    list_filter(range(1, len(toks)+1), i -> toks[i] = '$t1'),
+           |    a -> list_transform(
+           |      list_filter(range(1, len(toks)+1), i -> toks[i] = '$t2'),
+           |      b -> abs(a - b))))) AS BIGINT) AS min_dist
+           |FROM base
+           |WHERE len(list_filter(range(1, len(toks)+1), i -> toks[i] = '$t1')) > 0
+           |  AND len(list_filter(range(1, len(toks)+1), i -> toks[i] = '$t2')) > 0""".stripMargin
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || $plant0 || $plant1 AS text FROM documents),
+         |base AS (
+         |  SELECT doc_id AS id, $SqlToks AS toks FROM planted)
+         |${pairSel(0, "prxa", "prya")}
+         |UNION ALL
+         |${pairSel(1, "prxb", "pryb")}
+         |ORDER BY pair_id, id""".stripMargin
+    })
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-built goldens for the positional-retrieval primitives
+  * (Wave 82: phraseMatch/phraseRank, termMinDistance). */
+class Wave82Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import org.apache.spark.sql.functions._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("phraseMatch: consecutive-only, overlap-counted, case/punct-folded") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "New York is big"),          // 1 occurrence (case-folded)
+      (2L, "york new york new york"),   // 2 (overlapping starts)
+      (3L, "new apple york"),           // split — NOT a match
+      (4L, "new, york!"),               // punctuation folds away → 1
+      (5L, ""),                         // empty: no crash, no row
+      (6L, "york new"))                 // reversed — not a match
+    val r = TextAnalysis.phraseMatch(d, "doc_id", "text",
+      Seq((0L, Seq("new", "york"))))
+      .select("id", "n_occ").as[(Long, Long)].collect().sorted
+    r shouldBe Array((1L, 1L), (2L, 2L), (4L, 1L))
+  }
+
+  test("phraseMatch: three-token phrase and multi-phrase single scan") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "a b c a b c"),  // "a b c" ×2; "b c a" ×1
+      (2L, "a b x c"))      // neither
+    val r = TextAnalysis.phraseMatch(d, "doc_id", "text",
+      Seq((0L, Seq("a", "b", "c")), (1L, Seq("b", "c", "a"))))
+      .select("phrase_id", "id", "n_occ").as[(Long, Long, Long)]
+      .collect().sorted
+    r shouldBe Array((0L, 1L, 2L), (1L, 1L, 1L))
+  }
+
+  test("phraseRank: occurrences desc, then length asc, then id") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "x y"),               // 1 occ, dl 2
+      (2L, "x y x y"),           // 2 occ → rank 1
+      (3L, "x y pad pad pad"),   // 1 occ, dl 5 → after doc 1
+      (4L, "x pad y"))           // split — absent
+    val r = TextAnalysis.phraseRank(d, "doc_id", "text",
+      Seq((0L, Seq("x", "y"))), k = 3)
+      .select("rank", "id").as[(Long, Long)].collect().sorted
+    r shouldBe Array((1L, 2L), (2L, 1L), (3L, 3L))
+  }
+
+  test("termMinDistance: symmetric, min over all occurrence pairs, both-terms-only") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "aa bb"),                  // dist 1
+      (2L, "bb x x aa"),              // reversed, dist 3
+      (3L, "aa x bb x x aa"),         // pairs: |1-3|=2, |6-3|=3 → 2
+      (4L, "aa only here"),           // missing bb → no row
+      (5L, "bb alone"),               // missing aa → no row
+      (6L, "aa aa bb bb"))            // closest adjacent pair → 1
+    val r = TextAnalysis.termMinDistance(d, "doc_id", "text",
+      Seq((7L, "aa", "bb")))
+      .select("pair_id", "id", "min_dist").as[(Long, Long, Long)]
+      .collect().sorted
+    r shouldBe Array((7L, 1L, 1L), (7L, 2L, 3L), (7L, 3L, 2L), (7L, 6L, 1L))
+  }
+}
