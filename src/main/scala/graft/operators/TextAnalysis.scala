@@ -1951,4 +1951,34 @@ object TextAnalysis {
         .select(lit(pid).as("pair_id"), col("id"), col("min_dist"))
     }.reduce(_ union _)
   }
+
+  /** KEYWORD-IN-CONTEXT snippets: for each (term, doc) hit, the FIRST
+    * occurrence position and the ±`window` surrounding tokens joined
+    * with single spaces — the display/inspection primitive retrieval
+    * pipelines bolt onto every ranked list (and the human-review stage
+    * of a data-curation loop). Positions are 1-based in the OUTPUT
+    * (the list-indexing convention an oracle engine replays directly).
+    *
+    * Shape: the [[phraseMatch]] posting scan filtered to the term
+    * vocabulary → per (doc, term) min position (map-side combinable) →
+    * ONE keyed join back to a tokenized projection of the MATCHED docs
+    * only (AQE broadcasts the small candidate side), then a codegen
+    * slice+join of the token array. Two linear scans, shuffles bounded
+    * by match density. Output: (term, id, pos, snippet). */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], window: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    require(window >= 0, "window must be >= 0")
+    val firstHit = postings(docs, idCol, textCol, terms)
+      .groupBy(col("id"), col("tok").as("term"))
+      .agg((min(col("pos")) + 1).as("pos")) // 1-based
+    val toked = docs.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("toks"))
+    val start = greatest(lit(1), col("pos") - window)
+    val end = least(size(col("toks")), col("pos") + window)
+    firstHit.join(toked, "id")
+      .select(col("term"), col("id"), col("pos").cast("long").as("pos"),
+        array_join(slice(col("toks"), start, end - start + lit(1)), " ")
+          .as("snippet"))
+  }
 }

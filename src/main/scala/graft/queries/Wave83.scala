@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 83 — round 14, part nine: KEYWORD-IN-CONTEXT snippets
+  * ([[TextAnalysis.snippets]]) — the display/inspection primitive over
+  * ranked retrieval (and the human-review stage of a curation loop):
+  * first occurrence of each query term per doc, ±3 surrounding tokens.
+  *
+  * The plant exercises every boundary of the window math: a term at
+  * the very FIRST token (left-truncated window), at the very LAST
+  * token (right-truncated), mid-tail with real tokens on both sides
+  * (full window), and planted at BOTH ends of the same doc (the
+  * first-occurrence rule must pick the prefix). The oracle replays
+  * tokenize, first-position, clamp, slice, and join verbatim. */
+object Wave83 {
+
+  private val W = 3
+
+  private def planted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      concat(
+        when(pmod(col("doc_id"), lit(8)) === 1, lit("ksnipa "))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(8)) === 5, lit("ksnipd "))
+          .otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(8)) === 2, lit(" ksnipb"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(8)) === 3,
+          lit(" kleft kltwo ksnipc krone krtwo krthree")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(8)) === 5, lit(" ksnipd"))
+          .otherwise(lit(""))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_kwic_snippets" -> { (s, d) =>
+      TextAnalysis.snippets(planted(s, d), "doc_id", "text",
+        Seq("ksnipa", "ksnipb", "ksnipc", "ksnipd"), window = W)
+        .orderBy(col("term"), col("id"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q291_kwic_snippets" -> {
+      val perTerm = Seq("ksnipa", "ksnipb", "ksnipc", "ksnipd").map { t =>
+        s"""SELECT '$t' AS term, id,
+           |  CAST(list_position(toks, '$t') AS BIGINT) AS pos,
+           |  array_to_string(list_slice(toks,
+           |    greatest(1, list_position(toks, '$t') - $W),
+           |    least(len(toks), list_position(toks, '$t') + $W)), ' ')
+           |    AS snippet
+           |FROM base WHERE list_position(toks, '$t') > 0""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 8 = 1 THEN 'ksnipa ' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 8 = 5 THEN 'ksnipd ' ELSE '' END) ||
+         |    text ||
+         |    (CASE WHEN doc_id % 8 = 2 THEN ' ksnipb' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 8 = 3
+         |      THEN ' kleft kltwo ksnipc krone krtwo krthree' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 8 = 5 THEN ' ksnipd' ELSE '' END) AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id AS id, $SqlToks AS toks FROM planted)
+         |$perTerm
+         |ORDER BY term, id""".stripMargin
+    })
+}

@@ -70,4 +70,32 @@ class Wave82Spec extends AnyFunSuite with Matchers with SparkFixture {
       .collect().sorted
     r shouldBe Array((7L, 1L, 1L), (7L, 2L, 3L), (7L, 3L, 2L), (7L, 6L, 1L))
   }
+
+  test("snippets: window clamps at both ends, first occurrence wins") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "hit a b c d e"),       // left-truncated: snippet = hit..c (pos 1)
+      (2L, "a b c d e hit"),       // right-truncated: c..hit (pos 6)
+      (3L, "a b c hit d e f g"),   // full ±3 window: a..g minus tail (pos 4)
+      (4L, "hit a b c hit d"),     // two occurrences → first (pos 1)
+      (5L, "no match here"))
+    val r = TextAnalysis.snippets(d, "doc_id", "text", Seq("hit"), window = 3)
+      .select("id", "pos", "snippet").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 1L, "hit a b c"),
+      (2L, 6L, "c d e hit"),
+      (3L, 4L, "a b c hit d e f"),
+      (4L, 1L, "hit a b c"))
+  }
+
+  test("snippets: window 0 is the bare token; multiple terms one scan") {
+    import spark.implicits._
+    val d = docs((1L, "x foo y bar z"))
+    val r = TextAnalysis.snippets(d, "doc_id", "text",
+      Seq("foo", "bar"), window = 0)
+      .select("term", "pos", "snippet").as[(String, Long, String)]
+      .collect().sortBy(_._1)
+    r shouldBe Array(("bar", 4L, "bar"), ("foo", 2L, "foo"))
+  }
 }
