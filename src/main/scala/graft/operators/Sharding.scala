@@ -413,4 +413,62 @@ object Sharding {
       .select(col("id"), col("epoch").cast("long").as("epoch"),
         col("shard"), col("pos"))
   }
+
+  /** DOMAIN-CALIBRATED quality filtering: keep the top `keepPpm`
+    * fraction of each domain BY ITS OWN score distribution — the fix
+    * for the classic curation bug where one global threshold empties
+    * low-scoring domains (code, non-English) and waves through all of
+    * high-scoring ones. Rank is per-domain (score desc, id); the keep
+    * rule `rank · 10⁶ ≤ keepPpm · n_domain` is exact integer
+    * arithmetic, so every engine draws the same cut (no percentile
+    * interpolation ambiguity). Output: kept rows only —
+    * (id, domain, score, rk, n_domain).
+    *
+    * Scale: one shuffle on domain + a per-domain window; domains are
+    * the natural partitions (a mega-domain serializes its own window —
+    * pre-split such domains with a salt on a coarser key upstream, or
+    * filter by a [[graft.operators.Quantiles]] sketch cut instead). */
+  def domainCalibratedFilter(docs: DataFrame, idCol: String,
+                             domainCol: String, score: Column,
+                             keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, s"keepPpm in [0,1e6]: $keepPpm")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("score").desc, col("id"))
+    val wAll = Window.partitionBy(col("domain"))
+    docs.select(col(idCol).cast("long").as("id"),
+        col(domainCol).as("domain"), score.cast("long").as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_domain", count(lit(1)).over(wAll))
+      .where(col("rk") * lit(1000000L) <= lit(keepPpm) * col("n_domain"))
+  }
+
+  /** Per-domain TOKEN-BUDGET selection: fill each domain's budget with
+    * its best docs — order by (score desc, id), take the maximal prefix
+    * whose CUMULATIVE token count stays ≤ `budget` (greedy
+    * quality-first fill; the budget is a hard cap, so a doc that would
+    * overflow it stops the prefix — deliberately NOT best-fit-skip,
+    * which would un-order the selection and make "why was this doc
+    * dropped" unanswerable). This is the "sample N tokens per domain,
+    * best first" step of mixture construction, where domain weights
+    * arrive as token budgets, not row counts.
+    *
+    * Same scale contract as [[domainCalibratedFilter]] (per-domain
+    * window cumsum — codegen, spill-safe; mega-domains pre-split
+    * upstream). Output: (id, domain, n_tokens, cum_tokens, rk). */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, domainCol: String,
+                        nTokens: Column, score: Column,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("score").desc, col("id"))
+    docs.select(col(idCol).cast("long").as("id"),
+        col(domainCol).as("domain"), nTokens.cast("long").as("n_tokens"),
+        score.cast("long").as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("cum_tokens") <= budget)
+      .select(col("id"), col("domain"), col("n_tokens"), col("cum_tokens"),
+        col("rk"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.Sharding
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 84 — round 14, part ten: MIXTURE CONSTRUCTION —
+  * [[Sharding.domainCalibratedFilter]] (keep the top p of each domain
+  * by its OWN score distribution, the fix for one global threshold
+  * emptying low-scoring domains) and [[Sharding.tokenBudgetSelect]]
+  * (fill each domain's token budget best-first — domain weights arrive
+  * as token budgets, not row counts).
+  *
+  * The quality score is the type-token ratio in integer ppm
+  * (distinct tokens ·10⁶ div tokens) — a real curation signal
+  * (boilerplate and spam repeat themselves) that both engines compute
+  * with exact integer arithmetic, so ranks, cuts, and cumulative sums
+  * replay bit-for-bit. */
+object Wave84 {
+
+  private val KeepPpm = 400000L // top 40% of each domain
+  private val Budget = 600L     // tokens per domain
+
+  private def scored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+        T.uniqueTokenCount(col("text")).as("ut"),
+        T.tokenCount(col("text")).as("dl"))
+      .withColumn("ttr_ppm",
+        when(col("dl") > 0, expr("ut * 1000000 DIV dl")).otherwise(0L))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q292_domain_calibration" -> { (s, d) =>
+      Sharding.domainCalibratedFilter(scored(s, d), "doc_id", "source",
+        col("ttr_ppm"), KeepPpm)
+        .orderBy(col("domain"), col("rk"))
+    },
+
+    "q293_token_budget" -> { (s, d) =>
+      Sharding.tokenBudgetSelect(scored(s, d), "doc_id", "source",
+        col("dl"), col("ttr_ppm"), Budget)
+        .orderBy(col("domain"), col("rk"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private val SqlScored =
+    s"""base AS (
+       |  SELECT doc_id AS id, source AS domain, $SqlToks AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT id, domain,
+       |    CAST(len(toks) AS BIGINT) AS dl,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS score
+       |  FROM base)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q292_domain_calibration" ->
+      s"""WITH $SqlScored,
+         |ranked AS (
+         |  SELECT id, domain, score,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY score DESC, id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
+         |  FROM scored)
+         |SELECT id, domain, score, rk, n_domain FROM ranked
+         |WHERE rk * 1000000 <= $KeepPpm * n_domain
+         |ORDER BY domain, rk""".stripMargin,
+
+    "q293_token_budget" ->
+      s"""WITH $SqlScored,
+         |ranked AS (
+         |  SELECT id, domain, dl AS n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY score DESC, id) AS BIGINT) AS rk,
+         |    CAST(sum(dl) OVER (PARTITION BY domain
+         |      ORDER BY score DESC, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM scored)
+         |SELECT id, domain, n_tokens, cum_tokens, rk FROM ranked
+         |WHERE cum_tokens <= $Budget
+         |ORDER BY domain, rk""".stripMargin)
+}

@@ -258,4 +258,39 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
     // sampled ids are real ids
     s1.join(withLang, s1("id") === withLang("doc_id")).count() shouldBe s1.count()
   }
+
+  test("domainCalibratedFilter: per-domain cut at the exact ppm boundary") {
+    import spark.implicits._
+    // domain a: 4 rows → keep 500000 ppm = rows with rk·1e6 ≤ 0.5e6·4,
+    // i.e. rk ≤ 2 EXACTLY (the boundary row stays in).
+    // domain b: 1 row → rk 1 ≤ 0.5 fails — a singleton is dropped at 50%.
+    val d = Seq(
+      (1L, "a", 900L), (2L, "a", 800L), (3L, "a", 700L), (4L, "a", 600L),
+      (5L, "b", 999L)
+    ).toDF("doc_id", "dom", "s")
+    val r = Sharding.domainCalibratedFilter(d, "doc_id", "dom",
+      col("s"), 500000L)
+      .select("id", "rk").as[(Long, Long)].collect().sorted
+    r shouldBe Array((1L, 1L), (2L, 2L))
+    // ties broken by id: equal scores keep the LOWER id first
+    val t = Seq((10L, "c", 5L), (11L, "c", 5L), (12L, "c", 5L), (13L, "c", 5L))
+      .toDF("doc_id", "dom", "s")
+    Sharding.domainCalibratedFilter(t, "doc_id", "dom", col("s"), 500000L)
+      .select("id").as[Long].collect().sorted shouldBe Array(10L, 11L)
+  }
+
+  test("tokenBudgetSelect: maximal quality-first prefix, overflow ends the domain") {
+    import spark.implicits._
+    // quality order in domain a: 1 (tok 5), 2 (tok 10), 3 (tok 2).
+    // budget 7: doc 1 fits (cum 5), doc 2 overflows (cum 15) — and doc 3
+    // (cum 17) must NOT slip back in even though its own 2 tokens would fit.
+    val d = Seq(
+      (1L, "a", 5L, 9L), (2L, "a", 10L, 8L), (3L, "a", 2L, 7L),
+      (4L, "b", 7L, 1L) // exact-budget fit is kept
+    ).toDF("doc_id", "dom", "tok", "s")
+    val r = Sharding.tokenBudgetSelect(d, "doc_id", "dom",
+      col("tok"), col("s"), budget = 7L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sorted
+    r shouldBe Array((1L, 5L), (4L, 7L))
+  }
 }
