@@ -471,4 +471,85 @@ object Sharding {
       .select(col("id"), col("domain"), col("n_tokens"), col("cum_tokens"),
         col("rk"))
   }
+
+  /** DETERMINISTIC MIXTURE SCHEDULE (stride scheduling): the interleaved
+    * consumption order a trainer reads when domain weights say "2 parts
+    * src-A to 1 part src-B". Each doc gets a per-domain rank rk over a
+    * hash-shuffled order (md5 of id — resumable, seedless, no RNG
+    * state), then a stride key `rk·10⁶ div weight`: a domain of weight w
+    * schedules its rk-th doc at position ~rk/w, so heavier domains
+    * appear proportionally more often, interleaved — not blocked — from
+    * the very first rows. All integer arithmetic; ties (same key) break
+    * by (domain, rk), so any engine emits the identical order.
+    *
+    * Scale: the rank is a per-domain window over the hash order; the
+    * schedule head is orderBy+limit — a TakeOrdered (per-partition
+    * top-`take` then one merge), never a global sort; the final
+    * global_pos numbers only the `take` retained rows. Zero-weight
+    * domains are excluded. Output:
+    * (global_pos, id, domain, rk, sched_key). */
+  def mixtureSchedule(docs: DataFrame, idCol: String, domainCol: String,
+                      weight: Column, take: Int): DataFrame = {
+    require(take >= 1, s"take must be >= 1: $take")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("h"), col("id"))
+    val keyed = docs
+      .select(col(idCol).cast("long").as("id"), col(domainCol).as("domain"),
+        weight.cast("long").as("wt"))
+      .where(col("wt") > 0)
+      .withColumn("h", md5(col("id").cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("sched_key", expr("rk * 1000000 DIV wt"))
+      .select(col("id"), col("domain"), col("rk"), col("sched_key"))
+    val head = keyed
+      .orderBy(col("sched_key"), col("domain"), col("rk")).limit(take)
+    val wPos = Window.orderBy(col("sched_key"), col("domain"), col("rk"))
+    head.withColumn("global_pos", row_number().over(wPos).cast("long"))
+      .select(col("global_pos"), col("id"), col("domain"), col("rk"),
+        col("sched_key"))
+  }
+
+  /** [[domainCalibratedFilter]]'s 100 TB path: the per-domain cutoff
+    * comes from a deterministic bottom-k hash sample (the
+    * [[graft.operators.Sketches.quantileSketch]] state — same
+    * `md5("qsk:" || id)` key, same exact merge law), so NO corpus-sized
+    * window ever runs: the corpus is touched by (1) the sketch build —
+    * a groupBy whose map-side partials are ≤ k rows — and (2) a
+    * broadcast-threshold filter scan. A mega-domain costs k rows of
+    * state instead of serializing its window.
+    *
+    * Cutoff = the s-th largest score in the domain's sample,
+    * s = max(1, keepPpm·k′ div 10⁶) with k′ = |sample| = min(k, n);
+    * kept = score ≥ cutoff. Approximate in exchange for the unbounded
+    * scale: rank error is the k-row sampling error O(n/√k), ties at the
+    * cutoff all stay (deliberate — a value-threshold filter must be
+    * reproducible from the threshold alone). Audit against the exact
+    * window path on a probe domain before trusting a new k (the q285
+    * measure-don't-guess convention). Output: (id, domain, score). */
+  def domainCalibratedFilterSketch(docs: DataFrame, idCol: String,
+                                   domainCol: String, score: Column,
+                                   keepPpm: Long, k: Int = 256): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, s"keepPpm in [0,1e6]: $keepPpm")
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(domainCol).as("domain"), score.cast("long").as("score"))
+    val bk = Agg.bottomK(k)
+    val sample = base.groupBy(col("domain"))
+      .agg(bk(md5(concat(lit("qsk:"), col("id").cast("string"))),
+        col("id")).as("sk"))
+      .select(col("domain"), explode(col("sk")).as("e"))
+      .select(col("domain"), col("e._2").as("id"))
+    val wS = Window.partitionBy(col("domain"))
+      .orderBy(col("score").desc, col("id"))
+    val wN = Window.partitionBy(col("domain"))
+    val thr = broadcast(sample).join(base, Seq("domain", "id"))
+      .withColumn("srk", row_number().over(wS).cast("long"))
+      .withColumn("kk", count(lit(1)).over(wN))
+      .where(col("srk") ===
+        greatest(lit(1L), expr(s"$keepPpm * kk DIV 1000000")))
+      .select(col("domain"), col("score").as("cutoff"))
+    base.join(broadcast(thr), "domain")
+      .where(col("score") >= col("cutoff"))
+      .select(col("id"), col("domain"), col("score"))
+  }
 }

@@ -1981,4 +1981,50 @@ object TextAnalysis {
         array_join(slice(col("toks"), start, end - start + lit(1)), " ")
           .as("snippet"))
   }
+
+  /** FILTER FUNNEL report: apply keep-predicates in STAGE ORDER and
+    * count, per stage, how many docs reached it, how many it removed,
+    * and how many survived — the tuning artifact every curation
+    * pipeline publishes (a pipeline that only reports the final keep
+    * count can't tell an over-aggressive stage from a redundant one).
+    * Stage semantics are sequential: a doc is charged to the FIRST
+    * stage whose predicate it fails, so per-stage removals sum to total
+    * drops regardless of predicate overlap.
+    *
+    * One corpus scan computes every predicate and folds to a
+    * first-failing-stage index; the report is a |stages|+1-row count
+    * table finished with a window cumsum over that tiny relation —
+    * nothing corpus-sized shuffles and nothing is collected. Pass
+    * integer-arithmetic predicates (cross-multiplied thresholds) when
+    * the report must replay bit-for-bit on another engine. Output:
+    * (stage_idx, stage, n_in, n_removed, n_out), one row per stage. */
+  def filterFunnel(docs: DataFrame,
+                   stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val firstFail = stages.zipWithIndex
+      .foldRight(lit(stages.length.toLong): Column) {
+        case (((_, keep), i), acc) => when(!keep, lit(i.toLong)).otherwise(acc)
+      }
+    val counts = docs.select(firstFail.as("ff"))
+      .groupBy(col("ff")).agg(count(lit(1)).as("c"))
+    val stageTable = stages.zipWithIndex
+      .map { case ((name, _), i) => (i.toLong, name) }
+      .toDF("stage_idx", "stage")
+    val total = counts.agg(sum(col("c")).as("total"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.orderBy(col("stage_idx"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    stageTable
+      .join(counts.withColumnRenamed("ff", "stage_idx"), Seq("stage_idx"),
+        "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("c"), lit(0L)).as("n_removed"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in",
+        col("total") - coalesce(sum(col("n_removed")).over(wPrev), lit(0L)))
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_removed"),
+        (col("n_in") - col("n_removed")).as("n_out"))
+  }
 }

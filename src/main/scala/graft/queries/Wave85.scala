@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Sharding, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 85 — round 14, part eleven: the CURATION CONTROL PLANE —
+  * [[TextAnalysis.filterFunnel]] (per-stage kept/removed accounting for
+  * a sequential filter pipeline; the artifact you tune filters with)
+  * and [[Sharding.mixtureSchedule]] (stride-scheduled interleave of
+  * weighted domains — the deterministic order a trainer consumes).
+  *
+  * Funnel predicates are integer cross-multiplied thresholds (token
+  * count, mean token length, stopword share, distinct share), so the
+  * first-failing-stage attribution replays exactly in any engine.
+  * The schedule's weights derive from the source name (1 + digits%3),
+  * its per-domain order from md5(id) — both engine-neutral. */
+object Wave85 {
+
+  private val Stops = Seq("the", "a", "of", "and", "is")
+  private val Take = 120
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q294_filter_funnel" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = col("text")
+      val dl = T.tokenCount(t)
+      val chars = T.tokenChars(t)
+      val stop = T.tokenHits(t, Stops)
+      val uniq = T.uniqueTokenCount(t)
+      TextAnalysis.filterFunnel(docs, Seq(
+        // integer cross-multiplied twins of the Gopher-style rules
+        "tokens" -> (dl >= 10L && dl <= 5000L),
+        "meanlen" -> (chars >= dl * 2L && chars <= dl * 12L),
+        "stopfrac" -> (stop * 100L >= dl),
+        "uniqfrac" -> (uniq * 5L >= dl)))
+        .orderBy(col("stage_idx"))
+    },
+
+    "q295_mixture_schedule" -> { (s, d) =>
+      Sharding.mixtureSchedule(Tables.documents(s, d), "doc_id", "source",
+        expr("1 + (CAST(substring(source, 4) AS INT) % 3)"), Take)
+        .orderBy(col("global_pos"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q294_filter_funnel" -> {
+      val stopSum = Stops.map(w =>
+        s"len(list_filter(toks, x -> x = '$w'))").mkString(" + ")
+      s"""WITH sig AS (
+         |  SELECT
+         |    CAST(len(toks) AS BIGINT) AS dl,
+         |    CAST(len(array_to_string(toks, '')) AS BIGINT) AS chars,
+         |    CAST($stopSum AS BIGINT) AS stop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq
+         |  FROM (SELECT $SqlToks AS toks FROM documents)),
+         |ff AS (
+         |  SELECT CASE
+         |    WHEN NOT (dl >= 10 AND dl <= 5000) THEN 0
+         |    WHEN NOT (chars >= dl * 2 AND chars <= dl * 12) THEN 1
+         |    WHEN NOT (stop * 100 >= dl) THEN 2
+         |    WHEN NOT (uniq * 5 >= dl) THEN 3
+         |    ELSE 4 END AS f
+         |  FROM sig),
+         |stages(stage_idx, stage) AS (VALUES
+         |  (CAST(0 AS BIGINT), 'tokens'), (1, 'meanlen'),
+         |  (2, 'stopfrac'), (3, 'uniqfrac'))
+         |SELECT s.stage_idx, s.stage,
+         |  (SELECT count(*) FROM ff WHERE f >= s.stage_idx)
+         |    AS n_in,
+         |  (SELECT count(*) FROM ff WHERE f = s.stage_idx)
+         |    AS n_removed,
+         |  (SELECT count(*) FROM ff WHERE f > s.stage_idx)
+         |    AS n_out
+         |FROM stages s ORDER BY s.stage_idx""".stripMargin
+    },
+
+    "q295_mixture_schedule" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, source AS domain,
+         |    CAST(1 + (CAST(substr(source, 4) AS INT) % 3) AS BIGINT) AS wt
+         |  FROM documents),
+         |r AS (
+         |  SELECT id, domain, wt,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS rk
+         |  FROM base),
+         |k AS (
+         |  SELECT id, domain, rk,
+         |    CAST(rk * 1000000 // wt AS BIGINT) AS sched_key
+         |  FROM r),
+         |t AS (
+         |  SELECT * FROM k ORDER BY sched_key, domain, rk LIMIT $Take)
+         |SELECT CAST(row_number() OVER (ORDER BY sched_key, domain, rk)
+         |    AS BIGINT) AS global_pos,
+         |  id, domain, rk, sched_key
+         |FROM t ORDER BY global_pos""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.Sharding
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 86 — round 14, part twelve: the SCALE PATH for domain
+  * calibration and its audit. [[Sharding.domainCalibratedFilterSketch]]
+  * replaces q292's per-domain corpus window with a deterministic
+  * bottom-k hash sample (the q214 sketch state): the corpus is touched
+  * only by a ≤k-rows-per-partial groupBy and a broadcast-threshold
+  * scan, so a mega-domain costs k rows of state instead of serializing
+  * a window. q297 is the measure-don't-guess row: per-domain agreement
+  * (exact ∩ sketch, Jaccard ppm) between the window path and the
+  * sketch path — the number you read before trusting a k. */
+object Wave86 {
+
+  private val KeepPpm = 400000L
+  private val SkK = 16
+
+  private def scored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+        T.uniqueTokenCount(col("text")).as("ut"),
+        T.tokenCount(col("text")).as("dl"))
+      .withColumn("ttr_ppm",
+        when(col("dl") > 0, expr("ut * 1000000 DIV dl")).otherwise(0L))
+      // the sketch build, the threshold rejoin, and the final filter all
+      // scan this projection — cache it or tokenize the corpus 3×
+      .cache()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q296_sketch_calibration" -> { (s, d) =>
+      Sharding.domainCalibratedFilterSketch(scored(s, d), "doc_id",
+        "source", col("ttr_ppm"), KeepPpm, SkK)
+        .orderBy(col("domain"), col("id"))
+    },
+
+    "q297_calibration_audit" -> { (s, d) =>
+      val sc = scored(s, d)
+      val exact = Sharding.domainCalibratedFilter(sc, "doc_id", "source",
+        col("ttr_ppm"), KeepPpm).select(col("domain"), col("id"))
+      val sk = Sharding.domainCalibratedFilterSketch(sc, "doc_id", "source",
+        col("ttr_ppm"), KeepPpm, SkK).select(col("domain"), col("id"))
+      val ne = exact.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_exact"))
+      val ns = sk.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_sketch"))
+      val nb = exact.join(sk, Seq("domain", "id"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_both"))
+      ne.join(ns, Seq("domain"), "full_outer")
+        .join(nb, Seq("domain"), "full_outer")
+        .select(col("domain"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_sketch"), lit(0L)).as("n_sketch"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"))
+        .withColumn("jaccard_ppm",
+          expr("n_both * 1000000 DIV (n_exact + n_sketch - n_both)"))
+        .orderBy(col("domain"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private val SqlScored =
+    s"""scored AS (
+       |  SELECT id, domain,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS score
+       |  FROM (SELECT doc_id AS id, source AS domain, $SqlToks AS toks
+       |        FROM documents))""".stripMargin
+
+  private val SqlSketchKeep =
+    s"""smp AS (
+       |  SELECT id, domain, score FROM (
+       |    SELECT id, domain, score,
+       |      row_number() OVER (PARTITION BY domain
+       |        ORDER BY md5('qsk:' || id), id) AS hrk
+       |    FROM scored)
+       |  WHERE hrk <= $SkK),
+       |thr AS (
+       |  SELECT domain, score AS cutoff FROM (
+       |    SELECT domain, score, id,
+       |      row_number() OVER (PARTITION BY domain
+       |        ORDER BY score DESC, id) AS srk,
+       |      count(*) OVER (PARTITION BY domain) AS kk
+       |    FROM smp)
+       |  WHERE srk = greatest(1, $KeepPpm * kk // 1000000)),
+       |sk AS (
+       |  SELECT s.id, s.domain, s.score
+       |  FROM scored s JOIN thr ON s.domain = thr.domain
+       |  WHERE s.score >= thr.cutoff)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q296_sketch_calibration" ->
+      s"""WITH $SqlScored,
+         |$SqlSketchKeep
+         |SELECT id, domain, score FROM sk ORDER BY domain, id""".stripMargin,
+
+    "q297_calibration_audit" ->
+      s"""WITH $SqlScored,
+         |$SqlSketchKeep,
+         |ex AS (
+         |  SELECT id, domain FROM (
+         |    SELECT id, domain,
+         |      CAST(row_number() OVER (PARTITION BY domain
+         |        ORDER BY score DESC, id) AS BIGINT) AS rk,
+         |      CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS nd
+         |    FROM scored)
+         |  WHERE rk * 1000000 <= $KeepPpm * nd),
+         |ne AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY domain),
+         |ns AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_sketch
+         |  FROM sk GROUP BY domain),
+         |nb AS (SELECT e.domain, CAST(count(*) AS BIGINT) AS n_both
+         |  FROM ex e JOIN sk k ON e.domain = k.domain AND e.id = k.id
+         |  GROUP BY e.domain)
+         |SELECT COALESCE(ne.domain, ns.domain, nb.domain) AS domain,
+         |  COALESCE(n_exact, 0) AS n_exact,
+         |  COALESCE(n_sketch, 0) AS n_sketch,
+         |  COALESCE(n_both, 0) AS n_both,
+         |  CAST(COALESCE(n_both, 0) * 1000000 //
+         |    (COALESCE(n_exact, 0) + COALESCE(n_sketch, 0)
+         |      - COALESCE(n_both, 0)) AS BIGINT) AS jaccard_ppm
+         |FROM ne FULL OUTER JOIN ns ON ne.domain = ns.domain
+         |  FULL OUTER JOIN nb ON COALESCE(ne.domain, ns.domain) = nb.domain
+         |ORDER BY domain""".stripMargin)
+}

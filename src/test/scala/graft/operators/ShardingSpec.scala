@@ -293,4 +293,40 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("id", "cum_tokens").as[(Long, Long)].collect().sorted
     r shouldBe Array((1L, 5L), (4L, 7L))
   }
+
+  test("domainCalibratedFilterSketch: k >= n reproduces the exact cut on tie-free scores") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i => (i, "a", 1000L - i)) // distinct scores
+      .toDF("doc_id", "dom", "s")
+    val exact = Sharding.domainCalibratedFilter(d, "doc_id", "dom",
+      col("s"), 400000L).select("id").as[Long].collect().sorted
+    val sk = Sharding.domainCalibratedFilterSketch(d, "doc_id", "dom",
+      col("s"), 400000L, k = 64).select("id").as[Long].collect().sorted
+    exact should not be empty
+    sk shouldBe exact
+  }
+
+  test("domainCalibratedFilterSketch: threshold-reproducible and deterministic at small k") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i => (i, if (i <= 15) "a" else "b", (i * 7) % 13))
+      .toDF("doc_id", "dom", "s")
+    val kept = Sharding.domainCalibratedFilterSketch(d, "doc_id", "dom",
+      col("s"), 400000L, k = 4)
+      .select("id", "domain", "score").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    kept should not be empty
+    // scaladoc invariant: kept = {score >= min kept score}, per domain —
+    // the filter is reproducible from the threshold alone
+    kept.groupBy(_._2).foreach { case (dom, rows) =>
+      val cutoff = rows.map(_._3).min
+      val expected = d.where(col("dom") === dom && col("s") >= cutoff)
+        .select("doc_id").as[Long].collect().toSet
+      rows.map(_._1).toSet shouldBe expected
+    }
+    val again = Sharding.domainCalibratedFilterSketch(d, "doc_id", "dom",
+      col("s"), 400000L, k = 4)
+      .select("id", "domain", "score").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    again shouldBe kept
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-built goldens for the curation control plane (Wave 85:
+  * filterFunnel, mixtureSchedule). */
+class Wave85Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import spark.implicits._
+
+  test("filterFunnel: first-fail attribution, removals sum to drops, zero-removal stage") {
+    val d = Seq(
+      (1L, 5L),   // fails stage "ge10"
+      (2L, 5L),   // fails stage "ge10"
+      (3L, 15L),  // fails "even" (15 odd) — would ALSO fail "le20"? no: 15<=20
+      (4L, 25L),  // passes ge10, fails "even"? 25 odd → charged to even,
+                  // NOT to le20, even though it fails both orders later
+      (5L, 12L),  // survives all three
+      (6L, 30L)   // passes ge10, even, fails le20
+    ).toDF("id", "v")
+    val r = TextAnalysis.filterFunnel(d, Seq(
+      "ge10" -> (col("v") >= 10L),
+      "even" -> (col("v") % 2 === 0),
+      "le20" -> (col("v") <= 20L),
+      "pos" -> (col("v") > 0L))) // removes nothing
+      .select("stage_idx", "stage", "n_in", "n_removed", "n_out")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (0L, "ge10", 6L, 2L, 4L),
+      (1L, "even", 4L, 2L, 2L),
+      (2L, "le20", 2L, 1L, 1L),
+      (3L, "pos", 1L, 0L, 1L))
+  }
+
+  test("mixtureSchedule: weight-proportional interleave, deterministic, head only") {
+    // domain a weight 3, domain b weight 1, 12 docs each: in any prefix
+    // of the schedule a should appear ~3x as often as b.
+    val d = (0L until 12L).map(i => (i, "a")) ++
+      (100L until 112L).map(i => (i, "b"))
+    val df = d.toDF("doc_id", "dom")
+    val wt = when(col("dom") === "a", 3L).otherwise(1L)
+    val r = Sharding.mixtureSchedule(df, "doc_id", "dom", wt, take = 16)
+      .select("global_pos", "domain", "rk", "sched_key")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    r should have length 16
+    r.map(_._1) shouldBe (1L to 16L).toArray
+    // stride key law: key = rk*1e6 div wt
+    r.foreach { case (_, dom, rk, key) =>
+      val w = if (dom == "a") 3L else 1L
+      key shouldBe rk * 1000000L / w
+    }
+    // 12 a-docs fit under key 4e6; first 16 slots hold 12 a's + 4 b's
+    r.count(_._2 == "a") shouldBe 12
+    r.count(_._2 == "b") shouldBe 4
+    // global order is non-decreasing in sched_key
+    r.map(_._4).sliding(2).foreach { case Array(x, y) => x should be <= y }
+    // deterministic: a second run is identical
+    val r2 = Sharding.mixtureSchedule(df, "doc_id", "dom", wt, take = 16)
+      .select("global_pos", "domain", "rk", "sched_key")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    r2 shouldBe r
+  }
+
+  test("mixtureSchedule: zero-weight domains are excluded") {
+    val df = Seq((1L, "keep"), (2L, "keep"), (3L, "drop"))
+      .toDF("doc_id", "dom")
+    val r = Sharding.mixtureSchedule(df, "doc_id", "dom",
+      when(col("dom") === "keep", 1L).otherwise(0L), take = 10)
+      .select("domain").as[String].collect()
+    r should not contain "drop"
+    r should have length 2
+  }
+}
