@@ -506,6 +506,37 @@ object Similarity {
       .withColumn("recall_ppm", expr(s"n_common * 1000000L div $k"))
   }
 
+  /** DIMENSION-TRUNCATION audit: per-probe recall@k of a top-k search
+    * run on only the FIRST `dims` dimensions against the full-vector
+    * ground truth — the measurement behind every "can we ship the
+    * 16-dim prefix?" decision (matryoshka-style embeddings, index
+    * memory cuts, ADC pre-filters). Both legs are exact-kernel
+    * [[bruteForceTopK]] over the SAME probe set, so the audit is
+    * engine-replayable end-to-end; same output contract as
+    * [[annRecallAtK]]: (query_id, n_common, recall_ppm), probes whose
+    * truncated neighborhood misses everything still emit (with 0).
+    * Probe-bounded by the [[bruteForceTopK]] contract — audits run on
+    * a sample of probes by construction. */
+  def dimTruncationAudit(queries: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    def trunc(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k,
+      exact = true).cache()
+    val cut = bruteForceTopK(trunc(queries), trunc(corpus), idCol, vecCol,
+      k, exact = true)
+    val matched = full.select(col("query_id"), col("neighbor_id"))
+      .join(cut.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    full.select(col("query_id")).distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_common"))
+      .withColumn("recall_ppm", expr(s"n_common * 1000000L div $k"))
+  }
+
   /** Spherical k-means centroid training for [[ivfTopK]] — the "sampled
     * k-means at scale" the IVF scaladoc calls for, as a real distributed
     * op: per-iteration, vectors are assigned to their max-dot-product

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 87 — round 14, part thirteen: DIMENSION-TRUNCATION recall audit
+  * ([[Similarity.dimTruncationAudit]]) — before an index ships the
+  * 16-dim prefix of a 64-dim embedding (matryoshka truncation, memory
+  * cuts), you measure what the cut costs, per probe, in recall@k
+  * against the full-vector ground truth. Both legs run the exact
+  * quantized kernel, so DuckDB replays the entire audit — both
+  * searches AND the metric — bit-for-bit. */
+object Wave87 {
+
+  private val NQ = 16
+  private val K = 5
+  private val Dims = 16
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_truncation_audit" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.dimTruncationAudit(emb.where(col("vec_id") < NQ), emb,
+        "vec_id", "embedding", K, Dims)
+        .orderBy(col("query_id"))
+    })
+
+  /** DuckDB twin of VectorFunctions.dotQLong over an optionally sliced
+    * vector prefix. */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  private def sqlTopK(qv: String, cv: String, rel: String): String =
+    s"""SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY (${sqlDotQ(qv, cv)})
+       |        / (sqrt(${sqlDotQ(qv, qv)}) * sqrt(${sqlDotQ(cv, cv)})) DESC,
+       |      neighbor_id) AS rnk
+       |  FROM $rel)
+       |WHERE rnk <= $K""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q298_truncation_audit" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NQ),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT query_id, neighbor_id, qv, cv,
+         |    list_slice(qv, 1, $Dims) AS qt, list_slice(cv, 1, $Dims) AS ct
+         |  FROM q JOIN c ON query_id <> neighbor_id),
+         |full_top AS (${sqlTopK("qv", "cv", "pairs")}),
+         |cut_top AS (${sqlTopK("qt", "ct", "pairs")}),
+         |m AS (
+         |  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM full_top f JOIN cut_top t
+         |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+         |  GROUP BY f.query_id)
+         |SELECT q.query_id, COALESCE(m.n_common, 0) AS n_common,
+         |  CAST(COALESCE(m.n_common, 0) * 1000000 // $K AS BIGINT)
+         |    AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM q) q
+         |LEFT JOIN m ON m.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin)
+}

@@ -494,4 +494,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("HashAggregate")
     p should not include "CartesianProduct"
   }
+
+  test("q287: positive exclusion is a broadcast LEFT ANTI before the kernel") {
+    val p = plan("q287_hard_negatives")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+  }
+
+  test("q289: phrase starts are hash joins on (id, pos) — no nested loop over the corpus") {
+    val p = plan("q289_phrase_rank")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q295: the schedule head is TakeOrdered, never a global sort") {
+    val p = plan("q295_mixture_schedule")
+    p should include("TakeOrderedAndProject")
+  }
 }
