@@ -2003,10 +2003,7 @@ object TextAnalysis {
     require(stages.nonEmpty, "need at least one stage")
     val spark = docs.sparkSession
     import spark.implicits._
-    val firstFail = stages.zipWithIndex
-      .foldRight(lit(stages.length.toLong): Column) {
-        case (((_, keep), i), acc) => when(!keep, lit(i.toLong)).otherwise(acc)
-      }
+    val firstFail = firstFailCol(stages)
     val counts = docs.select(firstFail.as("ff"))
       .groupBy(col("ff")).agg(count(lit(1)).as("c"))
     val stageTable = stages.zipWithIndex
@@ -2026,5 +2023,45 @@ object TextAnalysis {
         col("total") - coalesce(sum(col("n_removed")).over(wPrev), lit(0L)))
       .select(col("stage_idx"), col("stage"), col("n_in"), col("n_removed"),
         (col("n_in") - col("n_removed")).as("n_out"))
+  }
+
+  /** First failing stage index (docs passing every stage map to
+    * |stages|) — shared by [[filterFunnel]] and [[funnelExamples]] so
+    * the two reports can never disagree on attribution. */
+  private def firstFailCol(stages: Seq[(String, Column)]): Column =
+    stages.zipWithIndex
+      .foldRight(lit(stages.length.toLong): Column) {
+        case (((_, keep), i), acc) => when(!keep, lit(i.toLong)).otherwise(acc)
+      }
+
+  /** FUNNEL EXAMPLES: up to `perStage` deterministically-sampled doc
+    * ids REMOVED by each stage (same first-fail attribution as
+    * [[filterFunnel]]) — the "show me five documents stage 2 killed"
+    * review set every filter-tuning loop needs next to the counts.
+    * Sampling is the md5 bottom-k idiom (`md5("fex:" || id)`) —
+    * seedless, order-insensitive, exactly mergeable, so map-side
+    * partials are ≤ perStage rows and any engine draws the same
+    * examples. Output: (stage_idx, stage, rk, id); stages that removed
+    * nothing emit nothing. */
+  def funnelExamples(docs: DataFrame, idCol: String,
+                     stages: Seq[(String, Column)],
+                     perStage: Int = 5): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(perStage >= 1, s"perStage must be >= 1: $perStage")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bk = Agg.bottomK(perStage)
+    val names = stages.zipWithIndex
+      .map { case ((n, _), i) => (i.toLong, n) }.toDF("stage_idx", "stage")
+    docs.select(col(idCol).cast("long").as("id"),
+        firstFailCol(stages).as("stage_idx"))
+      .where(col("stage_idx") < stages.length)
+      .groupBy(col("stage_idx"))
+      .agg(bk(md5(concat(lit("fex:"), col("id").cast("string"))),
+        col("id")).as("sample"))
+      .select(col("stage_idx"), posexplode(col("sample")).as(Seq("pos", "e")))
+      .join(broadcast(names), "stage_idx")
+      .select(col("stage_idx"), col("stage"),
+        (col("pos") + 1).cast("long").as("rk"), col("e._2").as("id"))
   }
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 88 — round 14, part fourteen: FUNNEL EXAMPLES
+  * ([[TextAnalysis.funnelExamples]]) — q294's counts tell you HOW MANY
+  * docs each stage removed; this row yields the deterministic review
+  * SAMPLE of what it removed (the md5 bottom-k idiom, so the picks are
+  * seedless, mergeable, and engine-replayable). Same stage predicates
+  * as q294, so the two rows certify the shared first-fail attribution
+  * from both sides: counts AND members. */
+object Wave88 {
+
+  private val Stops = Seq("the", "a", "of", "and", "is")
+  private val PerStage = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_funnel_examples" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = col("text")
+      val dl = T.tokenCount(t)
+      val chars = T.tokenChars(t)
+      val stop = T.tokenHits(t, Stops)
+      val uniq = T.uniqueTokenCount(t)
+      TextAnalysis.funnelExamples(docs, "doc_id", Seq(
+        "tokens" -> (dl >= 10L && dl <= 5000L),
+        "meanlen" -> (chars >= dl * 2L && chars <= dl * 12L),
+        "stopfrac" -> (stop * 100L >= dl),
+        "uniqfrac" -> (uniq * 5L >= dl)), PerStage)
+        .orderBy(col("stage_idx"), col("rk"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q299_funnel_examples" -> {
+      val stopSum = Stops.map(w =>
+        s"len(list_filter(toks, x -> x = '$w'))").mkString(" + ")
+      s"""WITH sig AS (
+         |  SELECT id,
+         |    CAST(len(toks) AS BIGINT) AS dl,
+         |    CAST(len(array_to_string(toks, '')) AS BIGINT) AS chars,
+         |    CAST($stopSum AS BIGINT) AS stop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq
+         |  FROM (SELECT doc_id AS id, $SqlToks AS toks FROM documents)),
+         |ff AS (
+         |  SELECT id, CASE
+         |    WHEN NOT (dl >= 10 AND dl <= 5000) THEN 0
+         |    WHEN NOT (chars >= dl * 2 AND chars <= dl * 12) THEN 1
+         |    WHEN NOT (stop * 100 >= dl) THEN 2
+         |    WHEN NOT (uniq * 5 >= dl) THEN 3
+         |    ELSE 4 END AS f
+         |  FROM sig),
+         |stages(stage_idx, stage) AS (VALUES
+         |  (CAST(0 AS BIGINT), 'tokens'), (1, 'meanlen'),
+         |  (2, 'stopfrac'), (3, 'uniqfrac')),
+         |picked AS (
+         |  SELECT CAST(f AS BIGINT) AS stage_idx, id,
+         |    CAST(row_number() OVER (PARTITION BY f
+         |      ORDER BY md5('fex:' || id), id) AS BIGINT) AS rk
+         |  FROM ff WHERE f < 4)
+         |SELECT p.stage_idx, s.stage, p.rk, p.id
+         |FROM picked p JOIN stages s ON s.stage_idx = p.stage_idx
+         |WHERE p.rk <= $PerStage
+         |ORDER BY p.stage_idx, p.rk""".stripMargin
+    })
+}

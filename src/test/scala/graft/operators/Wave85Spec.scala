@@ -64,6 +64,32 @@ class Wave85Spec extends AnyFunSuite with Matchers with SparkFixture {
     r2 shouldBe r
   }
 
+  test("funnelExamples: agrees with filterFunnel attribution, capped per stage") {
+    val d = (1L to 40L).map(i => (i, i)).toDF("id", "v")
+    val stages = Seq(
+      "ge10" -> (col("v") >= 10L),   // removes 1..9 (9 docs)
+      "even" -> (col("v") % 2 === 0), // removes odd >= 11 (15 docs)
+      "le30" -> (col("v") <= 30L))   // removes even 32..40 (5 docs)
+    val funnel = TextAnalysis.filterFunnel(d, stages)
+      .select("stage_idx", "n_removed").as[(Long, Long)].collect().toMap
+    funnel shouldBe Map(0L -> 9L, 1L -> 15L, 2L -> 5L)
+    val ex = TextAnalysis.funnelExamples(d, "id", stages, perStage = 4)
+      .select("stage_idx", "rk", "id").as[(Long, Long, Long)].collect()
+    // capped at perStage, ranks contiguous from 1
+    ex.groupBy(_._1).foreach { case (stage, rows) =>
+      rows.length shouldBe math.min(4L, funnel(stage)).toInt
+      rows.map(_._2).sorted shouldBe (1L to rows.length).toArray
+      // every example is a doc the stage genuinely removed
+      rows.foreach { case (s, _, id) =>
+        s shouldBe (if (id < 10) 0L else if (id % 2 == 1) 1L else 2L)
+      }
+    }
+    // determinism
+    val ex2 = TextAnalysis.funnelExamples(d, "id", stages, perStage = 4)
+      .select("stage_idx", "rk", "id").as[(Long, Long, Long)].collect()
+    ex2.sorted shouldBe ex.sorted
+  }
+
   test("mixtureSchedule: zero-weight domains are excluded") {
     val df = Seq((1L, "keep"), (2L, "keep"), (3L, "drop"))
       .toDF("doc_id", "dom")
