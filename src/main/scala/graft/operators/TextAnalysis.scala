@@ -2064,4 +2064,73 @@ object TextAnalysis {
       .select(col("stage_idx"), col("stage"),
         (col("pos") + 1).cast("long").as("rk"), col("e._2").as("id"))
   }
+
+  /** PROXIMITY-BOOSTED BM25 — the ranking a search engine actually
+    * ships: candidates must hold BOTH query terms (AND semantics — the
+    * recall gate), the base relevance is the exact-decimal two-term
+    * BM25 of [[bm25TopK]], and a proximity bonus
+    * `10⁹ div (1 + minDist)` rewards the terms appearing CLOSE (a doc
+    * with the terms adjacent beats an equal-tf doc with them a
+    * paragraph apart). Every component is integer-exact: per-term BM25
+    * floor-quantized to 1e-9 and summed as DECIMAL(38,0), the bonus an
+    * integral divide, so scores (returned as 1e-9 units, `score_u`)
+    * and ranks replay on any engine.
+    *
+    * Shape: one cached tokenize projection; df/avgdl in one aggregate
+    * (the dval idiom); per-query candidacy is a codegen
+    * `array_contains` filter; min token distance folds the two (short)
+    * position lists of CANDIDATE rows — the lists read the
+    * materialized `toks` array, never re-tokenizing (the Wave-82
+    * anti-pattern). Rank windows run over candidates only. Output:
+    * (qid, id, min_dist, score_u, rank), top `k` per query. */
+  def proximityBm25TopK(docs: DataFrame, idCol: String, textCol: String,
+                        queries: Seq[(Long, String, String)], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query pair")
+    val base = docs.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("toks"),
+      T.tokenCount(col(textCol)).as("dl")).cache()
+    val allTerms = queries.flatMap(q => Seq(q._2, q._3)).distinct
+    val dfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+        .as(s"df$i")
+    }
+    val statsRow = base
+      .agg(count(lit(1)).as("n"), (sum(col("dl")).as("dlsum") +: dfCols): _*)
+      .collect()(0)
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val dfs = allTerms.zipWithIndex
+      .map { case (t, i) => t -> statsRow.getLong(i + 2).toDouble }.toMap
+    def termScoreU(t: String): Column = {
+      val tf = (size(col("toks")) - size(array_remove(col("toks"), t)))
+        .cast("double")
+      val idf = (nDocs - dfs(t) + 0.5) / (dfs(t) + 0.5)
+      val s = lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / lit(avgdl)))
+      floor(s * lit(1e9)).cast("decimal(38,0)")
+    }
+    val n = size(col("toks"))
+    def positions(t: String) =
+      filter(sequence(lit(1), n), i => element_at(col("toks"), i) === lit(t))
+    val perQuery = queries.map { case (qid, t1, t2) =>
+      val md = array_min(flatten(transform(positions(t1), a =>
+        transform(positions(t2), p2 => abs(a - p2)))))
+      base
+        .where(array_contains(col("toks"), t1) &&
+          array_contains(col("toks"), t2))
+        .withColumn("min_dist", md.cast("long"))
+        .withColumn("score_u",
+          (termScoreU(t1) + termScoreU(t2) +
+            expr("CAST(1000000000 DIV (min_dist + 1) AS DECIMAL(38,0))"))
+            .cast("long"))
+        .select(lit(qid).as("qid"), col("id"), col("min_dist"),
+          col("score_u"))
+    }.reduce(_ union _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_u").desc, col("id"))
+    perQuery.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 89 — round 14, part fifteen: PROXIMITY-BOOSTED retrieval
+  * ([[TextAnalysis.proximityBm25TopK]]) — the positional tier (waves
+  * 80/82) composed into the ranking a search engine ships: AND-semantic
+  * candidacy, exact-decimal two-term BM25, and an integral proximity
+  * bonus 10⁹ div (1 + minDist).
+  *
+  * The plant makes EVERY component decide some ranks: adjacent-terms
+  * docs (bonus 5·10⁸) outrank same-tf wide-gap docs (bonus ~1.4·10⁸);
+  * a doubled first term raises tf and must beat adjacency only when
+  * the BM25 delta exceeds the bonus delta — the oracle earns the order
+  * by replaying stats, tf, length norm, position lists, AND the bonus
+  * arithmetic. Docs holding only one term are planted too and must
+  * never appear (the AND gate). */
+object Wave89 {
+
+  private val NQ = 4
+  private val K = 5
+
+  private def a(i: Int): String = "pxa" + ('a' + i).toChar
+  private def bb(i: Int): String = "pxb" + ('a' + i).toChar
+
+  private def planted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        (0 until NQ).map(i => concat(
+          when(pmod(col("doc_id"), lit(12)) === i,
+            lit(s" ${a(i)} ${bb(i)}")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(14)) === i,
+            lit(s" ${a(i)} zf zf zf zf zf ${bb(i)}")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(15)) === i,
+            lit(s" ${a(i)} zf ${a(i)} ${bb(i)}")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === i,
+            lit(s" ${a(i)}")).otherwise(lit(""))))
+          .reduce(concat(_, _))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_proximity_retrieval" -> { (s, d) =>
+      TextAnalysis.proximityBm25TopK(planted(s, d), "doc_id", "text",
+        (0 until NQ).map(i => (i.toLong, a(i), bb(i))), K)
+        .orderBy(col("qid"), col("rank"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q300_proximity_retrieval" -> {
+      val k1 = 1.2; val b = 0.75; val k1p1 = k1 + 1.0; val oneMb = 1.0 - b
+      val plant = (0 until NQ).map(i =>
+        s"CASE WHEN doc_id % 12 = $i THEN ' ${a(i)} ${bb(i)}' ELSE '' END || " +
+          s"CASE WHEN doc_id % 14 = $i THEN ' ${a(i)} zf zf zf zf zf ${bb(i)}' ELSE '' END || " +
+          s"CASE WHEN doc_id % 15 = $i THEN ' ${a(i)} zf ${a(i)} ${bb(i)}' ELSE '' END || " +
+          s"CASE WHEN doc_id % 13 = $i THEN ' ${a(i)}' ELSE '' END")
+        .mkString(" || ")
+      val allTerms = (0 until NQ).flatMap(i => Seq(a(i), bb(i)))
+      val dfExprs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(",\n    ")
+      val dfIdx = allTerms.zipWithIndex.toMap
+      def termScore(t: String): String = {
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        val idf = s"(n_docs - df${dfIdx(t)} + 0.5) / (df${dfIdx(t)} + 0.5)"
+        s"""CAST(floor($idf * ($tf * $k1p1) /
+           |    ($tf + $k1 * ($oneMb + $b * CAST(dl AS DOUBLE) / avgdl))
+           |    * 1e9) AS HUGEINT)""".stripMargin
+      }
+      def posList(t: String): String =
+        s"list_filter(range(1, len(toks)+1), i -> toks[i] = '$t')"
+      val perQuery = (0 until NQ).map { i =>
+        s"""SELECT $i AS qid, id,
+           |  CAST(list_min(flatten(list_transform(${posList(a(i))},
+           |    x -> list_transform(${posList(bb(i))}, y -> abs(x - y)))))
+           |    AS BIGINT) AS min_dist,
+           |  ${termScore(a(i))} + ${termScore(bb(i))} AS bm25_u
+           |FROM base, stats
+           |WHERE list_contains(toks, '${a(i)}')
+           |  AND list_contains(toks, '${bb(i)}')""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || $plant AS text FROM documents),
+         |base AS (
+         |  SELECT doc_id AS id, $SqlToks AS toks,
+         |    CAST(len($SqlToks) AS BIGINT) AS dl
+         |  FROM planted),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfExprs
+         |  FROM base),
+         |scored AS (
+         |  $perQuery),
+         |ranked AS (
+         |  SELECT CAST(qid AS BIGINT) AS qid, id, min_dist,
+         |    CAST(bm25_u + 1000000000 // (min_dist + 1) AS BIGINT)
+         |      AS score_u,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_u + 1000000000 // (min_dist + 1) DESC, id)
+         |      AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, id, min_dist, score_u, rank FROM ranked
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+    })
+}

@@ -89,6 +89,27 @@ class Wave82Spec extends AnyFunSuite with Matchers with SparkFixture {
       (4L, 1L, "hit a b c"))
   }
 
+  test("proximityBm25TopK: AND gate, exact min_dist, adjacency outranks gap at equal tf") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "qa qb"),             // tf 1/1, dist 1, dl 2
+      (2L, "qa x x x qb"),       // tf 1/1, dist 4, dl 5
+      (3L, "qa qa qb"),          // tf 2/1, dist 1, dl 3
+      (4L, "qa alone here"),     // one term — AND gate drops it
+      (5L, "qb alone here"),
+      (6L, "none of them"))
+    val r = TextAnalysis.proximityBm25TopK(d, "doc_id", "text",
+      Seq((0L, "qa", "qb")), k = 10)
+      .select("id", "min_dist", "rank").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    r.map(_._1) shouldBe Array(1L, 2L, 3L)          // the AND gate
+    r.map(_._2) shouldBe Array(1L, 4L, 1L)          // exact min distances
+    val rank = r.map(t => t._1 -> t._3).toMap
+    rank.values.toSeq.sorted shouldBe Seq(1L, 2L, 3L)
+    // d1 beats d2 on BOTH components (same tf, shorter doc, closer terms)
+    rank(1L) should be < rank(2L)
+  }
+
   test("snippets: window 0 is the bare token; multiple terms one scan") {
     import spark.implicits._
     val d = docs((1L, "x foo y bar z"))
