@@ -400,4 +400,38 @@ object Behavior {
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** OHLC BAR downsampling — the canonical time-series reduction (one
+    * open/high/low/close/volume row per (key, bar) instead of every
+    * tick): bar = floor-aligned `barMicros` bucket; open/close are the
+    * first/last values by (t, id) — explicit id tiebreak, so equal
+    * timestamps downsample identically on any engine; values are
+    * floor-quantized to integer CENTS (the house exact-sum rule:
+    * high/low/open/close compare and sum in exact integers).
+    *
+    * ONE hash aggregate, fully map-side combinable: open and close are
+    * min/max over a (t, id, cents) struct — no window, no per-bar sort,
+    * so a hot bar combines in partials like any other key. 100 TB of
+    * ticks at minute bars is |keys|·|bars| output rows and nothing
+    * else. Output: (key, bar_start µs, open_c, high_c, low_c, close_c,
+    * n, sum_c). */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, idCol: String,
+               barMicros: Long): DataFrame = {
+    require(barMicros > 0, s"barMicros must be positive: $barMicros")
+    val t = unix_micros(col(tsCol).cast("timestamp"))
+    val cents = floor(col(valueCol).cast("double") * 100).cast("long")
+    events.select(col(keyCol).as("key"),
+        (t - pmod(t, lit(barMicros))).as("bar_start"), t.as("__t"),
+        col(idCol).cast("long").as("__id"), cents.as("__c"))
+      .groupBy(col("key"), col("bar_start"))
+      .agg(
+        min(struct(col("__t"), col("__id"), col("__c"))).as("__o"),
+        max(struct(col("__t"), col("__id"), col("__c"))).as("__cl"),
+        max(col("__c")).as("high_c"), min(col("__c")).as("low_c"),
+        count(lit(1)).as("n"), sum(col("__c")).as("sum_c"))
+      .select(col("key"), col("bar_start"),
+        col("__o.__c").as("open_c"), col("high_c"), col("low_c"),
+        col("__cl.__c").as("close_c"), col("n"), col("sum_c"))
+  }
 }

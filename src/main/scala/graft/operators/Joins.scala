@@ -297,4 +297,42 @@ object Joins {
       .select(snapCols.map(col): _*)
     untouched.select(snapCols.map(col): _*).unionByName(applied)
   }
+
+  /** [[asOf]] with a MAX-STALENESS tolerance: the match is kept only
+    * when the right row is at most `toleranceMicros` older than the
+    * left timestamp — otherwise the output payload is NULL. Real
+    * as-of consumers almost always want this bound (a price quote
+    * from last month is not "the current price"); engines without it
+    * force a post-hoc filter that silently loses the row instead of
+    * nulling the payload. The matched right timestamp rides through
+    * the [[asOf]] window inside a struct, so tolerance costs one
+    * per-row compare on top of [[asOf]] — same window, same tie rule,
+    * same null semantics.
+    *
+    * `toleranceMicros` is in MICROSECONDS for timestamp ts columns and
+    * in the column's own units for integral ts. */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, payload: String, toleranceMicros: Long,
+                    outCol: String = "asof_val"): DataFrame = {
+    require(toleranceMicros >= 0,
+      s"toleranceMicros must be >= 0: $toleranceMicros")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case TimestampType | TimestampNTZType =>
+          unix_micros(c.cast("timestamp"))
+        case _ => c.cast("long")
+      }
+    val r2 = right.withColumn("__tolp",
+      struct(col(tsCol).as("_mts"), col(payload).as("_pv")))
+    val joined = asOf(left, r2, keyCol, tsCol, "__tolp", "__tol")
+    val tsType = left.schema(tsCol).dataType
+    val stale = micros(col(tsCol), tsType) -
+      micros(col("__tol._mts"), tsType)
+    joined
+      .withColumn(outCol,
+        when(col("__tol").isNotNull && stale <= toleranceMicros,
+          col("__tol._pv")))
+      .drop("__tol")
+  }
 }

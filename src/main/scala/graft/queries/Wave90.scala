@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Behavior, Joins}
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 90 — round 14, part sixteen: the two missing TIME-SERIES
+  * staples. [[Joins.asOfTolerance]] — as-of with a max-staleness bound
+  * (a quote from last month is not "the current price"; the match
+  * nulls out instead of silently shipping stale state) — and
+  * [[Behavior.ohlcBars]] — OHLC bar downsampling as ONE map-side
+  * combinable aggregate (open/close via (t,id)-struct min/max, no
+  * window, no per-bar sort).
+  *
+  * q301 rides q255's oracle mechanism (DuckDB's NATIVE ASOF JOIN is
+  * the independent implementation) plus the staleness CASE; q302's
+  * twin recomputes bars from scratch with rank windows. */
+object Wave90 {
+
+  private val TolUs = 21600000000L // 6 hours
+  private val BarUs = 21600000000L // 6-hour bars
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+
+    "q301_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      Joins.asOfTolerance(purchases, clicks, "user_id", "ts",
+          "click_value", TolUs, outCol = "recent_click_value")
+        .select(col("event_id"), col("user_id"), col("recent_click_value"))
+        .orderBy(col("event_id"))
+    },
+
+    "q302_ohlc_bars" -> { (s, d) =>
+      Behavior.ohlcBars(Tables.events(s, d), "event_type", "ts", "value",
+          "event_id", BarUs)
+        .orderBy(col("key"), col("bar_start"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q301_asof_tolerance" ->
+      s"""WITH purchases AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events WHERE event_type = 'purchase'),
+         |clicks AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    max(value) AS click_value
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id,
+         |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= $TolUs
+         |    THEN c.click_value END AS recent_click_value
+         |FROM purchases p ASOF LEFT JOIN clicks c
+         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.event_id""".stripMargin,
+
+    "q302_ohlc_bars" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS key,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    event_id AS id,
+         |    CAST(floor(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |b AS (
+         |  SELECT key, t - (t % $BarUs) AS bar_start, t, id, c FROM e),
+         |rn AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY key, bar_start
+         |      ORDER BY t, id, c) AS ro,
+         |    row_number() OVER (PARTITION BY key, bar_start
+         |      ORDER BY t DESC, id DESC, c DESC) AS rc
+         |  FROM b),
+         |agg AS (
+         |  SELECT key, bar_start, max(c) AS high_c, min(c) AS low_c,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_c
+         |  FROM b GROUP BY 1, 2)
+         |SELECT a.key, a.bar_start, o.c AS open_c, a.high_c, a.low_c,
+         |  cl.c AS close_c, a.n, a.sum_c
+         |FROM agg a
+         |JOIN rn o ON o.key = a.key AND o.bar_start = a.bar_start
+         |  AND o.ro = 1
+         |JOIN rn cl ON cl.key = a.key AND cl.bar_start = a.bar_start
+         |  AND cl.rc = 1
+         |ORDER BY a.key, a.bar_start""".stripMargin)
+}

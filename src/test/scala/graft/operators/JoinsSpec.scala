@@ -299,4 +299,35 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
       plan.toLowerCase should include("skew=true")
     }
   }
+
+  test("asOfTolerance: fresh match kept, stale match nulled, no match null, exact-boundary kept") {
+    import spark.implicits._
+    // integral ts: tolerance is in the column's own units
+    val left = Seq(
+      (1L, 100L, 100L), // match t=95 → staleness 5 = tol exactly: kept
+      (1L, 60L, 101L),  // match t=20 → staleness 40 > 5: NULLED, row stays
+      (2L, 10L, 102L),  // key 2 has no right rows → null
+      (1L, 95L, 103L)   // inclusive tie with t=95 → staleness 0: kept
+    ).toDF("k", "t", "lid")
+    val right = Seq((1L, 95L, 7L), (1L, 20L, 5L)).toDF("k", "t", "pay")
+    val r = Joins.asOfTolerance(left, right, "k", "t", "pay",
+      toleranceMicros = 5L, outCol = "v")
+      .select(col("lid"), col("v")).as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    r shouldBe Seq((100L, Some(7L)), (101L, None), (102L, None),
+      (103L, Some(7L)))
+  }
+
+  test("asOfTolerance: huge tolerance degenerates to plain asOf") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 50L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 8L, 70L), (1L, 40L, 71L), (2L, 9L, 72L))
+      .toDF("k", "t", "pay")
+    val tol = Joins.asOfTolerance(left, right, "k", "t", "pay",
+      Long.MaxValue / 4).select("k", "t", "asof_val")
+    val plain = Joins.asOf(left, right, "k", "t", "pay")
+      .select("k", "t", "asof_val")
+    tol.exceptAll(plain).count() shouldBe 0
+    plain.exceptAll(tol).count() shouldBe 0
+  }
 }

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-built goldens for OHLC bar downsampling (Wave 90). */
+class Wave90Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("ohlcBars: bar assignment, OHLC by (t,id), cents quantization, tie rule") {
+    import spark.implicits._
+    val ev = Seq(
+      // key a, bar [0,100): open=first by t (1.50), close=last (0.75)
+      ("a", java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(0)), 1L, 1.50),
+      ("a", java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(0)), 2L, 9.99), // same t: id 2 > 1, not open
+      ("a", java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(50)), 3L, 0.75),
+      // key a, second bar [100,200)
+      ("a", java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(150)), 4L, 2.00),
+      // key b, one row
+      ("b", java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(10)), 5L, -0.011)
+    ).toDF("k", "ts", "id", "v")
+    val r = Behavior.ohlcBars(ev, "k", "ts", "v", "id",
+      barMicros = 100000L) // 100 ms bars
+      .select("key", "bar_start", "open_c", "high_c", "low_c", "close_c",
+        "n", "sum_c")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(t => (t._1, t._2))
+    r shouldBe Array(
+      // open = id1's 150c (same t as id2, lower id wins); high = 999;
+      // low = 75; close = id3's 75 (latest t); sum = 150+999+75
+      ("a", 0L, 150L, 999L, 75L, 75L, 3L, 1224L),
+      ("a", 100000L, 200L, 200L, 200L, 200L, 1L, 200L),
+      // floor(-0.011*100) = floor(-1.1) = -2 (floor, not truncate)
+      ("b", 0L, -2L, -2L, -2L, -2L, 1L, -2L))
+  }
+}
