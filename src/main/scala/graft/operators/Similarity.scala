@@ -450,6 +450,43 @@ object Similarity {
     rankTopK(pairs, qv, cv, k, exact)
   }
 
+  /** MULTI-PROBE [[lshTopK]]: each query also probes the `m` buckets at
+    * Hamming distance 1 from its own (single-bit flips) in every table —
+    * the standard recall lever that costs query-side bucket rows instead
+    * of whole extra tables (Lv et al., VLDB'07: a neighbor that just
+    * misses the query's bucket most likely landed one sign-bit away).
+    * Candidates are the union over probed buckets; everything else —
+    * skinny keyed (table, bucket) join, dedup before vectors attach,
+    * bounded-heap rank — is [[lshTopK]] verbatim. Candidate work rises
+    * ×(m+1) on the QUERY side only; the corpus is bucketed once.
+    * Deterministic (the probe set is exactly the m single-bit flips),
+    * so an engine replaying the md5 planes replays the probes too. */
+  def lshTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nTables: Int = 24, bitsPerTable: Int = 0,
+                        dim: Int = 64, seed: Long = 42L,
+                        exact: Boolean = false): DataFrame = {
+    val m = if (bitsPerTable > 0) bitsPerTable else autoBits(candidates.count())
+    val planes = md5Planes(seed, nTables, m, dim)
+    val qb = tableBuckets(queries, idCol, vecCol, planes)
+      .withColumnRenamed("id", "query_id")
+      .withColumn("p", explode(sequence(lit(0), lit(m))))
+      .withColumn("bucket", when(col("p") === 0, col("bucket"))
+        .otherwise(expr("bucket ^ (CAST(1 AS BIGINT) << CAST(p - 1 AS INT))")))
+      .select(col("query_id"), col("table"), col("bucket"))
+    val cb = tableBuckets(candidates, idCol, vecCol, planes)
+      .withColumnRenamed("id", "neighbor_id")
+    val pairs = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    rankTopK(pairs, qv, cv, k, exact)
+  }
+
   /** Attach vectors to candidate (query, neighbor) pairs, compute sims
     * with the typed kernel, rank per query via the bounded-heap
     * Aggregator (no window funnel). `exact` selects the quantized

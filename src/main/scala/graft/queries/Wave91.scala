@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Wave 91 — round 14, part seventeen: MULTI-PROBE LSH
+  * ([[Similarity.lshTopKMultiProbe]]) — the recall lever that probes
+  * the m Hamming-1 buckets per table instead of adding whole tables
+  * (Lv et al., VLDB'07). The oracle replays q31's full LSH replay —
+  * md5 planes, fixed-point quantization, bucket bit assembly — PLUS
+  * the single-bit probe expansion, so the probe set itself is
+  * engine-certified, not just the final ranks. */
+object Wave91 {
+
+  private val K = 5
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q303_multiprobe_lsh" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", K, exact = true)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  /** DuckDB twin of VectorFunctions.dotQLong (exact quantized dot). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  // the 4-bit band width is the autoBits floor — exact for every corpus
+  // <= 2048 vectors (both driver oracle scales), same as q31's twin
+  val oracleSql: Map[String, String] = Map(
+    "q303_multiprobe_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT t, i, j,
+         |    CAST('0x' || substr(h, 1, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 5, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 9, 4) AS BIGINT)
+         |    + CAST('0x' || substr(h, 13, 4) AS BIGINT) - 131072 AS w
+         |  FROM (
+         |    SELECT t, i, j, md5('lsh:42:' || t || ':' || i || ':' || j) AS h
+         |    FROM range(0, 24) r1(t), range(0, 4) r2(i), range(0, 64) r3(j))),
+         |vq AS (
+         |  SELECT vec_id, j,
+         |    CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+         |      * 1048576.0) AS BIGINT) AS q
+         |  FROM embeddings, range(0, 64) rj(j)),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+         |             ELSE CAST(0 AS BIGINT) END) AS bucket
+         |  FROM (
+         |    SELECT vq.vec_id, p.t, p.i, sum(vq.q * p.w) AS d
+         |    FROM vq JOIN planes p ON p.j = vq.j
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |probed AS (
+         |  SELECT vec_id, t,
+         |    CASE WHEN p = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(p - 1 AS INT))
+         |    END AS bucket
+         |  FROM buckets, range(0, 5) rp(p)
+         |  WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM probed qb JOIN buckets cb
+         |    ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |  WHERE qb.vec_id <> cb.vec_id),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    (${sqlDotQ("q.embedding", "c.embedding")})
+         |      / (sqrt(${sqlDotQ("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDotQ("c.embedding", "c.embedding")})) AS sim
+         |  FROM cand JOIN embeddings q ON query_id = q.vec_id
+         |            JOIN embeddings c ON neighbor_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, rank, floor(sim * 1e6) / 1e6 AS sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+}

@@ -455,6 +455,26 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     r.map(_._1).distinct.length shouldBe r.length
   }
 
+  test("lshTopKMultiProbe: same-budget recall never below plain LSH, and at least its floor") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = topkSet(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    // starve the table budget so probing has something to recover
+    val plain = topkSet(Similarity.lshTopK(q, emb, "vec_id", "embedding", 5,
+      nTables = 2))
+    val mp = topkSet(Similarity.lshTopKMultiProbe(q, emb, "vec_id",
+      "embedding", 5, nTables = 2))
+    val rPlain = (exact intersect plain).size.toDouble / exact.size
+    val rMp = (exact intersect mp).size.toDouble / exact.size
+    withClue(s"plain=$rPlain mp=$rMp: ") {
+      rMp should be >= rPlain
+      rMp should be >= 0.5
+    }
+    // full default budget: the multiprobe set matches the plain >=0.9 bar
+    val mpFull = topkSet(Similarity.lshTopKMultiProbe(q, emb, "vec_id",
+      "embedding", 5))
+    ((exact intersect mpFull).size.toDouble / exact.size) should be >= 0.9
+  }
+
   test("dimTruncationAudit: full dims = perfect recall; constructed prefix collision drops it") {
     import spark.implicits._
     // ids 2/3 share the 2-dim PREFIX exactly; only dim 3 separates them.
