@@ -223,4 +223,65 @@ object Warehouse {
       .select(lit(table).as("tbl"), lit(check).as("chk"),
         col("n_checked"), col("n_viol"),
         when(col("n_viol") === 0, 1L).otherwise(0L).as("ok"))
+
+  /** SNAPSHOT DIFF — derive the change log FROM two table versions
+    * (the inverse of [[cdcMerge]], which applies one): keys only in
+    * `newer` emit I, keys only in `older` emit D (carrying the old
+    * values — a delete feed needs them), keys in both whose non-key
+    * columns differ (null-safely) emit U with the new values. This is
+    * how a change feed is bootstrapped when the upstream only
+    * publishes full dumps — the standard lake-ingest predicament.
+    *
+    * ONE null-safe full-outer hash join on the key; the value compare
+    * is a struct `<=>` (no hashing, no collision caveat). Column sets
+    * must match. Output: (op, <snapshot columns>). Round-trip law:
+    * `cdcMerge(older ∪ diff) == newer` (up to row order) — pinned in
+    * WarehouseSpec. */
+  def snapshotDiff(older: DataFrame, newer: DataFrame,
+                   keyCol: String): DataFrame = {
+    require(older.columns.toSet == newer.columns.toSet,
+      s"column sets differ: ${older.columns.mkString(",")} vs ${newer.columns.mkString(",")}")
+    val valCols = newer.columns.filter(_ != keyCol).toSeq
+    val o = older.select(col(keyCol).as("__k"),
+      struct(older.columns.toIndexedSeq.map(col): _*).as("__old"))
+    val n = newer.select(col(keyCol).as("__k"),
+      struct(newer.columns.toIndexedSeq.map(col): _*).as("__new"))
+    def vals(side: String) = struct(valCols.map(c => col(s"$side.$c")): _*)
+    o.join(n, o("__k") <=> n("__k"), "full_outer")
+      .select(
+        when(col("__old").isNull, lit("I"))
+          .when(col("__new").isNull, lit("D"))
+          .when(!(vals("__old") <=> vals("__new")), lit("U"))
+          .as("op"),
+        coalesce(col("__new"), col("__old")).as("__row"))
+      .where(col("op").isNotNull)
+      .select(col("op") +: newer.columns.toIndexedSeq
+        .map(c => col(s"__row.$c")): _*)
+  }
+
+  /** GOLDEN-RECORD survivorship — the merge step after entity
+    * resolution: per cluster, each field's surviving value is the
+    * LATEST NON-NULL by (`tsCol`, `idCol`) — per-field independently,
+    * so a newer row with a null phone does not erase the older phone
+    * (the standard MDM "most recent wins, but never with a null"
+    * rule). Ties break by id; a field null across the whole cluster
+    * survives as null.
+    *
+    * ONE map-side-combinable hash aggregate: each field is
+    * `max(when(f non-null, struct(ts, id, f)))` — null rows drop out
+    * of the max, per-cluster state is one struct per field regardless
+    * of cluster depth. Output: (cluster, n_members, <fieldCols>). */
+  def goldenRecord(rows: DataFrame, clusterCol: String, tsCol: String,
+                   idCol: String, fieldCols: Seq[String]): DataFrame = {
+    require(fieldCols.nonEmpty, "need at least one field")
+    val survivors = fieldCols.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(tsCol).as("_t"), col(idCol).as("_i"), col(f).as("_v"))))
+        .as(s"__$f")
+    }
+    rows.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_members"), survivors: _*)
+      .select(col("cluster") +: col("n_members") +:
+        fieldCols.map(f => col(s"__$f._v").as(f)): _*)
+  }
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 92 — round 14, part eighteen: the two missing WAREHOUSE-tier
+  * maintenance ops. [[Warehouse.snapshotDiff]] — derive the changelog
+  * FROM two full dumps (the inverse of cdcMerge; how a change feed is
+  * bootstrapped when upstream only publishes snapshots) — and
+  * [[Warehouse.goldenRecord]] — per-field latest-NON-NULL survivorship
+  * after entity resolution (a newer row with a null phone must not
+  * erase the older phone).
+  *
+  * Both plants are deterministic functions of c_custkey, so the
+  * oracle rebuilds old/new (and the clustered duplicates) from the
+  * same base table and must reproduce every I/U/D row and every
+  * per-field survivor. Balances are compared/carried in integer
+  * CENTS (the dsum house rule). */
+object Wave92 {
+
+  /** The "newer" snapshot derived from customer: %17==3 keys deleted,
+    * %13==2 balances bumped by 1.00, %19==4 keys cloned as inserts
+    * (key + 1,000,000). */
+  private def snapshots(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = Tables.customer(s, d).select(col("c_custkey"),
+      col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val older = base
+    val newer = base
+      .where(pmod(col("c_custkey"), lit(17)) =!= 3)
+      .withColumn("bal_c",
+        when(pmod(col("c_custkey"), lit(13)) === 2, col("bal_c") + 100L)
+          .otherwise(col("bal_c")))
+      .unionByName(base.where(pmod(col("c_custkey"), lit(19)) === 4)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+    (older, newer)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q304_snapshot_diff" -> { (s, d) =>
+      val (older, newer) = snapshots(s, d)
+      Warehouse.snapshotDiff(older, newer, "c_custkey")
+        .orderBy(col("op"), col("c_custkey"))
+    },
+
+    // clusters of ~3 members (custkey mod 500); per-field survivorship:
+    // phone is NULLed on a key-derived subset, so for some clusters the
+    // latest row has a null phone and an OLDER phone must survive
+    "q305_golden_record" -> { (s, d) =>
+      val rows = Tables.customer(s, d).select(
+        pmod(col("c_custkey"), lit(500)).as("cluster"),
+        col("c_custkey").as("id"),
+        col("c_custkey").as("seq"), // deterministic recency = key order
+        when(pmod(col("c_custkey"), lit(7)) =!= 1, col("c_name"))
+          .as("name"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      Warehouse.goldenRecord(rows, "cluster", "seq", "id",
+        Seq("name", "bal_c"))
+        .orderBy(col("cluster"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q304_snapshot_diff" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+         |  FROM customer),
+         |older AS (SELECT * FROM base),
+         |newer AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |    CASE WHEN c_custkey % 13 = 2 THEN bal_c + 100 ELSE bal_c END
+         |      AS bal_c
+         |  FROM base WHERE c_custkey % 17 <> 3
+         |  UNION ALL
+         |  SELECT c_custkey + 1000000, c_name, c_mktsegment, bal_c
+         |  FROM base WHERE c_custkey % 19 = 4),
+         |j AS (
+         |  SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+         |    o.c_name AS on_, o.c_mktsegment AS om, o.bal_c AS ob,
+         |    n.c_name AS nn, n.c_mktsegment AS nm, n.bal_c AS nb
+         |  FROM older o FULL OUTER JOIN newer n
+         |    ON o.c_custkey = n.c_custkey)
+         |SELECT * FROM (
+         |  SELECT CASE
+         |      WHEN ok IS NULL THEN 'I'
+         |      WHEN nk IS NULL THEN 'D'
+         |      WHEN (on_, om, ob) IS DISTINCT FROM (nn, nm, nb) THEN 'U'
+         |    END AS op,
+         |    COALESCE(nk, ok) AS c_custkey,
+         |    COALESCE(nn, on_) AS c_name,
+         |    COALESCE(nm, om) AS c_mktsegment,
+         |    COALESCE(nb, ob) AS bal_c
+         |  FROM j)
+         |WHERE op IS NOT NULL
+         |ORDER BY op, c_custkey""".stripMargin,
+
+    "q305_golden_record" ->
+      s"""WITH rows_ AS (
+         |  SELECT c_custkey % 500 AS cluster, c_custkey AS id,
+         |    c_custkey AS seq,
+         |    CASE WHEN c_custkey % 7 <> 1 THEN c_name END AS name,
+         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+         |  FROM customer),
+         |nm AS (
+         |  SELECT cluster, name FROM (
+         |    SELECT cluster, name,
+         |      row_number() OVER (PARTITION BY cluster
+         |        ORDER BY seq DESC, id DESC) AS rn
+         |    FROM rows_ WHERE name IS NOT NULL)
+         |  WHERE rn = 1),
+         |bl AS (
+         |  SELECT cluster, bal_c FROM (
+         |    SELECT cluster, bal_c,
+         |      row_number() OVER (PARTITION BY cluster
+         |        ORDER BY seq DESC, id DESC) AS rn
+         |    FROM rows_ WHERE bal_c IS NOT NULL)
+         |  WHERE rn = 1),
+         |n AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM rows_ GROUP BY 1)
+         |SELECT n.cluster, n.n_members, nm.name, bl.bal_c
+         |FROM n LEFT JOIN nm ON nm.cluster = n.cluster
+         |  LEFT JOIN bl ON bl.cluster = n.cluster
+         |ORDER BY n.cluster""".stripMargin)
+}

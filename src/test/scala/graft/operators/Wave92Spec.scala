@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Goldens + the round-trip law for the Wave-92 warehouse ops. */
+class Wave92Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import spark.implicits._
+
+  test("snapshotDiff: I/U/D classification, unchanged rows silent, null-safe compare") {
+    val older = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, Some("c"), 30L),
+      (4L, None: Option[String], 40L), (5L, Some("e"), 50L)
+    ).toDF("k", "s", "v")
+    val newer = Seq(
+      (1L, Some("a"), 10L),             // unchanged → silent
+      (2L, Some("b"), 21L),             // U (value)
+      (4L, Some("d"), 40L),             // U (null → non-null, null-safely)
+      (5L, None: Option[String], 50L),  // U (non-null → null)
+      (6L, Some("f"), 60L)              // I
+    ).toDF("k", "s", "v")                // 3 deleted
+    val r = Warehouse.snapshotDiff(older, newer, "k")
+      .select("op", "k").as[(String, Long)].collect().sortBy(_._2)
+    r shouldBe Array(("U", 2L), ("D", 3L), ("U", 4L), ("U", 5L), ("I", 6L))
+    // D rows carry the OLD values
+    Warehouse.snapshotDiff(older, newer, "k")
+      .where(col("op") === "D").select("s").as[Option[String]]
+      .head() shouldBe Some("c")
+  }
+
+  test("snapshotDiff round-trip law: cdcMerge(older + diff) == newer") {
+    val older = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val newer = Seq((1L, "a", 11L), (3L, "c", 30L), (9L, "z", 90L))
+      .toDF("k", "s", "v")
+    val diff = Warehouse.snapshotDiff(older, newer, "k")
+    // replay the diff as a CDC log over the old snapshot: seq 0 = the
+    // snapshot itself as upserts, seq 1 = the diff
+    val log = older.select(col("k"), lit(0L).as("seq"), lit("U").as("op"),
+        col("s"), col("v"))
+      .unionByName(diff.select(col("k"), lit(1L).as("seq"), col("op"),
+        col("s"), col("v")))
+    val merged = Warehouse.cdcMerge(log, "k", Seq("seq"), "op",
+        Seq("s", "v"), "D")
+      .select("k", "s", "v")
+    merged.exceptAll(newer).count() shouldBe 0
+    newer.exceptAll(merged).count() shouldBe 0
+  }
+
+  test("goldenRecord: per-field latest non-null, not latest row") {
+    val rows = Seq(
+      // cluster 1: newest row (seq 3) has null phone — phone survives
+      // from seq 2; balance survives from seq 3
+      (1L, 101L, 1L, Some("p-old"), Some(10L)),
+      (1L, 102L, 2L, Some("p-mid"), None: Option[Long]),
+      (1L, 103L, 3L, None: Option[String], Some(30L)),
+      // cluster 2: field null across the cluster survives as null
+      (2L, 201L, 1L, None: Option[String], Some(5L))
+    ).toDF("cluster", "id", "seq", "phone", "bal")
+    val r = Warehouse.goldenRecord(rows, "cluster", "seq", "id",
+      Seq("phone", "bal"))
+      .select("cluster", "n_members", "phone", "bal")
+      .as[(Long, Long, Option[String], Option[Long])]
+      .collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 3L, Some("p-mid"), Some(30L)),
+      (2L, 1L, None, Some(5L)))
+  }
+}
