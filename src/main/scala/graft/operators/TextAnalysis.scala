@@ -1807,6 +1807,95 @@ object TextAnalysis {
         (lit(queries.size.toLong) - col("n_queries")).as("n_dropped"))
   }
 
+  /** Integer DCG discount table: floor(10⁹ / log2(i+1)) for ranks
+    * 1..k, computed ONCE driver-side and embedded as literals in the
+    * plan (and, verbatim, in any oracle twin) — so the irrational
+    * discounts never touch runtime libm on either engine. */
+  private[graft] def ndcgDiscounts(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** nDCG@k over the [[retrievalMrrMultiPpm]] ranking — the GRADED
+    * retrieval metric (MRR only sees the first hit; nDCG credits the
+    * whole ranked list, weighted by graded relevance): per query,
+    * dcg_u = Σ grade(doc at rank i)·D[i] over retrieved relevant docs
+    * at i ≤ k, idcg_u = the same sum over the IDEAL ordering (all
+    * relevant docs by grade desc), ndcg_ppm = dcg_u·10⁶ div idcg_u —
+    * all exact integers given the embedded discount table
+    * ([[ndcgDiscounts]]). Queries with no positive-grade relevance
+    * rows emit nothing. `relevance` columns: (qid, id, grade>0).
+    *
+    * Scale: scoring/ranking is the q286 machinery (one stats
+    * aggregate, ANY-term candidate filters, rank windows over
+    * candidates); relevance is broadcast; both DCG legs are
+    * map-side-combinable sums. Output: (qid, dcg_u, idcg_u,
+    * ndcg_ppm). */
+  def retrievalNdcgPpm(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], relevance: DataFrame,
+      atK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query, each with at least one term")
+    require(atK >= 1, s"atK must be >= 1: $atK")
+    val base = docs.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("toks"),
+      T.tokenCount(col(textCol)).as("dl")).cache()
+    val allTerms = queries.flatMap(_._2).distinct
+    val dfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+        .as(s"df$i")
+    }
+    val statsRow = base
+      .agg(count(lit(1)).as("n"), (sum(col("dl")).as("dlsum") +: dfCols): _*)
+      .collect()(0)
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val dfOf: Map[String, Double] = allTerms.zipWithIndex.map {
+      case (t, i) => t -> statsRow.getLong(i + 2).toDouble
+    }.toMap
+    val scoredPerQuery = queries.map { case (qid, terms) =>
+      val anyTerm = terms.map(t => array_contains(col("toks"), t))
+        .reduce(_ || _)
+      val termScores = terms.map { t =>
+        val tf = (size(col("toks")) - size(array_remove(col("toks"), t)))
+          .cast("double")
+        val idf = (nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5)
+        val sc = lit(idf) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / lit(avgdl)))
+        floor(sc * lit(1e9)).cast("decimal(38,0)")
+      }
+      base.where(anyTerm)
+        .select(lit(qid).as("qid"), col("id"),
+          termScores.reduce(_ + _).as("score"))
+    }
+    val ranked = scoredPerQuery.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+    val disc = ndcgDiscounts(atK)
+    def discAt(pos: Column): Column =
+      (1 to atK).foldLeft(lit(0L): Column)((acc, i) =>
+        when(pos === i, lit(disc(i - 1))).otherwise(acc))
+    val rel = broadcast(relevance.toDF("qid", "id", "grade")
+      .select(col("qid").cast("long"), col("id").cast("long"),
+        col("grade").cast("long"))
+      .where(col("grade") > 0))
+    val dcg = ranked.where(col("rank") <= atK)
+      .join(rel, Seq("qid", "id"))
+      .groupBy(col("qid"))
+      .agg(sum(col("grade") * discAt(col("rank"))).as("dcg_u"))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("grade").desc, col("id"))
+    val idcg = rel.withColumn("ipos", row_number().over(wI).cast("long"))
+      .where(col("ipos") <= atK)
+      .groupBy(col("qid"))
+      .agg(sum(col("grade") * discAt(col("ipos"))).as("idcg_u"))
+    idcg.join(dcg, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("dcg_u"), lit(0L)).as("dcg_u"),
+        col("idcg_u"))
+      .withColumn("ndcg_ppm", expr("dcg_u * 1000000 DIV idcg_u"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov DRIFT statistic in exact integer
     * parts-per-million — the distribution-shift monitor a pipeline
     * runs between corpus generations (did this crawl's length/quality

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 93 — round 14, part nineteen: nDCG@k
+  * ([[TextAnalysis.retrievalNdcgPpm]]) — the GRADED retrieval metric
+  * completing the eval suite (MRR q275/q286, hits@k, AUC q272, KS
+  * q274): DCG over the q286 ranking with an integer discount table
+  * floor(10⁹/log2(i+1)) embedded as literals in BOTH plans, so the
+  * irrational discounts never touch runtime libm in either engine.
+  *
+  * The plant grades relevance 3/2/1 by doc_id congruences, and the
+  * two-term scoring puts some high-grade docs OUT of the top-5 (they
+  * hold one term only), so dcg < idcg for real reasons the oracle
+  * must reproduce: ranking, grade join, discount table, and ideal
+  * ordering. */
+object Wave93 {
+
+  private val NQ = 4
+  private val AtK = 5
+
+  private def m1(i: Int): String = "nqa" + ('a' + i).toChar
+  private def m2(i: Int): String = "nrb" + ('a' + i).toChar
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_retrieval_ndcg" -> { (s, d) =>
+      val planted = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          (0 until NQ).map(i =>
+            concat(
+              when(pmod(col("doc_id"), lit(17)) === i, lit(" " + m1(i)))
+                .otherwise(lit("")),
+              when(pmod(col("doc_id"), lit(19)) === i, lit(" " + m2(i)))
+                .otherwise(lit("")))).reduce(concat(_, _))))
+      val qs = (0 until NQ).map(i => (i.toLong, Seq(m1(i), m2(i))))
+      val rel = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(17)) < NQ)
+        .select(pmod(col("doc_id"), lit(17)).as("qid"),
+          col("doc_id").as("id"),
+          when(pmod(col("doc_id"), lit(9)) === 0, 3L)
+            .when(pmod(col("doc_id"), lit(3)) === 0, 2L)
+            .otherwise(1L).as("grade"))
+      TextAnalysis.retrievalNdcgPpm(planted, "doc_id", "text", qs, rel,
+        atK = AtK).orderBy(col("qid"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q306_retrieval_ndcg" -> {
+      val k1 = 1.2; val b = 0.75; val k1p1 = k1 + 1.0; val oneMb = 1.0 - b
+      val disc = TextAnalysis.ndcgDiscounts(AtK)
+      def discCase(pos: String): String =
+        "CASE " + (1 to AtK).map(i =>
+          s"WHEN $pos = $i THEN ${disc(i - 1)}").mkString(" ") + " ELSE 0 END"
+      val plant = (0 until NQ).map(i =>
+        s"CASE WHEN doc_id % 17 = $i THEN ' ${m1(i)}' ELSE '' END || " +
+          s"CASE WHEN doc_id % 19 = $i THEN ' ${m2(i)}' ELSE '' END")
+        .mkString(" || ")
+      val toks =
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+      val allTerms = (0 until NQ).flatMap(i => Seq(m1(i), m2(i)))
+      val dfExprs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(",\n    ")
+      val dfIdx = allTerms.zipWithIndex.toMap
+      def termScore(t: String): String = {
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        val idf = s"(n_docs - df${dfIdx(t)} + 0.5) / (df${dfIdx(t)} + 0.5)"
+        s"""CAST(floor($idf * ($tf * $k1p1) /
+           |    ($tf + $k1 * ($oneMb + $b * CAST(dl AS DOUBLE) / avgdl))
+           |    * 1e9) AS HUGEINT)""".stripMargin
+      }
+      val perQuery = (0 until NQ).map { i =>
+        s"""SELECT $i AS qid, id,
+           |  ${termScore(m1(i))}
+           |  + ${termScore(m2(i))} AS score
+           |FROM base, stats
+           |WHERE list_contains(toks, '${m1(i)}')
+           |   OR list_contains(toks, '${m2(i)}')""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || $plant AS text FROM documents),
+         |base AS (
+         |  SELECT doc_id AS id, $toks AS toks,
+         |    CAST(len($toks) AS BIGINT) AS dl
+         |  FROM planted),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfExprs
+         |  FROM base),
+         |scored AS (
+         |  $perQuery),
+         |ranked AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rank
+         |  FROM scored),
+         |rel AS (
+         |  SELECT CAST(doc_id % 17 AS BIGINT) AS qid, doc_id AS id,
+         |    CAST(CASE WHEN doc_id % 9 = 0 THEN 3
+         |      WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS grade
+         |  FROM documents WHERE doc_id % 17 < $NQ),
+         |dcg AS (
+         |  SELECT r.qid, CAST(sum(rel.grade * ${discCase("r.rank")})
+         |    AS BIGINT) AS dcg_u
+         |  FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.id = r.id
+         |  WHERE r.rank <= $AtK GROUP BY 1),
+         |ideal AS (
+         |  SELECT qid, grade, row_number() OVER (PARTITION BY qid
+         |    ORDER BY grade DESC, id) AS ipos
+         |  FROM rel),
+         |idcg AS (
+         |  SELECT qid, CAST(sum(grade * ${discCase("ipos")}) AS BIGINT)
+         |    AS idcg_u
+         |  FROM ideal WHERE ipos <= $AtK GROUP BY 1)
+         |SELECT i.qid, COALESCE(d.dcg_u, 0) AS dcg_u, i.idcg_u,
+         |  CAST(COALESCE(d.dcg_u, 0) * 1000000 // i.idcg_u AS BIGINT)
+         |    AS ndcg_ppm
+         |FROM idcg i LEFT JOIN dcg d ON d.qid = i.qid
+         |ORDER BY i.qid""".stripMargin
+    })
+}

@@ -110,6 +110,22 @@ class Wave82Spec extends AnyFunSuite with Matchers with SparkFixture {
     rank(1L) should be < rank(2L)
   }
 
+  test("retrievalNdcgPpm: graded credit at retrieved ranks vs the ideal ordering") {
+    import spark.implicits._
+    // ranking (verified BM25 arithmetic): d1 (both terms) > d2 (ga,
+    // shortest) > d3 (gb, longest). Relevance: d2 carries grade 3 but
+    // only reaches rank 2 — dcg must discount it; ideal puts it first.
+    val d = docs((1L, "ga gb"), (2L, "ga"), (3L, "gb x y z"))
+    val rel = Seq((0L, 1L, 1L), (0L, 2L, 3L)).toDF("qid", "id", "grade")
+    val r = TextAnalysis.retrievalNdcgPpm(d, "doc_id", "text",
+      Seq((0L, Seq("ga", "gb"))), rel, atK = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    val disc = TextAnalysis.ndcgDiscounts(5)
+    val dcg = 1L * disc(0) + 3L * disc(1)  // d1 grade1 @1, d2 grade3 @2
+    val idcg = 3L * disc(0) + 1L * disc(1) // ideal: grade3 first
+    r shouldBe Array((0L, dcg, idcg, dcg * 1000000L / idcg))
+  }
+
   test("snippets: window 0 is the bare token; multiple terms one scan") {
     import spark.implicits._
     val d = docs((1L, "x foo y bar z"))
