@@ -1896,6 +1896,53 @@ object TextAnalysis {
       .withColumn("ndcg_ppm", expr("dcg_u * 1000000 DIV idcg_u"))
   }
 
+  /** CATEGORICAL token drift: the two-sample chi-square homogeneity
+    * contribution of each token between corpus slices A and B, in
+    * exact integer units — [[ksDriftPpm]] watches NUMERIC
+    * distributions; this is its categorical twin over the vocabulary,
+    * and its per-token ATTRIBUTION is the actionable part ("which
+    * tokens moved between crawls"). Using the standard identity
+    * X² = (nA+nB)·Σ_t (oA·nB − oB·nA)² / (nA·nB·(oA+oB)), each
+    * token's term is computed in DECIMAL(38,0) with an integral
+    * divide — products stay ≤ ~10³¹, inside both DECIMAL(38) and
+    * HUGEINT — so any engine reproduces every contribution bit-for-
+    * bit. Output: the `topK` tokens by (contribution desc, token) —
+    * (token, o_a, o_b, contrib_u), contrib_u in 1e-6 units of the
+    * statistic.
+    *
+    * Scale: one tokenize+explode scan → a map-side-combinable
+    * (token → two counts) aggregate; totals are two numbers (the dval
+    * idiom); the head is orderBy+limit (TakeOrdered). `minCount`
+    * floors rare tokens (both the statistics convention — expected
+    * counts ≥ 5 — and the cardinality bound). */
+  def tokenChiSquareTopK(docs: DataFrame, idCol: String, textCol: String,
+                         isGroupA: Column, topK: Int = 10,
+                         minCount: Long = 5L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val toks = docs.select(isGroupA.as("ga"),
+        explode(T.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("o_a"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("o_b"))
+      .where(col("o_a") + col("o_b") >= minCount)
+    val t = counts.agg(sum(col("o_a")).as("n_a"), sum(col("o_b")).as("n_b"))
+      .collect()(0)
+    val (nA, nB) = (t.getLong(0), t.getLong(1))
+    require(nA > 0 && nB > 0, s"both slices need tokens: nA=$nA nB=$nB")
+    counts
+      // decimal BEFORE any product: long·long would overflow first at
+      // corpus scale
+      .withColumn("__d", expr(
+        s"CAST(o_a AS DECIMAL(38,0)) * ${nB}L - CAST(o_b AS DECIMAL(38,0)) * ${nA}L"))
+      .withColumn("contrib_u", expr(
+        s"""CAST(${nA + nB} AS DECIMAL(38,0)) * __d * __d * 1000000
+           | DIV (CAST(${nA}L AS DECIMAL(38,0)) * ${nB}L * (o_a + o_b))"""
+          .stripMargin.replace("\n", " ")))
+      .drop("__d")
+      .withColumn("contrib_u", col("contrib_u").cast("long"))
+      .orderBy(col("contrib_u").desc, col("token")).limit(topK)
+  }
+
   /** Two-sample Kolmogorov–Smirnov DRIFT statistic in exact integer
     * parts-per-million — the distribution-shift monitor a pipeline
     * runs between corpus generations (did this crawl's length/quality

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Wave 94 — round 14, part twenty: CATEGORICAL token drift
+  * ([[TextAnalysis.tokenChiSquareTopK]]) — q274's KS watches numeric
+  * drift; this is the categorical twin over the vocabulary, with the
+  * per-token chi-square ATTRIBUTION ("which tokens moved between
+  * slices") as the deliverable. A drift plant forces real signal: two
+  * marker tokens appear only in one slice each, so they must top the
+  * attribution, ahead of the corpus's natural even/odd-source noise.
+  *
+  * Slices: even- vs odd-numbered sources. All arithmetic DECIMAL(38,0)
+  * with integral divide — HUGEINT-replayable. */
+object Wave94 {
+
+  private val TopK = 10
+  private val MinCount = 5L
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q307_token_drift" -> { (s, d) =>
+      val planted = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(6)) === 0, lit(" zdrifta"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6)) === 3, lit(" zdriftb"))
+            .otherwise(lit(""))))
+      // doc_id parity tracks source parity in the driver tables only
+      // loosely — derive the slice from the SOURCE, the real use case
+      val isA = expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+      TextAnalysis.tokenChiSquareTopK(planted, "doc_id", "text", isA,
+        TopK, MinCount)
+        .orderBy(col("contrib_u").desc, col("token"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q307_token_drift" ->
+      s"""WITH planted AS (
+         |  SELECT source,
+         |    text ||
+         |    (CASE WHEN doc_id % 6 = 0 THEN ' zdrifta' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 6 = 3 THEN ' zdriftb' ELSE '' END) AS text
+         |  FROM documents),
+         |tok AS (
+         |  SELECT CAST(substr(source, 4) AS INT) % 2 = 0 AS ga,
+         |    unnest($SqlToks) AS token
+         |  FROM planted),
+         |counts AS (
+         |  SELECT token,
+         |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+         |    CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS o_b
+         |  FROM tok GROUP BY 1
+         |  HAVING sum(1) >= $MinCount),
+         |totals AS (
+         |  SELECT sum(o_a) AS n_a, sum(o_b) AS n_b FROM counts),
+         |scored AS (
+         |  SELECT token, o_a, o_b,
+         |    CAST(
+         |      CAST(n_a + n_b AS HUGEINT)
+         |      * (CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
+         |      * (CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
+         |      * 1000000
+         |      // (CAST(n_a AS HUGEINT) * n_b * (o_a + o_b))
+         |    AS BIGINT) AS contrib_u
+         |  FROM counts, totals)
+         |SELECT token, o_a, o_b, contrib_u FROM scored
+         |ORDER BY contrib_u DESC, token LIMIT $TopK""".stripMargin)
+}

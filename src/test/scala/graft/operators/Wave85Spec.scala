@@ -90,6 +90,22 @@ class Wave85Spec extends AnyFunSuite with Matchers with SparkFixture {
     ex2.sorted shouldBe ex.sorted
   }
 
+  test("tokenChiSquareTopK: hand-computed contributions, symmetric in slices") {
+    val d = Seq(("x x y", true), ("x y y y", false)).toDF("text", "ga")
+    val r = TextAnalysis.tokenChiSquareTopK(d, "text", "text", col("ga"),
+      topK = 10, minCount = 1L)
+      .select("token", "o_a", "o_b", "contrib_u")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // nA=3 nB=4; x: d=2*4-1*3=5 → 7*25*1e6 div (3*4*3) = 4861111
+    //            y: d=1*4-3*3=-5 → 7*25*1e6 div (3*4*4) = 3645833
+    r shouldBe Array(("x", 2L, 1L, 4861111L), ("y", 1L, 3L, 3645833L))
+    // slice labels swapped: identical contributions (d flips sign only)
+    val sw = TextAnalysis.tokenChiSquareTopK(d, "text", "text", !col("ga"),
+      topK = 10, minCount = 1L)
+      .select("token", "contrib_u").as[(String, Long)].collect().sortBy(_._1)
+    sw shouldBe Array(("x", 4861111L), ("y", 3645833L))
+  }
+
   test("mixtureSchedule: zero-weight domains are excluded") {
     val df = Seq((1L, "keep"), (2L, "keep"), (3L, "drop"))
       .toDF("doc_id", "dom")
