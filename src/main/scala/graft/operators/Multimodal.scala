@@ -428,6 +428,60 @@ object Multimodal {
     })
   }
 
+  /** Per-asset ACTIVITY SEGMENTATION over decoded 16-bit PCM: frame the
+    * sample stream at `frameSamples`, mark a frame active when its
+    * energy exceeds `meanSqThreshold` PER SAMPLE (integer
+    * cross-multiply — no division), report the active span — the
+    * silence-trim / speech-activity pass an audio training pipeline
+    * runs before anything else (leading/trailing silence is the audio
+    * tier's boilerplate). */
+  case class AudioActivity(asset_id: Long, n_frames: Long, n_active: Long,
+                           first_active: Long, last_active: Long,
+                           active_ppm: Long)
+
+  /** Complete frames only (a trailing partial frame is ignored —
+    * documented, deterministic); `first_active`/`last_active` are
+    * 0-based frame indices, −1 when no frame clears the threshold.
+    * Same seam contract as [[pcm16SampleStats]]: partition-preserving
+    * per-row decode, exact integer arithmetic throughout (frame energy
+    * ≤ 32768²·frameSamples — a long holds any sane frame). */
+  def audioActivity(assets: Dataset[Asset], frameSamples: Int,
+                    meanSqThreshold: Long): Dataset[AudioActivity] = {
+    require(frameSamples > 0, s"frameSamples must be > 0: $frameSamples")
+    require(meanSqThreshold >= 0, s"threshold must be >= 0: $meanSqThreshold")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val w = parseWav(a)
+      require(w.bits == 16,
+        s"WAV asset ${a.asset_id}: audioActivity needs 16-bit, got ${w.bits}")
+      val d = a.data
+      val nSamples = w.dataBytes / 2
+      val nFrames = nSamples / frameSamples
+      var f = 0
+      var nActive = 0L
+      var first = -1L
+      var last = -1L
+      while (f < nFrames) {
+        var energy = 0L
+        var i = 0
+        while (i < frameSamples) {
+          val o = w.dataOff + 2 * (f * frameSamples + i)
+          val s = ((d(o) & 0xff) | (d(o + 1) << 8)).toShort.toLong
+          energy += s * s
+          i += 1
+        }
+        if (energy > meanSqThreshold * frameSamples) {
+          nActive += 1
+          if (first < 0) first = f
+          last = f
+        }
+        f += 1
+      }
+      val ppm = if (nFrames > 0) nActive * 1000000L / nFrames else 0L
+      AudioActivity(a.asset_id, nFrames.toLong, nActive, first, last, ppm)
+    })
+  }
+
   /** Fixture encoder for [[decodeWav]]: a minimal VALID 16-bit PCM WAV
     * (44-byte canonical header) whose sample bytes are the deterministic
     * stream (seed + i) mod 256 — the planted-bytes side of q128's
@@ -454,6 +508,46 @@ object Multimodal {
     var i = 0
     while (i < dataBytes) {
       b.put((((seed + i) % 256 + 256) % 256).toByte)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** [[syntheticWav]] with frame-aligned SILENCE padding: `leadFrames`
+    * and `trailFrames` of zero samples around a `bodyFrames` block of
+    * the deterministic (seed + i) mod 256 byte stream — the planted
+    * fixture for [[audioActivity]] (frames are `frameSamples` samples;
+    * lead/body/trail are multiples of it, so every frame is entirely
+    * silent or entirely body and an oracle can recompute each frame's
+    * energy arithmetically). */
+  def syntheticWavPadded(sampleRate: Int, channels: Int, frameSamples: Int,
+                         leadFrames: Int, bodyFrames: Int, trailFrames: Int,
+                         seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && frameSamples > 0 &&
+      leadFrames >= 0 && bodyFrames >= 0 && trailFrames >= 0,
+      s"bad padded-WAV shape")
+    val sampleBytes = 2
+    val leadB = leadFrames * frameSamples * sampleBytes
+    val bodyB = bodyFrames * frameSamples * sampleBytes
+    val trailB = trailFrames * frameSamples * sampleBytes
+    val dataBytes = leadB + bodyB + trailB
+    val frameBytes = channels * sampleBytes
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * frameBytes)
+    b.putShort(frameBytes.toShort)
+    b.putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    // lead/trail stay the allocator's zeros; body via absolute puts
+    var i = 0
+    while (i < bodyB) {
+      b.put(44 + leadB + i, (((seed + i) % 256 + 256) % 256).toByte)
       i += 1
     }
     b.array()

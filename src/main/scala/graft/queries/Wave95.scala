@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Wave 95 — round 14, part twenty-one: AUDIO ACTIVITY SEGMENTATION
+  * ([[Multimodal.audioActivity]]) — the silence-trim pass an audio
+  * training pipeline runs first (leading/trailing silence is the audio
+  * tier's boilerplate): frame the decoded 16-bit PCM stream, mark
+  * frames whose energy clears a per-sample mean-square threshold,
+  * report the active span and ratio.
+  *
+  * Each doc plants a REAL silence-padded WAV
+  * ([[Multimodal.syntheticWavPadded]] — a stock player opens it):
+  * (doc_id-derived) lead/body/trail frames, body bytes the
+  * deterministic (seed+i) mod 256 stream. The oracle re-decodes every
+  * body sample ARITHMETICALLY (lo/hi byte → signed 16-bit), recomputes
+  * each frame's energy, and must land the same span — certifying
+  * header layout, sample decode, framing, and threshold together. */
+object Wave95 {
+
+  private val FrameSamples = 32
+  private val MeanSqThr = 1000L
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q308_audio_activity" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.Asset(id, "wav", Multimodal.syntheticWavPadded(
+            8000, 1, FrameSamples,
+            (id % 4).toInt, (3 + id % 3).toInt, (id % 2).toInt, id))
+        }
+      Multimodal.audioActivity(assets, FrameSamples, MeanSqThr).toDF()
+        .orderBy(col("asset_id"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q308_audio_activity" ->
+      s"""WITH p AS (
+         |  SELECT doc_id AS id, doc_id % 4 AS lead, 3 + doc_id % 3 AS body,
+         |    doc_id % 2 AS trail
+         |  FROM documents),
+         |bs AS (
+         |  SELECT id, lead, j,
+         |    ((id + 2 * j) % 256 + 256) % 256 AS lo,
+         |    ((id + 2 * j + 1) % 256 + 256) % 256 AS hi
+         |  FROM p JOIN range(0, ${5 * FrameSamples}) r(j)
+         |    ON j < body * $FrameSamples),
+         |fr AS (
+         |  SELECT id, lead + (j // $FrameSamples) AS f,
+         |    sum((CASE WHEN hi >= 128 THEN (hi - 256) * 256 + lo
+         |              ELSE hi * 256 + lo END)
+         |      * (CASE WHEN hi >= 128 THEN (hi - 256) * 256 + lo
+         |              ELSE hi * 256 + lo END)) AS e
+         |  FROM bs GROUP BY 1, 2),
+         |af AS (SELECT id, f FROM fr WHERE e > $MeanSqThr * $FrameSamples),
+         |agg AS (
+         |  SELECT id, count(*) AS n_active, min(f) AS first_active,
+         |    max(f) AS last_active
+         |  FROM af GROUP BY 1),
+         |tot AS (SELECT id, lead + body + trail AS n_frames FROM p)
+         |SELECT t.id AS asset_id, CAST(t.n_frames AS BIGINT) AS n_frames,
+         |  CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+         |  CAST(COALESCE(a.first_active, -1) AS BIGINT) AS first_active,
+         |  CAST(COALESCE(a.last_active, -1) AS BIGINT) AS last_active,
+         |  CAST(COALESCE(a.n_active, 0) * 1000000 // t.n_frames AS BIGINT)
+         |    AS active_ppm
+         |FROM tot t LEFT JOIN agg a ON a.id = t.id
+         |ORDER BY asset_id""".stripMargin)
+}

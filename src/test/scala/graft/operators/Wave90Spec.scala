@@ -33,4 +33,19 @@ class Wave90Spec extends AnyFunSuite with Matchers with SparkFixture {
       // floor(-0.011*100) = floor(-1.1) = -2 (floor, not truncate)
       ("b", 0L, -2L, -2L, -2L, -2L, 1L, -2L))
   }
+
+  test("audioActivity: silence frames inactive, span bounds exact, all-silent asset is (-1,-1)") {
+    import spark.implicits._
+    val padded = Multimodal.Asset(1L, "wav",
+      Multimodal.syntheticWavPadded(8000, 1, 32,
+        leadFrames = 2, bodyFrames = 1, trailFrames = 1, seed = 0L))
+    val silent = Multimodal.Asset(2L, "wav",
+      Multimodal.syntheticWavPadded(8000, 1, 32,
+        leadFrames = 3, bodyFrames = 0, trailFrames = 0, seed = 0L))
+    val r = Multimodal.audioActivity(
+      Seq(padded, silent).toDS(), frameSamples = 32, meanSqThreshold = 1000L)
+      .collect().sortBy(_.asset_id)
+    r(0) shouldBe Multimodal.AudioActivity(1L, 4L, 1L, 2L, 2L, 250000L)
+    r(1) shouldBe Multimodal.AudioActivity(2L, 3L, 0L, -1L, -1L, 0L)
+  }
 }
