@@ -409,12 +409,15 @@ object Behavior {
     * floor-quantized to integer CENTS (the house exact-sum rule:
     * high/low/open/close compare and sum in exact integers).
     *
-    * ONE hash aggregate, fully map-side combinable: open and close are
-    * min/max over a (t, id, cents) struct — no window, no per-bar sort,
-    * so a hot bar combines in partials like any other key. 100 TB of
-    * ticks at minute bars is |keys|·|bars| output rows and nothing
-    * else. Output: (key, bar_start µs, open_c, high_c, low_c, close_c,
-    * n, sum_c). */
+    * ONE aggregate, partial-combined map-side: open and close are
+    * min/max over a (t, id, cents) struct — no window, no per-bar
+    * materialized sort. Struct-buffered min/max isn't HASH-aggregable
+    * (Spark plans a SortAggregate — PlanSpec pins the partial_min
+    * stage), but the partials still combine before the shuffle, so the
+    * exchange carries one row per (key, bar) per partition and a hot
+    * bar combines like any other key. 100 TB of ticks at minute bars
+    * is |keys|·|bars| output rows and nothing else. Output: (key,
+    * bar_start µs, open_c, high_c, low_c, close_c, n, sum_c). */
   def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
                valueCol: String, idCol: String,
                barMicros: Long): DataFrame = {

@@ -267,10 +267,12 @@ object Warehouse {
     * rule). Ties break by id; a field null across the whole cluster
     * survives as null.
     *
-    * ONE map-side-combinable hash aggregate: each field is
+    * ONE aggregate with map-side partial combine: each field is
     * `max(when(f non-null, struct(ts, id, f)))` — null rows drop out
     * of the max, per-cluster state is one struct per field regardless
-    * of cluster depth. Output: (cluster, n_members, <fieldCols>). */
+    * of cluster depth (struct buffers plan as SortAggregate, not
+    * HashAggregate — the partials still fold before the shuffle).
+    * Output: (cluster, n_members, <fieldCols>). */
   def goldenRecord(rows: DataFrame, clusterCol: String, tsCol: String,
                    idCol: String, fieldCols: Seq[String]): DataFrame = {
     require(fieldCols.nonEmpty, "need at least one field")

@@ -511,4 +511,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     val p = plan("q295_mixture_schedule")
     p should include("TakeOrderedAndProject")
   }
+
+  test("q302: OHLC bars partial-combine map-side; no window anywhere") {
+    val p = plan("q302_ohlc_bars")
+    // struct min/max buffers aren't hash-aggregable — Spark plans a
+    // SortAggregate; the pin is the PARTIAL stage (map-side combine
+    // before the exchange), which is the scale property that matters
+    p should include("partial_min")
+    p should not include "Window"
+  }
+
+  test("q307: drift attribution head is TakeOrdered over a keyed hash agg") {
+    val p = plan("q307_token_drift")
+    p should include("TakeOrderedAndProject")
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+  }
+
+  test("q304: snapshot diff is one keyed join — nothing nested-loop") {
+    val p = plan("q304_snapshot_diff")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
