@@ -316,6 +316,14 @@ object Joins {
                     outCol: String = "asof_val"): DataFrame = {
     require(toleranceMicros >= 0,
       s"toleranceMicros must be >= 0: $toleranceMicros")
+    // staleness is left_ts - matched_right_ts converted with ONE type
+    // rule; a timestamp left vs integral right (or vice versa) would
+    // silently mix micros with raw units (the r14 advisor finding)
+    require(left.schema(tsCol).dataType == right.schema(tsCol).dataType,
+      s"asOfTolerance: $tsCol type differs between sides " +
+        s"(${left.schema(tsCol).dataType.simpleString} vs " +
+        s"${right.schema(tsCol).dataType.simpleString}) — staleness " +
+        "would mix units; cast one side first")
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
       dt match {

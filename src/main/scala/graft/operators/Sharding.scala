@@ -533,6 +533,11 @@ object Sharding {
     require(k >= 1, s"k must be >= 1: $k")
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(domainCol).as("domain"), score.cast("long").as("score"))
+    // keepPpm=0 keeps NOTHING — matching the exact window path. Without
+    // this short-circuit the greatest(1, ...) rank clamp below would
+    // still keep every doc tying the sample's per-domain max score
+    // (the r14 advisor boundary finding).
+    if (keepPpm == 0L) return base.where(lit(false))
     val bk = Agg.bottomK(k)
     val sample = base.groupBy(col("domain"))
       .agg(bk(md5(concat(lit("qsk:"), col("id").cast("string"))),

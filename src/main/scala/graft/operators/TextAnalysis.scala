@@ -1876,10 +1876,15 @@ object TextAnalysis {
     def discAt(pos: Column): Column =
       (1 to atK).foldLeft(lit(0L): Column)((acc, i) =>
         when(pos === i, lit(disc(i - 1))).otherwise(acc))
+    // restrict relevance to the qids actually queried BEFORE the idcg
+    // leg: the output is driven by idcg (left join), so a relevance row
+    // for a qid absent from `queries` would otherwise emit a spurious
+    // (qid, 0, idcg, 0) row (the r14 advisor finding)
+    val qids = queries.map(_._1)
     val rel = broadcast(relevance.toDF("qid", "id", "grade")
       .select(col("qid").cast("long"), col("id").cast("long"),
         col("grade").cast("long"))
-      .where(col("grade") > 0))
+      .where(col("grade") > 0 && col("qid").isin(qids: _*)))
     val dcg = ranked.where(col("rank") <= atK)
       .join(rel, Seq("qid", "id"))
       .groupBy(col("qid"))
@@ -1903,10 +1908,23 @@ object TextAnalysis {
     * and its per-token ATTRIBUTION is the actionable part ("which
     * tokens moved between crawls"). Using the standard identity
     * X² = (nA+nB)·Σ_t (oA·nB − oB·nA)² / (nA·nB·(oA+oB)), each
-    * token's term is computed in DECIMAL(38,0) with an integral
-    * divide — products stay ≤ ~10³¹, inside both DECIMAL(38) and
-    * HUGEINT — so any engine reproduces every contribution bit-for-
-    * bit. Output: the `topK` tokens by (contribution desc, token) —
+    * token's term is computed in DECIMAL(38,0) as a DOCUMENTED
+    * two-step integral divide — q = d² div (oA+oB) first, then
+    * contrib_u = (nA+nB)·q·10⁶ div (nA·nB) — so the intermediate
+    * products stay ≤ (nA+nB)·max(oA+oB)·max(nA,nB)²·10⁶ instead of
+    * the one-shot form's extra max(oA+oB) factor (which silently
+    * NULLed top-drift tokens once slices passed ~10⁷ tokens under
+    * Spark's non-ANSI decimal overflow — the r14 advisor finding).
+    * The two-step floor shifts each contribution by at most
+    * (nA+nB)·10⁶/(nA·nB) ≈ 2·10⁶/min(nA,nB) micro-units — sub-ppm
+    * for slices past 2M tokens — and any engine replays the same
+    * two floors bit-for-bit (the oracle uses the identical step
+    * order in HUGEINT). A driver-side require PROVES the bound fits
+    * 38 digits from (nA, nB, max(oA+oB)) — collected in the same
+    * totals pass — and fails loudly with the mitigation (raise
+    * `minCount`, subsample slices, or pre-bucket the vocabulary)
+    * instead of letting overflow null rows out of the top-k.
+    * Output: the `topK` tokens by (contribution desc, token) —
     * (token, o_a, o_b, contrib_u), contrib_u in 1e-6 units of the
     * statistic.
     *
@@ -1925,20 +1943,41 @@ object TextAnalysis {
       .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("o_a"),
         sum(when(!col("ga"), 1L).otherwise(0L)).as("o_b"))
       .where(col("o_a") + col("o_b") >= minCount)
-    val t = counts.agg(sum(col("o_a")).as("n_a"), sum(col("o_b")).as("n_b"))
+    val t = counts.agg(sum(col("o_a")).as("n_a"), sum(col("o_b")).as("n_b"),
+        max(col("o_a") + col("o_b")).as("max_o"))
       .collect()(0)
     val (nA, nB) = (t.getLong(0), t.getLong(1))
     require(nA > 0 && nB > 0, s"both slices need tokens: nA=$nA nB=$nB")
+    // Provable 38-digit bound for the two-step divide below. Per token,
+    // d = |o_a·nB − o_b·nA| ≤ (o_a+o_b)·max(nA,nB), so
+    // d² ≤ maxO²·N² (step-1 product) and
+    // q = d² div (o_a+o_b) ≤ maxO·N², so the step-2 product
+    // (nA+nB)·q·10⁶ ≤ (nA+nB)·maxO·N²·10⁶. The larger of the two
+    // bounds must fit DECIMAL(38,0) (and the oracle's HUGEINT, which
+    // is wider) — checked here in BigInt so overflow CANNOT occur in
+    // the plan; non-ANSI decimal overflow would otherwise null the
+    // largest contributions out of the top-k silently.
+    val maxO = t.getLong(2)
+    val bigN = BigInt(math.max(nA, nB))
+    val bound = (BigInt(maxO).pow(2) * bigN.pow(2))
+      .max((BigInt(nA) + BigInt(nB)) * BigInt(maxO) * bigN.pow(2) * BigInt(1000000))
+    require(bound < BigInt(10).pow(38),
+      s"tokenChiSquareTopK: exact DECIMAL(38,0) identity would overflow " +
+        s"(nA=$nA nB=$nB max(o_a+o_b)=$maxO -> bound ~1e${bound.toString.length - 1}); " +
+        "raise minCount, subsample the slices, or pre-bucket the vocabulary")
     counts
       // decimal BEFORE any product: long·long would overflow first at
-      // corpus scale
+      // corpus scale. Two-step integral divide (documented order —
+      // the oracle replays the same two floors in HUGEINT).
       .withColumn("__d", expr(
         s"CAST(o_a AS DECIMAL(38,0)) * ${nB}L - CAST(o_b AS DECIMAL(38,0)) * ${nA}L"))
+      .withColumn("__q", expr(
+        "(__d * __d) DIV CAST(o_a + o_b AS DECIMAL(38,0))"))
       .withColumn("contrib_u", expr(
-        s"""CAST(${nA + nB} AS DECIMAL(38,0)) * __d * __d * 1000000
-           | DIV (CAST(${nA}L AS DECIMAL(38,0)) * ${nB}L * (o_a + o_b))"""
+        s"""CAST(${nA + nB} AS DECIMAL(38,0)) * __q * 1000000
+           | DIV (CAST(${nA}L AS DECIMAL(38,0)) * ${nB}L)"""
           .stripMargin.replace("\n", " ")))
-      .drop("__d")
+      .drop("__d", "__q")
       .withColumn("contrib_u", col("contrib_u").cast("long"))
       .orderBy(col("contrib_u").desc, col("token")).limit(topK)
   }

@@ -236,11 +236,23 @@ object Warehouse {
     * is a struct `<=>` (no hashing, no collision caveat). Column sets
     * must match. Output: (op, <snapshot columns>). Round-trip law:
     * `cdcMerge(older ∪ diff) == newer` (up to row order) — pinned in
-    * WarehouseSpec. */
+    * WarehouseSpec.
+    *
+    * PRECONDITION: `keyCol` is UNIQUE within each snapshot — the
+    * full-outer join fans duplicate keys out into cross-product
+    * U/I/D rows and the round-trip law breaks silently. Run
+    * [[uniqueCheck]] on both sides first when the upstream dump is
+    * untrusted (WarehouseSpec pins the paired usage); the check is
+    * one count-minus-distinct pass, not a self-join. A snapshot may
+    * not already carry a column named `op` (it would collide with
+    * the output op column — guarded here). */
   def snapshotDiff(older: DataFrame, newer: DataFrame,
                    keyCol: String): DataFrame = {
     require(older.columns.toSet == newer.columns.toSet,
       s"column sets differ: ${older.columns.mkString(",")} vs ${newer.columns.mkString(",")}")
+    require(!newer.columns.contains("op"),
+      "snapshotDiff: input already has a column named 'op' — it would " +
+        "collide with the emitted op column; rename it first")
     val valCols = newer.columns.filter(_ != keyCol).toSeq
     val o = older.select(col(keyCol).as("__k"),
       struct(older.columns.toIndexedSeq.map(col): _*).as("__old"))

@@ -60,13 +60,16 @@ object Wave94 {
          |totals AS (
          |  SELECT sum(o_a) AS n_a, sum(o_b) AS n_b FROM counts),
          |scored AS (
+         |  -- two-step integral divide, same floor order as the engine:
+         |  -- q = d*d // (o_a+o_b) first, then (n_a+n_b)*q*1e6 // (n_a*n_b)
          |  SELECT token, o_a, o_b,
          |    CAST(
          |      CAST(n_a + n_b AS HUGEINT)
-         |      * (CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
-         |      * (CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
+         |      * ((CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
+         |         * (CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
+         |         // CAST(o_a + o_b AS HUGEINT))
          |      * 1000000
-         |      // (CAST(n_a AS HUGEINT) * n_b * (o_a + o_b))
+         |      // (CAST(n_a AS HUGEINT) * n_b)
          |    AS BIGINT) AS contrib_u
          |  FROM counts, totals)
          |SELECT token, o_a, o_b, contrib_u FROM scored

@@ -318,6 +318,17 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (103L, Some(7L)))
   }
 
+  test("asOfTolerance: rejects mixed ts types across sides (units would mix)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("k", "t", "pay")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfTolerance(left, right, "k", "t", "pay", 5L)
+    }
+    e.getMessage should include("differs between sides")
+  }
+
   test("asOfTolerance: huge tolerance degenerates to plain asOf") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 50L), (2L, 5L)).toDF("k", "t")

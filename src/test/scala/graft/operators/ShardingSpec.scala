@@ -329,4 +329,17 @@ class ShardingSpec extends AnyFunSuite with Matchers with SparkFixture {
       .collect().sortBy(_._1)
     again shouldBe kept
   }
+
+  test("domainCalibratedFilterSketch: keepPpm=0 keeps nothing (agrees with the exact path)") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i => (i, "a", 1000L - i)).toDF("doc_id", "dom", "s")
+    val exact = Sharding.domainCalibratedFilter(d, "doc_id", "dom",
+      col("s"), 0L).count()
+    val sk = Sharding.domainCalibratedFilterSketch(d, "doc_id", "dom",
+      col("s"), 0L, k = 8)
+    exact shouldBe 0L
+    sk.count() shouldBe 0L
+    // schema unchanged by the short-circuit
+    sk.columns.toSeq shouldBe Seq("id", "domain", "score")
+  }
 }

@@ -126,6 +126,19 @@ class Wave82Spec extends AnyFunSuite with Matchers with SparkFixture {
     r shouldBe Array((0L, dcg, idcg, dcg * 1000000L / idcg))
   }
 
+  test("retrievalNdcgPpm: relevance rows for un-queried qids emit nothing") {
+    import spark.implicits._
+    val d = docs((1L, "ga gb"), (2L, "ga"), (3L, "gb x y z"))
+    // qid 7 is never queried — before the r15 fix its idcg leg emitted
+    // a spurious (7, 0, idcg, 0) row
+    val rel = Seq((0L, 1L, 1L), (0L, 2L, 3L), (7L, 3L, 2L))
+      .toDF("qid", "id", "grade")
+    val r = TextAnalysis.retrievalNdcgPpm(d, "doc_id", "text",
+      Seq((0L, Seq("ga", "gb"))), rel, atK = 5)
+      .select("qid").as[Long].collect()
+    r shouldBe Array(0L)
+  }
+
   test("snippets: window 0 is the bare token; multiple terms one scan") {
     import spark.implicits._
     val d = docs((1L, "x foo y bar z"))

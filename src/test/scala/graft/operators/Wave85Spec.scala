@@ -96,14 +96,16 @@ class Wave85Spec extends AnyFunSuite with Matchers with SparkFixture {
       topK = 10, minCount = 1L)
       .select("token", "o_a", "o_b", "contrib_u")
       .as[(String, Long, Long, Long)].collect().sortBy(_._1)
-    // nA=3 nB=4; x: d=2*4-1*3=5 → 7*25*1e6 div (3*4*3) = 4861111
-    //            y: d=1*4-3*3=-5 → 7*25*1e6 div (3*4*4) = 3645833
-    r shouldBe Array(("x", 2L, 1L, 4861111L), ("y", 1L, 3L, 3645833L))
+    // nA=3 nB=4; two-step floors (q = d² div (o_a+o_b), then
+    // (nA+nB)·q·1e6 div (nA·nB) — the overflow-safe order):
+    // x: d=2*4-1*3=5 → q=25 div 3=8 → 7*8*1e6 div 12 = 4666666
+    // y: d=1*4-3*3=-5 → q=25 div 4=6 → 7*6*1e6 div 12 = 3500000
+    r shouldBe Array(("x", 2L, 1L, 4666666L), ("y", 1L, 3L, 3500000L))
     // slice labels swapped: identical contributions (d flips sign only)
     val sw = TextAnalysis.tokenChiSquareTopK(d, "text", "text", !col("ga"),
       topK = 10, minCount = 1L)
       .select("token", "contrib_u").as[(String, Long)].collect().sortBy(_._1)
-    sw shouldBe Array(("x", 4861111L), ("y", 3645833L))
+    sw shouldBe Array(("x", 4666666L), ("y", 3500000L))
   }
 
   test("mixtureSchedule: zero-weight domains are excluded") {

@@ -31,6 +31,23 @@ class Wave92Spec extends AnyFunSuite with Matchers with SparkFixture {
       .head() shouldBe Some("c")
   }
 
+  test("snapshotDiff: rejects an input 'op' column; key uniqueness is checkable via uniqueCheck") {
+    val clean = Seq((1L, "a")).toDF("k", "s")
+    val withOp = Seq((1L, "a", "U")).toDF("k", "s", "op")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.snapshotDiff(withOp, withOp, "k")
+    }
+    e.getMessage should include("op")
+    // the documented precondition pairing: duplicate keys are caught by
+    // uniqueCheck BEFORE diffing (the full-outer join would fan them out)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
+    val viol = Warehouse.uniqueCheck(dup, "k", "snap", "pk")
+      .select("n_viol").as[Long].head()
+    viol shouldBe 1L
+    Warehouse.uniqueCheck(clean, "k", "snap", "pk")
+      .select("ok").as[Long].head() shouldBe 1L
+  }
+
   test("snapshotDiff round-trip law: cdcMerge(older + diff) == newer") {
     val older = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "s", "v")
