@@ -27,6 +27,33 @@ class BenchSpec extends AnyFunSuite with Matchers {
     rows.keySet.intersect(Set("semantic_dedup_sqrtk")) shouldBe empty
   }
 
+  test("qt encoding: fixed-width base36 round-trips, fails map to ---, clamp at zzz") {
+    // the contract bench_compare.py's b36_decode inverts: width 3,
+    // centiseconds, "---" = failed, 46655 cs = "zzz" clamp
+    Bench.enc3(-1.0) shouldBe "---"
+    Bench.enc3(0.0) shouldBe "000"
+    Bench.enc3(0.104) shouldBe "00a"     // 10 cs
+    Bench.enc3(12.34) shouldBe b36of(1234)
+    Bench.enc3(9999.0) shouldBe "zzz"    // clamp, not overflow
+    Bench.b36(46655L, 3) shouldBe "zzz"
+    // index width 2 covers the full query-count range the driver sees
+    Bench.b36(307L, 2) shouldBe b36of(307, 2)
+    java.lang.Long.parseLong(Bench.b36(307L, 2), 36) shouldBe 307L
+    // every 3-char block the bench can emit parses back to its value
+    for (cs <- Seq(0L, 1L, 99L, 100L, 4665L, 46654L, 46655L)) {
+      java.lang.Long.parseLong(Bench.b36(cs, 3), 36) shouldBe cs
+      Bench.b36(cs, 3) should have length 3
+    }
+    // the driver-tail budget the format exists for: 308 queries of
+    // payload fit well inside 2 KB with room for qc/qr/total lines
+    (308 * 3) should be < 1000
+  }
+
+  private def b36of(v: Long, w: Int = 3): String = {
+    val s = java.lang.Long.toString(v, 36)
+    "0" * (w - s.length) + s
+  }
+
   test("frozenRows on a missing file degrades to empty, not a throw") {
     Bench.frozenRows("/nonexistent/BASELINE.md") shouldBe empty
   }

@@ -9,24 +9,39 @@ BENCH_r{N}.json artifact (a JSON object whose "tail" field holds the last
 
 Bench output formats understood, newest first:
 
-1. Part lines (round 10+): several `{"metric":"qp","part":i,"of":k,
-   "i0":n,"cf":f,"t":[centisec,...]}` lines plus a short final
-   `{"metric":"total",...,"cal_factor":f,"nq":n}` line. Indices map to
-   the sorted full query names, recovered from the full-names line when
-   present, else from the newest CORRECTNESS_r*.json's keys (the driver
-   writes it from the same SparkEntry.queries map), else from BASELINE.md.
-   Each segment's `cf` is a load factor measured right after its queries;
-   over-threshold queries are annotated with it so a throttle window
-   mid-sweep marks which queries it starved.
+1. Compact base36 part lines (round 15+): several `{"metric":"qt",
+   "p":i,"k":k,"i0":n,"s":"<fixed-width-3 base36 centisec per query>"}`
+   lines ("---" = failed, "zzz" = clamp at 466.55s), one
+   `{"metric":"qc","seg":m,"cf":[f,...]}` line carrying the
+   per-m-query-segment load factors, plus a short final
+   `{"metric":"total",...,"cal_factor":f,"nq":n}` line. 3 bytes/query
+   is what keeps 308+ queries inside the driver's ~2 KB stdout tail
+   (the r14 JSON-array format lost 100 queries to exactly this).
 
-   Round 11+ adds an optional `{"metric":"qr","cf":f,"n":m,"i":[...],
-   "t":[centisec,...]}` line: the bench's own end-of-sweep re-run of
-   every over-2x-frozen query at a different moment of the run. Each
-   over-gate query is adjudicated HERE: re-run under the gate ->
-   transient load (the row is reported as load-adjudicated); re-run
-   still over -> regression confirmed by two samples.
+2. Legacy part lines (rounds 10-14): `{"metric":"qp","part":i,"of":k,
+   "i0":n,"cf":f,"t":[centisec,...]}`.
 
-2. One full-names JSON line (`"metric":"total_fullnames"`).
+   Indices map to the sorted full query names, recovered from the
+   full-names line when present, else from the newest
+   CORRECTNESS_r*.json's keys (the driver writes it from the same
+   SparkEntry.queries map), else from BASELINE.md. Each segment's `cf`
+   is a load factor bracketing its queries; over-threshold queries are
+   annotated with it so a throttle window mid-sweep marks which
+   queries it starved.
+
+   Round 11+ adds an optional `{"metric":"qr","cf":f,"n":m,...}` line
+   (arrays `i`/`t` in rounds 11-14; fixed-width base36 strings in
+   round 15+): the bench's own end-of-sweep re-run of every
+   over-2x-frozen query at a different moment of the run. Each
+   over-gate query is adjudicated HERE, on ratios NORMALIZED by the
+   qr block's own bracketed load factor `cf`: re-run under the gate
+   raw -> transient load; under the gate only after dividing by cf ->
+   load-normalized pass (reported as such, NOT as a regression — r14's
+   artifact labeled 11 pure-load rows "confirmed" because its qr ran
+   at cf 1.73 and nothing divided it out); still over after
+   normalization -> regression confirmed by two samples.
+
+3. One full-names JSON line (`"metric":"total_fullnames"`).
 
 3. Legacy compact line (short q-keys) — including SALVAGE of a
    truncated line: `"qNN":float` pairs are regex-recovered from partial
@@ -103,22 +118,45 @@ def parse_objects(lines):
             continue
     return objs, raw
 
+def b36_decode(s, width):
+    """Fixed-width base36 groups -> list of centisecond ints (-1 = '-'-fill)."""
+    out = []
+    for i in range(0, len(s) - width + 1, width):
+        g = s[i:i + width]
+        out.append(-1 if g == "-" * width else int(g, 36))
+    return out
+
 def from_parts(objs, names):
-    """Stitch `qp` part lines → ({name: sec}, {name: seg_cf}, final_obj)."""
-    parts = [o for o in objs if o.get("metric") == "qp"]
+    """Stitch part lines → ({name: sec}, {name: seg_cf}, final_obj).
+    Understands both the r15+ compact `qt`/`qc` format and the legacy
+    r10-r14 `qp` array format."""
     final = next((o for o in objs if o.get("metric") == "total"
                   and "queries" not in o), None)
+    def name_of(idx):
+        return names[idx] if names and idx < len(names) else f"#q{idx}"
+    qs, seg = {}, {}
+    qt = [o for o in objs if o.get("metric") == "qt"]
+    for p in qt:
+        for j, centi in enumerate(b36_decode(p.get("s", ""), 3)):
+            qs[name_of(p.get("i0", 0) + j)] = \
+                -1.0 if centi < 0 else centi / 100.0
+    qc = next((o for o in objs if o.get("metric") == "qc"), None)
+    if qt and qc:
+        segsize, cfs = qc.get("seg", 25), qc.get("cf", [])
+        for p in qt:
+            for j in range(len(p.get("s", "")) // 3):
+                idx = p.get("i0", 0) + j
+                if idx // segsize < len(cfs):
+                    seg[name_of(idx)] = cfs[idx // segsize]
+    if qt:
+        return qs, seg, final
+    parts = [o for o in objs if o.get("metric") == "qp"]
     if not parts:
         return None, None, final
-    qs, seg = {}, {}
     for p in parts:
         i0, cf = p.get("i0", 0), p.get("cf")
         for j, centi in enumerate(p.get("t", [])):
-            idx = i0 + j
-            if names and idx < len(names):
-                name = names[idx]
-            else:
-                name = f"#q{idx}"  # no name table available
+            name = name_of(i0 + j)
             qs[name] = -1.0 if centi < 0 else centi / 100.0
             seg[name] = cf
     return qs, seg, final
@@ -168,7 +206,9 @@ def main():
         # STALE CORRECTNESS or BASELINE — would be accepted unchecked,
         # the exact misattribution this tool exists to prevent.
         spans = [o.get("i0", 0) + len(o.get("t", []))
-                 for o in objs if o.get("metric") == "qp"]
+                 for o in objs if o.get("metric") == "qp"] + \
+                [o.get("i0", 0) + len(o.get("s", "")) // 3
+                 for o in objs if o.get("metric") == "qt"]
         if spans:
             nq = max(spans)
             print(f"(final total line missing; nq={nq} recovered from "
@@ -196,14 +236,21 @@ def main():
     qs, seg, final = from_parts(objs, names)
     # the bench's own end-of-sweep outlier re-run (round 11+)
     qr = next((o for o in objs if o.get("metric") == "qr"), None)
-    rerun = {}
+    rerun, qr_cf = {}, None
     if qr and names:
-        for idx, centi in zip(qr.get("i", []), qr.get("t", [])):
+        qr_cf = qr.get("cf")
+        ridx, rcenti = qr.get("i", []), qr.get("t", [])
+        if isinstance(ridx, str):  # r15+ fixed-width base36 strings
+            ridx, rcenti = b36_decode(ridx, 2), b36_decode(rcenti, 3)
+        for idx, centi in zip(ridx, rcenti):
             if idx < len(names):
                 rerun[names[idx]] = -1.0 if centi < 0 else centi / 100.0
-        if qr.get("n", 0) > len(qr.get("i", [])):
-            print(f"(outlier re-run capped: {len(qr['i'])} of {qr['n']} "
+        if qr.get("n", 0) > len(ridx):
+            print(f"(outlier re-run capped: {len(ridx)} of {qr['n']} "
                   "over-gate queries re-sampled)")
+        if qr_cf and qr_cf > 1.1:
+            print(f"(outlier re-run block itself ran at load {qr_cf:.2f}x"
+                  " — its ratios are normalized by that below)")
     source = "part lines"
     if qs is None:
         qs, seg = fq, {}
@@ -241,21 +288,39 @@ def main():
     print(line)
     if over:
         print(f"\n> {thr}x frozen:")
-        n_adj = n_conf = 0
+        n_adj = n_conf = n_norm_over = 0
         for k, v, f, r, cf in over:
-            note = f"  [segment load {cf:.2f}x]" if cf else \
-                   (f"  norm={norm[k]}" if k in norm else "")
+            if cf:
+                note = f"  [segment load {cf:.2f}x, norm {r / cf:.1f}x]"
+                if r / cf > thr:
+                    n_norm_over += 1
+            else:
+                note = f"  norm={norm[k]}" if k in norm else ""
+                n_norm_over += 1  # no segment probe — can't exonerate
             if k in rerun and rerun[k] >= 0:
                 r2 = rerun[k] / f
+                # labels are decided on the qr block's own load-
+                # normalized ratio: a loaded re-run window must not
+                # manufacture "confirmed" regressions (r14 mislabeled
+                # 11 rows at qr cf 1.73 exactly this way)
+                r2n = r2 / qr_cf if qr_cf else r2
                 if r2 <= thr:
                     note += (f"  re-run {rerun[k]:.2f}s = {r2:.1f}x -> "
                              "LOAD-ADJUDICATED (under gate)")
                     n_adj += 1
+                elif r2n <= thr:
+                    note += (f"  re-run {rerun[k]:.2f}s = {r2:.1f}x raw, "
+                             f"{r2n:.1f}x at qr load {qr_cf:.2f} -> "
+                             "LOAD-ADJUDICATED (normalized under gate)")
+                    n_adj += 1
                 else:
-                    note += (f"  re-run {rerun[k]:.2f}s = {r2:.1f}x -> "
-                             "regression CONFIRMED by second sample")
+                    note += (f"  re-run {rerun[k]:.2f}s = {r2:.1f}x raw, "
+                             f"{r2n:.1f}x normalized -> regression "
+                             "CONFIRMED by second sample")
                     n_conf += 1
             print(f"  {k}: {v:.2f}s vs {f:.2f}s = {r:.1f}x{note}")
+        print(f"  {n_norm_over} of {len(over)} stay over the gate after "
+              "segment-load normalization")
         if rerun:
             pend = len(over) - n_adj - n_conf
             print(f"  adjudication: {n_adj} transient-load, {n_conf} "
