@@ -2,12 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeReference, BoundReference, Cast, Expression,
-  Literal, NamedExpression}
+  Alias, Attribute, AttributeReference, BoundReference, Cast, EqualTo,
+  Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+  Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
@@ -68,6 +69,11 @@ object MaterializedView {
   private final case class Measure(mvCol: String, kind: String,
       baseExpr: Expression)
 
+  /** A join-grain MV's declared join: fact ⋈ dim, inner equi on
+    * `factKey = dimKey`. The fact side is the refresh-delta side. */
+  private final case class JoinSpec(factPath: String, dimPath: String,
+      factKey: String, dimKey: String)
+
   private final case class MvEntry(
       name: String,
       basePath: String,
@@ -85,7 +91,10 @@ object MaterializedView {
       maxs: Seq[(String, Column)],
       mvDir: String,
       version: Int,
-      lastBatchId: Long = -1L)
+      lastBatchId: Long = -1L,
+      // Some = join-grain MV (basePath then holds the orientation-
+      // canonical composite key from joinBaseKey)
+      join: Option[JoinSpec] = None)
 
   /** Session-keyed registry (sessions are long-lived; entries are
     * explicitly cleared by [[clear]]). Keyed by session identity — the
@@ -152,6 +161,84 @@ object MaterializedView {
     }
   }
 
+  /** Orientation-canonical identity of an inner equi-join: the same
+    * key whichever way the query writes the join (inner ⋈ is
+    * symmetric), so `dim.join(fact)` matches a fact-declared MV. */
+  private def joinBaseKey(p1: String, k1: String, p2: String,
+      k2: String): String = {
+    val a = s"$p1#$k1"; val b = s"$p2#$k2"
+    if (a <= b) s"JOIN:$a|$b" else s"JOIN:$b|$a"
+  }
+
+  /** Build a JOIN-GRAIN MV: the pre-aggregated summary of
+    * `fact ⋈ dim` (inner equi-join on `factKey = dimKey`) at the
+    * declared `dims` grain, where dims and measures may reference
+    * columns from EITHER side. This is the MV the TPC-H-shaped
+    * reports re-scan a fact⋈dim join for (revenue by market segment,
+    * by nation, …): with it registered, any matching
+    * `Aggregate(Filter?(fact ⋈ dim))` — whichever way the query
+    * orients the join, and with dim-only filters even after the
+    * optimizer pushes them below the join — is served from the
+    * |grain|-row summary instead of re-joining the fact table.
+    *
+    * Column names must be DISJOINT across the two sides (TPC-H's
+    * per-table prefixes; checked) — the combined name→ordinal space
+    * is what measure normalization binds against. [[refresh]] folds
+    * FACT-side deltas by joining them against the CURRENT dim
+    * snapshot (the star-schema slowly-changing-dim contract: a dim
+    * row rewrite requires a rebuild, exactly as in any warehouse).
+    *
+    * Scale (100 TB): the build is one shuffle join + one map-side-
+    * combinable aggregate; every rewritten report afterwards reads
+    * |grain| rows — the fact⋈dim join happens once per refresh
+    * cadence, not once per report. */
+  def materializeJoin(spark: SparkSession, name: String,
+      factPath: String, dimPath: String, factKey: String, dimKey: String,
+      dims: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      mvPath: String): DataFrame = {
+    require(dims.nonEmpty, "MV needs at least one dim")
+    val lock = refreshLocks.getOrElseUpdate((sessionKey(spark), name),
+      new Object)
+    lock.synchronized {
+      val fact = spark.read.parquet(factPath)
+      val dim = spark.read.parquet(dimPath)
+      val overlap = fact.columns.toSet.intersect(dim.columns.toSet)
+      require(overlap.isEmpty,
+        s"join-grain MV needs disjoint column names; shared: $overlap")
+      require(fact.columns.contains(factKey) && dim.columns.contains(dimKey),
+        s"join keys must exist on their sides: $factKey / $dimKey")
+      val joined = fact.join(dim, col(factKey) === col(dimKey))
+      val joinOrd = (fact.schema.fieldNames ++ dim.schema.fieldNames)
+        .sorted.zipWithIndex.toMap
+      val mvFrame = aggFrame(joined, dims, sums, mins, maxs)
+      val verDir = s"$mvPath/v0"
+      noSelfRewrite { mvFrame.write.mode("overwrite").parquet(verDir) }
+      val mv = spark.read.parquet(verDir)
+      def measuresOf(kind: String,
+          cols: Seq[(String, Column)]): Seq[Measure] =
+        cols.map { case (n, c) =>
+          Measure(n, kind, normalizeAgainst(joined, c, joinOrd))
+        }
+      val entry = MvEntry(name,
+        joinBaseKey(canonPath(factPath), factKey,
+          canonPath(dimPath), dimKey),
+        dims, joinOrd,
+        measuresOf("sum", sums) ++ measuresOf("min", mins) ++
+          measuresOf("max", maxs),
+        relationOf(mv), sums, mins, maxs, mvPath, 0,
+        join = Some(JoinSpec(canonPath(factPath), canonPath(dimPath),
+          factKey, dimKey)))
+      registry.updateWith(sessionKey(spark)) {
+        case Some(v) => Some(v.filterNot(_.name == name) :+ entry)
+        case None    => Some(Vector(entry))
+      }
+      install(spark)
+      mv
+    }
+  }
+
   /** INCREMENTAL refresh: fold a batch of new base rows into the MV
     * without touching history — the write side of incremental view
     * maintenance. The delta is aggregated to the MV grain (one
@@ -184,7 +271,16 @@ object MaterializedView {
           s"no MV named '$name' registered on this session"))
       if (batchId >= 0 && batchId <= entry.lastBatchId)
         return spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
-      val deltaAgg = aggFrame(delta, entry.dims, entry.sums, entry.mins,
+      // join-grain MVs take FACT-side deltas: join the batch against
+      // the current dim snapshot before aggregating (|delta| ⋈ dim —
+      // the dim side broadcasts in the common small-dim case)
+      val deltaRows = entry.join match {
+        case Some(js) =>
+          delta.join(spark.read.parquet(js.dimPath),
+            col(js.factKey) === col(js.dimKey))
+        case None => delta
+      }
+      val deltaAgg = aggFrame(deltaRows, entry.dims, entry.sums, entry.mins,
         entry.maxs)
       val mvCur = spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
       val mergeCols =
@@ -341,8 +437,15 @@ object MaterializedView {
     }
 
     /** Strip attr-only Projects / SubqueryAlias and at most one Filter
-      * off the aggregate's child; yield (canonical scan path, scan
-      * output, optional filter condition). */
+      * per scan off the aggregate's child; yield (canonical scan path —
+      * or the orientation-canonical JOIN composite for a single inner
+      * equi-join of two scans — scan output, optional filter
+      * condition). For joins, each SIDE may carry its own filter (the
+      * optimizer pushes dim predicates below the join); the conjuncts
+      * recombine here, which is sound for INNER joins. The
+      * InferFiltersFromConstraints `isnotnull(<join key>)` conjuncts
+      * the optimizer plants on both sides are dropped — they are
+      * implied by the inner equi-join the MV was built from. */
     private def unwrap(plan: LogicalPlan)
         : Option[(String, Seq[Attribute], Option[Expression])] = plan match {
       case lr: LogicalRelation =>
@@ -355,7 +458,42 @@ object MaterializedView {
           case (path, out, None) => Some((path, out, Some(f.condition)))
           case _                 => None // two filters: out of scope
         }
+      case j: Join if j.joinType == Inner =>
+        for {
+          l <- unwrap(j.left)
+          r <- unwrap(j.right)
+          // one join deep: a side that is itself a join never matches
+          if !l._1.startsWith("JOIN:") && !r._1.startsWith("JOIN:")
+          keys <- j.condition match {
+            case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+              if (l._2.exists(_.exprId == a.exprId) &&
+                  r._2.exists(_.exprId == b.exprId)) Some((a.name, b.name))
+              else if (l._2.exists(_.exprId == b.exprId) &&
+                  r._2.exists(_.exprId == a.exprId)) Some((b.name, a.name))
+              else None
+            case _ => None
+          }
+        } yield {
+          val keyNames = Set(keys._1, keys._2)
+          val kept = (l._3.toSeq ++ r._3.toSeq)
+            .flatMap(conjuncts)
+            .filterNot {
+              case org.apache.spark.sql.catalyst.expressions
+                  .IsNotNull(a: AttributeReference) =>
+                keyNames.contains(a.name)
+              case _ => false
+            }
+          (joinBaseKey(l._1, keys._1, r._1, keys._2), l._2 ++ r._2,
+            kept.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And))
+        }
       case _ => None
+    }
+
+    private def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
     }
 
     private def rootPath(lr: LogicalRelation): Option[String] =

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.MaterializedView
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 96 — round 15, part one: the STREAMING twin of the incremental
+  * corpus build (the r14 verdict's ask #5) and the JOIN-GRAIN MV
+  * rewrite (ask #7).
+  *
+  *  - q309 streamed corpus-build fold: q171's generation fold re-hosted
+  *    behind the foreachBatch contract
+  *    ([[graft.streaming.Streams.corpusBuildFold]] — the exact body
+  *    [[graft.streaming.Streams.corpusBuildSink]] runs per micro-batch):
+  *    seed one slice as the initial snapshot, fold two more slices with
+  *    explicit batchIds, REPLAY one id (Structured Streaming's
+  *    redelivery-after-failure contract — a double fold would merge a
+  *    batch's sketch rows into a snapshot that already contains them and
+  *    duplicate ids inside the state's `docs` arrays), then report the
+  *    near-dup CLUSTER-SIZE HISTOGRAM from the final labels. The oracle
+  *    is the one-shot full recompute (q171/q169's exact-Jaccard
+  *    components CTE) — incremental ≡ one-shot, with the stream runner's
+  *    redelivery semantics inside the certified path.
+  *    Wave96StreamsSpec holds the LIVE readStream→foreachBatch loop ≡
+  *    this fold across different micro-batch splits (the q173/q174/q276
+  *    convention: the spec certifies stream ≡ fold, the driver's DuckDB
+  *    row certifies the fold).
+  *  - q310 join-grain MV: [[graft.plans.MaterializedView
+  *    .materializeJoin]] pre-aggregates orders ⋈ customer at a declared
+  *    (dim, dim) grain; the rewrite rule matches
+  *    Aggregate(Filter?(fact ⋈ dim)) — side-pushed filters recombined,
+  *    inferred isnotnull(join key) conjuncts dropped, orientation
+  *    canonicalized — and the report is served from |grain| rows with
+  *    an in-plan scans-only assertion. MaterializedViewSpec pins the
+  *    negative cases (wrong key, non-dim filter, outer join).
+  *
+  * Scale (100 TB): per batch the history contributes one sketch-state
+  * scan (rows = distinct content, not corpus size) and the star-shaped
+  * label frame (|state| + |delta|); nothing ever re-reads or
+  * re-tokenizes history — q171's measured ≈1× 10× ScaleSanity row
+  * carries over because the fold is the same frame algebra, only the
+  * batch boundaries (and the exactly-once pointer) come from the
+  * stream runner. Reference anchor: SURVEY §2.8 charter + the
+  * dsink-readback chaining idea
+  * (/root/reference/src/clojure/parkour/io/dsink.clj:14-44). */
+object Wave96 {
+
+  private val NearDupT = 0.9 // q171/q169's threshold convention
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_stream_corpus_build" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val stateDir = Scratch.dir("q309", d)
+      def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      // seed snapshot = slice 1 (q171's generation order: 1 → 2 → 0)
+      Streams.corpusBuildInit(s, stateDir, batch(1),
+        "doc_id", "text", NearDupT)
+      Streams.corpusBuildFold(s, stateDir, batch(2), 0L,
+        "doc_id", "text", NearDupT)
+      // foreachBatch redelivery: the replayed id MUST be a no-op —
+      // without the pointer guard this double fold corrupts the state
+      // and the histogram hash-mismatches
+      Streams.corpusBuildFold(s, stateDir, batch(2), 0L,
+        "doc_id", "text", NearDupT)
+      Streams.corpusBuildFold(s, stateDir, batch(0), 1L,
+        "doc_id", "text", NearDupT)
+      Streams.corpusBuildLabels(s, stateDir)
+        .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+
+    // q310 JOIN-GRAIN MV rewrite (the r14 verdict's ask #7): declare
+    // the orders ⋈ customer summary at (c_mktsegment, o_orderstatus)
+    // grain, then serve a coarser filtered report THROUGH the rewrite —
+    // the in-plan assertion requires the optimized plan to read the MV
+    // and never the fact or dim parquet (the q266/q276 convention). The
+    // filter sits on a fact-side dim, so by optimizer time it has been
+    // pushed BELOW the join — the rewrite must recombine side filters
+    // and drop the inferred isnotnull(join key) conjuncts to match.
+    "q310_mv_join_grain" -> { (s, d) =>
+      val factPath = s"$d/orders.parquet"
+      val dimPath = s"$d/customer.parquet"
+      MaterializedView.materializeJoin(s, "q310_ord_cust",
+        factPath, dimPath, "o_custkey", "c_custkey",
+        dims = Seq("c_mktsegment", "o_orderstatus"),
+        sums = Seq("sum_total" -> qdec(col("o_totalprice"))),
+        mvPath = Scratch.dir("q310", d) + "/ord_cust_mv")
+      val report = s.read.parquet(factPath)
+        .join(s.read.parquet(dimPath),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("o_orderstatus") =!= "P")
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(qdec(col("o_totalprice"))).cast("double").as("sum_total"),
+          count(lit(1)).as("n_orders"))
+      if (!Scratch.scansOnly(report, "ord_cust_mv"))
+        throw new IllegalStateException(
+          "q310: join-grain MV rewrite did not fire; plan still joins " +
+            "the base tables")
+      val out = graft.io.Sinks.parquet(report, Scratch.dir("q310_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("c_mktsegment"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    // ONE-SHOT recompute: exact-Jaccard >= 0.9 pairs -> components ->
+    // cluster-size histogram. The engine's streamed three-batch fold
+    // (with one replayed batchId) must land exactly here.
+    "q309_stream_corpus_build" ->
+      s"""WITH RECURSIVE
+         |toks AS (
+         |  SELECT doc_id, unnest(list_distinct(list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z]+'),
+         |    x -> x <> ''))) AS tok
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $NearDupT),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY 1),
+         |csize AS (
+         |  SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM csize GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the report replayed over the base join — a wrong MV grain, a
+    // dropped/duplicated grain row, or a broken side-filter replay all
+    // hash-mismatch
+    "q310_mv_join_grain" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e4) / 1e4 AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sum_total,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)
+}

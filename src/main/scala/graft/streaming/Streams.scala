@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -835,4 +835,122 @@ object Streams {
         .select(col("user_id"), lit("close").as("kind"), col("event_id"),
           least(lit(n), col("tot")).as("seq"), col("tot").as("n_seen")))
   }
+
+  // ------------------------------- streaming incremental corpus build
+
+  /** STREAMING INCREMENTAL CORPUS BUILD — q171's generation fold
+    * driven by a live document stream. Each micro-batch is sketched
+    * ONCE ([[graft.operators.Dedup.corpusNearDupState]]), its near-dup
+    * pairs found within-batch + batch-versus-snapshot
+    * ([[graft.operators.Dedup.nearDupPairsWithinState]] /
+    * [[graft.operators.Dedup.nearDupPairsBetweenStates]] — zero
+    * re-tokenization of history), component labels folded with
+    * [[graft.operators.Dedup.mergeComponents]] (|state| + |delta|
+    * rows, never history's edges), and the sketch state merged with
+    * [[graft.operators.Dedup.mergeNearDupStates]].
+    *
+    * State layout under `stateDir`: one `gen_<batchId>` directory per
+    * applied batch holding `state` / `labels` / `bstate` parquet
+    * frames, plus a one-row `applied` pointer parquet written LAST.
+    * That write order makes the fold EXACTLY-ONCE under foreachBatch
+    * redelivery: a replayed id ≤ the pointer is a no-op ([[
+    * corpusBuildFold]] returns before reading anything), and a crash
+    * BETWEEN the gen write and the pointer write re-applies the same
+    * deterministic fold over the same inputs — same bytes, then the
+    * pointer lands. Without the guard a re-applied fold would merge a
+    * batch's sketch rows into a snapshot that already contains them,
+    * duplicating ids inside the state's `docs` arrays (q309 certifies
+    * the guard by replaying an id inside the oracle-checked fold).
+    *
+    * Scale: per batch the history contributes one state scan (rows =
+    * distinct content, not corpus size) and the star-shaped label
+    * frame — the q171/q169 incremental-maintenance law, now with the
+    * stream runner supplying the batch boundaries and the redelivery
+    * semantics. Seed with [[corpusBuildInit]]; read the current view
+    * with [[corpusBuildLabels]] / [[corpusBuildState]]. */
+  def corpusBuildSink(docs: DataFrame, stateDir: String, checkpoint: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      threshold: Double = 0.9):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        corpusBuildFold(spark, stateDir, batch, id, idCol, textCol,
+          threshold)
+        ()
+      }
+      .start()
+  }
+
+  private def corpusGen(stateDir: String, id: Long) = s"$stateDir/gen_$id"
+
+  private def writeApplied(spark: SparkSession, stateDir: String,
+                           id: Long): Unit =
+    spark.range(1).select(lit(id).as("last_id"))
+      .write.mode("overwrite").parquet(s"$stateDir/applied")
+
+  /** Last applied foreachBatch id (−1 right after [[corpusBuildInit]]). */
+  def corpusBuildApplied(spark: SparkSession, stateDir: String): Long =
+    spark.read.parquet(s"$stateDir/applied").head.getLong(0)
+
+  /** Seed `stateDir` with a (possibly empty) initial corpus: sketch
+    * state + its within-snapshot component labels, pointer at −1. */
+  def corpusBuildInit(spark: SparkSession, stateDir: String,
+                      seedDocs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      threshold: Double = 0.9): Unit = {
+    val d = corpusGen(stateDir, -1L)
+    graft.operators.Dedup.corpusNearDupState(seedDocs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$d/state")
+    val st = spark.read.parquet(s"$d/state")
+    graft.operators.Dedup.components(
+        graft.operators.Dedup.nearDupPairsWithinState(st, threshold)
+          .select(col("doc_a"), col("doc_b")))
+      .write.mode("overwrite").parquet(s"$d/labels")
+    writeApplied(spark, stateDir, -1L)
+  }
+
+  /** One micro-batch fold — the foreachBatch body, callable directly
+    * (q309 drives it batch-style with explicit ids, the q276
+    * convention: the oracle certifies THIS fold, Wave96StreamsSpec
+    * holds the live stream ≡ it). Replayed/stale ids are no-ops. */
+  def corpusBuildFold(spark: SparkSession, stateDir: String,
+                      batch: DataFrame, id: Long, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      threshold: Double = 0.9): Unit = {
+    val last = corpusBuildApplied(spark, stateDir)
+    if (id <= last) return // exactly-once under foreachBatch redelivery
+    val prev = corpusGen(stateDir, last)
+    val cur = corpusGen(stateDir, id)
+    // the batch is tokenized + minhashed exactly once (q171's r13
+    // one-sketch-pass-per-generation shape)
+    graft.operators.Dedup.corpusNearDupState(batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$cur/bstate")
+    val bState = spark.read.parquet(s"$cur/bstate")
+    val state = spark.read.parquet(s"$prev/state")
+    val labels = spark.read.parquet(s"$prev/labels")
+    val delta = graft.operators.Dedup
+      .nearDupPairsWithinState(bState, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(graft.operators.Dedup
+        .nearDupPairsBetweenStates(bState, state, threshold)
+        .select(col("id_new").as("doc_a"), col("id_corpus").as("doc_b")))
+    graft.operators.Dedup.mergeComponents(labels, delta)
+      .write.mode("overwrite").parquet(s"$cur/labels")
+    graft.operators.Dedup.mergeNearDupStates(state, bState)
+      .write.mode("overwrite").parquet(s"$cur/state")
+    writeApplied(spark, stateDir, id)
+  }
+
+  /** Current component labels `(node, rep)` as of the last applied
+    * batch. */
+  def corpusBuildLabels(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(
+      s"${corpusGen(stateDir, corpusBuildApplied(spark, stateDir))}/labels")
+
+  /** Current merged sketch state as of the last applied batch. */
+  def corpusBuildState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(
+      s"${corpusGen(stateDir, corpusBuildApplied(spark, stateDir))}/state")
 }

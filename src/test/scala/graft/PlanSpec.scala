@@ -533,4 +533,60 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  // ---- r15 pins for the frozen-table heavies (ScaleSanity timings
+  // alone can miss a plan regression that only bites at 10x+)
+
+  test("q130: edit-verified near-dup candidates stay banded — never a cross join") {
+    // the known-bad alternative is all-pairs candidate generation: a
+    // CartesianProduct (or nested-loop broadcast) in place of the
+    // band-key equi-join; either marker appearing is the regression
+    val p = plan("q130_edit_neardup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q284: leakage-audit pair leg and split joins are keyed — nothing quadratic, no global window") {
+    val p = plan("q284_split_leakage_audit")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "Exchange SinglePartition"
+  }
+
+  test("q171: final corpus report is keyed joins over persisted state — nothing quadratic") {
+    // the load-bearing one-sketch-pass / no-corpus-rescan property is
+    // pinned structurally in Wave26Spec via the delta frame's
+    // inputFiles; this guards the report side
+    val p = plan("q171_incremental_corpus_build")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("components distributed rounds: keyed joins only — no window sort, no single-partition exchange") {
+    import spark.implicits._
+    // force the distributed min-label loop (the 100 TB path) even on a
+    // tiny edge set — the local union-find would otherwise hide it
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.components(edges,
+      localSolveMaxEdges = 0L)
+    val p = out.queryExecution.executedPlan.toString
+    out.collect().length shouldBe 7
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "Exchange SinglePartition"
+  }
+
+  test("q219's LPA rounds: keyed joins + hash aggregates — no window sort, no single-partition exchange") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val out = graft.operators.Graphs.labelPropagation(edges,
+      "doc_a", "doc_b", nodes, "doc_id", rounds = 3)
+    val p = out.queryExecution.executedPlan.toString
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "Exchange SinglePartition"
+  }
 }

@@ -253,4 +253,132 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers
     got.keySet shouldBe want.keySet
     got.foreach { case (k, v) => v shouldBe want(k) +- 1e-9 }
   }
+
+  // ------------------------------------------------ join-grain MVs
+
+  private val ordersPath = s"$sfDir/orders.parquet"
+  private val custPath = s"$sfDir/customer.parquet"
+  private def orders = spark.read.parquet(ordersPath)
+  private def customer = spark.read.parquet(custPath)
+  private def ordCust = orders.join(customer,
+    col("o_custkey") === col("c_custkey"))
+
+  /** Registered once for the join tests. */
+  private lazy val jmv: DataFrame = MaterializedView.materializeJoin(
+    spark, "mvspec_ordcust", ordersPath, custPath,
+    "o_custkey", "c_custkey",
+    dims = Seq("c_mktsegment", "o_orderstatus"),
+    sums = Seq("sum_total" -> qdec(col("o_totalprice"))),
+    maxs = Seq("max_total" -> col("o_totalprice")),
+    mvPath = graft.queries.Scratch.dir("mvspec_join", sfDir) + "/oc_mv")
+
+  private def scansJmvOnly(df: DataFrame): Boolean = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    paths.exists(_.contains("oc_mv")) &&
+      !paths.exists(p => p.endsWith("orders.parquet") ||
+        p.endsWith("customer.parquet"))
+  }
+
+  test("join-grain: coarser-grain report over fact JOIN dim rewrites to the MV and matches") {
+    jmv.count()
+    val q = ordCust.groupBy(col("c_mktsegment"))
+      .agg(sum(qdec(col("o_totalprice"))).cast("double").as("s"),
+        count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"))
+    scansJmvOnly(q) shouldBe true
+    val got = q.collect().map(_.toString).sorted
+    val want = MaterializedView.withoutRewrite(spark) {
+      ordCust.groupBy(col("c_mktsegment"))
+        .agg(sum(qdec(col("o_totalprice"))).cast("double").as("s"),
+          count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"))
+        .collect().map(_.toString).sorted
+    }
+    got shouldBe want
+  }
+
+  test("join-grain: dim filters pushed below the join recombine and replay on the MV") {
+    jmv.count()
+    // one dim from each side — by optimizer time both predicates sit
+    // BELOW the join, next to the inferred isnotnull(join key) conjuncts
+    val q = ordCust
+      .where(col("o_orderstatus") =!= "P" &&
+        col("c_mktsegment") =!= "BUILDING")
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(qdec(col("o_totalprice"))).cast("double").as("s"))
+    scansJmvOnly(q) shouldBe true
+    val got = q.collect().map(_.toString).sorted
+    val want = MaterializedView.withoutRewrite(spark) {
+      ordCust.where(col("o_orderstatus") =!= "P" &&
+          col("c_mktsegment") =!= "BUILDING")
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(qdec(col("o_totalprice"))).cast("double").as("s"))
+        .collect().map(_.toString).sorted
+    }
+    got shouldBe want
+  }
+
+  test("join-grain: SWAPPED join orientation still matches (inner join is symmetric)") {
+    jmv.count()
+    val q = customer.join(orders, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(qdec(col("o_totalprice"))).cast("double").as("s"))
+    scansJmvOnly(q) shouldBe true
+    val got = q.collect().map(_.toString).sorted
+    val want = MaterializedView.withoutRewrite(spark) {
+      ordCust.groupBy(col("o_orderstatus"))
+        .agg(sum(qdec(col("o_totalprice"))).cast("double").as("s"))
+        .collect().map(_.toString).sorted
+    }
+    got shouldBe want
+  }
+
+  test("join-grain negatives: wrong key, non-dim filter, outer join never rewrite") {
+    jmv.count()
+    // wrong join key (a different equi-join is a different relation)
+    val wrongKey = orders.join(customer,
+        col("o_orderkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(qdec(col("o_totalprice"))).as("s"))
+    scansJmvOnly(wrongKey) shouldBe false
+    // filter on a non-dim column
+    val nonDim = ordCust.where(col("o_totalprice") > 1000.0)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(qdec(col("o_totalprice"))).as("s"))
+    scansJmvOnly(nonDim) shouldBe false
+    // outer join has different semantics — must not match
+    val outer = orders.join(customer,
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(qdec(col("o_totalprice"))).as("s"))
+    scansJmvOnly(outer) shouldBe false
+  }
+
+  test("join-grain refresh: fact-side delta joins the dim snapshot and folds") {
+    jmv.count()
+    MaterializedView.materializeJoin(spark, "mvspec_ocr",
+      ordersPath, custPath, "o_custkey", "c_custkey",
+      dims = Seq("c_mktsegment"),
+      sums = Seq("st" -> qdec(col("o_totalprice"))),
+      mvPath = graft.queries.Scratch.dir("mvspec_joinr", sfDir) + "/ocr_mv")
+    // fold a fact-side delta on top of the full build; the MV total
+    // must grow by exactly the DELTA ⋈ DIM sum — which only happens if
+    // refresh joined the delta against the dim snapshot first
+    val delta = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+    val refreshed = MaterializedView.refresh(spark, "mvspec_ocr", delta)
+    val fullSum = MaterializedView.withoutRewrite(spark) {
+      ordCust.agg(sum(qdec(col("o_totalprice")))).collect()(0).getDecimal(0)
+    }
+    val deltaSum = MaterializedView.withoutRewrite(spark) {
+      delta.join(customer, col("o_custkey") === col("c_custkey"))
+        .agg(sum(qdec(col("o_totalprice")))).collect()(0).getDecimal(0)
+    }
+    val mvSum = refreshed.agg(sum(col("st"))).collect()(0).getDecimal(0)
+    mvSum shouldBe fullSum.add(deltaSum)
+  }
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Top-level so Spark can instantiate the encoder without an outer
+  * scope. */
+case class W96Doc(doc_id: Long, text: String)
+
+/** Pins [[Streams.corpusBuildSink]] — the streaming incremental corpus
+  * build (q309's live half):
+  *
+  *  - the LIVE readStream→foreachBatch loop lands on exactly the same
+  *    labels as the hand-driven [[Streams.corpusBuildFold]] twin AND as
+  *    a one-shot [[Dedup.components]] recompute, whatever the
+  *    micro-batch split (1 batch vs 2) — clusters forming ACROSS the
+  *    seed/batch boundaries included;
+  *  - a replayed batchId is a no-op at the persisted state: pointer,
+  *    labels, and state `docs` arrays all unchanged (the corruption a
+  *    double fold would cause is q309's scaladoc'd failure mode).
+  */
+class Wave96StreamsSpec extends AnyFunSuite with Matchers
+    with graft.SparkFixture {
+
+  // identical token sets => exact jaccard 1.0 >= any threshold; the
+  // {3,4} cluster only exists ACROSS the seed/stream boundary
+  private val seed = Seq(W96Doc(1, "alpha beta gamma"),
+    W96Doc(3, "delta epsilon zeta"))
+  private val batchA = Seq(W96Doc(2, "alpha beta gamma"),
+    W96Doc(5, "omega psi chi phi"))
+  private val batchB = Seq(W96Doc(4, "delta epsilon zeta"))
+  private val ExpectedLabels = Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+
+  private def labels(stateDir: String): Set[(Long, Long)] = {
+    import spark.implicits._
+    Streams.corpusBuildLabels(spark, stateDir)
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("corpusBuildSink: live stream == fold twin == one-shot, across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = graft.queries.Scratch.dir("w96stream", sfDir)
+
+    // live loop, two micro-batches
+    val s2 = s"$work/live2"
+    Streams.corpusBuildInit(spark, s2, seed.toDF())
+    val input2 = MemoryStream[W96Doc]
+    val q2 = Streams.corpusBuildSink(input2.toDF(), s2,
+      s"$work/ckpt2_${System.nanoTime}")
+    try {
+      input2.addData(batchA); q2.processAllAvailable()
+      input2.addData(batchB); q2.processAllAvailable()
+    } finally q2.stop()
+    labels(s2) shouldBe ExpectedLabels
+
+    // live loop, same rows in ONE micro-batch — split must not matter
+    val s1 = s"$work/live1"
+    Streams.corpusBuildInit(spark, s1, seed.toDF())
+    val input1 = MemoryStream[W96Doc]
+    val q1 = Streams.corpusBuildSink(input1.toDF(), s1,
+      s"$work/ckpt1_${System.nanoTime}")
+    try {
+      input1.addData(batchA ++ batchB); q1.processAllAvailable()
+    } finally q1.stop()
+    labels(s1) shouldBe ExpectedLabels
+
+    // hand-driven fold twin (what q309's oracle row certifies)
+    val st = s"$work/twin"
+    Streams.corpusBuildInit(spark, st, seed.toDF())
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), 0L)
+    Streams.corpusBuildFold(spark, st, batchB.toDF(), 1L)
+    labels(st) shouldBe ExpectedLabels
+
+    // one-shot recompute over everything at once
+    val all = (seed ++ batchA ++ batchB).toDF()
+    val state = Dedup.corpusNearDupState(all, "doc_id", "text")
+    val oneShot = Dedup.components(
+        Dedup.nearDupPairsWithinState(state, 0.9)
+          .select(col("doc_a"), col("doc_b")))
+      .as[(Long, Long)].collect().toSet
+    oneShot shouldBe ExpectedLabels
+  }
+
+  test("corpusBuildFold: replayed batchId is a no-op on pointer, labels, and state") {
+    import spark.implicits._
+    val work = graft.queries.Scratch.dir("w96replay", sfDir)
+    val st = s"$work/state"
+    Streams.corpusBuildInit(spark, st, seed.toDF())
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), 0L)
+    val ptr = Streams.corpusBuildApplied(spark, st)
+    val lbl = labels(st)
+    val docsArrays = Streams.corpusBuildState(spark, st)
+      .select(col("sk"), col("docs")).as[(String, Seq[Long])]
+      .collect().toMap
+    // redelivery of id 0 — and a stale id below the pointer
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), 0L)
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), -1L)
+    Streams.corpusBuildApplied(spark, st) shouldBe ptr
+    labels(st) shouldBe lbl
+    val after = Streams.corpusBuildState(spark, st)
+      .select(col("sk"), col("docs")).as[(String, Seq[Long])]
+      .collect().toMap
+    after shouldBe docsArrays // no duplicated ids inside docs arrays
+    // the NEXT id still applies
+    Streams.corpusBuildFold(spark, st, batchB.toDF(), 1L)
+    Streams.corpusBuildApplied(spark, st) shouldBe 1L
+    labels(st) shouldBe ExpectedLabels
+  }
+}
