@@ -85,6 +85,29 @@ class Wave96StreamsSpec extends AnyFunSuite with Matchers
     oneShot shouldBe ExpectedLabels
   }
 
+  test("corpusBuildSink: stop + restart on the same checkpoint continues the fold (no re-apply, no loss)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = graft.queries.Scratch.dir("w96restart", sfDir)
+    val st = s"$work/state"
+    val ckpt = s"$work/ckpt_${System.nanoTime}"
+    Streams.corpusBuildInit(spark, st, seed.toDF())
+    val input = MemoryStream[W96Doc]
+    val q1 = Streams.corpusBuildSink(input.toDF(), st, ckpt)
+    try {
+      input.addData(batchA); q1.processAllAvailable()
+    } finally q1.stop()
+    Streams.corpusBuildApplied(spark, st) shouldBe 0L
+    // restart against the SAME checkpoint + state dir: the committed
+    // batch must not re-apply; the next batch folds under id 1
+    val q2 = Streams.corpusBuildSink(input.toDF(), st, ckpt)
+    try {
+      input.addData(batchB); q2.processAllAvailable()
+    } finally q2.stop()
+    Streams.corpusBuildApplied(spark, st) shouldBe 1L
+    labels(st) shouldBe ExpectedLabels
+  }
+
   test("corpusBuildFold: replayed batchId is a no-op on pointer, labels, and state") {
     import spark.implicits._
     val work = graft.queries.Scratch.dir("w96replay", sfDir)
