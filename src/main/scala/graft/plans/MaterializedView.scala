@@ -197,7 +197,8 @@ object MaterializedView {
       dims: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
-      mvPath: String): DataFrame = {
+      mvPath: String,
+      baseFilter: Option[Column] = None): DataFrame = {
     require(dims.nonEmpty, "MV needs at least one dim")
     val lock = refreshLocks.getOrElseUpdate((sessionKey(spark), name),
       new Object)
@@ -212,7 +213,11 @@ object MaterializedView {
       val joined = fact.join(dim, col(factKey) === col(dimKey))
       val joinOrd = (fact.schema.fieldNames ++ dim.schema.fieldNames)
         .sorted.zipWithIndex.toMap
-      val mvFrame = aggFrame(joined, dims, sums, mins, maxs)
+      // baseFilter restricts the SNAPSHOT the MV is built from (e.g. an
+      // ingest watermark over the fact side) — same freshness contract
+      // as materialize: refresh with the complement before serving
+      val snapshot = baseFilter.fold(joined)(joined.filter)
+      val mvFrame = aggFrame(snapshot, dims, sums, mins, maxs)
       val verDir = s"$mvPath/v0"
       noSelfRewrite { mvFrame.write.mode("overwrite").parquet(verDir) }
       val mv = spark.read.parquet(verDir)

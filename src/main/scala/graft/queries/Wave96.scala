@@ -36,6 +36,14 @@ import org.apache.spark.sql.types.DecimalType
   *    canonicalized — and the report is served from |grain| rows with
   *    an in-plan scans-only assertion. MaterializedViewSpec pins the
   *    negative cases (wrong key, non-dim filter, outer join).
+  *  - q311 exactly-once streamed maintenance of the join-grain MV:
+  *    quarter-snapshot [[graft.plans.MaterializedView.materializeJoin]]
+  *    + three fact-delta [[graft.plans.MaterializedView.refresh]] folds
+  *    with batchIds (each delta joined against the dim snapshot inside
+  *    refresh), one id replayed, report served through the rewrite —
+  *    q276's maintenance law lifted to the fact ⋈ dim grain.
+  *    Wave96StreamsSpec drives the same fold from a LIVE MemoryStream
+  *    of fact rows through [[graft.streaming.Streams.maintainMv]].
   *
   * Scale (100 TB): per batch the history contributes one sketch-state
   * scan (rows = distinct content, not corpus size) and the star-shaped
@@ -107,6 +115,44 @@ object Wave96 {
       val out = graft.io.Sinks.parquet(report, Scratch.dir("q310_out", d))
       MaterializedView.clear(s)
       out.orderBy(col("c_mktsegment"))
+    },
+
+    // q311 EXACTLY-ONCE streamed maintenance of the JOIN-GRAIN MV —
+    // q276's fold law, now over fact ⋈ dim: materialize from a quarter
+    // snapshot of the fact side, fold three fact-side delta batches
+    // (each joined against the dim snapshot inside refresh) with their
+    // foreachBatch-style batchIds, REPLAY one id, then serve the
+    // report through the rewrite. A dropped delta, a double-folded
+    // replay, or a fold that failed to join the delta against the dim
+    // all hash-mismatch against the full-join oracle.
+    "q311_mv_join_stream" -> { (s, d) =>
+      val factPath = s"$d/orders.parquet"
+      val dimPath = s"$d/customer.parquet"
+      MaterializedView.materializeJoin(s, "q311_oc",
+        factPath, dimPath, "o_custkey", "c_custkey",
+        dims = Seq("c_mktsegment", "o_orderstatus"),
+        sums = Seq("sum_total" -> qdec(col("o_totalprice"))),
+        mvPath = Scratch.dir("q311", d) + "/oc_mv",
+        baseFilter = Some(pmod(col("o_orderkey"), lit(4)) === 0))
+      val orders = s.read.parquet(factPath)
+      def delta(i: Int) =
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+      MaterializedView.refresh(s, "q311_oc", delta(1), batchId = 0L)
+      MaterializedView.refresh(s, "q311_oc", delta(2), batchId = 1L)
+      MaterializedView.refresh(s, "q311_oc", delta(2), batchId = 1L) // replay
+      MaterializedView.refresh(s, "q311_oc", delta(3), batchId = 2L)
+      val report = orders
+        .join(s.read.parquet(dimPath),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(sum(qdec(col("o_totalprice"))).cast("double").as("sum_total"),
+          count(lit(1)).as("n_orders"))
+      if (!Scratch.scansOnly(report, "oc_mv"))
+        throw new IllegalStateException(
+          "q311: join-grain MV rewrite did not fire after streamed folds")
+      val out = graft.io.Sinks.parquet(report, Scratch.dir("q311_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("c_mktsegment"), col("o_orderstatus"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -154,5 +200,15 @@ object Wave96 {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'P'
-        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // the full-join grain report — the streamed snapshot+3-delta fold
+    // (with one replayed id) must land exactly here
+    "q311_mv_join_stream" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e4) / 1e4 AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sum_total,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderstatus""".stripMargin)
 }

@@ -10,6 +10,10 @@ import org.scalatest.matchers.should.Matchers
   * scope. */
 case class W96Doc(doc_id: Long, text: String)
 
+/** Fact-side row for the join-grain MV streaming test. */
+case class W96Fact(o_orderkey: Long, o_custkey: Long,
+    o_totalprice: Double, o_orderstatus: String)
+
 /** Pins [[Streams.corpusBuildSink]] — the streaming incremental corpus
   * build (q309's live half):
   *
@@ -106,6 +110,53 @@ class Wave96StreamsSpec extends AnyFunSuite with Matchers
     } finally q2.stop()
     Streams.corpusBuildApplied(spark, st) shouldBe 1L
     labels(st) shouldBe ExpectedLabels
+  }
+
+  test("maintainMv over a JOIN-GRAIN MV: streamed fact batches fold through the dim join") {
+    import graft.plans.MaterializedView
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = graft.queries.Scratch.dir("w96joinmv", sfDir)
+    val factPath = s"$work/fact.parquet"
+    val dimPath = s"$work/dim.parquet"
+    val snapshot = Seq(W96Fact(1, 10, 100.0, "O"), W96Fact(2, 11, 50.5, "F"))
+    snapshot.toDF().write.mode("overwrite").parquet(factPath)
+    Seq((10L, "BUILDING"), (11L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(dimPath)
+    MaterializedView.materializeJoin(spark, "w96_jmv",
+      factPath, dimPath, "o_custkey", "c_custkey",
+      dims = Seq("c_mktsegment"),
+      sums = Seq("st" -> col("o_totalprice")),
+      mvPath = s"$work/jmv")
+    val batches = Seq(
+      Seq(W96Fact(3, 10, 7.25, "O")),
+      Seq(W96Fact(4, 11, 3.0, "P"), W96Fact(5, 10, 9.0, "F")))
+    val input = MemoryStream[W96Fact]
+    val q = Streams.maintainMv(input.toDF(), "w96_jmv",
+      s"$work/ckpt_${System.nanoTime}")
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // served through the rewrite (the plan reads the MV, which now
+    // holds snapshot + streamed rows), compared against the direct
+    // join over the SAME logical content
+    val served = spark.read.parquet(factPath)
+      .join(spark.read.parquet(dimPath),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice")).as("st"), count(lit(1)).as("n"))
+    val got = served.collect().map(_.toString).sorted
+    val truth = MaterializedView.withoutRewrite(spark) {
+      (snapshot ++ batches.flatten).toDF()
+        .join(spark.read.parquet(dimPath),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice")).as("st"), count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted
+    }
+    got shouldBe truth
+    MaterializedView.clear(spark)
   }
 
   test("corpusBuildFold: replayed batchId is a no-op on pointer, labels, and state") {
