@@ -122,6 +122,43 @@ object Bpe {
       .select(col("__id").as("id"), col("n_shared_grams"))
   }
 
+  /** TOKENIZER FERTILITY audit per group (typically language): the
+    * curation metric that decides whether a tokenizer is fit for a
+    * corpus slice — `fertility_ppm` = BPE tokens per whitespace word
+    * (×10⁶) and `chars_per_token_ppm` = non-space characters per BPE
+    * token (×10⁶). A language whose fertility runs far above the
+    * corpus norm is being shredded into subword confetti (its
+    * effective context window shrinks and its per-byte training cost
+    * inflates) — the standard signal for retraining or augmenting the
+    * merge table before a large run. Exact integer arithmetic:
+    * DECIMAL(38,0) cross-multiply then integral divide, so corpus-
+    * scale token counts (beyond 9.2·10¹² tokens a long·10⁶ would
+    * overflow) stay exact and any engine replays the ppm bit-for-bit.
+    *
+    * Scale: per-row codegen work (the [[encode]] replace chain + one
+    * regexp strip for the char count) into a map-side-combinable
+    * aggregate onto |groups| rows — no shuffle grows with the corpus.
+    * Output: (group, n_docs, n_words, n_tokens, n_chars,
+    * fertility_ppm, chars_per_token_ppm). */
+  def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    docs.select(col(groupCol),
+        size(words).cast("long").as("__nw"),
+        size(encode(col(textCol), merges)).cast("long").as("__nt"),
+        // Σ word lengths = chars of the text with ALL whitespace
+        // stripped — same quantity, fully codegen (no aggregate HOF)
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+          .as("__nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("n_words"),
+        sum(col("__nt")).as("n_tokens"), sum(col("__nc")).as("n_chars"))
+      .withColumn("fertility_ppm", expr(
+        "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV n_words AS BIGINT)"))
+      .withColumn("chars_per_token_ppm", expr(
+        "CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
+  }
+
   /** Train up to `k` merges on the corpus. EAGER BY NATURE: each round
     * runs one aggregation action (pair counts → 1-row argmax collect),
     * like [[Similarity.trainCentroids]] — training is an iterative

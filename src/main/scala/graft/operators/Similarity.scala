@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2.10).
@@ -960,6 +960,59 @@ object Similarity {
       .withColumn("outlier",
         when(col("cos_q").isNotNull && col("cos_q") < thrQ, 1L)
           .otherwise(0L))
+  }
+
+  /** EMBEDDING-SPACE GENERATION DRIFT: per label, the cosine between
+    * slice A's and slice B's centroids, in exact micro-units — the
+    * embedding twin of the numeric KS ([[graft.operators.TextAnalysis
+    * .ksDriftPpm]], q274) and categorical chi-square (q307) monitors:
+    * "did this class's embedding distribution MOVE between corpus
+    * generations?" A drift_ppm well below 1e6 for one label while the
+    * others sit at ~1e6 localizes the shift (a scraper change, a
+    * domain mix move, a model re-embed) to that class.
+    *
+    * Same fixed-point recipe as [[labelCentroidCosine]]: vectors
+    * quantize per-dim to ⌊x·10⁶⌋ longs, per-(label, slice) dim sums
+    * are exact integer aggregates, centroids are s div n shares, and
+    * the only floating step is the final correctly-rounded
+    * ⌊10⁶·dot/√(n2a·n2b)⌋ — bit-replayable by any engine.
+    *
+    * Scale: one (label, slice, dim) hash aggregate (output rows =
+    * labels × 2 × dims, tiny whatever the corpus) then a |labels|-row
+    * join — the corpus is touched exactly once, nothing quadratic.
+    * Labels present in only one slice drop out (no drift is defined);
+    * a zero-norm centroid reports null drift. Output:
+    * (label, n_a, n_b, drift_ppm) — drift_ppm = cosine in 1e-6 units. */
+  def centroidDriftPpm(vectors: DataFrame, vecCol: String,
+                       labelCol: String, isSliceA: Column): DataFrame = {
+    val q = vectors.select(col(labelCol).as("label"), isSliceA.as("ga"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+    val cent = q
+      .select(col("label"), col("ga"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("ga"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("ga"), col("dim"),
+        expr("s DIV n").as("c"), col("n"))
+      .groupBy(col("label"), col("ga"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"),
+        max(col("n")).as("n"))
+    val a = cent.filter(col("ga"))
+      .select(col("label"), col("cv").as("ca"), col("n").as("n_a"))
+    val b = cent.filter(!col("ga"))
+      .select(col("label"), col("cv").as("cb"), col("n").as("n_b"))
+    val dot = graft.functions.NativeExpr.dotLong(col("ca"), col("cb"))
+    val n2a = graft.functions.NativeExpr.dotLong(col("ca"), col("ca"))
+    val n2b = graft.functions.NativeExpr.dotLong(col("cb"), col("cb"))
+    a.join(b, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        dot.as("__dot"), n2a.as("__n2a"), n2b.as("__n2b"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("__n2a") > 0 && col("__n2b") > 0,
+          floor(lit(1e6) * col("__dot").cast("double")
+            / sqrt(col("__n2a").cast("double") * col("__n2b").cast("double")))
+            .cast("long")).as("drift_ppm"))
   }
 
   /** Product-quantization encode (Jégou et al. 2011): split each vector

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Bpe, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 97 — round 15, part three: two corpus-health monitors that
+  * close gaps in the drift/curation instrument panel.
+  *
+  *  - q312 TOKENIZER FERTILITY per language
+  *    ([[Bpe.fertilityByGroup]]): BPE tokens per word and chars per
+  *    token under the production (planted, q188-convention) merge
+  *    table — the metric that says which languages a tokenizer
+  *    shreds. DECIMAL(38,0) cross-multiplied ppm, HUGEINT-replayable.
+  *  - q313 EMBEDDING-GENERATION DRIFT per label
+  *    ([[Similarity.centroidDriftPpm]]): cosine between even-/odd-
+  *    generation centroids per label — the embedding twin of the
+  *    numeric KS (q274) and categorical chi-square (q307) monitors.
+  *    A plant REVERSES odd-generation vectors of label 0, so label 0
+  *    must read far below 1e6 while the unplanted labels sit near it
+  *    (real signal, not a vacuous all-1e6 row).
+  *
+  * Scale (100 TB): q312 is per-row codegen (encode chain + one regexp
+  * strip) into a |langs|-row map-side aggregate; q313 is ONE
+  * (label, slice, dim) hash aggregate (labels × 2 × dims rows
+  * whatever the corpus) and a |labels|-row join — both touch the
+  * corpus exactly once, nothing quadratic, no driver collect. */
+object Wave97 {
+
+  private def PlantLabel = 0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q312_tokenizer_fertility" -> { (s, d) =>
+      Bpe.fertilityByGroup(Tables.documents(s, d), "lang", "text",
+        Wave30.PlantedMerges)
+        .orderBy(col("lang"))
+    },
+
+    "q313_embedding_drift" -> { (s, d) =>
+      val planted = Tables.embeddings(s, d).withColumn("embedding",
+        when(pmod(col("vec_id"), lit(2)) === 1
+            && col("label") === PlantLabel,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      Similarity.centroidDriftPpm(planted, "embedding", "label",
+        pmod(col("vec_id"), lit(2)) === 0)
+        .orderBy(col("label"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    // whitespace words, the q188 encode replay, and a whitespace-
+    // stripped char count — then HUGEINT cross-multiplied ppm
+    "q312_tokenizer_fertility" ->
+      s"""WITH w AS (
+         |  SELECT lang, text,
+         |    ${Wave30.sqlEncodeText(Wave30.PlantedMerges)} AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'),
+         |      x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (
+         |  SELECT lang, CAST(len(ws) AS BIGINT) AS nw,
+         |    CAST(len(toks) AS BIGINT) AS nt,
+         |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+         |      AS nc
+         |  FROM w)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(CAST(sum(nt) AS HUGEINT) * 1000000
+         |    // CAST(sum(nw) AS HUGEINT) AS BIGINT) AS fertility_ppm,
+         |  CAST(CAST(sum(nc) AS HUGEINT) * 1000000
+         |    // CAST(sum(nt) AS HUGEINT) AS BIGINT) AS chars_per_token_ppm
+         |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // the q116 fixed-point centroid idiom, per (label, generation),
+    // with the label-0 odd-generation reversal plant
+    "q313_embedding_drift" ->
+      s"""WITH q AS (
+         |  SELECT label, vec_id % 2 = 0 AS ga,
+         |    list_transform(
+         |      CASE WHEN vec_id % 2 = 1 AND label = $PlantLabel
+         |        THEN list_reverse(embedding) ELSE embedding END,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, ga, i AS dim, sum(qv[CAST(i+1 AS INT)]) AS s,
+         |    count(*) AS n
+         |  FROM q, unnest(range(0, len(qv))) AS u(i)
+         |  GROUP BY 1, 2, 3),
+         |cent AS (
+         |  SELECT label, ga, list(s // n ORDER BY dim) AS cv,
+         |    max(n) AS n
+         |  FROM ex GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a.label, a.n AS n_a, b.n AS n_b,
+         |    list_sum(list_transform(range(1, len(a.cv)+1),
+         |      i -> a.cv[i] * b.cv[i])) AS dot,
+         |    list_sum(list_transform(a.cv, x -> x * x)) AS n2a,
+         |    list_sum(list_transform(b.cv, x -> x * x)) AS n2b
+         |  FROM cent a JOIN cent b ON a.label = b.label
+         |  WHERE a.ga AND NOT b.ga)
+         |SELECT CAST(label AS INT) AS label, n_a, n_b,
+         |  CASE WHEN n2a > 0 AND n2b > 0 THEN
+         |    CAST(floor(1e6 * CAST(dot AS DOUBLE)
+         |      / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))) AS BIGINT)
+         |  END AS drift_ppm
+         |FROM j ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-computed goldens for the Wave-97 corpus-health monitors. */
+class Wave97Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import spark.implicits._
+
+  test("fertilityByGroup: hand-computed counts and ppm under a tiny merge table") {
+    val d = Seq(("a", "x y"), ("a", "x"), ("b", "zz")).toDF("lang", "text")
+    // no merges: every char is a token; all words here are 1-char
+    // except "zz" (2 tokens)
+    val r0 = Bpe.fertilityByGroup(d, "lang", "text", Nil)
+      .select("lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        "fertility_ppm", "chars_per_token_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    r0 shouldBe Array(
+      ("a", 2L, 3L, 3L, 3L, 1000000L, 1000000L),
+      ("b", 1L, 1L, 2L, 2L, 2000000L, 1000000L))
+    // the (z,z) merge collapses "zz" to ONE token: fertility for b
+    // drops to 1.0 and chars-per-token doubles
+    val r1 = Bpe.fertilityByGroup(d, "lang", "text", Seq(("z", "z")))
+      .select("lang", "n_tokens", "fertility_ppm", "chars_per_token_ppm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    r1 shouldBe Array(
+      ("a", 3L, 1000000L, 1000000L),
+      ("b", 1L, 1000000L, 2000000L))
+  }
+
+  test("centroidDriftPpm: orthogonal slices read 0, identical slices 1e6, single-slice labels drop") {
+    val vecs = Seq(
+      // label 0: slice A along e1 (twice), slice B along e2 -> drift 0
+      (1L, Array(1f, 0f), 0), (3L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0),
+      // label 1: both slices along e1 -> drift exactly 1e6
+      (5L, Array(1f, 0f), 1), (4L, Array(1f, 0f), 1),
+      // label 2: only slice A -> no row
+      (7L, Array(1f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDriftPpm(vecs, "embedding", "label",
+        pmod(col("vec_id"), lit(2)) === 1)
+      .select("label", "n_a", "n_b", "drift_ppm")
+      .as[(Int, Long, Long, Option[Long])].collect().sortBy(_._1)
+    r shouldBe Array(
+      (0, 2L, 1L, Some(0L)),
+      (1, 1L, 1L, Some(1000000L)))
+  }
+}
