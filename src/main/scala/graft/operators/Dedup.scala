@@ -404,6 +404,38 @@ object Dedup {
     sameSetPairs(sets).unionByName(expandSetPairs(setPairs, sets))
   }
 
+  /** NEAR-DUP THRESHOLD CALIBRATION CURVE — pair counts per Jaccard
+    * decile band over [floor, 1]: the table a curation team reads
+    * BEFORE picking a dedup τ ("how many more pairs does 0.8 admit
+    * than 0.9?"). One banded candidate pass at the FLOOR threshold,
+    * exact-Jaccard verify, then bucket = min(⌊jac·10⌋, 9) — the
+    * boundary compare is one IEEE divide + floor computed from the
+    * same exact integers on any engine, so buckets replay bit-for-bit.
+    *
+    * `bands` must be sized for the floor, not the usual 0.9: at
+    * rows = k/bands = 4 a pair at jac 0.7 is MISSED with probability
+    * (1−0.7⁴)¹⁶ ≈ 1.2e-2 — visible against an exact oracle — while
+    * rows = 2 (the bands = 32 default here) drops that to ~4e-10 at
+    * the cost of admitting ~(1−(1−j²)³²) of low-sim candidates
+    * (~11% at the sf corpora's j≈0.06 cross-group noise). That cost
+    * is the declared price of calibrating DOWN to 0.7: run the curve
+    * on a bounded SAMPLE at corpus scale (it is a statistic, not a
+    * production filter — the production dedup then runs at the
+    * chosen τ with its own economical banding). Output:
+    * (bucket, jac_lo_ppm, n_pairs) ordered by bucket. */
+  def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+                     floor: Double = 0.7, k: Int = 64,
+                     bands: Int = 32, seed: Long = 42L): DataFrame = {
+    require(floor >= 0.5 && floor < 1.0, s"floor in [0.5, 1): $floor")
+    minhashNearDupPairs(docs, idCol, textCol, floor, k, bands, seed)
+      .select(least(org.apache.spark.sql.functions.floor(col("jac") * 10)
+        .cast("long"), lit(9L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("jac_lo_ppm", col("bucket") * 100000L)
+      .select(col("bucket"), col("jac_lo_ppm"), col("n_pairs"))
+  }
+
   /** Candidate-then-verify near-dup detection with an EDIT-DISTANCE
     * verify stage — the precision filter a production dedup pipeline
     * runs after LSH: token-set Jaccard treats documents as bags of

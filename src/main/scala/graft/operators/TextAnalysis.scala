@@ -1261,6 +1261,47 @@ object TextAnalysis {
         sum(col("nv")).over(w).as("types_cum"))
   }
 
+  /** VOCABULARY COVERAGE@k — what fraction of all token OCCURRENCES
+    * the top-k token TYPES cover, for each probe k (the head/tail
+    * shape of the corpus in one table): a corpus whose top-20 types
+    * cover 90% of occurrences is boilerplate-heavy; one where they
+    * cover 20% is diverse. The companion decision metric to
+    * [[vocabGrowth]] (growth says how fast NEW types arrive; coverage
+    * says how much the HEAD dominates) and the direct input to
+    * stopword-list sizing and vocab pruning.
+    *
+    * Exact integers: coverage_ppm = covered·10⁶ div total in
+    * DECIMAL(38,0) (corpus-scale occurrence counts exceed what a
+    * long·10⁶ holds); ranking ties break (count desc, token asc), so
+    * any engine replays the exact same head.
+    *
+    * Scale: one tokenize scan → a map-side-combinable (token, count)
+    * aggregate; the rank window runs over the VOCAB relation (rows =
+    * distinct types — Zipf-sublinear in the corpus, the q107
+    * convention), never the corpus; `ks` rides a tiny join. Output:
+    * (k, n_types, covered, total, coverage_ppm) ordered by k. */
+  def vocabCoveragePpm(docs: DataFrame, textCol: String,
+                       ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    import docs.sparkSession.implicits._
+    val counts = docs.select(explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    ks.distinct.sorted.toDF("k").withColumn("k", col("k").cast("long"))
+      .join(ranked, col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("covered"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm", expr(
+        "CAST(CAST(covered AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"))
+      .select(col("k"), col("n_types"), col("covered"), col("total"),
+        col("coverage_ppm"))
+  }
+
   /** Per-document gram diversity as Gini impurity 1 − Σp² over word
     * `n`-gram frequencies — the smooth complement of
     * [[repetitionStats]]'s top-bigram fraction (a doc that cycles a few

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 98 — round 15, part four: two calibration tables a curation
+  * team reads before setting knobs.
+  *
+  *  - q314 NEAR-DUP THRESHOLD CURVE ([[Dedup.thresholdCurve]]): pair
+  *    counts per Jaccard decile over [0.7, 1] — the "how many more
+  *    pairs does τ=0.8 admit than τ=0.9" table that turns the dedup
+  *    threshold from folklore into a measured choice. Banded at
+  *    rows=2 so recall at the 0.7 floor is exact against the oracle
+  *    (the τ-vs-banding economics are the operator's scaladoc).
+  *  - q315 VOCABULARY COVERAGE@k ([[TextAnalysis.vocabCoveragePpm]]):
+  *    what fraction of token occurrences the top-k types cover — the
+  *    head/tail dominance table behind stopword sizing and vocab
+  *    pruning, companion to q117's vocab GROWTH curve.
+  *
+  * Scale (100 TB): q314's verify work tracks the candidate count its
+  * scaladoc prices (a calibration probe runs on a bounded sample at
+  * corpus scale); q315 is one tokenize scan into a (token, count)
+  * aggregate with the rank window over the VOCAB relation
+  * (Zipf-sublinear), never the corpus. */
+object Wave98 {
+
+  private val CurveFloor = 0.7
+  private val CoverageKs = Seq(1, 5, 10, 20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q314_threshold_curve" -> { (s, d) =>
+      Dedup.thresholdCurve(Tables.documents(s, d), "doc_id", "text",
+        CurveFloor)
+        .orderBy(col("bucket"))
+    },
+
+    "q315_vocab_coverage" -> { (s, d) =>
+      TextAnalysis.vocabCoveragePpm(Tables.documents(s, d), "text",
+        CoverageKs)
+        .orderBy(col("k"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+
+    // exact-Jaccard all-pairs (q169's CTE), floored at 0.7, decile
+    // buckets via the same IEEE divide + floor the engine runs
+    "q314_threshold_curve" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |  FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $CurveFloor)
+         |SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS bucket,
+         |  CAST(least(floor(jac * 10), 9) * 100000 AS BIGINT) AS jac_lo_ppm,
+         |  count(*) AS n_pairs
+         |FROM p GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "q315_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest($SqlToks) AS tok FROM documents)
+         |  GROUP BY 1),
+         |ranked AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+         |  FROM counts),
+         |tot AS (SELECT sum(cnt) AS total FROM counts),
+         |ks AS (SELECT unnest(${CoverageKs.mkString("[", ", ", "]")}) AS k)
+         |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_types,
+         |  CAST(sum(cnt) AS BIGINT) AS covered,
+         |  CAST(max(total) AS BIGINT) AS total,
+         |  CAST(CAST(sum(cnt) AS HUGEINT) * 1000000
+         |    // CAST(max(total) AS HUGEINT) AS BIGINT) AS coverage_ppm
+         |FROM ks JOIN ranked ON ranked.rk <= ks.k CROSS JOIN tot
+         |GROUP BY k ORDER BY k""".stripMargin)
+}
