@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 99 — round 15, part five: the two tables that tell a curation
+  * team WHERE duplication comes from and WHAT removing it buys.
+  *
+  *  - q316 CROSS-SOURCE COPY MATRIX: verified near-dup pairs (jac ≥
+  *    0.9, the q26 machinery) rolled up by unordered source pair —
+  *    "which sources copy from each other" at the verified-document
+  *    level (q80's gram overlap sees shared phrases; this sees whole
+  *    near-dup documents — the provenance signal behind source
+  *    de-prioritization).
+  *  - q317 DEDUP SAVINGS by cluster size: near-dup clusters (q55's
+  *    components) joined to token counts — per cluster size, how many
+  *    clusters, how many removable docs (size−1, keeping each
+  *    cluster's rep = min doc id), and how many TOKENS removal saves.
+  *    Token savings is the dedup business metric: it prices the dedup
+  *    pass in training-budget units.
+  *
+  * Scale (100 TB): both ride the banded pair machinery (never
+  * all-pairs); q316 adds two skinny (doc → source) joins and a
+  * |sources|²-bounded rollup; q317 adds the star-label join and a
+  * cluster-size-bounded histogram. Nothing new shuffles at corpus
+  * size. */
+object Wave99 {
+
+  private val Thr = 0.9
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q316_source_copy_matrix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text", Thr)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    "q317_dedup_savings" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labels = Dedup.components(
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text", Thr)
+          .select(col("doc_a"), col("doc_b")))
+      val toks = docs.select(col("doc_id").as("node"),
+        T.tokenCount(col("text")).as("nt"))
+      labels.join(toks, "node")
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("sz"), sum(col("nt")).as("ct"),
+          // rep = min member, so its token count survives the keep
+          max(when(col("node") === col("rep"), col("nt"))).as("kt"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1L).as("docs_removable"),
+          sum(col("ct") - col("kt")).as("tokens_removable"))
+        .orderBy(col("cluster_size"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** The q169-convention exact-Jaccard pair + components CTE prefix. */
+  private def pairCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $Thr)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q316_source_copy_matrix" ->
+      s"""WITH $pairCte
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON doc_a = da.doc_id
+         |JOIN documents db ON doc_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    "q317_dedup_savings" ->
+      s"""WITH RECURSIVE $pairCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY 1),
+         |tk AS (
+         |  SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS nt
+         |  FROM documents),
+         |cl AS (
+         |  SELECT rep, count(*) AS sz, sum(nt) AS ct,
+         |    max(CASE WHEN node = rep THEN nt END) AS kt
+         |  FROM comp JOIN tk ON node = doc_id GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sum(sz - 1) AS BIGINT) AS docs_removable,
+         |  CAST(sum(ct - kt) AS BIGINT) AS tokens_removable
+         |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin)
+}
