@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 100 — round 15, part six: two measure-don't-guess audits of
+  * the engine's own heuristics.
+  *
+  *  - q318 LANGID CONFUSION MATRIX: the stopword-profile language
+  *    detector (q24) evaluated against the corpus's labeled `lang` —
+  *    (label, prediction, count). The table that says WHERE the
+  *    heuristic fails (which real language drains into 'und' or into
+  *    a sibling), before anyone trusts it for routing or filtering.
+  *  - q319 BANDING RECALL AUDIT: the calibration probe
+  *    ([[Dedup.thresholdCurve]] at floor 0.7, rows=2 banding) must
+  *    find EXACTLY the q26 production path's pairs in its [0.9, 1]
+  *    bucket — `missed` = probe − production, certified 0. The
+  *    cross-operator invariant that says the two banding economies
+  *    agree at the production threshold (the q284 zero-cross-pair
+  *    convention, applied to the dedup stack itself).
+  *
+  * Scale (100 TB): q318 is one per-row codegen scan into a
+  * |langs|²-bounded aggregate; q319 is its two constituents' declared
+  * costs plus two 1-row aggregates. */
+object Wave100 {
+
+  private val ProdThr = 0.9
+  private val CurveFloor = 0.7
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q318_langid_confusion" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
+    "q319_banding_recall_audit" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val probe = Dedup.thresholdCurve(docs, "doc_id", "text", CurveFloor)
+        .where(col("bucket") === 9)
+        .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("probe_pairs"))
+      val prod = Dedup.minhashNearDupPairs(docs, "doc_id", "text", ProdThr)
+        .agg(count(lit(1)).as("prod_pairs"))
+      probe.crossJoin(prod)
+        .select(col("probe_pairs"), col("prod_pairs"),
+          (col("probe_pairs") - col("prod_pairs")).as("missed"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+
+    // the q24 stopword-score replay, joined back to the label
+    "q318_langid_confusion" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($SqlToks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+         |    len(list_filter($SqlToks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+         |    len(list_filter($SqlToks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+         |    len(list_filter($SqlToks, x -> list_contains(['el','los','de','y','es'], x))) AS s_es
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang, CASE
+         |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_pred
+         |  FROM scores)
+         |SELECT lang, lang_pred, count(*) AS n_docs
+         |FROM pred GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+    // both legs collapse to the SAME exact pair count >= 0.9; a probe
+    // recall miss (or a phantom candidate surviving verify) breaks 0
+    "q319_banding_recall_audit" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($SqlToks)) AS tok
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT count(*) AS n FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $ProdThr)
+         |SELECT CAST(n AS BIGINT) AS probe_pairs, CAST(n AS BIGINT) AS prod_pairs,
+         |  CAST(0 AS BIGINT) AS missed
+         |FROM p""".stripMargin)
+}
