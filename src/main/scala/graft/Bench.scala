@@ -20,6 +20,26 @@ import org.apache.spark.sql.SparkSession
   *   {"metric":"qr","cf":f,"n":m,"i":"<2ch-b36 × m>","t":"<3ch-b36 × m>"} ≤ 1
   *   {"metric":"total","value":s,...,"cal_factor":f,"nq":n,...}     final
   *
+  * DEADLINE-PROOF (r16): the driver kills the process at a ~3600 s
+  * wall cap (r15 hit it — rc 124, zero of 319 timings recoverable,
+  * because the summary printed only after the full sweep + re-runs).
+  * Three defenses, each independent:
+  *   1. a wall-clock BUDGET (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
+  *      2400 s from JVM entry) checked before every query — exhausted
+  *      → stop sweeping, bound the outlier re-run block by the
+  *      remaining time, and emit the summary for the completed prefix
+  *      with explicit `"swept":n,"skipped":m,"partial":true`;
+  *   2. a ROLLING summary — the full compact summary of the completed
+  *      prefix is re-emitted after EVERY 25-query segment (latest
+  *      supersedes; the compare tool keeps the last occurrence of
+  *      each part line), so even a hard SIGKILL leaves the previous
+  *      segment's parseable summary inside the driver's stdout tail;
+  *   3. a cheaper sweep — queries whose frozen BASELINE row is ≤1 s
+  *      run ONCE instead of best-of-2 (`SPARK_GRAFT_BENCH_FAST_CUTOFF`
+  *      =0 restores uniform reps): single-sample noise on a cheap row
+  *      can only read HIGH, and the outlier re-run block adjudicates
+  *      exactly those rows with a second best-of-2 sample.
+  *
   * `s` packs one FIXED-WIDTH-3 base36 integer CENTISECOND value per
   * query ("---" = failed; "zzz" = clamped at 466.55 s — the full-res
   * line has the true value) for sorted-name indices [i0, i0+len/3):
@@ -149,8 +169,14 @@ object Bench {
   /** Fixed-width base36: the per-query byte cost that fits 308+ query
     * timings inside the driver's ~2 KB stdout tail (see scaladoc).
     * tools/bench_compare.py's `b36_decode` is the inverse; BenchSpec
-    * pins the round-trip. */
+    * pins the round-trip. LOUD on a value that does not fit the width
+    * (r15 advisor): Scala's `"0" * negative` is "", so an over-wide
+    * value would silently shift every later fixed-width group and the
+    * decoder would misparse the whole line — callers clamp (enc3) or
+    * filter (qr indices past 36²−1) BEFORE calling. */
   private[graft] def b36(v: Long, w: Int): String = {
+    require(v >= 0 && v < math.pow(36, w).toLong,
+      s"b36: $v does not fit fixed width $w (max ${math.pow(36, w).toLong - 1})")
     val s = java.lang.Long.toString(v, 36)
     "0" * (w - s.length) + s
   }
@@ -160,7 +186,42 @@ object Bench {
     if (t < 0) "---"
     else b36(math.min(math.round(t * 100), 46655L), 3)
 
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  private[graft] def r2(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+  private[graft] def r3(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** 100 queries per qt line: ~340 B each, so 400+ queries still fit
+    * four lines inside the driver's tail next to qc/qr/total. */
+  final val PartQueries = 100
+
+  /** The compact qt part lines + the qc segment-load line for the
+    * COMPLETED prefix `times` (sorted-index, time) — emitted after
+    * every segment as a rolling summary (each emission supersedes the
+    * previous one; tools/bench_compare.py keeps the LAST occurrence of
+    * each part), so even a SIGKILL mid-sweep leaves the last ~2 KB of
+    * stdout parseable (the r15 driver run died at its wall cap with
+    * the summary still unprinted — zero of 319 timings recoverable). */
+  private[graft] def summaryLines(times: Seq[(Int, Double)],
+                                  segCfs: Seq[Double]): Seq[String] = {
+    val nParts = (times.size + PartQueries - 1) / PartQueries
+    val qt = times.grouped(PartQueries).zipWithIndex.map { case (chunk, p) =>
+      val i0 = chunk.head._1
+      val s = chunk.map { case (_, t) => enc3(t) }.mkString
+      s"""{"metric":"qt","p":${p + 1},"k":$nParts,"i0":$i0,"s":"$s"}"""
+    }.toSeq
+    val qc = segCfs.map(r2)
+      .mkString(s"""{"metric":"qc","seg":$SegSize,"cf":[""", ",", "]}")
+    qt :+ qc
+  }
+
   def main(args: Array[String]): Unit = {
+    val benchStartNs = System.nanoTime()
     // SPARK_GRAFT_PROBE_ONLY=1: print the single-thread and 8-thread
     // probe readings and exit — no Spark session. How MiniRefSec's
     // parity with the single-thread per-step rate was measured, and a
@@ -186,11 +247,18 @@ object Bench {
     // graft_* SQL functions available in the driver session (the
     // register() route of GraftExtensions)
     graft.functions.GraftFunctionRegistry.register(spark)
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Wall-clock BUDGET for everything after JVM entry: the driver
+    // kills the whole bench process at a ~3600 s cap (r15 hit it, rc
+    // 124, zero timings recovered), and the sbt compile + JVM start
+    // in front of us already spent an unknown slice of that. When the
+    // budget runs out mid-sweep we STOP sweeping, cap the outlier
+    // re-run block by the remaining time, and emit the summary for
+    // the completed prefix with explicit swept/skipped counts — a
+    // partial artifact is visible, never silent, never empty.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+    def remainingSec: Double =
+      budgetSec - (System.nanoTime() - benchStartNs) / 1e9
     // Warm up executor threads, codegen, and parquet footers once so the
     // first timed query doesn't absorb session-init costs.
     try {
@@ -212,6 +280,19 @@ object Bench {
     // is standard wall-clock benchmarking; the JSON reports reps
     // honestly. A query that fails on run 1 is not retried.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // SUB-SECOND rows run ONCE: at 319 queries, best-of-2 on every row
+    // costs ~2× the sweep's frozen total and is what pushed the r15
+    // driver run past its wall cap. A single sample on a ≤1 s frozen
+    // row can only produce a FALSE outlier (noise reads high), and the
+    // end-of-sweep re-run block adjudicates exactly those; heavies
+    // (and queries with no frozen row yet) keep best-of-`reps`.
+    // SPARK_GRAFT_BENCH_FAST_CUTOFF=0 restores uniform reps (the
+    // refreeze instrument wants spread on every row).
+    val fastCutoff =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_CUTOFF", "1.0").toDouble
+    val frozen = frozenRows()
+    def repsFor(name: String): Int =
+      if (frozen.get(name).exists(_ <= fastCutoff)) 1 else reps
     // uniform cold SQL cache per rep: several operators .cache()
     // intermediates internally; rep 2 (and the end-of-sweep re-run)
     // must re-do that work, not time a warm-cache shortcut. `record`
@@ -236,11 +317,11 @@ object Bench {
     // (re)freezing a BASELINE row (only min is machine-reported).
     val emitSamples = sys.env.get("SPARK_GRAFT_EMIT_SAMPLES").exists(_.nonEmpty)
     def bestOf(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame, record: Boolean): Double = {
+        org.apache.spark.sql.DataFrame, nReps: Int, record: Boolean): Double = {
       val first = once(name, fn, record)
       val all =
         if (first < 0) Seq(first)
-        else first +: (2 to reps).map(_ => once(name, fn, record))
+        else first +: (2 to nReps).map(_ => once(name, fn, record))
       if (emitSamples)
         System.err.println(s"[bench] samples $name: " +
           all.map(t => f"$t%.3f").mkString(" "))
@@ -251,48 +332,87 @@ object Bench {
     }
     val ordered = selected.toSeq.sortBy(_._1)
     val segments = ordered.zipWithIndex.grouped(SegSize).toSeq
-    // bracketed segment probes: one before the first segment, one after
+    // ---------------------------------------------------------- sweep
+    // Bracketed segment probes: one before the first segment, one after
     // each; a segment's load factor is the MAX of its two brackets, so
     // a throttle window that begins or ends mid-segment taxes every
-    // segment it overlapped instead of being averaged into one side
+    // segment it overlapped instead of being averaged into one side.
+    // The budget is checked before every query: once exhausted the
+    // sweep STOPS (completed prefix only — never a silent hole).
+    val completed = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    val segCfs = scala.collection.mutable.ArrayBuffer[Double]()
     var probePrev = miniCalibrate() / MiniRefSec
-    val segResults = segments.map { seg =>
-      // throwaway segment warm-up: run the segment's FIRST query once,
-      // untimed, so the timed reps land on a JIT/codegen/arrow-warm JVM.
-      // Small iterative queries were bimodal ACROSS JVMs (q55 measured
-      // 1.75-3.67 s on identical code, r12) because whichever mode the
-      // first execution's compilation lands in sticks for the segment;
-      // one discarded heavy per 25 queries (~4% overhead) retires the
-      // spread-midpoint freezing that bimodality forced (q26/q55).
-      seg.headOption.foreach { case ((name, fn), _) =>
-        once(name, fn, record = false)
-      }
-      val times = seg.map { case ((name, fn), idx) =>
-        (name, idx, bestOf(name, fn, record = true))
-      }
-      val probeNext = miniCalibrate() / MiniRefSec
-      val segCal = math.max(probePrev, probeNext)
-      probePrev = probeNext
-      (times, segCal)
+    var exhausted = false
+    def rollingTotal(partial: Boolean): String = {
+      val tot = completed.collect { case (_, _, v) if v >= 0 => v }.sum
+      s"""{"metric":"total","value":${r3(tot)},"unit":"sec","reps":$reps,""" +
+        s""""nq":${completed.size},"swept":${completed.size},""" +
+        s""""skipped":${ordered.size - completed.size},"partial":$partial,""" +
+        s""""budget_sec":${r3(budgetSec)},"calibration_sec":${r3(calStart)},""" +
+        s""""cal_ref_sec":$CalRefSec,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     }
-    val results = segResults.flatMap(_._1).map { case (n, _, t) => (n, t) }
+    for (seg <- segments if !exhausted) {
+      if (remainingSec <= 0) exhausted = true
+      else {
+        // throwaway segment warm-up: run the segment's FIRST query once,
+        // untimed, so the timed reps land on a JIT/codegen/arrow-warm
+        // JVM. Small iterative queries were bimodal ACROSS JVMs (q55
+        // measured 1.75-3.67 s on identical code, r12) because whichever
+        // mode the first execution's compilation lands in sticks for the
+        // segment; one discarded heavy per 25 queries (~4% overhead)
+        // retires the spread-midpoint freezing that bimodality forced.
+        seg.headOption.foreach { case ((name, fn), _) =>
+          once(name, fn, record = false)
+        }
+        val it = seg.iterator
+        while (it.hasNext && !exhausted) {
+          if (remainingSec <= 0) exhausted = true
+          else {
+            val ((name, fn), idx) = it.next()
+            completed += ((name, idx,
+              bestOf(name, fn, repsFor(name), record = true)))
+          }
+        }
+        val probeNext = miniCalibrate() / MiniRefSec
+        segCfs += math.max(probePrev, probeNext)
+        probePrev = probeNext
+        // ROLLING summary: the completed prefix's full compact summary,
+        // re-emitted after every segment (latest supersedes — the
+        // compare tool keeps the LAST occurrence of each part). A
+        // SIGKILL at any moment leaves the previous segment's summary
+        // inside the driver's ~2 KB stdout tail.
+        summaryLines(completed.toSeq.map { case (_, i, t) => (i, t) },
+          segCfs.toSeq).foreach(println)
+        println(rollingTotal(partial = true))
+      }
+    }
+    if (exhausted)
+      System.err.println(s"[bench] budget ${budgetSec}s exhausted after " +
+        s"${completed.size}/${ordered.size} queries — partial sweep emitted")
+    val results = completed.toSeq.map { case (n, _, t) => (n, t) }
     // ------------------------------------------------ outlier re-run
     // Every query whose best exceeded 2x its frozen BASELINE row gets
     // one more best-of-reps sample now, minutes away from its sweep
     // slot — the artifact's own load-vs-regression adjudication. Worst
     // ratios first so a >30-outlier global-throttle run still carries
-    // the rows that matter; `n` makes the cap visible.
-    val frozen = frozenRows()
-    // gate matches the compare tool's default threshold; env override
-    // exists to exercise the re-run path deterministically in tests
+    // the rows that matter; `n` makes the cap visible. Bounded TWICE:
+    // ≤30 entries (qr line bytes) AND the remaining wall budget — the
+    // re-run block grows exactly when the machine is loaded, i.e. in
+    // the runs already nearest the driver's kill cap.
     val gate = sys.env.getOrElse("SPARK_GRAFT_RERUN_GATE", "2.0").toDouble
-    val outliers = segResults.flatMap(_._1)
+    val outliers = completed.toSeq
       .collect { case (name, idx, t)
         if t >= 0 && frozen.get(name).exists(f => t > gate * f) =>
           (name, idx, t / frozen(name)) }
       .sortBy(-_._3)
-    val rerun = outliers.take(30).map { case (name, idx, _) =>
-      (idx, bestOf(name, selected(name), record = false))
+    val rerun = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    // idx < 36²: a width-2 base36 index past 1295 would corrupt the
+    // fixed-width qr line (b36 now throws); such a row is simply not
+    // re-sampled and stays visible through `n` > emitted length
+    val rerunIt = outliers.take(30).filter(_._2 < 1296).iterator
+    while (rerunIt.hasNext && remainingSec > 0) {
+      val (name, idx, _) = rerunIt.next()
+      rerun += ((idx, bestOf(name, selected(name), reps, record = false)))
     }
     // bracketed like the segments (probePrev holds the sweep's final
     // probe = the re-run block's leading bracket); skipped entirely on
@@ -300,10 +420,6 @@ object Bench {
     val rerunCal =
       if (rerun.isEmpty) 0.0
       else math.max(probePrev, miniCalibrate() / MiniRefSec)
-    def r2(v: Double): String =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val calEnd = calibrate()
     // load factor vs the frozen quiet-window reference; >1 = this run
     // was CPU-starved by that much. Use the mean of the two brackets.
@@ -313,33 +429,22 @@ object Bench {
       s"${jstr(k)}:${if (v < 0) "-1" else r3(v / calFactor)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val PartQueries = 80 // 240 B of payload per qt line
-    val allTimes = segResults.flatMap(_._1)
-    val nParts = (allTimes.size + PartQueries - 1) / PartQueries
-    val partLines = allTimes.grouped(PartQueries).zipWithIndex.map {
-      case (chunk, p) =>
-        val i0 = chunk.head._2
-        val s = chunk.map { case (_, _, t) => enc3(t) }.mkString
-        s"""{"metric":"qt","p":${p + 1},"k":$nParts,"i0":$i0,"s":"$s"}"""
-    }.toSeq
-    val cfLine = segResults.map { case (_, cf) => r2(cf) }
-      .mkString(s"""{"metric":"qc","seg":$SegSize,"cf":[""", ",", "]}")
     // Full-resolution line FIRST (humans / local runs / errors detail) —
     // the driver tail may truncate it; the part lines reconstruct it.
     println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"queries_normalized":$qsNorm,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
     // Machine-readable summary LAST: k qt lines + the segment-cf line +
-    // the outlier re-run line + one short total line — ~1.7 KB total at
-    // 308 queries, inside the driver's bounded tail (qr is capped at 30
-    // entries ≈ 220 bytes).
-    partLines.foreach(println)
-    println(cfLine)
+    // the outlier re-run line + one short total line — ~1.8 KB total at
+    // 319 queries, inside the driver's bounded tail (qr is capped at 30
+    // entries ≈ 220 bytes). Supersedes every rolling emission above.
+    summaryLines(completed.toSeq.map { case (_, i, t) => (i, t) },
+      segCfs.toSeq).foreach(println)
     if (rerun.nonEmpty) {
       val is = rerun.map { case (i, _) => b36(i.toLong, 2) }.mkString
       val ts = rerun.map { case (_, t) => enc3(t) }.mkString
       println(s"""{"metric":"qr","cf":${r2(rerunCal)},"n":${outliers.size},"i":"$is","t":"$ts"}""")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"nq":${results.size},"parts":$nParts,"calibration_sec":${r3(calStart)},"cal_end_sec":${r3(calEnd)},"cal_ref_sec":$CalRefSec,"cal_factor":${r3(calFactor)},"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fast_cutoff_sec":$fastCutoff,"nq":${results.size},"swept":${completed.size},"skipped":${ordered.size - completed.size},"partial":$exhausted,"parts":${(completed.size + PartQueries - 1) / PartQueries},"calibration_sec":${r3(calStart)},"cal_end_sec":${r3(calEnd)},"cal_ref_sec":$CalRefSec,"cal_factor":${r3(calFactor)},"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -308,6 +308,51 @@ object ScaleSanity {
       .write.mode("overwrite").parquet(s"$workDir/events.parquet")
   }
 
+  /** Coherent three-table scaling for the JOIN-GRAIN MV tier
+    * (q311/q320): replica r shifts c_custkey by r·(maxCust+1),
+    * o_orderkey/l_orderkey by r·(maxOrder+1), and orders' o_custkey by
+    * the SAME customer shift — every replica is a disjoint,
+    * structurally identical copy of the star, so each fact row still
+    * finds its dims while the GRAIN (segments × statuses × priorities)
+    * stays fixed at any corpus size, as in TPC-H. Build and refresh
+    * work must grow ~linearly (|fact| join rows + the fixed grain);
+    * q311's quarter/delta stripes and q320's half/half split replicate
+    * exactly (pmod on the shifted keys keeps the stripe fractions).
+    * Run in its OWN invocation — writes customer/orders/lineitem
+    * columns that collide with the layout/price scalers'. */
+  def scaleJoinMvSlice(spark: SparkSession, sfDir: String, mult: Int,
+                       workDir: String): Unit = {
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"))
+    val cShift = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    val oShift = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    cust.crossJoin(reps)
+      .select((col("c_custkey") + col("rep") * cShift).as("c_custkey"),
+        col("c_mktsegment"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
+    ord.crossJoin(reps)
+      .select((col("o_orderkey") + col("rep") * oShift).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * cShift).as("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .crossJoin(reps)
+      .select((col("l_orderkey") + col("rep") * oShift).as("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+  }
+
   private val EventQueries = Set("q140_cdc_merge", "q142_funnel",
     "q143_retention", "q144_gapfill", "q146_ewma", "q147_transitions",
     "q149_state_merge", "q152_rfm", "q153_pivot", "q154_unpivot",
@@ -384,6 +429,9 @@ object ScaleSanity {
       scaleCustomer(spark, sfDir, mult, workDir)
     if (queries.contains("q252_deletion_audit"))
       scaleDeletionSlice(spark, sfDir, mult, workDir)
+    if (queries.contains("q311_mv_join_stream") ||
+        queries.contains("q320_mv_star"))
+      scaleJoinMvSlice(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"scaled":{"documents":$nd,"embeddings":$ne,"mult":$mult}}""")

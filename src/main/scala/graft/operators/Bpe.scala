@@ -139,7 +139,10 @@ object Bpe {
     * regexp strip for the char count) into a map-side-combinable
     * aggregate onto |groups| rows — no shuffle grows with the corpus.
     * Output: (group, n_docs, n_words, n_tokens, n_chars,
-    * fertility_ppm, chars_per_token_ppm). */
+    * fertility_ppm, chars_per_token_ppm); the ppm columns are NULL
+    * for a degenerate group (all-whitespace docs → n_words=0, or
+    * nothing tokenizes → n_tokens=0) so one such group reports
+    * instead of ANSI-failing the whole audit. */
   def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
                        merges: Seq[(String, String)]): DataFrame = {
     val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
@@ -153,10 +156,16 @@ object Bpe {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("n_words"),
         sum(col("__nt")).as("n_tokens"), sum(col("__nc")).as("n_chars"))
+      // zero-guarded: a group whose documents are all whitespace-only
+      // (n_words=0) or tokenize to nothing (n_tokens=0) REPORTS null
+      // ppm rather than failing the whole audit with ANSI DIV-by-zero
+      // (r15 advisor finding; the oracle mirrors with NULLIF).
       .withColumn("fertility_ppm", expr(
-        "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV n_words AS BIGINT)"))
+        "CASE WHEN n_words > 0 THEN " +
+          "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV n_words AS BIGINT) END"))
       .withColumn("chars_per_token_ppm", expr(
-        "CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
+        "CASE WHEN n_tokens > 0 THEN " +
+          "CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT) END"))
   }
 
   /** Train up to `k` merges on the corpus. EAGER BY NATURE: each round

@@ -69,10 +69,18 @@ object MaterializedView {
   private final case class Measure(mvCol: String, kind: String,
       baseExpr: Expression)
 
-  /** A join-grain MV's declared join: fact ⋈ dim, inner equi on
-    * `factKey = dimKey`. The fact side is the refresh-delta side. */
-  private final case class JoinSpec(factPath: String, dimPath: String,
-      factKey: String, dimKey: String)
+  /** One step of a join-grain MV's declared star/chain: ⋈ dim at
+    * `dimPath`, inner equi on `leftKey = dimKey`, where `leftKey` may
+    * live on the fact OR on an earlier-joined dim (the TPC-H Q3 chain
+    * customer←orders←lineitem). */
+  private final case class JoinStep(dimPath: String, leftKey: String,
+      dimKey: String)
+
+  /** A join-grain MV's declared joins. The fact side is the
+    * refresh-delta side; dims are snapshots (slowly-changing-dim
+    * contract — a dim rewrite requires a rebuild). */
+  private final case class StarSpec(factPath: String,
+      joins: Seq[JoinStep])
 
   private final case class MvEntry(
       name: String,
@@ -94,7 +102,7 @@ object MaterializedView {
       lastBatchId: Long = -1L,
       // Some = join-grain MV (basePath then holds the orientation-
       // canonical composite key from joinBaseKey)
-      join: Option[JoinSpec] = None)
+      join: Option[StarSpec] = None)
 
   /** Session-keyed registry (sessions are long-lived; entries are
     * explicitly cleared by [[clear]]). Keyed by session identity — the
@@ -161,14 +169,23 @@ object MaterializedView {
     }
   }
 
-  /** Orientation-canonical identity of an inner equi-join: the same
-    * key whichever way the query writes the join (inner ⋈ is
+  /** Orientation-canonical identity of ONE inner equi-join edge: the
+    * same string whichever way the query writes the join (inner ⋈ is
     * symmetric), so `dim.join(fact)` matches a fact-declared MV. */
-  private def joinBaseKey(p1: String, k1: String, p2: String,
+  private def joinEdge(p1: String, k1: String, p2: String,
       k2: String): String = {
     val a = s"$p1#$k1"; val b = s"$p2#$k2"
-    if (a <= b) s"JOIN:$a|$b" else s"JOIN:$b|$a"
+    if (a <= b) s"$a|$b" else s"$b|$a"
   }
+
+  /** Canonical identity of an N-scan inner equi-join TREE: the sorted
+    * edge set, association-order-invariant — Catalyst may reorder the
+    * joins of a 3-table report freely and the key still matches the
+    * declared star (a connected join tree is uniquely identified by
+    * its edge set; the scan set is implied). For a single edge this is
+    * exactly the two-table format rounds 15- used. */
+  private def joinBaseKey(edges: Seq[String]): String =
+    "JOIN:" + edges.sorted.mkString("||")
 
   /** Build a JOIN-GRAIN MV: the pre-aggregated summary of
     * `fact ⋈ dim` (inner equi-join on `factKey = dimKey`) at the
@@ -198,21 +215,63 @@ object MaterializedView {
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
       mvPath: String,
+      baseFilter: Option[Column] = None): DataFrame =
+    materializeJoinStar(spark, name, factPath,
+      Seq((dimPath, factKey, dimKey)), dims, sums, mins, maxs, mvPath,
+      baseFilter)
+
+  /** Build a MULTI-DIM star/chain join-grain MV: `fact ⋈ dim₁ ⋈ … ⋈
+    * dimₙ`, each step an inner equi-join `(dimPath, leftKey, dimKey)`
+    * where `leftKey` may live on the fact OR an earlier-joined dim —
+    * so both the star (orders: customer + clerk dims) and the TPC-H Q3
+    * CHAIN (lineitem ⋈ orders ⋈ customer: customer hangs off orders)
+    * declare naturally. The registered identity is the SORTED EDGE SET
+    * of the join tree, so a report may associate the joins in any
+    * order — Catalyst's join reorder included — and still be served
+    * from the |grain|-row summary. [[refresh]] folds FACT-side deltas
+    * by replaying the declared join chain against the current dim
+    * snapshots. Column names must be disjoint across all tables
+    * (TPC-H's per-table prefixes; checked).
+    *
+    * Scale (100 TB): the build is n shuffle joins (dims broadcast when
+    * small) + one map-side-combinable aggregate, ONCE per refresh
+    * cadence; every rewritten report reads |grain| rows instead of
+    * re-running the multi-join — the 3-table revenue report this tier
+    * exists for. */
+  def materializeJoinStar(spark: SparkSession, name: String,
+      factPath: String, joins: Seq[(String, String, String)],
+      dims: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      mvPath: String,
       baseFilter: Option[Column] = None): DataFrame = {
     require(dims.nonEmpty, "MV needs at least one dim")
+    require(joins.nonEmpty, "join-grain MV needs at least one dim join")
     val lock = refreshLocks.getOrElseUpdate((sessionKey(spark), name),
       new Object)
     lock.synchronized {
       val fact = spark.read.parquet(factPath)
-      val dim = spark.read.parquet(dimPath)
-      val overlap = fact.columns.toSet.intersect(dim.columns.toSet)
-      require(overlap.isEmpty,
-        s"join-grain MV needs disjoint column names; shared: $overlap")
-      require(fact.columns.contains(factKey) && dim.columns.contains(dimKey),
-        s"join keys must exist on their sides: $factKey / $dimKey")
-      val joined = fact.join(dim, col(factKey) === col(dimKey))
-      val joinOrd = (fact.schema.fieldNames ++ dim.schema.fieldNames)
-        .sorted.zipWithIndex.toMap
+      // fold the declared chain, tracking which table OWNS each left
+      // key (fact or an earlier dim) — that owner names the edge
+      var tables: Vector[(String, Array[String])] =
+        Vector((canonPath(factPath), fact.schema.fieldNames))
+      var joined = fact
+      val edges = joins.map { case (dimPath, leftKey, dimKey) =>
+        val dim = spark.read.parquet(dimPath)
+        val overlap = tables.flatMap(_._2).toSet
+          .intersect(dim.columns.toSet)
+        require(overlap.isEmpty,
+          s"join-grain MV needs disjoint column names; shared: $overlap")
+        val owner = tables.find(_._2.contains(leftKey)).getOrElse(
+          throw new IllegalArgumentException(
+            s"left key $leftKey not found on the fact or any earlier dim"))
+        require(dim.columns.contains(dimKey),
+          s"dim key must exist on its side: $dimKey")
+        joined = joined.join(dim, col(leftKey) === col(dimKey))
+        tables = tables :+ ((canonPath(dimPath), dim.schema.fieldNames))
+        joinEdge(owner._1, leftKey, canonPath(dimPath), dimKey)
+      }
+      val joinOrd = tables.flatMap(_._2).sorted.zipWithIndex.toMap
       // baseFilter restricts the SNAPSHOT the MV is built from (e.g. an
       // ingest watermark over the fact side) — same freshness contract
       // as materialize: refresh with the complement before serving
@@ -226,15 +285,14 @@ object MaterializedView {
         cols.map { case (n, c) =>
           Measure(n, kind, normalizeAgainst(joined, c, joinOrd))
         }
-      val entry = MvEntry(name,
-        joinBaseKey(canonPath(factPath), factKey,
-          canonPath(dimPath), dimKey),
+      val entry = MvEntry(name, joinBaseKey(edges),
         dims, joinOrd,
         measuresOf("sum", sums) ++ measuresOf("min", mins) ++
           measuresOf("max", maxs),
         relationOf(mv), sums, mins, maxs, mvPath, 0,
-        join = Some(JoinSpec(canonPath(factPath), canonPath(dimPath),
-          factKey, dimKey)))
+        join = Some(StarSpec(canonPath(factPath),
+          joins.map { case (dp, lk, dk) =>
+            JoinStep(canonPath(dp), lk, dk) })))
       registry.updateWith(sessionKey(spark)) {
         case Some(v) => Some(v.filterNot(_.name == name) :+ entry)
         case None    => Some(Vector(entry))
@@ -276,13 +334,16 @@ object MaterializedView {
           s"no MV named '$name' registered on this session"))
       if (batchId >= 0 && batchId <= entry.lastBatchId)
         return spark.read.parquet(s"${entry.mvDir}/v${entry.version}")
-      // join-grain MVs take FACT-side deltas: join the batch against
-      // the current dim snapshot before aggregating (|delta| ⋈ dim —
-      // the dim side broadcasts in the common small-dim case)
+      // join-grain MVs take FACT-side deltas: replay the declared join
+      // chain against the current dim snapshots before aggregating
+      // (|delta| ⋈ dims — dim sides broadcast in the common small-dim
+      // case)
       val deltaRows = entry.join match {
-        case Some(js) =>
-          delta.join(spark.read.parquet(js.dimPath),
-            col(js.factKey) === col(js.dimKey))
+        case Some(star) =>
+          star.joins.foldLeft(delta) { (cur, js) =>
+            cur.join(spark.read.parquet(js.dimPath),
+              col(js.leftKey) === col(js.dimKey))
+          }
         case None => delta
       }
       val deltaAgg = aggFrame(deltaRows, entry.dims, entry.sums, entry.mins,
@@ -441,57 +502,71 @@ object MaterializedView {
       }
     }
 
-    /** Strip attr-only Projects / SubqueryAlias and at most one Filter
-      * per scan off the aggregate's child; yield (canonical scan path —
-      * or the orientation-canonical JOIN composite for a single inner
-      * equi-join of two scans — scan output, optional filter
-      * condition). For joins, each SIDE may carry its own filter (the
-      * optimizer pushes dim predicates below the join); the conjuncts
-      * recombine here, which is sound for INNER joins. The
+    /** Partially-unwrapped subtree: the scans seen so far (canonical
+      * path + output attrs each), the canonical join-edge strings, the
+      * join-key NAMES (for dropping inferred isnotnull conjuncts), and
+      * the accumulated filter conjuncts. */
+    private case class Un(scans: Seq[(String, Seq[Attribute])],
+        edges: Seq[String], keyNames: Set[String], conds: Seq[Expression])
+
+    /** Strip attr-only Projects / SubqueryAlias / Filters off the
+      * aggregate's child and flatten an arbitrarily-associated tree of
+      * INNER equi-joins over parquet scans; yield (canonical base key —
+      * the scan path, or `JOIN:` + the sorted edge set for a join tree
+      * of any arity and association order (Catalyst may reorder a
+      * 3-table report's joins; the edge set is invariant) — combined
+      * scan output, optional recombined filter). Filters may sit at any
+      * level (the optimizer pushes dim predicates below the joins); the
+      * conjuncts recombine here, which is sound for INNER joins. The
       * InferFiltersFromConstraints `isnotnull(<join key>)` conjuncts
-      * the optimizer plants on both sides are dropped — they are
-      * implied by the inner equi-join the MV was built from. */
+      * the optimizer plants on join inputs are dropped — they are
+      * implied by the inner equi-joins the MV was built from. */
     private def unwrap(plan: LogicalPlan)
-        : Option[(String, Seq[Attribute], Option[Expression])] = plan match {
-      case lr: LogicalRelation =>
-        rootPath(lr).map(p => (p, lr.output, None))
-      case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
-        unwrap(p.child)
-      case s: SubqueryAlias => unwrap(s.child)
-      case f: Filter =>
-        unwrap(f.child).flatMap {
-          case (path, out, None) => Some((path, out, Some(f.condition)))
-          case _                 => None // two filters: out of scope
+        : Option[(String, Seq[Attribute], Option[Expression])] =
+      unwrapTree(plan).map { u =>
+        val path =
+          if (u.edges.isEmpty) u.scans.head._1
+          else joinBaseKey(u.edges)
+        val kept = u.conds.filterNot {
+          case org.apache.spark.sql.catalyst.expressions
+              .IsNotNull(a: AttributeReference) =>
+            u.keyNames.contains(a.name)
+          case _ => false
         }
+        (path, u.scans.flatMap(_._2),
+          kept.reduceOption(
+            org.apache.spark.sql.catalyst.expressions.And))
+      }
+
+    private def unwrapTree(plan: LogicalPlan): Option[Un] = plan match {
+      case lr: LogicalRelation =>
+        rootPath(lr).map(p => Un(Seq((p, lr.output)), Nil, Set.empty, Nil))
+      case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+        unwrapTree(p.child)
+      case s: SubqueryAlias => unwrapTree(s.child)
+      case f: Filter =>
+        unwrapTree(f.child).map(u =>
+          u.copy(conds = u.conds ++ conjuncts(f.condition)))
       case j: Join if j.joinType == Inner =>
         for {
-          l <- unwrap(j.left)
-          r <- unwrap(j.right)
-          // one join deep: a side that is itself a join never matches
-          if !l._1.startsWith("JOIN:") && !r._1.startsWith("JOIN:")
-          keys <- j.condition match {
+          l <- unwrapTree(j.left)
+          r <- unwrapTree(j.right)
+          // exactly one equi condition per join node; each side of it
+          // must resolve to a DISTINCT scan (self-joins are ambiguous
+          // under name-keyed edges — out of scope)
+          edge <- j.condition match {
             case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
-              if (l._2.exists(_.exprId == a.exprId) &&
-                  r._2.exists(_.exprId == b.exprId)) Some((a.name, b.name))
-              else if (l._2.exists(_.exprId == b.exprId) &&
-                  r._2.exists(_.exprId == a.exprId)) Some((b.name, a.name))
-              else None
+              val scans = l.scans ++ r.scans
+              def ownerOf(x: AttributeReference): Option[String] =
+                scans.find(_._2.exists(_.exprId == x.exprId)).map(_._1)
+              for {
+                pa <- ownerOf(a); pb <- ownerOf(b) if pa != pb
+              } yield (joinEdge(pa, a.name, pb, b.name),
+                Set(a.name, b.name))
             case _ => None
           }
-        } yield {
-          val keyNames = Set(keys._1, keys._2)
-          val kept = (l._3.toSeq ++ r._3.toSeq)
-            .flatMap(conjuncts)
-            .filterNot {
-              case org.apache.spark.sql.catalyst.expressions
-                  .IsNotNull(a: AttributeReference) =>
-                keyNames.contains(a.name)
-              case _ => false
-            }
-          (joinBaseKey(l._1, keys._1, r._1, keys._2), l._2 ++ r._2,
-            kept.reduceOption(
-              org.apache.spark.sql.catalyst.expressions.And))
-        }
+        } yield Un(l.scans ++ r.scans, l.edges ++ r.edges :+ edge._1,
+          l.keyNames ++ r.keyNames ++ edge._2, l.conds ++ r.conds)
       case _ => None
     }
 

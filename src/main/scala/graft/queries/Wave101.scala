@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.plans.MaterializedView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave 101 — round 16: the MULTI-DIM STAR join-grain MV (the r15
+  * verdict's ask #6).
+  *
+  *  - q320 STAR MV over the TPC-H Q3 join (q57's customer ⋈ orders ⋈
+  *    lineitem — the 3-table revenue report the MV tier exists for):
+  *    [[graft.plans.MaterializedView.materializeJoinStar]] declares the
+  *    CHAIN lineitem ⋈ orders ⋈ customer (customer hangs off orders,
+  *    not the fact — the snowflake case one dim cannot express),
+  *    pre-aggregated at (c_mktsegment, o_orderpriority, o_orderstatus)
+  *    grain from a HALF snapshot of the fact, then the other half is
+  *    folded through [[graft.plans.MaterializedView.refresh]] (the
+  *    delta replays the declared join chain against the dim
+  *    snapshots). The report is written with the joins associated the
+  *    OTHER way (customer ⋈ orders first, fact last) and still serves
+  *    from the MV — the registered identity is the join tree's sorted
+  *    EDGE SET, invariant under association order and Catalyst's join
+  *    reorder — with the q310 in-plan scans-only assertion.
+  *
+  * Scale (100 TB): the 3-table join runs once per refresh cadence
+  * (build: n shuffle joins + one map-side-combinable aggregate; fold:
+  * |delta| ⋈ dims + |grain|); every report afterwards reads the
+  * |grain|-row summary — here 5 segments × 5 priorities × 3 statuses,
+  * whatever the fact size. Reference anchor: the repeated-report idiom
+  * of /root/reference/examples/parkour/example (each run re-plans the
+  * same counts); SURVEY §2.10/§4 MV charter. */
+object Wave101 {
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q320_mv_star" -> { (s, d) =>
+      val factPath = s"$d/lineitem.parquet"
+      val ordersPath = s"$d/orders.parquet"
+      val custPath = s"$d/customer.parquet"
+      val revenue = qdec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      MaterializedView.materializeJoinStar(s, "q320_star", factPath,
+        joins = Seq(
+          (ordersPath, "l_orderkey", "o_orderkey"),
+          (custPath, "o_custkey", "c_custkey")), // chain: key on a DIM
+        dims = Seq("c_mktsegment", "o_orderpriority", "o_orderstatus"),
+        sums = Seq("revenue" -> revenue),
+        mvPath = Scratch.dir("q320", d) + "/star_mv",
+        // half snapshot: the other half folds through refresh below —
+        // a star MV that cannot maintain incrementally is a one-shot
+        baseFilter = Some(pmod(col("l_orderkey"), lit(2)) === 0))
+      val fact = s.read.parquet(factPath)
+      MaterializedView.refresh(s, "q320_star",
+        fact.filter(pmod(col("l_orderkey"), lit(2)) === 1), batchId = 0L)
+      MaterializedView.refresh(s, "q320_star",
+        fact.filter(pmod(col("l_orderkey"), lit(2)) === 1), batchId = 0L) // replay no-op
+      // the report associates the joins the OTHER way (dims first,
+      // fact last) — the sorted-edge-set identity must still match
+      val report = s.read.parquet(custPath)
+        .join(s.read.parquet(ordersPath),
+          col("o_custkey") === col("c_custkey"))
+        .join(fact, col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderstatus") =!= "P")
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+      if (!Scratch.scansOnly(report, "star_mv"))
+        throw new IllegalStateException(
+          "q320: star MV rewrite did not fire; plan still joins the " +
+            "base tables")
+      val out = graft.io.Sinks.parquet(report, Scratch.dir("q320_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    // the report replayed over the full 3-table base join — a wrong
+    // star grain, a dropped/double-folded delta, or a refresh that
+    // failed to replay the chain against BOTH dims all hash-mismatch
+    "q320_mv_star" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4)
+        |    / 1e4 AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+}

@@ -70,9 +70,9 @@ object Wave97 {
          |  CAST(sum(nt) AS BIGINT) AS n_tokens,
          |  CAST(sum(nc) AS BIGINT) AS n_chars,
          |  CAST(CAST(sum(nt) AS HUGEINT) * 1000000
-         |    // CAST(sum(nw) AS HUGEINT) AS BIGINT) AS fertility_ppm,
+         |    // NULLIF(CAST(sum(nw) AS HUGEINT), 0) AS BIGINT) AS fertility_ppm,
          |  CAST(CAST(sum(nc) AS HUGEINT) * 1000000
-         |    // CAST(sum(nt) AS HUGEINT) AS BIGINT) AS chars_per_token_ppm
+         |    // NULLIF(CAST(sum(nt) AS HUGEINT), 0) AS BIGINT) AS chars_per_token_ppm
          |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // the q116 fixed-point centroid idiom, per (label, generation),

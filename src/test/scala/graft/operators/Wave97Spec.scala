@@ -32,6 +32,40 @@ class Wave97Spec extends AnyFunSuite with Matchers with SparkFixture {
       ("b", 1L, 1000000L, 2000000L))
   }
 
+  test("fertilityByGroup: degenerate groups report null ppm instead of ANSI div-by-zero (r15 advisor)") {
+    // group "w" is all-whitespace (n_words=0, n_tokens=0): BOTH ppm
+    // columns must be null and the healthy group must still report
+    val d = Seq(("w", "   "), ("w", " \t "), ("a", "x y")).toDF("lang", "text")
+    val r = Bpe.fertilityByGroup(d, "lang", "text", Nil)
+      .select("lang", "n_words", "n_tokens", "fertility_ppm",
+        "chars_per_token_ppm")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    r shouldBe Array(
+      ("a", 2L, 2L, Some(1000000L), Some(1000000L)),
+      ("w", 0L, 0L, None, None))
+  }
+
+  test("chiSquareRequireBounds: trips on int64 DIV-quotient wrap at corpus scale (r15 advisor)") {
+    // Spark's DIV narrows DECIMAL quotients to BIGINT; at nA=nB=5e7
+    // tokens a strongly drifted token (maxO=4000) gives a step-1
+    // quotient bound maxO·N² = 1e19 > 2^63 — the DECIMAL(38,0) product
+    // bound alone (≈1e26 < 1e38) would have let it through to wrap
+    // two's-complement silently in-plan.
+    val nA = 50000000L
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.chiSquareRequireBounds(nA, nA, 4000L)
+    }
+    ex.getMessage should include("overflow")
+    // the same shape with a modest slice passes (quotients fit int64)
+    noException should be thrownBy
+      TextAnalysis.chiSquareRequireBounds(1000000L, 1000000L, 4000L)
+    // and the pure-product 38-digit bound still trips independently
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.chiSquareRequireBounds(Long.MaxValue / 4,
+        Long.MaxValue / 4, Long.MaxValue / 4)
+  }
+
   test("centroidDriftPpm: orthogonal slices read 0, identical slices 1e6, single-slice labels drop") {
     val vecs = Seq(
       // label 0: slice A along e1 (twice), slice B along e2 -> drift 0

@@ -359,6 +359,134 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers
     scansJmvOnly(outer) shouldBe false
   }
 
+  // ------------------------------------------------ star (multi-dim)
+
+  private val factPath = s"$sfDir/lineitem.parquet"
+  private def fact = spark.read.parquet(factPath)
+  private def starRevenue =
+    qdec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+
+  /** 3-table CHAIN star (customer hangs off orders), registered once. */
+  private lazy val smv: DataFrame = MaterializedView.materializeJoinStar(
+    spark, "mvspec_star", factPath,
+    joins = Seq((ordersPath, "l_orderkey", "o_orderkey"),
+      (custPath, "o_custkey", "c_custkey")),
+    dims = Seq("c_mktsegment", "o_orderstatus"),
+    sums = Seq("rev" -> starRevenue),
+    mvPath = graft.queries.Scratch.dir("mvspec_star", sfDir) + "/star_mv")
+
+  private def scansStarOnly(df: DataFrame): Boolean = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    paths.exists(_.contains("star_mv")) &&
+      !paths.exists(p => p.endsWith("lineitem.parquet") ||
+        p.endsWith("orders.parquet") || p.endsWith("customer.parquet"))
+  }
+
+  private def threeWay(assoc: Int): DataFrame = assoc match {
+    // every association order of the same inner equi-join tree
+    case 0 => fact.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+    case 1 => customer.join(orders, col("c_custkey") === col("o_custkey"))
+      .join(fact, col("o_orderkey") === col("l_orderkey"))
+    case _ => fact.join(
+      orders.join(customer, col("o_custkey") === col("c_custkey")),
+      col("l_orderkey") === col("o_orderkey"))
+  }
+
+  test("star MV: every association order of the 3-table join rewrites and matches") {
+    smv.count()
+    val want = MaterializedView.withoutRewrite(spark) {
+      threeWay(0).groupBy(col("c_mktsegment"))
+        .agg(sum(starRevenue).cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted
+    }
+    for (assoc <- 0 to 2) {
+      val q = threeWay(assoc).groupBy(col("c_mktsegment"))
+        .agg(sum(starRevenue).cast("double").as("rev"),
+          count(lit(1)).as("n"))
+      withClue(s"association order $assoc: ") {
+        scansStarOnly(q) shouldBe true
+        q.collect().map(_.toString).sorted shouldBe want
+      }
+    }
+  }
+
+  test("star MV: dim filters pushed below BOTH joins recombine and replay") {
+    smv.count()
+    val q = threeWay(1)
+      .where(col("o_orderstatus") =!= "P" &&
+        col("c_mktsegment") =!= "BUILDING")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(starRevenue).cast("double").as("rev"))
+    scansStarOnly(q) shouldBe true
+    val got = q.collect().map(_.toString).sorted
+    val want = MaterializedView.withoutRewrite(spark) {
+      threeWay(0).where(col("o_orderstatus") =!= "P" &&
+          col("c_mktsegment") =!= "BUILDING")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(starRevenue).cast("double").as("rev"))
+        .collect().map(_.toString).sorted
+    }
+    got shouldBe want
+  }
+
+  test("star MV negatives: a SUBSET join or an extra join never rewrites") {
+    smv.count()
+    // 2 of the 3 tables: different edge set — must not match the star
+    val subset = fact.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(starRevenue).as("rev"))
+    scansStarOnly(subset) shouldBe false
+    // same 3 tables but a different join key: different edge
+    val wrongKey = fact
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_orderkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(sum(starRevenue).as("rev"))
+    scansStarOnly(wrongKey) shouldBe false
+  }
+
+  test("star MV refresh: fact delta replays the whole declared chain") {
+    smv.count()
+    MaterializedView.materializeJoinStar(spark, "mvspec_starr", factPath,
+      joins = Seq((ordersPath, "l_orderkey", "o_orderkey"),
+        (custPath, "o_custkey", "c_custkey")),
+      dims = Seq("c_mktsegment"),
+      sums = Seq("rev" -> starRevenue),
+      mvPath = graft.queries.Scratch.dir("mvspec_starr", sfDir) + "/starr_mv")
+    val delta = fact.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+    val refreshed = MaterializedView.refresh(spark, "mvspec_starr", delta)
+    val fullSum = MaterializedView.withoutRewrite(spark) {
+      threeWay(0).agg(sum(starRevenue)).collect()(0).getDecimal(0)
+    }
+    val deltaSum = MaterializedView.withoutRewrite(spark) {
+      delta.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .agg(sum(starRevenue)).collect()(0).getDecimal(0)
+    }
+    val mvSum = refreshed.agg(sum(col("rev"))).collect()(0).getDecimal(0)
+    mvSum shouldBe fullSum.add(deltaSum)
+  }
+
+  test("star MV declaration: unknown left key and overlapping columns fail loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      MaterializedView.materializeJoinStar(spark, "mvspec_badkey", factPath,
+        joins = Seq((ordersPath, "no_such_key", "o_orderkey")),
+        dims = Seq("o_orderstatus"), sums = Seq("rev" -> starRevenue),
+        mvPath = graft.queries.Scratch.dir("mvspec_bad", sfDir) + "/bad_mv")
+    an[IllegalArgumentException] should be thrownBy
+      MaterializedView.materializeJoinStar(spark, "mvspec_overlap", factPath,
+        joins = Seq((factPath, "l_orderkey", "l_orderkey")), // same table
+        dims = Seq("l_returnflag"), sums = Seq("rev" -> starRevenue),
+        mvPath = graft.queries.Scratch.dir("mvspec_bad2", sfDir) + "/bad_mv")
+  }
+
   test("join-grain refresh: fact-side delta joins the dim snapshot and folds") {
     jmv.count()
     MaterializedView.materializeJoin(spark, "mvspec_ocr",

@@ -112,6 +112,45 @@ class Wave96StreamsSpec extends AnyFunSuite with Matchers
     labels(st) shouldBe ExpectedLabels
   }
 
+  private def genDirs(stateDir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("gen_")).toSet
+  }
+
+  test("corpusBuildFold: generation GC retains 2, replay no-op survives pruning, interrupted folds are invisible") {
+    import spark.implicits._
+    val work = graft.queries.Scratch.dir("w96gc", sfDir)
+    val st = s"$work/state"
+    val batchC = Seq(W96Doc(6, "lone wolf tokens"))
+    Streams.corpusBuildInit(spark, st, seed.toDF())
+    genDirs(st) shouldBe Set("gen_-1")
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), 0L)
+    genDirs(st) shouldBe Set("gen_-1", "gen_0") // nothing older than prev
+    Streams.corpusBuildFold(spark, st, batchB.toDF(), 1L)
+    genDirs(st) shouldBe Set("gen_0", "gen_1") // gen_-1 pruned
+    Streams.corpusBuildFold(spark, st, batchC.toDF(), 2L)
+    genDirs(st) shouldBe Set("gen_1", "gen_2") // state = 2 generations, not history
+    labels(st) shouldBe ExpectedLabels // content unaffected by pruning
+    // replaying an id whose generation was PRUNED is still a no-op —
+    // the guard needs only the pointer, never the old frames
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), 0L)
+    Streams.corpusBuildApplied(spark, st) shouldBe 2L
+    labels(st) shouldBe ExpectedLabels
+    // crash BETWEEN gen write and pointer write: a gen dir without a
+    // complete `applied` pointer is invisible to recovery...
+    seed.toDF().write.parquet(s"$st/gen_9/state")
+    Streams.corpusBuildApplied(spark, st) shouldBe 2L
+    // ...and re-delivering that id re-applies the fold cleanly over
+    // the half-written dir (overwrite semantics), then the pointer lands
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), 9L)
+    Streams.corpusBuildApplied(spark, st) shouldBe 9L
+    genDirs(st) shouldBe Set("gen_2", "gen_9")
+    labels(st) shouldBe ExpectedLabels
+  }
+
   test("maintainMv over a JOIN-GRAIN MV: streamed fact batches fold through the dim join") {
     import graft.plans.MaterializedView
     import spark.implicits._

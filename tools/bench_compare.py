@@ -130,7 +130,11 @@ def from_parts(objs, names):
     """Stitch part lines → ({name: sec}, {name: seg_cf}, final_obj).
     Understands both the r15+ compact `qt`/`qc` format and the legacy
     r10-r14 `qp` array format."""
-    final = next((o for o in objs if o.get("metric") == "total"
+    # LAST total line wins: round 16+ emits a rolling cumulative
+    # summary after every segment (partial:true) superseded by the
+    # final one — and on a killed run the last rolling total IS the
+    # artifact.
+    final = next((o for o in reversed(objs) if o.get("metric") == "total"
                   and "queries" not in o), None)
     def name_of(idx):
         return names[idx] if names and idx < len(names) else f"#q{idx}"
@@ -140,7 +144,7 @@ def from_parts(objs, names):
         for j, centi in enumerate(b36_decode(p.get("s", ""), 3)):
             qs[name_of(p.get("i0", 0) + j)] = \
                 -1.0 if centi < 0 else centi / 100.0
-    qc = next((o for o in objs if o.get("metric") == "qc"), None)
+    qc = next((o for o in reversed(objs) if o.get("metric") == "qc"), None)
     if qt and qc:
         segsize, cfs = qc.get("seg", 25), qc.get("cf", [])
         for p in qt:
@@ -196,9 +200,21 @@ def main():
     # failure this tool exists to prevent. On mismatch the values are
     # still recovered, as unmapped #qN placeholders.
     fq, norm = from_fullnames(objs)
-    final_probe = next((o for o in objs if o.get("metric") == "total"
+    final_probe = next((o for o in reversed(objs)
+                        if o.get("metric") == "total"
                         and "queries" not in o), None)
     nq = (final_probe or {}).get("nq")
+    # round 16+: a budget-stopped (or killed) run reports the completed
+    # prefix; the name table must match the FULL set (swept + skipped)
+    # because part-line indices are positions in the full sorted list.
+    skipped = (final_probe or {}).get("skipped", 0)
+    if final_probe and (skipped or final_probe.get("partial")):
+        print(f"PARTIAL RUN: {final_probe.get('swept', nq)} swept, "
+              f"{skipped} skipped"
+              + (" (budget/deadline stop or killed mid-sweep)"
+                 if final_probe.get("partial") else ""))
+    if nq is not None:
+        nq += skipped
     if nq is None:
         # Truncated tail lost the final total line. Recover the run's
         # query count from the part lines themselves (max i0+len(t));
@@ -235,7 +251,7 @@ def main():
               "as #qN")
     qs, seg, final = from_parts(objs, names)
     # the bench's own end-of-sweep outlier re-run (round 11+)
-    qr = next((o for o in objs if o.get("metric") == "qr"), None)
+    qr = next((o for o in reversed(objs) if o.get("metric") == "qr"), None)
     rerun, qr_cf = {}, None
     if qr and names:
         qr_cf = qr.get("cf")
