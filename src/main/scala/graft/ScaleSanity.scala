@@ -482,6 +482,19 @@ object ScaleSanity {
           runFully(graft.operators.Graphs.scc(edges, "s", "d",
               maxDiameter = 20, maxRounds = 4)
             .groupBy(col("scc")).agg(count(lit(1)).as("n")))
+        } else if (name == "banding_recall_sampled") {
+          // q319 at corpus scale, per thresholdCurve's OWN scaladoc:
+          // the curve is a bounded-sample statistic — rows=2 floor
+          // banding admits ~(1−(1−j²)³²) of cross-group noise pairs,
+          // QUADRATIC with a small constant (the r16 100× audit
+          // measured the full-corpus form directly: 75 GB of spill and
+          // a killed JVM at 500k docs). Sampling 1-in-mult keeps the
+          // probe's doc count at the base-corpus size as the corpus
+          // grows; the missed=0 invariant is certified on the shared
+          // sample (both legs see the same slice) — the
+          // semantic_dedup_sqrtk convention.
+          runFully(graft.queries.Wave100.bandingRecallAudit(
+            Tables.documents(spark, workDir), sampleOneIn = mult.toLong))
         } else runFully(SparkEntry.queries(name)(spark, workDir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$name","mult":$mult,"sec":$sec%.1f,"rows":$rows}""")

@@ -1389,6 +1389,77 @@ object Dedup {
       .select(col("doc"), coalesce(col("sim"), lit(0L)).as("sim"))
   }
 
+  /** INTER-TIER AGREEMENT: Cohen's kappa (and raw agreement) in exact
+    * integer parts-per-million between every unordered pair of boolean
+    * dedup VERDICT columns, over a shared candidate-pair universe — the
+    * audit that says whether the cheap tier (SimHash) and the expensive
+    * tier (exact Jaccard) would make the same keep/drop calls, i.e.
+    * whether the cheap tier can be trusted alone on the next crawl.
+    * `verdicts` is one row per candidate pair with one boolean column
+    * per tier; output is one row per tier pair:
+    * (tier_a, tier_b, n_pairs, n_both, n_neither, pos_a, pos_b,
+    * agree_ppm, kappa_ppm) with
+    *
+    *   agree_ppm = (n_both + n_neither)·10⁶ div n
+    *   kappa_ppm = sign(kn) · (|kn|·10⁶ div kd),
+    *     kn = (n_both + n_neither)·n − pe,  kd = n² − pe,
+    *     pe = pos_a·pos_b + (n−pos_a)·(n−pos_b)
+    *
+    * — all products in DECIMAL(38,0) (n² ·10⁶ needs 38 digits past
+    * ~3·10⁶ pairs; fine to 10¹⁵ pairs), and the one signed divide is
+    * quantized as sign·(abs div) EXPLICITLY because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — on a
+    * worse-than-chance tier (kn < 0) the two would otherwise disagree
+    * by one micro-unit. kappa is null when kd = 0 (a constant verdict
+    * on both tiers carries no agreement information); both ppm columns
+    * are null on an EMPTY universe rather than ANSI-failing. Every
+    * engine replays the exact integers bit-for-bit.
+    *
+    * Scale: ONE pass over the pair universe into a 1-row aggregate
+    * (map-side combinable), then |tiers|²-bounded constant rows — the
+    * universe itself comes from a banded/prefix-filtered pair source
+    * ([[jaccardPairsPrefix]], [[minhashNearDupPairs]]), so nothing here
+    * is corpus-quadratic. */
+  def tierAgreementPpm(verdicts: DataFrame, tiers: Seq[String]): DataFrame = {
+    require(tiers.size >= 2, s"need at least two tiers: $tiers")
+    val tierPairs = for {
+      i <- tiers.indices; j <- (i + 1) until tiers.size
+    } yield (tiers(i), tiers(j))
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val aggCols =
+      (dec(count(lit(1))).as("n") +:
+        (tiers.map(t =>
+          dec(sum(when(col(t), 1L).otherwise(0L))).as(s"p_$t")) ++
+          tierPairs.flatMap { case (a, b) => Seq(
+            dec(sum(when(col(a) && col(b), 1L).otherwise(0L)))
+              .as(s"b_${a}_$b"),
+            dec(sum(when(!col(a) && !col(b), 1L).otherwise(0L)))
+              .as(s"z_${a}_$b")) })).toIndexedSeq
+    val one = verdicts.agg(aggCols.head, aggCols.tail: _*)
+    tierPairs.map { case (a, b) =>
+      one.select(lit(a).as("tier_a"), lit(b).as("tier_b"),
+        col("n").cast("long").as("n_pairs"),
+        col(s"b_${a}_$b").cast("long").as("n_both"),
+        col(s"z_${a}_$b").cast("long").as("n_neither"),
+        col(s"p_$a").cast("long").as("pos_a"),
+        col(s"p_$b").cast("long").as("pos_b"),
+        // n = 0 (empty universe) reports null, not ANSI div-by-zero —
+        // the q312 fertility convention (oracle mirrors with NULLIF)
+        expr(s"CASE WHEN n > 0 THEN " +
+          s"CAST((b_${a}_$b + z_${a}_$b) * 1000000 DIV n AS BIGINT) END")
+          .as("agree_ppm"),
+        expr(
+          s"""CASE WHEN n * n > p_$a * p_$b + (n - p_$a) * (n - p_$b) THEN
+             |  CAST(CASE WHEN (b_${a}_$b + z_${a}_$b) * n
+             |      < p_$a * p_$b + (n - p_$a) * (n - p_$b) THEN -1 ELSE 1 END
+             |    * (abs((b_${a}_$b + z_${a}_$b) * n
+             |        - (p_$a * p_$b + (n - p_$a) * (n - p_$b))) * 1000000
+             |      DIV (n * n - (p_$a * p_$b + (n - p_$a) * (n - p_$b))))
+             |    AS BIGINT)
+             |END""".stripMargin.replace("\n", " ")).as("kappa_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-row JVM twin of [[simhashSketches]] — identical sketch value for
     * a single document's text (same tokenization, same md5-derived 60-bit
     * token hash, same majority vote; empty/no-token text → 0). For

@@ -1733,6 +1733,53 @@ object TextAnalysis {
           .as("auc_ppm"))
   }
 
+  /** RELIABILITY DIAGRAM (calibration bins) for a scored binary
+    * detector, in exact integer arithmetic — the calibration leg next
+    * to [[binaryAucPpm]]'s discrimination leg: AUC says the ranking is
+    * right; this says whether the score LEVELS can be trusted as
+    * thresholds (the quality-classifier question a curation pipeline
+    * actually asks before picking a keep cutoff). Examples are ranked
+    * by score and cut into `bins` rank-equal buckets; each bin reports
+    * its size, positive count, observed positive rate (ppm), and score
+    * range — a monotone pos_rate_ppm across bins is a calibrated
+    * detector, a flat one is noise.
+    *
+    * Binning is GRID-atomic: rows group to the distinct-score grid
+    * first and a score group lands wholly in bin
+    * ⌊below·bins div total⌋ (its rank-prefix position) — ties are
+    * never split across bins, so any engine replays the exact same
+    * assignment ([[binaryAucPpm]]'s average-rank discipline, applied
+    * to binning). All counts cross-multiply in DECIMAL(38,0) before
+    * one integral divide (corpus-scale n·10⁶ exceeds int64).
+    *
+    * Scale: one hash agg to the distinct-score grid, a cumulative
+    * window over |grid| rows (never the corpus — the binaryAucPpm
+    * posture: eval-set score grids are bounded by practice), a 1-row
+    * broadcast total, and a ≤bins-row rollup. Output: (bin, n, n_pos,
+    * pos_rate_ppm, s_min, s_max). */
+  def reliabilityBins(scored: DataFrame, scoreCol: String,
+                      positiveCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    val grid = scored.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(positiveCol), 1L).otherwise(0L)).as("np"))
+    val total = grid.agg(sum(col("n")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    grid.withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("bin", expr(
+        s"CAST(CAST(below AS DECIMAL(38,0)) * $bins DIV total AS BIGINT)"))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("np")).as("n_pos"),
+        min(col("s")).cast("double").as("s_min"),
+        max(col("s")).cast("double").as("s_max"))
+      .withColumn("pos_rate_ppm", expr(
+        "CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate_ppm"),
+        col("s_min"), col("s_max"))
+  }
+
   /** Ranked-retrieval evaluation over a batch of single-term queries:
     * MRR (mean reciprocal rank of the FIRST relevant hit) and hits@k,
     * both in exact integer arithmetic — the IR-eval leg next to

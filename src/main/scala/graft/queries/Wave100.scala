@@ -41,16 +41,38 @@ object Wave100 {
     },
 
     "q319_banding_recall_audit" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val probe = Dedup.thresholdCurve(docs, "doc_id", "text", CurveFloor)
-        .where(col("bucket") === 9)
-        .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("probe_pairs"))
-      val prod = Dedup.minhashNearDupPairs(docs, "doc_id", "text", ProdThr)
-        .agg(count(lit(1)).as("prod_pairs"))
-      probe.crossJoin(prod)
-        .select(col("probe_pairs"), col("prod_pairs"),
-          (col("probe_pairs") - col("prod_pairs")).as("missed"))
+      bandingRecallAudit(Tables.documents(s, d))
     })
+
+  /** q319's body, parametric over the document slice so the corpus-
+    * scale path can run it on a bounded sample. The curve probe is a
+    * STATISTIC whose rows=2 floor-banding cost is quadratic with a
+    * small constant ([[Dedup.thresholdCurve]]'s declared price — the
+    * r16 100× audit measured it directly: full-corpus at 500k docs
+    * spilled 75 GB and outran the harness); its own scaladoc's scale
+    * recipe is a bounded sample, and the missed=0 invariant is
+    * certified on whatever slice BOTH legs share. `sampleOneIn` keeps
+    * every doc whose md5 bucket ≡ 0 (mod it) — deterministic,
+    * engine-replayable, and at sampleOneIn = corpus multiplier the
+    * probe's doc count stays CONSTANT as the corpus grows (the
+    * semantic_dedup_sqrtk convention: scale the recipe the scaladoc
+    * prescribes, not a mis-use). */
+  def bandingRecallAudit(allDocs: DataFrame,
+                         sampleOneIn: Long = 1L): DataFrame = {
+    val docs =
+      if (sampleOneIn <= 1L) allDocs
+      else allDocs.where(pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(sampleOneIn)) === 0)
+    val probe = Dedup.thresholdCurve(docs, "doc_id", "text", CurveFloor)
+      .where(col("bucket") === 9)
+      .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("probe_pairs"))
+    val prod = Dedup.minhashNearDupPairs(docs, "doc_id", "text", ProdThr)
+      .agg(count(lit(1)).as("prod_pairs"))
+    probe.crossJoin(prod)
+      .select(col("probe_pairs"), col("prod_pairs"),
+        (col("probe_pairs") - col("prod_pairs")).as("missed"))
+  }
 
   private val SqlToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 102 — round 16, part two: two audits a curation pipeline runs
+  * before TRUSTING its own instruments.
+  *
+  *  - q321 CLASSIFIER CALIBRATION ([[TextAnalysis.reliabilityBins]]):
+  *    the reliability diagram for q272's English-profile detector —
+  *    rank-decile bins of the exact quantized score vs the observed
+  *    positive rate. q272's AUC certifies the RANKING; this certifies
+  *    whether the score LEVELS can serve as keep/drop thresholds (the
+  *    question a pipeline asks before hard-coding a quality cutoff).
+  *    Grid-atomic binning: ties never split across bins, so the bin
+  *    assignment replays bit-for-bit in any engine.
+  *  - q322 DEDUP TIER AGREEMENT ([[Dedup.tierAgreementPpm]]): Cohen's
+  *    kappa (exact integer ppm) between the exact-duplicate, exact
+  *    Jaccard ≥ 0.9, and SimHash hamming ≤ 3 verdicts over the shared
+  *    jaccard ≥ 0.8 candidate universe ([[Dedup.jaccardPairsPrefix]])
+  *    — whether the cheap sketch tier would make the same calls as
+  *    the expensive exact tier, measured where it matters (near the
+  *    decision boundary), chance-corrected so a saturated corpus
+  *    cannot fake agreement.
+  *
+  * Scale (100 TB): q321 is one hash agg to the distinct-score grid +
+  * a |grid|-row cumulative + a ≤bins rollup (the binaryAucPpm
+  * posture); q322's universe is prefix-filtered (nothing corpus-
+  * quadratic), the sketch join is |pairs| rows keyed on doc ids, and
+  * the agreement is ONE map-side-combinable pass into |tiers|²
+  * constant rows. */
+object Wave102 {
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val SqlTokSet = s"list_distinct($SqlToks)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q321_reliability_bins" -> { (s, d) =>
+      val scores = TextAnalysis.classProfileScores(Tables.documents(s, d),
+          "doc_id", "text", "lang")
+        .where(col("cls") === "en")
+        .select(col("score"), (col("__lbl") === "en").as("pos"))
+      TextAnalysis.reliabilityBins(scores, "score", "pos", bins = 10)
+        .orderBy(col("bin"))
+    },
+
+    "q322_dedup_agreement" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.8)
+      val sk = Dedup.simhashSketches(docs, "doc_id", "text")
+      val verdicts = pairs
+        .join(sk.select(col("doc").as("doc_a"), col("sim").as("sim_a")),
+          "doc_a")
+        .join(sk.select(col("doc").as("doc_b"), col("sim").as("sim_b")),
+          "doc_b")
+        .select((col("jac") === 1.0).as("exact"),
+          (col("jac") >= 0.9).as("jac09"),
+          (bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+            .as("sim3"))
+      Dedup.tierAgreementPpm(verdicts, Seq("exact", "jac09", "sim3"))
+        .orderBy(col("tier_a"), col("tier_b"))
+    })
+
+  /** One kappa output row from the 1-row `one` CTE — the exact formula
+    * [[Dedup.tierAgreementPpm]] documents, sign split out because
+    * DuckDB's `//` floors while Spark's `div` truncates. */
+  private def sqlKappaRow(a: String, b: String): String = {
+    val pe = s"p_$a * p_$b + (n - p_$a) * (n - p_$b)"
+    val po = s"(b_${a}_$b + z_${a}_$b)"
+    s"""SELECT '$a' AS tier_a, '$b' AS tier_b,
+       |  CAST(n AS BIGINT) AS n_pairs,
+       |  CAST(b_${a}_$b AS BIGINT) AS n_both,
+       |  CAST(z_${a}_$b AS BIGINT) AS n_neither,
+       |  CAST(p_$a AS BIGINT) AS pos_a, CAST(p_$b AS BIGINT) AS pos_b,
+       |  CAST($po * 1000000 // NULLIF(n, 0) AS BIGINT) AS agree_ppm,
+       |  CASE WHEN n * n > $pe THEN
+       |    CAST((CASE WHEN $po * n < $pe THEN -1 ELSE 1 END)
+       |      * (abs($po * n - ($pe)) * 1000000 // (n * n - ($pe)))
+       |      AS BIGINT)
+       |  END AS kappa_ppm
+       |FROM one""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q272's full train+score replay (the shared-scores contract),
+    // then grid → cumulative → rank-decile bins → per-bin rates
+    "q321_reliability_bins" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, lang AS lbl, unnest($SqlToks) AS tok
+         |  FROM documents WHERE len($SqlToks) > 0),
+         |model AS (SELECT lbl AS cls, tok, count(*) AS cnt
+         |          FROM toks GROUP BY 1, 2),
+         |totals AS (SELECT lbl AS cls, count(*) AS n_tok
+         |           FROM toks GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+         |doctoks AS (SELECT id, lbl, tok, count(*) AS k
+         |            FROM toks GROUP BY 1, 2, 3),
+         |scores AS (
+         |  SELECT d.id, d.lbl, sum(
+         |    CAST(d.k AS DECIMAL(10,0)) *
+         |    CAST(floor((coalesce(m.cnt, 0) + 1) / (t.n_tok + v.v) * 1e12)
+         |         / 1e12 AS DECIMAL(22,12))) AS score
+         |  FROM doctoks d
+         |  CROSS JOIN totals t CROSS JOIN vocab v
+         |  LEFT JOIN model m ON m.cls = t.cls AND m.tok = d.tok
+         |  WHERE t.cls = 'en'
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT score AS s, count(*) AS n,
+         |    sum(CASE WHEN lbl = 'en' THEN 1 ELSE 0 END) AS np
+         |  FROM scores GROUP BY 1),
+         |ranked AS (
+         |  SELECT *, coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS below
+         |  FROM grid),
+         |tot AS (SELECT sum(n) AS total FROM grid)
+         |SELECT CAST(CAST(below AS HUGEINT) * 10 // total AS BIGINT) AS bin,
+         |  CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(CAST(sum(np) AS HUGEINT) * 1000000
+         |    // CAST(sum(n) AS HUGEINT) AS BIGINT) AS pos_rate_ppm,
+         |  CAST(min(s) AS DOUBLE) AS s_min,
+         |  CAST(max(s) AS DOUBLE) AS s_max
+         |FROM ranked, tot GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // the jaccard >= 0.8 universe (q25's exact all-pairs oracle shape),
+    // q27's simhash replay per doc, the three verdicts, one HUGEINT
+    // aggregate, three kappa rows
+    "q322_dedup_agreement" -> {
+      val tokH =
+        """CAST(list_sum(list_transform(range(1, 16), i ->
+          |    (CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INTEGER), 1)) AS BIGINT) - 1)
+          |    * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INTEGER)))) AS BIGINT)""".stripMargin
+      val votes = (0 until Dedup.SimhashBits).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(",\n    ")
+      val sketch = (0 until Dedup.SimhashBits).map(i =>
+        s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH dtoks AS (
+         |  SELECT doc_id, unnest($SqlTokSet) AS tok FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dtoks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |  FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         |tk AS (
+         |  SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+         |th AS (
+         |  SELECT doc_id, $tokH AS h FROM tk),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM th GROUP BY doc_id),
+         |sk AS (
+         |  SELECT doc_id, $sketch AS sim FROM votes),
+         |alls AS (
+         |  SELECT d.doc_id, coalesce(s.sim, CAST(0 AS BIGINT)) AS sim
+         |  FROM documents d LEFT JOIN sk s ON d.doc_id = s.doc_id),
+         |verd AS (
+         |  SELECT p.jac = 1.0 AS exact, p.jac >= 0.9 AS jac09,
+         |    bit_count(xor(sa.sim, sb.sim)) <= 3 AS sim3
+         |  FROM pairs p
+         |  JOIN alls sa ON p.doc_a = sa.doc_id
+         |  JOIN alls sb ON p.doc_b = sb.doc_id),
+         |one AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CASE WHEN exact THEN 1 ELSE 0 END) AS HUGEINT) AS p_exact,
+         |    CAST(sum(CASE WHEN jac09 THEN 1 ELSE 0 END) AS HUGEINT) AS p_jac09,
+         |    CAST(sum(CASE WHEN sim3 THEN 1 ELSE 0 END) AS HUGEINT) AS p_sim3,
+         |    CAST(sum(CASE WHEN exact AND jac09 THEN 1 ELSE 0 END) AS HUGEINT) AS b_exact_jac09,
+         |    CAST(sum(CASE WHEN NOT exact AND NOT jac09 THEN 1 ELSE 0 END) AS HUGEINT) AS z_exact_jac09,
+         |    CAST(sum(CASE WHEN exact AND sim3 THEN 1 ELSE 0 END) AS HUGEINT) AS b_exact_sim3,
+         |    CAST(sum(CASE WHEN NOT exact AND NOT sim3 THEN 1 ELSE 0 END) AS HUGEINT) AS z_exact_sim3,
+         |    CAST(sum(CASE WHEN jac09 AND sim3 THEN 1 ELSE 0 END) AS HUGEINT) AS b_jac09_sim3,
+         |    CAST(sum(CASE WHEN NOT jac09 AND NOT sim3 THEN 1 ELSE 0 END) AS HUGEINT) AS z_jac09_sim3
+         |  FROM verd)
+         |SELECT * FROM (
+         |${sqlKappaRow("exact", "jac09")}
+         |UNION ALL
+         |${sqlKappaRow("exact", "sim3")}
+         |UNION ALL
+         |${sqlKappaRow("jac09", "sim3")}
+         |) ORDER BY tier_a, tier_b""".stripMargin
+    })
+}

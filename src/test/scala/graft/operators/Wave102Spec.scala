@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-computed goldens for the Wave-102 instrument audits. */
+class Wave102Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import spark.implicits._
+
+  test("reliabilityBins: rank-equal bins, grid-atomic ties, exact ppm rates") {
+    // 10 distinct scores, positives at s >= 6: two clean deciles→halves
+    val d = (1 to 10).map(s => (BigDecimal(s), s >= 6)).toDF("score", "pos")
+    val r = TextAnalysis.reliabilityBins(d, "score", "pos", bins = 2)
+      .select("bin", "n", "n_pos", "pos_rate_ppm", "s_min", "s_max")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (0L, 5L, 0L, 0L, 1.0, 5.0),
+      (1L, 5L, 5L, 1000000L, 6.0, 10.0))
+    // tie group straddling a bin boundary lands WHOLLY in its
+    // rank-prefix bin: scores 1,2,2,2,5 with 2 bins -> s=2's group
+    // (below=1 -> bin 2 div 5 = 0) keeps all 3 rows in bin 0
+    val t = Seq((1, false), (2, true), (2, false), (2, true), (5, true))
+      .map { case (s, p) => (BigDecimal(s), p) }.toDF("score", "pos")
+    val rt = TextAnalysis.reliabilityBins(t, "score", "pos", bins = 2)
+      .select("bin", "n", "n_pos", "pos_rate_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    rt shouldBe Array(
+      (0L, 4L, 2L, 500000L),
+      (1L, 1L, 1L, 1000000L))
+  }
+
+  test("tierAgreementPpm: hand-computed kappa, negative kappa sign, degenerate null") {
+    // n=4, p_a=2, p_b=1, both=1, neither=2:
+    // po = 3/4 -> agree 750000; pe = (2·1 + 2·3)/16 = 0.5 -> kappa 0.5
+    val d = Seq((true, true), (true, false), (false, false), (false, false))
+      .toDF("a", "b")
+    val r = Dedup.tierAgreementPpm(d, Seq("a", "b"))
+      .select("tier_a", "tier_b", "n_pairs", "n_both", "n_neither",
+        "pos_a", "pos_b", "agree_ppm", "kappa_ppm")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect()
+    r shouldBe Array(
+      ("a", "b", 4L, 1L, 2L, 2L, 1L, 750000L, Some(500000L)))
+    // perfect disagreement: kappa exactly -1 (sign-split divide — a
+    // floor-div would read -1.000001 here)
+    val neg = Seq((true, false), (false, true)).toDF("a", "b")
+    Dedup.tierAgreementPpm(neg, Seq("a", "b"))
+      .select("kappa_ppm").as[Option[Long]].collect() shouldBe
+      Array(Some(-1000000L))
+    // constant verdicts on both tiers: pe = n² -> kappa null, agree 1e6
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    Dedup.tierAgreementPpm(const, Seq("a", "b"))
+      .select("agree_ppm", "kappa_ppm").as[(Long, Option[Long])]
+      .collect() shouldBe Array((1000000L, None))
+    // three tiers -> three unordered pairs, declared order
+    val three = Seq((true, true, false)).toDF("x", "y", "z")
+    Dedup.tierAgreementPpm(three, Seq("x", "y", "z"))
+      .select("tier_a", "tier_b").as[(String, String)]
+      .collect() shouldBe Array(("x", "y"), ("x", "z"), ("y", "z"))
+  }
+}
