@@ -86,6 +86,10 @@ object Bench {
     * CAL_REF_SEC is the quiet-window probe time frozen in BASELINE.md
     * alongside the per-query rows. */
   final val CalRefSec = 1.50 // frozen quiet-window probe time (BASELINE.md)
+  /** Frozen quiet-window Spark job-dispatch floor (ms per trivial
+    * 32-task job) — the reference the `job_floor_ms` probe compares
+    * against (see main; BASELINE.md r16 environment note). */
+  final val JobFloorRefMs = 25.0
   final val CalSteps = 800000000L
   /** Segment mini-probe: 8 CONCURRENT threads, each 1/4 of the full
     * probe (~0.4 s wall quiet on 32 cores) — cheap enough to run every
@@ -268,6 +272,22 @@ object Bench {
     // machine-load probe bracketing the sweep (throttle can kick in
     // mid-run; mini-probes between segments bound WHERE). See scaladoc.
     val calStart = calibrate()
+    // SPARK JOB-DISPATCH floor probe: ms per trivial 32-task job. The
+    // CPU probes measure arithmetic throughput and CANNOT see host
+    // scheduler/timer degradation — r16 measured a window where
+    // sub-0.3s frozen rows read 3.4× while ≥10s rows read 1.1× (a
+    // perfectly monotone-by-size inflation: the per-job floor moved,
+    // not the plans; dmesg showed a 24.5 ms hrtimer stall). This
+    // number makes that failure mode visible INSIDE the artifact: a
+    // floor far above the frozen JobFloorRefMs exonerates short-row
+    // ratios the same way cal_factor exonerates CPU throttle.
+    val jobFloorMs = {
+      (1 to 3).foreach(_ => spark.range(1L << 10).count())
+      val n = 20
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => spark.range(1L << 10).count())
+      (System.nanoTime() - t0) / 1e6 / n
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional args = bench only the named queries (local iteration aid;
     // the driver passes none and gets the full set)
@@ -348,7 +368,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(tot)},"unit":"sec","reps":$reps,""" +
         s""""nq":${completed.size},"swept":${completed.size},""" +
         s""""skipped":${ordered.size - completed.size},"partial":$partial,""" +
-        s""""budget_sec":${r3(budgetSec)},"calibration_sec":${r3(calStart)},""" +
+        s""""budget_sec":${r3(budgetSec)},"job_floor_ms":${r2(jobFloorMs)},"calibration_sec":${r3(calStart)},""" +
         s""""cal_ref_sec":$CalRefSec,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     }
     for (seg <- segments if !exhausted) {
@@ -444,7 +464,7 @@ object Bench {
       val ts = rerun.map { case (_, t) => enc3(t) }.mkString
       println(s"""{"metric":"qr","cf":${r2(rerunCal)},"n":${outliers.size},"i":"$is","t":"$ts"}""")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fast_cutoff_sec":$fastCutoff,"nq":${results.size},"swept":${completed.size},"skipped":${ordered.size - completed.size},"partial":$exhausted,"parts":${(completed.size + PartQueries - 1) / PartQueries},"calibration_sec":${r3(calStart)},"cal_end_sec":${r3(calEnd)},"cal_ref_sec":$CalRefSec,"cal_factor":${r3(calFactor)},"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fast_cutoff_sec":$fastCutoff,"nq":${results.size},"swept":${completed.size},"skipped":${ordered.size - completed.size},"partial":$exhausted,"parts":${(completed.size + PartQueries - 1) / PartQueries},"job_floor_ms":${r2(jobFloorMs)},"job_floor_ref_ms":$JobFloorRefMs,"calibration_sec":${r3(calStart)},"cal_end_sec":${r3(calEnd)},"cal_ref_sec":$CalRefSec,"cal_factor":${r3(calFactor)},"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1780,6 +1780,80 @@ object TextAnalysis {
         col("s_min"), col("s_max"))
   }
 
+  /** PRECISION/RECALL CURVE over an integer DISTANCE score (smaller =
+    * stronger positive prediction), in exact integer ppm — the
+    * threshold-picking companion to [[reliabilityBins]]: for every
+    * distinct cutoff c, the counts and rates of predicting positive at
+    * score ≤ c against a boolean ground truth. The concrete pipeline
+    * use is sweeping a SimHash hamming cutoff against exact-Jaccard
+    * truth (q324): the table that says which cheap-tier threshold buys
+    * which recall before anyone hard-codes it.
+    *
+    * Scale: one hash agg to the distinct-score grid, one cumulative
+    * over |grid| rows (for an s-bit hamming score that is ≤ s+1 rows —
+    * the [[binaryAucPpm]] posture), a 1-row broadcast total. Output:
+    * (cutoff, n_pred, n_tp, n_true, precision_ppm, recall_ppm) —
+    * precision is never 0/0 (each grid row predicts ≥ 1); recall is
+    * null when the truth set is empty. */
+  def prCurvePpm(scored: DataFrame, scoreCol: String,
+                 positiveCol: String): DataFrame = {
+    val grid = scored.groupBy(col(scoreCol).cast("long").as("cutoff"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(positiveCol), 1L).otherwise(0L)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cutoff"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = grid.agg(sum(col("np")).as("n_true"))
+    grid.select(col("cutoff"), sum(col("n")).over(w).as("n_pred"),
+        sum(col("np")).over(w).as("n_tp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("precision_ppm", expr(
+        "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000 DIV n_pred AS BIGINT)"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_true > 0 THEN " +
+          "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000 DIV n_true AS BIGINT) END"))
+      .select(col("cutoff"), col("n_pred"), col("n_tp"), col("n_true"),
+        col("precision_ppm"), col("recall_ppm"))
+  }
+
+  /** TOKEN-WINDOW CHUNKING — the retrieval/RAG ingestion primitive:
+    * each document becomes sliding chunks of `width` tokens advancing
+    * by `width − overlap`, the final chunk being whichever window
+    * first reaches the document's end (chunk count =
+    * ⌈max(0, n−width)/step⌉ + 1 — no redundant tail windows already
+    * covered by their predecessor). Chunk text is the house-tokenized
+    * tokens rejoined with single spaces, so chunk identity and bytes
+    * replay bit-for-bit in any engine; docs that tokenize to nothing
+    * emit no chunks (nothing to retrieve).
+    *
+    * Scale: pure per-row codegen (tokenize → integer last-start →
+    * sequence explode → slice) — output-linear, no shuffle at all; the
+    * chunk stream feeds the existing index/embed/dedup tiers keyed on
+    * (id, chunk_ord). Output: (<idCol>, chunk_ord, n_tokens,
+    * chunk_text). */
+  def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
+                  width: Int, overlap: Int = 0): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    require(overlap >= 0 && overlap < width,
+      s"overlap in [0, width): $overlap vs width $width")
+    val step = width - overlap
+    docs.select(col(idCol), T.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .withColumn("__last", expr(
+        s"""CASE WHEN size(__toks) <= $width THEN 1
+           | ELSE CAST(((size(__toks) - $width + $step - 1) DIV $step)
+           |   * $step + 1 AS INT) END""".stripMargin.replace("\n", " ")))
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__last"), lit(step))).as("__s"),
+        col("__toks"))
+      .select(col(idCol),
+        // integer DIV, not Column./ (which is a DOUBLE Divide)
+        expr(s"CAST((__s - 1) DIV $step AS BIGINT)").as("chunk_ord"),
+        slice(col("__toks"), col("__s"), lit(width)).as("__c"))
+      .select(col(idCol), col("chunk_ord"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Ranked-retrieval evaluation over a batch of single-term queries:
     * MRR (mean reciprocal rank of the FIRST relevant hit) and hits@k,
     * both in exact integer arithmetic — the IR-eval leg next to

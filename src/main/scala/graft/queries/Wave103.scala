@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 103 — round 16, part three: the retrieval-ingestion primitive
+  * and the cheap-tier threshold picker.
+  *
+  *  - q323 TOKEN-WINDOW CHUNKING ([[TextAnalysis.tokenChunks]]): every
+  *    document → sliding 16-token chunks with 4-token overlap, the
+  *    RAG/embedding ingestion shape (chunk identity = (doc, ord), text
+  *    = rejoined house tokens — bit-replayable). Pure per-row codegen,
+  *    output-linear, no shuffle.
+  *  - q324 SIMHASH THRESHOLD SWEEP ([[TextAnalysis.prCurvePpm]]):
+  *    precision/recall of "hamming ≤ c" against exact Jaccard ≥ 0.9
+  *    truth, per cutoff, over the shared jac ≥ 0.8 candidate universe
+  *    — q322's kappa says WHETHER the tiers agree; this says WHICH
+  *    hamming cutoff buys which recall, the number a pipeline
+  *    hard-codes.
+  *
+  * Scale (100 TB): q323 is tokenize → integer arithmetic → explode —
+  * nothing shuffles; q324 rides the prefix-filtered universe into one
+  * (hamming → counts) grid (≤ 61 rows for the 60-bit sketch) + a
+  * bounded cumulative. */
+object Wave103 {
+
+  private val ChunkW = 16
+  private val ChunkO = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q323_token_chunks" -> { (s, d) =>
+      TextAnalysis.tokenChunks(Tables.documents(s, d), "doc_id", "text",
+          width = ChunkW, overlap = ChunkO)
+        .orderBy(col("doc_id"), col("chunk_ord"))
+    },
+
+    "q324_simhash_sweep" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.8)
+      val sk = Dedup.simhashSketches(docs, "doc_id", "text")
+      val scored = pairs
+        .join(sk.select(col("doc").as("doc_a"), col("sim").as("sim_a")),
+          "doc_a")
+        .join(sk.select(col("doc").as("doc_b"), col("sim").as("sim_b")),
+          "doc_b")
+        .select(bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+            .as("hamming"),
+          (col("jac") >= 0.9).as("truth"))
+      TextAnalysis.prCurvePpm(scored, "hamming", "truth")
+        .orderBy(col("cutoff"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val SqlTokSet = s"list_distinct($SqlToks)"
+
+  val oracleSql: Map[String, String] = Map(
+
+    // the same integer window arithmetic: last start =
+    // ceil((n-W)/S)*S + 1 for n > W, else 1; chunks rejoin with spaces
+    "q323_token_chunks" -> {
+      val (w, st) = (ChunkW, ChunkW - ChunkO)
+      s"""WITH toks AS (
+         |  SELECT doc_id, $SqlToks AS tk FROM documents),
+         |nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+         |st AS (
+         |  SELECT doc_id, tk, n,
+         |    CASE WHEN n <= $w THEN 1
+         |      ELSE ((n - $w + $st - 1) // $st) * $st + 1 END AS last_s
+         |  FROM nz),
+         |ch AS (
+         |  SELECT doc_id, unnest(range(1, last_s + 1, $st)) AS s, tk
+         |  FROM st)
+         |SELECT doc_id, CAST((s - 1) // $st AS BIGINT) AS chunk_ord,
+         |  CAST(len(tk[s : least(s + $w - 1, len(tk))]) AS BIGINT)
+         |    AS n_tokens,
+         |  array_to_string(tk[s : least(s + $w - 1, len(tk))], ' ')
+         |    AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_ord""".stripMargin
+    },
+
+    // q322's universe + simhash replay, folded to the hamming grid,
+    // then the cumulative sweep
+    "q324_simhash_sweep" -> {
+      val tokH =
+        """CAST(list_sum(list_transform(range(1, 16), i ->
+          |    (CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INTEGER), 1)) AS BIGINT) - 1)
+          |    * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INTEGER)))) AS BIGINT)""".stripMargin
+      val votes = (0 until Dedup.SimhashBits).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(",\n    ")
+      val sketch = (0 until Dedup.SimhashBits).map(i =>
+        s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH dtoks AS (
+         |  SELECT doc_id, unnest($SqlTokSet) AS tok FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dtoks GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |  FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         |tk AS (
+         |  SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+         |th AS (
+         |  SELECT doc_id, $tokH AS h FROM tk),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM th GROUP BY doc_id),
+         |sk AS (
+         |  SELECT doc_id, $sketch AS sim FROM votes),
+         |alls AS (
+         |  SELECT d.doc_id, coalesce(s.sim, CAST(0 AS BIGINT)) AS sim
+         |  FROM documents d LEFT JOIN sk s ON d.doc_id = s.doc_id),
+         |scoreg AS (
+         |  SELECT CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS cutoff,
+         |    count(*) AS n,
+         |    sum(CASE WHEN p.jac >= 0.9 THEN 1 ELSE 0 END) AS np
+         |  FROM pairs p
+         |  JOIN alls sa ON p.doc_a = sa.doc_id
+         |  JOIN alls sb ON p.doc_b = sb.doc_id
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT cutoff,
+         |    sum(n) OVER (ORDER BY cutoff) AS n_pred,
+         |    sum(np) OVER (ORDER BY cutoff) AS n_tp
+         |  FROM scoreg),
+         |tot AS (SELECT sum(np) AS n_true FROM scoreg)
+         |SELECT cutoff, CAST(n_pred AS BIGINT) AS n_pred,
+         |  CAST(n_tp AS BIGINT) AS n_tp, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(CAST(n_tp AS HUGEINT) * 1000000 // n_pred AS BIGINT)
+         |    AS precision_ppm,
+         |  CASE WHEN n_true > 0 THEN
+         |    CAST(CAST(n_tp AS HUGEINT) * 1000000 // n_true AS BIGINT)
+         |  END AS recall_ppm
+         |FROM cum, tot ORDER BY cutoff""".stripMargin
+    })
+}

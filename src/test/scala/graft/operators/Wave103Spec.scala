@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-computed goldens for the Wave-103 primitives. */
+class Wave103Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  import spark.implicits._
+
+  test("tokenChunks: window arithmetic, short docs, empty docs, tokenizer normalization") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, 4 chunks at w=4 s=2
+      (2L, "p q r s t"),           // 5 tokens: starts 1,3
+      (3L, "x y"),                 // n <= w: one short chunk
+      (4L, "  ,,  ")               // tokenizes to nothing: no rows
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenChunks(d, "doc_id", "text", width = 4,
+        overlap = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(t => (t._1, t._2))
+    r shouldBe Array(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "c d e f"),
+      (1L, 2L, 4L, "e f g h"), (1L, 3L, 4L, "g h i j"),
+      (2L, 0L, 4L, "p q r s"), (2L, 1L, 3L, "r s t"),
+      (3L, 0L, 2L, "x y"))
+    // no redundant tail window: the 10-token doc must NOT emit a 5th
+    // chunk at start 9 (already covered by start 7's window)
+    r.count(_._1 == 1L) shouldBe 4
+    // tokenizer normalization carries into chunk text
+    val n = TextAnalysis.tokenChunks(
+        Seq((9L, "A,b C!d")).toDF("doc_id", "text"), "doc_id", "text", 10)
+      .as[(Long, Long, Long, String)].collect()
+    n shouldBe Array((9L, 0L, 4L, "a b c d"))
+  }
+
+  test("prCurvePpm: cumulative sweep, exact ppm, null recall on empty truth") {
+    val d = Seq((0, true), (0, true), (1, false), (2, true), (5, false))
+      .toDF("hamming", "truth")
+    val r = TextAnalysis.prCurvePpm(d, "hamming", "truth")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .sortBy(_._1)
+    r shouldBe Array(
+      (0L, 2L, 2L, 3L, 1000000L, Some(666666L)),
+      (1L, 3L, 2L, 3L, 666666L, Some(666666L)),
+      (2L, 4L, 3L, 3L, 750000L, Some(1000000L)),
+      (5L, 5L, 3L, 3L, 600000L, Some(1000000L)))
+    // no positives anywhere: precision well-defined (0), recall null
+    val e = Seq((1, false), (3, false)).toDF("hamming", "truth")
+    TextAnalysis.prCurvePpm(e, "hamming", "truth")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .sortBy(_._1) shouldBe Array(
+      (1L, 1L, 0L, 0L, 0L, None),
+      (3L, 2L, 0L, 0L, 0L, None))
+  }
+}

@@ -284,6 +284,16 @@ def main():
           + (f" / expected {expected}" if expected else ""))
     if cal:
         print(f"run cal_factor {cal:.2f} (machine load vs frozen quiet window)")
+    jf = (final or {}).get("job_floor_ms")
+    jfr = (final or {}).get("job_floor_ref_ms")
+    if jf:
+        msg = f"job-dispatch floor {jf:.1f} ms/job"
+        if jfr:
+            msg += (f" vs quiet ref {jfr:.1f} — a high floor inflates"
+                    " SHORT rows specifically (the CPU probes cannot see"
+                    " scheduler/timer degradation; BASELINE.md r16"
+                    " environment note)")
+        print(msg)
     segs = sorted({v for v in seg.values() if v is not None})
     if segs:
         print(f"per-segment load factors: min {segs[0]:.2f} max {segs[-1]:.2f}")
