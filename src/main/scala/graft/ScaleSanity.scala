@@ -362,7 +362,9 @@ object ScaleSanity {
     // r12 warehouse tier rides the event stream
     "q216_scd2_dimension", "q217_cdc_merge",
     // r13 journey near-dup builds per-user behavior strings
-    "q273_journey_neardup")
+    "q273_journey_neardup",
+    // r16 streaming drift monitor folds event-value slices
+    "q325_stream_drift_monitor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

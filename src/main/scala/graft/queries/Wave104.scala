@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 104 — round 16, part four: the STREAMING drift monitor.
+  *
+  *  - q325 ([[graft.streaming.Streams.driftMonitorFold]]): q274's
+  *    exact two-sample KS re-hosted behind the foreachBatch contract —
+  *    a frozen reference slice, two folded batches (one REPLAYED id
+  *    proving the exactly-once row discipline), and a PLANT: batch 1's
+  *    values are doubled, so its ks_ppm must read far above batch 0's
+  *    (real signal, not a vacuous all-zero log). The monitor log — one
+  *    (batch_id, n_ref, n_batch, ks_ppm) row per applied batch — is
+  *    the oracle-checked deliverable; Wave104StreamsSpec holds the
+  *    LIVE readStream loop ≡ this fold (the q276/q309 convention).
+  *
+  * Scale (100 TB): per batch ONE (value → two counts) hash aggregate +
+  * a |distinct values|-grid cumulative (q274's posture); the log is a
+  * row per batch. Nothing re-reads history except the grid-sized
+  * reference. */
+object Wave104 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q325_stream_drift_monitor" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      def qv(df: DataFrame) = df.select(
+        floor(col("value") * 100).cast("long").as("qv"))
+      val stateDir = Scratch.dir("q325", d)
+      Streams.driftMonitorInit(s, stateDir, qv(slice(0)), "qv")
+      Streams.driftMonitorFold(s, stateDir, qv(slice(1)), 0L, "qv")
+      // foreachBatch redelivery: the replayed id must be a no-op (a
+      // second row for id 0 would duplicate the log)
+      Streams.driftMonitorFold(s, stateDir, qv(slice(1)), 0L, "qv")
+      Streams.driftMonitorFold(s, stateDir,
+        qv(slice(2).withColumn("value", col("value") * 2)), 1L, "qv")
+      Streams.driftMonitorLog(s, stateDir)
+        .select(col("batch_id"), col("n_a").as("n_ref"),
+          col("n_b").as("n_batch"), col("ks_ppm"))
+        .orderBy(col("batch_id"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    // both monitor rows replayed from scratch: per-batch KS between
+    // the reference slice and the (possibly planted) batch slice
+    "q325_stream_drift_monitor" ->
+      """WITH ref AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_id % 3 = 0),
+        |b0 AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_id % 3 = 1),
+        |b1 AS (
+        |  SELECT CAST(floor(value * 2 * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_id % 3 = 2),
+        |cmp AS (
+        |  SELECT 0 AS batch_id, v, 'a' AS g FROM ref
+        |  UNION ALL SELECT 0, v, 'b' FROM b0
+        |  UNION ALL SELECT 1, v, 'a' FROM ref
+        |  UNION ALL SELECT 1, v, 'b' FROM b1),
+        |grid AS (
+        |  SELECT batch_id, v,
+        |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM cmp GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT batch_id,
+        |    sum(ca) OVER (PARTITION BY batch_id ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (PARTITION BY batch_id ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    sum(ca) OVER (PARTITION BY batch_id) AS na,
+        |    sum(cb) OVER (PARTITION BY batch_id) AS nb
+        |  FROM grid)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(max(na) AS BIGINT) AS n_ref,
+        |  CAST(max(nb) AS BIGINT) AS n_batch,
+        |  CAST(max(abs(cuma * nb - cumb * na)) * 1000000
+        |       // (max(na) * max(nb)) AS BIGINT) AS ks_ppm
+        |FROM cum GROUP BY batch_id ORDER BY batch_id""".stripMargin)
+}

@@ -1001,6 +1001,100 @@ object Streams {
       fs.delete(new org.apache.hadoop.fs.Path(corpusGen(stateDir, g)), true))
   }
 
+  // ------------------------------------- streaming drift monitor
+
+  /** STREAMING DRIFT MONITOR — q274's exact two-sample KS re-hosted
+    * behind the foreachBatch contract: every micro-batch's numeric
+    * distribution is tested against a FROZEN reference snapshot and
+    * ONE row `(batch_id, n_a = |ref|, n_b = |batch|, ks_ppm)` is
+    * appended to a monitor log — the alarm wire a pipeline watches
+    * between crawl generations, now computed as data arrives instead
+    * of in a nightly batch. Exactly-once under foreachBatch
+    * redelivery: each batch's row lands in its own `batch_<id>`
+    * parquet dir whose `_SUCCESS` marker is the completeness bit (the
+    * [[corpusBuildFold]] discipline) — a redelivered id with a
+    * complete row is a no-op, a crash mid-write leaves an incomplete
+    * dir that the re-fold simply overwrites, and [[driftMonitorLog]]
+    * reads only complete rows. An EMPTY batch records (|ref|, 0, null)
+    * rather than failing the stream (KS needs two samples).
+    *
+    * Scale: per batch one (value → two counts) hash aggregate and a
+    * |distinct values|-grid cumulative (q274's posture — pre-quantize
+    * to a coarser grid past ~3e9 rows per side); the reference is
+    * scanned per batch (grid-sized work; snapshot it pre-aggregated if
+    * the monitor cadence demands less). The log is one tiny row per
+    * batch ever applied — prune by age if cadence is high. */
+  def driftMonitorInit(spark: SparkSession, stateDir: String,
+                       ref: DataFrame, valueCol: String): Unit = {
+    // re-init on a used stateDir must not leave stale complete rows
+    // behind (their ids would no-op future folds against old data)
+    val fs = stateFs(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+        .foreach(s => fs.delete(s.getPath, true))
+    ref.select(col(valueCol).cast("long").as("v"))
+      .write.mode("overwrite").parquet(s"$stateDir/ref")
+  }
+
+  /** One micro-batch fold — the foreachBatch body, callable directly
+    * (the q276/q309 convention: the oracle certifies THIS fold, the
+    * streams spec holds the live loop ≡ it). */
+  def driftMonitorFold(spark: SparkSession, stateDir: String,
+                       batch: DataFrame, id: Long,
+                       valueCol: String): Unit = {
+    val dir = s"$stateDir/batch_$id"
+    val fs = stateFs(spark, stateDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+      return // exactly-once under redelivery
+    val ref = spark.read.parquet(s"$stateDir/ref")
+      .select(col("v"), lit("a_ref").as("g"))
+    val b = batch.select(col(valueCol).cast("long").as("v"),
+      lit("b_batch").as("g"))
+    // "a_ref" < "b_batch" lexicographically, so ksDriftPpm's (n_a,
+    // n_b) are deterministically (|ref|, |batch|)
+    val row =
+      if (batch.isEmpty)
+        ref.agg(count(lit(1)).as("n_a"))
+          .select(col("n_a"), lit(0L).as("n_b"),
+            lit(null).cast("long").as("ks_ppm"))
+      else
+        graft.operators.TextAnalysis.ksDriftPpm(
+          ref.unionByName(b), "v", "g")
+    row.withColumn("batch_id", lit(id))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The monitor log as of now: one row per COMPLETE applied batch
+    * (batch_id, n_a, n_b, ks_ppm). */
+  def driftMonitorLog(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = stateFs(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val done = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.toString)
+    require(done.nonEmpty,
+      s"no complete monitor rows under $stateDir — fold at least one batch")
+    spark.read.parquet(done: _*)
+  }
+
+  /** The live loop: readStream → [[driftMonitorFold]] per micro-batch. */
+  def driftMonitorSink(values: DataFrame, stateDir: String,
+                       checkpoint: String, valueCol: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = values.sparkSession
+    values.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        driftMonitorFold(spark, stateDir, batch, id, valueCol)
+        ()
+      }
+      .start()
+  }
+
   /** Current component labels `(node, rep)` as of the last applied
     * batch. */
   def corpusBuildLabels(spark: SparkSession, stateDir: String): DataFrame =

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Top-level so Spark can instantiate the encoder without an outer
+  * scope. */
+case class W104Val(qv: Long)
+
+/** Pins [[Streams.driftMonitorSink]] — the streaming KS drift monitor
+  * (q325's live half): the LIVE readStream→foreachBatch loop lands on
+  * exactly the rows the hand-driven [[Streams.driftMonitorFold]] twin
+  * produces; replayed ids are no-ops at the persisted log; empty
+  * batches record (|ref|, 0, null) instead of failing the stream. */
+class Wave104StreamsSpec extends AnyFunSuite with Matchers
+    with graft.SparkFixture {
+
+  private val ref = Seq(1L, 2L, 3L, 4L).map(W104Val)
+  private val same = Seq(1L, 2L, 3L, 4L).map(W104Val) // KS 0 vs ref
+  private val shifted = Seq(11L, 12L, 13L, 14L).map(W104Val) // KS 1e6
+
+  private def log(stateDir: String): Seq[(Long, Long, Long, Option[Long])] = {
+    import spark.implicits._
+    Streams.driftMonitorLog(spark, stateDir)
+      .select(col("batch_id"), col("n_a"), col("n_b"), col("ks_ppm"))
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+  }
+
+  test("driftMonitorSink: live stream == fold twin; identical batch reads 0, disjoint reads 1e6") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = graft.queries.Scratch.dir("w104stream", sfDir)
+
+    val live = s"$work/live"
+    Streams.driftMonitorInit(spark, live, ref.toDF(), "qv")
+    val input = MemoryStream[W104Val]
+    val q = Streams.driftMonitorSink(input.toDF(), live,
+      s"$work/ckpt_${System.nanoTime}", "qv")
+    try {
+      input.addData(same); q.processAllAvailable()
+      input.addData(shifted); q.processAllAvailable()
+    } finally q.stop()
+    val liveRows = log(live)
+
+    val twin = s"$work/twin"
+    Streams.driftMonitorInit(spark, twin, ref.toDF(), "qv")
+    Streams.driftMonitorFold(spark, twin, same.toDF(), 0L, "qv")
+    Streams.driftMonitorFold(spark, twin, shifted.toDF(), 1L, "qv")
+    log(twin) shouldBe liveRows
+
+    liveRows shouldBe Seq(
+      (0L, 4L, 4L, Some(0L)),       // same distribution: D = 0
+      (1L, 4L, 4L, Some(1000000L))) // disjoint supports: D = 1
+  }
+
+  test("driftMonitorFold: replayed id is a no-op; empty batch records a null row") {
+    import spark.implicits._
+    val work = graft.queries.Scratch.dir("w104replay", sfDir)
+    val st = s"$work/state"
+    Streams.driftMonitorInit(spark, st, ref.toDF(), "qv")
+    Streams.driftMonitorFold(spark, st, shifted.toDF(), 0L, "qv")
+    val before = log(st)
+    // redelivery with DIFFERENT data must not touch the recorded row
+    Streams.driftMonitorFold(spark, st, same.toDF(), 0L, "qv")
+    log(st) shouldBe before
+    // empty batch: (n_ref, 0, null), stream keeps going
+    Streams.driftMonitorFold(spark, st, Seq.empty[W104Val].toDF(), 1L, "qv")
+    log(st).last shouldBe ((1L, 4L, 0L, None))
+    // re-init clears stale rows (ids would otherwise no-op forever)
+    Streams.driftMonitorInit(spark, st, ref.toDF(), "qv")
+    Streams.driftMonitorFold(spark, st, same.toDF(), 0L, "qv")
+    log(st) shouldBe Seq((0L, 4L, 4L, Some(0L)))
+  }
+}
