@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   *    hamming cutoff buys which recall, the number a pipeline
   *    hard-codes.
   *
+  *  - q326 CHUNK-LEVEL duplication by source: the chunk stream fed
+  *    through the q26 banded near-dup machinery, cross-document pairs
+  *    only — the copied-paragraph provenance signal doc-level dedup
+  *    misses, rolled to a |sources|-row rate table.
+  *
   * Scale (100 TB): q323 is tokenize → integer arithmetic → explode —
   * nothing shuffles; q324 rides the prefix-filtered universe into one
   * (hamming → counts) grid (≤ 61 rows for the 60-bit sketch) + a
-  * bounded cumulative. */
+  * bounded cumulative; q326 is banded (never all-pairs) over the
+  * chunk stream + two skinny joins + a |sources|-row rollup. */
 object Wave103 {
 
   private val ChunkW = 16
@@ -51,6 +57,39 @@ object Wave103 {
           (col("jac") >= 0.9).as("truth"))
       TextAnalysis.prCurvePpm(scored, "hamming", "truth")
         .orderBy(col("cutoff"))
+    },
+
+    // q326 CHUNK-LEVEL CROSS-DOC DUPLICATION BY SOURCE: the q323 chunk
+    // stream fed through the q26 banded near-dup machinery — what
+    // fraction of each source's RETRIEVAL UNITS are copies of another
+    // document's content (doc-level dedup misses a copied paragraph
+    // inside an otherwise-unique page; chunk grain sees it). Pairs
+    // WITHIN one document are excluded (overlapping windows share
+    // tokens by construction — the provenance question is cross-doc).
+    // chunk_id = doc_id·100 + ord is a fixture encoding for the
+    // single-long-key pair machinery (ords here are ≤ 5; a production
+    // corpus keys chunks by a struct or a salted hash).
+    "q326_chunk_dup_by_source" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val chunks = TextAnalysis.tokenChunks(docs, "doc_id", "text",
+          width = ChunkW, overlap = ChunkO)
+        .withColumn("chunk_id",
+          col("doc_id") * 100 + col("chunk_ord"))
+      val pairs = Dedup.minhashNearDupPairs(chunks, "chunk_id",
+          "chunk_text", 0.9)
+        .where(expr("doc_a DIV 100 <> doc_b DIV 100")) // cross-doc only
+      val dup = pairs.select(col("doc_a").as("chunk_id"))
+        .unionByName(pairs.select(col("doc_b").as("chunk_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      chunks.join(dup, Seq("chunk_id"), "left")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+        .withColumn("dup_ppm", expr(
+          "CAST(CAST(n_dup_chunks AS DECIMAL(38,0)) * 1000000 DIV n_chunks AS BIGINT)"))
+        .orderBy(col("source"))
     })
 
   private val SqlToks =
@@ -80,6 +119,54 @@ object Wave103 {
          |  array_to_string(tk[s : least(s + $w - 1, len(tk))], ' ')
          |    AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_ord""".stripMargin
+    },
+
+    // the q323 chunk replay + the q25 exact-jaccard pair CTE over
+    // chunk token sets, cross-doc pairs only, rolled up by source
+    "q326_chunk_dup_by_source" -> {
+      val (w, st) = (ChunkW, ChunkW - ChunkO)
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $SqlToks AS tk FROM documents),
+         |nz AS (SELECT doc_id, source, tk, len(tk) AS n
+         |       FROM toks WHERE len(tk) > 0),
+         |st AS (
+         |  SELECT doc_id, source, tk, n,
+         |    CASE WHEN n <= $w THEN 1
+         |      ELSE ((n - $w + $st - 1) // $st) * $st + 1 END AS last_s
+         |  FROM nz),
+         |ch AS (
+         |  SELECT doc_id, source, unnest(range(1, last_s + 1, $st)) AS s,
+         |    tk
+         |  FROM st),
+         |chunks AS (
+         |  SELECT doc_id, source,
+         |    doc_id * 100 + (s - 1) // $st AS chunk_id,
+         |    list_distinct(tk[s : least(s + $w - 1, len(tk))]) AS cts
+         |  FROM ch),
+         |ctoks AS (SELECT chunk_id, unnest(cts) AS tok FROM chunks),
+         |sizes AS (SELECT chunk_id, count(*) AS n FROM ctoks GROUP BY 1),
+         |common AS (
+         |  SELECT a.chunk_id AS ca, b.chunk_id AS cb, count(*) AS c
+         |  FROM ctoks a JOIN ctoks b
+         |    ON a.tok = b.tok AND a.chunk_id < b.chunk_id
+         |  WHERE a.chunk_id // 100 <> b.chunk_id // 100
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ca, cb FROM common
+         |  JOIN sizes sa ON ca = sa.chunk_id
+         |  JOIN sizes sb ON cb = sb.chunk_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9),
+         |dup AS (
+         |  SELECT DISTINCT chunk_id FROM (
+         |    SELECT ca AS chunk_id FROM pairs
+         |    UNION ALL SELECT cb FROM pairs))
+         |SELECT source, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN d.chunk_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_chunks,
+         |  CAST(CAST(sum(CASE WHEN d.chunk_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |FROM chunks c LEFT JOIN dup d ON c.chunk_id = d.chunk_id
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     // q322's universe + simhash replay, folded to the hamming grid,
