@@ -1422,6 +1422,10 @@ object Dedup {
     * is corpus-quadratic. */
   def tierAgreementPpm(verdicts: DataFrame, tiers: Seq[String]): DataFrame = {
     require(tiers.size >= 2, s"need at least two tiers: $tiers")
+    // tier names are interpolated into SQL expressions below — a name
+    // with spaces/quotes would silently mis-parse, so refuse it loudly
+    require(tiers.forall(_.matches("[A-Za-z0-9_]+")),
+      s"tier names must be [A-Za-z0-9_]+: $tiers")
     val tierPairs = for {
       i <- tiers.indices; j <- (i + 1) until tiers.size
     } yield (tiers(i), tiers(j))

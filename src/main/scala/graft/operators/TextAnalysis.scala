@@ -1797,6 +1797,15 @@ object TextAnalysis {
     * null when the truth set is empty. */
   def prCurvePpm(scored: DataFrame, scoreCol: String,
                  positiveCol: String): DataFrame = {
+    // an INTEGER distance only: casting a fractional score to long
+    // would silently merge cutoffs (0.4 and 0.6 both → 0) — callers
+    // with real-valued scores quantize explicitly first (the q325
+    // floor(value·100) idiom)
+    require(Set("byte", "short", "int", "long", "integer", "bigint")
+        .contains(scored.schema(scoreCol).dataType.typeName),
+      s"prCurvePpm needs an integral score column; " +
+        s"'$scoreCol' is ${scored.schema(scoreCol).dataType.typeName} — " +
+        "quantize real-valued scores explicitly first")
     val grid = scored.groupBy(col(scoreCol).cast("long").as("cutoff"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(positiveCol), 1L).otherwise(0L)).as("np"))

@@ -1026,6 +1026,11 @@ object Streams {
     * batch ever applied — prune by age if cadence is high. */
   def driftMonitorInit(spark: SparkSession, stateDir: String,
                        ref: DataFrame, valueCol: String): Unit = {
+    require(Set("byte", "short", "int", "long", "integer", "bigint")
+        .contains(ref.schema(valueCol).dataType.typeName),
+      s"driftMonitor needs an integral value column; " +
+        s"'$valueCol' is ${ref.schema(valueCol).dataType.typeName} — " +
+        "quantize real-valued columns explicitly first")
     // re-init on a used stateDir must not leave stale complete rows
     // behind (their ids would no-op future folds against old data)
     val fs = stateFs(spark, stateDir)
@@ -1044,6 +1049,15 @@ object Streams {
   def driftMonitorFold(spark: SparkSession, stateDir: String,
                        batch: DataFrame, id: Long,
                        valueCol: String): Unit = {
+    // the monitor watches an INTEGER value grid (the KS grid groups on
+    // exact values): a fractional column would be silently truncated
+    // by the cast below — callers quantize doubles explicitly (q325's
+    // floor(value·100) idiom), which also bounds the grid
+    require(Set("byte", "short", "int", "long", "integer", "bigint")
+        .contains(batch.schema(valueCol).dataType.typeName),
+      s"driftMonitor needs an integral value column; " +
+        s"'$valueCol' is ${batch.schema(valueCol).dataType.typeName} — " +
+        "quantize real-valued columns explicitly first")
     val dir = s"$stateDir/batch_$id"
     val fs = stateFs(spark, stateDir)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))

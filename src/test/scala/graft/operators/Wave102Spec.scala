@@ -55,6 +55,9 @@ class Wave102Spec extends AnyFunSuite with Matchers with SparkFixture {
     Dedup.tierAgreementPpm(const, Seq("a", "b"))
       .select("agree_ppm", "kappa_ppm").as[(Long, Option[Long])]
       .collect() shouldBe Array((1000000L, None))
+    // tier names ride into SQL expressions: refuse hostile ones loudly
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.tierAgreementPpm(d, Seq("a", "b c"))
     // three tiers -> three unordered pairs, declared order
     val three = Seq((true, true, false)).toDF("x", "y", "z")
     Dedup.tierAgreementPpm(three, Seq("x", "y", "z"))

@@ -46,6 +46,11 @@ class Wave103Spec extends AnyFunSuite with Matchers with SparkFixture {
       (1L, 3L, 2L, 3L, 666666L, Some(666666L)),
       (2L, 4L, 3L, 3L, 750000L, Some(1000000L)),
       (5L, 5L, 3L, 3L, 600000L, Some(1000000L)))
+    // fractional scores are refused loudly (a silent long-cast would
+    // merge cutoffs); quantize first
+    val frac = Seq((0.4, true), (0.6, false)).toDF("hamming", "truth")
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.prCurvePpm(frac, "hamming", "truth")
     // no positives anywhere: precision well-defined (0), recall null
     val e = Seq((1, false), (3, false)).toDF("hamming", "truth")
     TextAnalysis.prCurvePpm(e, "hamming", "truth")

@@ -68,6 +68,10 @@ class Wave104StreamsSpec extends AnyFunSuite with Matchers
     // empty batch: (n_ref, 0, null), stream keeps going
     Streams.driftMonitorFold(spark, st, Seq.empty[W104Val].toDF(), 1L, "qv")
     log(st).last shouldBe ((1L, 4L, 0L, None))
+    // fractional value columns are refused loudly (quantize first)
+    an[IllegalArgumentException] should be thrownBy
+      Streams.driftMonitorFold(spark, st,
+        Seq(1.5, 2.5).toDF("qv"), 7L, "qv")
     // re-init clears stale rows (ids would otherwise no-op forever)
     Streams.driftMonitorInit(spark, st, ref.toDF(), "qv")
     Streams.driftMonitorFold(spark, st, same.toDF(), 0L, "qv")
