@@ -1439,29 +1439,56 @@ object Dedup {
               .as(s"b_${a}_$b"),
             dec(sum(when(!col(a) && !col(b), 1L).otherwise(0L)))
               .as(s"z_${a}_$b")) })).toIndexedSeq
-    val one = verdicts.agg(aggCols.head, aggCols.tail: _*)
-    tierPairs.map { case (a, b) =>
-      one.select(lit(a).as("tier_a"), lit(b).as("tier_b"),
-        col("n").cast("long").as("n_pairs"),
-        col(s"b_${a}_$b").cast("long").as("n_both"),
-        col(s"z_${a}_$b").cast("long").as("n_neither"),
-        col(s"p_$a").cast("long").as("pos_a"),
-        col(s"p_$b").cast("long").as("pos_b"),
-        // n = 0 (empty universe) reports null, not ANSI div-by-zero —
-        // the q312 fertility convention (oracle mirrors with NULLIF)
-        expr(s"CASE WHEN n > 0 THEN " +
-          s"CAST((b_${a}_$b + z_${a}_$b) * 1000000 DIV n AS BIGINT) END")
-          .as("agree_ppm"),
-        expr(
-          s"""CASE WHEN n * n > p_$a * p_$b + (n - p_$a) * (n - p_$b) THEN
-             |  CAST(CASE WHEN (b_${a}_$b + z_${a}_$b) * n
-             |      < p_$a * p_$b + (n - p_$a) * (n - p_$b) THEN -1 ELSE 1 END
-             |    * (abs((b_${a}_$b + z_${a}_$b) * n
-             |        - (p_$a * p_$b + (n - p_$a) * (n - p_$b))) * 1000000
-             |      DIV (n * n - (p_$a * p_$b + (n - p_$a) * (n - p_$b))))
-             |    AS BIGINT)
-             |END""".stripMargin.replace("\n", " ")).as("kappa_ppm"))
-    }.reduce(_ unionByName _)
+    // r16 advisor: unioning one select PER TIER PAIR over the uncached
+    // aggregate re-planned (and absent exchange reuse, re-scanned) the
+    // pair universe |tiers|² times. Collect the 1-row aggregate ONCE —
+    // the single distributed pass the scaladoc prices — and derive the
+    // |tiers|²-bounded output locally with the SAME exact integer
+    // arithmetic (BigInt `/` truncates toward zero exactly like the
+    // DECIMAL(38,0) DIV it replaces; the sign is still applied to the
+    // abs-quotient so worse-than-chance tiers floor identically in
+    // DuckDB's `//` twin).
+    val row = verdicts.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    def bi(name: String): BigInt = {
+      // sum() over an EMPTY universe aggregates to NULL (count to 0):
+      // read it as 0 so the n=0 guards below produce the null ppm rows
+      val d = row.getDecimal(row.fieldIndex(name))
+      if (d == null) BigInt(0) else BigInt(d.toBigIntegerExact)
+    }
+    val n = bi("n")
+    val M = BigInt(1000000)
+    val out = tierPairs.map { case (a, b) =>
+      val (pa, pb) = (bi(s"p_$a"), bi(s"p_$b"))
+      val (bb, zz) = (bi(s"b_${a}_$b"), bi(s"z_${a}_$b"))
+      val agree: java.lang.Long =
+        if (n > 0) java.lang.Long.valueOf(((bb + zz) * M / n).toLong)
+        else null
+      val pe = pa * pb + (n - pa) * (n - pb)
+      val kd = n * n - pe
+      val kappa: java.lang.Long =
+        if (kd > 0) {
+          val kn = (bb + zz) * n - pe
+          java.lang.Long.valueOf(
+            (kn.signum * (kn.abs * M / kd)).toLong)
+        } else null
+      org.apache.spark.sql.Row(a, b, n.toLong, bb.toLong, zz.toLong,
+        pa.toLong, pb.toLong, agree, kappa)
+    }
+    val spark = verdicts.sparkSession
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      StructType(Seq(
+        StructField("tier_a", StringType, nullable = false),
+        StructField("tier_b", StringType, nullable = false),
+        StructField("n_pairs", LongType, nullable = false),
+        StructField("n_both", LongType, nullable = false),
+        StructField("n_neither", LongType, nullable = false),
+        StructField("pos_a", LongType, nullable = false),
+        StructField("pos_b", LongType, nullable = false),
+        StructField("agree_ppm", LongType, nullable = true),
+        StructField("kappa_ppm", LongType, nullable = true))))
   }
 
   /** Per-row JVM twin of [[simhashSketches]] — identical sketch value for

@@ -68,13 +68,23 @@ object Wave103 {
     // tokens by construction — the provenance question is cross-doc).
     // chunk_id = doc_id·100 + ord is a fixture encoding for the
     // single-long-key pair machinery (ords here are ≤ 5; a production
-    // corpus keys chunks by a struct or a salted hash).
+    // corpus keys chunks by a struct or a salted hash). The encoding
+    // ALIASES distinct chunks if a document ever yields ≥ 100 chunks
+    // (~1200+ tokens at width 16/step 12) — and the oracle twin uses
+    // the identical encoding, so the hash check could not catch the
+    // corruption. Guard per-row with raise_error so a longer-document
+    // corpus FAILS instead of silently merging chunks (r16 advisor).
     "q326_chunk_dup_by_source" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val chunks = TextAnalysis.tokenChunks(docs, "doc_id", "text",
           width = ChunkW, overlap = ChunkO)
         .withColumn("chunk_id",
-          col("doc_id") * 100 + col("chunk_ord"))
+          when(col("chunk_ord") < 100,
+            col("doc_id") * 100 + col("chunk_ord"))
+          .otherwise(expr("raise_error('q326 fixture encoding " +
+            "chunk_id = doc_id*100 + chunk_ord aliases chunks at " +
+            "chunk_ord >= 100; re-key chunks with a wider multiplier " +
+            "or a struct key for this corpus')")))
       val pairs = Dedup.minhashNearDupPairs(chunks, "chunk_id",
           "chunk_text", 0.9)
         .where(expr("doc_a DIV 100 <> doc_b DIV 100")) // cross-doc only

@@ -965,7 +965,15 @@ object Streams {
   def corpusBuildFold(spark: SparkSession, stateDir: String,
                       batch: DataFrame, id: Long, idCol: String = "doc_id",
                       textCol: String = "text",
-                      threshold: Double = 0.9): Unit = {
+                      threshold: Double = 0.9,
+                      retainGens: Int = 2): Unit = {
+    // retainGens = 2 (this generation + the one it read from) assumes a
+    // single writer and readers that finish a resolved generation within
+    // one fold cadence; a deployment with slow concurrent readers raises
+    // it so a reader mid-scan survives `retainGens - 1` further folds
+    // landing before its files are GC'd (r16 advisor finding).
+    require(retainGens >= 2,
+      s"retainGens must be >= 2 (current + previous generation): $retainGens")
     val last = corpusBuildApplied(spark, stateDir)
     if (id <= last) return // exactly-once under foreachBatch redelivery
     val prev = corpusGen(stateDir, last)
@@ -993,11 +1001,13 @@ object Streams {
     // production cadence): once gen_<id>'s pointer has LANDED, every
     // generation older than the one this fold read from is
     // unreachable — recovery only ever needs the newest complete
-    // pointer. Retain TWO (gen_id + gen_last) so a reader that
-    // resolved `last` just before this fold committed still finds its
-    // frames for one more batch; delete the rest.
+    // pointer. Retain the newest `retainGens` complete generations
+    // (default 2 = gen_id + gen_last, the single-writer/fast-reader
+    // assumption) so a reader that resolved an older pointer still
+    // finds its frames for `retainGens - 1` more folds; delete the rest.
     val fs = stateFs(spark, stateDir)
-    completeGens(spark, stateDir).filter(_ < last).foreach(g =>
+    val complete = completeGens(spark, stateDir).sorted
+    complete.dropRight(retainGens).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(corpusGen(stateDir, g)), true))
   }
 

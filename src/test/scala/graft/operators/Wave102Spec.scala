@@ -64,4 +64,31 @@ class Wave102Spec extends AnyFunSuite with Matchers with SparkFixture {
       .select("tier_a", "tier_b").as[(String, String)]
       .collect() shouldBe Array(("x", "y"), ("x", "z"), ("y", "z"))
   }
+
+  test("tierAgreementPpm: ONE distributed pass (local result relation), empty universe nulls") {
+    // r16 advisor: the old shape unioned one select PER PAIR over the
+    // uncached aggregate — |tiers|² re-plans of the pair universe. The
+    // fix collects the 1-row aggregate once; everything downstream of
+    // that single job is a LOCAL relation (pin the plan shape so a
+    // regression back to per-pair scans fails here).
+    val d = Seq((true, true, false), (true, false, false))
+      .toDF("x", "y", "z")
+    val r = Dedup.tierAgreementPpm(d, Seq("x", "y", "z"))
+    r.queryExecution.optimizedPlan shouldBe
+      a[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    // empty universe: n=0 -> both ppm columns null, not ANSI div-by-zero
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("a", "b")
+    Dedup.tierAgreementPpm(empty, Seq("a", "b"))
+      .select("n_pairs", "agree_ppm", "kappa_ppm")
+      .as[(Long, Option[Long], Option[Long])]
+      .collect() shouldBe Array((0L, None, None))
+  }
+
+  test("vocabCoveragePpm: empty ks refused loudly (not ks.max UnsupportedOperation)") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoveragePpm(d, "text", Seq.empty)
+    }
+    ex.getMessage should include("ks must be >= 1")
+  }
 }

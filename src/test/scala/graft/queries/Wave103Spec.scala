@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 103 fixture-encoding contract: q326 keys chunks as
+  * chunk_id = doc_id·100 + chunk_ord, which ALIASES distinct chunks if
+  * any document yields ≥ 100 chunks — and the DuckDB twin replays the
+  * identical encoding, so the oracle hash could never catch the
+  * corruption (r16 advisor finding). The query now guards per-row with
+  * raise_error; this spec plants a >1200-token document (≥ 100 windows
+  * at width 16 / step 12) and demands the loud failure. */
+class Wave103Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("q326 chunk_id fixture encoding fails LOUDLY past 100 chunks per doc") {
+    import spark.implicits._
+    val work = Scratch.dir("w103guard", sfDir)
+    val longDoc = (1 to 1300).map(i => s"tok$i").mkString(" ")
+    Seq((1L, longDoc, "en", "webA", longDoc.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val q = graft.SparkEntry.queries("q326_chunk_dup_by_source")
+    val ex = intercept[Exception] { q(spark, work).collect() }
+    // Spark wraps the raise_error in a SparkRuntimeException somewhere
+    // in the cause chain — assert on the message, not the class
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    messages(ex).exists(_.contains("aliases chunks")) shouldBe true
+    // and the short fixture corpus still flows through the guard
+    val ok = Seq((1L, "alpha beta gamma delta", "en", "webA", 22L),
+        (2L, "alpha beta gamma delta", "en", "webB", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    ok.write.mode("overwrite").parquet(s"$work/documents.parquet")
+    q(spark, work).collect().length should be >= 1
+  }
+}

@@ -151,6 +151,25 @@ class Wave96StreamsSpec extends AnyFunSuite with Matchers
     labels(st) shouldBe ExpectedLabels
   }
 
+  test("corpusBuildFold: configurable retainGens keeps N complete generations for slow readers") {
+    import spark.implicits._
+    val work = graft.queries.Scratch.dir("w96gcN", sfDir)
+    val st = s"$work/state"
+    val batchC = Seq(W96Doc(6, "lone wolf tokens"))
+    Streams.corpusBuildInit(spark, st, seed.toDF())
+    Streams.corpusBuildFold(spark, st, batchA.toDF(), 0L, retainGens = 3)
+    genDirs(st) shouldBe Set("gen_-1", "gen_0")
+    Streams.corpusBuildFold(spark, st, batchB.toDF(), 1L, retainGens = 3)
+    genDirs(st) shouldBe Set("gen_-1", "gen_0", "gen_1")
+    // only now does a generation age out of the 3-deep window
+    Streams.corpusBuildFold(spark, st, batchC.toDF(), 2L, retainGens = 3)
+    genDirs(st) shouldBe Set("gen_0", "gen_1", "gen_2")
+    labels(st) shouldBe ExpectedLabels // retention depth never changes content
+    // retainGens < 2 would delete the generation the NEXT fold reads from
+    an[IllegalArgumentException] should be thrownBy
+      Streams.corpusBuildFold(spark, st, batchC.toDF(), 3L, retainGens = 1)
+  }
+
   test("maintainMv over a JOIN-GRAIN MV: streamed fact batches fold through the dim join") {
     import graft.plans.MaterializedView
     import spark.implicits._
