@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 100 banding-recall invariant. The ORACLE row (q319) certifies
+  * the bounded-sample recipe — the form a production pipeline actually
+  * runs (the full-corpus probe measured KILLED at the r16 100× audit).
+  * This spec keeps the FULL-corpus invariant green at sf0.01, so the
+  * re-keyed oracle row loses no coverage: probe == production on the
+  * whole 500-doc slice, not just the sampled one. */
+class Wave100Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("q319 full-corpus form at sf0.01: probe finds EXACTLY the production pairs (missed = 0)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val r = Wave100.bandingRecallAudit(docs).collect()
+    r.length shouldBe 1
+    r(0).getAs[Long]("probe_pairs") should be > 0L
+    r(0).getAs[Long]("missed") shouldBe 0L
+  }
+
+  test("q319 sampled form: missed = 0 on the md5 one-in-4 slice, and the slice is a strict subset") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val full = Wave100.bandingRecallAudit(docs).collect()(0)
+    val samp = Wave100.bandingRecallAudit(docs, sampleOneIn = 4L).collect()(0)
+    samp.getAs[Long]("missed") shouldBe 0L
+    samp.getAs[Long]("probe_pairs") should be > 0L
+    samp.getAs[Long]("probe_pairs") should be < full.getAs[Long]("probe_pairs")
+  }
+}
