@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 105 cross-codec dHash goldens — one per codec seam:
+  *  - a hand-computed 2×2-grid hash on a 4×2 raster (BMP and PNG carry
+  *    the same bytes-for-the-eye picture, hash to the same golden);
+  *  - GIF joins via the palette-resolved raster law (encode the SAME
+  *    index stream's RGB resolution as PNG → identical hash);
+  *  - JPEG joins via the decode→re-encode law (IDCT-reconstructed
+  *    pixels re-encoded losslessly as grey PNG → identical hash,
+  *    because the 3× channel-sum factor cancels in the
+  *    cross-multiplied cell comparisons);
+  *  - non-raster modalities fail loudly. */
+class Wave105Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def greyRgb(vals: Array[Int]): Array[Int] =
+    vals.flatMap(v => Array(v, v, v))
+
+  test("dHashImage golden: hand-computed hash, identical across BMP and PNG containers") {
+    // 4×2 raster, luma 9 9 1 1 per row; grid 2 → each row one bit,
+    // left cell sum 54 > right 6 ⇒ bits 0 and 1 set ⇒ hash = 3
+    val vals = Array(9, 9, 1, 1, 9, 9, 1, 1)
+    val rgb = greyRgb(vals)
+    val bmp = Multimodal.Asset(1L, "bmp", Multimodal.bmpFromRgb(4, 2, rgb))
+    val png = Multimodal.Asset(2L, "png", Multimodal.pngFromRgb(4, 2, rgb))
+    val hb = Multimodal.dHashImage(bmp, grid = 2)
+    val hp = Multimodal.dHashImage(png, grid = 2)
+    hb.dhash shouldBe 3L
+    hp.dhash shouldBe 3L
+    (hb.width, hb.height) shouldBe (4L, 2L)
+    (hp.width, hp.height) shouldBe (4L, 2L)
+    // and the bmp route is byte-identical to the original kernel
+    Multimodal.dHashBmp(bmp, grid = 2) shouldBe hb
+    // reversed gradient flips every bit off
+    val rev = greyRgb(Array(1, 1, 9, 9, 1, 1, 9, 9))
+    Multimodal.dHashImage(
+      Multimodal.Asset(3L, "png", Multimodal.pngFromRgb(4, 2, rev)),
+      grid = 2).dhash shouldBe 0L
+  }
+
+  test("dHashImage: GIF's LZW+palette raster hashes like its RGB resolution in PNG") {
+    val (w, h, seed) = (11, 7, 42L)
+    val n = w * h
+    val rgb = new Array[Int](3 * n)
+    var i = 0
+    while (i < n) {
+      val v = (((seed + 7L * i) % 16 + 16) % 16).toInt
+      rgb(3 * i) = v * v; rgb(3 * i + 1) = 2 * v; rgb(3 * i + 2) = 40 + v
+      i += 1
+    }
+    val gif = Multimodal.Asset(1L, "gif", Multimodal.syntheticGif(w, h, seed))
+    val png = Multimodal.Asset(1L, "png", Multimodal.pngFromRgb(w, h, rgb))
+    val bmp = Multimodal.Asset(1L, "bmp", Multimodal.bmpFromRgb(w, h, rgb))
+    val hg = Multimodal.dHashImage(gif, grid = 4)
+    hg shouldBe Multimodal.dHashImage(png, grid = 4)
+    hg shouldBe Multimodal.dHashImage(bmp, grid = 4)
+    hg.dhash should not be 0L // the fixture raster has real gradients
+  }
+
+  test("dHashImage: JPEG decode→grey-PNG re-encode hashes identically (3x luma factor cancels)") {
+    val jpeg = Multimodal.Asset(1L, "jpeg", Multimodal.syntheticJpeg(16, 8, 3L))
+    val (w, h, img) = Multimodal.decodeJpegRecon(jpeg)
+    val png = Multimodal.Asset(1L, "png",
+      Multimodal.pngFromRgb(w, h, greyRgb(img)))
+    val hj = Multimodal.dHashImage(jpeg, grid = 4)
+    hj shouldBe Multimodal.dHashImage(png, grid = 4)
+    // jpg alias routes to the same kernel, keeps the alias label out
+    Multimodal.dHashImage(jpeg.copy(modality = "jpg"), grid = 4)
+      .dhash shouldBe hj.dhash
+  }
+
+  test("dHashImage: non-raster modality fails loudly with the asset id") {
+    val wav = Multimodal.Asset(77L, "wav",
+      Multimodal.syntheticWav(8000, 1, 16, 5L))
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.dHashImage(wav)
+    }
+    ex.getMessage should include("77")
+    ex.getMessage should include("wav")
+  }
+}
