@@ -2,11 +2,14 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Multimodal
+import graft.plans.MaterializedView
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Wave 105 — round 17, part one: the cross-codec seam of the
-  * perceptual image near-dup tier.
+  * perceptual image near-dup tier, and the star MV's streaming
+  * exactly-once certificate (q328, documented at its entry).
   *
   *  - q327 CROSS-CODEC PERCEPTUAL DHASH ([[Multimodal.dHashImage]]):
   *    the r16 judge's one named multimodal gap — q280 certified dHash
@@ -35,7 +38,60 @@ object Wave105 {
 
   private val DGrid = 4 // fixture rasters go down to 5 px tall (q280)
 
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    //  - q328 EXACTLY-ONCE STREAMING MAINTENANCE OF THE STAR MV: q320
+    //    certified the star's edge-set identity with ONE fold; this row
+    //    is its q276-convention streaming certificate — build the
+    //    lineitem ⋈ orders ⋈ customer chain MV from a QUARTER snapshot
+    //    of the fact, fold THREE fact-side delta batches through
+    //    refresh with their foreachBatch-style batchIds (each delta
+    //    replays the declared chain against the dim snapshots), REPLAY
+    //    one id (Structured Streaming's redelivery-after-failure
+    //    contract — a double fold would double batch 1's revenue and
+    //    hash-mismatch), and only then serve the 3-table report through
+    //    the rewrite. Wave105StreamsSpec holds the LIVE maintainMv
+    //    foreachBatch loop ≡ this fold. Scale: per-batch cost is
+    //    |delta| ⋈ dims + |grain| rows, independent of fact history.
+    "q328_mv_star_stream_fold" -> { (s, d) =>
+      val factPath = s"$d/lineitem.parquet"
+      val ordersPath = s"$d/orders.parquet"
+      val custPath = s"$d/customer.parquet"
+      val revenue = qdec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      MaterializedView.materializeJoinStar(s, "q328_star", factPath,
+        joins = Seq(
+          (ordersPath, "l_orderkey", "o_orderkey"),
+          (custPath, "o_custkey", "c_custkey")),
+        dims = Seq("c_mktsegment", "o_orderstatus"),
+        sums = Seq("revenue" -> revenue),
+        mvPath = Scratch.dir("q328", d) + "/star_mv",
+        baseFilter = Some(pmod(col("l_orderkey"), lit(4)) === 0))
+      val fact = s.read.parquet(factPath)
+      def delta(i: Int) =
+        fact.filter(pmod(col("l_orderkey"), lit(4)) === i)
+      MaterializedView.refresh(s, "q328_star", delta(1), batchId = 0L)
+      MaterializedView.refresh(s, "q328_star", delta(2), batchId = 1L)
+      MaterializedView.refresh(s, "q328_star", delta(2), batchId = 1L) // replay no-op
+      MaterializedView.refresh(s, "q328_star", delta(3), batchId = 2L)
+      val report = fact
+        .join(s.read.parquet(ordersPath),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(custPath),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+      if (!Scratch.scansOnly(report, "star_mv"))
+        throw new IllegalStateException(
+          "q328: star MV rewrite did not fire; plan still joins the " +
+            "base tables")
+      val out = graft.io.Sinks.parquet(report, Scratch.dir("q328_out", d))
+      MaterializedView.clear(s)
+      out.orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    },
 
     "q327_crosscodec_dhash" -> { (s, d) =>
       import s.implicits._
@@ -74,6 +130,20 @@ object Wave105 {
     })
 
   val oracleSql: Map[String, String] = Map(
+
+    // the streamed-fold report replayed over the full 3-table base
+    // join — a dropped delta, a double-folded replay, or a fold that
+    // failed to replay the chain against BOTH dims all hash-mismatch
+    "q328_mv_star_stream_fold" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4)
+        |    / 1e4 AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
 
     // One luma raster per document (the palette polynomial over the
     // shared index stream), one dhash per document, THREE asset rows

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.plans.MaterializedView
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins [[Streams.maintainMv]] over the STAR/CHAIN join-grain MV
+  * (q320's tier; q328's oracle row certifies the hand-driven fold —
+  * this spec holds the LIVE foreachBatch loop equal to it):
+  *
+  *  - streamed FACT batches fold through the declared two-step chain
+  *    (fact ⋈ orders ⋈ customer, the second key living on a DIM) and
+  *    the MV equals a one-shot build over snapshot + stream;
+  *  - a replayed batchId is a no-op on the star exactly as on the
+  *    single-table MV (no version bump, same rows).
+  */
+case class W105Fact(l_orderkey: Long, l_qty: Double)
+case class W105Order(o_orderkey: Long, o_custkey: Long, o_status: String)
+case class W105Cust(c_custkey: Long, c_seg: String)
+
+class Wave105StreamsSpec extends AnyFunSuite with Matchers
+    with graft.SparkFixture {
+
+  private def qdec(c: org.apache.spark.sql.Column) =
+    (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
+
+  test("maintainMv over the STAR MV: streamed fact folds == one-shot build; replay no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val work = graft.queries.Scratch.dir("w105star", sfDir)
+    val factPath = s"$work/fact.parquet"
+    val ordersPath = s"$work/orders.parquet"
+    val custPath = s"$work/cust.parquet"
+    val snapshot = Seq(W105Fact(1, 10.0), W105Fact(2, 20.5), W105Fact(3, 7.25))
+    snapshot.toDF().write.mode("overwrite").parquet(factPath)
+    Seq(W105Order(1, 100, "O"), W105Order(2, 100, "F"),
+        W105Order(3, 200, "O"), W105Order(4, 200, "F"))
+      .toDF().write.mode("overwrite").parquet(ordersPath)
+    Seq(W105Cust(100, "BUILDING"), W105Cust(200, "AUTOMOBILE"))
+      .toDF().write.mode("overwrite").parquet(custPath)
+
+    MaterializedView.materializeJoinStar(spark, "w105_star", factPath,
+      joins = Seq(
+        (ordersPath, "l_orderkey", "o_orderkey"),
+        (custPath, "o_custkey", "c_custkey")),
+      dims = Seq("c_seg", "o_status"),
+      sums = Seq("sum_qty" -> qdec(col("l_qty"))),
+      mvPath = s"$work/mv")
+
+    val batches = Seq(
+      Seq(W105Fact(4, 1.0), W105Fact(1, 2.0)),
+      Seq(W105Fact(3, 30.0)),
+      Seq(W105Fact(2, 5.5), W105Fact(4, 0.75)))
+
+    val input = MemoryStream[W105Fact]
+    val q = Streams.maintainMv(input.toDF(), "w105_star",
+      s"$work/ckpt_${System.nanoTime}")
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the served report must come from the MV (rewrite) AND equal a
+    // one-shot 3-table aggregate over snapshot + every streamed row
+    val served = spark.read.parquet(factPath)
+      .join(spark.read.parquet(ordersPath),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(custPath),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_seg"), col("o_status"))
+      .agg(sum(qdec(col("l_qty"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+    graft.queries.Scratch.scansOnly(served, "/mv") shouldBe true
+    val got = served.collect().map(_.toString).sorted
+    val truth = MaterializedView.withoutRewrite(spark) {
+      (snapshot ++ batches.flatten).toDF()
+        .join(spark.read.parquet(ordersPath),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(spark.read.parquet(custPath),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_seg"), col("o_status"))
+        .agg(sum(qdec(col("l_qty"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted
+    }
+    got shouldBe truth
+
+    // replay an already-folded batch id: rows must not change
+    val before = spark.read.parquet(s"$work/mv/v${batches.size}")
+      .collect().map(_.toString).sorted
+    val replayed = MaterializedView.refresh(spark, "w105_star",
+      batches.head.toDF(), batchId = 0L)
+    replayed.collect().map(_.toString).sorted shouldBe before
+
+    MaterializedView.clear(spark)
+  }
+}
