@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 import graft.plans.MaterializedView
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,7 +41,52 @@ object Wave105 {
   private def qdec(c: org.apache.spark.sql.Column) =
     (floor(c * 1e4) / 1e4).cast(DecimalType(38, 4))
 
+  // q323's retrieval-unit chunking (width 16 / overlap 4) with q326's
+  // loudly-guarded single-long chunk key
+  private val ChunkW = 16
+  private val ChunkO = 4
+  private val ChunkTau = 0.9
+
+  private def chunksWithId(docs: DataFrame): DataFrame =
+    TextAnalysis.tokenChunks(docs, "doc_id", "text",
+        width = ChunkW, overlap = ChunkO)
+      .withColumn("chunk_id",
+        when(col("chunk_ord") < 100,
+          col("doc_id") * 100 + col("chunk_ord"))
+        .otherwise(expr("raise_error('chunk_id = doc_id*100 + chunk_ord " +
+          "aliases chunks at chunk_ord >= 100; re-key for this corpus')")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    //  - q329 CHUNK-GRAIN INCREMENTAL DEDUP VS A FROZEN CORPUS: the
+    //    streaming-ingest form of q326's copied-paragraph provenance
+    //    signal — q97 asks "is this incoming DOCUMENT a near-copy of
+    //    history?"; q329 asks it of every incoming RETRIEVAL UNIT, so a
+    //    new page that quotes one paragraph of the archive surfaces
+    //    even when the page as a whole is unique. The frozen corpus
+    //    (doc_id % 3 ≠ 0) is chunked and sketched ONCE into
+    //    [[Dedup.corpusNearDupState]] at chunk grain, PERSISTED THROUGH
+    //    PARQUET (the ingest contract: later batches join the state
+    //    file, zero corpus recomputation), and the new batch's chunks
+    //    (doc_id % 3 = 0) band-join against it. New-side and
+    //    corpus-side docs are disjoint, so every pair is cross-document
+    //    by construction. Wave105Spec pins prebuilt-through-parquet ≡
+    //    direct recompute at chunk grain. Scale: |batch chunks| ⋈
+    //    state bands — never corpus-quadratic, and the state file is
+    //    distinct-chunk-content-sized, not corpus-sized.
+    "q329_chunk_corpus_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpusChunks = chunksWithId(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      val newChunks = chunksWithId(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      val stateDir = Scratch.dir("q329_state", d)
+      Dedup.corpusNearDupState(corpusChunks, "chunk_id", "chunk_text")
+        .write.mode("overwrite").parquet(stateDir)
+      Dedup.nearDupAgainstCorpusPrebuilt(newChunks,
+          s.read.parquet(stateDir), "chunk_id", "chunk_text", ChunkTau)
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
 
     //  - q328 EXACTLY-ONCE STREAMING MAINTENANCE OF THE STAR MV: q320
     //    certified the star's edge-set identity with ONE fold; this row
@@ -129,7 +174,48 @@ object Wave105 {
         .orderBy(col("asset_id"))
     })
 
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
   val oracleSql: Map[String, String] = Map(
+
+    // the q323 chunk replay on BOTH corpus slices + the q97 exact
+    // cross-side Jaccard over chunk token sets — a missed band join,
+    // a stale state file, or a within-side pair leaking through all
+    // hash-mismatch
+    "q329_chunk_corpus_neardup" -> {
+      val (w, st) = (ChunkW, ChunkW - ChunkO)
+      s"""WITH toks AS (
+         |  SELECT doc_id, $SqlToks AS tk FROM documents),
+         |nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+         |stt AS (
+         |  SELECT doc_id, tk, n,
+         |    CASE WHEN n <= $w THEN 1
+         |      ELSE ((n - $w + $st - 1) // $st) * $st + 1 END AS last_s
+         |  FROM nz),
+         |ch AS (
+         |  SELECT doc_id, unnest(range(1, last_s + 1, $st)) AS s, tk
+         |  FROM stt),
+         |chunks AS (
+         |  SELECT doc_id, doc_id * 100 + (s - 1) // $st AS chunk_id,
+         |    list_distinct(tk[s : least(s + $w - 1, len(tk))]) AS cset
+         |  FROM ch),
+         |ct AS (SELECT doc_id, chunk_id, unnest(cset) AS tok FROM chunks),
+         |sizes AS (SELECT chunk_id, count(*) AS n FROM ct GROUP BY 1),
+         |common AS (
+         |  SELECT a.chunk_id AS id_new, b.chunk_id AS id_corpus,
+         |    count(*) AS c
+         |  FROM ct a JOIN ct b ON a.tok = b.tok
+         |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT id_new, id_corpus,
+         |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |FROM common
+         |JOIN sizes sa ON id_new = sa.chunk_id
+         |JOIN sizes sb ON id_corpus = sb.chunk_id
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $ChunkTau
+         |ORDER BY id_new, id_corpus""".stripMargin
+    },
 
     // the streamed-fold report replayed over the full 3-table base
     // join — a dropped delta, a double-folded replay, or a fold that

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkFixture
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 105 chunk-grain incremental-dedup law: the frozen-corpus state
+  * PERSISTED THROUGH PARQUET serves later ingest batches with results
+  * identical to a from-scratch recompute — at CHUNK grain (q329's
+  * composition of q323's tokenChunks with the q97/q171 corpus-state
+  * machinery). */
+class Wave105Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("q329 law: prebuilt chunk-grain corpus state through parquet == direct recompute") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def chunksOf(side: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.tokenChunks(side, "doc_id", "text", width = 16, overlap = 4)
+        .withColumn("chunk_id", col("doc_id") * 100 + col("chunk_ord"))
+    val corpus = chunksOf(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+    val fresh = chunksOf(docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+
+    val work = Scratch.dir("w105chunkstate", sfDir)
+    Dedup.corpusNearDupState(corpus, "chunk_id", "chunk_text")
+      .write.mode("overwrite").parquet(s"$work/state")
+    val viaState = Dedup.nearDupAgainstCorpusPrebuilt(fresh,
+        spark.read.parquet(s"$work/state"), "chunk_id", "chunk_text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted
+    spark.catalog.clearCache()
+    val recompute = Dedup.nearDupAgainstCorpus(fresh, corpus,
+        "chunk_id", "chunk_text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted
+    spark.catalog.clearCache()
+    viaState shouldBe recompute
+    viaState.length should be > 0 // the sf0.001 corpus has cross-doc chunk copies
+    // chunk grain is strictly finer than doc grain: every pair is
+    // cross-document by slice construction
+    all(viaState.map { case (a, b, _) => (a / 100, b / 100) }) should matchPattern {
+      case (da: Long, db: Long) if da % 3 == 0 && db % 3 != 0 =>
+    }
+  }
+}
