@@ -61,8 +61,13 @@ import org.apache.spark.sql.SparkSession
   * exceeded 2× its frozen BASELINE.md row is re-run once more (same
   * best-of-reps rules) at a DIFFERENT moment of the run, `i` holding
   * FIXED-WIDTH-2 base36 sorted-name indices and `t` fixed-width-3
-  * base36 re-run centiseconds (worst ratios first, capped at 30
-  * entries; `n` = true outlier count so a cap is visible). Its `cf` is
+  * base36 re-run centiseconds (ranked by WALL-SECONDS-AT-STAKE —
+  * measured − frozen, i.e. frozen×(ratio−1) — so the heaviest absolute
+  * movers adjudicate first; the r16 ratio ordering let sub-second
+  * floor victims consume all 30 slots while a 2.3× on a 23 s row went
+  * un-sampled. Bounded by the remaining wall budget and a 60-entry
+  * byte cap ≈ 300 B; `n` = true outlier count so a cap is visible).
+  * Its `cf` is
   * the re-run block's OWN bracketed load factor (max of the probe
   * before and after the block) — the compare tool divides the re-run
   * ratios by it before labeling, so a loaded re-run window cannot
@@ -413,23 +418,27 @@ object Bench {
     // ------------------------------------------------ outlier re-run
     // Every query whose best exceeded 2x its frozen BASELINE row gets
     // one more best-of-reps sample now, minutes away from its sweep
-    // slot — the artifact's own load-vs-regression adjudication. Worst
-    // ratios first so a >30-outlier global-throttle run still carries
-    // the rows that matter; `n` makes the cap visible. Bounded TWICE:
-    // ≤30 entries (qr line bytes) AND the remaining wall budget — the
-    // re-run block grows exactly when the machine is loaded, i.e. in
-    // the runs already nearest the driver's kill cap.
+    // slot — the artifact's own load-vs-regression adjudication.
+    // Ranked by WALL-SECONDS-AT-STAKE (measured − frozen = frozen ×
+    // (ratio − 1)) so the heaviest absolute movers are adjudicated
+    // first — the r16 artifact ranked by ratio and spent all 30 slots
+    // on sub-second floor victims while the one 2.3× reading on
+    // actually-touched code (q309, 30 wall-seconds at stake) went
+    // un-sampled; `n` makes any cap visible. Bounded TWICE: ≤60
+    // entries (qr line stays ~300 B inside the driver's tail) AND the
+    // remaining wall budget — a quiet sweep leaves most of the budget,
+    // so in practice every over-gate row gets its second sample.
     val gate = sys.env.getOrElse("SPARK_GRAFT_RERUN_GATE", "2.0").toDouble
     val outliers = completed.toSeq
       .collect { case (name, idx, t)
         if t >= 0 && frozen.get(name).exists(f => t > gate * f) =>
-          (name, idx, t / frozen(name)) }
+          (name, idx, t - frozen(name)) }
       .sortBy(-_._3)
     val rerun = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     // idx < 36²: a width-2 base36 index past 1295 would corrupt the
     // fixed-width qr line (b36 now throws); such a row is simply not
     // re-sampled and stays visible through `n` > emitted length
-    val rerunIt = outliers.take(30).filter(_._2 < 1296).iterator
+    val rerunIt = outliers.take(60).filter(_._2 < 1296).iterator
     while (rerunIt.hasNext && remainingSec > 0) {
       val (name, idx, _) = rerunIt.next()
       rerun += ((idx, bestOf(name, selected(name), reps, record = false)))

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Floor-qualified BASELINE.md row freezer (r17 protocol; VERDICT r16 #6).
+
+A frozen row recorded while the host's Spark job-dispatch floor is
+degraded is wrong in BOTH directions: frozen HIGH it weakens the 2x
+regression gate for every future round (the r16 q323/q325/q326 case,
+frozen at ~170 ms floor); frozen LOW it manufactures false outliers.
+The CPU calibration probes cannot see the floor (they measure
+arithmetic throughput, not scheduler latency), so the check must be on
+the floor measurement itself.
+
+RULE: refuse to freeze any row when job_floor_ms > 50 (2x the 25 ms
+healthy reference). `--provisional` overrides but stamps the note with
+"PROVISIONAL (floor X ms)" so the next quiet window re-freezes it and
+the judge sees the qualification.
+
+Usage:
+  python3 tools/freeze.py --floor MS [--provisional] [--date YYYY-MM-DD]
+      'q26_minhash_neardup=2.57:note text' ...
+
+  --floor MS        the job_floor_ms measured IN THE SAME WINDOW as the
+                    timings being frozen (Bench prints it in its total
+                    line; SPARK_GRAFT_SF_DIR=... runMain graft.Bench
+                    <one query> is the quick probe)
+Each positional arg is  name=seconds[:note].  Updates the row in place
+or appends a new one to the freeze table. Exits 2 on a floor refusal,
+1 on parse errors, 0 on success.
+"""
+import re
+import sys
+from datetime import date
+from pathlib import Path
+
+FLOOR_LIMIT_MS = 50.0
+BASELINE = Path(__file__).resolve().parent.parent / "BASELINE.md"
+
+
+def main():
+    args = sys.argv[1:]
+    floor = None
+    provisional = False
+    day = date.today().isoformat()
+    rows = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--floor":
+            i += 1
+            floor = float(args[i])
+        elif a == "--provisional":
+            provisional = True
+        elif a == "--date":
+            i += 1
+            day = args[i]
+        else:
+            m = re.match(r"^([A-Za-z0-9_]+)=([0-9.]+)(?::(.*))?$", a)
+            if not m:
+                sys.exit(f"cannot parse freeze arg: {a!r}")
+            rows.append((m.group(1), float(m.group(2)), m.group(3) or ""))
+        i += 1
+    if floor is None:
+        sys.exit("--floor MS is required: freezing without a floor "
+                 "measurement is the exact failure this tool exists to stop")
+    if not rows:
+        sys.exit("nothing to freeze")
+    if floor > FLOOR_LIMIT_MS and not provisional:
+        print(f"REFUSED: job_floor_ms {floor:.1f} > {FLOOR_LIMIT_MS:.0f} "
+              f"(2x the 25 ms healthy reference). Rows frozen in a degraded "
+              f"window weaken the 2x gate; wait for a quiet window or pass "
+              f"--provisional to stamp the rows for re-freeze.",
+              file=sys.stderr)
+        sys.exit(2)
+
+    text = BASELINE.read_text()
+    lines = text.splitlines(keepends=True)
+    # the freeze table's rows look like: | q26_minhash_neardup | 2.57 | ...
+    row_re = re.compile(r"^\| (q[A-Za-z0-9_]+) \|")
+    last_row_idx = None
+    existing = {}
+    for idx, line in enumerate(lines):
+        m = row_re.match(line)
+        if m:
+            existing[m.group(1)] = idx
+            last_row_idx = idx
+    if last_row_idx is None:
+        sys.exit("no freeze table found in BASELINE.md")
+
+    def fmt(name, sec, note):
+        if provisional and floor > FLOOR_LIMIT_MS:
+            note = (note + ("; " if note else "") +
+                    f"PROVISIONAL (floor {floor:.0f} ms > {FLOOR_LIMIT_MS:.0f}"
+                    f") — re-freeze next quiet window")
+        else:
+            note = note + ("; " if note else "") + \
+                f"floor {floor:.0f} ms at freeze"
+        return f"| {name} | {sec} | {day} | {note} |\n"
+
+    # updates first (stable indices), then appends after the last row
+    for name, sec, note in rows:
+        if name in existing:
+            lines[existing[name]] = fmt(name, sec, note)
+            print(f"updated {name} = {sec}")
+    for name, sec, note in rows:
+        if name not in existing:
+            last_row_idx += 1
+            lines.insert(last_row_idx, fmt(name, sec, note))
+            print(f"added {name} = {sec}")
+    BASELINE.write_text("".join(lines))
+    print(f"froze {len(rows)} row(s) at floor {floor:.1f} ms"
+          + (" [PROVISIONAL]" if provisional and floor > FLOOR_LIMIT_MS
+             else ""))
+
+
+if __name__ == "__main__":
+    main()
