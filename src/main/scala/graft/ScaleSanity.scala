@@ -432,7 +432,8 @@ object ScaleSanity {
     if (queries.contains("q252_deletion_audit"))
       scaleDeletionSlice(spark, sfDir, mult, workDir)
     if (queries.contains("q311_mv_join_stream") ||
-        queries.contains("q320_mv_star"))
+        queries.contains("q320_mv_star") ||
+        queries.contains("q328_mv_star_stream_fold"))
       scaleJoinMvSlice(spark, sfDir, mult, workDir)
     val nd = spark.read.parquet(s"$workDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$workDir/embeddings.parquet").count()

@@ -1549,12 +1549,21 @@ object Dedup {
     * maxHamming shares a band, so output is EXACTLY the set of pairs at
     * Hamming distance <= maxHamming — all-pairs-oracle-verifiable while
     * the executed plan is a keyed band join, nothing quadratic. */
-  def hammingNearDupPairs(withSim: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingNearDupPairs(withSim: DataFrame, maxHamming: Int): DataFrame =
+    hammingNearDupPairs(withSim, maxHamming, SimhashBits)
+
+  /** [[hammingNearDupPairs]] over a sketch of ANY width `sketchBits`
+    * ≤ 63 (r17: the perceptual-dHash tier sketches are 56-bit —
+    * grid 8 → 8 rows × 7 gradient comparisons). Same pigeonhole
+    * contract; `maxHamming + 1` must divide `sketchBits`. */
+  def hammingNearDupPairs(withSim: DataFrame, maxHamming: Int,
+                          sketchBits: Int): DataFrame = {
+    require(sketchBits > 0 && sketchBits <= 63,
+      s"sketchBits must be in [1, 63], got $sketchBits")
     val bands = maxHamming + 1
-    require(SimhashBits % bands == 0,
-      s"maxHamming+1 ($bands) must divide $SimhashBits; " +
-        "use e.g. 0, 1, 2, 3, 4, 5, 9, 11, 14, 19, 29 or 59")
-    val bits = SimhashBits / bands
+    require(sketchBits % bands == 0,
+      s"maxHamming+1 ($bands) must divide sketchBits ($sketchBits)")
+    val bits = sketchBits / bands
     val mask = (1L << bits) - 1
     val banded = withSim.select(col("doc"), col("sim"),
       explode(array((0 until bands).map(b =>

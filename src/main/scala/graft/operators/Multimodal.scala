@@ -429,6 +429,25 @@ object Multimodal {
     assets.mapPartitions(_.map(a => dHashImage(a, grid)))
   }
 
+  /** Perceptual near-dup pairs at a HAMMING RADIUS over the decoded
+    * dHash (r17): q280/q327 group exact hash EQUALITY — identical
+    * pixels whatever the codec; real crawls also carry *slightly
+    * edited* re-posts (a repainted logo corner, a cropped watermark)
+    * whose hashes land a few gradient bits away. Banded join via
+    * [[Dedup.hammingNearDupPairs(withSim:*]] over the grid·(grid−1)-bit
+    * hash (pigeonhole-exact: output is EXACTLY the pairs within
+    * `maxHamming`, all-pairs-oracle-verifiable), then pairs. Scale:
+    * per-row decode + a keyed band join — never all-pairs. */
+  def dHashNearDupPairs(assets: Dataset[Asset], maxHamming: Int,
+                        grid: Int = 8): DataFrame = {
+    Dedup.hammingNearDupPairs(
+      dHashImages(assets, grid).toDF()
+        .select(col("asset_id").as("doc"), col("dhash").as("sim")),
+      maxHamming, grid * (grid - 1))
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+  }
+
   /** Decoded audio metadata: the audio twin of [[AssetFeatures]].
     * `duration_us` is exact integer floor arithmetic
     * (n_frames * 1e6 DIV sample_rate) so oracles replay it bit-for-bit. */
@@ -659,6 +678,96 @@ object Multimodal {
       i += 1
     }
     b.array()
+  }
+
+  /** Mono 16-bit PCM WAV from CALLER-CHOSEN samples — the encoder the
+    * audio-fingerprint tier plants gain variants with (same waveform,
+    * samples exactly halved). Header layout identical to
+    * [[syntheticWav]]; samples must fit a short. */
+  def wavFromPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val dataBytes = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)                      // PCM
+    b.putShort(1)                      // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2)           // byte rate
+    b.putShort(2)                      // block align
+    b.putShort(16)                     // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < samples.length) {
+      require(samples(i) >= Short.MinValue && samples(i) <= Short.MaxValue,
+        s"sample $i = ${samples(i)} does not fit 16-bit PCM")
+      b.putShort(samples(i).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Gain-invariant acoustic fingerprint: `bits` sign-of-energy-delta
+    * bits over consecutive `frameSamples`-sample frames of the decoded
+    * mono PCM16 stream (bit f = 1 iff E(f+1) > E(f), E = Σ s² exact
+    * integer). The Haitsma–Kalker/Shazam-family robust-hash shape
+    * reduced to its time-domain core: scaling every sample by a common
+    * positive factor scales every frame energy by its square, so
+    * ENERGY COMPARISONS — and therefore the fingerprint — are
+    * invariant ("same recording, different volume" collides, the audio
+    * twin of the cross-codec dHash collision). Requires at least
+    * bits+1 full frames; fails loudly below (a fingerprint over
+    * padding is a pipeline bug). */
+  case class AudioFp(asset_id: Long, n_frames: Long, energy0: Long,
+                     fp: Long)
+
+  /** Distributed [[AudioFp]]: per-row decode + one O(samples) pass
+    * inside mapPartitions — partition-preserving, no shuffle; at 100 TB
+    * a pure map stage over audio shards (the [[pcm16Autocorr]] scale
+    * contract). Group matches afterwards with a plain hash aggregate
+    * on `fp`, or band `fp` through
+    * [[Dedup.hammingNearDupPairs(withSim:*]] for a Hamming radius. */
+  def audioFingerprints(assets: Dataset[Asset], frameSamples: Int,
+                        bits: Int): Dataset[AudioFp] = {
+    require(frameSamples > 0, s"frameSamples must be > 0: $frameSamples")
+    require(bits > 0 && bits <= 63, s"bits must be in [1, 63]: $bits")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val w = parseWav(a)
+      require(w.bits == 16 && w.channels == 1,
+        s"WAV asset ${a.asset_id}: audioFingerprints needs mono 16-bit, " +
+          s"got ${w.channels} ch × ${w.bits} bit")
+      val d = a.data
+      val n = w.dataBytes / 2
+      val nFrames = n / frameSamples
+      require(nFrames >= bits + 1,
+        s"WAV asset ${a.asset_id}: $nFrames full frames < ${bits + 1} " +
+          s"needed for a $bits-bit fingerprint")
+      val e = new Array[Long](bits + 1)
+      var f = 0
+      while (f <= bits) {
+        var acc = 0L
+        var i = f * frameSamples
+        val end = i + frameSamples
+        while (i < end) {
+          val o = w.dataOff + 2 * i
+          val v = ((d(o) & 0xff) | (d(o + 1) << 8)).toShort.toLong
+          acc += v * v
+          i += 1
+        }
+        e(f) = acc
+        f += 1
+      }
+      var fp = 0L
+      f = 0
+      while (f < bits) {
+        if (e(f + 1) > e(f)) fp |= 1L << f
+        f += 1
+      }
+      AudioFp(a.asset_id, nFrames.toLong, e(0), fp)
+    })
   }
 
   /** Per-asset pitch estimate from exact integer autocorrelation.
@@ -1757,7 +1866,6 @@ object Multimodal {
     * [[lzwEncode]], sub-blocked at 255 bytes. A stock image viewer
     * opens the output. */
   def syntheticGif(width: Int, height: Int, seed: Long): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad GIF shape $width×$height")
     val n = width * height
     val idx = new Array[Int](n)
     var i = 0
@@ -1765,6 +1873,20 @@ object Multimodal {
       idx(i) = (((seed + 7L * i) % 16 + 16) % 16).toInt
       i += 1
     }
+    gifFromIndices(width, height, idx)
+  }
+
+  /** [[syntheticGif]] generalized to a CALLER-CHOSEN index raster
+    * (values 0..15 through the same (j², 2j, 40+j) global table) — the
+    * encoder the perceptual hamming tier plants PERTURBED variants
+    * with (r17 q330: same picture with a few grid cells repainted, so
+    * the decoded dHash lands a small Hamming distance away instead of
+    * colliding). Byte-layout-identical to [[syntheticGif]] for the
+    * (seed + 7i) mod 16 stream. */
+  def gifFromIndices(width: Int, height: Int, idx: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad GIF shape $width×$height")
+    require(idx.length == width * height,
+      s"index raster length ${idx.length} != $width×$height")
     val lzw = lzwEncode(idx, 4)
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))

@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave 106 — round 17, part two: the RADIUS form of perceptual image
+  * near-dup, its audio twin, and hybrid retrieval fusion.
+  *
+  *  - q330 PERCEPTUAL HAMMING NEAR-DUP
+  *    ([[Multimodal.dHashNearDupPairs]]): q280/q327 group exact dHash
+  *    EQUALITY — identical pixels whatever the codec carried them.
+  *    Real crawls also hold *slightly edited* re-posts (repainted logo
+  *    corner, cropped watermark) whose hashes land a few gradient bits
+  *    away; this row certifies the banded Hamming-radius join over the
+  *    56-bit grid-8 dHash (pigeonhole bands = maxHamming+1, so output
+  *    is EXACTLY the pairs within the radius — all-pairs-oracle-
+  *    verifiable while the plan is a keyed band join). The fixture
+  *    plants, per document, the same raster as BMP and PNG (must pair
+  *    at Hamming 0 across the codec seam) plus a GIF whose indices are
+  *    INVERTED inside three grid cells (≤ 2 gradient bits each ⇒ the
+  *    edited variant pairs within the radius, not at zero). Reference
+  *    frame: the §2.10 multimodal near-dup charter (SURVEY §2.10d), the
+  *    radius tier q112 certifies for raw payload bytes, now over
+  *    DECODED pixels.
+  *
+  *  - q331 GAIN-INVARIANT AUDIO FINGERPRINT
+  *    ([[Multimodal.audioFingerprints]]): "same recording, different
+  *    volume" is the audio analogue of q327's same-picture-different-
+  *    codec — a byte-level fingerprint (q112) can never catch it
+  *    because every sample byte differs. The 32-bit sign-of-energy-
+  *    delta fingerprint (Haitsma–Kalker family, exact integer Σs² per
+  *    frame) is invariant under any common positive gain; the fixture
+  *    plants each deterministic waveform at full and EXACTLY HALF gain
+  *    (samples constructed even, so halving is lossless) and the two
+  *    must collide. energy0 pins the decode (it differs 4× between the
+  *    variants while fp matches).
+  *
+  *  - q332 HYBRID RETRIEVAL FUSION (RRF): the standard two-tower
+  *    retrieval join — BM25 lexical top-k (q71's leg) ⊕ embedding
+  *    cosine top-k (q28's leg) fused by reciprocal-rank
+  *    1/(60+r_lex) + 1/(60+r_sem) (Cormack et al.'s RRF constant).
+  *    Both legs are engine-exact already (rational idf + quantized
+  *    term sums; quantized dot products), ranks are small integers,
+  *    and the fused score is a two-term IEEE sum in fixed order — so
+  *    the full hybrid ranking replays bit-for-bit in DuckDB.
+  *
+  * Scale (100 TB): q330/q331 are per-row decode + one O(content) pass
+  * (partition-preserving, no shuffle) feeding a keyed band join /
+  * hash aggregate — never all-pairs. q332 is two TakeOrdered legs
+  * (each a scan + bounded heap) and a ≤2k-row fuse; the final rank
+  * window orders ≤ 2k rows, a bounded grid. */
+object Wave106 {
+
+  private val DhGrid = 8            // 16px-min fixture rasters ⇒ grid 8
+  private val DhMaxHamming = 6      // 7 bands × 8 bits over the 56-bit hash
+  // grid cells repainted in the edited GIF variant: (cy, cx) — each
+  // touches at most gradient bits (cy, cx-1) and (cy, cx), so ≤ 6 flips
+  private val DhEditCells = Seq((0, 0), (3, 3), (6, 5))
+
+  private val FpFrame = 64          // samples per energy frame
+  private val FpBits = 32           // fingerprint bits (needs 33 frames)
+  private val FpSamples = FpFrame * (FpBits + 1)
+
+  private val RrfTerms = Seq("dup", "join", "sort")
+  private val RrfLegK = 20
+  private val RrfK = 10
+  private val RrfC = 60.0           // the standard RRF dampening constant
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q330_dhash_hamming" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .flatMap { case (id, nChars) =>
+          val w = 16 + (id % 9).toInt
+          val h = 16 + (nChars % 7).toInt
+          val n = w * h
+          val rgb = new Array[Int](3 * n)
+          val idx = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val v = (((id + 7L * i) % 16 + 16) % 16).toInt
+            rgb(3 * i) = v * v
+            rgb(3 * i + 1) = 2 * v
+            rgb(3 * i + 2) = 40 + v
+            // the edited variant: indices INVERTED inside the chosen
+            // grid cells (same cell geometry as poolDHash's)
+            val y = i / w; val x = i % w
+            val cy = y * DhGrid / h; val cx = x * DhGrid / w
+            idx(i) = if (DhEditCells.contains((cy, cx))) 15 - v else v
+            i += 1
+          }
+          Seq(
+            Multimodal.Asset(id * 4, "bmp",
+              Multimodal.bmpFromRgb(w, h, rgb)),
+            Multimodal.Asset(id * 4 + 1, "png",
+              Multimodal.pngFromRgb(w, h, rgb, (id % 5).toInt)),
+            Multimodal.Asset(id * 4 + 2, "gif",
+              Multimodal.gifFromIndices(w, h, idx)))
+        }
+      Multimodal.dHashNearDupPairs(assets, DhMaxHamming, DhGrid)
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+
+    "q331_audio_fp" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val full = Array.tabulate(FpSamples) { i =>
+            (((id * 31 + 7L * i * i) % 2001).toInt - 1000) * 2
+          }
+          val half = full.map(_ / 2) // every sample even ⇒ exact
+          Seq(
+            Multimodal.Asset(id * 2, "wav",
+              Multimodal.wavFromPcm16(8000, full)),
+            Multimodal.Asset(id * 2 + 1, "wav",
+              Multimodal.wavFromPcm16(8000, half)))
+        }
+      val fp = Multimodal.audioFingerprints(assets, FpFrame, FpBits).toDF()
+      val w = Window.partitionBy(col("fp"))
+      fp.withColumn("gid", min(col("asset_id")).over(w))
+        .select(col("asset_id"), col("n_frames"), col("energy0"),
+          col("fp"), col("gid"))
+        .orderBy(col("asset_id"))
+    },
+
+    "q332_hybrid_rrf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val bm = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          RrfTerms, RrfLegK)
+        .select(col("id"), col("rank").as("r_bm"))
+      val ann = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb,
+          "vec_id", "embedding", RrfLegK, exact = true)
+        .select(col("neighbor_id").as("id"), col("rank").as("r_ann"))
+      // two-term IEEE sum in fixed (lexical + semantic) order — both
+      // engines fuse bit-identically
+      val fused = bm.join(ann, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          when(col("r_bm").isNotNull, lit(1.0) / (lit(RrfC) + col("r_bm")))
+            .otherwise(lit(0.0)) +
+          when(col("r_ann").isNotNull, lit(1.0) / (lit(RrfC) + col("r_ann")))
+            .otherwise(lit(0.0)))
+      // bounded grid: the fused relation is ≤ 2·RrfLegK rows
+      val w = Window.orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= RrfK)
+        .select(col("id"),
+          coalesce(col("r_bm"), lit(0L)).as("r_bm"),
+          coalesce(col("r_ann"), lit(0L)).as("r_ann"),
+          (floor(col("rrf") * 1e9) / 1e9).as("rrf"),
+          col("rank"))
+        .orderBy(col("rank"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** DuckDB twin of VectorFunctions.dotQLong (the q28 convention). */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Replays base AND edited lumas through the grid pooling and the
+    // cross-multiplied gradient bits, then an ALL-PAIRS Hamming join —
+    // exactly what the banded plan must equal (pigeonhole). A wrong
+    // unfilter, LZW decode, band split, or a missed radius pair all
+    // hash-mismatch.
+    "q330_dhash_hamming" -> {
+      val edited = DhEditCells
+        .map { case (y, x) => s"(cy = $y AND cx = $x)" }.mkString(" OR ")
+      s"""WITH p AS (
+         |  SELECT doc_id, 16 + doc_id % 9 AS w, 16 + n_chars % 7 AS h
+         |  FROM documents),
+         |lum AS (
+         |  SELECT doc_id,
+         |    (doc_id + 7 * (uy.y * w + ux.x)) % 16 AS v,
+         |    uy.y * $DhGrid // h AS cy, ux.x * $DhGrid // w AS cx
+         |  FROM p, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)),
+         |lum2 AS (
+         |  SELECT doc_id, cy, cx, v,
+         |    CASE WHEN $edited THEN 15 - v ELSE v END AS vp
+         |  FROM lum),
+         |cells AS (
+         |  SELECT doc_id, cy, cx,
+         |    sum(v * v + 3 * v + 40) AS s0,
+         |    sum(vp * vp + 3 * vp + 40) AS s1,
+         |    count(*) AS n
+         |  FROM lum2 GROUP BY 1, 2, 3),
+         |hashes AS (
+         |  SELECT a.doc_id,
+         |    CAST(sum(CASE WHEN a.s0 * b.n > b.s0 * a.n
+         |      THEN CAST(1 AS BIGINT) << CAST(a.cy * ${DhGrid - 1} + a.cx AS INT)
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h0,
+         |    CAST(sum(CASE WHEN a.s1 * b.n > b.s1 * a.n
+         |      THEN CAST(1 AS BIGINT) << CAST(a.cy * ${DhGrid - 1} + a.cx AS INT)
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h1
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         |  GROUP BY 1),
+         |assets AS (
+         |  SELECT doc_id * 4 AS asset_id, h0 AS dh FROM hashes
+         |  UNION ALL SELECT doc_id * 4 + 1, h0 FROM hashes
+         |  UNION ALL SELECT doc_id * 4 + 2, h1 FROM hashes)
+         |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         |FROM assets a JOIN assets b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.dh, b.dh)) <= $DhMaxHamming
+         |ORDER BY asset_a, asset_b""".stripMargin
+    },
+
+    // Replays the planted PCM (sample arithmetic, exact halving), the
+    // per-frame Σs² energies, and the sign-of-delta bits — a wrong
+    // sample decode, frame boundary, or bit order all hash-mismatch;
+    // the (full, half) gid collision is the gain-invariance law.
+    "q331_audio_fp" ->
+      s"""WITH samp AS (
+         |  SELECT doc_id, u.i AS i,
+         |    ((doc_id * 31 + 7 * u.i * u.i) % 2001 - 1000) * 2 AS s
+         |  FROM documents, unnest(range(0, $FpSamples)) AS u(i)),
+         |pcm AS (
+         |  SELECT doc_id * 2 AS asset_id, i, s FROM samp
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, i, s // 2 FROM samp),
+         |fr AS (
+         |  SELECT asset_id, i // $FpFrame AS f, sum(s * s) AS e
+         |  FROM pcm GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT a.asset_id,
+         |    CAST(sum(CASE WHEN b.e > a.e
+         |      THEN CAST(1 AS BIGINT) << CAST(a.f AS INT)
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+         |  FROM fr a JOIN fr b ON a.asset_id = b.asset_id AND b.f = a.f + 1
+         |  WHERE a.f < $FpBits GROUP BY 1),
+         |e0 AS (SELECT asset_id, CAST(e AS BIGINT) AS energy0
+         |       FROM fr WHERE f = 0)
+         |SELECT b.asset_id, CAST(${FpBits + 1} AS BIGINT) AS n_frames,
+         |  e0.energy0, b.fp,
+         |  min(b.asset_id) OVER (PARTITION BY b.fp) AS gid
+         |FROM bits b JOIN e0 USING (asset_id)
+         |ORDER BY asset_id""".stripMargin,
+
+    // The q71 lexical leg + the q28 semantic leg, fused by RRF — both
+    // legs replay their own certified twins; the fuse is a FULL join +
+    // a two-term sum + a bounded rank.
+    "q332_hybrid_rrf" -> {
+      val k1 = 1.2; val bb = 0.75
+      val k1p1 = k1 + 1.0
+      val oneMb = 1.0 - bb
+      val dfExprs = RrfTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(",\n    ")
+      val termSum = RrfTerms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        val idf = s"(n_docs - df$i + 0.5) / (df$i + 0.5)"
+        s"""CAST(floor($idf * ($tf * $k1p1) /
+           |      ($tf + $k1 * ($oneMb + $bb * CAST(dl AS DOUBLE) / avgdl)) * 1e9) AS HUGEINT)""".stripMargin
+      }.mkString("\n    + ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, $SqlToks AS toks,
+         |    CAST(len($SqlToks) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfExprs
+         |  FROM base),
+         |scored AS (
+         |  SELECT id, CAST($termSum AS DOUBLE) / 1e9 AS score
+         |  FROM base, stats),
+         |bm AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id)
+         |    AS BIGINT) AS r_bm
+         |  FROM scored ORDER BY score DESC, id LIMIT $RrfLegK),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings
+         |      WHERE vec_id <> 0),
+         |sims AS (
+         |  SELECT id,
+         |    (${sqlDotQ("qv", "cv")})
+         |      / (sqrt(${sqlDotQ("qv", "qv")}) * sqrt(${sqlDotQ("cv", "cv")})) AS sim
+         |  FROM c, q),
+         |ann AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+         |    AS BIGINT) AS r_ann
+         |  FROM sims ORDER BY sim DESC, id LIMIT $RrfLegK),
+         |fused AS (
+         |  SELECT coalesce(bm.id, ann.id) AS id, r_bm, r_ann,
+         |    (CASE WHEN r_bm IS NULL THEN 0.0 ELSE 1.0 / ($RrfC + r_bm) END)
+         |    + (CASE WHEN r_ann IS NULL THEN 0.0 ELSE 1.0 / ($RrfC + r_ann) END)
+         |      AS rrf
+         |  FROM bm FULL JOIN ann ON bm.id = ann.id)
+         |SELECT id, coalesce(r_bm, 0) AS r_bm, coalesce(r_ann, 0) AS r_ann,
+         |  floor(rrf * 1e9) / 1e9 AS rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank
+         |FROM fused QUALIFY rank <= $RrfK ORDER BY rank""".stripMargin
+    })
+}

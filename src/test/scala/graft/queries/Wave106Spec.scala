@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.SparkFixture
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 106 laws: the Hamming-RADIUS tier of perceptual image near-dup
+  * (banding exactness vs brute force, the cross-codec zero-distance
+  * pair, the planted-edit small-distance pair), the gain-invariant
+  * audio fingerprint, and RRF fusion arithmetic. */
+class Wave106Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("gifFromIndices is byte-identical to syntheticGif on its own stream") {
+    val (w, h, seed) = (13, 9, 42L)
+    val idx = Array.tabulate(w * h)(i => (((seed + 7L * i) % 16 + 16) % 16).toInt)
+    Multimodal.gifFromIndices(w, h, idx) shouldBe Multimodal.syntheticGif(w, h, seed)
+  }
+
+  test("q330 banding is EXACTLY brute-force Hamming <= 6 and finds the planted pairs") {
+    val out = Wave106.queries("q330_dhash_hamming")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length should be > 0
+
+    // brute force over the same decoded hashes
+    import spark.implicits._
+    val assets = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (nChars % 7).toInt
+        val n = w * h
+        val rgb = new Array[Int](3 * n)
+        val idx = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val v = (((id + 7L * i) % 16 + 16) % 16).toInt
+          rgb(3 * i) = v * v; rgb(3 * i + 1) = 2 * v; rgb(3 * i + 2) = 40 + v
+          val y = i / w; val x = i % w
+          val cy = y * 8 / h; val cx = x * 8 / w
+          idx(i) = if (Seq((0, 0), (3, 3), (6, 5)).contains((cy, cx))) 15 - v else v
+          i += 1
+        }
+        Seq(Multimodal.Asset(id * 4, "bmp", Multimodal.bmpFromRgb(w, h, rgb)),
+          Multimodal.Asset(id * 4 + 1, "png",
+            Multimodal.pngFromRgb(w, h, rgb, (id % 5).toInt)),
+          Multimodal.Asset(id * 4 + 2, "gif", Multimodal.gifFromIndices(w, h, idx)))
+      }
+    val hs = Multimodal.dHashImages(assets, 8).collect()
+      .map(d => d.asset_id -> d.dhash).sortBy(_._1)
+    val brute = for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      ham = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if ham <= 6
+    } yield (hs(i)._1, hs(j)._1, ham.toLong)
+    out.sorted shouldBe brute.sorted
+
+    // planted laws: BMP vs PNG of the same raster at distance 0; the
+    // edited GIF within the radius but NOT at 0 for at least one doc
+    val byPair = out.map { case (a, b, ham) => (a, b) -> ham }.toMap
+    val docIds = hs.map(_._1 / 4).distinct
+    docIds.foreach { id =>
+      byPair.get((id * 4, id * 4 + 1)) shouldBe Some(0L)
+      byPair should contain key ((id * 4, id * 4 + 2))
+    }
+    docIds.count(id => byPair((id * 4, id * 4 + 2)) > 0) should be > 0
+  }
+
+  test("q331 law: the audio fingerprint is gain-invariant, energies are not") {
+    val rows = Wave106.queries("q331_audio_fp")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.length should be > 0
+    rows.length % 2 shouldBe 0
+    rows.groupBy(_._1 / 2).foreach { case (_, pair) =>
+      val Array(full, half) = pair.sortBy(_._1)
+      full._4 shouldBe half._4                 // fp collides
+      full._3 shouldBe half._3 * 4             // energy0 scales by gain²
+      full._5 shouldBe half._5                 // same group
+    }
+    // gid is EXACTLY min asset per fingerprint (cross-doc fp collisions
+    // are legitimate — the shared 7i² term dominates the energy trend —
+    // and the oracle replays them; the law is the grouping arithmetic)
+    val gidExpect = rows.groupBy(_._4).map { case (fp, g) =>
+      fp -> g.map(_._1).min
+    }
+    rows.foreach(r => r._5 shouldBe gidExpect(r._4))
+  }
+
+  test("audioFingerprints fails loudly when the clip is shorter than bits+1 frames") {
+    import spark.implicits._
+    val short = spark.createDataset(Seq(Multimodal.Asset(7L, "wav",
+      Multimodal.wavFromPcm16(8000, Array.fill(64 * 10)(2)))))
+    val ex = intercept[Exception] {
+      Multimodal.audioFingerprints(short, 64, 32).collect()
+    }
+    ex.getMessage should include("full frames")
+  }
+
+  test("q332 law: the fused ranking is the two legs' RRF arithmetic") {
+    val out = Wave106.queries("q332_hybrid_rrf")(spark, sfDir).collect()
+    out.length should be > 0
+    out.length should be <= 10
+    out.map(_.getLong(4)).toSeq shouldBe (1L to out.length)
+    out.foreach { r =>
+      val (rBm, rAnn, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val expect =
+        (if (rBm > 0) 1.0 / (60.0 + rBm) else 0.0) +
+          (if (rAnn > 0) 1.0 / (60.0 + rAnn) else 0.0)
+      rrf shouldBe math.floor(expect * 1e9) / 1e9
+      (rBm > 0 || rAnn > 0) shouldBe true
+    }
+    // fused scores are non-increasing in rank
+    out.map(_.getDouble(3)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => a should be >= b
+      case _ =>
+    }
+  }
+}
