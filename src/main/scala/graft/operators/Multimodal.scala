@@ -1400,6 +1400,64 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[syntheticY4m]] generalized to CALLER-CHOSEN constant-per-frame
+    * payload levels (frame f's bytes are all `levels(f) mod 256`) — the
+    * fixture encoder for scene-cut detection: consecutive equal levels
+    * form a "scene", a level jump is a planted cut, and the per-frame
+    * luma sum stays a one-term arithmetic fact an oracle can replay
+    * without walking pixels. */
+  def y4mFromFrameLevels(width: Int, height: Int,
+                         levels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"bad dimensions ${width}x$height (4:2:0 needs even dims)")
+    val frameBytes = width * height + 2 * (width / 2) * (height / 2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII"))
+    levels.foreach { lvl =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val b = ((lvl % 256) + 256) % 256
+      var i = 0
+      while (i < frameBytes) { out.write(b); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Scene-cut segmentation over decoded video: decode EVERY frame's
+    * luma sum ([[sampleFrames]] at stride 1), flag a CUT wherever the
+    * exact-integer |Δ y_sum| between consecutive frames exceeds
+    * `threshold`, and fold frames into segments (gaps-and-islands on
+    * the running cut count). Output one row per (asset, segment):
+    * `(asset_id, seg, start_frame, end_frame, n_frames, y_total)` —
+    * start_frame doubles as the segment's keyframe index, the shape a
+    * training pipeline samples stills from. The frame-diff threshold
+    * detector is the classical hard-cut baseline (pixel-domain
+    * difference, e.g. Boreczky & Rowe's shot-boundary comparison);
+    * threshold semantics are exact integers so both engines agree
+    * bit-for-bit.
+    *
+    * Scale (100 TB): per-row decode explodes to |frames| skinny rows;
+    * both windows partition by asset_id (per-asset frame counts are
+    * codec-bounded), the final fold is one hash aggregate — linear,
+    * co-partitioned, nothing corpus-quadratic. */
+  def sceneCuts(assets: Dataset[Asset], threshold: Long): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0: $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    sampleFrames(assets, 1).toDF()
+      .withColumn("prev", lag(col("y_sum"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull, 0L)
+          .when(abs(col("y_sum") - col("prev")) > threshold, 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("cut")).over(w))
+      .groupBy(col("asset_id"), col("seg"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("y_sum")).as("y_total"))
+  }
+
   /** Fixture encoder for [[decodePng]]: a VALID 8-bit truecolor PNG
     * whose raw pixel bytes are the deterministic stream (seed + i) mod
     * 256, each scanline filtered with type row%5 (all five adaptive

@@ -64,6 +64,11 @@ object Wave106 {
   private val FpBits = 32           // fingerprint bits (needs 33 frames)
   private val FpSamples = FpFrame * (FpBits + 1)
 
+  private val ScW = 16              // even dims (4:2:0)
+  private val ScH = 12
+  private val ScFrames = 12
+  private val ScThreshold = 1000L   // level step is 16·192 = 3072 ≫ 1000
+
   private val RrfTerms = Seq("dup", "join", "sort")
   private val RrfLegK = 20
   private val RrfK = 10
@@ -129,6 +134,30 @@ object Wave106 {
         .select(col("asset_id"), col("n_frames"), col("energy0"),
           col("fp"), col("gid"))
         .orderBy(col("asset_id"))
+    },
+
+    //  - q333 SCENE-CUT SEGMENTATION ([[Multimodal.sceneCuts]]): the
+    //    video-curation step between q191 (frame sampling) and q192
+    //    (frame dedup) — segment each clip at hard cuts (exact-integer
+    //    frame-diff threshold, the classical shot-boundary baseline)
+    //    so a training pipeline samples stills per SCENE instead of
+    //    per fixed stride. The fixture plants constant-level frames in
+    //    runs of 2–4 (level jumps are the cuts) through the REAL Y4M
+    //    encoder+decoder; the oracle replays each frame's luma sum as
+    //    one arithmetic term and folds the same gaps-and-islands.
+    "q333_scene_cuts" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val slen = 2 + (id % 3).toInt
+          val levels = Array.tabulate(ScFrames)(f =>
+            16 * (f / slen) + (id % 7).toInt)
+          Multimodal.Asset(id, "y4m",
+            Multimodal.y4mFromFrameLevels(ScW, ScH, levels))
+        }
+      Multimodal.sceneCuts(assets, ScThreshold)
+        .orderBy(col("asset_id"), col("seg"))
     },
 
     "q332_hybrid_rrf" -> { (s, d) =>
@@ -249,6 +278,35 @@ object Wave106 {
          |  min(b.asset_id) OVER (PARTITION BY b.fp) AS gid
          |FROM bits b JOIN e0 USING (asset_id)
          |ORDER BY asset_id""".stripMargin,
+
+    // Replays each frame's luma sum as ONE arithmetic term (constant-
+    // level frames: y_sum = W·H·level), the lag-diff cut flags, and the
+    // same gaps-and-islands fold — a wrong frame walk, luma plane
+    // offset, or island boundary all hash-mismatch.
+    "q333_scene_cuts" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, 2 + doc_id % 3 AS slen, doc_id % 7 AS base
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, u.f AS f,
+         |    ${ScW * ScH} * (16 * (u.f // slen) + base) AS y_sum
+         |  FROM p, unnest(range(0, $ScFrames)) AS u(f)),
+         |d AS (
+         |  SELECT doc_id, f, y_sum,
+         |    CASE WHEN lag(y_sum) OVER w IS NULL THEN 0
+         |         WHEN abs(y_sum - lag(y_sum) OVER w) > $ScThreshold THEN 1
+         |         ELSE 0 END AS cut
+         |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+         |segs AS (
+         |  SELECT doc_id, f, y_sum,
+         |    sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS seg
+         |  FROM d)
+         |SELECT doc_id AS asset_id, CAST(seg AS BIGINT) AS seg,
+         |  min(f) AS start_frame, max(f) AS end_frame,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(y_sum) AS BIGINT) AS y_total
+         |FROM segs GROUP BY 1, 2
+         |ORDER BY asset_id, seg""".stripMargin,
 
     // The q71 lexical leg + the q28 semantic leg, fused by RRF — both
     // legs replay their own certified twins; the fuse is a FULL join +

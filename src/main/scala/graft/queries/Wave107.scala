@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Sharding, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 107 — round 17, part three: the end-to-end CURATION PIPELINE
+  * composition certificate.
+  *
+  *  - q334 CURATION PIPELINE: every stage below is individually
+  *    oracle-certified (q21 exact dedup, q79 Gopher quality rules,
+  *    q323 token chunking, q86 greedy budget packing); this row
+  *    certifies their COMPOSITION — the minimal real training-data
+  *    build: exact-dedup to content representatives → quality-filter →
+  *    chunk into retrieval units → pack chunks into token-budget
+  *    shards → per-shard rollup. A single wrong hand-off (a dropped
+  *    survivor, a filter applied before dedup instead of after, a
+  *    chunk fed to the packer out of order) shifts shard boundaries
+  *    and hash-mismatches, so the certified object is the PIPELINE,
+  *    not any one operator. Output: one row per (bucket, shard) with
+  *    chunk/token/doc counts.
+  *
+  * Scale (100 TB): the composition inherits each stage's own certified
+  * shape — hash-agg dedup (linear), per-row codegen quality rules,
+  * zero-shuffle chunk explode, bucket-parallel sequential packing
+  * (the q86 contract: parallelism = bucket count, each bucket one
+  * ordered stream) — and adds only keyed semi-joins between stages
+  * (survivor ids are skinny relations; AQE broadcasts when small).
+  * Nothing is corpus-quadratic; the rollup is one hash aggregate over
+  * |chunks| rows. */
+object Wave107 {
+
+  private val ChunkW = 16
+  private val ChunkO = 4
+  private val PackBudget = 64L
+  private val PackBuckets = 8
+  private val Stopwords = Seq("the", "a", "of", "and", "is")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q334_curation_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // stage 1: exact dedup — keep the min-id survivor per content fp
+      val survivors = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = docs.join(survivors, Seq("doc_id"), "left_semi")
+      // stage 2: Gopher-rule quality filter (q79's thresholds)
+      val keepIds = TextAnalysis.gopherFilter(deduped, "doc_id", "text",
+          stopwords = Stopwords)
+        .filter(col("keep") === 1)
+        .select(col("id").as("doc_id"))
+      val kept = deduped.join(keepIds, Seq("doc_id"), "left_semi")
+      // stage 3: retrieval-unit chunks (q323's width/overlap), with the
+      // q326 loudly-guarded single-long chunk key
+      val chunks = TextAnalysis.tokenChunks(kept, "doc_id", "text",
+          width = ChunkW, overlap = ChunkO)
+        .withColumn("chunk_id",
+          when(col("chunk_ord") < 100,
+            col("doc_id") * 100 + col("chunk_ord"))
+          .otherwise(expr("raise_error('chunk_id = doc_id*100 + chunk_ord " +
+            "aliases chunks at chunk_ord >= 100; re-key for this corpus')")))
+      // stage 4: greedy token-budget packing of chunks into shards
+      val packed = Sharding.packGreedy(chunks, "chunk_id", "chunk_text",
+        budget = PackBudget, buckets = PackBuckets)
+      // rollup: the certificate object — one row per (bucket, shard)
+      packed.groupBy(col("bucket"), col("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(expr("id DIV 100")).as("n_docs"))
+        .orderBy(col("bucket"), col("shard"))
+    })
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+
+    // The four certified twins composed verbatim: q21's fp grouping,
+    // q79's rule thresholds, q329's chunk CTEs, q86's recursive greedy
+    // pack — then the rollup. Any stage or hand-off drift shifts shard
+    // contents and hash-mismatches.
+    "q334_curation_pipeline" -> {
+      val st = ChunkW - ChunkO
+      val stopLit = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE fp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |survivors AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |dd AS (SELECT d.doc_id, d.text FROM documents d
+         |       JOIN survivors USING (doc_id)),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(list_sum(list_transform($SqlToks, x -> length(x))) AS DOUBLE)
+         |        / len($SqlToks) ELSE 0.0 END AS mean_tok_len,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_filter($SqlToks, x -> list_contains($stopLit, x)))
+         |        AS DOUBLE) / len($SqlToks) ELSE 0.0 END AS stop_frac,
+         |    CASE WHEN len($SqlToks) > 0 THEN
+         |      CAST(len(list_distinct($SqlToks)) AS DOUBLE) / len($SqlToks)
+         |      ELSE 0.0 END AS uniq_frac
+         |  FROM dd),
+         |kept AS (
+         |  SELECT doc_id, text FROM m
+         |  WHERE NOT (n_tokens < 10 OR n_tokens > 5000)
+         |    AND NOT (mean_tok_len < 2.0 OR mean_tok_len > 12.0)
+         |    AND stop_frac >= 0.01 AND uniq_frac >= 0.2),
+         |toks AS (SELECT doc_id, $SqlToks AS tk FROM kept),
+         |nz AS (SELECT doc_id, tk, len(tk) AS ntk FROM toks WHERE len(tk) > 0),
+         |stt AS (
+         |  SELECT doc_id, tk, ntk,
+         |    CASE WHEN ntk <= $ChunkW THEN 1
+         |      ELSE ((ntk - $ChunkW + $st - 1) // $st) * $st + 1 END AS last_s
+         |  FROM nz),
+         |ch AS (
+         |  SELECT doc_id, unnest(range(1, last_s + 1, $st)) AS s, tk
+         |  FROM stt),
+         |chunks AS (
+         |  SELECT doc_id * 100 + (s - 1) // $st AS chunk_id,
+         |    CAST(len(tk[s : least(s + $ChunkW - 1, len(tk))]) AS BIGINT) AS n
+         |  FROM ch),
+         |t AS (
+         |  SELECT chunk_id AS id, n, chunk_id % $PackBuckets AS bucket,
+         |    row_number() OVER (PARTITION BY chunk_id % $PackBuckets
+         |      ORDER BY chunk_id) AS r
+         |  FROM chunks),
+         |g(bucket, r, id, n, shard, used) AS (
+         |  SELECT bucket, r, id, n, CAST(0 AS BIGINT), n FROM t WHERE r = 1
+         |  UNION ALL
+         |  SELECT t.bucket, t.r, t.id, t.n,
+         |    CASE WHEN g.used + t.n > $PackBudget THEN g.shard + 1
+         |         ELSE g.shard END,
+         |    CASE WHEN g.used + t.n > $PackBudget THEN t.n
+         |         ELSE g.used + t.n END
+         |  FROM g JOIN t ON t.bucket = g.bucket AND t.r = g.r + 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, shard,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT id // 100) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1, 2
+         |ORDER BY bucket, shard""".stripMargin
+    })
+}

@@ -99,6 +99,25 @@ class Wave106Spec extends AnyFunSuite with Matchers with SparkFixture {
     ex.getMessage should include("full frames")
   }
 
+  test("q333 law: segments are exactly the planted constant-level runs") {
+    val out = Wave106.queries("q333_scene_cuts")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.length should be > 0
+    out.groupBy(_._1).foreach { case (id, segs) =>
+      val slen = 2 + (id % 3).toInt
+      val base = (id % 7).toInt
+      val expect = (0 until (12 + slen - 1) / slen).map { k =>
+        val start = k * slen
+        val end = math.min((k + 1) * slen - 1, 11)
+        val n = (end - start + 1).toLong
+        (id, k.toLong, start.toLong, end.toLong, n,
+          n * 192L * (16L * k + base))
+      }
+      segs.sortBy(_._2).toSeq shouldBe expect
+    }
+  }
+
   test("q332 law: the fused ranking is the two legs' RRF arithmetic") {
     val out = Wave106.queries("q332_hybrid_rrf")(spark, sfDir).collect()
     out.length should be > 0

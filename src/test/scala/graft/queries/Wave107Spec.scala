@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkFixture
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 107 composition laws: the curation pipeline's shards respect
+  * the token budget, account for every surviving chunk, and number
+  * contiguously per bucket. */
+class Wave107Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("q334 laws: budget respected, chunks conserved, shards contiguous") {
+    val out = Wave107.queries("q334_curation_pipeline")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.length should be > 0
+
+    // every chunk is <= 16 tokens < the 64 budget, so NO shard may
+    // exceed the budget (the oversized-singleton escape can't trigger)
+    all(out.map(_._4)) should be <= 64L
+    all(out.map(_._3)) should be >= 1L
+    all(out.map(_._5)) should be >= 1L
+
+    // shards number contiguously from 0 within each bucket
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq shouldBe (0L until rows.length)
+    }
+
+    // conservation: the pipeline's chunk total equals a stage-wise
+    // recount through the same certified operators
+    val docs = graft.Tables.documents(spark, sfDir)
+    val survivors = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(survivors, Seq("doc_id"), "left_semi")
+    val keptIds = TextAnalysis.gopherFilter(deduped, "doc_id", "text")
+      .filter(col("keep") === 1).select(col("id").as("doc_id"))
+    val kept = deduped.join(keptIds, Seq("doc_id"), "left_semi")
+    val nChunks = TextAnalysis.tokenChunks(kept, "doc_id", "text", 16, 4)
+      .count()
+    out.map(_._3).sum shouldBe nChunks
+    // and the doc-id recount survives the rollup: distinct docs across
+    // shards is the kept-doc count with >= 1 chunk (every kept doc has
+    // >= 1 token here, so == kept count)
+    val nKept = kept.count()
+    TextAnalysis.tokenChunks(kept, "doc_id", "text", 16, 4)
+      .select(col("doc_id")).distinct().count() shouldBe nKept
+  }
+}
