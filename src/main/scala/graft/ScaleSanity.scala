@@ -485,6 +485,72 @@ object ScaleSanity {
           runFully(graft.operators.Graphs.scc(edges, "s", "d",
               maxDiameter = 20, maxRounds = 4)
             .groupBy(col("scc")).agg(count(lit(1)).as("n")))
+        } else if (name == "dhash_hamming_scaled") {
+          // q330 at corpus scale. The certified row's fixture — and ANY
+          // noise-like synthetic raster family — saturates: pooled to
+          // an 8×8 grid, pseudo-random pixels give near-coin-flip
+          // gradient bits with heavy cross-doc correlation, so small
+          // Hamming distances are COMMON and output grows quadratically
+          // in the corpus (the 10× probe measured 20.8M pairs; work
+          // tracked output — the r5 table's output-quadratic reading).
+          // Real photo corpora sit at the other end: pooled structure
+          // is doc-specific. This recipe plants that regime explicitly:
+          // cell-CONSTANT rasters whose 8×8 levels follow a ±1 walk
+          // driven by a per-doc 56-bit splitmix — each doc's dHash IS
+          // its (uniform) mix, cross-doc pairs are birthday-rare, and
+          // the measured growth is the OPERATOR's: per-row decode +
+          // the banded join over ~3 planted pairs/doc.
+          import spark.implicits._
+          val assets = Tables.documents(spark, workDir)
+            .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+            .flatMap { case (id, nChars) =>
+              val w = 16 + (id % 9).toInt
+              val h = 16 + (nChars % 7).toInt
+              // splitmix64 finalizer — per-doc target bit pattern
+              var z = id + 0x9e3779b97f4a7c15L
+              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+              z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+              z = z ^ (z >>> 31)
+              // 8×8 cell levels: row-wise ±1 walk from 8, bit k set ⇒
+              // level DROPS left→right across gradient bit k
+              val lvl = Array.ofDim[Int](8, 8)
+              var cy = 0
+              while (cy < 8) {
+                lvl(cy)(0) = 8
+                var cx = 0
+                while (cx < 7) {
+                  val bit = (z >>> (cy * 7 + cx)) & 1L
+                  lvl(cy)(cx + 1) = lvl(cy)(cx) + (if (bit == 1L) -1 else 1)
+                  cx += 1
+                }
+                cy += 1
+              }
+              val n = w * h
+              val rgb = new Array[Int](3 * n)
+              val idx = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                val y = i / w; val x = i % w
+                val cyy = y * 8 / h; val cxx = x * 8 / w
+                val v = lvl(cyy)(cxx)
+                rgb(3 * i) = v * v; rgb(3 * i + 1) = 2 * v
+                rgb(3 * i + 2) = 40 + v
+                idx(i) =
+                  if ((cyy == 0 && cxx == 0) || (cyy == 3 && cxx == 3) ||
+                      (cyy == 6 && cxx == 5)) 15 - v
+                  else v
+                i += 1
+              }
+              Seq(
+                graft.operators.Multimodal.Asset(id * 4, "bmp",
+                  graft.operators.Multimodal.bmpFromRgb(w, h, rgb)),
+                graft.operators.Multimodal.Asset(id * 4 + 1, "png",
+                  graft.operators.Multimodal.pngFromRgb(w, h, rgb,
+                    (id % 5).toInt)),
+                graft.operators.Multimodal.Asset(id * 4 + 2, "gif",
+                  graft.operators.Multimodal.gifFromIndices(w, h, idx)))
+            }
+          runFully(graft.operators.Multimodal.dHashNearDupPairs(assets, 6, 8))
         } else if (name == "banding_recall_sampled") {
           // q319 at corpus scale, per thresholdCurve's OWN scaladoc:
           // the curve is a bounded-sample statistic — rows=2 floor

@@ -1359,9 +1359,17 @@ object Multimodal {
     * at any corpus size. Output: `(width, height, y_fp, n_frames,
     * n_assets, rep_asset, rep_frame)`, rep = lexicographic min
     * (asset, frame). */
-  def dupFrameGroups(assets: Dataset[Asset]): DataFrame = {
+  /** The per-frame fingerprint relation behind [[dupFrameGroups]],
+    * public since r17 — scene-level dedup (q335) joins it against
+    * [[sceneCuts]]' keyframes. Partition-preserving decode, no
+    * shuffle. */
+  def frameFps(assets: Dataset[Asset]): Dataset[FrameFp] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap(frameFingerprints))
+  }
+
+  def dupFrameGroups(assets: Dataset[Asset]): DataFrame = {
+    frameFps(assets).toDF()
       .groupBy(col("width"), col("height"), col("y_fp"))
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("asset_id")).as("n_assets"),

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 108 — round 17, part four: cross-clip scene dedup and the
+  * gain-proof audio ingest gate — the multimodal tier joining the
+  * composition idioms the text tier already certifies.
+  *
+  *  - q335 DUPLICATE SCENES ACROSS CLIPS: q192 finds byte-identical
+  *    FRAMES; real video re-use is at SCENE grain (a syndicated intro,
+  *    a stock-footage insert spliced into many clips). Compose
+  *    [[Multimodal.sceneCuts]] (q333) with the q192 frame-fingerprint
+  *    relation: each segment is keyed by its KEYFRAME's decoded-luma
+  *    md5, scenes grouping across assets when the same content opens
+  *    them. Output one row per duplicated scene content (≥ 2 scenes).
+  *
+  *  - q336 AUDIO CORPUS GATE: the incremental-ingest idiom (q97/q171/
+  *    q329's frozen-state contract) at audio grain, made gain-proof by
+  *    q331's fingerprint — the corpus holds full-gain recordings, the
+  *    incoming batch arrives RE-ENCODED AT HALF GAIN (every sample
+  *    byte differs, so q112's payload fingerprints can never match),
+  *    and the gate still flags re-posts because the energy-delta
+  *    fingerprint is gain-invariant. The state file is a DISTINCT-fp
+  *    relation persisted through parquet (later batches join it, zero
+  *    corpus recomputation).
+  *
+  * Scale (100 TB): q335 is two partition-preserving decode passes +
+  * one keyed (asset, frame) join + a hash aggregate on the 32-byte
+  * fp — linear. q336's state is distinct-fingerprint-sized (16 bytes a
+  * row), the gate is one keyed join of |batch| against it — the
+  * audio twin of the corpus near-dup state's cost model. */
+object Wave108 {
+
+  private val ScW = 16
+  private val ScH = 12
+  private val ScFrames = 12
+  private val ScThreshold = 1000L
+
+  private val FpFrame = 64
+  private val FpBits = 32
+  private val FpSamples = FpFrame * (FpBits + 1)
+
+  private def sceneAssets(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val slen = 2 + (id % 3).toInt
+        val levels = Array.tabulate(ScFrames)(f =>
+          16 * (f / slen) + (id % 7).toInt)
+        Multimodal.Asset(id, "y4m",
+          Multimodal.y4mFromFrameLevels(ScW, ScH, levels))
+      }
+  }
+
+  private def wavAsset(id: Long, assetId: Long, half: Boolean) = {
+    val full = Array.tabulate(FpSamples) { i =>
+      (((id * 31 + 7L * i * i) % 2001).toInt - 1000) * 2
+    }
+    Multimodal.Asset(assetId, "wav",
+      Multimodal.wavFromPcm16(8000, if (half) full.map(_ / 2) else full))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q335_dup_scenes" -> { (s, d) =>
+      val assets = sceneAssets(s, d)
+      val segs = Multimodal.sceneCuts(assets, ScThreshold).alias("sg")
+      val fps = Multimodal.frameFps(assets).toDF().alias("fp")
+      val keyed = segs.join(fps,
+          col("sg.asset_id") === col("fp.asset_id") &&
+            col("sg.start_frame") === col("fp.frame_idx"))
+        .select(col("sg.asset_id").as("asset_id"), col("sg.seg").as("seg"),
+          col("fp.y_fp").as("y_fp"))
+      keyed.groupBy(col("y_fp"))
+        .agg(count(lit(1)).as("n_scenes"),
+          countDistinct(col("asset_id")).as("n_assets"),
+          min(struct(col("asset_id"), col("seg"))).as("rep"))
+        .where(col("n_scenes") >= 2)
+        .select(col("y_fp"), col("n_scenes"), col("n_assets"),
+          col("rep.asset_id").as("rep_asset"), col("rep.seg").as("rep_seg"))
+        .orderBy(col("y_fp"))
+    },
+
+    "q336_audio_corpus_gate" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // frozen corpus: full-gain recordings of doc_id % 3 != 0
+      val corpus = docs.filter((id: Long) => id % 3 != 0)
+        .map(id => wavAsset(id, id * 2, half = false))
+      val stateDir = Scratch.dir("q336_state", d)
+      Multimodal.audioFingerprints(corpus, FpFrame, FpBits).toDF()
+        .select(col("fp")).distinct()
+        .write.mode("overwrite").parquet(stateDir)
+      // incoming batch: EVERY doc re-encoded at half gain
+      val batch = docs.map(id => wavAsset(id, id * 2 + 1, half = true))
+      Multimodal.audioFingerprints(batch, FpFrame, FpBits).toDF()
+        .join(s.read.parquet(stateDir).withColumn("known", lit(1L)),
+          Seq("fp"), "left")
+        .select(col("asset_id"), col("fp"),
+          coalesce(col("known"), lit(0L)).as("known"))
+        .orderBy(col("asset_id"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q333's planted segmentation + the q192 md5 keyframe fingerprint
+    // (constant-level frames ⇒ 192 repeated decimal values) — a wrong
+    // cut, keyframe index, or fp byte order all hash-mismatch.
+    "q335_dup_scenes" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, 2 + doc_id % 3 AS slen, doc_id % 7 AS base
+         |  FROM documents),
+         |seg AS (
+         |  SELECT doc_id, slen, base,
+         |    unnest(range(0, ($ScFrames + slen - 1) // slen)) AS k
+         |  FROM p),
+         |keyed AS (
+         |  SELECT doc_id AS asset_id, k AS seg,
+         |    md5(array_to_string(list_transform(range(0, ${ScW * ScH}),
+         |      x -> 16 * k + base), ':')) AS y_fp
+         |  FROM seg),
+         |agg AS (
+         |  SELECT y_fp, CAST(count(*) AS BIGINT) AS n_scenes,
+         |    CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets
+         |  FROM keyed GROUP BY 1),
+         |rep AS (
+         |  SELECT y_fp, asset_id AS rep_asset, CAST(seg AS BIGINT) AS rep_seg
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY y_fp
+         |          ORDER BY asset_id, seg) AS rn FROM keyed)
+         |  WHERE rn = 1)
+         |SELECT a.y_fp, a.n_scenes, a.n_assets, r.rep_asset, r.rep_seg
+         |FROM agg a JOIN rep r USING (y_fp)
+         |WHERE a.n_scenes >= 2
+         |ORDER BY a.y_fp""".stripMargin,
+
+    // Replays BOTH sides' fingerprints through the q331 energy
+    // pipeline (no invariance shortcut: the corpus side folds the
+    // full-gain samples, the batch side the exactly-halved ones) and
+    // the distinct-state membership join.
+    "q336_audio_corpus_gate" ->
+      s"""WITH samp AS (
+         |  SELECT doc_id, u.i AS i,
+         |    ((doc_id * 31 + 7 * u.i * u.i) % 2001 - 1000) * 2 AS s
+         |  FROM documents, unnest(range(0, $FpSamples)) AS u(i)),
+         |pcm AS (
+         |  SELECT doc_id, 'c' AS side, i, s FROM samp WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, 'n', i, s // 2 FROM samp),
+         |fr AS (
+         |  SELECT doc_id, side, i // $FpFrame AS f, sum(s * s) AS e
+         |  FROM pcm GROUP BY 1, 2, 3),
+         |bits AS (
+         |  SELECT a.doc_id, a.side,
+         |    CAST(sum(CASE WHEN b.e > a.e
+         |      THEN CAST(1 AS BIGINT) << CAST(a.f AS INT)
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+         |  FROM fr a JOIN fr b
+         |    ON a.doc_id = b.doc_id AND a.side = b.side AND b.f = a.f + 1
+         |  WHERE a.f < $FpBits GROUP BY 1, 2),
+         |state AS (SELECT DISTINCT fp FROM bits WHERE side = 'c'),
+         |newb AS (
+         |  SELECT doc_id * 2 + 1 AS asset_id, fp FROM bits WHERE side = 'n')
+         |SELECT n.asset_id, n.fp,
+         |  CAST(CASE WHEN st.fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS known
+         |FROM newb n LEFT JOIN state st ON n.fp = st.fp
+         |ORDER BY n.asset_id""".stripMargin)
+}

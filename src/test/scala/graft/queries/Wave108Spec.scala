@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 108 laws: cross-clip scene-dedup groups match a local replay of
+  * the planted scene grid, and the audio gate is gain-proof — every
+  * re-encoded re-post of a corpus recording is flagged known. */
+class Wave108Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("q335 law: dup-scene groups replay the planted (scene, base) grid") {
+    val out = Wave108.queries("q335_dup_scenes")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.length should be > 0
+
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    // planted scene key is (k, base): level = 16k + base determines both
+    val planted = ids.flatMap { id =>
+      val slen = 2 + (id % 3).toInt
+      (0 until (12 + slen - 1) / slen).map(k => ((k, id % 7), (id, k.toLong)))
+    }
+    val expect = planted.groupBy(_._1).collect {
+      case ((k, base), g) if g.length >= 2 =>
+        val scenes = g.map(_._2)
+        ((k, base), (scenes.length.toLong,
+          scenes.map(_._1).distinct.length.toLong, scenes.min))
+    }
+    out.length shouldBe expect.size
+    // group stats match: key the output rows by their rep scene's
+    // (seg, base) — rep_asset % 7 recovers base, rep_seg is k
+    val got = out.map { case (_, n, na, ra, rs) =>
+      ((rs.toInt, ra % 7), (n, na, (ra, rs)))
+    }.toMap
+    expect.foreach { case (key, v) => got(key) shouldBe v }
+  }
+
+  test("q336 law: the gate is gain-proof and catches exactly the corpus fingerprints") {
+    val out = Wave108.queries("q336_audio_corpus_gate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length should be > 0
+    val byDoc = out.map { case (aid, fp, known) => ((aid - 1) / 2, fp, known) }
+    // every half-gain re-post of a corpus recording is caught (gain
+    // invariance: its fp equals the full-gain original's in state)
+    byDoc.filter(_._1 % 3 != 0).foreach(_._3 shouldBe 1L)
+    // novel docs are known only via genuine fp collision with state
+    val stateFps = byDoc.filter(_._1 % 3 != 0).map(_._2).toSet
+    byDoc.filter(_._1 % 3 == 0).foreach { case (_, fp, known) =>
+      known shouldBe (if (stateFps.contains(fp)) 1L else 0L)
+    }
+  }
+}
