@@ -550,7 +550,76 @@ object ScaleSanity {
                 graft.operators.Multimodal.Asset(id * 4 + 2, "gif",
                   graft.operators.Multimodal.gifFromIndices(w, h, idx)))
             }
-          runFully(graft.operators.Multimodal.dHashNearDupPairs(assets, 6, 8))
+          // radius 3, not the certified row's 6: bands = maxHamming+1
+          // is forced by the pigeonhole, and 56/7 = 8-bit bands stop
+          // discriminating past ~10⁵ assets (the r17 100× audit
+          // measured the radius-6 form to ~10¹⁰ candidates and a full
+          // disk). 4 bands × 14 bits collide at 2⁻¹⁴ — the scaladoc's
+          // priced corpus-scale setting. Radius-6 AT corpus scale is
+          // the WIDE hash's job — `dhash_wide_scaled` below.
+          runFully(graft.operators.Multimodal.dHashNearDupPairs(assets, 3, 8))
+        } else if (name == "dhash_wide_scaled") {
+          // q337's 210-bit wide hash at FULL radius 6 — the form whose
+          // narrow-hash twin died at 100×: 7 bands × 30 bits collide
+          // at 2⁻³⁰, so candidates stay ~planted-pairs-sized at any
+          // tested corpus. Smooth doc-unique rasters (the
+          // dhash_hamming_scaled construction widened to a 210-bit
+          // splitmix walk, luma range [30, 226]); per doc a BMP + PNG
+          // of the same raster and a PNG with three cells inverted.
+          import spark.implicits._
+          val assets = Tables.documents(spark, workDir)
+            .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+            .flatMap { case (id, nChars) =>
+              val w = 16 + (id % 9).toInt
+              val h = 16 + (nChars % 7).toInt
+              def mix(r: Long): Long = {
+                var z = id * 4 + r + 0x9e3779b97f4a7c15L
+                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+                z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+                z ^ (z >>> 31)
+              }
+              val zs = Array(mix(0), mix(1), mix(2), mix(3))
+              val lvl = Array.ofDim[Int](15, 15)
+              var cy = 0
+              while (cy < 15) {
+                lvl(cy)(0) = 128
+                var cx = 0
+                while (cx < 14) {
+                  val k = cy * 14 + cx
+                  val bit = (zs(k / 60) >>> (k % 60)) & 1L
+                  lvl(cy)(cx + 1) = lvl(cy)(cx) + (if (bit == 1L) -7 else 7)
+                  cx += 1
+                }
+                cy += 1
+              }
+              val n = w * h
+              val rgbB = new Array[Int](3 * n)
+              val rgbP = new Array[Int](3 * n)
+              var i = 0
+              while (i < n) {
+                val y = i / w; val x = i % w
+                val cyy = y * 15 / h; val cxx = x * 15 / w
+                val v = lvl(cyy)(cxx)
+                val vp =
+                  if ((cyy == 0 && cxx == 0) || (cyy == 7 && cxx == 7) ||
+                      (cyy == 13 && cxx == 12)) 255 - v
+                  else v
+                rgbB(3 * i) = v; rgbB(3 * i + 1) = v; rgbB(3 * i + 2) = v
+                rgbP(3 * i) = vp; rgbP(3 * i + 1) = vp; rgbP(3 * i + 2) = vp
+                i += 1
+              }
+              Seq(
+                graft.operators.Multimodal.Asset(id * 4, "bmp",
+                  graft.operators.Multimodal.bmpFromRgb(w, h, rgbB)),
+                graft.operators.Multimodal.Asset(id * 4 + 1, "png",
+                  graft.operators.Multimodal.pngFromRgb(w, h, rgbB,
+                    (id % 5).toInt)),
+                graft.operators.Multimodal.Asset(id * 4 + 2, "png",
+                  graft.operators.Multimodal.pngFromRgb(w, h, rgbP,
+                    (id % 5).toInt + 1)))
+            }
+          runFully(
+            graft.operators.Multimodal.dHashWideNearDupPairs(assets, 6, 15))
         } else if (name == "banding_recall_sampled") {
           // q319 at corpus scale, per thresholdCurve's OWN scaladoc:
           // the curve is a bounded-sample statistic — rows=2 floor

@@ -56,7 +56,7 @@ object SparkEntry {
       graft.queries.Wave75.queries ++ graft.queries.Wave76.queries ++ graft.queries.Wave77.queries ++ graft.queries.Wave78.queries ++ graft.queries.Wave79.queries ++ graft.queries.Wave80.queries ++
       graft.queries.Wave81.queries ++ graft.queries.Wave82.queries ++ graft.queries.Wave83.queries ++ graft.queries.Wave84.queries ++
       graft.queries.Wave85.queries ++ graft.queries.Wave86.queries ++ graft.queries.Wave87.queries ++ graft.queries.Wave88.queries ++ graft.queries.Wave89.queries ++ graft.queries.Wave90.queries ++ graft.queries.Wave91.queries ++ graft.queries.Wave92.queries ++ graft.queries.Wave93.queries ++ graft.queries.Wave94.queries ++ graft.queries.Wave95.queries ++
-      graft.queries.Wave96.queries ++ graft.queries.Wave97.queries ++ graft.queries.Wave98.queries ++ graft.queries.Wave99.queries ++ graft.queries.Wave100.queries ++ graft.queries.Wave101.queries ++ graft.queries.Wave102.queries ++ graft.queries.Wave103.queries ++ graft.queries.Wave104.queries ++ graft.queries.Wave105.queries ++ graft.queries.Wave106.queries ++ graft.queries.Wave107.queries ++ graft.queries.Wave108.queries
+      graft.queries.Wave96.queries ++ graft.queries.Wave97.queries ++ graft.queries.Wave98.queries ++ graft.queries.Wave99.queries ++ graft.queries.Wave100.queries ++ graft.queries.Wave101.queries ++ graft.queries.Wave102.queries ++ graft.queries.Wave103.queries ++ graft.queries.Wave104.queries ++ graft.queries.Wave105.queries ++ graft.queries.Wave106.queries ++ graft.queries.Wave107.queries ++ graft.queries.Wave108.queries ++ graft.queries.Wave109.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -101,5 +101,5 @@ object SparkEntry {
       graft.queries.Wave75.oracleSql ++ graft.queries.Wave76.oracleSql ++ graft.queries.Wave77.oracleSql ++ graft.queries.Wave78.oracleSql ++ graft.queries.Wave79.oracleSql ++ graft.queries.Wave80.oracleSql ++
       graft.queries.Wave81.oracleSql ++ graft.queries.Wave82.oracleSql ++ graft.queries.Wave83.oracleSql ++ graft.queries.Wave84.oracleSql ++
       graft.queries.Wave85.oracleSql ++ graft.queries.Wave86.oracleSql ++ graft.queries.Wave87.oracleSql ++ graft.queries.Wave88.oracleSql ++ graft.queries.Wave89.oracleSql ++ graft.queries.Wave90.oracleSql ++ graft.queries.Wave91.oracleSql ++ graft.queries.Wave92.oracleSql ++ graft.queries.Wave93.oracleSql ++ graft.queries.Wave94.oracleSql ++ graft.queries.Wave95.oracleSql ++
-      graft.queries.Wave96.oracleSql ++ graft.queries.Wave97.oracleSql ++ graft.queries.Wave98.oracleSql ++ graft.queries.Wave99.oracleSql ++ graft.queries.Wave100.oracleSql ++ graft.queries.Wave101.oracleSql ++ graft.queries.Wave102.oracleSql ++ graft.queries.Wave103.oracleSql ++ graft.queries.Wave104.oracleSql ++ graft.queries.Wave105.oracleSql ++ graft.queries.Wave106.oracleSql ++ graft.queries.Wave107.oracleSql ++ graft.queries.Wave108.oracleSql
+      graft.queries.Wave96.oracleSql ++ graft.queries.Wave97.oracleSql ++ graft.queries.Wave98.oracleSql ++ graft.queries.Wave99.oracleSql ++ graft.queries.Wave100.oracleSql ++ graft.queries.Wave101.oracleSql ++ graft.queries.Wave102.oracleSql ++ graft.queries.Wave103.oracleSql ++ graft.queries.Wave104.oracleSql ++ graft.queries.Wave105.oracleSql ++ graft.queries.Wave106.oracleSql ++ graft.queries.Wave107.oracleSql ++ graft.queries.Wave108.oracleSql ++ graft.queries.Wave109.oracleSql
 }

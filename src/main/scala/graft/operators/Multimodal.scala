@@ -299,6 +299,14 @@ object Multimodal {
     * plain hash aggregate. */
   def dHashBmp(a: Asset, grid: Int = 8): ImageDHash = {
     require(grid >= 2 && grid <= 8, s"grid in [2,8]: $grid")
+    val (width, height, luma) = bmpLuma(a)
+    ImageDHash(a.asset_id, width.toLong, height.toLong,
+      poolDHash(width, height, grid, luma))
+  }
+
+  /** Validated 24bpp BMP luma accessor — the parse half of [[dHashBmp]],
+    * shared with the wide-hash path. */
+  private def bmpLuma(a: Asset): (Int, Int, (Int, Int) => Int) = {
     val d = a.data
     // full decodeBmp-grade validation — malformed input fails loudly
     // WITH the asset id (the codec-seam convention), never an executor
@@ -326,12 +334,11 @@ object Multimodal {
     require(off >= 54 && off.toLong + rowSize.toLong * height <= d.length,
       s"BMP asset ${a.asset_id}: pixel data [$off, " +
         s"${off.toLong + rowSize.toLong * height}) outside ${d.length} bytes")
-    val hash = poolDHash(width, height, grid, (px, py) => {
+    (width, height, (px: Int, py: Int) => {
       val srcRow = if (bottomUp) height - 1 - py else py
       val o = off + srcRow * rowSize + px * 3
       (d(o) & 0xff) + (d(o + 1) & 0xff) + (d(o + 2) & 0xff)
     })
-    ImageDHash(a.asset_id, width.toLong, height.toLong, hash)
   }
 
   /** The grid pooling + gradient-bit arithmetic shared by every codec's
@@ -436,14 +443,158 @@ object Multimodal {
     * whose hashes land a few gradient bits away. Banded join via
     * [[Dedup.hammingNearDupPairs(withSim:*]] over the grid·(grid−1)-bit
     * hash (pigeonhole-exact: output is EXACTLY the pairs within
-    * `maxHamming`, all-pairs-oracle-verifiable), then pairs. Scale:
-    * per-row decode + a keyed band join — never all-pairs. */
+    * `maxHamming`, all-pairs-oracle-verifiable), then pairs.
+    *
+    * Scale — PRICE THE RADIUS (the multi-index-hashing cost model,
+    * measured by the r17 100× audit): candidate volume is
+    * ~n²·bands·2^(−bits/bands) with bands = maxHamming+1 forced by the
+    * pigeonhole, so radius 6 over the 56-bit grid-8 hash means 8-bit
+    * bands that stop discriminating past ~10⁵ assets (at 1.5M assets
+    * the audit measured ~10¹⁰ candidates and a filled disk — the r8
+    * fixed-bitsPerTable genre, priced here instead of hidden). At
+    * corpus scale run radius ≤ 3 (4 bands × 14 bits, collision 2⁻¹⁴ —
+    * the `dhash_hamming_scaled` ScaleSanity recipe) or exact-equality
+    * grouping (q280/q327); a billion-asset radius-6 search needs a
+    * WIDER sketch (multi-long dHash at grid ≥ 16), not this 63-bit
+    * surface. */
   def dHashNearDupPairs(assets: Dataset[Asset], maxHamming: Int,
                         grid: Int = 8): DataFrame = {
     Dedup.hammingNearDupPairs(
       dHashImages(assets, grid).toDF()
         .select(col("asset_id").as("doc"), col("dhash").as("sim")),
       maxHamming, grid * (grid - 1))
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+  }
+
+  /** WIDE perceptual hash: grid·(grid−1) gradient bits packed 60 per
+    * long (low bits first; the last long holds the remainder). At
+    * grid 15 that is a 210-bit sketch — the radius-6 corpus-scale
+    * answer the [[dHashNearDupPairs]] scaladoc prices: 7 pigeonhole
+    * bands of 30 bits collide at 2⁻³⁰, so the banded join stays
+    * discriminative to ~10⁹ assets where the 56-bit hash's 8-bit bands
+    * died at ~10⁵ (measured, r17 100× audit). */
+  case class ImageDHashWide(asset_id: Long, width: Long, height: Long,
+                            dhash: Array[Long])
+
+  private def poolDHashWide(width: Int, height: Int, grid: Int,
+                            luma: (Int, Int) => Int): Array[Long] = {
+    val sums = Array.ofDim[Long](grid, grid)
+    val cnts = Array.ofDim[Long](grid, grid)
+    var py = 0
+    while (py < height) {
+      val cy = py * grid / height
+      var px = 0
+      while (px < width) {
+        val cx = px * grid / width
+        sums(cy)(cx) += luma(px, py)
+        cnts(cy)(cx) += 1
+        px += 1
+      }
+      py += 1
+    }
+    val bits = grid * (grid - 1)
+    val out = new Array[Long]((bits + 59) / 60)
+    var cy = 0
+    while (cy < grid) {
+      var cx = 0
+      while (cx < grid - 1) {
+        if (sums(cy)(cx) * cnts(cy)(cx + 1) >
+            sums(cy)(cx + 1) * cnts(cy)(cx)) {
+          val k = cy * (grid - 1) + cx
+          out(k / 60) |= 1L << (k % 60)
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** [[dHashImage]]'s wide twin: same per-codec decoded-luma routing,
+    * [[poolDHashWide]] pooling. Grid must not exceed the smallest
+    * image dimension in the corpus for every cell to own ≥ 1 pixel
+    * (enforced per pooling arithmetic — empty cells would compare
+    * 0-count sums). */
+  def dHashWideImage(a: Asset, grid: Int = 15): ImageDHashWide =
+    a.modality match {
+      case "bmp" =>
+        val (w, h, luma) = bmpLuma(a)
+        ImageDHashWide(a.asset_id, w.toLong, h.toLong,
+          poolDHashWide(w, h, grid, luma))
+      case "png" =>
+        val (w, h, recon) = decodePngRecon(a)
+        val (wi, hi) = (w.toInt, h.toInt)
+        ImageDHashWide(a.asset_id, w, h,
+          poolDHashWide(wi, hi, grid, (px, py) => {
+            val o = 3 * (py * wi + px)
+            recon(o) + recon(o + 1) + recon(o + 2)
+          }))
+      case "gif" =>
+        val (w, h, idx, table) = decodeGifRecon(a)
+        ImageDHashWide(a.asset_id, w.toLong, h.toLong,
+          poolDHashWide(w, h, grid, (px, py) => {
+            val v = idx(py * w + px)
+            (table(3 * v) & 0xff) + (table(3 * v + 1) & 0xff) +
+              (table(3 * v + 2) & 0xff)
+          }))
+      case "jpg" => dHashWideImage(a.copy(modality = "jpeg"), grid)
+      case "jpeg" =>
+        val (w, h, img) = decodeJpegRecon(a)
+        ImageDHashWide(a.asset_id, w.toLong, h.toLong,
+          poolDHashWide(w, h, grid, (px, py) => img(py * w + px)))
+      case m => throw new IllegalArgumentException(
+        s"asset ${a.asset_id}: modality '$m' has no raster to dHash " +
+          "(route only bmp/png/gif/jpeg here)")
+    }
+
+  def dHashWideImages(assets: Dataset[Asset],
+                      grid: Int = 15): Dataset[ImageDHashWide] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a => dHashWideImage(a, grid)))
+  }
+
+  /** Radius search over the WIDE hash: the corpus-scale form of
+    * [[dHashNearDupPairs]]. Pigeonhole bands = maxHamming+1 sliced out
+    * of the packed longs (band width must divide the 60-bit pack so a
+    * band never straddles longs — grid 15 / radius 6 gives 7 × 30-bit
+    * bands); exact Σ-popcount verification on candidates, so output is
+    * EXACTLY the pairs within the radius, all-pairs-oracle-verifiable.
+    * Scale: per-row decode + a keyed band join whose collision rate is
+    * 2^(−bits/bands) — 2⁻³⁰ at the defaults, discriminative to ~10⁹
+    * assets. */
+  def dHashWideNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 6,
+                            grid: Int = 15): DataFrame = {
+    val bits = grid * (grid - 1)
+    val bands = maxHamming + 1
+    require(bits % bands == 0,
+      s"maxHamming+1 ($bands) must divide the $bits-bit hash (grid $grid)")
+    val w = bits / bands
+    require(w <= 60 && 60 % w == 0,
+      s"band width $w must divide the 60-bit pack (grid $grid, " +
+        s"maxHamming $maxHamming)")
+    val nLongs = (bits + 59) / 60
+    val hashes = dHashWideImages(assets, grid).toDF()
+    val banded = hashes.select(col("asset_id").as("doc"),
+      col("dhash").as("sim"),
+      explode(array((0 until bands).map { b =>
+        val li = (b * w) / 60
+        val off = (b * w) % 60
+        lit(b.toLong << 58).bitwiseOR(
+          shiftrightunsigned(col("dhash")(li), off)
+            .bitwiseAND(lit((1L << w) - 1)))
+      }: _*)).as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        (0 until nLongs).map(j =>
+          bit_count(col("sim_a")(j).bitwiseXOR(col("sim_b")(j))))
+          .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
   }

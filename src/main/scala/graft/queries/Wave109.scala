@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 109 — round 17, part five: the WIDE perceptual hash — the
+  * corpus-scale radius search the q330 audit priced.
+  *
+  *  - q337 WIDE-DHASH RADIUS NEAR-DUP
+  *    ([[Multimodal.dHashWideNearDupPairs]]): the r17 100× audit
+  *    MEASURED the 56-bit hash's radius-6 banding degenerating
+  *    (pigeonhole forces 7 bands ⇒ 8-bit bands ⇒ ~10¹⁰ candidates at
+  *    1.5M assets — disk filled, run killed; the r8 fixed-bitsPerTable
+  *    genre). The fix is sketch WIDTH, not a different algorithm: at
+  *    grid 15 the hash is 210 bits packed 60-per-long, the same 7
+  *    pigeonhole bands are 30 bits wide, band collisions drop to 2⁻³⁰,
+  *    and the join stays discriminative to ~10⁹ assets. Same exactness
+  *    contract (output is EXACTLY the pairs within the radius — the
+  *    all-pairs oracle below verifies Σ-popcount over the 4-long
+  *    sketch), same cross-codec decode routing, same planted fixture
+  *    family as q330 (BMP+PNG identical rasters, GIF with three grid
+  *    cells repainted).
+  *
+  * Scale (100 TB): per-row decode + one keyed band join; the
+  * `dhash_wide_scaled` ScaleSanity recipe measures the radius-6 form
+  * at 10×/100× where the narrow hash died. */
+object Wave109 {
+
+  private val WGrid = 15            // 210-bit hash; fixture dims are >= 16
+  private val WMaxHamming = 6       // 7 bands × 30 bits
+  private val WEditCells = Seq((0, 0), (7, 7), (13, 12))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q337_dhash_wide" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .flatMap { case (id, nChars) =>
+          val w = 16 + (id % 9).toInt
+          val h = 16 + (nChars % 7).toInt
+          val n = w * h
+          val rgb = new Array[Int](3 * n)
+          val idx = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val v = (((id + 7L * i) % 16 + 16) % 16).toInt
+            rgb(3 * i) = v * v
+            rgb(3 * i + 1) = 2 * v
+            rgb(3 * i + 2) = 40 + v
+            val y = i / w; val x = i % w
+            val cy = y * WGrid / h; val cx = x * WGrid / w
+            idx(i) = if (WEditCells.contains((cy, cx))) 15 - v else v
+            i += 1
+          }
+          Seq(
+            Multimodal.Asset(id * 4, "bmp",
+              Multimodal.bmpFromRgb(w, h, rgb)),
+            Multimodal.Asset(id * 4 + 1, "png",
+              Multimodal.pngFromRgb(w, h, rgb, (id % 5).toInt)),
+            Multimodal.Asset(id * 4 + 2, "gif",
+              Multimodal.gifFromIndices(w, h, idx)))
+        }
+      Multimodal.dHashWideNearDupPairs(assets, WMaxHamming, WGrid)
+        .orderBy(col("asset_a"), col("asset_b"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Replays base AND edited lumas through the 15×15 pooling, the
+    // cross-multiplied gradient bits PACKED 60-per-long, then an
+    // ALL-PAIRS Σ-popcount Hamming join over the 4-long sketch —
+    // exactly what the 30-bit-band plan must equal.
+    "q337_dhash_wide" -> {
+      val edited = WEditCells
+        .map { case (y, x) => s"(cy = $y AND cx = $x)" }.mkString(" OR ")
+      def hashCols(s: String, pre: String) = (0 until 4).map { j =>
+        s"""CAST(sum(CASE WHEN (a.cy * ${WGrid - 1} + a.cx) // 60 = $j
+           |      AND a.$s * b.n > b.$s * a.n
+           |      THEN CAST(1 AS BIGINT)
+           |        << CAST((a.cy * ${WGrid - 1} + a.cx) % 60 AS INT)
+           |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS $pre$j""".stripMargin
+      }.mkString(",\n    ")
+      // bit_count returns a 1-byte int in DuckDB — summing four of
+      // them overflows at 128 without the widening cast
+      val ham = (0 until 4)
+        .map(j => s"CAST(bit_count(xor(a.h$j, b.h$j)) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT doc_id, 16 + doc_id % 9 AS w, 16 + n_chars % 7 AS h
+         |  FROM documents),
+         |lum AS (
+         |  SELECT doc_id,
+         |    (doc_id + 7 * (uy.y * w + ux.x)) % 16 AS v,
+         |    uy.y * $WGrid // h AS cy, ux.x * $WGrid // w AS cx
+         |  FROM p, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)),
+         |lum2 AS (
+         |  SELECT doc_id, cy, cx, v,
+         |    CASE WHEN $edited THEN 15 - v ELSE v END AS vp
+         |  FROM lum),
+         |cells AS (
+         |  SELECT doc_id, cy, cx,
+         |    sum(v * v + 3 * v + 40) AS s0,
+         |    sum(vp * vp + 3 * vp + 40) AS s1,
+         |    count(*) AS n
+         |  FROM lum2 GROUP BY 1, 2, 3),
+         |hashes AS (
+         |  SELECT a.doc_id,
+         |    ${hashCols("s0", "f0_")},
+         |    ${hashCols("s1", "f1_")}
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         |  GROUP BY 1),
+         |assets AS (
+         |  SELECT doc_id * 4 AS asset_id,
+         |    f0_0 AS h0, f0_1 AS h1, f0_2 AS h2, f0_3 AS h3 FROM hashes
+         |  UNION ALL SELECT doc_id * 4 + 1, f0_0, f0_1, f0_2, f0_3 FROM hashes
+         |  UNION ALL SELECT doc_id * 4 + 2, f1_0, f1_1, f1_2, f1_3 FROM hashes)
+         |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |  CAST($ham AS BIGINT) AS hamming
+         |FROM assets a JOIN assets b ON a.asset_id < b.asset_id
+         |WHERE $ham <= $WMaxHamming
+         |ORDER BY asset_a, asset_b""".stripMargin
+    })
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.SparkFixture
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wave 109 laws: wide-hash banding is exactly brute-force Σ-popcount
+  * Hamming, the cross-codec zero pair and the planted-edit pair
+  * survive the width change, and wide hashes refine the narrow ones. */
+class Wave109Spec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def fixtureAssets = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (nChars % 7).toInt
+        val n = w * h
+        val rgb = new Array[Int](3 * n)
+        val idx = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val v = (((id + 7L * i) % 16 + 16) % 16).toInt
+          rgb(3 * i) = v * v; rgb(3 * i + 1) = 2 * v; rgb(3 * i + 2) = 40 + v
+          val y = i / w; val x = i % w
+          val cy = y * 15 / h; val cx = x * 15 / w
+          idx(i) =
+            if (Seq((0, 0), (7, 7), (13, 12)).contains((cy, cx))) 15 - v
+            else v
+          i += 1
+        }
+        Seq(Multimodal.Asset(id * 4, "bmp", Multimodal.bmpFromRgb(w, h, rgb)),
+          Multimodal.Asset(id * 4 + 1, "png",
+            Multimodal.pngFromRgb(w, h, rgb, (id % 5).toInt)),
+          Multimodal.Asset(id * 4 + 2, "gif",
+            Multimodal.gifFromIndices(w, h, idx)))
+      }
+  }
+
+  test("q337 banding is EXACTLY brute-force wide Hamming <= 6; planted pairs found") {
+    val out = Wave109.queries("q337_dhash_wide")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length should be > 0
+
+    val hs = Multimodal.dHashWideImages(fixtureAssets, 15).collect()
+      .map(d => d.asset_id -> d.dhash).sortBy(_._1)
+    val brute = for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      ham = hs(i)._2.zip(hs(j)._2)
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if ham <= 6
+    } yield (hs(i)._1, hs(j)._1, ham.toLong)
+    out.sorted shouldBe brute.sorted
+
+    val byPair = out.map { case (a, b, ham) => (a, b) -> ham }.toMap
+    val docIds = hs.map(_._1 / 4).distinct
+    docIds.foreach { id =>
+      byPair.get((id * 4, id * 4 + 1)) shouldBe Some(0L)
+      byPair should contain key ((id * 4, id * 4 + 2))
+    }
+    docIds.count(id => byPair((id * 4, id * 4 + 2)) > 0) should be > 0
+  }
+
+  test("the wide hash's 30-bit bands reject what the narrow 8-bit bands admit") {
+    // band-collision arithmetic, the scale claim in miniature: for the
+    // same fixture, count band-key collisions between assets of
+    // DIFFERENT documents under both hashes — the wide hash must
+    // produce strictly fewer cross-doc candidates per asset
+    val narrow = Multimodal.dHashImages(fixtureAssets, 8).collect()
+      .map(d => d.asset_id -> d.dhash)
+    val wide = Multimodal.dHashWideImages(fixtureAssets, 15).collect()
+      .map(d => d.asset_id -> d.dhash)
+    def crossCands(keys: Seq[(Long, Seq[Long])]): Long =
+      keys.flatMap { case (id, ks) => ks.map(k => (k, id)) }
+        .groupBy(_._1).values.map { g =>
+          val ids = g.map(_._2 / 4).distinct.size.toLong
+          ids * (ids - 1) / 2
+        }.sum
+    val narrowCands = crossCands(narrow.toSeq.map { case (id, h) =>
+      id -> (0 until 7).map(b => (b.toLong << 58) | ((h >>> (b * 8)) & 0xffL))
+    })
+    val wideCands = crossCands(wide.toSeq.map { case (id, h) =>
+      id -> (0 until 7).map { b =>
+        val li = (b * 30) / 60; val off = (b * 30) % 60
+        (b.toLong << 58) | ((h(li) >>> off) & ((1L << 30) - 1))
+      }
+    })
+    wideCands should be < narrowCands
+  }
+}
