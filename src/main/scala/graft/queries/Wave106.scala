@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   *    edited variant pairs within the radius, not at zero). Reference
   *    frame: the §2.10 multimodal near-dup charter (SURVEY §2.10d), the
   *    radius tier q112 certifies for raw payload bytes, now over
-  *    DECODED pixels.
+  *    DECODED pixels. Scale: [[Multimodal.dHashNearDupPairs]]'s
+  *    scaladoc PRICES the radius (pigeonhole bands = maxHamming+1 ⇒
+  *    8-bit bands at radius 6, discriminative to ~10⁵ assets — the
+  *    r17 100× audit measured the degeneration); corpus-scale radius-6
+  *    search is q337's 210-bit WIDE hash (30-bit bands, 2⁻³⁰).
   *
   *  - q331 GAIN-INVARIANT AUDIO FINGERPRINT
   *    ([[Multimodal.audioFingerprints]]): "same recording, different
