@@ -73,17 +73,24 @@ def main():
 
     text = BASELINE.read_text()
     lines = text.splitlines(keepends=True)
-    # the freeze table's rows look like: | q26_minhash_neardup | 2.57 | ...
-    row_re = re.compile(r"^\| (q[A-Za-z0-9_]+) \|")
-    last_row_idx = None
-    existing = {}
+    # anchor on the FREEZE table specifically: its rows end at the
+    # `| **total** |` line. Matching the last `| qNN |` line anywhere in
+    # the file lands in a scale table (the r17 misplacement bug).
+    total_idx = None
     for idx, line in enumerate(lines):
-        m = row_re.match(line)
+        if line.startswith("| **total** |"):
+            total_idx = idx
+            break
+    if total_idx is None:
+        sys.exit("no freeze table (| **total** | row) found in BASELINE.md")
+    # freeze rows look like `| q26_minhash_neardup | 2.57 | 2026-... |`
+    # and live ABOVE the total row
+    row_re = re.compile(r"^\| (q[A-Za-z0-9_]+) \| [0-9.]+ \| \d{4}-")
+    existing = {}
+    for idx in range(total_idx):
+        m = row_re.match(lines[idx])
         if m:
             existing[m.group(1)] = idx
-            last_row_idx = idx
-    if last_row_idx is None:
-        sys.exit("no freeze table found in BASELINE.md")
 
     def fmt(name, sec, note):
         if provisional and floor > FLOOR_LIMIT_MS:
@@ -95,15 +102,16 @@ def main():
                 f"floor {floor:.0f} ms at freeze"
         return f"| {name} | {sec} | {day} | {note} |\n"
 
-    # updates first (stable indices), then appends after the last row
+    # updates first (stable indices), then appends just above the
+    # total row (insertions below any updated index keep those stable)
     for name, sec, note in rows:
         if name in existing:
             lines[existing[name]] = fmt(name, sec, note)
             print(f"updated {name} = {sec}")
     for name, sec, note in rows:
         if name not in existing:
-            last_row_idx += 1
-            lines.insert(last_row_idx, fmt(name, sec, note))
+            lines.insert(total_idx, fmt(name, sec, note))
+            total_idx += 1
             print(f"added {name} = {sec}")
     BASELINE.write_text("".join(lines))
     print(f"froze {len(rows)} row(s) at floor {floor:.1f} ms"
