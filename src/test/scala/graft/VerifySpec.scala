@@ -70,7 +70,7 @@ class VerifySpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Wave72.queries, queries.Wave73.queries,
       queries.Wave74.queries, queries.Wave75.queries,
       queries.Wave76.queries, queries.Wave77.queries, queries.Wave78.queries, queries.Wave79.queries, queries.Wave80.queries,
-      queries.Wave81.queries, queries.Wave82.queries, queries.Wave83.queries, queries.Wave84.queries, queries.Wave85.queries, queries.Wave86.queries, queries.Wave87.queries, queries.Wave88.queries, queries.Wave89.queries, queries.Wave90.queries, queries.Wave91.queries, queries.Wave92.queries, queries.Wave93.queries, queries.Wave94.queries, queries.Wave95.queries, queries.Wave96.queries, queries.Wave97.queries, queries.Wave98.queries, queries.Wave99.queries, queries.Wave100.queries, queries.Wave101.queries, queries.Wave102.queries, queries.Wave103.queries, queries.Wave104.queries)
+      queries.Wave81.queries, queries.Wave82.queries, queries.Wave83.queries, queries.Wave84.queries, queries.Wave85.queries, queries.Wave86.queries, queries.Wave87.queries, queries.Wave88.queries, queries.Wave89.queries, queries.Wave90.queries, queries.Wave91.queries, queries.Wave92.queries, queries.Wave93.queries, queries.Wave94.queries, queries.Wave95.queries, queries.Wave96.queries, queries.Wave97.queries, queries.Wave98.queries, queries.Wave99.queries, queries.Wave100.queries, queries.Wave101.queries, queries.Wave102.queries, queries.Wave103.queries, queries.Wave104.queries, queries.Wave105.queries, queries.Wave106.queries, queries.Wave107.queries, queries.Wave108.queries, queries.Wave109.queries)
     waves.map(_.size).sum shouldBe qs.size // no cross-wave name clash
   }
 
