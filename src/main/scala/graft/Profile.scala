@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** Measurement harness for the optimization rounds (guide §1: measure
+  * first). NOT part of the driver contract — Bench remains the timing
+  * artifact; this main answers "where does the time actually go" for a
+  * named query:
+  *
+  *   - per-JOB wall clock + description (many sub-100ms jobs ⇒ the
+  *     dispatch floor dominates; a few heavy jobs ⇒ real compute),
+  *   - per-STAGE executor CPU vs shuffle read/write bytes (which side of
+  *     an exchange is hot),
+  *   - optional `.explain("formatted")` dump per query to
+  *     `SPARK_GRAFT_EXPLAIN_DIR` (the plans/r17 before/after artifacts).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Profile q309_stream_corpus_build"
+  */
+object Profile {
+  private final class Acc extends SparkListener {
+    final case class Job(id: Int, desc: String, ms: Long, nStages: Int)
+    val jobs = new scala.collection.mutable.ArrayBuffer[Job]
+    val starts = new scala.collection.mutable.HashMap[Int, (Long, String, Int)]
+    var stageTaskMs = 0L     // sum of task executor run time
+    var stageCpuMs = 0L      // sum of task executor cpu time
+    var shuffleReadB = 0L
+    var shuffleWriteB = 0L
+    var inputB = 0L
+    var nTasks = 0L
+    var nStages = 0L
+    final case class St(id: Int, name: String, ms: Long, taskMs: Long)
+    val stages = new scala.collection.mutable.ArrayBuffer[St]
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      starts(j.jobId) = (j.time,
+        Option(j.properties).flatMap(p =>
+          Option(p.getProperty("spark.job.description"))).getOrElse(""),
+        j.stageIds.size)
+    override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      starts.remove(j.jobId).foreach { case (t0, desc, ns) =>
+        jobs += Job(j.jobId, desc, j.time - t0, ns)
+      }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val i = s.stageInfo
+      nStages += 1
+      nTasks += i.numTasks
+      stageTaskMs += i.taskMetrics.executorRunTime
+      stageCpuMs += i.taskMetrics.executorCpuTime / 1000000L
+      shuffleReadB += i.taskMetrics.shuffleReadMetrics.totalBytesRead
+      shuffleWriteB += i.taskMetrics.shuffleWriteMetrics.bytesWritten
+      inputB += i.taskMetrics.inputMetrics.bytesRead
+      val wall = (for { a <- i.completionTime; b <- i.submissionTime }
+        yield a - b).getOrElse(0L)
+      stages += St(i.stageId, i.name, wall, i.taskMetrics.executorRunTime)
+    }
+    def reset(): Unit = {
+      jobs.clear(); starts.clear()
+      stageTaskMs = 0; stageCpuMs = 0; shuffleReadB = 0; shuffleWriteB = 0
+      inputB = 0; nTasks = 0; nStages = 0; stages.clear()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "1").toInt
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctionRegistry.register(spark)
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    // session warm-up, mirroring Bench
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    try Tables.all.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
+    catch { case _: Throwable => () }
+    val names =
+      if (args.isEmpty) sys.error("pass query names") else args.toSeq
+    for (name <- names) {
+      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown: $name"))
+      explainDir.foreach { dir =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        spark.catalog.clearCache()
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$name.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      var best = Double.MaxValue
+      for (r <- 1 to reps) {
+        spark.catalog.clearCache()
+        acc.reset()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the listener bus drain
+        best = math.min(best, dt)
+        val js = acc.jobs.sortBy(-_.ms)
+        println(f"== $name rep $r: $dt%.2fs wall | ${acc.jobs.size} jobs, " +
+          f"${acc.nStages} stages, ${acc.nTasks} tasks | " +
+          f"task ${acc.stageTaskMs / 1000.0}%.1fs cpu ${acc.stageCpuMs / 1000.0}%.1fs | " +
+          f"in ${acc.inputB / 1e6}%.0fMB shufR ${acc.shuffleReadB / 1e6}%.0fMB " +
+          f"shufW ${acc.shuffleWriteB / 1e6}%.0fMB")
+        val floor = acc.jobs.count(_.ms < 150)
+        println(f"   jobs<150ms: $floor (${js.filter(_.ms < 150).map(_.ms).sum / 1000.0}%.1fs)" +
+          f" | top jobs: " + js.take(8).map(j =>
+            f"#${j.id}:${j.ms / 1000.0}%.2fs").mkString(" "))
+        acc.stages.sortBy(-_.ms).take(12).foreach(s =>
+          println(f"     stage#${s.id} wall ${s.ms / 1000.0}%.2fs task ${s.taskMs / 1000.0}%.1fs  ${s.name.take(100)}"))
+      }
+      println(f"== $name best: $best%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -405,6 +405,67 @@ object NativeExpr {
       copy(left = newLeft, right = newRight)
   }
 
+  /** |a ∩ b| for two SORTED-ASCENDING DISTINCT non-null string arrays
+    * (the `ts` token/shingle-set contract: built by `sort_array` or a
+    * sorted set, elements pure ASCII so UTF-16 and UTF-8 binary orders
+    * coincide) — a single merge pass over `UTF8String` comparisons.
+    * Value-identical to `size(array_intersect(a, b))` on such inputs
+    * (both count common distinct elements; DedupSpec pins the equality
+    * on the tokenizer's output), but allocation-free: `array_intersect`
+    * builds a hash set + output array per ROW, which dominated the
+    * near-dup verify stages (measured ~500 s task time on the sf0.1
+    * chunk-grain verify; guide §1.2 "per-task work"). Used by the exact
+    * Jaccard verify `c / (|a| + |b| - c)`. */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<string>, array<string>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_inter_size"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var cnt = 0
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { cnt += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      cnt
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (av, bv) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val cnt = ctx.freshName("cnt"); val cmp = ctx.freshName("cmp")
+        s"""
+         |int $na = $av.numElements();
+         |int $nb = $bv.numElements();
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $cmp = $av.getUTF8String($i).compareTo($bv.getUTF8String($j));
+         |  if ($cmp == 0) { $cnt++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+         |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Unicode NFC normalization over a string column, via the JDK's
     * `java.text.Normalizer` (a static call — no library). The encoding-
     * hygiene pass every text pipeline runs before fingerprinting:
@@ -477,4 +538,6 @@ object NativeExpr {
   def minhashSig(hashes: Column, perms: Array[(Long, Long)]): Column =
     c(MinHashSigF(x(hashes), perms.toIndexedSeq, HashFunctions.Prime))
   def nfc(s: Column): Column = c(NfcNormalize(x(s)))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    c(SortedIntersectSize(x(a), x(b)))
 }

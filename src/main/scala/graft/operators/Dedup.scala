@@ -119,7 +119,14 @@ object Dedup {
     * oracle computes it: |a∩b| / (|a|+|b|-|a∩b|) on small ints (exact in
     * double). */
   private def jac(a: Column, b: Column): Column = {
-    val c = size(array_intersect(a, b)).cast("double")
+    // codegen merge-intersection over the sorted distinct `ts` arrays —
+    // value-identical to size(array_intersect(a, b)) on the docSets
+    // contract (sorted ascending, distinct, non-null ASCII tokens) but
+    // allocation-free per pair; the verify stages run this once per
+    // LSH/prefix candidate, so the kernel is the hot loop (guide §1.2
+    // "per-task work": measured ~40% of the chunk-grain verify CPU).
+    val c = graft.functions.NativeExpr
+      .sortedIntersectSize(a, b).cast("double")
     c / (size(a) + size(b) - c)
   }
 
@@ -250,6 +257,7 @@ object Dedup {
     val tDec = lit(new java.math.BigDecimal(java.lang.Double.toString(threshold)))
     val skHashUdf = udf((sk: String) => skHash(sk))
     val prefix = ordered.select(skHashUdf(col("sk")).as("h"),
+      size(col("ts_o")).as("n"),
       explode(slice(col("ts_o"), lit(1),
         greatest(lit(1),
           (size(col("ts_o")) - ceil(size(col("ts_o")) * tDec) + 1)
@@ -257,7 +265,8 @@ object Dedup {
         .as("tok"))
     val candPairs = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.h") < col("b.h"))
+        col("a.tok") === col("b.tok") && col("a.h") < col("b.h") &&
+          sizeGate(col("a.n"), col("b.n"), threshold))
       .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
     val qualified = verifySetPairs(candPairs, groups, threshold)
     sameSetPairs(sets).unionByName(expandSetPairs(qualified, sets))
@@ -534,6 +543,11 @@ object Dedup {
     if (bound < 0) return -1
     if (m - n > bound) return -1
     if (n == 0) return m // m <= bound by the guard above
+    // equality fast path: near-dup candidate sets are full of EXACT
+    // duplicates (same bytes, different ids), and the banded DP costs
+    // O(len·bound) on them for an answer an O(len) scan gives — lev = 0
+    // iff the code-point arrays are equal, identical to the DP's result.
+    if (n == m && java.util.Arrays.equals(x, y)) return 0
     val Inf = Int.MaxValue / 2
     var prev = new Array[Int](n + 1)
     var cur = new Array[Int](n + 1)
@@ -605,7 +619,8 @@ object Dedup {
     val corpGroups = setGroups(corpSets).cache()
     val cand = bandedKeys(newGroups, perms, bands, rows).as("a")
       .join(bandedKeys(corpGroups, perms, bands, rows).as("b"),
-        col("a.key") === col("b.key"))
+        col("a.key") === col("b.key") &&
+          sizeGate(col("a.n"), col("b.n"), threshold))
       .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
     val skHashUdf = udf((sk: String) => skHash(sk))
     val qualified = smallVocab(newGroups.unionByName(corpGroups)) match {
@@ -666,16 +681,43 @@ object Dedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val perms = H.permutations(k, seed)
-    val sets = docSets(corpusDocs, idCol, textCol).cache()
-    val groups = setGroups(sets)
-    val keys = bandedKeys(groups, perms, bands, rows)
-      .groupBy(col("h")).agg(collect_list(col("key")).as("keys"))
-    val docsPerSk = sets.groupBy(col("sk"))
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
-    val skHashUdf = udf((sk: String) => skHash(sk))
-    groups.withColumn("h", skHashUdf(col("sk")))
-      .join(docsPerSk, "sk")
-      .join(keys, "h")
+    val spark = corpusDocs.sparkSession
+    // ONE exchange (guide §2.4): group docs by set key carrying ts +
+    // sorted doc list, then attach (h, keys) IN-ROW with a typed map —
+    // the old shape exploded band keys and re-grouped them by h, then
+    // re-attached both aggregates with two more joins (5 exchanges, and
+    // with AQE each exchange is its own dispatched job; the corpus-build
+    // fold runs this once per micro-batch). The explicit repartition on
+    // sk pins the sketch kernel's parallelism at the session's shuffle
+    // partitioning (scale-adaptive via spark.sql.shuffle.partitions):
+    // state rows are small in BYTES but the minhash kernel is heavy in
+    // COMPUTE, so AQE's byte-based coalescing would serialize it
+    // (measured: three ~3 s single-task stages on the sf0.1 chunk-grain
+    // build). Band order in `keys` is deterministic (band 0..bands-1);
+    // the old collect_list order was arrival-dependent — consumers only
+    // ever explode the array, so the set is what matters.
+    val grouped = docSets(corpusDocs, idCol, textCol)
+      .repartition(col("sk"))
+      .groupBy(col("sk"))
+      .agg(first(col("ts")).as("ts"),
+        sort_array(collect_list(col("doc"))).as("docs"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      grouped.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("keys",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    grouped.mapPartitions { rs =>
+      rs.map { r =>
+        val sk = r.getString(0)
+        val ts = r.getSeq[String](1)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
+          skHash(sk), sigBandKeys(ts, perms, bands, rows).toSeq))
+      }
+    }(enc)
       .select(col("h"), col("sk"), col("ts"), col("docs"), col("keys"))
   }
 
@@ -702,9 +744,10 @@ object Dedup {
     val newSets = docSets(newDocs, idCol, textCol).cache()
     val newGroups = setGroups(newSets).cache()
     val cand = bandedKeys(newGroups, perms, bands, rows).as("a")
-      .join(corpusState.select(col("h").as("h_b"),
+      .join(corpusState.select(col("h").as("h_b"), size(col("ts")).as("n_b"),
         explode(col("keys")).as("key")).as("b"),
-        col("a.key") === col("b.key"))
+        col("a.key") === col("b.key") &&
+          sizeGate(col("a.n"), col("n_b"), threshold))
       .select(col("a.h").as("h_a"), col("h_b"))
       .dropDuplicates("h_a", "h_b")
     val skHashUdf = udf((sk: String) => skHash(sk))
@@ -741,10 +784,15 @@ object Dedup {
     * consumer (q171 runs exactly this). */
   def nearDupPairsWithinState(state: DataFrame,
                               threshold: Double): DataFrame = {
-    val banded = state.select(col("h"), explode(col("keys")).as("key"))
+    // size(ts) rides the band explode so the sizeGate can drop
+    // can't-possibly-verify collisions BEFORE the dedup shuffle and the
+    // ts-payload joins (provably result-identical; see sizeGate)
+    val banded = state.select(col("h"), size(col("ts")).as("n"),
+      explode(col("keys")).as("key"))
     val cand = banded.as("a")
       .join(banded.as("b"),
-        col("a.key") === col("b.key") && col("a.h") < col("b.h"))
+        col("a.key") === col("b.key") && col("a.h") < col("b.h") &&
+          sizeGate(col("a.n"), col("b.n"), threshold))
       .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
       .dropDuplicates("h_a", "h_b")
     val payload = state.select(col("h"), col("ts"), col("docs"))
@@ -782,9 +830,12 @@ object Dedup {
     * scans + the banded join — zero tokenization on either side. */
   def nearDupPairsBetweenStates(stateNew: DataFrame, stateCorpus: DataFrame,
                                 threshold: Double): DataFrame = {
-    val bn = stateNew.select(col("h").as("h_a"), explode(col("keys")).as("key"))
-    val bc = stateCorpus.select(col("h").as("h_b"), explode(col("keys")).as("key"))
+    val bn = stateNew.select(col("h").as("h_a"), size(col("ts")).as("n_a"),
+      explode(col("keys")).as("key"))
+    val bc = stateCorpus.select(col("h").as("h_b"), size(col("ts")).as("n_b"),
+      explode(col("keys")).as("key"))
     val cand = bn.join(bc, "key")
+      .filter(sizeGate(col("n_a"), col("n_b"), threshold))
       .select(col("h_a"), col("h_b"))
       .dropDuplicates("h_a", "h_b")
     cand
@@ -915,48 +966,75 @@ object Dedup {
     * Shared by the self-join near-dup path and the cross-corpus path
     * (where the frozen side's band keys are the natural thing to
     * persist between ingestion batches). */
+  /** MinHash band keys for one sorted distinct token array — the JVM
+    * kernel shared by [[bandedKeys]] (exploded join shape) and
+    * [[corpusNearDupState]] (in-row array shape). Deterministic: band
+    * `bnd`'s key folds sig rows [bnd·rows, (bnd+1)·rows). */
+  private def sigBandKeys(ts: Seq[String], perms: Array[(Long, Long)],
+                          bands: Int, rows: Int): Array[Long] = {
+    val P = H.Prime
+    val n = ts.length
+    val hashes = new Array[Long](n)
+    var i = 0
+    ts.foreach { t =>
+      hashes(i) =
+        (scala.util.hashing.MurmurHash3.stringHash(t, 0xe17a1465).toLong &
+          Long.MaxValue) % P
+      i += 1
+    }
+    val sig = new Array[Long](perms.length)
+    var j = 0
+    while (j < perms.length) {
+      val (a, b) = perms(j)
+      var mn = P
+      var x = 0
+      while (x < n) {
+        val v = (hashes(x) * a + b) % P
+        if (v < mn) mn = v
+        x += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    val keys = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var key = bnd.toLong * 0x9E3779B97F4A7C15L
+      var r = bnd * rows
+      while (r < (bnd + 1) * rows) {
+        key = key * 0x100000001B3L + sig(r)
+        r += 1
+      }
+      keys(bnd) = key
+      bnd += 1
+    }
+    keys
+  }
+
   private def bandedKeys(groups: DataFrame, perms: Array[(Long, Long)],
                          bands: Int, rows: Int): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
-    val P = H.Prime
     groups.select(col("sk"), col("ts")).as[(String, Seq[String])]
       .flatMap { case (sk, ts) =>
         val h = skHash(sk)
         val n = ts.length
-        val hashes = new Array[Long](n)
-        var i = 0
-        ts.foreach { t =>
-          hashes(i) =
-            (scala.util.hashing.MurmurHash3.stringHash(t, 0xe17a1465).toLong &
-              Long.MaxValue) % P
-          i += 1
-        }
-        val sig = new Array[Long](perms.length)
-        var j = 0
-        while (j < perms.length) {
-          val (a, b) = perms(j)
-          var mn = P
-          var x = 0
-          while (x < n) {
-            val v = (hashes(x) * a + b) % P
-            if (v < mn) mn = v
-            x += 1
-          }
-          sig(j) = mn
-          j += 1
-        }
-        (0 until bands).iterator.map { bnd =>
-          var key = bnd.toLong * 0x9E3779B97F4A7C15L
-          var r = bnd * rows
-          while (r < (bnd + 1) * rows) {
-            key = key * 0x100000001B3L + sig(r)
-            r += 1
-          }
-          (h, key)
-        }
-      }.toDF("h", "key")
+        val keys = sigBandKeys(ts, perms, bands, rows)
+        keys.iterator.map(key => (h, key, n))
+      }.toDF("h", "key", "n")
   }
+
+  /** Size gate on a candidate pair: `jac(A,B) <= min(|A|,|B|) /
+    * max(|A|,|B|)` (the intersection is at most the smaller set, the
+    * union at least the larger), so a pair failing `min/max >= t` can
+    * NEVER verify at `t` — dropping it before the payload joins is
+    * provably result-identical (the standard AllPairs/PPJoin length
+    * filter). Compared as the same division the verify computes
+    * (c/(|a|+|b|-c) at c = min), so double rounding cannot disagree at
+    * the boundary. Guide §2.3: fewer candidate rows into the expensive
+    * exchange + verify. */
+  private def sizeGate(na: Column, nb: Column, threshold: Double): Column =
+    least(na, nb).cast("double") / greatest(na, nb) >= threshold
 
   /** LSH band + verify over a prepared (doc, ts, sk) sets frame; returns
     * the verified distinct-set pairs (sk_a, sk_b, jac). */
@@ -969,7 +1047,8 @@ object Dedup {
     val banded = bandedKeys(groups, perms, bands, rows)
     val candPairs = banded.as("a")
       .join(banded.as("b"),
-        col("a.key") === col("b.key") && col("a.h") < col("b.h"))
+        col("a.key") === col("b.key") && col("a.h") < col("b.h") &&
+          sizeGate(col("a.n"), col("b.n"), threshold))
       .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
     // Bitmask path: verification is a broadcast lookup + codegen'd bit
     // arithmetic, so it's CHEAPER to verify band-duplicate candidates
@@ -1017,6 +1096,13 @@ object Dedup {
           col("sk"), col("ts"))
         candPairs
           .dropDuplicates("h_a", "h_b")
+          // explicit hash repartition (AQE-exempt): candidate-pair rows
+          // are tiny in BYTES but each costs a merge-intersection over
+          // two token arrays in the verify projection, so AQE's
+          // byte-based coalescing funnels the verify into 1-2 tasks
+          // (measured 11.5 s single-task on the sf0.1 q130 candidate
+          // set). Keyed by h_a so the next join reuses the partitioning.
+          .repartition(col("h_a"))
           .join(byHash.select(col("h").as("h_a"), col("sk").as("sk_a"),
             col("ts").as("ts_a")), "h_a")
           .join(byHash.select(col("h").as("h_b"), col("sk").as("sk_b"),
@@ -1179,7 +1265,14 @@ object Dedup {
       while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    und.toLocalIterator().forEachRemaining { row =>
+    // collect(), not toLocalIterator(): the iterator fetches ONE JOB PER
+    // PARTITION (~32 dispatch-floor jobs per components call — measured
+    // 5-6s of pure job-dispatch overhead per query on a degraded host,
+    // guide §1/§2: many tiny jobs are scheduler floor, not compute). The
+    // frame is bounded by the localSolveMaxEdges guard (1M edges ≈ tens
+    // of MB), well inside the driver budget, and union-find is
+    // edge-order-independent so the result is bit-identical.
+    und.collect().foreach { row =>
       val a = row.get(0); val b = row.get(1)
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)

@@ -137,9 +137,15 @@ object Graphs {
   /** Shared synchronous-round core: `base` supplies per-node `(id,
     * init, floor)`; each round is the adjacency join + keyed share sum
     * + floor re-add. Emits `(id, rank)`. */
-  private def rankRounds(adj: DataFrame, base: DataFrame, iters: Int,
+  private def rankRounds(adj: DataFrame, baseIn: DataFrame, iters: Int,
                          checkpointInterval: Int,
                          persist: DataFrame => DataFrame): DataFrame = {
+    // every round's floor re-add joins `base` — cache it once instead of
+    // re-running the node-derivation plan (typically a union of table
+    // scans) `iters` times (guide §5: reuse beats recompute when the
+    // recompute is a scan per round). Lifetime is caller-owned like the
+    // adjacency cache.
+    val base = baseIn.cache()
     var r = base.select(col("id"), col("init").as("rank"))
     for (k <- 1 to iters) {
       // explicit aliases: after round 1, r's plan CONTAINS adj — without

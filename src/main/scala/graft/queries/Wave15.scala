@@ -80,16 +80,31 @@ object Wave15 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 10-round integer PageRank over the order-supplier bipartite graph.
+    // The 10 rounds of joins/aggregates run on LONG node ids (2k for
+    // order k, 2k+1 for supplier k — parity-disjoint, so the encoding is
+    // injective) and the "o<k>"/"s<k>" string ids are rendered ONCE at
+    // the end: the graph is isomorphic, the integer rank arithmetic
+    // depends only on adjacency, so ranks are bit-identical to the
+    // string-keyed formulation while every per-round shuffle carries
+    // 8-byte keys instead of strings (guide §2.3 "narrower types";
+    // measured ~2x on the sf0.1 row). Output rows (and the string
+    // orderBy) are unchanged — the oracle hash pins the equivalence.
     "q121_deep_pagerank" -> { (s, d) =>
       val edges = Tables.lineitem(s, d).select(
-        concat(lit("o"), col("l_orderkey").cast("string")).as("a"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        (col("l_orderkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
       val nodes = Tables.orders(s, d)
-        .select(concat(lit("o"), col("o_orderkey").cast("string")).as("id"))
+        .select((col("o_orderkey") * 2).as("id"))
         .union(Tables.supplier(s, d)
-          .select(concat(lit("s"), col("s_suppkey").cast("string")).as("id")))
+          .select((col("s_suppkey") * 2 + 1).as("id")))
       Graphs.pageRankInt(edges, "a", "b", nodes, "id", iters = PrIters,
         checkpointInterval = PrCkptEvery)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0,
+            concat(lit("o"), (col("id") / 2).cast("long").cast("string")))
+            .otherwise(concat(lit("s"),
+              ((col("id") - 1) / 2).cast("long").cast("string"))).as("id"),
+          col("rank"))
         .orderBy(col("id"))
     },
 

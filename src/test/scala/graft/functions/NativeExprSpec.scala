@@ -186,6 +186,33 @@ class NativeExprSpec extends AnyFunSuite with Matchers with SparkFixture {
       .collect()(0).getSeq[Long](0)
   }
 
+  test("SortedIntersectSize == size(array_intersect) on sorted distinct " +
+      "ASCII arrays, incl. empty/disjoint/equal (and under CODEGEN_ONLY)") {
+    import spark.implicits._
+    val words = Vector("a", "ab", "abc", "b", "ba", "c", "ca", "cab", "d",
+      "dog", "e", "egg", "f", "fig", "g", "go", "h", "hi", "i", "ink")
+    val cases = (1 to 200).map { _ =>
+      def side() = rnd.shuffle(words).take(rnd.nextInt(words.size + 1))
+        .distinct.sorted
+      (side(), side())
+    } ++ Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b"), Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a"), Seq("b")))
+    val df = cases.toDF("a", "b")
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val got = df.select(
+        NativeExpr.sortedIntersectSize(col("a"), col("b")).as("g"),
+        org.apache.spark.sql.functions
+          .size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+      got.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+    } finally spark.conf.set(key, old)
+  }
+
   test("GraftExtensions injects cleanly into a fresh SparkSessionExtensions") {
     noException should be thrownBy new GraftExtensions()(new SparkSessionExtensions)
   }
