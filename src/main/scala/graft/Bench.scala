@@ -249,6 +249,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing sizes post-shuffle partitions by BYTES; the
+      // engine's hot stages (near-dup verify, sketch kernels) are
+      // byte-light but compute-heavy, and the default 1 MB floor
+      // serializes them whenever shuffled bytes are small. A 64 KB floor
+      // keeps those stages parallel; at production shuffle sizes
+      // (partitions ≥ advisory 64 MB) it is a no-op, so the setting is
+      // scale-neutral, not a local[32] tune.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

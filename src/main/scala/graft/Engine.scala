@@ -31,6 +31,10 @@ object Engine {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // byte-based AQE coalescing serializes compute-heavy byte-light
+      // stages below the default 1 MB floor; 64 KB keeps them parallel
+      // and is a no-op at production shuffle sizes (see Bench scaladoc)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // parquet TIMESTAMP(NANOS) (events.ts) is otherwise rejected by the
@@ -54,6 +58,8 @@ object Engine {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }

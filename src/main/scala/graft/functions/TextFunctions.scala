@@ -46,13 +46,18 @@ object TextFunctions {
 
   /** Word n-gram shingles as space-joined strings. Documents shorter than
     * `n` tokens yield an empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-tokenized array column — lets callers
+    * place the (interpreted, per-element) n-gram transform ABOVE an
+    * explicit exchange while the cheap codegen tokenization stays in the
+    * scan stage (single-row-group inputs scan as one task). */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
-  }
 
   /** How many tokens of `text` appear in `words` (multiset count — counts
     * repeats, matching the SQL twin `list_filter ... list_contains`). */

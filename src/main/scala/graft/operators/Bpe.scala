@@ -113,7 +113,15 @@ object Bpe {
     // word-gram decontam uses — tokenizer-aware only in what feeds it
     def grams(df: DataFrame, id: String, text: String): DataFrame =
       TextAnalysis.gramFpsOf(df, col(id), encode(col(text), merges), n)
-    val corpusGrams = grams(docs, idCol, textCol)
+    // spread the corpus before the per-row BPE replace chain + gram
+    // fingerprinting: single-row-group inputs scan as ONE task, and
+    // without the exchange the whole encode ran serially (measured
+    // ~6.5 s single-task at sf0.1; guide §2.5). The exchange carries
+    // (id, text) only.
+    val corpusGrams = grams(
+      docs.select(col(idCol), col(textCol))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism),
+      idCol, textCol)
     val probeGrams = broadcast(
       grams(probes, probeIdCol, probeTextCol).select(col("gram")).distinct())
     corpusGrams.join(probeGrams, "gram")

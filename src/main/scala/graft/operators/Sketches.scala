@@ -270,8 +270,19 @@ object Sketches {
                       n: Int, p: Int): DataFrame = {
     val wBits = 32 - p
     val k = wBits + 1
+    // tokenize (codegen, cheap) in the scan stage, then an explicit
+    // round-robin spread BEFORE the shingle construction: the n-gram
+    // transform is an interpreted higher-order function and the input
+    // tables are single-row-group parquet (one scan task), so without
+    // the exchange the whole gram stream built serially (measured ~10 s
+    // single-task at sf0.1 — guide §2.5 "unsplittable input:
+    // repartition immediately after the read"). Generate nodes are not
+    // pushed below a repartition, so the expensive explode runs on the
+    // spread side; the exchange carries one token array per doc.
     val toksDistinct = docs.select(col(groupCol).as("g"),
-        explode(T.shingles(col(textCol), n)).as("tok"))
+        T.tokens(col(textCol)).as("toks"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("g"), explode(T.shinglesOfTokens(col("toks"), n)).as("tok"))
       .distinct()
     val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     toksDistinct.select(col("g"),

@@ -205,7 +205,13 @@ object Stats {
     val w = PoissonThresholds.foldLeft(lit(0)) { (acc, t) =>
       acc + when(u >= t, 1).otherwise(0)
     }
+    // spread the skinny (g, id, x) rows across cores BEFORE the b-way
+    // replicate explode: the per-(row, replicate) md5 draw otherwise
+    // runs inside the single-task scan stage of a single-row-group
+    // input (measured ~5 s serial at sf0.1, b = 32; guide §2.5).
+    // Exchange cost is one thin row per input row.
     val est = base
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("b", explode(array((0 until b).map(lit): _*)))
       .withColumn("w", w.cast("long"))
       .groupBy(col("g"), col("b"))

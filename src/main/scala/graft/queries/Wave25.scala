@@ -59,12 +59,22 @@ object Wave25 {
       val docs = Tables.documents(s, d)
       val corp = docs.filter(col("doc_id") % 3 =!= 0)
       val batch = docs.filter(col("doc_id") % 3 === 0)
+      // sketch each side ONCE and derive all three pair legs from the
+      // two states: the old shape ran the full tokenize+minhash pipeline
+      // over the corpus twice (within-corp pairs AND the cross leg) and
+      // over the batch twice. DedupSpec pins the state-based legs
+      // bit-identical to minhashNearDupPairs / nearDupAgainstCorpus, so
+      // the emitted pair set — and the merged labels — are unchanged.
+      val corpState = Dedup.corpusNearDupState(corp, "doc_id", "text")
+        .localCheckpoint()
+      val batchState = Dedup.corpusNearDupState(batch, "doc_id", "text")
+        .localCheckpoint()
       val labels = Dedup.components(
-        Dedup.minhashNearDupPairs(corp, "doc_id", "text", 0.9))
-      val delta = Dedup.minhashNearDupPairs(batch, "doc_id", "text", 0.9)
+        Dedup.nearDupPairsWithinState(corpState, 0.9))
+      val delta = Dedup.nearDupPairsWithinState(batchState, 0.9)
         .select(col("doc_a"), col("doc_b"))
         .unionByName(
-          Dedup.nearDupAgainstCorpus(batch, corp, "doc_id", "text", 0.9)
+          Dedup.nearDupPairsBetweenStates(batchState, corpState, 0.9)
             .select(col("id_new").as("doc_a"),
               col("id_corpus").as("doc_b")))
       Dedup.mergeComponents(labels, delta).orderBy(col("node"))

@@ -22,8 +22,13 @@ object Wave41 {
 
     "q232_modularity" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // materialize the near-dup edge list ONCE: labelPropagation and
+      // modularity each canonicalize + checkpoint their input, so a
+      // lazy frame here re-ran the whole MinHash candidate/verify
+      // pipeline twice (measured ~2x the edge-pipeline task time)
       val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         Wave13.PrTau)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val labels = Graphs.labelPropagation(edges, "doc_a", "doc_b",
         docs, "doc_id", Wave35.LpaRounds)
       Graphs.modularity(edges, "doc_a", "doc_b", labels)
