@@ -116,6 +116,13 @@ object Profile {
             f"#${j.id}:${j.ms / 1000.0}%.2fs").mkString(" "))
         acc.stages.sortBy(-_.ms).take(12).foreach(s =>
           println(f"     stage#${s.id} wall ${s.ms / 1000.0}%.2fs task ${s.taskMs / 1000.0}%.1fs  ${s.name.take(100)}"))
+        if (sys.env.get("SPARK_GRAFT_PROFILE_ALLJOBS").exists(_.nonEmpty))
+          acc.jobs.foreach(j =>
+            println(f"     job#${j.id} ${j.ms / 1000.0}%6.2fs ${j.nStages}%2d st  ${j.desc.take(90)}"))
+        acc.jobs.groupBy(j => j.desc.replaceAll("\\[-?\\d+\\]", "").take(60))
+          .toSeq.sortBy(-_._2.map(_.ms).sum).take(12).foreach { case (k, js2) =>
+            println(f"     byDesc ${js2.map(_.ms).sum / 1000.0}%6.2fs ${js2.size}%3d jobs  ${if (k.isEmpty) "(unlabeled)" else k}")
+          }
       }
       println(f"== $name best: $best%.2fs")
     }

@@ -907,6 +907,74 @@ object Dedup {
         col("edit_sim"))
   }
 
+  /** The corpus-build fold's DELTA as a CONNECTIVITY-EQUIVALENT edge
+    * set, in one banded plan. Where the two-leg form
+    * (`nearDupPairsWithinState(stateNew)` ∪
+    * `nearDupPairsBetweenStates(stateNew, stateCorpus)`) expands every
+    * qualifying set pair to the full `docs_a × docs_b` bipartite clique
+    * — QUADRATIC in duplicate-cluster size (a million-doc exact-dup
+    * cluster at 100 TB would emit ~5·10¹¹ edges; at sf0.1 the clique
+    * form already crossed the 1M-edge local-solve bound and forced the
+    * distributed loop every fold) — this emits the minimal edge set
+    * with IDENTICAL connected components under [[mergeComponents]]:
+    *
+    *   - one STAR per new-side distinct set (`docs(0) — docs(i)`): the
+    *     same-set clique's spanning tree;
+    *   - ONE representative edge `docs_a(0) — docs_b(0)` per verified
+    *     set pair: both sides' doc lists are internally connected (new
+    *     side by its star here; corpus side by the previous
+    *     generation's labels, whose `node — rep` star rides the same
+    *     components call), so the remaining clique edges are redundant
+    *     for connectivity. A shared doc id on both sides needs no edge
+    *     at all — it IS both blobs' common node (the `=!=` filter keeps
+    *     that case an explicit no-op, like the between leg's self-pair
+    *     suppression).
+    *
+    * Components — and therefore the fold's labels `(node, rep = min
+    * member)` — are bit-identical to the clique form (DedupSpec pins
+    * it); edge count is linear in docs + verified set pairs instead of
+    * quadratic in cluster sizes. The batch's band keys are exploded
+    * and shuffled ONCE against a side-tagged union of both states
+    * (guide §2.4: the two-leg form ran the candidate dedup + payload
+    * verify twice). Pass an empty corpus state (`state.limit(0)`) for
+    * the init/within-only form. */
+  private[graft] def nearDupComponentDelta(stateNew: DataFrame,
+                                           stateCorpus: DataFrame,
+                                           threshold: Double): DataFrame = {
+    val bn = stateNew.select(col("h").as("h_a"), size(col("ts")).as("n_a"),
+      explode(col("keys")).as("key"))
+    def rhs(st: DataFrame, side: Int) =
+      st.select(lit(side).as("side"), col("h").as("h_b"),
+        size(col("ts")).as("n_b"), explode(col("keys")).as("key"))
+    val cand = bn.as("a")
+      .join(rhs(stateNew, 0).unionByName(rhs(stateCorpus, 1)).as("b"),
+        col("a.key") === col("b.key") &&
+          sizeGate(col("a.n_a"), col("b.n_b"), threshold) &&
+          // within-batch (side 0) pairs each unordered pair once; the
+          // cross leg admits equal h too (same content on both sides
+          // verifies at jac = 1 exactly like nearDupPairsBetweenStates)
+          (col("b.side") === 1 || col("a.h_a") < col("b.h_b")))
+      .select(col("a.h_a").as("h_a"), col("b.side").as("side"),
+        col("b.h_b").as("h_b"))
+      .dropDuplicates("h_a", "side", "h_b")
+    val payA = stateNew.select(col("h").as("h_a"), col("ts").as("ts_a"),
+      element_at(col("docs"), 1).as("da"))
+    def payB(st: DataFrame, side: Int) =
+      st.select(lit(side).as("side"), col("h").as("h_b"),
+        col("ts").as("ts_b"), element_at(col("docs"), 1).as("db"))
+    val repEdges = cand
+      .join(payA, "h_a")
+      .join(payB(stateNew, 0).unionByName(payB(stateCorpus, 1)),
+        Seq("side", "h_b"))
+      .filter(jac(col("ts_a"), col("ts_b")) >= threshold)
+      .filter(col("da") =!= col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+    val sameStars = stateNew.filter(size(col("docs")) >= 2)
+      .select(element_at(col("docs"), 1).as("doc_a"),
+        explode(slice(col("docs"), lit(2), size(col("docs")))).as("doc_b"))
+    sameStars.unionByName(repEdges)
+  }
+
   /** Fold two [[corpusNearDupState]] frames into the state of the UNION
     * corpus: the snapshot monoid that closes the incremental ingest
     * loop (snapshot → batch → snapshot). `ts` and `keys` are pure
@@ -1158,8 +1226,12 @@ object Dedup {
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
-    val nEdges = und.count() // cheap: counts the checkpointed blocks
-    if (nEdges <= localSolveMaxEdges) return componentsLocal(und)
+    // count first (1 cheap job over the checkpointed blocks — a
+    // limit+collect probe would be executeTake's INCREMENTAL partition
+    // scan, several jobs), then one collect job feeds the local solve
+    val nEdges = und.count()
+    if (nEdges <= localSolveMaxEdges)
+      return componentsLocal(und, und.collect())
     var labels = persist(
       und.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
@@ -1232,7 +1304,8 @@ object Dedup {
     * on a bounded, already-symmetrized+distinct edge frame. Node ordering
     * matches Spark's `min` aggregate for the supported key types (numeric
     * order for numbers, lexicographic for strings). */
-  private def componentsLocal(und: DataFrame): DataFrame = {
+  private def componentsLocal(und: DataFrame,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
     val spark = und.sparkSession
     // Strings compare as unsigned UTF-8 bytes to match Spark's min
     // aggregate (UTF8String binary order = code-POINT order), not
@@ -1265,14 +1338,13 @@ object Dedup {
       while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    // collect(), not toLocalIterator(): the iterator fetches ONE JOB PER
-    // PARTITION (~32 dispatch-floor jobs per components call — measured
-    // 5-6s of pure job-dispatch overhead per query on a degraded host,
-    // guide §1/§2: many tiny jobs are scheduler floor, not compute). The
-    // frame is bounded by the localSolveMaxEdges guard (1M edges ≈ tens
-    // of MB), well inside the driver budget, and union-find is
+    // `edges` was collected by the caller's bounded limit-probe (ONE job
+    // for decision + transfer, vs the old count job + one
+    // toLocalIterator job PER PARTITION ≈ 32 dispatch-floor jobs per
+    // components call). Bounded by the localSolveMaxEdges guard (1M
+    // edges ≈ tens of MB), well inside the driver budget; union-find is
     // edge-order-independent so the result is bit-identical.
-    und.collect().foreach { row =>
+    edges.foreach { row =>
       val a = row.get(0); val b = row.get(1)
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)

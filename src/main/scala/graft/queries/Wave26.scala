@@ -61,9 +61,12 @@ object Wave26 {
     // ---- snapshot 0: sketch ONCE; labels derive from the state frame
     val b0 = batch(1)
     save(Dedup.corpusNearDupState(b0, "doc_id", "text"), "state", 0)
+    // within-only connectivity-equivalent delta (star + representative
+    // edges): identical components, linear edge count instead of
+    // doc-clique quadratic — see Dedup.nearDupComponentDelta
     save(Dedup.components(
-      Dedup.nearDupPairsWithinState(load("state", 0), NearDupT)
-        .select(col("doc_a"), col("doc_b"))), "labels", 0)
+      Dedup.nearDupComponentDelta(load("state", 0),
+        load("state", 0).limit(0), NearDupT)), "labels", 0)
     save(Agg.additiveState(b0, Seq("lang"), col("n_chars")), "agg", 0)
 
     // ---- one ingest generation: reads ONLY the batch + persisted state.
@@ -80,10 +83,10 @@ object Wave26 {
       save(Dedup.corpusNearDupState(batchDocs, "doc_id", "text"),
         "bstate", gen)
       val bState = load("bstate", gen)
-      val delta = Dedup.nearDupPairsWithinState(bState, NearDupT)
-        .select(col("doc_a"), col("doc_b"))
-        .unionByName(Dedup.nearDupPairsBetweenStates(bState, state, NearDupT)
-          .select(col("id_new").as("doc_a"), col("id_corpus").as("doc_b")))
+      // fused within ∪ between delta, star + representative edges (one
+      // banded plan, connectivity-equivalent — DedupSpec pins the
+      // merged labels identical to the two-leg doc-clique form)
+      val delta = Dedup.nearDupComponentDelta(bState, state, NearDupT)
       save(Dedup.mergeComponents(labels, delta), "labels", gen)
       save(Dedup.mergeNearDupStates(state, bState), "state", gen)
       save(Agg.mergeAdditiveStates(Seq("lang"), agg,

@@ -951,9 +951,12 @@ object Streams {
     graft.operators.Dedup.corpusNearDupState(seedDocs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$d/state")
     val st = spark.read.parquet(s"$d/state")
+    // within-only form of the connectivity-equivalent delta (empty
+    // corpus side): same components as the doc-clique pair expansion,
+    // linear edge count (see nearDupComponentDelta)
     graft.operators.Dedup.components(
-        graft.operators.Dedup.nearDupPairsWithinState(st, threshold)
-          .select(col("doc_a"), col("doc_b")))
+        graft.operators.Dedup.nearDupComponentDelta(st, st.limit(0),
+          threshold))
       .write.mode("overwrite").parquet(s"$d/labels")
     writeApplied(spark, stateDir, -1L)
   }
@@ -978,24 +981,38 @@ object Streams {
     if (id <= last) return // exactly-once under foreachBatch redelivery
     val prev = corpusGen(stateDir, last)
     val cur = corpusGen(stateDir, id)
+    // job labels (guide §1.5): the fold is many small jobs — labels make
+    // the per-phase cost readable in any profiler/UI
+    def phase[T](name: String)(body: => T): T = {
+      spark.sparkContext.setJobDescription(s"corpusBuildFold[$id] $name")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
     // the batch is tokenized + minhashed exactly once (q171's r13
     // one-sketch-pass-per-generation shape)
-    graft.operators.Dedup.corpusNearDupState(batch, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$cur/bstate")
+    phase("bstate") {
+      graft.operators.Dedup.corpusNearDupState(batch, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$cur/bstate")
+    }
     val bState = spark.read.parquet(s"$cur/bstate")
     val state = spark.read.parquet(s"$prev/state")
     val labels = spark.read.parquet(s"$prev/labels")
-    val delta = graft.operators.Dedup
-      .nearDupPairsWithinState(bState, threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .unionByName(graft.operators.Dedup
-        .nearDupPairsBetweenStates(bState, state, threshold)
-        .select(col("id_new").as("doc_a"), col("id_corpus").as("doc_b")))
-    graft.operators.Dedup.mergeComponents(labels, delta)
-      .write.mode("overwrite").parquet(s"$cur/labels")
-    graft.operators.Dedup.mergeNearDupStates(state, bState)
-      .write.mode("overwrite").parquet(s"$cur/state")
-    writeApplied(spark, stateDir, id)
+    // fused within ∪ between delta as a connectivity-equivalent edge
+    // set: one banded plan instead of two, and star + representative
+    // edges instead of per-set-pair doc cliques (quadratic in
+    // duplicate-cluster size — at sf0.1 the clique form crossed the
+    // 1M-edge local-solve bound every fold). Labels are bit-identical
+    // (DedupSpec pins components equality).
+    val delta =
+      graft.operators.Dedup.nearDupComponentDelta(bState, state, threshold)
+    phase("labels") {
+      graft.operators.Dedup.mergeComponents(labels, delta)
+        .write.mode("overwrite").parquet(s"$cur/labels")
+    }
+    phase("state") {
+      graft.operators.Dedup.mergeNearDupStates(state, bState)
+        .write.mode("overwrite").parquet(s"$cur/state")
+    }
+    phase("pointer") { writeApplied(spark, stateDir, id) }
     // generation GC (r15 judge finding: state grew by one full
     // distinct-content-sized copy per batch ever applied, unbounded at
     // production cadence): once gen_<id>'s pointer has LANDED, every

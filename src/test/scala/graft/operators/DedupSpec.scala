@@ -430,6 +430,44 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe Set((1L, 9L, 1.0))
   }
 
+  test("nearDupComponentDelta: merged labels == the doc-clique two-leg " +
+      "delta's, and the init form == components of the within pairs") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val newSide = docs.filter(col("doc_id") % 3 === 0)
+    val corpState = Dedup.corpusNearDupState(corpSide, "doc_id", "text")
+      .localCheckpoint()
+    val newState = Dedup.corpusNearDupState(newSide, "doc_id", "text")
+      .localCheckpoint()
+    // init form: within-only (empty corpus side)
+    val initFused = Dedup.components(
+      Dedup.nearDupComponentDelta(corpState, corpState.limit(0), 0.9))
+      .as[(Long, Long)].collect().toMap
+    val initClique = Dedup.components(
+      Dedup.nearDupPairsWithinState(corpState, 0.9)
+        .select(col("doc_a"), col("doc_b")))
+      .as[(Long, Long)].collect().toMap
+    initFused shouldBe initClique
+    initFused should not be empty
+    // fold form: labels star + fused delta vs labels star + clique legs
+    val labels = Dedup.components(
+      Dedup.nearDupPairsWithinState(corpState, 0.9)
+        .select(col("doc_a"), col("doc_b"))).localCheckpoint()
+    val mergedFused = Dedup.mergeComponents(labels,
+      Dedup.nearDupComponentDelta(newState, corpState, 0.9))
+      .as[(Long, Long)].collect().toMap
+    val mergedClique = Dedup.mergeComponents(labels,
+      Dedup.nearDupPairsWithinState(newState, 0.9)
+        .select(col("doc_a"), col("doc_b"))
+        .unionByName(
+          Dedup.nearDupPairsBetweenStates(newState, corpState, 0.9)
+            .select(col("id_new").as("doc_a"),
+              col("id_corpus").as("doc_b"))))
+      .as[(Long, Long)].collect().toMap
+    mergedFused shouldBe mergedClique
+  }
+
   test("mergeComponents: two-phase fold == one-shot, incl. component bridging") {
     import spark.implicits._
     // history: components {1,2,3} (rep 1) and {10,11} (rep 10), plus
