@@ -69,14 +69,13 @@ object Wave25 {
         .localCheckpoint()
       val batchState = Dedup.corpusNearDupState(batch, "doc_id", "text")
         .localCheckpoint()
+      // connectivity-equivalent edge sets (star + representative edges)
+      // for both the history labels and the delta: components — the
+      // only thing this query emits — are bit-identical to the
+      // doc-clique pair expansion (DedupSpec), at linear edge count
       val labels = Dedup.components(
-        Dedup.nearDupPairsWithinState(corpState, 0.9))
-      val delta = Dedup.nearDupPairsWithinState(batchState, 0.9)
-        .select(col("doc_a"), col("doc_b"))
-        .unionByName(
-          Dedup.nearDupPairsBetweenStates(batchState, corpState, 0.9)
-            .select(col("id_new").as("doc_a"),
-              col("id_corpus").as("doc_b")))
+        Dedup.nearDupComponentDelta(corpState, corpState.limit(0), 0.9))
+      val delta = Dedup.nearDupComponentDelta(batchState, corpState, 0.9)
       Dedup.mergeComponents(labels, delta).orderBy(col("node"))
     },
 

@@ -50,9 +50,14 @@ object Wave99 {
 
     "q317_dedup_savings" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // labels are all this query consumes, so the near-dup graph can be
+      // the connectivity-equivalent star + representative-edge set (same
+      // components as the minhashNearDupPairs doc cliques — DedupSpec —
+      // at linear instead of cluster-quadratic edge count)
+      val st = Dedup.corpusNearDupState(docs, "doc_id", "text")
+        .localCheckpoint()
       val labels = Dedup.components(
-        Dedup.minhashNearDupPairs(docs, "doc_id", "text", Thr)
-          .select(col("doc_a"), col("doc_b")))
+        Dedup.nearDupComponentDelta(st, st.limit(0), Thr))
       val toks = docs.select(col("doc_id").as("node"),
         T.tokenCount(col("text")).as("nt"))
       labels.join(toks, "node")
