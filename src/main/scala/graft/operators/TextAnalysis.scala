@@ -1436,8 +1436,16 @@ object TextAnalysis {
                 textCol: String, w: Int = 16,
                 m: Int = 64): DataFrame =
     docs
-      .select(col(keyCol).as("__key"),
-        explode(chunkFpCol(col(textCol), w, m)).as("c"))
+      .select(col(keyCol).as("__key"), col(textCol).as("__cdc_text"))
+      // spread the O(len·w) boundary scan (an md5 per character
+      // position, interpreted HOFs) across cores: single-row-group
+      // inputs scan as ONE task, which serialized the whole chunker
+      // (measured 2×~4 s single-task stages on q131 at sf0.1; guide
+      // §2.5). The exchange carries (key, text) once; the Generate
+      // above it is not pushed below a repartition.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("__key"),
+        explode(chunkFpCol(col("__cdc_text"), w, m)).as("c"))
       .select(col("__key"), col("c.fp").as("fp"), col("c.chars").as("chars"))
 
   def cdcChunkStats(docs: DataFrame, sourceCol: String, textCol: String,
