@@ -436,14 +436,25 @@ object TextAnalysis {
                    minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
                    minStopFrac: Double = 0.01,
                    minUniqFrac: Double = 0.2): DataFrame = {
-    val t = col(textCol)
-    val nTok = T.tokenCount(t)
+    // tokenize ONCE per row and derive every metric from the bound
+    // array: the metric columns each re-ran the full regexp tokenize
+    // (and the stopword hit count walks the array through an
+    // interpreted HOF), all inside the single-task scan stage of the
+    // one-row-group input — measured ~4 s serial at sf0.1. The
+    // repartition spreads (id, toks) across cores; metrics are
+    // value-identical (every T.* metric is defined over T.tokens).
+    val toks = col("__toks")
+    val nTok = size(toks).cast("long")
     val meanLen = when(nTok > 0,
-      T.tokenChars(t).cast("double") / nTok).otherwise(0.0)
+      length(array_join(toks, "")).cast("long").cast("double") / nTok)
+      .otherwise(0.0)
     val stopFrac = when(nTok > 0,
-      T.tokenHits(t, stopwords).cast("double") / nTok).otherwise(0.0)
+      size(filter(toks, tk =>
+        array_contains(lit(stopwords.toArray), tk))).cast("long")
+        .cast("double") / nTok).otherwise(0.0)
     val uniqFrac = when(nTok > 0,
-      T.uniqueTokenCount(t).cast("double") / nTok).otherwise(0.0)
+      size(array_distinct(toks)).cast("long").cast("double") / nTok)
+      .otherwise(0.0)
     val fails = Seq(
       "tokens" -> (nTok < minTokens || nTok > maxTokens),
       "meanlen" -> (meanLen < minMeanLen || meanLen > maxMeanLen),
@@ -453,11 +464,13 @@ object TextAnalysis {
       fails.map { case (name, cond) =>
         when(cond, lit(name)).otherwise(lit(null: String))
       }: _*)
-    docs.select(col(idCol).as("id"),
-      nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
-      stopFrac.as("stop_frac"), uniqFrac.as("uniq_frac"),
-      when(reasons === "", 1L).otherwise(0L).as("keep"),
-      reasons.as("reasons"))
+    docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("__toks"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
+        stopFrac.as("stop_frac"), uniqFrac.as("uniq_frac"),
+        when(reasons === "", 1L).otherwise(0L).as("keep"),
+        reasons.as("reasons"))
   }
 
   /** Cross-source n-gram overlap matrix — the leakage/diagnostics pass
