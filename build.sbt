@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseable stdout (r17 verdict item 2): the bench/verify driver
+// captures stdout and parses the machine-readable JSON lines. sbt's
+// default logger wraps every forked-process line in "[info] " and
+// appends a "[success] Total time..." epilogue after the JSON, which
+// made the driver's parse fail three rounds running (BENCH parsed:null
+// in r15-r17). StdoutOutput passes the forked JVM's stdout through
+// verbatim; showSuccess := false drops the epilogue so the JSON summary
+// lines stay the LAST lines of stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command loop, not by a task — exclude it
+// from the unused-key lint so `compile` stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,7 +29,8 @@ object Profile {
     var inputB = 0L
     var nTasks = 0L
     var nStages = 0L
-    final case class St(id: Int, name: String, ms: Long, taskMs: Long)
+    final case class St(id: Int, name: String, ms: Long, taskMs: Long,
+                        inB: Long, srB: Long, swB: Long)
     val stages = new scala.collection.mutable.ArrayBuffer[St]
     override def onJobStart(j: SparkListenerJobStart): Unit =
       starts(j.jobId) = (j.time,
@@ -51,7 +52,10 @@ object Profile {
       inputB += i.taskMetrics.inputMetrics.bytesRead
       val wall = (for { a <- i.completionTime; b <- i.submissionTime }
         yield a - b).getOrElse(0L)
-      stages += St(i.stageId, i.name, wall, i.taskMetrics.executorRunTime)
+      stages += St(i.stageId, i.name, wall, i.taskMetrics.executorRunTime,
+        i.taskMetrics.inputMetrics.bytesRead,
+        i.taskMetrics.shuffleReadMetrics.totalBytesRead,
+        i.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
     def reset(): Unit = {
       jobs.clear(); starts.clear()
@@ -115,7 +119,7 @@ object Profile {
           f" | top jobs: " + js.take(8).map(j =>
             f"#${j.id}:${j.ms / 1000.0}%.2fs").mkString(" "))
         acc.stages.sortBy(-_.ms).take(12).foreach(s =>
-          println(f"     stage#${s.id} wall ${s.ms / 1000.0}%.2fs task ${s.taskMs / 1000.0}%.1fs  ${s.name.take(100)}"))
+          println(f"     stage#${s.id} wall ${s.ms / 1000.0}%.2fs task ${s.taskMs / 1000.0}%.1fs in ${s.inB / 1e6}%.0fMB sr ${s.srB / 1e6}%.0fMB sw ${s.swB / 1e6}%.0fMB  ${s.name.take(80)}"))
         if (sys.env.get("SPARK_GRAFT_PROFILE_ALLJOBS").exists(_.nonEmpty))
           acc.jobs.foreach(j =>
             println(f"     job#${j.id} ${j.ms / 1000.0}%6.2fs ${j.nStages}%2d st  ${j.desc.take(90)}"))

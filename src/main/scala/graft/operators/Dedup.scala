@@ -52,8 +52,18 @@ object Dedup {
     * tokens or shingles — so distinct sets can never collide on sk
     * (an empty-separator join would conflate {"ab","c"} with {"a","bc"}). */
   private[operators] def docSetsBy(docs: DataFrame, id: Column, set: Column): DataFrame =
-    docs
-      .select(id.as("doc"), sort_array(set).as("ts"))
+    // spread BEFORE evaluating the set expression: the tokenize + sort +
+    // md5 kernel otherwise runs inside the (single-task on one-row-group
+    // inputs) scan stage — every minhash/jaccard query paid it serially
+    // (~2 s wall at sf0.1, measured r18). Spread.ifNarrow is a no-op on
+    // inputs that already scan in parallel. The one-element explode is a
+    // pushdown barrier: a plain Project (and the size filter on it)
+    // would be pushed back below the round-robin exchange into the scan
+    // task, while Generate nodes and filters on generator output stay
+    // above it — semantics unchanged (exactly one row per input; a null
+    // set yields a null ts, filtered exactly as before).
+    Spread.ifNarrow(docs)
+      .select(id.as("doc"), explode(array(sort_array(set))).as("ts"))
       .filter(size(col("ts")) > 0)
       .withColumn("sk", md5(array_join(col("ts"), "\u0001")))
 
@@ -141,6 +151,14 @@ object Dedup {
     * distinct vocabulary fits in `maxVocab` (≤64) words. The driver-side
     * lookup is at most 64 strings — dval/broadcast-value sized. */
   private def smallVocab(groups: DataFrame, maxVocab: Int = 64): Option[Map[String, Int]] = {
+    // Cheap gate first: `ts` arrays are distinct by the docSets contract,
+    // so if any single set holds > maxVocab tokens the union certainly
+    // does. One tiny max() over the cached sets answers "no" where the
+    // old probe ran explode + distinct + executeTake over the whole
+    // token stream on EVERY minhash query (~1.8 s wall on any corpus
+    // that can never be small-vocab, i.e. all real ones).
+    val maxSet = groups.agg(max(size(col("ts")))).collect()(0)
+    if (!maxSet.isNullAt(0) && maxSet.getInt(0) > maxVocab) return None
     val distinct = groups.select(explode(col("ts")).as("tok"))
       .distinct().limit(maxVocab + 1).collect().map(_.getString(0))
     if (distinct.length <= maxVocab) Some(distinct.sorted.zipWithIndex.toMap)

@@ -60,33 +60,9 @@ object Graphs {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def persist(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // cache the INPUT edge list before fanning out: `und` references it
-    // twice (both directions) and `deg` a third time — without this the
-    // upstream edge pipeline (e.g. a whole MinHash near-dup run) would
-    // replay once per reference while the adjacency cache materializes.
-    // least/greatest + dropDuplicates normalizes orientation and collapses
-    // duplicate rows — one cheap keyed shuffle against the silent-wrong-
-    // answer class of double-counted degrees from ad-hoc pair lists.
-    val fwd = edges
-      .select(least(col(aCol), col(bCol)).as("src"),
-        greatest(col(aCol), col(bCol)).as("dst"))
-      .dropDuplicates("src", "dst").cache()
-    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    // Pregel-style grouped adjacency: one row per node with its neighbor
-    // list + degree. Each round then joins NODE-cardinality relations
-    // (ranks × adjacency) and the edge-cardinality contribution stream
-    // is exploded IN-STREAM from the arrays — edges are shuffled once
-    // here, never again per round (the per-round aggregate still
-    // map-side-combines, so shuffle bytes stay node-bounded). Memory is
-    // bounded by the hottest node's degree, the standard adjacency-list
-    // trade — for degree-pathological graphs split hubs into salted
-    // sub-rows before calling (ranks add linearly over the split).
-    val adj = und.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
-      .cache()
     val base = nodes.select(col(idCol).as("id"),
       lit(1000000L).as("init"), lit(150000L).as("floor"))
-    rankRounds(adj, base, iters, checkpointInterval, persist)
+    rankRounds(edges, aCol, bCol, base, iters, checkpointInterval, persist)
   }
 
   /** Personalized PageRank (seed-restarted), same integer micro-unit
@@ -115,15 +91,6 @@ object Graphs {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def persist(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val fwd = edges
-      .select(least(col(aCol), col(bCol)).as("src"),
-        greatest(col(aCol), col(bCol)).as("dst"))
-      .dropDuplicates("src", "dst").cache()
-    val und = fwd.union(
-      fwd.select(col("dst").as("src"), col("src").as("dst")))
-    val adj = und.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
-      .cache()
     val seedIds = seeds.select(col(seedCol).as("id"), lit(true).as("__s"))
       .dropDuplicates("id")
     val base = nodes.select(col(idCol).as("id"))
@@ -131,32 +98,78 @@ object Graphs {
       .select(col("id"),
         when(col("__s"), lit(1000000L)).otherwise(0L).as("init"),
         when(col("__s"), lit(150000L)).otherwise(0L).as("floor"))
-    rankRounds(adj, base, iters, checkpointInterval, persist)
+    rankRounds(edges, aCol, bCol, base, iters, checkpointInterval, persist)
   }
 
   /** Shared synchronous-round core: `base` supplies per-node `(id,
-    * init, floor)`; each round is the adjacency join + keyed share sum
-    * + floor re-add. Emits `(id, rank)`. */
-  private def rankRounds(adj: DataFrame, baseIn: DataFrame, iters: Int,
+    * init, floor)` (ids must be UNIQUE and non-null — every declared
+    * caller passes a keyed dimension); emits `(id, rank)`.
+    *
+    * r18 shape: ONE materialized weighted relation drives every round —
+    * the undirected edge list fanned to both directions, each row
+    * carrying its source's full out-degree `(src, dst, deg, w=1,
+    * fl=0, init=0)`, UNION one weight-0 self-loop per node carrying its
+    * teleport data `(id, id, 1, w=0, fl=floor, init)`. A round is then
+    *
+    *   r' = rel ⨝ r (on src, the edge relation pre-partitioned)
+    *        → groupBy(dst): sum(fl) + (sum(w·(rank DIV deg))·17) DIV 20
+    *          (partial aggregation below the exchange — the per-round
+    *           shuffle carries node-bounded partial sums)
+    *
+    * which is exactly the old `floor + (Σ shares·17) DIV 20` in the same
+    * integer operations: neighbor rows contribute 1·(rank DIV deg), the
+    * self row contributes 0 shares and the floor term, and a node with
+    * no (in-base) neighbors sums to floor + 0 — the case the old
+    * formulation needed a per-round `base left join` for. Each round
+    * reads `r` exactly ONCE, so lineage is linear in rounds, the base/
+    * adjacency caches are gone (nothing left to leak — r17 advisor
+    * finding), and per-round exchanges drop from ~3 to 1 (guide §2.4).
+    * Degrees count ALL und neighbors (computed before the dst ∈ base
+    * restriction), matching the old adjacency exactly; contributions to
+    * dst ∉ base are dropped up front instead of by the old left join. */
+  private def rankRounds(edges: DataFrame, aCol: String, bCol: String,
+                         base: DataFrame, iters: Int,
                          checkpointInterval: Int,
                          persist: DataFrame => DataFrame): DataFrame = {
-    // every round's floor re-add joins `base` — cache it once instead of
-    // re-running the node-derivation plan (typically a union of table
-    // scans) `iters` times (guide §5: reuse beats recompute when the
-    // recompute is a scan per round). Lifetime is caller-owned like the
-    // adjacency cache.
-    val base = baseIn.cache()
-    var r = base.select(col("id"), col("init").as("rank"))
+    // least/greatest + dropDuplicates normalizes orientation and collapses
+    // duplicate rows — one cheap keyed shuffle against the silent-wrong-
+    // answer class of double-counted degrees from ad-hoc pair lists; the
+    // explode fans both directions in a single pass over the (possibly
+    // expensive) upstream edge pipeline, so nothing needs a cache. A
+    // (v,v) self-edge fans to two identical rows = degree 2, the
+    // documented caller contract.
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("src"),
+        greatest(col(aCol), col(bCol)).as("dst"))
+      .dropDuplicates("src", "dst")
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgeRows = und.join(deg, "src")
+      .join(base.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"), col("deg"),
+        lit(1L).as("w"), lit(0L).as("fl"), lit(0L).as("init"))
+    val selfRows = base.select(col("id").as("src"), col("id").as("dst"),
+      lit(1L).as("deg"), lit(0L).as("w"),
+      col("floor").as("fl"), col("init"))
+    val rel = edgeRows.unionByName(selfRows)
+      .repartition(col("src")).localCheckpoint()
+    // round-0 ranks from the self rows (src = dst there, so selecting
+    // src keeps the checkpointed hash(src) layout on the output id)
+    var r = rel.where(col("w") === 0)
+      .select(col("src").as("id"), col("init").as("rank"))
     for (k <- 1 to iters) {
-      // explicit aliases: after round 1, r's plan CONTAINS adj — without
-      // them the equi-join condition is ambiguous self-join references
-      val contrib = adj.as("a").join(r.as("p"), col("a.src") === col("p.id"))
-        .select(explode(col("a.nbrs")).as("dst"),
-          expr("p.rank DIV a.deg").as("share"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
-      r = base.as("n").join(contrib.as("c"), col("n.id") === col("c.dst"), "left")
-        .select(col("n.id").as("id"),
-          (col("n.floor") + expr("(coalesce(c.s, 0L) * 17) DIV 20")).as("rank"))
+      // no explicit repartition before the groupBy: partial aggregation
+      // below the exchange keeps the per-round shuffle node-bounded
+      // (partial sums per dst), never raw edge rows (guide §2.3)
+      r = rel.join(r.select(col("id").as("src"), col("rank")), "src")
+        .groupBy(col("dst"))
+        .agg(expr("sum(fl) + (sum(w * (rank DIV deg)) * 17) DIV 20")
+          .as("rank"))
+        .select(col("dst").as("id"), col("rank"))
       // truncate lineage mid-run only — the final round's plan stays lazy
       // so the caller composes/writes it like any other frame
       if (checkpointInterval > 0 && k % checkpointInterval == 0 && k < iters)
@@ -342,41 +355,67 @@ object Graphs {
     * (ties → smallest label; isolated vertices keep their label).
     * Deterministic by construction — the classic randomized-order LPA
     * is replaced by the synchronous variant with a total tie-break, so
-    * the oracle can replay rounds exactly.
+    * the oracle can replay rounds exactly. Node ids must be non-null
+    * (the house id contract — every join below is an equi-join on id).
     *
-    * Scale shape: each round is (edges ⨝ labels) → two hash
-    * aggregations — count per (vertex, label), then per-vertex argmax
-    * via `max(struct(count, -label))`, which partial-aggregates
-    * map-side. No window sort, no per-vertex top-k shuffle. Label
-    * frames are localCheckpoint-ed per round so the plan stays
-    * round-bounded (same ladder as [[pageRankInt]]). */
+    * Scale shape (r18): ONE materialized relation drives every round —
+    * the undirected edge list fanned to both directions (weight 1)
+    * UNION one weight-0 self-loop per node. The self-loop makes the
+    * per-round argmax TOTAL over the node universe: a node whose
+    * neighbors contribute nothing sees only its own (old label, 0)
+    * candidate and keeps it, which is exactly what the old per-round
+    * `left join previous labels + coalesce` computed — any real
+    * neighbor label counts ≥ 1 and beats the weight-0 self candidate,
+    * and when the old label also appears among neighbors the 0 merges
+    * into its count unchanged. Each round therefore reads `labels`
+    * exactly ONCE, so lineage is LINEAR in rounds and the whole run
+    * executes as one action instead of a checkpoint per round; the
+    * per-round plan is join (edge relation pre-partitioned on the
+    * source key) → two hash aggregates whose partial sides run BELOW
+    * their exchanges, so each round shuffles (v,lbl)-cardinality
+    * partial counts, never raw edge rows — ≤ 2 aggregate exchanges per
+    * round where the old ladder paid ~4 plus a checkpoint job (guide
+    * §2.3/§2.4).
+    * Directed edges are restricted to dst ∈ nodes up front (the old
+    * formulation got that restriction from its per-round left join);
+    * src ∉ nodes still drops in the per-round label join. A checkpoint
+    * every 8 rounds keeps deep runs' plans bounded. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        nodes: DataFrame, idCol: String,
                        rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds in [1,32]: $rounds")
-    val fwd = edges
+    val ids = nodes.select(col(idCol).as("u")).dropDuplicates("u")
+    val dir = edges
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .dropDuplicates("u", "v").cache()
-    val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    var labels = nodes
-      .select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
-      .dropDuplicates("id").localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val best = und
+      .dropDuplicates("u", "v")
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), lit(1L).as("w"))
+      .join(ids.select(col("u").as("v")), Seq("v"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+    val self = ids.select(col("u"), col("u").as("v"), lit(0L).as("w"))
+    val und = dir.unionByName(self).repartition(col("u")).localCheckpoint()
+    // round-0 labels derived FROM the checkpointed relation's self rows:
+    // no recompute of the node pipeline, and already partitioned on the
+    // join key every round reuses
+    var labels = und.where(col("w") === 0)
+      .select(col("u").as("id"), col("u").cast("long").as("lbl"))
+    for (k <- 1 to rounds) {
+      // no explicit repartition here: the two groupBys partial-aggregate
+      // map-side BELOW their exchanges, so each round shuffles
+      // (v,lbl)-cardinality partial counts, never raw edge rows
+      // (guide §2.3 "aggregate before you shuffle")
+      labels = und
         .join(labels.select(col("id").as("u"), col("lbl")), "u")
-        .groupBy(col("v"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
+        .groupBy(col("v"), col("lbl")).agg(sum(col("w")).as("c"))
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("v").as("id"), (-col("m.nl")).as("__new"))
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .select(col("v").as("id"), (-col("m.nl")).as("lbl"))
+      if (k % 8 == 0 && k < rounds) labels = labels.localCheckpoint()
     }
-    fwd.unpersist()
     labels.select(col("id"), col("lbl").as("community"))
   }
 

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism guard for per-row kernel spreads (r17 advisor
+  * finding, guide §2.5).
+  *
+  * The sandbox's tables are single-row-group parquet files, so every
+  * scan stage runs as ONE task and per-row kernels placed in (or pushed
+  * into) the scan stage serialize on one core; the r17 fix was an
+  * unconditional round-robin `repartition(defaultParallelism)` before
+  * each such kernel. But production multi-split inputs already scan in
+  * parallel, and there the same unconditional repartition inserts a
+  * corpus-sized exchange that buys nothing. This helper keeps the
+  * spread where it pays and skips it where it costs: repartition only
+  * when the frame's physical scan has materially fewer partitions than
+  * the session's executor slots.
+  *
+  * Call it on scan-rooted frames only (projections/filters over a table
+  * read): probing `df.rdd.getNumPartitions` finalizes the physical plan
+  * without running it for exchange-free plans, but an AQE plan with
+  * exchanges below would materialize those stages to answer. */
+object Spread {
+  def ifNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+}
