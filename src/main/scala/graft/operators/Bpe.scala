@@ -119,8 +119,7 @@ object Bpe {
     // ~6.5 s single-task at sf0.1; guide §2.5). The exchange carries
     // (id, text) only.
     val corpusGrams = grams(
-      docs.select(col(idCol), col(textCol))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism),
+      Spread.ifNarrow(docs.select(col(idCol), col(textCol))),
       idCol, textCol)
     val probeGrams = broadcast(
       grams(probes, probeIdCol, probeTextCol).select(col("gram")).distinct())

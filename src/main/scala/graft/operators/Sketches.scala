@@ -279,9 +279,8 @@ object Sketches {
     // repartition immediately after the read"). Generate nodes are not
     // pushed below a repartition, so the expensive explode runs on the
     // spread side; the exchange carries one token array per doc.
-    val toksDistinct = docs.select(col(groupCol).as("g"),
-        T.tokens(col(textCol)).as("toks"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val toksDistinct = Spread.ifNarrow(docs.select(col(groupCol).as("g"),
+        T.tokens(col(textCol)).as("toks")))
       .select(col("g"), explode(T.shinglesOfTokens(col("toks"), n)).as("tok"))
       .distinct()
     val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")

@@ -210,8 +210,7 @@ object Stats {
     // runs inside the single-task scan stage of a single-row-group
     // input (measured ~5 s serial at sf0.1, b = 32; guide §2.5).
     // Exchange cost is one thin row per input row.
-    val est = base
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val est = Spread.ifNarrow(base)
       .withColumn("b", explode(array((0 until b).map(lit): _*)))
       .withColumn("w", w.cast("long"))
       .groupBy(col("g"), col("b"))

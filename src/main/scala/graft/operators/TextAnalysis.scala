@@ -464,8 +464,8 @@ object TextAnalysis {
       fails.map { case (name, cond) =>
         when(cond, lit(name)).otherwise(lit(null: String))
       }: _*)
-    docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("__toks"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Spread.ifNarrow(
+      docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("__toks")))
       .select(col("id"),
         nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
         stopFrac.as("stop_frac"), uniqFrac.as("uniq_frac"),
@@ -1448,15 +1448,15 @@ object TextAnalysis {
   def cdcChunks(docs: DataFrame, keyCol: String,
                 textCol: String, w: Int = 16,
                 m: Int = 64): DataFrame =
-    docs
-      .select(col(keyCol).as("__key"), col(textCol).as("__cdc_text"))
-      // spread the O(len·w) boundary scan (an md5 per character
-      // position, interpreted HOFs) across cores: single-row-group
-      // inputs scan as ONE task, which serialized the whole chunker
-      // (measured 2×~4 s single-task stages on q131 at sf0.1; guide
-      // §2.5). The exchange carries (key, text) once; the Generate
-      // above it is not pushed below a repartition.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // spread the O(len·w) boundary scan (an md5 per character
+    // position, interpreted HOFs) across cores: single-row-group
+    // inputs scan as ONE task, which serialized the whole chunker
+    // (measured 2×~4 s single-task stages on q131 at sf0.1; guide
+    // §2.5). The exchange carries (key, text) once; the Generate
+    // above it is not pushed below a repartition. Spread.ifNarrow
+    // skips the exchange on inputs that already scan in parallel.
+    Spread.ifNarrow(docs
+      .select(col(keyCol).as("__key"), col(textCol).as("__cdc_text")))
       .select(col("__key"),
         explode(chunkFpCol(col("__cdc_text"), w, m)).as("c"))
       .select(col("__key"), col("c.fp").as("fp"), col("c.chars").as("chars"))

@@ -103,9 +103,8 @@ object Wave21 {
       // shingles: the interpreted n-gram transform otherwise runs in the
       // single-task scan of the one-row-group input (measured 8.5 s
       // serial at sf0.1; same shape as Sketches.gramRho)
-      val exact = docs
-        .select(T.tokens(col("text")).as("toks"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val exact = graft.operators.Spread.ifNarrow(docs
+        .select(T.tokens(col("text")).as("toks")))
         .select(explode(T.shinglesOfTokens(col("toks"), 3)).as("tok"))
         .distinct().agg(count(lit(1)).as("n_distinct"))
       exact.crossJoin(est)
