@@ -1245,19 +1245,30 @@ object Dedup {
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // symmetrize with ONE scan of `pairs` (explode, not self-union): the
     // upstream plan is typically expensive (the LSH verify pipeline) and
-    // uncached — a two-branch union would evaluate it twice
-    val und = persist(
-      pairs.select(explode(array(
+    // uncached — a two-branch union would evaluate it twice. cache()
+    // instead of an up-front localCheckpoint so the FIRST count job both
+    // materializes the edges and decides the path — the r17 shape
+    // (checkpoint job + count job + collect job) paid three
+    // dispatch-floor jobs per call where two suffice; the cache is
+    // unpersisted on every path below, so nothing leaks into the session
+    // (a limit+collect probe would be worse still: executeTake's
+    // INCREMENTAL partition scan is several jobs).
+    val cached = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct())
-    // count first (1 cheap job over the checkpointed blocks — a
-    // limit+collect probe would be executeTake's INCREMENTAL partition
-    // scan, several jobs), then one collect job feeds the local solve
-    val nEdges = und.count()
-    if (nEdges <= localSolveMaxEdges)
-      return componentsLocal(und, und.collect())
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().cache()
+    val nEdges = cached.count()
+    if (nEdges <= localSolveMaxEdges) {
+      val edges = cached.collect()
+      val out = componentsLocal(cached, edges)
+      cached.unpersist()
+      return out
+    }
+    // big-graph path: truncate lineage before the iterative loop (the
+    // per-round plans must not carry the whole upstream pipeline)
+    val und = persist(cached)
+    cached.unpersist()
     var labels = persist(
       und.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
@@ -1364,9 +1375,10 @@ object Dedup {
       while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    // `edges` was collected by the caller's bounded limit-probe (ONE job
-    // for decision + transfer, vs the old count job + one
-    // toLocalIterator job PER PARTITION ≈ 32 dispatch-floor jobs per
+    // `edges` comes from the caller's count-then-collect over the cached
+    // symmetrized frame (count materializes the cache and decides the
+    // path, collect transfers — two jobs, vs the old checkpoint + count
+    // + toLocalIterator-per-partition ≈ 32 dispatch-floor jobs per
     // components call). Bounded by the localSolveMaxEdges guard (1M
     // edges ≈ tens of MB), well inside the driver budget; union-find is
     // edge-order-independent so the result is bit-identical.

@@ -87,11 +87,26 @@ object Wave26 {
       // banded plan, connectivity-equivalent — DedupSpec pins the
       // merged labels identical to the two-leg doc-clique form)
       val delta = Dedup.nearDupComponentDelta(bState, state, NearDupT)
-      save(Dedup.mergeComponents(labels, delta), "labels", gen)
-      save(Dedup.mergeNearDupStates(state, bState), "state", gen)
-      save(Agg.mergeAdditiveStates(Seq("lang"), agg,
-        Agg.additiveState(batchDocs, Seq("lang"), col("n_chars"))),
-        "agg", gen)
+      // the three generation outputs are independent given bstate + the
+      // previous generation's frames — overlap their write jobs so the
+      // cheap agg/state writes back-fill the labels job's tail (guide
+      // §2.6; job descriptions stay correct, they are thread-local)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        Seq(
+          scala.concurrent.Future(
+            save(Dedup.mergeComponents(labels, delta), "labels", gen)),
+          scala.concurrent.Future(
+            save(Dedup.mergeNearDupStates(state, bState), "state", gen)),
+          scala.concurrent.Future(
+            save(Agg.mergeAdditiveStates(Seq("lang"), agg,
+              Agg.additiveState(batchDocs, Seq("lang"), col("n_chars"))),
+              "agg", gen))
+        ).foreach(scala.concurrent.Await
+          .result(_, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     }
     ingest(batch(2), 1)
     ingest(batch(0), 2)

@@ -900,16 +900,30 @@ object Streams {
 
   /** The generation-completion pointer lives INSIDE the generation
     * directory (`gen_<id>/applied`, written LAST) and completeness is
-    * its parquet `_SUCCESS` commit marker — a crash DURING the pointer
-    * write leaves an incomplete dir that recovery simply skips, falling
-    * back to the previous complete generation (the r15 advisor noted
-    * the old single `$stateDir/applied` overwrite-in-place pointer was
+    * its `_SUCCESS` commit marker — a crash DURING the pointer write
+    * leaves an incomplete dir that recovery simply skips, falling back
+    * to the previous complete generation (the r15 advisor noted the old
+    * single `$stateDir/applied` overwrite-in-place pointer was
     * delete-then-commit: a crash mid-write left NO readable pointer and
-    * the stream could not resume without manual repair). */
+    * the stream could not resume without manual repair).
+    *
+    * r18: the pointer is two driver-side filesystem creates, not a
+    * Spark job — the old one-row parquet write dispatched a whole job
+    * (plus commit-protocol renames) per fold for 8 bytes of content
+    * that recovery never even reads (completeGens keys on `_SUCCESS`
+    * existence only; `last_id` is kept for humans). Write order is the
+    * same commit discipline: content first, `_SUCCESS` last. */
   private def writeApplied(spark: SparkSession, stateDir: String,
-                           id: Long): Unit =
-    spark.range(1).select(lit(id).as("last_id"))
-      .write.mode("overwrite").parquet(s"${corpusGen(stateDir, id)}/applied")
+                           id: Long): Unit = {
+    val fs = stateFs(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(s"${corpusGen(stateDir, id)}/applied")
+    fs.delete(dir, true) // overwrite semantics under redelivery
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "last_id"), true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+  }
 
   /** Complete (pointer-committed) generation ids under `stateDir`,
     * ascending. A gen dir whose `applied/_SUCCESS` marker is missing
@@ -1004,14 +1018,28 @@ object Streams {
     // (DedupSpec pins components equality).
     val delta =
       graft.operators.Dedup.nearDupComponentDelta(bState, state, threshold)
-    phase("labels") {
-      graft.operators.Dedup.mergeComponents(labels, delta)
-        .write.mode("overwrite").parquet(s"$cur/labels")
-    }
-    phase("state") {
-      graft.operators.Dedup.mergeNearDupStates(state, bState)
-        .write.mode("overwrite").parquet(s"$cur/state")
-    }
+    // labels and state are INDEPENDENT outputs over already-materialized
+    // inputs (prev gen parquet + this fold's bstate) — overlap the two
+    // write jobs so the state write back-fills the labels job's tail
+    // (guide §2.6: actions are only sequential because driver code calls
+    // them sequentially; job descriptions are thread-local so each keeps
+    // its phase label). A failure in either fails the fold BEFORE the
+    // pointer write — the crash-recovery contract is unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val labelsF = scala.concurrent.Future(phase("labels") {
+        graft.operators.Dedup.mergeComponents(labels, delta)
+          .write.mode("overwrite").parquet(s"$cur/labels")
+      })
+      val stateF = scala.concurrent.Future(phase("state") {
+        graft.operators.Dedup.mergeNearDupStates(state, bState)
+          .write.mode("overwrite").parquet(s"$cur/state")
+      })
+      scala.concurrent.Await.result(labelsF, scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(stateF, scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     phase("pointer") { writeApplied(spark, stateDir, id) }
     // generation GC (r15 judge finding: state grew by one full
     // distinct-content-sized copy per batch ever applied, unbounded at
