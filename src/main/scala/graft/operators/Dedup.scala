@@ -1564,8 +1564,12 @@ object Dedup {
     // the only shuffled bytes are ~61 longs per (doc × partition) — a
     // distinct-(doc,tok) pre-collapse would hash less but shuffle the
     // token strings themselves, which loses at scale
-    val tokHash = docs
-      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
+    // spread before the tokenize+explode+md5 kernel (single-task on
+    // one-row-group inputs — measured ~1.3 s serial per evaluation at
+    // sf0.1, r18); the Generate keeps the kernel above the exchange
+    val tokHash = Spread.ifNarrow(
+        docs.select(col(idCol).as("doc"), col(textCol).as("__t")))
+      .select(col("doc"), explode(T.tokens(col("__t"))).as("tok"))
       .select(col("doc"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     majoritySketch(ids, tokHash)
@@ -1768,7 +1772,14 @@ object Dedup {
       s"maxHamming+1 ($bands) must divide sketchBits ($sketchBits)")
     val bits = sketchBits / bands
     val mask = (1L << bits) - 1
-    val banded = withSim.select(col("doc"), col("sim"),
+    // materialize the sketches ONCE: the banded self-join below reads
+    // its input twice, and when it plans as a broadcast join there is no
+    // exchange for ReuseExchange to dedup — the whole upstream sketch
+    // pipeline (for the perceptual tiers: a real decode kernel per
+    // asset) executed twice per call (measured on q330, r18). The
+    // (doc, sim) frame is node-cardinality-small at any corpus size.
+    val sim = withSim.localCheckpoint()
+    val banded = sim.select(col("doc"), col("sim"),
       explode(array((0 until bands).map(b =>
         // tag the band index into the key so distinct bands never collide
         lit(b.toLong << 58).bitwiseOR(

@@ -574,7 +574,10 @@ object Multimodal {
       s"band width $w must divide the 60-bit pack (grid $grid, " +
         s"maxHamming $maxHamming)")
     val nLongs = (bits + 59) / 60
-    val hashes = dHashWideImages(assets, grid).toDF()
+    // materialized once: the banded self-join reads it twice, and under
+    // a broadcast plan the decode pipeline would otherwise run twice
+    // (same fix as Dedup.hammingNearDupPairs, r18)
+    val hashes = dHashWideImages(assets, grid).toDF().localCheckpoint()
     val banded = hashes.select(col("asset_id").as("doc"),
       col("dhash").as("sim"),
       explode(array((0 until bands).map { b =>

@@ -46,7 +46,10 @@ object Wave103 {
     "q324_simhash_sweep" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.8)
-      val sk = Dedup.simhashSketches(docs, "doc_id", "text")
+      // both pair-side joins read the sketches — materialize the
+      // (doc, sim) frame once instead of running the sketch pipeline
+      // twice (node-cardinality small)
+      val sk = Dedup.simhashSketches(docs, "doc_id", "text").localCheckpoint()
       val scored = pairs
         .join(sk.select(col("doc").as("doc_a"), col("sim").as("sim_a")),
           "doc_a")

@@ -82,8 +82,12 @@ object Wave106 {
 
     "q330_dhash_hamming" -> { (s, d) =>
       import s.implicits._
-      val assets = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
+      // spread the 16-byte generator rows before the encode flatMap:
+      // the codec kernel otherwise runs inside the single scan task of
+      // a one-row-group input (measured 6.6 s serial, r18), and the
+      // round-robin also evens the per-id deflate-level skew
+      val assets = graft.operators.Spread.ifNarrow(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .flatMap { case (id, nChars) =>
           val w = 16 + (id % 9).toInt
@@ -118,8 +122,8 @@ object Wave106 {
 
     "q331_audio_fp" -> { (s, d) =>
       import s.implicits._
-      val assets = Tables.documents(s, d)
-        .select(col("doc_id"))
+      val assets = graft.operators.Spread.ifNarrow(Tables.documents(s, d)
+          .select(col("doc_id")))
         .as[Long]
         .flatMap { id =>
           val full = Array.tabulate(FpSamples) { i =>
@@ -151,8 +155,8 @@ object Wave106 {
     //    one arithmetic term and folds the same gaps-and-islands.
     "q333_scene_cuts" -> { (s, d) =>
       import s.implicits._
-      val assets = Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val assets = graft.operators.Spread.ifNarrow(Tables.documents(s, d)
+          .select(col("doc_id"))).as[Long]
         .map { id =>
           val slen = 2 + (id % 3).toInt
           val levels = Array.tabulate(ScFrames)(f =>

@@ -36,8 +36,9 @@ object Wave109 {
 
     "q337_dhash_wide" -> { (s, d) =>
       import s.implicits._
-      val assets = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
+      // spread before the encode flatMap (same shape/rationale as q330)
+      val assets = graft.operators.Spread.ifNarrow(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .flatMap { case (id, nChars) =>
           val w = 16 + (id % 9).toInt
