@@ -429,16 +429,27 @@ object NativeExpr {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "graft_sorted_inter_size"
 
+    // Null ELEMENTS are skipped (treated as non-members) in both eval
+    // paths — the declared callers' inputs (docSets ts arrays) never
+    // contain them, but the expression is registry-adjacent and an
+    // unguarded getUTF8String would NPE on a null-bearing array (r17
+    // advisor). Note this differs from array_intersect, which treats a
+    // null present in BOTH arrays as a common element; the documented
+    // contract here is sorted distinct NON-NULL arrays.
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       val na = a.numElements(); val nb = b.numElements()
       var i = 0; var j = 0; var cnt = 0
       while (i < na && j < nb) {
-        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-        if (cmp == 0) { cnt += 1; i += 1; j += 1 }
-        else if (cmp < 0) i += 1
-        else j += 1
+        if (a.isNullAt(i)) i += 1
+        else if (b.isNullAt(j)) j += 1
+        else {
+          val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          if (cmp == 0) { cnt += 1; i += 1; j += 1 }
+          else if (cmp < 0) i += 1
+          else j += 1
+        }
       }
       cnt
     }
@@ -453,9 +464,13 @@ object NativeExpr {
          |int $nb = $bv.numElements();
          |int $i = 0; int $j = 0; int $cnt = 0;
          |while ($i < $na && $j < $nb) {
-         |  int $cmp = $av.getUTF8String($i).compareTo($bv.getUTF8String($j));
-         |  if ($cmp == 0) { $cnt++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |  if ($av.isNullAt($i)) { $i++; }
+         |  else if ($bv.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $av.getUTF8String($i).compareTo($bv.getUTF8String($j));
+         |    if ($cmp == 0) { $cnt++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $cnt;
          |""".stripMargin

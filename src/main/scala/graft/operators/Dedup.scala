@@ -520,11 +520,25 @@ object Dedup {
     // per candidate pair it appears in (measured 480 MB shuffled at
     // sf0.1 for a 0.6 MB corpus). Small text relations broadcast (zero
     // text shuffle); large ones shuffle once into the join, never again.
-    val kernelInput = cands
+    val joined = cands
       .repartition(kernelParts)
       .join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jac"), col("t_a"),
         col("t_b"))
+    // If the text attach plans as SHUFFLE joins (text relation too big
+    // to broadcast), the join output is re-partitioned by the join key
+    // and the pre-join spread is discarded — a hot document would
+    // funnel all its pairs into one kernel task (r17 advisor). Re-add
+    // the round-robin AFTER the joins in exactly that case; in the
+    // broadcast case (the local corpora) the pre-join spread IS the
+    // kernel layout and no extra exchange is paid. Static-plan probe:
+    // planning only, nothing executes.
+    val shuffleAttach = joined.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty
+    val kernelInput =
+      if (shuffleAttach) joined.repartition(kernelParts) else joined
     val outSchema = org.apache.spark.sql.types.StructType(
       kernelInput.schema.take(3) ++ Seq(
         org.apache.spark.sql.types.StructField("lev",

@@ -213,6 +213,28 @@ class NativeExprSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.set(key, old)
   }
 
+  test("SortedIntersectSize skips null elements instead of NPEing " +
+      "(both eval paths)") {
+    import spark.implicits._
+    // null elements sort FIRST under sort_array ascending; the contract
+    // treats them as non-members (callers never produce them)
+    val df = Seq(
+      (Seq[String](null, "a", "b"), Seq[String]("a", "c")),
+      (Seq[String](null, null), Seq[String](null, "x")),
+      (Seq[String]("a", "b"), Seq[String](null, "b"))).toDF("a", "b")
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.get(key)
+    def run(): Seq[Int] = df.select(
+      NativeExpr.sortedIntersectSize(col("a"), col("b")).as("g"))
+      .collect().toSeq.map(_.getInt(0))
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      run() shouldBe Seq(1, 0, 1)
+      spark.conf.set(key, "NO_CODEGEN")
+      run() shouldBe Seq(1, 0, 1)
+    } finally spark.conf.set(key, old)
+  }
+
   test("GraftExtensions injects cleanly into a fresh SparkSessionExtensions") {
     noException should be thrownBy new GraftExtensions()(new SparkSessionExtensions)
   }
