@@ -446,7 +446,11 @@ object Graphs {
       .localCheckpoint()
     val ids = nodes.select(col(idCol).as("id")).dropDuplicates("id")
       .localCheckpoint()
-    val nTotal = ids.agg(count(lit(1)).as("n"))
+    // the node count is round-INVARIANT: one driver-side count over the
+    // checkpointed ids instead of a re-aggregated + re-broadcast 1-row
+    // frame per round (each round is its own action, so ReuseExchange
+    // never amortized it — ~2 dispatch-floor jobs per round, r18)
+    val nTotal = ids.count()
     var r = ids.select(col("id"), lit(1000000L).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -459,10 +463,11 @@ object Graphs {
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       r = ids
         .join(inSum.select(col("dst").as("id"), col("s")), Seq("id"), "left")
-        .crossJoin(broadcast(dang)).crossJoin(broadcast(nTotal))
+        .crossJoin(broadcast(dang))
         .select(col("id"),
           (lit(150000L) +
-            expr("((coalesce(s, 0L) + dang div n) * 17L) div 20")).as("r"))
+            expr(s"((coalesce(s, 0L) + dang div ${nTotal}L) * 17L) div 20"))
+            .as("r"))
         .localCheckpoint()
     }
     r.select(col("id"), col("r").as("rank"))

@@ -29,8 +29,11 @@ object Wave41 {
       val edges = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         Wave13.PrTau)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      // LPA now returns a LAZY round chain (r18); modularity reads the
+      // label map three times (d_sum + both eIntra endpoints), so
+      // materialize the node-cardinality labels once
       val labels = Graphs.labelPropagation(edges, "doc_a", "doc_b",
-        docs, "doc_id", Wave35.LpaRounds)
+        docs, "doc_id", Wave35.LpaRounds).localCheckpoint()
       Graphs.modularity(edges, "doc_a", "doc_b", labels)
         // singleton isolated nodes contribute nothing — report the
         // communities that HAVE structure (or edges at all)
