@@ -185,10 +185,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "CartesianProduct"
   }
 
-  test("q115: PageRank rounds reuse the cached adjacency, no cartesian anywhere") {
+  test("q115: PageRank rounds read the materialized edge relation, no cartesian anywhere") {
     val p = plan("q115_neardup_pagerank")
     p should not include "CartesianProduct"
-    p should include("InMemoryTableScan") // the round-invariant adjacency
+    // r18: the round-invariant weighted edge relation is a pinned
+    // localCheckpoint (LogicalRDD), not a cache — rounds scan it, never
+    // re-derive the MinHash pipeline
+    p should include("ExistingRDD")
   }
 
   test("q116: centroid re-attach is a broadcast hash join on the label key") {
@@ -210,16 +213,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     m should not include "CartesianProduct"
   }
 
-  test("q121: deep PageRank reuses cached adjacency; checkpoint bounds plan depth") {
+  test("q121: deep PageRank reads the materialized edge relation; checkpoint bounds plan depth") {
     val p = plan("q121_deep_pagerank")
     p should not include "CartesianProduct"
-    p should include("InMemoryTableScan") // round-invariant adjacency
-    // lineage is cut at the last checkpoint (round 8 of 10): the final
-    // plan reads the checkpointed RDD and inlines only the two rounds
-    // since — ten inlined rounds (>= 20 joins) is the unbounded-plan-
-    // growth failure the checkpoint option exists to prevent
+    // r18: the round-invariant weighted edge relation is a pinned
+    // localCheckpoint (LogicalRDD); lineage is cut at the last
+    // checkpoint (round 8 of 10), so the final plan reads checkpointed
+    // RDDs and inlines only the rounds since — ten inlined rounds'
+    // joins is the unbounded-plan-growth failure the checkpoint option
+    // exists to prevent (each inlined round is now ONE join, so the
+    // bound tightens from <12 to <4)
     p should include("ExistingRDD")
-    "(?i)join".r.findAllIn(p).size should be < 12
+    "(?i)join".r.findAllIn(p).size should be < 4
   }
 
   test("q122/q123: cluster-keyed split and quota add no shuffle beyond clustering") {
