@@ -58,16 +58,33 @@ object Wave26 {
     def load(name: String, gen: Int): DataFrame =
       s.read.parquet(s"$tmp/${name}$gen")
 
-    // ---- snapshot 0: sketch ONCE; labels derive from the state frame
+    // ---- snapshot 0: sketch ONCE (localCheckpoint); the three
+    // snapshot outputs write concurrently (labels derive from the
+    // in-memory state frame, not a parquet read-back)
     val b0 = batch(1)
-    save(Dedup.corpusNearDupState(b0, "doc_id", "text"), "state", 0)
-    // within-only connectivity-equivalent delta (star + representative
-    // edges): identical components, linear edge count instead of
-    // doc-clique quadratic — see Dedup.nearDupComponentDelta
-    save(Dedup.components(
-      Dedup.nearDupComponentDelta(load("state", 0),
-        load("state", 0).limit(0), NearDupT)), "labels", 0)
-    save(Agg.additiveState(b0, Seq("lang"), col("n_chars")), "agg", 0)
+    val st0 = Dedup.corpusNearDupState(b0, "doc_id", "text")
+      .localCheckpoint()
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        Seq(
+          scala.concurrent.Future(save(st0, "state", 0)),
+          // within-only connectivity-equivalent delta (star +
+          // representative edges): identical components, linear edge
+          // count instead of doc-clique quadratic — see
+          // Dedup.nearDupComponentDelta
+          scala.concurrent.Future(save(Dedup.components(
+            Dedup.nearDupComponentDelta(st0, st0.limit(0), NearDupT)),
+            "labels", 0)),
+          scala.concurrent.Future(
+            save(Agg.additiveState(b0, Seq("lang"), col("n_chars")),
+              "agg", 0))
+        ).foreach(scala.concurrent.Await
+          .result(_, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
 
     // ---- one ingest generation: reads ONLY the batch + persisted state.
     // The batch is tokenized + minhashed exactly ONCE (its own
@@ -80,9 +97,11 @@ object Wave26 {
       val state = load("state", gen - 1)
       val labels = load("labels", gen - 1)
       val agg = load("agg", gen - 1)
-      save(Dedup.corpusNearDupState(batchDocs, "doc_id", "text"),
-        "bstate", gen)
-      val bState = load("bstate", gen)
+      // sketch once as a localCheckpoint; the durable bstate copy is
+      // written concurrently with the other generation outputs below
+      // (only this generation reads bstate — the next reads state/labels)
+      val bState = Dedup.corpusNearDupState(batchDocs, "doc_id", "text")
+        .localCheckpoint()
       // fused within ∪ between delta, star + representative edges (one
       // banded plan, connectivity-equivalent — DedupSpec pins the
       // merged labels identical to the two-leg doc-clique form)
@@ -91,11 +110,12 @@ object Wave26 {
       // previous generation's frames — overlap their write jobs so the
       // cheap agg/state writes back-fill the labels job's tail (guide
       // §2.6; job descriptions stay correct, they are thread-local)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
         Seq(
+          scala.concurrent.Future(save(bState, "bstate", gen)),
           scala.concurrent.Future(
             save(Dedup.mergeComponents(labels, delta), "labels", gen)),
           scala.concurrent.Future(

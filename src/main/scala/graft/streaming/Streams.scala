@@ -962,16 +962,28 @@ object Streams {
     completeGens(spark, stateDir).foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(corpusGen(stateDir, id)), true))
     val d = corpusGen(stateDir, -1L)
-    graft.operators.Dedup.corpusNearDupState(seedDocs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$d/state")
-    val st = spark.read.parquet(s"$d/state")
-    // within-only form of the connectivity-equivalent delta (empty
-    // corpus side): same components as the doc-clique pair expansion,
-    // linear edge count (see nearDupComponentDelta)
-    graft.operators.Dedup.components(
-        graft.operators.Dedup.nearDupComponentDelta(st, st.limit(0),
-          threshold))
-      .write.mode("overwrite").parquet(s"$d/labels")
+    // sketch once (localCheckpoint); the durable state copy writes
+    // concurrently with the labels derivation (r18, same overlap as the
+    // fold). Pointer still lands strictly last.
+    val st = graft.operators.Dedup.corpusNearDupState(seedDocs, idCol, textCol)
+      .localCheckpoint()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val stateF = scala.concurrent.Future(
+        st.write.mode("overwrite").parquet(s"$d/state"))
+      // within-only form of the connectivity-equivalent delta (empty
+      // corpus side): same components as the doc-clique pair expansion,
+      // linear edge count (see nearDupComponentDelta)
+      val labelsF = scala.concurrent.Future(
+        graft.operators.Dedup.components(
+            graft.operators.Dedup.nearDupComponentDelta(st, st.limit(0),
+              threshold))
+          .write.mode("overwrite").parquet(s"$d/labels"))
+      Seq(stateF, labelsF).foreach(
+        scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     writeApplied(spark, stateDir, -1L)
   }
 
@@ -1002,12 +1014,18 @@ object Streams {
       try body finally spark.sparkContext.setJobDescription(null)
     }
     // the batch is tokenized + minhashed exactly once (q171's r13
-    // one-sketch-pass-per-generation shape)
-    phase("bstate") {
+    // one-sketch-pass-per-generation shape). r18: the sketch is
+    // materialized as a localCheckpoint and the durable parquet copy is
+    // written CONCURRENTLY with the labels/state legs below — the old
+    // write-then-read-back sequenced the whole fold behind the bstate
+    // commit, but only THIS fold reads bstate (the next generation
+    // reads state/labels), so the in-memory blocks serve the compute
+    // while the file lands. Crash semantics unchanged: everything
+    // still completes before the pointer write.
+    val bState = phase("bstate") {
       graft.operators.Dedup.corpusNearDupState(batch, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$cur/bstate")
+        .localCheckpoint()
     }
-    val bState = spark.read.parquet(s"$cur/bstate")
     val state = spark.read.parquet(s"$prev/state")
     val labels = spark.read.parquet(s"$prev/labels")
     // fused within ∪ between delta as a connectivity-equivalent edge
@@ -1025,10 +1043,13 @@ object Streams {
     // them sequentially; job descriptions are thread-local so each keeps
     // its phase label). A failure in either fails the fold BEFORE the
     // pointer write — the crash-recovery contract is unchanged.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
+      val bstateF = scala.concurrent.Future(phase("bstate") {
+        bState.write.mode("overwrite").parquet(s"$cur/bstate")
+      })
       val labelsF = scala.concurrent.Future(phase("labels") {
         graft.operators.Dedup.mergeComponents(labels, delta)
           .write.mode("overwrite").parquet(s"$cur/labels")
@@ -1037,8 +1058,8 @@ object Streams {
         graft.operators.Dedup.mergeNearDupStates(state, bState)
           .write.mode("overwrite").parquet(s"$cur/state")
       })
-      scala.concurrent.Await.result(labelsF, scala.concurrent.duration.Duration.Inf)
-      scala.concurrent.Await.result(stateF, scala.concurrent.duration.Duration.Inf)
+      Seq(bstateF, labelsF, stateF).foreach(
+        scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
     } finally pool.shutdown()
     phase("pointer") { writeApplied(spark, stateDir, id) }
     // generation GC (r15 judge finding: state grew by one full
